@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AnalyticsQueries, EnrichQueries, LlmQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
+  *
+  * Every implemented operator appears in [[queries]]; all SQL-expressible ones
+  * also appear in [[oracleSql]] with a DuckDB-runnable twin producing
+  * identically-named, engine-portable columns (BIGINT money/timestamps,
+  * hex-string hashes — see SURVEY §6).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full enrichment chain: synthetic raw collector columns → atomic
+    * event projection (one codegen'd stage, no shuffle). */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.functions._
+    val raw = queries("tp_transform")(spark, "/root/testdata/sf0.001")
+    raw.limit(100)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EnrichQueries.defs ++ AnalyticsQueries.defs ++ LlmQueries.defs
+
+  /** DuckDB twins, same column names/types (driver hash-compares). */
+  def oracleSql: Map[String, String] =
+    EnrichQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles
 }

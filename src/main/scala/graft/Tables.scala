@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed accessors for the graft test corpus (TPC-H-ish star schema plus
+  * `events` / `documents` / `embeddings`).
+  *
+  * `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which Spark
+  * refuses by default; we read it as a nanosecond BIGINT
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and expose it as `ts_ns`. This
+  * matches DuckDB's `epoch_ns(ts)` exactly, so oracle comparisons are
+  * integer-exact instead of depending on sub-second timestamp semantics.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `events` with `ts` replaced by `ts_us: BIGINT` (epoch microseconds).
+    * Micros — not the file's nanos — because DuckDB also truncates parquet
+    * ns timestamps to µs, keeping the two engines integer-identical. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+      .drop("ts")
+  }
+}

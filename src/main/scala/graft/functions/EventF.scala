@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tracker-protocol / atomic-event kernels.
+  *
+  * Mirrors snowplow/enrich:
+  *  - event-type codes: `common/enrichments/EventEnrichments.scala:143`
+  *  - platform whitelist: `common/enrichments/MiscEnrichments.scala:52`
+  *  - derived timestamp (clock-skew correction):
+  *    `common/enrichments/EventEnrichments.scala:75`
+  *  - view dimensions "WxH": `common/enrichments/ClientEnrichments.scala:24`
+  *  - event fingerprint: `registry/EventFingerprintEnrichment.scala:85`
+  *  - TSV safety: `common/utils/ConversionUtils.makeTsvSafe`
+  */
+object EventF {
+
+  /** Tracker event code → atomic event type (shared with the oracle SQL). */
+  val EventTypeMap: Seq[(String, String)] = Seq(
+    "se" -> "struct", "ev" -> "struct", "ue" -> "unstruct",
+    "ad" -> "ad_impression", "tr" -> "transaction", "ti" -> "transaction_item",
+    "pv" -> "page_view", "pp" -> "page_ping"
+  )
+
+  /** Valid atomic platform codes (shared with the oracle SQL). */
+  val ValidPlatforms: Seq[String] =
+    Seq("web", "iot", "app", "mob", "pc", "cnsl", "tv", "srv", "headset")
+
+  /** Tracker event code → atomic event type ("pv" → "page_view", …);
+    * null for unknown codes (the reference raises a bad row). */
+  def eventTypeFromCode(code: Column): Column =
+    EventTypeMap
+      .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) => acc.when(code === k, lit(v)) }
+      .otherwise(lit(null))
+
+  /** Platform code passthrough when valid, null otherwise. */
+  def platformValidate(p: Column): Column =
+    when(p.isin(ValidPlatforms: _*), p).otherwise(lit(null))
+
+  /** Derived timestamp in epoch micros: trueTstamp wins; else
+    * collector − (sent − created) when created < sent; else collector.
+    * All inputs epoch micros (BIGINT). */
+  def derivedTstampMicros(
+    collectorUs: Column,
+    dvceCreatedUs: Column,
+    dvceSentUs: Column,
+    trueUs: Column
+  ): Column =
+    when(trueUs.isNotNull, trueUs)
+      .when(
+        dvceSentUs.isNotNull && dvceCreatedUs.isNotNull && dvceCreatedUs < dvceSentUs,
+        collectorUs - (dvceSentUs - dvceCreatedUs)
+      )
+      .otherwise(collectorUs)
+
+  /** "1920x1080" → width; null when malformed. */
+  def resWidth(res: Column): Column =
+    nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 1), lit("")).cast("int")
+
+  /** "1920x1080" → height; null when malformed. */
+  def resHeight(res: Column): Column =
+    nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 2), lit("")).cast("int")
+
+  private val UnitSep = "\u001f"
+
+  /** Event fingerprint: hash over key‑sorted (k, v) pairs joined with the
+    * 0x1F unit separator, null-valued params skipped — byte-compatible with
+    * the reference's `getEventFingerprint`. Keys are sorted at plan time.
+    * @param algo one of md5 | sha1 | sha256
+    */
+  def eventFingerprint(algo: String, params: Seq[(String, Column)]): Column = {
+    val pieces = params.sortBy(_._1).map { case (k, v) =>
+      when(v.isNull, lit("")).otherwise(concat(lit(k), lit(UnitSep), v.cast("string"), lit(UnitSep)))
+    }
+    val payload = concat(pieces: _*)
+    algo match {
+      case "md5"    => md5(payload.cast("binary"))
+      case "sha1"   => sha1(payload.cast("binary"))
+      case "sha256" => sha2(payload.cast("binary"), 256)
+      case other    => throw new IllegalArgumentException(s"unsupported fingerprint algorithm: $other")
+    }
+  }
+
+  /** Collapse tabs/newlines/carriage returns to spaces so the value is safe
+    * in a TSV row. */
+  def tsvSafe(c: Column): Column = regexp_replace(c, "[\\t\\n\\r]", " ")
+
+  /** Truncate to the atomic field width, as AtomicFieldsLengthValidator
+    * does when `acceptInvalid` is configured. */
+  def truncateField(c: Column, maxLen: Int): Column = substring(c, 1, maxLen)
+
+  /** SHA-256 pseudonymization with a static salt
+    * (reference `registry/pii/PiiPseudonymizerEnrichment.scala`). */
+  def pseudonymize(c: Column, salt: String): Column =
+    when(c.isNull, lit(null)).otherwise(sha2(concat(lit(salt), c.cast("string")).cast("binary"), 256))
+
+  /** Cookie header "a=1; b=2" → value of cookie `name`
+    * (reference `registry/CookieExtractorEnrichment.scala`). */
+  def cookieValue(cookieHeader: Column, name: String): Column =
+    nullif(regexp_extract(cookieHeader, "(?:^|; )" + name + "=([^;]*)", 1), lit(""))
+
+  /** "Header-Name: value" → name (reference `registry/HttpHeaderExtractorEnrichment.scala`). */
+  def headerName(header: Column): Column =
+    nullif(regexp_extract(header, "^([^:]+):", 1), lit(""))
+
+  /** "Header-Name: value" → trimmed value. */
+  def headerValue(header: Column): Column =
+    nullif(trim(regexp_extract(header, "^[^:]+:(.*)$", 1)), lit(""))
+
+  /** `_sp` cross-navigation param "domainUserid.timestampMs" → userid part
+    * (reference `registry/CrossNavigationEnrichment.scala:60`). */
+  def spDomainUserId(sp: Column): Column =
+    nullif(regexp_extract(sp, "^([^.]+)\\.([0-9]+)$", 1), lit(""))
+
+  /** `_sp` param → epoch millis of the link click. */
+  def spTstampMs(sp: Column): Column =
+    nullif(regexp_extract(sp, "^([^.]+)\\.([0-9]+)$", 2), lit("")).cast("bigint")
+}

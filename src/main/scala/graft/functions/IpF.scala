@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** IP-address kernels.
+  *
+  * Semantics follow snowplow/enrich
+  * `common/enrichments/registry/AnonIpEnrichment.scala:131` (mask the last N
+  * IPv4 octets / IPv6 segments with "x", preserving the number of groups the
+  * input had) and `common/enrichments/MiscEnrichments.scala:75` (first IP of
+  * an X-Forwarded-For chain).
+  *
+  * Everything here is built from codegen'd built-ins — no UDFs — so the whole
+  * enrichment chain stays inside one WholeStageCodegen span.
+  */
+object IpF {
+
+  /** Mask the last `octets` octets of an IPv4 address with "x".
+    * Like the reference, keeps however many groups the input had (broken
+    * addresses such as "777.2.23" still get masked group-wise).
+    */
+  def anonIpv4(ip: Column, octets: Int): Column = {
+    require(octets >= 1 && octets <= 4, "octets must be 1..4")
+    val parts = split(ip, "\\.")
+    val masked = transform(parts, (e, i) => when(i < lit(4 - octets), e).otherwise(lit("x")))
+    array_join(masked, ".")
+  }
+
+  /** Mask the last `segments` of an (already-expanded) IPv6 address. */
+  def anonIpv6(ip: Column, segments: Int): Column = {
+    require(segments >= 1 && segments <= 8, "segments must be 1..8")
+    val parts = split(ip, ":")
+    val masked = transform(parts, (e, i) => when(i < lit(8 - segments), e).otherwise(lit("x")))
+    array_join(masked, ":")
+  }
+
+  /** Route a string IP to the v4 or v6 masker on its separator, as the
+    * reference does for unparseable addresses. */
+  def anonIp(ip: Column, octets: Int, segments: Int): Column =
+    when(ip.isNull, lit(null))
+      .when(ip.contains(":") && !ip.contains("."), anonIpv6(ip, segments))
+      .otherwise(anonIpv4(ip, octets))
+
+  /** First IP of a comma/pipe/space-separated X-Forwarded-For chain
+    * (the client IP — see reference `MiscEnrichments.extractIp`). */
+  def firstForwardedIp(xff: Column): Column =
+    nullif(regexp_extract(xff, "^([^,| ]*)", 1), lit(""))
+
+  /** Dotted-quad IPv4 → 32-bit unsigned value as BIGINT (for range joins). */
+  def ipv4ToLong(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    element_at(p, 1).cast("bigint") * 16777216L +
+      element_at(p, 2).cast("bigint") * 65536L +
+      element_at(p, 3).cast("bigint") * 256L +
+      element_at(p, 4).cast("bigint")
+  }
+}

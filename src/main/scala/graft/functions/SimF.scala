@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity kernels (SURVEY §2.D): dot / norm / cosine over
+  * `array<float>` columns, computed in double with a deterministic
+  * left-to-right fold (`aggregate`), plus sign-random-projection bits for
+  * LSH bucketing. Pure codegen'd built-ins — no UDFs.
+  */
+object SimF {
+
+  /** Σ a[i]·b[i] in double, left-to-right (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(null)).otherwise(dot(a, b) / d)
+  }
+
+  /** Sign bit of the projection of `v` onto a deterministic pseudo-random
+    * hyperplane (seeded by `planeSeed`): plane component i is
+    * (first md5 hex digit of "seed:i") − 7.5. */
+  def srpBit(v: Column, planeSeed: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
+        val h = md5(concat(lit(planeSeed + ":"), i.cast("string")).cast("binary"))
+        val digit = (instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1).cast("double")
+        x.cast("double") * (digit - lit(7.5))
+      }),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    when(proj >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** `nBits`-bit LSH bucket id from sign-random projections. */
+  def srpBucket(v: Column, nBits: Int, tableSeed: Int): Column =
+    (0 until nBits).map(b => srpBit(v, tableSeed * 64 + b) * lit(1 << b)).reduce(_ + _)
+}

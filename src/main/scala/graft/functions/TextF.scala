@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the LLM training-data operators (SURVEY §2.D):
+  * normalization, tokenization, quality features, language ID, document
+  * fingerprinting, shingling, MinHash and SimHash.
+  *
+  * All deterministic and built from codegen'd built-ins; MinHash "hash
+  * functions" are salted md5s and signatures are compared as lowercase-hex
+  * strings (ASCII min is identical across engines, which keeps the DuckDB
+  * oracle byte-exact).
+  */
+object TextF {
+
+  /** Lowercase, strip non-alphanumerics to spaces, squeeze, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Normalized whitespace tokens. */
+  def tokens(text: Column): Column =
+    split(normalizeText(text), " ")
+
+  def tokenCount(text: Column): Column = {
+    val n = normalizeText(text)
+    when(n === "", lit(0)).otherwise(size(split(n, " ")))
+  }
+
+  /** English stopwords used by the ratio features (fixed, small). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "this", "that", "be", "are"
+  )
+
+  /** Fraction of tokens that are English stopwords, 0.0 for empty docs. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Fraction of non-space characters that are not alphanumeric. */
+  def punctRatio(text: Column): Column = {
+    val noSpace = regexp_replace(text, "\\s", "")
+    val punct = length(regexp_replace(noSpace, "[a-zA-Z0-9]", ""))
+    when(length(noSpace) === 0, lit(0.0))
+      .otherwise(punct.cast("double") / length(noSpace).cast("double"))
+  }
+
+  /** Distinct-token / token ratio (repetition detector), 0.0 for empty. */
+  def uniqueTokenRatio(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(size(array_distinct(tokens(text))).cast("double") / tokenCount(text).cast("double"))
+
+  /** Stopword-ratio language guess (en vs unknown) — the n-gram-free
+    * heuristic; a real model would be a per-language stopword table. */
+  def langGuess(text: Column): Column =
+    when(stopwordRatio(text) >= 0.08, lit("en")).otherwise(lit("und"))
+
+  /** md5 of the normalized text — the exact-dedup key. */
+  def docFingerprint(text: Column): Column =
+    md5(normalizeText(text).cast("binary"))
+
+  /** Word k-shingles of the normalized text ("a b c" for k=3). */
+  def shingles(text: Column, k: Int): Column = {
+    require(k >= 1, "k must be >= 1")
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), n - lit(k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
+    )
+  }
+
+  /** One MinHash signature component: min over shingles of md5(seed:shingle),
+    * as lowercase hex (null for docs with < k words). */
+  def minhashComponent(text: Column, k: Int, seed: Int): Column =
+    array_min(transform(shingles(text, k), s => md5(concat(lit(seed + ":"), s).cast("binary"))))
+
+  /** LSH band key: md5 over `perBand` consecutive signature components. */
+  def minhashBand(text: Column, k: Int, band: Int, perBand: Int): Column = {
+    val comps = (0 until perBand).map(j => coalesce(minhashComponent(text, k, band * perBand + j), lit("")))
+    md5(concat(comps: _*).cast("binary"))
+  }
+
+  /** SimHash-style `bits`-bit fingerprint (bits ≤ 16): bit b is set when the
+    * majority of distinct tokens have bit b set in the first 16 bits of
+    * their md5. Computed per-row over the token array — no shuffle. */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    // per-token 16-bit value from the first 4 hex chars of md5
+    def hexDigit(h: Column, i: Int): Column =
+      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1).cast("int")
+    val tokVal = (t: Column) => {
+      val h = md5(t.cast("binary"))
+      hexDigit(h, 0) * 4096 + hexDigit(h, 1) * 256 + hexDigit(h, 2) * 16 + hexDigit(h, 3)
+    }
+    val vals = transform(toks, tokVal)
+    val n = size(vals)
+    val bitCols = (0 until 16).map { b =>
+      val ones = size(filter(vals, v => (shiftright(v, b).bitwiseAND(lit(1))) === 1))
+      when(ones * 2 >= n, lit(1 << b)).otherwise(lit(0))
+    }
+    when(n === 0, lit(0)).otherwise(bitCols.reduce(_ + _))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL / querystring kernels.
+  *
+  * Mirrors snowplow/enrich `common/utils/ConversionUtils.scala`
+  * (stringToUri + explodeUri → page_urlscheme/host/port/path/query/fragment,
+  * reference `outputs/EnrichedEvent.scala:98-111`) and the querystring
+  * extraction used by `CampaignAttributionEnrichment.scala:105`.
+  *
+  * Implemented with regexes (not `parse_url`) so the DuckDB oracle can run
+  * the byte-identical pattern; all are RE2-safe and codegen'd.
+  */
+object UrlF {
+
+  def urlScheme(url: Column): Column =
+    nullif(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1), lit(""))
+
+  def urlHost(url: Column): Column =
+    nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1), lit(""))
+
+  /** Explicit port if present, else the scheme default (80/443), else null. */
+  def urlPort(url: Column): Column = {
+    val explicit = nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)", 1), lit(""))
+    when(explicit.isNotNull, explicit.cast("int"))
+      .when(urlScheme(url) === "https", lit(443))
+      .when(urlScheme(url) === "http", lit(80))
+      .otherwise(lit(null).cast("int"))
+  }
+
+  def urlPath(url: Column): Column =
+    nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1), lit(""))
+
+  def urlQuery(url: Column): Column =
+    nullif(regexp_extract(url, "\\?([^#]*)", 1), lit(""))
+
+  def urlFragment(url: Column): Column =
+    nullif(regexp_extract(url, "#(.*)$", 1), lit(""))
+
+  /** Value of querystring parameter `key` inside a raw querystring
+    * ("a=1&b=2"); null when absent. `key` must be regex-safe. */
+  def qsParam(qs: Column, key: String): Column =
+    nullif(regexp_extract(qs, "(?:^|&)" + key + "=([^&]*)", 1), lit(""))
+
+  /** Same, but takes the full URL. */
+  def urlParam(url: Column, key: String): Column = qsParam(urlQuery(url), key)
+
+  /** First non-null among `keys` looked up in querystring `qs`
+    * (reference `CampaignAttributionEnrichment.getFirstParameter`). */
+  def firstParam(qs: Column, keys: Seq[String]): Column =
+    coalesce(keys.map(qsParam(qs, _)): _*)
+
+  /** Querystring → MapType column (kernel for ad-hoc param access). */
+  def qsToMap(qs: Column): Column =
+    str_to_map(coalesce(qs, lit("")), lit("&"), lit("="))
+}

@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{EventF, IpF, UaF, UrlF}
+
+/** SURVEY §2.A/§2.B — atomic pipeline + enrichment-registry queries.
+  *
+  * Each entry has a Spark implementation (pure `Column` kernels from
+  * `graft.functions`, single codegen'd projection, no shuffle except where an
+  * aggregation is the point) and a byte-equivalent DuckDB oracle built over
+  * [[Synth.cte]].
+  */
+object EnrichQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def raw(spark: SparkSession, dir: String): DataFrame =
+    Synth.withRaw(Tables.events(spark, dir))
+
+  private def caseSqlPairs(idxExpr: String, pairs: Seq[(String, String)]): String =
+    s"CASE $idxExpr " +
+      pairs.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") +
+      " END"
+
+  // shared campaign-attribution config (reference DefaultNetworkMap
+  // `CampaignAttributionEnrichment.scala:29` + one custom click id)
+  private val MediumParams = Seq("utm_medium", "mkt_medium")
+  private val SourceParams = Seq("utm_source", "mkt_source")
+  private val TermParams = Seq("utm_term", "q")
+  private val ContentParams = Seq("utm_content")
+  private val CampaignParams = Seq("utm_campaign", "mkt_campaign")
+  private val ClickIdNetworks = Seq("gclid" -> "Google", "msclkid" -> "Microsoft",
+    "dclid" -> "DoubleClick", "fbclid" -> "Facebook")
+
+  val defs: Map[String, Q] = Map(
+    // ---- §2.A ----------------------------------------------------------
+    "tp_transform" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        EventF.eventTypeFromCode(col("event_code")).as("atomic_event"),
+        EventF.platformValidate(col("platform_code")).as("platform"),
+        EventF.resWidth(col("res")).as("dvce_screenwidth"),
+        EventF.resHeight(col("res")).as("dvce_screenheight"),
+        IpF.firstForwardedIp(col("xff")).as("user_ipaddress"),
+        concat(lit("u"), col("user_id").cast("string")).as("user_id_str")
+      ).orderBy("event_id")),
+
+    "event_type_map" -> ((sp, dir) =>
+      raw(sp, dir)
+        .select(col("event_code"), EventF.eventTypeFromCode(col("event_code")).as("atomic_event"))
+        .groupBy("event_code", "atomic_event").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_code")),
+
+    "platform_map" -> ((sp, dir) =>
+      raw(sp, dir)
+        .select(col("platform_code"), EventF.platformValidate(col("platform_code")).as("platform"))
+        .groupBy("platform_code", "platform").agg(count(lit(1)).as("cnt"))
+        .orderBy("platform_code")),
+
+    "derived_tstamp" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        col("collector_us"),
+        EventF.derivedTstampMicros(col("collector_us"), col("created_us"), col("sent_us"), col("true_us"))
+          .as("derived_us")
+      ).orderBy("event_id")),
+
+    "client_resolution" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"), col("res"),
+        EventF.resWidth(col("res")).as("width"),
+        EventF.resHeight(col("res")).as("height")
+      ).orderBy("event_id")),
+
+    "ip_extract" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        IpF.firstForwardedIp(col("xff")).as("client_ip")
+      ).orderBy("event_id")),
+
+    "tsv_safe" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        EventF.tsvSafe(concat(lit("v"), (col("event_id") % 5).cast("string"), lit("\ta\nb\rc"))).as("safe")
+      ).orderBy("event_id")),
+
+    "field_lengths" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        EventF.truncateField(col("ua"), 40).as("ua_trunc"),
+        (length(col("ua")) <= 100).as("ua_fits")
+      ).orderBy("event_id")),
+
+    // ---- §2.B ----------------------------------------------------------
+    "anon_ip" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"), col("ip"),
+        IpF.anonIp(col("ip"), 2, 4).as("ip_anon"),
+        IpF.anonIpv6(col("ipv6"), 4).as("ipv6_anon")
+      ).orderBy("event_id")),
+
+    "campaign_attribution" -> { (sp, dir) =>
+      val qs = UrlF.urlQuery(col("page_url"))
+      val clickId = coalesce(ClickIdNetworks.map { case (k, _) => UrlF.qsParam(qs, k) }: _*)
+      val network = ClickIdNetworks
+        .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
+          acc.when(UrlF.qsParam(qs, k).isNotNull, lit(v))
+        }
+        .otherwise(lit(null))
+      raw(sp, dir).select(
+        col("event_id"),
+        UrlF.firstParam(qs, MediumParams).as("mkt_medium"),
+        UrlF.firstParam(qs, SourceParams).as("mkt_source"),
+        UrlF.firstParam(qs, TermParams).as("mkt_term"),
+        UrlF.firstParam(qs, ContentParams).as("mkt_content"),
+        UrlF.firstParam(qs, CampaignParams).as("mkt_campaign"),
+        clickId.as("mkt_clickid"),
+        network.as("mkt_network")
+      ).orderBy("event_id")
+    },
+
+    "event_fingerprint" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        EventF.eventFingerprint("md5", Seq(
+          "e" -> col("event_code"), "p" -> col("platform_code"),
+          "uid" -> col("user_id"), "res" -> col("res"), "url" -> col("page_url")
+        )).as("fp_md5"),
+        EventF.eventFingerprint("sha256", Seq(
+          "e" -> col("event_code"), "uid" -> col("user_id")
+        )).as("fp_sha256")
+      ).orderBy("event_id")),
+
+    "page_url_parse" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        UrlF.urlScheme(col("page_url")).as("page_urlscheme"),
+        UrlF.urlHost(col("page_url")).as("page_urlhost"),
+        UrlF.urlPort(col("page_url")).as("page_urlport"),
+        UrlF.urlPath(col("page_url")).as("page_urlpath"),
+        UrlF.urlQuery(col("page_url")).as("page_urlquery"),
+        UrlF.urlFragment(col("page_url")).as("page_urlfragment")
+      ).orderBy("event_id")),
+
+    "ua_classify" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        UaF.browserFamily(col("ua")).as("br_family"),
+        UaF.browserVersion(col("ua")).as("br_version"),
+        UaF.osFamily(col("ua")).as("os_family"),
+        UaF.deviceClass(col("ua")).as("dvce_type"),
+        UaF.isBot(col("ua")).as("is_bot")
+      ).orderBy("event_id")),
+
+    "ua_device_class" -> ((sp, dir) =>
+      raw(sp, dir)
+        .select(UaF.deviceClass(col("ua")).as("device_class"), UaF.isMobile(col("ua")).as("is_mobile"))
+        .groupBy("device_class", "is_mobile").agg(count(lit(1)).as("cnt"))
+        .orderBy("device_class")),
+
+    "cookie_extract" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        EventF.cookieValue(col("cookie_hdr"), "sp").as("sp_cookie"),
+        EventF.cookieValue(col("cookie_hdr"), "_ga").as("ga_cookie")
+      ).orderBy("event_id")),
+
+    "http_header_extract" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        EventF.headerName(col("header_line")).as("header_name"),
+        EventF.headerValue(col("header_line")).as("header_value")
+      ).orderBy("event_id")),
+
+    "pii_pseudonymize" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        EventF.pseudonymize(col("user_id"), "pepper").as("user_id_hash"),
+        EventF.pseudonymize(col("ip"), "pepper").as("ip_hash")
+      ).orderBy("event_id")),
+
+    "cross_navigation" -> ((sp, dir) =>
+      raw(sp, dir).select(
+        col("event_id"),
+        EventF.spDomainUserId(col("sp_qs")).as("refr_domain_userid"),
+        EventF.spTstampMs(col("sp_qs")).as("refr_dvce_tstamp_ms")
+      ).orderBy("event_id")),
+
+    "event_spec_filter" -> ((sp, dir) =>
+      raw(sp, dir)
+        .filter(col("event_code").isin("pv", "se"))
+        .groupBy("event_code").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_code"))
+  )
+
+  val oracles: Map[String, String] = {
+    val eventTypeCase = caseSqlPairs("event_code", EventF.EventTypeMap)
+    val platformCase =
+      s"CASE WHEN platform_code IN (${EventF.ValidPlatforms.map(p => s"'$p'").mkString(",")}) THEN platform_code END"
+    def qsParamSql(qsExpr: String, key: String): String =
+      s"nullif(regexp_extract($qsExpr, '(?:^|&)$key=([^&]*)', 1), '')"
+    def firstParamSql(qsExpr: String, keys: Seq[String]): String =
+      s"coalesce(${keys.map(qsParamSql(qsExpr, _)).mkString(", ")})"
+    val pageQsExpr = raw"nullif(regexp_extract(page_url, '\?([^#]*)', 1), '')"
+
+    Map(
+      "tp_transform" -> Synth.withCte(
+        s"""SELECT event_id,
+           |  $eventTypeCase AS atomic_event,
+           |  $platformCase AS platform,
+           |  CAST(nullif(regexp_extract(res, '^(\\d+)x(\\d+)$$', 1), '') AS INTEGER) AS dvce_screenwidth,
+           |  CAST(nullif(regexp_extract(res, '^(\\d+)x(\\d+)$$', 2), '') AS INTEGER) AS dvce_screenheight,
+           |  nullif(regexp_extract(xff, '^([^,| ]*)', 1), '') AS user_ipaddress,
+           |  concat('u', user_id) AS user_id_str
+           |FROM raw ORDER BY event_id""".stripMargin),
+
+      "event_type_map" -> Synth.withCte(
+        s"""SELECT event_code, $eventTypeCase AS atomic_event, count(*) AS cnt
+           |FROM raw GROUP BY 1, 2 ORDER BY event_code""".stripMargin),
+
+      "platform_map" -> Synth.withCte(
+        s"""SELECT platform_code, $platformCase AS platform, count(*) AS cnt
+           |FROM raw GROUP BY 1, 2 ORDER BY platform_code""".stripMargin),
+
+      "derived_tstamp" -> Synth.withCte(
+        """SELECT event_id, collector_us,
+          |  CASE WHEN true_us IS NOT NULL THEN true_us
+          |       WHEN sent_us IS NOT NULL AND created_us IS NOT NULL AND created_us < sent_us
+          |         THEN collector_us - (sent_us - created_us)
+          |       ELSE collector_us END AS derived_us
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "client_resolution" -> Synth.withCte(
+        """SELECT event_id, res,
+          |  CAST(nullif(regexp_extract(res, '^(\d+)x(\d+)$', 1), '') AS INTEGER) AS width,
+          |  CAST(nullif(regexp_extract(res, '^(\d+)x(\d+)$', 2), '') AS INTEGER) AS height
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "ip_extract" -> Synth.withCte(
+        """SELECT event_id, nullif(regexp_extract(xff, '^([^,| ]*)', 1), '') AS client_ip
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "tsv_safe" -> Synth.withCte(
+        """SELECT event_id,
+          |  regexp_replace(concat('v', event_id % 5, chr(9), 'a', chr(10), 'b', chr(13), 'c'),
+          |                 '[\t\n\r]', ' ', 'g') AS safe
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "field_lengths" -> Synth.withCte(
+        """SELECT event_id, substr(ua, 1, 40) AS ua_trunc, length(ua) <= 100 AS ua_fits
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "anon_ip" -> Synth.withCte(
+        """SELECT event_id, ip,
+          |  regexp_replace(ip, '^(\d+)\.(\d+)\.\d+\.\d+$', '\1.\2.x.x') AS ip_anon,
+          |  regexp_replace(ipv6, '^([^:]+:[^:]+:[^:]+:[^:]+):.*$', '\1:x:x:x:x') AS ipv6_anon
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "campaign_attribution" -> Synth.withCte(
+        s"""SELECT event_id,
+           |  ${firstParamSql("qs", MediumParams)} AS mkt_medium,
+           |  ${firstParamSql("qs", SourceParams)} AS mkt_source,
+           |  ${firstParamSql("qs", TermParams)} AS mkt_term,
+           |  ${firstParamSql("qs", ContentParams)} AS mkt_content,
+           |  ${firstParamSql("qs", CampaignParams)} AS mkt_campaign,
+           |  coalesce(${ClickIdNetworks.map { case (k, _) => qsParamSql("qs", k) }.mkString(", ")}) AS mkt_clickid,
+           |  CASE ${ClickIdNetworks.map { case (k, v) => s"WHEN ${qsParamSql("qs", k)} IS NOT NULL THEN '$v'" }.mkString(" ")} END AS mkt_network
+           |FROM (SELECT event_id, $pageQsExpr AS qs FROM raw) ORDER BY event_id""".stripMargin),
+
+      "event_fingerprint" -> Synth.withCte(
+        // sorted key order: e, p, res, uid, url — matches the plan-time sort
+        """SELECT event_id,
+          |  md5(concat(
+          |    CASE WHEN event_code IS NULL THEN '' ELSE concat('e', chr(31), event_code, chr(31)) END,
+          |    CASE WHEN platform_code IS NULL THEN '' ELSE concat('p', chr(31), platform_code, chr(31)) END,
+          |    CASE WHEN res IS NULL THEN '' ELSE concat('res', chr(31), res, chr(31)) END,
+          |    CASE WHEN user_id IS NULL THEN '' ELSE concat('uid', chr(31), user_id, chr(31)) END,
+          |    CASE WHEN page_url IS NULL THEN '' ELSE concat('url', chr(31), page_url, chr(31)) END
+          |  )) AS fp_md5,
+          |  sha256(concat(
+          |    CASE WHEN event_code IS NULL THEN '' ELSE concat('e', chr(31), event_code, chr(31)) END,
+          |    CASE WHEN user_id IS NULL THEN '' ELSE concat('uid', chr(31), user_id, chr(31)) END
+          |  )) AS fp_sha256
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "page_url_parse" -> Synth.withCte(
+        """SELECT event_id,
+          |  nullif(regexp_extract(page_url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '') AS page_urlscheme,
+          |  nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1), '') AS page_urlhost,
+          |  CAST(coalesce(
+          |    nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)', 1), ''),
+          |    CASE nullif(regexp_extract(page_url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')
+          |      WHEN 'https' THEN '443' WHEN 'http' THEN '80' END
+          |  ) AS INTEGER) AS page_urlport,
+          |  nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS page_urlpath,
+          |  nullif(regexp_extract(page_url, '\?([^#]*)', 1), '') AS page_urlquery,
+          |  nullif(regexp_extract(page_url, '#(.*)$', 1), '') AS page_urlfragment
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "ua_classify" -> Synth.withCte(uaClassifySql("SELECT event_id,\n", "FROM raw ORDER BY event_id")),
+
+      "ua_device_class" -> Synth.withCte(
+        s"""SELECT device_class, device_class IN ('Phone','Tablet') AS is_mobile, count(*) AS cnt
+           |FROM (SELECT ${deviceClassSql("ua")} AS device_class FROM raw)
+           |GROUP BY 1, 2 ORDER BY device_class""".stripMargin),
+
+      "cookie_extract" -> Synth.withCte(
+        """SELECT event_id,
+          |  nullif(regexp_extract(cookie_hdr, '(?:^|; )sp=([^;]*)', 1), '') AS sp_cookie,
+          |  nullif(regexp_extract(cookie_hdr, '(?:^|; )_ga=([^;]*)', 1), '') AS ga_cookie
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "http_header_extract" -> Synth.withCte(
+        """SELECT event_id,
+          |  nullif(regexp_extract(header_line, '^([^:]+):', 1), '') AS header_name,
+          |  nullif(trim(regexp_extract(header_line, '^[^:]+:(.*)$', 1)), '') AS header_value
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "pii_pseudonymize" -> Synth.withCte(
+        """SELECT event_id,
+          |  sha256(concat('pepper', user_id)) AS user_id_hash,
+          |  sha256(concat('pepper', ip)) AS ip_hash
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "cross_navigation" -> Synth.withCte(
+        """SELECT event_id,
+          |  nullif(regexp_extract(sp_qs, '^([^.]+)\.([0-9]+)$', 1), '') AS refr_domain_userid,
+          |  CAST(nullif(regexp_extract(sp_qs, '^([^.]+)\.([0-9]+)$', 2), '') AS BIGINT) AS refr_dvce_tstamp_ms
+          |FROM raw ORDER BY event_id""".stripMargin),
+
+      "event_spec_filter" -> Synth.withCte(
+        """SELECT event_code, count(*) AS cnt FROM raw
+          |WHERE event_code IN ('pv', 'se') GROUP BY 1 ORDER BY event_code""".stripMargin)
+    )
+  }
+
+  /** SQL twin of UaF.deviceClass. */
+  private def deviceClassSql(ua: String): String =
+    s"""CASE
+       |  WHEN regexp_matches(lower($ua), 'bot|crawler|spider|slurp|archiver|wget|curl') THEN 'Robot'
+       |  WHEN position('iPad' IN $ua) > 0 OR (position('Android' IN $ua) > 0 AND position('Mobile' IN $ua) = 0) THEN 'Tablet'
+       |  WHEN position('iPhone' IN $ua) > 0 OR position('Mobile' IN $ua) > 0 THEN 'Phone'
+       |  ELSE 'Desktop' END""".stripMargin
+
+  /** SQL twin of the UaF cascade for the full classify query. */
+  private def uaClassifySql(prefix: String, suffix: String): String = {
+    def has(t: String) = s"position('$t' IN ua) > 0"
+    val isBot = "regexp_matches(lower(ua), 'bot|crawler|spider|slurp|archiver|wget|curl')"
+    def ver(tok: String) = s"nullif(regexp_extract(ua, '$tok/([0-9][0-9.]*)', 1), '')"
+    s"""$prefix
+       |  CASE WHEN $isBot THEN 'Robot'
+       |       WHEN ${has("Edg/")} OR ${has("Edge/")} THEN 'Edge'
+       |       WHEN ${has("OPR/")} OR ${has("Opera")} THEN 'Opera'
+       |       WHEN ${has("Firefox/")} THEN 'Firefox'
+       |       WHEN ${has("Chrome/")} THEN 'Chrome'
+       |       WHEN ${has("Safari/")} THEN 'Safari'
+       |       WHEN ${has("MSIE")} OR ${has("Trident/")} THEN 'Internet Explorer'
+       |       ELSE 'Unknown' END AS br_family,
+       |  CASE WHEN ${has("Edg/")} THEN ${ver("Edg")}
+       |       WHEN ${has("Edge/")} THEN ${ver("Edge")}
+       |       WHEN ${has("OPR/")} THEN ${ver("OPR")}
+       |       WHEN ${has("Firefox/")} THEN ${ver("Firefox")}
+       |       WHEN ${has("Chrome/")} THEN ${ver("Chrome")}
+       |       WHEN ${has("Version/")} AND ${has("Safari/")} THEN ${ver("Version")}
+       |       END AS br_version,
+       |  CASE WHEN ${has("Windows NT")} THEN 'Windows'
+       |       WHEN ${has("Android")} THEN 'Android'
+       |       WHEN ${has("iPhone")} OR ${has("iPad")} OR ${has("iOS")} THEN 'iOS'
+       |       WHEN ${has("Mac OS X")} THEN 'macOS'
+       |       WHEN ${has("CrOS")} THEN 'ChromeOS'
+       |       WHEN ${has("Linux")} THEN 'Linux'
+       |       ELSE 'Unknown' END AS os_family,
+       |  ${deviceClassSql("ua")} AS dvce_type,
+       |  $isBot AS is_bot
+       |$suffix""".stripMargin
+  }
+}

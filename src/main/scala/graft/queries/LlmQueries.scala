@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{SimF, TextF}
+
+/** SURVEY §2.D — LLM training-data operators over `documents`/`embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+  * (brute-force cosine baseline + sign-random-projection LSH), text analysis
+  * and multimodal binary-column plumbing.
+  *
+  * Scale notes: minhash/LSH shuffle volume is O(bands·N) not O(N²);
+  * `ngram_jaccard` generates candidate pairs only for docs sharing a shingle;
+  * `sim_bruteforce` is the small-query-set baseline and `sim_lsh` the
+  * bucketed 100 TB path.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** SQL twin of TextF.normalizeText. */
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  /** SQL twin of TextF.tokens (over the squeezed normalized text). */
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  private def tokCntSql(norm: String, toks: String) =
+    s"CASE WHEN $norm = '' THEN 0 ELSE len($toks) END"
+
+  /** SQL twin of TextF.shingles(k): empty list when fewer than k words. */
+  private def shinglesSql(toks: String, k: Int): String = {
+    val parts = (0 until k).map(j => s"list_extract(w, i + $j)").mkString(", ' ', ")
+    s"list_transform(range(1, len(w) - ${k - 2}), i -> concat($parts))"
+  }
+
+  private val stopListSql = TextF.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** SQL twin of SimF.dot: element products in double, strict left fold. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), (x, y) -> x + y)"
+
+  val defs: Map[String, Q] = Map(
+    "dedup_exact" -> ((sp, dir) =>
+      Tables.documents(sp, dir)
+        .groupBy(TextF.docFingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dupes"))
+        .orderBy("fp")),
+
+    "dedup_minhash" -> { (sp, dir) =>
+      val sh = array_distinct(TextF.shingles(col("text"), 3))
+      def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(seed + ":"), s).cast("binary"))))
+      Tables.documents(sp, dir)
+        .select(col("doc_id"), comp(0).as("c0"), comp(1).as("c1"), comp(2).as("c2"), comp(3).as("c3"))
+        .withColumn("band0", md5(concat(coalesce(col("c0"), lit("")), coalesce(col("c1"), lit(""))).cast("binary")))
+        .withColumn("band1", md5(concat(coalesce(col("c2"), lit("")), coalesce(col("c3"), lit(""))).cast("binary")))
+        .orderBy("doc_id")
+    },
+
+    "dedup_simhash" -> ((sp, dir) =>
+      Tables.documents(sp, dir)
+        .select(col("doc_id"), TextF.simhash16(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "ngram_jaccard" -> { (sp, dir) =>
+      val docs = Tables.documents(sp, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), array_distinct(TextF.shingles(col("text"), 5)).as("sh"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val shared = ex.as("a").join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn("jac_permille",
+          round(lit(1000.0) * col("shared") / (col("n_a") + col("n_b") - col("shared"))).cast("bigint"))
+        .filter(col("jac_permille") >= 200)
+        .select("id_a", "id_b", "shared", "jac_permille")
+        .orderBy("id_a", "id_b")
+    },
+
+    "sim_bruteforce" -> { (sp, dir) =>
+      val emb = Tables.embeddings(sp, dir)
+      val qs = broadcast(emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val cos = SimF.cosine(col("qv"), col("nv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      cand.join(qs, col("qid") =!= col("nid"))
+        .withColumn("cos", cos)
+        .filter(col("cos").isNotNull)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"), round(col("cos") * 1e6).cast("bigint").as("cos_e6"))
+        .orderBy("qid", "rk")
+    },
+
+    "sim_lsh" -> ((sp, dir) =>
+      Tables.embeddings(sp, dir)
+        .select(col("vec_id"), SimF.srpBucket(col("embedding"), 8, 0).as("bucket"))
+        .orderBy("vec_id")),
+
+    "text_langid" -> ((sp, dir) =>
+      Tables.documents(sp, dir)
+        .select(col("lang"), TextF.langGuess(col("text")).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "guess")),
+
+    "text_quality" -> { (sp, dir) =>
+      Tables.documents(sp, dir).select(
+        col("doc_id"),
+        TextF.tokenCount(col("text")).as("n_tokens"),
+        round(TextF.stopwordRatio(col("text")) * 1000).cast("bigint").as("stop_permille"),
+        round(TextF.punctRatio(col("text")) * 1000).cast("bigint").as("punct_permille"),
+        round(TextF.uniqueTokenRatio(col("text")) * 1000).cast("bigint").as("uniq_permille"),
+        (TextF.tokenCount(col("text")) >= 20 &&
+          TextF.stopwordRatio(col("text")).between(0.05, 0.6)).as("passes")
+      ).orderBy("doc_id")
+    },
+
+    "token_count" -> ((sp, dir) =>
+      Tables.documents(sp, dir)
+        .select(col("doc_id"), TextF.tokenCount(col("text")).as("n_tokens"), length(col("text")).as("n_chars_actual"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((sp, dir) =>
+      Tables.documents(sp, dir)
+        .select(col("doc_id"), TextF.docFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "multimodal_meta" -> { (sp, dir) =>
+      val blob = col("text").cast("binary")
+      Tables.documents(sp, dir).select(
+        col("doc_id"),
+        length(blob).as("n_bytes"),
+        substring(hex(blob), 1, 8).as("magic_hex"),
+        (pmod(length(blob), lit(640)) + 16).as("fake_width"),
+        (pmod(col("doc_id"), lit(480)) + 16).as("fake_height")
+      ).orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5($normSql) AS fp, min(doc_id) AS keeper, count(*) AS n_dupes
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_minhash" -> {
+      def comp(seed: Int) = s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
+      s"""SELECT doc_id, c0, c1, c2, c3,
+         |  md5(concat(coalesce(c0, ''), coalesce(c1, ''))) AS band0,
+         |  md5(concat(coalesce(c2, ''), coalesce(c3, ''))) AS band1
+         |FROM (
+         |  SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
+         |  FROM (SELECT doc_id, list_distinct(${shinglesSql("w", 3)}) AS sh
+         |        FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
+         |) t3 ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val tokValSql =
+        "(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 + " +
+          "(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 + " +
+          "(strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)"
+      val bits = (0 until 16).map { b =>
+        s"CASE WHEN 2 * len(list_filter(vals, v -> (v >> $b) & 1 = 1)) >= len(vals) THEN ${1 << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT doc_id, CASE WHEN len(vals) = 0 THEN 0 ELSE $bits END AS simhash
+         |FROM (
+         |  SELECT doc_id, list_transform(list_distinct($toksSql), t -> $tokValSql) AS vals
+         |  FROM documents
+         |) t ORDER BY doc_id""".stripMargin
+    },
+
+    "ngram_jaccard" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("w", 5)}) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id < 300) t1
+         |), sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, shared,
+         |  CAST(round(1000.0 * shared / (sa.n + sb.n - shared)) AS BIGINT) AS jac_permille
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(round(1000.0 * shared / (sa.n + sb.n - shared)) AS BIGINT) >= 200
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+         |s AS (
+         |  SELECT qid, nid,
+         |    ${dotSql("qv", "nv")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("nv", "nv")})) AS cos
+         |  FROM q, c WHERE qid <> nid
+         |), r AS (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM s WHERE cos IS NOT NULL
+         |)
+         |SELECT qid, rk, nid, CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "sim_lsh" -> {
+      def bitSql(b: Int): String = {
+        val seed = b // tableSeed 0 → planeSeed = b
+        val proj = s"list_reduce(list_transform(range(1, len(embedding) + 1), i -> " +
+          s"CAST(list_extract(embedding, i) AS DOUBLE) * " +
+          s"(CAST(strpos('0123456789abcdef', substr(md5(concat('$seed:', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5)), (x, y) -> x + y)"
+        s"CASE WHEN $proj >= 0 THEN ${1 << b} ELSE 0 END"
+      }
+      val bucket = (0 until 8).map(bitSql).mkString(" + ")
+      s"SELECT vec_id, $bucket AS bucket FROM embeddings ORDER BY vec_id"
+    },
+
+    "text_langid" -> {
+      val norm = normSql
+      val cnt = tokCntSql(norm, toksSql)
+      val hits = s"len(list_filter($toksSql, t -> list_contains($stopListSql, t)))"
+      val ratio = s"CASE WHEN $cnt = 0 THEN 0.0 ELSE CAST($hits AS DOUBLE) / CAST($cnt AS DOUBLE) END"
+      s"""SELECT lang, CASE WHEN $ratio >= 0.08 THEN 'en' ELSE 'und' END AS guess, count(*) AS cnt
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "text_quality" -> {
+      val norm = normSql
+      val cnt = tokCntSql(norm, toksSql)
+      val hits = s"len(list_filter($toksSql, t -> list_contains($stopListSql, t)))"
+      val stopRatio = s"CASE WHEN $cnt = 0 THEN 0.0 ELSE CAST($hits AS DOUBLE) / CAST($cnt AS DOUBLE) END"
+      val noSpace = "regexp_replace(text, '\\s', '', 'g')"
+      val punct = s"length(regexp_replace($noSpace, '[a-zA-Z0-9]', '', 'g'))"
+      val punctRatio = s"CASE WHEN length($noSpace) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / CAST(length($noSpace) AS DOUBLE) END"
+      val uniqRatio = s"CASE WHEN $cnt = 0 THEN 0.0 ELSE CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST($cnt AS DOUBLE) END"
+      s"""SELECT doc_id, $cnt AS n_tokens,
+         |  CAST(round(($stopRatio) * 1000) AS BIGINT) AS stop_permille,
+         |  CAST(round(($punctRatio) * 1000) AS BIGINT) AS punct_permille,
+         |  CAST(round(($uniqRatio) * 1000) AS BIGINT) AS uniq_permille,
+         |  $cnt >= 20 AND ($stopRatio) BETWEEN 0.05 AND 0.6 AS passes
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "token_count" ->
+      s"""SELECT doc_id, ${tokCntSql(normSql, toksSql)} AS n_tokens, length(text) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  substr(hex(encode(text)), 1, 8) AS magic_hex,
+        |  octet_length(encode(text)) % 640 + 16 AS fake_width,
+        |  doc_id % 480 + 16 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

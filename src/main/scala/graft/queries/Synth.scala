@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic "raw collector" columns derived from the `events`
+  * table, used by the correctness queries.
+  *
+  * The reference pipeline consumes raw collector payloads (IPs, user agents,
+  * URLs, headers — see snowplow/enrich `loaders/CollectorPayload.scala`); the
+  * test corpus has none, so each query synthesizes them *deterministically
+  * from `event_id` arithmetic*, with the exact same formulas emitted as a
+  * DuckDB CTE (`Synth.cte`) so the oracle sees byte-identical inputs. Both
+  * sides are generated from the shared constants in this object — they cannot
+  * drift independently.
+  */
+object Synth {
+
+  // ---- shared constants -------------------------------------------------
+
+  val UAs: Seq[String] = Seq(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+    "Mozilla/5.0 (iPad; CPU OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
+  )
+
+  val PageHosts: Seq[String] =
+    Seq("shop.example.com", "www.example.org", "blog.example.net:8080", "internal.example.com")
+
+  val PlatformCodes: Seq[String] =
+    Seq("web", "mob", "app", "pc", "srv", "tv", "iot", "cnsl", "headset", "desktop")
+
+  val EventCodes: Seq[String] = Seq("pv", "pp", "se", "ue", "tr", "ti", "ad", "ev", "xx")
+
+  val Currencies: Seq[String] = Seq("USD", "EUR", "GBP", "JPY")
+
+  // ---- Spark side -------------------------------------------------------
+
+  /** CASE-over-index pick used by both sides. */
+  def pick(idx: Column, vals: Seq[String]): Column =
+    vals.zipWithIndex
+      .foldLeft(when(lit(false), lit(""))) { case (acc, (v, i)) => acc.when(idx === i, lit(v)) }
+      .otherwise(lit(null))
+
+  /** events (with ts_us) → events + synthetic raw columns. Narrow projection,
+    * fully codegen'd — adds no shuffle at any scale. */
+  def withRaw(ev: DataFrame): DataFrame = {
+    val e = col("event_id")
+    val u = col("user_id")
+    val s = (c: Column) => c.cast("string")
+
+    val pageQs =
+      when(e % 5 === 0, concat(lit("?utm_source=google&utm_medium=cpc&utm_campaign=spring_sale&gclid=g"), s(e % 1000)))
+        .when(e % 5 === 1, lit("?utm_source=newsletter&utm_medium=email&utm_campaign=weekly"))
+        .when(e % 5 === 2, concat(lit("?q=red+shoes&page="), s(e % 10)))
+        .when(e % 5 === 3, concat(lit("?fbclid=fb"), s(e % 1000), lit("&utm_campaign=retarget")))
+        .otherwise(lit(""))
+    val refrUrl =
+      when(e % 6 === 0, concat(lit("https://www.google.com/search?q=widget+"), s(e % 50)))
+        .when(e % 6 === 1, lit("https://www.bing.com/search?q=gadget"))
+        .when(e % 6 === 2, lit("https://www.facebook.com/groups/123"))
+        .when(e % 6 === 3, lit("https://t.co/xyz"))
+        .when(e % 6 === 4, lit("https://shop.example.com/home"))
+        .otherwise(lit(""))
+
+    ev.withColumn("collector_us", col("ts_us"))
+      .withColumn("ip",
+        concat(s(e % 223 + 1), lit("."), s((e * 7) % 256), lit("."), s((e * 13) % 256), lit("."), s((e * 29) % 256)))
+      .withColumn("ipv6",
+        concat(lit("2001:db8:1:2:3:4:"), lower(hex(e % 65521)), lit(":"), lower(hex((e * 31) % 65521))))
+      .withColumn("xff", concat(col("ip"), lit(", 10.0.0.1, 172.16.0.1")))
+      .withColumn("ua", pick(e % 8, UAs))
+      .withColumn("page_url",
+        concat(lit("https://"), pick(e % 4, PageHosts), lit("/p/"), s(e % 100),
+          pageQs,
+          when(e % 7 === 0, lit("#section2")).otherwise(lit(""))))
+      .withColumn("refr_url", nullif(refrUrl, lit("")))
+      .withColumn("cookie_hdr",
+        concat(lit("sp="), substring(md5(concat(lit("c"), s(e)).cast("binary")), 1, 16), lit("; _ga=GA1.2."), s(e)))
+      .withColumn("header_line", concat(lit("X-Request-Id: req-"), s(e)))
+      .withColumn("res",
+        when(e % 13 === 0, lit("bogus"))
+          .otherwise(concat(s(e % 1600 + 320), lit("x"), s(e % 900 + 240))))
+      .withColumn("platform_code", pick(e % 10, PlatformCodes))
+      .withColumn("event_code", pick(e % 9, EventCodes))
+      .withColumn("sent_us", col("collector_us") - (e % 1000) * 1000L)
+      .withColumn("created_us",
+        col("sent_us") - ((e * 3) % 4000) * 1000L + when(e % 17 === 0, lit(5000000L)).otherwise(lit(0L)))
+      .withColumn("true_us", when(e % 11 === 0, col("collector_us") - 424242L).otherwise(lit(null).cast("bigint")))
+      .withColumn("sp_qs",
+        when(e % 4 === 0, concat(lit("d"), s(u), lit("."), s(e + 1700000000000L))).otherwise(lit(null)))
+      .withColumn("amount_cents", round(col("value") * 100).cast("bigint"))
+      .withColumn("currency", pick(u % 4, Currencies))
+  }
+
+  // ---- DuckDB side ------------------------------------------------------
+
+  private def sq(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** CASE over idxExpr returning vals(i). */
+  def caseSql(idxExpr: String, vals: Seq[String]): String =
+    s"CASE $idxExpr " +
+      vals.zipWithIndex.map { case (v, i) => s"WHEN $i THEN ${sq(v)}" }.mkString(" ") +
+      " END"
+
+  /** The `raw` CTE body: identical formulas to [[withRaw]], over `events`. */
+  val cte: String = {
+    val e = "event_id"
+    s"""SELECT
+       |  event_id, user_id, event_type, value, props,
+       |  epoch_us(ts) AS ts_us,
+       |  epoch_us(ts) AS collector_us,
+       |  concat($e % 223 + 1, '.', ($e*7) % 256, '.', ($e*13) % 256, '.', ($e*29) % 256) AS ip,
+       |  concat('2001:db8:1:2:3:4:', lower(hex($e % 65521)), ':', lower(hex(($e*31) % 65521))) AS ipv6,
+       |  concat($e % 223 + 1, '.', ($e*7) % 256, '.', ($e*13) % 256, '.', ($e*29) % 256, ', 10.0.0.1, 172.16.0.1') AS xff,
+       |  ${caseSql(s"$e % 8", UAs)} AS ua,
+       |  concat('https://', ${caseSql(s"$e % 4", PageHosts)}, '/p/', $e % 100,
+       |         CASE $e % 5
+       |           WHEN 0 THEN concat('?utm_source=google&utm_medium=cpc&utm_campaign=spring_sale&gclid=g', $e % 1000)
+       |           WHEN 1 THEN '?utm_source=newsletter&utm_medium=email&utm_campaign=weekly'
+       |           WHEN 2 THEN concat('?q=red+shoes&page=', $e % 10)
+       |           WHEN 3 THEN concat('?fbclid=fb', $e % 1000, '&utm_campaign=retarget')
+       |           ELSE '' END,
+       |         CASE WHEN $e % 7 = 0 THEN '#section2' ELSE '' END) AS page_url,
+       |  nullif(CASE $e % 6
+       |           WHEN 0 THEN concat('https://www.google.com/search?q=widget+', $e % 50)
+       |           WHEN 1 THEN 'https://www.bing.com/search?q=gadget'
+       |           WHEN 2 THEN 'https://www.facebook.com/groups/123'
+       |           WHEN 3 THEN 'https://t.co/xyz'
+       |           WHEN 4 THEN 'https://shop.example.com/home'
+       |           ELSE '' END, '') AS refr_url,
+       |  concat('sp=', substr(md5(concat('c', $e)), 1, 16), '; _ga=GA1.2.', $e) AS cookie_hdr,
+       |  concat('X-Request-Id: req-', $e) AS header_line,
+       |  CASE WHEN $e % 13 = 0 THEN 'bogus' ELSE concat($e % 1600 + 320, 'x', $e % 900 + 240) END AS res,
+       |  ${caseSql(s"$e % 10", PlatformCodes)} AS platform_code,
+       |  ${caseSql(s"$e % 9", EventCodes)} AS event_code,
+       |  epoch_us(ts) - ($e % 1000) * 1000 AS sent_us,
+       |  epoch_us(ts) - ($e % 1000) * 1000 - (($e*3) % 4000) * 1000
+       |    + CASE WHEN $e % 17 = 0 THEN 5000000 ELSE 0 END AS created_us,
+       |  CASE WHEN $e % 11 = 0 THEN epoch_us(ts) - 424242 END AS true_us,
+       |  CASE WHEN $e % 4 = 0 THEN concat('d', user_id, '.', $e + 1700000000000) END AS sp_qs,
+       |  CAST(round(value * 100) AS BIGINT) AS amount_cents,
+       |  ${caseSql("user_id % 4", Currencies)} AS currency
+       |FROM events""".stripMargin
+  }
+
+  /** Wrap a SELECT body with the raw CTE. */
+  def withCte(sql: String): String = s"WITH raw AS (\n$cte\n)\n$sql"
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Dev-only mimic of the driver's correctness gate: read Verify.scala's
+parquet dumps + oracle_sql.json, run each oracle in DuckDB over the same
+testdata tables, and compare (columns sorted by name, rows sorted, values
+exact)."""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "NO_OUTPUT"
+            continue
+        spark_df = con.sql(f"SELECT * FROM '{files[0]}'").df()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY({len(spark_df)})"
+            continue
+        try:
+            oracle_df = con.sql(oracle[name]).df()
+        except Exception as ex:
+            results[name] = f"ORACLE_SQL_ERROR: {str(ex)[:200]}"
+            continue
+        s = spark_df[sorted(spark_df.columns)]
+        o = oracle_df[sorted(oracle_df.columns)]
+        if list(s.columns) != list(o.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(s.columns)} oracle={list(o.columns)}"
+            continue
+        if len(s) != len(o):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} oracle={len(o)}"
+            continue
+        ss = s.sort_values(by=list(s.columns)).reset_index(drop=True).astype(str)
+        oo = o.sort_values(by=list(o.columns)).reset_index(drop=True).astype(str)
+        neq = (ss != oo)
+        if neq.any().any():
+            bad_cols = [c for c in ss.columns if neq[c].any()]
+            i = neq.any(axis=1).idxmax()
+            results[name] = (f"VALUE_MISMATCH cols={bad_cols} first_bad_row={i} "
+                             f"spark={ss.iloc[i].to_dict()} oracle={oo.iloc[i].to_dict()}")
+        else:
+            results[name] = f"OK({len(s)})"
+    npass = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') else 'FAIL' if not v.startswith('ROWS_ONLY') else 'ROWS'}  {k}: {v}")
+    print(f"\n{npass}/{len(results)} exact-match", file=sys.stderr)
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
