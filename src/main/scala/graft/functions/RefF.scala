@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Referer classification — capability twin of snowplow/enrich
+  * `registry/RefererParserEnrichment.scala:91` (which wraps the
+  * referer-parser database): medium ∈ {internal, search, social, email,
+  * unknown}, source name, and the search term extracted from the referer
+  * querystring.
+  *
+  * graft embeds a compact referer db as shared constants and compiles it to
+  * a CASE cascade — a per-row pure function that codegens and needs no
+  * lookup table at 100 TB. Internal-domain handling matches the reference:
+  * the page host itself plus a configured domain list count as internal.
+  */
+object RefF {
+
+  /** (host substring, medium, source, term param or null). First match wins;
+    * order is the db's precedence. */
+  val RefererDb: Seq[(String, String, String, String)] = Seq(
+    ("mail.google.", "email", "Gmail", null),
+    ("outlook.", "email", "Outlook", null),
+    ("google.", "search", "Google", "q"),
+    ("bing.", "search", "Bing", "q"),
+    ("yahoo.", "search", "Yahoo", "p"),
+    ("duckduckgo.", "search", "DuckDuckGo", "q"),
+    ("baidu.", "search", "Baidu", "wd"),
+    ("facebook.", "social", "Facebook", null),
+    ("t.co", "social", "Twitter", null),
+    ("twitter.", "social", "Twitter", null),
+    ("linkedin.", "social", "LinkedIn", null),
+    ("reddit.", "social", "Reddit", null),
+    ("instagram.", "social", "Instagram", null)
+  )
+
+  private def isInternal(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column =
+    refrHost === pageHost || refrHost.isin(internalDomains: _*)
+
+  /** Referer medium; null when refrHost is null (direct visit). */
+  def refererMedium(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column = {
+    val base = RefererDb.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, medium, _, _)) =>
+      acc.when(refrHost.contains(pat), lit(medium))
+    }
+    when(refrHost.isNull, lit(null))
+      .when(isInternal(refrHost, pageHost, internalDomains), lit("internal"))
+      .otherwise(base.otherwise(lit("unknown")))
+  }
+
+  /** Referer source name (search engine / social network); null for
+    * internal, direct and unknown referers. */
+  def refererSource(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column = {
+    val base = RefererDb.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, _, source, _)) =>
+      acc.when(refrHost.contains(pat), lit(source))
+    }
+    when(refrHost.isNull || isInternal(refrHost, pageHost, internalDomains), lit(null))
+      .otherwise(base.otherwise(lit(null)))
+  }
+
+  /** Search term from the referer querystring, for search referers only. */
+  def refererTerm(
+    refrHost: Column,
+    refrQs: Column,
+    pageHost: Column,
+    internalDomains: Seq[String]
+  ): Column = {
+    val base = RefererDb.collect { case (pat, _, _, termParam) if termParam != null =>
+      (pat, termParam)
+    }.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, tp)) =>
+      acc.when(refrHost.contains(pat), UrlF.qsParam(refrQs, tp))
+    }
+    when(refrHost.isNull || isInternal(refrHost, pageHost, internalDomains), lit(null))
+      .otherwise(base.otherwise(lit(null)))
+  }
+}

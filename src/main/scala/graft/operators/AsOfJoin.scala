@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join (the temporal-lookup shape behind snowplow/enrich's
+  * `registry/WeatherEnrichment.scala` — "latest observation at or before the
+  * event time, per station").
+  *
+  * Implementation is the scalable union+window pattern, not a per-row lookup
+  * or a range cross-join:
+  *
+  *  1. tag left (probe) and right (reference) rows, union them;
+  *  2. one shuffle on the key columns; within each key, sort by
+  *     (time, side) — reference rows sort *before* probe rows at equal
+  *     timestamps, making the join inclusive (`right.time <= left.time`);
+  *  3. `last_value(..., ignoreNulls)` propagates the latest reference value
+  *     forward; probe rows then carry their as-of match.
+  *
+  * Cost at 100 TB: a single hash shuffle of |L| + |R| rows on the key — the
+  * same price as the groupBy any stateful per-key operator pays; no
+  * broadcast-size limit on either side and no N×M blowup.
+  */
+object AsOfJoin {
+
+  /** Left as-of join.
+    *
+    * @param left      probe side
+    * @param right     reference side (its `valueCols` are appended)
+    * @param keys      equality keys present on both sides
+    * @param leftTime  event-time column on `left` (numeric or timestamp)
+    * @param rightTime event-time column on `right`, same type
+    * @param valueCols columns of `right` to carry onto matching left rows
+    *                  (null when no reference row precedes the probe row)
+    */
+  def leftAsOf(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Seq[String],
+    leftTime: String,
+    rightTime: String,
+    valueCols: Seq[String]
+  ): DataFrame = {
+    val l = left.withColumn("__side", lit(1)).withColumn("__t", col(leftTime))
+    val r = right
+      .select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__v_$c")) :+ col(rightTime).as("__t"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__side") === 1)
+      .drop((valueCols.map(c => s"__v_$c") ++ Seq("__side", "__t")): _*)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join with an equi-bucket prefilter — the scalable shape
+  * of snowplow/enrich's IP→geo lookup (`registry/IpLookupsEnrichment.scala`,
+  * `registry/AsnLookupsEnrichment.scala`), which the reference does as a
+  * per-record MaxMind binary search.
+  *
+  * A naive `fact JOIN ranges ON v BETWEEN lo AND hi` is a broadcast
+  * nested-loop (O(|F|·|R|) comparisons). Bucketing by `v >> bucketBits`
+  * turns it into a *hash* join: each range row is exploded to one row per
+  * bucket it covers, facts compute their bucket with one shift, and the
+  * BETWEEN survives only as a residual filter on hash-matched pairs. With a
+  * broadcast on the (exploded) range side this is a BroadcastHashJoin — no
+  * shuffle of the fact table at all, which is the plan you want when the
+  * fact side is 100 TB and the ranges are a few MB of CIDR blocks.
+  */
+object RangeJoin {
+
+  /** Left-join `facts` to `ranges` on `lo <= valueCol <= hi`.
+    *
+    * @param bucketBits ranges spanning b buckets explode to b rows; pick
+    *                   bits so typical range width ≈ bucket width.
+    * @param broadcastRanges broadcast the exploded range side (correct
+    *                        whenever ranges fit in memory — geo/ASN dbs do)
+    */
+  def leftJoinRanges(
+    facts: DataFrame,
+    valueCol: Column,
+    ranges: DataFrame,
+    loCol: String,
+    hiCol: String,
+    bucketBits: Int,
+    broadcastRanges: Boolean = true
+  ): DataFrame = {
+    val exploded = ranges.withColumn(
+      "__rbucket",
+      explode(sequence(shiftright(col(loCol), bucketBits), shiftright(col(hiCol), bucketBits)))
+    )
+    val side = if (broadcastRanges) broadcast(exploded) else exploded
+    facts
+      .withColumn("__bucket", shiftright(valueCol, bucketBits))
+      .withColumn("__v", valueCol)
+      .join(side,
+        col("__bucket") === col("__rbucket") &&
+          col("__v") >= col(loCol) && col("__v") <= col(hiCol),
+        "left")
+      .drop("__bucket", "__rbucket", "__v")
+  }
+}
