@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, EnrichQueries, LlmQueries, Queries2}
+import graft.queries.{AnalyticsQueries, EnrichQueries, LlmQueries, PipelineQuery, Queries2}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
   *
@@ -17,17 +17,14 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full enrichment chain: synthetic raw collector columns → atomic
     * event projection (one codegen'd stage, no shuffle). */
-  def entry(spark: SparkSession): DataFrame = {
-    import graft.functions._
-    val raw = queries("tp_transform")(spark, "/root/testdata/sf0.001")
-    raw.limit(100)
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("enrich_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EnrichQueries.defs ++ AnalyticsQueries.defs ++ LlmQueries.defs ++ Queries2.defs
+    EnrichQueries.defs ++ AnalyticsQueries.defs ++ LlmQueries.defs ++ Queries2.defs ++ PipelineQuery.defs
 
   /** DuckDB twins, same column names/types (driver hash-compares). */
   def oracleSql: Map[String, String] =
-    EnrichQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++ Queries2.oracles
+    EnrichQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++ Queries2.oracles ++ PipelineQuery.oracles
 }

@@ -1,0 +1,181 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** The graft atomic enriched-event schema — the Spark twin of snowplow/enrich
+  * `outputs/EnrichedEvent.scala:50-244` (131 bean fields), trimmed of the
+  * Iglu self-describing-JSON plumbing: contexts / unstruct payloads are
+  * carried as JSON string columns.
+  *
+  * Timestamps are epoch-micros BIGINTs (engine-portable, sortable, exact);
+  * money is integer cents. Field names match the reference so downstream
+  * models (Redshift/atomic.events users) map 1:1.
+  */
+object Atomic {
+
+  val schema: StructType = StructType(Seq(
+    // app
+    StructField("app_id", StringType),
+    StructField("platform", StringType),
+    // dates / times
+    StructField("etl_tstamp_us", LongType),
+    StructField("collector_tstamp_us", LongType),
+    StructField("dvce_created_tstamp_us", LongType),
+    StructField("dvce_sent_tstamp_us", LongType),
+    StructField("true_tstamp_us", LongType),
+    StructField("derived_tstamp_us", LongType),
+    // event
+    StructField("event", StringType),
+    StructField("event_id", StringType),
+    StructField("txn_id", IntegerType),
+    // namespacing / versioning
+    StructField("name_tracker", StringType),
+    StructField("v_tracker", StringType),
+    StructField("v_collector", StringType),
+    StructField("v_etl", StringType),
+    // user
+    StructField("user_id", StringType),
+    StructField("user_ipaddress", StringType),
+    StructField("user_fingerprint", StringType),
+    StructField("domain_userid", StringType),
+    StructField("domain_sessionidx", IntegerType),
+    StructField("domain_sessionid", StringType),
+    StructField("network_userid", StringType),
+    // location
+    StructField("geo_country", StringType),
+    StructField("geo_region", StringType),
+    StructField("geo_city", StringType),
+    StructField("geo_zipcode", StringType),
+    StructField("geo_latitude", FloatType),
+    StructField("geo_longitude", FloatType),
+    StructField("geo_timezone", StringType),
+    // ip lookups
+    StructField("ip_isp", StringType),
+    StructField("ip_organization", StringType),
+    StructField("ip_domain", StringType),
+    StructField("ip_netspeed", StringType),
+    // page
+    StructField("page_url", StringType),
+    StructField("page_title", StringType),
+    StructField("page_referrer", StringType),
+    StructField("page_urlscheme", StringType),
+    StructField("page_urlhost", StringType),
+    StructField("page_urlport", IntegerType),
+    StructField("page_urlpath", StringType),
+    StructField("page_urlquery", StringType),
+    StructField("page_urlfragment", StringType),
+    // referrer
+    StructField("refr_urlscheme", StringType),
+    StructField("refr_urlhost", StringType),
+    StructField("refr_urlport", IntegerType),
+    StructField("refr_urlpath", StringType),
+    StructField("refr_urlquery", StringType),
+    StructField("refr_urlfragment", StringType),
+    StructField("refr_medium", StringType),
+    StructField("refr_source", StringType),
+    StructField("refr_term", StringType),
+    StructField("refr_domain_userid", StringType),
+    StructField("refr_dvce_tstamp_us", LongType),
+    // marketing
+    StructField("mkt_medium", StringType),
+    StructField("mkt_source", StringType),
+    StructField("mkt_term", StringType),
+    StructField("mkt_content", StringType),
+    StructField("mkt_campaign", StringType),
+    StructField("mkt_clickid", StringType),
+    StructField("mkt_network", StringType),
+    // structured events
+    StructField("se_category", StringType),
+    StructField("se_action", StringType),
+    StructField("se_label", StringType),
+    StructField("se_property", StringType),
+    StructField("se_value_cents", LongType),
+    // ecommerce
+    StructField("tr_orderid", StringType),
+    StructField("tr_affiliation", StringType),
+    StructField("tr_total_cents", LongType),
+    StructField("tr_tax_cents", LongType),
+    StructField("tr_shipping_cents", LongType),
+    StructField("tr_city", StringType),
+    StructField("tr_state", StringType),
+    StructField("tr_country", StringType),
+    StructField("tr_currency", StringType),
+    StructField("tr_total_base_cents", LongType),
+    StructField("ti_orderid", StringType),
+    StructField("ti_sku", StringType),
+    StructField("ti_name", StringType),
+    StructField("ti_category", StringType),
+    StructField("ti_price_cents", LongType),
+    StructField("ti_quantity", IntegerType),
+    StructField("ti_currency", StringType),
+    StructField("base_currency", StringType),
+    // page ping
+    StructField("pp_xoffset_min", IntegerType),
+    StructField("pp_xoffset_max", IntegerType),
+    StructField("pp_yoffset_min", IntegerType),
+    StructField("pp_yoffset_max", IntegerType),
+    // browser / os / device
+    StructField("useragent", StringType),
+    StructField("br_name", StringType),
+    StructField("br_family", StringType),
+    StructField("br_version", StringType),
+    StructField("br_type", StringType),
+    StructField("br_renderengine", StringType),
+    StructField("br_lang", StringType),
+    StructField("br_cookies", BooleanType),
+    StructField("br_colordepth", StringType),
+    StructField("br_viewwidth", IntegerType),
+    StructField("br_viewheight", IntegerType),
+    StructField("os_name", StringType),
+    StructField("os_family", StringType),
+    StructField("os_manufacturer", StringType),
+    StructField("os_timezone", StringType),
+    StructField("dvce_type", StringType),
+    StructField("dvce_ismobile", BooleanType),
+    StructField("dvce_screenwidth", IntegerType),
+    StructField("dvce_screenheight", IntegerType),
+    // document
+    StructField("doc_charset", StringType),
+    StructField("doc_width", IntegerType),
+    StructField("doc_height", IntegerType),
+    // contexts (self-describing JSON carried opaque)
+    StructField("contexts_json", StringType),
+    StructField("unstruct_event_json", StringType),
+    StructField("derived_contexts_json", StringType),
+    // enrichment products
+    StructField("event_vendor", StringType),
+    StructField("event_name", StringType),
+    StructField("event_format", StringType),
+    StructField("event_version", StringType),
+    StructField("event_fingerprint", StringType),
+    StructField("etl_tags", StringType)
+  ))
+
+  /** Atomic field max lengths (subset of reference `AtomicFields.scala`),
+    * used by length validation. */
+  val fieldLengths: Map[String, Int] = Map(
+    "app_id" -> 255, "platform" -> 255, "event" -> 128, "event_id" -> 36,
+    "name_tracker" -> 128, "v_tracker" -> 100, "v_collector" -> 100, "v_etl" -> 100,
+    "user_id" -> 255, "user_ipaddress" -> 128, "user_fingerprint" -> 128,
+    "domain_userid" -> 128, "network_userid" -> 128,
+    "geo_country" -> 2, "geo_region" -> 3, "geo_city" -> 75, "geo_zipcode" -> 15,
+    "page_url" -> 4096, "page_title" -> 2000, "page_referrer" -> 4096,
+    "page_urlscheme" -> 16, "page_urlhost" -> 255, "page_urlpath" -> 3000,
+    "page_urlquery" -> 6000, "page_urlfragment" -> 3000,
+    "refr_urlscheme" -> 16, "refr_urlhost" -> 255, "refr_urlpath" -> 6000,
+    "refr_urlquery" -> 6000, "refr_urlfragment" -> 3000,
+    "refr_medium" -> 25, "refr_source" -> 50, "refr_term" -> 255,
+    "mkt_medium" -> 255, "mkt_source" -> 255, "mkt_term" -> 255,
+    "mkt_content" -> 500, "mkt_campaign" -> 255, "mkt_clickid" -> 128, "mkt_network" -> 64,
+    "se_category" -> 1000, "se_action" -> 1000, "se_label" -> 4096, "se_property" -> 1000,
+    "tr_orderid" -> 255, "tr_affiliation" -> 255, "tr_city" -> 255, "tr_state" -> 255,
+    "tr_country" -> 255, "tr_currency" -> 3, "ti_orderid" -> 255, "ti_sku" -> 255,
+    "ti_name" -> 255, "ti_category" -> 255, "ti_currency" -> 3, "base_currency" -> 3,
+    "useragent" -> 1000, "br_name" -> 50, "br_family" -> 50, "br_version" -> 50,
+    "br_type" -> 50, "br_renderengine" -> 50, "br_lang" -> 255, "br_colordepth" -> 12,
+    "os_name" -> 50, "os_family" -> 50, "os_manufacturer" -> 50, "os_timezone" -> 255,
+    "dvce_type" -> 50, "doc_charset" -> 128,
+    "event_vendor" -> 1000, "event_name" -> 1000, "event_format" -> 128,
+    "event_version" -> 128, "event_fingerprint" -> 128, "etl_tags" -> 500
+  )
+}

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.D `multimodal_meta`): image/audio/
+  * video payloads travel as opaque `binary` columns with typed metadata;
+  * decode / feature-extraction runs as a per-partition batch map.
+  *
+  * The real decode step is STUBBED — this container has no image/audio
+  * codecs — behind the [[MediaDecoder]] trait with a deterministic fake
+  * ([[StubDecoder]]). The Spark-side plumbing is real and tested: schema,
+  * per-partition batching via `mapPartitions` on a typed Dataset (the Scala
+  * equivalent of `mapInPandas` batch shape), and narrow single-pass
+  * execution (no shuffle, no driver collect).
+  */
+case class MediaMeta(
+  format: String,
+  width: Int,
+  height: Int,
+  n_bytes: Long,
+  content_md5: String
+)
+
+trait MediaDecoder extends Serializable {
+  def decode(bytes: Array[Byte]): MediaMeta
+}
+
+/** Deterministic fake decoder: sniffs magic bytes for the format and
+  * derives fake dimensions from the payload — replace with a codec-backed
+  * implementation in a container that has one. */
+object StubDecoder extends MediaDecoder {
+  def decode(bytes: Array[Byte]): MediaMeta = {
+    val format =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "png"
+      else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F') "wav"
+      else "bin"
+    val md5 = MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+    MediaMeta(format, bytes.length % 640 + 16, bytes.length % 480 + 16, bytes.length.toLong, md5)
+  }
+}
+
+object Multimodal {
+
+  /** Decode metadata for a binary column: returns (id, format, width,
+    * height, n_bytes, content_md5) — one narrow `mapPartitions` pass, the
+    * decoder instantiated once per partition batch. */
+  def extractMeta(df: DataFrame, idCol: String, binCol: String, decoder: MediaDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = decoder.decode(bytes)
+          (id, m.format, m.width, m.height, m.n_bytes, m.content_md5)
+        }
+      }
+      .toDF(idCol, "media_format", "media_width", "media_height", "media_n_bytes", "media_md5")
+  }
+
+  /** Resize stub: emits target dimensions + pass-through payload (a real
+    * implementation would transcode inside the same partition pass). */
+  def resizeStub(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame =
+    df.withColumn("resized_width", lit(w))
+      .withColumn("resized_height", lit(h))
+      .withColumn("resized_bytes", col(binCol))
+
+  /** Frame-sample stub for video payloads: deterministic frame offsets. */
+  def frameSampleStub(df: DataFrame, binCol: String, everyN: Int): DataFrame =
+    df.withColumn("frame_offsets",
+      sequence(lit(0), greatest(length(col(binCol)) - 1, lit(0)), lit(everyN)))
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.enrich.EnrichmentPipeline
+import graft.functions.{EventF, RefF}
+
+/** The flagship: the whole default enrichment chain
+  * ([[graft.enrich.EnrichmentPipeline.default]]) over raw collector columns,
+  * projected to atomic fields — with its DuckDB oracle assembled from the
+  * same shared constants as the per-enrichment oracles.
+  *
+  * Plan shape at 100 TB: one codegen'd projection over the scan, plus two
+  * broadcast hash joins (rates, geo ranges). No shuffle of the event table.
+  */
+object PipelineQuery {
+  type Q = (SparkSession, String) => DataFrame
+
+  def geoRanges: Seq[(Long, Long, String)] =
+    Queries2.GeoCountries.zipWithIndex.map { case (cc, i) =>
+      (i * 134217728L, i * 134217728L + 134217727L, cc)
+    }
+
+  def pipeline: EnrichmentPipeline =
+    EnrichmentPipeline.default(Queries2.InternalDomains, Queries2.Rates, geoRanges)
+
+  def run(sp: SparkSession, dir: String): DataFrame =
+    pipeline.run(Synth.withRaw(Tables.events(sp, dir)))
+
+  val defs: Map[String, Q] = Map(
+    "enrich_pipeline" -> { (sp, dir) =>
+      run(sp, dir).select(
+        col("event_id"),
+        col("event"),
+        col("platform"),
+        col("derived_tstamp_us"),
+        col("user_ipaddress"),
+        col("page_urlhost"),
+        col("mkt_source"),
+        col("mkt_campaign"),
+        col("refr_medium"),
+        col("br_family"),
+        col("dvce_type"),
+        col("geo_country"),
+        col("base_amount_e8"),
+        col("user_id").as("user_id_hash"),
+        col("event_fingerprint"),
+        size(col("bad_row_errors")).as("n_errors")
+      ).orderBy("event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "enrich_pipeline" -> {
+      val eventTypeCase = "CASE event_code " +
+        EventF.EventTypeMap.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") + " END"
+      val platformCase =
+        s"CASE WHEN platform_code IN (${EventF.ValidPlatforms.map(p => s"'$p'").mkString(",")}) THEN platform_code END"
+      val derived =
+        """CASE WHEN true_us IS NOT NULL THEN true_us
+          |     WHEN sent_us IS NOT NULL AND created_us IS NOT NULL AND created_us < sent_us
+          |       THEN collector_us - (sent_us - created_us)
+          |     ELSE collector_us END""".stripMargin
+      val anonIpSql = raw"regexp_replace(ip, '^(\d+)\.(\d+)\.\d+\.\d+$$', '\1.\2.x.x')"
+      val pageHost = "nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1), '')"
+      val refrHost = "nullif(regexp_extract(refr_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1), '')"
+      val pageQsE = raw"nullif(regexp_extract(page_url, '\?([^#]*)', 1), '')"
+      def qsParam(qsExpr: String, key: String) =
+        s"nullif(regexp_extract($qsExpr, '(?:^|&)$key=([^&]*)', 1), '')"
+      val mktSource = s"coalesce(${qsParam("pq", "utm_source")}, ${qsParam("pq", "mkt_source")})"
+      val mktCampaign = s"coalesce(${qsParam("pq", "utm_campaign")}, ${qsParam("pq", "mkt_campaign")})"
+      val internalSql = Queries2.InternalDomains.map(d => s"'$d'").mkString(", ")
+      val mediumCases = RefF.RefererDb
+        .map { case (pat, m, _, _) => s"WHEN position('$pat' IN rh) > 0 THEN '$m'" }.mkString(" ")
+      val refrMedium =
+        s"""CASE WHEN rh IS NULL THEN NULL
+           |     WHEN rh = ph OR rh IN ($internalSql) THEN 'internal'
+           |     ELSE CASE $mediumCases ELSE 'unknown' END END""".stripMargin
+      def has(t: String) = s"position('$t' IN ua) > 0"
+      val isBot = "regexp_matches(lower(ua), 'bot|crawler|spider|slurp|archiver|wget|curl')"
+      val brFamily =
+        s"""CASE WHEN $isBot THEN 'Robot'
+           |     WHEN ${has("Edg/")} OR ${has("Edge/")} THEN 'Edge'
+           |     WHEN ${has("OPR/")} OR ${has("Opera")} THEN 'Opera'
+           |     WHEN ${has("Firefox/")} THEN 'Firefox'
+           |     WHEN ${has("Chrome/")} THEN 'Chrome'
+           |     WHEN ${has("Safari/")} THEN 'Safari'
+           |     WHEN ${has("MSIE")} OR ${has("Trident/")} THEN 'Internet Explorer'
+           |     ELSE 'Unknown' END""".stripMargin
+      val dvceType =
+        s"""CASE WHEN $isBot THEN 'Robot'
+           |     WHEN ${has("iPad")} OR (${has("Android")} AND position('Mobile' IN ua) = 0) THEN 'Tablet'
+           |     WHEN ${has("iPhone")} OR ${has("Mobile")} THEN 'Phone'
+           |     ELSE 'Desktop' END""".stripMargin
+      val ipnum = "(event_id % 223 + 1) * 16777216 + ((event_id*7) % 256) * 65536 + ((event_id*13) % 256) * 256 + (event_id*29) % 256"
+      val geo = s"list_extract([${Queries2.GeoCountries.map(c => s"'$c'").mkString(", ")}], CAST(($ipnum) // 134217728 AS INTEGER) + 1)"
+      val fp =
+        """md5(concat(
+          |  CASE WHEN event_code IS NULL THEN '' ELSE concat('event_code', chr(31), event_code, chr(31)) END,
+          |  CASE WHEN platform_code IS NULL THEN '' ELSE concat('platform_code', chr(31), platform_code, chr(31)) END,
+          |  CASE WHEN res IS NULL THEN '' ELSE concat('res', chr(31), res, chr(31)) END))""".stripMargin
+      val nErrors =
+        "(CASE WHEN event_code IS NOT NULL AND " + eventTypeCase + " IS NULL THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN platform_code IS NOT NULL AND " + platformCase + " IS NULL THEN 1 ELSE 0 END)"
+      val ratesValues = Queries2.Rates.map { case (c, r) => s"('$c', $r)" }.mkString(", ")
+
+      Synth.withCte(
+        s"""SELECT event_id,
+           |  $eventTypeCase AS event,
+           |  $platformCase AS platform,
+           |  $derived AS derived_tstamp_us,
+           |  $anonIpSql AS user_ipaddress,
+           |  ph AS page_urlhost,
+           |  $mktSource AS mkt_source,
+           |  $mktCampaign AS mkt_campaign,
+           |  $refrMedium AS refr_medium,
+           |  $brFamily AS br_family,
+           |  $dvceType AS dvce_type,
+           |  $geo AS geo_country,
+           |  amount_cents * rate_micro AS base_amount_e8,
+           |  sha256(concat('pepper', user_id)) AS user_id_hash,
+           |  $fp AS event_fingerprint,
+           |  $nErrors AS n_errors
+           |FROM (SELECT raw.*, $pageHost AS ph, $refrHost AS rh, $pageQsE AS pq FROM raw) t
+           |LEFT JOIN (VALUES $ratesValues) r(cur, rate_micro) ON currency = cur
+           |ORDER BY event_id""".stripMargin)
+    }
+  )
+}

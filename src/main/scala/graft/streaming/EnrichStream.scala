@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.enrich.EnrichmentPipeline
+
+/** Streaming entry points — the Spark twin of the reference's streaming apps
+  * (snowplow/enrich `modules/kinesis|kafka|nsq|pubsub`: source → enrich →
+  * sink with at-least-once delivery).
+  *
+  * Because every graft enrichment is a declarative column transform, the
+  * *same* [[EnrichmentPipeline]] instance runs unchanged on a streaming
+  * DataFrame — Structured Streaming provides incremental execution,
+  * checkpointed offsets (at-least-once, like the reference's Kinesis
+  * checkpointing) and watermark-based state eviction. Enrichment adds no
+  * state at all (narrow transforms), so streaming enrichment scales exactly
+  * like the batch scan: partition-parallel, no shuffle.
+  */
+object EnrichStream {
+
+  /** Enrich a (possibly streaming) raw-event DataFrame. Identical code path
+    * to batch — this is the whole point of the declarative design. */
+  def enrich(raw: DataFrame, pipeline: EnrichmentPipeline): DataFrame =
+    pipeline.run(raw)
+
+  /** Watermarked tumbling-window counts by key (the streaming twin of the
+    * `windowed_agg` batch query). `tsUsCol` is epoch micros. */
+  def windowedCounts(
+    events: DataFrame,
+    tsUsCol: String,
+    keyCol: String,
+    windowLength: String = "1 hour",
+    watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withColumn("__event_time", timestamp_micros(col(tsUsCol)))
+      .withWatermark("__event_time", watermarkDelay)
+      .groupBy(window(col("__event_time"), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100).cast("bigint")).as("sum_value_cents"))
+
+  /** Enriched-stream sink helper: parquet with checkpointing. */
+  def toParquet(enriched: DataFrame, path: String, checkpoint: String) =
+    enriched.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+}

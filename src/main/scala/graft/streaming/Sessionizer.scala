@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time gap sessionization over a stream, via
+  * `flatMapGroupsWithState` — the custom-state operator the batch
+  * `sessionize` query (window-function form) cannot express incrementally.
+  *
+  * State per user is O(1) (running session bounds, not the events), evicted
+  * by event-time timeout once the watermark passes session end + gap — so
+  * state size is bounded by |active users|, not stream length.
+  */
+object Sessionizer {
+
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class SessionState(start_us: Long, end_us: Long, n_events: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Sessionize a stream of (user_id, ts_us[, ...]) rows.
+    * Emits a [[Session]] row when a gap longer than `gapUs` closes a
+    * session, or when the event-time timeout fires (watermark passed). */
+  def sessionize(
+    spark: SparkSession,
+    events: Dataset[SessionEvent],
+    gapUs: Long,
+    watermarkDelay: String = "30 minutes"
+  ): Dataset[Session] = {
+    import spark.implicits._
+
+    def update(
+      userId: Long,
+      rows: Iterator[SessionEvent],
+      state: GroupState[SessionState]
+    ): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(s => Session(userId, s.start_us, s.end_us, s.n_events))
+        state.remove()
+        out.iterator
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts_us)
+        var cur = state.getOption
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { ev =>
+          cur match {
+            case Some(s) if ev.ts_us - s.end_us <= gapUs =>
+              cur = Some(SessionState(s.start_us, math.max(s.end_us, ev.ts_us), s.n_events + 1))
+            case Some(s) =>
+              closed += Session(userId, s.start_us, s.end_us, s.n_events)
+              cur = Some(SessionState(ev.ts_us, ev.ts_us, 1))
+            case None =>
+              cur = Some(SessionState(ev.ts_us, ev.ts_us, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // evict once the watermark is gapUs past the session end
+          state.setTimeoutTimestamp((s.end_us + gapUs) / 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_time", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

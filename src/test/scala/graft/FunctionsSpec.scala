@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Kernel semantics, including the reference's documented examples
+  * (AnonIpEnrichment scaladoc, ClientEnrichments, EventEnrichments). */
+class FunctionsSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+  }
+
+  test("anonIpv4 masks trailing octets (reference AnonIpEnrichment example)") {
+    assert(one(IpF.anonIpv4(lit("94.15.223.151"), 3)) == "94.x.x.x")
+    assert(one(IpF.anonIpv4(lit("94.15.223.151"), 2)) == "94.15.x.x")
+    // broken IP keeps its group count, like the reference's tryAnonymizingInvalidIp
+    assert(one(IpF.anonIpv4(lit("777.2.23"), 3)) == "777.x.x")
+  }
+
+  test("anonIpv6 masks trailing segments") {
+    assert(one(IpF.anonIp(lit("2001:db8:1:2:3:4:5:6"), 2, 4)) == "2001:db8:1:2:x:x:x:x")
+  }
+
+  test("anonIp routes v4-looking strings to octet masking") {
+    assert(one(IpF.anonIp(lit("94.15.223.151"), 2, 4)) == "94.15.x.x")
+  }
+
+  test("firstForwardedIp takes the client IP from an XFF chain") {
+    assert(one(IpF.firstForwardedIp(lit("1.2.3.4, 10.0.0.1"))) == "1.2.3.4")
+    assert(one(IpF.firstForwardedIp(lit("1.2.3.4"))) == "1.2.3.4")
+  }
+
+  test("ipv4ToLong") {
+    assert(one(IpF.ipv4ToLong(lit("1.0.0.1"))) == 16777217L)
+    assert(one(IpF.ipv4ToLong(lit("255.255.255.255"))) == 4294967295L)
+  }
+
+  test("resolution parse (reference ClientEnrichments.extractViewDimensions)") {
+    assert(one(EventF.resWidth(lit("1920x1080"))) == 1920)
+    assert(one(EventF.resHeight(lit("1920x1080"))) == 1080)
+    assert(one(EventF.resWidth(lit("bogus"))) == null)
+  }
+
+  test("event type codes (reference EventEnrichments.extractEventType)") {
+    assert(one(EventF.eventTypeFromCode(lit("pv"))) == "page_view")
+    assert(one(EventF.eventTypeFromCode(lit("ev"))) == "struct") // legacy alias
+    assert(one(EventF.eventTypeFromCode(lit("zz"))) == null)
+  }
+
+  test("derived timestamp clock-skew correction") {
+    // created < sent → collector - (sent - created)
+    assert(one(EventF.derivedTstampMicros(lit(1000L), lit(100L), lit(300L), lit(null).cast("bigint"))) == 800L)
+    // created >= sent → collector unchanged
+    assert(one(EventF.derivedTstampMicros(lit(1000L), lit(300L), lit(100L), lit(null).cast("bigint"))) == 1000L)
+    // true timestamp wins
+    assert(one(EventF.derivedTstampMicros(lit(1000L), lit(100L), lit(300L), lit(42L))) == 42L)
+  }
+
+  test("event fingerprint: sorted keys, 0x1F separators, nulls skipped") {
+    val fp = one(EventF.eventFingerprint("md5", Seq("b" -> lit("2"), "a" -> lit("1"))))
+    val expected = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest("a1b2".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(fp == expected)
+    val fpNull = one(EventF.eventFingerprint("md5", Seq("a" -> lit(null), "b" -> lit("2"))))
+    val expectedNull = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest("b2".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(fpNull == expectedNull)
+  }
+
+  test("url decomposition") {
+    val u = lit("https://shop.example.com:8080/p/1?a=1&b=2#frag")
+    assert(one(UrlF.urlScheme(u)) == "https")
+    assert(one(UrlF.urlHost(u)) == "shop.example.com")
+    assert(one(UrlF.urlPort(u)) == 8080)
+    assert(one(UrlF.urlPath(u)) == "/p/1")
+    assert(one(UrlF.urlQuery(u)) == "a=1&b=2")
+    assert(one(UrlF.urlFragment(u)) == "frag")
+    assert(one(UrlF.urlPort(lit("https://x.com/p"))) == 443)
+    assert(one(UrlF.urlPort(lit("http://x.com/p"))) == 80)
+  }
+
+  test("qsParam extraction and precedence") {
+    assert(one(UrlF.qsParam(lit("a=1&b=2"), "b")) == "2")
+    assert(one(UrlF.qsParam(lit("a=1"), "b")) == null)
+    assert(one(UrlF.firstParam(lit("utm_medium=cpc"), Seq("mkt_medium", "utm_medium"))) == "cpc")
+  }
+
+  test("referer classification") {
+    val internal = Seq("internal.example.com")
+    def medium(host: String, page: String = "shop.example.com") =
+      one(RefF.refererMedium(lit(host), lit(page), internal))
+    assert(medium("www.google.com") == "search")
+    assert(medium("www.facebook.com") == "social")
+    assert(medium("mail.google.com") == "email") // email beats google. search match
+    assert(medium("shop.example.com") == "internal") // page host
+    assert(medium("internal.example.com") == "internal") // configured list
+    assert(medium("random.site.io") == "unknown")
+    assert(one(RefF.refererMedium(lit(null).cast("string"), lit("x"), internal)) == null)
+    assert(one(RefF.refererSource(lit("www.bing.com"), lit("p"), internal)) == "Bing")
+    assert(one(RefF.refererTerm(lit("www.google.com"), lit("q=red+shoes"), lit("p"), internal)) == "red+shoes")
+  }
+
+  test("ua classification across the synthetic UA set") {
+    import graft.queries.Synth
+    def fam(i: Int) = one(UaF.browserFamily(lit(Synth.UAs(i))))
+    assert(fam(0) == "Chrome"); assert(fam(1) == "Firefox"); assert(fam(2) == "Safari")
+    assert(fam(3) == "Edge"); assert(fam(4) == "Safari"); assert(fam(5) == "Chrome")
+    assert(fam(6) == "Safari"); assert(fam(7) == "Robot")
+    assert(one(UaF.deviceClass(lit(Synth.UAs(6)))) == "Tablet")
+    assert(one(UaF.deviceClass(lit(Synth.UAs(5)))) == "Phone")
+    assert(one(UaF.osFamily(lit(Synth.UAs(0)))) == "Windows")
+    assert(one(UaF.browserVersion(lit(Synth.UAs(1)))) == "119.0")
+    assert(one(UaF.isBot(lit(Synth.UAs(7)))) == true)
+  }
+
+  test("text kernels: empty and short docs") {
+    assert(one(TextF.tokenCount(lit(""))) == 0)
+    assert(one(TextF.tokenCount(lit("Hello, World!"))) == 2)
+    assert(one(TextF.shingles(lit("a b"), 3)).asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    assert(one(TextF.shingles(lit("a b c d"), 3)).asInstanceOf[scala.collection.Seq[_]].toList
+      == List("a b c", "b c d"))
+    assert(one(TextF.minhashComponent(lit("a b"), 3, 0)) == null)
+    assert(one(TextF.docFingerprint(lit("Hello,  WORLD"))) == one(TextF.docFingerprint(lit("hello world"))))
+  }
+
+  test("simhash16 deterministic and bounded") {
+    val v1 = one(TextF.simhash16(lit("the quick brown fox"))).asInstanceOf[Int]
+    val v2 = one(TextF.simhash16(lit("the quick brown fox"))).asInstanceOf[Int]
+    assert(v1 == v2 && v1 >= 0 && v1 < 65536)
+    // near-identical docs → close fingerprints (hamming distance small)
+    val v3 = one(TextF.simhash16(lit("the quick brown fox jumps"))).asInstanceOf[Int]
+    val hamming = Integer.bitCount(v1 ^ v3)
+    assert(hamming <= 8)
+  }
+
+  test("cosine similarity") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b", "c")
+    val r = df.select(
+      SimF.cosine(col("a"), col("b")).as("same"),
+      SimF.cosine(col("a"), col("c")).as("orth")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+}

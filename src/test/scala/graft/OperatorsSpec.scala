@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+class OperatorsSpec extends SparkSpec {
+
+  test("AsOfJoin picks latest reference row at or before probe time, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "e1"), // before any obs → null
+      (1L, 205L, "e2"), // after obs@200 → 20
+      (1L, 300L, "e3"), // exactly at obs@300 → 30 (inclusive)
+      (2L, 250L, "e4")  // key 2: obs@240 → 24
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 200L, 20L), (1L, 300L, 30L), (2L, 240L, 24L), (2L, 400L, 40L)
+    ).toDF("k", "rt", "v")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("tag", "v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("e1").isEmpty)
+    assert(out("e2").contains(20L))
+    assert(out("e3").contains(30L))
+    assert(out("e4").contains(24L))
+  }
+
+  test("RangeJoin: bucket-spanning ranges, misses keep left row with nulls") {
+    import spark.implicits._
+    val facts = Seq((1L, 5L), (2L, 300L), (3L, 1000L)).toDF("id", "v")
+    // range [0,520] spans buckets 0..2 with bucketBits=8 (bucket width 256)
+    val ranges = Seq((0L, 520L, "A"), (600L, 700L, "B")).toDF("lo", "hi", "name")
+    val out = RangeJoin.leftJoinRanges(facts, col("v"), ranges, "lo", "hi", bucketBits = 8)
+      .select("id", "name").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains("A"))
+    assert(out(2L).contains("A")) // 300 is in bucket 1, range exploded across buckets
+    assert(out(3L).isEmpty)       // no matching range, left row survives
+  }
+
+  test("RangeJoin boundary inclusivity") {
+    import spark.implicits._
+    val facts = Seq((1L, 0L), (2L, 520L), (3L, 521L)).toDF("id", "v")
+    val ranges = Seq((0L, 520L, "A")).toDF("lo", "hi", "name")
+    val out = RangeJoin.leftJoinRanges(facts, col("v"), ranges, "lo", "hi", bucketBits = 8)
+      .select("id", "name").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains("A") && out(2L).contains("A") && out(3L).isEmpty)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich._
+import graft.queries.{PipelineQuery, Synth}
+
+class PipelineSpec extends SparkSpec {
+
+  private def rawDf = {
+    import spark.implicits._
+    // minimal synthetic events table (same shape Tables.events produces)
+    val ev = (0L until 100L).map(i =>
+      (i, i % 20, "click", 10.5 + i, s"""{"k": ${i % 10}}""", 1704067200000000L + i * 1000000L))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_us")
+    Synth.withRaw(ev)
+  }
+
+  test("default pipeline runs and produces atomic columns") {
+    val out = PipelineQuery.pipeline.run(rawDf)
+    val cols = out.columns.toSet
+    for (c <- Seq("event", "platform", "derived_tstamp_us", "page_urlhost", "mkt_source",
+                  "refr_medium", "br_family", "dvce_type", "geo_country", "base_amount_e8",
+                  "event_fingerprint", "bad_row_errors"))
+      assert(cols.contains(c), s"missing column $c")
+    assert(out.count() == 100)
+  }
+
+  test("bad-row split matches the invalid-code injection pattern") {
+    val (good, bad) = PipelineQuery.pipeline.split(rawDf)
+    // Synth injects invalid event codes at e%9==8 and invalid platforms at e%10==9
+    val expectedBad = (0 until 100).count(e => e % 9 == 8 || e % 10 == 9)
+    assert(bad.count() == expectedBad)
+    assert(good.count() == 100 - expectedBad)
+    // errors name the offending enrichment
+    val errs = bad.select(explode(col("bad_row_errors"))).collect().map(_.getString(0))
+    assert(errs.forall(_.startsWith("tracker_transform:")))
+  }
+
+  test("enrichment chain is narrow: no shuffle except lookup joins") {
+    val plan = PipelineQuery.pipeline.run(rawDf).queryExecution.executedPlan.toString
+    // the only exchanges allowed are broadcast ones (rates + geo ranges)
+    assert(!plan.contains("ShuffleExchange") || !plan.split("\n").exists(l =>
+      l.contains("Exchange hashpartitioning")), s"unexpected shuffle in plan")
+  }
+
+  test("multimodal plumbing: stub decode over binary column") {
+    import spark.implicits._
+    val df = Seq((1L, "hello".getBytes("UTF-8")), (2L, Array(0xff.toByte, 0xd8.toByte, 1.toByte)))
+      .toDF("id", "payload")
+    val meta = graft.multimodal.Multimodal.extractMeta(df, "id", "payload", graft.multimodal.StubDecoder)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(meta(1L) == "bin")
+    assert(meta(2L) == "jpeg")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EnrichStream, Sessionizer}
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowed counts over a memory stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts_us", "event_type", "value")
+    val counts = EnrichStream.windowedCounts(df, "ts_us", "event_type", "1 hour", "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      val h0 = 1704067200000000L
+      mem.addData((1L, h0 + 1000L, "click", 1.0), (2L, h0 + 2000L, "click", 2.0),
+        (3L, h0 + 3600L * 1000000L + 5L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, cnt FROM wc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("click") == 2L)
+      assert(rows("view") == 1L)
+    } finally q.stop()
+  }
+
+  test("stateful gap sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionizer.SessionEvent]
+    val gapUs = 30L * 60 * 1000000L
+    val sessions = Sessionizer.sessionize(spark, mem.toDS(), gapUs)
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      val t0 = 1704067200000000L
+      // user 1: two events in one session, then a 2h gap, then another event
+      mem.addData(
+        Sessionizer.SessionEvent(1L, t0),
+        Sessionizer.SessionEvent(1L, t0 + 60L * 1000000L),
+        Sessionizer.SessionEvent(1L, t0 + 2L * 3600L * 1000000L))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT user_id, n_events FROM sess").collect()
+      // the first session (2 events) must have been closed by the gap
+      assert(closed.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    } finally q.stop()
+  }
+
+  test("the same pipeline object enriches a stream (no code fork)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, String)]
+    val raw = graft.queries.Synth.withRaw(
+      mem.toDF().toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts_us", lit(1704067200000000L) + col("event_id") * 1000000L))
+    val enriched = EnrichStream.enrich(raw, PipelineNoJoins.pipeline)
+    val q = enriched.select("event_id", "event", "platform", "br_family")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      mem.addData((0L, 1L, "click", 1.0, "{}"), (1L, 2L, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM enr").collect()(0).getLong(0) == 2L)
+    } finally q.stop()
+  }
+}
+
+/** Join-free pipeline variant for the streaming smoke (stream-static joins
+  * work too, but this keeps the test fast). */
+object PipelineNoJoins {
+  import graft.enrich._
+  val pipeline: EnrichmentPipeline = EnrichmentPipeline(Seq(
+    TrackerTransform(), DerivedTstamp(), PageUrlParse(), CampaignAttribution(),
+    RefererParser(internalDomains = graft.queries.Queries2.InternalDomains),
+    UaParser(), CrossNavigation(), AnonIp(),
+    EventFingerprint("md5", Seq("event_code", "platform_code", "res"))
+  ))
+}
