@@ -64,9 +64,16 @@ object TextF {
     md5(normalizeText(text).cast("binary"))
 
   /** Word k-shingles of the normalized text ("a b c" for k=3). */
-  def shingles(text: Column, k: Int): Column = {
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(tokens(text), k)
+
+  /** k-shingles over an already-materialized token array column. Prefer
+    * this over [[shingles]] when the token array is reused: `element_at`
+    * inside the lambda references the token expression k·L times, so an
+    * unmaterialized `split(regexp_replace(...))` would be re-evaluated for
+    * every shingle word — O(k·L) regex passes per row instead of one. */
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
     require(k >= 1, "k must be >= 1")
-    val toks = tokens(text)
     val n = size(toks)
     when(n < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), n - lit(k - 1)), i =>

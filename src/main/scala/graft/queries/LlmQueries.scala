@@ -48,9 +48,11 @@ object LlmQueries {
         .orderBy("fp")),
 
     "dedup_minhash" -> { (sp, dir) =>
-      val sh = array_distinct(TextF.shingles(col("text"), 3))
+      val sh = col("sh")
       def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(seed + ":"), s).cast("binary"))))
       Tables.documents(sp, dir)
+        .withColumn("toks", TextF.tokens(col("text")))
+        .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), 3)))
         .select(col("doc_id"), comp(0).as("c0"), comp(1).as("c1"), comp(2).as("c2"), comp(3).as("c3"))
         .withColumn("band0", md5(concat(coalesce(col("c0"), lit("")), coalesce(col("c1"), lit(""))).cast("binary")))
         .withColumn("band1", md5(concat(coalesce(col("c2"), lit("")), coalesce(col("c3"), lit(""))).cast("binary")))
@@ -65,9 +67,14 @@ object LlmQueries {
     "ngram_jaccard" -> { (sp, dir) =>
       val docs = Tables.documents(sp, dir)
         .filter(col("doc_id") < 300)
-        .select(col("doc_id"), array_distinct(TextF.shingles(col("text"), 5)).as("sh"))
+        .withColumn("toks", TextF.tokens(col("text"))) // materialize: one regex pass per doc
+        .select(col("doc_id"), array_distinct(TextF.shinglesFromTokens(col("toks"), 5)).as("sh"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      // the exploded shingle table feeds BOTH sides of the self-join plus the
+      // size joins — persist it once instead of re-evaluating the shingle
+      // expression tree per reference (4× otherwise; on a cluster this is a
+      // cached shuffle block, not recomputation)
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).persist()
       val shared = ex.as("a").join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared"))
@@ -82,10 +89,15 @@ object LlmQueries {
     },
 
     "sim_bruteforce" -> { (sp, dir) =>
+      // norms materialized per side before the pair join — O(N+Q) dot
+      // products instead of O(N·Q) recomputation inside the cosine
       val emb = Tables.embeddings(sp, dir)
-      val qs = broadcast(emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qv")))
-      val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      val cos = SimF.cosine(col("qv"), col("nv"))
+      val qs = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), SimF.norm(col("embedding")).as("qn")))
+      val cand = emb
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"), SimF.norm(col("embedding")).as("nn"))
+      val denom = col("qn") * col("nn")
+      val cos = when(denom === 0.0, lit(null)).otherwise(SimF.dot(col("qv"), col("nv")) / denom)
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
       cand.join(qs, col("qid") =!= col("nid"))
         .withColumn("cos", cos)
