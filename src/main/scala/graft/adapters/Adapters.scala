@@ -1,0 +1,80 @@
+package graft.adapters
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Webhook adapters — the Spark twin of snowplow/enrich
+  * `adapters/registry` (19 vendors, each converting a third-party webhook
+  * payload into 1..N raw events).
+  *
+  * graft's adapter machinery is declarative: a [[JsonAdapter]] is a JSON
+  * schema + field mappings + an optional array path to explode (vendors
+  * that batch many events per POST, like Sendgrid/Mailgun, become
+  * one-row-per-event via `explode` — the reference's 1-payload→N-events).
+  * `from_json` is codegen'd, so adapting 100 TB of webhook logs is a single
+  * narrow scan like every other enrichment.
+  */
+final case class JsonAdapter(
+  vendor: String,
+  version: String,
+  /** Spark DDL schema of one payload. */
+  schemaDdl: String,
+  /** (payload field path under the parsed struct, output column). */
+  mappings: Seq[(String, String)],
+  /** Field holding an array of events to explode, if the vendor batches. */
+  explodeField: Option[String] = None
+) {
+
+  /** payloadCol (JSON string) → one row per event with mapped columns plus
+    * `event_vendor`/`event_format`. */
+  def apply(df: DataFrame, payloadCol: String): DataFrame = {
+    val parsed = df.withColumn("__p", from_json(col(payloadCol), schemaDdl, Map.empty[String, String]))
+    val exploded = explodeField match {
+      case Some(f) => parsed.withColumn("__e", explode(col(s"__p.$f")))
+      case None => parsed.withColumn("__e", col("__p"))
+    }
+    val mapped = mappings.map { case (path, out) => col(s"__e.$path").as(out) }
+    exploded.select(
+      (df.columns.filterNot(_ == payloadCol).map(col).toSeq :+
+        lit(vendor).as("event_vendor") :+
+        lit(version).as("event_format")) ++ mapped: _*)
+  }
+}
+
+object Adapters {
+
+  /** Mailchimp webhook (reference `MailchimpAdapter.scala`): single event,
+    * `type` field names the schema. */
+  val mailchimp: JsonAdapter = JsonAdapter(
+    vendor = "com.mailchimp",
+    version = "v1",
+    schemaDdl = "type STRING, fired_at STRING, data STRUCT<id: STRING, email: STRING, list_id: STRING>",
+    mappings = Seq("type" -> "event_name", "fired_at" -> "fired_at",
+      "data.email" -> "email", "data.list_id" -> "list_id")
+  )
+
+  /** Sendgrid webhook (reference `SendgridAdapter.scala`): POST body is an
+    * ARRAY of events → explode. */
+  val sendgrid: JsonAdapter = JsonAdapter(
+    vendor = "com.sendgrid",
+    version = "v3",
+    schemaDdl = "events ARRAY<STRUCT<email: STRING, timestamp: BIGINT, event: STRING, sg_event_id: STRING>>",
+    mappings = Seq("event" -> "event_name", "email" -> "email",
+      "timestamp" -> "event_ts", "sg_event_id" -> "vendor_event_id"),
+    explodeField = Some("events")
+  )
+
+  /** PagerDuty webhook (reference `PagerdutyAdapter.scala`): `messages`
+    * array → explode. */
+  val pagerduty: JsonAdapter = JsonAdapter(
+    vendor = "com.pagerduty",
+    version = "v1",
+    schemaDdl = "messages ARRAY<STRUCT<type: STRING, created_on: STRING, data: STRUCT<incident: STRUCT<id: STRING, incident_number: BIGINT>>>>",
+    mappings = Seq("type" -> "event_name", "created_on" -> "created_on",
+      "data.incident.id" -> "incident_id", "data.incident.incident_number" -> "incident_number"),
+    explodeField = Some("messages")
+  )
+
+  val registry: Map[String, JsonAdapter] =
+    Seq(mailchimp, sendgrid, pagerduty).map(a => a.vendor -> a).toMap
+}

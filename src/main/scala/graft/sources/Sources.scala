@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-event sources — the Spark twin of snowplow/enrich's loader layer
+  * (`modules/common/.../loaders/`: Thrift/TSV collector payloads from
+  * Kinesis, Kafka, PubSub, NSQ).
+  *
+  * In Spark the transport is the engine's job: batch = `spark.read`,
+  * streams = `spark.readStream` (`format("kafka")` etc. with checkpointed
+  * offsets ≈ the reference's at-least-once checkpointing). graft supplies
+  * the payload *parsers* as declarative transforms that work identically on
+  * both.
+  */
+object Sources {
+
+  /** Column layout of a graft collector TSV line (a simplified twin of the
+    * reference's CollectorPayload: collector timestamp, client IP, user
+    * agent, page URL, tracker event code, querystring). */
+  val CollectorTsvFields: Seq[(String, String)] = Seq(
+    "collector_tstamp_us" -> "bigint",
+    "user_ipaddress" -> "string",
+    "useragent" -> "string",
+    "page_url" -> "string",
+    "event_code" -> "string",
+    "querystring" -> "string"
+  )
+
+  /** Parse collector TSV lines into typed raw-event columns. Works on any
+    * DataFrame with a string column (batch or streaming). */
+  def parseCollectorTsv(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val parts = split(col(lineCol), "\t")
+    val cols = CollectorTsvFields.zipWithIndex.map { case ((name, typ), i) =>
+      element_at(parts, i + 1).cast(typ).as(name)
+    }
+    lines.select(cols: _*)
+  }
+
+  /** Batch read of collector TSV files. */
+  def collectorTsv(spark: SparkSession, path: String): DataFrame =
+    parseCollectorTsv(spark.read.text(path))
+
+  /** Streaming read of collector TSV files dropped into a directory. */
+  def collectorTsvStream(spark: SparkSession, path: String): DataFrame =
+    parseCollectorTsv(spark.readStream.text(path))
+
+  /** Kafka raw-event stream (value = collector TSV line). The transport
+    * options mirror the reference's stream-enrich source config. */
+  def collectorTsvKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    parseCollectorTsv(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+        .select(col("value").cast("string").as("value")))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.adapters.Adapters
+import graft.sources.Sources
+
+class AdaptersSpec extends SparkSpec {
+
+  test("collector TSV loader round-trips typed fields") {
+    import spark.implicits._
+    val lines = Seq(
+      "1704067200000000\t1.2.3.4\tMozilla/5.0\thttps://x.com/p?a=1\tpv\ta=1&b=2"
+    ).toDF("value")
+    val parsed = Sources.parseCollectorTsv(lines).collect()(0)
+    assert(parsed.getLong(0) == 1704067200000000L)
+    assert(parsed.getString(1) == "1.2.3.4")
+    assert(parsed.getString(4) == "pv")
+    assert(parsed.getString(5) == "a=1&b=2")
+  }
+
+  test("mailchimp adapter: single event payload") {
+    import spark.implicits._
+    val df = Seq((1L,
+      """{"type":"subscribe","fired_at":"2024-01-01 00:00:00","data":{"id":"x","email":"a@b.com","list_id":"l1"}}"""))
+      .toDF("id", "payload")
+    val out = Adapters.mailchimp(df, "payload").collect()(0)
+    val r = out.getValuesMap[Any](Seq("event_vendor", "event_name", "email", "list_id"))
+    assert(r("event_vendor") == "com.mailchimp")
+    assert(r("event_name") == "subscribe")
+    assert(r("email") == "a@b.com")
+    assert(r("list_id") == "l1")
+  }
+
+  test("sendgrid adapter: one payload explodes to N events") {
+    import spark.implicits._
+    val df = Seq((1L,
+      """{"events":[{"email":"a@b.com","timestamp":1,"event":"open","sg_event_id":"e1"},
+                    {"email":"c@d.com","timestamp":2,"event":"click","sg_event_id":"e2"}]}"""))
+      .toDF("id", "payload")
+    val out = Adapters.sendgrid(df, "payload")
+    assert(out.count() == 2)
+    val names = out.select("event_name").collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("click", "open"))
+  }
+
+  test("pagerduty adapter: messages array explodes") {
+    import spark.implicits._
+    val df = Seq((1L,
+      """{"messages":[{"type":"incident.trigger","created_on":"2024-01-01","data":{"incident":{"id":"i1","incident_number":42}}}]}"""))
+      .toDF("id", "payload")
+    val out = Adapters.pagerduty(df, "payload").collect()(0)
+    assert(out.getAs[String]("event_name") == "incident.trigger")
+    assert(out.getAs[Long]("incident_number") == 42L)
+  }
+}
