@@ -211,6 +211,43 @@ final case class CrossNavigation(spCol: String = "sp_qs") extends Enrichment {
       .withColumn("refr_dvce_tstamp_us", EventF.spTstampMs(col(spCol)) * 1000L)
 }
 
+/** ASN lookup via the same broadcast range join as geo (reference
+  * `registry/AsnLookupsEnrichment.scala`). */
+final case class IpAsnLookup(
+  ranges: Seq[(Long, Long, Long, String)], // lo, hi, asn, org
+  ipCol: String = "user_ipaddress",
+  bucketBits: Int = 27
+) extends Enrichment {
+  val name = "ip_asn_lookup"
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rangesDf = ranges.toDF("__lo", "__hi", "ip_asn", "ip_organization")
+    RangeJoin.leftJoinRanges(df, IpF.ipv4ToLong(col(ipCol)), rangesDf, "__lo", "__hi", bucketBits)
+      .drop("__lo", "__hi")
+  }
+}
+
+/** Event vendor/name/format/version columns (reference
+  * `enrichments/SchemaEnrichment.scala` — maps each event to its Iglu
+  * schema key; graft derives them from the atomic event type). */
+final case class SchemaVendor(vendor: String = "com.snowplowanalytics.snowplow") extends Enrichment {
+  val name = "schema_vendor"
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("event_vendor", when(col("event").isNotNull, lit(vendor)))
+      .withColumn("event_name", col("event"))
+      .withColumn("event_format", when(col("event").isNotNull, lit("jsonschema")))
+      .withColumn("event_version", when(col("event").isNotNull, lit("1-0-0")))
+}
+
+/** HTTP header extraction (reference `registry/HttpHeaderExtractorEnrichment`). */
+final case class HttpHeaderExtractor(headerCol: String) extends Enrichment {
+  val name = "http_header_extractor"
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("header_name", EventF.headerName(col(headerCol)))
+      .withColumn("header_value", EventF.headerValue(col(headerCol)))
+}
+
 /** Cookie extraction (reference `registry/CookieExtractorEnrichment`). */
 final case class CookieExtractor(cookieHdrCol: String, cookieNames: Seq[String]) extends Enrichment {
   val name = "cookie_extractor"

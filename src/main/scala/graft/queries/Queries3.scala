@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.SimF
+import graft.operators.RangeJoin
+
+/** SURVEY §2 batch 3: ASN lookup (second consumer of the range-join
+  * operator), embedding-cosine near-dup dedup (LSH-bucketed — the 100 TB
+  * shape: candidate pairs only within buckets), and an IVF-style ANN query
+  * (centroid assignment + nprobe cell search — the scale path beyond
+  * brute force).
+  */
+object Queries3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 64 synthetic ASN ranges, one per aligned 2^26 block. */
+  private val AsnBlock = 67108864L
+
+  private def dotF(a: String, b: String) = SimF.dot(col(a), col(b))
+
+  val defs: Map[String, Q] = Map(
+    "ip_asn_lookup" -> { (sp, dir) =>
+      import sp.implicits._
+      val ranges = (0 until 64).map { i =>
+        (i * AsnBlock, i * AsnBlock + AsnBlock - 1, 64512L + i, s"AS-ORG-$i")
+      }.toDF("lo", "hi", "ip_asn", "ip_organization")
+      val facts = Synth.withRaw(Tables.events(sp, dir))
+        .withColumn("ipnum", graft.functions.IpF.ipv4ToLong(col("ip")))
+      RangeJoin.leftJoinRanges(facts, col("ipnum"), ranges, "lo", "hi", bucketBits = 26)
+        .select(col("event_id"), col("ip_asn"), col("ip_organization"))
+        .orderBy("event_id")
+    },
+
+    "dedup_embedding" -> { (sp, dir) =>
+      val emb = Tables.embeddings(sp, dir)
+        .select(
+          col("vec_id"), col("embedding"),
+          SimF.srpBucket(col("embedding"), 8, 0).as("bucket"),
+          SimF.norm(col("embedding")).as("nrm"))
+        .persist() // feeds both sides of the bucket self-join
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("bucket").as("ba"), col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("bucket").as("bb"), col("nrm").as("nb"))
+      a.join(b, col("ba") === col("bb") && col("id_a") < col("id_b"))
+        .withColumn("cos", dotF("va", "vb") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos") * 1e6).cast("bigint").as("cos_e6"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "ann_ivf" -> { (sp, dir) =>
+      val emb = Tables.embeddings(sp, dir)
+        .select(col("vec_id"), col("embedding"), SimF.norm(col("embedding")).as("nrm"))
+        .persist()
+      // "trained" centroids: the first 16 vectors (deterministic IVF demo)
+      val cent = broadcast(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn")))
+      // assignment: nearest centroid per vector (1 broadcast join, window)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+      val assign = emb.join(cent)
+        .withColumn("csim", dotF("embedding", "cv") / (col("nrm") * col("cn")))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"),
+          col("cid").as("cell"))
+      // nprobe=2 cells per query
+      val wProbe = Window.partitionBy("qid").orderBy(col("qsim").desc, col("cid"))
+      val qcells = broadcast(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+          .join(cent)
+          .withColumn("qsim", dotF("qv", "cv") / (col("qn") * col("cn")))
+          .withColumn("prk", row_number().over(wProbe))
+          .filter(col("prk") <= 2)
+          .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell")))
+      // search only within probed cells
+      val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      assign.join(qcells, "cell")
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cos", dotF("qv", "nv") / (col("qn") * col("nn")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), round(col("cos") * 1e6).cast("bigint").as("cos_e6"))
+        .orderBy("qid", "rk")
+    }
+  )
+
+  val oracles: Map[String, String] = {
+    def dotSql(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), (x, y) -> x + y)"
+    def bitSql(b: Int, v: String): String = {
+      val proj = s"list_reduce(list_transform(range(1, len($v) + 1), i -> " +
+        s"CAST(list_extract($v, i) AS DOUBLE) * " +
+        s"(CAST(strpos('0123456789abcdef', substr(md5(concat('$b:', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5)), (x, y) -> x + y)"
+      s"CASE WHEN $proj >= 0 THEN ${1 << b} ELSE 0 END"
+    }
+    val bucketSql = (0 until 8).map(bitSql(_, "embedding")).mkString(" + ")
+
+    Map(
+      "ip_asn_lookup" -> Synth.withCte(
+        s"""SELECT event_id,
+           |  64512 + ipnum // $AsnBlock AS ip_asn,
+           |  concat('AS-ORG-', ipnum // $AsnBlock) AS ip_organization
+           |FROM (
+           |  SELECT event_id,
+           |    (event_id % 223 + 1) * 16777216 + ((event_id*7) % 256) * 65536
+           |      + ((event_id*13) % 256) * 256 + (event_id*29) % 256 AS ipnum
+           |  FROM raw) t ORDER BY event_id""".stripMargin),
+
+      "dedup_embedding" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, $bucketSql AS bucket,
+           |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |  FROM embeddings
+           |)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  CAST(round((${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) * 1e6) AS BIGINT) AS cos_e6
+           |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "ann_ivf" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings
+           |), cent AS (
+           |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 16
+           |), assign AS (
+           |  SELECT vec_id AS nid, embedding AS nv, nrm AS nn, cid AS cell
+           |  FROM (
+           |    SELECT e.*, cent.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dotSql("e.embedding", "cent.cv")} / (e.nrm * cent.cn) DESC, cent.cid) AS rk
+           |    FROM e, cent
+           |  ) t WHERE rk = 1
+           |), qcells AS (
+           |  SELECT qid, qv, qn, cid AS cell
+           |  FROM (
+           |    SELECT e.vec_id AS qid, e.embedding AS qv, e.nrm AS qn, cent.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dotSql("e.embedding", "cent.cv")} / (e.nrm * cent.cn) DESC, cent.cid) AS prk
+           |    FROM e, cent WHERE e.vec_id < 5
+           |  ) t WHERE prk <= 2
+           |)
+           |SELECT qid, rk, nid,
+           |  CAST(round((${dotSql("qv", "nv")} / (qn * nn)) * 1e6) AS BIGINT) AS cos_e6
+           |FROM (
+           |  SELECT qcells.qid, assign.nid, qcells.qv, qcells.qn, assign.nv, assign.nn,
+           |    row_number() OVER (PARTITION BY qcells.qid
+           |      ORDER BY ${dotSql("qv", "nv")} / (qn * nn) DESC, assign.nid) AS rk
+           |  FROM assign JOIN qcells ON assign.cell = qcells.cell
+           |  WHERE assign.nid <> qcells.qid
+           |) t WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+    )
+  }
+}
