@@ -67,18 +67,16 @@ object TextF {
   def shingles(text: Column, k: Int): Column =
     shinglesFromTokens(tokens(text), k)
 
-  /** k-shingles over an already-materialized token array column. Prefer
-    * this over [[shingles]] when the token array is reused: `element_at`
-    * inside the lambda references the token expression k·L times, so an
-    * unmaterialized `split(regexp_replace(...))` would be re-evaluated for
-    * every shingle word — O(k·L) regex passes per row instead of one. */
+  /** k-shingles over an already-materialized token array column, via the
+    * native codegen'd [[graft.plans.ShinglesExpression]] (a lambda-based
+    * `transform(sequence...)` form evaluates interpreted and re-probes the
+    * token array k times per shingle). Prefer a materialized token column:
+    * an unmaterialized `split(regexp_replace(...))` child would re-run the
+    * regex per reference. */
   def shinglesFromTokens(toks: Column, k: Int): Column = {
     require(k >= 1, "k must be >= 1")
-    val n = size(toks)
-    when(n < k, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), n - lit(k - 1)), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
-    )
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.ShinglesExpression(ColumnBridge.expression(toks), k))
   }
 
   /** One MinHash signature component: min over shingles of md5(seed:shingle),

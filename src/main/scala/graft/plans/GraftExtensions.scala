@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{EventF, IpF, TextF, UaF}
+
+/** SQL-surface registration of graft kernels — lets `spark.sql` users call
+  * enrichment primitives directly:
+  *
+  * {{{
+  * spark.sql("SELECT graft_anon_ip(ip, 2), graft_token_count(text) FROM t")
+  * }}}
+  *
+  * Two entry points:
+  *  - `.withExtensions(new GraftExtensions)` /
+  *    `spark.sql.extensions=graft.plans.GraftExtensions` at session build;
+  *  - [[GraftFunctions.register]] on a live session.
+  *
+  * Kernel-backed functions are expression *builders*: each call site expands
+  * to the same codegen'd expression tree the Column API produces, so SQL
+  * users pay zero overhead vs the Scala API (and there are no UDFs anywhere).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def fn(
+    name: String,
+    usage: String,
+    builder: Seq[Expression] => Expression
+  ): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name), (exprs: Seq[Expression]) => builder(exprs))
+
+  private def c(e: Expression) = ColumnBridge.column(e)
+  private def x(col: org.apache.spark.sql.Column) = ColumnBridge.expression(col)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
+    fn("graft_shingles", "graft_shingles(tokens, k)",
+      es => ShinglesExpression(es.head, intArg(es(1), "k"))),
+    fn("graft_anon_ip", "graft_anon_ip(ip, octets)",
+      es => x(IpF.anonIpv4(c(es.head), intArg(es(1), "octets")))),
+    fn("graft_first_xff_ip", "graft_first_xff_ip(xff)",
+      es => x(IpF.firstForwardedIp(c(es.head)))),
+    fn("graft_event_type", "graft_event_type(code)",
+      es => x(EventF.eventTypeFromCode(c(es.head)))),
+    fn("graft_token_count", "graft_token_count(text)",
+      es => x(TextF.tokenCount(c(es.head)))),
+    fn("graft_doc_fingerprint", "graft_doc_fingerprint(text)",
+      es => x(TextF.docFingerprint(c(es.head)))),
+    fn("graft_simhash16", "graft_simhash16(text)",
+      es => x(TextF.simhash16(c(es.head)))),
+    fn("graft_browser_family", "graft_browser_family(ua)",
+      es => x(UaF.browserFamily(c(es.head)))),
+    fn("graft_device_class", "graft_device_class(ua)",
+      es => x(UaF.deviceClass(c(es.head))))
+  )
+
+  /** Register all graft SQL functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

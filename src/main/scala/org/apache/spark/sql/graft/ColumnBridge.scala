@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst `Expression`s and the public
+  * `Column` API. Spark 4 wraps columns in `ColumnNode`s; the conversion
+  * helpers live in `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]` — hence this shim lives under `org.apache.spark.sql`
+  * (the same technique Delta/Frameless use for their native expressions).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Eager Column → Expression conversion. `ExpressionUtils.expression`
+    * returns a lazy `ColumnNodeExpression` wrapper, which the analyzer will
+    * not descend into when the result is embedded inside another expression
+    * tree (e.g. a FunctionRegistry builder result); the converter yields a
+    * plain (possibly unresolved) Catalyst tree the analyzer handles. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+import graft.plans.GraftFunctions
+
+class PlansSpec extends SparkSpec {
+
+  test("ShinglesExpression matches the composable form (codegen + interpreted)") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b", "", "x y z").toDF("t")
+      .withColumn("toks", split(col("t"), " "))
+    val native = df.select(TextF.shinglesFromTokens(col("toks"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(native(0) == List("a b c", "b c d", "c d e"))
+    assert(native(1) == Nil)
+    assert(native(3) == List("x y z"))
+    // interpreted path (codegen disabled)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(TextF.shinglesFromTokens(col("toks"), 3).as("s"))
+        .collect().map(_.getSeq[String](0).toList)
+      assert(interp.toList == native.toList)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("SQL function registration exposes kernels to spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_anon_ip('94.15.223.151', 2) AS a,
+        |       graft_event_type('pv') AS e,
+        |       graft_token_count('Hello, World!') AS n,
+        |       graft_shingles(array('a','b','c'), 2) AS s,
+        |       graft_browser_family('Mozilla/5.0 Firefox/119.0') AS b
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[String]("a") == "94.15.x.x")
+    assert(r.getAs[String]("e") == "page_view")
+    assert(r.getAs[Int]("n") == 2)
+    assert(r.getSeq[String](3).toList == List("a b", "b c"))
+    assert(r.getAs[String]("b") == "Firefox")
+  }
+}
