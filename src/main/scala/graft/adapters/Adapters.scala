@@ -75,6 +75,52 @@ object Adapters {
     explodeField = Some("messages")
   )
 
+  /** Mailgun webhook (reference `MailgunAdapter.scala`). */
+  val mailgun: JsonAdapter = JsonAdapter(
+    vendor = "com.mailgun",
+    version = "v1",
+    schemaDdl = "event STRING, recipient STRING, timestamp BIGINT, token STRING",
+    mappings = Seq("event" -> "event_name", "recipient" -> "email",
+      "timestamp" -> "event_ts", "token" -> "vendor_event_id")
+  )
+
+  /** CallRail call-complete webhook (reference `CallrailAdapter.scala`). */
+  val callrail: JsonAdapter = JsonAdapter(
+    vendor = "com.callrail",
+    version = "v1",
+    schemaDdl = "answered BOOLEAN, duration BIGINT, callernum STRING, customer_phone_number STRING, datetime STRING",
+    mappings = Seq("answered" -> "call_answered", "duration" -> "call_duration",
+      "callernum" -> "caller_number", "datetime" -> "call_datetime")
+  )
+
+  /** Unbounce form-submit webhook (reference `UnbounceAdapter.scala`). */
+  val unbounce: JsonAdapter = JsonAdapter(
+    vendor = "com.unbounce",
+    version = "v1",
+    schemaDdl = "page_id STRING, page_url STRING, variant STRING, page_name STRING, data_json STRING",
+    mappings = Seq("page_id" -> "page_id", "page_url" -> "page_url",
+      "variant" -> "variant", "page_name" -> "page_name", "data_json" -> "form_data_json")
+  )
+
+  /** StatusGator status-change webhook (reference `StatusGatorAdapter.scala`). */
+  val statusgator: JsonAdapter = JsonAdapter(
+    vendor = "com.statusgator",
+    version = "v1",
+    schemaDdl = "service_name STRING, current_status STRING, last_status STRING, occurred_at STRING",
+    mappings = Seq("service_name" -> "service_name", "current_status" -> "current_status",
+      "last_status" -> "last_status", "occurred_at" -> "occurred_at")
+  )
+
+  /** Vero event webhook (reference `VeroAdapter.scala`). */
+  val vero: JsonAdapter = JsonAdapter(
+    vendor = "com.getvero",
+    version = "v1",
+    schemaDdl = "type STRING, event STRUCT<name: STRING, triggered_at: STRING>, user STRUCT<id: STRING, email: STRING>",
+    mappings = Seq("type" -> "event_name", "event.name" -> "vero_event_name",
+      "event.triggered_at" -> "triggered_at", "user.email" -> "email")
+  )
+
   val registry: Map[String, JsonAdapter] =
-    Seq(mailchimp, sendgrid, pagerduty).map(a => a.vendor -> a).toMap
+    Seq(mailchimp, sendgrid, pagerduty, mailgun, callrail, unbounce, statusgator, vero)
+      .map(a => a.vendor -> a).toMap
 }

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+
+/** Streaming deduplication — the incremental twin of the batch dedup
+  * operators (SURVEY §2.D), for exactly-once-per-key semantics on event and
+  * document streams.
+  *
+  * State is bounded by the watermark: `dropDuplicatesWithinWatermark` keeps
+  * a key only until the watermark passes it, so at 100 TB/day the state
+  * store holds one delay-window of keys (hashes, not payloads), not the
+  * stream's history.
+  */
+object StreamDedup {
+
+  /** Drop exact-duplicate events by id within the watermark window. */
+  def dedupEvents(
+    events: DataFrame,
+    tsUsCol: String,
+    idCols: Seq[String],
+    watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withColumn("__event_time", timestamp_micros(col(tsUsCol)))
+      .withWatermark("__event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+      .drop("__event_time")
+
+  /** Drop near-exact duplicate documents by normalized-text fingerprint —
+    * dedups the key (16 bytes/doc of state), never buffers documents. */
+  def dedupDocsByFingerprint(
+    docs: DataFrame,
+    textCol: String,
+    tsUsCol: String,
+    watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    docs
+      .withColumn("__fp", TextF.docFingerprint(col(textCol)))
+      .withColumn("__event_time", timestamp_micros(col(tsUsCol)))
+      .withWatermark("__event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp", "__event_time")
+}

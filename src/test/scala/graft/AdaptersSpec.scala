@@ -42,6 +42,20 @@ class AdaptersSpec extends SparkSpec {
     assert(names == Seq("click", "open"))
   }
 
+  test("registry covers 8 vendors; mailgun and vero parse") {
+    import spark.implicits._
+    assert(Adapters.registry.size == 8)
+    val mg = Adapters.mailgun(
+      Seq((1L, """{"event":"delivered","recipient":"a@b.com","timestamp":5,"token":"t1"}"""))
+        .toDF("id", "payload"), "payload").collect()(0)
+    assert(mg.getAs[String]("event_name") == "delivered")
+    val v = Adapters.vero(
+      Seq((1L, """{"type":"event","event":{"name":"signup","triggered_at":"2024-01-01"},"user":{"id":"u1","email":"x@y.z"}}"""))
+        .toDF("id", "payload"), "payload").collect()(0)
+    assert(v.getAs[String]("vero_event_name") == "signup")
+    assert(v.getAs[String]("email") == "x@y.z")
+  }
+
   test("pagerduty adapter: messages array explodes") {
     import spark.implicits._
     val df = Seq((1L,

@@ -47,6 +47,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate fingerprints within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts_us")
+    val deduped = graft.streaming.StreamDedup.dedupDocsByFingerprint(df, "text", "ts_us")
+    val q = deduped.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      val t0 = 1704067200000000L
+      mem.addData((1L, "hello world", t0), (2L, "HELLO, world!", t0 + 1000L), (3L, "other doc", t0 + 2000L))
+      q.processAllAvailable()
+      // docs 1 and 2 normalize to the same fingerprint → one survives
+      assert(spark.sql("SELECT count(*) FROM dd").collect()(0).getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("the same pipeline object enriches a stream (no code fork)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
