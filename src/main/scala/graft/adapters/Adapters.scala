@@ -41,7 +41,36 @@ final case class JsonAdapter(
   }
 }
 
+/** Form-encoded (querystring-body) adapter — the payload style of the
+  * reference's `GoogleAnalyticsAdapter.scala` (measurement protocol) and
+  * `MailchimpAdapter.scala`'s form posts: `k1=v1&k2=v2` bodies. Parsed with
+  * `str_to_map`, mapped keys projected to columns. */
+final case class FormAdapter(
+  vendor: String,
+  version: String,
+  mappings: Seq[(String, String)]
+) {
+  def apply(df: DataFrame, payloadCol: String): DataFrame = {
+    val m = str_to_map(col(payloadCol), lit("&"), lit("="))
+    df.select(
+      (df.columns.filterNot(_ == payloadCol).map(col).toSeq :+
+        lit(vendor).as("event_vendor") :+
+        lit(version).as("event_format")) ++
+        mappings.map { case (k, out) => element_at(m, k).as(out) }: _*)
+  }
+}
+
 object Adapters {
+
+  /** Google-Analytics-style measurement protocol (reference
+    * `GoogleAnalyticsAdapter.scala`): form-encoded hit payloads. */
+  val googleAnalytics: FormAdapter = FormAdapter(
+    vendor = "com.google.analytics.measurement-protocol",
+    version = "v1",
+    mappings = Seq("t" -> "hit_type", "cid" -> "client_id", "uid" -> "ga_user_id",
+      "dl" -> "document_location", "dt" -> "document_title",
+      "ec" -> "event_category", "ea" -> "event_action", "el" -> "event_label", "ev" -> "event_value")
+  )
 
   /** Mailchimp webhook (reference `MailchimpAdapter.scala`): single event,
     * `type` field names the schema. */

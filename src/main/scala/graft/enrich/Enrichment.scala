@@ -256,6 +256,30 @@ final case class CookieExtractor(cookieHdrCol: String, cookieNames: Seq[String])
       d.withColumn(s"cookie_$n", EventF.cookieValue(col(cookieHdrCol), n)))
 }
 
+/** IAB-style bot/spider classification (reference
+  * `registry/IabEnrichment.scala`, which checks the IAB/ABC bots & spiders
+  * lists by UA and IP): a UA heuristic plus configured include lists,
+  * compiled to per-row predicates — no per-record file lookup. */
+final case class IabBotDetection(
+  uaCol: String = "ua",
+  ipCol: String = "user_ipaddress",
+  botIpList: Seq[String] = Nil,
+  botUaSubstrings: Seq[String] = Seq("bot", "crawler", "spider", "slurp")
+) extends Enrichment {
+  val name = "iab_bot_detection"
+  def apply(df: DataFrame): DataFrame = {
+    val uaHit = botUaSubstrings
+      .map(s => lower(col(uaCol)).contains(s))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val ipHit = if (botIpList.isEmpty) lit(false) else col(ipCol).isin(botIpList: _*)
+    df.withColumn("iab_spider_or_robot", coalesce(uaHit || ipHit, lit(false)))
+      .withColumn("iab_category",
+        when(ipHit, lit("BROWSER_IP_EXCLUDED"))
+          .when(uaHit, lit("SPIDER_OR_ROBOT"))
+          .otherwise(lit("BROWSER")))
+  }
+}
+
 /** The JavaScript-script escape hatch (reference
   * `registry/JavascriptScriptEnrichment`): an arbitrary user transform. */
 final case class CustomTransform(name: String, f: DataFrame => DataFrame) extends Enrichment {

@@ -56,6 +56,28 @@ class AdaptersSpec extends SparkSpec {
     assert(v.getAs[String]("email") == "x@y.z")
   }
 
+  test("form-encoded GA measurement-protocol adapter") {
+    import spark.implicits._
+    val df = Seq((1L, "t=event&cid=c123&ec=video&ea=play&ev=5&dl=https%3A%2F%2Fx.com"))
+      .toDF("id", "payload")
+    val out = Adapters.googleAnalytics(df, "payload").collect()(0)
+    assert(out.getAs[String]("hit_type") == "event")
+    assert(out.getAs[String]("client_id") == "c123")
+    assert(out.getAs[String]("event_action") == "play")
+  }
+
+  test("IAB bot detection enrichment") {
+    import spark.implicits._
+    val df = Seq(
+      ("Mozilla/5.0 Googlebot/2.1", "1.1.1.1"),
+      ("Mozilla/5.0 Chrome/120.0", "9.9.9.9"),
+      ("Mozilla/5.0 Chrome/120.0", "6.6.6.6")
+    ).toDF("ua", "user_ipaddress")
+    val out = graft.enrich.IabBotDetection(botIpList = Seq("6.6.6.6")).apply(df)
+      .select("iab_category").collect().map(_.getString(0)).toList
+    assert(out == List("SPIDER_OR_ROBOT", "BROWSER", "BROWSER_IP_EXCLUDED"))
+  }
+
   test("pagerduty adapter: messages array explodes") {
     import spark.implicits._
     val df = Seq((1L,
