@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-phase salted aggregation for skewed keys.
+  *
+  * A plain `groupBy(key).agg(...)` sends every row of a hot key to one
+  * reducer; at 100 TB one viral user/session/domain stalls the stage. Salting
+  * splits each key into `salts` sub-keys for a parallel partial aggregate,
+  * then combines the partials in a second (tiny) aggregation. Correct for
+  * any algebraic aggregate (sum/count/min/max — the ones the enrichment
+  * pipeline needs).
+  *
+  * AQE's skew-join handling covers joins but not single-key aggregation
+  * hotspots; this is the explicit operator for those.
+  */
+object SaltedAgg {
+
+  /** `groupBy(keys).agg(sum/count/min/max)` with `salts`-way pre-split.
+    * @param aggs (colName → one of "sum" | "count" | "min" | "max")
+    */
+  def aggregate(
+    df: DataFrame,
+    keys: Seq[String],
+    aggs: Seq[(String, String, String)], // (inputCol, fn, outCol)
+    salts: Int = 16
+  ): DataFrame = {
+    require(salts >= 1)
+    val salted = df.withColumn("__salt", pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
+    val partialAggs: Seq[Column] = aggs.map {
+      case (in, "sum", out) => sum(col(in)).as(s"__p_$out")
+      case (in, "count", out) =>
+        (if (in == "*") count(lit(1)) else count(col(in))).as(s"__p_$out")
+      case (in, "min", out) => min(col(in)).as(s"__p_$out")
+      case (in, "max", out) => max(col(in)).as(s"__p_$out")
+      case (_, fn, _) => throw new IllegalArgumentException(s"unsupported salted agg: $fn")
+    }
+    val finalAggs: Seq[Column] = aggs.map {
+      case (_, "sum", out) => sum(col(s"__p_$out")).as(out)
+      case (_, "count", out) => sum(col(s"__p_$out")).as(out)
+      case (_, "min", out) => min(col(s"__p_$out")).as(out)
+      case (_, "max", out) => max(col(s"__p_$out")).as(out)
+      case (_, fn, _) => throw new IllegalArgumentException(s"unsupported salted agg: $fn")
+    }
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}
