@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream click↔conversion attribution join — the streaming twin of
+  * the reference's API/SQL lookup enrichments when BOTH sides are live
+  * streams (e.g. ad impressions joined to purchases).
+  *
+  * Watermarks on both sides + a join-time range bound let Spark drop
+  * buffered state once an impression can no longer match: state is one
+  * attribution window per side, independent of stream length.
+  */
+object StreamAttribution {
+
+  /** Join conversions to the impressions that preceded them within
+    * `windowUs` per user. Both inputs need a `user_id` and the given epoch
+    * micros column. */
+  def attribute(
+    impressions: DataFrame,
+    conversions: DataFrame,
+    tsUsCol: String,
+    windowUs: Long,
+    watermarkDelay: String = "10 minutes"
+  ): DataFrame = {
+    val imp = impressions
+      .withColumn("imp_time", timestamp_micros(col(tsUsCol)))
+      .withWatermark("imp_time", watermarkDelay)
+      .select(col("user_id").as("imp_user"), col("imp_time"),
+        col(tsUsCol).as("imp_us"))
+    val conv = conversions
+      .withColumn("conv_time", timestamp_micros(col(tsUsCol)))
+      .withWatermark("conv_time", watermarkDelay)
+    conv.join(
+      imp,
+      col("user_id") === col("imp_user") &&
+        col("imp_time") <= col("conv_time") &&
+        col("imp_time") >= col("conv_time") - expr(s"INTERVAL ${windowUs / 1000000} SECONDS"))
+      .drop("imp_user")
+  }
+}

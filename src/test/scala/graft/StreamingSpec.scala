@@ -47,6 +47,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches impressions within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impMem = MemoryStream[(Long, Long)]
+    val convMem = MemoryStream[(Long, Long)]
+    val t0 = 1704067200000000L
+    val joined = graft.streaming.StreamAttribution.attribute(
+      impMem.toDF().toDF("user_id", "ts_us"),
+      convMem.toDF().toDF("user_id", "ts_us"),
+      "ts_us", windowUs = 3600L * 1000000L)
+    val q = joined.select("user_id", "ts_us", "imp_us")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      impMem.addData((1L, t0), (2L, t0))                       // impressions
+      convMem.addData((1L, t0 + 60L * 1000000L),               // conv 1 min later → match
+                      (2L, t0 + 2L * 3600L * 1000000L),        // conv 2 h later → outside window
+                      (3L, t0 + 1000L))                        // no impression
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id FROM attr").collect().map(_.getLong(0)).toList
+      assert(rows == List(1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate fingerprints within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
