@@ -45,6 +45,26 @@ object Sources {
   def collectorTsvStream(spark: SparkSession, path: String): DataFrame =
     parseCollectorTsv(spark.readStream.text(path))
 
+  /** Parse CloudFront web-distribution access-log lines (the reference's
+    * `CloudfrontAccessLogAdapter` / legacy collector format): tab-separated
+    * `date time x-edge-location sc-bytes c-ip cs-method cs(Host) cs-uri-stem
+    * sc-status cs(Referer) cs(User-Agent) cs-uri-query ...`. Produces the
+    * same raw-event columns as [[parseCollectorTsv]] plus the referer. */
+  def parseCloudfrontLog(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val p = split(col(lineCol), "\t")
+    lines
+      .filter(!col(lineCol).startsWith("#")) // header comment lines
+      .select(
+        unix_micros(concat(element_at(p, 1), lit(" "), element_at(p, 2)).cast("timestamp"))
+          .as("collector_tstamp_us"),
+        element_at(p, 5).as("user_ipaddress"),
+        // CF double-URL-encodes the UA field
+        url_decode(url_decode(element_at(p, 11))).as("useragent"),
+        concat(lit("https://"), element_at(p, 7), element_at(p, 8)).as("page_url"),
+        nullif(element_at(p, 10), lit("-")).as("page_referrer"),
+        nullif(element_at(p, 12), lit("-")).as("querystring"))
+  }
+
   /** Kafka raw-event stream (value = collector TSV line). The transport
     * options mirror the reference's stream-enrich source config. */
   def collectorTsvKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =

@@ -17,6 +17,22 @@ class AdaptersSpec extends SparkSpec {
     assert(parsed.getString(5) == "a=1&b=2")
   }
 
+  test("cloudfront access-log loader: header skip, URL decode, '-' as null") {
+    import spark.implicits._
+    val lines = Seq(
+      "#Version: 1.0",
+      "2024-01-15\t10:30:00\tSFO5\t1024\t1.2.3.4\tGET\td.example.com\t/i\t200\t-\tMozilla%255Cx\tq=1"
+    ).toDF("value")
+    val out = Sources.parseCloudfrontLog(lines).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("user_ipaddress") == "1.2.3.4")
+    assert(r.getAs[String]("useragent") == "Mozilla\\x") // double-decoded
+    assert(r.getAs[String]("page_referrer") == null)
+    assert(r.getAs[String]("querystring") == "q=1")
+    assert(r.getAs[Long]("collector_tstamp_us") == 1705314600000000L)
+  }
+
   test("mailchimp adapter: single event payload") {
     import spark.implicits._
     val df = Seq((1L,
