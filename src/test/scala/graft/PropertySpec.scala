@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{EventF, IpF, TextF}
+
+/** Property-style tests: ScalaCheck generators (fixed seed) produce a case
+  * table, one DataFrame pass evaluates the kernel, and a plain-Scala model
+  * checks every row — randomized coverage without per-case Spark jobs. */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0).map(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .flatten.take(n).toSeq
+
+  test("anonIpv4 property: group count preserved, first 4-n octets intact") {
+    import spark.implicits._
+    val ipGen = for {
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+      c <- Gen.choose(0, 255); d <- Gen.choose(0, 255)
+    } yield s"$a.$b.$c.$d"
+    val cases = sample(ipGen, 200)
+    for (n <- 1 to 4) {
+      val out = cases.toDF("ip").select(col("ip"), IpF.anonIpv4(col("ip"), n).as("anon"))
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      out.foreach { case (ip, anon) =>
+        val in = ip.split("\\.")
+        val an = anon.split("\\.")
+        assert(an.length == 4, s"$ip -> $anon")
+        assert(an.take(4 - n).sameElements(in.take(4 - n)), s"$ip -> $anon")
+        assert(an.drop(4 - n).forall(_ == "x"), s"$ip -> $anon")
+      }
+    }
+  }
+
+  test("ipv4ToLong property: matches arithmetic model") {
+    import spark.implicits._
+    val gen = Gen.choose(0L, 4294967295L)
+    val cases = sample(gen, 300)
+    val ips = cases.map(v => (v, s"${v >> 24}.${(v >> 16) & 255}.${(v >> 8) & 255}.${v & 255}"))
+    val out = ips.toDF("expected", "ip")
+      .select(col("expected"), IpF.ipv4ToLong(col("ip")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("shingles property: count and width") {
+    import spark.implicits._
+    val tokGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerStr.map(s => "t" + s.take(3))))
+    val cases = sample(tokGen, 150)
+    for (k <- Seq(2, 3, 5)) {
+      val out = cases.map(_.mkString(" ")).toDF("t")
+        .select(split(col("t"), " ").as("toks"))
+        .select(col("toks"), TextF.shinglesFromTokens(col("toks"), k).as("sh"))
+        .collect()
+      out.foreach { r =>
+        val toks = r.getSeq[String](0)
+        val sh = r.getSeq[String](1)
+        assert(sh.length == math.max(0, toks.length - k + 1))
+        sh.foreach(s => assert(s.split(" ", -1).length == k))
+      }
+    }
+  }
+
+  test("event fingerprint property: invariant to declaration order, sensitive to values") {
+    import spark.implicits._
+    val df = Seq(("a1", "b2")).toDF("x", "y")
+    val f1 = df.select(EventF.eventFingerprint("md5", Seq("k1" -> col("x"), "k2" -> col("y"))).as("f"))
+      .collect()(0).getString(0)
+    val f2 = df.select(EventF.eventFingerprint("md5", Seq("k2" -> col("y"), "k1" -> col("x"))).as("f"))
+      .collect()(0).getString(0)
+    val f3 = df.select(EventF.eventFingerprint("md5", Seq("k1" -> col("y"), "k2" -> col("x"))).as("f"))
+      .collect()(0).getString(0)
+    assert(f1 == f2)
+    assert(f1 != f3)
+  }
+
+  test("derived timestamp property: result is trueTs, collector, or skew-corrected") {
+    import spark.implicits._
+    val gen = for {
+      coll <- Gen.choose(1000000L, 2000000L)
+      sentDelta <- Gen.choose(-500L, 500L)
+      createdDelta <- Gen.choose(-500L, 500L)
+      hasTrue <- Gen.oneOf(true, false)
+    } yield (coll, coll + sentDelta, coll + createdDelta, if (hasTrue) Some(coll - 42L) else None)
+    val cases = sample(gen, 200)
+    val out = cases.map { case (c, s, cr, t) => (c, s, cr, t.map(Long.box).orNull) }
+      .toDF("coll", "sent", "created", "trueTs")
+      .select(col("coll"), col("sent"), col("created"), col("trueTs"),
+        EventF.derivedTstampMicros(col("coll"), col("created"), col("sent"), col("trueTs")).as("d"))
+      .collect()
+    out.foreach { r =>
+      val (c, s, cr, t, d) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))
+      t match {
+        case Some(tv) => assert(d == tv)
+        case None if cr < s => assert(d == c - (s - cr))
+        case None => assert(d == c)
+      }
+    }
+  }
+}
