@@ -54,13 +54,20 @@ object EventF {
       )
       .otherwise(collectorUs)
 
-  /** "1920x1080" → width; null when malformed. */
-  def resWidth(res: Column): Column =
-    nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 1), lit("")).cast("int")
+  private def resPart(res: Column, group: Int): Column = {
+    // both dimensions must parse AND fit an int, else the pair is invalid
+    // (reference ClientEnrichments errors the whole field on overflow)
+    val w = nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 1), lit("")).cast("bigint")
+    val h = nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 2), lit("")).cast("bigint")
+    val valid = w.isNotNull && h.isNotNull && w <= Int.MaxValue && h <= Int.MaxValue
+    when(valid, (if (group == 1) w else h).cast("int"))
+  }
 
-  /** "1920x1080" → height; null when malformed. */
-  def resHeight(res: Column): Column =
-    nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 2), lit("")).cast("int")
+  /** "1920x1080" → width; null when malformed or int-overflowing. */
+  def resWidth(res: Column): Column = resPart(res, 1)
+
+  /** "1920x1080" → height; null when malformed or int-overflowing. */
+  def resHeight(res: Column): Column = resPart(res, 2)
 
   private val UnitSep = "\u001f"
 

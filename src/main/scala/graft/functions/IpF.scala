@@ -27,18 +27,38 @@ object IpF {
     array_join(masked, ".")
   }
 
-  /** Mask the last `segments` of an (already-expanded) IPv6 address. */
+  /** Expand a `::`-shortened IPv6 address to its 8-group form
+    * ("4b0c::1" → "4b0c:0:0:0:0:0:0:1"); non-shortened input is returned
+    * unchanged. String-level twin of the Guava normalization the reference
+    * relies on. */
+  def expandIpv6(ip: Column): Column = {
+    val leftStr = substring_index(ip, "::", 1)
+    val rightStr = substring_index(ip, "::", -1)
+    val leftArr = when(leftStr === "", array().cast("array<string>")).otherwise(split(leftStr, ":"))
+    val rightArr = when(rightStr === "", array().cast("array<string>")).otherwise(split(rightStr, ":"))
+    val zeros = array_repeat(lit("0"), greatest(lit(0), lit(8) - size(leftArr) - size(rightArr)))
+    when(ip.contains("::"), array_join(concat(leftArr, zeros, rightArr), ":")).otherwise(ip)
+  }
+
+  /** Mask the last `segments` of an IPv6 address (shortened forms are
+    * expanded first, matching the reference's `getHostAddress` expansion). */
   def anonIpv6(ip: Column, segments: Int): Column = {
     require(segments >= 1 && segments <= 8, "segments must be 1..8")
-    val parts = split(ip, ":")
+    val parts = split(expandIpv6(ip), ":")
     val masked = transform(parts, (e, i) => when(i < lit(8 - segments), e).otherwise(lit("x")))
     array_join(masked, ":")
   }
 
+  private val MappedPrefix = "::FFFF:"
+
   /** Route a string IP to the v4 or v6 masker on its separator, as the
-    * reference does for unparseable addresses. */
+    * reference does for unparseable addresses; IPv4-mapped addresses
+    * (`::FFFF:a.b.c.d`) keep the prefix and mask the v4 part
+    * (reference `AnonIpEnrichment.anonymizeIpV4`'s mapped branch). */
   def anonIp(ip: Column, octets: Int, segments: Int): Column =
     when(ip.isNull, lit(null))
+      .when(ip.startsWith(MappedPrefix),
+        concat(lit(MappedPrefix), anonIpv4(regexp_replace(ip, "^::FFFF:", ""), octets)))
       .when(ip.contains(":") && !ip.contains("."), anonIpv6(ip, segments))
       .otherwise(anonIpv4(ip, octets))
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EventF, IpF}
+
+/** Test vectors lifted from the reference's OWN specs
+  * (`AnonIpEnrichmentSpec.scala`, `clientEnrichmentSpecs.scala`,
+  * `eventEnrichmentSpecs.scala`) — behavioral parity evidence on the
+  * reference's example table, minus the Guava-only normalizations
+  * (hybrid v6+v4 → hex, `::a.b.c.d` compat form), which are documented
+  * divergences. */
+class ReferenceVectorsSpec extends SparkSpec {
+
+  private def anon(ip: String, octets: Int, segments: Int): Any = {
+    import spark.implicits._
+    Seq(Option(ip)).toDF("ip")
+      .select(IpF.anonIp(col("ip"), octets, segments).as("a")).collect()(0).get(0)
+  }
+
+  test("AnonIpEnrichmentSpec vector table (supported subset)") {
+    val vectors = Seq(
+      // (ip, octets, segments, expected)
+      ("168.192.102.4", 2, 2, "168.192.x.x"),
+      ("54.242.102.43", 3, 3, "54.x.x.x"),
+      ("94.15.213.171", 4, 4, "x.x.x.x"),
+      ("777.2", 1, 1, "777.2"),
+      ("777.2.23", 4, 4, "x.x.x"),
+      ("999.123.777.2", 3, 3, "999.x.x.x"),
+      ("999.aaa.bbb.c", 3, 3, "999.x.x.x"),
+      ("hello;goodbye", 3, 3, "hello;goodbye"),
+      ("::1", 1, 3, "0:0:0:0:0:x:x:x"),
+      ("", 4, 4, "x"),
+      ("4b0c:0:0:0:880c:99a8:4b0:4411", 1, 1, "4b0c:0:0:0:880c:99a8:4b0:x"),
+      ("4b0c::880c:99a8:4b0:4411", 2, 2, "4b0c:0:0:0:880c:99a8:x:x"),
+      ("2605:2700:0:3:0:0:4713:93e3", 3, 3, "2605:2700:0:3:0:x:x:x"),
+      ("2605:2700:0:3::4713:93e3", 4, 4, "2605:2700:0:3:x:x:x:x"),
+      ("2605:2700:0:3::4713:93e3", 4, 5, "2605:2700:0:x:x:x:x:x"),
+      ("2605:2700:0:3::4713:93e3", 4, 6, "2605:2700:x:x:x:x:x:x"),
+      ("2605:2700:0:3::4713:93e3", 4, 7, "2605:x:x:x:x:x:x:x"),
+      ("2605:2700:0:3::4713:93e3", 4, 8, "x:x:x:x:x:x:x:x"),
+      ("2605:2700::4713:93e3", 4, 8, "x:x:x:x:x:x:x:x"),
+      ("2700::4713", 4, 8, "x:x:x:x:x:x:x:x"),
+      ("2700:zzzz::gggg", 4, 6, "2700:zzzz:x:x:x:x:x:x"),
+      ("::FFFF:152.16.24.123", 2, 4, "::FFFF:152.16.x.x"),
+      ("::FFFF:152.16.24.123", 4, 4, "::FFFF:x.x.x.x")
+    )
+    vectors.foreach { case (ip, o, s, expected) =>
+      assert(anon(ip, o, s) == expected, s"anonIp($ip, $o, $s)")
+    }
+    assert(anon(null, 2, 2) == null)
+  }
+
+  test("clientEnrichmentSpecs dimension vector table") {
+    import spark.implicits._
+    val cases = Seq(
+      ("1200x800", Some(1200), Some(800)),
+      ("76x128", Some(76), Some(128)),
+      ("", None, None),
+      ("76xEE", None, None),
+      ("1200x-17", None, None),
+      ("760x3389336768", None, None), // > Int.MaxValue → whole pair invalid
+      ("9989336768x1200", None, None)
+    )
+    val out = cases.map(_._1).toDF("res")
+      .select(col("res"), EventF.resWidth(col("res")).as("w"), EventF.resHeight(col("res")).as("h"))
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    cases.foreach { case (res, ew, eh) =>
+      assert(out(res) == (ew.map(Int.box), eh.map(Int.box)), s"dimensions($res)")
+    }
+  }
+
+  test("eventEnrichmentSpecs: event code map incl. legacy aliases") {
+    import spark.implicits._
+    val m = Seq("pv", "pp", "tr", "ti", "se", "ev", "ue", "ad", "zz", null)
+      .toDF("c").select(col("c"), EventF.eventTypeFromCode(col("c")).as("t"))
+      .collect().map(r => Option(r.getString(0)) -> Option(r.getString(1))).toMap
+    assert(m(Some("pv")).contains("page_view"))
+    assert(m(Some("pp")).contains("page_ping"))
+    assert(m(Some("tr")).contains("transaction"))
+    assert(m(Some("ti")).contains("transaction_item"))
+    assert(m(Some("se")).contains("struct"))
+    assert(m(Some("ev")).contains("struct"))      // legacy
+    assert(m(Some("ad")).contains("ad_impression")) // legacy
+    assert(m(Some("ue")).contains("unstruct"))
+    assert(m(Some("zz")).isEmpty)
+  }
+}
