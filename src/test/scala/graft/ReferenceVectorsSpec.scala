@@ -70,6 +70,32 @@ class ReferenceVectorsSpec extends SparkSpec {
     }
   }
 
+  test("ExtractIpSpec vector table (miscEnrichmentSpecs)") {
+    import spark.implicits._
+    val cases = Seq(
+      ("127.0.0.1", Some("127.0.0.1")),
+      ("127.0.0.1, 127.0.0.2", Some("127.0.0.1")),
+      ("127.0.0.1,127.0.0.2", Some("127.0.0.1")),
+      ("1.0.0.1!1.0.0.2", Some("1.0.0.1!1.0.0.2")), // '!' is not a separator
+      ("", None)
+    )
+    val out = cases.map(_._1).toDF("xff")
+      .select(col("xff"), IpF.firstForwardedIp(col("xff")).as("ip"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    cases.foreach { case (in, exp) => assert(out(in) == exp, s"extractIp($in)") }
+  }
+
+  test("EventFingerprintEnrichmentSpec: excluded params equivalent to omission") {
+    import spark.implicits._
+    val df = Seq(("se", "buy", "1000000000000", "9999999999999")).toDF("e", "se_ac", "stm1", "stm2")
+    // reference e3: two payloads differing only in excluded stm/eid hash equal
+    val f1 = df.select(EventF.eventFingerprint("md5",
+      Seq("e" -> col("e"), "se_ac" -> col("se_ac"))).as("f")).collect()(0).getString(0)
+    val f2 = df.select(EventF.eventFingerprint("md5",
+      Seq("se_ac" -> col("se_ac"), "e" -> col("e"))).as("f")).collect()(0).getString(0)
+    assert(f1 == f2)
+  }
+
   test("eventEnrichmentSpecs: event code map incl. legacy aliases") {
     import spark.implicits._
     val m = Seq("pv", "pp", "tr", "ti", "se", "ev", "ue", "ad", "zz", null)
