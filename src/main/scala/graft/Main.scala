@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.enrich.EnrichmentConfig
+import graft.sources.Sources
+
+/** Standalone enrichment application — the Spark twin of the reference's
+  * runnable assets (stream-enrich for Kinesis/Kafka/NSQ, enrich-pubsub):
+  * source → enrichment pipeline → good/bad sinks, batch or streaming.
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar \
+  *   --mode batch --format collector-tsv \
+  *   --input  s3://raw/2024-01-15/ \
+  *   --good   s3://enriched/good/ --bad s3://enriched/bad/ \
+  *   --config enrichments.json [--checkpoint s3://ck/]   # streaming only
+  * }}}
+  */
+object Main {
+
+  private case class Args(
+    mode: String = "batch",
+    format: String = "collector-tsv",
+    input: String = "",
+    good: String = "",
+    bad: String = "",
+    config: String = "",
+    checkpoint: String = ""
+  )
+
+  private def parse(argv: List[String], acc: Args): Args = argv match {
+    case Nil => acc
+    case "--mode" :: v :: rest => parse(rest, acc.copy(mode = v))
+    case "--format" :: v :: rest => parse(rest, acc.copy(format = v))
+    case "--input" :: v :: rest => parse(rest, acc.copy(input = v))
+    case "--good" :: v :: rest => parse(rest, acc.copy(good = v))
+    case "--bad" :: v :: rest => parse(rest, acc.copy(bad = v))
+    case "--config" :: v :: rest => parse(rest, acc.copy(config = v))
+    case "--checkpoint" :: v :: rest => parse(rest, acc.copy(checkpoint = v))
+    case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toList, Args())
+    require(args.input.nonEmpty && args.good.nonEmpty, "--input and --good are required")
+
+    val spark = SparkSession.builder()
+      .appName("graft-enrich")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val pipeline =
+      if (args.config.nonEmpty)
+        EnrichmentConfig.fromJson(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args.config)), "UTF-8"))
+      else graft.queries.PipelineQuery.pipeline
+
+    args.mode match {
+      case "batch" =>
+        val raw = args.format match {
+          case "collector-tsv" =>
+            graft.enrich.Protocol.fromCollector(Sources.collectorTsv(spark, args.input))
+          case "cloudfront" =>
+            graft.enrich.Protocol.fromCollector(Sources.parseCloudfrontLog(spark.read.text(args.input)))
+          case "parquet" => spark.read.parquet(args.input)
+          case other => throw new IllegalArgumentException(s"unknown format: $other")
+        }
+        val (good, bad) = pipeline.split(raw)
+        good.write.mode("append").parquet(args.good)
+        if (args.bad.nonEmpty) bad.write.mode("append").parquet(args.bad)
+
+      case "stream" =>
+        require(args.checkpoint.nonEmpty, "--checkpoint is required in stream mode")
+        val raw = args.format match {
+          case "collector-tsv" =>
+            graft.enrich.Protocol.fromCollector(Sources.collectorTsvStream(spark, args.input))
+          case other => throw new IllegalArgumentException(s"unknown streaming format: $other")
+        }
+        val enriched = pipeline.run(raw)
+        enriched.writeStream
+          .format("parquet")
+          .option("path", args.good)
+          .option("checkpointLocation", args.checkpoint)
+          .outputMode("append")
+          .start()
+          .awaitTermination()
+
+      case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+    if (args.mode == "batch") spark.stop()
+  }
+}

@@ -1,0 +1,82 @@
+package graft.enrich
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Config-driven pipeline construction — the Spark twin of the reference's
+  * JSON enrichment configs (`enrichments/EnrichmentRegistry.parse`, which
+  * assembles the registry from per-enrichment self-describing JSONs).
+  *
+  * {{{
+  * val pipeline = EnrichmentConfig.fromJson("""{
+  *   "enrichments": [
+  *     {"name": "tracker_transform"},
+  *     {"name": "anon_ip", "octets": 2, "segments": 4},
+  *     {"name": "campaign_attribution"},
+  *     {"name": "referer_parser", "internalDomains": ["internal.example.com"]},
+  *     {"name": "event_fingerprint", "algorithm": "md5", "params": ["event_code", "res"]}
+  *   ]
+  * }""")
+  * }}}
+  *
+  * Unknown enrichment names fail fast with the supported list (the
+  * reference's ValidatedNel parse errors). Uses Spark's bundled Jackson —
+  * no extra dependency.
+  */
+object EnrichmentConfig {
+
+  private val mapper = new ObjectMapper()
+
+  def fromJson(json: String): EnrichmentPipeline = {
+    val root = mapper.readTree(json)
+    val list = Option(root.get("enrichments"))
+      .getOrElse(throw new IllegalArgumentException("config needs an 'enrichments' array"))
+    EnrichmentPipeline(list.elements().asScala.map(parseOne).toSeq)
+  }
+
+  private def strs(n: JsonNode, field: String, default: Seq[String] = Nil): Seq[String] =
+    Option(n.get(field)).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(default)
+
+  private def int(n: JsonNode, field: String, default: Int): Int =
+    Option(n.get(field)).map(_.asInt()).getOrElse(default)
+
+  private def str(n: JsonNode, field: String, default: String): String =
+    Option(n.get(field)).map(_.asText()).getOrElse(default)
+
+  private def parseOne(n: JsonNode): Enrichment = {
+    val name = Option(n.get("name")).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("enrichment entry needs a 'name'"))
+    name match {
+      case "tracker_transform" => TrackerTransform()
+      case "derived_tstamp" => DerivedTstamp()
+      case "page_url_parse" => PageUrlParse(str(n, "urlCol", "page_url"))
+      case "campaign_attribution" => CampaignAttribution()
+      case "referer_parser" =>
+        RefererParser(internalDomains = strs(n, "internalDomains"))
+      case "ua_parser" => UaParser(str(n, "uaCol", "ua"))
+      case "anon_ip" => AnonIp(str(n, "ipCol", "user_ipaddress"), int(n, "octets", 2), int(n, "segments", 4))
+      case "cross_navigation" => CrossNavigation()
+      case "pii_pseudonymize" =>
+        PiiPseudonymize(strs(n, "fields"), str(n, "salt", ""))
+      case "event_fingerprint" =>
+        EventFingerprint(str(n, "algorithm", "md5"), strs(n, "params"))
+      case "cookie_extractor" =>
+        CookieExtractor(str(n, "cookieCol", "cookie_hdr"), strs(n, "cookies"))
+      case "http_header_extractor" => HttpHeaderExtractor(str(n, "headerCol", "header_line"))
+      case "iab_bot_detection" =>
+        IabBotDetection(str(n, "uaCol", "ua"), str(n, "ipCol", "user_ipaddress"),
+          strs(n, "botIpList"))
+      case "schema_vendor" => SchemaVendor(str(n, "vendor", "com.snowplowanalytics.snowplow"))
+      case "field_lengths" => FieldLengthValidator(graft.model.Atomic.fieldLengths)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown enrichment '$other'; supported: tracker_transform, derived_tstamp, " +
+            "page_url_parse, campaign_attribution, referer_parser, ua_parser, anon_ip, " +
+            "cross_navigation, pii_pseudonymize, event_fingerprint, cookie_extractor, " +
+            "http_header_extractor, iab_bot_detection, schema_vendor, field_lengths " +
+            "(currency_conversion / ip_geo_lookup / ip_asn_lookup need dimension tables — " +
+            "construct them programmatically)")
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlF
+
+/** Tracker-protocol parameter mapping — the Spark twin of the reference's
+  * `enrichments/Transform.scala`: lift the raw querystring parameters
+  * (`e`, `p`, `res`, `uid`, `url`, `refr`, `dtm`, `stm`, `ttm`, `tr_tt`,
+  * `tr_cu`, `_sp`, …) onto the column names the enrichment chain consumes.
+  *
+  * Applied between a loader ([[graft.sources.Sources]]) and an
+  * [[EnrichmentPipeline]]; a pure projection like everything else.
+  */
+object Protocol {
+
+  /** Collector-loader output (collector_tstamp_us, user_ipaddress,
+    * useragent, page_url, event_code, querystring) → pipeline raw columns. */
+  def fromCollector(df: DataFrame, qsCol: String = "querystring"): DataFrame = {
+    val qs = col(qsCol)
+    def p(key: String) = UrlF.qsParam(qs, key)
+    def pMsToUs(key: String) = p(key).cast("bigint") * 1000L
+    val eventCode = // CloudFront lines carry no event_code column
+      if (df.columns.contains("event_code")) coalesce(p("e"), col("event_code")) else p("e")
+    df.withColumn("event_code", eventCode)
+      .withColumn("platform_code", p("p"))
+      .withColumn("res", p("res"))
+      .withColumn("user_id", p("uid"))
+      .withColumn("ua", col("useragent"))
+      .withColumn("xff", col("user_ipaddress"))
+      .withColumn("collector_us", col("collector_tstamp_us"))
+      // tracker timestamps arrive as epoch millis strings
+      .withColumn("created_us", pMsToUs("dtm"))
+      .withColumn("sent_us", pMsToUs("stm"))
+      .withColumn("true_us", pMsToUs("ttm"))
+      // page/referrer URLs are URL-encoded in the querystring; the loader's
+      // own page_url (from the request line) is the fallback
+      .withColumn("page_url", coalesce(url_decode(p("url")), col("page_url")))
+      .withColumn("refr_url", url_decode(p("refr")))
+      .withColumn("sp_qs", p("_sp"))
+      .withColumn("amount_cents", round(p("tr_tt").cast("double") * 100).cast("bigint"))
+      .withColumn("currency", p("tr_cu"))
+  }
+}

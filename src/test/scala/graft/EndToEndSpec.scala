@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.{EnrichmentConfig, Protocol}
+import graft.queries.PipelineQuery
+import graft.sources.Sources
+
+/** The full application path: collector TSV line → loader → tracker
+  * protocol transform → default enrichment pipeline → atomic columns +
+  * good/bad split (what `graft.Main --mode batch` runs). */
+class EndToEndSpec extends SparkSpec {
+
+  private val qs = "e=pv&p=web&res=1920x1080&uid=alice&tv=js-3.0.0" +
+    "&dtm=1704067100000&stm=1704067101000&ttm=" +
+    "&url=https%3A%2F%2Fshop.example.com%2Fp%2F1%3Futm_source%3Dgoogle%26utm_medium%3Dcpc%26gclid%3Dg1" +
+    "&refr=https%3A%2F%2Fwww.google.com%2Fsearch%3Fq%3Dwidget" +
+    "&tr_tt=42.50&tr_cu=EUR&_sp=dom123.1700000000000"
+
+  private def line(eventCode: String = "pv", qsOverride: String = qs) =
+    Seq("1704067200000000", "94.15.223.151, 10.0.0.1", "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
+      "https://shop.example.com/p/1", eventCode, qsOverride).mkString("\t")
+
+  test("collector line → enriched atomic event") {
+    import spark.implicits._
+    val raw = Protocol.fromCollector(Sources.parseCollectorTsv(Seq(line()).toDF("value")))
+    val (good, bad) = PipelineQuery.pipeline.split(raw)
+    assert(bad.count() == 0)
+    val r = good.collect()(0)
+    assert(r.getAs[String]("event") == "page_view")
+    assert(r.getAs[String]("platform") == "web")
+    assert(r.getAs[Int]("dvce_screenwidth") == 1920)
+    assert(r.getAs[String]("user_ipaddress") == "94.15.x.x") // first XFF ip, anonymized
+    assert(r.getAs[String]("page_urlhost") == "shop.example.com")
+    assert(r.getAs[String]("mkt_source") == "google")
+    assert(r.getAs[String]("mkt_network") == "Google")
+    assert(r.getAs[String]("refr_medium") == "search")
+    assert(r.getAs[String]("refr_source") == "Google")
+    assert(r.getAs[String]("refr_term") == "widget")
+    assert(r.getAs[String]("br_family") == "Firefox")
+    assert(r.getAs[String]("geo_country") != null)
+    // skew correction: collector 200s − (sent 101 − created 100)s = 199s
+    assert(r.getAs[Long]("derived_tstamp_us") == 1704067199000000L)
+    // EUR 42.50 → 4250 cents × 1.08 micro-rate
+    assert(r.getAs[Long]("base_amount_e8") == 4250L * 1080000L)
+    assert(r.getAs[String]("refr_domain_userid") == "dom123")
+    // PII: uid hashed, not plaintext
+    assert(r.getAs[String]("user_id") != "alice" && r.getAs[String]("user_id").length == 64)
+  }
+
+  test("bad rows: unknown event code lands in the bad channel with a reason") {
+    import spark.implicits._
+    val raw = Protocol.fromCollector(Sources.parseCollectorTsv(
+      Seq(line(qsOverride = qs.replace("e=pv", "e=zz"))).toDF("value")))
+    val (good, bad) = PipelineQuery.pipeline.split(raw)
+    assert(good.count() == 0 && bad.count() == 1)
+    val errs = bad.select(explode(col("bad_row_errors"))).collect().map(_.getString(0))
+    assert(errs.exists(_.contains("unknown event code")))
+  }
+
+  test("config-driven pipeline from JSON") {
+    import spark.implicits._
+    val pipeline = EnrichmentConfig.fromJson(
+      """{"enrichments": [
+        |  {"name": "tracker_transform"},
+        |  {"name": "anon_ip", "octets": 3},
+        |  {"name": "ua_parser"},
+        |  {"name": "event_fingerprint", "algorithm": "sha256", "params": ["event_code", "res"]}
+        |]}""".stripMargin)
+    val raw = Protocol.fromCollector(Sources.parseCollectorTsv(Seq(line()).toDF("value")))
+    val r = pipeline.run(raw).collect()(0)
+    assert(r.getAs[String]("user_ipaddress") == "94.x.x.x") // octets=3 from config
+    assert(r.getAs[String]("br_family") == "Firefox")
+    assert(r.getAs[String]("event_fingerprint").length == 64)
+    // unknown enrichment name fails fast
+    val err = intercept[IllegalArgumentException] {
+      EnrichmentConfig.fromJson("""{"enrichments": [{"name": "nope"}]}""")
+    }
+    assert(err.getMessage.contains("unknown enrichment 'nope'"))
+  }
+}

@@ -96,6 +96,31 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(f1 == f2)
   }
 
+  test("DerivedTimestampSpec vector table (eventEnrichmentSpecs)") {
+    import spark.implicits._
+    // base = 2014-04-29 09:00:54.000 UTC in epoch micros
+    val B = 1398762054000000L
+    val ms = 1000L
+    val cases = Seq(
+      // (created, sent, collector, true, expected)
+      ("no sent", Some(B + 10800555L * ms), None, Some(B), None, Some(B)),
+      ("no created", None, None, Some(B), None, Some(B)),
+      ("no collector", None, None, None, None, None),
+      ("sent before created", Some(B + 1 * ms), Some(B), Some(B), None, Some(B)),
+      ("sent after created", Some(B), Some(B + 1 * ms), Some(B), None, Some(B - 1 * ms)),
+      ("true wins", Some(B), Some(B + 1 * ms), Some(B), Some(B + 42L), Some(B + 42L))
+    )
+    val out = cases.map { case (n, cr, s, c, t, _) =>
+      (n, cr.map(Long.box).orNull, s.map(Long.box).orNull, c.map(Long.box).orNull, t.map(Long.box).orNull)
+    }.toDF("name", "created", "sent", "coll", "trueTs")
+      .select(col("name"),
+        EventF.derivedTstampMicros(col("coll"), col("created"), col("sent"), col("trueTs")).as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    cases.foreach { case (n, _, _, _, _, exp) =>
+      assert(out(n) == exp.map(Long.box), s"derived($n)")
+    }
+  }
+
   test("eventEnrichmentSpecs: event code map incl. legacy aliases") {
     import spark.implicits._
     val m = Seq("pv", "pp", "tr", "ti", "se", "ev", "ue", "ad", "zz", null)
