@@ -1,0 +1,40 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+/** Scale-layout evidence: bucketing removes the join shuffle (SURVEY §3
+  * "co-locate joins via bucketing"), and sketch aggregations track exact
+  * counts — the patterns that matter at 100 TB, demonstrated on the real
+  * session. */
+class ScaleLayoutSpec extends SparkSpec {
+
+  test("bucketed tables co-locate a join: no shuffle exchange in the plan") {
+    import spark.implicits._
+    val left = (0L until 1000L).map(i => (i % 50, i)).toDF("k", "v1")
+    val right = (0L until 500L).map(i => (i % 50, i * 2)).toDF("k", "v2")
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("g_left")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("g_right")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("g_left").join(spark.table("g_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000L * 500L / 50L / 50L * 50L) // 20 × 10 per key × 50 keys
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS g_left")
+      spark.sql("DROP TABLE IF EXISTS g_right")
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within rsd") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15, s"approx=$approx exact=$exact")
+  }
+}
