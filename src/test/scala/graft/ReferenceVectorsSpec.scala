@@ -70,6 +70,38 @@ class ReferenceVectorsSpec extends SparkSpec {
     }
   }
 
+  test("CampaignAttributionEnrichmentSpec: google / omniture / precedence / click ids") {
+    import spark.implicits._
+    import graft.functions.UrlF
+    val google = "utm_source=GoogleSearch&utm_medium=cpc&utm_term=native+american+tarot+deck" +
+      "&utm_content=39254295088&utm_campaign=uk-tarot--native-american"
+    val omniture = "cid=uk-tarot--native-american"
+    val heterogeneous = "utm_source=GoogleSearch&source=bad_source&utm_medium=cpc" +
+      "&legacy_term=bad_term&utm_term=native+american+tarot+deck&legacy_campaign=bad_campaign" +
+      "&cid=uk-tarot--native-american&msclkid=500"
+    def fields(qs: String, sourceParams: Seq[String], campaignParams: Seq[String]) = {
+      val df = Seq(qs).toDF("qs")
+      df.select(
+        UrlF.firstParam(col("qs"), sourceParams).as("source"),
+        UrlF.firstParam(col("qs"), campaignParams).as("campaign"),
+        UrlF.qsParam(col("qs"), "msclkid").as("msclkid")
+      ).collect()(0)
+    }
+    // e2: standard Google-style settings
+    val g = fields(google, Seq("utm_source"), Seq("utm_campaign"))
+    assert(g.getString(0) == "GoogleSearch")
+    assert(g.getString(1) == "uk-tarot--native-american")
+    // e3: Omniture settings (campaign = cid)
+    val o = fields(omniture, Seq("utm_source"), Seq("cid"))
+    assert(o.getString(0) == null && o.getString(1) == "uk-tarot--native-american")
+    // e4: precedence — first matching parameter in the configured list wins
+    val h = fields(heterogeneous, Seq("utm_source", "source"), Seq("utm_campaign", "cid", "legacy_campaign"))
+    assert(h.getString(0) == "GoogleSearch") // not bad_source
+    assert(h.getString(1) == "uk-tarot--native-american") // cid before legacy_campaign
+    // e5: click id network map
+    assert(h.getString(2) == "500") // msclkid captured → network "Microsoft" per DefaultNetworkMap
+  }
+
   test("ExtractIpSpec vector table (miscEnrichmentSpecs)") {
     import spark.implicits._
     val cases = Seq(
@@ -119,6 +151,22 @@ class ReferenceVectorsSpec extends SparkSpec {
     cases.foreach { case (n, _, _, _, _, exp) =>
       assert(out(n) == exp.map(Long.box), s"derived($n)")
     }
+  }
+
+  test("CookieExtractor / HttpHeaderExtractor spec vectors") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+    def one(c: org.apache.spark.sql.Column) = df.select(c.as("r")).collect()(0).get(0)
+    // uninteresting cookie → configured name not found
+    assert(one(EventF.cookieValue(lit("not-interesting-cookie=1234"), "cookieKey1")) == null)
+    // empty-value cookie ("ck3=") yields empty → null under graft's nullif
+    assert(one(EventF.cookieValue(lit("ck1=v1; ck3="), "ck3")) == null)
+    assert(one(EventF.cookieValue(lit("ck1=v1; ck3=x"), "ck1")) == "v1")
+    // header name/value split, list values preserved verbatim
+    val h = lit("X-Forwarded-For: 129.78.138.66, 129.78.64.103")
+    assert(one(EventF.headerName(h)) == "X-Forwarded-For")
+    assert(one(EventF.headerValue(h)) == "129.78.138.66, 129.78.64.103")
+    assert(one(EventF.headerName(lit("Content-Length: 348"))) == "Content-Length")
   }
 
   test("eventEnrichmentSpecs: event code map incl. legacy aliases") {
