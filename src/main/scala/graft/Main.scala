@@ -45,10 +45,12 @@ object Main {
     val args = parse(argv.toList, Args())
     require(args.input.nonEmpty && args.good.nonEmpty, "--input and --good are required")
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-enrich")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit injects the master; default for bare local runs
+    val spark = (if (new org.apache.spark.SparkConf().contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
 
     val pipeline =
       if (args.config.nonEmpty)
