@@ -153,6 +153,22 @@ class ReferenceVectorsSpec extends SparkSpec {
     }
   }
 
+  test("UaParserEnrichmentSpec UAs classify to the same coarse families") {
+    import spark.implicits._
+    import graft.functions.UaF
+    // graft's heuristic classifier is coarser than the uap-core db the
+    // reference wraps; these assert family/OS/device agreement at graft's
+    // granularity on the reference's example UAs
+    val mobileSafari = "Mozilla/5.0 (iPhone; CPU iPhone OS 5_1_1 like Mac OS X) AppleWebKit/534.46 (KHTML, like Gecko) Version/5.1 Mobile/9B206 Safari/7534.48.3"
+    val safari = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_10) AppleWebKit/600.1.25 (KHTML, like Gecko) Version/8.0 Safari/600.1.25"
+    val out = Seq(mobileSafari, safari).toDF("ua")
+      .select(col("ua"), UaF.browserFamily(col("ua")).as("f"), UaF.osFamily(col("ua")).as("o"),
+        UaF.deviceClass(col("ua")).as("d"), UaF.browserVersion(col("ua")).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(out(mobileSafari) == (("Safari", "iOS", "Phone", "5.1")))   // ref: Mobile Safari 5.1 / iOS / iPhone
+    assert(out(safari) == (("Safari", "macOS", "Desktop", "8.0")))     // ref: Safari 8.0 / Mac OS X / Mac
+  }
+
   test("CookieExtractor / HttpHeaderExtractor spec vectors") {
     import spark.implicits._
     val df = Seq(1).toDF("x")
