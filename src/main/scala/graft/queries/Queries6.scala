@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextF
+
+/** SURVEY §2 batch 6: the dedup *materialization* steps — keep-first corpus
+  * filtering (what a training-data pipeline actually ships) and MinHash-LSH
+  * band-collision candidate pairs (the step between signatures and
+  * verification).
+  */
+object Queries6 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def minhashSigs(sp: SparkSession, dir: String): DataFrame = {
+    val sh = col("sh")
+    def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(seed + ":"), s).cast("binary"))))
+    Tables.documents(sp, dir)
+      .withColumn("toks", TextF.tokens(col("text")))
+      .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), 3)))
+      .select(col("doc_id"), comp(0).as("c0"), comp(1).as("c1"), comp(2).as("c2"), comp(3).as("c3"))
+      .withColumn("band0", md5(concat(coalesce(col("c0"), lit("")), coalesce(col("c1"), lit(""))).cast("binary")))
+      .withColumn("band1", md5(concat(coalesce(col("c2"), lit("")), coalesce(col("c3"), lit(""))).cast("binary")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "dedup_keep_first" -> { (sp, dir) =>
+      // the shipped corpus: first doc per exact-dup group survives
+      val w = Window.partitionBy(TextF.docFingerprint(col("text"))).orderBy("doc_id")
+      Tables.documents(sp, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    "dedup_minhash_pairs" -> { (sp, dir) =>
+      // LSH candidate generation: docs colliding on either band
+      val sigs = minhashSigs(sp, dir).persist()
+      def pairsOn(band: String) =
+        sigs.select(col("doc_id").as("id_a"), col(band).as("b")).as("a")
+          .join(sigs.select(col("doc_id").as("id_b"), col(band).as("b")).as("b"), Seq("b"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+      pairsOn("band0").union(pairsOn("band1")).distinct()
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private def shinglesSql(k: Int): String = {
+    val parts = (0 until k).map(j => s"list_extract(w, i + $j)").mkString(", ' ', ")
+    s"list_transform(range(1, len(w) - ${k - 2}), i -> concat($parts))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_keep_first" ->
+      s"""SELECT doc_id, n_chars
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rk
+         |  FROM documents
+         |) t WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" -> {
+      def comp(seed: Int) = s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
+      s"""WITH sigs AS (
+         |  SELECT doc_id,
+         |    md5(concat(coalesce(c0, ''), coalesce(c1, ''))) AS band0,
+         |    md5(concat(coalesce(c2, ''), coalesce(c3, ''))) AS band1
+         |  FROM (
+         |    SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
+         |    FROM (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh
+         |          FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
+         |  ) t3
+         |)
+         |SELECT DISTINCT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id
+         |  FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |) u ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+}
