@@ -98,7 +98,6 @@ object Queries2 {
     "collector_tsv_parse" -> { (sp, dir) =>
       val line = concat_ws("\t",
         col("collector_us").cast("string"), col("ip"), col("ua"), col("page_url"), col("event_code"))
-      val parts = split(line, "\t")
       raw(sp, dir)
         .withColumn("line", line)
         .select(
