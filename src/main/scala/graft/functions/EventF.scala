@@ -123,4 +123,18 @@ object EventF {
   /** `_sp` param → epoch millis of the link click. */
   def spTstampMs(sp: Column): Column =
     nullif(regexp_extract(sp, "^([^.]+)\\.([0-9]+)$", 2), lit("")).cast("bigint")
+
+  /** Field `idx` (1-based) of the EXTENDED cross-navigation `_sp` format
+    * (reference `CrossNavigationEnrichment.CrossNavProps`:
+    * duid.timestamp.session_id.user_id.source_id.source_platform.reason,
+    * short forms padded with empties → null). */
+  def spField(sp: Column, idx: Int): Column = {
+    require(idx >= 1 && idx <= 7, "extended _sp has 7 fields")
+    nullif(element_at(split(sp, "\\."), idx), lit(""))
+  }
+
+  /** Base64-decoded extended `_sp` field (user_id / source_id / reason are
+    * encoded in the extended format). */
+  def spFieldDecoded(sp: Column, idx: Int): Column =
+    unbase64(spField(sp, idx)).cast("string")
 }

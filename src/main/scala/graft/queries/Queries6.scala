@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextF
+import graft.functions.{EventF, TextF}
 
 /** SURVEY §2 batch 6: the dedup *materialization* steps — keep-first corpus
   * filtering (what a training-data pipeline actually ships) and MinHash-LSH
@@ -47,6 +47,31 @@ object Queries6 {
           .select(col("id_a"), col("id_b"))
       pairsOn("band0").union(pairsOn("band1")).distinct()
         .orderBy("id_a", "id_b")
+    },
+
+    "cross_navigation_ext" -> { (sp, dir) =>
+      // synthesize the EXTENDED 7-field _sp (reference CrossNavProps):
+      // duid.timestamp.session_id.user_id(b64).source_id(b64).platform.reason(b64)
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      val spExt = concat(
+        lit("d"), s(col("user_id")), lit("."), s(e + 1700000000000L),
+        lit(".sess"), s(e % 100), lit("."),
+        base64(concat(lit("u"), s(e % 50)).cast("binary")), lit("."),
+        base64(lit("webshop").cast("binary")), lit(".web."),
+        base64(lit("promo link").cast("binary")))
+      Synth.withRaw(Tables.events(sp, dir))
+        .withColumn("sp_ext", spExt)
+        .select(
+          col("event_id"),
+          EventF.spField(col("sp_ext"), 1).as("refr_domain_userid"),
+          EventF.spField(col("sp_ext"), 2).cast("bigint").as("refr_tstamp_ms"),
+          EventF.spField(col("sp_ext"), 3).as("session_id"),
+          EventF.spFieldDecoded(col("sp_ext"), 4).as("sp_user_id"),
+          EventF.spFieldDecoded(col("sp_ext"), 5).as("source_id"),
+          EventF.spField(col("sp_ext"), 6).as("source_platform"),
+          EventF.spFieldDecoded(col("sp_ext"), 7).as("reason"))
+        .orderBy("event_id")
     }
   )
 
@@ -85,6 +110,24 @@ object Queries6 {
          |  SELECT a.doc_id, b.doc_id
          |  FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
          |) u ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    "cross_navigation_ext" -> Synth.withCte(
+      """SELECT event_id,
+        |  nullif(list_extract(p, 1), '') AS refr_domain_userid,
+        |  CAST(nullif(list_extract(p, 2), '') AS BIGINT) AS refr_tstamp_ms,
+        |  nullif(list_extract(p, 3), '') AS session_id,
+        |  decode(from_base64(nullif(list_extract(p, 4), ''))) AS sp_user_id,
+        |  decode(from_base64(nullif(list_extract(p, 5), ''))) AS source_id,
+        |  nullif(list_extract(p, 6), '') AS source_platform,
+        |  decode(from_base64(nullif(list_extract(p, 7), ''))) AS reason
+        |FROM (
+        |  SELECT event_id, string_split(concat(
+        |    'd', user_id, '.', event_id + 1700000000000,
+        |    '.sess', event_id % 100, '.',
+        |    to_base64(encode(concat('u', event_id % 50))), '.',
+        |    to_base64(encode('webshop')), '.web.',
+        |    to_base64(encode('promo link'))), '.') AS p
+        |  FROM raw) t ORDER BY event_id""".stripMargin)
   )
 }
