@@ -93,6 +93,11 @@ object EventF {
     * in a TSV row. */
   def tsvSafe(c: Column): Column = regexp_replace(c, "[\\t\\n\\r]", " ")
 
+  /** Reference `ConversionUtils.fixTabsNewlines:115`: tabs → 4 spaces, all
+    * other control characters removed, empty result → null. */
+  def fixTabsNewlines(c: Column): Column =
+    nullif(regexp_replace(regexp_replace(c, "\\t", "    "), "\\p{Cntrl}", ""), lit(""))
+
   /** Truncate to the atomic field width, as AtomicFieldsLengthValidator
     * does when `acceptInvalid` is configured. */
   def truncateField(c: Column, maxLen: Int): Column = substring(c, 1, maxLen)
@@ -126,15 +131,30 @@ object EventF {
 
   /** Field `idx` (1-based) of the EXTENDED cross-navigation `_sp` format
     * (reference `CrossNavigationEnrichment.CrossNavProps`:
-    * duid.timestamp.session_id.user_id.source_id.source_platform.reason,
-    * short forms padded with empties → null). */
+    * duid.timestamp.session_id.user_id.source_id.source_platform.reason).
+    * Short forms are padded with empties (→ null fields); inputs with MORE
+    * than 7 fields are discarded entirely (reference `makeCrossDomainMap`
+    * returns an empty map — every field null). Per-field semantics:
+    * duid (1) gets `fixTabsNewlines`; session_id (3) and source_platform (6)
+    * are blank-filtered on their trimmed value. */
   def spField(sp: Column, idx: Int): Column = {
     require(idx >= 1 && idx <= 7, "extended _sp has 7 fields")
-    nullif(element_at(split(sp, "\\."), idx), lit(""))
+    val parts = split(sp, "\\.", -1)
+    val padded = concat(parts, array_repeat(lit(""), greatest(lit(0), lit(7) - size(parts))))
+    val v = when(size(parts) <= 7, nullif(element_at(padded, idx), lit("")))
+    idx match {
+      case 1 => fixTabsNewlines(v)
+      case 3 | 6 => when(trim(v) =!= "", v)
+      case _ => v
+    }
   }
 
-  /** Base64-decoded extended `_sp` field (user_id / source_id / reason are
-    * encoded in the extended format). */
-  def spFieldDecoded(sp: Column, idx: Int): Column =
-    unbase64(spField(sp, idx)).cast("string")
+  /** URL-safe-Base64-decoded extended `_sp` field (user_id / source_id /
+    * reason use the RFC 4648 `-`/`_` alphabet — reference
+    * `ConversionUtils.decodeBase64Url:137`), blank-filtered like the
+    * reference's `decodeWithFailure`. */
+  def spFieldDecoded(sp: Column, idx: Int): Column = {
+    val decoded = unbase64(translate(spField(sp, idx), "-_", "+/")).cast("string")
+    when(trim(decoded) =!= "", decoded)
+  }
 }

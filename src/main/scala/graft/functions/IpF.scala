@@ -27,6 +27,18 @@ object IpF {
     array_join(masked, ".")
   }
 
+  /** Rewrite mixed-notation IPv6 ("64:ff9b::1.2.3.4") to all-hex form
+    * ("64:ff9b::102:304"), as Guava's `getHostAddress` does before the
+    * reference masks segments. Pure-hex input passes through. */
+  def normalizeMixedIpv6(ip: Column): Column = {
+    val tail = "(\\d+)\\.(\\d+)\\.(\\d+)\\.(\\d+)$"
+    def p(i: Int) = regexp_extract(ip, tail, i).cast("bigint")
+    val hexTail = concat(
+      lower(hex(p(1) * 256L + p(2))), lit(":"), lower(hex(p(3) * 256L + p(4))))
+    when(ip.rlike("\\d+\\.\\d+\\.\\d+\\.\\d+$"),
+      concat(regexp_replace(ip, tail, ""), hexTail)).otherwise(ip)
+  }
+
   /** Expand a `::`-shortened IPv6 address to its 8-group form
     * ("4b0c::1" → "4b0c:0:0:0:0:0:0:1"); non-shortened input is returned
     * unchanged. String-level twin of the Guava normalization the reference
@@ -40,27 +52,36 @@ object IpF {
     when(ip.contains("::"), array_join(concat(leftArr, zeros, rightArr), ":")).otherwise(ip)
   }
 
-  /** Mask the last `segments` of an IPv6 address (shortened forms are
-    * expanded first, matching the reference's `getHostAddress` expansion). */
+  /** Mask the last `segments` of an IPv6 address. Shortened forms are
+    * expanded and mixed notation hex-normalized first (the reference's
+    * `getHostAddress` path); short `::`-less inputs are padded to 8 groups
+    * with "x" (reference `anonymizeIpV6`'s take+padTo — a PII kernel must
+    * fail CLOSED, never pass a malformed address through unmasked). */
   def anonIpv6(ip: Column, segments: Int): Column = {
     require(segments >= 1 && segments <= 8, "segments must be 1..8")
-    val parts = split(expandIpv6(ip), ":")
-    val masked = transform(parts, (e, i) => when(i < lit(8 - segments), e).otherwise(lit("x")))
+    val parts = split(expandIpv6(normalizeMixedIpv6(ip)), ":")
+    val padded = slice(
+      concat(parts, array_repeat(lit("x"), greatest(lit(0), lit(8) - size(parts)))), 1, 8)
+    val masked = transform(padded, (e, i) => when(i < lit(8 - segments), e).otherwise(lit("x")))
     array_join(masked, ":")
   }
 
   private val MappedPrefix = "::FFFF:"
 
-  /** Route a string IP to the v4 or v6 masker on its separator, as the
-    * reference does for unparseable addresses; IPv4-mapped addresses
-    * (`::FFFF:a.b.c.d`) keep the prefix and mask the v4 part
-    * (reference `AnonIpEnrichment.anonymizeIpV4`'s mapped branch). */
+  /** Route a string IP to the v4 or v6 masker, as the reference does:
+    * IPv4-mapped addresses (`::FFFF:a.b.c.d`) keep the prefix and mask the
+    * v4 part (reference `AnonIpEnrichment.anonymizeIpV4`'s mapped branch);
+    * anything containing ":" — including mixed notation `64:ff9b::1.2.3.4`,
+    * which Guava parses as Inet6Address — is IPv6; dotted (or empty) input
+    * is IPv4; separator-free garbage passes through unchanged
+    * (`tryAnonymizingInvalidIp`). */
   def anonIp(ip: Column, octets: Int, segments: Int): Column =
     when(ip.isNull, lit(null))
       .when(ip.startsWith(MappedPrefix),
         concat(lit(MappedPrefix), anonIpv4(regexp_replace(ip, "^::FFFF:", ""), octets)))
-      .when(ip.contains(":") && !ip.contains("."), anonIpv6(ip, segments))
-      .otherwise(anonIpv4(ip, octets))
+      .when(ip.contains(":"), anonIpv6(ip, segments))
+      .when(ip.contains(".") || ip === "", anonIpv4(ip, octets))
+      .otherwise(ip)
 
   /** First IP of a comma/pipe/space-separated X-Forwarded-For chain
     * (the client IP — see reference `MiscEnrichments.extractIp`). */

@@ -27,7 +27,11 @@ object SaltedAgg {
     salts: Int = 16
   ): DataFrame = {
     require(salts >= 1)
-    val salted = df.withColumn("__salt", pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
+    // salt from ROW CONTENT, not monotonically_increasing_id: under
+    // fetch-failure stage recomputation a positional id can re-salt rows,
+    // double-counting/losing them at exactly the scale this operator
+    // targets. hash(all columns) is stable across retries.
+    val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
     val partialAggs: Seq[Column] = aggs.map {
       case (in, "sum", out) => sum(col(in)).as(s"__p_$out")
       case (in, "count", out) =>

@@ -51,15 +51,23 @@ object Queries6 {
 
     "cross_navigation_ext" -> { (sp, dir) =>
       // synthesize the EXTENDED 7-field _sp (reference CrossNavProps):
-      // duid.timestamp.session_id.user_id(b64).source_id(b64).platform.reason(b64)
+      // duid.timestamp.session_id.user_id(b64url).source_id(b64url).platform.reason(b64url)
+      // Edge cases in the synthetic universe: URL-SAFE base64 payloads whose
+      // standard encoding contains '+'/'/' (the "?>>"-suffixed values), a
+      // tab-bearing duid (fixTabsNewlines), a blank session_id (trim filter),
+      // and an 8-field value the reference discards entirely.
       val e = col("event_id")
       val s = (c: Column) => c.cast("string")
+      def b64u(c: Column) = translate(base64(c.cast("binary")), "+/", "-_")
+      val duid = when(e % 10 === 3, concat(lit("d"), s(col("user_id")), lit("\ttab")))
+        .otherwise(concat(lit("d"), s(col("user_id"))))
+      val sess = when(e % 10 === 5, lit(" ")).otherwise(concat(lit("sess"), s(e % 100)))
       val spExt = concat(
-        lit("d"), s(col("user_id")), lit("."), s(e + 1700000000000L),
-        lit(".sess"), s(e % 100), lit("."),
-        base64(concat(lit("u"), s(e % 50)).cast("binary")), lit("."),
-        base64(lit("webshop").cast("binary")), lit(".web."),
-        base64(lit("promo link").cast("binary")))
+        duid, lit("."), s(e + 1700000000000L), lit("."), sess, lit("."),
+        b64u(concat(lit("u"), s(e % 50), lit("?>>"))), lit("."),
+        b64u(lit("web?shop>")), lit(".web."),
+        b64u(lit("promo link>>?")),
+        when(e % 10 === 7, lit(".extra")).otherwise(lit("")))
       Synth.withRaw(Tables.events(sp, dir))
         .withColumn("sp_ext", spExt)
         .select(
@@ -112,22 +120,33 @@ object Queries6 {
          |) u ORDER BY id_a, id_b""".stripMargin
     },
 
-    "cross_navigation_ext" -> Synth.withCte(
-      """SELECT event_id,
-        |  nullif(list_extract(p, 1), '') AS refr_domain_userid,
-        |  CAST(nullif(list_extract(p, 2), '') AS BIGINT) AS refr_tstamp_ms,
-        |  nullif(list_extract(p, 3), '') AS session_id,
-        |  decode(from_base64(nullif(list_extract(p, 4), ''))) AS sp_user_id,
-        |  decode(from_base64(nullif(list_extract(p, 5), ''))) AS source_id,
-        |  nullif(list_extract(p, 6), '') AS source_platform,
-        |  decode(from_base64(nullif(list_extract(p, 7), ''))) AS reason
-        |FROM (
-        |  SELECT event_id, string_split(concat(
-        |    'd', user_id, '.', event_id + 1700000000000,
-        |    '.sess', event_id % 100, '.',
-        |    to_base64(encode(concat('u', event_id % 50))), '.',
-        |    to_base64(encode('webshop')), '.web.',
-        |    to_base64(encode('promo link'))), '.') AS p
-        |  FROM raw) t ORDER BY event_id""".stripMargin)
+    "cross_navigation_ext" -> {
+      // mirrors EventF.spField/spFieldDecoded exactly: >7 fields → all null,
+      // duid → fixTabsNewlines, trim-blank filters, URL-safe base64 decode
+      def f(i: Int) = s"CASE WHEN len(p) <= 7 THEN nullif(list_extract(p, $i), '') END"
+      def dec(i: Int) =
+        s"decode(from_base64(translate(${f(i)}, '-_', '+/')))"
+      def blankFiltered(expr: String) = s"CASE WHEN trim($expr) = '' THEN NULL ELSE $expr END"
+      Synth.withCte(
+        s"""SELECT event_id,
+           |  nullif(regexp_replace(regexp_replace(${f(1)}, '\t', '    ', 'g'), '[[:cntrl:]]', '', 'g'), '') AS refr_domain_userid,
+           |  CAST(${f(2)} AS BIGINT) AS refr_tstamp_ms,
+           |  ${blankFiltered(f(3))} AS session_id,
+           |  ${blankFiltered(dec(4))} AS sp_user_id,
+           |  ${blankFiltered(dec(5))} AS source_id,
+           |  ${blankFiltered(f(6))} AS source_platform,
+           |  ${blankFiltered(dec(7))} AS reason
+           |FROM (
+           |  SELECT event_id, string_split(concat(
+           |    CASE WHEN event_id % 10 = 3 THEN concat('d', user_id, chr(9), 'tab')
+           |         ELSE concat('d', user_id) END,
+           |    '.', event_id + 1700000000000, '.',
+           |    CASE WHEN event_id % 10 = 5 THEN ' ' ELSE concat('sess', event_id % 100) END, '.',
+           |    translate(to_base64(encode(concat('u', event_id % 50, '?>>'))), '+/', '-_'), '.',
+           |    translate(to_base64(encode('web?shop>')), '+/', '-_'), '.web.',
+           |    translate(to_base64(encode('promo link>>?')), '+/', '-_'),
+           |    CASE WHEN event_id % 10 = 7 THEN '.extra' ELSE '' END), '.') AS p
+           |  FROM raw) t ORDER BY event_id""".stripMargin)
+    }
   )
 }

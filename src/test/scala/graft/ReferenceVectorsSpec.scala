@@ -43,7 +43,18 @@ class ReferenceVectorsSpec extends SparkSpec {
       ("2700::4713", 4, 8, "x:x:x:x:x:x:x:x"),
       ("2700:zzzz::gggg", 4, 6, "2700:zzzz:x:x:x:x:x:x"),
       ("::FFFF:152.16.24.123", 2, 4, "::FFFF:152.16.x.x"),
-      ("::FFFF:152.16.24.123", 4, 4, "::FFFF:x.x.x.x")
+      ("::FFFF:152.16.24.123", 4, 4, "::FFFF:x.x.x.x"),
+      // malformed short IPv6 must fail CLOSED (pad to 8 with x, then mask)
+      ("4b0c:333", 2, 2, "4b0c:333:x:x:x:x:x:x"),
+      ("4b0c:333", 2, 7, "4b0c:x:x:x:x:x:x:x"),
+      ("4b0c:333", 2, 8, "x:x:x:x:x:x:x:x"),
+      // mixed notation routes to the v6 masker with Guava-style hex tail
+      // (64:ff9b::1.2.3.4 == 64:ff9b:0:0:0:0:102:304)
+      ("64:ff9b::1.2.3.4", 4, 4, "64:ff9b:0:0:x:x:x:x"),
+      ("64:ff9b::1.2.3.4", 4, 6, "64:ff9b:x:x:x:x:x:x"),
+      ("64:ff9b::1.2.3.4", 4, 1, "64:ff9b:0:0:0:0:102:x"),
+      // separator-free garbage passes through even at octets=4
+      ("hello;goodbye", 4, 4, "hello;goodbye")
     )
     vectors.foreach { case (ip, o, s, expected) =>
       assert(anon(ip, o, s) == expected, s"anonIp($ip, $o, $s)")
@@ -183,6 +194,34 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(one(EventF.headerName(h)) == "X-Forwarded-For")
     assert(one(EventF.headerValue(h)) == "129.78.138.66, 129.78.64.103")
     assert(one(EventF.headerName(lit("Content-Length: 348"))) == "Content-Length")
+  }
+
+  test("CrossNavigationEnrichment: extended _sp field semantics") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+    def sp7(f: (String, Int)*) = {
+      val base = Array("duid", "1700000000001", "sess1",
+        "dTM_Pg==", "d2Vi", "web", "cHJvbW8=") // b64url("u3?>"), b64url("web"), b64url("promo")
+      f.foreach { case (v, i) => base(i - 1) = v }
+      base.mkString(".")
+    }
+    def field(sp: String, i: Int) =
+      df.select(EventF.spField(lit(sp), i).as("r")).collect()(0).getString(0)
+    def decoded(sp: String, i: Int) =
+      df.select(EventF.spFieldDecoded(lit(sp), i).as("r")).collect()(0).getString(0)
+    // URL-safe alphabet: "u3?>" encodes standard "dTM/Pg==" → url-safe "dTM_Pg=="
+    assert(decoded(sp7(), 4) == "u3?>")
+    // 8-field _sp is discarded entirely (reference makeCrossDomainMap)
+    assert(field(sp7() + ".extra", 1) == null)
+    assert(decoded(sp7() + ".extra", 4) == null)
+    // duid gets fixTabsNewlines: tab → 4 spaces, control chars removed
+    assert(field(sp7(("du\tid", 1)), 1) == "du    id")
+    // session_id / source_platform blank-filtered on trimmed value
+    assert(field(sp7((" ", 3)), 3) == null)
+    assert(field(sp7(("  srv ", 6)), 6) == "  srv ") // kept verbatim when non-blank
+    // short form: missing trailing fields → null
+    assert(field("duid.1700000000001", 7) == null)
+    assert(field("duid.1700000000001", 1) == "duid")
   }
 
   test("eventEnrichmentSpecs: event code map incl. legacy aliases") {
