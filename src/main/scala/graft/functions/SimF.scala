@@ -45,4 +45,46 @@ object SimF {
   /** `nBits`-bit LSH bucket id from sign-random projections. */
   def srpBucket(v: Column, nBits: Int, tableSeed: Int): Column =
     (0 until nBits).map(b => srpBit(v, tableSeed * 64 + b) * lit(1 << b)).reduce(_ + _)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The deterministic hyperplane for `planeSeed`, precomputed at plan time:
+    * component i = (first md5 hex digit of "seed:i") − 7.5 — the exact
+    * constants [[srpBit]] derives per row, without the per-row md5 storm
+    * (64 md5 calls per bit per row matters at 100 TB; a literal array is
+    * free). Values are small integers ± 7.5, so the doubles are identical
+    * to the engine-computed ones bit-for-bit. */
+  def plane(planeSeed: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      "0123456789abcdef".indexOf(md5Hex(s"$planeSeed:$i").charAt(0)).toDouble - 7.5
+    }
+
+  /** [[srpBit]] against a plan-time literal plane (same bits, no md5 in the
+    * row path). `dim` must match the embedding length. */
+  def srpBitFast(v: Column, planeSeed: Int, dim: Int): Column = {
+    val p = typedLit(plane(planeSeed, dim))
+    val proj = aggregate(
+      zip_with(v, p, (x, w) => x.cast("double") * w),
+      lit(0.0),
+      (acc, x) => acc + x)
+    when(proj >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** [[srpBucket]] via [[srpBitFast]] — the hot-path variant. */
+  def srpBucketFast(v: Column, nBits: Int, tableSeed: Int, dim: Int): Column =
+    (0 until nBits).map(b => srpBitFast(v, tableSeed * 64 + b, dim) * lit(1 << b)).reduce(_ + _)
+
+  /** Id of the nearest centroid by cosine (ties → lowest id), computed as a
+    * NARROW projection against plan-time centroid literals — no join, no
+    * window, no shuffle for the assignment step. `cents` supplies
+    * (id, literal vector column, precomputed norm); the norm must be the
+    * same left-fold double the engine would compute. */
+  def argmaxCell(v: Column, nrm: Column, cents: Seq[(Long, Column, Double)]): Column = {
+    val structs = cents.map { case (cid, cvLit, cn) =>
+      struct((dot(v, cvLit) / (nrm * lit(cn))).as("s"), lit(-cid).as("negc"))
+    }
+    array_max(array(structs: _*)).getField("negc") * -1L
+  }
 }

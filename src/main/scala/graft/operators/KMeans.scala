@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimF
+
+/** Spherical (cosine) Lloyd's k-means over an array-typed embedding column —
+  * the IVF "coarse quantizer" trainer behind graft's `ann_ivf` operator.
+  *
+  * Spark-shaped for 100 TB corpora:
+  *  - ASSIGNMENT is a narrow projection against plan-time centroid literals
+  *    ([[SimF.argmaxCell]]) — no join, no window, no shuffle of the corpus.
+  *  - UPDATE is one `groupBy(cell, dim)` partial-aggregated mean; only
+  *    k × dim aggregate rows ever reach the driver.
+  *  - Centroids live on the driver between iterations (k × dim doubles are
+  *    tiny by definition; the corpus is not).
+  */
+object KMeans {
+
+  /** Cell id (0-based) of the nearest centroid by cosine, as a narrow
+    * projection. Ties break to the lowest cell id. */
+  def assignCell(v: Column, cents: Seq[Array[Double]]): Column = {
+    val lits = cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      (i.toLong, typedLit(c.toSeq), cn)
+    }
+    SimF.argmaxCell(v, SimF.norm(v), lits)
+  }
+
+  /** Train `k` centroids with `maxIter` Lloyd iterations. Seeds are the `k`
+    * vectors with the lowest `idCol` (deterministic). Cells that go empty
+    * keep their previous centroid. Returns the centroids in cell order. */
+  def fit(
+    df: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int,
+    maxIter: Int = 5
+  ): Seq[Array[Double]] = {
+    require(k >= 1 && maxIter >= 0)
+    def toD(x: Any): Double = x match {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }
+    var cents: Seq[Array[Double]] = df.orderBy(idCol).limit(k).select(vecCol)
+      .collect().map(_.getSeq[Any](0).map(toD).toArray).toSeq
+    for (_ <- 0 until maxIter) {
+      // the generator lives in its own projection: co-resolving posexplode
+      // with the struct-argmax strips struct field names (CleanupAliases)
+      // and breaks the getField access inside assignCell
+      val means = df
+        .select(assignCell(col(vecCol), cents).as("cell"), col(vecCol).as("__v"))
+        .select(col("cell"), posexplode(col("__v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i.toLong, old) }
+    }
+    cents
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,38 @@ object Queries3 {
 
   private def dotF(a: String, b: String) = SimF.dot(col(a), col(b))
 
+  // ---- dedup_embedding constants (shared Spark ↔ oracle) ----------------
+  private val Dim = 64 // embedding dimensionality of the test corpus
+  private val Bands = 4 // SRP-LSH bands
+  private val BandBits = 16 // bits per band → 65536 buckets per band
+  private val PlantEvery = 25 // every 25th vector gets a planted near-dup
+  private val PlantOffset = 1000000L // planted ids = vec_id + offset
+  private val HotBucketCap = 10000 // skew guard: skip buckets larger than this
+
+  /** embeddings (as double vectors) UNION deterministic planted near-dups:
+    * every `PlantEvery`-th vector re-emitted at id+`PlantOffset` with ±2%
+    * md5-seeded additive noise (cosine ≈ 0.996 to its base). Identical
+    * formula in the DuckDB oracle — without planted pairs the ≥0.95 dedup
+    * threshold never fires on the random corpus and the query is vacuous. */
+  private def augmentedEmbeddings(sp: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(sp, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val noisy = transform(col("embedding"), (x, i) => {
+      val h = md5(concat(lit("nd:"), col("vec_id").cast("string"), lit(":"), i.cast("string")).cast("binary"))
+      val digit = (instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1).cast("double")
+      x.cast("double") + lit(0.02) * ((digit - lit(7.5)) / lit(7.5))
+    })
+    // NB: noise is seeded with the ORIGINAL vec_id, so the id offset happens
+    // in a second select — aliasing `vec_id + offset AS vec_id` in the same
+    // projection would lateral-resolve the lambda's vec_id to the offset id
+    // (verified: both Spark and DuckDB do this).
+    val planted = Tables.embeddings(sp, dir)
+      .filter(col("vec_id") % PlantEvery === 0)
+      .select(col("vec_id"), noisy.as("v"))
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("v"))
+    base.unionByName(planted)
+  }
+
   val defs: Map[String, Q] = Map(
     "ip_asn_lookup" -> { (sp, dir) =>
       import sp.implicits._
@@ -36,17 +68,29 @@ object Queries3 {
     },
 
     "dedup_embedding" -> { (sp, dir) =>
-      val emb = Tables.embeddings(sp, dir)
-        .select(
-          col("vec_id"), col("embedding"),
-          SimF.srpBucket(col("embedding"), 8, 0).as("bucket"),
-          SimF.norm(col("embedding")).as("nrm"))
-        .persist() // feeds both sides of the bucket self-join
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("bucket").as("ba"), col("nrm").as("na"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("bucket").as("bb"), col("nrm").as("nb"))
-      a.join(b, col("ba") === col("bb") && col("id_a") < col("id_b"))
+      // banded SRP-LSH near-dup pairs: 4 × 16-bit signature tables,
+      // candidate pairs only within (band, bucket) — shuffle ∝ Bands·N,
+      // never N²; a hot-bucket cap bounds the worst key. Near-dups collide
+      // in ≥1 band w.h.p. (cos≈0.996 → P[16 bits agree] ≈ 0.63/band).
+      val bandCols = (0 until Bands).map(b =>
+        SimF.srpBucketFast(col("v"), BandBits, b, Dim).as(s"band$b"))
+      val sigs = augmentedEmbeddings(sp, dir)
+        .select(Seq(col("vec_id"), col("v"), SimF.norm(col("v")).as("nrm")) ++ bandCols: _*)
+        .persist() // feeds all band joins + the verify step
+      val cand = (0 until Bands).map { b =>
+        val bn = s"band$b"
+        val ok = sigs.groupBy(col(bn).as("bk")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= HotBucketCap).select("bk")
+        sigs.select(col("vec_id").as("id_a"), col(bn).as("bk"))
+          .join(ok, "bk") // hot-bucket cap: drop degenerate buckets pre-join
+          .join(sigs.select(col("vec_id").as("id_b"), col(bn).as("bk")), "bk")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      }.reduce(_ union _).distinct()
+      // cosine verification of the candidate set only
+      cand
+        .join(sigs.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+        .join(sigs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
         .withColumn("cos", dotF("va", "vb") / (col("na") * col("nb")))
         .filter(col("cos") >= 0.95)
         .select(col("id_a"), col("id_b"), round(col("cos") * 1e6).cast("bigint").as("cos_e6"))
@@ -54,30 +98,39 @@ object Queries3 {
     },
 
     "ann_ivf" -> { (sp, dir) =>
-      val emb = Tables.embeddings(sp, dir)
-        .select(col("vec_id"), col("embedding"), SimF.norm(col("embedding")).as("nrm"))
-        .persist()
-      // "trained" centroids: the first 16 vectors (deterministic IVF demo)
-      val cent = broadcast(emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn")))
-      // assignment: nearest centroid per vector (1 broadcast join, window)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-      val assign = emb.join(cent)
-        .withColumn("csim", dotF("embedding", "cv") / (col("nrm") * col("cn")))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"),
-          col("cid").as("cell"))
-      // nprobe=2 cells per query
-      val wProbe = Window.partitionBy("qid").orderBy(col("qsim").desc, col("cid"))
+      val embT = Tables.embeddings(sp, dir)
+      // "trained" centroids (the first 16 vectors — operators.KMeans is the
+      // real trainer) COLLECTED to the driver: 16×64 floats. Centroids are
+      // tiny by definition; the corpus is not — so assignment becomes a
+      // NARROW projection against centroid literals (zero joins, zero
+      // windows, zero shuffle for the N-row side), not a 16N-row shuffle.
+      val cents: Seq[(Long, Column, Double)] = embT
+        .filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding"))
+        .collect().toSeq
+        .map { r =>
+          val cv = r.getSeq[Float](1)
+          // same left-fold-in-double norm the oracle computes
+          val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+          (r.getLong(0), typedLit(cv), cn)
+        }
+      val withNorm = embT.select(col("vec_id"), col("embedding"), SimF.norm(col("embedding")).as("nrm"))
+      val assign = withNorm.select(
+        col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"),
+        SimF.argmaxCell(col("embedding"), col("nrm"), cents).as("cell"))
+      // nprobe=2 cells per query vector, also a narrow projection: sort the
+      // 16 (sim, -cid) structs ascending, take the top 2 from the tail
+      val qStructs = array(cents.map { case (cid, cvLit, cn) =>
+        struct((SimF.dot(col("embedding"), cvLit) / (col("nrm") * lit(cn))).as("s"),
+          lit(-cid).as("negc"))
+      }: _*)
+      val sortedQ = sort_array(qStructs)
       val qcells = broadcast(
-        emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
-          .join(cent)
-          .withColumn("qsim", dotF("qv", "cv") / (col("qn") * col("cn")))
-          .withColumn("prk", row_number().over(wProbe))
-          .filter(col("prk") <= 2)
-          .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell")))
+        withNorm.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
+            explode(array(
+              element_at(sortedQ, 16).getField("negc") * -1L,
+              element_at(sortedQ, 15).getField("negc") * -1L)).as("cell")))
       // search only within probed cells
       val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
       assign.join(qcells, "cell")
@@ -93,13 +146,21 @@ object Queries3 {
   val oracles: Map[String, String] = {
     def dotSql(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), (x, y) -> x + y)"
-    def bitSql(b: Int, v: String): String = {
+    // one SRP sign bit with plane seed `seed` over column `v`
+    def bitSql(seed: Int, bitPos: Int, v: String): String = {
       val proj = s"list_reduce(list_transform(range(1, len($v) + 1), i -> " +
         s"CAST(list_extract($v, i) AS DOUBLE) * " +
-        s"(CAST(strpos('0123456789abcdef', substr(md5(concat('$b:', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5)), (x, y) -> x + y)"
-      s"CASE WHEN $proj >= 0 THEN ${1 << b} ELSE 0 END"
+        s"(CAST(strpos('0123456789abcdef', substr(md5(concat('$seed:', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5)), (x, y) -> x + y)"
+      s"CASE WHEN $proj >= 0 THEN ${1 << bitPos} ELSE 0 END"
     }
-    val bucketSql = (0 until 8).map(bitSql(_, "embedding")).mkString(" + ")
+    // 16-bit band `b` bucket (plane seeds b*64+bit, mirroring SimF.srpBucketFast)
+    def bandSql(b: Int, v: String): String =
+      (0 until BandBits).map(bit => bitSql(b * 64 + bit, bit, v)).mkString(" + ")
+    val candUnion = (0 until Bands).map { b =>
+      s"""    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |    FROM sigs a JOIN sigs b ON a.band$b = b.band$b AND a.vec_id < b.vec_id
+         |    WHERE a.band$b IN (SELECT band$b FROM sigs GROUP BY band$b HAVING count(*) <= $HotBucketCap)""".stripMargin
+    }.mkString("\n    UNION ALL\n")
 
     Map(
       "ip_asn_lookup" -> Synth.withCte(
@@ -113,15 +174,28 @@ object Queries3 {
            |  FROM raw) t ORDER BY event_id""".stripMargin),
 
       "dedup_embedding" ->
-        s"""WITH e AS (
-           |  SELECT vec_id, embedding, $bucketSql AS bucket,
-           |         sqrt(${dotSql("embedding", "embedding")}) AS nrm
-           |  FROM embeddings
+        s"""WITH aug AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+           |  UNION ALL
+           |  SELECT base_id + $PlantOffset AS vec_id, v FROM (
+           |    SELECT vec_id AS base_id,
+           |      list_transform(range(1, len(embedding) + 1), i ->
+           |        CAST(list_extract(embedding, i) AS DOUBLE)
+           |        + 0.02 * ((CAST(strpos('0123456789abcdef', substr(md5(concat('nd:', vec_id, ':', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5) / 7.5)) AS v
+           |    FROM embeddings WHERE vec_id % $PlantEvery = 0) pl
+           |), sigs AS (
+           |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+           |    ${(0 until Bands).map(b => s"${bandSql(b, "v")} AS band$b").mkString(",\n    ")}
+           |  FROM aug
+           |), cand AS (
+           |  SELECT DISTINCT id_a, id_b FROM (
+           |$candUnion
+           |  ) u
            |)
-           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |  CAST(round((${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) * 1e6) AS BIGINT) AS cos_e6
-           |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.95
+           |SELECT id_a, id_b,
+           |  CAST(round((${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm)) * 1e6) AS BIGINT) AS cos_e6
+           |FROM cand JOIN sigs sa ON sa.vec_id = id_a JOIN sigs sb ON sb.vec_id = id_b
+           |WHERE ${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm) >= 0.95
            |ORDER BY id_a, id_b""".stripMargin,
 
       "ann_ivf" ->

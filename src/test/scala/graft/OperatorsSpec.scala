@@ -45,4 +45,43 @@ class OperatorsSpec extends SparkSpec {
       .select("id", "name").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(out(1L).contains("A") && out(2L).contains("A") && out(3L).isEmpty)
   }
+
+  test("KMeans: separates three well-separated direction clusters") {
+    import spark.implicits._
+    import graft.operators.KMeans
+    // 30 points in 3 tight cones around orthogonal axes (deterministic jitter)
+    // ids interleave cones (j*3+c) so the deterministic lowest-id seeds
+    // start one centroid in each cone
+    val pts = for {
+      c <- 0 until 3
+      j <- 0 until 10
+    } yield {
+      val base = Array.fill(4)(0.05 * ((c * 10 + j) % 7))
+      base(c) = 10.0 + j * 0.1
+      ((j * 3 + c).toLong, base.toSeq)
+    }
+    val df = pts.toDF("id", "v")
+    val cents = KMeans.fit(df, "v", "id", k = 3, maxIter = 4)
+    assert(cents.size == 3)
+    // every point of a cone lands in one cell; distinct cones → distinct cells
+    val assigned = df.select(col("id"), KMeans.assignCell(col("v"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cones = (0 until 3).map(c => (0 until 10).map(j => assigned((j * 3 + c).toLong)).toSet)
+    assert(cones.forall(_.size == 1), s"each cone maps to one cell: $cones")
+    assert(cones.flatten.toSet.size == 3, s"cones map to distinct cells: $cones")
+    // centroid of each cell points dominantly along its cone's axis
+    cones.zipWithIndex.foreach { case (cellSet, c) =>
+      val cent = cents(cellSet.head.toInt)
+      assert(cent.indexOf(cent.max) == c, s"centroid $cellSet dominated by axis $c")
+    }
+  }
+
+  test("KMeans.assignCell ties break to the lowest cell id") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")
+    val cents = Seq(Array(2.0, 0.0), Array(4.0, 0.0)) // same direction → cosine tie
+    val cell = df.select(graft.operators.KMeans.assignCell(col("v"), cents).as("c"))
+      .collect()(0).getLong(0)
+    assert(cell == 0L)
+  }
 }
