@@ -36,6 +36,10 @@ object LlmQueries {
 
   private val stopListSql = TextF.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** ngram_jaccard skew guard: shingles present in more docs than this are
+    * excluded from pairing (shared Spark ↔ oracle constant). */
+  private val StopShingleDf = 64
+
   /** SQL twin of SimF.dot: element products in double, strict left fold. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), (x, y) -> x + y)"
@@ -66,7 +70,6 @@ object LlmQueries {
 
     "ngram_jaccard" -> { (sp, dir) =>
       val docs = Tables.documents(sp, dir)
-        .filter(col("doc_id") < 300)
         .withColumn("toks", TextF.tokens(col("text"))) // materialize: one regex pass per doc
         .select(col("doc_id"), array_distinct(TextF.shinglesFromTokens(col("toks"), 5)).as("sh"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
@@ -75,7 +78,14 @@ object LlmQueries {
       // expression tree per reference (4× otherwise; on a cluster this is a
       // cached shuffle block, not recomputation)
       val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).persist()
-      val shared = ex.as("a").join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      // stop-shingle cap: one boilerplate shingle shared by k docs makes the
+      // self-join quadratic on that key (k² pairs). df-cap the shingle table
+      // BEFORE pairing — the design control that bounds shuffle volume by
+      // cap·|ex| at any corpus size (replaces the old test-time doc_id guard)
+      val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= StopShingleDf).select("s")
+      val exF = ex.join(rare, "s")
+      val shared = exF.as("a").join(exF.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared"))
       shared
@@ -189,12 +199,14 @@ object LlmQueries {
     "ngram_jaccard" ->
       s"""WITH docs AS (
          |  SELECT doc_id, list_distinct(${shinglesSql("w", 5)}) AS sh
-         |  FROM (SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id < 300) t1
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t1
          |), sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |exf AS (SELECT * FROM ex
+         |        WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= $StopShingleDf)),
          |shared AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT id_a, id_b, shared,
