@@ -153,3 +153,77 @@ object Adapters {
     Seq(mailchimp, sendgrid, pagerduty, mailgun, callrail, unbounce, statusgator, vero)
       .map(a => a.vendor -> a).toMap
 }
+
+/** Snowplow Tracker Protocol v2 (reference
+  * `adapters/registry/snowplow/Tp2Adapter.scala`): a POST body
+  * `{schema, data: [event-params…]}` carrying 1..N events, each merged with
+  * the request querystring — QUERYSTRING params take precedence (the
+  * reference's `body.toMap ++ qsParams`). One payload → N rows via
+  * `explode`; the whole adapter is codegen'd `from_json`/map functions. */
+object Tp2Adapter {
+
+  val PayloadDataSchema =
+    "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4"
+
+  /** `bodyCol` (JSON string) + `qsCol` (querystring) → one row per carried
+    * event with a `params` map column (qs precedence) and `tp2_schema`. */
+  def apply(df: DataFrame, bodyCol: String, qsCol: String): DataFrame = {
+    val parsed = from_json(col(bodyCol),
+      "schema STRING, data ARRAY<MAP<STRING, STRING>>", Map.empty[String, String])
+    val qsMap = when(col(qsCol).isNotNull && col(qsCol) =!= "",
+      str_to_map(col(qsCol), lit("&"), lit("="))).otherwise(map())
+    df.withColumn("__tp2", parsed)
+      .withColumn("__qs", qsMap.cast("map<string,string>"))
+      .select(
+        (df.columns.filterNot(c => c == bodyCol || c == qsCol).map(col).toSeq :+
+          col("__qs") :+
+          col("__tp2.schema").as("tp2_schema") :+
+          posexplode(col("__tp2.data"))): _*)
+      .withColumnRenamed("pos", "event_idx")
+      // qs overrides body: keep body keys absent from qs, then add all qs
+      .withColumn("params",
+        map_concat(
+          map_filter(col("col"), (k, _) => !map_contains_key(col("__qs"), k)),
+          col("__qs")))
+      .drop("col", "__qs")
+  }
+}
+
+/** Snowplow Redirect adapter (reference
+  * `adapters/registry/snowplow/RedirectAdapter.scala`): the `&u=` redirect
+  * target becomes a `uri_redirect` entity — a new unstruct event when the
+  * querystring carries no `e` param, otherwise a context added to the
+  * event; `tv` is forced to `r-tp2` and `p` defaults to `web`. The
+  * existing-`cx`/`co` merge paths are out of scope (graft events carry
+  * contexts unencoded). */
+object RedirectAdapter {
+
+  private val UriRedirectSchema =
+    "iglu:com.snowplowanalytics.snowplow/uri_redirect/jsonschema/1-0-0"
+  private val UnstructSchema =
+    "iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0"
+  private val ContextsSchema =
+    "iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-0"
+
+  /** `qsCol` (querystring with `u`) → tracker params columns: `e`,
+    * `ue_pr`/`co` (self-describing uri_redirect JSON via `to_json` — real
+    * escaping), `tv`, `p`, plus `redirect_uri`. Rows without `u` yield null
+    * outputs (the reference's protocol-violation bad row). */
+  def apply(df: DataFrame, qsCol: String): DataFrame = {
+    val qs = str_to_map(col(qsCol), lit("&"), lit("="))
+    val u = element_at(qs, "u")
+    val redirect = struct(lit(UriRedirectSchema).as("schema"),
+      struct(u.as("uri")).as("data"))
+    val uePr = to_json(struct(lit(UnstructSchema).as("schema"), redirect.as("data")))
+    val co = to_json(struct(lit(ContextsSchema).as("schema"), array(redirect).as("data")))
+    val hasE = map_contains_key(qs, "e")
+    df.select(
+      df.columns.filterNot(_ == qsCol).map(col).toSeq ++ Seq(
+        u.as("redirect_uri"),
+        when(u.isNotNull, when(hasE, element_at(qs, "e")).otherwise(lit("ue"))).as("e"),
+        when(u.isNotNull && !hasE, uePr).as("ue_pr"),
+        when(u.isNotNull && hasE, co).as("co"),
+        when(u.isNotNull, lit("r-tp2")).as("tv"),
+        when(u.isNotNull, coalesce(element_at(qs, "p"), lit("web"))).as("p")): _*)
+  }
+}

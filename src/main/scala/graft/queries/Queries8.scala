@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.adapters.{RedirectAdapter, Tp2Adapter}
+import graft.sources.ThriftPayload
+import graft.sources.ThriftPayload.CollectorPayloadT
+
+/** SURVEY §2 batch 8 (round 3): the real-traffic loader/adapter surface —
+  * Thrift collector payloads (reference `loaders/ThriftLoader.scala:57`),
+  * the Snowplow Tp2 POST adapter and the Redirect adapter
+  * (`adapters/registry/snowplow/`), and Iglu-style schema validation with
+  * typed bad rows (`utils/IgluUtils.scala:42`).
+  */
+object Queries8 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val CollectorSchema =
+    "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0"
+
+  /** add_to_cart spec the schema_validate query checks against. */
+  private val KnownSchema = "iglu:com.acme/add_to_cart/jsonschema/1-0-0"
+  private val UnknownSchema = "iglu:com.unknown/mystery/jsonschema/1-0-0"
+
+  val defs: Map[String, Q] = Map(
+    "thrift_payload_parse" -> { (sp, dir) =>
+      import sp.implicits._
+      // distributed round trip: synthesize collector fields → serialize each
+      // row to CollectorPayload Thrift bytes → decode with the loader. The
+      // oracle emits the expected fields directly from the same synth
+      // formulas, so any asymmetry between writer and reader shows up as a
+      // value mismatch. Byte-level golden vectors live in SourcesSpec.
+      val raw = Synth.withRaw(Tables.events(sp, dir))
+        .select(col("event_id"), col("ip"), col("ua"), col("page_url"), col("collector_us"))
+        .as[(Long, String, String, String, Long)]
+      raw.map { case (id, ip, ua, url, us) =>
+        val bytes = ThriftPayload.encode(CollectorPayloadT(
+          schema = CollectorSchema,
+          ipAddress = ip, timestamp = us / 1000, encoding = "UTF-8",
+          collector = "ssc-2.9.0-kafka", userAgent = ua, refererUri = null,
+          path = "/com.snowplowanalytics.snowplow/tp2",
+          querystring = "e=pv&url=" + url, body = null,
+          headers = Seq("User-Agent: " + ua, "Host: collector.example.com"),
+          contentType = null, hostname = "collector.example.com", networkUserId = null))
+        val p = ThriftPayload.decode(bytes)
+        (id, p.schema, p.collector, p.ipAddress, p.timestamp, p.userAgent, p.path,
+          p.querystring, p.hostname, p.headers.length)
+      }.toDF("event_id", "p_schema", "p_collector", "p_ip", "p_ts_ms", "p_ua", "p_path",
+          "p_qs", "p_hostname", "n_headers")
+        .orderBy("event_id")
+    },
+
+    "adapter_tp2" -> { (sp, dir) =>
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      // POST body: payload_data array of 2 events; body carries its own uid
+      // that the querystring must override (reference: body.toMap ++ qs)
+      val body = concat(
+        lit("{\"schema\":\"iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4\",\"data\":[" +
+          "{\"e\":\"pv\",\"url\":\"https://shop.example.com/p/"), s(e % 100),
+        lit("\",\"uid\":\"bodyuid\"},{\"e\":\"se\",\"se_ac\":\"click\",\"se_la\":\"btn"), s(e % 7),
+        lit("\"}]}"))
+      val qs = concat(
+        lit("uid=u"), s(col("user_id")), lit("&aid=shop"),
+        when(e % 3 === 0, lit("&p=mob")).otherwise(lit("")))
+      val in = Synth.withRaw(Tables.events(sp, dir))
+        .select(col("event_id"), col("user_id"))
+        .withColumn("body", body).withColumn("rqs", qs)
+      Tp2Adapter(in, "body", "rqs")
+        .select(
+          col("event_id"), col("event_idx"), col("tp2_schema"),
+          element_at(col("params"), "e").as("p_e"),
+          element_at(col("params"), "url").as("p_url"),
+          element_at(col("params"), "uid").as("p_uid"),
+          element_at(col("params"), "se_ac").as("p_se_ac"),
+          element_at(col("params"), "se_la").as("p_se_la"),
+          element_at(col("params"), "aid").as("p_aid"),
+          element_at(col("params"), "p").as("p_platform"))
+        .orderBy("event_id", "event_idx")
+    },
+
+    "adapter_redirect" -> { (sp, dir) =>
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      // r-tp2 redirect querystring; every 3rd event already carries e=pv →
+      // the uri_redirect rides as a context instead of a new unstruct event
+      val qs = concat(
+        when(e % 3 === 0, lit("e=pv&")).otherwise(lit("")),
+        lit("u=https://dest.example.com/p/"), s(e % 50),
+        lit("&aid=shop"),
+        when(e % 5 === 0, lit("&p=mob")).otherwise(lit("")))
+      val in = Synth.withRaw(Tables.events(sp, dir))
+        .select(col("event_id")).withColumn("rqs", qs)
+      RedirectAdapter(in, "rqs")
+        .select(col("event_id"), col("redirect_uri"), col("e"), col("ue_pr"),
+          col("co"), col("tv"), col("p"))
+        .orderBy("event_id")
+    },
+
+    "schema_validate" -> { (sp, dir) =>
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      // synthesize self-describing unstruct payloads with planted violations:
+      // e%7==0 missing required sku, e%7==1 wrong-typed qty, e%7==2 unknown
+      // schema — the reference's IgluUtils schema-invalid / schema-unknown
+      // bad-row taxonomy
+      val schemaStr = when(e % 7 === 2, lit(UnknownSchema)).otherwise(lit(KnownSchema))
+      val dataJson =
+        when(e % 7 === 0, lit("{\"qty\":2}"))
+          .when(e % 7 === 1, lit("{\"sku\":\"sku1\",\"qty\":\"oops\"}"))
+          .otherwise(concat(lit("{\"sku\":\"sku"), s(e % 20), lit("\",\"qty\":"), s(e % 5), lit("}")))
+      val sku = get_json_object(col("data_json"), "$.sku")
+      val qtyRaw = get_json_object(col("data_json"), "$.qty")
+      val qty = expr("try_cast(get_json_object(data_json, '$.qty') AS BIGINT)")
+      val badKind =
+        when(col("schema_str") =!= KnownSchema, lit("schema_unknown"))
+          .when(sku.isNull, lit("missing_field"))
+          .when(qty.isNull && qtyRaw.isNotNull, lit("type_violation"))
+      val badField =
+        when(col("schema_str") =!= KnownSchema, lit(null).cast("string"))
+          .when(sku.isNull, lit("sku"))
+          .when(qty.isNull && qtyRaw.isNotNull, lit("qty"))
+      Synth.withRaw(Tables.events(sp, dir))
+        .select(col("event_id"))
+        .withColumn("schema_str", schemaStr)
+        .withColumn("data_json", dataJson)
+        .select(
+          col("event_id"), col("schema_str"),
+          badKind.isNull.as("valid"),
+          badKind.as("bad_kind"), badField.as("bad_field"),
+          when(badKind.isNull, sku).as("sku"),
+          when(badKind.isNull, qty).as("qty"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "thrift_payload_parse" -> Synth.withCte(
+      s"""SELECT event_id,
+         |  '$CollectorSchema' AS p_schema,
+         |  'ssc-2.9.0-kafka' AS p_collector,
+         |  ip AS p_ip,
+         |  collector_us // 1000 AS p_ts_ms,
+         |  ua AS p_ua,
+         |  '/com.snowplowanalytics.snowplow/tp2' AS p_path,
+         |  concat('e=pv&url=', page_url) AS p_qs,
+         |  'collector.example.com' AS p_hostname,
+         |  2 AS n_headers
+         |FROM raw ORDER BY event_id""".stripMargin),
+
+    "adapter_tp2" -> Synth.withCte(
+      """SELECT event_id, i - 1 AS event_idx,
+        |  'iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4' AS tp2_schema,
+        |  json_extract_string(ev, '$.e') AS p_e,
+        |  json_extract_string(ev, '$.url') AS p_url,
+        |  concat('u', user_id) AS p_uid,
+        |  json_extract_string(ev, '$.se_ac') AS p_se_ac,
+        |  json_extract_string(ev, '$.se_la') AS p_se_la,
+        |  'shop' AS p_aid,
+        |  CASE WHEN event_id % 3 = 0 THEN 'mob' END AS p_platform
+        |FROM (
+        |  SELECT event_id, user_id, i,
+        |    json_extract(concat(
+        |      '{"schema":"iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4","data":[',
+        |      '{"e":"pv","url":"https://shop.example.com/p/', event_id % 100, '","uid":"bodyuid"},',
+        |      '{"e":"se","se_ac":"click","se_la":"btn', event_id % 7, '"}]}'),
+        |      concat('$.data[', i - 1, ']')) AS ev
+        |  FROM raw CROSS JOIN (VALUES (1), (2)) n(i)) t
+        |ORDER BY event_id, event_idx""".stripMargin),
+
+    "adapter_redirect" -> Synth.withCte(
+      """SELECT event_id,
+        |  uri AS redirect_uri,
+        |  CASE WHEN has_e THEN 'pv' ELSE 'ue' END AS e,
+        |  CASE WHEN NOT has_e THEN concat(
+        |    '{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0",',
+        |    '"data":{"schema":"iglu:com.snowplowanalytics.snowplow/uri_redirect/jsonschema/1-0-0",',
+        |    '"data":{"uri":"', uri, '"}}}') END AS ue_pr,
+        |  CASE WHEN has_e THEN concat(
+        |    '{"schema":"iglu:com.snowplowanalytics.snowplow/contexts/jsonschema/1-0-0",',
+        |    '"data":[{"schema":"iglu:com.snowplowanalytics.snowplow/uri_redirect/jsonschema/1-0-0",',
+        |    '"data":{"uri":"', uri, '"}}]}') END AS co,
+        |  'r-tp2' AS tv,
+        |  CASE WHEN event_id % 5 = 0 THEN 'mob' ELSE 'web' END AS p
+        |FROM (
+        |  SELECT event_id, event_id % 3 = 0 AS has_e,
+        |    concat('https://dest.example.com/p/', event_id % 50) AS uri
+        |  FROM raw) t ORDER BY event_id""".stripMargin),
+
+    "schema_validate" -> Synth.withCte(
+      s"""SELECT event_id, schema_str,
+         |  bad_kind IS NULL AS valid, bad_kind,
+         |  CASE WHEN bad_kind = 'missing_field' THEN 'sku'
+         |       WHEN bad_kind = 'type_violation' THEN 'qty' END AS bad_field,
+         |  CASE WHEN bad_kind IS NULL THEN json_extract_string(data_json, '$$.sku') END AS sku,
+         |  CASE WHEN bad_kind IS NULL THEN TRY_CAST(json_extract_string(data_json, '$$.qty') AS BIGINT) END AS qty
+         |FROM (
+         |  SELECT event_id, schema_str, data_json,
+         |    CASE WHEN schema_str <> '$KnownSchema' THEN 'schema_unknown'
+         |         WHEN json_extract_string(data_json, '$$.sku') IS NULL THEN 'missing_field'
+         |         WHEN TRY_CAST(json_extract_string(data_json, '$$.qty') AS BIGINT) IS NULL
+         |              AND json_extract_string(data_json, '$$.qty') IS NOT NULL THEN 'type_violation'
+         |    END AS bad_kind
+         |  FROM (
+         |    SELECT event_id,
+         |      CASE WHEN event_id % 7 = 2 THEN '$UnknownSchema' ELSE '$KnownSchema' END AS schema_str,
+         |      CASE WHEN event_id % 7 = 0 THEN '{"qty":2}'
+         |           WHEN event_id % 7 = 1 THEN '{"sku":"sku1","qty":"oops"}'
+         |           ELSE concat('{"sku":"sku', event_id % 20, '","qty":', event_id % 5, '}')
+         |      END AS data_json
+         |    FROM raw) t1) t2
+         |ORDER BY event_id""".stripMargin)
+  )
+}

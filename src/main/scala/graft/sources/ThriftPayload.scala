@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Minimal TBinaryProtocol codec for the Snowplow
+  * `CollectorPayload/thrift/1-0-0` struct — the wire format every Snowplow
+  * collector emits (reference `loaders/ThriftLoader.scala:57` reads it via
+  * the generated model1 bindings; field ids below are the public
+  * collector-payload schema: schema=31337, ipAddress=100, timestamp=200,
+  * encoding=210, collector=220, userAgent=300, refererUri=310, path=320,
+  * querystring=330, body=340, headers=350, contentType=360, hostname=400,
+  * networkUserId=410).
+  *
+  * Hand-rolled because graft carries no Thrift dependency: the unframed
+  * binary protocol is tiny and stable — per field a type byte + big-endian
+  * i16 id; strings are i32 length + UTF-8 bytes; i64 is 8 bytes BE; lists
+  * are elem-type byte + i32 count + elements; a 0x00 STOP byte ends the
+  * struct. Unknown fields are skipped (forward compatibility), truncated
+  * input fails to `None` (the reference's CPFormatViolation bad-row path).
+  */
+object ThriftPayload {
+
+  final case class CollectorPayloadT(
+    schema: String,
+    ipAddress: String,
+    timestamp: Long,
+    encoding: String,
+    collector: String,
+    userAgent: String,
+    refererUri: String,
+    path: String,
+    querystring: String,
+    body: String,
+    headers: Seq[String],
+    contentType: String,
+    hostname: String,
+    networkUserId: String
+  )
+
+  // TBinaryProtocol type ids (subset the payload uses)
+  private val TStop: Int = 0
+  private val TBool: Int = 2
+  private val TByte: Int = 3
+  private val TDouble: Int = 4
+  private val TI16: Int = 6
+  private val TI32: Int = 8
+  private val TI64: Int = 10
+  private val TString: Int = 11
+  private val TStruct: Int = 12
+  private val TMap: Int = 13
+  private val TSet: Int = 14
+  private val TList: Int = 15
+
+  /** Serialize in declaration order, skipping null fields — the same bytes
+    * the generated thrift writer produces. */
+  def encode(p: CollectorPayloadT): Array[Byte] = {
+    val out = new ByteArrayOutputStream(256)
+    def i16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def i32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def i64(v: Long): Unit = { i32((v >>> 32).toInt); i32(v.toInt) }
+    def str(v: String): Unit = { val b = v.getBytes(UTF_8); i32(b.length); out.write(b, 0, b.length) }
+    def fieldHeader(tpe: Int, id: Int): Unit = { out.write(tpe); i16(id) }
+    def strField(id: Int, v: String): Unit =
+      if (v != null) { fieldHeader(TString, id); str(v) }
+
+    strField(100, p.ipAddress)
+    fieldHeader(TI64, 200); i64(p.timestamp)
+    strField(210, p.encoding)
+    strField(220, p.collector)
+    strField(300, p.userAgent)
+    strField(310, p.refererUri)
+    strField(320, p.path)
+    strField(330, p.querystring)
+    strField(340, p.body)
+    if (p.headers != null && p.headers.nonEmpty) {
+      fieldHeader(TList, 350)
+      out.write(TString); i32(p.headers.size)
+      p.headers.foreach(str)
+    }
+    strField(360, p.contentType)
+    strField(400, p.hostname)
+    strField(410, p.networkUserId)
+    strField(31337, p.schema)
+    out.write(TStop)
+    out.toByteArray
+  }
+
+  /** Parse a serialized payload; throws on truncated/garbage input
+    * (use [[decodeOpt]] for the bad-row channel). Unknown fields skip. */
+  def decode(bytes: Array[Byte]): CollectorPayloadT = {
+    val buf = ByteBuffer.wrap(bytes)
+    var schema, ip, encoding, collector, ua, referer, path, qs, body, contentType, hostname, nuid: String = null
+    var ts = 0L
+    var headers: Seq[String] = Nil
+
+    def readStr(): String = {
+      val n = buf.getInt
+      if (n < 0 || n > buf.remaining()) throw new IllegalArgumentException(s"bad string length $n")
+      val b = new Array[Byte](n); buf.get(b); new String(b, UTF_8)
+    }
+    def skip(tpe: Int): Unit = tpe match {
+      case TBool | TByte => buf.position(buf.position() + 1)
+      case TI16 => buf.position(buf.position() + 2)
+      case TI32 => buf.position(buf.position() + 4)
+      case TI64 | TDouble => buf.position(buf.position() + 8)
+      case TString => val n = buf.getInt; buf.position(buf.position() + n)
+      case TList | TSet =>
+        val et = buf.get().toInt; val n = buf.getInt
+        (0 until n).foreach(_ => skip(et))
+      case TMap =>
+        val kt = buf.get().toInt; val vt = buf.get().toInt; val n = buf.getInt
+        (0 until n).foreach { _ => skip(kt); skip(vt) }
+      case TStruct =>
+        var t = buf.get().toInt
+        while (t != TStop) { buf.getShort; skip(t); t = buf.get().toInt }
+      case other => throw new IllegalArgumentException(s"unsupported thrift type $other")
+    }
+
+    var done = false
+    while (!done) {
+      val tpe = buf.get().toInt
+      if (tpe == TStop) done = true
+      else {
+        val id = buf.getShort.toInt
+        (id, tpe) match {
+          case (100, TString) => ip = readStr()
+          case (200, TI64) => ts = buf.getLong
+          case (210, TString) => encoding = readStr()
+          case (220, TString) => collector = readStr()
+          case (300, TString) => ua = readStr()
+          case (310, TString) => referer = readStr()
+          case (320, TString) => path = readStr()
+          case (330, TString) => qs = readStr()
+          case (340, TString) => body = readStr()
+          case (350, TList) =>
+            val et = buf.get().toInt
+            val n = buf.getInt
+            if (et != TString) throw new IllegalArgumentException(s"headers elem type $et")
+            headers = Seq.fill(n)(readStr())
+          case (360, TString) => contentType = readStr()
+          case (400, TString) => hostname = readStr()
+          case (410, TString) => nuid = readStr()
+          case (31337, TString) => schema = readStr()
+          case _ => skip(tpe)
+        }
+      }
+    }
+    CollectorPayloadT(schema, ip, ts, encoding, collector, ua, referer, path, qs, body,
+      headers, contentType, hostname, nuid)
+  }
+
+  /** Bad-row-channel variant: None on any malformed input. */
+  def decodeOpt(bytes: Array[Byte]): Option[CollectorPayloadT] =
+    try Option(decode(bytes)) catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Flattened decoded row for the DataFrame loader surface. */
+  final case class DecodedRow(
+    schema: String,
+    ipAddress: String,
+    timestamp: Long,
+    encoding: String,
+    collector: String,
+    userAgent: String,
+    refererUri: String,
+    path: String,
+    querystring: String,
+    body: String,
+    headers: Seq[String],
+    contentType: String,
+    hostname: String,
+    networkUserId: String,
+    valid: Boolean
+  )
+
+  private val EmptyRow =
+    DecodedRow(null, null, 0L, null, null, null, null, null, null, null, Nil, null, null, null, valid = false)
+
+  /** Thrift binary dataset → decoded payload rows (the batch loader:
+    * per-partition imperative decode is the one place `map` beats a Column
+    * expression). Malformed records surface as `valid = false` rows — the
+    * bad-row channel — instead of failing the job. */
+  def load(bin: Dataset[Array[Byte]]): DataFrame = {
+    import bin.sparkSession.implicits._
+    bin.map { b =>
+      decodeOpt(b) match {
+        case Some(p) =>
+          DecodedRow(p.schema, p.ipAddress, p.timestamp, p.encoding, p.collector, p.userAgent,
+            p.refererUri, p.path, p.querystring, p.body, p.headers, p.contentType, p.hostname,
+            p.networkUserId, valid = true)
+        case None => EmptyRow
+      }
+    }.toDF()
+  }
+}

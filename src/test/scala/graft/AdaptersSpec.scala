@@ -103,4 +103,42 @@ class AdaptersSpec extends SparkSpec {
     assert(out.getAs[String]("event_name") == "incident.trigger")
     assert(out.getAs[Long]("incident_number") == 42L)
   }
+
+  test("tp2 adapter: body array explodes, querystring params take precedence") {
+    import spark.implicits._
+    import graft.adapters.Tp2Adapter
+    val body = """{"schema":"iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4","data":[{"e":"pv","uid":"bodyuid","page":"home"},{"e":"se","se_ac":"click"}]}"""
+    val df = Seq((1L, body, "uid=qsuid&aid=app")).toDF("id", "body", "qs")
+    val out = Tp2Adapter(df, "body", "qs").orderBy("event_idx").collect()
+    assert(out.length == 2) // 1 payload → 2 raw events
+    val p0 = out(0).getAs[Map[String, String]]("params")
+    val p1 = out(1).getAs[Map[String, String]]("params")
+    assert(p0("e") == "pv" && p1("e") == "se")
+    assert(p0("uid") == "qsuid") // reference: body.toMap ++ qsParams
+    assert(p0("page") == "home" && p0("aid") == "app")
+    assert(p1("se_ac") == "click" && p1("aid") == "app")
+    assert(out(0).getAs[String]("tp2_schema").endsWith("payload_data/jsonschema/1-0-4"))
+  }
+
+  test("redirect adapter: u param becomes uri_redirect unstruct event or context") {
+    import spark.implicits._
+    import graft.adapters.RedirectAdapter
+    val df = Seq(
+      (1L, "u=https%3A%2F%2Fx.com&aid=a"), // no e → new unstruct event
+      (2L, "e=pv&u=https://y.com/p"), // existing event → context
+      (3L, "aid=only") // no u → nulls (bad-row path)
+    ).toDF("id", "qs")
+    val out = RedirectAdapter(df, "qs").orderBy("id").collect()
+    assert(out(0).getAs[String]("e") == "ue")
+    assert(out(0).getAs[String]("ue_pr").contains("uri_redirect"))
+    assert(out(0).getAs[String]("co") == null)
+    assert(out(0).getAs[String]("tv") == "r-tp2")
+    assert(out(0).getAs[String]("p") == "web")
+    assert(out(1).getAs[String]("e") == "pv")
+    assert(out(1).getAs[String]("ue_pr") == null)
+    assert(out(1).getAs[String]("co").contains("contexts/jsonschema/1-0-0"))
+    assert(out(1).getAs[String]("co").contains("""{"uri":"https://y.com/p"}"""))
+    assert(out(2).getAs[String]("e") == null)
+    assert(out(2).getAs[String]("tv") == null)
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ThriftPayload
+import graft.sources.ThriftPayload.CollectorPayloadT
+
+/** Byte-level spec of the hand-rolled TBinaryProtocol CollectorPayload codec
+  * (reference wire format: `loaders/ThriftLoader.scala:57` +
+  * the public collector-payload thrift/1-0-0 field ids). */
+class ThriftPayloadSpec extends AnyFunSuite {
+
+  private val sample = CollectorPayloadT(
+    schema = "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0",
+    ipAddress = "1.2.3.4",
+    timestamp = 1704067200123L,
+    encoding = "UTF-8",
+    collector = "ssc",
+    userAgent = "UA/1.0",
+    refererUri = null,
+    path = "/i",
+    querystring = "e=pv",
+    body = null,
+    headers = Seq("Host: h", "Accept: text/html"),
+    contentType = null,
+    hostname = "h",
+    networkUserId = null
+  )
+
+  test("round trip preserves every field, nulls stay null") {
+    val out = ThriftPayload.decode(ThriftPayload.encode(sample))
+    assert(out == sample)
+  }
+
+  test("golden bytes: ipAddress field header + string encoding") {
+    val bytes = ThriftPayload.encode(sample)
+    // field 100 (ipAddress) is written first: type=11 (STRING), id=100 as
+    // big-endian i16, then i32 length 7, then "1.2.3.4"
+    assert(bytes(0) == 11)
+    assert(((bytes(1) & 0xff) << 8 | (bytes(2) & 0xff)) == 100)
+    assert(((bytes(3) & 0xff) << 24 | (bytes(4) & 0xff) << 16 | (bytes(5) & 0xff) << 8 | (bytes(6) & 0xff)) == 7)
+    assert(new String(bytes.slice(7, 14), "UTF-8") == "1.2.3.4")
+    // i64 timestamp field follows: type=10, id=200, 8 bytes big-endian
+    assert(bytes(14) == 10)
+    assert(((bytes(15) & 0xff) << 8 | (bytes(16) & 0xff)) == 200)
+    val ts = (17 until 25).foldLeft(0L)((acc, i) => (acc << 8) | (bytes(i) & 0xff))
+    assert(ts == 1704067200123L)
+    // struct terminates with STOP
+    assert(bytes.last == 0)
+  }
+
+  test("decoder skips unknown fields (forward compatibility)") {
+    val base = ThriftPayload.encode(sample)
+    // splice an unknown BOOL field (id 999) before the STOP byte
+    val extra = Array[Byte](2, (999 >> 8).toByte, (999 & 0xff).toByte, 1)
+    val patched = base.dropRight(1) ++ extra ++ Array[Byte](0)
+    assert(ThriftPayload.decode(patched) == sample)
+  }
+
+  test("truncated input fails to None (bad-row channel), not an exception") {
+    val bytes = ThriftPayload.encode(sample)
+    assert(ThriftPayload.decodeOpt(bytes.take(bytes.length / 2)).isEmpty)
+    assert(ThriftPayload.decodeOpt(Array[Byte](11, 0)).isEmpty)
+    assert(ThriftPayload.decodeOpt(ThriftPayload.encode(sample)).contains(sample))
+  }
+}
+
+/** Distributed loader + adapter coverage that needs a SparkSession. */
+class ThriftLoaderSpec extends SparkSpec {
+
+  test("ThriftPayload.load: valid rows decode, garbage goes to the bad-row channel") {
+    import spark.implicits._
+    val good = ThriftPayload.encode(CollectorPayloadT(
+      "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0",
+      "9.8.7.6", 1704067200000L, "UTF-8", "ssc", "UA", null, "/i", "e=pv", null,
+      Seq("Host: x"), null, "host", null))
+    val bad = Array[Byte](11, 0, 100, 0, 0, 0, 99) // string claims 99 bytes, has none
+    val out = ThriftPayload.load(Seq(good, bad).toDS()).collect()
+    val (valid, invalid) = out.partition(_.getAs[Boolean]("valid"))
+    assert(valid.length == 1 && invalid.length == 1)
+    assert(valid(0).getAs[String]("ipAddress") == "9.8.7.6")
+    assert(valid(0).getAs[scala.collection.Seq[String]]("headers").toList == List("Host: x"))
+    assert(invalid(0).getAs[String]("ipAddress") == null)
+  }
+}
