@@ -28,6 +28,11 @@ object Queries2 {
   val Rates: Seq[(String, Long)] =
     Seq("USD" -> 1000000L, "EUR" -> 1080000L, "GBP" -> 1270000L, "JPY" -> 6700L)
 
+  /** Day range of the (currency, day)-keyed temporal rates dim (covers the
+    * whole events corpus with margin). */
+  val RateDayLo = 19700L
+  val RateDayHi = 19800L
+
   /** 32 geo "countries", one per aligned 2^27-wide IPv4 block. */
   val GeoCountries: Seq[String] = Seq(
     "US", "CN", "IN", "BR", "RU", "JP", "DE", "GB", "FR", "IT", "CA", "AU", "ES", "MX", "KR", "ID",
@@ -50,11 +55,23 @@ object Queries2 {
 
     "currency_conversion" -> { (sp, dir) =>
       import sp.implicits._
-      val rates = broadcast(Rates.toDF("cur", "rate_micro"))
+      // TEMPORAL rates: the reference converts at the event date
+      // (CurrencyConversionEnrichment.scala:150, one OER rate per day) —
+      // graft joins a (currency, day)-keyed broadcast dim with a
+      // deterministic per-day rate formula shared with the oracle
+      val curs = Seq("USD", "EUR", "GBP", "JPY").toDF("cur")
+      val rates = broadcast(
+        sp.range(RateDayLo, RateDayHi).select(col("id").as("day")).crossJoin(curs)
+          .withColumn("rate_micro",
+            when(col("cur") === "USD", lit(1000000L))
+              .when(col("cur") === "EUR", lit(1050000L) + (col("day") * 7919) % 60000)
+              .when(col("cur") === "GBP", lit(1240000L) + (col("day") * 104729) % 60000)
+              .otherwise(lit(6500L) + (col("day") * 31) % 400)))
       raw(sp, dir)
-        .join(rates, col("currency") === col("cur"), "left")
+        .withColumn("ev_day", expr("collector_us div 86400000000"))
+        .join(rates, col("currency") === col("cur") && col("ev_day") === col("day"), "left")
         .select(
-          col("event_id"), col("currency"), col("amount_cents"),
+          col("event_id"), col("currency"), col("amount_cents"), col("rate_micro"),
           (col("amount_cents") * col("rate_micro")).as("base_amount_e8"))
         .orderBy("event_id")
     },
@@ -194,9 +211,17 @@ object Queries2 {
            |ORDER BY event_id""".stripMargin),
 
       "currency_conversion" -> Synth.withCte(
-        s"""SELECT event_id, currency, amount_cents, amount_cents * rate_micro AS base_amount_e8
-           |FROM raw LEFT JOIN (VALUES ${Rates.map { case (c, r) => s"('$c', $r)" }.mkString(", ")}) r(cur, rate_micro)
-           |  ON currency = cur
+        s"""SELECT event_id, currency, amount_cents, rate_micro,
+           |  amount_cents * rate_micro AS base_amount_e8
+           |FROM raw LEFT JOIN (
+           |  SELECT d, cur,
+           |    CASE cur WHEN 'USD' THEN 1000000
+           |             WHEN 'EUR' THEN 1050000 + (d * 7919) % 60000
+           |             WHEN 'GBP' THEN 1240000 + (d * 104729) % 60000
+           |             ELSE 6500 + (d * 31) % 400 END AS rate_micro
+           |  FROM range($RateDayLo, $RateDayHi) t(d)
+           |  CROSS JOIN (VALUES ('USD'), ('EUR'), ('GBP'), ('JPY')) c(cur)
+           |) rates ON currency = cur AND collector_us // 86400000000 = d
            |ORDER BY event_id""".stripMargin),
 
       "ip_geo_lookup" -> Synth.withCte(
