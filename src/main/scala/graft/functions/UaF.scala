@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object UaF {
 
+  /** Known tablet device models that carry the "Mobile" token anyway —
+    * the cases only a device db catches (YAUAA's DeviceClass vectors:
+    * Galaxy Tab GT-P…, Samsung SM-T…, Nexus 7/9/10, Kindle/Silk). */
+  private val TabletModels = "GT-P[0-9]|SM-T[0-9]|Nexus (7|9|10)|Kindle|Silk/"
+
   def isBot(ua: Column): Column =
     ua.rlike("(?i)bot|crawler|spider|slurp|archiver|wget|curl")
 
@@ -24,20 +29,27 @@ object UaF {
       .when(ua.contains("Edg/") || ua.contains("Edge/"), lit("Edge"))
       .when(ua.contains("OPR/") || ua.contains("Opera"), lit("Opera"))
       .when(ua.contains("Firefox/"), lit("Firefox"))
+      .when(ua.contains("Chromium/"), lit("Chromium"))
       .when(ua.contains("Chrome/"), lit("Chrome"))
       .when(ua.contains("Safari/"), lit("Safari"))
       .when(ua.contains("MSIE") || ua.contains("Trident/"), lit("Internet Explorer"))
       .otherwise(lit("Unknown"))
 
-  /** Version string of the detected browser family. */
+  /** Version string of the detected browser family (incl. legacy
+    * `Opera 7.02`, `MSIE 9.0` and Trident `rv:11.0` forms). */
   def browserVersion(ua: Column): Column = {
     def v(tok: String) = nullif(regexp_extract(ua, tok + "/([0-9][0-9.]*)", 1), lit(""))
+    def re(pat: String) = nullif(regexp_extract(ua, pat, 1), lit(""))
     when(ua.contains("Edg/"), v("Edg"))
       .when(ua.contains("Edge/"), v("Edge"))
       .when(ua.contains("OPR/"), v("OPR"))
+      .when(ua.contains("Opera"), re("Opera[ /]([0-9][0-9.]*)"))
       .when(ua.contains("Firefox/"), v("Firefox"))
+      .when(ua.contains("Chromium/"), v("Chromium"))
       .when(ua.contains("Chrome/"), v("Chrome"))
       .when(ua.contains("Version/") && ua.contains("Safari/"), v("Version"))
+      .when(ua.contains("MSIE"), re("MSIE ([0-9][0-9.]*)"))
+      .when(ua.contains("Trident/"), re("rv:([0-9][0-9.]*)"))
       .otherwise(lit(null))
   }
 
@@ -48,12 +60,16 @@ object UaF {
       .when(ua.contains("Mac OS X"), lit("macOS"))
       .when(ua.contains("CrOS"), lit("ChromeOS"))
       .when(ua.contains("Linux"), lit("Linux"))
+      .when(ua.contains("PlayStation"), lit("PlayStation"))
       .otherwise(lit("Unknown"))
 
-  /** YAUAA-style coarse device class. */
+  /** YAUAA-style coarse device class (reference `YauaaEnrichmentSpec`
+    * DeviceClass vector table). */
   def deviceClass(ua: Column): Column =
     when(isBot(ua), lit("Robot"))
-      .when(ua.contains("iPad") || (ua.contains("Android") && !ua.contains("Mobile")), lit("Tablet"))
+      .when(ua.rlike("PlayStation|Nintendo|Xbox"), lit("Game Console"))
+      .when(ua.contains("iPad") || ua.rlike(TabletModels), lit("Tablet"))
+      .when(ua.contains("Android") && !ua.contains("Mobile"), lit("Tablet"))
       .when(ua.contains("iPhone") || ua.contains("Mobile"), lit("Phone"))
       .otherwise(lit("Desktop"))
 

@@ -340,7 +340,9 @@ object EnrichQueries {
   private def deviceClassSql(ua: String): String =
     s"""CASE
        |  WHEN regexp_matches(lower($ua), 'bot|crawler|spider|slurp|archiver|wget|curl') THEN 'Robot'
-       |  WHEN position('iPad' IN $ua) > 0 OR (position('Android' IN $ua) > 0 AND position('Mobile' IN $ua) = 0) THEN 'Tablet'
+       |  WHEN regexp_matches($ua, 'PlayStation|Nintendo|Xbox') THEN 'Game Console'
+       |  WHEN position('iPad' IN $ua) > 0 OR regexp_matches($ua, 'GT-P[0-9]|SM-T[0-9]|Nexus (7|9|10)|Kindle|Silk/') THEN 'Tablet'
+       |  WHEN position('Android' IN $ua) > 0 AND position('Mobile' IN $ua) = 0 THEN 'Tablet'
        |  WHEN position('iPhone' IN $ua) > 0 OR position('Mobile' IN $ua) > 0 THEN 'Phone'
        |  ELSE 'Desktop' END""".stripMargin
 
@@ -354,6 +356,7 @@ object EnrichQueries {
        |       WHEN ${has("Edg/")} OR ${has("Edge/")} THEN 'Edge'
        |       WHEN ${has("OPR/")} OR ${has("Opera")} THEN 'Opera'
        |       WHEN ${has("Firefox/")} THEN 'Firefox'
+       |       WHEN ${has("Chromium/")} THEN 'Chromium'
        |       WHEN ${has("Chrome/")} THEN 'Chrome'
        |       WHEN ${has("Safari/")} THEN 'Safari'
        |       WHEN ${has("MSIE")} OR ${has("Trident/")} THEN 'Internet Explorer'
@@ -361,9 +364,13 @@ object EnrichQueries {
        |  CASE WHEN ${has("Edg/")} THEN ${ver("Edg")}
        |       WHEN ${has("Edge/")} THEN ${ver("Edge")}
        |       WHEN ${has("OPR/")} THEN ${ver("OPR")}
+       |       WHEN ${has("Opera")} THEN nullif(regexp_extract(ua, 'Opera[ /]([0-9][0-9.]*)', 1), '')
        |       WHEN ${has("Firefox/")} THEN ${ver("Firefox")}
+       |       WHEN ${has("Chromium/")} THEN ${ver("Chromium")}
        |       WHEN ${has("Chrome/")} THEN ${ver("Chrome")}
        |       WHEN ${has("Version/")} AND ${has("Safari/")} THEN ${ver("Version")}
+       |       WHEN ${has("MSIE")} THEN nullif(regexp_extract(ua, 'MSIE ([0-9][0-9.]*)', 1), '')
+       |       WHEN ${has("Trident/")} THEN nullif(regexp_extract(ua, 'rv:([0-9][0-9.]*)', 1), '')
        |       END AS br_version,
        |  CASE WHEN ${has("Windows NT")} THEN 'Windows'
        |       WHEN ${has("Android")} THEN 'Android'
@@ -371,6 +378,7 @@ object EnrichQueries {
        |       WHEN ${has("Mac OS X")} THEN 'macOS'
        |       WHEN ${has("CrOS")} THEN 'ChromeOS'
        |       WHEN ${has("Linux")} THEN 'Linux'
+       |       WHEN ${has("PlayStation")} THEN 'PlayStation'
        |       ELSE 'Unknown' END AS os_family,
        |  ${deviceClassSql("ua")} AS dvce_type,
        |  $isBot AS is_bot

@@ -85,13 +85,16 @@ object PipelineQuery {
            |     WHEN ${has("Edg/")} OR ${has("Edge/")} THEN 'Edge'
            |     WHEN ${has("OPR/")} OR ${has("Opera")} THEN 'Opera'
            |     WHEN ${has("Firefox/")} THEN 'Firefox'
+           |     WHEN ${has("Chromium/")} THEN 'Chromium'
            |     WHEN ${has("Chrome/")} THEN 'Chrome'
            |     WHEN ${has("Safari/")} THEN 'Safari'
            |     WHEN ${has("MSIE")} OR ${has("Trident/")} THEN 'Internet Explorer'
            |     ELSE 'Unknown' END""".stripMargin
       val dvceType =
         s"""CASE WHEN $isBot THEN 'Robot'
-           |     WHEN ${has("iPad")} OR (${has("Android")} AND position('Mobile' IN ua) = 0) THEN 'Tablet'
+           |     WHEN regexp_matches(ua, 'PlayStation|Nintendo|Xbox') THEN 'Game Console'
+           |     WHEN ${has("iPad")} OR regexp_matches(ua, 'GT-P[0-9]|SM-T[0-9]|Nexus (7|9|10)|Kindle|Silk/') THEN 'Tablet'
+           |     WHEN ${has("Android")} AND position('Mobile' IN ua) = 0 THEN 'Tablet'
            |     WHEN ${has("iPhone")} OR ${has("Mobile")} THEN 'Phone'
            |     ELSE 'Desktop' END""".stripMargin
       val ipnum = "(event_id % 223 + 1) * 16777216 + ((event_id*7) % 256) * 65536 + ((event_id*13) % 256) * 256 + (event_id*29) % 256"

@@ -26,7 +26,14 @@ object Synth {
     "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
     "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
     "Mozilla/5.0 (iPad; CPU OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
-    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    // reference YauaaEnrichmentSpec / UserAgentUtilsEnrichmentSpec shapes:
+    // console, tablet-with-Mobile-token, Trident-only IE11, Chromium, legacy Opera
+    "Mozilla/5.0 (PlayStation 4 1.52) AppleWebKit/536.26 (KHTML, like Gecko)",
+    "Mozilla/5.0 (Linux; U; Android 2.2; fr-fr; GT-P1000 Build/FROYO) AppleWebKit/533.1 (KHTML, like Gecko) Version/4.0 Mobile Safari/533.1",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.22 (KHTML, like Gecko) Ubuntu Chromium/25.0.1364.160 Chrome/25.0.1364.160 Safari/537.22",
+    "Mozilla/4.0 (compatible; MSIE 6.0; MSIE 5.5; Windows NT 5.0) Opera 7.02 Bork-edition [en]"
   )
 
   val PageHosts: Seq[String] =
@@ -74,7 +81,7 @@ object Synth {
       .withColumn("ipv6",
         concat(lit("2001:db8:1:2:3:4:"), lower(hex(e % 65521)), lit(":"), lower(hex((e * 31) % 65521))))
       .withColumn("xff", concat(col("ip"), lit(", 10.0.0.1, 172.16.0.1")))
-      .withColumn("ua", pick(e % 8, UAs))
+      .withColumn("ua", pick(e % UAs.size, UAs))
       .withColumn("page_url",
         concat(lit("https://"), pick(e % 4, PageHosts), lit("/p/"), s(e % 100),
           pageQs,
@@ -118,7 +125,7 @@ object Synth {
        |  concat($e % 223 + 1, '.', ($e*7) % 256, '.', ($e*13) % 256, '.', ($e*29) % 256) AS ip,
        |  concat('2001:db8:1:2:3:4:', lower(hex($e % 65521)), ':', lower(hex(($e*31) % 65521))) AS ipv6,
        |  concat($e % 223 + 1, '.', ($e*7) % 256, '.', ($e*13) % 256, '.', ($e*29) % 256, ', 10.0.0.1, 172.16.0.1') AS xff,
-       |  ${caseSql(s"$e % 8", UAs)} AS ua,
+       |  ${caseSql(s"$e % ${UAs.size}", UAs)} AS ua,
        |  concat('https://', ${caseSql(s"$e % 4", PageHosts)}, '/p/', $e % 100,
        |         CASE $e % 5
        |           WHEN 0 THEN concat('?utm_source=google&utm_medium=cpc&utm_campaign=spring_sale&gclid=g', $e % 1000)

@@ -164,6 +164,45 @@ class ReferenceVectorsSpec extends SparkSpec {
     }
   }
 
+  test("YauaaEnrichmentSpec device-class vector table") {
+    import spark.implicits._
+    import graft.functions.UaF
+    // the reference YauaaEnrichmentSpec's own UA strings and expected
+    // DeviceClass values (graft matches YAUAA at its coarse granularity)
+    val vectors = Seq(
+      ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.22 (KHTML, like Gecko) Ubuntu Chromium/25.0.1364.160 Chrome/25.0.1364.160 Safari/537.22", "Desktop"),
+      ("Mozilla/5.0 (Linux; U; Android 2.2; fr-fr; GT-P1000 Build/FROYO) AppleWebKit/533.1 (KHTML, like Gecko) Version/4.0 Mobile Safari/533.1", "Tablet"),
+      ("Mozilla/5.0 (iPad; CPU OS 6_1_3 like Mac OS X) AppleWebKit/536.26 (KHTML, like Gecko) Version/6.0 Mobile/10B329 Safari/8536.25", "Tablet"),
+      ("Mozilla/5.0 (Linux; Android 4.1.2; Nexus S Build/JZO54K) AppleWebKit/535.19 (KHTML, like Gecko) Chrome/18.0.1025.166 Mobile Safari/535.19", "Phone"),
+      ("Mozilla/5.0 (PlayStation 4 1.52) AppleWebKit/536.26 (KHTML, like Gecko)", "Game Console"),
+      ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)", "Robot")
+    )
+    val out = vectors.map(_._1).toDF("ua")
+      .select(col("ua"), UaF.deviceClass(col("ua")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vectors.foreach { case (ua, exp) => assert(out(ua) == exp, s"deviceClass($ua)") }
+  }
+
+  test("UserAgentUtilsEnrichmentSpec browser family/version vectors") {
+    import spark.implicits._
+    import graft.functions.UaF
+    val chrome33 = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_9_1) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/33.0.1750.152 Safari/537.36"
+    val ie11 = "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko"
+    val ie9 = "Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.0; Trident/5.0)"
+    val opera = "Mozilla/4.0 (compatible; MSIE 6.0; MSIE 5.5; Windows NT 5.0) Opera 7.02 Bork-edition [en]"
+    val chromium = "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.22 (KHTML, like Gecko) Ubuntu Chromium/25.0.1364.160 Chrome/25.0.1364.160 Safari/537.22"
+    val out = Seq(chrome33, ie11, ie9, opera, chromium).toDF("ua")
+      .select(col("ua"), UaF.browserFamily(col("ua")).as("f"), UaF.browserVersion(col("ua")).as("v"),
+        UaF.osFamily(col("ua")).as("o"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(chrome33) == (("Chrome", "33.0.1750.152", "macOS"))) // ref: Chrome 33 / Mac OS X
+    assert(out(ie11) == (("Internet Explorer", "11.0", "Windows"))) // ref: IE 11 / Windows 7
+    assert(out(ie9) == (("Internet Explorer", "9.0", "Windows")))
+    assert(out(opera) == (("Opera", "7.02", "Windows")))
+    assert(out(chromium)._1 == "Chromium")
+    assert(out(chromium)._2 == "25.0.1364.160")
+  }
+
   test("UaParserEnrichmentSpec UAs classify to the same coarse families") {
     import spark.implicits._
     import graft.functions.UaF
