@@ -88,12 +88,16 @@ object IpF {
   def firstForwardedIp(xff: Column): Column =
     nullif(regexp_extract(xff, "^([^,| ]*)", 1), lit(""))
 
-  /** Dotted-quad IPv4 → 32-bit unsigned value as BIGINT (for range joins). */
+  /** Dotted-quad IPv4 → 32-bit unsigned value as BIGINT (for range joins).
+    * Null for anything else (IPv6 clients, garbage): a malformed address
+    * must yield a missed lookup, not an ANSI cast failure that kills the
+    * 100 TB job. */
   def ipv4ToLong(ip: Column): Column = {
     val p = split(ip, "\\.")
-    element_at(p, 1).cast("bigint") * 16777216L +
-      element_at(p, 2).cast("bigint") * 65536L +
-      element_at(p, 3).cast("bigint") * 256L +
-      element_at(p, 4).cast("bigint")
+    when(ip.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$"),
+      element_at(p, 1).cast("bigint") * 16777216L +
+        element_at(p, 2).cast("bigint") * 65536L +
+        element_at(p, 3).cast("bigint") * 256L +
+        element_at(p, 4).cast("bigint"))
   }
 }

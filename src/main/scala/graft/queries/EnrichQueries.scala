@@ -94,12 +94,25 @@ object EnrichQueries {
       ).orderBy("event_id")),
 
     // ---- §2.B ----------------------------------------------------------
-    "anon_ip" -> ((sp, dir) =>
+    "anon_ip" -> { (sp, dir) =>
+      val e = col("event_id")
+      // edge universe for the PII kernel: well-formed v4/v6, malformed
+      // ::-less v6, mixed notation, empty, separator-free garbage — every
+      // class masked (or passed through) exactly as the reference does
+      val ipEdge =
+        when(e % 6 === 0, col("ip"))
+          .when(e % 6 === 1, col("ipv6"))
+          .when(e % 6 === 2, lit("4b0c:333"))
+          .when(e % 6 === 3, lit("64:ff9b::1.2.3.4"))
+          .when(e % 6 === 4, lit(""))
+          .otherwise(lit("hello;goodbye"))
       raw(sp, dir).select(
         col("event_id"), col("ip"),
         IpF.anonIp(col("ip"), 2, 4).as("ip_anon"),
-        IpF.anonIpv6(col("ipv6"), 4).as("ipv6_anon")
-      ).orderBy("event_id")),
+        IpF.anonIpv6(col("ipv6"), 4).as("ipv6_anon"),
+        IpF.anonIp(ipEdge, 2, 4).as("ip_edge_anon")
+      ).orderBy("event_id")
+    },
 
     "campaign_attribution" -> { (sp, dir) =>
       val qs = UrlF.urlQuery(col("page_url"))
@@ -255,7 +268,14 @@ object EnrichQueries {
       "anon_ip" -> Synth.withCte(
         """SELECT event_id, ip,
           |  regexp_replace(ip, '^(\d+)\.(\d+)\.\d+\.\d+$', '\1.\2.x.x') AS ip_anon,
-          |  regexp_replace(ipv6, '^([^:]+:[^:]+:[^:]+:[^:]+):.*$', '\1:x:x:x:x') AS ipv6_anon
+          |  regexp_replace(ipv6, '^([^:]+:[^:]+:[^:]+:[^:]+):.*$', '\1:x:x:x:x') AS ipv6_anon,
+          |  CASE event_id % 6
+          |    WHEN 0 THEN regexp_replace(ip, '^(\d+)\.(\d+)\.\d+\.\d+$', '\1.\2.x.x')
+          |    WHEN 1 THEN regexp_replace(ipv6, '^([^:]+:[^:]+:[^:]+:[^:]+):.*$', '\1:x:x:x:x')
+          |    WHEN 2 THEN '4b0c:333:x:x:x:x:x:x'
+          |    WHEN 3 THEN '64:ff9b:0:0:x:x:x:x'
+          |    WHEN 4 THEN ''
+          |    ELSE 'hello;goodbye' END AS ip_edge_anon
           |FROM raw ORDER BY event_id""".stripMargin),
 
       "campaign_attribution" -> Synth.withCte(

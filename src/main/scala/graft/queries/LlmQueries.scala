@@ -119,8 +119,12 @@ object LlmQueries {
     },
 
     "sim_lsh" -> ((sp, dir) =>
+      // banded SRP index: 4 × 16-bit signature tables (the search side joins
+      // per band and unions candidates — dedup_embedding is the full
+      // pipeline; this emits the index itself). Literal planes, no per-row md5.
       Tables.embeddings(sp, dir)
-        .select(col("vec_id"), SimF.srpBucket(col("embedding"), 8, 0).as("bucket"))
+        .select(Seq(col("vec_id")) ++
+          (0 until 4).map(b => SimF.srpBucketFast(col("embedding"), 16, b, 64).as(s"band$b")): _*)
         .orderBy("vec_id")),
 
     "text_langid" -> ((sp, dir) =>
@@ -232,15 +236,16 @@ object LlmQueries {
          |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "sim_lsh" -> {
-      def bitSql(b: Int): String = {
-        val seed = b // tableSeed 0 → planeSeed = b
+      def bitSql(seed: Int, bitPos: Int): String = {
         val proj = s"list_reduce(list_transform(range(1, len(embedding) + 1), i -> " +
           s"CAST(list_extract(embedding, i) AS DOUBLE) * " +
           s"(CAST(strpos('0123456789abcdef', substr(md5(concat('$seed:', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5)), (x, y) -> x + y)"
-        s"CASE WHEN $proj >= 0 THEN ${1 << b} ELSE 0 END"
+        s"CASE WHEN $proj >= 0 THEN ${1 << bitPos} ELSE 0 END"
       }
-      val bucket = (0 until 8).map(bitSql).mkString(" + ")
-      s"SELECT vec_id, $bucket AS bucket FROM embeddings ORDER BY vec_id"
+      def bandSql(b: Int): String =
+        (0 until 16).map(bit => bitSql(b * 64 + bit, bit)).mkString(" + ")
+      val bands = (0 until 4).map(b => s"${bandSql(b)} AS band$b").mkString(",\n  ")
+      s"SELECT vec_id,\n  $bands\nFROM embeddings ORDER BY vec_id"
     },
 
     "text_langid" -> {

@@ -63,7 +63,10 @@ object PipelineQuery {
           |     WHEN sent_us IS NOT NULL AND created_us IS NOT NULL AND created_us < sent_us
           |       THEN collector_us - (sent_us - created_us)
           |     ELSE collector_us END""".stripMargin
-      val anonIpSql = raw"regexp_replace(ip, '^(\d+)\.(\d+)\.\d+\.\d+$$', '\1.\2.x.x')"
+      val anonIpSql =
+        raw"""CASE WHEN event_id % 9 = 0
+             |     THEN regexp_replace(ipv6, '^([^:]+:[^:]+:[^:]+:[^:]+):.*$$', '\1:x:x:x:x')
+             |     ELSE regexp_replace(ip, '^(\d+)\.(\d+)\.\d+\.\d+$$', '\1.\2.x.x') END""".stripMargin
       val pageHost = "nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1), '')"
       val refrHost = "nullif(regexp_extract(refr_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1), '')"
       val pageQsE = raw"nullif(regexp_extract(page_url, '\?([^#]*)', 1), '')"
@@ -98,7 +101,9 @@ object PipelineQuery {
            |     WHEN ${has("iPhone")} OR ${has("Mobile")} THEN 'Phone'
            |     ELSE 'Desktop' END""".stripMargin
       val ipnum = "(event_id % 223 + 1) * 16777216 + ((event_id*7) % 256) * 65536 + ((event_id*13) % 256) * 256 + (event_id*29) % 256"
-      val geo = s"list_extract([${Queries2.GeoCountries.map(c => s"'$c'").mkString(", ")}], CAST(($ipnum) // 134217728 AS INTEGER) + 1)"
+      // IPv6 clients (event_id % 9 = 0: xff leads with the v6 address) have
+      // no v4 geo mapping → NULL country, and mask as v6
+      val geo = s"CASE WHEN event_id % 9 = 0 THEN NULL ELSE list_extract([${Queries2.GeoCountries.map(c => s"'$c'").mkString(", ")}], CAST(($ipnum) // 134217728 AS INTEGER) + 1) END"
       val fp =
         """md5(concat(
           |  CASE WHEN event_code IS NULL THEN '' ELSE concat('event_code', chr(31), event_code, chr(31)) END,

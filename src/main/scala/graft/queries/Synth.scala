@@ -66,6 +66,9 @@ object Synth {
         .when(e % 5 === 1, lit("?utm_source=newsletter&utm_medium=email&utm_campaign=weekly"))
         .when(e % 5 === 2, concat(lit("?q=red+shoes&page="), s(e % 10)))
         .when(e % 5 === 3, concat(lit("?fbclid=fb"), s(e % 1000), lit("&utm_campaign=retarget")))
+        // %-encoded values, empty-valued param, encoded path — parsers must
+        // pass them through verbatim (no double decode)
+        .when(e % 10 === 4, lit("?q=c%20d&empty=&next=%2Fcheckout%3Fstep%3D2"))
         .otherwise(lit(""))
     val refrUrl =
       when(e % 6 === 0, concat(lit("https://www.google.com/search?q=widget+"), s(e % 50)))
@@ -80,7 +83,9 @@ object Synth {
         concat(s(e % 223 + 1), lit("."), s((e * 7) % 256), lit("."), s((e * 13) % 256), lit("."), s((e * 29) % 256)))
       .withColumn("ipv6",
         concat(lit("2001:db8:1:2:3:4:"), lower(hex(e % 65521)), lit(":"), lower(hex((e * 31) % 65521))))
-      .withColumn("xff", concat(col("ip"), lit(", 10.0.0.1, 172.16.0.1")))
+      .withColumn("xff",
+        when(e % 9 === 0, concat(col("ipv6"), lit(", "), col("ip"))) // v6 client behind v4 proxies
+          .otherwise(concat(col("ip"), lit(", 10.0.0.1, 172.16.0.1"))))
       .withColumn("ua", pick(e % UAs.size, UAs))
       .withColumn("page_url",
         concat(lit("https://"), pick(e % 4, PageHosts), lit("/p/"), s(e % 100),
@@ -124,15 +129,19 @@ object Synth {
        |  epoch_us(ts) AS collector_us,
        |  concat($e % 223 + 1, '.', ($e*7) % 256, '.', ($e*13) % 256, '.', ($e*29) % 256) AS ip,
        |  concat('2001:db8:1:2:3:4:', lower(hex($e % 65521)), ':', lower(hex(($e*31) % 65521))) AS ipv6,
-       |  concat($e % 223 + 1, '.', ($e*7) % 256, '.', ($e*13) % 256, '.', ($e*29) % 256, ', 10.0.0.1, 172.16.0.1') AS xff,
+       |  CASE WHEN $e % 9 = 0
+       |       THEN concat('2001:db8:1:2:3:4:', lower(hex($e % 65521)), ':', lower(hex(($e*31) % 65521)),
+       |                   ', ', $e % 223 + 1, '.', ($e*7) % 256, '.', ($e*13) % 256, '.', ($e*29) % 256)
+       |       ELSE concat($e % 223 + 1, '.', ($e*7) % 256, '.', ($e*13) % 256, '.', ($e*29) % 256, ', 10.0.0.1, 172.16.0.1')
+       |  END AS xff,
        |  ${caseSql(s"$e % ${UAs.size}", UAs)} AS ua,
        |  concat('https://', ${caseSql(s"$e % 4", PageHosts)}, '/p/', $e % 100,
-       |         CASE $e % 5
-       |           WHEN 0 THEN concat('?utm_source=google&utm_medium=cpc&utm_campaign=spring_sale&gclid=g', $e % 1000)
-       |           WHEN 1 THEN '?utm_source=newsletter&utm_medium=email&utm_campaign=weekly'
-       |           WHEN 2 THEN concat('?q=red+shoes&page=', $e % 10)
-       |           WHEN 3 THEN concat('?fbclid=fb', $e % 1000, '&utm_campaign=retarget')
-       |           ELSE '' END,
+       |         CASE WHEN $e % 5 = 0 THEN concat('?utm_source=google&utm_medium=cpc&utm_campaign=spring_sale&gclid=g', $e % 1000)
+       |              WHEN $e % 5 = 1 THEN '?utm_source=newsletter&utm_medium=email&utm_campaign=weekly'
+       |              WHEN $e % 5 = 2 THEN concat('?q=red+shoes&page=', $e % 10)
+       |              WHEN $e % 5 = 3 THEN concat('?fbclid=fb', $e % 1000, '&utm_campaign=retarget')
+       |              WHEN $e % 10 = 4 THEN '?q=c%20d&empty=&next=%2Fcheckout%3Fstep%3D2'
+       |              ELSE '' END,
        |         CASE WHEN $e % 7 = 0 THEN '#section2' ELSE '' END) AS page_url,
        |  nullif(CASE $e % 6
        |           WHEN 0 THEN concat('https://www.google.com/search?q=widget+', $e % 50)
