@@ -76,15 +76,46 @@ object SimF {
   def srpBucketFast(v: Column, nBits: Int, tableSeed: Int, dim: Int): Column =
     (0 until nBits).map(b => srpBitFast(v, tableSeed * 64 + b, dim) * lit(1 << b)).reduce(_ + _)
 
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** v × matrix-literal dot products via the codegen'd
+    * [[graft.plans.VecMatMulExpression]] — same left-fold doubles as the
+    * HOF form, none of the per-element interpreted-lambda cost. */
+  private def vecMatDots(v: Column, mat: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(
+      graft.plans.VecMatMulExpression(ColumnBridge.expression(v), mat.map(_.toArray).toArray))
+
+  /** All `bands` × `bitsPerBand` SRP band buckets at once, as one
+    * `array<int>` column. The projections run through ONE codegen'd
+    * vec×mat kernel (planes matrix as a plan-time reference object); only
+    * the tiny bands×bits→bucket fold stays composable. Bit/bucket values
+    * are identical to [[srpBucketFast]] (band b uses plane seeds
+    * b*64+bit). */
+  def srpBands(v: Column, bands: Int, bitsPerBand: Int, dim: Int): Column = {
+    val planes: Seq[Seq[Double]] =
+      for (b <- 0 until bands; bit <- 0 until bitsPerBand) yield plane(b * 64 + bit, dim)
+    val bits = transform(vecMatDots(v, planes), p => when(p >= 0, lit(1)).otherwise(lit(0)))
+    val powers = typedLit((0 until bitsPerBand).map(1 << _))
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(
+        zip_with(slice(bits, b * bitsPerBand + 1, lit(bitsPerBand)), powers, (x, p) => x * p),
+        lit(0), (acc, x) => acc + x))
+  }
+
+  /** (cosine, −centroid-id) structs of `v` against every centroid: the
+    * k×dim dot products run through the codegen'd vec×mat kernel; only the
+    * k-element normalize/pair-up lambdas stay composable. Norms must be the
+    * same left-fold doubles the engine would compute. */
+  def cellSims(v: Column, nrm: Column, cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val dots = vecMatDots(v, cents.map(_._2))
+    val sims = zip_with(dots, typedLit(cents.map(_._3)), (d, cn) => d / (nrm * cn))
+    zip_with(sims, typedLit(cents.map(c => -c._1)), (s, negc) =>
+      struct(s.as("s"), negc.as("negc")))
+  }
+
   /** Id of the nearest centroid by cosine (ties → lowest id), computed as a
     * NARROW projection against plan-time centroid literals — no join, no
-    * window, no shuffle for the assignment step. `cents` supplies
-    * (id, literal vector column, precomputed norm); the norm must be the
-    * same left-fold double the engine would compute. */
-  def argmaxCell(v: Column, nrm: Column, cents: Seq[(Long, Column, Double)]): Column = {
-    val structs = cents.map { case (cid, cvLit, cn) =>
-      struct((dot(v, cvLit) / (nrm * lit(cn))).as("s"), lit(-cid).as("negc"))
-    }
-    array_max(array(structs: _*)).getField("negc") * -1L
-  }
+    * window, no shuffle for the assignment step. */
+  def argmaxCell(v: Column, nrm: Column, cents: Seq[(Long, Seq[Double], Double)]): Column =
+    array_max(cellSims(v, nrm, cents)).getField("negc") * -1L
 }

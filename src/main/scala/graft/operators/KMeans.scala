@@ -21,11 +21,11 @@ object KMeans {
   /** Cell id (0-based) of the nearest centroid by cosine, as a narrow
     * projection. Ties break to the lowest cell id. */
   def assignCell(v: Column, cents: Seq[Array[Double]]): Column = {
-    val lits = cents.zipWithIndex.map { case (c, i) =>
+    val data = cents.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
-      (i.toLong, typedLit(c.toSeq), cn)
+      (i.toLong, c.toSeq, cn)
     }
-    SimF.argmaxCell(v, SimF.norm(v), lits)
+    SimF.argmaxCell(v, SimF.norm(v), data)
   }
 
   /** Train `k` centroids with `maxIter` Lloyd iterations. Seeds are the `k`

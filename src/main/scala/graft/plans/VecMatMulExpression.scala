@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd vector × matrix-literal kernel: for each row j of the
+  * plan-time `mat`, emits the left-to-right dot product Σᵢ v(i)·mat(j)(i)
+  * in double — byte-identical to the composable
+  * `aggregate(zip_with(v, lit(row), _*_), 0.0, _+_)` fold, minus the
+  * per-element interpreted-lambda overhead (the HOF form costs ~1 boxed
+  * lambda call per element; at rows × matRows × dim that dominates the
+  * whole query). Backs the SRP-LSH signature tables (mat = hyperplanes) and
+  * IVF centroid similarity (mat = centroids).
+  */
+case class VecMatMulExpression(child: Expression, mat: Array[Array[Double]])
+  extends UnaryExpression {
+
+  require(mat.nonEmpty, "matrix must have at least one row")
+
+  // def, not val: child.dataType is unavailable while still unresolved
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_vecmatmul requires array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vecmatmul"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Any](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val row = mat(j)
+      val d = math.min(n, row.length)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * row(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => {
+      val arrCls = classOf[GenericArrayData].getName
+      val out = ctx.freshName("out")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = $c.numElements();
+         |double[] $out = new double[$matRef.length];
+         |for (int $j = 0; $j < $matRef.length; $j++) {
+         |  double[] $row = $matRef[$j];
+         |  int $d = $n < $row.length ? $n : $row.length;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $acc += ((double) $c.$getter($i)) * $row[$i];
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = new $arrCls($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecMatMulExpression =
+    copy(child = newChild)
+}

@@ -168,8 +168,11 @@ object EnrichQueries {
       ).orderBy("event_id")),
 
     "ua_device_class" -> ((sp, dir) =>
+      // classify ONCE, derive is_mobile from the result — isMobile(ua) would
+      // re-run the whole regex cascade per row
       raw(sp, dir)
-        .select(UaF.deviceClass(col("ua")).as("device_class"), UaF.isMobile(col("ua")).as("is_mobile"))
+        .select(UaF.deviceClass(col("ua")).as("device_class"))
+        .select(col("device_class"), col("device_class").isin("Phone", "Tablet").as("is_mobile"))
         .groupBy("device_class", "is_mobile").agg(count(lit(1)).as("cnt"))
         .orderBy("device_class")),
 

@@ -123,8 +123,9 @@ object LlmQueries {
       // per band and unions candidates — dedup_embedding is the full
       // pipeline; this emits the index itself). Literal planes, no per-row md5.
       Tables.embeddings(sp, dir)
+        .select(col("vec_id"), SimF.srpBands(col("embedding"), 4, 16, 64).as("bands"))
         .select(Seq(col("vec_id")) ++
-          (0 until 4).map(b => SimF.srpBucketFast(col("embedding"), 16, b, 64).as(s"band$b")): _*)
+          (0 until 4).map(b => element_at(col("bands"), b + 1).as(s"band$b")): _*)
         .orderBy("vec_id")),
 
     "text_langid" -> ((sp, dir) =>

@@ -72,21 +72,21 @@ object Queries3 {
       // candidate pairs only within (band, bucket) — shuffle ∝ Bands·N,
       // never N²; a hot-bucket cap bounds the worst key. Near-dups collide
       // in ≥1 band w.h.p. (cos≈0.996 → P[16 bits agree] ≈ 0.63/band).
-      val bandCols = (0 until Bands).map(b =>
-        SimF.srpBucketFast(col("v"), BandBits, b, Dim).as(s"band$b"))
+      // All bands ride one exploded (band, bucket) key → ONE self-join, not
+      // one per band.
       val sigs = augmentedEmbeddings(sp, dir)
-        .select(Seq(col("vec_id"), col("v"), SimF.norm(col("v")).as("nrm")) ++ bandCols: _*)
-        .persist() // feeds all band joins + the verify step
-      val cand = (0 until Bands).map { b =>
-        val bn = s"band$b"
-        val ok = sigs.groupBy(col(bn).as("bk")).agg(count(lit(1)).as("n"))
-          .filter(col("n") <= HotBucketCap).select("bk")
-        sigs.select(col("vec_id").as("id_a"), col(bn).as("bk"))
-          .join(ok, "bk") // hot-bucket cap: drop degenerate buckets pre-join
-          .join(sigs.select(col("vec_id").as("id_b"), col(bn).as("bk")), "bk")
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-      }.reduce(_ union _).distinct()
+        .select(col("vec_id"), col("v"), SimF.norm(col("v")).as("nrm"),
+          SimF.srpBands(col("v"), Bands, BandBits, Dim).as("bands"))
+        .persist() // feeds the band join + the verify step
+      val ex = sigs.select(col("vec_id"), posexplode(col("bands")))
+        .select(col("vec_id"), col("pos").as("b"), col("col").as("bk"))
+      val ok = ex.groupBy("b", "bk").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= HotBucketCap).select("b", "bk")
+      val exF = ex.join(ok, Seq("b", "bk")) // hot-bucket cap pre-join
+      val cand = exF.select(col("b"), col("bk"), col("vec_id").as("id_a"))
+        .join(exF.select(col("b"), col("bk"), col("vec_id").as("id_b")), Seq("b", "bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
       // cosine verification of the candidate set only
       cand
         .join(sigs.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
@@ -104,15 +104,15 @@ object Queries3 {
       // tiny by definition; the corpus is not — so assignment becomes a
       // NARROW projection against centroid literals (zero joins, zero
       // windows, zero shuffle for the N-row side), not a 16N-row shuffle.
-      val cents: Seq[(Long, Column, Double)] = embT
+      val cents: Seq[(Long, Seq[Double], Double)] = embT
         .filter(col("vec_id") < 16).orderBy("vec_id")
         .select(col("vec_id"), col("embedding"))
         .collect().toSeq
         .map { r =>
-          val cv = r.getSeq[Float](1)
+          val cv = r.getSeq[Float](1).map(_.toDouble).toSeq // float→double is exact
           // same left-fold-in-double norm the oracle computes
-          val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-          (r.getLong(0), typedLit(cv), cn)
+          val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+          (r.getLong(0), cv, cn)
         }
       val withNorm = embT.select(col("vec_id"), col("embedding"), SimF.norm(col("embedding")).as("nrm"))
       val assign = withNorm.select(
@@ -120,11 +120,7 @@ object Queries3 {
         SimF.argmaxCell(col("embedding"), col("nrm"), cents).as("cell"))
       // nprobe=2 cells per query vector, also a narrow projection: sort the
       // 16 (sim, -cid) structs ascending, take the top 2 from the tail
-      val qStructs = array(cents.map { case (cid, cvLit, cn) =>
-        struct((SimF.dot(col("embedding"), cvLit) / (col("nrm") * lit(cn))).as("s"),
-          lit(-cid).as("negc"))
-      }: _*)
-      val sortedQ = sort_array(qStructs)
+      val sortedQ = sort_array(SimF.cellSims(col("embedding"), col("nrm"), cents))
       val qcells = broadcast(
         withNorm.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
