@@ -17,27 +17,48 @@ import org.apache.spark.sql.functions._
 final case class JsonAdapter(
   vendor: String,
   version: String,
-  /** Spark DDL schema of one payload. */
+  /** Spark DDL schema of one payload (an ARRAY<STRUCT<…>> DDL when
+    * `topLevelArray` — vendors like HubSpot POST a bare JSON array). */
   schemaDdl: String,
   /** (payload field path under the parsed struct, output column). */
   mappings: Seq[(String, String)],
   /** Field holding an array of events to explode, if the vendor batches. */
-  explodeField: Option[String] = None
+  explodeField: Option[String] = None,
+  /** The payload itself is a JSON array of events (HubSpot style). */
+  topLevelArray: Boolean = false
 ) {
 
   /** payloadCol (JSON string) → one row per event with mapped columns plus
     * `event_vendor`/`event_format`. */
-  def apply(df: DataFrame, payloadCol: String): DataFrame = {
-    val parsed = df.withColumn("__p", from_json(col(payloadCol), schemaDdl, Map.empty[String, String]))
-    val exploded = explodeField match {
-      case Some(f) => parsed.withColumn("__e", explode(col(s"__p.$f")))
-      case None => parsed.withColumn("__e", col("__p"))
-    }
+  def apply(df: DataFrame, payloadCol: String): DataFrame =
+    applyJson(df, col(payloadCol), Seq(payloadCol))
+
+  /** Same, over an arbitrary JSON Column (lets form-encoded wrappers decode
+    * first). `dropCols` are input columns to omit from the output. */
+  private[adapters] def applyJson(df: DataFrame, json: Column, dropCols: Seq[String]): DataFrame = {
+    val parsed = df.withColumn("__p", from_json(json, schemaDdl, Map.empty[String, String]))
+    val exploded =
+      if (topLevelArray) parsed.withColumn("__e", explode(col("__p")))
+      else explodeField match {
+        case Some(f) => parsed.withColumn("__e", explode(col(s"__p.$f")))
+        case None => parsed.withColumn("__e", col("__p"))
+      }
     val mapped = mappings.map { case (path, out) => col(s"__e.$path").as(out) }
     exploded.select(
-      (df.columns.filterNot(_ == payloadCol).map(col).toSeq :+
+      (df.columns.filterNot(dropCols.contains).map(col).toSeq :+
         lit(vendor).as("event_vendor") :+
         lit(version).as("event_format")) ++ mapped: _*)
+  }
+}
+
+/** Form-encoded wrapper whose `param` value is a URL-ENCODED JSON document —
+  * the Mandrill (`mandrill_events=…`), Olark (`data=…`) and Pingdom
+  * (`message=…` on the querystring) payload style. Decodes with the native
+  * `url_decode`, then delegates to the inner [[JsonAdapter]]. */
+final case class FormJsonAdapter(param: String, inner: JsonAdapter) {
+  def apply(df: DataFrame, bodyCol: String): DataFrame = {
+    val json = url_decode(element_at(str_to_map(col(bodyCol), lit("&"), lit("=")), param))
+    inner.applyJson(df, json, Seq(bodyCol))
   }
 }
 
@@ -149,9 +170,122 @@ object Adapters {
       "event.triggered_at" -> "triggered_at", "user.email" -> "email")
   )
 
+  /** HubSpot subscription webhook (reference `HubSpotAdapter.scala`): the
+    * POST body is a BARE JSON ARRAY of change events. */
+  val hubspot: JsonAdapter = JsonAdapter(
+    vendor = "com.hubspot",
+    version = "v1",
+    schemaDdl = "ARRAY<STRUCT<subscriptionType: STRING, eventId: BIGINT, portalId: BIGINT, occurredAt: BIGINT, propertyName: STRING, propertyValue: STRING>>",
+    mappings = Seq("subscriptionType" -> "event_name", "eventId" -> "vendor_event_id",
+      "portalId" -> "portal_id", "propertyName" -> "property_name", "propertyValue" -> "property_value"),
+    topLevelArray = true
+  )
+
+  /** Marketo webhook (reference `MarketoAdapter.scala`): one nested JSON
+    * object per POST. */
+  val marketo: JsonAdapter = JsonAdapter(
+    vendor = "com.marketo",
+    version = "v1",
+    schemaDdl = "name STRING, step BIGINT, datetime STRING, " +
+      "lead STRUCT<first_name: STRING, created_at: STRING>, " +
+      "company STRUCT<name: STRING>, campaign STRUCT<id: BIGINT, name: STRING>",
+    mappings = Seq("name" -> "event_name", "step" -> "step", "datetime" -> "event_datetime",
+      "lead.first_name" -> "lead_first_name", "company.name" -> "company_name",
+      "campaign.id" -> "campaign_id", "campaign.name" -> "campaign_name")
+  )
+
+  /** UrbanAirship webhook (reference `UrbanAirshipAdapter.scala`). */
+  val urbanairship: JsonAdapter = JsonAdapter(
+    vendor = "com.urbanairship.connect",
+    version = "v1",
+    schemaDdl = "id STRING, occurred STRING, processed STRING, type STRING, " +
+      "device_types ARRAY<STRING>, body STRUCT<session_id: STRING>",
+    mappings = Seq("type" -> "event_name", "id" -> "vendor_event_id",
+      "occurred" -> "occurred", "processed" -> "processed", "body.session_id" -> "session_id")
+  )
+
+  /** Mandrill webhook (reference `MandrillAdapter.scala`): form body
+    * `mandrill_events=<url-encoded JSON array>` → decode + explode. */
+  val mandrill: FormJsonAdapter = FormJsonAdapter("mandrill_events", JsonAdapter(
+    vendor = "com.mandrill",
+    version = "v1",
+    schemaDdl = "ARRAY<STRUCT<event: STRING, ts: BIGINT, msg: STRUCT<email: STRING, subject: STRING>>>",
+    mappings = Seq("event" -> "event_name", "ts" -> "event_ts",
+      "msg.email" -> "email", "msg.subject" -> "subject"),
+    topLevelArray = true
+  ))
+
+  /** Olark webhook (reference `OlarkAdapter.scala`): form body
+    * `data=<url-encoded JSON conversation>`. */
+  val olark: FormJsonAdapter = FormJsonAdapter("data", JsonAdapter(
+    vendor = "com.olark",
+    version = "v1",
+    schemaDdl = "kind STRING, id STRING, visitor STRUCT<fullName: STRING, emailAddress: STRING, city: STRING>",
+    mappings = Seq("kind" -> "event_name", "id" -> "vendor_event_id",
+      "visitor.fullName" -> "visitor_name", "visitor.emailAddress" -> "visitor_email")
+  ))
+
+  /** Pingdom webhook (reference `PingdomAdapter.scala`): GET with
+    * `message=<url-encoded JSON>` on the querystring. */
+  val pingdom: FormJsonAdapter = FormJsonAdapter("message", JsonAdapter(
+    vendor = "com.pingdom",
+    version = "v1",
+    schemaDdl = "check STRING, checkname STRING, host STRING, action STRING, incidentid BIGINT, description STRING",
+    mappings = Seq("action" -> "event_name", "check" -> "check_id", "checkname" -> "check_name",
+      "host" -> "host", "incidentid" -> "incident_id", "description" -> "description")
+  ))
+
   val registry: Map[String, JsonAdapter] =
-    Seq(mailchimp, sendgrid, pagerduty, mailgun, callrail, unbounce, statusgator, vero)
+    Seq(mailchimp, sendgrid, pagerduty, mailgun, callrail, unbounce, statusgator, vero,
+      hubspot, marketo, urbanairship)
       .map(a => a.vendor -> a).toMap
+}
+
+/** Snowplow Tracker Protocol v1 (reference
+  * `adapters/registry/snowplow/Tp1Adapter.scala`): a GET whose querystring
+  * IS the single event — the params map is the RawEvent. */
+object Tp1Adapter {
+  def apply(df: DataFrame, qsCol: String): DataFrame =
+    df.select(
+      df.columns.filterNot(_ == qsCol).map(col).toSeq :+
+        str_to_map(col(qsCol), lit("&"), lit("=")).as("params"): _*)
+}
+
+/** Iglu webhook adapter (reference `adapters/registry/IgluAdapter.scala`):
+  * the querystring carries `schema=iglu:vendor/name/format/version` plus the
+  * event's data fields; schema is split into its parts and the remaining
+  * params become the event payload. */
+object IgluQsAdapter {
+  def apply(df: DataFrame, qsCol: String): DataFrame = {
+    val qs = str_to_map(col(qsCol), lit("&"), lit("="))
+    val schemaUri = element_at(qs, "schema")
+    val parts = split(regexp_replace(schemaUri, "^iglu:", ""), "/")
+    df.select(
+      df.columns.filterNot(_ == qsCol).map(col).toSeq ++ Seq(
+        schemaUri.as("schema_uri"),
+        element_at(parts, 1).as("schema_vendor"),
+        element_at(parts, 2).as("schema_name"),
+        element_at(parts, 3).as("schema_format"),
+        element_at(parts, 4).as("schema_version"),
+        map_filter(qs, (k, _) => k =!= "schema").as("data_params")): _*)
+  }
+}
+
+/** Remote adapter (reference `adapters/registry/RemoteAdapter.scala:34`):
+  * the reference POSTs each payload to an external HTTP service that
+  * returns the adapted events. Network egress is not a Spark-shaped
+  * per-row concern — the transport is injected as a function and invoked
+  * per partition (production: one pooled HTTP client per partition,
+  * batched calls). Tests inject a deterministic local transport. */
+final case class RemoteAdapter(transport: String => Seq[String]) extends Serializable {
+  def apply(df: DataFrame, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val idx = df.columns.indexOf(payloadCol)
+    require(idx >= 0, s"missing column $payloadCol")
+    df.select(col(payloadCol)).as[String]
+      .mapPartitions { it => it.flatMap(transport) }
+      .toDF("adapted_event")
+  }
 }
 
 /** Snowplow Tracker Protocol v2 (reference

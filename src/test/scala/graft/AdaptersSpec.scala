@@ -58,9 +58,9 @@ class AdaptersSpec extends SparkSpec {
     assert(names == Seq("click", "open"))
   }
 
-  test("registry covers 8 vendors; mailgun and vero parse") {
+  test("registry covers 11 JSON vendors; mailgun and vero parse") {
     import spark.implicits._
-    assert(Adapters.registry.size == 8)
+    assert(Adapters.registry.size == 11)
     val mg = Adapters.mailgun(
       Seq((1L, """{"event":"delivered","recipient":"a@b.com","timestamp":5,"token":"t1"}"""))
         .toDF("id", "payload"), "payload").collect()(0)
@@ -118,6 +118,54 @@ class AdaptersSpec extends SparkSpec {
     assert(p0("page") == "home" && p0("aid") == "app")
     assert(p1("se_ac") == "click" && p1("aid") == "app")
     assert(out(0).getAs[String]("tp2_schema").endsWith("payload_data/jsonschema/1-0-4"))
+  }
+
+  test("hubspot adapter: bare top-level JSON array explodes") {
+    import spark.implicits._
+    val body = """[{"subscriptionType":"company.change","eventId":1,"portalId":7,"occurredAt":99,"propertyName":"name","propertyValue":"x"},{"subscriptionType":"contact.creation","eventId":2,"portalId":7,"occurredAt":99,"propertyName":"stage","propertyValue":"y"}]"""
+    val out = Adapters.hubspot(Seq((1L, body)).toDF("id", "payload"), "payload")
+      .orderBy("vendor_event_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("event_name") == "company.change")
+    assert(out(1).getAs[String]("event_name") == "contact.creation")
+    assert(out(0).getAs[Long]("portal_id") == 7L)
+  }
+
+  test("mandrill adapter: url-encoded form JSON decodes and explodes") {
+    import spark.implicits._
+    // mandrill_events=[{"event": "subscribe"}] url-encoded, per the
+    // reference MandrillAdapterSpec payload shape
+    val body = "mandrill_events=%5B%7B%22event%22%3A%20%22subscribe%22%2C%22ts%22%3A5%2C%22msg%22%3A%7B%22email%22%3A%22a%40b.com%22%7D%7D%5D"
+    val out = Adapters.mandrill(Seq((1L, body)).toDF("id", "payload"), "payload").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("event_name") == "subscribe")
+    assert(out(0).getAs[String]("email") == "a@b.com")
+    assert(out(0).getAs[Long]("event_ts") == 5L)
+  }
+
+  test("tp1 / iglu querystring adapters") {
+    import spark.implicits._
+    import graft.adapters.{IgluQsAdapter, Tp1Adapter}
+    val tp1 = Tp1Adapter(Seq((1L, "e=pv&uid=u1")).toDF("id", "qs"), "qs").collect()(0)
+    assert(tp1.getAs[Map[String, String]]("params") == Map("e" -> "pv", "uid" -> "u1"))
+    val ig = IgluQsAdapter(
+      Seq((1L, "schema=iglu:com.acme/cart/jsonschema/1-0-0&sku=s1")).toDF("id", "qs"), "qs").collect()(0)
+    assert(ig.getAs[String]("schema_vendor") == "com.acme")
+    assert(ig.getAs[String]("schema_name") == "cart")
+    assert(ig.getAs[String]("schema_version") == "1-0-0")
+    assert(ig.getAs[Map[String, String]]("data_params") == Map("sku" -> "s1"))
+  }
+
+  test("remote adapter: injected transport maps payloads to adapted events") {
+    import graft.adapters.RemoteAdapter
+    import spark.implicits._
+    // deterministic local transport standing in for the reference's HTTP
+    // round trip (RemoteAdapter.scala:34)
+    val adapter = RemoteAdapter(p => Seq(s"""{"adapted":"$p-1"}""", s"""{"adapted":"$p-2"}"""))
+    val out = adapter(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), "payload")
+      .as[String].collect().sorted
+    assert(out.length == 4)
+    assert(out.contains("""{"adapted":"a-1"}""") && out.contains("""{"adapted":"b-2"}"""))
   }
 
   test("redirect adapter: u param becomes uri_redirect unstruct event or context") {
