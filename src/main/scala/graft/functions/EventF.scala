@@ -107,6 +107,21 @@ object EventF {
   def pseudonymize(c: Column, salt: String): Column =
     when(c.isNull, lit(null)).otherwise(sha2(concat(lit(salt), c.cast("string")).cast("binary"), 256))
 
+  /** Pseudonymize a STRING field INSIDE a JSON document column, splicing the
+    * hash back in place — the reference's JSON-path PII mode
+    * (`registry/pii/PiiPseudonymizerEnrichment.scala` traverses JSONPaths in
+    * contexts/unstruct_event rather than whole columns). `path` is a
+    * JsonPath like `$.data.email`; the named field's occurrence is
+    * rewritten, documents without it pass unchanged. */
+  def pseudonymizeJsonField(json: Column, path: String, salt: String): Column = {
+    val field = path.substring(path.lastIndexOf('.') + 1)
+    val v = get_json_object(json, path)
+    val quoted = "\"" + field + "\"\\s*:\\s*\"[^\"]*\""
+    when(v.isNull, json).otherwise(
+      regexp_replace(json, lit(quoted),
+        concat(lit("\"" + field + "\":\""), pseudonymize(v, salt), lit("\""))))
+  }
+
   /** Cookie header "a=1; b=2" → value of cookie `name`
     * (reference `registry/CookieExtractorEnrichment.scala`). */
   def cookieValue(cookieHeader: Column, name: String): Column =

@@ -17,21 +17,61 @@ import org.apache.spark.sql.functions._
 object RefF {
 
   /** (host substring, medium, source, term param or null). First match wins;
-    * order is the db's precedence. */
+    * order is the db's precedence — mail.* entries MUST precede their bare
+    * search-engine domains (mail.google before google, …). A compact
+    * embedding of the referer-parser db's common entries; patterns keep a
+    * trailing dot (or full host) so substring matching stays specific. */
   val RefererDb: Seq[(String, String, String, String)] = Seq(
+    // email (webmail hosts shadow their parent domains)
     ("mail.google.", "email", "Gmail", null),
+    ("mail.yahoo.", "email", "Yahoo! Mail", null),
+    ("mail.yandex.", "email", "Yandex Mail", null),
+    ("mail.ru", "email", "Mail.ru", null),
     ("outlook.", "email", "Outlook", null),
+    ("mail.aol.", "email", "AOL Mail", null),
+    // search
     ("google.", "search", "Google", "q"),
     ("bing.", "search", "Bing", "q"),
     ("yahoo.", "search", "Yahoo", "p"),
     ("duckduckgo.", "search", "DuckDuckGo", "q"),
     ("baidu.", "search", "Baidu", "wd"),
+    ("yandex.", "search", "Yandex", "text"),
+    ("ecosia.", "search", "Ecosia", "q"),
+    ("qwant.", "search", "Qwant", "q"),
+    ("startpage.", "search", "Startpage", "query"),
+    ("search.brave.", "search", "Brave", "q"),
+    ("naver.", "search", "Naver", "query"),
+    ("seznam.", "search", "Seznam", "q"),
+    ("sogou.", "search", "Sogou", "query"),
+    ("so.com", "search", "360 Search", "q"),
+    ("www.ask.", "search", "Ask", "q"),
+    ("search.aol.", "search", "AOL", "q"),
+    // social
     ("facebook.", "social", "Facebook", null),
+    ("fb.me", "social", "Facebook", null),
     ("t.co", "social", "Twitter", null),
     ("twitter.", "social", "Twitter", null),
+    ("x.com", "social", "Twitter", null),
     ("linkedin.", "social", "LinkedIn", null),
+    ("lnkd.in", "social", "LinkedIn", null),
     ("reddit.", "social", "Reddit", null),
-    ("instagram.", "social", "Instagram", null)
+    ("instagram.", "social", "Instagram", null),
+    ("pinterest.", "social", "Pinterest", null),
+    ("youtube.", "social", "YouTube", null),
+    ("youtu.be", "social", "YouTube", null),
+    ("tiktok.", "social", "TikTok", null),
+    ("snapchat.", "social", "Snapchat", null),
+    ("tumblr.", "social", "Tumblr", null),
+    ("vk.com", "social", "VKontakte", null),
+    ("weibo.", "social", "Weibo", null),
+    ("whatsapp.", "social", "WhatsApp", null),
+    ("telegram.", "social", "Telegram", null),
+    ("t.me", "social", "Telegram", null),
+    ("messenger.", "social", "Facebook Messenger", null),
+    ("threads.net", "social", "Threads", null),
+    ("mastodon.", "social", "Mastodon", null),
+    ("news.ycombinator.", "social", "Hacker News", null),
+    ("medium.com", "social", "Medium", null)
   )
 
   private def isInternal(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column =

@@ -165,9 +165,11 @@ object Queries2 {
         .orderBy("event_id")
     },
 
-    "js_transform" -> { (sp, dir) =>
-      // the JavascriptScriptEnrichment escape hatch: an arbitrary
-      // user-supplied DataFrame => DataFrame hook, here a sample scoring fn
+    "custom_transform" -> { (sp, dir) =>
+      // the reference's JavascriptScriptEnrichment escape hatch, renamed
+      // honestly: graft's hook is an arbitrary user-supplied Scala
+      // DataFrame => DataFrame function (CustomTransform), not embedded
+      // JavaScript -- no JS engine ships in this environment
       val hook: DataFrame => DataFrame = df =>
         df.withColumn("score", (col("amount_cents") % 100 + col("user_id") % 7).cast("bigint"))
       raw(sp, dir)
@@ -297,7 +299,7 @@ object Queries2 {
            |      $anonIpSql) AS line
            |  FROM raw) t ORDER BY event_id""".stripMargin),
 
-      "js_transform" -> Synth.withCte(
+      "custom_transform" -> Synth.withCte(
         """SELECT event_id, CAST(amount_cents % 100 + user_id % 7 AS BIGINT) AS score
           |FROM raw ORDER BY event_id""".stripMargin)
     )

@@ -99,6 +99,25 @@ object Queries8 {
         .orderBy("event_id")
     },
 
+    "pii_json_field" -> { (sp, dir) =>
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      // a self-describing user context; the email INSIDE the JSON gets
+      // hashed in place (reference pii JSONPath mode), the rest survives
+      val ctx = concat(
+        lit("{\"schema\":\"iglu:com.acme/user/jsonschema/1-0-0\",\"data\":{\"email\":\"u"), s(e % 50),
+        lit("@example.com\",\"name\":\"user "), s(e % 20), lit("\",\"plan\":\"pro\"}}"))
+      Synth.withRaw(Tables.events(sp, dir))
+        .select(col("event_id"))
+        .withColumn("ctx", ctx)
+        .select(
+          col("event_id"),
+          graft.functions.EventF.pseudonymizeJsonField(col("ctx"), "$.data.email", "pepper").as("ctx_out"),
+          graft.functions.EventF.pseudonymize(
+            get_json_object(col("ctx"), "$.data.email"), "pepper").as("email_hash"))
+        .orderBy("event_id")
+    },
+
     "schema_validate" -> { (sp, dir) =>
       val e = col("event_id")
       val s = (c: Column) => c.cast("string")
@@ -188,6 +207,14 @@ object Queries8 {
         |  SELECT event_id, event_id % 3 = 0 AS has_e,
         |    concat('https://dest.example.com/p/', event_id % 50) AS uri
         |  FROM raw) t ORDER BY event_id""".stripMargin),
+
+    "pii_json_field" -> Synth.withCte(
+      """SELECT event_id,
+        |  concat('{"schema":"iglu:com.acme/user/jsonschema/1-0-0","data":{"email":"',
+        |         sha256(concat('pepper', 'u', event_id % 50, '@example.com')),
+        |         '","name":"user ', event_id % 20, '","plan":"pro"}}') AS ctx_out,
+        |  sha256(concat('pepper', 'u', event_id % 50, '@example.com')) AS email_hash
+        |FROM raw ORDER BY event_id""".stripMargin),
 
     "schema_validate" -> Synth.withCte(
       s"""SELECT event_id, schema_str,
