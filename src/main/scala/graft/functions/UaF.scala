@@ -24,30 +24,47 @@ object UaF {
   def isBot(ua: Column): Column =
     ua.rlike("(?i)bot|crawler|spider|slurp|archiver|wget|curl")
 
-  def browserFamily(ua: Column): Column =
-    when(isBot(ua), lit("Robot"))
-      .when(ua.contains("Edg/") || ua.contains("Edge/"), lit("Edge"))
-      .when(ua.contains("OPR/") || ua.contains("Opera"), lit("Opera"))
-      .when(ua.contains("Firefox/"), lit("Firefox"))
-      .when(ua.contains("Chromium/"), lit("Chromium"))
+  /** Chromium-shell browsers that must be detected BEFORE the Chrome token
+    * (their UAs all embed `Chrome/…`). (token, family). */
+  private val ChromiumShells: Seq[(String, String)] = Seq(
+    "SamsungBrowser/" -> "Samsung Internet",
+    "UCBrowser/" -> "UC Browser",
+    "YaBrowser/" -> "Yandex Browser",
+    "Vivaldi/" -> "Vivaldi",
+    "Whale/" -> "Whale",
+    "QQBrowser/" -> "QQ Browser",
+    "Chromium/" -> "Chromium"
+  )
+
+  def browserFamily(ua: Column): Column = {
+    val shells = ChromiumShells.foldLeft(
+      when(isBot(ua), lit("Robot"))
+        .when(ua.contains("Edg/") || ua.contains("Edge/"), lit("Edge"))
+        .when(ua.contains("OPR/") || ua.contains("Opera"), lit("Opera"))
+        .when(ua.contains("Firefox/"), lit("Firefox"))
+    ) { case (acc, (tok, fam)) => acc.when(ua.contains(tok), lit(fam)) }
+    shells
       .when(ua.contains("Chrome/"), lit("Chrome"))
       .when(ua.contains("Safari/"), lit("Safari"))
       .when(ua.contains("MSIE") || ua.contains("Trident/"), lit("Internet Explorer"))
       .otherwise(lit("Unknown"))
+  }
 
   /** Version string of the detected browser family (incl. legacy
     * `Opera 7.02`, `MSIE 9.0` and Trident `rv:11.0` forms). */
   def browserVersion(ua: Column): Column = {
-    def v(tok: String) = nullif(regexp_extract(ua, tok + "/([0-9][0-9.]*)", 1), lit(""))
+    def v(tok: String) = nullif(regexp_extract(ua, tok + "([0-9][0-9.]*)", 1), lit(""))
     def re(pat: String) = nullif(regexp_extract(ua, pat, 1), lit(""))
-    when(ua.contains("Edg/"), v("Edg"))
-      .when(ua.contains("Edge/"), v("Edge"))
-      .when(ua.contains("OPR/"), v("OPR"))
-      .when(ua.contains("Opera"), re("Opera[ /]([0-9][0-9.]*)"))
-      .when(ua.contains("Firefox/"), v("Firefox"))
-      .when(ua.contains("Chromium/"), v("Chromium"))
-      .when(ua.contains("Chrome/"), v("Chrome"))
-      .when(ua.contains("Version/") && ua.contains("Safari/"), v("Version"))
+    val shells = ChromiumShells.foldLeft(
+      when(ua.contains("Edg/"), v("Edg/"))
+        .when(ua.contains("Edge/"), v("Edge/"))
+        .when(ua.contains("OPR/"), v("OPR/"))
+        .when(ua.contains("Opera"), re("Opera[ /]([0-9][0-9.]*)"))
+        .when(ua.contains("Firefox/"), v("Firefox/"))
+    ) { case (acc, (tok, _)) => acc.when(ua.contains(tok), v(tok)) }
+    shells
+      .when(ua.contains("Chrome/"), v("Chrome/"))
+      .when(ua.contains("Version/") && ua.contains("Safari/"), v("Version/"))
       .when(ua.contains("MSIE"), re("MSIE ([0-9][0-9.]*)"))
       .when(ua.contains("Trident/"), re("rv:([0-9][0-9.]*)"))
       .otherwise(lit(null))
@@ -62,6 +79,33 @@ object UaF {
       .when(ua.contains("Linux"), lit("Linux"))
       .when(ua.contains("PlayStation"), lit("PlayStation"))
       .otherwise(lit("Unknown"))
+
+  /** Marketing OS name — the granularity UserAgentUtils reports ("Windows 7"
+    * for NT 6.1, etc.); falls back to [[osFamily]]. */
+  def osName(ua: Column): Column = {
+    val nt = regexp_extract(ua, "Windows NT ([0-9.]+)", 1)
+    when(ua.contains("Windows NT"),
+      when(nt === "10.0", lit("Windows 10"))
+        .when(nt === "6.3", lit("Windows 8.1"))
+        .when(nt === "6.2", lit("Windows 8"))
+        .when(nt === "6.1", lit("Windows 7"))
+        .when(nt === "6.0", lit("Windows Vista"))
+        .when(nt === "5.1", lit("Windows XP"))
+        .otherwise(lit("Windows")))
+      .otherwise(osFamily(ua))
+  }
+
+  /** OS version digits: `Windows NT 10.0` → 10.0, `Android 14` → 14,
+    * `iPhone OS 17_1` → 17.1, `Mac OS X 10_15_7` → 10.15.7. */
+  def osVersion(ua: Column): Column = {
+    def re(pat: String) = nullif(regexp_extract(ua, pat, 1), lit(""))
+    when(ua.contains("Windows NT"), re("Windows NT ([0-9.]+)"))
+      .when(ua.contains("Android"), re("Android ([0-9.]+)"))
+      .when(ua.contains("iPhone OS"), translate(re("iPhone OS ([0-9_]+)"), "_", "."))
+      .when(ua.contains("iPad"), translate(re("CPU OS ([0-9_]+)"), "_", "."))
+      .when(ua.contains("Mac OS X"), translate(re("Mac OS X ([0-9_.]+)"), "_", "."))
+      .otherwise(lit(null))
+  }
 
   /** YAUAA-style coarse device class (reference `YauaaEnrichmentSpec`
     * DeviceClass vector table). */

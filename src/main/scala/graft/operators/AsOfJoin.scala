@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,5 +57,54 @@ object AsOfJoin {
     filled
       .filter(col("__side") === 1)
       .drop((valueCols.map(c => s"__v_$c") ++ Seq("__side", "__t")): _*)
+  }
+
+  /** Time-BUCKETED left as-of join (SURVEY §5): [[leftAsOf]]'s parallelism
+    * is bounded by key cardinality — 10 weather stations means 10 partitions
+    * no matter the cluster. This variant partitions by (key, time-bucket):
+    *
+    *  1. reference rows keep their own bucket;
+    *  2. a tiny per-(key, bucket) aggregate computes the LAST reference
+    *     before each bucket (forward-filled over the aggregate table only —
+    *     keys × buckets rows, never the raw data) and injects it as a
+    *     synthetic carry-in row, so probes early in a bucket (or in
+    *     reference-free buckets) still see their predecessor;
+    *  3. the plain union+window as-of runs per (key, bucket).
+    *
+    * Results are identical to [[leftAsOf]]; parallelism becomes
+    * keys × buckets. Pick `bucketWidth` so a bucket's rows fit a task. */
+  def leftAsOfBucketed(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Seq[String],
+    leftTime: String,
+    rightTime: String,
+    valueCols: Seq[String],
+    bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0)
+    def bkt(c: Column) = floor(c / bucketWidth).cast("bigint")
+    val kcols = keys.map(col)
+    // last reference row per (key, bucket), with its timestamp
+    val agg = right
+      .groupBy(kcols :+ bkt(col(rightTime)).as("__bkt"): _*)
+      .agg(max_by(struct(col(rightTime).as("__t") +: valueCols.map(col): _*), col(rightTime)).as("__last"))
+    // every bucket any probe or reference touches, so carry-ins reach
+    // reference-free probe buckets too
+    val allBk = left.select(kcols :+ bkt(col(leftTime)).as("__bkt"): _*).distinct()
+      .unionByName(agg.select(kcols :+ col("__bkt"): _*)).distinct()
+    val wCarry = Window.partitionBy(kcols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBk
+      .join(agg, keys :+ "__bkt", "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+      .select(kcols ++ Seq(col("__bkt"), col("__carry.__t").as(rightTime)) ++
+        valueCols.map(c => col(s"__carry.$c").as(c)): _*)
+    val rightB = right
+      .select(kcols ++ Seq(bkt(col(rightTime)).as("__bkt"), col(rightTime)) ++ valueCols.map(col): _*)
+      .unionByName(carry)
+    val leftB = left.withColumn("__bkt", bkt(col(leftTime)))
+    leftAsOf(leftB, rightB, keys :+ "__bkt", leftTime, rightTime, valueCols).drop("__bkt")
   }
 }

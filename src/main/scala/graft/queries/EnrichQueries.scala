@@ -163,6 +163,8 @@ object EnrichQueries {
         UaF.browserFamily(col("ua")).as("br_family"),
         UaF.browserVersion(col("ua")).as("br_version"),
         UaF.osFamily(col("ua")).as("os_family"),
+        UaF.osName(col("ua")).as("os_name"),
+        UaF.osVersion(col("ua")).as("os_version"),
         UaF.deviceClass(col("ua")).as("dvce_type"),
         UaF.isBot(col("ua")).as("is_bot")
       ).orderBy("event_id")),
@@ -369,29 +371,45 @@ object EnrichQueries {
        |  WHEN position('iPhone' IN $ua) > 0 OR position('Mobile' IN $ua) > 0 THEN 'Phone'
        |  ELSE 'Desktop' END""".stripMargin
 
+  /** The chromium-shell token → family rows shared with UaF (kept in one
+    * place so the Spark cascade and this SQL twin cannot drift). A def:
+    * `oracles` runs during object init, before trailing vals exist. */
+  private def ShellRows: Seq[(String, String)] = Seq(
+    "SamsungBrowser/" -> "Samsung Internet",
+    "UCBrowser/" -> "UC Browser",
+    "YaBrowser/" -> "Yandex Browser",
+    "Vivaldi/" -> "Vivaldi",
+    "Whale/" -> "Whale",
+    "QQBrowser/" -> "QQ Browser",
+    "Chromium/" -> "Chromium"
+  )
+
   /** SQL twin of the UaF cascade for the full classify query. */
   private def uaClassifySql(prefix: String, suffix: String): String = {
     def has(t: String) = s"position('$t' IN ua) > 0"
     val isBot = "regexp_matches(lower(ua), 'bot|crawler|spider|slurp|archiver|wget|curl')"
-    def ver(tok: String) = s"nullif(regexp_extract(ua, '$tok/([0-9][0-9.]*)', 1), '')"
+    def ver(tok: String) = s"nullif(regexp_extract(ua, '$tok([0-9][0-9.]*)', 1), '')"
+    val shellFams = ShellRows.map { case (t, f) => s"WHEN ${has(t)} THEN '$f'" }.mkString("\n       |       ")
+    val shellVers = ShellRows.map { case (t, _) => s"WHEN ${has(t)} THEN ${ver(t)}" }.mkString("\n       |       ")
+    val ntVer = "regexp_extract(ua, 'Windows NT ([0-9.]+)', 1)"
     s"""$prefix
        |  CASE WHEN $isBot THEN 'Robot'
        |       WHEN ${has("Edg/")} OR ${has("Edge/")} THEN 'Edge'
        |       WHEN ${has("OPR/")} OR ${has("Opera")} THEN 'Opera'
        |       WHEN ${has("Firefox/")} THEN 'Firefox'
-       |       WHEN ${has("Chromium/")} THEN 'Chromium'
+       |       $shellFams
        |       WHEN ${has("Chrome/")} THEN 'Chrome'
        |       WHEN ${has("Safari/")} THEN 'Safari'
        |       WHEN ${has("MSIE")} OR ${has("Trident/")} THEN 'Internet Explorer'
        |       ELSE 'Unknown' END AS br_family,
-       |  CASE WHEN ${has("Edg/")} THEN ${ver("Edg")}
-       |       WHEN ${has("Edge/")} THEN ${ver("Edge")}
-       |       WHEN ${has("OPR/")} THEN ${ver("OPR")}
+       |  CASE WHEN ${has("Edg/")} THEN ${ver("Edg/")}
+       |       WHEN ${has("Edge/")} THEN ${ver("Edge/")}
+       |       WHEN ${has("OPR/")} THEN ${ver("OPR/")}
        |       WHEN ${has("Opera")} THEN nullif(regexp_extract(ua, 'Opera[ /]([0-9][0-9.]*)', 1), '')
-       |       WHEN ${has("Firefox/")} THEN ${ver("Firefox")}
-       |       WHEN ${has("Chromium/")} THEN ${ver("Chromium")}
-       |       WHEN ${has("Chrome/")} THEN ${ver("Chrome")}
-       |       WHEN ${has("Version/")} AND ${has("Safari/")} THEN ${ver("Version")}
+       |       WHEN ${has("Firefox/")} THEN ${ver("Firefox/")}
+       |       $shellVers
+       |       WHEN ${has("Chrome/")} THEN ${ver("Chrome/")}
+       |       WHEN ${has("Version/")} AND ${has("Safari/")} THEN ${ver("Version/")}
        |       WHEN ${has("MSIE")} THEN nullif(regexp_extract(ua, 'MSIE ([0-9][0-9.]*)', 1), '')
        |       WHEN ${has("Trident/")} THEN nullif(regexp_extract(ua, 'rv:([0-9][0-9.]*)', 1), '')
        |       END AS br_version,
@@ -403,6 +421,27 @@ object EnrichQueries {
        |       WHEN ${has("Linux")} THEN 'Linux'
        |       WHEN ${has("PlayStation")} THEN 'PlayStation'
        |       ELSE 'Unknown' END AS os_family,
+       |  CASE WHEN ${has("Windows NT")} THEN
+       |         CASE WHEN $ntVer = '10.0' THEN 'Windows 10'
+       |              WHEN $ntVer = '6.3' THEN 'Windows 8.1'
+       |              WHEN $ntVer = '6.2' THEN 'Windows 8'
+       |              WHEN $ntVer = '6.1' THEN 'Windows 7'
+       |              WHEN $ntVer = '6.0' THEN 'Windows Vista'
+       |              WHEN $ntVer = '5.1' THEN 'Windows XP'
+       |              ELSE 'Windows' END
+       |       WHEN ${has("Android")} THEN 'Android'
+       |       WHEN ${has("iPhone")} OR ${has("iPad")} OR ${has("iOS")} THEN 'iOS'
+       |       WHEN ${has("Mac OS X")} THEN 'macOS'
+       |       WHEN ${has("CrOS")} THEN 'ChromeOS'
+       |       WHEN ${has("Linux")} THEN 'Linux'
+       |       WHEN ${has("PlayStation")} THEN 'PlayStation'
+       |       ELSE 'Unknown' END AS os_name,
+       |  CASE WHEN ${has("Windows NT")} THEN nullif(regexp_extract(ua, 'Windows NT ([0-9.]+)', 1), '')
+       |       WHEN ${has("Android")} THEN nullif(regexp_extract(ua, 'Android ([0-9.]+)', 1), '')
+       |       WHEN ${has("iPhone OS")} THEN translate(nullif(regexp_extract(ua, 'iPhone OS ([0-9_]+)', 1), ''), '_', '.')
+       |       WHEN ${has("iPad")} THEN translate(nullif(regexp_extract(ua, 'CPU OS ([0-9_]+)', 1), ''), '_', '.')
+       |       WHEN ${has("Mac OS X")} THEN translate(nullif(regexp_extract(ua, 'Mac OS X ([0-9_.]+)', 1), ''), '_', '.')
+       |       END AS os_version,
        |  ${deviceClassSql("ua")} AS dvce_type,
        |  $isBot AS is_bot
        |$suffix""".stripMargin

@@ -83,12 +83,17 @@ object PipelineQuery {
            |     ELSE CASE $mediumCases ELSE 'unknown' END END""".stripMargin
       def has(t: String) = s"position('$t' IN ua) > 0"
       val isBot = "regexp_matches(lower(ua), 'bot|crawler|spider|slurp|archiver|wget|curl')"
+      val shellFams = Seq(
+        "SamsungBrowser/" -> "Samsung Internet", "UCBrowser/" -> "UC Browser",
+        "YaBrowser/" -> "Yandex Browser", "Vivaldi/" -> "Vivaldi", "Whale/" -> "Whale",
+        "QQBrowser/" -> "QQ Browser", "Chromium/" -> "Chromium")
+        .map { case (t, f) => s"WHEN ${has(t)} THEN '$f'" }.mkString(" ")
       val brFamily =
         s"""CASE WHEN $isBot THEN 'Robot'
            |     WHEN ${has("Edg/")} OR ${has("Edge/")} THEN 'Edge'
            |     WHEN ${has("OPR/")} OR ${has("Opera")} THEN 'Opera'
            |     WHEN ${has("Firefox/")} THEN 'Firefox'
-           |     WHEN ${has("Chromium/")} THEN 'Chromium'
+           |     $shellFams
            |     WHEN ${has("Chrome/")} THEN 'Chrome'
            |     WHEN ${has("Safari/")} THEN 'Safari'
            |     WHEN ${has("MSIE")} OR ${has("Trident/")} THEN 'Internet Explorer'

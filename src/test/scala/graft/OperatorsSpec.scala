@@ -46,6 +46,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L).contains("A") && out(2L).contains("A") && out(3L).isEmpty)
   }
 
+  test("AsOfJoin.leftAsOfBucketed matches leftAsOf incl. empty buckets") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // refs clustered early; probes span far later times → probe buckets with
+    // zero refs must still pick up the carry-in from much earlier buckets
+    val refs = Seq((1L, 10L, "a"), (1L, 95L, "b"), (2L, 5L, "x"))
+      .toDF("k", "rt", "v")
+    val probes = Seq((1L, 9L), (1L, 10L), (1L, 94L), (1L, 1000L), (2L, 4L), (2L, 999L), (3L, 50L))
+      .toDF("k", "pt")
+    def collectOut(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "pt", "v").collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val plain = collectOut(AsOfJoin.leftAsOf(probes, refs, Seq("k"), "pt", "rt", Seq("v")))
+    val bucketed = collectOut(
+      AsOfJoin.leftAsOfBucketed(probes, refs, Seq("k"), "pt", "rt", Seq("v"), bucketWidth = 100L))
+    assert(bucketed == plain)
+    assert(plain((1L, 9L)) == null) // before first ref
+    assert(plain((1L, 10L)) == "a") // inclusive at equality
+    assert(plain((1L, 1000L)) == "b") // carried across 9 empty buckets
+    assert(plain((3L, 50L)) == null) // key with no refs at all
+  }
+
   test("KMeans: separates three well-separated direction clusters") {
     import spark.implicits._
     import graft.operators.KMeans

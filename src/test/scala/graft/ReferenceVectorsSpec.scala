@@ -203,6 +203,23 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(out(chromium)._2 == "25.0.1364.160")
   }
 
+  test("UA os-name/version and chromium-shell family vectors") {
+    import spark.implicits._
+    import graft.functions.UaF
+    val samsung = "Mozilla/5.0 (Linux; Android 13; SM-S901B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36"
+    val ie11 = "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko"
+    val win10 = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/106.0.0.0 Safari/537.36"
+    val iphone = "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1"
+    val out = Seq(samsung, ie11, win10, iphone).toDF("ua")
+      .select(col("ua"), UaF.browserFamily(col("ua")).as("f"), UaF.browserVersion(col("ua")).as("v"),
+        UaF.osName(col("ua")).as("on"), UaF.osVersion(col("ua")).as("ov"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(out(samsung) == (("Samsung Internet", "23.0", "Android", "13")))
+    assert(out(ie11) == (("Internet Explorer", "11.0", "Windows 7", "6.1"))) // ref: IE 11 / Windows 7
+    assert(out(win10)._3 == "Windows 10" && out(win10)._4 == "10.0")
+    assert(out(iphone)._3 == "iOS" && out(iphone)._4 == "17.1")
+  }
+
   test("UaParserEnrichmentSpec UAs classify to the same coarse families") {
     import spark.implicits._
     import graft.functions.UaF
