@@ -331,6 +331,40 @@ final case class EnrichmentPipeline(enrichments: Seq[Enrichment]) {
   }
 }
 
+/** Iglu-style schema validation of a self-describing JSON column (reference
+  * `utils/IgluUtils.scala:42`): the event's schema URI must be registered,
+  * required STRING fields present, and typed fields castable — failures
+  * flow to the bad-row channel with a typed reason (schema_unknown /
+  * missing_field / type_violation), they never kill the job.
+  *
+  * @param specs registered schemas: URI → (required string fields,
+  *              bigint-typed fields)
+  */
+final case class SchemaValidate(
+  jsonCol: String,
+  schemaCol: String,
+  specs: Map[String, (Seq[String], Seq[String])]
+) extends Enrichment {
+  val name = "schema_validate"
+  def apply(df: DataFrame): DataFrame = {
+    val known = specs.keys.toSeq
+    val d1 = flagBad(df,
+      col(schemaCol).isNotNull && !col(schemaCol).isin(known: _*), "schema_unknown")
+    specs.foldLeft(d1) { case (acc, (uri, (required, bigints))) =>
+      val inSchema = col(schemaCol) === uri
+      val afterReq = required.foldLeft(acc) { (a, f) =>
+        flagBad(a, inSchema && get_json_object(col(jsonCol), s"$$.$f").isNull,
+          s"missing_field $f")
+      }
+      bigints.foldLeft(afterReq) { (a, f) =>
+        val raw = get_json_object(col(jsonCol), s"$$.$f")
+        val cast = expr(s"try_cast(get_json_object($jsonCol, '$$.$f') AS BIGINT)")
+        flagBad(a, inSchema && raw.isNotNull && cast.isNull, s"type_violation $f")
+      }
+    }
+  }
+}
+
 object EnrichmentPipeline {
   /** The default chain, mirroring EnrichmentManager's fixed order. */
   def default(internalDomains: Seq[String], rates: Seq[(String, Long)],

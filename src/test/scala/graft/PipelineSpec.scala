@@ -53,4 +53,24 @@ class PipelineSpec extends SparkSpec {
     assert(meta(1L) == "bin")
     assert(meta(2L) == "jpeg")
   }
+
+  test("SchemaValidate enrichment: typed bad rows, good/bad split") {
+    import spark.implicits._
+    import graft.enrich.SchemaValidate
+    val cart = "iglu:com.acme/add_to_cart/jsonschema/1-0-0"
+    val df = Seq(
+      (1L, cart, """{"sku":"s1","qty":2}"""), // valid
+      (2L, cart, """{"qty":2}"""), // missing sku
+      (3L, cart, """{"sku":"s1","qty":"oops"}"""), // wrong type
+      (4L, "iglu:com.unknown/x/jsonschema/1-0-0", """{"sku":"s1"}""") // unknown schema
+    ).toDF("id", "schema_str", "ctx")
+    val v = SchemaValidate("ctx", "schema_str",
+      Map(cart -> (Seq("sku"), Seq("qty"))))
+    val out = v(df.withColumn("bad_row_errors", array().cast("array<string>")))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).exists(_.contains("missing_field sku")))
+    assert(out(3L).exists(_.contains("type_violation qty")))
+    assert(out(4L).exists(_.contains("schema_unknown")))
+  }
 }
