@@ -27,6 +27,26 @@ object TextF {
     when(n === "", lit(0)).otherwise(size(split(n, " ")))
   }
 
+  /** GPT-2-style pre-tokenizer segmentation pattern: contraction suffixes,
+    * space-prefixed letter/digit/punct runs, residual whitespace. No
+    * lookahead (DuckDB RE2 oracle); leftmost-first alternation is identical
+    * in Java regex and RE2. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Number of BPE-style pre-tokenizer segments — the token-budget estimate
+    * a training-data pipeline tracks (whitespace tokenCount undercounts
+    * punctuation-heavy text). */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+
+  /** Polynomial rolling hash (Rabin–Karp) of the text's UTF-8 bytes via the
+    * native codegen'd [[graft.plans.RollingHashExpression]]. */
+  def rollingHash(text: Column, base: Long = 257L, mod: Long = 1000000007L): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.RollingHashExpression(ColumnBridge.expression(text), base, mod))
+  }
+
   /** English stopwords used by the ratio features (fixed, small). */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd polynomial rolling hash over a string's UTF-8 bytes:
+  * `h = Σ (h·B + byte) mod M`, left to right — the Rabin–Karp document
+  * fingerprint a training-data pipeline uses for cheap shift-resistant
+  * dedup keys (SURVEY §2.D `doc_fingerprint`'s rolling-hash sibling).
+  * A tight generated loop over the bytes; the composable form would explode
+  * the string into a character array per row.
+  *
+  * B and M are small-literal parameters; M must keep `(M−1)·B + 255` inside
+  * a signed long, which `require` enforces.
+  */
+case class RollingHashExpression(child: Expression, base: Long, mod: Long)
+  extends UnaryExpression {
+
+  require(base > 0 && mod > 1, "base and mod must be positive")
+  require(mod - 1 <= (Long.MaxValue - 255) / base, "base*mod must fit a long")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_hash requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * base + (bytes(i) & 0xff)) % mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * ${base}L + ($bytes[$i] & 0xff)) % ${mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpression =
+    copy(child = newChild)
+}

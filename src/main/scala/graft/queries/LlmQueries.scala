@@ -156,6 +156,18 @@ object LlmQueries {
         .select(col("doc_id"), TextF.docFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "doc_rolling_hash" -> ((sp, dir) =>
+      Tables.documents(sp, dir)
+        .select(col("doc_id"), TextF.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")),
+
+    "token_count_bpe" -> ((sp, dir) =>
+      Tables.documents(sp, dir)
+        .select(col("doc_id"),
+          TextF.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          TextF.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id")),
+
     "multimodal_meta" -> { (sp, dir) =>
       val blob = col("text").cast("binary")
       Tables.documents(sp, dir).select(
@@ -281,6 +293,26 @@ object LlmQueries {
 
     "doc_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id",
+
+    // ASCII corpus → code points == UTF-8 bytes; list_reduce seeds with the
+    // first element, which equals Spark's (0*B + c0) % M first step
+    "doc_rolling_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE list_reduce(
+        |         list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)),
+        |         (h, c) -> (h * 257 + c) % 1000000007)
+        |  END AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_count_bpe" -> {
+      // std SQL strings keep backslashes literal; only the quote needs escaping
+      val pat = TextF.BpeTokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$pat')) AS n_bpe_tokens,
+         |  ${tokCntSql(normSql, toksSql)} AS n_ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "multimodal_meta" ->
       """SELECT doc_id,

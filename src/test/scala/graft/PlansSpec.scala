@@ -25,6 +25,64 @@ class PlansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("VecMatMulExpression matches the composable HOF fold (codegen + interpreted)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.SimF
+    val mat = Seq(Seq(1.5, -2.0, 0.25), Seq(0.0, 4.0, -1.0))
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(-0.5f, 0.0f, 8.0f))).toDF("id", "v")
+    def hof(row: Seq[Double]) =
+      aggregate(zip_with(col("v"), typedLit(row), (x, w) => x.cast("double") * w),
+        lit(0.0), (a, x) => a + x)
+    val expected = df.select(col("id"), array(hof(mat(0)), hof(mat(1))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    def viaKernel(codegen: Boolean) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        import org.apache.spark.sql.graft.ColumnBridge
+        df.select(col("id"), ColumnBridge.column(
+            graft.plans.VecMatMulExpression(ColumnBridge.expression(col("v")),
+              mat.map(_.toArray).toArray)).as("d"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(viaKernel(codegen = true) == expected)
+    assert(viaKernel(codegen = false) == expected)
+  }
+
+  test("RollingHashExpression: known vectors, codegen == interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextF
+    // hand-computed: "ab" → (97*257 + 98) % 1000000007 = 25027
+    val df = Seq((1L, "ab"), (2L, ""), (3L, "hello world")).toDF("id", "t")
+    def run(codegen: Boolean) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(col("id"), TextF.rollingHash(col("t")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val cg = run(codegen = true)
+    assert(cg(1L) == 25027L)
+    assert(cg(2L) == 0L)
+    assert(cg == run(codegen = false))
+  }
+
+  test("scale-path plans: narrow IVF assignment, banded dedup, no cartesian joins") {
+    val dir = "/root/testdata/sf0.001"
+    val ivf = graft.SparkEntry.queries("ann_ivf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // assignment rides the codegen'd kernel in a projection over the scan —
+    // the corpus side must reach the probe join without any exchange
+    assert(ivf.contains("graft_vecmatmul"))
+    assert(!ivf.contains("CartesianProduct"))
+    val dedup = graft.SparkEntry.queries("dedup_embedding")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(dedup.contains("graft_vecmatmul"))
+    assert(!dedup.contains("CartesianProduct") && !dedup.contains("BroadcastNestedLoop"),
+      "band join must be an equi-join, never an all-pairs product")
+  }
+
   test("SQL function registration exposes kernels to spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
