@@ -38,14 +38,17 @@ object Queries6 {
     },
 
     "dedup_minhash_pairs" -> { (sp, dir) =>
-      // LSH candidate generation: docs colliding on either band
-      val sigs = minhashSigs(sp, dir).persist()
-      def pairsOn(band: String) =
-        sigs.select(col("doc_id").as("id_a"), col(band).as("b")).as("a")
-          .join(sigs.select(col("doc_id").as("id_b"), col(band).as("b")).as("b"), Seq("b"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
-      pairsOn("band0").union(pairsOn("band1")).distinct()
+      // LSH candidate generation: docs colliding on either band. Both bands
+      // ride one exploded (band_idx, signature) key → a single equi-join,
+      // the same shape as dedup_embedding's banded SRP search.
+      val sigs = minhashSigs(sp, dir)
+      val ex = sigs.select(col("doc_id"),
+        posexplode(array(col("band0"), col("band1")))).select(
+        col("doc_id"), col("pos").as("bi"), col("col").as("b"))
+      ex.select(col("bi"), col("b"), col("doc_id").as("id_a"))
+        .join(ex.select(col("bi"), col("b"), col("doc_id").as("id_b")), Seq("bi", "b"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
         .orderBy("id_a", "id_b")
     },
 

@@ -102,6 +102,29 @@ class StreamingSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM enr").collect()(0).getLong(0) == 2L)
     } finally q.stop()
   }
+
+  test("adapters + schema validation run unchanged on a stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // adapters are DataFrame => DataFrame column programs, so a webhook
+    // stream adapts with the exact same code as batch — one Tp2 POST
+    // carrying 2 events explodes to 2 streamed raw events
+    val mem = MemoryStream[(Long, String, String)]
+    val body = """{"schema":"iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4","data":[{"e":"pv","page":"h"},{"e":"se","se_ac":"c"}]}"""
+    val adapted = graft.adapters.Tp2Adapter(
+      mem.toDF().toDF("id", "body", "qs"), "body", "qs")
+      .select(col("id"), col("event_idx"), element_at(col("params"), "e").as("e"),
+        element_at(col("params"), "aid").as("aid"))
+    val q = adapted.writeStream.format("memory").queryName("tp2s").outputMode("append").start()
+    try {
+      mem.addData((1L, body, "aid=app"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT e, aid FROM tp2s ORDER BY e").collect()
+      assert(rows.map(_.getString(0)).toList == List("pv", "se"))
+      assert(rows.forall(_.getString(1) == "app"))
+    } finally q.stop()
+  }
 }
 
 /** Join-free pipeline variant for the streaming smoke (stream-static joins
