@@ -69,6 +69,15 @@ object EnrichmentConfig {
           strs(n, "botIpList"))
       case "schema_vendor" => SchemaVendor(str(n, "vendor", "com.snowplowanalytics.snowplow"))
       case "field_lengths" => FieldLengthValidator(graft.model.Atomic.fieldLengths)
+      case "schema_validate" =>
+        // {"name": "schema_validate", "jsonCol": "ctx", "schemaCol": "schema_str",
+        //  "schemas": [{"uri": "iglu:...", "required": ["sku"], "bigints": ["qty"]}]}
+        val specs = Option(n.get("schemas")).map(_.elements().asScala.map { sn =>
+          val uri = Option(sn.get("uri")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException("schema entry needs a 'uri'"))
+          uri -> ((strs(sn, "required"), strs(sn, "bigints")))
+        }.toMap).getOrElse(Map.empty)
+        SchemaValidate(str(n, "jsonCol", "unstruct_event"), str(n, "schemaCol", "event_schema"), specs)
       case other =>
         throw new IllegalArgumentException(
           s"unknown enrichment '$other'; supported: tracker_transform, derived_tstamp, " +

@@ -54,6 +54,35 @@ object Queries3 {
     base.unionByName(planted)
   }
 
+  /** Banded SRP-LSH near-dup search: 4 × 16-bit signature tables, candidate
+    * pairs only within (band, bucket) — shuffle ∝ Bands·N, never N²; a
+    * hot-bucket cap bounds the worst key. All bands ride one exploded
+    * (band, bucket) key → ONE self-join. Near-dups collide in ≥1 band
+    * w.h.p. (cos≈0.996 → P[16 bits agree] ≈ 0.63/band).
+    * Returns (signatures, cosine-verified pairs with `cos`). */
+  private def nearDupPipeline(sp: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sigs = augmentedEmbeddings(sp, dir)
+      .select(col("vec_id"), col("v"), SimF.norm(col("v")).as("nrm"),
+        SimF.srpBands(col("v"), Bands, BandBits, Dim).as("bands"))
+      .persist() // feeds the band join + the verify step
+    val ex = sigs.select(col("vec_id"), posexplode(col("bands")))
+      .select(col("vec_id"), col("pos").as("b"), col("col").as("bk"))
+    val ok = ex.groupBy("b", "bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= HotBucketCap).select("b", "bk")
+    val exF = ex.join(ok, Seq("b", "bk")) // hot-bucket cap pre-join
+    val cand = exF.select(col("b"), col("bk"), col("vec_id").as("id_a"))
+      .join(exF.select(col("b"), col("bk"), col("vec_id").as("id_b")), Seq("b", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // cosine verification of the candidate set only
+    val verified = cand
+      .join(sigs.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(sigs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", dotF("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.95)
+    (sigs, verified)
+  }
+
   val defs: Map[String, Q] = Map(
     "ip_asn_lookup" -> { (sp, dir) =>
       import sp.implicits._
@@ -68,33 +97,34 @@ object Queries3 {
     },
 
     "dedup_embedding" -> { (sp, dir) =>
-      // banded SRP-LSH near-dup pairs: 4 × 16-bit signature tables,
-      // candidate pairs only within (band, bucket) — shuffle ∝ Bands·N,
-      // never N²; a hot-bucket cap bounds the worst key. Near-dups collide
-      // in ≥1 band w.h.p. (cos≈0.996 → P[16 bits agree] ≈ 0.63/band).
-      // All bands ride one exploded (band, bucket) key → ONE self-join, not
-      // one per band.
-      val sigs = augmentedEmbeddings(sp, dir)
-        .select(col("vec_id"), col("v"), SimF.norm(col("v")).as("nrm"),
-          SimF.srpBands(col("v"), Bands, BandBits, Dim).as("bands"))
-        .persist() // feeds the band join + the verify step
-      val ex = sigs.select(col("vec_id"), posexplode(col("bands")))
-        .select(col("vec_id"), col("pos").as("b"), col("col").as("bk"))
-      val ok = ex.groupBy("b", "bk").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= HotBucketCap).select("b", "bk")
-      val exF = ex.join(ok, Seq("b", "bk")) // hot-bucket cap pre-join
-      val cand = exF.select(col("b"), col("bk"), col("vec_id").as("id_a"))
-        .join(exF.select(col("b"), col("bk"), col("vec_id").as("id_b")), Seq("b", "bk"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      // cosine verification of the candidate set only
-      cand
-        .join(sigs.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-        .join(sigs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-        .withColumn("cos", dotF("va", "vb") / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.95)
+      val (_, verified) = nearDupPipeline(sp, dir)
+      verified
         .select(col("id_a"), col("id_b"), round(col("cos") * 1e6).cast("bigint").as("cos_e6"))
         .orderBy("id_a", "id_b")
+    },
+
+    "dedup_embedding_keep" -> { (sp, dir) =>
+      // the MATERIALIZATION step: ship the corpus with the higher id of
+      // every verified near-dup pair dropped (keep-lowest; the embedding
+      // twin of dedup_keep_first)
+      val (sigs, verified) = nearDupPipeline(sp, dir)
+      sigs.select(col("vec_id"))
+        .join(verified.select(col("id_b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
+    },
+
+    "ann_ivf_kmeans" -> { (sp, dir) =>
+      // the TRAINED path: operators.KMeans Lloyd centroids instead of the
+      // first-16 demo seeds. No DuckDB oracle — Lloyd's elementwise means
+      // are floating-point-summation-order dependent (engine-specific), so
+      // the driver records a rows-only check; the IVF mechanics are
+      // oracle-checked by ann_ivf and the trainer by its spec. One row per
+      // cell with its population.
+      val embT = Tables.embeddings(sp, dir)
+      val cents = graft.operators.KMeans.fit(embT, "embedding", "vec_id", k = 8, maxIter = 3)
+      embT.select(graft.operators.KMeans.assignCell(col("embedding"), cents).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")
     },
 
     "ann_ivf" -> { (sp, dir) =>
@@ -157,6 +187,26 @@ object Queries3 {
          |    FROM sigs a JOIN sigs b ON a.band$b = b.band$b AND a.vec_id < b.vec_id
          |    WHERE a.band$b IN (SELECT band$b FROM sigs GROUP BY band$b HAVING count(*) <= $HotBucketCap)""".stripMargin
     }.mkString("\n    UNION ALL\n")
+    // shared by dedup_embedding (pairs) and dedup_embedding_keep (corpus)
+    val dedupCtes =
+      s"""WITH aug AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT base_id + $PlantOffset AS vec_id, v FROM (
+         |    SELECT vec_id AS base_id,
+         |      list_transform(range(1, len(embedding) + 1), i ->
+         |        CAST(list_extract(embedding, i) AS DOUBLE)
+         |        + 0.02 * ((CAST(strpos('0123456789abcdef', substr(md5(concat('nd:', vec_id, ':', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5) / 7.5)) AS v
+         |    FROM embeddings WHERE vec_id % $PlantEvery = 0) pl
+         |), sigs AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+         |    ${(0 until Bands).map(b => s"${bandSql(b, "v")} AS band$b").mkString(",\n    ")}
+         |  FROM aug
+         |), cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |$candUnion
+         |  ) u
+         |)""".stripMargin
 
     Map(
       "ip_asn_lookup" -> Synth.withCte(
@@ -170,29 +220,23 @@ object Queries3 {
            |  FROM raw) t ORDER BY event_id""".stripMargin),
 
       "dedup_embedding" ->
-        s"""WITH aug AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-           |  UNION ALL
-           |  SELECT base_id + $PlantOffset AS vec_id, v FROM (
-           |    SELECT vec_id AS base_id,
-           |      list_transform(range(1, len(embedding) + 1), i ->
-           |        CAST(list_extract(embedding, i) AS DOUBLE)
-           |        + 0.02 * ((CAST(strpos('0123456789abcdef', substr(md5(concat('nd:', vec_id, ':', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5) / 7.5)) AS v
-           |    FROM embeddings WHERE vec_id % $PlantEvery = 0) pl
-           |), sigs AS (
-           |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
-           |    ${(0 until Bands).map(b => s"${bandSql(b, "v")} AS band$b").mkString(",\n    ")}
-           |  FROM aug
-           |), cand AS (
-           |  SELECT DISTINCT id_a, id_b FROM (
-           |$candUnion
-           |  ) u
-           |)
+        s"""$dedupCtes
            |SELECT id_a, id_b,
            |  CAST(round((${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm)) * 1e6) AS BIGINT) AS cos_e6
            |FROM cand JOIN sigs sa ON sa.vec_id = id_a JOIN sigs sb ON sb.vec_id = id_b
            |WHERE ${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm) >= 0.95
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_embedding_keep" ->
+        s"""$dedupCtes,
+           |dropped AS (
+           |  SELECT DISTINCT id_b
+           |  FROM cand JOIN sigs sa ON sa.vec_id = id_a JOIN sigs sb ON sb.vec_id = id_b
+           |  WHERE ${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm) >= 0.95
+           |)
+           |SELECT vec_id FROM aug
+           |WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+           |ORDER BY vec_id""".stripMargin,
 
       "ann_ivf" ->
         s"""WITH e AS (
