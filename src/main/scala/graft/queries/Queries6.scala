@@ -42,9 +42,11 @@ object Queries6 {
       // ride one exploded (band_idx, signature) key → a single equi-join,
       // the same shape as dedup_embedding's banded SRP search.
       val sigs = minhashSigs(sp, dir)
+      // persist: both sides of the self-join scan the exploded band table —
+      // without it each side recomputes every md5 minhash signature
       val ex = sigs.select(col("doc_id"),
         posexplode(array(col("band0"), col("band1")))).select(
-        col("doc_id"), col("pos").as("bi"), col("col").as("b"))
+        col("doc_id"), col("pos").as("bi"), col("col").as("b")).persist()
       ex.select(col("bi"), col("b"), col("doc_id").as("id_a"))
         .join(ex.select(col("bi"), col("b"), col("doc_id").as("id_b")), Seq("bi", "b"))
         .filter(col("id_a") < col("id_b"))
