@@ -57,7 +57,7 @@ final case class JsonAdapter(
   * `url_decode`, then delegates to the inner [[JsonAdapter]]. */
 final case class FormJsonAdapter(param: String, inner: JsonAdapter) {
   def apply(df: DataFrame, bodyCol: String): DataFrame = {
-    val json = url_decode(element_at(str_to_map(col(bodyCol), lit("&"), lit("=")), param))
+    val json = url_decode(element_at(graft.functions.UrlF.qsMapLastWins(col(bodyCol)), param))
     inner.applyJson(df, json, Seq(bodyCol))
   }
 }
@@ -65,14 +65,14 @@ final case class FormJsonAdapter(param: String, inner: JsonAdapter) {
 /** Form-encoded (querystring-body) adapter — the payload style of the
   * reference's `GoogleAnalyticsAdapter.scala` (measurement protocol) and
   * `MailchimpAdapter.scala`'s form posts: `k1=v1&k2=v2` bodies. Parsed with
-  * `str_to_map`, mapped keys projected to columns. */
+  * a dup-safe last-wins querystring map, mapped keys projected to columns. */
 final case class FormAdapter(
   vendor: String,
   version: String,
   mappings: Seq[(String, String)]
 ) {
   def apply(df: DataFrame, payloadCol: String): DataFrame = {
-    val m = str_to_map(col(payloadCol), lit("&"), lit("="))
+    val m = graft.functions.UrlF.qsMapLastWins(col(payloadCol))
     df.select(
       (df.columns.filterNot(_ == payloadCol).map(col).toSeq :+
         lit(vendor).as("event_vendor") :+
@@ -248,7 +248,7 @@ object Tp1Adapter {
   def apply(df: DataFrame, qsCol: String): DataFrame =
     df.select(
       df.columns.filterNot(_ == qsCol).map(col).toSeq :+
-        str_to_map(col(qsCol), lit("&"), lit("=")).as("params"): _*)
+        graft.functions.UrlF.qsMapLastWins(col(qsCol)).as("params"): _*)
 }
 
 /** Iglu webhook adapter (reference `adapters/registry/IgluAdapter.scala`):
@@ -257,7 +257,7 @@ object Tp1Adapter {
   * params become the event payload. */
 object IgluQsAdapter {
   def apply(df: DataFrame, qsCol: String): DataFrame = {
-    val qs = str_to_map(col(qsCol), lit("&"), lit("="))
+    val qs = graft.functions.UrlF.qsMapLastWins(col(qsCol))
     val schemaUri = element_at(qs, "schema")
     val parts = split(regexp_replace(schemaUri, "^iglu:", ""), "/")
     df.select(
@@ -304,8 +304,7 @@ object Tp2Adapter {
   def apply(df: DataFrame, bodyCol: String, qsCol: String): DataFrame = {
     val parsed = from_json(col(bodyCol),
       "schema STRING, data ARRAY<MAP<STRING, STRING>>", Map.empty[String, String])
-    val qsMap = when(col(qsCol).isNotNull && col(qsCol) =!= "",
-      str_to_map(col(qsCol), lit("&"), lit("="))).otherwise(map())
+    val qsMap = graft.functions.UrlF.qsMapLastWins(col(qsCol))
     df.withColumn("__tp2", parsed)
       .withColumn("__qs", qsMap.cast("map<string,string>"))
       .select(
@@ -344,7 +343,7 @@ object RedirectAdapter {
     * escaping), `tv`, `p`, plus `redirect_uri`. Rows without `u` yield null
     * outputs (the reference's protocol-violation bad row). */
   def apply(df: DataFrame, qsCol: String): DataFrame = {
-    val qs = str_to_map(col(qsCol), lit("&"), lit("="))
+    val qs = graft.functions.UrlF.qsMapLastWins(col(qsCol))
     val u = element_at(qs, "u")
     val redirect = struct(lit(UriRedirectSchema).as("schema"),
       struct(u.as("uri")).as("data"))

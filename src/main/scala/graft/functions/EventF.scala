@@ -117,9 +117,17 @@ object EventF {
     val field = path.substring(path.lastIndexOf('.') + 1)
     val v = get_json_object(json, path)
     val quoted = "\"" + field + "\"\\s*:\\s*\"[^\"]*\""
-    when(v.isNull, json).otherwise(
-      regexp_replace(json, lit(quoted),
-        concat(lit("\"" + field + "\":\""), pseudonymize(v, salt), lit("\""))))
+    // regexp_replace rewrites EVERY same-named field with THIS path's hash,
+    // and [^"]* mis-parses values holding escaped quotes/backslashes — both
+    // would corrupt PII handling silently. A PII kernel fails CLOSED: null
+    // the whole document in those cases rather than emit a wrong pseudonym.
+    val occurrences = size(split(json, quoted, -1)) - 1
+    val unsafeValue = v.contains("\"") || v.contains("\\")
+    when(v.isNull, json)
+      .when(occurrences === 1 && !unsafeValue,
+        regexp_replace(json, lit(quoted),
+          concat(lit("\"" + field + "\":\""), pseudonymize(v, salt), lit("\""))))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** Cookie header "a=1; b=2" → value of cookie `name`

@@ -27,16 +27,21 @@ object IpF {
     array_join(masked, ".")
   }
 
+  /** A 0–255 decimal octet (bounded: an unbounded `\d+` would overflow the
+    * ANSI bigint cast downstream and kill the job on garbage input). */
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[0-9][0-9]?)"
+
   /** Rewrite mixed-notation IPv6 ("64:ff9b::1.2.3.4") to all-hex form
     * ("64:ff9b::102:304"), as Guava's `getHostAddress` does before the
-    * reference masks segments. Pure-hex input passes through. */
+    * reference masks segments. Pure-hex input passes through, and so does
+    * an INVALID dotted tail (octets out of range) — the caller then masks
+    * it as an opaque group, failing closed instead of crashing. */
   def normalizeMixedIpv6(ip: Column): Column = {
-    val tail = "(\\d+)\\.(\\d+)\\.(\\d+)\\.(\\d+)$"
+    val tail = s"$Octet\\.$Octet\\.$Octet\\.$Octet$$"
     def p(i: Int) = regexp_extract(ip, tail, i).cast("bigint")
     val hexTail = concat(
       lower(hex(p(1) * 256L + p(2))), lit(":"), lower(hex(p(3) * 256L + p(4))))
-    when(ip.rlike("\\d+\\.\\d+\\.\\d+\\.\\d+$"),
-      concat(regexp_replace(ip, tail, ""), hexTail)).otherwise(ip)
+    when(ip.rlike(tail), concat(regexp_replace(ip, tail, ""), hexTail)).otherwise(ip)
   }
 
   /** Expand a `::`-shortened IPv6 address to its 8-group form
@@ -79,6 +84,10 @@ object IpF {
     when(ip.isNull, lit(null))
       .when(ip.startsWith(MappedPrefix),
         concat(lit(MappedPrefix), anonIpv4(regexp_replace(ip, "^::FFFF:", ""), octets)))
+      // lowercase mapped prefix: Guava parses ::ffff:a.b.c.d as Inet4Address,
+      // but the reference's case-SENSITIVE prefix check misses it, so the
+      // whole string goes through the v4 masker (split on ".")
+      .when(lower(ip).startsWith("::ffff:") && ip.contains("."), anonIpv4(ip, octets))
       .when(ip.contains(":"), anonIpv6(ip, segments))
       .when(ip.contains(".") || ip === "", anonIpv4(ip, octets))
       .otherwise(ip)
@@ -89,12 +98,13 @@ object IpF {
     nullif(regexp_extract(xff, "^([^,| ]*)", 1), lit(""))
 
   /** Dotted-quad IPv4 → 32-bit unsigned value as BIGINT (for range joins).
-    * Null for anything else (IPv6 clients, garbage): a malformed address
-    * must yield a missed lookup, not an ANSI cast failure that kills the
-    * 100 TB job. */
+    * Null for anything else (IPv6 clients, out-of-range octets, garbage):
+    * a malformed address must yield a missed lookup, not a wrong join key
+    * or an ANSI cast failure that kills the 100 TB job — hence the strict
+    * 0-255 per-octet pattern, not `\d+`. */
   def ipv4ToLong(ip: Column): Column = {
     val p = split(ip, "\\.")
-    when(ip.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$"),
+    when(ip.rlike(s"^$Octet\\.$Octet\\.$Octet\\.$Octet$$"),
       element_at(p, 1).cast("bigint") * 16777216L +
         element_at(p, 2).cast("bigint") * 65536L +
         element_at(p, 3).cast("bigint") * 256L +

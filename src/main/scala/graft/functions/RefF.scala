@@ -74,13 +74,26 @@ object RefF {
     ("medium.com", "social", "Medium", null)
   )
 
+  /** Pattern match against a host: dot-TERMINATED patterns ("google.") use
+    * the legacy substring rule; bare full-host patterns ("x.com", "t.me")
+    * must equal the host or be its registrable suffix — plain contains would
+    * classify "netflix.com" as Twitter via "x.com". */
+  def hostMatches(host: Column, pat: String): Column =
+    if (pat.endsWith(".")) host.contains(pat)
+    else host === pat || host.endsWith("." + pat)
+
+  /** SQL twin of [[hostMatches]] (shared by the oracle builders). */
+  def hostMatchesSql(hostExpr: String, pat: String): String =
+    if (pat.endsWith(".")) s"position('$pat' IN $hostExpr) > 0"
+    else s"($hostExpr = '$pat' OR $hostExpr LIKE '%.$pat')"
+
   private def isInternal(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column =
     refrHost === pageHost || refrHost.isin(internalDomains: _*)
 
   /** Referer medium; null when refrHost is null (direct visit). */
   def refererMedium(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column = {
     val base = RefererDb.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, medium, _, _)) =>
-      acc.when(refrHost.contains(pat), lit(medium))
+      acc.when(hostMatches(refrHost, pat), lit(medium))
     }
     when(refrHost.isNull, lit(null))
       .when(isInternal(refrHost, pageHost, internalDomains), lit("internal"))
@@ -91,7 +104,7 @@ object RefF {
     * internal, direct and unknown referers. */
   def refererSource(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column = {
     val base = RefererDb.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, _, source, _)) =>
-      acc.when(refrHost.contains(pat), lit(source))
+      acc.when(hostMatches(refrHost, pat), lit(source))
     }
     when(refrHost.isNull || isInternal(refrHost, pageHost, internalDomains), lit(null))
       .otherwise(base.otherwise(lit(null)))
@@ -107,7 +120,7 @@ object RefF {
     val base = RefererDb.collect { case (pat, _, _, termParam) if termParam != null =>
       (pat, termParam)
     }.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, tp)) =>
-      acc.when(refrHost.contains(pat), UrlF.qsParam(refrQs, tp))
+      acc.when(hostMatches(refrHost, pat), UrlF.qsParam(refrQs, tp))
     }
     when(refrHost.isNull || isInternal(refrHost, pageHost, internalDomains), lit(null))
       .otherwise(base.otherwise(lit(null)))

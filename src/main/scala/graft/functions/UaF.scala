@@ -25,8 +25,10 @@ object UaF {
     ua.rlike("(?i)bot|crawler|spider|slurp|archiver|wget|curl")
 
   /** Chromium-shell browsers that must be detected BEFORE the Chrome token
-    * (their UAs all embed `Chrome/…`). (token, family). */
-  private val ChromiumShells: Seq[(String, String)] = Seq(
+    * (their UAs all embed `Chrome/…`). (token, family). PUBLIC: the DuckDB
+    * SQL twins derive their cascades from THIS sequence so the two engines
+    * cannot drift. */
+  val ChromiumShells: Seq[(String, String)] = Seq(
     "SamsungBrowser/" -> "Samsung Internet",
     "UCBrowser/" -> "UC Browser",
     "YaBrowser/" -> "Yandex Browser",

@@ -55,4 +55,20 @@ object UrlF {
   /** Querystring → MapType column (kernel for ad-hoc param access). */
   def qsToMap(qs: Column): Column =
     str_to_map(coalesce(qs, lit("")), lit("&"), lit("="))
+
+  /** Querystring → map with LAST occurrence winning on repeated params —
+    * `str_to_map`/`map_from_entries` throw DUPLICATE_MAP_KEY under Spark's
+    * default dedup policy, and repeated params ("uid=a&uid=b") are routine
+    * in real collector traffic; the reference's `.toMap` keeps the last
+    * value. Empty/null input → empty map. */
+  def qsMapLastWins(qs: Column): Column = {
+    val kvs = filter(split(coalesce(qs, lit("")), "&"), kv => kv =!= "")
+    val entries = transform(kvs, kv => struct(
+      substring_index(kv, "=", 1).as("key"),
+      when(kv.contains("="), regexp_replace(kv, "^[^=]*=", "")).as("value")))
+    val lastWins = filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, size(entries)),
+        p => p.getField("key") === e.getField("key")))
+    map_from_entries(lastWins)
+  }
 }

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object SaltedAgg {
 
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMapType(f.dataType))
+      case a: ArrayType => hasMapType(a.elementType)
+      case _ => false
+    }
+  }
+
   /** `groupBy(keys).agg(sum/count/min/max)` with `salts`-way pre-split.
     * @param aggs (colName → one of "sum" | "count" | "min" | "max")
     */
@@ -27,11 +37,17 @@ object SaltedAgg {
     salts: Int = 16
   ): DataFrame = {
     require(salts >= 1)
-    // salt from ROW CONTENT, not monotonically_increasing_id: under
-    // fetch-failure stage recomputation a positional id can re-salt rows,
-    // double-counting/losing them at exactly the scale this operator
-    // targets. hash(all columns) is stable across retries.
-    val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    // salt from ROW CONTENT + partition id, not monotonically_increasing_id:
+    // a positional id re-salts rows under fetch-failure stage recomputation
+    // (double count/loss), while pure content hashing sends byte-identical
+    // duplicate rows — the classic pre-aggregated hot key — to ONE salt.
+    // spark_partition_id is retry-stable (a recomputed task keeps its
+    // partition) and spreads identical rows; hash() skips map-typed columns
+    // (unhashable by Spark).
+    val hashable = df.schema.fields
+      .filterNot(f => hasMapType(f.dataType)).map(f => col(f.name)).toSeq
+    val saltSrc = (hashable :+ spark_partition_id()).toList
+    val salted = df.withColumn("__salt", pmod(hash(saltSrc: _*), lit(salts)))
     val partialAggs: Seq[Column] = aggs.map {
       case (in, "sum", out) => sum(col(in)).as(s"__p_$out")
       case (in, "count", out) =>

@@ -34,9 +34,15 @@ case class VecMatMulExpression(child: Expression, mat: Array[Array[Double]])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_vecmatmul"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // a null element would silently contribute 0.0 where the HOF fold this
+    // kernel mirrors returns NULL — propagate null for the whole result
+    var k = 0
+    while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
     val out = new Array[Any](mat.length)
     var j = 0
     while (j < mat.length) {
@@ -67,19 +73,29 @@ case class VecMatMulExpression(child: Expression, mat: Array[Array[Double]])
       val d = ctx.freshName("d")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = $c.numElements();
-         |double[] $out = new double[$matRef.length];
-         |for (int $j = 0; $j < $matRef.length; $j++) {
-         |  double[] $row = $matRef[$j];
-         |  int $d = $n < $row.length ? $n : $row.length;
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $d; $i++) {
-         |    $acc += ((double) $c.$getter($i)) * $row[$i];
-         |  }
-         |  $out[$j] = $acc;
+         |boolean $anyNull = false;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  if ($c.isNullAt($k)) { $anyNull = true; break; }
          |}
-         |${ev.value} = new $arrCls($out);
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$matRef.length];
+         |  for (int $j = 0; $j < $matRef.length; $j++) {
+         |    double[] $row = $matRef[$j];
+         |    int $d = $n < $row.length ? $n : $row.length;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $d; $i++) {
+         |      $acc += ((double) $c.$getter($i)) * $row[$i];
+         |    }
+         |    $out[$j] = $acc;
+         |  }
+         |  ${ev.value} = new $arrCls($out);
+         |}
        """.stripMargin
     })
   }

@@ -371,18 +371,9 @@ object EnrichQueries {
        |  WHEN position('iPhone' IN $ua) > 0 OR position('Mobile' IN $ua) > 0 THEN 'Phone'
        |  ELSE 'Desktop' END""".stripMargin
 
-  /** The chromium-shell token → family rows shared with UaF (kept in one
-    * place so the Spark cascade and this SQL twin cannot drift). A def:
-    * `oracles` runs during object init, before trailing vals exist. */
-  private def ShellRows: Seq[(String, String)] = Seq(
-    "SamsungBrowser/" -> "Samsung Internet",
-    "UCBrowser/" -> "UC Browser",
-    "YaBrowser/" -> "Yandex Browser",
-    "Vivaldi/" -> "Vivaldi",
-    "Whale/" -> "Whale",
-    "QQBrowser/" -> "QQ Browser",
-    "Chromium/" -> "Chromium"
-  )
+  /** The chromium-shell token → family rows, taken from the ONE source of
+    * truth (UaF.ChromiumShells) so Spark cascade and SQL twin cannot drift. */
+  private def ShellRows: Seq[(String, String)] = UaF.ChromiumShells
 
   /** SQL twin of the UaF cascade for the full classify query. */
   private def uaClassifySql(prefix: String, suffix: String): String = {

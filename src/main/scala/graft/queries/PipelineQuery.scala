@@ -76,17 +76,14 @@ object PipelineQuery {
       val mktCampaign = s"coalesce(${qsParam("pq", "utm_campaign")}, ${qsParam("pq", "mkt_campaign")})"
       val internalSql = Queries2.InternalDomains.map(d => s"'$d'").mkString(", ")
       val mediumCases = RefF.RefererDb
-        .map { case (pat, m, _, _) => s"WHEN position('$pat' IN rh) > 0 THEN '$m'" }.mkString(" ")
+        .map { case (pat, m, _, _) => s"WHEN ${RefF.hostMatchesSql("rh", pat)} THEN '$m'" }.mkString(" ")
       val refrMedium =
         s"""CASE WHEN rh IS NULL THEN NULL
            |     WHEN rh = ph OR rh IN ($internalSql) THEN 'internal'
            |     ELSE CASE $mediumCases ELSE 'unknown' END END""".stripMargin
       def has(t: String) = s"position('$t' IN ua) > 0"
       val isBot = "regexp_matches(lower(ua), 'bot|crawler|spider|slurp|archiver|wget|curl')"
-      val shellFams = Seq(
-        "SamsungBrowser/" -> "Samsung Internet", "UCBrowser/" -> "UC Browser",
-        "YaBrowser/" -> "Yandex Browser", "Vivaldi/" -> "Vivaldi", "Whale/" -> "Whale",
-        "QQBrowser/" -> "QQ Browser", "Chromium/" -> "Chromium")
+      val shellFams = graft.functions.UaF.ChromiumShells
         .map { case (t, f) => s"WHEN ${has(t)} THEN '$f'" }.mkString(" ")
       val brFamily =
         s"""CASE WHEN $isBot THEN 'Robot'

@@ -186,11 +186,11 @@ object Queries2 {
     val internalSql = InternalDomains.map(d => s"'$d'").mkString(", ")
     val isInternal = s"(rh = ph OR rh IN ($internalSql))"
     val mediumCases = RefF.RefererDb
-      .map { case (pat, m, _, _) => s"WHEN position('$pat' IN rh) > 0 THEN '$m'" }.mkString(" ")
+      .map { case (pat, m, _, _) => s"WHEN ${RefF.hostMatchesSql("rh", pat)} THEN '$m'" }.mkString(" ")
     val sourceCases = RefF.RefererDb
-      .map { case (pat, _, src, _) => s"WHEN position('$pat' IN rh) > 0 THEN '$src'" }.mkString(" ")
+      .map { case (pat, _, src, _) => s"WHEN ${RefF.hostMatchesSql("rh", pat)} THEN '$src'" }.mkString(" ")
     val termCases = RefF.RefererDb.collect { case (pat, _, _, tp) if tp != null =>
-      s"WHEN position('$pat' IN rh) > 0 THEN nullif(regexp_extract(rq, '(?:^|&)$tp=([^&]*)', 1), '')"
+      s"WHEN ${RefF.hostMatchesSql("rh", pat)} THEN nullif(regexp_extract(rq, '(?:^|&)$tp=([^&]*)', 1), '')"
     }.mkString(" ")
 
     val eventTypeCase = "CASE event_code " +

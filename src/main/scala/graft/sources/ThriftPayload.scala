@@ -105,17 +105,24 @@ object ThriftPayload {
       if (n < 0 || n > buf.remaining()) throw new IllegalArgumentException(s"bad string length $n")
       val b = new Array[Byte](n); buf.get(b); new String(b, UTF_8)
     }
+    // every length/count must be validated: a negative value would move the
+    // cursor BACKWARDS and spin the decode loop forever on corrupt bytes
+    // instead of surfacing on the bad-row channel
+    def checkedCount(n: Int): Int = {
+      if (n < 0 || n > buf.remaining()) throw new IllegalArgumentException(s"bad thrift count $n")
+      n
+    }
     def skip(tpe: Int): Unit = tpe match {
       case TBool | TByte => buf.position(buf.position() + 1)
       case TI16 => buf.position(buf.position() + 2)
       case TI32 => buf.position(buf.position() + 4)
       case TI64 | TDouble => buf.position(buf.position() + 8)
-      case TString => val n = buf.getInt; buf.position(buf.position() + n)
+      case TString => buf.position(buf.position() + checkedCount(buf.getInt))
       case TList | TSet =>
-        val et = buf.get().toInt; val n = buf.getInt
+        val et = buf.get().toInt; val n = checkedCount(buf.getInt)
         (0 until n).foreach(_ => skip(et))
       case TMap =>
-        val kt = buf.get().toInt; val vt = buf.get().toInt; val n = buf.getInt
+        val kt = buf.get().toInt; val vt = buf.get().toInt; val n = checkedCount(buf.getInt)
         (0 until n).foreach { _ => skip(kt); skip(vt) }
       case TStruct =>
         var t = buf.get().toInt
@@ -141,7 +148,7 @@ object ThriftPayload {
           case (340, TString) => body = readStr()
           case (350, TList) =>
             val et = buf.get().toInt
-            val n = buf.getInt
+            val n = checkedCount(buf.getInt)
             if (et != TString) throw new IllegalArgumentException(s"headers elem type $et")
             headers = Seq.fill(n)(readStr())
           case (360, TString) => contentType = readStr()

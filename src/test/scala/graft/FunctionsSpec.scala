@@ -149,4 +149,61 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
+
+  test("ipv4ToLong: null for out-of-range octets and overlong digits (no ANSI crash)") {
+    import spark.implicits._
+    val out = Seq("1.2.3.4", "255.255.255.255", "999.1.1.1", "1.2.3.99999999999999999999999", "not-an-ip", "2001:db8::1")
+      .toDF("ip").select(col("ip"), graft.functions.IpF.ipv4ToLong(col("ip")).as("n"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("1.2.3.4").contains(16909060L))
+    assert(out("255.255.255.255").contains(4294967295L))
+    assert(out("999.1.1.1").isEmpty) // octet > 255 → missed lookup, not a wrong key
+    assert(out("1.2.3.99999999999999999999999").isEmpty)
+    assert(out("not-an-ip").isEmpty && out("2001:db8::1").isEmpty)
+  }
+
+  test("referer host matching: bare-domain patterns anchor, no substring false positives") {
+    import spark.implicits._
+    import graft.functions.RefF
+    val cases = Seq(
+      ("t.co", "social"), ("www.x.com", "social"), ("x.com", "social"),
+      ("netflix.com", "unknown"), // contains x.com but is not Twitter
+      ("contoso.com", "unknown"), // contains so.com but is not 360 Search
+      ("webmail.runbox.com", "unknown"), // contains mail.ru but is not Mail.ru
+      ("dot.t.me", "social"), ("t.me", "social"),
+      ("www.google.com", "search"))
+    val out = cases.map(_._1).toDF("rh")
+      .select(col("rh"), RefF.refererMedium(col("rh"), lit("page.example.com"), Nil).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, exp) => assert(out(h) == exp, s"medium($h)") }
+  }
+
+  test("qsMapLastWins: duplicate params keep the last value, no DUPLICATE_MAP_KEY") {
+    import spark.implicits._
+    import graft.functions.UrlF
+    val out = Seq("uid=a&x=1&uid=b", "", "k", "a=1&b=").toDF("qs")
+      .select(col("qs"), UrlF.qsMapLastWins(col("qs")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getAs[Map[String, String]]("m")).toMap
+    assert(out("uid=a&x=1&uid=b") == Map("uid" -> "b", "x" -> "1"))
+    assert(out("") == Map.empty)
+    assert(out("k") == Map("k" -> null))
+    assert(out("a=1&b=") == Map("a" -> "1", "b" -> ""))
+  }
+
+  test("pseudonymizeJsonField fails closed on ambiguous or escape-bearing docs") {
+    import spark.implicits._
+    import graft.functions.EventF
+    def run(doc: String) =
+      Seq(doc).toDF("j").select(EventF.pseudonymizeJsonField(col("j"), "$.data.email", "s").as("o"))
+        .collect()(0).getString(0)
+    // single clean occurrence rewrites in place
+    val ok = run("""{"data":{"email":"a@x.com","plan":"pro"}}""")
+    assert(ok != null && ok.contains("\"plan\":\"pro\"") && !ok.contains("a@x.com"))
+    // two same-named fields would get the WRONG hash → null, never corrupt
+    assert(run("""{"data":{"email":"a@x.com"},"billing":{"email":"b@y.com"}}""") == null)
+    // escaped quote in the value defeats the splice regex → null
+    assert(run("""{"data":{"email":"a\"b@x.com"}}""") == null)
+    // field absent → document unchanged
+    assert(run("""{"data":{"plan":"pro"}}""") == """{"data":{"plan":"pro"}}""")
+  }
 }

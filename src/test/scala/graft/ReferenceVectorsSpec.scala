@@ -54,7 +54,13 @@ class ReferenceVectorsSpec extends SparkSpec {
       ("64:ff9b::1.2.3.4", 4, 6, "64:ff9b:x:x:x:x:x:x"),
       ("64:ff9b::1.2.3.4", 4, 1, "64:ff9b:0:0:0:0:102:x"),
       // separator-free garbage passes through even at octets=4
-      ("hello;goodbye", 4, 4, "hello;goodbye")
+      ("hello;goodbye", 4, 4, "hello;goodbye"),
+      // lowercase mapped prefix: Guava parses as Inet4Address, the reference's
+      // case-sensitive prefix check misses → whole string through the v4 masker
+      ("::ffff:152.16.24.123", 2, 4, "::ffff:152.16.x.x"),
+      // out-of-range mixed tail: not convertible to hex groups — masked as an
+      // opaque trailing group (fail closed), never an ANSI crash
+      ("64:ff9b::1.2.3.999", 4, 7, "64:x:x:x:x:x:x:x")
     )
     vectors.foreach { case (ip, o, s, expected) =>
       assert(anon(ip, o, s) == expected, s"anonIp($ip, $o, $s)")

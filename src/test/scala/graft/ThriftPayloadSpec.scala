@@ -63,6 +63,16 @@ class ThriftPayloadSpec extends AnyFunSuite {
     assert(ThriftPayload.decodeOpt(Array[Byte](11, 0)).isEmpty)
     assert(ThriftPayload.decodeOpt(ThriftPayload.encode(sample)).contains(sample))
   }
+
+  test("negative length in an UNKNOWN field fails to None instead of looping forever") {
+    // TString header for unknown field id 1 with length -7: an unvalidated
+    // skip would rewind the cursor and spin the decode loop
+    val negStr = Array[Byte](11, 0, 1, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xf9.toByte)
+    assert(ThriftPayload.decodeOpt(negStr).isEmpty)
+    // negative LIST count on an unknown field
+    val negList = Array[Byte](15, 0, 2, 11, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xf9.toByte)
+    assert(ThriftPayload.decodeOpt(negList).isEmpty)
+  }
 }
 
 /** Distributed loader + adapter coverage that needs a SparkSession. */
