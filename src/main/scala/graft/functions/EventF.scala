@@ -123,8 +123,14 @@ object EventF {
     // the whole document in those cases rather than emit a wrong pseudonym.
     val occurrences = size(split(json, quoted, -1)) - 1
     val unsafeValue = v.contains("\"") || v.contains("\\")
+    // the wildcard pattern counts SAME-NAMED fields, not this path's value:
+    // when the JSONPath target is a non-string (e.g. a number) the single
+    // regex occurrence can be a DIFFERENT field — require the path's own
+    // value to appear verbatim as "field":"value" (plain substring, so no
+    // escaping pitfalls) before rewriting, else fail closed
+    val valueInPlace = instr(json, concat(lit("\"" + field + "\":\""), v, lit("\""))) > 0
     when(v.isNull, json)
-      .when(occurrences === 1 && !unsafeValue,
+      .when(occurrences === 1 && !unsafeValue && valueInPlace,
         regexp_replace(json, lit(quoted),
           concat(lit("\"" + field + "\":\""), pseudonymize(v, salt), lit("\""))))
       .otherwise(lit(null).cast("string"))

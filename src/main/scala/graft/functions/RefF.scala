@@ -74,17 +74,19 @@ object RefF {
     ("medium.com", "social", "Medium", null)
   )
 
-  /** Pattern match against a host: dot-TERMINATED patterns ("google.") use
-    * the legacy substring rule; bare full-host patterns ("x.com", "t.me")
-    * must equal the host or be its registrable suffix — plain contains would
-    * classify "netflix.com" as Twitter via "x.com". */
+  /** Pattern match against a host, always at a label boundary: dot-TERMINATED
+    * patterns ("google.") must start the host or follow a dot — plain
+    * contains would classify "fakeyoutube.com" as YouTube via "youtube.";
+    * bare full-host patterns ("x.com", "t.me") must equal the host or be its
+    * registrable suffix — plain contains would classify "netflix.com" as
+    * Twitter via "x.com". */
   def hostMatches(host: Column, pat: String): Column =
-    if (pat.endsWith(".")) host.contains(pat)
+    if (pat.endsWith(".")) host.startsWith(pat) || host.contains("." + pat)
     else host === pat || host.endsWith("." + pat)
 
   /** SQL twin of [[hostMatches]] (shared by the oracle builders). */
   def hostMatchesSql(hostExpr: String, pat: String): String =
-    if (pat.endsWith(".")) s"position('$pat' IN $hostExpr) > 0"
+    if (pat.endsWith(".")) s"(position('$pat' IN $hostExpr) = 1 OR position('.$pat' IN $hostExpr) > 0)"
     else s"($hostExpr = '$pat' OR $hostExpr LIKE '%.$pat')"
 
   private def isInternal(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column =

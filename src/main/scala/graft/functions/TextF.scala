@@ -30,9 +30,13 @@ object TextF {
   /** GPT-2-style pre-tokenizer segmentation pattern: contraction suffixes,
     * space-prefixed letter/digit/punct runs, residual whitespace. No
     * lookahead (DuckDB RE2 oracle); leftmost-first alternation is identical
-    * in Java regex and RE2. */
+    * in Java regex and RE2. Whitespace is an EXPLICIT class, not `\s` —
+    * Java's `\s` includes U+000B where RE2's does not, so the shorthand can
+    * diverge between engines. Like the doc_rolling_hash oracle, the
+    * `\p{L}`/`\p{N}` properties assume the synth corpus stays ASCII; exotic
+    * Unicode could still drift between Java and RE2 property tables. */
   val BpeTokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
 
   /** Number of BPE-style pre-tokenizer segments — the token-budget estimate
     * a training-data pipeline tracks (whitespace tokenCount undercounts

@@ -83,7 +83,15 @@ object AsOfJoin {
     bucketWidth: Long
   ): DataFrame = {
     require(bucketWidth > 0)
-    def bkt(c: Column) = floor(c / bucketWidth).cast("bigint")
+    // exact integer floor-division: Column `/` is DOUBLE division, which can
+    // drift off integer boundaries for times near 2^53 and quietly change
+    // partition sizing. t − pmod(t, w) is the floor multiple (pmod is
+    // non-negative, so this floors for negative times too) and divides
+    // exactly under integral `div`.
+    def bkt(c: Column) = {
+      val t = c.cast("bigint")
+      call_function("div", t - pmod(t, lit(bucketWidth)), lit(bucketWidth))
+    }
     val kcols = keys.map(col)
     // last reference row per (key, bucket), with its timestamp
     val agg = right

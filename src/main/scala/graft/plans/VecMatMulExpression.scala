@@ -19,6 +19,12 @@ case class VecMatMulExpression(child: Expression, mat: Array[Array[Double]])
   extends UnaryExpression {
 
   require(mat.nonEmpty, "matrix must have at least one row")
+  require(mat.forall(_.length == mat(0).length), "matrix rows must have equal length")
+
+  /** Shared input dimensionality; a vector of any other length yields NULL
+    * (like the zip_with-pads-with-null HOF fold this kernel mirrors) rather
+    * than a silently-truncated partial dot product. */
+  private val dim: Int = mat(0).length
 
   // def, not val: child.dataType is unavailable while still unresolved
   private def isFloat: Boolean = child.dataType match {
@@ -39,6 +45,7 @@ case class VecMatMulExpression(child: Expression, mat: Array[Array[Double]])
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (n != dim) return null
     // a null element would silently contribute 0.0 where the HOF fold this
     // kernel mirrors returns NULL — propagate null for the whole result
     var k = 0
@@ -47,10 +54,9 @@ case class VecMatMulExpression(child: Expression, mat: Array[Array[Double]])
     var j = 0
     while (j < mat.length) {
       val row = mat(j)
-      val d = math.min(n, row.length)
       var acc = 0.0
       var i = 0
-      while (i < d) {
+      while (i < n) {
         val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
         acc += x * row(i)
         i += 1
@@ -70,16 +76,15 @@ case class VecMatMulExpression(child: Expression, mat: Array[Array[Double]])
       val row = ctx.freshName("row")
       val acc = ctx.freshName("acc")
       val n = ctx.freshName("n")
-      val d = ctx.freshName("d")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val k = ctx.freshName("k")
       val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = $c.numElements();
-         |boolean $anyNull = false;
-         |for (int $k = 0; $k < $n; $k++) {
-         |  if ($c.isNullAt($k)) { $anyNull = true; break; }
+         |boolean $anyNull = ($n != $dim);
+         |for (int $k = 0; !$anyNull && $k < $n; $k++) {
+         |  if ($c.isNullAt($k)) { $anyNull = true; }
          |}
          |if ($anyNull) {
          |  ${ev.isNull} = true;
@@ -87,9 +92,8 @@ case class VecMatMulExpression(child: Expression, mat: Array[Array[Double]])
          |  double[] $out = new double[$matRef.length];
          |  for (int $j = 0; $j < $matRef.length; $j++) {
          |    double[] $row = $matRef[$j];
-         |    int $d = $n < $row.length ? $n : $row.length;
          |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $d; $i++) {
+         |    for (int $i = 0; $i < $n; $i++) {
          |      $acc += ((double) $c.$getter($i)) * $row[$i];
          |    }
          |    $out[$j] = $acc;

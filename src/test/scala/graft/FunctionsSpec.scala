@@ -170,6 +170,8 @@ class FunctionsSpec extends SparkSpec {
       ("netflix.com", "unknown"), // contains x.com but is not Twitter
       ("contoso.com", "unknown"), // contains so.com but is not 360 Search
       ("webmail.runbox.com", "unknown"), // contains mail.ru but is not Mail.ru
+      ("fakeyoutube.com", "unknown"), // contains "youtube." but is not YouTube
+      ("youtube.com", "social"), ("www.youtube.com", "social"),
       ("dot.t.me", "social"), ("t.me", "social"),
       ("www.google.com", "search"))
     val out = cases.map(_._1).toDF("rh")
@@ -203,6 +205,9 @@ class FunctionsSpec extends SparkSpec {
     assert(run("""{"data":{"email":"a@x.com"},"billing":{"email":"b@y.com"}}""") == null)
     // escaped quote in the value defeats the splice regex → null
     assert(run("""{"data":{"email":"a\"b@x.com"}}""") == null)
+    // non-string target whose hash would splice into a DIFFERENT same-named
+    // string field (the one regex occurrence is $.other.email, not the path)
+    assert(run("""{"data":{"email":123},"other":{"email":"x@y.com"}}""") == null)
     // field absent → document unchanged
     assert(run("""{"data":{"plan":"pro"}}""") == """{"data":{"plan":"pro"}}""")
   }

@@ -51,9 +51,11 @@ class OperatorsSpec extends SparkSpec {
     import graft.operators.AsOfJoin
     // refs clustered early; probes span far later times → probe buckets with
     // zero refs must still pick up the carry-in from much earlier buckets
-    val refs = Seq((1L, 10L, "a"), (1L, 95L, "b"), (2L, 5L, "x"))
+    // negative times exercise the exact integer floor-division bucketing
+    val refs = Seq((1L, 10L, "a"), (1L, 95L, "b"), (2L, 5L, "x"), (4L, -250L, "n"))
       .toDF("k", "rt", "v")
-    val probes = Seq((1L, 9L), (1L, 10L), (1L, 94L), (1L, 1000L), (2L, 4L), (2L, 999L), (3L, 50L))
+    val probes = Seq((1L, 9L), (1L, 10L), (1L, 94L), (1L, 1000L), (2L, 4L), (2L, 999L), (3L, 50L),
+      (4L, -260L), (4L, -250L), (4L, -1L), (4L, 75L))
       .toDF("k", "pt")
     def collectOut(df: org.apache.spark.sql.DataFrame) =
       df.select("k", "pt", "v").collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
@@ -65,6 +67,9 @@ class OperatorsSpec extends SparkSpec {
     assert(plain((1L, 10L)) == "a") // inclusive at equality
     assert(plain((1L, 1000L)) == "b") // carried across 9 empty buckets
     assert(plain((3L, 50L)) == null) // key with no refs at all
+    assert(plain((4L, -260L)) == null) // before a negative-time ref
+    assert(plain((4L, -250L)) == "n") // inclusive at negative equality
+    assert(plain((4L, 75L)) == "n") // carried across the zero boundary
   }
 
   test("KMeans: separates three well-separated direction clusters") {

@@ -50,6 +50,26 @@ class PlansSpec extends SparkSpec {
     assert(viaKernel(codegen = false) == expected)
   }
 
+  test("VecMatMulExpression: mis-dimensioned vector yields NULL, not a truncated product") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val mat = Array(Array(1.0, 2.0, 3.0))
+    val df = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f, 1.0f, 1.0f)), (3L, Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("id", "v")
+    def run(codegen: Boolean) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(col("id"), ColumnBridge.column(
+          graft.plans.VecMatMulExpression(ColumnBridge.expression(col("v")), mat)).as("d"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_ => r.getSeq[Double](1).toList)).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    for (cg <- Seq(true, false)) {
+      val out = run(cg)
+      assert(out(1L).isEmpty && out(2L).isEmpty, s"short/long vectors must be null (codegen=$cg)")
+      assert(out(3L).contains(List(6.0)), s"exact-dim vector still computes (codegen=$cg)")
+    }
+  }
+
   test("RollingHashExpression: known vectors, codegen == interpreted") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
