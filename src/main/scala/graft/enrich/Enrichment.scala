@@ -125,15 +125,11 @@ final case class RefererParser(
   internalDomains: Seq[String] = Nil
 ) extends Enrichment {
   val name = "referer_parser"
-  def apply(df: DataFrame): DataFrame = {
-    val refrHost = UrlF.urlHost(col(refrCol))
-    val pageHost = UrlF.urlHost(col(pageCol))
-    val refrQs = UrlF.urlQuery(col(refrCol))
-    df.withColumn("refr_urlhost", refrHost)
-      .withColumn("refr_medium", RefF.refererMedium(refrHost, pageHost, internalDomains))
-      .withColumn("refr_source", RefF.refererSource(refrHost, pageHost, internalDomains))
-      .withColumn("refr_term", RefF.refererTerm(refrHost, refrQs, pageHost, internalDomains))
-  }
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("refr_urlhost", UrlF.urlHost(col(refrCol)))
+      .withColumn("refr_medium", RefF.refererMedium(col(refrCol), col(pageCol), internalDomains))
+      .withColumn("refr_source", RefF.refererSource(col(refrCol), col(pageCol), internalDomains))
+      .withColumn("refr_term", RefF.refererTerm(col(refrCol), col(pageCol), internalDomains))
 }
 
 /** UA classification (reference `registry/UserAgentUtilsEnrichment` /

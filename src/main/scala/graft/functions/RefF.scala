@@ -2,129 +2,82 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.plans.RefererLookupExpression
 
 /** Referer classification — capability twin of snowplow/enrich
   * `registry/RefererParserEnrichment.scala:91` (which wraps the
   * referer-parser database): medium ∈ {internal, search, social, email,
-  * unknown}, source name, and the search term extracted from the referer
-  * querystring.
+  * chatbot, unknown}, source name, and the search term extracted from the
+  * referer querystring (URL-decoded, tabs → four spaces, control chars
+  * stripped — `utils/ConversionUtils.scala:115`).
   *
-  * graft embeds a compact referer db as shared constants and compiles it to
-  * a CASE cascade — a per-row pure function that codegens and needs no
-  * lookup table at 100 TB. Internal-domain handling matches the reference:
-  * the page host itself plus a configured domain list count as internal.
+  * The database ([[RefererDbData]], 1000+ domain keys / 60+ sources) is
+  * probed by one codegen'd hash-map expression per row
+  * ([[graft.plans.RefererLookupExpression]]) — no join, no shuffle, no
+  * giant CASE cascade. Source attributes are then picked from tiny literal
+  * arrays indexed by the match id. Internal-domain handling matches the
+  * reference: the page host itself plus a configured domain list count as
+  * internal.
   */
 object RefF {
 
-  /** (host substring, medium, source, term param or null). First match wins;
-    * order is the db's precedence — mail.* entries MUST precede their bare
-    * search-engine domains (mail.google before google, …). A compact
-    * embedding of the referer-parser db's common entries; patterns keep a
-    * trailing dot (or full host) so substring matching stays specific. */
-  val RefererDb: Seq[(String, String, String, String)] = Seq(
-    // email (webmail hosts shadow their parent domains)
-    ("mail.google.", "email", "Gmail", null),
-    ("mail.yahoo.", "email", "Yahoo! Mail", null),
-    ("mail.yandex.", "email", "Yandex Mail", null),
-    ("mail.ru", "email", "Mail.ru", null),
-    ("outlook.", "email", "Outlook", null),
-    ("mail.aol.", "email", "AOL Mail", null),
-    // search
-    ("google.", "search", "Google", "q"),
-    ("bing.", "search", "Bing", "q"),
-    ("yahoo.", "search", "Yahoo", "p"),
-    ("duckduckgo.", "search", "DuckDuckGo", "q"),
-    ("baidu.", "search", "Baidu", "wd"),
-    ("yandex.", "search", "Yandex", "text"),
-    ("ecosia.", "search", "Ecosia", "q"),
-    ("qwant.", "search", "Qwant", "q"),
-    ("startpage.", "search", "Startpage", "query"),
-    ("search.brave.", "search", "Brave", "q"),
-    ("naver.", "search", "Naver", "query"),
-    ("seznam.", "search", "Seznam", "q"),
-    ("sogou.", "search", "Sogou", "query"),
-    ("so.com", "search", "360 Search", "q"),
-    ("www.ask.", "search", "Ask", "q"),
-    ("search.aol.", "search", "AOL", "q"),
-    // social
-    ("facebook.", "social", "Facebook", null),
-    ("fb.me", "social", "Facebook", null),
-    ("t.co", "social", "Twitter", null),
-    ("twitter.", "social", "Twitter", null),
-    ("x.com", "social", "Twitter", null),
-    ("linkedin.", "social", "LinkedIn", null),
-    ("lnkd.in", "social", "LinkedIn", null),
-    ("reddit.", "social", "Reddit", null),
-    ("instagram.", "social", "Instagram", null),
-    ("pinterest.", "social", "Pinterest", null),
-    ("youtube.", "social", "YouTube", null),
-    ("youtu.be", "social", "YouTube", null),
-    ("tiktok.", "social", "TikTok", null),
-    ("snapchat.", "social", "Snapchat", null),
-    ("tumblr.", "social", "Tumblr", null),
-    ("vk.com", "social", "VKontakte", null),
-    ("weibo.", "social", "Weibo", null),
-    ("whatsapp.", "social", "WhatsApp", null),
-    ("telegram.", "social", "Telegram", null),
-    ("t.me", "social", "Telegram", null),
-    ("messenger.", "social", "Facebook Messenger", null),
-    ("threads.net", "social", "Threads", null),
-    ("mastodon.", "social", "Mastodon", null),
-    ("news.ycombinator.", "social", "Hacker News", null),
-    ("medium.com", "social", "Medium", null)
-  )
+  private def mediumsLit: Column = typedLit(RefererDb.Mediums)
+  private def namesLit: Column = typedLit(RefererDb.Names)
+  private def paramsLit: Column = typedLit(RefererDb.Params)
 
-  /** Pattern match against a host, always at a label boundary: dot-TERMINATED
-    * patterns ("google.") must start the host or follow a dot — plain
-    * contains would classify "fakeyoutube.com" as YouTube via "youtube.";
-    * bare full-host patterns ("x.com", "t.me") must equal the host or be its
-    * registrable suffix — plain contains would classify "netflix.com" as
-    * Twitter via "x.com". */
-  def hostMatches(host: Column, pat: String): Column =
-    if (pat.endsWith(".")) host.startsWith(pat) || host.contains("." + pat)
-    else host === pat || host.endsWith("." + pat)
-
-  /** SQL twin of [[hostMatches]] (shared by the oracle builders). */
-  def hostMatchesSql(hostExpr: String, pat: String): String =
-    if (pat.endsWith(".")) s"(position('$pat' IN $hostExpr) = 1 OR position('.$pat' IN $hostExpr) > 0)"
-    else s"($hostExpr = '$pat' OR $hostExpr LIKE '%.$pat')"
+  /** Source id from the referer URL (−1 = unknown, null = no/invalid host). */
+  def refererIdx(refrUrl: Column): Column =
+    ColumnBridge.column(RefererLookupExpression(
+      ColumnBridge.expression(UrlF.urlHost(refrUrl)),
+      ColumnBridge.expression(coalesce(UrlF.urlPath(refrUrl), lit("")))))
 
   private def isInternal(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column =
-    refrHost === pageHost || refrHost.isin(internalDomains: _*)
+    refrHost === pageHost ||
+      (if (internalDomains.isEmpty) lit(false) else refrHost.isin(internalDomains: _*))
 
-  /** Referer medium; null when refrHost is null (direct visit). */
-  def refererMedium(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column = {
-    val base = RefererDb.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, medium, _, _)) =>
-      acc.when(hostMatches(refrHost, pat), lit(medium))
-    }
-    when(refrHost.isNull, lit(null))
-      .when(isInternal(refrHost, pageHost, internalDomains), lit("internal"))
-      .otherwise(base.otherwise(lit("unknown")))
+  /** Referer medium; null when the referer has no host (direct visit). */
+  def refererMedium(refrUrl: Column, pageUrl: Column, internalDomains: Seq[String]): Column = {
+    val rh = UrlF.urlHost(refrUrl)
+    val idx = refererIdx(refrUrl)
+    when(rh.isNull, lit(null).cast("string"))
+      .when(isInternal(rh, UrlF.urlHost(pageUrl), internalDomains), lit("internal"))
+      .when(idx =!= -1, get(mediumsLit, idx))
+      .otherwise(lit("unknown"))
   }
 
-  /** Referer source name (search engine / social network); null for
-    * internal, direct and unknown referers. */
-  def refererSource(refrHost: Column, pageHost: Column, internalDomains: Seq[String]): Column = {
-    val base = RefererDb.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, _, source, _)) =>
-      acc.when(hostMatches(refrHost, pat), lit(source))
-    }
-    when(refrHost.isNull || isInternal(refrHost, pageHost, internalDomains), lit(null))
-      .otherwise(base.otherwise(lit(null)))
+  /** Referer source name (engine / network); null for internal, direct and
+    * unknown referers. */
+  def refererSource(refrUrl: Column, pageUrl: Column, internalDomains: Seq[String]): Column = {
+    val rh = UrlF.urlHost(refrUrl)
+    val idx = refererIdx(refrUrl)
+    when(rh.isNull || isInternal(rh, UrlF.urlHost(pageUrl), internalDomains),
+      lit(null).cast("string"))
+      .when(idx =!= -1, get(namesLit, idx))
+      .otherwise(lit(null).cast("string"))
   }
 
-  /** Search term from the referer querystring, for search referers only. */
-  def refererTerm(
-    refrHost: Column,
-    refrQs: Column,
-    pageHost: Column,
-    internalDomains: Seq[String]
-  ): Column = {
-    val base = RefererDb.collect { case (pat, _, _, termParam) if termParam != null =>
-      (pat, termParam)
-    }.foldLeft(when(lit(false), lit(""))) { case (acc, (pat, tp)) =>
-      acc.when(hostMatches(refrHost, pat), UrlF.qsParam(refrQs, tp))
-    }
-    when(refrHost.isNull || isInternal(refrHost, pageHost, internalDomains), lit(null))
-      .otherwise(base.otherwise(lit(null)))
+  /** Search term: first querystring pair (in URI order) whose name is one of
+    * the matched source's term parameters; value URL-decoded, then the
+    * reference's fixTabsNewlines (tab → 4 spaces, control chars stripped,
+    * '' → null). Null for non-search/internal/direct/unknown referers. */
+  def refererTerm(refrUrl: Column, pageUrl: Column, internalDomains: Seq[String]): Column = {
+    val rh = UrlF.urlHost(refrUrl)
+    val rq = UrlF.urlQuery(refrUrl)
+    val idx = refererIdx(refrUrl)
+    val params = get(paramsLit, idx)
+    val pairs = split(coalesce(rq, lit("")), "&")
+    val hit = get(
+      filter(pairs, p => array_contains(params, substring_index(p, "=", 1))), lit(0))
+    val rawv = regexp_replace(hit, "^[^=]*=?", "")
+    val decoded = url_decode(regexp_replace(rawv, "\\+", "%20"))
+    val fixed = nullif(
+      regexp_replace(regexp_replace(decoded, "\t", "    "), "[\\x00-\\x1f\\x7f]", ""),
+      lit(""))
+    when(rh.isNull || isInternal(rh, UrlF.urlHost(pageUrl), internalDomains),
+      lit(null).cast("string"))
+      .when(idx =!= -1 && size(params) > 0, fixed)
+      .otherwise(lit(null).cast("string"))
   }
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime lookup + DuckDB-oracle SQL emitters over the generated referer
+  * database ([[RefererDbData]], from tools/gen_referer_db.py).
+  *
+  * Lookup semantics are the public referer-parser library's (the engine
+  * behind snowplow/enrich
+  * `enrichments/registry/RefererParserEnrichment.scala:100`):
+  *
+  *   pass 1 — for each host suffix (full host, then stripping one leading
+  *            label at a time): try `suffix + path`, then
+  *            `suffix + "/" + firstPathSegment`;
+  *   pass 2 — the same suffix walk with the bare host.
+  *
+  * First hit wins. Both engines implement the identical candidate order:
+  * Spark via [[lookupIdx]] (a hash-map walk inside one codegen'd
+  * projection), DuckDB via a candidate list whose ordinal position is the
+  * priority ([[candidatesSql]]) joined against a VALUES table
+  * ([[rdbValuesSql]]) with `arg_min(sidx, prio)`.
+  */
+object RefererDb {
+
+  val Mediums: Seq[String] = RefererDbData.Sources.map(_._1)
+  val Names: Seq[String] = RefererDbData.Sources.map(_._2)
+  val Params: Seq[Seq[String]] = RefererDbData.Sources.map(_._3)
+
+  /** key → source id; first entry wins (generator already dedups). */
+  private val KeyToIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](RefererDbData.Keys.size * 2)
+    RefererDbData.Keys.foreach { case (k, i) =>
+      if (!m.containsKey(k)) m.put(k, Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** referer-parser candidate walk; -1 = no match. Called per row from the
+    * codegen'd [[graft.plans.RefererLookupExpression]]. */
+  def lookupIdx(hostU: UTF8String, pathU: UTF8String): Int = {
+    if (hostU == null) return -1
+    val host = hostU.toString
+    val path = if (pathU == null) "" else pathU.toString
+    val segs = path.split("/")
+    val segKey = if (segs.length > 1 && segs(1).nonEmpty) "/" + segs(1) else null
+    // pass 1: suffixes with path
+    var h = host
+    var more = true
+    while (more) {
+      val hit = KeyToIdx.get(h + path)
+      if (hit != null) return hit.intValue
+      if (segKey != null) {
+        val hit2 = KeyToIdx.get(h + segKey)
+        if (hit2 != null) return hit2.intValue
+      }
+      val dot = h.indexOf('.')
+      if (dot < 0) more = false else h = h.substring(dot + 1)
+    }
+    // pass 2: bare suffixes
+    h = host
+    while (true) {
+      val hit = KeyToIdx.get(h)
+      if (hit != null) return hit.intValue
+      val dot = h.indexOf('.')
+      if (dot < 0) return -1
+      h = h.substring(dot + 1)
+    }
+    -1
+  }
+
+  // ---- DuckDB oracle twins ----------------------------------------------
+
+  private def sq(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** `rdb(key, sidx)` VALUES body. */
+  def rdbValuesSql: String =
+    RefererDbData.Keys.map { case (k, i) => s"(${sq(k)}, $i)" }.mkString(", ")
+
+  /** `rsrc(sidx, medium, source, params)` VALUES body (params comma-joined,
+    * '' = no search-term params). */
+  def rsrcValuesSql: String =
+    RefererDbData.Sources.zipWithIndex.map { case ((m, n, ps), i) =>
+      s"($i, ${sq(m)}, ${sq(n)}, ${sq(ps.mkString(","))})"
+    }.mkString(", ")
+
+  /** Candidate list in priority order (ordinal = priority): pass-1
+    * suffix+path / suffix+firstSegment pairs, then pass-2 bare suffixes —
+    * byte-identical order to [[lookupIdx]]. `hostExpr` must be non-null,
+    * `pathExpr` non-null (coalesce '' upstream). */
+  def candidatesSql(hostExpr: String, pathExpr: String): String = {
+    val labels = s"string_split($hostExpr, '.')"
+    val seg1 = s"nullif(list_extract(string_split($pathExpr, '/'), 2), '')"
+    s"""list_concat(
+       |  flatten([[array_to_string(($labels)[i:], '.') || $pathExpr,
+       |            array_to_string(($labels)[i:], '.') || '/' || $seg1]
+       |           for i in range(1, len($labels) + 1)]),
+       |  [array_to_string(($labels)[i:], '.') for i in range(1, len($labels) + 1)])""".stripMargin
+  }
+
+  /** Search-term extraction + decode + tab/control fixing for a matched
+    * source: first querystring pair (URI order) whose name is in `params`
+    * (comma-joined), value = everything after the first '='.
+    *
+    * Decode parity contract: Spark uses real `url_decode`; this twin decodes
+    * a fixed replace chain over the restricted escape alphabet
+    * {+, %20, %09, %0A, %2B} that tools/gen_referer_db.py guarantees for
+    * synth term values. Then the reference's fixTabsNewlines
+    * (`utils/ConversionUtils.scala:115`): tab → four spaces, control chars
+    * stripped, '' → NULL. */
+  def termSql(qsExpr: String, paramsExpr: String): String = {
+    val first = s"list_extract([p for p in string_split(coalesce($qsExpr, ''), '&') " +
+      s"if list_contains(string_split($paramsExpr, ','), split_part(p, '=', 1))], 1)"
+    val rawv = s"regexp_replace($first, '^[^=]*=?', '')"
+    val decoded = s"replace(replace(replace(replace(replace($rawv," +
+      s" '+', ' '), '%20', ' '), '%09', chr(9)), '%0A', chr(10)), '%2B', '+')"
+    s"nullif(regexp_replace(regexp_replace($decoded, chr(9), '    ', 'g')," +
+      raw" '[\x00-\x1f\x7f]', '', 'g'), '')"
+  }
+}

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** referer-parser database lookup: (host, path) → source id into
+  * [[graft.functions.RefererDbData.Sources]], or -1 when the referer is
+  * unknown.
+  *
+  * Capability twin of snowplow/enrich
+  * `enrichments/registry/RefererParserEnrichment.scala:100` (which delegates
+  * to the public referer-parser library). The candidate order is the
+  * library's: first every host suffix with the path (full path, then first
+  * path segment), then every host suffix bare — see
+  * [[graft.functions.RefererDb.lookupIdx]].
+  *
+  * A codegen'd static call against a per-JVM hash map: O(#host-labels)
+  * probes per row, no join, no shuffle, and no thousand-branch CASE cascade
+  * (which Janino refuses to compile at this database size). The database
+  * rides into executors as class data, not a broadcast — it is part of the
+  * library, like a charset table.
+  */
+case class RefererLookupExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string) inputs, got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_referer_lookup"
+
+  override protected def nullSafeEval(host: Any, path: Any): Any =
+    graft.functions.RefererDb.lookupIdx(
+      host.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, p) =>
+      s"graft.functions.RefererDb$$.MODULE$$.lookupIdx($h, $p)")
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression,
+    newRight: Expression
+  ): RefererLookupExpression = copy(left = newLeft, right = newRight)
+}

@@ -75,12 +75,11 @@ object PipelineQuery {
       val mktSource = s"coalesce(${qsParam("pq", "utm_source")}, ${qsParam("pq", "mkt_source")})"
       val mktCampaign = s"coalesce(${qsParam("pq", "utm_campaign")}, ${qsParam("pq", "mkt_campaign")})"
       val internalSql = Queries2.InternalDomains.map(d => s"'$d'").mkString(", ")
-      val mediumCases = RefF.RefererDb
-        .map { case (pat, m, _, _) => s"WHEN ${RefF.hostMatchesSql("rh", pat)} THEN '$m'" }.mkString(" ")
+      val refrPath = raw"coalesce(nullif(regexp_extract(refr_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '')"
       val refrMedium =
         s"""CASE WHEN rh IS NULL THEN NULL
            |     WHEN rh = ph OR rh IN ($internalSql) THEN 'internal'
-           |     ELSE CASE $mediumCases ELSE 'unknown' END END""".stripMargin
+           |     WHEN s.medium IS NOT NULL THEN s.medium ELSE 'unknown' END""".stripMargin
       def has(t: String) = s"position('$t' IN ua) > 0"
       val isBot = "regexp_matches(lower(ua), 'bot|crawler|spider|slurp|archiver|wget|curl')"
       val shellFams = graft.functions.UaF.ChromiumShells
@@ -116,7 +115,20 @@ object PipelineQuery {
           "(CASE WHEN platform_code IS NOT NULL AND " + platformCase + " IS NULL THEN 1 ELSE 0 END)"
       val ratesValues = Queries2.Rates.map { case (c, r) => s"('$c', $r)" }.mkString(", ")
 
-      Synth.withCte(
+      s"""WITH rdb(key, sidx) AS (VALUES ${graft.functions.RefererDb.rdbValuesSql}),
+         |rsrc(sidx, medium, source, params) AS (VALUES ${graft.functions.RefererDb.rsrcValuesSql}),
+         |raw AS (
+         |${Synth.cte}
+         |),
+         |t AS (SELECT raw.*, $pageHost AS ph, $refrHost AS rh, $pageQsE AS pq, $refrPath AS rpath FROM raw),
+         |cand AS (
+         |  SELECT event_id, unnest(cands) AS key, generate_subscripts(cands, 1) AS prio
+         |  FROM (SELECT event_id, ${graft.functions.RefererDb.candidatesSql("rh", "rpath")} AS cands
+         |        FROM t WHERE rh IS NOT NULL) c),
+         |hit AS (
+         |  SELECT c.event_id AS eid, arg_min(r.sidx, c.prio) AS sidx
+         |  FROM cand c JOIN rdb r ON c.key = r.key GROUP BY c.event_id)
+         |""".stripMargin +
         s"""SELECT event_id,
            |  $eventTypeCase AS event,
            |  $platformCase AS platform,
@@ -133,9 +145,11 @@ object PipelineQuery {
            |  sha256(concat('pepper', user_id)) AS user_id_hash,
            |  $fp AS event_fingerprint,
            |  $nErrors AS n_errors
-           |FROM (SELECT raw.*, $pageHost AS ph, $refrHost AS rh, $pageQsE AS pq FROM raw) t
+           |FROM t
+           |LEFT JOIN hit ON t.event_id = hit.eid
+           |LEFT JOIN rsrc s ON hit.sidx = s.sidx
            |LEFT JOIN (VALUES $ratesValues) r(cur, rate_micro) ON currency = cur
-           |ORDER BY event_id""".stripMargin)
+           |ORDER BY event_id""".stripMargin
     }
   )
 }

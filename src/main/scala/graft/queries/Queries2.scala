@@ -42,14 +42,11 @@ object Queries2 {
 
   val defs: Map[String, Q] = Map(
     "referer_parse" -> { (sp, dir) =>
-      val pageHost = UrlF.urlHost(col("page_url"))
-      val refrHost = UrlF.urlHost(col("refr_url"))
-      val refrQs = UrlF.urlQuery(col("refr_url"))
       raw(sp, dir).select(
         col("event_id"),
-        RefF.refererMedium(refrHost, pageHost, InternalDomains).as("refr_medium"),
-        RefF.refererSource(refrHost, pageHost, InternalDomains).as("refr_source"),
-        RefF.refererTerm(refrHost, refrQs, pageHost, InternalDomains).as("refr_term")
+        RefF.refererMedium(col("refr_url"), col("page_url"), InternalDomains).as("refr_medium"),
+        RefF.refererSource(col("refr_url"), col("page_url"), InternalDomains).as("refr_source"),
+        RefF.refererTerm(col("refr_url"), col("page_url"), InternalDomains).as("refr_term")
       ).orderBy("event_id")
     },
 
@@ -185,13 +182,7 @@ object Queries2 {
     val refrQs = raw"nullif(regexp_extract(refr_url, '\?([^#]*)', 1), '')"
     val internalSql = InternalDomains.map(d => s"'$d'").mkString(", ")
     val isInternal = s"(rh = ph OR rh IN ($internalSql))"
-    val mediumCases = RefF.RefererDb
-      .map { case (pat, m, _, _) => s"WHEN ${RefF.hostMatchesSql("rh", pat)} THEN '$m'" }.mkString(" ")
-    val sourceCases = RefF.RefererDb
-      .map { case (pat, _, src, _) => s"WHEN ${RefF.hostMatchesSql("rh", pat)} THEN '$src'" }.mkString(" ")
-    val termCases = RefF.RefererDb.collect { case (pat, _, _, tp) if tp != null =>
-      s"WHEN ${RefF.hostMatchesSql("rh", pat)} THEN nullif(regexp_extract(rq, '(?:^|&)$tp=([^&]*)', 1), '')"
-    }.mkString(" ")
+    val refrPath = raw"coalesce(nullif(regexp_extract(refr_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '')"
 
     val eventTypeCase = "CASE event_code " +
       EventF.EventTypeMap.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") + " END"
@@ -200,17 +191,33 @@ object Queries2 {
     val anonIpSql = raw"regexp_replace(ip, '^(\d+)\.(\d+)\.\d+\.\d+$$', '\1.\2.x.x')"
 
     Map(
-      "referer_parse" -> Synth.withCte(
-        s"""SELECT event_id,
-           |  CASE WHEN rh IS NULL THEN NULL
+      "referer_parse" ->
+        s"""WITH rdb(key, sidx) AS (VALUES ${graft.functions.RefererDb.rdbValuesSql}),
+           |rsrc(sidx, medium, source, params) AS (VALUES ${graft.functions.RefererDb.rsrcValuesSql}),
+           |raw AS (
+           |${Synth.cte}
+           |),
+           |base AS (
+           |  SELECT event_id, $refrHost AS rh, $pageHost AS ph, $refrQs AS rq, $refrPath AS rpath
+           |  FROM raw),
+           |cand AS (
+           |  SELECT event_id, unnest(cands) AS key, generate_subscripts(cands, 1) AS prio
+           |  FROM (SELECT event_id, ${graft.functions.RefererDb.candidatesSql("rh", "rpath")} AS cands
+           |        FROM base WHERE rh IS NOT NULL) c),
+           |hit AS (
+           |  SELECT c.event_id, arg_min(r.sidx, c.prio) AS sidx
+           |  FROM cand c JOIN rdb r ON c.key = r.key GROUP BY c.event_id)
+           |SELECT b.event_id,
+           |  CASE WHEN b.rh IS NULL THEN NULL
            |       WHEN $isInternal THEN 'internal'
-           |       ELSE CASE $mediumCases ELSE 'unknown' END END AS refr_medium,
-           |  CASE WHEN rh IS NULL OR $isInternal THEN NULL
-           |       ELSE CASE $sourceCases END END AS refr_source,
-           |  CASE WHEN rh IS NULL OR $isInternal THEN NULL
-           |       ELSE CASE $termCases END END AS refr_term
-           |FROM (SELECT event_id, $refrHost AS rh, $pageHost AS ph, $refrQs AS rq FROM raw) t
-           |ORDER BY event_id""".stripMargin),
+           |       WHEN s.medium IS NOT NULL THEN s.medium ELSE 'unknown' END AS refr_medium,
+           |  CASE WHEN b.rh IS NULL OR $isInternal THEN NULL ELSE s.source END AS refr_source,
+           |  CASE WHEN b.rh IS NULL OR $isInternal OR s.params IS NULL OR s.params = '' THEN NULL
+           |       ELSE ${graft.functions.RefererDb.termSql("b.rq", "s.params")} END AS refr_term
+           |FROM base b
+           |LEFT JOIN hit h ON b.event_id = h.event_id
+           |LEFT JOIN rsrc s ON h.sidx = s.sidx
+           |ORDER BY b.event_id""".stripMargin,
 
       "currency_conversion" -> Synth.withCte(
         s"""SELECT event_id, currency, amount_cents, rate_micro,

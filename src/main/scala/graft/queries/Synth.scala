@@ -71,19 +71,18 @@ object Synth {
         // pass them through verbatim (no double decode)
         .when(e % 10 === 4, lit("?q=c%20d&empty=&next=%2Fcheckout%3Fstep%3D2"))
         .otherwise(lit(""))
+    // dynamic shapes (term varies with event_id) + a static sweep through the
+    // whole generated referer-db universe (RefererDbData.SynthUrls covers
+    // every source, deep subdomains, path-bearing domains, unknown hosts and
+    // the reference spec's own vectors)
     val refrUrl =
-      when(e % 12 === 0, concat(lit("https://www.google.com/search?q=widget+"), s(e % 50)))
-        .when(e % 12 === 1, lit("https://www.bing.com/search?q=gadget"))
-        .when(e % 12 === 2, lit("https://www.facebook.com/groups/123"))
-        .when(e % 12 === 3, lit("https://t.co/xyz"))
-        .when(e % 12 === 4, lit("https://shop.example.com/home"))
-        .when(e % 12 === 6, lit("https://duckduckgo.com/?q=private+search"))
-        .when(e % 12 === 7, concat(lit("https://yandex.ru/search/?text=item+"), s(e % 20)))
-        .when(e % 12 === 8, lit("https://mail.google.com/mail/u/0"))
-        .when(e % 12 === 9, lit("https://www.youtube.com/watch?v=abc123"))
-        .when(e % 12 === 10, lit("https://www.pinterest.com/pin/99"))
-        .when(e % 12 === 11, lit("https://www.ecosia.org/search?q=trees"))
-        .otherwise(lit(""))
+      when(e % 16 === 0, concat(lit("https://www.google.com/search?q=widget+"), s(e % 50)))
+        .when(e % 16 === 1, concat(lit("https://search.yahoo.com/search?hl=en&p=thing+"), s(e % 9), lit("&q=shadowed")))
+        .when(e % 16 === 2, lit("https://shop.example.com/home"))
+        .when(e % 16 === 3, lit(""))
+        .when(e % 16 === 4, concat(lit("https://yandex.ru/search/?text=item+"), s(e % 20)))
+        .otherwise(pick(expr(s"(event_id div 16) % ${graft.functions.RefererDbData.SynthUrls.size}"),
+          graft.functions.RefererDbData.SynthUrls))
 
     ev.withColumn("collector_us", col("ts_us"))
       .withColumn("ip",
@@ -150,19 +149,14 @@ object Synth {
        |              WHEN $e % 10 = 4 THEN '?q=c%20d&empty=&next=%2Fcheckout%3Fstep%3D2'
        |              ELSE '' END,
        |         CASE WHEN $e % 7 = 0 THEN '#section2' ELSE '' END) AS page_url,
-       |  nullif(CASE $e % 12
-       |           WHEN 0 THEN concat('https://www.google.com/search?q=widget+', $e % 50)
-       |           WHEN 1 THEN 'https://www.bing.com/search?q=gadget'
-       |           WHEN 2 THEN 'https://www.facebook.com/groups/123'
-       |           WHEN 3 THEN 'https://t.co/xyz'
-       |           WHEN 4 THEN 'https://shop.example.com/home'
-       |           WHEN 6 THEN 'https://duckduckgo.com/?q=private+search'
-       |           WHEN 7 THEN concat('https://yandex.ru/search/?text=item+', $e % 20)
-       |           WHEN 8 THEN 'https://mail.google.com/mail/u/0'
-       |           WHEN 9 THEN 'https://www.youtube.com/watch?v=abc123'
-       |           WHEN 10 THEN 'https://www.pinterest.com/pin/99'
-       |           WHEN 11 THEN 'https://www.ecosia.org/search?q=trees'
-       |           ELSE '' END, '') AS refr_url,
+       |  nullif(CASE
+       |           WHEN $e % 16 = 0 THEN concat('https://www.google.com/search?q=widget+', $e % 50)
+       |           WHEN $e % 16 = 1 THEN concat('https://search.yahoo.com/search?hl=en&p=thing+', $e % 9, '&q=shadowed')
+       |           WHEN $e % 16 = 2 THEN 'https://shop.example.com/home'
+       |           WHEN $e % 16 = 3 THEN ''
+       |           WHEN $e % 16 = 4 THEN concat('https://yandex.ru/search/?text=item+', $e % 20)
+       |           ELSE ${caseSql(s"($e // 16) % ${graft.functions.RefererDbData.SynthUrls.size}", graft.functions.RefererDbData.SynthUrls)}
+       |         END, '') AS refr_url,
        |  concat('sp=', substr(md5(concat('c', $e)), 1, 16), '; _ga=GA1.2.', $e) AS cookie_hdr,
        |  concat('X-Request-Id: req-', $e) AS header_line,
        |  CASE WHEN $e % 13 = 0 THEN 'bogus' ELSE concat($e % 1600 + 320, 'x', $e % 900 + 240) END AS res,

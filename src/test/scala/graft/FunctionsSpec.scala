@@ -94,17 +94,27 @@ class FunctionsSpec extends SparkSpec {
 
   test("referer classification") {
     val internal = Seq("internal.example.com")
-    def medium(host: String, page: String = "shop.example.com") =
-      one(RefF.refererMedium(lit(host), lit(page), internal))
-    assert(medium("www.google.com") == "search")
-    assert(medium("www.facebook.com") == "social")
-    assert(medium("mail.google.com") == "email") // email beats google. search match
-    assert(medium("shop.example.com") == "internal") // page host
-    assert(medium("internal.example.com") == "internal") // configured list
-    assert(medium("random.site.io") == "unknown")
-    assert(one(RefF.refererMedium(lit(null).cast("string"), lit("x"), internal)) == null)
-    assert(one(RefF.refererSource(lit("www.bing.com"), lit("p"), internal)) == "Bing")
-    assert(one(RefF.refererTerm(lit("www.google.com"), lit("q=red+shoes"), lit("p"), internal)) == "red+shoes")
+    val page = lit("https://shop.example.com/p/1")
+    def medium(url: String) = one(RefF.refererMedium(lit(url), page, internal))
+    assert(medium("https://www.google.com/search?q=x") == "search")
+    assert(medium("https://www.facebook.com/groups/9") == "social")
+    // deeper-suffix key (Gmail) wins over google.com in the bare-host walk
+    assert(medium("https://mail.google.com/mail/u/0") == "email")
+    assert(medium("https://shop.example.com/home") == "internal") // page host
+    assert(medium("https://internal.example.com/x") == "internal") // configured list
+    assert(medium("https://random.site.io/a") == "unknown")
+    assert(one(RefF.refererMedium(lit(null).cast("string"), page, internal)) == null)
+    assert(one(RefF.refererSource(lit("https://www.bing.com/search?q=g"), page, internal)) == "Bing")
+    // term is URL-decoded ('+' → space) per the reference's referer-parser
+    assert(one(RefF.refererTerm(lit("https://www.google.com/search?q=red+shoes"), page, internal)) == "red shoes")
+    // multi-param source: first matching pair in URI order wins (p before q)
+    assert(one(RefF.refererTerm(
+      lit("https://images.search.yahoo.com/search/images?p=first+hit&q=second"), page, internal)) == "first hit")
+    // tabs/newlines in the decoded term: tab → four spaces, control stripped
+    assert(one(RefF.refererTerm(
+      lit("http://www.google.com/search?q=%0Agateway%09oracle&hl=en"), page, internal)) == "gateway    oracle")
+    // non-search medium has no term params
+    assert(one(RefF.refererTerm(lit("https://t.co/xyz?q=nope"), page, internal)) == null)
   }
 
   test("ua classification across the synthetic UA set") {
@@ -162,22 +172,41 @@ class FunctionsSpec extends SparkSpec {
     assert(out("not-an-ip").isEmpty && out("2001:db8::1").isEmpty)
   }
 
-  test("referer host matching: bare-domain patterns anchor, no substring false positives") {
+  test("referer lookup: exact-key suffix walk, path keys, no substring false positives") {
     import spark.implicits._
     import graft.functions.RefF
     val cases = Seq(
-      ("t.co", "social"), ("www.x.com", "social"), ("x.com", "social"),
-      ("netflix.com", "unknown"), // contains x.com but is not Twitter
-      ("contoso.com", "unknown"), // contains so.com but is not 360 Search
-      ("webmail.runbox.com", "unknown"), // contains mail.ru but is not Mail.ru
-      ("fakeyoutube.com", "unknown"), // contains "youtube." but is not YouTube
-      ("youtube.com", "social"), ("www.youtube.com", "social"),
-      ("dot.t.me", "social"), ("t.me", "social"),
-      ("www.google.com", "search"))
-    val out = cases.map(_._1).toDF("rh")
-      .select(col("rh"), RefF.refererMedium(col("rh"), lit("page.example.com"), Nil).as("m"))
+      ("https://t.co/xyz", "social"), ("https://www.x.com/u/1", "social"), ("https://x.com/u/1", "social"),
+      ("https://netflix.com/browse", "unknown"), // contains x.com but is not Twitter
+      ("https://contoso.com/", "unknown"), // contains so.com but is not 360 Search
+      ("https://webmail.runbox.com/in", "unknown"), // contains mail.ru but is not Mail.ru
+      ("https://fakeyoutube.com/watch", "unknown"), // contains youtube. but is not YouTube
+      ("https://youtube.com/watch?v=1", "social"), ("https://www.youtube.com/w", "social"),
+      ("https://dot.t.me/x", "social"), ("https://t.me/x", "social"),
+      ("https://www.google.com/search?q=a", "search"),
+      // path-bearing db keys: host alone is NOT enough for orange webmail
+      ("https://orange.fr/webmail/inbox", "email"),
+      ("https://www.orange.fr/webmail", "email"), // www-stripped suffix + path
+      ("https://orange.fr/other", "unknown"),
+      // google.ac/imgres (Google Images) beats the bare google.ac (Google)
+      // key in pass 1; /maps falls through to the bare key in pass 2
+      ("https://google.ac/imgres/ref?q=x", "search"),
+      ("https://google.ac/maps", "search"),
+      // reference spec vectors (RefererParserEnrichmentSpec e1)
+      ("http://36ohk6dgmcd1n-c.c.yom.mail.yahoo.net/om/api/1.0/view.html/0", "email"),
+      ("https://www.chatgpt.com", "chatbot"),
+      ("http://www.spyfu.com/domain.aspx?d=389", "unknown"))
+    val out = cases.map(_._1).toDF("ru")
+      .select(col("ru"), RefF.refererMedium(col("ru"), lit("https://page.example.com/"), Nil).as("m"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    cases.foreach { case (h, exp) => assert(out(h) == exp, s"medium($h)") }
+    cases.foreach { case (u, exp) => assert(out(u) == exp, s"medium($u)") }
+    // source names ride the same match
+    val src = Seq("http://36ohk6dgmcd1n-c.c.yom.mail.yahoo.net/om/api/x", "https://www.chatgpt.com",
+      "https://search.hp.my.aol.com.au/aol/search?q=hello+world&query=shadowed")
+      .toDF("ru")
+      .select(RefF.refererSource(col("ru"), lit("https://p.example.com/"), Nil))
+      .collect().map(_.getString(0)).toSeq
+    assert(src == Seq("Yahoo! Mail", "ChatGPT", "AOL"))
   }
 
   test("qsMapLastWins: duplicate params keep the last value, no DUPLICATE_MAP_KEY") {

@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Generate src/main/scala/graft/functions/RefererDbData.scala.
+
+One source of truth for the referer database used by BOTH the Spark kernel
+(graft.functions.RefererDb) and the DuckDB oracle twin (the SQL emitted by
+RefererDb.oracle*Sql): this script merges
+
+  1. the reference's own referer test database
+     (/root/reference/.../enrichments/registry/referer-tests.json — itself a
+     subset of the public snowplow/referer-parser `referers.yml`), and
+  2. a curated supplement of well-known engines/networks (public knowledge,
+     same schema), which may also ADD domains to a source that already exists
+     in (1) (e.g. x.com under Twitter).
+
+It also emits SynthUrls — a deterministic referer-URL universe sampling every
+source (deep subdomains, path-bearing domains, multi-param search terms, the
+reference spec's own vectors, unknown + internal hosts) used by
+queries/Synth.scala on both engines.
+
+Percent-escapes inside SEARCH-TERM parameter values are restricted to the
+alphabet {+, %20, %09, %0A, %2B} because DuckDB 1.0 has no url_decode: the
+oracle decodes with a fixed replace chain while Spark uses real url_decode,
+and the two agree exactly on that alphabet. (Escapes in non-term parameters
+are unrestricted — they are never decoded.)
+
+Usage: python3 tools/gen_referer_db.py   (writes the .scala file, prints stats)
+"""
+
+import json
+import os
+
+REF_JSON = ("/root/reference/modules/common/src/test/resources/com/snowplowanalytics/"
+            "snowplow/enrich/common/enrichments/registry/referer-tests.json")
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src/main/scala/graft/functions/RefererDbData.scala")
+
+# (medium, name, params, domains) — may extend an existing (medium, name)
+SUPPLEMENT = [
+    ("search", "Bing", ["q"], ["bing.com", "www.bing.com", "cn.bing.com", "m.bing.com"]),
+    ("search", "DuckDuckGo", ["q"], ["duckduckgo.com", "duck.com"]),
+    ("search", "Baidu", ["wd", "word"], ["baidu.com", "www.baidu.com", "m.baidu.com"]),
+    ("search", "Ecosia", ["q"], ["ecosia.org", "www.ecosia.org"]),
+    ("search", "Qwant", ["q"], ["qwant.com", "www.qwant.com"]),
+    ("search", "Startpage", ["query"], ["startpage.com", "www.startpage.com"]),
+    ("search", "Brave Search", ["q"], ["search.brave.com"]),
+    ("search", "Naver", ["query"], ["search.naver.com", "m.search.naver.com"]),
+    ("search", "Seznam", ["q"], ["search.seznam.cz"]),
+    ("search", "Sogou", ["query"], ["www.sogou.com", "m.sogou.com"]),
+    ("search", "360 Search", ["q"], ["www.so.com"]),
+    ("search", "Yandex", ["text"], ["yandex.ru", "www.yandex.ru", "yandex.com", "www.yandex.com"]),
+    ("search", "Kagi", ["q"], ["kagi.com"]),
+    ("search", "Google", [], ["www.google.com"]),  # ensure www. form present
+    ("email", "Gmail", [], ["mail.google.com"]),
+    ("email", "Yandex Mail", [], ["mail.yandex.ru", "mail.yandex.com"]),
+    ("email", "Mail.ru Mail", [], ["e.mail.ru"]),
+    ("email", "AOL Mail", [], ["mail.aol.com"]),
+    ("email", "Proton Mail", [], ["mail.proton.me", "mail.protonmail.com"]),
+    ("email", "Outlook.com", [], ["outlook.live.com", "outlook.office.com", "outlook.office365.com"]),
+    ("social", "Twitter", [], ["x.com"]),
+    ("social", "LinkedIn", [], ["linkedin.com", "www.linkedin.com", "lnkd.in"]),
+    ("social", "Reddit", [], ["reddit.com", "www.reddit.com", "old.reddit.com", "out.reddit.com", "np.reddit.com"]),
+    ("social", "Instagram", [], ["instagram.com", "www.instagram.com", "l.instagram.com"]),
+    ("social", "Pinterest", [], ["pinterest.com", "www.pinterest.com", "pinterest.co.uk", "pinterest.fr", "pin.it"]),
+    ("social", "YouTube", [], ["youtube.com", "www.youtube.com", "m.youtube.com", "youtu.be"]),
+    ("social", "TikTok", [], ["tiktok.com", "www.tiktok.com", "vm.tiktok.com"]),
+    ("social", "VKontakte", [], ["vk.com", "m.vk.com", "away.vk.com"]),
+    ("social", "Weibo", [], ["weibo.com", "www.weibo.com", "t.cn"]),
+    ("social", "WhatsApp", [], ["whatsapp.com", "www.whatsapp.com", "web.whatsapp.com", "wa.me"]),
+    ("social", "Telegram", [], ["t.me", "telegram.me", "web.telegram.org"]),
+    ("social", "Snapchat", [], ["snapchat.com", "www.snapchat.com"]),
+    ("social", "Threads", [], ["threads.net", "www.threads.net"]),
+    ("social", "Mastodon", [], ["mastodon.social", "mastodon.online"]),
+    ("social", "Hacker News", [], ["news.ycombinator.com"]),
+    ("social", "Medium", [], ["medium.com"]),
+    ("social", "Facebook Messenger", [], ["messenger.com", "l.messenger.com"]),
+    ("social", "Bluesky", [], ["bsky.app"]),
+    ("chatbot", "Claude", [], ["claude.ai"]),
+    ("chatbot", "Perplexity", [], ["perplexity.ai", "www.perplexity.ai"]),
+    ("chatbot", "DeepSeek", [], ["chat.deepseek.com"]),
+]
+
+# search-term values for SynthUrls (restricted escape alphabet, see above)
+TERMS = ["blue+widgets", "c%20d%2B2", "%0Agateway%09oracle+cards", "plain", "red+shoes%2B1"]
+
+# fixed vectors: the reference RefererParserEnrichmentSpec's own URIs, plus
+# unknown/internal/edge shapes
+FIXED_URLS = [
+    "http://www.google.com/search?q=gateway+oracle+cards+denise+linn&hl=en&client=safari",
+    "http://www.facebook.com/l.php?u=http%3A%2F%2Fwww.psychicbazaar.com&h=yAQHZtXxS&s=1",
+    "http://36ohk6dgmcd1n-c.c.yom.mail.yahoo.net/om/api/1.0/openmail.app.invoke/36ohk6dgmcd1n/11/1.0.35/us/en-US/view.html/0",
+    "https://www.chatgpt.com",
+    "http://www.spyfu.com/domain.aspx?d=3897225171967988459",
+    "https://fakeyoutube.com/watch?v=1",
+    "https://shop.example.com/home",
+    "https://internal.example.com/dash",
+    "https://www.example.org/self?x=1",
+    "https://sub.deep.mail.live.com/inbox/7",
+    "https://google.ac/imgres/ref?q=pics+of+cats",
+    "https://orange.fr/webmail/inbox",
+    "https://www.orange.fr/webmail",
+    "https://search.hp.my.aol.com.au/aol/search?q=hello+world&query=shadowed",
+    "https://images.search.yahoo.com/search/images?p=first+hit&q=second+hit",
+]
+
+
+def load():
+    with open(REF_JSON) as f:
+        ref = json.load(f)
+    sources = []           # [(medium, name, [params])]
+    sidx = {}              # (medium, name) -> idx
+    keys = []              # [(key, idx)]
+    seen_keys = {}
+
+    def add(medium, name, params, domains):
+        sk = (medium, name)
+        if sk not in sidx:
+            sidx[sk] = len(sources)
+            sources.append((medium, name, list(params)))
+        elif params and not sources[sidx[sk]][2]:
+            sources[sidx[sk]] = (medium, name, list(params))
+        i = sidx[sk]
+        for d in domains:
+            assert "'" not in d and '"' not in d and "\\" not in d, d
+            assert "." in d.split("/")[0], f"single-label key would shadow TLD lookups: {d}"
+            if d not in seen_keys:
+                seen_keys[d] = i
+                keys.append((d, i))
+
+    for medium, srcs in ref.items():
+        for name, spec in srcs.items():
+            add(medium, name, spec.get("parameters", []), spec["domains"])
+    for medium, name, params, domains in SUPPLEMENT:
+        add(medium, name, params, domains)
+    return sources, keys
+
+
+def synth_urls(sources, keys):
+    by_src = {}
+    for k, i in keys:
+        by_src.setdefault(i, []).append(k)
+    urls = list(FIXED_URLS)
+    for i, (medium, name, params) in enumerate(sources):
+        doms = by_src[i]
+        picks = [doms[0]] if len(doms) < 5 else [doms[0], doms[len(doms) // 2]]
+        for j, d in enumerate(picks):
+            if "/" in d:  # path-bearing entry: exact-path URL
+                urls.append(f"https://{d}?{params[0] if params else 'ref'}={TERMS[(i + j) % len(TERMS)]}")
+            elif params:
+                urls.append(f"https://{d}/search?hl=en&{params[0]}={TERMS[(i + j) % len(TERMS)]}")
+            else:
+                urls.append(f"https://{d}/p/{(i * 7 + j) % 90}")
+    # deep-subdomain variants for a deterministic sample of host-only keys
+    for i, (medium, name, params) in enumerate(sources):
+        if i % 3 == 0 and "/" not in by_src[i][0]:
+            urls.append(f"https://deep.l2.{by_src[i][0]}/via/sub")
+    for u in urls:
+        assert "'" not in u, u
+    assert len(urls) == len(set(urls)), "duplicate synth urls"
+    return urls
+
+
+def emit(sources, keys, urls):
+    def s(x):
+        return '"' + x + '"'
+    lines = []
+    lines.append("package graft.functions")
+    lines.append("")
+    lines.append("// GENERATED by tools/gen_referer_db.py -- DO NOT EDIT BY HAND.")
+    lines.append("// Database merged from the reference's referer test database (snowplow/enrich")
+    lines.append("// test resources referer-tests.json, reference enrichments/registry/")
+    lines.append("// RefererParserEnrichment.scala:30 -- itself a subset of the public")
+    lines.append("// snowplow/referer-parser referers.yml) plus a curated supplement of")
+    lines.append("// well-known engines and networks. See the generator for provenance and")
+    lines.append("// the synth-URL escape-alphabet contract.")
+    lines.append("object RefererDbData {")
+    lines.append("")
+    lines.append("  /** (medium, source name, search-term params); ordinal = source id. */")
+    lines.append("  val Sources: Vector[(String, String, List[String])] = Vector(")
+    lines.append(",\n".join(
+        f"    ({s(m)}, {s(n)}, List({', '.join(s(p) for p in ps)}))"
+        for m, n, ps in sources))
+    lines.append("  )")
+    lines.append("")
+    lines.append("  /** host or host/pathSegment key -> index into Sources (first wins). */")
+    lines.append("  val Keys: Vector[(String, Int)] = Vector(")
+    lines.append(",\n".join(f"    ({s(k)}, {i})" for k, i in keys))
+    lines.append("  )")
+    lines.append("")
+    lines.append("  /** Deterministic referer-URL universe sampling every source. */")
+    lines.append("  val SynthUrls: Vector[String] = Vector(")
+    lines.append(",\n".join(f"    {s(u)}" for u in urls))
+    lines.append("  )")
+    lines.append("}")
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main():
+    sources, keys = load()
+    urls = synth_urls(sources, keys)
+    emit(sources, keys, urls)
+    media = {}
+    for m, n, _ in sources:
+        media[m] = media.get(m, 0) + 1
+    print(f"sources={len(sources)} by medium={media} keys={len(keys)} synth_urls={len(urls)}")
+
+
+if __name__ == "__main__":
+    main()
