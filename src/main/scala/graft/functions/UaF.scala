@@ -7,118 +7,222 @@ import org.apache.spark.sql.functions._
   *
   * Capability twin of snowplow/enrich `registry/UserAgentUtilsEnrichment.scala`
   * (browser family/version, OS, device type → the `EnrichedEvent` br_, os_
-  * and dvce_ fields), `registry/BotDetectionEnrichment.scala` (is_bot) and
+  * and dvce_ fields), `registry/UaParserEnrichment.scala` (uap-core) and
   * `registry/YauaaEnrichment.scala` (device class). The reference wraps
-  * third-party UA databases; graft ships a compact deterministic heuristic
-  * classifier expressed as a CASE cascade, so it codegens and scans at
-  * 100 TB with zero lookups. The cascade order (Edge before Chrome before
-  * Safari, etc.) matches real UA token precedence.
+  * third-party UA databases; graft ships a declarative RULE TABLE covering
+  * the real-world UA long tail (engine browsers, chromium shells, in-app
+  * webviews, legacy IE/Opera, consoles, TVs, bots and HTTP clients) that is
+  * compiled to BOTH a codegen'd Column cascade and a byte-identical DuckDB
+  * CASE cascade — one source of truth, zero lookups, scans at 100 TB.
+  * Rule order is first-match-wins and mirrors real UA token precedence
+  * (in-app webviews before chromium shells before Chrome before Safari).
   */
 object UaF {
+
+  /** Browser rule: matches when ANY token is contained in the UA; version is
+    * regexp group 1 of `verRegex` (RE2-safe, shared verbatim by both
+    * engines); no match → null version. */
+  final case class BrowserRule(tokens: Seq[String], family: String, verRegex: String)
+
+  val BrowserRules: Seq[BrowserRule] = Seq(
+    BrowserRule(Seq("Edg/", "EdgA/", "EdgiOS/", "Edge/"), "Edge", "(?:Edg|EdgA|EdgiOS|Edge)/([0-9][0-9.]*)"),
+    BrowserRule(Seq("Opera Mini/"), "Opera Mini", "Opera Mini/([0-9][0-9.]*)"),
+    BrowserRule(Seq("OPR/", "Opera"), "Opera", "(?:OPR/|Opera[ /])([0-9][0-9.]*)"),
+    BrowserRule(Seq("FxiOS/", "Firefox/"), "Firefox", "(?:FxiOS|Firefox)/([0-9][0-9.]*)"),
+    // in-app webviews: their UAs embed Chrome/ or Safari/ tokens too
+    BrowserRule(Seq("FBAV/", "FBAN/"), "Facebook", "FBAV/([0-9][0-9.]*)"),
+    BrowserRule(Seq("Instagram"), "Instagram", "Instagram ([0-9][0-9.]*)"),
+    BrowserRule(Seq("MicroMessenger/"), "WeChat", "MicroMessenger/([0-9][0-9.]*)"),
+    BrowserRule(Seq("Line/"), "Line", "Line/([0-9][0-9.]*)"),
+    BrowserRule(Seq("GSA/"), "Google Search App", "GSA/([0-9][0-9.]*)"),
+    BrowserRule(Seq("DuckDuckGo/"), "DuckDuckGo", "DuckDuckGo/([0-9][0-9.]*)"),
+    // chromium shells: before the Chrome token their UAs all carry
+    BrowserRule(Seq("SamsungBrowser/"), "Samsung Internet", "SamsungBrowser/([0-9][0-9.]*)"),
+    BrowserRule(Seq("UCBrowser/"), "UC Browser", "UCBrowser/([0-9][0-9.]*)"),
+    BrowserRule(Seq("YaBrowser/"), "Yandex Browser", "YaBrowser/([0-9][0-9.]*)"),
+    BrowserRule(Seq("Vivaldi/"), "Vivaldi", "Vivaldi/([0-9][0-9.]*)"),
+    BrowserRule(Seq("Whale/"), "Whale", "Whale/([0-9][0-9.]*)"),
+    BrowserRule(Seq("QQBrowser/"), "QQ Browser", "QQBrowser/([0-9][0-9.]*)"),
+    BrowserRule(Seq("HuaweiBrowser/"), "Huawei Browser", "HuaweiBrowser/([0-9][0-9.]*)"),
+    BrowserRule(Seq("MiuiBrowser/"), "Miui Browser", "MiuiBrowser/([0-9][0-9.]*)"),
+    BrowserRule(Seq("Chromium/"), "Chromium", "Chromium/([0-9][0-9.]*)"),
+    BrowserRule(Seq("CriOS/", "Chrome/"), "Chrome", "(?:CriOS|Chrome)/([0-9][0-9.]*)"),
+    BrowserRule(Seq("Safari/"), "Safari", "Version/([0-9][0-9.]*)"),
+    BrowserRule(Seq("MSIE", "Trident/"), "Internet Explorer", "(?:MSIE |rv:)([0-9][0-9.]*)")
+  )
+
+  /** OS rule: same shape; "" verRegex = no version; `underscoreToDot`
+    * converts Apple's 10_15_7 forms. */
+  final case class OsRule(
+    tokens: Seq[String],
+    family: String,
+    verRegex: String,
+    underscoreToDot: Boolean = false)
+
+  val OsRules: Seq[OsRule] = Seq(
+    OsRule(Seq("Windows Phone"), "Windows Phone", "Windows Phone (?:OS )?([0-9.]+)"),
+    OsRule(Seq("Windows NT"), "Windows", "Windows NT ([0-9.]+)"),
+    OsRule(Seq("Android"), "Android", "Android ([0-9.]+)"),
+    OsRule(Seq("iPhone OS"), "iOS", "iPhone OS ([0-9_]+)", underscoreToDot = true),
+    OsRule(Seq("iPad"), "iOS", "CPU OS ([0-9_]+)", underscoreToDot = true),
+    OsRule(Seq("iPhone", "iOS"), "iOS", ""),
+    OsRule(Seq("CrOS"), "ChromeOS", "CrOS [a-zA-Z0-9_]+ ([0-9.]+)"),
+    OsRule(Seq("Mac OS X"), "macOS", "Mac OS X ([0-9_.]+)", underscoreToDot = true),
+    OsRule(Seq("Tizen"), "Tizen", "Tizen ([0-9.]+)"),
+    OsRule(Seq("Web0S", "webOS"), "webOS", ""),
+    OsRule(Seq("AppleTV", "Apple TV"), "tvOS", ""),
+    OsRule(Seq("KAIOS/"), "KaiOS", "KAIOS/([0-9.]+)"),
+    OsRule(Seq("Roku/"), "Roku OS", "Roku/DVP-([0-9.]+)"),
+    OsRule(Seq("PlayStation"), "PlayStation", "PlayStation [0-9] ([0-9.]+)"),
+    OsRule(Seq("Nintendo"), "Nintendo", ""),
+    OsRule(Seq("Linux", "X11;"), "Linux", "")
+  )
+
+  /** NT version → marketing name (reference UserAgentUtils granularity). */
+  val WindowsVersions: Seq[(String, String)] = Seq(
+    "10.0" -> "Windows 10", "6.3" -> "Windows 8.1", "6.2" -> "Windows 8",
+    "6.1" -> "Windows 7", "6.0" -> "Windows Vista", "5.1" -> "Windows XP")
+
+  /** Lowercased bot / HTTP-client tokens (reference
+    * `registry/IabEnrichment.scala` spider detection + the obvious SDK
+    * clients a training-data pipeline must drop). Substring "bot" already
+    * catches Googlebot, bingbot, GPTBot, PetalBot, Discordbot, …. */
+  val BotTokens: Seq[String] = Seq(
+    "bot", "crawler", "spider", "slurp", "archiver", "wget", "curl",
+    "python-requests", "okhttp", "go-http-client", "java/", "httpclient",
+    "phantomjs", "headlesschrome", "facebookexternalhit", "bingpreview",
+    "scrapy", "axios/", "whatsapp/", "dalvik/")
+
+  /** Regex bodies shared verbatim by the Column and SQL cascades (RE2-safe,
+    * applied to the lowercased / raw UA respectively). */
+  val BotRegex: String = BotTokens.mkString("|")
+  val ConsoleRegex: String = "PlayStation|Nintendo|Xbox"
+  val TvRegex: String =
+    "SMART-TV|SmartTV|Smart TV|AppleTV|Apple TV|CrKey|Roku|AFT[A-Z]|BRAVIA|Tizen|Web0S|webOS|HbbTV|GoogleTV"
 
   /** Known tablet device models that carry the "Mobile" token anyway —
     * the cases only a device db catches (YAUAA's DeviceClass vectors:
     * Galaxy Tab GT-P…, Samsung SM-T…, Nexus 7/9/10, Kindle/Silk). */
-  private val TabletModels = "GT-P[0-9]|SM-T[0-9]|Nexus (7|9|10)|Kindle|Silk/"
+  val TabletModels: String = "GT-P[0-9]|SM-T[0-9]|Nexus (7|9|10)|Kindle|Silk/"
 
-  def isBot(ua: Column): Column =
-    ua.rlike("(?i)bot|crawler|spider|slurp|archiver|wget|curl")
+  // ---- Column cascades ---------------------------------------------------
 
-  /** Chromium-shell browsers that must be detected BEFORE the Chrome token
-    * (their UAs all embed `Chrome/…`). (token, family). PUBLIC: the DuckDB
-    * SQL twins derive their cascades from THIS sequence so the two engines
-    * cannot drift. */
-  val ChromiumShells: Seq[(String, String)] = Seq(
-    "SamsungBrowser/" -> "Samsung Internet",
-    "UCBrowser/" -> "UC Browser",
-    "YaBrowser/" -> "Yandex Browser",
-    "Vivaldi/" -> "Vivaldi",
-    "Whale/" -> "Whale",
-    "QQBrowser/" -> "QQ Browser",
-    "Chromium/" -> "Chromium"
-  )
+  def isBot(ua: Column): Column = lower(ua).rlike(BotRegex)
 
-  def browserFamily(ua: Column): Column = {
-    val shells = ChromiumShells.foldLeft(
-      when(isBot(ua), lit("Robot"))
-        .when(ua.contains("Edg/") || ua.contains("Edge/"), lit("Edge"))
-        .when(ua.contains("OPR/") || ua.contains("Opera"), lit("Opera"))
-        .when(ua.contains("Firefox/"), lit("Firefox"))
-    ) { case (acc, (tok, fam)) => acc.when(ua.contains(tok), lit(fam)) }
-    shells
-      .when(ua.contains("Chrome/"), lit("Chrome"))
-      .when(ua.contains("Safari/"), lit("Safari"))
-      .when(ua.contains("MSIE") || ua.contains("Trident/"), lit("Internet Explorer"))
-      .otherwise(lit("Unknown"))
-  }
+  private def hasAny(ua: Column, tokens: Seq[String]): Column =
+    tokens.map(t => ua.contains(t)).reduce(_ || _)
+
+  def browserFamily(ua: Column): Column =
+    BrowserRules.foldLeft(when(isBot(ua), lit("Robot"))) { case (acc, r) =>
+      acc.when(hasAny(ua, r.tokens), lit(r.family))
+    }.otherwise(lit("Unknown"))
 
   /** Version string of the detected browser family (incl. legacy
-    * `Opera 7.02`, `MSIE 9.0` and Trident `rv:11.0` forms). */
-  def browserVersion(ua: Column): Column = {
-    def v(tok: String) = nullif(regexp_extract(ua, tok + "([0-9][0-9.]*)", 1), lit(""))
-    def re(pat: String) = nullif(regexp_extract(ua, pat, 1), lit(""))
-    val shells = ChromiumShells.foldLeft(
-      when(ua.contains("Edg/"), v("Edg/"))
-        .when(ua.contains("Edge/"), v("Edge/"))
-        .when(ua.contains("OPR/"), v("OPR/"))
-        .when(ua.contains("Opera"), re("Opera[ /]([0-9][0-9.]*)"))
-        .when(ua.contains("Firefox/"), v("Firefox/"))
-    ) { case (acc, (tok, _)) => acc.when(ua.contains(tok), v(tok)) }
-    shells
-      .when(ua.contains("Chrome/"), v("Chrome/"))
-      .when(ua.contains("Version/") && ua.contains("Safari/"), v("Version/"))
-      .when(ua.contains("MSIE"), re("MSIE ([0-9][0-9.]*)"))
-      .when(ua.contains("Trident/"), re("rv:([0-9][0-9.]*)"))
-      .otherwise(lit(null))
-  }
+    * `Opera 7.02`, `MSIE 9.0` and Trident `rv:11.0` forms); the version
+    * cascade shares the family cascade's rule order. */
+  def browserVersion(ua: Column): Column =
+    BrowserRules.foldLeft(when(lit(false), lit(""))) { case (acc, r) =>
+      acc.when(hasAny(ua, r.tokens), nullif(regexp_extract(ua, r.verRegex, 1), lit("")))
+    }.otherwise(lit(null))
 
   def osFamily(ua: Column): Column =
-    when(ua.contains("Windows NT"), lit("Windows"))
-      .when(ua.contains("Android"), lit("Android"))
-      .when(ua.contains("iPhone") || ua.contains("iPad") || ua.contains("iOS"), lit("iOS"))
-      .when(ua.contains("Mac OS X"), lit("macOS"))
-      .when(ua.contains("CrOS"), lit("ChromeOS"))
-      .when(ua.contains("Linux"), lit("Linux"))
-      .when(ua.contains("PlayStation"), lit("PlayStation"))
-      .otherwise(lit("Unknown"))
+    OsRules.foldLeft(when(lit(false), lit(""))) { case (acc, r) =>
+      acc.when(hasAny(ua, r.tokens), lit(r.family))
+    }.otherwise(lit("Unknown"))
 
   /** Marketing OS name — the granularity UserAgentUtils reports ("Windows 7"
     * for NT 6.1, etc.); falls back to [[osFamily]]. */
   def osName(ua: Column): Column = {
     val nt = regexp_extract(ua, "Windows NT ([0-9.]+)", 1)
-    when(ua.contains("Windows NT"),
-      when(nt === "10.0", lit("Windows 10"))
-        .when(nt === "6.3", lit("Windows 8.1"))
-        .when(nt === "6.2", lit("Windows 8"))
-        .when(nt === "6.1", lit("Windows 7"))
-        .when(nt === "6.0", lit("Windows Vista"))
-        .when(nt === "5.1", lit("Windows XP"))
-        .otherwise(lit("Windows")))
+    val win = WindowsVersions.foldLeft(when(lit(false), lit(""))) { case (acc, (v, name)) =>
+      acc.when(nt === v, lit(name))
+    }.otherwise(lit("Windows"))
+    when(!ua.contains("Windows Phone") && ua.contains("Windows NT"), win)
       .otherwise(osFamily(ua))
   }
 
   /** OS version digits: `Windows NT 10.0` → 10.0, `Android 14` → 14,
     * `iPhone OS 17_1` → 17.1, `Mac OS X 10_15_7` → 10.15.7. */
-  def osVersion(ua: Column): Column = {
-    def re(pat: String) = nullif(regexp_extract(ua, pat, 1), lit(""))
-    when(ua.contains("Windows NT"), re("Windows NT ([0-9.]+)"))
-      .when(ua.contains("Android"), re("Android ([0-9.]+)"))
-      .when(ua.contains("iPhone OS"), translate(re("iPhone OS ([0-9_]+)"), "_", "."))
-      .when(ua.contains("iPad"), translate(re("CPU OS ([0-9_]+)"), "_", "."))
-      .when(ua.contains("Mac OS X"), translate(re("Mac OS X ([0-9_.]+)"), "_", "."))
-      .otherwise(lit(null))
-  }
+  def osVersion(ua: Column): Column =
+    OsRules.foldLeft(when(lit(false), lit(""))) { case (acc, r) =>
+      if (r.verRegex.isEmpty) acc.when(hasAny(ua, r.tokens), lit(null))
+      else {
+        val v = nullif(regexp_extract(ua, r.verRegex, 1), lit(""))
+        acc.when(hasAny(ua, r.tokens), if (r.underscoreToDot) translate(v, "_", ".") else v)
+      }
+    }.otherwise(lit(null))
 
   /** YAUAA-style coarse device class (reference `YauaaEnrichmentSpec`
-    * DeviceClass vector table). */
+    * DeviceClass vector table), extended with TVs/streaming sticks. */
   def deviceClass(ua: Column): Column =
     when(isBot(ua), lit("Robot"))
-      .when(ua.rlike("PlayStation|Nintendo|Xbox"), lit("Game Console"))
+      .when(ua.rlike(ConsoleRegex), lit("Game Console"))
+      .when(ua.rlike(TvRegex), lit("TV"))
+      // Opera Mini runs on phones but its UA carries no Mobile token —
+      // classify before the Android-sans-Mobile tablet heuristic
+      .when(ua.contains("Opera Mini/"), lit("Phone"))
       .when(ua.contains("iPad") || ua.rlike(TabletModels), lit("Tablet"))
       .when(ua.contains("Android") && !ua.contains("Mobile"), lit("Tablet"))
-      .when(ua.contains("iPhone") || ua.contains("Mobile"), lit("Phone"))
+      .when(ua.contains("iPhone") || ua.contains("Mobile") || ua.contains("Windows Phone"),
+        lit("Phone"))
       .otherwise(lit("Desktop"))
 
   def isMobile(ua: Column): Column =
     deviceClass(ua).isin("Phone", "Tablet")
+
+  // ---- DuckDB SQL twins (generated from the SAME rule tables) ------------
+
+  private def hasSql(ua: String, t: String): String = s"position('$t' IN $ua) > 0"
+
+  private def hasAnySql(ua: String, tokens: Seq[String]): String =
+    tokens.map(hasSql(ua, _)).mkString("(", " OR ", ")")
+
+  def isBotSql(ua: String): String = s"regexp_matches(lower($ua), '$BotRegex')"
+
+  private def verSql(ua: String, re: String): String =
+    s"nullif(regexp_extract($ua, '$re', 1), '')"
+
+  def brFamilySql(ua: String): String =
+    s"CASE WHEN ${isBotSql(ua)} THEN 'Robot' " +
+      BrowserRules.map(r => s"WHEN ${hasAnySql(ua, r.tokens)} THEN '${r.family}'").mkString(" ") +
+      " ELSE 'Unknown' END"
+
+  def brVersionSql(ua: String): String =
+    "CASE " +
+      BrowserRules.map(r => s"WHEN ${hasAnySql(ua, r.tokens)} THEN ${verSql(ua, r.verRegex)}")
+        .mkString(" ") + " END"
+
+  def osFamilySql(ua: String): String =
+    "CASE " +
+      OsRules.map(r => s"WHEN ${hasAnySql(ua, r.tokens)} THEN '${r.family}'").mkString(" ") +
+      " ELSE 'Unknown' END"
+
+  def osNameSql(ua: String): String = {
+    val nt = s"regexp_extract($ua, 'Windows NT ([0-9.]+)', 1)"
+    val win = "CASE " +
+      WindowsVersions.map { case (v, n) => s"WHEN $nt = '$v' THEN '$n'" }.mkString(" ") +
+      " ELSE 'Windows' END"
+    s"CASE WHEN NOT ${hasSql(ua, "Windows Phone")} AND ${hasSql(ua, "Windows NT")} THEN $win " +
+      s"ELSE ${osFamilySql(ua)} END"
+  }
+
+  def osVersionSql(ua: String): String =
+    "CASE " + OsRules.map { r =>
+      val v =
+        if (r.verRegex.isEmpty) "NULL"
+        else if (r.underscoreToDot) s"translate(${verSql(ua, r.verRegex)}, '_', '.')"
+        else verSql(ua, r.verRegex)
+      s"WHEN ${hasAnySql(ua, r.tokens)} THEN $v"
+    }.mkString(" ") + " END"
+
+  def deviceClassSql(ua: String): String =
+    s"""CASE
+       |  WHEN ${isBotSql(ua)} THEN 'Robot'
+       |  WHEN regexp_matches($ua, '$ConsoleRegex') THEN 'Game Console'
+       |  WHEN regexp_matches($ua, '$TvRegex') THEN 'TV'
+       |  WHEN ${hasSql(ua, "Opera Mini/")} THEN 'Phone'
+       |  WHEN ${hasSql(ua, "iPad")} OR regexp_matches($ua, '$TabletModels') THEN 'Tablet'
+       |  WHEN ${hasSql(ua, "Android")} AND position('Mobile' IN $ua) = 0 THEN 'Tablet'
+       |  WHEN ${hasSql(ua, "iPhone")} OR position('Mobile' IN $ua) > 0 OR ${hasSql(ua, "Windows Phone")} THEN 'Phone'
+       |  ELSE 'Desktop' END""".stripMargin
 }

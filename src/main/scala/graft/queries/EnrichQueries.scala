@@ -361,80 +361,17 @@ object EnrichQueries {
     )
   }
 
-  /** SQL twin of UaF.deviceClass. */
-  private def deviceClassSql(ua: String): String =
-    s"""CASE
-       |  WHEN regexp_matches(lower($ua), 'bot|crawler|spider|slurp|archiver|wget|curl') THEN 'Robot'
-       |  WHEN regexp_matches($ua, 'PlayStation|Nintendo|Xbox') THEN 'Game Console'
-       |  WHEN position('iPad' IN $ua) > 0 OR regexp_matches($ua, 'GT-P[0-9]|SM-T[0-9]|Nexus (7|9|10)|Kindle|Silk/') THEN 'Tablet'
-       |  WHEN position('Android' IN $ua) > 0 AND position('Mobile' IN $ua) = 0 THEN 'Tablet'
-       |  WHEN position('iPhone' IN $ua) > 0 OR position('Mobile' IN $ua) > 0 THEN 'Phone'
-       |  ELSE 'Desktop' END""".stripMargin
+  /** SQL twins generated from the UaF rule tables (one source of truth). */
+  private def deviceClassSql(ua: String): String = UaF.deviceClassSql(ua)
 
-  /** The chromium-shell token → family rows, taken from the ONE source of
-    * truth (UaF.ChromiumShells) so Spark cascade and SQL twin cannot drift. */
-  private def ShellRows: Seq[(String, String)] = UaF.ChromiumShells
-
-  /** SQL twin of the UaF cascade for the full classify query. */
-  private def uaClassifySql(prefix: String, suffix: String): String = {
-    def has(t: String) = s"position('$t' IN ua) > 0"
-    val isBot = "regexp_matches(lower(ua), 'bot|crawler|spider|slurp|archiver|wget|curl')"
-    def ver(tok: String) = s"nullif(regexp_extract(ua, '$tok([0-9][0-9.]*)', 1), '')"
-    val shellFams = ShellRows.map { case (t, f) => s"WHEN ${has(t)} THEN '$f'" }.mkString("\n       |       ")
-    val shellVers = ShellRows.map { case (t, _) => s"WHEN ${has(t)} THEN ${ver(t)}" }.mkString("\n       |       ")
-    val ntVer = "regexp_extract(ua, 'Windows NT ([0-9.]+)', 1)"
+  private def uaClassifySql(prefix: String, suffix: String): String =
     s"""$prefix
-       |  CASE WHEN $isBot THEN 'Robot'
-       |       WHEN ${has("Edg/")} OR ${has("Edge/")} THEN 'Edge'
-       |       WHEN ${has("OPR/")} OR ${has("Opera")} THEN 'Opera'
-       |       WHEN ${has("Firefox/")} THEN 'Firefox'
-       |       $shellFams
-       |       WHEN ${has("Chrome/")} THEN 'Chrome'
-       |       WHEN ${has("Safari/")} THEN 'Safari'
-       |       WHEN ${has("MSIE")} OR ${has("Trident/")} THEN 'Internet Explorer'
-       |       ELSE 'Unknown' END AS br_family,
-       |  CASE WHEN ${has("Edg/")} THEN ${ver("Edg/")}
-       |       WHEN ${has("Edge/")} THEN ${ver("Edge/")}
-       |       WHEN ${has("OPR/")} THEN ${ver("OPR/")}
-       |       WHEN ${has("Opera")} THEN nullif(regexp_extract(ua, 'Opera[ /]([0-9][0-9.]*)', 1), '')
-       |       WHEN ${has("Firefox/")} THEN ${ver("Firefox/")}
-       |       $shellVers
-       |       WHEN ${has("Chrome/")} THEN ${ver("Chrome/")}
-       |       WHEN ${has("Version/")} AND ${has("Safari/")} THEN ${ver("Version/")}
-       |       WHEN ${has("MSIE")} THEN nullif(regexp_extract(ua, 'MSIE ([0-9][0-9.]*)', 1), '')
-       |       WHEN ${has("Trident/")} THEN nullif(regexp_extract(ua, 'rv:([0-9][0-9.]*)', 1), '')
-       |       END AS br_version,
-       |  CASE WHEN ${has("Windows NT")} THEN 'Windows'
-       |       WHEN ${has("Android")} THEN 'Android'
-       |       WHEN ${has("iPhone")} OR ${has("iPad")} OR ${has("iOS")} THEN 'iOS'
-       |       WHEN ${has("Mac OS X")} THEN 'macOS'
-       |       WHEN ${has("CrOS")} THEN 'ChromeOS'
-       |       WHEN ${has("Linux")} THEN 'Linux'
-       |       WHEN ${has("PlayStation")} THEN 'PlayStation'
-       |       ELSE 'Unknown' END AS os_family,
-       |  CASE WHEN ${has("Windows NT")} THEN
-       |         CASE WHEN $ntVer = '10.0' THEN 'Windows 10'
-       |              WHEN $ntVer = '6.3' THEN 'Windows 8.1'
-       |              WHEN $ntVer = '6.2' THEN 'Windows 8'
-       |              WHEN $ntVer = '6.1' THEN 'Windows 7'
-       |              WHEN $ntVer = '6.0' THEN 'Windows Vista'
-       |              WHEN $ntVer = '5.1' THEN 'Windows XP'
-       |              ELSE 'Windows' END
-       |       WHEN ${has("Android")} THEN 'Android'
-       |       WHEN ${has("iPhone")} OR ${has("iPad")} OR ${has("iOS")} THEN 'iOS'
-       |       WHEN ${has("Mac OS X")} THEN 'macOS'
-       |       WHEN ${has("CrOS")} THEN 'ChromeOS'
-       |       WHEN ${has("Linux")} THEN 'Linux'
-       |       WHEN ${has("PlayStation")} THEN 'PlayStation'
-       |       ELSE 'Unknown' END AS os_name,
-       |  CASE WHEN ${has("Windows NT")} THEN nullif(regexp_extract(ua, 'Windows NT ([0-9.]+)', 1), '')
-       |       WHEN ${has("Android")} THEN nullif(regexp_extract(ua, 'Android ([0-9.]+)', 1), '')
-       |       WHEN ${has("iPhone OS")} THEN translate(nullif(regexp_extract(ua, 'iPhone OS ([0-9_]+)', 1), ''), '_', '.')
-       |       WHEN ${has("iPad")} THEN translate(nullif(regexp_extract(ua, 'CPU OS ([0-9_]+)', 1), ''), '_', '.')
-       |       WHEN ${has("Mac OS X")} THEN translate(nullif(regexp_extract(ua, 'Mac OS X ([0-9_.]+)', 1), ''), '_', '.')
-       |       END AS os_version,
-       |  ${deviceClassSql("ua")} AS dvce_type,
-       |  $isBot AS is_bot
+       |  ${UaF.brFamilySql("ua")} AS br_family,
+       |  ${UaF.brVersionSql("ua")} AS br_version,
+       |  ${UaF.osFamilySql("ua")} AS os_family,
+       |  ${UaF.osNameSql("ua")} AS os_name,
+       |  ${UaF.osVersionSql("ua")} AS os_version,
+       |  ${UaF.deviceClassSql("ua")} AS dvce_type,
+       |  ${UaF.isBotSql("ua")} AS is_bot
        |$suffix""".stripMargin
-  }
 }

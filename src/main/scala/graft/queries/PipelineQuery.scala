@@ -80,27 +80,8 @@ object PipelineQuery {
         s"""CASE WHEN rh IS NULL THEN NULL
            |     WHEN rh = ph OR rh IN ($internalSql) THEN 'internal'
            |     WHEN s.medium IS NOT NULL THEN s.medium ELSE 'unknown' END""".stripMargin
-      def has(t: String) = s"position('$t' IN ua) > 0"
-      val isBot = "regexp_matches(lower(ua), 'bot|crawler|spider|slurp|archiver|wget|curl')"
-      val shellFams = graft.functions.UaF.ChromiumShells
-        .map { case (t, f) => s"WHEN ${has(t)} THEN '$f'" }.mkString(" ")
-      val brFamily =
-        s"""CASE WHEN $isBot THEN 'Robot'
-           |     WHEN ${has("Edg/")} OR ${has("Edge/")} THEN 'Edge'
-           |     WHEN ${has("OPR/")} OR ${has("Opera")} THEN 'Opera'
-           |     WHEN ${has("Firefox/")} THEN 'Firefox'
-           |     $shellFams
-           |     WHEN ${has("Chrome/")} THEN 'Chrome'
-           |     WHEN ${has("Safari/")} THEN 'Safari'
-           |     WHEN ${has("MSIE")} OR ${has("Trident/")} THEN 'Internet Explorer'
-           |     ELSE 'Unknown' END""".stripMargin
-      val dvceType =
-        s"""CASE WHEN $isBot THEN 'Robot'
-           |     WHEN regexp_matches(ua, 'PlayStation|Nintendo|Xbox') THEN 'Game Console'
-           |     WHEN ${has("iPad")} OR regexp_matches(ua, 'GT-P[0-9]|SM-T[0-9]|Nexus (7|9|10)|Kindle|Silk/') THEN 'Tablet'
-           |     WHEN ${has("Android")} AND position('Mobile' IN ua) = 0 THEN 'Tablet'
-           |     WHEN ${has("iPhone")} OR ${has("Mobile")} THEN 'Phone'
-           |     ELSE 'Desktop' END""".stripMargin
+      val brFamily = graft.functions.UaF.brFamilySql("ua")
+      val dvceType = graft.functions.UaF.deviceClassSql("ua")
       val ipnum = "(event_id % 223 + 1) * 16777216 + ((event_id*7) % 256) * 65536 + ((event_id*13) % 256) * 256 + (event_id*29) % 256"
       // IPv6 clients (event_id % 9 = 0: xff leads with the v6 address) have
       // no v4 geo mapping → NULL country, and mask as v6

@@ -242,6 +242,56 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(out(safari) == (("Safari", "macOS", "Desktop", "8.0")))     // ref: Safari 8.0 / Mac OS X / Mac
   }
 
+  test("extended UA universe: webviews, iOS browsers, TVs, consoles, clients") {
+    import spark.implicits._
+    import graft.functions.UaF
+    // (ua, family, version, osFamily, deviceClass) across the r4 rule tables
+    val vectors = Seq(
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_2 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/120.0.6099.119 Mobile/15E148 Safari/604.1",
+        "Chrome", "120.0.6099.119", "iOS", "Phone"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1_2 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/120.0 Mobile/15E148 Safari/605.1.15",
+        "Firefox", "120.0", "iOS", "Phone"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 [FBAN/FBIOS;FBAV/442.0.0.23.109;FBBV/545975992]",
+        "Facebook", "442.0.0.23.109", "iOS", "Phone"),
+      ("Mozilla/5.0 (Linux; Android 14; Pixel 8 Build/UD1A.230803.041; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/120.0.6099.43 Mobile Safari/537.36 Instagram 302.0.0.23.114",
+        "Instagram", "302.0.0.23.114", "Android", "Phone"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 MicroMessenger/8.0.44(0x18002c2d) NetType/WIFI Language/zh_CN",
+        "WeChat", "8.0.44", "iOS", "Phone"),
+      ("Opera/9.80 (Android; Opera Mini/78.0.2254/191.303; U; en) Presto/2.12.423 Version/12.16",
+        "Opera Mini", "78.0.2254", "Android", "Phone"),
+      ("Mozilla/5.0 (SMART-TV; Linux; Tizen 6.5) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/3.0 Safari/537.36",
+        "Samsung Internet", "3.0", "Tizen", "TV"),
+      ("Mozilla/5.0 (Web0S; Linux/SmartTV) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/87.0.4280.88 Safari/537.36 WebAppManager",
+        "Chrome", "87.0.4280.88", "webOS", "TV"),
+      ("Roku/DVP-12.0 (12.0.0.4182-88)", "Unknown", null, "Roku OS", "TV"),
+      ("Mozilla/5.0 (Linux; Android 9; AFTMM Build/PS7285.2877N) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/88.0.4324.152 Mobile Safari/537.36",
+        "Chrome", "88.0.4324.152", "Android", "TV"),
+      ("Mozilla/5.0 (PlayStation; PlayStation 5/2.26) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.0 Safari/605.1.15",
+        "Safari", "13.0", "PlayStation", "Game Console"),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; Xbox; Xbox One) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/70.0.3538.102 Safari/537.36 Edge/18.19041",
+        "Edge", "18.19041", "Windows", "Game Console"),
+      ("Mozilla/5.0 (compatible; MSIE 10.0; Windows Phone 8.0; Trident/6.0; IEMobile/10.0; ARM; Touch; NOKIA; Lumia 920)",
+        "Internet Explorer", "10.0", "Windows Phone", "Phone"),
+      ("Mozilla/5.0 (Mobile; Nokia_8110_4G; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5.1",
+        "Firefox", "48.0", "KaiOS", "Phone"),
+      ("Mozilla/5.0 (compatible; GPTBot/1.1; +https://openai.com/gptbot)",
+        "Robot", null, "Unknown", "Robot"),
+      ("python-requests/2.31.0", "Robot", null, "Unknown", "Robot"),
+      ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/119.0.6045.105 Safari/537.36",
+        "Robot", "119.0.6045.105", "Linux", "Robot"),
+      ("Dalvik/2.1.0 (Linux; U; Android 13; SM-A135F Build/TP1A.220624.014)",
+        "Robot", null, "Android", "Robot"),
+      ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        "Chrome", "120.0.0.0", "ChromeOS", "Desktop"))
+    val out = vectors.map(_._1).toDF("ua")
+      .select(col("ua"), UaF.browserFamily(col("ua")).as("f"), UaF.browserVersion(col("ua")).as("v"),
+        UaF.osFamily(col("ua")).as("o"), UaF.deviceClass(col("ua")).as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    vectors.foreach { case (ua, f, v, o, d) =>
+      assert(out(ua) == ((f, v, o, d)), s"classify($ua)")
+    }
+  }
+
   test("CookieExtractor / HttpHeaderExtractor spec vectors") {
     import spark.implicits._
     val df = Seq(1).toDF("x")
