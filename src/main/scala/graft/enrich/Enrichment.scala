@@ -327,37 +327,122 @@ final case class EnrichmentPipeline(enrichments: Seq[Enrichment]) {
   }
 }
 
+/** One field predicate inside a registered schema: a dot path into the
+  * self-describing `data` payload plus JSON-Schema-style constraints
+  * (required / type / enum / pattern / integer bounds). Patterns are
+  * full-match and must stay RE2-safe so the DuckDB oracle can share them. */
+final case class FieldSpec(
+  path: String,
+  required: Boolean = false,
+  typ: String = "string", // string | bigint | double | boolean
+  enumVals: Seq[String] = Nil,
+  pattern: String = null,
+  min: Option[Long] = None,
+  max: Option[Long] = None)
+
 /** Iglu-style schema validation of a self-describing JSON column (reference
-  * `utils/IgluUtils.scala:42`): the event's schema URI must be registered,
-  * required STRING fields present, and typed fields castable — failures
-  * flow to the bad-row channel with a typed reason (schema_unknown /
-  * missing_field / type_violation), they never kill the job.
+  * `utils/IgluUtils.scala:42`): the event's schema URI must be registered
+  * and every [[FieldSpec]] predicate must hold — failures flow to the
+  * bad-row channel with the reference's typed taxonomy (schema_unknown /
+  * missing_field / type_violation / enum_violation / pattern_violation /
+  * range_violation), they never kill the job. Nested fields use dot paths
+  * ("meta.src").
   *
-  * @param specs registered schemas: URI → (required string fields,
-  *              bigint-typed fields)
+  * @param specs registered schemas: URI → field predicates (flag order =
+  *              spec order, then missing/type/enum/pattern/range per field)
   */
 final case class SchemaValidate(
   jsonCol: String,
   schemaCol: String,
-  specs: Map[String, (Seq[String], Seq[String])]
+  specs: Map[String, Seq[FieldSpec]]
 ) extends Enrichment {
   val name = "schema_validate"
   def apply(df: DataFrame): DataFrame = {
     val known = specs.keys.toSeq
     val d1 = flagBad(df,
       col(schemaCol).isNotNull && !col(schemaCol).isin(known: _*), "schema_unknown")
-    specs.foldLeft(d1) { case (acc, (uri, (required, bigints))) =>
+    specs.foldLeft(d1) { case (acc, (uri, fields)) =>
       val inSchema = col(schemaCol) === uri
-      val afterReq = required.foldLeft(acc) { (a, f) =>
-        flagBad(a, inSchema && get_json_object(col(jsonCol), s"$$.$f").isNull,
-          s"missing_field $f")
-      }
-      bigints.foldLeft(afterReq) { (a, f) =>
-        val raw = get_json_object(col(jsonCol), s"$$.$f")
-        val cast = expr(s"try_cast(get_json_object($jsonCol, '$$.$f') AS BIGINT)")
-        flagBad(a, inSchema && raw.isNotNull && cast.isNull, s"type_violation $f")
+      fields.foldLeft(acc) { (a0, f) =>
+        val raw = get_json_object(col(jsonCol), s"$$.${f.path}")
+        val castType = f.typ match {
+          case "bigint" => "BIGINT"
+          case "double" => "DOUBLE"
+          case "boolean" => "BOOLEAN"
+          case _ => null
+        }
+        val cast =
+          if (castType == null) null
+          else expr(s"try_cast(get_json_object($jsonCol, '$$.${f.path}') AS $castType)")
+        var a = a0
+        if (f.required)
+          a = flagBad(a, inSchema && raw.isNull, s"missing_field ${f.path}")
+        if (cast != null)
+          a = flagBad(a, inSchema && raw.isNotNull && cast.isNull, s"type_violation ${f.path}")
+        if (f.enumVals.nonEmpty)
+          a = flagBad(a, inSchema && raw.isNotNull && !raw.isin(f.enumVals: _*),
+            s"enum_violation ${f.path}")
+        if (f.pattern != null)
+          a = flagBad(a, inSchema && raw.isNotNull && !raw.rlike(s"^(?:${f.pattern})$$"),
+            s"pattern_violation ${f.path}")
+        if (f.min.isDefined || f.max.isDefined) {
+          val c = if (cast != null) cast
+                  else expr(s"try_cast(get_json_object($jsonCol, '$$.${f.path}') AS BIGINT)")
+          val oob = Seq(
+            f.min.map(m => c < m),
+            f.max.map(m => c > m)).flatten.reduce(_ || _)
+          a = flagBad(a, inSchema && c.isNotNull && oob, s"range_violation ${f.path}")
+        }
+        a
       }
     }
+  }
+}
+
+/** Validation of a self-describing CONTEXTS array column (reference
+  * `utils/IgluUtils.scala:71` extractAndValidateInputContexts): each element
+  * `{"schema": uri, "data": {…}}` is checked against the registry —
+  * unknown-schema or missing-required elements are counted and the first
+  * offending uri flows to the bad-row channel. The whole check is one
+  * codegen'd projection (literal JSONPath probes up to [[maxContexts]]
+  * elements — get_json_object requires foldable paths): no explode, no
+  * shuffle, 100 TB-safe. Events with more than [[maxContexts]] contexts
+  * flag `contexts_overflow` rather than silently skipping the tail.
+  *
+  * @param specs registered schemas: URI → required dot paths in `data`
+  */
+final case class ContextsValidate(
+  contextsCol: String,
+  specs: Map[String, Seq[String]],
+  maxContexts: Int = 8
+) extends Enrichment {
+  val name = "contexts_validate"
+  def apply(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val known = specs.keys.toSeq
+    def badAt(i: Int): Column = {
+      val elem = get_json_object(col(contextsCol), s"$$[$i]")
+      val uri = get_json_object(col(contextsCol), s"$$[$i].schema")
+      val unknown = known.map(uri =!= _).reduceOption(_ && _).getOrElse(lit(true)) || uri.isNull
+      val missing = specs.toSeq.map { case (u, reqs) =>
+        uri === u && reqs
+          .map(r => get_json_object(col(contextsCol), s"$$[$i].data.$r").isNull)
+          .reduceOption(_ || _).getOrElse(lit(false))
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      when(elem.isNull, lit(null)) // no element at this index
+        .when(unknown || missing, uri) // bad: carry the offending uri
+        .otherwise(lit(null)) // valid
+    }
+    val present = (0 until maxContexts).map(i =>
+      get_json_object(col(contextsCol), s"$$[$i]").isNotNull.cast("int"))
+    val bads = array((0 until maxContexts).map(badAt): _*)
+    val out = df
+      .withColumn("ctx_count", present.reduce(_ + _))
+      .withColumn("ctx_invalid_count", size(filter(bads, _.isNotNull)))
+      .withColumn("ctx_first_bad_schema", get(filter(bads, _.isNotNull), lit(0)))
+    val flagged = flagBad(out, col("ctx_invalid_count") > 0, "invalid_context")
+    flagBad(flagged,
+      get_json_object(col(contextsCol), s"$$[$maxContexts]").isNotNull, "contexts_overflow")
   }
 }
 

@@ -71,19 +71,47 @@ object EnrichmentConfig {
       case "field_lengths" => FieldLengthValidator(graft.model.Atomic.fieldLengths)
       case "schema_validate" =>
         // {"name": "schema_validate", "jsonCol": "ctx", "schemaCol": "schema_str",
-        //  "schemas": [{"uri": "iglu:...", "required": ["sku"], "bigints": ["qty"]}]}
+        //  "schemas": [{"uri": "iglu:...",
+        //    "fields": [{"path": "sku", "required": true, "pattern": "sku[0-9]+"},
+        //               {"path": "qty", "type": "bigint", "min": 0, "max": 100},
+        //               {"path": "status", "enum": ["new", "paid"]}],
+        //    "required": ["legacy"], "bigints": ["legacy_n"]}]}  // legacy keys
         val specs = Option(n.get("schemas")).map(_.elements().asScala.map { sn =>
           val uri = Option(sn.get("uri")).map(_.asText())
             .getOrElse(throw new IllegalArgumentException("schema entry needs a 'uri'"))
-          uri -> ((strs(sn, "required"), strs(sn, "bigints")))
+          val fields = scala.collection.mutable.Buffer[FieldSpec]()
+          Option(sn.get("fields")).foreach(_.elements().asScala.foreach { fn =>
+            fields += FieldSpec(
+              path = Option(fn.get("path")).map(_.asText())
+                .getOrElse(throw new IllegalArgumentException("field entry needs a 'path'")),
+              required = Option(fn.get("required")).exists(_.asBoolean()),
+              typ = str(fn, "type", "string"),
+              enumVals = strs(fn, "enum"),
+              pattern = Option(fn.get("pattern")).map(_.asText()).orNull,
+              min = Option(fn.get("min")).map(_.asLong()),
+              max = Option(fn.get("max")).map(_.asLong()))
+          })
+          strs(sn, "required").foreach(f => fields += FieldSpec(f, required = true))
+          strs(sn, "bigints").foreach(f => fields += FieldSpec(f, typ = "bigint"))
+          uri -> fields.toSeq
         }.toMap).getOrElse(Map.empty)
         SchemaValidate(str(n, "jsonCol", "unstruct_event"), str(n, "schemaCol", "event_schema"), specs)
+      case "contexts_validate" =>
+        // {"name": "contexts_validate", "contextsCol": "contexts",
+        //  "schemas": [{"uri": "iglu:...", "required": ["id"]}], "maxContexts": 8}
+        val specs = Option(n.get("schemas")).map(_.elements().asScala.map { sn =>
+          val uri = Option(sn.get("uri")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException("schema entry needs a 'uri'"))
+          uri -> strs(sn, "required")
+        }.toMap).getOrElse(Map.empty)
+        ContextsValidate(str(n, "contextsCol", "contexts"), specs, int(n, "maxContexts", 8))
       case other =>
         throw new IllegalArgumentException(
           s"unknown enrichment '$other'; supported: tracker_transform, derived_tstamp, " +
             "page_url_parse, campaign_attribution, referer_parser, ua_parser, anon_ip, " +
             "cross_navigation, pii_pseudonymize, event_fingerprint, cookie_extractor, " +
-            "http_header_extractor, iab_bot_detection, schema_vendor, field_lengths " +
+            "http_header_extractor, iab_bot_detection, schema_vendor, field_lengths, " +
+            "schema_validate, contexts_validate " +
             "(currency_conversion / ip_geo_lookup / ip_asn_lookup need dimension tables — " +
             "construct them programmatically)")
     }

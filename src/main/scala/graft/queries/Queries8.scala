@@ -23,6 +23,8 @@ object Queries8 {
   /** add_to_cart spec the schema_validate query checks against. */
   private val KnownSchema = "iglu:com.acme/add_to_cart/jsonschema/1-0-0"
   private val UnknownSchema = "iglu:com.unknown/mystery/jsonschema/1-0-0"
+  private val GeoCtxSchema = "iglu:com.snowplowanalytics.snowplow/geolocation_context/jsonschema/1-1-0"
+  private val CliCtxSchema = "iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-0-1"
 
   val defs: Map[String, Q] = Map(
     "thrift_payload_parse" -> { (sp, dir) =>
@@ -142,26 +144,45 @@ object Queries8 {
     "schema_validate" -> { (sp, dir) =>
       val e = col("event_id")
       val s = (c: Column) => c.cast("string")
-      // synthesize self-describing unstruct payloads with planted violations:
-      // e%7==0 missing required sku, e%7==1 wrong-typed qty, e%7==2 unknown
-      // schema — the reference's IgluUtils schema-invalid / schema-unknown
-      // bad-row taxonomy
-      val schemaStr = when(e % 7 === 2, lit(UnknownSchema)).otherwise(lit(KnownSchema))
+      // synthesize self-describing unstruct payloads with planted violations
+      // across the FULL bad-row taxonomy (reference utils/IgluUtils.scala:42
+      // schema-unknown / schema-invalid, refined per JSON-Schema predicate):
+      // e%11 == 0 missing required sku, 1 wrong-typed qty, 2 unknown schema,
+      // 3 enum violation (status), 4 pattern violation (sku), 5 integer
+      // bound violation (qty), 6 nested required miss (meta.src)
+      val schemaStr = when(e % 11 === 2, lit(UnknownSchema)).otherwise(lit(KnownSchema))
+      val statusCycle = when(e % 3 === 0, lit("new")).when(e % 3 === 1, lit("paid")).otherwise(lit("refunded"))
       val dataJson =
-        when(e % 7 === 0, lit("{\"qty\":2}"))
-          .when(e % 7 === 1, lit("{\"sku\":\"sku1\",\"qty\":\"oops\"}"))
-          .otherwise(concat(lit("{\"sku\":\"sku"), s(e % 20), lit("\",\"qty\":"), s(e % 5), lit("}")))
+        when(e % 11 === 0, lit("{\"qty\":2,\"status\":\"new\",\"meta\":{\"src\":\"web\"}}"))
+          .when(e % 11 === 1, lit("{\"sku\":\"sku1\",\"qty\":\"oops\",\"status\":\"new\",\"meta\":{\"src\":\"web\"}}"))
+          .when(e % 11 === 3, lit("{\"sku\":\"sku1\",\"qty\":2,\"status\":\"bogus\",\"meta\":{\"src\":\"web\"}}"))
+          .when(e % 11 === 4, lit("{\"sku\":\"SKU-9\",\"qty\":2,\"status\":\"new\",\"meta\":{\"src\":\"web\"}}"))
+          .when(e % 11 === 5, lit("{\"sku\":\"sku1\",\"qty\":9999,\"status\":\"new\",\"meta\":{\"src\":\"web\"}}"))
+          .when(e % 11 === 6, lit("{\"sku\":\"sku1\",\"qty\":2,\"status\":\"new\",\"meta\":{}}"))
+          .otherwise(concat(
+            lit("{\"sku\":\"sku"), s(e % 20), lit("\",\"qty\":"), s(e % 5),
+            lit(",\"status\":\""), statusCycle, lit("\",\"meta\":{\"src\":\"web\"}}")))
       val sku = get_json_object(col("data_json"), "$.sku")
       val qtyRaw = get_json_object(col("data_json"), "$.qty")
       val qty = expr("try_cast(get_json_object(data_json, '$.qty') AS BIGINT)")
-      val badKind =
-        when(col("schema_str") =!= KnownSchema, lit("schema_unknown"))
-          .when(sku.isNull, lit("missing_field"))
-          .when(qty.isNull && qtyRaw.isNotNull, lit("type_violation"))
-      val badField =
-        when(col("schema_str") =!= KnownSchema, lit(null).cast("string"))
-          .when(sku.isNull, lit("sku"))
-          .when(qty.isNull && qtyRaw.isNotNull, lit("qty"))
+      val status = get_json_object(col("data_json"), "$.status")
+      val metaSrc = get_json_object(col("data_json"), "$.meta.src")
+      // first-fail order = the SchemaValidate spec order: sku (missing,
+      // pattern), qty (type, range), status (enum), meta.src (missing)
+      val badPairs: Seq[(Column, String, String)] = Seq(
+        (col("schema_str") =!= KnownSchema, "schema_unknown", null),
+        (sku.isNull, "missing_field", "sku"),
+        (!sku.rlike("^sku[0-9]+$"), "pattern_violation", "sku"),
+        (qty.isNull && qtyRaw.isNotNull, "type_violation", "qty"),
+        (qty < 0 || qty > 100, "range_violation", "qty"),
+        (status.isNotNull && !status.isin("new", "paid", "refunded"), "enum_violation", "status"),
+        (metaSrc.isNull, "missing_field", "meta.src"))
+      val badKind = badPairs.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (c, k, _)) => acc.when(coalesce(c, lit(false)), lit(k))
+      }
+      val badField = badPairs.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (c, _, f)) => acc.when(coalesce(c, lit(false)), lit(f).cast("string"))
+      }
       Synth.withRaw(Tables.events(sp, dir))
         .select(col("event_id"))
         .withColumn("schema_str", schemaStr)
@@ -172,6 +193,40 @@ object Queries8 {
           badKind.as("bad_kind"), badField.as("bad_field"),
           when(badKind.isNull, sku).as("sku"),
           when(badKind.isNull, qty).as("qty"))
+        .orderBy("event_id")
+    },
+
+    "contexts_validate" -> { (sp, dir) =>
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      // a 2-3 element contexts array with planted bad elements: e%9==0 an
+      // unknown-schema context, e%9==1 a known context missing a required
+      // field, e%9==2 three contexts (the third valid) — reference
+      // utils/IgluUtils.scala:71 extractAndValidateInputContexts
+      val geoCtx = concat(
+        lit("{\"schema\":\"" + GeoCtxSchema + "\",\"data\":{\"latitude\":"), s(e % 90),
+        lit(".5,\"longitude\":"), s(e % 180), lit(".25}}"))
+      val cliGood = concat(
+        lit("{\"schema\":\"" + CliCtxSchema + "\",\"data\":{\"userId\":\"u"), s(e % 50),
+        lit("\",\"sessionId\":\"s"), s(e % 500), lit("\"}}"))
+      val cliBad = concat(
+        lit("{\"schema\":\"" + CliCtxSchema + "\",\"data\":{\"userId\":\"u"), s(e % 50), lit("\"}}"))
+      val unknownCtx = lit("{\"schema\":\"iglu:com.x/y/jsonschema/1-0-0\",\"data\":{\"k\":1}}")
+      val contexts =
+        when(e % 9 === 0, concat(lit("["), geoCtx, lit(","), unknownCtx, lit("]")))
+          .when(e % 9 === 1, concat(lit("["), cliBad, lit("]")))
+          .when(e % 9 === 2, concat(lit("["), geoCtx, lit(","), cliGood, lit(","), geoCtx, lit("]")))
+          .otherwise(concat(lit("["), geoCtx, lit(","), cliGood, lit("]")))
+      val enriched = graft.enrich.ContextsValidate("contexts", Map(
+        GeoCtxSchema -> Seq("latitude", "longitude"),
+        CliCtxSchema -> Seq("userId", "sessionId")))(
+        Synth.withRaw(Tables.events(sp, dir))
+          .select(col("event_id"))
+          .withColumn("contexts", contexts))
+      enriched.select(
+        col("event_id"), col("ctx_count"), col("ctx_invalid_count"),
+        col("ctx_first_bad_schema"),
+        size(col("bad_row_errors")).as("n_errors"))
         .orderBy("event_id")
     }
   )
@@ -254,26 +309,91 @@ object Queries8 {
 
     "schema_validate" -> Synth.withCte(
       s"""SELECT event_id, schema_str,
-         |  bad_kind IS NULL AS valid, bad_kind,
-         |  CASE WHEN bad_kind = 'missing_field' THEN 'sku'
-         |       WHEN bad_kind = 'type_violation' THEN 'qty' END AS bad_field,
-         |  CASE WHEN bad_kind IS NULL THEN json_extract_string(data_json, '$$.sku') END AS sku,
-         |  CASE WHEN bad_kind IS NULL THEN TRY_CAST(json_extract_string(data_json, '$$.qty') AS BIGINT) END AS qty
+         |  bad_kind IS NULL AS valid, bad_kind, bad_field,
+         |  CASE WHEN bad_kind IS NULL THEN sku END AS sku,
+         |  CASE WHEN bad_kind IS NULL THEN qty END AS qty
          |FROM (
-         |  SELECT event_id, schema_str, data_json,
+         |  SELECT event_id, schema_str, sku, qty,
          |    CASE WHEN schema_str <> '$KnownSchema' THEN 'schema_unknown'
-         |         WHEN json_extract_string(data_json, '$$.sku') IS NULL THEN 'missing_field'
-         |         WHEN TRY_CAST(json_extract_string(data_json, '$$.qty') AS BIGINT) IS NULL
-         |              AND json_extract_string(data_json, '$$.qty') IS NOT NULL THEN 'type_violation'
-         |    END AS bad_kind
+         |         WHEN sku IS NULL THEN 'missing_field'
+         |         WHEN NOT regexp_matches(sku, '^sku[0-9]+$$') THEN 'pattern_violation'
+         |         WHEN qty IS NULL AND qty_raw IS NOT NULL THEN 'type_violation'
+         |         WHEN qty < 0 OR qty > 100 THEN 'range_violation'
+         |         WHEN status IS NOT NULL AND status NOT IN ('new','paid','refunded') THEN 'enum_violation'
+         |         WHEN meta_src IS NULL THEN 'missing_field'
+         |    END AS bad_kind,
+         |    CASE WHEN schema_str <> '$KnownSchema' THEN NULL
+         |         WHEN sku IS NULL THEN 'sku'
+         |         WHEN NOT regexp_matches(sku, '^sku[0-9]+$$') THEN 'sku'
+         |         WHEN qty IS NULL AND qty_raw IS NOT NULL THEN 'qty'
+         |         WHEN qty < 0 OR qty > 100 THEN 'qty'
+         |         WHEN status IS NOT NULL AND status NOT IN ('new','paid','refunded') THEN 'status'
+         |         WHEN meta_src IS NULL THEN 'meta.src'
+         |    END AS bad_field
          |  FROM (
-         |    SELECT event_id,
-         |      CASE WHEN event_id % 7 = 2 THEN '$UnknownSchema' ELSE '$KnownSchema' END AS schema_str,
-         |      CASE WHEN event_id % 7 = 0 THEN '{"qty":2}'
-         |           WHEN event_id % 7 = 1 THEN '{"sku":"sku1","qty":"oops"}'
-         |           ELSE concat('{"sku":"sku', event_id % 20, '","qty":', event_id % 5, '}')
-         |      END AS data_json
-         |    FROM raw) t1) t2
-         |ORDER BY event_id""".stripMargin)
+         |    SELECT event_id, schema_str,
+         |      json_extract_string(data_json, '$$.sku') AS sku,
+         |      json_extract_string(data_json, '$$.qty') AS qty_raw,
+         |      TRY_CAST(json_extract_string(data_json, '$$.qty') AS BIGINT) AS qty,
+         |      json_extract_string(data_json, '$$.status') AS status,
+         |      json_extract_string(data_json, '$$.meta.src') AS meta_src
+         |    FROM (
+         |      SELECT event_id,
+         |        CASE WHEN event_id % 11 = 2 THEN '$UnknownSchema' ELSE '$KnownSchema' END AS schema_str,
+         |        CASE WHEN event_id % 11 = 0 THEN '{"qty":2,"status":"new","meta":{"src":"web"}}'
+         |             WHEN event_id % 11 = 1 THEN '{"sku":"sku1","qty":"oops","status":"new","meta":{"src":"web"}}'
+         |             WHEN event_id % 11 = 3 THEN '{"sku":"sku1","qty":2,"status":"bogus","meta":{"src":"web"}}'
+         |             WHEN event_id % 11 = 4 THEN '{"sku":"SKU-9","qty":2,"status":"new","meta":{"src":"web"}}'
+         |             WHEN event_id % 11 = 5 THEN '{"sku":"sku1","qty":9999,"status":"new","meta":{"src":"web"}}'
+         |             WHEN event_id % 11 = 6 THEN '{"sku":"sku1","qty":2,"status":"new","meta":{}}'
+         |             ELSE concat('{"sku":"sku', event_id % 20, '","qty":', event_id % 5,
+         |                         ',"status":"',
+         |                         CASE WHEN event_id % 3 = 0 THEN 'new'
+         |                              WHEN event_id % 3 = 1 THEN 'paid' ELSE 'refunded' END,
+         |                         '","meta":{"src":"web"}}')
+         |        END AS data_json
+         |      FROM raw) t0) t1) t2
+         |ORDER BY event_id""".stripMargin),
+
+    "contexts_validate" -> Synth.withCte {
+      // DuckDB twin of the bounded literal-path probe (3 is this universe's
+      // max context count; the Spark side probes 8 and finds the same 3)
+      def badAt(i: Int): String =
+        s"""CASE WHEN json_extract(contexts, '$$[$i]') IS NULL THEN NULL
+           |     WHEN (sch$i IS DISTINCT FROM '$GeoCtxSchema' AND sch$i IS DISTINCT FROM '$CliCtxSchema')
+           |          OR (sch$i = '$GeoCtxSchema' AND (json_extract(contexts, '$$[$i].data.latitude') IS NULL
+           |                                           OR json_extract(contexts, '$$[$i].data.longitude') IS NULL))
+           |          OR (sch$i = '$CliCtxSchema' AND (json_extract(contexts, '$$[$i].data.userId') IS NULL
+           |                                           OR json_extract(contexts, '$$[$i].data.sessionId') IS NULL))
+           |     THEN sch$i END""".stripMargin
+      s"""SELECT event_id,
+         |  CAST(json_array_length(contexts) AS INTEGER) AS ctx_count,
+         |  CAST((bad0 IS NOT NULL)::int + (bad1 IS NOT NULL)::int + (bad2 IS NOT NULL)::int AS INTEGER) AS ctx_invalid_count,
+         |  coalesce(bad0, bad1, bad2) AS ctx_first_bad_schema,
+         |  CASE WHEN bad0 IS NOT NULL OR bad1 IS NOT NULL OR bad2 IS NOT NULL THEN 1 ELSE 0 END AS n_errors
+         |FROM (
+         |  SELECT event_id, contexts, ${badAt(0)} AS bad0, ${badAt(1)} AS bad1, ${badAt(2)} AS bad2
+         |  FROM (
+         |    SELECT event_id, contexts,
+         |      json_extract_string(contexts, '$$[0].schema') AS sch0,
+         |      json_extract_string(contexts, '$$[1].schema') AS sch1,
+         |      json_extract_string(contexts, '$$[2].schema') AS sch2
+         |    FROM (
+         |      SELECT event_id,
+         |        CASE WHEN event_id % 9 = 0 THEN concat('[', geo, ',', unk, ']')
+         |             WHEN event_id % 9 = 1 THEN concat('[', clibad, ']')
+         |             WHEN event_id % 9 = 2 THEN concat('[', geo, ',', cligood, ',', geo, ']')
+         |             ELSE concat('[', geo, ',', cligood, ']') END AS contexts
+         |      FROM (
+         |        SELECT event_id,
+         |          concat('{"schema":"$GeoCtxSchema","data":{"latitude":', event_id % 90,
+         |                 '.5,"longitude":', event_id % 180, '.25}}') AS geo,
+         |          concat('{"schema":"$CliCtxSchema","data":{"userId":"u', event_id % 50,
+         |                 '","sessionId":"s', event_id % 500, '"}}') AS cligood,
+         |          concat('{"schema":"$CliCtxSchema","data":{"userId":"u', event_id % 50, '"}}') AS clibad,
+         |          '{"schema":"iglu:com.x/y/jsonschema/1-0-0","data":{"k":1}}' AS unk
+         |        FROM raw) t0) t1) t2) t3
+         |ORDER BY event_id""".stripMargin
+    }
   )
 }

@@ -54,23 +54,64 @@ class PipelineSpec extends SparkSpec {
     assert(meta(2L) == "jpeg")
   }
 
-  test("SchemaValidate enrichment: typed bad rows, good/bad split") {
+  test("SchemaValidate enrichment: full bad-row taxonomy, good/bad split") {
     import spark.implicits._
-    import graft.enrich.SchemaValidate
+    import graft.enrich.{FieldSpec, SchemaValidate}
     val cart = "iglu:com.acme/add_to_cart/jsonschema/1-0-0"
     val df = Seq(
-      (1L, cart, """{"sku":"s1","qty":2}"""), // valid
-      (2L, cart, """{"qty":2}"""), // missing sku
-      (3L, cart, """{"sku":"s1","qty":"oops"}"""), // wrong type
-      (4L, "iglu:com.unknown/x/jsonschema/1-0-0", """{"sku":"s1"}""") // unknown schema
+      (1L, cart, """{"sku":"sku1","qty":2,"status":"paid","meta":{"src":"web"}}"""), // valid
+      (2L, cart, """{"qty":2,"status":"new","meta":{"src":"web"}}"""), // missing sku
+      (3L, cart, """{"sku":"sku1","qty":"oops","status":"new","meta":{"src":"web"}}"""), // wrong type
+      (4L, "iglu:com.unknown/x/jsonschema/1-0-0", """{"sku":"sku1"}"""), // unknown schema
+      (5L, cart, """{"sku":"sku1","qty":2,"status":"bogus","meta":{"src":"web"}}"""), // enum
+      (6L, cart, """{"sku":"SKU-9","qty":2,"status":"new","meta":{"src":"web"}}"""), // pattern
+      (7L, cart, """{"sku":"sku1","qty":9999,"status":"new","meta":{"src":"web"}}"""), // range
+      (8L, cart, """{"sku":"sku1","qty":2,"status":"new","meta":{}}""") // nested required
     ).toDF("id", "schema_str", "ctx")
-    val v = SchemaValidate("ctx", "schema_str",
-      Map(cart -> (Seq("sku"), Seq("qty"))))
+    val v = SchemaValidate("ctx", "schema_str", Map(cart -> Seq(
+      FieldSpec("sku", required = true, pattern = "sku[0-9]+"),
+      FieldSpec("qty", typ = "bigint", min = Some(0), max = Some(100)),
+      FieldSpec("status", enumVals = Seq("new", "paid", "refunded")),
+      FieldSpec("meta.src", required = true))))
     val out = v(df.withColumn("bad_row_errors", array().cast("array<string>")))
       .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
     assert(out(1L).isEmpty)
     assert(out(2L).exists(_.contains("missing_field sku")))
     assert(out(3L).exists(_.contains("type_violation qty")))
     assert(out(4L).exists(_.contains("schema_unknown")))
+    assert(out(5L).exists(_.contains("enum_violation status")))
+    assert(out(6L).exists(_.contains("pattern_violation sku")))
+    assert(out(7L).exists(_.contains("range_violation qty")))
+    assert(out(8L).exists(_.contains("missing_field meta.src")))
+    assert(out(8L).size == 1) // the nested miss is the ONLY flag on row 8
+  }
+
+  test("ContextsValidate enrichment: per-element registry check, overflow flag") {
+    import spark.implicits._
+    import graft.enrich.ContextsValidate
+    val geo = "iglu:com.snowplowanalytics.snowplow/geolocation_context/jsonschema/1-1-0"
+    val cli = "iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-0-1"
+    val df = Seq(
+      (1L, s"""[{"schema":"$geo","data":{"latitude":1.0,"longitude":2.0}}]"""), // valid
+      (2L, s"""[{"schema":"$geo","data":{"latitude":1.0,"longitude":2.0}},
+               {"schema":"iglu:com.x/y/jsonschema/1-0-0","data":{}}]""".replaceAll("\\s+", "")), // 1 bad
+      (3L, s"""[{"schema":"$cli","data":{"userId":"u1"}}]"""), // missing sessionId
+      (4L, "[]"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "contexts")
+    val v = ContextsValidate("contexts", Map(
+      geo -> Seq("latitude", "longitude"),
+      cli -> Seq("userId", "sessionId")))
+    val out = v(df.withColumn("bad_row_errors", array().cast("array<string>")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("ctx_count"), r.getAs[Int]("ctx_invalid_count"),
+          r.getAs[String]("ctx_first_bad_schema"),
+          r.getAs[scala.collection.Seq[String]]("bad_row_errors")))).toMap
+    assert(out(1L) == ((1, 0, null, Seq())))
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1 && out(2L)._3 == "iglu:com.x/y/jsonschema/1-0-0")
+    assert(out(2L)._4.exists(_.contains("invalid_context")))
+    assert(out(3L)._2 == 1 && out(3L)._3 == cli)
+    assert(out(4L) == ((0, 0, null, Seq())))
+    assert(out(5L) == ((0, 0, null, Seq())))
   }
 }
