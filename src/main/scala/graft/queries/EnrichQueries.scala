@@ -34,6 +34,10 @@ object EnrichQueries {
   private val ClickIdNetworks = Seq("gclid" -> "Google", "msclkid" -> "Microsoft",
     "dclid" -> "DoubleClick", "fbclid" -> "Facebook")
 
+  /** Configured bot-IP exclude list for the iab_bot query (synth IPs of
+    * event_ids 3, 100 and 555 — shared verbatim with the oracle). */
+  private val IabBotIps = Seq("4.21.39.87", "101.188.20.84", "110.45.47.223")
+
   val defs: Map[String, Q] = Map(
     // ---- §2.A ----------------------------------------------------------
     "tp_transform" -> ((sp, dir) =>
@@ -192,6 +196,15 @@ object EnrichQueries {
         EventF.headerValue(col("header_line")).as("header_value")
       ).orderBy("event_id")),
 
+    "iab_bot" -> { (sp, dir) =>
+      // the lib IabBotDetection enrichment over the synth universe: UA
+      // substring hits plus a configured bot-IP exclude list (reference
+      // registry/IabEnrichment.scala checks the IAB bots+spiders files)
+      graft.enrich.IabBotDetection("ua", "ip", botIpList = IabBotIps)(raw(sp, dir))
+        .select(col("event_id"), col("iab_spider_or_robot"), col("iab_category"))
+        .orderBy("event_id")
+    },
+
     "pii_pseudonymize" -> ((sp, dir) =>
       raw(sp, dir).select(
         col("event_id"),
@@ -342,6 +355,19 @@ object EnrichQueries {
           |  nullif(regexp_extract(header_line, '^([^:]+):', 1), '') AS header_name,
           |  nullif(trim(regexp_extract(header_line, '^[^:]+:(.*)$', 1)), '') AS header_value
           |FROM raw ORDER BY event_id""".stripMargin),
+
+      "iab_bot" -> {
+        val uaHit = Seq("bot", "crawler", "spider", "slurp")
+          .map(s => s"position('$s' IN lower(ua)) > 0").mkString("(", " OR ", ")")
+        val ipHit = s"ip IN (${IabBotIps.map(i => s"'$i'").mkString(", ")})"
+        Synth.withCte(
+          s"""SELECT event_id,
+             |  ($uaHit OR $ipHit) AS iab_spider_or_robot,
+             |  CASE WHEN $ipHit THEN 'BROWSER_IP_EXCLUDED'
+             |       WHEN $uaHit THEN 'SPIDER_OR_ROBOT'
+             |       ELSE 'BROWSER' END AS iab_category
+             |FROM raw ORDER BY event_id""".stripMargin)
+      },
 
       "pii_pseudonymize" -> Synth.withCte(
         """SELECT event_id,
