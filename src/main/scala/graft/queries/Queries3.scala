@@ -150,13 +150,16 @@ object Queries3 {
         SimF.argmaxCell(col("embedding"), col("nrm"), cents).as("cell"))
       // nprobe=2 cells per query vector, also a narrow projection: sort the
       // 16 (sim, -cid) structs ascending, take the top 2 from the tail
-      val sortedQ = sort_array(SimF.cellSims(col("embedding"), col("nrm"), cents))
+      // hoist the sorted sims array into ONE projected column so the
+      // vecmatmul + sort_array kernel runs once per query row, not once per
+      // element_at reference
       val qcells = broadcast(
         withNorm.filter(col("vec_id") < 5)
+          .withColumn("sq", sort_array(SimF.cellSims(col("embedding"), col("nrm"), cents)))
           .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
             explode(array(
-              element_at(sortedQ, 16).getField("negc") * -1L,
-              element_at(sortedQ, 15).getField("negc") * -1L)).as("cell")))
+              element_at(col("sq"), 16).getField("negc") * -1L,
+              element_at(col("sq"), 15).getField("negc") * -1L)).as("cell")))
       // search only within probed cells
       val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
       assign.join(qcells, "cell")
