@@ -48,6 +48,7 @@ object Atomic {
     StructField("geo_zipcode", StringType),
     StructField("geo_latitude", FloatType),
     StructField("geo_longitude", FloatType),
+    StructField("geo_region_name", StringType),
     StructField("geo_timezone", StringType),
     // ip lookups
     StructField("ip_isp", StringType),
@@ -108,6 +109,9 @@ object Atomic {
     StructField("ti_price_cents", LongType),
     StructField("ti_quantity", IntegerType),
     StructField("ti_currency", StringType),
+    StructField("tr_tax_base_cents", LongType),
+    StructField("tr_shipping_base_cents", LongType),
+    StructField("ti_price_base_cents", LongType),
     StructField("base_currency", StringType),
     // page ping
     StructField("pp_xoffset_min", IntegerType),
@@ -123,6 +127,16 @@ object Atomic {
     StructField("br_renderengine", StringType),
     StructField("br_lang", StringType),
     StructField("br_cookies", BooleanType),
+    // tracker-reported capability probes (reference EnrichedEvent.scala:169)
+    StructField("br_features_pdf", BooleanType),
+    StructField("br_features_flash", BooleanType),
+    StructField("br_features_java", BooleanType),
+    StructField("br_features_director", BooleanType),
+    StructField("br_features_quicktime", BooleanType),
+    StructField("br_features_realplayer", BooleanType),
+    StructField("br_features_windowsmedia", BooleanType),
+    StructField("br_features_gears", BooleanType),
+    StructField("br_features_silverlight", BooleanType),
     StructField("br_colordepth", StringType),
     StructField("br_viewwidth", IntegerType),
     StructField("br_viewheight", IntegerType),
@@ -148,8 +162,12 @@ object Atomic {
     StructField("event_format", StringType),
     StructField("event_version", StringType),
     StructField("event_fingerprint", StringType),
-    StructField("etl_tags", StringType)
+    StructField("etl_tags", StringType),
+    // pseudonymization products (reference `pii` output field)
+    StructField("pii", StringType)
   ))
+  // (the reference's three *_got_updated / use_derived_contexts_* bean vars
+  // are in-flight mutation bookkeeping, not atomic output columns — omitted)
 
   /** Atomic field max lengths (subset of reference `AtomicFields.scala`),
     * used by length validation. */

@@ -152,11 +152,25 @@ object Queries2 {
     },
 
     "enriched_tsv_out" -> { (sp, dir) =>
-      val f1 = coalesce(EventF.eventTypeFromCode(col("event_code")), lit(""))
-      val f2 = coalesce(EventF.platformValidate(col("platform_code")), lit(""))
-      val f3 = col("collector_us").cast("string")
-      val f4 = IpF.anonIp(col("ip"), 2, 4)
-      val line = concat_ws("\t", f1, f2, f3, f4)
+      // the reference's TSV line (outputs/EnrichedEvent tab-separated mode):
+      // widened across the atomic field groups — event, time, ip, page,
+      // marketing, browser, device — nulls as empty fields
+      import graft.functions.UaF
+      val derived = EventF.derivedTstampMicros(
+        col("collector_us"), col("created_us"), col("sent_us"), col("true_us"))
+      val pageQs = UrlF.urlQuery(col("page_url"))
+      val line = concat_ws("\t",
+        coalesce(EventF.eventTypeFromCode(col("event_code")), lit("")),
+        coalesce(EventF.platformValidate(col("platform_code")), lit("")),
+        col("collector_us").cast("string"),
+        derived.cast("string"),
+        IpF.anonIp(col("ip"), 2, 4),
+        coalesce(UrlF.urlHost(col("page_url")), lit("")),
+        coalesce(UrlF.urlPath(col("page_url")), lit("")),
+        coalesce(UrlF.firstParam(pageQs, Seq("utm_source", "mkt_source")), lit("")),
+        UaF.browserFamily(col("ua")),
+        coalesce(UaF.browserVersion(col("ua")), lit("")),
+        UaF.deviceClass(col("ua")))
       raw(sp, dir)
         .select(col("event_id"), line.as("tsv_line"), md5(line.cast("binary")).as("line_md5"))
         .orderBy("event_id")
@@ -295,16 +309,36 @@ object Queries2 {
           |           ',"data":{"email":"u', user_id, '@example.com","score":', event_id % 100, '}}') AS payload
           |  FROM raw) t ORDER BY event_id""".stripMargin),
 
-      "enriched_tsv_out" -> Synth.withCte(
-        s"""SELECT event_id, line AS tsv_line, md5(line) AS line_md5
-           |FROM (
-           |  SELECT event_id,
-           |    concat_ws(chr(9),
-           |      coalesce($eventTypeCase, ''),
-           |      coalesce($platformCase, ''),
-           |      collector_us,
-           |      $anonIpSql) AS line
-           |  FROM raw) t ORDER BY event_id""".stripMargin),
+      "enriched_tsv_out" -> {
+        import graft.functions.UaF
+        val derived =
+          """CASE WHEN true_us IS NOT NULL THEN true_us
+            |     WHEN sent_us IS NOT NULL AND created_us IS NOT NULL AND created_us < sent_us
+            |       THEN collector_us - (sent_us - created_us)
+            |     ELSE collector_us END""".stripMargin
+        val pageHostE = "nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1), '')"
+        val pagePathE = "nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '')"
+        val pageQsE = raw"nullif(regexp_extract(page_url, '\?([^#]*)', 1), '')"
+        def qsParam(key: String) =
+          s"nullif(regexp_extract($pageQsE, '(?:^|&)$key=([^&]*)', 1), '')"
+        Synth.withCte(
+          s"""SELECT event_id, line AS tsv_line, md5(line) AS line_md5
+             |FROM (
+             |  SELECT event_id,
+             |    concat_ws(chr(9),
+             |      coalesce($eventTypeCase, ''),
+             |      coalesce($platformCase, ''),
+             |      collector_us,
+             |      $derived,
+             |      $anonIpSql,
+             |      coalesce($pageHostE, ''),
+             |      coalesce($pagePathE, ''),
+             |      coalesce(coalesce(${qsParam("utm_source")}, ${qsParam("mkt_source")}), ''),
+             |      ${UaF.brFamilySql("ua")},
+             |      coalesce(${UaF.brVersionSql("ua")}, ''),
+             |      ${UaF.deviceClassSql("ua")}) AS line
+             |  FROM raw) t ORDER BY event_id""".stripMargin)
+      },
 
       "custom_transform" -> Synth.withCte(
         """SELECT event_id, CAST(amount_cents % 100 + user_id % 7 AS BIGINT) AS score

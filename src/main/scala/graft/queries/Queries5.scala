@@ -36,21 +36,58 @@ object Queries5 {
     },
 
     "enriched_json_out" -> { (sp, dir) =>
-      // JSON event output (reference outputs/EnrichedEvent JSON mode):
-      // built with explicit concat so the byte layout is engine-portable
+      // JSON event output (reference outputs/EnrichedEvent JSON mode +
+      // IgluUtils contexts assembly): atomic fields plus the contexts /
+      // derived_contexts self-describing arrays, built with explicit concat
+      // so the byte layout is engine-portable
+      import graft.functions.{UaF, UrlF}
+      val e = col("event_id")
+      val s = (c: org.apache.spark.sql.Column) => c.cast("string")
       val jsonStr = (k: String, v: org.apache.spark.sql.Column) =>
         when(v.isNull, lit(s""""$k":null"""))
           .otherwise(concat(lit(s""""$k":""""), v, lit("\"")))
       val jsonNum = (k: String, v: org.apache.spark.sql.Column) =>
         when(v.isNull, lit(s""""$k":null"""))
           .otherwise(concat(lit(s""""$k":"""), v.cast("string")))
+      val ua = col("ua")
+      val derived = EventF.derivedTstampMicros(
+        col("collector_us"), col("created_us"), col("sent_us"), col("true_us"))
+      val pageQs = UrlF.urlQuery(col("page_url"))
+      // input contexts: client_session + web_page, deterministic from ids
+      val cliCtx = concat(
+        lit("{\"schema\":\"iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-0-1\"," +
+          "\"data\":{\"userId\":\"u"), s(col("user_id")),
+        lit("\",\"sessionId\":\"s"), s(e % 500), lit("\"}}"))
+      val webCtx = concat(
+        lit("{\"schema\":\"iglu:com.snowplowanalytics.snowplow/web_page/jsonschema/1-0-0\"," +
+          "\"data\":{\"id\":\"p"), s(e % 100), lit("\"}}"))
+      val contexts = concat(lit("["), cliCtx, lit(","), webCtx, lit("]"))
+      // derived contexts: the ua_parser_context the UA enrichment produces
+      val uaCtxData = concat(
+        lit("{"),
+        jsonStr("useragentFamily", UaF.browserFamily(ua)), lit(","),
+        jsonStr("useragentVersion", UaF.browserVersion(ua)), lit(","),
+        jsonStr("osFamily", UaF.osFamily(ua)),
+        lit("}"))
+      val derivedCtxs = concat(
+        lit("[{\"schema\":\"iglu:com.snowplowanalytics.snowplow/ua_parser_context/jsonschema/1-0-0\"," +
+          "\"data\":"), uaCtxData, lit("}]"))
       val doc = concat(
         lit("{"),
-        jsonNum("event_id", col("event_id")), lit(","),
+        jsonNum("event_id", e), lit(","),
         jsonStr("event", EventF.eventTypeFromCode(col("event_code"))), lit(","),
         jsonStr("platform", EventF.platformValidate(col("platform_code"))), lit(","),
         jsonNum("collector_tstamp_us", col("collector_us")), lit(","),
-        jsonStr("user_ipaddress", IpF.anonIp(col("ip"), 2, 4)),
+        jsonNum("derived_tstamp_us", derived), lit(","),
+        jsonStr("user_ipaddress", IpF.anonIp(col("ip"), 2, 4)), lit(","),
+        jsonStr("page_urlhost", UrlF.urlHost(col("page_url"))), lit(","),
+        jsonStr("page_urlpath", UrlF.urlPath(col("page_url"))), lit(","),
+        jsonStr("mkt_source", UrlF.firstParam(pageQs, Seq("utm_source", "mkt_source"))), lit(","),
+        jsonStr("br_family", UaF.browserFamily(ua)), lit(","),
+        jsonStr("dvce_type", UaF.deviceClass(ua)), lit(","),
+        lit("\"unstruct_event\":null,"),
+        concat(lit("\"contexts\":"), contexts), lit(","),
+        concat(lit("\"derived_contexts\":"), derivedCtxs),
         lit("}"))
       raw(sp, dir)
         .select(col("event_id"), doc.as("event_json"), md5(doc.cast("binary")).as("json_md5"))
@@ -103,15 +140,34 @@ object Queries5 {
         |  FROM raw) t ORDER BY event_id""".stripMargin),
 
     "enriched_json_out" -> {
+      import graft.functions.UaF
       val eventTypeCase = "CASE event_code " +
         EventF.EventTypeMap.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") + " END"
       val platformCase =
         s"CASE WHEN platform_code IN (${EventF.ValidPlatforms.map(p => s"'$p'").mkString(",")}) THEN platform_code END"
       val anonIpSql = raw"regexp_replace(ip, '^(\d+)\.(\d+)\.\d+\.\d+$$', '\1.\2.x.x')"
+      val derived =
+        """CASE WHEN true_us IS NOT NULL THEN true_us
+          |     WHEN sent_us IS NOT NULL AND created_us IS NOT NULL AND created_us < sent_us
+          |       THEN collector_us - (sent_us - created_us)
+          |     ELSE collector_us END""".stripMargin
+      val pageHost = "nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1), '')"
+      val pagePath = "nullif(regexp_extract(page_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '')"
+      val pageQs = raw"nullif(regexp_extract(page_url, '\?([^#]*)', 1), '')"
+      def qsParam(key: String) =
+        s"nullif(regexp_extract($pageQs, '(?:^|&)$key=([^&]*)', 1), '')"
+      val mktSource = s"coalesce(${qsParam("utm_source")}, ${qsParam("mkt_source")})"
       def jStr(k: String, v: String) =
         s"""CASE WHEN $v IS NULL THEN '"$k":null' ELSE concat('"$k":"', $v, '"') END"""
       def jNum(k: String, v: String) =
         s"""CASE WHEN $v IS NULL THEN '"$k":null' ELSE concat('"$k":', $v) END"""
+      val cliCtx = "concat('{\"schema\":\"iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-0-1\"," +
+        "\"data\":{\"userId\":\"u', user_id, '\",\"sessionId\":\"s', event_id % 500, '\"}}')"
+      val webCtx = "concat('{\"schema\":\"iglu:com.snowplowanalytics.snowplow/web_page/jsonschema/1-0-0\"," +
+        "\"data\":{\"id\":\"p', event_id % 100, '\"}}')"
+      val uaCtxData = s"concat('{', ${jStr("useragentFamily", UaF.brFamilySql("ua"))}, ',', " +
+        s"${jStr("useragentVersion", UaF.brVersionSql("ua"))}, ',', " +
+        s"${jStr("osFamily", UaF.osFamilySql("ua"))}, '}')"
       Synth.withCte(
         s"""SELECT event_id, doc AS event_json, md5(doc) AS json_md5
            |FROM (
@@ -120,7 +176,17 @@ object Queries5 {
            |    ${jStr("event", eventTypeCase)}, ',',
            |    ${jStr("platform", platformCase)}, ',',
            |    ${jNum("collector_tstamp_us", "collector_us")}, ',',
-           |    ${jStr("user_ipaddress", anonIpSql)}, '}') AS doc
+           |    ${jNum("derived_tstamp_us", derived)}, ',',
+           |    ${jStr("user_ipaddress", anonIpSql)}, ',',
+           |    ${jStr("page_urlhost", pageHost)}, ',',
+           |    ${jStr("page_urlpath", pagePath)}, ',',
+           |    ${jStr("mkt_source", mktSource)}, ',',
+           |    ${jStr("br_family", UaF.brFamilySql("ua"))}, ',',
+           |    ${jStr("dvce_type", UaF.deviceClassSql("ua"))}, ',',
+           |    '"unstruct_event":null,',
+           |    '"contexts":[', $cliCtx, ',', $webCtx, '],',
+           |    '"derived_contexts":[{"schema":"iglu:com.snowplowanalytics.snowplow/ua_parser_context/jsonschema/1-0-0","data":', $uaCtxData, '}]',
+           |    '}') AS doc
            |  FROM raw) t ORDER BY event_id""".stripMargin)
     },
 
