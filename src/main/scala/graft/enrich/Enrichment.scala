@@ -169,13 +169,20 @@ final case class CurrencyConversion(
   rates: Seq[(String, Long)],
   amountCentsCol: String = "amount_cents",
   currencyCol: String = "currency",
-  outCol: String = "base_amount_e8"
+  outCol: String = "base_amount_e8",
+  ratesPath: String = null, // parquet dim table instead of inline rates
+  curField: String = "cur",
+  rateField: String = "rate_micro"
 ) extends Enrichment {
   val name = "currency_conversion"
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ratesDf = broadcast(rates.toDF("__cur", "__rate_micro"))
+    val ratesDf = broadcast(
+      if (ratesPath != null)
+        spark.read.parquet(ratesPath)
+          .select(col(curField).as("__cur"), col(rateField).cast("bigint").as("__rate_micro"))
+      else rates.toDF("__cur", "__rate_micro"))
     df.join(ratesDf, col(currencyCol) === col("__cur"), "left")
       .withColumn(outCol, col(amountCentsCol) * col("__rate_micro"))
       .drop("__cur", "__rate_micro")
@@ -187,15 +194,48 @@ final case class CurrencyConversion(
 final case class IpGeoLookup(
   ranges: Seq[(Long, Long, String)],
   ipCol: String = "user_ipaddress",
-  bucketBits: Int = 27
+  bucketBits: Int = 27,
+  rangesPath: String = null, // parquet dim table instead of inline ranges
+  loField: String = "lo",
+  hiField: String = "hi",
+  countryField: String = "geo_country"
 ) extends Enrichment {
   val name = "ip_geo_lookup"
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rangesDf = ranges.toDF("__lo", "__hi", "geo_country")
+    val rangesDf =
+      if (rangesPath != null)
+        spark.read.parquet(rangesPath)
+          .select(col(loField).cast("bigint").as("__lo"), col(hiField).cast("bigint").as("__hi"),
+            col(countryField).as("geo_country"))
+      else ranges.toDF("__lo", "__hi", "geo_country")
     RangeJoin.leftJoinRanges(df, IpF.ipv4ToLong(col(ipCol)), rangesDf, "__lo", "__hi", bucketBits)
       .drop("__lo", "__hi")
+  }
+}
+
+/** Generic broadcast dimension join — the declarative replacement for the
+  * reference's per-record `registry/ApiRequestEnrichment` /
+  * `registry/SqlQueryEnrichment` lookups (an RPC per event cannot survive
+  * 100 TB; a broadcast hash join of the same dimension can). The dimension
+  * comes from a parquet path or inline JSON rows (schema inferred). */
+final case class DimJoin(
+  keyCol: String,
+  dimKeyCol: String,
+  select: Seq[String] = Nil, // empty = every dim column
+  path: String = null,
+  inlineJsonRows: Seq[String] = Nil
+) extends Enrichment {
+  val name = "dim_join"
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(path != null || inlineJsonRows.nonEmpty, "dim_join needs 'path' or 'rows'")
+    val dim0 = if (path != null) spark.read.parquet(path)
+               else spark.read.json(inlineJsonRows.toDS())
+    val dim = if (select.nonEmpty) dim0.select((dimKeyCol +: select).map(col): _*) else dim0
+    df.join(broadcast(dim), df(keyCol) === dim(dimKeyCol), "left").drop(dim(dimKeyCol))
   }
 }
 

@@ -96,6 +96,48 @@ object EnrichmentConfig {
           uri -> fields.toSeq
         }.toMap).getOrElse(Map.empty)
         SchemaValidate(str(n, "jsonCol", "unstruct_event"), str(n, "schemaCol", "event_schema"), specs)
+      case "currency_conversion" =>
+        // {"name": "currency_conversion",
+        //  "rates": [{"cur": "EUR", "rateMicro": 1080000}, ...]}   inline, or
+        // {"name": "currency_conversion", "ratesPath": "/dims/rates.parquet",
+        //  "curField": "cur", "rateField": "rate_micro"}
+        val inline = Option(n.get("rates")).map(_.elements().asScala.map { rn =>
+          (rn.get("cur").asText(), rn.get("rateMicro").asLong())
+        }.toSeq).getOrElse(Nil)
+        val path = Option(n.get("ratesPath")).map(_.asText()).orNull
+        if (inline.isEmpty && path == null)
+          throw new IllegalArgumentException("currency_conversion needs 'rates' or 'ratesPath'")
+        CurrencyConversion(inline,
+          str(n, "amountCentsCol", "amount_cents"), str(n, "currencyCol", "currency"),
+          str(n, "outCol", "base_amount_e8"), ratesPath = path,
+          curField = str(n, "curField", "cur"), rateField = str(n, "rateField", "rate_micro"))
+      case "ip_geo_lookup" =>
+        // {"name": "ip_geo_lookup",
+        //  "ranges": [{"lo": 0, "hi": 16777215, "country": "US"}, ...]}  or
+        // {"name": "ip_geo_lookup", "rangesPath": "/dims/geo.parquet",
+        //  "loField": "lo", "hiField": "hi", "countryField": "cc"}
+        val inline = Option(n.get("ranges")).map(_.elements().asScala.map { rn =>
+          (rn.get("lo").asLong(), rn.get("hi").asLong(), rn.get("country").asText())
+        }.toSeq).getOrElse(Nil)
+        val path = Option(n.get("rangesPath")).map(_.asText()).orNull
+        if (inline.isEmpty && path == null)
+          throw new IllegalArgumentException("ip_geo_lookup needs 'ranges' or 'rangesPath'")
+        IpGeoLookup(inline, str(n, "ipCol", "user_ipaddress"), int(n, "bucketBits", 27),
+          rangesPath = path, loField = str(n, "loField", "lo"),
+          hiField = str(n, "hiField", "hi"), countryField = str(n, "countryField", "geo_country"))
+      case "dim_join" =>
+        // {"name": "dim_join", "keyCol": "user_id", "dimKeyCol": "c_custkey",
+        //  "select": ["c_name"], "path": "/dims/customer.parquet"}  or inline:
+        //  "rows": [{"c_custkey": 1, "c_name": "Alice"}, ...]
+        val rows = Option(n.get("rows"))
+          .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
+        DimJoin(
+          str(n, "keyCol", "user_id"),
+          Option(n.get("dimKeyCol")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException("dim_join needs 'dimKeyCol'")),
+          strs(n, "select"),
+          path = Option(n.get("path")).map(_.asText()).orNull,
+          inlineJsonRows = rows)
       case "contexts_validate" =>
         // {"name": "contexts_validate", "contextsCol": "contexts",
         //  "schemas": [{"uri": "iglu:...", "required": ["id"]}], "maxContexts": 8}
@@ -111,9 +153,7 @@ object EnrichmentConfig {
             "page_url_parse, campaign_attribution, referer_parser, ua_parser, anon_ip, " +
             "cross_navigation, pii_pseudonymize, event_fingerprint, cookie_extractor, " +
             "http_header_extractor, iab_bot_detection, schema_vendor, field_lengths, " +
-            "schema_validate, contexts_validate " +
-            "(currency_conversion / ip_geo_lookup / ip_asn_lookup need dimension tables — " +
-            "construct them programmatically)")
+            "schema_validate, contexts_validate, currency_conversion, ip_geo_lookup, dim_join")
     }
   }
 }

@@ -78,4 +78,35 @@ class EndToEndSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("unknown enrichment 'nope'"))
   }
+
+  test("config-driven dimension joins: inline rates, geo ranges, dim_join rows") {
+    import spark.implicits._
+    val pipeline = EnrichmentConfig.fromJson(
+      """{"enrichments": [
+        |  {"name": "currency_conversion",
+        |   "rates": [{"cur": "USD", "rateMicro": 1000000}, {"cur": "EUR", "rateMicro": 1080000}]},
+        |  {"name": "ip_geo_lookup", "ipCol": "ip",
+        |   "ranges": [{"lo": 0, "hi": 2147483647, "country": "US"},
+        |              {"lo": 2147483648, "hi": 4294967295, "country": "CN"}]},
+        |  {"name": "dim_join", "keyCol": "user_id", "dimKeyCol": "uid", "select": ["segment"],
+        |   "rows": [{"uid": 7, "segment": "vip"}, {"uid": 8, "segment": "basic"}]}
+        |]}""".stripMargin)
+    val df = Seq(
+      (7L, "EUR", 250L, "1.2.3.4"),
+      (8L, "USD", 100L, "200.1.2.3"),
+      (9L, "JPY", 100L, "10.0.0.1") // no rate, no dim row
+    ).toDF("user_id", "currency", "amount_cents", "ip")
+    val out = pipeline.run(df).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.get(r.fieldIndex("base_amount_e8"))), r.getAs[String]("geo_country"),
+          r.getAs[String]("segment")))).toMap
+    assert(out(7L) == ((Some(250L * 1080000L), "US", "vip")))
+    assert(out(8L) == ((Some(100L * 1000000L), "CN", "basic")))
+    assert(out(9L) == ((None, "US", null))) // unknown currency → null amount
+    // missing dims fail fast at parse time
+    val e1 = intercept[IllegalArgumentException] {
+      EnrichmentConfig.fromJson("""{"enrichments": [{"name": "currency_conversion"}]}""")
+    }
+    assert(e1.getMessage.contains("rates"))
+  }
 }
