@@ -81,6 +81,14 @@ object IpF {
     * is IPv4; separator-free garbage passes through unchanged
     * (`tryAnonymizingInvalidIp`). */
   def anonIp(ip: Column, octets: Int, segments: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.AnonIpExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ip), octets, segments))
+
+  /** The Column-built routing the kernel replaced — kept as the readable
+    * specification twin (see AnonIpExpression's scaladoc); [[anonIpString]]
+    * below is the fused per-row implementation both engines' tests pin. */
+  def anonIpColumns(ip: Column, octets: Int, segments: Int): Column =
     when(ip.isNull, lit(null))
       .when(ip.startsWith(MappedPrefix),
         concat(lit(MappedPrefix), anonIpv4(regexp_replace(ip, "^::FFFF:", ""), octets)))
@@ -91,6 +99,69 @@ object IpF {
       .when(ip.contains(":"), anonIpv6(ip, segments))
       .when(ip.contains(".") || ip === "", anonIpv4(ip, octets))
       .otherwise(ip)
+
+  // ---- fused imperative kernel (called from AnonIpExpression codegen) ----
+
+  private val MixedTail = java.util.regex.Pattern.compile(
+    s"$Octet\\.$Octet\\.$Octet\\.$Octet$$")
+
+  private def maskV4(s: String, octets: Int): String = {
+    val parts = s.split("\\.", -1)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < parts.length) {
+      if (i > 0) sb.append('.')
+      sb.append(if (i < 4 - octets) parts(i) else "x")
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def maskV6(s0: String, segments: Int): String = {
+    // normalize mixed notation ("64:ff9b::1.2.3.4" → "…::102:304")
+    val m = MixedTail.matcher(s0)
+    val s1 =
+      if (m.find()) {
+        val p = (1 to 4).map(i => m.group(i).toLong)
+        s0.substring(0, m.start()) +
+          java.lang.Long.toHexString(p(0) * 256 + p(1)) + ":" +
+          java.lang.Long.toHexString(p(2) * 256 + p(3))
+      } else s0
+    // expand "::" shorthand to 8 groups
+    val s2 =
+      if (s1.contains("::")) {
+        val idx = s1.indexOf("::")
+        val lidx = s1.lastIndexOf("::")
+        val leftArr = { val l = s1.substring(0, idx); if (l.isEmpty) Array.empty[String] else l.split(":", -1) }
+        val rightArr = { val r = s1.substring(lidx + 2); if (r.isEmpty) Array.empty[String] else r.split(":", -1) }
+        val zeros = math.max(0, 8 - leftArr.length - rightArr.length)
+        (leftArr ++ Array.fill(zeros)("0") ++ rightArr).mkString(":")
+      } else s1
+    // pad short ::-less forms to 8 with "x" (fail closed), cap at 8, mask
+    val parts = s2.split(":", -1)
+    val sb = new java.lang.StringBuilder(s2.length + 16)
+    var i = 0
+    while (i < 8) {
+      if (i > 0) sb.append(':')
+      if (i >= 8 - segments) sb.append('x')
+      else if (i < parts.length) sb.append(parts(i))
+      else sb.append('x')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Per-row twin of [[anonIpColumns]] — identical routing and masking, one
+    * fused pass instead of ~10 regex/array kernels. Pinned by the
+    * AnonIpEnrichmentSpec vector table and the anon_ip DuckDB oracle. */
+  def anonIpString(ip: String, octets: Int, segments: Int): String = {
+    if (ip == null) return null
+    if (ip.startsWith(MappedPrefix)) MappedPrefix + maskV4(ip.substring(MappedPrefix.length), octets)
+    else if (ip.regionMatches(true, 0, "::ffff:", 0, 7) && ip.indexOf('.') >= 0) maskV4(ip, octets)
+    else if (ip.indexOf(':') >= 0) maskV6(ip, segments)
+    else if (ip.indexOf('.') >= 0 || ip.isEmpty) maskV4(ip, octets)
+    else ip
+  }
 
   /** First IP of a comma/pipe/space-separated X-Forwarded-For chain
     * (the client IP — see reference `MiscEnrichments.extractIp`). */

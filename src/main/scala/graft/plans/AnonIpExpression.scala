@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused IP pseudonymization kernel — one codegen'd call into
+  * [[graft.functions.IpF.anonIpString]] per row instead of the ~10
+  * regex/split/array built-ins the Column routing composes (v4/v6 routing,
+  * mixed-notation normalize, `::` expansion, pad-to-8 fail-closed, masking).
+  *
+  * Semantics are the reference's `registry/AnonIpEnrichment.scala:131`,
+  * pinned by the AnonIpEnrichmentSpec vector table in ReferenceVectorsSpec
+  * and the anon_ip / enrich_pipeline DuckDB oracles; the readable Column
+  * specification twin survives as `IpF.anonIpColumns`.
+  */
+case class AnonIpExpression(child: Expression, octets: Int, segments: Int)
+  extends UnaryExpression {
+
+  require(octets >= 1 && octets <= 4, "octets must be 1..4")
+  require(segments >= 1 && segments <= 8, "segments must be 1..8")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_anon_ip"
+
+  override protected def nullSafeEval(ip: Any): Any =
+    UTF8String.fromString(
+      graft.functions.IpF.anonIpString(ip.asInstanceOf[UTF8String].toString, octets, segments))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.IpF$$.MODULE$$.anonIpString($c.toString(), $octets, $segments))")
+
+  override protected def withNewChildInternal(newChild: Expression): AnonIpExpression =
+    copy(child = newChild)
+}
