@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimum-label propagation connected components over an undirected edge
+  * list — the transitive-closure step a fuzzy-dedup pipeline needs on top
+  * of pairwise near-dup candidates (A~B, B~C ⇒ {A,B,C} one cluster, even
+  * though A and C never collided directly).
+  *
+  * Each iteration is one shuffle on the node id (join + min-aggregate);
+  * labels converge in O(graph diameter) rounds, and near-dup graphs are
+  * short-diameter by construction (duplicates of one document form a near
+  * clique). Every round fully materializes its label cache (the
+  * convergence count doubles as the action) before releasing the previous
+  * one, so lineage stays flat at any scale. The driver only ever sees a
+  * per-round changed-count — no label data is collected.
+  *
+  * At 1000-executor scale the same loop runs unchanged: each round is a
+  * co-partitioned join on (id), and AQE handles the shrinking actives. For
+  * pathological long-chain graphs, swap in large-star/small-star rounds
+  * (Kiveris et al., "Connected Components in MapReduce") — same skeleton.
+  */
+object ConnectedComponents {
+
+  /** @param edges (src, dst) long pairs, undirected (one direction enough)
+    * @return (id, component) — component = min node id reachable */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var cache = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .withColumn("changed", lit(false))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val labels = cache.select("id", "comp")
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid")).agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
+        .persist()
+      // the count is the materializing action for next's cache; only then
+      // is the previous round's cache safe to drop
+      converged = next.filter(col("changed")).count() == 0
+      cache.unpersist(blocking = false)
+      cache = next
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    cache.select("id", "comp")
+  }
+}

@@ -146,6 +146,34 @@ object LlmQueries {
       ).orderBy("doc_id")
     },
 
+    "text_gopher_quality" -> { (sp, dir) =>
+      // Gopher-style repetition/shape signals (Rae et al. 2021 quality
+      // rules): the corpus is single-line word soup, so deterministic
+      // 10-word lines are synthesized first ([^ ]+ only — no \\S, whose
+      // semantics differ between Java regex and RE2). All metrics stay in
+      // INTEGER arithmetic (counts and cross-multiplied thresholds), so
+      // the oracle compare is exact — no ratio rounding.
+      val lined = regexp_replace(col("text"), "((?:[^ ]+ ){10})", "$1\n")
+      val lines = filter(split(lined, "\n"), l => l =!= "")
+      val words = filter(split(col("text"), " "), w => w =!= "")
+      val nLines = size(lines).cast("bigint")
+      val nDup = (size(lines) - size(array_distinct(lines))).cast("bigint")
+      val wc = size(words).cast("bigint")
+      val wchars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      Tables.documents(sp, dir).select(
+        col("doc_id"),
+        nLines.as("n_lines"),
+        nDup.as("n_dup_lines"),
+        wc.as("word_count"),
+        wchars.as("word_chars"),
+        // gopher gates: 50..100k words, mean word length 3..10 chars,
+        // duplicate-line fraction <= 30% — integer cross-multiplication
+        (wc.between(50L, 100000L) &&
+          wchars >= wc * 3 && wchars <= wc * 10 &&
+          nDup * 10 <= nLines * 3).as("gopher_ok")
+      ).orderBy("doc_id")
+    },
+
     "token_count" -> ((sp, dir) =>
       Tables.documents(sp, dir)
         .select(col("doc_id"), TextF.tokenCount(col("text")).as("n_tokens"), length(col("text")).as("n_chars_actual"))
@@ -268,6 +296,29 @@ object LlmQueries {
       val ratio = s"CASE WHEN $cnt = 0 THEN 0.0 ELSE CAST($hits AS DOUBLE) / CAST($cnt AS DOUBLE) END"
       s"""SELECT lang, CASE WHEN $ratio >= 0.08 THEN 'en' ELSE 'und' END AS guess, count(*) AS cnt
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "text_gopher_quality" -> {
+      val lined = raw"regexp_replace(text, '((?:[^ ]+ ){10})', '\1' || chr(10), 'g')"
+      val lines = s"[l for l in string_split($lined, chr(10)) if l <> '']"
+      val words = "[w for w in string_split(text, ' ') if w <> '']"
+      s"""SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+         |  CAST(len(words) AS BIGINT) AS word_count,
+         |  CAST(CASE WHEN len(words) = 0 THEN 0
+         |       ELSE list_reduce(list_transform(words, w -> len(w)), (a, b) -> a + b)
+         |       END AS BIGINT) AS word_chars,
+         |  (len(words) BETWEEN 50 AND 100000
+         |    AND word_chars >= len(words) * 3 AND word_chars <= len(words) * 10
+         |    AND (len(lines) - len(list_distinct(lines))) * 10 <= len(lines) * 3) AS gopher_ok
+         |FROM (
+         |  SELECT doc_id, $lines AS lines, $words AS words,
+         |    CAST(CASE WHEN len($words) = 0 THEN 0
+         |         ELSE list_reduce(list_transform($words, w -> len(w)), (a, b) -> a + b)
+         |         END AS BIGINT) AS word_chars
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin
     },
 
     "text_quality" -> {

@@ -103,6 +103,17 @@ object Queries3 {
         .orderBy("id_a", "id_b")
     },
 
+    "dedup_cluster" -> { (sp, dir) =>
+      // transitive closure over the verified near-dup pairs: A~B, B~C puts
+      // A, B, C in ONE cluster even when A and C never collided directly —
+      // min-label propagation, one shuffle per round, O(diameter) rounds
+      val (_, verified) = nearDupPipeline(sp, dir)
+      val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.operators.ConnectedComponents.run(edges)
+        .select(col("id").as("vec_id"), col("comp").as("component"))
+        .orderBy("vec_id")
+    },
+
     "dedup_embedding_keep" -> { (sp, dir) =>
       // the MATERIALIZATION step: ship the corpus with the higher id of
       // every verified near-dup pair dropped (keep-lowest; the embedding
@@ -229,6 +240,25 @@ object Queries3 {
            |FROM cand JOIN sigs sa ON sa.vec_id = id_a JOIN sigs sb ON sb.vec_id = id_b
            |WHERE ${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm) >= 0.95
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_cluster" ->
+        s"""${dedupCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM cand JOIN sigs sa ON sa.vec_id = id_a JOIN sigs sb ON sb.vec_id = id_b
+           |  WHERE ${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm) >= 0.95
+           |),
+           |edges AS (
+           |  SELECT id_a AS s, id_b AS d FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |),
+           |reach(id, r) AS (
+           |  SELECT s, s FROM edges
+           |  UNION
+           |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+           |)
+           |SELECT id AS vec_id, min(r) AS component
+           |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
       "dedup_embedding_keep" ->
         s"""$dedupCtes,

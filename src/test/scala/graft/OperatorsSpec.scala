@@ -72,6 +72,19 @@ class OperatorsSpec extends SparkSpec {
     assert(plain((4L, 75L)) == "n") // carried across the zero boundary
   }
 
+  test("ConnectedComponents: transitive closure, chains, isolated pairs") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // chain 1-2-3-4 (diameter 3, needs >1 round), pair 10-11, triangle
+    // 20-21-22 plus bridge 22-23
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (23L, 22L)).toDF("src", "dst")
+    val out = ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("KMeans: separates three well-separated direction clusters") {
     import spark.implicits._
     import graft.operators.KMeans
