@@ -35,6 +35,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("anonIp property: fused kernel == Column specification twin") {
+    import spark.implicits._
+    // structured v4/v6/mixed/mapped/garbage shapes, including the malformed
+    // tails the reference vector table pins — the fused AnonIpExpression
+    // must agree with the Column routing it replaced on every one
+    val octet = Gen.choose(0, 299) // deliberately includes out-of-range
+    val group = Gen.oneOf(Gen.choose(0, 0xffff).map(_.toHexString), Gen.const("zzzz"))
+    val v4 = for { a <- octet; b <- octet; c <- octet; d <- octet } yield s"$a.$b.$c.$d"
+    val v6full = Gen.listOfN(8, group).map(_.mkString(":"))
+    val v6short = for {
+      l <- Gen.choose(0, 3); r <- Gen.choose(0, 3)
+      ls <- Gen.listOfN(l, group); rs <- Gen.listOfN(r, group)
+    } yield ls.mkString(":") + "::" + rs.mkString(":")
+    val mixed = for { p <- Gen.oneOf("64:ff9b::", "2001:db8::", "::"); t <- v4 } yield p + t
+    val mapped = v4.map("::FFFF:" + _)
+    val mappedLower = v4.map("::ffff:" + _)
+    val garbage = Gen.oneOf("", "hello;goodbye", "777.2", "4b0c:333", "not-an-ip", "a.b.c.d")
+    val gen = Gen.oneOf(v4, v6full, v6short, mixed, mapped, mappedLower, garbage)
+    val cases = sample(gen, 400).distinct
+    for ((o, s) <- Seq((1, 1), (2, 4), (4, 8), (3, 6))) {
+      val out = cases.toDF("ip")
+        .select(col("ip"),
+          IpF.anonIp(col("ip"), o, s).as("fused"),
+          IpF.anonIpColumns(col("ip"), o, s).as("spec"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getString(1) == r.getString(2), s"anonIp(${r.getString(0)}, $o, $s)")
+      }
+    }
+  }
+
+  test("referer lookup property: expression == naive model over db-derived hosts") {
+    import spark.implicits._
+    import graft.functions.{RefererDb, RefererDbData}
+    // independent naive model: generate ALL candidate keys in referer-parser
+    // priority order and take the first present in the db map
+    val dbMap: Map[String, Int] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Int]()
+      RefererDbData.Keys.foreach { case (k, i) => if (!m.contains(k)) m += k -> i }
+      m.toMap
+    }
+    def naive(host: String, path: String): Int = {
+      def suffixes(h: String): Seq[String] =
+        Iterator.iterate(h)(x => x.substring(x.indexOf('.') + 1))
+          .takeWhile(_ => true).take(h.count(_ == '.') + 1).toSeq
+      val segs = path.split("/")
+      val seg1 = if (segs.length > 1 && segs(1).nonEmpty) "/" + segs(1) else null
+      val pass1 = suffixes(host).flatMap(sfx => Seq(sfx + path) ++ Option(seg1).map(sfx + _))
+      val pass2 = suffixes(host)
+      (pass1 ++ pass2).collectFirst { case k if dbMap.contains(k) => dbMap(k) }.getOrElse(-1)
+    }
+    val baseKey = Gen.oneOf(RefererDbData.Keys.map(_._1).filterNot(_.contains("/")))
+    val hostGen = for {
+      k <- baseKey
+      pre <- Gen.oneOf("", "www.", "deep.l2.", "x-y.")
+      mangle <- Gen.oneOf(identity[String] _, (s: String) => "not" + s)
+    } yield mangle(pre + k)
+    val pathGen = Gen.oneOf("", "/", "/imgres", "/imgres/deep", "/webmail", "/p/1", "/search")
+    val cases = sample(Gen.zip(hostGen, pathGen), 300).distinct
+    val out = cases.toDF("h", "p")
+      .select(col("h"), col("p"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.RefererLookupExpression(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("h")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("p")))).as("idx"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(2) == naive(r.getString(0), r.getString(1)),
+        s"lookup(${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
+
   test("ipv4ToLong property: matches arithmetic model") {
     import spark.implicits._
     val gen = Gen.choose(0L, 4294967295L)
