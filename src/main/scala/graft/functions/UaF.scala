@@ -153,8 +153,17 @@ object UaF {
     }.otherwise(lit(null))
 
   /** YAUAA-style coarse device class (reference `YauaaEnrichmentSpec`
-    * DeviceClass vector table), extended with TVs/streaming sticks. */
+    * DeviceClass vector table), extended with TVs/streaming sticks —
+    * fused per-row kernel (see [[deviceClassString]]). */
   def deviceClass(ua: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.DeviceClassExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ua)))
+
+  /** The Column-built cascade the kernel replaced — kept as the readable
+    * specification twin; the SQL oracle emitter mirrors THIS shape and the
+    * differential property spec pins kernel == twin. */
+  def deviceClassColumns(ua: Column): Column =
     when(isBot(ua), lit("Robot"))
       .when(ua.rlike(ConsoleRegex), lit("Game Console"))
       .when(ua.rlike(TvRegex), lit("TV"))
@@ -166,6 +175,53 @@ object UaF {
       .when(ua.contains("iPhone") || ua.contains("Mobile") || ua.contains("Windows Phone"),
         lit("Phone"))
       .otherwise(lit("Desktop"))
+
+  // ---- fused imperative kernel (called from DeviceClassExpression) -------
+
+  /** Literal TV tokens (everything in [[TvRegex]] except AFT[A-Z]). */
+  private val TvTokens = Array("SMART-TV", "SmartTV", "Smart TV", "AppleTV", "Apple TV",
+    "CrKey", "Roku", "BRAVIA", "Tizen", "Web0S", "webOS", "HbbTV", "GoogleTV")
+  private val AftPattern = java.util.regex.Pattern.compile("AFT[A-Z]")
+  private val TabletPattern = java.util.regex.Pattern.compile(TabletModels)
+  private val BotTokArr = BotTokens.toArray
+
+  /** True iff lower(ua) contains any bot token — byte-identical to
+    * `lower(ua) rlike BotRegex` (every token is a literal). */
+  def isBotString(ua: String): Boolean = {
+    val l = ua.toLowerCase
+    var i = 0
+    while (i < BotTokArr.length) {
+      if (l.contains(BotTokArr(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  private def containsAny(ua: String, tokens: Array[String]): Boolean = {
+    var i = 0
+    while (i < tokens.length) {
+      if (ua.contains(tokens(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Per-row twin of [[deviceClassColumns]]: identical cascade, indexOf
+    * token scans instead of four regex alternations (only AFT-models and
+    * the tablet-model table stay regexes — they have real patterns). */
+  def deviceClassString(ua: String): String = {
+    if (ua == null) return null
+    if (isBotString(ua)) "Robot"
+    else if (ua.contains("PlayStation") || ua.contains("Nintendo") || ua.contains("Xbox"))
+      "Game Console"
+    else if (containsAny(ua, TvTokens) || AftPattern.matcher(ua).find()) "TV"
+    else if (ua.contains("Opera Mini/")) "Phone"
+    else if (ua.contains("iPad") || TabletPattern.matcher(ua).find()) "Tablet"
+    else if (ua.contains("Android") && !ua.contains("Mobile")) "Tablet"
+    else if (ua.contains("iPhone") || ua.contains("Mobile") || ua.contains("Windows Phone"))
+      "Phone"
+    else "Desktop"
+  }
 
   def isMobile(ua: Column): Column =
     deviceClass(ua).isin("Phone", "Tablet")

@@ -107,6 +107,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deviceClass property: fused kernel == Column specification twin") {
+    import spark.implicits._
+    import graft.functions.UaF
+    import graft.queries.Synth
+    // every synth UA plus randomized token soups hitting each cascade branch
+    val token = Gen.oneOf("PlayStation", "Nintendo", "AFTMM", "AFTx", "Tizen", "webOS",
+      "Opera Mini/7", "iPad", "GT-P1000", "SM-T870", "Nexus 7", "Nexus 8", "Kindle",
+      "Android", "Mobile", "iPhone", "Windows Phone", "bot", "Googlebot", "curl/8",
+      "SMART-TV", "Silk/1", "gecko", "xbox", "Xbox")
+    val soup = Gen.listOf(token).map(_.mkString("Mozilla/5.0 (", "; ", ") test"))
+    val cases = (Synth.UAs ++ sample(soup, 300)).distinct
+    val out = cases.toDF("ua")
+      .select(col("ua"), UaF.deviceClass(col("ua")).as("fused"),
+        UaF.deviceClassColumns(col("ua")).as("spec"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2), s"deviceClass(${r.getString(0)})"))
+  }
+
   test("ipv4ToLong property: matches arithmetic model") {
     import spark.implicits._
     val gen = Gen.choose(0L, 4294967295L)
