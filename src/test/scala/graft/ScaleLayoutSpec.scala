@@ -29,6 +29,35 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("referer_parse plans as one projection: no joins, no mid-plan exchange") {
+    // the 1035-key referer db must ride inside the projection (hash-map
+    // kernel), never as a join or a Janino-breaking CASE cascade — the only
+    // exchange allowed is the output sort's range partitioning
+    val df = SparkEntry.queries("referer_parse")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_referer_lookup"), "kernel expression missing from plan")
+    assert(!plan.contains("Join"), s"referer lookup must not join:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"referer lookup must not shuffle before the output sort:\n${plan.take(2000)}")
+  }
+
+  test("contexts_validate plans without explode or joins") {
+    val df = SparkEntry.queries("contexts_validate")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"bounded probes must not explode:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"contexts check must not join:\n${plan.take(2000)}")
+  }
+
+  test("enrich_pipeline scan stays narrow: only event_id read from parquet") {
+    // every synthetic raw column derives from event_id arithmetic — the
+    // parquet scan must prune to the single driving column
+    val df = SparkEntry.queries("referer_parse")(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("ReadSchema: struct<event_id:bigint>"),
+      s"scan should read only event_id:\n$scan")
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val r = ev.agg(
