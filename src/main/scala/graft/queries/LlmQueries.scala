@@ -146,6 +146,41 @@ object LlmQueries {
       ).orderBy("doc_id")
     },
 
+    "stratified_sample" -> { (sp, dir) =>
+      // deterministic hash-mod sampling with per-language rates — the only
+      // sampling that works at 100 TB (reproducible, no random(), no
+      // driver state): keep when the first md5 byte of the doc id falls
+      // under the language's threshold out of 256
+      val md = "md5(concat('smp:', CAST(doc_id AS STRING)))"
+      val v = expr(s"(instr('0123456789abcdef', substr($md, 1, 1)) - 1) * 16" +
+        s" + (instr('0123456789abcdef', substr($md, 2, 1)) - 1)")
+      val keepUnder = when(col("lang") === "en", lit(128)) // 50%
+        .when(col("lang") === "de", lit(64)) // 25%
+        .otherwise(lit(26)) // ~10%
+      Tables.documents(sp, dir)
+        .withColumn("hv", v)
+        .filter(col("hv") < keepUnder)
+        .select(col("doc_id"), col("lang"), col("hv").cast("bigint").as("hash_byte"))
+        .orderBy("doc_id")
+    },
+
+    "token_packing" -> { (sp, dir) =>
+      // context-window packing: per source, docs in id order fill
+      // fixed-budget bins by token prefix-sum — the sequence-packing
+      // preprocessing step, as one window prefix sum (shuffle only on the
+      // source key)
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(sp, dir)
+        .withColumn("n_tokens", TextF.tokenCount(col("text")).cast("bigint"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div ${budget}").as("bin"))
+        .orderBy("doc_id")
+    },
+
     "text_gopher_quality" -> { (sp, dir) =>
       // Gopher-style repetition/shape signals (Rae et al. 2021 quality
       // rules): the corpus is single-line word soup, so deterministic
@@ -296,6 +331,27 @@ object LlmQueries {
       val ratio = s"CASE WHEN $cnt = 0 THEN 0.0 ELSE CAST($hits AS DOUBLE) / CAST($cnt AS DOUBLE) END"
       s"""SELECT lang, CASE WHEN $ratio >= 0.08 THEN 'en' ELSE 'und' END AS guess, count(*) AS cnt
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "stratified_sample" -> {
+      val md = "md5(concat('smp:', CAST(doc_id AS VARCHAR)))"
+      val v = s"(strpos('0123456789abcdef', substr($md, 1, 1)) - 1) * 16" +
+        s" + (strpos('0123456789abcdef', substr($md, 2, 1)) - 1)"
+      s"""SELECT doc_id, lang, CAST(hv AS BIGINT) AS hash_byte
+         |FROM (SELECT doc_id, lang, $v AS hv FROM documents) t
+         |WHERE hv < CASE WHEN lang = 'en' THEN 128 WHEN lang = 'de' THEN 64 ELSE 26 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "token_packing" -> {
+      val cnt = tokCntSql(normSql, toksSql)
+      s"""SELECT doc_id, source, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT doc_id, source, CAST($cnt AS BIGINT) AS n_tokens FROM documents) t0) t1
+         |ORDER BY doc_id""".stripMargin
     },
 
     "text_gopher_quality" -> {
