@@ -94,12 +94,22 @@ class StreamingSpec extends SparkSpec {
       mem.toDF().toDF("event_id", "user_id", "event_type", "value", "props")
         .withColumn("ts_us", lit(1704067200000000L) + col("event_id") * 1000000L))
     val enriched = EnrichStream.enrich(raw, PipelineNoJoins.pipeline)
-    val q = enriched.select("event_id", "event", "platform", "br_family")
+    val q = enriched.select("event_id", "event", "platform", "br_family", "refr_medium",
+        "dvce_type", "user_ipaddress")
       .writeStream.format("memory").queryName("enr").outputMode("append").start()
     try {
       mem.addData((0L, 1L, "click", 1.0, "{}"), (1L, 2L, "view", 2.0, "{}"))
       q.processAllAvailable()
-      assert(spark.sql("SELECT count(*) FROM enr").collect()(0).getLong(0) == 2L)
+      val rows = spark.sql("SELECT * FROM enr ORDER BY event_id").collect()
+      assert(rows.length == 2)
+      // the codegen'd custom kernels (RefererLookupExpression,
+      // DeviceClassExpression, AnonIpExpression) run inside the streaming
+      // micro-batch projection: event 0's synth referer is a Google search
+      assert(rows(0).getAs[String]("refr_medium") == "search")
+      assert(rows(0).getAs[String]("dvce_type") != null)
+      // event 0 is a v6-leading xff row (e%9==0) → the v6 masker's output
+      assert(rows(0).getAs[String]("user_ipaddress") == "2001:db8:1:2:x:x:x:x")
+      assert(rows(1).getAs[String]("user_ipaddress").endsWith(".x.x")) // anon v4
     } finally q.stop()
   }
 
