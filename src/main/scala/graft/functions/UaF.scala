@@ -164,7 +164,8 @@ object UaF {
     * specification twin; the SQL oracle emitter mirrors THIS shape and the
     * differential property spec pins kernel == twin. */
   def deviceClassColumns(ua: Column): Column =
-    when(isBot(ua), lit("Robot"))
+    when(ua.isNull, lit(null).cast("string")) // kernel parity: null in, null out
+      .when(isBot(ua), lit("Robot"))
       .when(ua.rlike(ConsoleRegex), lit("Game Console"))
       .when(ua.rlike(TvRegex), lit("TV"))
       // Opera Mini runs on phones but its UA carries no Mobile token —
