@@ -114,4 +114,20 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0, 0, null, Seq())))
     assert(out(5L) == ((0, 0, null, Seq())))
   }
+
+  test("ContextsValidate flags overflow past the probe cap instead of silently skipping") {
+    import spark.implicits._
+    import graft.enrich.ContextsValidate
+    val geo = "iglu:com.snowplowanalytics.snowplow/geolocation_context/jsonschema/1-1-0"
+    val many = (0 until 5)
+      .map(i => s"""{"schema":"$geo","data":{"latitude":$i.0,"longitude":$i.5}}""")
+      .mkString("[", ",", "]")
+    val v = ContextsValidate("contexts", Map(geo -> Seq("latitude", "longitude")), maxContexts = 3)
+    val out = v(Seq((1L, many)).toDF("id", "contexts")
+      .withColumn("bad_row_errors", array().cast("array<string>"))).collect()(0)
+    assert(out.getAs[Int]("ctx_count") == 3) // counts only the probed prefix
+    assert(out.getAs[Int]("ctx_invalid_count") == 0)
+    assert(out.getAs[scala.collection.Seq[String]]("bad_row_errors")
+      .exists(_.contains("contexts_overflow")))
+  }
 }
