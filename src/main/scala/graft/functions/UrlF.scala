@@ -52,6 +52,56 @@ object UrlF {
   def firstParam(qs: Column, keys: Seq[String]): Column =
     coalesce(keys.map(qsParam(qs, _)): _*)
 
+  /** Tracking-parameter names stripped by [[canonicalizeUrl]] (shared with
+    * the SQL twin; utm_ prefix handled separately). */
+  val TrackingParams: Seq[String] = Seq("gclid", "fbclid", "msclkid", "dclid")
+
+  /** Canonical URL for web-corpus dedup: lowercase scheme+host, default
+    * ports stripped, tracking params (utm_ prefix + click ids) removed,
+    * fragment dropped, empty path → "/". Null when scheme or host missing.
+    * Two pages differing only in tracking noise canonicalize identically —
+    * the key a URL-level dedup groups on. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(urlScheme(url))
+    val host = lower(urlHost(url))
+    val explicitPort =
+      nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)", 1), lit(""))
+    val keepPort = when(
+      explicitPort.isNotNull &&
+        !((scheme === "http" && explicitPort === "80") ||
+          (scheme === "https" && explicitPort === "443")),
+      concat(lit(":"), explicitPort)).otherwise(lit(""))
+    val path = coalesce(urlPath(url), lit("/"))
+    val pairs = filter(split(coalesce(urlQuery(url), lit("")), "&"), p => {
+      val name = substring_index(p, "=", 1)
+      p =!= "" && !name.startsWith("utm_") && !name.isin(TrackingParams: _*)
+    })
+    val cleanQs = array_join(pairs, "&")
+    when(scheme.isNull || host.isNull, lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, keepPort, path,
+        when(cleanQs === "", lit("")).otherwise(concat(lit("?"), cleanQs))))
+  }
+
+  /** DuckDB twin of [[canonicalizeUrl]] (kept adjacent so the two cannot
+    * drift silently; the url_canonicalize oracle pins them equal). */
+  def canonicalizeUrlSql(u: String): String = {
+    val scheme = s"lower(nullif(regexp_extract($u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), ''))"
+    val host = s"lower(nullif(regexp_extract($u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1), ''))"
+    val port = s"nullif(regexp_extract($u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)', 1), '')"
+    val path = s"coalesce(nullif(regexp_extract($u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '/')"
+    val qs = raw"nullif(regexp_extract($u, '\?([^#]*)', 1), '')"
+    val inTracking = TrackingParams.map(t => s"'$t'").mkString(", ")
+    val pairs = s"[p for p in string_split(coalesce($qs, ''), '&') " +
+      s"if p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_') " +
+      s"AND split_part(p, '=', 1) NOT IN ($inTracking)]"
+    val keepPort = s"CASE WHEN $port IS NOT NULL AND NOT (($scheme = 'http' AND $port = '80') " +
+      s"OR ($scheme = 'https' AND $port = '443')) THEN concat(':', $port) ELSE '' END"
+    val cleanQs = s"array_to_string($pairs, '&')"
+    s"CASE WHEN $scheme IS NULL OR $host IS NULL THEN NULL " +
+      s"ELSE concat($scheme, '://', $host, $keepPort, $path, " +
+      s"CASE WHEN $cleanQs = '' THEN '' ELSE concat('?', $cleanQs) END) END"
+  }
+
   /** Querystring → MapType column (kernel for ad-hoc param access). */
   def qsToMap(qs: Column): Column =
     str_to_map(coalesce(qs, lit("")), lit("&"), lit("="))

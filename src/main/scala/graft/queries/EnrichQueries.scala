@@ -196,6 +196,19 @@ object EnrichQueries {
         EventF.headerValue(col("header_line")).as("header_value")
       ).orderBy("event_id")),
 
+    "url_canonicalize" -> { (sp, dir) =>
+      // canonical-URL dedup key: tracking params stripped, case/port/path
+      // normalized — pages differing only in utm noise group together
+      import graft.functions.UrlF
+      raw(sp, dir)
+        .withColumn("canon", UrlF.canonicalizeUrl(col("page_url")))
+        .select(
+          col("event_id"), col("canon"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("canon"))
+            .as("canon_group_size"))
+        .orderBy("event_id")
+    },
+
     "iab_bot" -> { (sp, dir) =>
       // the lib IabBotDetection enrichment over the synth universe: UA
       // substring hits plus a configured bot-IP exclude list (reference
@@ -355,6 +368,11 @@ object EnrichQueries {
           |  nullif(regexp_extract(header_line, '^([^:]+):', 1), '') AS header_name,
           |  nullif(trim(regexp_extract(header_line, '^[^:]+:(.*)$', 1)), '') AS header_value
           |FROM raw ORDER BY event_id""".stripMargin),
+
+      "url_canonicalize" -> Synth.withCte(
+        s"""SELECT event_id, canon, count(*) OVER (PARTITION BY canon) AS canon_group_size
+           |FROM (SELECT event_id, ${graft.functions.UrlF.canonicalizeUrlSql("page_url")} AS canon FROM raw) t
+           |ORDER BY event_id""".stripMargin),
 
       "iab_bot" -> {
         val uaHit = Seq("bot", "crawler", "spider", "slurp")
