@@ -87,6 +87,26 @@ object TextF {
   def docFingerprint(text: Column): Column =
     md5(normalizeText(text).cast("binary"))
 
+  /** Email pattern for training-corpus PII scrubbing — RE2-safe (no
+    * lookaround), identical semantics in Java regex and DuckDB, shared with
+    * the oracle twin. */
+  val EmailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** NANP-style phone pattern (555-123-4567). Explicit digit class — no
+    * `\\d` — so Java and RE2 cannot disagree on Unicode digits. */
+  val PhonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phone numbers — the order matters only if a phone
+    * could appear inside an email (it cannot: `@` breaks the digit runs),
+    * but both engines apply the same order regardless. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
   /** Word k-shingles of the normalized text ("a b c" for k=3). */
   def shingles(text: Column, k: Int): Column =
     shinglesFromTokens(tokens(text), k)

@@ -96,7 +96,10 @@ object UrlF {
       s"AND split_part(p, '=', 1) NOT IN ($inTracking)]"
     val keepPort = s"CASE WHEN $port IS NOT NULL AND NOT (($scheme = 'http' AND $port = '80') " +
       s"OR ($scheme = 'https' AND $port = '443')) THEN concat(':', $port) ELSE '' END"
-    val cleanQs = s"array_to_string($pairs, '&')"
+    // DuckDB's array_to_string returns NULL (not '') on an empty list, and
+    // concat ignores NULLs — without the coalesce a fully-stripped
+    // querystring gains a bare trailing '?' in the oracle only
+    val cleanQs = s"coalesce(array_to_string($pairs, '&'), '')"
     s"CASE WHEN $scheme IS NULL OR $host IS NULL THEN NULL " +
       s"ELSE concat($scheme, '://', $host, $keepPort, $path, " +
       s"CASE WHEN $cleanQs = '' THEN '' ELSE concat('?', $cleanQs) END) END"

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.adapters.Adapters
+import graft.functions.TextF
+
+/** SURVEY §2 batch 10 (round 5): the last three lib-only vendor adapters
+  * promoted to oracle-checked keys (Mailchimp single-event JSON, Sendgrid
+  * batched-array explode, PagerDuty messages-array explode — reference
+  * `adapters/registry/MailchimpAdapter.scala` / `SendgridAdapter.scala` /
+  * `PagerdutyAdapter.scala`), plus three training-data-pipeline operators:
+  *
+  *  - `decontaminate`: benchmark n-gram decontamination — flag corpus docs
+  *    sharing any word 8-gram with a held-out benchmark set. The benchmark
+  *    shingle set is broadcast (eval suites are fixed-size regardless of
+  *    corpus scale), so the corpus side stays a narrow scan; the only
+  *    shuffle carries matched (doc_id, shingle) pairs.
+  *  - `pii_scrub_text`: email/phone redaction over document text — the
+  *    corpus-side twin of the event-side PII enrichments.
+  *  - `corpus_filter`: the composed "shipped dataset" query — exact-dedup
+  *    keeper ∧ language gate ∧ quality gates in one pass (one window over
+  *    the fingerprint + a codegen'd filter; no joins).
+  */
+object Queries10 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(sp: SparkSession, dir: String): DataFrame =
+    Tables.events(sp, dir).select(col("event_id"), col("user_id"))
+
+  /** Benchmark-membership predicate (shared Spark ↔ oracle constant): a
+    * deterministic ~1% slice of `documents` stands in for the eval suite. */
+  private val BenchMod = 101
+  private val BenchRem = 7
+
+  /** Decontamination shingle width (13-gram is the common LLM choice; 8
+    * keeps the synthetic corpus's planted dups detectable at sf0.01). */
+  private val DecontamK = 8
+
+  // ---- synthetic PII injection (Spark and SQL twins in lockstep) ----
+  private def piiText(d: Column, text: Column): Column = {
+    val s = (c: Column) => c.cast("string")
+    concat(text,
+      when(d % 4 === 0, concat(lit(" contact user"), s(d % 50), lit("@example.com for details")))
+        .when(d % 4 === 1, concat(lit(" call 555-"), s(d % 900 + 100), lit("-"), s(d % 9000 + 1000), lit(" now")))
+        .when(d % 4 === 2, concat(lit(" email admin"), s(d % 9), lit("@corp.example.org or dial 555-123-"), s(d % 1000 + 4000)))
+        .otherwise(lit("")))
+  }
+  private val piiTextSql: String =
+    """concat(text, CASE
+      |  WHEN doc_id % 4 = 0 THEN concat(' contact user', doc_id % 50, '@example.com for details')
+      |  WHEN doc_id % 4 = 1 THEN concat(' call 555-', doc_id % 900 + 100, '-', doc_id % 9000 + 1000, ' now')
+      |  WHEN doc_id % 4 = 2 THEN concat(' email admin', doc_id % 9, '@corp.example.org or dial 555-123-', doc_id % 1000 + 4000)
+      |  ELSE '' END)""".stripMargin.replace("\n", " ")
+
+  val defs: Map[String, Q] = Map(
+    "adapter_mailchimp" -> { (sp, dir) =>
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      val typ = when(e % 3 === 0, lit("subscribe"))
+        .when(e % 3 === 1, lit("unsubscribe")).otherwise(lit("profile"))
+      val body = concat(
+        lit("{\"type\":\""), typ,
+        lit("\",\"fired_at\":\"2024-01-01 00:00:00\",\"data\":{\"id\":\"mc"), s(e),
+        lit("\",\"email\":\"u"), s(e % 50),
+        lit("@example.com\",\"list_id\":\"L"), s(e % 5), lit("\"}}"))
+      Adapters.mailchimp(ev(sp, dir).withColumn("payload", body), "payload")
+        .select(col("event_id"), col("event_name"), col("fired_at"),
+          col("email"), col("list_id"))
+        .orderBy("event_id")
+    },
+
+    "adapter_sendgrid" -> { (sp, dir) =>
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      val body = concat(
+        lit("{\"events\":[{\"email\":\"u"), s(e % 50),
+        lit("@example.com\",\"timestamp\":"), s(e),
+        lit(",\"event\":\"delivered\",\"sg_event_id\":\"sg"), s(e),
+        lit("-0\"},{\"email\":\"u"), s(e % 50),
+        lit("@example.com\",\"timestamp\":"), s(e + 1),
+        lit(",\"event\":\"open\",\"sg_event_id\":\"sg"), s(e), lit("-1\"}]}"))
+      Adapters.sendgrid(ev(sp, dir).withColumn("payload", body), "payload")
+        .select(col("event_id"), col("event_name"), col("email"),
+          col("event_ts"), col("vendor_event_id"))
+        .orderBy("event_id", "event_name")
+    },
+
+    "adapter_pagerduty" -> { (sp, dir) =>
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      val body = concat(
+        lit("{\"messages\":[{\"type\":\"incident.trigger\",\"created_on\":\"2024-01-01T00:00:00Z\","),
+        lit("\"data\":{\"incident\":{\"id\":\"P"), s(e % 100),
+        lit("\",\"incident_number\":"), s(e % 1000), lit("}}}]}"))
+      Adapters.pagerduty(ev(sp, dir).withColumn("payload", body), "payload")
+        .select(col("event_id"), col("event_name"), col("created_on"),
+          col("incident_id"), col("incident_number"))
+        .orderBy("event_id")
+    },
+
+    "decontaminate" -> { (sp, dir) =>
+      val docs = Tables.documents(sp, dir)
+        .withColumn("toks", TextF.tokens(col("text")))
+        .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), DecontamK)))
+      // the benchmark shingle set: distinct 8-grams of the held-out slice.
+      // Fixed-size by construction (eval suites don't grow with the corpus)
+      // → broadcast; the corpus side never shuffles its text or shingles,
+      // only matched (doc_id, shingle) pairs reach the final aggregation.
+      val bench = docs.filter(col("doc_id") % BenchMod === BenchRem)
+        .select(explode(col("sh")).as("s")).distinct()
+      docs.filter(col("doc_id") % BenchMod =!= BenchRem)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(bench), Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit_ngrams"))
+        .orderBy("doc_id")
+    },
+
+    "pii_scrub_text" -> { (sp, dir) =>
+      val d = col("doc_id")
+      Tables.documents(sp, dir)
+        .withColumn("txt", piiText(d, col("text")))
+        .select(
+          d,
+          TextF.emailCount(col("txt")).as("n_emails"),
+          TextF.phoneCount(col("txt")).as("n_phones"),
+          // only the tail differs from the original text; ship the scrubbed
+          // tail so the oracle row stays small and the diff visible
+          TextF.scrubPii(col("txt")).substr(length(col("text")) + lit(1), lit(100)).as("scrubbed_tail"))
+        .orderBy("doc_id")
+    },
+
+    "corpus_filter" -> { (sp, dir) =>
+      // the shipped training corpus: exact-dedup keeper ∧ en ∧ shape gates.
+      // One window on the fingerprint (the dedup shuffle) + a narrow filter;
+      // ratio comparisons stay in double — a single IEEE division of two
+      // ints is bit-identical across engines — and outputs are ints.
+      val d = Tables.documents(sp, dir)
+        .withColumn("fp", TextF.docFingerprint(col("text")))
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+        .withColumn("n_tokens", TextF.tokenCount(col("text")))
+      d.filter(col("doc_id") === col("keeper"))
+        .filter(TextF.langGuess(col("text")) === "en")
+        .filter(col("n_tokens") >= 30 && col("n_tokens") <= 5000)
+        .filter(TextF.uniqueTokenRatio(col("text")) >= 0.10)
+        .filter(TextF.punctRatio(col("text")) <= 0.20)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---- DuckDB twins ----
+
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private def tokCntSql(norm: String, toks: String) =
+    s"CASE WHEN $norm = '' THEN 0 ELSE len($toks) END"
+  /** SQL twin of TextF.shingles(k) over a token list aliased `w`. */
+  private def shinglesSql(k: Int): String = {
+    val parts = (0 until k).map(j => s"list_extract(w, i + $j)").mkString(", ' ', ")
+    s"list_transform(range(1, len(w) - ${k - 2}), i -> concat($parts))"
+  }
+  private val stopListSql = TextF.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "adapter_mailchimp" ->
+      """SELECT event_id,
+        |  CASE event_id % 3 WHEN 0 THEN 'subscribe' WHEN 1 THEN 'unsubscribe' ELSE 'profile' END AS event_name,
+        |  '2024-01-01 00:00:00' AS fired_at,
+        |  concat('u', event_id % 50, '@example.com') AS email,
+        |  concat('L', event_id % 5) AS list_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "adapter_sendgrid" ->
+      """SELECT event_id, v.nm AS event_name,
+        |  concat('u', event_id % 50, '@example.com') AS email,
+        |  event_id + v.delta AS event_ts,
+        |  concat('sg', event_id, '-', v.delta) AS vendor_event_id
+        |FROM events CROSS JOIN (VALUES ('delivered', 0), ('open', 1)) v(nm, delta)
+        |ORDER BY event_id, event_name""".stripMargin,
+
+    "adapter_pagerduty" ->
+      """SELECT event_id, 'incident.trigger' AS event_name,
+        |  '2024-01-01T00:00:00Z' AS created_on,
+        |  concat('P', event_id % 100) AS incident_id,
+        |  event_id % 1000 AS incident_number
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql(DecontamK)}) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id % $BenchMod = $BenchRem
+         |),
+         |corpus AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM docs WHERE doc_id % $BenchMod <> $BenchRem
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+         |FROM corpus JOIN bench USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pii_scrub_text" -> {
+      // standard-SQL strings keep the backslash literal, so the runtime
+      // pattern (one backslash before the dot) passes through unchanged
+      val email = TextF.EmailPattern
+      val phone = TextF.PhonePattern
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt, '$phone')) AS INTEGER) AS n_phones,
+         |  substr(regexp_replace(regexp_replace(txt, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+         |         length(text) + 1, 100) AS scrubbed_tail
+         |FROM (SELECT doc_id, text, $piiTextSql AS txt FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_filter" -> {
+      val norm = normSql
+      val nTok = tokCntSql(norm, toksSql)
+      val uniqRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(len(list_distinct($toksSql)) AS DOUBLE) / $nTok END"
+      val stopRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopListSql, t))) AS DOUBLE) / $nTok END"
+      val noSpace = raw"regexp_replace(text, '\s', '', 'g')"
+      val punctRatio = s"CASE WHEN length($noSpace) = 0 THEN 0.0 ELSE CAST(length(regexp_replace($noSpace, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / length($noSpace) END"
+      s"""SELECT doc_id, n_tokens FROM (
+         |  SELECT doc_id, $nTok AS n_tokens,
+         |    min(doc_id) OVER (PARTITION BY md5($norm)) AS keeper,
+         |    $stopRatio AS stop_r, $uniqRatio AS uniq_r, $punctRatio AS punct_r
+         |  FROM documents) t
+         |WHERE doc_id = keeper AND stop_r >= 0.08
+         |  AND n_tokens BETWEEN 30 AND 5000
+         |  AND uniq_r >= 0.10 AND punct_r <= 0.20
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

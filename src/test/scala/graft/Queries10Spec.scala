@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+
+/** Round-5 operators: PII text scrubbing, benchmark decontamination and the
+  * composed corpus filter (the promoted vendor adapters are covered by
+  * AdaptersSpec + their oracle keys). */
+class Queries10Spec extends SparkSpec {
+
+  test("scrubPii redacts emails and phones, counts match") {
+    import spark.implicits._
+    val df = Seq(
+      ("mail me at bob.smith+x@sub.example.co.uk today", 1, 0),
+      ("call 555-867-5309 or 555-123-4567", 0, 2),
+      ("plain text, no pii 12-34", 0, 0),
+      ("a@b.io and 800-555-0199", 1, 1)
+    ).toDF("t", "ne", "np")
+    val out = df.select(
+      TextF.scrubPii(col("t")).as("s"),
+      TextF.emailCount(col("t")).as("e"),
+      TextF.phoneCount(col("t")).as("p"),
+      col("ne"), col("np")).collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("e") == r.getAs[Int]("ne"), r.toString)
+      assert(r.getAs[Int]("p") == r.getAs[Int]("np"), r.toString)
+      assert(!r.getAs[String]("s").contains("@") || r.getAs[Int]("e") == 0)
+    }
+    assert(out(0).getAs[String]("s") == "mail me at <EMAIL> today")
+    assert(out(1).getAs[String]("s") == "call <PHONE> or <PHONE>")
+  }
+
+  test("decontaminate flags exact duplicates of benchmark docs") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("decontaminate")(spark, dir)
+    val hits = out.collect()
+    // the synthetic corpus has ~10x exact duplication, so benchmark docs'
+    // duplicates MUST surface as contaminated (they share every 8-gram)
+    assert(hits.nonEmpty, "expected contaminated docs at sf0.001")
+    // no benchmark doc may appear in the output (they're held out)
+    assert(hits.forall(r => r.getLong(0) % 101 != 7))
+    assert(hits.forall(r => r.getLong(1) > 0))
+  }
+
+  test("corpus_filter keeps only dedup keepers that pass the gates") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("corpus_filter")(spark, dir)
+    val rows = kept.collect()
+    assert(rows.nonEmpty)
+    // keeper property: every kept doc is the min id of its fingerprint group
+    val keepers = Tables.documents(spark, dir)
+      .groupBy(TextF.docFingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper"))
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => keepers.contains(r.getLong(0))))
+    // gates actually bite: strictly fewer docs than keepers exist
+    assert(rows.length <= keepers.size)
+  }
+
+  test("adapter promotion: sendgrid explodes 2 events per payload at sf0.001") {
+    val out = SparkEntry.queries("adapter_sendgrid")(spark, "/root/testdata/sf0.001")
+    val n = Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(out.count() == 2 * n)
+  }
+}
