@@ -57,7 +57,19 @@ final case class JsonAdapter(
   * `url_decode`, then delegates to the inner [[JsonAdapter]]. */
 final case class FormJsonAdapter(param: String, inner: JsonAdapter) {
   def apply(df: DataFrame, bodyCol: String): DataFrame = {
-    val json = url_decode(element_at(graft.functions.UrlF.qsMapLastWins(col(bodyCol)), param))
+    // only ONE param's value is needed, so building the whole last-wins
+    // param map (interpreted lambda HOFs, ~2.5x the per-row cost) is waste:
+    // regexp_extract_all scans linearly (a greedy-prefix regex anchored to
+    // the last occurrence backtracks O(n^2) and measures no faster than the
+    // map) and the -1 element keeps the reference's `.toMap` last-wins
+    // semantics. No match → null json → from_json yields null, identical
+    // to the absent-key map lookup this replaces (array-exploding inners
+    // then emit no events; single-object inners keep the row with nulls).
+    // try_url_decode: a malformed %-escape in one webhook row must surface
+    // as a null event, not an ANSI error that kills the whole backfill
+    val json = try_url_decode(nullif(try_element_at(
+      regexp_extract_all(col(bodyCol), lit("(?:^|&)" + param + "=([^&]*)"), lit(1)),
+      lit(-1)), lit("")))
     inner.applyJson(df, json, Seq(bodyCol))
   }
 }

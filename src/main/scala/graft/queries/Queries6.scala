@@ -26,6 +26,22 @@ object Queries6 {
       .withColumn("band1", md5(concat(coalesce(col("c2"), lit("")), coalesce(col("c3"), lit(""))).cast("binary")))
   }
 
+  /** LSH candidate generation: docs colliding on either band. Both bands
+    * ride one exploded (band_idx, signature) key → a single equi-join, the
+    * same shape as dedup_embedding's banded SRP search. The exploded band
+    * table is persisted: both sides of the self-join scan it, and without
+    * the cache each side recomputes every md5 minhash signature. */
+  private def minhashPairs(sp: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(sp, dir)
+    val ex = sigs.select(col("doc_id"),
+      posexplode(array(col("band0"), col("band1")))).select(
+      col("doc_id"), col("pos").as("bi"), col("col").as("b")).persist()
+    ex.select(col("bi"), col("b"), col("doc_id").as("id_a"))
+      .join(ex.select(col("bi"), col("b"), col("doc_id").as("id_b")), Seq("bi", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_keep_first" -> { (sp, dir) =>
       // the shipped corpus: first doc per exact-dup group survives
@@ -38,20 +54,24 @@ object Queries6 {
     },
 
     "dedup_minhash_pairs" -> { (sp, dir) =>
-      // LSH candidate generation: docs colliding on either band. Both bands
-      // ride one exploded (band_idx, signature) key → a single equi-join,
-      // the same shape as dedup_embedding's banded SRP search.
-      val sigs = minhashSigs(sp, dir)
-      // persist: both sides of the self-join scan the exploded band table —
-      // without it each side recomputes every md5 minhash signature
-      val ex = sigs.select(col("doc_id"),
-        posexplode(array(col("band0"), col("band1")))).select(
-        col("doc_id"), col("pos").as("bi"), col("col").as("b")).persist()
-      ex.select(col("bi"), col("b"), col("doc_id").as("id_a"))
-        .join(ex.select(col("bi"), col("b"), col("doc_id").as("id_b")), Seq("bi", "b"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-        .orderBy("id_a", "id_b")
+      minhashPairs(sp, dir).orderBy("id_a", "id_b")
+    },
+
+    "dedup_minhash_keep" -> { (sp, dir) =>
+      // the end-to-end MinHash dedup: band-collision pairs → connected
+      // components (transitive closure) → per cluster only the minimum
+      // doc_id ships. The minhash twin of dedup_embedding_keep, with
+      // dedup_cluster's closure step in the middle — colliding docs that
+      // never shared a band directly still collapse through a common
+      // neighbor. Shuffle: bands·N for pairing + one (id) shuffle per
+      // closure round; the final keep is a left join on doc_id.
+      val pairs = minhashPairs(sp, dir)
+      val comp = graft.operators.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      Tables.documents(sp, dir).select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .filter(col("comp").isNull || col("comp") === col("doc_id"))
+        .select("doc_id").orderBy("doc_id")
     },
 
     "cross_navigation_ext" -> { (sp, dir) =>
@@ -123,6 +143,44 @@ object Queries6 {
          |  SELECT a.doc_id, b.doc_id
          |  FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
          |) u ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_minhash_keep" -> {
+      def comp(seed: Int) = s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
+      s"""WITH RECURSIVE sigs AS (
+         |  SELECT doc_id,
+         |    md5(concat(coalesce(c0, ''), coalesce(c1, ''))) AS band0,
+         |    md5(concat(coalesce(c2, ''), coalesce(c3, ''))) AS band1
+         |  FROM (
+         |    SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
+         |    FROM (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh
+         |          FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
+         |  ) t3
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |    FROM sigs a JOIN sigs b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id
+         |    FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |  ) u
+         |),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+         |),
+         |cluster_min AS (
+         |  SELECT id, min(r) AS cmin FROM reach GROUP BY id
+         |)
+         |SELECT doc_id FROM documents LEFT JOIN cluster_min ON doc_id = id
+         |WHERE id IS NULL OR doc_id = cmin
+         |ORDER BY doc_id""".stripMargin
     },
 
     "cross_navigation_ext" -> {

@@ -143,6 +143,25 @@ class AdaptersSpec extends SparkSpec {
     assert(out(0).getAs[Long]("event_ts") == 5L)
   }
 
+  test("form-JSON adapter: last param occurrence wins, absent param emits nothing") {
+    import spark.implicits._
+    val one = "%7B%22kind%22%3A%22Conversation%22%2C%22id%22%3A%22A%22%2C%22visitor%22%3A%7B%22fullName%22%3A%22x%22%2C%22emailAddress%22%3A%22x%40y.z%22%2C%22city%22%3A%22c%22%7D%7D"
+    val two = one.replace("%22A%22", "%22B%22")
+    val df = Seq(
+      (1L, s"data=$one&other=1&data=$two"), // repeated → last wins
+      (2L, "other=1")                       // absent → null-mapped row (no explode)
+    ).toDF("id", "payload")
+    val out = Adapters.olark(df, "payload").orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("vendor_event_id") == "B")
+    assert(out(1).getAs[String]("vendor_event_id") == null)
+    // array-exploding inners DROP rows whose param is absent entirely
+    assert(Adapters.mandrill(Seq((3L, "x=1")).toDF("id", "payload"), "payload").count() == 0)
+    // malformed percent-escape → null event, never an ANSI error
+    val bad = Adapters.olark(Seq((4L, "data=%ZZboom")).toDF("id", "payload"), "payload").collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("vendor_event_id") == null)
+  }
+
   test("tp1 / iglu querystring adapters") {
     import spark.implicits._
     import graft.adapters.{IgluQsAdapter, Tp1Adapter}

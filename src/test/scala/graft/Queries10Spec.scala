@@ -58,6 +58,28 @@ class Queries10Spec extends SparkSpec {
     assert(rows.length <= keepers.size)
   }
 
+  test("dedup_minhash_keep ships exactly one doc per collision cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("dedup_minhash_keep")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = Tables.documents(spark, dir).count()
+    assert(kept.size < total, "clusters must drop something")
+    // no two kept docs may be directly paired
+    assert(pairs.forall { case (a, b) => !(kept(a) && kept(b)) })
+    // every dropped doc has a kept representative reachable via union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clustered.groupBy(find).foreach { case (root, members) =>
+      assert(members.count(kept) == 1 && kept(members.min), s"cluster $root")
+    }
+  }
+
   test("adapter promotion: sendgrid explodes 2 events per payload at sf0.001") {
     val out = SparkEntry.queries("adapter_sendgrid")(spark, "/root/testdata/sf0.001")
     val n = Tables.events(spark, "/root/testdata/sf0.001").count()
