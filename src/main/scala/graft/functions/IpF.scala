@@ -181,4 +181,40 @@ object IpF {
         element_at(p, 3).cast("bigint") * 256L +
         element_at(p, 4).cast("bigint"))
   }
+
+  /** A full 8-group hex IPv6 address (run [[expandIpv6]] /
+    * [[normalizeMixedIpv6]] first for shortened or mixed forms). */
+  private val FullV6 = "^[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){7}$"
+
+  /** Group `i` (0-based) of a full 8-group IPv6 address as a bigint;
+    * null for anything not 8 hex groups — a malformed address at row
+    * 10^11 must yield a null lookup, not an ANSI cast error. */
+  def ipv6Group(ip: Column, i: Int): Column = {
+    require(i >= 0 && i <= 7, "IPv6 has groups 0..7")
+    when(ip.rlike(FullV6), conv(element_at(split(ip, ":"), i + 1), 16, 10).cast("bigint"))
+  }
+
+  /** Canonical `/64` prefix of a full 8-group v6 address — groups 0..3
+    * re-emitted as lowercase minimal hex ("2001:0DB8:0001:2" →
+    * "2001:db8:1:2"), the equi-key of the split-128-bit range join. */
+  def ipv6PrefixCanonical(ip: Column): Column =
+    // concat, not concat_ws: concat_ws SKIPS null pieces and would emit a
+    // truncated prefix for a malformed address — null must propagate
+    concat(
+      lower(hex(ipv6Group(ip, 0))), lit(":"), lower(hex(ipv6Group(ip, 1))), lit(":"),
+      lower(hex(ipv6Group(ip, 2))), lit(":"), lower(hex(ipv6Group(ip, 3))))
+
+  /** The TOP 48 bits of the low 64-bit half (groups 4..6) as an exact
+    * long — the bucketing key for v6 range joins. Long arithmetic is exact
+    * here (< 2^48); only the full low-64 value needs decimal. */
+  def ipv6Lo64Hi48(ip: Column): Column =
+    ipv6Group(ip, 4) * 4294967296L + ipv6Group(ip, 5) * 65536L + ipv6Group(ip, 6)
+
+  /** The low 64-bit half (groups 4..7) as DECIMAL(20,0) — an unsigned
+    * 64-bit value overflows a signed bigint, and 2^128 overflows
+    * DECIMAL(38,0), so the 128-bit key is handled as (prefix equi-key,
+    * low-64 decimal range key). */
+  def ipv6Lo64Dec(ip: Column): Column =
+    (ipv6Lo64Hi48(ip).cast("decimal(20,0)") * 65536L + ipv6Group(ip, 7))
+      .cast("decimal(20,0)")
 }

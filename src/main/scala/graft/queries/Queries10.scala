@@ -102,6 +102,36 @@ object Queries10 {
         .orderBy("event_id")
     },
 
+    "ip_geo_lookup_v6" -> { (sp, dir) =>
+      import sp.implicits._
+      // MaxMind-style IPv6 geo blocks. 2^128 overflows DECIMAL(38,0), so the
+      // key splits as (canonical /64 prefix: equi-key) × (low 64 bits:
+      // DECIMAL(20,0) range key). Synthetic allocation: the documentation
+      // /64 carved into 32 aligned 2^59-wide country blocks; the fact
+      // address varies through the full low-64 space so every block is hit.
+      val W = BigInt(1) << 59
+      val dim = graft.queries.Queries2.GeoCountries.zipWithIndex.map { case (cc, i) =>
+        // aligned power-of-two blocks → exactly one bucket per block
+        ("2001:db8:1:2", i.toLong, BigDecimal(BigInt(i) * W), BigDecimal((BigInt(i) + 1) * W - 1), cc)
+      }.toDF("pfx", "bkt", "lo", "hi", "geo_country")
+        .select(col("pfx"), col("bkt"), col("lo").cast("decimal(20,0)").as("lo"),
+          col("hi").cast("decimal(20,0)").as("hi"), col("geo_country"))
+      val e = col("event_id")
+      val addr = concat(
+        lit("2001:db8:1:2:"), lower(hex((e * 7) % 65536)), lit(":"),
+        lower(hex(e % 65521)), lit(":"), lower(hex((e * 13) % 65521)), lit(":"),
+        lower(hex((e * 29) % 65521)))
+      val facts = Tables.events(sp, dir).select(e, addr.as("ipv6_addr"))
+        .withColumn("pfx", graft.functions.IpF.ipv6PrefixCanonical(col("ipv6_addr")))
+        .withColumn("bkt", shiftright(graft.functions.IpF.ipv6Lo64Hi48(col("ipv6_addr")), 43))
+        .withColumn("lo64", graft.functions.IpF.ipv6Lo64Dec(col("ipv6_addr")))
+      facts.join(broadcast(dim),
+          facts("pfx") === dim("pfx") && facts("bkt") === dim("bkt") &&
+            col("lo64") >= col("lo") && col("lo64") <= col("hi"), "left")
+        .select(col("event_id"), col("ipv6_addr"), col("geo_country"))
+        .orderBy("event_id")
+    },
+
     "decontaminate" -> { (sp, dir) =>
       val docs = Tables.documents(sp, dir)
         .withColumn("toks", TextF.tokens(col("text")))
@@ -188,6 +218,33 @@ object Queries10 {
         |  concat('P', event_id % 100) AS incident_id,
         |  event_id % 1000 AS incident_number
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "ip_geo_lookup_v6" -> {
+      val w = (BigInt(1) << 59).toString
+      val countries = graft.queries.Queries2.GeoCountries.map(c => s"'$c'").mkString(", ")
+      // the oracle PARSES the address string back like the Spark side does
+      // (split + hex cast), then mirrors the aligned-block allocation as a
+      // direct index — HUGEINT carries the unsigned low-64 exactly
+      s"""WITH f AS (
+         |  SELECT event_id,
+         |    concat('2001:db8:1:2:', lower(hex((event_id * 7) % 65536)), ':',
+         |           lower(hex(event_id % 65521)), ':', lower(hex((event_id * 13) % 65521)), ':',
+         |           lower(hex((event_id * 29) % 65521))) AS ipv6_addr
+         |  FROM events
+         |), p AS (
+         |  SELECT event_id, ipv6_addr, string_split(ipv6_addr, ':') AS g FROM f
+         |), v AS (
+         |  SELECT event_id, ipv6_addr,
+         |    ((CAST(CAST(concat('0x', g[5]) AS BIGINT) AS HUGEINT) * 65536
+         |      + CAST(concat('0x', g[6]) AS BIGINT)) * 65536
+         |      + CAST(concat('0x', g[7]) AS BIGINT)) * 65536
+         |      + CAST(concat('0x', g[8]) AS BIGINT) AS lo64
+         |  FROM p
+         |)
+         |SELECT event_id, ipv6_addr,
+         |  list_extract([$countries], CAST(lo64 // $w AS INTEGER) + 1) AS geo_country
+         |FROM v ORDER BY event_id""".stripMargin
+    },
 
     "decontaminate" ->
       s"""WITH docs AS (

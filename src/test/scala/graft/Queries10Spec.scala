@@ -80,6 +80,54 @@ class Queries10Spec extends SparkSpec {
     }
   }
 
+  test("IPv6 split-key kernels: parse, canonical prefix, low-64 decimal") {
+    import spark.implicits._
+    import graft.functions.IpF
+    val df = Seq(
+      "2001:0db8:0001:2:ffff:ffff:ffff:ffff", // leading zeros + max low half
+      "2001:db8:1:2:0:0:0:1",
+      "2001:db8::1",                          // shortened — needs expandIpv6 first
+      "garbage"
+    ).toDF("ip")
+    val out = df.select(
+      IpF.ipv6PrefixCanonical(col("ip")).as("pfx"),
+      IpF.ipv6Lo64Dec(col("ip")).cast("string").as("lo"),
+      IpF.ipv6Lo64Dec(IpF.expandIpv6(col("ip"))).cast("string").as("lo_exp")).collect()
+    assert(out(0).getString(0) == "2001:db8:1:2")       // zeros canonicalized
+    assert(out(0).getString(1) == "18446744073709551615") // 2^64 - 1: unsigned survives
+    assert(out(1).getString(1) == "1")
+    assert(out(2).getString(0) == null && out(2).getString(1) == null) // not 8 groups → null
+    assert(out(2).getString(2) == "1")                  // expandIpv6 composes
+    assert(out(3).getString(0) == null && out(3).getString(1) == null)
+  }
+
+  test("ip_geo_lookup_v6 plans as a broadcast hash join, no fact shuffle") {
+    val df = SparkEntry.queries("ip_geo_lookup_v6")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket key must make this a HASH join, not BNLJ:\n${plan.take(2000)}")
+    assert(df.filter(col("geo_country").isNull).count() == 0, "every address must resolve")
+  }
+
+  test("decontaminate plans the benchmark side as a broadcast join") {
+    // the corpus must never shuffle on the shingle key — the eval suite is
+    // fixed-size, so its shingle set rides a BroadcastHashJoin
+    val df = SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus side must not shuffle-join:\n${plan.take(2000)}")
+  }
+
+  test("corpus_filter plans one window shuffle and zero joins") {
+    val df = SparkEntry.queries("corpus_filter")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"filter chain must not join:\n${plan.take(2000)}")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly the fingerprint window shuffle, got $shuffles:\n${plan.take(2000)}")
+  }
+
   test("adapter promotion: sendgrid explodes 2 events per payload at sf0.001") {
     val out = SparkEntry.queries("adapter_sendgrid")(spark, "/root/testdata/sf0.001")
     val n = Tables.events(spark, "/root/testdata/sf0.001").count()
