@@ -125,6 +125,55 @@ class PropertySpec extends SparkSpec {
     out.foreach(r => assert(r.getString(1) == r.getString(2), s"deviceClass(${r.getString(0)})"))
   }
 
+  test("canonicalizeUrl property: idempotent, tracking-free, port-normalized") {
+    import spark.implicits._
+    import graft.functions.UrlF
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+      host <- Gen.oneOf("Example.com", "shop.example.NET", "a.b.co")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/p/1", "/a/b.html")
+      qs <- Gen.oneOf("", "?utm_source=x", "?a=1&utm_medium=y&b=2", "?gclid=g&fbclid=f",
+        "?q=red+shoes", "?a=1&a=2", "?empty=")
+      frag <- Gen.oneOf("", "#top")
+    } yield s"$scheme://$host$port$path$qs$frag"
+    val cases = sample(urlGen, 300).distinct
+    val out = cases.toDF("u")
+      .select(col("u"), UrlF.canonicalizeUrl(col("u")).as("c1"))
+      .withColumn("c2", UrlF.canonicalizeUrl(col("c1")))
+      .collect()
+    out.foreach { r =>
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == c2, s"not idempotent: $u -> $c1 -> $c2")
+      assert(!c1.contains("utm_") && !c1.contains("gclid") && !c1.contains("fbclid"), s"$u -> $c1")
+      assert(!c1.contains("#"), s"fragment survived: $u -> $c1")
+      assert(!c1.contains(":80/") && !c1.contains(":443/") || u.toLowerCase.startsWith("https://") && c1.contains(":80/")
+        || u.toLowerCase.startsWith("http://") && c1.contains(":443/"),
+        s"default port survived: $u -> $c1") // :80 on https / :443 on http are NOT defaults
+      assert(c1.startsWith("http://") || c1.startsWith("https://"), s"$u -> $c1")
+    }
+  }
+
+  test("scrubPii property: no email/phone pattern survives scrubbing") {
+    import spark.implicits._
+    val textGen = for {
+      pre <- Gen.oneOf("hello", "reach us:", "x")
+      mid <- Gen.oneOf("bob@example.com", "a.b+c@d-e.org", "555-123-4567", "12-34-56", "plain")
+      sep <- Gen.oneOf(" ", ", ", "; ")
+      tail <- Gen.oneOf("call 555-999-0000", "mail x@y.io", "bye")
+    } yield s"$pre$sep$mid$sep$tail"
+    val cases = sample(textGen, 200).distinct
+    val out = cases.toDF("t")
+      .select(col("t"), TextF.scrubPii(col("t")).as("s"),
+        TextF.emailCount(TextF.scrubPii(col("t"))).as("e_after"),
+        TextF.phoneCount(TextF.scrubPii(col("t"))).as("p_after"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(2) == 0, s"email survived: ${r.getString(0)} -> ${r.getString(1)}")
+      assert(r.getInt(3) == 0, s"phone survived: ${r.getString(0)} -> ${r.getString(1)}")
+    }
+  }
+
   test("ipv4ToLong property: matches arithmetic model") {
     import spark.implicits._
     val gen = Gen.choose(0L, 4294967295L)

@@ -86,6 +86,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus kernels run unchanged on a document stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the training-data kernels are Column programs too: a document stream
+    // scrubs PII and computes quality gates with the exact batch code
+    val mem = MemoryStream[(Long, String)]
+    val gated = mem.toDF().toDF("doc_id", "text").select(
+      col("doc_id"),
+      graft.functions.TextF.scrubPii(col("text")).as("clean"),
+      graft.functions.TextF.emailCount(col("text")).as("n_emails"),
+      graft.functions.TextF.tokenCount(col("text")).as("n_tokens"),
+      graft.functions.TextF.langGuess(col("text")).as("lang"))
+    val q = gated.writeStream.format("memory").queryName("docs").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the cat is on the mat, email bob@example.com"),
+        (2L, "zzz qqq"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM docs ORDER BY doc_id").collect()
+      assert(rows(0).getAs[String]("clean").contains("<EMAIL>"))
+      assert(rows(0).getAs[Int]("n_emails") == 1)
+      assert(rows(0).getAs[String]("lang") == "en")
+      assert(rows(1).getAs[String]("lang") == "und")
+    } finally q.stop()
+  }
+
   test("the same pipeline object enriches a stream (no code fork)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
