@@ -190,7 +190,16 @@ final case class CurrencyConversion(
 }
 
 /** IP→geo via broadcast range join (reference `registry/IpLookupsEnrichment`,
-  * MaxMind lookup → interval join, see [[graft.operators.RangeJoin]]). */
+  * MaxMind lookup → interval join, see [[graft.operators.RangeJoin]]).
+  *
+  * `v6Ranges` adds the IPv6 block table: `(canonical /64 prefix —
+  * lowercase minimal hex, low-64 lo, low-64 hi, country)`. 2^128 overflows
+  * DECIMAL(38,0), so the 128-bit key splits as (prefix equi-key, low-64
+  * DECIMAL(20,0) range key); bucket ids are computed driver-side with
+  * BigInt (ranges are literals) and on the fact side with exact long
+  * arithmetic over the top 48 bits. Addresses route themselves: a v4
+  * address nulls the v6 parse and vice versa, so each row matches at most
+  * one family and the two left joins preserve row count. */
 final case class IpGeoLookup(
   ranges: Seq[(Long, Long, String)],
   ipCol: String = "user_ipaddress",
@@ -198,9 +207,14 @@ final case class IpGeoLookup(
   rangesPath: String = null, // parquet dim table instead of inline ranges
   loField: String = "lo",
   hiField: String = "hi",
-  countryField: String = "geo_country"
+  countryField: String = "geo_country",
+  v6Ranges: Seq[(String, BigInt, BigInt, String)] = Nil
 ) extends Enrichment {
   val name = "ip_geo_lookup"
+
+  /** lo64 bucket shift: bucket = lo64 >> 59 (facts: hi48 >> 43). */
+  private val V6Shift = 59
+
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -210,8 +224,30 @@ final case class IpGeoLookup(
           .select(col(loField).cast("bigint").as("__lo"), col(hiField).cast("bigint").as("__hi"),
             col(countryField).as("geo_country"))
       else ranges.toDF("__lo", "__hi", "geo_country")
-    RangeJoin.leftJoinRanges(df, IpF.ipv4ToLong(col(ipCol)), rangesDf, "__lo", "__hi", bucketBits)
+    val v4 = RangeJoin.leftJoinRanges(df, IpF.ipv4ToLong(col(ipCol)), rangesDf, "__lo", "__hi", bucketBits)
       .drop("__lo", "__hi")
+    if (v6Ranges.isEmpty) v4
+    else {
+      val dim = v6Ranges.flatMap { case (pfx, lo, hi, cc) =>
+        ((lo >> V6Shift) to (hi >> V6Shift)).map(b =>
+          (pfx, b.toLong, BigDecimal(lo), BigDecimal(hi), cc))
+      }.toDF("__pfx", "__bkt", "__lo6", "__hi6", "__cc6")
+        .select(col("__pfx"), col("__bkt"),
+          col("__lo6").cast("decimal(20,0)").as("__lo6"),
+          col("__hi6").cast("decimal(20,0)").as("__hi6"), col("__cc6"))
+      val addr = IpF.expandIpv6(IpF.normalizeMixedIpv6(col(ipCol)))
+      val joined = v4
+        .withColumn("__p", IpF.ipv6PrefixCanonical(addr))
+        .withColumn("__b", shiftright(IpF.ipv6Lo64Hi48(addr), V6Shift - 16))
+        .withColumn("__v", IpF.ipv6Lo64Dec(addr))
+        .join(broadcast(dim),
+          col("__p") === col("__pfx") && col("__b") === col("__bkt") &&
+            col("__v") >= col("__lo6") && col("__v") <= col("__hi6"),
+          "left")
+      joined
+        .withColumn("geo_country", coalesce(col("geo_country"), col("__cc6")))
+        .drop("__p", "__b", "__v", "__pfx", "__bkt", "__lo6", "__hi6", "__cc6")
+    }
   }
 }
 

@@ -122,9 +122,19 @@ object EnrichmentConfig {
         val path = Option(n.get("rangesPath")).map(_.asText()).orNull
         if (inline.isEmpty && path == null)
           throw new IllegalArgumentException("ip_geo_lookup needs 'ranges' or 'rangesPath'")
+        // optional IPv6 block table:
+        // "v6Ranges": [{"prefix": "2001:db8:1:2", "lo": "0",
+        //               "hi": "18446744073709551615", "country": "US"}]
+        // lo/hi are the low-64 half as DECIMAL STRINGS (an unsigned 64-bit
+        // value overflows a JSON-safe long)
+        val v6 = Option(n.get("v6Ranges")).map(_.elements().asScala.map { rn =>
+          (rn.get("prefix").asText(), BigInt(rn.get("lo").asText()),
+            BigInt(rn.get("hi").asText()), rn.get("country").asText())
+        }.toSeq).getOrElse(Nil)
         IpGeoLookup(inline, str(n, "ipCol", "user_ipaddress"), int(n, "bucketBits", 27),
           rangesPath = path, loField = str(n, "loField", "lo"),
-          hiField = str(n, "hiField", "hi"), countryField = str(n, "countryField", "geo_country"))
+          hiField = str(n, "hiField", "hi"), countryField = str(n, "countryField", "geo_country"),
+          v6Ranges = v6)
       case "dim_join" =>
         // {"name": "dim_join", "keyCol": "user_id", "dimKeyCol": "c_custkey",
         //  "select": ["c_name"], "path": "/dims/customer.parquet"}  or inline:

@@ -29,6 +29,11 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    // materialize the edge cache BEFORE the label init and the round-1 join
+    // both fan out over it — lazily, each branch would re-run the whole
+    // upstream candidate-pair pipeline (for dedup clustering that pipeline
+    // is the expensive half: signatures, band self-join, verification)
+    sym.count()
     var cache = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .withColumn("changed", lit(false))

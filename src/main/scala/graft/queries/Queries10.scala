@@ -102,6 +102,25 @@ object Queries10 {
         .orderBy("event_id")
     },
 
+    "adapter_ga" -> { (sp, dir) =>
+      // Google Analytics measurement protocol: form-encoded hit payloads
+      // through the dup-safe last-wins querystring map (the one adapter
+      // family still exercising qsMapLastWins in an oracle query)
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      val body = concat(
+        lit("t="), when(e % 2 === 0, lit("pageview")).otherwise(lit("event")),
+        lit("&cid=c"), s(e % 100), lit("&uid=u"), s(col("user_id")),
+        lit("&dt=T"), s(e % 7), lit("&ec=cat"), s(e % 3),
+        lit("&ea=act"), s(e % 5), lit("&ev="), s(e % 10),
+        lit("&ev="), s(e % 13)) // repeated param: last one wins
+      Adapters.googleAnalytics(ev(sp, dir).withColumn("payload", body), "payload")
+        .select(col("event_id"), col("hit_type"), col("client_id"), col("ga_user_id"),
+          col("document_title"), col("event_category"), col("event_action"),
+          col("event_value").cast("bigint").as("event_value"))
+        .orderBy("event_id")
+    },
+
     "ip_geo_lookup_v6" -> { (sp, dir) =>
       import sp.implicits._
       // MaxMind-style IPv6 geo blocks. 2^128 overflows DECIMAL(38,0), so the
@@ -217,6 +236,17 @@ object Queries10 {
         |  '2024-01-01T00:00:00Z' AS created_on,
         |  concat('P', event_id % 100) AS incident_id,
         |  event_id % 1000 AS incident_number
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "adapter_ga" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'pageview' ELSE 'event' END AS hit_type,
+        |  concat('c', event_id % 100) AS client_id,
+        |  concat('u', user_id) AS ga_user_id,
+        |  concat('T', event_id % 7) AS document_title,
+        |  concat('cat', event_id % 3) AS event_category,
+        |  concat('act', event_id % 5) AS event_action,
+        |  event_id % 13 AS event_value
         |FROM events ORDER BY event_id""".stripMargin,
 
     "ip_geo_lookup_v6" -> {

@@ -109,4 +109,19 @@ class EndToEndSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("rates"))
   }
+
+  test("config-driven IPv6 geo blocks (decimal-string low-64 bounds)") {
+    import spark.implicits._
+    val pipeline = EnrichmentConfig.fromJson(
+      """{"enrichments": [
+        |  {"name": "ip_geo_lookup", "ipCol": "ip",
+        |   "ranges": [{"lo": 0, "hi": 4294967295, "country": "V4"}],
+        |   "v6Ranges": [{"prefix": "2001:db8:1:2", "lo": "0",
+        |                 "hi": "18446744073709551615", "country": "V6"}]}
+        |]}""".stripMargin)
+    val out = pipeline.run(Seq(
+      ("1.2.3.4", 1L), ("2001:db8:1:2::5", 2L), ("junk", 3L)
+    ).toDF("ip", "id")).orderBy("id").collect()
+    assert(out.map(_.getAs[String]("geo_country")).toList == List("V4", "V6", null))
+  }
 }

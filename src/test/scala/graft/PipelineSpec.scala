@@ -26,6 +26,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() == 100)
   }
 
+  test("IpGeoLookup resolves both families when v6 ranges are configured") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "1.0.0.1"),                       // v4 block 0
+      (2L, "2001:db8:1:2:8000:0:0:1"),       // v6, top of the low-64 space
+      (3L, "2001:db8:1:2::1"),               // shortened form → expandIpv6
+      (4L, "2001:db8:9:9::1"),               // prefix not in the v6 table
+      (5L, "not-an-ip")
+    ).toDF("id", "user_ipaddress")
+    val half = BigInt(1) << 63
+    val geo = IpGeoLookup(
+      ranges = Seq((0L, 1L << 27, "V4LAND")),
+      v6Ranges = Seq(
+        ("2001:db8:1:2", BigInt(0), half - 1, "V6LOW"),
+        ("2001:db8:1:2", half, (BigInt(1) << 64) - 1, "V6HIGH")))
+    val out = geo(df).orderBy("id").collect()
+    assert(out.length == 5, "both left joins must preserve row count")
+    assert(out.map(_.getAs[String]("geo_country")).toList ==
+      List("V4LAND", "V6HIGH", "V6LOW", null, null))
+  }
+
   test("bad-row split matches the invalid-code injection pattern") {
     val (good, bad) = PipelineQuery.pipeline.split(rawDf)
     // Synth injects invalid event codes at e%9==8 and invalid platforms at e%10==9
