@@ -20,7 +20,11 @@ object Protocol {
   def fromCollector(df: DataFrame, qsCol: String = "querystring"): DataFrame = {
     val qs = col(qsCol)
     def p(key: String) = UrlF.qsParam(qs, key)
-    def pMsToUs(key: String) = p(key).cast("bigint") * 1000L
+    // try_cast / try_url_decode throughout: tracker params are
+    // attacker-controlled strings, and under ANSI mode (Spark 4 default) a
+    // plain cast or url_decode on one malformed row would kill the whole
+    // job — a bad param must become a null column, not an exception
+    def pMsToUs(key: String) = p(key).try_cast("bigint") * 1000L
     val eventCode = // CloudFront lines carry no event_code column
       if (df.columns.contains("event_code")) coalesce(p("e"), col("event_code")) else p("e")
     df.withColumn("event_code", eventCode)
@@ -36,10 +40,10 @@ object Protocol {
       .withColumn("true_us", pMsToUs("ttm"))
       // page/referrer URLs are URL-encoded in the querystring; the loader's
       // own page_url (from the request line) is the fallback
-      .withColumn("page_url", coalesce(url_decode(p("url")), col("page_url")))
-      .withColumn("refr_url", url_decode(p("refr")))
+      .withColumn("page_url", coalesce(try_url_decode(p("url")), col("page_url")))
+      .withColumn("refr_url", try_url_decode(p("refr")))
       .withColumn("sp_qs", p("_sp"))
-      .withColumn("amount_cents", round(p("tr_tt").cast("double") * 100).cast("bigint"))
+      .withColumn("amount_cents", round(p("tr_tt").try_cast("double") * 100).try_cast("bigint"))
       .withColumn("currency", p("tr_cu"))
   }
 }

@@ -56,9 +56,11 @@ object EventF {
 
   private def resPart(res: Column, group: Int): Column = {
     // both dimensions must parse AND fit an int, else the pair is invalid
-    // (reference ClientEnrichments errors the whole field on overflow)
-    val w = nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 1), lit("")).cast("bigint")
-    val h = nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 2), lit("")).cast("bigint")
+    // (reference ClientEnrichments errors the whole field on overflow).
+    // try_cast: the digit run is unbounded, so a 25-digit "width" would
+    // overflow even the bigint step and abort the job under ANSI
+    val w = nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 1), lit("")).try_cast("bigint")
+    val h = nullif(regexp_extract(res, "^(\\d+)x(\\d+)$", 2), lit("")).try_cast("bigint")
     val valid = w.isNotNull && h.isNotNull && w <= Int.MaxValue && h <= Int.MaxValue
     when(valid, (if (group == 1) w else h).cast("int"))
   }
@@ -154,9 +156,10 @@ object EventF {
   def spDomainUserId(sp: Column): Column =
     nullif(regexp_extract(sp, "^([^.]+)\\.([0-9]+)$", 1), lit(""))
 
-  /** `_sp` param → epoch millis of the link click. */
+  /** `_sp` param → epoch millis of the link click (try_cast: the digit run
+    * is unbounded and a crafted 25-digit value must null out, not abort). */
   def spTstampMs(sp: Column): Column =
-    nullif(regexp_extract(sp, "^([^.]+)\\.([0-9]+)$", 2), lit("")).cast("bigint")
+    nullif(regexp_extract(sp, "^([^.]+)\\.([0-9]+)$", 2), lit("")).try_cast("bigint")
 
   /** Field `idx` (1-based) of the EXTENDED cross-navigation `_sp` format
     * (reference `CrossNavigationEnrichment.CrossNavProps`:

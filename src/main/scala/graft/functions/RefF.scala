@@ -71,7 +71,10 @@ object RefF {
     val hit = get(
       filter(pairs, p => array_contains(params, substring_index(p, "=", 1))), lit(0))
     val rawv = regexp_replace(hit, "^[^=]*=?", "")
-    val decoded = url_decode(regexp_replace(rawv, "\\+", "%20"))
+    // try_url_decode: a truncated %-escape in a real-world referer query
+    // must null the term (ANSI url_decode would abort the job); the oracle
+    // twin only sees well-formed escapes so parity is unaffected
+    val decoded = try_url_decode(regexp_replace(rawv, "\\+", "%20"))
     val fixed = nullif(
       regexp_replace(regexp_replace(decoded, "\t", "    "), "[\\x00-\\x1f\\x7f]", ""),
       lit(""))

@@ -21,10 +21,12 @@ object UrlF {
   def urlHost(url: Column): Column =
     nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1), lit(""))
 
-  /** Explicit port if present, else the scheme default (80/443), else null. */
+  /** Explicit port if present, else the scheme default (80/443), else null.
+    * try_cast: the digit run is unbounded, and under ANSI a 20-digit "port"
+    * in one crafted URL would otherwise abort the job. */
   def urlPort(url: Column): Column = {
     val explicit = nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)", 1), lit(""))
-    when(explicit.isNotNull, explicit.cast("int"))
+    when(explicit.isNotNull, explicit.try_cast("int"))
       .when(urlScheme(url) === "https", lit(443))
       .when(urlScheme(url) === "http", lit(80))
       .otherwise(lit(null).cast("int"))

@@ -55,11 +55,13 @@ object Sources {
     lines
       .filter(!col(lineCol).startsWith("#")) // header comment lines
       .select(
-        unix_micros(concat(element_at(p, 1), lit(" "), element_at(p, 2)).cast("timestamp"))
+        // try_cast / try_url_decode: one malformed access-log line must
+        // become a null-field row under ANSI mode, not a job-killing error
+        unix_micros(concat(element_at(p, 1), lit(" "), element_at(p, 2)).try_cast("timestamp"))
           .as("collector_tstamp_us"),
         element_at(p, 5).as("user_ipaddress"),
         // CF double-URL-encodes the UA field
-        url_decode(url_decode(element_at(p, 11))).as("useragent"),
+        try_url_decode(try_url_decode(element_at(p, 11))).as("useragent"),
         concat(lit("https://"), element_at(p, 7), element_at(p, 8)).as("page_url"),
         nullif(element_at(p, 10), lit("-")).as("page_referrer"),
         nullif(element_at(p, 12), lit("-")).as("querystring"))

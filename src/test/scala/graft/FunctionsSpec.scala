@@ -240,4 +240,30 @@ class FunctionsSpec extends SparkSpec {
     // field absent → document unchanged
     assert(run("""{"data":{"plan":"pro"}}""") == """{"data":{"plan":"pro"}}""")
   }
+
+  test("ANSI hardening: crafted garbage nulls out instead of aborting the job") {
+    import spark.implicits._
+    // every value here would throw under ANSI with plain cast/url_decode
+    val df = Seq((
+      "https://h:99999999999999999999/p",       // 20-digit port
+      "99999999999999999999999x100",            // 25-digit width
+      s"duid.${"9" * 25}",                      // 25-digit _sp timestamp
+      "dtm=${bad}&stm=zz&tr_tt=NaNish&url=%ZZ&refr=%G1" // garbage tracker params
+    )).toDF("u", "res", "sp", "querystring")
+      .withColumn("collector_tstamp_us", lit(1L))
+      .withColumn("user_ipaddress", lit("1.2.3.4"))
+      .withColumn("useragent", lit("ua"))
+      .withColumn("page_url", lit("https://fallback/p"))
+    val out = df.select(
+      graft.functions.UrlF.urlPort(col("u")).as("port"),
+      EventF.resWidth(col("res")).as("w"),
+      EventF.spTstampMs(col("sp")).as("ts")).collect()(0)
+    assert(out.get(0) == null && out.get(1) == null && out.get(2) == null)
+    val proto = graft.enrich.Protocol.fromCollector(df).collect()(0)
+    assert(proto.getAs[Any]("created_us") == null)   // ${bad} ms
+    assert(proto.getAs[Any]("sent_us") == null)      // zz ms
+    assert(proto.getAs[Any]("amount_cents") == null) // NaNish total
+    assert(proto.getAs[String]("page_url") == "https://fallback/p") // %ZZ → fallback
+    assert(proto.getAs[Any]("refr_url") == null)     // %G1 → null
+  }
 }
