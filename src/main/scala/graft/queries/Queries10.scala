@@ -102,6 +102,42 @@ object Queries10 {
         .orderBy("event_id")
     },
 
+    "q14_promo" -> { (sp, dir) =>
+      // TPC-H Q14 shape: promo-class revenue share over one ship month.
+      // part broadcasts; the date filter pushes to the parquet scan; the
+      // share is exact integer basis points (floor division in BOTH
+      // engines — a double ratio could round differently).
+      val cents = (c: Column) => round(c * 100).cast("bigint")
+      val li = Tables.lineitem(sp, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      li.join(broadcast(Tables.part(sp, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY",
+            cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .otherwise(lit(0L))).as("promo_e4"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("total_e4"))
+        .select(col("promo_e4"), col("total_e4"),
+          expr("CAST((10000 * promo_e4) DIV total_e4 AS BIGINT)").as("promo_share_bp"))
+    },
+
+    "q19_brackets" -> { (sp, dir) =>
+      // TPC-H Q19 shape: an OR of bracketed (brand, size, quantity)
+      // predicates — the disjunction stays inside one codegen'd filter over
+      // the broadcast join, no union-of-scans
+      val cents = (c: Column) => round(c * 100).cast("bigint")
+      val q = col("l_quantity")
+      val pred =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && q.between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && q.between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && q.between(20, 30))
+      Tables.lineitem(sp, dir)
+        .join(broadcast(Tables.part(sp, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(pred)
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+
     "adapter_ga" -> { (sp, dir) =>
       // Google Analytics measurement protocol: form-encoded hit payloads
       // through the dup-safe last-wins querystring map (the one adapter
@@ -237,6 +273,27 @@ object Queries10 {
         |  concat('P', event_id % 100) AS incident_id,
         |  event_id % 1000 AS incident_number
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT promo_e4, total_e4, CAST((10000 * promo_e4) // total_e4 AS BIGINT) AS promo_share_bp
+        |FROM (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      ELSE 0 END) AS BIGINT) AS promo_e4,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+        |) t""".stripMargin,
+
+    "q19_brackets" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "adapter_ga" ->
       """SELECT event_id,
