@@ -383,7 +383,7 @@ final case class FieldLengthValidator(limits: Map[String, Int], truncate: Boolea
         case _ => col(c)
       }
     }
-    df.select(outCols :+ errors: _*)
+    df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(outCols :+ errors): _*)
   }
 }
 

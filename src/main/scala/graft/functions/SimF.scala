@@ -32,7 +32,7 @@ object SimF {
   def srpBit(v: Column, planeSeed: Int): Column = {
     val proj = aggregate(
       zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
-        val h = md5(concat(lit(planeSeed + ":"), i.cast("string")).cast("binary"))
+        val h = md5(concat(lit(s"$planeSeed:"), i.cast("string")).cast("binary"))
         val digit = (instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1).cast("double")
         x.cast("double") * (digit - lit(7.5))
       }),

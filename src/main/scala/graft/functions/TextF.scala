@@ -126,7 +126,7 @@ object TextF {
   /** One MinHash signature component: min over shingles of md5(seed:shingle),
     * as lowercase hex (null for docs with < k words). */
   def minhashComponent(text: Column, k: Int, seed: Int): Column =
-    array_min(transform(shingles(text, k), s => md5(concat(lit(seed + ":"), s).cast("binary"))))
+    array_min(transform(shingles(text, k), s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
 
   /** LSH band key: md5 over `perBand` consecutive signature components. */
   def minhashBand(text: Column, k: Int, band: Int, perBand: Int): Column = {

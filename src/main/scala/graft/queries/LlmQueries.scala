@@ -53,7 +53,7 @@ object LlmQueries {
 
     "dedup_minhash" -> { (sp, dir) =>
       val sh = col("sh")
-      def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(seed + ":"), s).cast("binary"))))
+      def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
       Tables.documents(sp, dir)
         .withColumn("toks", TextF.tokens(col("text")))
         .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), 3)))
