@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed fact keys — the join-side twin of
+  * [[SaltedAgg]].
+  *
+  * A shuffle join partitions by the join key, so one hot key (the
+  * logged-out user, the default segment, the null-ish placeholder) lands on
+  * ONE reducer and the whole stage waits for that straggler. Broadcasting
+  * the other side fixes it when that side is small; AQE's skew split fixes
+  * it when the skew is visible in shuffle statistics. This operator covers
+  * the remaining case — a dimension too big to broadcast joined straight
+  * off a skewed scan: the dimension is replicated `salt` ways (explode over
+  * a literal sequence — dim cost × salt, chosen small), facts pick a
+  * deterministic salt from row content, and the join key becomes
+  * (key, salt), spreading each hot key over `salt` reducers.
+  *
+  * The salt must come from fact CONTENT (not rand() — retries must be
+  * stable, and Spark re-executes tasks), and including the row's own
+  * content spreads even exact-duplicate rows. Result is row-identical to
+  * the unsalted join, which is exactly what the `salted_join` oracle pins.
+  */
+object SkewJoin {
+
+  /** Inner-join `facts` to `dim` on `factKey == dim(dimKey)`, salted
+    * `salt` ways.
+    *
+    * @param saltSource fact columns the per-row salt derives from (content
+    *                   hash — stable across retries, spreads duplicates) */
+  def innerSalted(
+    facts: DataFrame,
+    factKey: Column,
+    dim: DataFrame,
+    dimKey: String,
+    salt: Int,
+    saltSource: Seq[Column]
+  ): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val replicated = dim.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    facts
+      .withColumn("__fsalt", pmod(hash(saltSource: _*), lit(salt)))
+      .join(replicated, factKey === col(dimKey) && col("__fsalt") === col("__salt"))
+      .drop("__salt", "__fsalt")
+  }
+}

@@ -102,6 +102,24 @@ object Queries10 {
         .orderBy("event_id")
     },
 
+    "salted_join" -> { (sp, dir) =>
+      import sp.implicits._
+      // skew-safe equi-join (operators/SkewJoin): 90% of events share one
+      // segment key — the salted join spreads that hot key over 8 reducers
+      // and must stay row-identical to the plain join, which is what this
+      // oracle pins (the SaltedAgg pattern, join-side)
+      val e = col("event_id")
+      val seg = when(e % 10 < 9, lit(0L)).otherwise(e % 5)
+      val dim = Seq(
+        (0L, "default"), (1L, "bronze"), (2L, "silver"), (3L, "gold"), (4L, "vip")
+      ).toDF("seg_id", "seg_label")
+      val facts = Tables.events(sp, dir).select(e, seg.as("seg"))
+      graft.operators.SkewJoin.innerSalted(
+          facts, col("seg"), dim, "seg_id", salt = 8, saltSource = Seq(col("event_id")))
+        .select(col("event_id"), col("seg"), col("seg_label"))
+        .orderBy("event_id")
+    },
+
     "q14_promo" -> { (sp, dir) =>
       // TPC-H Q14 shape: promo-class revenue share over one ship month.
       // part broadcasts; the date filter pushes to the parquet scan; the
@@ -272,6 +290,14 @@ object Queries10 {
         |  '2024-01-01T00:00:00Z' AS created_on,
         |  concat('P', event_id % 100) AS incident_id,
         |  event_id % 1000 AS incident_number
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "salted_join" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 10 < 9 THEN 0 ELSE event_id % 5 END AS seg,
+        |  CASE CASE WHEN event_id % 10 < 9 THEN 0 ELSE event_id % 5 END
+        |    WHEN 0 THEN 'default' WHEN 1 THEN 'bronze' WHEN 2 THEN 'silver'
+        |    WHEN 3 THEN 'gold' WHEN 4 THEN 'vip' END AS seg_label
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q14_promo" ->

@@ -128,6 +128,21 @@ class Queries10Spec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly the fingerprint window shuffle, got $shuffles:\n${plan.take(2000)}")
   }
 
+  test("SkewJoin: salted join is row-identical to plain, hot key spreads over salts") {
+    import spark.implicits._
+    val facts = (0L until 2000L).map(i => (i, if (i % 10 < 9) 0L else i % 5)).toDF("id", "k")
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("kk", "v")
+    val salted = graft.operators.SkewJoin.innerSalted(
+      facts, col("k"), dim, "kk", salt = 8, saltSource = Seq(col("id")))
+    val plain = facts.join(dim, col("k") === col("kk"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("id", "v").except(plain.select("id", "v")).count() == 0)
+    // the hot key's rows really do carry all 8 salt values (spread works)
+    val spread = facts.filter(col("k") === 0L)
+      .select(pmod(hash(col("id")), lit(8)).as("s")).distinct().count()
+    assert(spread == 8)
+  }
+
   test("adapter promotion: sendgrid explodes 2 events per payload at sf0.001") {
     val out = SparkEntry.queries("adapter_sendgrid")(spark, "/root/testdata/sf0.001")
     val n = Tables.events(spark, "/root/testdata/sf0.001").count()
