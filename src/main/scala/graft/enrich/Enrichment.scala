@@ -103,16 +103,22 @@ final case class CampaignAttribution(
   val name = "campaign_attribution"
   def apply(df: DataFrame): DataFrame = {
     val qs = UrlF.urlQuery(col(urlCol))
-    val clickId = coalesce(clickIdNetworks.map { case (k, _) => UrlF.qsParam(qs, k) }: _*)
+    // values are form-decoded like the reference's extractQuerystring does
+    // before extractMarketingFields sees them (spec vector: utm_term
+    // "native american tarot deck" arrives '+'-encoded)
+    val clickId =
+      if (clickIdNetworks.isEmpty) lit(null).cast("string")
+      else UrlF.qsValueDecoded(
+        coalesce(clickIdNetworks.map { case (k, _) => UrlF.qsParam(qs, k) }: _*))
     val network = clickIdNetworks
       .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
         acc.when(UrlF.qsParam(qs, k).isNotNull, lit(v))
       }.otherwise(lit(null))
-    df.withColumn("mkt_medium", UrlF.firstParam(qs, mediumParams))
-      .withColumn("mkt_source", UrlF.firstParam(qs, sourceParams))
-      .withColumn("mkt_term", UrlF.firstParam(qs, termParams))
-      .withColumn("mkt_content", UrlF.firstParam(qs, contentParams))
-      .withColumn("mkt_campaign", UrlF.firstParam(qs, campaignParams))
+    df.withColumn("mkt_medium", UrlF.firstParamDecoded(qs, mediumParams))
+      .withColumn("mkt_source", UrlF.firstParamDecoded(qs, sourceParams))
+      .withColumn("mkt_term", UrlF.firstParamDecoded(qs, termParams))
+      .withColumn("mkt_content", UrlF.firstParamDecoded(qs, contentParams))
+      .withColumn("mkt_campaign", UrlF.firstParamDecoded(qs, campaignParams))
       .withColumn("mkt_clickid", clickId)
       .withColumn("mkt_network", network)
   }

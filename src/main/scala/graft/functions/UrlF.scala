@@ -50,9 +50,27 @@ object UrlF {
   def urlParam(url: Column, key: String): Column = qsParam(urlQuery(url), key)
 
   /** First non-null among `keys` looked up in querystring `qs`
-    * (reference `CampaignAttributionEnrichment.getFirstParameter`). */
+    * (reference `CampaignAttributionEnrichment.getFirstParameter`); an
+    * empty candidate list yields null (the reference's e1 vector — an
+    * unconfigured field stays empty, and a zero-arg coalesce would fail
+    * analysis). */
   def firstParam(qs: Column, keys: Seq[String]): Column =
-    coalesce(keys.map(qsParam(qs, _)): _*)
+    if (keys.isEmpty) lit(null).cast("string")
+    else coalesce(keys.map(qsParam(qs, _)): _*)
+
+  /** Form-decoded querystring value ('+' → space, %XX unescaped) — the
+    * reference decodes every tracker param at extraction time
+    * (`ConversionUtils.extractQuerystring` → URLDecoder), so campaign
+    * fields carry "native american tarot deck", not
+    * "native+american+tarot+deck". try_: a truncated escape nulls the
+    * value instead of aborting under ANSI. */
+  def qsValueDecoded(v: Column): Column = try_url_decode(v)
+
+  /** [[firstParam]] with the winning value form-decoded. Decoding after the
+    * precedence pick is equivalent to the reference's decode-then-pick:
+    * decoding never turns a present value into an absent one. */
+  def firstParamDecoded(qs: Column, keys: Seq[String]): Column =
+    qsValueDecoded(firstParam(qs, keys))
 
   /** Tracking-parameter names stripped by [[canonicalizeUrl]] (shared with
     * the SQL twin; utm_ prefix handled separately). */

@@ -120,7 +120,10 @@ object EnrichQueries {
 
     "campaign_attribution" -> { (sp, dir) =>
       val qs = UrlF.urlQuery(col("page_url"))
-      val clickId = coalesce(ClickIdNetworks.map { case (k, _) => UrlF.qsParam(qs, k) }: _*)
+      // values form-decoded, as the reference's extractQuerystring does
+      // before extractMarketingFields (q=red+shoes → "red shoes")
+      val clickId = UrlF.qsValueDecoded(
+        coalesce(ClickIdNetworks.map { case (k, _) => UrlF.qsParam(qs, k) }: _*))
       val network = ClickIdNetworks
         .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
           acc.when(UrlF.qsParam(qs, k).isNotNull, lit(v))
@@ -128,11 +131,11 @@ object EnrichQueries {
         .otherwise(lit(null))
       raw(sp, dir).select(
         col("event_id"),
-        UrlF.firstParam(qs, MediumParams).as("mkt_medium"),
-        UrlF.firstParam(qs, SourceParams).as("mkt_source"),
-        UrlF.firstParam(qs, TermParams).as("mkt_term"),
-        UrlF.firstParam(qs, ContentParams).as("mkt_content"),
-        UrlF.firstParam(qs, CampaignParams).as("mkt_campaign"),
+        UrlF.firstParamDecoded(qs, MediumParams).as("mkt_medium"),
+        UrlF.firstParamDecoded(qs, SourceParams).as("mkt_source"),
+        UrlF.firstParamDecoded(qs, TermParams).as("mkt_term"),
+        UrlF.firstParamDecoded(qs, ContentParams).as("mkt_content"),
+        UrlF.firstParamDecoded(qs, CampaignParams).as("mkt_campaign"),
         clickId.as("mkt_clickid"),
         network.as("mkt_network")
       ).orderBy("event_id")
@@ -309,16 +312,22 @@ object EnrichQueries {
           |    ELSE 'hello;goodbye' END AS ip_edge_anon
           |FROM raw ORDER BY event_id""".stripMargin),
 
-      "campaign_attribution" -> Synth.withCte(
-        s"""SELECT event_id,
-           |  ${firstParamSql("qs", MediumParams)} AS mkt_medium,
-           |  ${firstParamSql("qs", SourceParams)} AS mkt_source,
-           |  ${firstParamSql("qs", TermParams)} AS mkt_term,
-           |  ${firstParamSql("qs", ContentParams)} AS mkt_content,
-           |  ${firstParamSql("qs", CampaignParams)} AS mkt_campaign,
-           |  coalesce(${ClickIdNetworks.map { case (k, _) => qsParamSql("qs", k) }.mkString(", ")}) AS mkt_clickid,
-           |  CASE ${ClickIdNetworks.map { case (k, v) => s"WHEN ${qsParamSql("qs", k)} IS NOT NULL THEN '$v'" }.mkString(" ")} END AS mkt_network
-           |FROM (SELECT event_id, $pageQsExpr AS qs FROM raw) ORDER BY event_id""".stripMargin),
+      "campaign_attribution" -> {
+        // decode parity twin (same restricted-alphabet chain as
+        // RefererDb.termSql: the synth universe only emits {+, %20} in
+        // campaign param values; Spark uses real try_url_decode)
+        def dec(e: String) = s"replace(replace($e, '+', ' '), '%20', ' ')"
+        Synth.withCte(
+          s"""SELECT event_id,
+             |  ${dec(firstParamSql("qs", MediumParams))} AS mkt_medium,
+             |  ${dec(firstParamSql("qs", SourceParams))} AS mkt_source,
+             |  ${dec(firstParamSql("qs", TermParams))} AS mkt_term,
+             |  ${dec(firstParamSql("qs", ContentParams))} AS mkt_content,
+             |  ${dec(firstParamSql("qs", CampaignParams))} AS mkt_campaign,
+             |  ${dec(s"coalesce(${ClickIdNetworks.map { case (k, _) => qsParamSql("qs", k) }.mkString(", ")})")} AS mkt_clickid,
+             |  CASE ${ClickIdNetworks.map { case (k, v) => s"WHEN ${qsParamSql("qs", k)} IS NOT NULL THEN '$v'" }.mkString(" ")} END AS mkt_network
+             |FROM (SELECT event_id, $pageQsExpr AS qs FROM raw) ORDER BY event_id""".stripMargin)
+      },
 
       "event_fingerprint" -> Synth.withCte(
         // sorted key order: e, p, res, uid, url — matches the plan-time sort

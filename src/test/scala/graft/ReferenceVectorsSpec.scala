@@ -351,4 +351,38 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(m(Some("ue")).contains("unstruct"))
     assert(m(Some("zz")).isEmpty)
   }
+
+  test("campaign attribution: the reference spec's precedence and click-id vectors") {
+    // reference CampaignAttributionEnrichmentSpec e4/e5: candidate lists win
+    // by LIST order regardless of URI order, click id = first configured
+    // network param present, values arrive URL-encoded and decode
+    import spark.implicits._
+    import graft.enrich.CampaignAttribution
+    val enrich = CampaignAttribution(
+      urlCol = "u",
+      mediumParams = Seq("utm_medium", "medium"),
+      sourceParams = Seq("utm_source", "source"),
+      termParams = Seq("utm_term", "legacy_term"),
+      contentParams = Seq("utm_content"),
+      campaignParams = Seq("utm_campaign", "cid", "legacy_campaign"),
+      clickIdNetworks = Seq("gclid" -> "Google", "msclkid" -> "Microsoft", "dclid" -> "DoubleClick"))
+    // the heterogeneous_uri + clickid_uri param sets, as an encoded URL
+    val url = "https://x.com/p?utm_source=GoogleSearch&source=bad_source&utm_medium=cpc" +
+      "&legacy_term=bad_term&utm_term=native+american+tarot+deck" +
+      "&legacy_campaign=bad_campaign&cid=uk-tarot--native-american&msclkid=500"
+    val r = enrich(Seq(url).toDF("u")).collect()(0)
+    assert(r.getAs[String]("mkt_medium") == "cpc")
+    assert(r.getAs[String]("mkt_source") == "GoogleSearch")       // utm_ beats 'source' despite URI order
+    assert(r.getAs[String]("mkt_term") == "native american tarot deck") // decoded, utm_ beats legacy
+    assert(r.getAs[String]("mkt_content") == null)
+    assert(r.getAs[String]("mkt_campaign") == "uk-tarot--native-american") // cid beats legacy_campaign
+    assert(r.getAs[String]("mkt_clickid") == "500")
+    assert(r.getAs[String]("mkt_network") == "Microsoft")
+    // e3: Omniture-style cid-only configuration
+    val omniture = CampaignAttribution(urlCol = "u", mediumParams = Nil, sourceParams = Nil,
+      termParams = Nil, contentParams = Nil, campaignParams = Seq("cid"), clickIdNetworks = Nil)
+    val r2 = omniture(Seq("https://x.com/p?cid=uk-tarot--native-american").toDF("u")).collect()(0)
+    assert(r2.getAs[String]("mkt_campaign") == "uk-tarot--native-american")
+    assert(r2.getAs[String]("mkt_medium") == null)
+  }
 }
