@@ -87,6 +87,8 @@ object EventF {
       case "md5"    => md5(payload.cast("binary"))
       case "sha1"   => sha1(payload.cast("binary"))
       case "sha256" => sha2(payload.cast("binary"), 256)
+      case "sha384" => sha2(payload.cast("binary"), 384)
+      case "sha512" => sha2(payload.cast("binary"), 512)
       case other    => throw new IllegalArgumentException(s"unsupported fingerprint algorithm: $other")
     }
   }

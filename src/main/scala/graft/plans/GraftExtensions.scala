@@ -64,7 +64,16 @@ object GraftFunctions {
     fn("graft_browser_family", "graft_browser_family(ua)",
       es => x(UaF.browserFamily(c(es.head)))),
     fn("graft_device_class", "graft_device_class(ua)",
-      es => x(UaF.deviceClass(c(es.head))))
+      es => x(UaF.deviceClass(c(es.head)))),
+    // round-5 kernels
+    fn("graft_scrub_pii", "graft_scrub_pii(text)",
+      es => x(TextF.scrubPii(c(es.head)))),
+    fn("graft_canonical_url", "graft_canonical_url(url)",
+      es => x(graft.functions.UrlF.canonicalizeUrl(c(es.head)))),
+    fn("graft_ipv6_lo64", "graft_ipv6_lo64(ip)",
+      es => x(IpF.ipv6Lo64Dec(c(es.head)))),
+    fn("graft_ipv6_prefix", "graft_ipv6_prefix(ip)",
+      es => x(IpF.ipv6PrefixCanonical(c(es.head))))
   )
 
   /** Register all graft SQL functions on a live session. */

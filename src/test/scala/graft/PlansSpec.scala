@@ -117,5 +117,15 @@ class PlansSpec extends SparkSpec {
     assert(r.getAs[Int]("n") == 2)
     assert(r.getSeq[String](3).toList == List("a b", "b c"))
     assert(r.getAs[String]("b") == "Firefox")
+    val r5 = spark.sql(
+      """SELECT graft_scrub_pii('mail a@b.io now') AS p,
+        |       graft_canonical_url('HTTPS://X.com:443/p?utm_s=1&a=2#f') AS u,
+        |       CAST(graft_ipv6_lo64('2001:db8:1:2:0:0:0:5') AS STRING) AS lo,
+        |       graft_ipv6_prefix('2001:0db8:0001:2:0:0:0:5') AS pfx
+        |""".stripMargin).collect()(0)
+    assert(r5.getAs[String]("p") == "mail <EMAIL> now")
+    assert(r5.getAs[String]("u") == "https://x.com/p?a=2") // utm_* stripped, :443 default, #f dropped
+    assert(r5.getAs[String]("lo") == "5")
+    assert(r5.getAs[String]("pfx") == "2001:db8:1:2")
   }
 }

@@ -352,6 +352,17 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(m(Some("zz")).isEmpty)
   }
 
+  test("event fingerprint: the reference spec's algorithm-length vectors (e5-e8)") {
+    import spark.implicits._
+    val fields = Seq("e" -> col("e"), "se_ac" -> col("se_ac"))
+    val df = Seq(("se", "buy")).toDF("e", "se_ac")
+    val lengths = Map("sha1" -> 40, "sha256" -> 64, "sha384" -> 96, "sha512" -> 128, "md5" -> 32)
+    lengths.foreach { case (algo, len) =>
+      val out = df.select(EventF.eventFingerprint(algo, fields).as("fp")).collect()(0).getString(0)
+      assert(out.length == len, s"$algo length")
+    }
+  }
+
   test("campaign attribution: the reference spec's precedence and click-id vectors") {
     // reference CampaignAttributionEnrichmentSpec e4/e5: candidate lists win
     // by LIST order regardless of URI order, click id = first configured
