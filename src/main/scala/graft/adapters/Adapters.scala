@@ -89,7 +89,7 @@ final case class FormAdapter(
       (df.columns.filterNot(_ == payloadCol).map(col).toSeq :+
         lit(vendor).as("event_vendor") :+
         lit(version).as("event_format")) ++
-        mappings.map { case (k, out) => element_at(m, k).as(out) }: _*)
+        mappings.map { case (k, out) => try_element_at(m, lit(k)).as(out) }: _*)
   }
 }
 
@@ -270,15 +270,15 @@ object Tp1Adapter {
 object IgluQsAdapter {
   def apply(df: DataFrame, qsCol: String): DataFrame = {
     val qs = graft.functions.UrlF.qsMapLastWins(col(qsCol))
-    val schemaUri = element_at(qs, "schema")
+    val schemaUri = try_element_at(qs, lit("schema"))
     val parts = split(regexp_replace(schemaUri, "^iglu:", ""), "/")
     df.select(
       df.columns.filterNot(_ == qsCol).map(col).toSeq ++ Seq(
         schemaUri.as("schema_uri"),
-        element_at(parts, 1).as("schema_vendor"),
-        element_at(parts, 2).as("schema_name"),
-        element_at(parts, 3).as("schema_format"),
-        element_at(parts, 4).as("schema_version"),
+        try_element_at(parts, lit(1)).as("schema_vendor"),
+        try_element_at(parts, lit(2)).as("schema_name"),
+        try_element_at(parts, lit(3)).as("schema_format"),
+        try_element_at(parts, lit(4)).as("schema_version"),
         map_filter(qs, (k, _) => k =!= "schema").as("data_params")): _*)
   }
 }
@@ -356,7 +356,7 @@ object RedirectAdapter {
     * outputs (the reference's protocol-violation bad row). */
   def apply(df: DataFrame, qsCol: String): DataFrame = {
     val qs = graft.functions.UrlF.qsMapLastWins(col(qsCol))
-    val u = element_at(qs, "u")
+    val u = try_element_at(qs, lit("u"))
     val redirect = struct(lit(UriRedirectSchema).as("schema"),
       struct(u.as("uri")).as("data"))
     val uePr = to_json(struct(lit(UnstructSchema).as("schema"), redirect.as("data")))
@@ -365,10 +365,10 @@ object RedirectAdapter {
     df.select(
       df.columns.filterNot(_ == qsCol).map(col).toSeq ++ Seq(
         u.as("redirect_uri"),
-        when(u.isNotNull, when(hasE, element_at(qs, "e")).otherwise(lit("ue"))).as("e"),
+        when(u.isNotNull, when(hasE, try_element_at(qs, lit("e"))).otherwise(lit("ue"))).as("e"),
         when(u.isNotNull && !hasE, uePr).as("ue_pr"),
         when(u.isNotNull && hasE, co).as("co"),
         when(u.isNotNull, lit("r-tp2")).as("tv"),
-        when(u.isNotNull, coalesce(element_at(qs, "p"), lit("web"))).as("p")): _*)
+        when(u.isNotNull, coalesce(try_element_at(qs, lit("p")), lit("web"))).as("p")): _*)
   }
 }

@@ -32,7 +32,9 @@ object Sources {
   def parseCollectorTsv(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val parts = split(col(lineCol), "\t")
     val cols = CollectorTsvFields.zipWithIndex.map { case ((name, typ), i) =>
-      element_at(parts, i + 1).cast(typ).as(name)
+      // try_cast: a malformed line's garbage timestamp must become a
+      // null-field row under ANSI, never a job-killing cast error
+      try_element_at(parts, lit(i + 1)).try_cast(typ).as(name)
     }
     lines.select(cols: _*)
   }
@@ -57,14 +59,14 @@ object Sources {
       .select(
         // try_cast / try_url_decode: one malformed access-log line must
         // become a null-field row under ANSI mode, not a job-killing error
-        unix_micros(concat(element_at(p, 1), lit(" "), element_at(p, 2)).try_cast("timestamp"))
+        unix_micros(concat(try_element_at(p, lit(1)), lit(" "), try_element_at(p, lit(2))).try_cast("timestamp"))
           .as("collector_tstamp_us"),
-        element_at(p, 5).as("user_ipaddress"),
+        try_element_at(p, lit(5)).as("user_ipaddress"),
         // CF double-URL-encodes the UA field
-        try_url_decode(try_url_decode(element_at(p, 11))).as("useragent"),
-        concat(lit("https://"), element_at(p, 7), element_at(p, 8)).as("page_url"),
-        nullif(element_at(p, 10), lit("-")).as("page_referrer"),
-        nullif(element_at(p, 12), lit("-")).as("querystring"))
+        try_url_decode(try_url_decode(try_element_at(p, lit(11)))).as("useragent"),
+        concat(lit("https://"), try_element_at(p, lit(7)), try_element_at(p, lit(8))).as("page_url"),
+        nullif(try_element_at(p, lit(10)), lit("-")).as("page_referrer"),
+        nullif(try_element_at(p, lit(12)), lit("-")).as("querystring"))
   }
 
   /** Kafka raw-event stream (value = collector TSV line). The transport

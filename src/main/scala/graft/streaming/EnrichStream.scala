@@ -37,7 +37,9 @@ object EnrichStream {
       .withColumn("__event_time", timestamp_micros(col(tsUsCol)))
       .withWatermark("__event_time", watermarkDelay)
       .groupBy(window(col("__event_time"), windowLength), col(keyCol))
-      .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100).cast("bigint")).as("sum_value_cents"))
+      // try_cast: one NaN/overflow value in a long-running stream must not
+      // kill the query under ANSI — it nulls out of the sum instead
+      .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100).try_cast("bigint")).as("sum_value_cents"))
 
   /** Enriched-stream sink helper: parquet with checkpointing. */
   def toParquet(enriched: DataFrame, path: String, checkpoint: String) =

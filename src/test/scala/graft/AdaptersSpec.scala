@@ -17,6 +17,18 @@ class AdaptersSpec extends SparkSpec {
     assert(parsed.getString(5) == "a=1&b=2")
   }
 
+  test("collector TSV loader: malformed line yields null fields, not an ANSI error") {
+    import spark.implicits._
+    val lines = Seq(
+      "not-a-timestamp\t1.2.3.4\tua\turl\tpv\tq=1", // garbage ts
+      "short line with no tabs"
+    ).toDF("value")
+    val out = Sources.parseCollectorTsv(lines).collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(0) && out(0).getString(1) == "1.2.3.4")
+    assert(out(1).isNullAt(0))
+  }
+
   test("cloudfront access-log loader: header skip, URL decode, '-' as null") {
     import spark.implicits._
     val lines = Seq(
