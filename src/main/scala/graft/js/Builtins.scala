@@ -1,0 +1,504 @@
+package graft.js
+
+import scala.collection.mutable
+
+import JsInterp._
+
+/** Native library surface for the JS subset: String/Array/Number methods,
+  * `JSON`, `Math`, `Object`, and the handful of global functions the
+  * reference's enrichment scripts lean on (reference
+  * enrichments/registry/JavascriptScriptEnrichmentSpec.scala uses `match`,
+  * `trim`, `JSON.parse`/`stringify`, property mutation, `for...of`).
+  */
+object Builtins {
+
+  private def native(name: String)(fn: (JsVal, List[JsVal]) => JsVal): JsNative = JsNative(name, fn)
+  private def arg(args: List[JsVal], i: Int): JsVal = if (i < args.length) args(i) else JsUndef
+
+  private def callFn(fn: JsVal, thisVal: JsVal, args: List[JsVal]): JsVal = fn match {
+    case f: JsFunc =>
+      val interp = JsInterp.active.get() match { case null => new JsInterp(); case i => i }
+      interp.callFunction(f, thisVal, args)
+    case JsNative(_, nf) => nf(thisVal, args)
+    case other => throw JsThrown(JsStr(s"not a function: ${typeOf(other)}"))
+  }
+
+  // ---------------- String.prototype ----------------
+
+  private val stringMethods: Map[String, JsNative] = Map(
+    "charAt" -> native("charAt") { (t, a) =>
+      val s = toStringVal(t); val i = toNumber(arg(a, 0)).toInt
+      if (i >= 0 && i < s.length) JsStr(s.charAt(i).toString) else JsStr("")
+    },
+    "charCodeAt" -> native("charCodeAt") { (t, a) =>
+      val s = toStringVal(t); val i = toNumber(arg(a, 0)).toInt
+      if (i >= 0 && i < s.length) JsNum(s.charAt(i).toDouble) else JsNum(Double.NaN)
+    },
+    "indexOf" -> native("indexOf") { (t, a) =>
+      val from = if (a.length > 1) toNumber(a(1)).toInt else 0
+      JsNum(toStringVal(t).indexOf(toStringVal(arg(a, 0)), from).toDouble)
+    },
+    "lastIndexOf" -> native("lastIndexOf") { (t, a) =>
+      JsNum(toStringVal(t).lastIndexOf(toStringVal(arg(a, 0))).toDouble)
+    },
+    "includes" -> native("includes") { (t, a) => JsBool(toStringVal(t).contains(toStringVal(arg(a, 0)))) },
+    "startsWith" -> native("startsWith") { (t, a) => JsBool(toStringVal(t).startsWith(toStringVal(arg(a, 0)))) },
+    "endsWith" -> native("endsWith") { (t, a) => JsBool(toStringVal(t).endsWith(toStringVal(arg(a, 0)))) },
+    "toLowerCase" -> native("toLowerCase") { (t, _) => JsStr(toStringVal(t).toLowerCase) },
+    "toUpperCase" -> native("toUpperCase") { (t, _) => JsStr(toStringVal(t).toUpperCase) },
+    "trim" -> native("trim") { (t, _) => JsStr(toStringVal(t).trim) },
+    "slice" -> native("slice") { (t, a) =>
+      val s = toStringVal(t)
+      val start = sliceIndex(toNumber(arg(a, 0)), s.length, 0)
+      val end = if (a.length > 1 && arg(a, 1) != JsUndef) sliceIndex(toNumber(a(1)), s.length, s.length) else s.length
+      JsStr(if (start < end) s.substring(start, end) else "")
+    },
+    "substring" -> native("substring") { (t, a) =>
+      val s = toStringVal(t)
+      var start = clamp(toNumber(arg(a, 0)), s.length)
+      var end = if (a.length > 1 && arg(a, 1) != JsUndef) clamp(toNumber(a(1)), s.length) else s.length
+      if (start > end) { val tmp = start; start = end; end = tmp }
+      JsStr(s.substring(start, end))
+    },
+    "substr" -> native("substr") { (t, a) =>
+      val s = toStringVal(t)
+      val start = sliceIndex(toNumber(arg(a, 0)), s.length, 0)
+      val len = if (a.length > 1) toNumber(a(1)).toInt.max(0) else s.length - start
+      JsStr(s.substring(start, (start + len).min(s.length)))
+    },
+    "split" -> native("split") { (t, a) =>
+      val s = toStringVal(t)
+      arg(a, 0) match {
+        case JsUndef => JsVal.arr(JsStr(s))
+        case JsStr("") => new JsArr(mutable.ArrayBuffer(s.map(c => JsStr(c.toString)): _*))
+        case JsStr(sep) =>
+          new JsArr(mutable.ArrayBuffer(s.split(java.util.regex.Pattern.quote(sep), -1).map(JsStr(_)).toIndexedSeq: _*))
+        case r: JsRegex =>
+          new JsArr(mutable.ArrayBuffer(r.compiled.split(s, -1).map(JsStr(_)).toIndexedSeq: _*))
+        case other =>
+          new JsArr(mutable.ArrayBuffer(s.split(java.util.regex.Pattern.quote(toStringVal(other)), -1).map(JsStr(_)).toIndexedSeq: _*))
+      }
+    },
+    "replace" -> native("replace") { (t, a) =>
+      val s = toStringVal(t)
+      (arg(a, 0), arg(a, 1)) match {
+        case (r: JsRegex, repl) => JsStr(regexReplace(s, r, repl, all = r.global))
+        case (pat, repl) =>
+          val p = toStringVal(pat)
+          val idx = s.indexOf(p)
+          if (idx < 0) JsStr(s)
+          else {
+            val rs = repl match {
+              case f @ (_: JsFunc | _: JsNative) => toStringVal(callFn(f, JsUndef, List(JsStr(p), JsNum(idx), JsStr(s))))
+              case other => applyTemplate(toStringVal(other), p, Array.empty)
+            }
+            JsStr(s.substring(0, idx) + rs + s.substring(idx + p.length))
+          }
+      }
+    },
+    "replaceAll" -> native("replaceAll") { (t, a) =>
+      val s = toStringVal(t)
+      (arg(a, 0), arg(a, 1)) match {
+        case (r: JsRegex, repl) => JsStr(regexReplace(s, r, repl, all = true))
+        case (pat, repl) => JsStr(s.replace(toStringVal(pat), toStringVal(repl)))
+      }
+    },
+    "match" -> native("match") { (t, a) =>
+      val s = toStringVal(t)
+      arg(a, 0) match {
+        case r: JsRegex =>
+          val m = r.compiled.matcher(s)
+          if (r.global) {
+            val out = mutable.ArrayBuffer.empty[JsVal]
+            while (m.find()) out += JsStr(m.group())
+            if (out.isEmpty) JsNull else new JsArr(out)
+          } else if (m.find()) {
+            val out = mutable.ArrayBuffer.empty[JsVal]
+            var g = 0
+            while (g <= m.groupCount()) {
+              out += (if (m.group(g) == null) JsUndef else JsStr(m.group(g))); g += 1
+            }
+            new JsArr(out)
+          } else JsNull
+        case other => throw JsThrown(JsStr(s"match expects a regex, got ${typeOf(other)}"))
+      }
+    },
+    "search" -> native("search") { (t, a) =>
+      arg(a, 0) match {
+        case r: JsRegex =>
+          val m = r.compiled.matcher(toStringVal(t))
+          JsNum(if (m.find()) m.start.toDouble else -1)
+        case _ => JsNum(-1)
+      }
+    },
+    "concat" -> native("concat") { (t, a) => JsStr(toStringVal(t) + a.map(toStringVal).mkString) },
+    "repeat" -> native("repeat") { (t, a) => JsStr(toStringVal(t) * toNumber(arg(a, 0)).toInt.max(0)) },
+    "padStart" -> native("padStart") { (t, a) =>
+      val s = toStringVal(t)
+      val n = toNumber(arg(a, 0)).toInt
+      val pad = if (a.length > 1) toStringVal(a(1)) else " "
+      if (s.length >= n || pad.isEmpty) JsStr(s)
+      else {
+        val sb = new StringBuilder
+        while (sb.length < n - s.length) sb.append(pad)
+        JsStr(sb.substring(0, n - s.length) + s)
+      }
+    },
+    "padEnd" -> native("padEnd") { (t, a) =>
+      val s = toStringVal(t)
+      val n = toNumber(arg(a, 0)).toInt
+      val pad = if (a.length > 1) toStringVal(a(1)) else " "
+      if (s.length >= n || pad.isEmpty) JsStr(s)
+      else {
+        val sb = new StringBuilder(s)
+        while (sb.length < n) sb.append(pad)
+        JsStr(sb.substring(0, n))
+      }
+    },
+    "toString" -> native("toString") { (t, _) => JsStr(toStringVal(t)) }
+  )
+
+  def stringMethod(name: String): Option[JsNative] = stringMethods.get(name)
+
+  private def clamp(d: Double, len: Int): Int =
+    if (d.isNaN) 0 else d.toInt.max(0).min(len)
+
+  private def sliceIndex(d: Double, len: Int, dflt: Int): Int =
+    if (d.isNaN) dflt else if (d < 0) (len + d.toInt).max(0) else d.toInt.min(len)
+
+  /** JS-semantics regex replace: handles `$1..$9`, `$&`, `$$` templates and
+    * function replacers; `all` mirrors the /g flag. */
+  private def regexReplace(s: String, r: JsRegex, repl: JsVal, all: Boolean): String = {
+    val m = r.compiled.matcher(s)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    var go = m.find()
+    while (go) {
+      sb.append(s, last, m.start)
+      repl match {
+        case f @ (_: JsFunc | _: JsNative) =>
+          val groups = (1 to m.groupCount()).map(g => if (m.group(g) == null) JsUndef else JsStr(m.group(g)))
+          sb.append(toStringVal(callFn(f, JsUndef,
+            JsStr(m.group()) :: groups.toList ::: List(JsNum(m.start.toDouble), JsStr(s)))))
+        case other =>
+          val groups = (1 to m.groupCount()).map(g => Option(m.group(g)).getOrElse("")).toArray
+          sb.append(applyTemplate(toStringVal(other), m.group(), groups))
+      }
+      last = m.end
+      if (m.end == m.start) { // zero-width match: advance to avoid spinning
+        if (last < s.length) sb.append(s.charAt(last))
+        last += 1
+        if (last > s.length) go = false else { go = all && m.find(last) }
+      } else go = all && m.find()
+    }
+    sb.append(s, last.min(s.length), s.length)
+    sb.toString
+  }
+
+  private def applyTemplate(tpl: String, whole: String, groups: Array[String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < tpl.length) {
+      val c = tpl.charAt(i)
+      if (c == '$' && i + 1 < tpl.length) {
+        tpl.charAt(i + 1) match {
+          case '$' => sb.append('$'); i += 2
+          case '&' => sb.append(whole); i += 2
+          case d if d.isDigit =>
+            val g = d - '0'
+            if (g >= 1 && g <= groups.length) { sb.append(groups(g - 1)); i += 2 }
+            else { sb.append(c); i += 1 }
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ---------------- Array.prototype ----------------
+
+  private def asArr(t: JsVal): JsArr = t match {
+    case a: JsArr => a
+    case other => throw JsThrown(JsStr(s"array method on ${typeOf(other)}"))
+  }
+
+  private val arrayMethods: Map[String, JsNative] = Map(
+    "push" -> native("push") { (t, a) => val arr = asArr(t); arr.items ++= a; JsNum(arr.items.length.toDouble) },
+    "pop" -> native("pop") { (t, _) =>
+      val arr = asArr(t)
+      if (arr.items.isEmpty) JsUndef else arr.items.remove(arr.items.length - 1)
+    },
+    "shift" -> native("shift") { (t, _) =>
+      val arr = asArr(t)
+      if (arr.items.isEmpty) JsUndef else arr.items.remove(0)
+    },
+    "unshift" -> native("unshift") { (t, a) =>
+      val arr = asArr(t); arr.items.insertAll(0, a); JsNum(arr.items.length.toDouble)
+    },
+    "indexOf" -> native("indexOf") { (t, a) =>
+      JsNum(asArr(t).items.indexWhere(strictEq(_, arg(a, 0))).toDouble)
+    },
+    "includes" -> native("includes") { (t, a) => JsBool(asArr(t).items.exists(strictEq(_, arg(a, 0)))) },
+    "join" -> native("join") { (t, a) =>
+      val sep = arg(a, 0) match { case JsUndef => ","; case v => toStringVal(v) }
+      JsStr(asArr(t).items.map(v => if (v == JsNull || v == JsUndef) "" else toStringVal(v)).mkString(sep))
+    },
+    "slice" -> native("slice") { (t, a) =>
+      val items = asArr(t).items
+      val start = if (a.isEmpty) 0 else sliceIndex(toNumber(a(0)), items.length, 0)
+      val end = if (a.length > 1 && a(1) != JsUndef) sliceIndex(toNumber(a(1)), items.length, items.length) else items.length
+      new JsArr(mutable.ArrayBuffer(items.slice(start, end.max(start)).toIndexedSeq: _*))
+    },
+    "concat" -> native("concat") { (t, a) =>
+      val out = mutable.ArrayBuffer(asArr(t).items.toIndexedSeq: _*)
+      a.foreach { case arr: JsArr => out ++= arr.items; case v => out += v }
+      new JsArr(out)
+    },
+    "reverse" -> native("reverse") { (t, _) =>
+      val arr = asArr(t)
+      val rev = arr.items.reverse
+      arr.items.clear(); arr.items ++= rev
+      arr
+    },
+    "map" -> native("map") { (t, a) =>
+      val f = arg(a, 0)
+      new JsArr(asArr(t).items.zipWithIndex.map { case (v, i) => callFn(f, JsUndef, List(v, JsNum(i.toDouble), t)) })
+    },
+    "filter" -> native("filter") { (t, a) =>
+      val f = arg(a, 0)
+      new JsArr(asArr(t).items.zipWithIndex.collect {
+        case (v, i) if truthy(callFn(f, JsUndef, List(v, JsNum(i.toDouble), t))) => v
+      })
+    },
+    "forEach" -> native("forEach") { (t, a) =>
+      val f = arg(a, 0)
+      asArr(t).items.zipWithIndex.foreach { case (v, i) => callFn(f, JsUndef, List(v, JsNum(i.toDouble), t)) }
+      JsUndef
+    },
+    "reduce" -> native("reduce") { (t, a) =>
+      val f = arg(a, 0)
+      val items = asArr(t).items
+      var (acc, start) =
+        if (a.length > 1) (a(1), 0)
+        else if (items.nonEmpty) (items.head, 1)
+        else throw JsThrown(JsStr("reduce of empty array with no initial value"))
+      var i = start
+      while (i < items.length) { acc = callFn(f, JsUndef, List(acc, items(i), JsNum(i.toDouble), t)); i += 1 }
+      acc
+    },
+    "some" -> native("some") { (t, a) =>
+      val f = arg(a, 0)
+      JsBool(asArr(t).items.zipWithIndex.exists { case (v, i) => truthy(callFn(f, JsUndef, List(v, JsNum(i.toDouble), t))) })
+    },
+    "every" -> native("every") { (t, a) =>
+      val f = arg(a, 0)
+      JsBool(asArr(t).items.zipWithIndex.forall { case (v, i) => truthy(callFn(f, JsUndef, List(v, JsNum(i.toDouble), t))) })
+    },
+    "find" -> native("find") { (t, a) =>
+      val f = arg(a, 0)
+      asArr(t).items.zipWithIndex
+        .collectFirst { case (v, i) if truthy(callFn(f, JsUndef, List(v, JsNum(i.toDouble), t))) => v }
+        .getOrElse(JsUndef)
+    },
+    "findIndex" -> native("findIndex") { (t, a) =>
+      val f = arg(a, 0)
+      JsNum(asArr(t).items.zipWithIndex
+        .collectFirst { case (v, i) if truthy(callFn(f, JsUndef, List(v, JsNum(i.toDouble), t))) => i }
+        .getOrElse(-1).toDouble)
+    },
+    "sort" -> native("sort") { (t, a) =>
+      val arr = asArr(t)
+      val cmp: (JsVal, JsVal) => Boolean = arg(a, 0) match {
+        case JsUndef => (x, y) => toStringVal(x) < toStringVal(y) // JS default: string order
+        case f => (x, y) => toNumber(callFn(f, JsUndef, List(x, y))) < 0
+      }
+      val sorted = arr.items.sortWith(cmp) // stable
+      arr.items.clear(); arr.items ++= sorted
+      arr
+    },
+    "flat" -> native("flat") { (t, _) =>
+      val out = mutable.ArrayBuffer.empty[JsVal]
+      asArr(t).items.foreach { case a: JsArr => out ++= a.items; case v => out += v }
+      new JsArr(out)
+    },
+    "toString" -> native("toString") { (t, _) => JsStr(toStringVal(t)) }
+  )
+
+  def arrayMethod(name: String): Option[JsNative] = arrayMethods.get(name)
+
+  // ---------------- Number.prototype ----------------
+
+  private val numberMethods: Map[String, JsNative] = Map(
+    "toFixed" -> native("toFixed") { (t, a) =>
+      val digits = toNumber(arg(a, 0)).toInt.max(0).min(20)
+      JsStr(String.format(java.util.Locale.ROOT, s"%.${digits}f", java.lang.Double.valueOf(toNumber(t))))
+    },
+    "toString" -> native("toString") { (t, a) =>
+      arg(a, 0) match {
+        case JsUndef => JsStr(numToString(toNumber(t)))
+        case radix =>
+          val r = toNumber(radix).toInt
+          val d = toNumber(t)
+          if (d == Math.rint(d)) JsStr(java.lang.Long.toString(d.toLong, r)) else JsStr(numToString(d))
+      }
+    }
+  )
+
+  def numberMethod(name: String): Option[JsNative] = numberMethods.get(name)
+
+  // ---------------- RegExp.prototype ----------------
+
+  private val regexMethods: Map[String, JsNative] = Map(
+    "test" -> native("test") { (t, a) =>
+      t match {
+        case r: JsRegex => JsBool(r.compiled.matcher(toStringVal(arg(a, 0))).find())
+        case _ => JsBool(false)
+      }
+    },
+    "exec" -> native("exec") { (t, a) =>
+      t match {
+        case r: JsRegex =>
+          val m = r.compiled.matcher(toStringVal(arg(a, 0)))
+          if (m.find()) {
+            val out = mutable.ArrayBuffer.empty[JsVal]
+            var g = 0
+            while (g <= m.groupCount()) { out += (if (m.group(g) == null) JsUndef else JsStr(m.group(g))); g += 1 }
+            new JsArr(out)
+          } else JsNull
+        case _ => JsNull
+      }
+    }
+  )
+
+  def regexMethod(name: String): Option[JsNative] = regexMethods.get(name)
+
+  // ---------------- globals ----------------
+
+  def install(env: JsInterp.Env): Unit = {
+    env.declare("undefined", JsUndef)
+    env.declare("NaN", JsNum(Double.NaN))
+    env.declare("Infinity", JsNum(Double.PositiveInfinity))
+
+    env.declare("JSON", JsVal.obj(
+      "parse" -> native("parse") { (_, a) => JsJson.parse(toStringVal(arg(a, 0))) },
+      "stringify" -> native("stringify") { (_, a) =>
+        val indent = arg(a, 2) match {
+          case JsNum(n) if n >= 1 => Some(" " * n.toInt.min(10))
+          case JsStr(s) if s.nonEmpty => Some(s.take(10))
+          case _ => None
+        }
+        JsJson.stringify(arg(a, 0), indent) match {
+          case Some(s) => JsStr(s)
+          case None => JsUndef
+        }
+      }))
+
+    env.declare("Math", JsVal.obj(
+      "floor" -> native("floor") { (_, a) => JsNum(Math.floor(toNumber(arg(a, 0)))) },
+      "ceil" -> native("ceil") { (_, a) => JsNum(Math.ceil(toNumber(arg(a, 0)))) },
+      "round" -> native("round") { (_, a) => JsNum(Math.floor(toNumber(arg(a, 0)) + 0.5)) },
+      "trunc" -> native("trunc") { (_, a) => val d = toNumber(arg(a, 0)); JsNum(if (d < 0) Math.ceil(d) else Math.floor(d)) },
+      "abs" -> native("abs") { (_, a) => JsNum(Math.abs(toNumber(arg(a, 0)))) },
+      "min" -> native("min") { (_, a) => JsNum(if (a.isEmpty) Double.PositiveInfinity else a.map(toNumber).min) },
+      "max" -> native("max") { (_, a) => JsNum(if (a.isEmpty) Double.NegativeInfinity else a.map(toNumber).max) },
+      "pow" -> native("pow") { (_, a) => JsNum(Math.pow(toNumber(arg(a, 0)), toNumber(arg(a, 1)))) },
+      "sqrt" -> native("sqrt") { (_, a) => JsNum(Math.sqrt(toNumber(arg(a, 0)))) },
+      "log" -> native("log") { (_, a) => JsNum(Math.log(toNumber(arg(a, 0)))) },
+      "exp" -> native("exp") { (_, a) => JsNum(Math.exp(toNumber(arg(a, 0)))) },
+      "sign" -> native("sign") { (_, a) => JsNum(Math.signum(toNumber(arg(a, 0)))) },
+      "PI" -> JsNum(Math.PI),
+      "E" -> JsNum(Math.E)))
+
+    env.declare("Object", JsVal.obj(
+      "keys" -> native("keys") { (_, a) =>
+        arg(a, 0) match {
+          case o: JsObj => new JsArr(mutable.ArrayBuffer(o.props.keys.map(JsStr(_)).toIndexedSeq: _*))
+          case arr: JsArr => new JsArr(mutable.ArrayBuffer(arr.items.indices.map(i => JsStr(i.toString)): _*))
+          case _ => JsVal.arr()
+        }
+      },
+      "values" -> native("values") { (_, a) =>
+        arg(a, 0) match {
+          case o: JsObj => new JsArr(mutable.ArrayBuffer(o.props.values.toIndexedSeq: _*))
+          case arr: JsArr => new JsArr(arr.items.clone())
+          case _ => JsVal.arr()
+        }
+      },
+      "entries" -> native("entries") { (_, a) =>
+        arg(a, 0) match {
+          case o: JsObj =>
+            new JsArr(mutable.ArrayBuffer(o.props.map { case (k, v) => JsVal.arr(JsStr(k), v) }.toIndexedSeq: _*))
+          case _ => JsVal.arr()
+        }
+      },
+      "assign" -> native("assign") { (_, a) =>
+        arg(a, 0) match {
+          case dst: JsObj =>
+            a.drop(1).foreach { case src: JsObj => src.props.foreach { case (k, v) => dst.props(k) = v }; case _ => () }
+            dst
+          case other => other
+        }
+      }))
+
+    env.declare("Array", JsVal.obj(
+      "isArray" -> native("isArray") { (_, a) => JsBool(arg(a, 0).isInstanceOf[JsArr]) }))
+
+    env.declare("parseInt", native("parseInt") { (_, a) =>
+      val s = toStringVal(arg(a, 0)).trim
+      val radix = arg(a, 1) match { case JsUndef => 10; case v => toNumber(v).toInt match { case 0 => 10; case r => r } }
+      var i = 0
+      var sign = 1.0
+      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+        if (s.charAt(i) == '-') sign = -1.0
+        i += 1
+      }
+      if (radix == 16 && s.regionMatches(true, i, "0x", 0, 2)) i += 2
+      // JS consumes the longest prefix of radix-valid digits, ignoring the rest
+      var value = 0.0
+      var any = false
+      var go = true
+      while (go && i < s.length) {
+        val d = Character.digit(s.charAt(i), radix)
+        if (d < 0) go = false
+        else { value = value * radix + d; any = true; i += 1 }
+      }
+      if (any) JsNum(sign * value) else JsNum(Double.NaN)
+    })
+    env.declare("parseFloat", native("parseFloat") { (_, a) =>
+      val m = java.util.regex.Pattern.compile("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?").matcher(toStringVal(arg(a, 0)).trim)
+      if (m.find()) JsNum(java.lang.Double.parseDouble(m.group())) else JsNum(Double.NaN)
+    })
+    env.declare("isNaN", native("isNaN") { (_, a) => JsBool(toNumber(arg(a, 0)).isNaN) })
+    env.declare("isFinite", native("isFinite") { (_, a) => val d = toNumber(arg(a, 0)); JsBool(!d.isNaN && !d.isInfinite) })
+    env.declare("String", native("String") { (_, a) => JsStr(if (a.isEmpty) "" else toStringVal(a.head)) })
+    env.declare("Number", native("Number") { (_, a) => JsNum(if (a.isEmpty) 0 else toNumber(a.head)) })
+    env.declare("Boolean", native("Boolean") { (_, a) => JsBool(a.nonEmpty && truthy(a.head)) })
+    env.declare("RegExp", native("RegExp") { (_, a) =>
+      JsRegex(toStringVal(arg(a, 0)), arg(a, 1) match { case JsUndef => ""; case v => toStringVal(v) })
+    })
+    env.declare("encodeURIComponent", native("encodeURIComponent") { (_, a) =>
+      val s = toStringVal(arg(a, 0))
+      val keep = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_.!~*'()"
+      val sb = new StringBuilder
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+        val c = (b & 0xff).toChar
+        if (keep.indexOf(c) >= 0) sb.append(c) else sb.append(f"%%${b & 0xff}%02X")
+      }
+      JsStr(sb.toString)
+    })
+    env.declare("decodeURIComponent", native("decodeURIComponent") { (_, a) =>
+      val s = toStringVal(arg(a, 0))
+      try {
+        val out = new java.io.ByteArrayOutputStream
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '%' && i + 2 < s.length + 1 && i + 2 < s.length + 1) {
+            out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+          } else { out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)); i += 1 }
+        }
+        JsStr(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Exception => throw JsThrown(JsStr("URI malformed")) }
+    })
+  }
+}

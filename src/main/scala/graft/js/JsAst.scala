@@ -1,0 +1,67 @@
+package graft.js
+
+/** AST for the ES5-ish subset executed by [[JsInterp]].
+  *
+  * Everything is `Serializable` on purpose: scripts are compiled ONCE on the
+  * driver (fail-fast on syntax errors, mirroring the reference's
+  * `exitOnCompileError` behavior — reference
+  * enrichments/registry/JavascriptScriptEnrichment.scala:97) and the compiled
+  * AST ships inside the task closure, so executors never re-parse. The
+  * interpreter itself is instantiated per partition.
+  */
+object JsAst {
+
+  sealed trait Expr extends Serializable
+
+  final case class NumLit(v: Double) extends Expr
+  final case class StrLit(v: String) extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  case object UndefLit extends Expr
+  /** `/pattern/flags` literal; compiled lazily by the evaluator. */
+  final case class RegexLit(pattern: String, flags: String) extends Expr
+  final case class Ident(name: String) extends Expr
+  final case class ArrLit(items: List[Expr]) extends Expr
+  final case class ObjLit(props: List[(String, Expr)]) extends Expr
+  /** `obj.name` */
+  final case class Member(obj: Expr, name: String) extends Expr
+  /** `obj[idx]` */
+  final case class Index(obj: Expr, idx: Expr) extends Expr
+  /** Call; when `fn` is a Member/Index the receiver becomes `this`. */
+  final case class Call(fn: Expr, args: List[Expr]) extends Expr
+  final case class Unary(op: String, e: Expr) extends Expr
+  /** `++x` / `x--` etc. `prefix` decides the returned value. */
+  final case class Update(op: String, target: Expr, prefix: Boolean) extends Expr
+  final case class Binary(op: String, l: Expr, r: Expr) extends Expr
+  /** Short-circuiting `&&` / `||`. */
+  final case class Logical(op: String, l: Expr, r: Expr) extends Expr
+  final case class Cond(c: Expr, t: Expr, f: Expr) extends Expr
+  /** `target op= value`; op is "" for plain assignment. */
+  final case class Assign(target: Expr, op: String, value: Expr) extends Expr
+  final case class FuncExpr(name: Option[String], params: List[String], body: List[Stmt]) extends Expr
+
+  sealed trait Stmt extends Serializable
+
+  /** kind ∈ var | let | const (all function-scoped here — the subset does not
+    * implement TDZ or block scoping for `let`). */
+  final case class VarDecl(kind: String, decls: List[(String, Option[Expr])]) extends Stmt
+  final case class ExprStmt(e: Expr) extends Stmt
+  final case class If(c: Expr, t: Stmt, f: Option[Stmt]) extends Stmt
+  final case class While(c: Expr, body: Stmt) extends Stmt
+  final case class DoWhile(body: Stmt, c: Expr) extends Stmt
+  final case class For(init: Option[Stmt], test: Option[Expr], update: Option[Expr], body: Stmt) extends Stmt
+  /** `for ([const|let|var] x of iter)`; also covers the bare `for (x of xs)`
+    * form the reference spec scripts use. */
+  final case class ForOf(varName: String, iter: Expr, body: Stmt) extends Stmt
+  final case class ForIn(varName: String, obj: Expr, body: Stmt) extends Stmt
+  final case class Return(e: Option[Expr]) extends Stmt
+  final case class Throw(e: Expr) extends Stmt
+  case object Break extends Stmt
+  case object Continue extends Stmt
+  final case class Block(stmts: List[Stmt]) extends Stmt
+  final case class FuncDecl(name: String, params: List[String], body: List[Stmt]) extends Stmt
+  final case class TryStmt(block: List[Stmt], catchParam: Option[String], catchBlock: Option[List[Stmt]], finallyBlock: Option[List[Stmt]]) extends Stmt
+
+  /** A compiled program (top-level statement list). */
+  final case class Program(stmts: List[Stmt]) extends Serializable
+}

@@ -1,0 +1,507 @@
+package graft.js
+
+import scala.collection.mutable
+import scala.util.control.NoStackTrace
+
+import JsAst._
+
+/** Runtime values for the JS subset. Arrays/objects are mutable (JS
+  * semantics); objects keep insertion order so `JSON.stringify` is
+  * deterministic — which is what lets a JS-derived column be oracle-checked.
+  */
+sealed trait JsVal
+final case class JsNum(v: Double) extends JsVal
+final case class JsStr(v: String) extends JsVal
+final case class JsBool(v: Boolean) extends JsVal
+case object JsNull extends JsVal
+case object JsUndef extends JsVal
+final class JsArr(val items: mutable.ArrayBuffer[JsVal]) extends JsVal
+/** `magic` resolves host-provided properties (the event object's
+  * getter/setter/drop surface) when the plain map misses. */
+final class JsObj(val props: mutable.LinkedHashMap[String, JsVal], val magic: String => Option[JsVal] = _ => None) extends JsVal
+final case class JsFunc(name: Option[String], params: List[String], body: List[Stmt], closure: JsInterp.Env) extends JsVal
+final case class JsNative(name: String, fn: (JsVal, List[JsVal]) => JsVal) extends JsVal
+final case class JsRegex(pattern: String, flags: String) extends JsVal {
+  lazy val compiled: java.util.regex.Pattern = {
+    var f = 0
+    if (flags.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.UNICODE_CASE
+    if (flags.contains('m')) f |= java.util.regex.Pattern.MULTILINE
+    if (flags.contains('s')) f |= java.util.regex.Pattern.DOTALL
+    java.util.regex.Pattern.compile(pattern, f)
+  }
+  def global: Boolean = flags.contains('g')
+}
+
+object JsVal {
+  def arr(vs: JsVal*): JsArr = new JsArr(mutable.ArrayBuffer(vs: _*))
+  def obj(kvs: (String, JsVal)*): JsObj = new JsObj(mutable.LinkedHashMap(kvs: _*))
+}
+
+/** Thrown value from JS `throw` (and host-raised runtime errors). */
+final case class JsThrown(value: JsVal) extends RuntimeException with NoStackTrace {
+  override def getMessage: String = JsInterp.toStringVal(value)
+}
+/** Raised by `event.drop()` — maps to the reference's Result.Dropped
+  * (reference JavascriptScriptEnrichment.scala `JavascriptRejectionException`). */
+final class JsDropEvent extends RuntimeException with NoStackTrace
+
+/** Tree-walking evaluator. One instance per partition; `run`/`invoke` are
+  * called per row. A step budget bounds runaway scripts so one bad event
+  * cannot hang an executor core on a 100 TB backfill.
+  */
+final class JsInterp(maxSteps: Long = 10_000_000L) {
+  import JsInterp._
+
+  private var steps = 0L
+
+  private final class ReturnEx(val v: JsVal) extends RuntimeException with NoStackTrace
+  private final class BreakEx extends RuntimeException with NoStackTrace
+  private final class ContinueEx extends RuntimeException with NoStackTrace
+  private val breakEx = new BreakEx
+  private val continueEx = new ContinueEx
+
+  val globals: Env = { val e = new Env(null); Builtins.install(e); e }
+
+  /** Evaluate a whole program in a fresh scope under the globals. */
+  def run(p: Program): Env = {
+    steps = 0
+    JsInterp.active.set(this)
+    val env = new Env(globals)
+    hoist(p.stmts, env)
+    p.stmts.foreach(exec(_, env))
+    env
+  }
+
+  /** Call a named function defined by a previously-`run` program. */
+  def invoke(env: Env, fname: String, args: List[JsVal]): JsVal = {
+    steps = 0
+    JsInterp.active.set(this)
+    env.lookup(fname) match {
+      case Some(f: JsFunc) => callFunction(f, JsUndef, args)
+      case Some(other) => throw JsThrown(JsStr(s"$fname is not a function: ${typeOf(other)}"))
+      case None => throw JsThrown(JsStr(s"$fname is not defined"))
+    }
+  }
+
+  def callFunction(f: JsFunc, thisVal: JsVal, args: List[JsVal]): JsVal = {
+    val env = new Env(f.closure)
+    var i = 0
+    for (p <- f.params) { env.declare(p, if (i < args.length) args(i) else JsUndef); i += 1 }
+    f.name.foreach(n => if (env.lookup(n).isEmpty) env.declare(n, f))
+    env.declare("this", thisVal)
+    hoist(f.body, env)
+    try { f.body.foreach(exec(_, env)); JsUndef }
+    catch { case r: ReturnEx => r.v }
+  }
+
+  private def hoist(stmts: List[Stmt], env: Env): Unit =
+    stmts.foreach {
+      case FuncDecl(name, params, body) => env.declare(name, JsFunc(Some(name), params, body, env))
+      case _ => ()
+    }
+
+  private def tick(): Unit = {
+    steps += 1
+    if (steps > maxSteps) throw JsThrown(JsStr(s"script exceeded $maxSteps steps"))
+  }
+
+  // ---------------- statements ----------------
+
+  private def exec(s: Stmt, env: Env): Unit = {
+    tick()
+    s match {
+      case ExprStmt(e) => eval(e, env)
+      case VarDecl(_, decls) =>
+        decls.foreach { case (n, init) => env.declare(n, init.map(eval(_, env)).getOrElse(JsUndef)) }
+      case Block(stmts) => stmts.foreach(exec(_, env))
+      case If(c, t, f) => if (truthy(eval(c, env))) exec(t, env) else f.foreach(exec(_, env))
+      case While(c, body) =>
+        while (truthy(eval(c, env))) {
+          try exec(body, env)
+          catch { case _: ContinueEx => (); case _: BreakEx => return }
+        }
+      case DoWhile(body, c) =>
+        var go = true
+        while (go) {
+          try exec(body, env)
+          catch { case _: ContinueEx => (); case _: BreakEx => return }
+          go = truthy(eval(c, env))
+        }
+      case For(init, test, update, body) =>
+        init.foreach(exec(_, env))
+        while (test.forall(t => truthy(eval(t, env)))) {
+          try exec(body, env)
+          catch { case _: ContinueEx => (); case _: BreakEx => return }
+          update.foreach(eval(_, env))
+        }
+      case ForOf(name, iterE, body) =>
+        val it: Seq[JsVal] = eval(iterE, env) match {
+          case a: JsArr => a.items.toSeq
+          case JsStr(s0) => s0.map(c => JsStr(c.toString)).toSeq
+          case o: JsObj => throw JsThrown(JsStr("object is not iterable (use for-in)")) // scalastyle:ignore
+          case JsNull | JsUndef => throw JsThrown(JsStr("cannot iterate null/undefined"))
+          case other => throw JsThrown(JsStr(s"${typeOf(other)} is not iterable"))
+        }
+        for (v <- it) {
+          env.assignOrDeclare(name, v)
+          try exec(body, env)
+          catch { case _: ContinueEx => (); case _: BreakEx => return }
+        }
+      case ForIn(name, objE, body) =>
+        val keys: Seq[String] = eval(objE, env) match {
+          case o: JsObj => o.props.keys.toSeq
+          case a: JsArr => a.items.indices.map(_.toString)
+          case _ => Seq.empty
+        }
+        for (k <- keys) {
+          env.assignOrDeclare(name, JsStr(k))
+          try exec(body, env)
+          catch { case _: ContinueEx => (); case _: BreakEx => return }
+        }
+      case Return(e) => throw new ReturnEx(e.map(eval(_, env)).getOrElse(JsUndef))
+      case Throw(e) => throw JsThrown(eval(e, env))
+      case Break => throw breakEx
+      case Continue => throw continueEx
+      case FuncDecl(name, params, body) =>
+        env.declare(name, JsFunc(Some(name), params, body, env))
+      case TryStmt(block, catchParam, catchBlock, finallyBlock) =>
+        try {
+          try block.foreach(exec(_, env))
+          catch {
+            case t: JsThrown if catchBlock.isDefined =>
+              val cenv = new Env(env)
+              catchParam.foreach(p => cenv.declare(p, t.value))
+              catchBlock.get.foreach(exec(_, cenv))
+          }
+        } finally finallyBlock.foreach(_.foreach(exec(_, env)))
+    }
+  }
+
+  // ---------------- expressions ----------------
+
+  def eval(e: Expr, env: Env): JsVal = {
+    tick()
+    e match {
+      case NumLit(v) => JsNum(v)
+      case StrLit(v) => JsStr(v)
+      case BoolLit(v) => JsBool(v)
+      case NullLit => JsNull
+      case UndefLit => JsUndef
+      case RegexLit(p, f) => JsRegex(p, f)
+      case Ident(n) =>
+        env.lookup(n).getOrElse(throw JsThrown(JsStr(s"$n is not defined")))
+      case ArrLit(items) => new JsArr(mutable.ArrayBuffer(items.map(eval(_, env)): _*))
+      case ObjLit(props) =>
+        val m = mutable.LinkedHashMap.empty[String, JsVal]
+        props.foreach { case (k, v) => m(k) = eval(v, env) }
+        new JsObj(m)
+      case FuncExpr(name, params, body) => JsFunc(name, params, body, env)
+      case Member(o, name) => getProp(eval(o, env), name)
+      case Index(o, idx) =>
+        val ov = eval(o, env)
+        val iv = eval(idx, env)
+        (ov, iv) match {
+          case (a: JsArr, JsNum(n)) =>
+            val i = n.toInt
+            if (i >= 0 && i < a.items.length) a.items(i) else JsUndef
+          case (JsStr(s0), JsNum(n)) =>
+            val i = n.toInt
+            if (i >= 0 && i < s0.length) JsStr(s0.charAt(i).toString) else JsUndef
+          case _ => getProp(ov, toStringVal(iv))
+        }
+      case Call(fnE, argEs) =>
+        val (thisVal, fnVal) = fnE match {
+          case Member(oE, name) =>
+            val o = eval(oE, env)
+            (o, getProp(o, name))
+          case Index(oE, idxE) =>
+            val o = eval(oE, env)
+            (o, getProp(o, toStringVal(eval(idxE, env))))
+          case other => (JsUndef, eval(other, env))
+        }
+        val args = argEs.map(eval(_, env))
+        fnVal match {
+          case f: JsFunc => callFunction(f, thisVal, args)
+          case JsNative(_, fn) => fn(thisVal, args)
+          case other =>
+            val where = fnE match { case Member(_, n) => s".$n"; case Ident(n) => n; case _ => "" }
+            throw JsThrown(JsStr(s"$where is not a function (got ${typeOf(other)})"))
+        }
+      case Unary(op, inner) =>
+        op match {
+          case "!" => JsBool(!truthy(eval(inner, env)))
+          case "-" => JsNum(-toNumber(eval(inner, env)))
+          case "+" => JsNum(toNumber(eval(inner, env)))
+          case "~" => JsNum((~toInt32(eval(inner, env))).toDouble)
+          case "void" => eval(inner, env); JsUndef
+          case "typeof" =>
+            inner match {
+              case Ident(n) if env.lookup(n).isEmpty => JsStr("undefined")
+              case _ => JsStr(typeOf(eval(inner, env)))
+            }
+          case "delete" =>
+            inner match {
+              case Member(oE, name) =>
+                eval(oE, env) match { case o: JsObj => o.props.remove(name); case _ => () }
+                JsBool(true)
+              case Index(oE, idxE) =>
+                val o = eval(oE, env)
+                val k = eval(idxE, env)
+                o match {
+                  case obj: JsObj => obj.props.remove(toStringVal(k))
+                  case a: JsArr =>
+                    val i = toNumber(k).toInt
+                    if (i >= 0 && i < a.items.length) a.items(i) = JsUndef
+                  case _ => ()
+                }
+                JsBool(true)
+              case _ => JsBool(true)
+            }
+          case other => throw JsThrown(JsStr(s"unsupported unary $other"))
+        }
+      case Update(op, target, prefix) =>
+        val old = toNumber(evalTargetRead(target, env))
+        val nv = if (op == "++") old + 1 else old - 1
+        assignTo(target, JsNum(nv), env)
+        JsNum(if (prefix) nv else old)
+      case Binary(op, lE, rE) => binary(op, eval(lE, env), eval(rE, env))
+      case Logical("&&", lE, rE) =>
+        val l = eval(lE, env)
+        if (truthy(l)) eval(rE, env) else l
+      case Logical("||", lE, rE) =>
+        val l = eval(lE, env)
+        if (truthy(l)) l else eval(rE, env)
+      case Logical(op, _, _) => throw JsThrown(JsStr(s"unsupported logical $op"))
+      case Cond(c, t, f) => if (truthy(eval(c, env))) eval(t, env) else eval(f, env)
+      case Assign(target, op, vE) =>
+        val v0 = eval(vE, env)
+        val v = if (op.isEmpty) v0 else binary(op, evalTargetRead(target, env), v0)
+        assignTo(target, v, env)
+        v
+    }
+  }
+
+  private def evalTargetRead(t: Expr, env: Env): JsVal = t match {
+    case Ident(n) => env.lookup(n).getOrElse(JsUndef)
+    case _ => eval(t, env)
+  }
+
+  private def assignTo(target: Expr, v: JsVal, env: Env): Unit = target match {
+    case Ident(n) => env.assignOrDeclare(n, v)
+    case Member(oE, name) =>
+      eval(oE, env) match {
+        case o: JsObj => setProp(o, name, v)
+        case a: JsArr if name == "length" =>
+          val n = toNumber(v).toInt
+          if (n < a.items.length) a.items.remove(n, a.items.length - n)
+          else while (a.items.length < n) a.items += JsUndef
+        case other => throw JsThrown(JsStr(s"cannot set property '$name' on ${typeOf(other)}"))
+      }
+    case Index(oE, idxE) =>
+      val o = eval(oE, env)
+      val idx = eval(idxE, env)
+      o match {
+        case a: JsArr =>
+          val i = toNumber(idx).toInt
+          if (i < 0) throw JsThrown(JsStr("negative array index"))
+          while (a.items.length <= i) a.items += JsUndef
+          a.items(i) = v
+        case obj: JsObj => setProp(obj, toStringVal(idx), v)
+        case other => throw JsThrown(JsStr(s"cannot index-assign on ${typeOf(other)}"))
+      }
+    case _ => throw JsThrown(JsStr("invalid assignment target"))
+  }
+
+  private def setProp(o: JsObj, name: String, v: JsVal): Unit =
+    o.magic(s"set:$name") match {
+      case Some(JsNative(_, fn)) => fn(o, List(v)); ()
+      case _ => o.props(name) = v
+    }
+
+  private def getProp(recv: JsVal, name: String): JsVal = recv match {
+    case o: JsObj =>
+      o.props.get(name).orElse(o.magic(name)).getOrElse(JsUndef)
+    case a: JsArr =>
+      if (name == "length") JsNum(a.items.length.toDouble)
+      else Builtins.arrayMethod(name).getOrElse(JsUndef)
+    case JsStr(s0) =>
+      if (name == "length") JsNum(s0.length.toDouble)
+      else Builtins.stringMethod(name).getOrElse(JsUndef)
+    case JsNum(_) => Builtins.numberMethod(name).getOrElse(JsUndef)
+    case r: JsRegex =>
+      name match {
+        case "source" => JsStr(r.pattern)
+        case "flags" => JsStr(r.flags)
+        case "global" => JsBool(r.global)
+        case _ => Builtins.regexMethod(name).getOrElse(JsUndef)
+      }
+    case JsNull => throw JsThrown(JsStr(s"cannot read property '$name' of null"))
+    case JsUndef => throw JsThrown(JsStr(s"cannot read property '$name' of undefined"))
+    case _ => JsUndef
+  }
+
+  private def binary(op: String, l: JsVal, r: JsVal): JsVal = op match {
+    case "+" =>
+      (toPrimitive(l), toPrimitive(r)) match {
+        case (JsStr(a), b) => JsStr(a + toStringVal(b))
+        case (a, JsStr(b)) => JsStr(toStringVal(a) + b)
+        case (a, b) => JsNum(toNumber(a) + toNumber(b))
+      }
+    case "-" => JsNum(toNumber(l) - toNumber(r))
+    case "*" => JsNum(toNumber(l) * toNumber(r))
+    case "/" => JsNum(toNumber(l) / toNumber(r))
+    case "%" => JsNum(toNumber(l) % toNumber(r))
+    case "==" => JsBool(looseEq(l, r))
+    case "!=" => JsBool(!looseEq(l, r))
+    case "===" => JsBool(strictEq(l, r))
+    case "!==" => JsBool(!strictEq(l, r))
+    case "<" | "<=" | ">" | ">=" =>
+      (toPrimitive(l), toPrimitive(r)) match {
+        case (JsStr(a), JsStr(b)) =>
+          val c = a.compareTo(b)
+          JsBool(op match { case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case _ => c >= 0 })
+        case (a, b) =>
+          val (x, y) = (toNumber(a), toNumber(b))
+          if (x.isNaN || y.isNaN) JsBool(false)
+          else JsBool(op match { case "<" => x < y; case "<=" => x <= y; case ">" => x > y; case _ => x >= y })
+      }
+    case "&" => JsNum((toInt32(l) & toInt32(r)).toDouble)
+    case "|" => JsNum((toInt32(l) | toInt32(r)).toDouble)
+    case "^" => JsNum((toInt32(l) ^ toInt32(r)).toDouble)
+    case "<<" => JsNum((toInt32(l) << (toInt32(r) & 31)).toDouble)
+    case ">>" => JsNum((toInt32(l) >> (toInt32(r) & 31)).toDouble)
+    case ">>>" => JsNum(((toInt32(l).toLong & 0xffffffffL) >>> (toInt32(r) & 31)).toDouble)
+    case "in" =>
+      r match {
+        case o: JsObj => JsBool(o.props.contains(toStringVal(l)))
+        case a: JsArr => val i = toNumber(l).toInt; JsBool(i >= 0 && i < a.items.length)
+        case _ => JsBool(false)
+      }
+    case "instanceof" => JsBool(false) // no prototype chains in the subset
+    case other => throw JsThrown(JsStr(s"unsupported operator $other"))
+  }
+}
+
+object JsInterp {
+
+  /** The interpreter currently driving this thread — lets native builtins
+    * (Array.map etc.) call user closures through the SAME step budget instead
+    * of allocating a fresh engine per callback. */
+  private[js] val active: ThreadLocal[JsInterp] = new ThreadLocal[JsInterp]
+
+  /** Lexical environment (function-scoped, like `var`). */
+  final class Env(val parent: Env) {
+    private val vars = mutable.HashMap.empty[String, JsVal]
+    def declare(name: String, v: JsVal): Unit = vars(name) = v
+    def lookup(name: String): Option[JsVal] = {
+      var e = this
+      while (e != null) {
+        val v = e.vars.get(name)
+        if (v.isDefined) return v
+        e = e.parent
+      }
+      None
+    }
+    /** Assign to the nearest scope holding `name`, or declare here (sloppy
+      * global-style assignment — what bare `for (x of xs)` relies on). */
+    def assignOrDeclare(name: String, v: JsVal): Unit = {
+      var e = this
+      while (e != null) {
+        if (e.vars.contains(name)) { e.vars(name) = v; return }
+        e = e.parent
+      }
+      vars(name) = v
+    }
+  }
+
+  def truthy(v: JsVal): Boolean = v match {
+    case JsBool(b) => b
+    case JsNum(n) => n != 0 && !n.isNaN
+    case JsStr(s) => s.nonEmpty
+    case JsNull | JsUndef => false
+    case _ => true
+  }
+
+  def typeOf(v: JsVal): String = v match {
+    case _: JsNum => "number"
+    case _: JsStr => "string"
+    case _: JsBool => "boolean"
+    case JsUndef => "undefined"
+    case _: JsFunc | _: JsNative => "function"
+    case _ => "object"
+  }
+
+  def toNumber(v: JsVal): Double = v match {
+    case JsNum(n) => n
+    case JsBool(b) => if (b) 1 else 0
+    case JsNull => 0
+    case JsUndef => Double.NaN
+    case JsStr(s) =>
+      val t = s.trim
+      if (t.isEmpty) 0
+      else
+        try {
+          if (t.startsWith("0x") || t.startsWith("0X")) java.lang.Long.parseLong(t.substring(2), 16).toDouble
+          else java.lang.Double.parseDouble(t)
+        } catch { case _: NumberFormatException => Double.NaN }
+    case a: JsArr if a.items.isEmpty => 0
+    case a: JsArr if a.items.length == 1 => toNumber(a.items.head)
+    case _ => Double.NaN
+  }
+
+  def toInt32(v: JsVal): Int = {
+    val d = toNumber(v)
+    if (d.isNaN || d.isInfinite) 0 else d.toLong.toInt
+  }
+
+  /** JS Number→String (the integral-no-decimal rule matters for oracles). */
+  def numToString(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v.isPosInfinity) "Infinity"
+    else if (v.isNegInfinity) "-Infinity"
+    else if (v == 0.0) "0"
+    else if (v == Math.rint(v) && Math.abs(v) < 1e21) {
+      val l = v.toLong
+      if (l.toDouble == v) l.toString else new java.math.BigDecimal(v).toBigInteger.toString
+    } else v.toString
+
+  def toStringVal(v: JsVal): String = v match {
+    case JsStr(s) => s
+    case JsNum(n) => numToString(n)
+    case JsBool(b) => b.toString
+    case JsNull => "null"
+    case JsUndef => "undefined"
+    case a: JsArr => a.items.map(i => if (i == JsNull || i == JsUndef) "" else toStringVal(i)).mkString(",")
+    case _: JsObj => "[object Object]"
+    case f: JsFunc => s"function ${f.name.getOrElse("")}() { [graft] }"
+    case n: JsNative => s"function ${n.name}() { [native] }"
+    case r: JsRegex => s"/${r.pattern}/${r.flags}"
+  }
+
+  def toPrimitive(v: JsVal): JsVal = v match {
+    case _: JsArr | _: JsObj => JsStr(toStringVal(v))
+    case other => other
+  }
+
+  def strictEq(l: JsVal, r: JsVal): Boolean = (l, r) match {
+    case (JsNum(a), JsNum(b)) => a == b // NaN !== NaN falls out of IEEE ==
+    case (JsStr(a), JsStr(b)) => a == b
+    case (JsBool(a), JsBool(b)) => a == b
+    case (JsNull, JsNull) | (JsUndef, JsUndef) => true
+    case (a: JsArr, b: JsArr) => a eq b
+    case (a: JsObj, b: JsObj) => a eq b
+    case (a: JsFunc, b: JsFunc) => a eq b
+    case _ => false
+  }
+
+  def looseEq(l: JsVal, r: JsVal): Boolean = (l, r) match {
+    case (JsNull, JsUndef) | (JsUndef, JsNull) => true
+    case (JsNum(_), JsStr(_)) => toNumber(l) == toNumber(r)
+    case (JsStr(_), JsNum(_)) => toNumber(l) == toNumber(r)
+    case (JsBool(_), _) => looseEq(JsNum(toNumber(l)), r)
+    case (_, JsBool(_)) => looseEq(l, JsNum(toNumber(r)))
+    case ((_: JsArr | _: JsObj), (_: JsNum | _: JsStr)) => looseEq(toPrimitive(l), r)
+    case ((_: JsNum | _: JsStr), (_: JsArr | _: JsObj)) => looseEq(l, toPrimitive(r))
+    case _ => strictEq(l, r)
+  }
+}

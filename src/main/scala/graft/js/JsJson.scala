@@ -1,0 +1,189 @@
+package graft.js
+
+import scala.collection.mutable
+
+import JsInterp._
+
+/** `JSON.parse` / `JSON.stringify` with JS semantics: insertion-ordered
+  * objects, integral numbers rendered without a decimal point, `undefined`
+  * properties skipped, `undefined` array elements serialized as `null`.
+  * The parser is hand-rolled (no dependency drift with the oracle's JSON
+  * handling; Jackson would widen numbers differently).
+  */
+object JsJson {
+
+  def parse(src: String): JsVal = {
+    val p = new P(src)
+    val v = p.value()
+    p.skipWs()
+    if (!p.eof) throw JsThrown(JsStr(s"Unexpected token in JSON at position ${p.pos}"))
+    v
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit =
+      while (pos < s.length && (s.charAt(pos) == ' ' || s.charAt(pos) == '\t' || s.charAt(pos) == '\n' || s.charAt(pos) == '\r')) pos += 1
+    private def fail(msg: String): Nothing = throw JsThrown(JsStr(s"$msg in JSON at position $pos"))
+    private def expect(c: Char): Unit = {
+      if (eof || s.charAt(pos) != c) fail(s"Expected '$c'")
+      pos += 1
+    }
+
+    def value(): JsVal = {
+      skipWs()
+      if (eof) fail("Unexpected end")
+      s.charAt(pos) match {
+        case '{' =>
+          pos += 1
+          val m = mutable.LinkedHashMap.empty[String, JsVal]
+          skipWs()
+          if (!eof && s.charAt(pos) == '}') { pos += 1; return new JsObj(m) }
+          var more = true
+          while (more) {
+            skipWs()
+            val k = string()
+            skipWs(); expect(':')
+            m(k) = value()
+            skipWs()
+            if (!eof && s.charAt(pos) == ',') pos += 1
+            else { expect('}'); more = false }
+          }
+          new JsObj(m)
+        case '[' =>
+          pos += 1
+          val b = mutable.ArrayBuffer.empty[JsVal]
+          skipWs()
+          if (!eof && s.charAt(pos) == ']') { pos += 1; return new JsArr(b) }
+          var more = true
+          while (more) {
+            b += value()
+            skipWs()
+            if (!eof && s.charAt(pos) == ',') pos += 1
+            else { expect(']'); more = false }
+          }
+          new JsArr(b)
+        case '"' => JsStr(string())
+        case 't' =>
+          if (s.startsWith("true", pos)) { pos += 4; JsBool(true) } else fail("Unexpected token")
+        case 'f' =>
+          if (s.startsWith("false", pos)) { pos += 5; JsBool(false) } else fail("Unexpected token")
+        case 'n' =>
+          if (s.startsWith("null", pos)) { pos += 4; JsNull } else fail("Unexpected token")
+        case c if c == '-' || (c >= '0' && c <= '9') =>
+          val start = pos
+          if (c == '-') pos += 1
+          while (!eof && s.charAt(pos) >= '0' && s.charAt(pos) <= '9') pos += 1
+          if (!eof && s.charAt(pos) == '.') { pos += 1; while (!eof && s.charAt(pos).isDigit) pos += 1 }
+          if (!eof && (s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) {
+            pos += 1
+            if (!eof && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) pos += 1
+            while (!eof && s.charAt(pos).isDigit) pos += 1
+          }
+          if (pos == start || (pos == start + 1 && c == '-')) fail("Bad number")
+          JsNum(java.lang.Double.parseDouble(s.substring(start, pos)))
+        case _ => fail("Unexpected token")
+      }
+    }
+
+    private def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        if (eof) fail("Unterminated string")
+        val c = s.charAt(pos)
+        if (c == '"') { pos += 1; done = true }
+        else if (c == '\\') {
+          if (pos + 1 >= s.length) fail("Bad escape")
+          s.charAt(pos + 1) match {
+            case '"' => sb.append('"'); pos += 2
+            case '\\' => sb.append('\\'); pos += 2
+            case '/' => sb.append('/'); pos += 2
+            case 'n' => sb.append('\n'); pos += 2
+            case 't' => sb.append('\t'); pos += 2
+            case 'r' => sb.append('\r'); pos += 2
+            case 'b' => sb.append('\b'); pos += 2
+            case 'f' => sb.append('\f'); pos += 2
+            case 'u' =>
+              if (pos + 5 >= s.length + 1) fail("Bad \\u escape")
+              sb.append(Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar); pos += 6
+            case _ => fail("Bad escape")
+          }
+        } else { sb.append(c); pos += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  /** None for `undefined`/functions at the top level (JS returns undefined). */
+  def stringify(v: JsVal, indent: Option[String] = None): Option[String] = v match {
+    case JsUndef | _: JsFunc | _: JsNative => None
+    case _ =>
+      val sb = new StringBuilder
+      write(v, sb, indent, 0)
+      Some(sb.toString)
+  }
+
+  private def write(v: JsVal, sb: StringBuilder, indent: Option[String], depth: Int): Unit = {
+    def nl(d: Int): Unit = indent.foreach { ind => sb.append('\n'); var i = 0; while (i < d) { sb.append(ind); i += 1 } }
+    v match {
+      case JsNull | JsUndef | _: JsFunc | _: JsNative => sb.append("null")
+      case JsBool(b) => sb.append(b)
+      case JsNum(n) =>
+        if (n.isNaN || n.isInfinite) sb.append("null") else sb.append(numToString(n))
+      case JsStr(s) => writeString(s, sb)
+      case _: JsRegex => sb.append("{}")
+      case a: JsArr =>
+        if (a.items.isEmpty) { sb.append("[]"); return }
+        sb.append('[')
+        var first = true
+        a.items.foreach { item =>
+          if (!first) sb.append(',')
+          first = false
+          nl(depth + 1)
+          write(item, sb, indent, depth + 1)
+        }
+        nl(depth)
+        sb.append(']')
+      case o: JsObj =>
+        val kept = o.props.iterator.filter { case (_, pv) => pv != JsUndef && !pv.isInstanceOf[JsFunc] && !pv.isInstanceOf[JsNative] }.toSeq
+        if (kept.isEmpty) { sb.append("{}"); return }
+        sb.append('{')
+        var first = true
+        kept.foreach { case (k, pv) =>
+          if (!first) sb.append(',')
+          first = false
+          nl(depth + 1)
+          writeString(k, sb)
+          sb.append(':')
+          if (indent.isDefined) sb.append(' ')
+          write(pv, sb, indent, depth + 1)
+        }
+        nl(depth)
+        sb.append('}')
+    }
+  }
+
+  private def writeString(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case ctrl if ctrl < ' ' => sb.append(f"\\u${ctrl.toInt}%04x")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+}

@@ -1,0 +1,388 @@
+package graft.js
+
+import JsAst._
+import JsLexer._
+
+/** Recursive-descent / Pratt parser for the JS subset.
+  *
+  * Semicolons are optional everywhere (statements self-terminate), which
+  * covers the reference's sample scripts without a full ASI implementation;
+  * the one divergence is that `return` followed by an expression on the next
+  * line is parsed as `return expr` rather than `return;`.
+  */
+object JsParser {
+
+  final case class ParseError(msg: String, pos: Int) extends RuntimeException(s"$msg at offset $pos")
+
+  def parse(src: String): Program = new P(JsLexer.lex(src)).program()
+
+  private final class P(toks: Vector[Tok]) {
+    private var i = 0
+
+    private def peek: Tok = toks(i)
+    private def next(): Tok = { val t = toks(i); i += 1; t }
+    private def isPunct(s: String): Boolean = peek match { case TPunct(p, _) => p == s; case _ => false }
+    private def isKw(s: String): Boolean = peek match { case TKeyword(k, _) => k == s; case _ => false }
+    private def eatPunct(s: String): Unit = peek match {
+      case TPunct(p, _) if p == s => i += 1
+      case t => throw ParseError(s"expected '$s' but found $t", t.pos)
+    }
+    private def eatKw(s: String): Unit = peek match {
+      case TKeyword(k, _) if k == s => i += 1
+      case t => throw ParseError(s"expected keyword '$s' but found $t", t.pos)
+    }
+    private def tryPunct(s: String): Boolean = if (isPunct(s)) { i += 1; true } else false
+    private def identName(): String = next() match {
+      case TIdent(n, _) => n
+      // property-position keywords (e.g. obj.in) are fine as names
+      case TKeyword(n, _) => n
+      case t => throw ParseError(s"expected identifier but found $t", t.pos)
+    }
+
+    def program(): Program = {
+      val stmts = List.newBuilder[Stmt]
+      while (!peek.isInstanceOf[TEof]) stmts += statement()
+      Program(stmts.result())
+    }
+
+    // ---------------- statements ----------------
+
+    def statement(): Stmt = peek match {
+      case TPunct("{", _) => next(); blockRest()
+      case TPunct(";", _) => next(); Block(Nil)
+      case TKeyword("var", _) | TKeyword("let", _) | TKeyword("const", _) =>
+        val d = varDecl(); tryPunct(";"); d
+      case TKeyword("function", _) =>
+        next()
+        val name = identName()
+        val (params, body) = funcRest()
+        FuncDecl(name, params, body)
+      case TKeyword("if", _) =>
+        next(); eatPunct("(")
+        val c = expression()
+        eatPunct(")")
+        val t = statement()
+        val f = if (isKw("else")) { next(); Some(statement()) } else None
+        If(c, t, f)
+      case TKeyword("while", _) =>
+        next(); eatPunct("(")
+        val c = expression()
+        eatPunct(")")
+        While(c, statement())
+      case TKeyword("do", _) =>
+        next()
+        val b = statement()
+        eatKw("while"); eatPunct("(")
+        val c = expression()
+        eatPunct(")"); tryPunct(";")
+        DoWhile(b, c)
+      case TKeyword("for", _) => forStatement()
+      case TKeyword("return", _) =>
+        next()
+        val e = if (isPunct(";") || isPunct("}") || peek.isInstanceOf[TEof]) None else Some(expression())
+        tryPunct(";")
+        Return(e)
+      case TKeyword("throw", _) =>
+        next()
+        val e = expression(); tryPunct(";")
+        Throw(e)
+      case TKeyword("break", _) => next(); tryPunct(";"); Break
+      case TKeyword("continue", _) => next(); tryPunct(";"); Continue
+      case TKeyword("try", _) =>
+        next(); eatPunct("{")
+        val b = stmtListUntilBrace()
+        var cp: Option[String] = None
+        var cb: Option[List[Stmt]] = None
+        var fb: Option[List[Stmt]] = None
+        if (isKw("catch")) {
+          next()
+          if (tryPunct("(")) { cp = Some(identName()); eatPunct(")") }
+          eatPunct("{"); cb = Some(stmtListUntilBrace())
+        }
+        if (isKw("finally")) { next(); eatPunct("{"); fb = Some(stmtListUntilBrace()) }
+        if (cb.isEmpty && fb.isEmpty) throw ParseError("try without catch/finally", peek.pos)
+        TryStmt(b, cp, cb, fb)
+      case _ =>
+        val e = expression(); tryPunct(";")
+        ExprStmt(e)
+    }
+
+    private def blockRest(): Block = Block(stmtListUntilBrace())
+
+    private def stmtListUntilBrace(): List[Stmt] = {
+      val b = List.newBuilder[Stmt]
+      while (!isPunct("}")) {
+        if (peek.isInstanceOf[TEof]) throw ParseError("unterminated block", peek.pos)
+        b += statement()
+      }
+      eatPunct("}")
+      b.result()
+    }
+
+    private def varDecl(): VarDecl = {
+      val kind = next().asInstanceOf[TKeyword].name
+      val decls = List.newBuilder[(String, Option[Expr])]
+      var more = true
+      while (more) {
+        val n = identName()
+        val init = if (tryPunct("=")) Some(assignExpr()) else None
+        decls += ((n, init))
+        more = tryPunct(",")
+      }
+      VarDecl(kind, decls.result())
+    }
+
+    private def forStatement(): Stmt = {
+      eatKw("for"); eatPunct("(")
+      // for-of / for-in with optional declaration keyword
+      val save = i
+      val kw = peek match {
+        case TKeyword(k, _) if k == "var" || k == "let" || k == "const" => next(); true
+        case _ => false
+      }
+      peek match {
+        case TIdent(name, _)
+            if (toks(i + 1) match { case TKeyword("of", _) | TKeyword("in", _) => true; case _ => false }) =>
+          next()
+          val isOf = next().asInstanceOf[TKeyword].name == "of"
+          val iter = expression()
+          eatPunct(")")
+          val body = statement()
+          if (isOf) ForOf(name, iter, body) else ForIn(name, iter, body)
+        case _ =>
+          i = save
+          // classic C-style for
+          val init: Option[Stmt] =
+            if (isPunct(";")) { next(); None }
+            else peek match {
+              case TKeyword(k, _) if k == "var" || k == "let" || k == "const" =>
+                val d = varDecl(); eatPunct(";"); Some(d)
+              case _ =>
+                val e = expression(); eatPunct(";"); Some(ExprStmt(e))
+            }
+          val test = if (isPunct(";")) None else Some(expression())
+          eatPunct(";")
+          val update = if (isPunct(")")) None else Some(expression())
+          eatPunct(")")
+          For(init, test, update, statement())
+      }
+    }
+
+    private def funcRest(): (List[String], List[Stmt]) = {
+      eatPunct("(")
+      val params = List.newBuilder[String]
+      if (!isPunct(")")) {
+        params += identName()
+        while (tryPunct(",")) params += identName()
+      }
+      eatPunct(")")
+      eatPunct("{")
+      (params.result(), stmtListUntilBrace())
+    }
+
+    // ---------------- expressions ----------------
+
+    def expression(): Expr = {
+      var e = assignExpr()
+      while (isPunct(",")) { next(); e = assignExpr() } // comma operator: last wins
+      e
+    }
+
+    def assignExpr(): Expr = {
+      arrowLookahead() match {
+        case Some(a) => return a
+        case None =>
+      }
+      val lhs = condExpr()
+      peek match {
+        case TPunct(op @ ("=" | "+=" | "-=" | "*=" | "/=" | "%="), _) =>
+          next()
+          val rhs = assignExpr()
+          lhs match {
+            case _: Ident | _: Member | _: Index =>
+              Assign(lhs, if (op == "=") "" else op.stripSuffix("="), rhs)
+            case _ => throw ParseError("invalid assignment target", peek.pos)
+          }
+        case _ => lhs
+      }
+    }
+
+    /** `x => …` and `(a, b) => …` via bounded lookahead over the token vector. */
+    private def arrowLookahead(): Option[Expr] = {
+      peek match {
+        case TIdent(name, _) if (toks(i + 1) match { case TPunct("=>", _) => true; case _ => false }) =>
+          i += 2
+          Some(FuncExpr(None, List(name), arrowBody()))
+        case TPunct("(", _) =>
+          // scan to the matching ')' and peek for '=>'
+          var j = i + 1
+          var depth = 1
+          var simple = true
+          while (depth > 0 && j < toks.length) {
+            toks(j) match {
+              case TPunct("(", _) => depth += 1; simple = false
+              case TPunct(")", _) => depth -= 1
+              case TPunct(",", _) | TIdent(_, _) => ()
+              case _ if depth > 0 => simple = false
+              case _ => ()
+            }
+            j += 1
+          }
+          toks.lift(j) match {
+            case Some(TPunct("=>", _)) if simple =>
+              eatPunct("(")
+              val params = List.newBuilder[String]
+              if (!isPunct(")")) {
+                params += identName()
+                while (tryPunct(",")) params += identName()
+              }
+              eatPunct(")")
+              eatPunct("=>")
+              Some(FuncExpr(None, params.result(), arrowBody()))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
+    private def arrowBody(): List[Stmt] =
+      if (tryPunct("{")) stmtListUntilBrace()
+      else List(Return(Some(assignExpr())))
+
+    private def condExpr(): Expr = {
+      val c = binExpr(0)
+      if (tryPunct("?")) {
+        val t = assignExpr()
+        eatPunct(":")
+        Cond(c, t, assignExpr())
+      } else c
+    }
+
+    private val binOps: Array[Set[String]] = Array(
+      Set("||"),
+      Set("&&"),
+      Set("|"),
+      Set("^"),
+      Set("&"),
+      Set("==", "!=", "===", "!=="),
+      Set("<", "<=", ">", ">=", "in", "instanceof"),
+      Set("<<", ">>", ">>>"),
+      Set("+", "-"),
+      Set("*", "/", "%"))
+
+    private def binExpr(level: Int): Expr = {
+      if (level >= binOps.length) return unary()
+      var l = binExpr(level + 1)
+      var go = true
+      while (go) {
+        val opOpt = peek match {
+          case TPunct(p, _) if binOps(level)(p) => Some(p)
+          case TKeyword(k, _) if binOps(level)(k) => Some(k)
+          case _ => None
+        }
+        opOpt match {
+          case Some(op) =>
+            next()
+            val r = binExpr(level + 1)
+            l = if (op == "&&" || op == "||") Logical(op, l, r) else Binary(op, l, r)
+          case None => go = false
+        }
+      }
+      l
+    }
+
+    private def unary(): Expr = peek match {
+      case TPunct(op @ ("!" | "-" | "+" | "~"), _) => next(); Unary(op, unary())
+      case TKeyword(op @ ("typeof" | "void" | "delete"), _) => next(); Unary(op, unary())
+      case TPunct(op @ ("++" | "--"), _) => next(); Update(op, unary(), prefix = true)
+      case TKeyword("new", _) =>
+        next()
+        // `new X(args)` → treated as a plain call of constructor-like natives
+        postfix(callTail(primary()))
+      case _ => postfix(callTail(primary()))
+    }
+
+    private def postfix(e: Expr): Expr = peek match {
+      case TPunct(op @ ("++" | "--"), _) => next(); Update(op, e, prefix = false)
+      case _ => e
+    }
+
+    private def callTail(base: Expr): Expr = {
+      var e = base
+      var go = true
+      while (go) {
+        peek match {
+          case TPunct(".", _) =>
+            next()
+            e = Member(e, identName())
+          case TPunct("[", _) =>
+            next()
+            val idx = expression()
+            eatPunct("]")
+            e = Index(e, idx)
+          case TPunct("(", _) =>
+            next()
+            val args = List.newBuilder[Expr]
+            if (!isPunct(")")) {
+              args += assignExpr()
+              while (tryPunct(",")) args += assignExpr()
+            }
+            eatPunct(")")
+            e = Call(e, args.result())
+          case _ => go = false
+        }
+      }
+      e
+    }
+
+    private def primary(): Expr = next() match {
+      case TNum(v, _) => NumLit(v)
+      case TStr(v, _) => StrLit(v)
+      case TRegex(p, f, _) => RegexLit(p, f)
+      case TIdent(n, _) => Ident(n)
+      case TKeyword("true", _) => BoolLit(true)
+      case TKeyword("false", _) => BoolLit(false)
+      case TKeyword("null", _) => NullLit
+      case TKeyword("undefined", _) => UndefLit
+      case TKeyword("this", _) => Ident("this")
+      case TKeyword("function", _) =>
+        val name = peek match { case TIdent(n, _) => next(); Some(n); case _ => None }
+        val (params, body) = funcRest()
+        FuncExpr(name, params, body)
+      case TPunct("(", _) =>
+        val e = expression()
+        eatPunct(")")
+        e
+      case TPunct("[", _) =>
+        val items = List.newBuilder[Expr]
+        if (!isPunct("]")) {
+          items += assignExpr()
+          while (tryPunct(",")) { if (!isPunct("]")) items += assignExpr() }
+        }
+        eatPunct("]")
+        ArrLit(items.result())
+      case TPunct("{", _) =>
+        val props = List.newBuilder[(String, Expr)]
+        if (!isPunct("}")) {
+          var more = true
+          while (more) {
+            val key = next() match {
+              case TIdent(n, _) => n
+              case TKeyword(n, _) => n
+              case TStr(s, _) => s
+              case TNum(v, _) => JsInterp.numToString(v)
+              case t => throw ParseError(s"bad object key $t", t.pos)
+            }
+            val v =
+              if (tryPunct(":")) assignExpr()
+              else Ident(key) // shorthand {a}
+            props += ((key, v))
+            more = tryPunct(",") && !isPunct("}")
+          }
+        }
+        eatPunct("}")
+        ObjLit(props.result())
+      case t => throw ParseError(s"unexpected token $t", t.pos)
+    }
+  }
+}

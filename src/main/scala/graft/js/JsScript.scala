@@ -1,0 +1,107 @@
+package graft.js
+
+import scala.collection.mutable
+
+import JsAst.Program
+import JsInterp._
+
+/** The reference's `process(event, params, headers)` contract on top of
+  * [[JsInterp]] (reference
+  * enrichments/registry/JavascriptScriptEnrichment.scala:131-200 and its
+  * spec): the event exposes `getX()`/`setX(v)` pairs plus direct property
+  * access over the same fields, `drop()` rejects the event, and
+  * `eraseDerived_contexts()` sets the use-only-derived flag; the return value
+  * must be null/undefined (→ no contexts) or an array of self-describing
+  * `{schema, data}` objects.
+  */
+object JsScript {
+
+  /** Compile on the driver — fail fast, like `exitOnCompileError = true`. */
+  def compile(source: String): Program =
+    try JsParser.parse(source)
+    catch {
+      case e: JsParser.ParseError => throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
+      case e: JsLexer.LexError => throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
+    }
+
+  private val IgluUri = java.util.regex.Pattern.compile("^iglu:[^/]+/[^/]+/[^/]+/\\d+-\\d+-\\d+$")
+
+  final case class ProcessResult(
+    fields: mutable.LinkedHashMap[String, JsVal],
+    contextsJson: String, // "[]" when the script returned null / no contexts
+    dropped: Boolean,
+    eraseDerived: Boolean,
+    error: Option[String])
+
+  /** Per-partition runner: the program is evaluated ONCE (defining `process`
+    * and any top-level state), then invoked per row — mirroring the
+    * reference's engine-reuse across events. */
+  final class Runner(program: Program, paramsJson: String) {
+    private val interp = new JsInterp()
+    private val env: Env = interp.run(program)
+    private val params: JsVal =
+      if (paramsJson == null || paramsJson.trim.isEmpty) JsVal.obj() else JsJson.parse(paramsJson)
+
+    def process(fields: mutable.LinkedHashMap[String, JsVal], headers: Seq[String]): ProcessResult = {
+      var dropped = false
+      var erase = false
+      val event = new JsObj(fields, magic = {
+        case "drop" =>
+          Some(JsNative("drop", (_, _) => throw new JsDropEvent))
+        case "eraseDerived_contexts" =>
+          Some(JsNative("eraseDerived_contexts", (_, _) => { erase = true; JsUndef }))
+        case n if n.length > 3 && n.startsWith("get") && n.charAt(3).isUpper =>
+          val f = decap(n.substring(3))
+          Some(JsNative(n, (_, _) => fields.getOrElse(f, JsNull)))
+        case n if n.length > 3 && n.startsWith("set") && n.charAt(3).isUpper =>
+          val f = decap(n.substring(3))
+          Some(JsNative(n, (_, args) => { fields(f) = args.headOption.getOrElse(JsNull); JsUndef }))
+        case _ => None
+      })
+      val hdrs = new JsArr(mutable.ArrayBuffer(headers.map(JsStr(_)): _*))
+      try {
+        val ret = interp.invoke(env, "process", List(event, params, hdrs))
+        contextsOf(ret) match {
+          case Right(json) => ProcessResult(fields, json, dropped = false, erase, None)
+          case Left(err) => ProcessResult(fields, "[]", dropped = false, erase, Some(err))
+        }
+      } catch {
+        case _: JsDropEvent =>
+          dropped = true
+          ProcessResult(fields, "[]", dropped = true, erase, None)
+        case t: JsThrown =>
+          ProcessResult(fields, "[]", dropped = false, erase,
+            Some(s"Error during execution of JavaScript function: [${t.getMessage}]"))
+        case e: StackOverflowError =>
+          ProcessResult(fields, "[]", dropped = false, erase,
+            Some("Error during execution of JavaScript function: [stack overflow]"))
+      }
+    }
+
+    /** Validate + serialize the returned contexts, reference-style: null →
+      * none; non-array → error; each element needs an iglu `schema` URI and a
+      * `data` member. */
+    private def contextsOf(ret: JsVal): Either[String, String] = ret match {
+      case JsNull | JsUndef => Right("[]")
+      case a: JsArr =>
+        val bad = a.items.find {
+          case o: JsObj =>
+            !(o.props.get("schema").exists {
+              case JsStr(s) => IgluUri.matcher(s).matches()
+              case _ => false
+            } && o.props.contains("data"))
+          case _ => true
+        }
+        bad match {
+          case Some(b) =>
+            Left(s"Resulting contexts are not self-describing: [${JsJson.stringify(b).getOrElse("undefined")}]")
+          case None => Right(JsJson.stringify(a).getOrElse("[]"))
+        }
+      case other =>
+        Left(s"Output of JavaScript function could not be read as an array: [${typeOf(other)}]")
+    }
+
+    private def decap(s: String): String =
+      if (s.isEmpty) s else s.charAt(0).toLower + s.substring(1)
+  }
+}

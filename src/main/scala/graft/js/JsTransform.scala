@@ -1,0 +1,137 @@
+package graft.js
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+import graft.enrich.Enrichment
+
+/** The JavaScript escape hatch as a Spark enrichment — the reference's
+  * `JavascriptScriptEnrichment` (reference
+  * enrichments/registry/JavascriptScriptEnrichment.scala:97) re-expressed for
+  * a distributed batch: the script is compiled ONCE on the driver (syntax
+  * errors fail the job before any task launches), the serializable AST ships
+  * in the task closure, and each partition instantiates one interpreter that
+  * is reused for every row — the same engine-reuse the reference gets from a
+  * long-lived Nashorn instance, without a JVM scripting dependency.
+  *
+  * Contract per row:
+  *   - every supported primitive column (string/int/long/double/boolean)
+  *     becomes an event field, readable/writable as `event.app_id` or via the
+  *     reference's `event.getApp_id()` / `event.setApp_id(v)` pairs;
+  *   - `event.drop()` marks the row `js_dropped` (callers filter — a batch
+  *     engine keeps the row so the bad-row channel can account for it);
+  *   - the returned contexts array lands in `js_contexts` (JSON, `[]` when
+  *     none), runtime failures in `js_error` with the event left unmodified
+  *     (fail-closed: a half-applied script must not ship partial mutations).
+  *
+  * This is the slow-path hatch: per-row interpretation costs far more than a
+  * codegen'd Column expression, so ported scripts should migrate to
+  * [[graft.enrich.CustomTransform]] for hot paths. It exists for parity with
+  * reference configs that embed JS.
+  */
+final case class JsTransform(
+  script: String,
+  paramsJson: String = "{}",
+  headersCol: Option[String] = None)
+    extends Enrichment {
+
+  val name = "js_transform"
+
+  // driver-side compile: invalid scripts throw at construction/plan time
+  private val program = JsScript.compile(script)
+
+  def apply(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val supported: Array[Boolean] = inSchema.fields.map(f => JsTransform.isSupported(f.dataType))
+    val headerIdx = headersCol.map(inSchema.fieldIndex)
+    // scripts may null out any field → every passthrough column is nullable
+    val outSchema = StructType(inSchema.fields.map(_.copy(nullable = true)) ++ Array(
+      StructField("js_contexts", StringType, nullable = true),
+      StructField("js_dropped", BooleanType, nullable = false),
+      StructField("js_use_only_derived", BooleanType, nullable = false),
+      StructField("js_error", StringType, nullable = true)))
+    val prog = program
+    val params = paramsJson
+    val fieldNames = inSchema.fieldNames
+    val fieldTypes = inSchema.fields.map(_.dataType)
+
+    df.mapPartitions { it =>
+      val runner = new JsScript.Runner(prog, params)
+      it.map { row =>
+        val fields = mutable.LinkedHashMap.empty[String, JsVal]
+        var i = 0
+        while (i < fieldNames.length) {
+          if (supported(i)) fields(fieldNames(i)) = JsTransform.toJs(row.get(i))
+          i += 1
+        }
+        val headers: Seq[String] = headerIdx match {
+          case Some(h) if !row.isNullAt(h) => row.getSeq[String](h)
+          case _ => Seq.empty
+        }
+        val res = runner.process(fields, headers)
+        val out = new Array[Any](fieldNames.length + 4)
+        i = 0
+        while (i < fieldNames.length) {
+          out(i) =
+            if (!supported(i)) row.get(i)
+            else if (res.error.isDefined) row.get(i) // fail-closed: no partial mutation
+            else JsTransform.fromJs(res.fields.getOrElse(fieldNames(i), JsUndef), fieldTypes(i))
+          i += 1
+        }
+        out(fieldNames.length) = if (res.error.isDefined) null else res.contextsJson
+        out(fieldNames.length + 1) = res.dropped
+        out(fieldNames.length + 2) = res.eraseDerived
+        out(fieldNames.length + 3) = res.error.orNull
+        Row.fromSeq(out.toIndexedSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+}
+
+object JsTransform {
+
+  private[js] def isSupported(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | DoubleType | FloatType | BooleanType | ShortType => true
+    case _ => false
+  }
+
+  private[js] def toJs(v: Any): JsVal = v match {
+    case null => JsNull
+    case s: String => JsStr(s)
+    case i: Int => JsNum(i.toDouble)
+    case l: Long => JsNum(l.toDouble)
+    case d: Double => JsNum(d)
+    case f: Float => JsNum(f.toDouble)
+    case s: Short => JsNum(s.toDouble)
+    case b: Boolean => JsBool(b)
+    case other => JsStr(other.toString)
+  }
+
+  /** JS value → column type; non-coercible values become null rather than
+    * failing the task (a script typo must not kill a 100 TB backfill). */
+  private[js] def fromJs(v: JsVal, dt: DataType): Any = v match {
+    case JsNull | JsUndef => null
+    case _ =>
+      dt match {
+        case StringType => JsInterp.toStringVal(v)
+        case IntegerType => numOrNull(v, d => d.toInt)
+        case LongType => numOrNull(v, d => d.toLong)
+        case ShortType => numOrNull(v, d => d.toShort)
+        case DoubleType => numOrNull(v, identity)
+        case FloatType => numOrNull(v, d => d.toFloat)
+        case BooleanType =>
+          v match {
+            case JsBool(b) => b
+            case _ => JsInterp.truthy(v)
+          }
+        case _ => null
+      }
+  }
+
+  private def numOrNull(v: JsVal, f: Double => Any): Any = {
+    val d = JsInterp.toNumber(v)
+    if (d.isNaN || d.isInfinite) null else f(d)
+  }
+}

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{SimF, TextF}
+import graft.js.JsTransform
+
+/** SURVEY §2 batch 11 (round 5 continuation): the JavaScript escape hatch as
+  * an oracle-checked query, plus three corpus operators a training-data
+  * pipeline needs:
+  *
+  *  - `js_transform`: the reference's `JavascriptScriptEnrichment` hatch
+  *    (reference enrichments/registry/JavascriptScriptEnrichment.scala:97)
+  *    running a real script through graft's own interpreter — field
+  *    mutation via getter/setter AND property style, regex + parseInt,
+  *    `event.drop()`, and a self-describing contexts array, all
+  *    oracle-pinned.
+  *  - `semdedup`: SemDeDup (Abbas et al. 2023) — embedding dedup scoped to
+  *    k-means cells: assign every vector to its nearest centroid (narrow
+  *    literal-centroid projection, zero corpus-side shuffle — the ann_ivf
+  *    kernel), then pairwise-cosine ONLY within a cell. Cluster count grows
+  *    with the corpus at scale, so per-cell work stays bounded — the
+  *    all-pairs cost never materializes.
+  *  - `text_repetition`: Gopher-style repetition signals (Rae et al. 2021
+  *    §A1.1): duplicate-paragraph fraction by count and by characters, and
+  *    the most-frequent word 2-gram's character share — the "remove
+  *    boilerplate-heavy docs" gates.
+  *  - `para_dedup`: CCNet-style cross-document paragraph dedup (Wenzek et
+  *    al. 2020): a paragraph survives only at its globally-first
+  *    (doc_id, position) occurrence; documents are reassembled from their
+  *    surviving paragraphs. The shuffle key is the paragraph hash, never
+  *    the full text at scale.
+  *
+  * Documents are single-line token streams, so "paragraphs" are
+  * deterministic 5-token chunks (identical chunking formula in the DuckDB
+  * twins); repetition/boilerplate are injected arithmetically so the
+  * detectors provably fire (the dedup_embedding planted-pair pattern).
+  */
+object Queries11 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ParaTokens = 5 // tokens per synthetic paragraph
+  private val SemK = 8 // semdedup cell count at test scale
+  private val SemThreshold = 0.95 // cosine cut, matches dedup_embedding
+  private val Boiler = "subscribe to the newsletter today" // planted boilerplate
+
+  /** The reference-spec-shaped script behind `js_transform` — exercises
+    * getters/setters, property writes, regex capture, parseInt, ternaries,
+    * drop(), and a contexts array. */
+  private[queries] val JsScriptSrc: String =
+    """function process(event) {
+      |  var m = event.getApp_id().match(/^app-(\d+)$/)
+      |  var n = m ? parseInt(m[1]) : -1
+      |  if (n % 10 == 3) { event.drop() }
+      |  event.setApp_id(event.getApp_id().toUpperCase())
+      |  event.note = 'n=' + (n * 2)
+      |  var tier = n % 3 == 0 ? 'gold' : (n % 3 == 1 ? 'silver' : 'bronze')
+      |  return [ { schema: 'iglu:com.acme/app/jsonschema/1-0-0',
+      |             data: { n: n, tier: tier, even: n % 2 == 0 } } ]
+      |}""".stripMargin
+
+  /** 5-token paragraph chunks of the normalized token array. */
+  private def parasOf(toks: Column): Column =
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(0), (ceil(size(toks) / lit(ParaTokens.toDouble))).cast("int") - 1),
+        i => array_join(slice(toks, i * ParaTokens + 1, lit(ParaTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  val defs: Map[String, Q] = Map(
+    "js_transform" -> { (sp, dir) =>
+      val e = col("event_id")
+      val df = Tables.events(sp, dir).select(e)
+        .withColumn("app_id", concat(lit("app-"), (e % 1000).cast("string")))
+        .withColumn("note", lit(null).cast("string"))
+      JsTransform(JsScriptSrc).apply(df)
+        .filter(!col("js_dropped"))
+        .select(col("event_id"), col("app_id"), col("note"), col("js_contexts"))
+        .orderBy("event_id")
+    },
+
+    "semdedup" -> { (sp, dir) =>
+      // centroids: the first-8 demo "training" output, collected as plan-time
+      // literals (8×64 doubles — tiny by definition; operators.KMeans is the
+      // real trainer, oracle-checked via ann_ivf_kmeans rows)
+      val cents: Seq[(Long, Seq[Double], Double)] = Tables.embeddings(sp, dir)
+        .filter(col("vec_id") < SemK).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding"))
+        .collect().toSeq
+        .map { r =>
+          val cv = r.getSeq[Float](1).map(_.toDouble).toSeq
+          (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+      val assign = Queries3.augmentedEmbeddings(sp, dir)
+        .withColumn("nrm", SimF.norm(col("v")))
+        .withColumn("cell", SimF.argmaxCell(col("v"), col("nrm"), cents))
+        .persist()
+      try {
+        val a = assign.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = assign.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        val removed = a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(SimF.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= SemThreshold)
+          .select(col("id_b").as("vec_id")).distinct()
+        assign.select(col("vec_id"), col("cell"))
+          .join(removed, Seq("vec_id"), "left_anti")
+          .orderBy("vec_id")
+      } finally { assign.unpersist(blocking = false); () }
+    },
+
+    "text_repetition" -> { (sp, dir) =>
+      val d = col("doc_id")
+      val docs = Tables.documents(sp, dir)
+        .withColumn("toks", TextF.tokens(col("text")))
+        .withColumn("paras", parasOf(col("toks")))
+        // planted repetition: every third doc repeats its first paragraph
+        // twice — without it the dup detectors never fire on random text
+        .withColumn("paras",
+          when(d % 3 === 0 && size(col("paras")) > 0,
+            concat(col("paras"), array(element_at(col("paras"), 1), element_at(col("paras"), 1))))
+            .otherwise(col("paras")))
+        .persist()
+      try {
+        val paraStats = docs.select(d, explode(col("paras")).as("para"))
+          .groupBy("doc_id", "para").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(
+            sum(col("cnt")).as("n_paras"),
+            sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).as("n_dup_paras"),
+            floor(lit(10000) * sum(when(col("cnt") >= 2, length(col("para")) * col("cnt")).otherwise(lit(0L)))
+              / sum(length(col("para")) * col("cnt"))).as("dup_char_bp"))
+        // most frequent word 2-gram of the ORIGINAL text (ties → smallest)
+        val wTop = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))
+        val topGram = docs
+          .select(d, col("text"), explode(TextF.shinglesFromTokens(col("toks"), 2)).as("gram"))
+          .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"), first(length(col("gram"))).as("glen"))
+          .join(docs.select(d, length(col("text")).as("tlen")), "doc_id")
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("gram").as("top_gram"), col("cnt").as("top_gram_n"),
+            floor(lit(10000) * col("cnt") * col("glen") / col("tlen")).as("top_gram_bp"))
+        paraStats.join(topGram, Seq("doc_id"))
+          .select(col("doc_id"), col("n_paras"), col("n_dup_paras"), col("dup_char_bp"),
+            col("top_gram"), col("top_gram_n"), col("top_gram_bp"))
+          .orderBy("doc_id")
+      } finally { docs.unpersist(blocking = false); () }
+    },
+
+    "para_dedup" -> { (sp, dir) =>
+      val d = col("doc_id")
+      val docs = Tables.documents(sp, dir)
+        .withColumn("paras", parasOf(TextF.tokens(col("text"))))
+        // planted boilerplate paragraph on every fourth doc: the cross-doc
+        // duplicate that only the globally-first occurrence may keep
+        .withColumn("paras",
+          when(d % 4 === 0, concat(col("paras"), array(lit(Boiler)))).otherwise(col("paras")))
+      val ex = docs.select(d, posexplode(col("paras")).as(Seq("pos", "para")))
+      // first occurrence globally wins; the window key is the paragraph HASH
+      // so the shuffle never carries duplicate text proportional to dup count
+      val wFirst = Window.partitionBy("h").orderBy("doc_id", "pos")
+      val kept = ex.withColumn("h", md5(col("para")))
+        .withColumn("rk", row_number().over(wFirst))
+        .filter(col("rk") === 1)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos").as("pos"), col("para").as("para")))),
+              s => s.getField("para")), " | ").as("rebuilt"))
+      val totals = ex.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      totals.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("rebuilt"), lit("")).as("rebuilt"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---- DuckDB twins ----
+
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private def parasSql(w: String): String =
+    s"CASE WHEN len($w) = 0 OR $normSql = '' THEN [] ELSE " +
+      s"list_transform(range(0, CAST(ceil(len($w) / ${ParaTokens.toDouble}) AS INT)), " +
+      s"i -> array_to_string(list_slice($w, i * $ParaTokens + 1, i * $ParaTokens + $ParaTokens), ' ')) END"
+
+  val oracles: Map[String, String] = Map(
+    "js_transform" ->
+      """SELECT event_id,
+        |  upper(concat('app-', event_id % 1000)) AS app_id,
+        |  concat('n=', (event_id % 1000) * 2) AS note,
+        |  concat('[{"schema":"iglu:com.acme/app/jsonschema/1-0-0","data":{"n":', event_id % 1000,
+        |    ',"tier":"',
+        |    CASE WHEN (event_id % 1000) % 3 = 0 THEN 'gold'
+        |         WHEN (event_id % 1000) % 3 = 1 THEN 'silver' ELSE 'bronze' END,
+        |    '","even":', CASE WHEN (event_id % 1000) % 2 = 0 THEN 'true' ELSE 'false' END,
+        |    '}}]') AS js_contexts
+        |FROM events
+        |WHERE (event_id % 1000) % 10 <> 3
+        |ORDER BY event_id""".stripMargin,
+
+    "semdedup" -> {
+      val dot = Queries3.dotSqlShared _
+      s"""WITH ${Queries3.AugSqlCte},
+         |e AS (
+         |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM aug
+         |), cent AS (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < $SemK
+         |), centn AS (
+         |  SELECT cid, cv, sqrt(${dot("cv", "cv")}) AS cn FROM cent
+         |), assign AS (
+         |  SELECT vec_id, v, nrm, cid AS cell FROM (
+         |    SELECT e.*, centn.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dot("e.v", "centn.cv")} / (e.nrm * centn.cn) DESC, centn.cid) AS rk
+         |    FROM e, centn
+         |  ) t WHERE rk = 1
+         |), removed AS (
+         |  SELECT DISTINCT b.vec_id AS rem
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= $SemThreshold
+         |)
+         |SELECT vec_id, cell FROM assign
+         |WHERE vec_id NOT IN (SELECT rem FROM removed)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    "text_repetition" -> {
+      val paras = parasSql("w")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS w FROM documents
+         |), p AS (
+         |  SELECT doc_id, text, w,
+         |    CASE WHEN doc_id % 3 = 0 AND len(paras0) > 0
+         |         THEN list_concat(paras0, [paras0[1], paras0[1]])
+         |         ELSE paras0 END AS paras
+         |  FROM (SELECT doc_id, text, w, $paras AS paras0 FROM t) q
+         |), pc AS (
+         |  SELECT doc_id, para, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(paras) AS para FROM p) x
+         |  GROUP BY doc_id, para
+         |), ps AS (
+         |  SELECT doc_id,
+         |    CAST(sum(cnt) AS BIGINT) AS n_paras,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_paras,
+         |    CAST(10000 * sum(CASE WHEN cnt >= 2 THEN length(para) * cnt ELSE 0 END)
+         |      // sum(length(para) * cnt) AS BIGINT) AS dup_char_bp
+         |  FROM pc GROUP BY doc_id
+         |), gc AS (
+         |  SELECT doc_id, gram, count(*) AS cnt
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(w)), i -> concat(list_extract(w, i), ' ', list_extract(w, i + 1)))) AS gram
+         |    FROM t) x
+         |  GROUP BY doc_id, gram
+         |), tg AS (
+         |  SELECT doc_id, gram AS top_gram, CAST(cnt AS BIGINT) AS top_gram_n,
+         |    CAST(10000 * cnt * length(gram) // tlen AS BIGINT) AS top_gram_bp
+         |  FROM (
+         |    SELECT gc.*, length(t.text) AS tlen,
+         |      row_number() OVER (PARTITION BY gc.doc_id ORDER BY cnt DESC, gram) AS rk
+         |    FROM gc JOIN t ON gc.doc_id = t.doc_id
+         |  ) r WHERE rk = 1
+         |)
+         |SELECT ps.doc_id, n_paras, n_dup_paras, dup_char_bp, top_gram, top_gram_n, top_gram_bp
+         |FROM ps JOIN tg ON ps.doc_id = tg.doc_id
+         |ORDER BY ps.doc_id""".stripMargin
+    },
+
+    "para_dedup" -> {
+      val paras = parasSql("w")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS w FROM documents
+         |), p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN list_concat(paras0, ['$Boiler']) ELSE paras0 END AS paras
+         |  FROM (SELECT doc_id, $paras AS paras0 FROM t) q
+         |), x AS (
+         |  SELECT doc_id, unnest(paras) AS para, unnest(range(0, len(paras))) AS pos FROM p
+         |), k AS (
+         |  SELECT doc_id, pos, para,
+         |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+         |  FROM x
+         |), kept AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(para, ' | ' ORDER BY pos) AS rebuilt
+         |  FROM k WHERE rk = 1 GROUP BY doc_id
+         |), totals AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM x GROUP BY doc_id
+         |)
+         |SELECT totals.doc_id, n_paras,
+         |  coalesce(n_kept, 0) AS n_kept, coalesce(rebuilt, '') AS rebuilt
+         |FROM totals LEFT JOIN kept ON totals.doc_id = kept.doc_id
+         |ORDER BY totals.doc_id""".stripMargin
+    }
+  )
+}

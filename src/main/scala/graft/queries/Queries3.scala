@@ -26,8 +26,8 @@ object Queries3 {
   private val Dim = 64 // embedding dimensionality of the test corpus
   private val Bands = 4 // SRP-LSH bands
   private val BandBits = 16 // bits per band → 65536 buckets per band
-  private val PlantEvery = 25 // every 25th vector gets a planted near-dup
-  private val PlantOffset = 1000000L // planted ids = vec_id + offset
+  private[queries] val PlantEvery = 25 // every 25th vector gets a planted near-dup
+  private[queries] val PlantOffset = 1000000L // planted ids = vec_id + offset
   private val HotBucketCap = 10000 // skew guard: skip buckets larger than this
 
   /** embeddings (as double vectors) UNION deterministic planted near-dups:
@@ -35,7 +35,7 @@ object Queries3 {
     * md5-seeded additive noise (cosine ≈ 0.996 to its base). Identical
     * formula in the DuckDB oracle — without planted pairs the ≥0.95 dedup
     * threshold never fires on the random corpus and the query is vacuous. */
-  private def augmentedEmbeddings(sp: SparkSession, dir: String): DataFrame = {
+  private[queries] def augmentedEmbeddings(sp: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(sp, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val noisy = transform(col("embedding"), (x, i) => {
@@ -183,9 +183,27 @@ object Queries3 {
     }
   )
 
+  /** The augmented-embeddings CTE (base ∪ planted near-dups) — the DuckDB
+    * twin of [[augmentedEmbeddings]]; shared with Queries11's semdedup. */
+  private[queries] val AugSqlCte: String =
+    s"""aug AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT base_id + $PlantOffset AS vec_id, v FROM (
+       |    SELECT vec_id AS base_id,
+       |      list_transform(range(1, len(embedding) + 1), i ->
+       |        CAST(list_extract(embedding, i) AS DOUBLE)
+       |        + 0.02 * ((CAST(strpos('0123456789abcdef', substr(md5(concat('nd:', vec_id, ':', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5) / 7.5)) AS v
+       |    FROM embeddings WHERE vec_id % $PlantEvery = 0) pl
+       |)""".stripMargin
+
+  /** Left-fold double dot product — identical evaluation order in both
+    * engines (shared with Queries11). */
+  private[queries] def dotSqlShared(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), (x, y) -> x + y)"
+
   val oracles: Map[String, String] = {
-    def dotSql(a: String, b: String): String =
-      s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), (x, y) -> x + y)"
+    def dotSql(a: String, b: String): String = dotSqlShared(a, b)
     // one SRP sign bit with plane seed `seed` over column `v`
     def bitSql(seed: Int, bitPos: Int, v: String): String = {
       val proj = s"list_reduce(list_transform(range(1, len($v) + 1), i -> " +
@@ -203,16 +221,7 @@ object Queries3 {
     }.mkString("\n    UNION ALL\n")
     // shared by dedup_embedding (pairs) and dedup_embedding_keep (corpus)
     val dedupCtes =
-      s"""WITH aug AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-         |  UNION ALL
-         |  SELECT base_id + $PlantOffset AS vec_id, v FROM (
-         |    SELECT vec_id AS base_id,
-         |      list_transform(range(1, len(embedding) + 1), i ->
-         |        CAST(list_extract(embedding, i) AS DOUBLE)
-         |        + 0.02 * ((CAST(strpos('0123456789abcdef', substr(md5(concat('nd:', vec_id, ':', i - 1)), 1, 1)) - 1 AS DOUBLE) - 7.5) / 7.5)) AS v
-         |    FROM embeddings WHERE vec_id % $PlantEvery = 0) pl
-         |), sigs AS (
+      s"""WITH ${Queries3.AugSqlCte}, sigs AS (
          |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
          |    ${(0 until Bands).map(b => s"${bandSql(b, "v")} AS band$b").mkString(",\n    ")}
          |  FROM aug

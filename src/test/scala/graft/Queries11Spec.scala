@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Queries11
+
+/** Round-5 batch 11: the detectors must provably FIRE (no vacuous passes) —
+  * the oracle gate proves engine agreement, these prove the operators do
+  * real work on the planted signals. */
+class Queries11Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("js_transform drops every n%10==3 event and rewrites fields") {
+    val out = Queries11.defs("js_transform")(spark, dir).cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      // dropped ids are absent
+      assert(out.filter((col("event_id") % 1000) % 10 === 3).count() == 0)
+      val r = out.filter(col("event_id") === 7).head()
+      assert(r.getAs[String]("app_id") == "APP-7")
+      assert(r.getAs[String]("note") == "n=14")
+      assert(r.getAs[String]("js_contexts").contains("\"tier\":\"silver\""))
+    } finally { out.unpersist(blocking = false); () }
+  }
+
+  test("semdedup removes planted near-dups that share a cell") {
+    val kept = Queries11.defs("semdedup")(spark, dir)
+    // augmented corpus = base + every-25th planted near-dup
+    val base = Tables.embeddings(spark, dir).count()
+    val total = base + Tables.embeddings(spark, dir).filter(col("vec_id") % 25 === 0).count()
+    val keptN = kept.count()
+    assert(keptN < total, s"semdedup must remove at least one planted near-dup ($keptN of $total kept)")
+    // and it never removes base vectors (random vectors are far apart:
+    // nothing but a planted pair may cross the 0.95 cosine cut)
+    assert(keptN >= base)
+  }
+
+  test("text_repetition: planted repeats fire the dup-paragraph signal") {
+    val out = Queries11.defs("text_repetition")(spark, dir).cache()
+    try {
+      // every doc with doc_id % 3 == 0 has its first paragraph tripled
+      val planted = out.filter(col("doc_id") % 3 === 0)
+      assert(planted.filter(col("n_dup_paras") >= 3).count() == planted.count())
+      assert(out.filter(col("top_gram_n") < 1).count() == 0)
+    } finally { out.unpersist(blocking = false); () }
+  }
+
+  test("para_dedup: boilerplate survives only at its first global occurrence") {
+    val out = Queries11.defs("para_dedup")(spark, dir).cache()
+    try {
+      val boilerDocs = out.filter(col("doc_id") % 4 === 0)
+      // doc 0 keeps the boilerplate; every later %4 doc loses exactly it
+      assert(boilerDocs.filter(col("doc_id") === 0).head().getAs[String]("rebuilt")
+        .contains("subscribe to the newsletter today"))
+      val losers = boilerDocs.filter(col("doc_id") > 0)
+      assert(losers.count() > 0)
+      assert(losers.filter(col("rebuilt").contains("subscribe to the newsletter today")).count() == 0)
+      assert(losers.filter(col("n_kept") < col("n_paras")).count() == losers.count())
+    } finally { out.unpersist(blocking = false); () }
+  }
+}

@@ -1,0 +1,235 @@
+package graft.js
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Interpreter semantics, anchored on the reference's own JS enrichment spec
+  * scripts (reference
+  * enrichments/registry/JavascriptScriptEnrichmentSpec.scala e2-e14). */
+class JsInterpSpec extends AnyFunSuite {
+
+  private def evalExpr(src: String): JsVal = {
+    val interp = new JsInterp()
+    val env = interp.run(JsParser.parse(s"var __r = ($src)"))
+    env.lookup("__r").get
+  }
+
+  private def runScript(src: String, fields: (String, JsVal)*): JsScript.ProcessResult = {
+    val runner = new JsScript.Runner(JsScript.compile(src), "{}")
+    runner.process(mutable.LinkedHashMap(fields: _*), Seq.empty)
+  }
+
+  // ---- language basics ----
+
+  test("arithmetic, precedence, ternary") {
+    assert(evalExpr("1 + 2 * 3") == JsNum(7))
+    assert(evalExpr("(1 + 2) * 3") == JsNum(9))
+    assert(evalExpr("7 % 3") == JsNum(1))
+    assert(evalExpr("true ? 'a' : 'b'") == JsStr("a"))
+    assert(evalExpr("1 < 2 && 3 >= 3") == JsBool(true))
+  }
+
+  test("string concat + number ToString (integral renders without decimal)") {
+    assert(evalExpr("'n=' + 42") == JsStr("n=42"))
+    assert(evalExpr("'n=' + 42.5") == JsStr("n=42.5"))
+    assert(evalExpr("'' + 1e3") == JsStr("1000"))
+  }
+
+  test("equality: strict vs loose") {
+    assert(evalExpr("1 == '1'") == JsBool(true))
+    assert(evalExpr("1 === '1'") == JsBool(false))
+    assert(evalExpr("null == undefined") == JsBool(true))
+    assert(evalExpr("null === undefined") == JsBool(false))
+    assert(evalExpr("NaN === NaN") == JsBool(false))
+  }
+
+  test("var/function scoping, closures, recursion") {
+    val r = evalExpr("(function() { function fib(n) { return n < 2 ? n : fib(n-1) + fib(n-2) } return fib(10) })()")
+    assert(r == JsNum(55))
+    val c = evalExpr("(function() { var n = 0; var inc = function() { n += 1; return n }; inc(); inc(); return inc() })()")
+    assert(c == JsNum(3))
+  }
+
+  test("for / while / for-of / for-in / break / continue") {
+    assert(evalExpr("(function() { var s = 0; for (var i = 0; i < 5; i++) s += i; return s })()") == JsNum(10))
+    assert(evalExpr("(function() { var s = 0; var xs = [1,2,3]; for (var x of xs) s += x; return s })()") == JsNum(6))
+    assert(evalExpr("(function() { var ks = []; for (k in {a:1, b:2}) ks.push(k); return ks.join(',') })()") == JsStr("a,b"))
+    assert(evalExpr("(function() { var s = 0; for (var i = 0; i < 10; i++) { if (i == 3) continue; if (i == 6) break; s += i } return s })()") == JsNum(0 + 1 + 2 + 4 + 5))
+  }
+
+  test("objects and arrays: literals, nesting, mutation, index assignment") {
+    assert(evalExpr("({a: {b: [1, 2, {c: 3}]}}).a.b[2].c") == JsNum(3))
+    assert(evalExpr("(function() { var o = {}; o.x = 1; o['y'] = 2; return o.x + o.y })()") == JsNum(3))
+    assert(evalExpr("(function() { var a = []; a[2] = 9; return a.length + ':' + (a[0] === undefined) })()") == JsStr("3:true"))
+  }
+
+  test("string methods") {
+    assert(evalExpr("'  Hello  '.trim().toLowerCase()") == JsStr("hello"))
+    assert(evalExpr("'a,b,,c'.split(',').length") == JsNum(4))
+    assert(evalExpr("'abcdef'.slice(1, -1)") == JsStr("bcde"))
+    assert(evalExpr("'abcdef'.substring(4, 1)") == JsStr("bcd"))
+    assert(evalExpr("'a.b.c'.replace('.', '-')") == JsStr("a-b.c"))
+    assert(evalExpr("'a.b.c'.replace(/\\./g, '-')") == JsStr("a-b-c"))
+    assert(evalExpr("'x=12&y=34'.replace(/(\\d+)/g, '[$1]')") == JsStr("x=[12]&y=[34]"))
+    assert(evalExpr("'Doe, John'.replace(/(\\w+), (\\w+)/, '$2 $1')") == JsStr("John Doe"))
+  }
+
+  test("regex match / test / exec") {
+    assert(evalExpr("'X-JWT: abc'.match(/x-jwt:(.+)/i)[1].trim()") == JsStr("abc"))
+    assert(evalExpr("'no match here'.match(/zzz/)") == JsNull)
+    assert(evalExpr("'a1 b2 c3'.match(/[a-z]\\d/g).length") == JsNum(3))
+    assert(evalExpr("/^app-\\d+$/.test('app-42')") == JsBool(true))
+  }
+
+  test("array methods incl. closures") {
+    assert(evalExpr("[3, 1, 2].sort(function(a, b) { return a - b }).join('')") == JsStr("123"))
+    assert(evalExpr("[1, 2, 3, 4].filter(function(x) { return x % 2 == 0 }).map(function(x) { return x * 10 }).join(',')") == JsStr("20,40"))
+    assert(evalExpr("[1, 2, 3].reduce(function(a, b) { return a + b }, 10)") == JsNum(16))
+    assert(evalExpr("[1, 2, 3].indexOf(2)") == JsNum(1))
+  }
+
+  test("arrow functions") {
+    assert(evalExpr("[1, 2, 3].map(x => x * x).join(',')") == JsStr("1,4,9"))
+    assert(evalExpr("((a, b) => { return a + b })(2, 3)") == JsNum(5))
+  }
+
+  test("JSON round trip, insertion order, escapes") {
+    assert(evalExpr("""JSON.stringify({b: 1, a: [true, null, "x\n"]})""") == JsStr("""{"b":1,"a":[true,null,"x\n"]}"""))
+    assert(evalExpr("""JSON.parse('{"a": {"b": [1, 2.5]}}').a.b[1]""") == JsNum(2.5))
+    assert(evalExpr("""JSON.stringify(JSON.parse('{"x": 1e2}'))""") == JsStr("""{"x":100}"""))
+    assert(evalExpr("JSON.stringify({u: undefined, f: 1})") == JsStr("""{"f":1}"""))
+  }
+
+  test("Math / parseInt / parseFloat / typeof") {
+    assert(evalExpr("Math.floor(3.7) + Math.max(1, 5, 2)") == JsNum(8))
+    assert(evalExpr("parseInt('42abc')") == JsNum(42))
+    assert(evalExpr("parseInt('ff', 16)") == JsNum(255))
+    assert(evalExpr("'' + parseFloat('3.14xyz')") == JsStr("3.14"))
+    assert(evalExpr("typeof 'x' + ':' + typeof 1 + ':' + typeof {} + ':' + typeof undefined") == JsStr("string:number:object:undefined"))
+  }
+
+  test("try/catch/throw") {
+    assert(evalExpr("(function() { try { throw 'boom' } catch (e) { return 'caught:' + e } })()") == JsStr("caught:boom"))
+    assert(evalExpr("(function() { var log = []; try { log.push('t') } finally { log.push('f') } return log.join('') })()") == JsStr("tf"))
+  }
+
+  test("step budget halts runaway loops") {
+    val ex = intercept[JsThrown](new JsInterp(maxSteps = 1000).run(JsParser.parse("while (true) { var x = 1 }")))
+    assert(ex.getMessage.contains("steps"))
+  }
+
+  // ---- the reference spec's process() contract ----
+
+  test("e2/e3: non-array and non-self-describing returns are failures") {
+    val r1 = runScript("function process(event) { return { foo: 'bar' } }")
+    assert(r1.error.exists(_.contains("could not be read as an array")))
+    val r2 = runScript("function process(event) { return [ { foo: 'bar' } ] }")
+    assert(r2.error.exists(_.contains("not self-describing")))
+  }
+
+  test("e4: getters read event fields into contexts") {
+    val r = runScript(
+      """function process(event) {
+        |  return [ { schema: "iglu:com.acme/foo/jsonschema/1-0-0",
+        |    data: { appId: event.getApp_id() } } ];
+        |}""".stripMargin,
+      "app_id" -> JsStr("greatApp"))
+    assert(r.error.isEmpty)
+    assert(r.contextsJson == """[{"schema":"iglu:com.acme/foo/jsonschema/1-0-0","data":{"appId":"greatApp"}}]""")
+  }
+
+  test("e5/e11: setters mutate the event in place") {
+    val r = runScript(
+      "function process(event) { event.setApp_id('evenBetterApp') }",
+      "app_id" -> JsStr("greatApp"))
+    assert(r.error.isEmpty)
+    assert(r.fields("app_id") == JsStr("evenBetterApp"))
+    assert(r.contextsJson == "[]")
+  }
+
+  test("direct property access works alongside getters") {
+    val r = runScript(
+      "function process(event) { event.app_id = event.app_id.toUpperCase() }",
+      "app_id" -> JsStr("greatApp"))
+    assert(r.fields("app_id") == JsStr("GREATAPP"))
+  }
+
+  test("e6: thrown errors surface as runtime failures, fail-closed") {
+    val r = runScript("function process(event) { throw 'Error' }", "app_id" -> JsStr("x"))
+    assert(r.error.exists(_.contains("Error during execution")))
+  }
+
+  test("e7/e9/e10: empty array, no return, and null all mean no contexts") {
+    assert(runScript("function process(event) { return [] }").error.isEmpty)
+    assert(runScript("function process(event) { var a = 42 }").contextsJson == "[]")
+    assert(runScript("function process(event) { return null }").contextsJson == "[]")
+  }
+
+  test("e8: two valid contexts serialize in order") {
+    val r = runScript(
+      """function process(event) {
+        |  return [ { schema: "iglu:com.acme/foo/jsonschema/1-0-0", data: { hello: "world" } },
+        |           { schema: "iglu:com.acme/bar/jsonschema/1-0-0", data: { hello: "world" } } ];
+        |}""".stripMargin)
+    assert(r.error.isEmpty)
+    assert(r.contextsJson ==
+      """[{"schema":"iglu:com.acme/foo/jsonschema/1-0-0","data":{"hello":"world"}},{"schema":"iglu:com.acme/bar/jsonschema/1-0-0","data":{"hello":"world"}}]""")
+  }
+
+  test("e12: params reach the script") {
+    val runner = new JsScript.Runner(
+      JsScript.compile("function process(event, params) { event.setApp_id(params.nested.foo) }"),
+      """{"foo": "bar", "nested": {"foo": "newId"}}""")
+    val res = runner.process(mutable.LinkedHashMap("app_id" -> JsStr("greatApp")), Seq.empty)
+    assert(res.fields("app_id") == JsStr("newId"))
+  }
+
+  test("e13: headers loop with case-insensitive regex match") {
+    val src =
+      """function process(event, params, headers) {
+        |  for (header of headers) {
+        |    const jwt = header.match(/X-JWT:(.+)/i)
+        |    if (jwt) { event.setApp_id(jwt[1].trim()) }
+        |  }
+        |}""".stripMargin
+    val runner = new JsScript.Runner(JsScript.compile(src), "{}")
+    val r1 = runner.process(mutable.LinkedHashMap("app_id" -> JsStr("greatApp")), Seq.empty)
+    assert(r1.fields("app_id") == JsStr("greatApp"))
+    val r2 = runner.process(mutable.LinkedHashMap("app_id" -> JsStr("greatApp")), Seq("x-jwt: newId"))
+    assert(r2.fields("app_id") == JsStr("newId"))
+  }
+
+  test("e14: event.drop() → dropped") {
+    val r = runScript("function process(event) { event.drop() }")
+    assert(r.dropped)
+  }
+
+  test("e15: eraseDerived_contexts sets the use-only-derived flag") {
+    val r = runScript("function process(event) { event.eraseDerived_contexts() }")
+    assert(r.eraseDerived && r.error.isEmpty && !r.dropped)
+  }
+
+  test("e16-shape: JSON.parse + nested mutation + JSON.stringify of an unstruct event") {
+    val ue = """{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0","data":{"schema":"iglu:com.acme/a/jsonschema/1-0-1","data":{"userId":"u1","n":1}}}"""
+    val r = runScript(
+      """function process(event) {
+        |  const ue = JSON.parse(event.getUnstruct_event())
+        |  ue.data.schema = "iglu:modifiedvendor/modifiedname/jsonschema/1-0-0"
+        |  ue.data.data.userId = "some-modified-user-id"
+        |  event.setUnstruct_event(JSON.stringify(ue))
+        |  return []
+        |}""".stripMargin,
+      "unstruct_event" -> JsStr(ue))
+    assert(r.error.isEmpty)
+    val out = JsInterp.toStringVal(r.fields("unstruct_event"))
+    assert(out.contains("iglu:modifiedvendor/modifiedname/jsonschema/1-0-0"))
+    assert(out.contains("some-modified-user-id"))
+    assert(out.contains("\"n\":1"))
+  }
+
+  test("compile errors are raised on the driver (exitOnCompileError)") {
+    val ex = intercept[IllegalArgumentException](JsScript.compile("["))
+    assert(ex.getMessage.contains("Error compiling"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.js
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The distributed JS hatch: driver-side compile, per-partition engine reuse,
+  * in-place field mutation, drop + error channels. */
+class JsTransformSpec extends SparkSpec {
+
+  test("field mutation, contexts, and drop across partitions") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+      .repartition(4)
+      .withColumn("app_id", concat(lit("app-"), col("id")))
+      .withColumn("note", lit(null: String).cast("string"))
+    val script =
+      """function process(event) {
+        |  var m = event.getApp_id().match(/^app-(\d+)$/)
+        |  var n = m ? parseInt(m[1]) : -1
+        |  if (n % 10 == 3) { event.drop() }
+        |  event.setApp_id(event.getApp_id().toUpperCase())
+        |  event.note = 'n=' + (n * 2)
+        |  return [ { schema: "iglu:com.acme/app/jsonschema/1-0-0", data: { n: n } } ]
+        |}""".stripMargin
+    val out = JsTransform(script).apply(df).cache()
+    try {
+      assert(out.filter(col("js_error").isNotNull).count() == 0)
+      assert(out.filter(col("js_dropped")).count() == 10)
+      val r7 = out.filter(col("id") === 7).head()
+      assert(r7.getAs[String]("app_id") == "APP-7")
+      assert(r7.getAs[String]("note") == "n=14")
+      assert(r7.getAs[String]("js_contexts") ==
+        """[{"schema":"iglu:com.acme/app/jsonschema/1-0-0","data":{"n":7}}]""")
+      // dropped rows keep their original (pre-script) field values
+      val r13 = out.filter(col("id") === 13).head()
+      assert(r13.getAs[Boolean]("js_dropped"))
+      assert(r13.getAs[String]("app_id") == "app-13")
+    } finally { out.unpersist(blocking = false); () }
+  }
+
+  test("runtime error fails closed: original values kept, error recorded") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("boom", 2L)).toDF("s", "v")
+    val script =
+      """function process(event) {
+        |  if (event.s == 'boom') { throw 'no good' }
+        |  event.s = event.s + '!'
+        |  event.v = event.v + 1
+        |}""".stripMargin
+    val rows = JsTransform(script).apply(df).orderBy("v").collect()
+    assert(rows(0).getAs[String]("s") == "a!" && rows(0).getAs[Long]("v") == 2L)
+    assert(rows(1).getAs[String]("s") == "boom" && rows(1).getAs[Long]("v") == 2L)
+    assert(rows(1).getAs[String]("js_error").contains("no good"))
+    assert(rows(0).getAs[String]("js_error") == null)
+  }
+
+  test("numeric column round trip and type coercion to null on mismatch") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5)).toDF("a", "b")
+    val out = JsTransform("function process(event) { event.a = event.a * 10; event.b = 'zzz' }")
+      .apply(df).head()
+    assert(out.getAs[Long]("a") == 10L)
+    assert(out.isNullAt(out.fieldIndex("b"))) // 'zzz' does not coerce to double
+  }
+
+  test("headers column feeds process(event, params, headers)") {
+    import spark.implicits._
+    val df = Seq(("x", Seq("X-JWT: tok-1", "other: y"))).toDF("app", "hdrs")
+    val script =
+      """function process(event, params, headers) {
+        |  for (h of headers) {
+        |    var m = h.match(/x-jwt:(.+)/i)
+        |    if (m) { event.app = m[1].trim() }
+        |  }
+        |}""".stripMargin
+    val out = JsTransform(script, headersCol = Some("hdrs")).apply(df).head()
+    assert(out.getAs[String]("app") == "tok-1")
+  }
+
+  test("bad script fails at construction, not at task time") {
+    intercept[IllegalArgumentException](JsTransform("function process(event { return 1 }"))
+  }
+}
