@@ -157,13 +157,34 @@ object EnrichmentConfig {
           uri -> strs(sn, "required")
         }.toMap).getOrElse(Map.empty)
         ContextsValidate(str(n, "contextsCol", "contexts"), specs, int(n, "maxContexts", 8))
+      case "javascript_script" =>
+        // The reference's javascript_script_config carries the script
+        // base64url-encoded in parameters.script (reference
+        // enrichments/registry/JavascriptScriptEnrichment.scala:54) with an
+        // optional parameters.config object; accept both that shape and a
+        // plain "script" string.
+        //   {"name": "javascript_script", "script": "function process(event) {...}"}
+        //   {"name": "javascript_script", "scriptB64": "...", "params": {...}}
+        val plain = Option(n.get("script")).map(_.asText())
+        val fromB64 = Option(n.get("scriptB64")).map { b =>
+          new String(java.util.Base64.getUrlDecoder.decode(b.asText()),
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val script = plain.orElse(fromB64)
+          .getOrElse(throw new IllegalArgumentException("javascript_script needs 'script' or 'scriptB64'"))
+        if (script.trim.isEmpty)
+          throw new IllegalArgumentException("Provided script for JS enrichment is empty")
+        graft.js.JsTransform(script,
+          paramsJson = Option(n.get("params")).map(_.toString).getOrElse("{}"),
+          headersCol = Option(n.get("headersCol")).map(_.asText()))
       case other =>
         throw new IllegalArgumentException(
           s"unknown enrichment '$other'; supported: tracker_transform, derived_tstamp, " +
             "page_url_parse, campaign_attribution, referer_parser, ua_parser, anon_ip, " +
             "cross_navigation, pii_pseudonymize, event_fingerprint, cookie_extractor, " +
             "http_header_extractor, iab_bot_detection, schema_vendor, field_lengths, " +
-            "schema_validate, contexts_validate, currency_conversion, ip_geo_lookup, dim_join")
+            "schema_validate, contexts_validate, currency_conversion, ip_geo_lookup, " +
+            "dim_join, javascript_script")
     }
   }
 }

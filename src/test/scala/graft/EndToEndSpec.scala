@@ -79,6 +79,31 @@ class EndToEndSpec extends SparkSpec {
     assert(err.getMessage.contains("unknown enrichment 'nope'"))
   }
 
+  test("config-driven javascript_script: base64url script + params, bad script fails fast") {
+    import spark.implicits._
+    val script =
+      """function process(event, params) {
+        |  event.app_id = (event.app_id + params.suffix).toUpperCase()
+        |}""".stripMargin
+    val b64 = java.util.Base64.getUrlEncoder.encodeToString(
+      script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val pipeline = EnrichmentConfig.fromJson(
+      s"""{"enrichments": [
+         |  {"name": "javascript_script", "scriptB64": "$b64", "params": {"suffix": "-x"}}
+         |]}""".stripMargin)
+    val out = pipeline.run(Seq(("app1", 1L)).toDF("app_id", "v")).collect()(0)
+    assert(out.getAs[String]("app_id") == "APP1-X")
+    // compile errors surface at config-parse time (reference exitOnCompileError)
+    intercept[IllegalArgumentException] {
+      EnrichmentConfig.fromJson("""{"enrichments": [{"name": "javascript_script", "script": "]["}]}""")
+    }
+    // empty script rejected like the reference's parse
+    val empty = intercept[IllegalArgumentException] {
+      EnrichmentConfig.fromJson("""{"enrichments": [{"name": "javascript_script", "script": "  "}]}""")
+    }
+    assert(empty.getMessage.contains("empty"))
+  }
+
   test("config-driven dimension joins: inline rates, geo ranges, dim_join rows") {
     import spark.implicits._
     val pipeline = EnrichmentConfig.fromJson(

@@ -216,6 +216,40 @@ class PropertySpec extends SparkSpec {
     assert(f1 != f3)
   }
 
+  test("js JSON property: stringify∘parse is identity on generated JSON values") {
+    import graft.js._
+    // generator over the JSON value space (bounded depth; numbers kept to
+    // exactly-representable doubles so text round-trips are exact)
+    val leafGen: Gen[JsVal] = Gen.oneOf(
+      Gen.const(JsNull),
+      Gen.oneOf(true, false).map(JsBool(_)),
+      Gen.choose(-1000000, 1000000).map(n => JsNum(n.toDouble)),
+      Gen.choose(-4096, 4096).map(n => JsNum(n / 8.0)), // dyadic rationals
+      Gen.asciiPrintableStr.map(JsStr(_)),
+      Gen.oneOf("tab\t", "nl\n", "q\"q", "bs\\", "unicodeé中").map(JsStr(_)))
+    def valGen(depth: Int): Gen[JsVal] =
+      if (depth == 0) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        1 -> Gen.listOfN(3, valGen(depth - 1)).map(vs => JsVal.arr(vs: _*)),
+        1 -> Gen.listOfN(3, Gen.zip(Gen.identifier, valGen(depth - 1)))
+          .map(kvs => JsVal.obj(kvs.distinctBy(_._1): _*)))
+    def eq(a: JsVal, b: JsVal): Boolean = (a, b) match {
+      case (x: JsArr, y: JsArr) =>
+        x.items.length == y.items.length && x.items.lazyZip(y.items).forall(eq)
+      case (x: JsObj, y: JsObj) =>
+        x.props.keys.toSeq == y.props.keys.toSeq &&
+          x.props.forall { case (k, v) => eq(v, y.props(k)) }
+      case _ => a == b
+    }
+    sample(valGen(3), 300).foreach { v =>
+      val s = JsJson.stringify(v).get
+      assert(eq(JsJson.parse(s), v), s"round trip failed for $s")
+      // and stringify is stable across the round trip (canonical form)
+      assert(JsJson.stringify(JsJson.parse(s)).get == s)
+    }
+  }
+
   test("derived timestamp property: result is trueTs, collector, or skew-corrected") {
     import spark.implicits._
     val gen = for {

@@ -140,6 +140,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("js_transform runs per micro-batch: same interpreter path as batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // JsTransform is a stateless mapPartitions program, so the JS hatch
+    // applies to a stream untouched — the compiled AST ships once, each
+    // micro-batch partition reuses its interpreter
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.js.JsTransform(
+      "function process(event) { event.app_id = event.app_id.toUpperCase(); if (event.id % 2 == 1) { event.drop() } }")
+      .apply(mem.toDF().toDF("id", "app_id"))
+    val q = out.writeStream.format("memory").queryName("jss").outputMode("append").start()
+    try {
+      mem.addData((0L, "app-a"), (1L, "app-b"), (2L, "app-c"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, app_id, js_dropped FROM jss ORDER BY id").collect()
+      assert(rows.length == 3)
+      assert(rows(0).getAs[String]("app_id") == "APP-A" && !rows(0).getAs[Boolean]("js_dropped"))
+      assert(rows(1).getAs[Boolean]("js_dropped"))
+      assert(rows(2).getAs[String]("app_id") == "APP-C")
+    } finally q.stop()
+  }
+
   test("adapters + schema validation run unchanged on a stream") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
