@@ -58,6 +58,49 @@ class ScaleLayoutSpec extends SparkSpec {
       s"scan should read only event_id:\n$scan")
   }
 
+  test("semdedup assignment side is narrow: no exchange before the cell join") {
+    // the centroid assignment must be a literal-matrix projection (the
+    // ann_ivf kernel): the corpus reaches its first join with zero
+    // exchanges — the only shuffles are the removal dedup + output sort
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides children pre-execution
+    try {
+      val df = SparkEntry.queries("semdedup")(spark, "/root/testdata/sf0.001")
+      val exec = df.queryExecution.executedPlan
+      // walk to the cached assignment relation and inspect ITS build plan:
+      // narrow scan → projections, zero exchanges
+      val cached = exec.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan.toString
+      }
+      assert(cached.nonEmpty, "assignment relation must be cached")
+      cached.foreach { p =>
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"centroid assignment must not shuffle the corpus:\n${p.take(1500)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("para_dedup windows on the paragraph hash, not the text") {
+    val df = SparkEntry.queries("para_dedup")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the first-occurrence window's exchange must partition by the md5 hash
+    assert(plan.contains("Exchange hashpartitioning(h#"),
+      s"first-occurrence window must shuffle on the hash column:\n${plan.take(1500)}")
+  }
+
+  test("js_transform keeps the scan narrow and compiles the script once") {
+    // driver-side compile happens at plan construction; the input scan must
+    // prune to the single driving column even through mapPartitions
+    val df = SparkEntry.queries("js_transform")(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("ReadSchema: struct<event_id:bigint>"),
+      s"scan should read only event_id:\n$scan")
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val r = ev.agg(
