@@ -358,6 +358,38 @@ final case class IabBotDetection(
   }
 }
 
+/** Combined bot signal (reference `registry/BotDetectionEnrichment.scala`):
+  * folds the per-source indicators other enrichments already derived — the
+  * UA device-class robot signal (the reference's yauaa indicator), the IAB
+  * spider-or-robot flag, and optionally an ASN blocklist hit — into one
+  * `bot_detected` flag plus the `bot_indicators` JSON list of triggered
+  * sources (the reference's `{bot, indicators}` output context). Indicator
+  * order is fixed (iab, yauaa, asn) for determinism; the reference's order
+  * follows its context-list fold. */
+final case class BotDetection(
+  useUa: Boolean = true,
+  useIab: Boolean = true,
+  useAsn: Boolean = false,
+  deviceClassCol: String = "dvce_type",
+  iabCol: String = "iab_spider_or_robot",
+  asnCol: String = "ip_asn",
+  botAsns: Seq[Long] = Nil
+) extends Enrichment {
+  val name = "bot_detection"
+  def apply(df: DataFrame): DataFrame = {
+    val indicators: Seq[(String, Column)] = Seq(
+      "iab" -> (if (useIab) coalesce(col(iabCol), lit(false)) else lit(false)),
+      "yauaa" -> (if (useUa) coalesce(col(deviceClassCol) === "Robot", lit(false)) else lit(false)),
+      "asn" -> (if (useAsn && botAsns.nonEmpty) coalesce(col(asnCol).isin(botAsns: _*), lit(false)) else lit(false)))
+    val hits = filter(
+      array(indicators.map { case (n, c) => when(c, lit(n)) }: _*),
+      x => x.isNotNull)
+    df.withColumn("bot_indicators",
+        concat(lit("["), array_join(transform(hits, x => concat(lit("\""), x, lit("\""))), ","), lit("]")))
+      .withColumn("bot_detected", size(hits) > 0)
+  }
+}
+
 /** The JavaScript-script escape hatch (reference
   * `registry/JavascriptScriptEnrichment`): an arbitrary user transform. */
 final case class CustomTransform(name: String, f: DataFrame => DataFrame) extends Enrichment {

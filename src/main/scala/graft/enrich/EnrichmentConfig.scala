@@ -157,6 +157,14 @@ object EnrichmentConfig {
           uri -> strs(sn, "required")
         }.toMap).getOrElse(Map.empty)
         ContextsValidate(str(n, "contextsCol", "contexts"), specs, int(n, "maxContexts", 8))
+      case "bot_detection" =>
+        // reference parameter names: useYauaa / useIab / useAsnLookups
+        // (registry/BotDetectionEnrichment.scala:85-90)
+        BotDetection(
+          useUa = Option(n.get("useYauaa")).forall(_.asBoolean()),
+          useIab = Option(n.get("useIab")).forall(_.asBoolean()),
+          useAsn = Option(n.get("useAsnLookups")).exists(_.asBoolean()),
+          botAsns = Option(n.get("botAsns")).map(_.elements().asScala.map(_.asLong()).toSeq).getOrElse(Nil))
       case "javascript_script" =>
         // The reference's javascript_script_config carries the script
         // base64url-encoded in parameters.script (reference
@@ -184,7 +192,7 @@ object EnrichmentConfig {
             "cross_navigation, pii_pseudonymize, event_fingerprint, cookie_extractor, " +
             "http_header_extractor, iab_bot_detection, schema_vendor, field_lengths, " +
             "schema_validate, contexts_validate, currency_conversion, ip_geo_lookup, " +
-            "dim_join, javascript_script")
+            "dim_join, javascript_script, bot_detection")
     }
   }
 }

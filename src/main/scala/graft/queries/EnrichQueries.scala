@@ -36,7 +36,7 @@ object EnrichQueries {
 
   /** Configured bot-IP exclude list for the iab_bot query (synth IPs of
     * event_ids 3, 100 and 555 — shared verbatim with the oracle). */
-  private val IabBotIps = Seq("4.21.39.87", "101.188.20.84", "110.45.47.223")
+  private[queries] val IabBotIps = Seq("4.21.39.87", "101.188.20.84", "110.45.47.223")
 
   val defs: Map[String, Q] = Map(
     // ---- §2.A ----------------------------------------------------------

@@ -147,6 +147,18 @@ object Queries11 {
           .orderBy("doc_id")
     },
 
+    "bot_detection" -> { (sp, dir) =>
+      // the combined bot context (reference registry/BotDetectionEnrichment):
+      // IAB flag + UA device-class robot signal folded to {bot, indicators};
+      // runs the REAL library enrichments over the synthetic universe
+      val withSignals = graft.enrich.IabBotDetection("ua", "ip", botIpList = EnrichQueries.IabBotIps)(
+        Synth.withRaw(Tables.events(sp, dir)))
+        .withColumn("dvce_type", graft.functions.UaF.deviceClass(col("ua")))
+      graft.enrich.BotDetection()(withSignals)
+        .select(col("event_id"), col("bot_detected"), col("bot_indicators"))
+        .orderBy("event_id")
+    },
+
     "ann_int8" -> { (sp, dir) =>
       // Symmetric int8 embedding quantization (per-vector scale = 127 /
       // max|x|) + exact integer dot products — the compressed-scan side of
@@ -296,6 +308,23 @@ object Queries11 {
          |SELECT ps.doc_id, n_paras, n_dup_paras, dup_char_bp, top_gram, top_gram_n, top_gram_bp
          |FROM ps JOIN tg ON ps.doc_id = tg.doc_id
          |ORDER BY ps.doc_id""".stripMargin
+    },
+
+    "bot_detection" -> {
+      val uaHit = Seq("bot", "crawler", "spider", "slurp")
+        .map(s => s"position('$s' IN lower(ua)) > 0").mkString("(", " OR ", ")")
+      val ipHit = s"ip IN (${EnrichQueries.IabBotIps.map(i => s"'$i'").mkString(", ")})"
+      Synth.withCte(
+        s"""SELECT event_id,
+           |  (iab OR yauaa) AS bot_detected,
+           |  concat('[', concat_ws(',',
+           |    CASE WHEN iab THEN '"iab"' END,
+           |    CASE WHEN yauaa THEN '"yauaa"' END), ']') AS bot_indicators
+           |FROM (
+           |  SELECT event_id, ($uaHit OR $ipHit) AS iab,
+           |    ${graft.functions.UaF.deviceClassSql("ua")} = 'Robot' AS yauaa
+           |  FROM raw) t
+           |ORDER BY event_id""".stripMargin)
     },
 
     "ann_int8" -> {

@@ -79,6 +79,25 @@ class EndToEndSpec extends SparkSpec {
     assert(err.getMessage.contains("unknown enrichment 'nope'"))
   }
 
+  test("config-driven bot_detection folds iab + ua-class signals with reference param names") {
+    import spark.implicits._
+    val pipeline = EnrichmentConfig.fromJson(
+      """{"enrichments": [
+        |  {"name": "iab_bot_detection"},
+        |  {"name": "bot_detection", "useYauaa": true, "useIab": true, "useAsnLookups": false}
+        |]}""".stripMargin)
+    val df = Seq(
+      ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)", "1.2.3.4"),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36", "1.2.3.5")
+    ).toDF("ua", "user_ipaddress")
+      .withColumn("dvce_type", graft.functions.UaF.deviceClass(org.apache.spark.sql.functions.col("ua")))
+    val rows = pipeline.run(df).orderBy("user_ipaddress").collect()
+    assert(rows(0).getAs[Boolean]("bot_detected"))
+    assert(rows(0).getAs[String]("bot_indicators") == "[\"iab\",\"yauaa\"]")
+    assert(!rows(1).getAs[Boolean]("bot_detected"))
+    assert(rows(1).getAs[String]("bot_indicators") == "[]")
+  }
+
   test("config-driven javascript_script: base64url script + params, bad script fails fast") {
     import spark.implicits._
     val script =
