@@ -147,6 +147,65 @@ object Queries11 {
           .orderBy("doc_id")
     },
 
+    "q13_custdist" -> { (sp, dir) =>
+      // TPC-H Q13 shape: customer order-count distribution through a LEFT
+      // OUTER join with a join-side predicate (the NOT-LIKE filter belongs
+      // in the join condition, not a WHERE — a WHERE would turn the outer
+      // join inner and drop the zero-order customers the query exists for)
+      val c = Tables.customer(sp, dir).select(col("c_custkey"))
+      val o = Tables.orders(sp, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      c.join(o, col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    "q17_small_qty" -> { (sp, dir) =>
+      // TPC-H Q17 shape: lines below 20% of their part's average quantity.
+      // The correlated scalar avg becomes a per-part aggregate joined back;
+      // the avg comparison stays EXACT integer arithmetic
+      // (qty < sum/(5·cnt) ⇔ 5·qty·cnt < sum — no double division)
+      val cents = (c: Column) => round(c * 100).cast("bigint")
+      val li = Tables.lineitem(sp, dir)
+        .join(broadcast(Tables.part(sp, dir)
+          .filter(col("p_brand") === "Brand#23" && col("p_size") <= 10)
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), round(col("l_quantity")).cast("bigint").as("qty"),
+          cents(col("l_extendedprice")).as("price_cents"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      li.join(perPart, Seq("l_partkey"))
+        .filter(col("qty") * col("cnt_qty") * 5 < col("sum_qty"))
+        .agg(coalesce(sum(col("price_cents")), lit(0L)).as("total_cents"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    "q22_idle_balance" -> { (sp, dir) =>
+      // TPC-H Q22 shape: customers from selected "country codes" (nationkey
+      // stands in for the phone prefix — the synthetic schema carries no
+      // phone) with above-average positive balances and NO urgent orders
+      // (every synthetic customer has SOME order, so the classic no-orders
+      // predicate would be vacuously empty; the filtered-anti shape is the
+      // same plan with ~14% of customers qualifying).
+      // avg comparison exact (bal·n > sum), NOT EXISTS → left_anti join
+      val cents = (c: Column) => round(c * 100).cast("bigint")
+      val codes = Seq(1, 3, 7, 13, 17, 19, 23)
+      val cust = Tables.customer(sp, dir)
+        .filter(col("c_nationkey").isin(codes: _*))
+        .select(col("c_custkey"), col("c_nationkey").as("cntrycode"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      val avgStats = broadcast(cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sum_bal"), count(lit(1)).as("n_bal")))
+      cust.crossJoin(avgStats)
+        .filter(col("bal_cents") * col("n_bal") > col("sum_bal"))
+        .join(Tables.orders(sp, dir).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+        .orderBy("cntrycode")
+    },
+
     "bot_detection" -> { (sp, dir) =>
       // the combined bot context (reference registry/BotDetectionEnrichment):
       // IAB flag + UA device-class robot signal folded to {bot, indicators};
@@ -309,6 +368,49 @@ object Queries11 {
          |FROM ps JOIN tg ON ps.doc_id = tg.doc_id
          |ORDER BY ps.doc_id""".stripMargin
     },
+
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT
+        |  CAST(coalesce(sum(price_cents), 0) AS BIGINT) AS total_cents,
+        |  count(*) AS n_lines
+        |FROM (
+        |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qty,
+        |    count(*) OVER (PARTITION BY l_partkey) AS cnt_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23' AND p_size <= 10
+        |) t
+        |WHERE qty * cnt_qty * 5 < sum_qty""".stripMargin,
+
+    "q22_idle_balance" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey AS cntrycode,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey IN (1, 3, 7, 13, 17, 19, 23)
+        |), avg_stats AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_bal, count(*) AS n_bal
+        |  FROM cust WHERE bal_cents > 0
+        |)
+        |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, avg_stats
+        |WHERE bal_cents * n_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
 
     "bot_detection" -> {
       val uaHit = Seq("bot", "crawler", "spider", "slurp")
