@@ -44,6 +44,98 @@ object EnrichmentConfig {
   private def str(n: JsonNode, field: String, default: String): String =
     Option(n.get(field)).map(_.asText()).getOrElse(default)
 
+  /** Accept the reference's own per-enrichment config files verbatim — the
+    * self-describing `{"schema": "iglu:…/X/jsonschema/…", "data": {"name":
+    * …, "enabled": …, "parameters": {…}}}` shape every snowplow/enrich
+    * deployment already has on disk (the JSON files under the reference's
+    * `config/enrichments` directory, parsed by each registry enrichment's
+    * `parse`). Drop the directory in;
+    * get back the mapped pipeline plus an explicit (name, reason) list of
+    * everything that did NOT map: disabled entries, and enrichments whose
+    * external databases (MaxMind, OER rates, IAB files) cannot ship inside
+    * a config — those need the native shape with inline/parquet dims.
+    */
+  def fromReferenceConfigs(jsons: Seq[String]): (EnrichmentPipeline, Seq[(String, String)]) = {
+    val mapped = scala.collection.mutable.Buffer[Enrichment]()
+    val skipped = scala.collection.mutable.Buffer[(String, String)]()
+    jsons.foreach { j =>
+      val root = mapper.readTree(j)
+      val data = Option(root.get("data"))
+        .getOrElse(throw new IllegalArgumentException("reference config needs a 'data' object"))
+      val name = Option(data.get("name")).map(_.asText())
+        .getOrElse(throw new IllegalArgumentException("reference config needs data.name"))
+      val enabled = Option(data.get("enabled")).forall(_.asBoolean())
+      val p = Option(data.get("parameters")).getOrElse(mapper.createObjectNode())
+      def fields(field: String): Seq[String] = strs(p, field)
+      if (!enabled) skipped += ((name, "disabled"))
+      else name match {
+        case "anon_ip" =>
+          mapped += AnonIp(octets = int(p, "anonOctets", 2), segments = int(p, "anonSegments", 4))
+        case "javascript_script_config" =>
+          val script = new String(
+            java.util.Base64.getUrlDecoder.decode(str(p, "script", "")),
+            java.nio.charset.StandardCharsets.UTF_8)
+          mapped += graft.js.JsTransform(script,
+            paramsJson = Option(p.get("config")).map(_.toString).getOrElse("{}"))
+        case "campaign_attribution" =>
+          val f = Option(p.get("fields")).getOrElse(mapper.createObjectNode())
+          def or(node: JsonNode, field: String, d: Seq[String]) = {
+            val v = strs(node, field); if (v.isEmpty) d else v
+          }
+          mapped += CampaignAttribution(
+            mediumParams = or(f, "mktMedium", Seq("utm_medium")),
+            sourceParams = or(f, "mktSource", Seq("utm_source")),
+            termParams = or(f, "mktTerm", Seq("utm_term")),
+            contentParams = or(f, "mktContent", Seq("utm_content")),
+            campaignParams = or(f, "mktCampaign", Seq("utm_campaign")))
+        case "event_fingerprint_config" =>
+          // the reference excludes params from the raw map; the column
+          // engine fingerprints named columns — algorithm maps, the field
+          // set stays graft's atomic default
+          mapped += EventFingerprint(str(p, "hashAlgorithm", "MD5").toLowerCase,
+            Seq("event_code", "platform_code", "res"))
+        case "referer_parser" =>
+          // database/uri point at the hosted referer db; graft embeds its
+          // generated equivalent, so only internalDomains carries over
+          mapped += RefererParser(internalDomains = fields("internalDomains"))
+        case "ua_parser_config" | "user_agent_utils_config" | "yauaa_enrichment_config" =>
+          if (!mapped.exists(_.isInstanceOf[UaParser])) mapped += UaParser()
+        case "cookie_extractor_config" =>
+          mapped += CookieExtractor("cookie_hdr", fields("cookies"))
+        case "http_header_extractor_config" =>
+          mapped += HttpHeaderExtractor("header_line")
+        case "iab_spiders_and_robots_enrichment" =>
+          // the IAB files are licensed downloads; the substring+IP-list
+          // heuristic engine maps, the file contents cannot
+          mapped += IabBotDetection()
+        case "bot_detection_enrichment_config" =>
+          mapped += BotDetection(
+            useUa = Option(p.get("useYauaa")).forall(_.asBoolean()),
+            useIab = Option(p.get("useIab")).forall(_.asBoolean()),
+            useAsn = Option(p.get("useAsnLookups")).exists(_.asBoolean()))
+        case "pii_enrichment_config" =>
+          val pojoFields = Option(p.get("pii")).map(_.elements().asScala.flatMap { e =>
+            Option(e.get("pojo")).flatMap(pj => Option(pj.get("field")).map(_.asText()))
+          }.toSeq).getOrElse(Nil)
+          if (pojoFields.nonEmpty) mapped += PiiPseudonymize(pojoFields, salt = "")
+          else skipped += ((name, "only json-field PII entries; use the native schema_validate/pii shape"))
+        case "cross_navigation_config" =>
+          mapped += CrossNavigation()
+        case "ip_lookups" | "asn_lookups" =>
+          skipped += ((name, "needs the MaxMind database; construct graft.enrich.IpGeoLookup / IpAsnLookup with inline or parquet ranges"))
+        case "currency_conversion_config" =>
+          skipped += ((name, "needs the OER rates feed; construct graft.enrich.CurrencyConversion with inline or parquet rates"))
+        case "weather_enrichment_config" =>
+          skipped += ((name, "needs the weather provider; use graft.operators.AsOfJoin with an observations table"))
+        case "api_request_enrichment_config" | "sql_query_enrichment_config" =>
+          skipped += ((name, "needs a live endpoint; construct graft.enrich.DimJoin over a materialized dimension"))
+        case other =>
+          skipped += ((other, "no graft mapping"))
+      }
+    }
+    (EnrichmentPipeline(mapped.toSeq), skipped.toSeq)
+  }
+
   private def parseOne(n: JsonNode): Enrichment = {
     val name = Option(n.get("name")).map(_.asText())
       .getOrElse(throw new IllegalArgumentException("enrichment entry needs a 'name'"))

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.EnrichmentConfig
+
+/** The reference's OWN config directory must drop in: every file under its
+  * `config/enrichments` parses, the self-contained enrichments map, the
+  * data-backed ones are reported with instructive reasons — and the
+  * base64-embedded sample JavaScript runs through graft's interpreter with
+  * the reference's semantics. */
+class ReferenceConfigSpec extends SparkSpec {
+
+  private val dir = Paths.get("/root/reference/config/enrichments")
+
+  private def allConfigs: Seq[String] =
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".json")).sortBy(_.toString)
+      .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+
+  test("every reference config file parses; enabled self-contained ones map") {
+    assume(Files.isDirectory(dir))
+    val (pipeline, skipped) = EnrichmentConfig.fromReferenceConfigs(allConfigs)
+    val names = pipeline.enrichments.map(_.name)
+    // enabled + self-contained → mapped
+    assert(names.contains("anon_ip"))
+    assert(names.contains("campaign_attribution"))
+    assert(names.contains("cookie_extractor"))
+    assert(names.contains("bot_detection"))
+    assert(names.contains("event_fingerprint"))
+    assert(names.contains("pii_pseudonymize"))
+    assert(names.contains("referer_parser"))
+    assert(names.contains("ua_parser"))
+    // disabled entries are reported, not silently dropped
+    assert(skipped.exists { case (n, r) => n == "javascript_script_config" && r == "disabled" })
+    // data-backed entries name their graft replacement
+    assert(skipped.exists { case (n, r) => n == "ip_lookups" && r.contains("IpGeoLookup") })
+    assert(skipped.exists { case (n, r) => n == "asn_lookups" && r.contains("IpAsnLookup") })
+    assert(skipped.exists { case (n, r) => n == "currency_conversion_config" && r == "disabled" })
+    // nothing fell through unmapped
+    assert(!skipped.exists(_._2 == "no graft mapping"), skipped.mkString(", "))
+  }
+
+  test("the reference's embedded sample JS script runs with reference semantics") {
+    assume(Files.isDirectory(dir))
+    import spark.implicits._
+    // force-enable the javascript config so it maps, then run its script
+    val raw = new String(Files.readAllBytes(dir.resolve("javascript_script_enrichment.json")), "UTF-8")
+    val enabled = raw.replace("\"enabled\": false", "\"enabled\": true")
+    val (pipeline, _) = EnrichmentConfig.fromReferenceConfigs(Seq(enabled))
+    assert(pipeline.enrichments.map(_.name) == Seq("js_transform"))
+    val df = Seq(
+      ("server", "secret", 1L), // passes the guard → context with upper-cased app id
+      ("web", null.asInstanceOf[String], 2L), // null app id → no contexts
+      ("server", "leaky", 3L) // reference script THROWS on this combination
+    ).toDF("platform", "app_id", "id")
+    val rows = pipeline.run(df).orderBy("id").collect()
+    assert(rows(0).getAs[String]("js_contexts")
+      .contains("\"appIdUpper\":\"SECRET\""))
+    assert(rows(0).getAs[String]("js_error") == null)
+    assert(rows(1).getAs[String]("js_contexts") == "[]")
+    val err = rows(2).getAs[String]("js_error")
+    assert(err != null && err.contains("Server-side event has invalid app_id: leaky"))
+  }
+}
