@@ -372,6 +372,60 @@ object Builtins {
 
   def regexMethod(name: String): Option[JsNative] = regexMethods.get(name)
 
+  // ---------------- statics on constructor-style natives ----------------
+
+  private val staticMethods: Map[(String, String), JsNative] = Map(
+    ("String", "fromCharCode") -> native("fromCharCode") { (_, a) =>
+      JsStr(a.map(v => toNumber(v).toInt.toChar).mkString)
+    },
+    ("Number", "isInteger") -> native("isInteger") { (_, a) =>
+      arg(a, 0) match { case JsNum(d) => JsBool(d == Math.rint(d) && !d.isInfinite); case _ => JsBool(false) }
+    },
+    ("Number", "isFinite") -> native("isFinite") { (_, a) =>
+      arg(a, 0) match { case JsNum(d) => JsBool(!d.isNaN && !d.isInfinite); case _ => JsBool(false) }
+    },
+    ("Number", "isNaN") -> native("isNaN") { (_, a) =>
+      arg(a, 0) match { case JsNum(d) => JsBool(d.isNaN); case _ => JsBool(false) }
+    },
+    ("Number", "parseInt") -> parseIntNative,
+    ("Number", "parseFloat") -> parseFloatNative)
+
+  def staticMethod(ctor: String, name: String): Option[JsNative] =
+    staticMethods.get((ctor, name))
+
+  private def errorCtor(errName: String): JsNative = native(errName) { (_, a) =>
+    JsVal.obj(
+      "name" -> JsStr(errName),
+      "message" -> (arg(a, 0) match { case JsUndef => JsStr(""); case v => JsStr(toStringVal(v)) }))
+  }
+
+  private lazy val parseIntNative: JsNative = native("parseInt") { (_, a) =>
+    val s = toStringVal(arg(a, 0)).trim
+    val radix = arg(a, 1) match { case JsUndef => 10; case v => toNumber(v).toInt match { case 0 => 10; case r => r } }
+    var i = 0
+    var sign = 1.0
+    if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+      if (s.charAt(i) == '-') sign = -1.0
+      i += 1
+    }
+    if (radix == 16 && s.regionMatches(true, i, "0x", 0, 2)) i += 2
+    // JS consumes the longest prefix of radix-valid digits, ignoring the rest
+    var value = 0.0
+    var any = false
+    var go = true
+    while (go && i < s.length) {
+      val d = Character.digit(s.charAt(i), radix)
+      if (d < 0) go = false
+      else { value = value * radix + d; any = true; i += 1 }
+    }
+    if (any) JsNum(sign * value) else JsNum(Double.NaN)
+  }
+
+  private lazy val parseFloatNative: JsNative = native("parseFloat") { (_, a) =>
+    val m = java.util.regex.Pattern.compile("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?").matcher(toStringVal(arg(a, 0)).trim)
+    if (m.find()) JsNum(java.lang.Double.parseDouble(m.group())) else JsNum(Double.NaN)
+  }
+
   // ---------------- globals ----------------
 
   def install(env: JsInterp.Env): Unit = {
@@ -443,31 +497,12 @@ object Builtins {
     env.declare("Array", JsVal.obj(
       "isArray" -> native("isArray") { (_, a) => JsBool(arg(a, 0).isInstanceOf[JsArr]) }))
 
-    env.declare("parseInt", native("parseInt") { (_, a) =>
-      val s = toStringVal(arg(a, 0)).trim
-      val radix = arg(a, 1) match { case JsUndef => 10; case v => toNumber(v).toInt match { case 0 => 10; case r => r } }
-      var i = 0
-      var sign = 1.0
-      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
-        if (s.charAt(i) == '-') sign = -1.0
-        i += 1
-      }
-      if (radix == 16 && s.regionMatches(true, i, "0x", 0, 2)) i += 2
-      // JS consumes the longest prefix of radix-valid digits, ignoring the rest
-      var value = 0.0
-      var any = false
-      var go = true
-      while (go && i < s.length) {
-        val d = Character.digit(s.charAt(i), radix)
-        if (d < 0) go = false
-        else { value = value * radix + d; any = true; i += 1 }
-      }
-      if (any) JsNum(sign * value) else JsNum(Double.NaN)
-    })
-    env.declare("parseFloat", native("parseFloat") { (_, a) =>
-      val m = java.util.regex.Pattern.compile("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?").matcher(toStringVal(arg(a, 0)).trim)
-      if (m.find()) JsNum(java.lang.Double.parseDouble(m.group())) else JsNum(Double.NaN)
-    })
+    env.declare("parseInt", parseIntNative)
+    env.declare("parseFloat", parseFloatNative)
+    env.declare("Error", errorCtor("Error"))
+    env.declare("TypeError", errorCtor("TypeError"))
+    env.declare("RangeError", errorCtor("RangeError"))
+    env.declare("SyntaxError", errorCtor("SyntaxError"))
     env.declare("isNaN", native("isNaN") { (_, a) => JsBool(toNumber(arg(a, 0)).isNaN) })
     env.declare("isFinite", native("isFinite") { (_, a) => val d = toNumber(arg(a, 0)); JsBool(!d.isNaN && !d.isInfinite) })
     env.declare("String", native("String") { (_, a) => JsStr(if (a.isEmpty) "" else toStringVal(a.head)) })

@@ -39,7 +39,15 @@ object JsVal {
 
 /** Thrown value from JS `throw` (and host-raised runtime errors). */
 final case class JsThrown(value: JsVal) extends RuntimeException with NoStackTrace {
-  override def getMessage: String = JsInterp.toStringVal(value)
+  override def getMessage: String = value match {
+    // Error-shaped objects render as "Name: message", not "[object Object]"
+    case o: JsObj if o.props.contains("message") =>
+      o.props.get("name") match {
+        case Some(n) => s"${JsInterp.toStringVal(n)}: ${JsInterp.toStringVal(o.props("message"))}"
+        case None => JsInterp.toStringVal(o.props("message"))
+      }
+    case v => JsInterp.toStringVal(v)
+  }
 }
 /** Raised by `event.drop()` — maps to the reference's Result.Dropped
   * (reference JavascriptScriptEnrichment.scala `JavascriptRejectionException`). */
@@ -328,6 +336,7 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
       if (name == "length") JsNum(s0.length.toDouble)
       else Builtins.stringMethod(name).getOrElse(JsUndef)
     case JsNum(_) => Builtins.numberMethod(name).getOrElse(JsUndef)
+    case nat: JsNative => Builtins.staticMethod(nat.name, name).getOrElse(JsUndef)
     case r: JsRegex =>
       name match {
         case "source" => JsStr(r.pattern)

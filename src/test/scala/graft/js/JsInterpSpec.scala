@@ -228,6 +228,30 @@ class JsInterpSpec extends AnyFunSuite {
     assert(out.contains("\"n\":1"))
   }
 
+  test("template literals desugar to string concatenation") {
+    assert(evalExpr("`a${1 + 2}b`") == JsStr("a3b"))
+    assert(evalExpr("`${1}${2}`") == JsStr("12"))
+    assert(evalExpr("(function() { var n = 'world'; return `hello ${n.toUpperCase()}!` })()") == JsStr("hello WORLD!"))
+    assert(evalExpr("`nested ${ `in${'ner'}` }`") == JsStr("nested inner"))
+    assert(evalExpr("`escaped \\${x} \\` ok`") == JsStr("escaped ${x} ` ok"))
+  }
+
+  test("Error objects: constructor, message, name, thrown rendering") {
+    assert(evalExpr("new Error('boom').message") == JsStr("boom"))
+    assert(evalExpr("new TypeError('t').name") == JsStr("TypeError"))
+    val r = runScript("function process(event) { throw new Error('bad state') }")
+    assert(r.error.exists(_.contains("Error: bad state")))
+    assert(evalExpr(
+      "(function() { try { throw new RangeError('r') } catch (e) { return e.name + '/' + e.message } })()") ==
+      JsStr("RangeError/r"))
+  }
+
+  test("constructor statics: String.fromCharCode, Number.isInteger") {
+    assert(evalExpr("String.fromCharCode(104, 105)") == JsStr("hi"))
+    assert(evalExpr("Number.isInteger(4) && !Number.isInteger(4.5)") == JsBool(true))
+    assert(evalExpr("Number.parseInt('42px')") == JsNum(42))
+  }
+
   test("compile errors are raised on the driver (exitOnCompileError)") {
     val ex = intercept[IllegalArgumentException](JsScript.compile("["))
     assert(ex.getMessage.contains("Error compiling"))
