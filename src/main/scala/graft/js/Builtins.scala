@@ -63,8 +63,10 @@ object Builtins {
     "substr" -> native("substr") { (t, a) =>
       val s = toStringVal(t)
       val start = sliceIndex(toNumber(arg(a, 0)), s.length, 0)
-      val len = if (a.length > 1) toNumber(a(1)).toInt.max(0) else s.length - start
-      JsStr(s.substring(start, (start + len).min(s.length)))
+      // long arithmetic: a huge length argument saturates instead of
+      // overflowing start+len into a negative substring bound
+      val len = if (a.length > 1) toNumber(a(1)).toLong.max(0L) else (s.length - start).toLong
+      JsStr(s.substring(start, math.min(start.toLong + len, s.length.toLong).toInt))
     },
     "split" -> native("split") { (t, a) =>
       val s = toStringVal(t)
@@ -393,6 +395,10 @@ object Builtins {
   def staticMethod(ctor: String, name: String): Option[JsNative] =
     staticMethods.get((ctor, name))
 
+  /** Names satisfying `instanceof Error` (a specific subtype also satisfies
+    * its own constructor). */
+  val ErrorNames: Set[String] = Set("Error", "TypeError", "RangeError", "SyntaxError")
+
   private def errorCtor(errName: String): JsNative = native(errName) { (_, a) =>
     JsVal.obj(
       "name" -> JsStr(errName),
@@ -401,14 +407,19 @@ object Builtins {
 
   private lazy val parseIntNative: JsNative = native("parseInt") { (_, a) =>
     val s = toStringVal(arg(a, 0)).trim
-    val radix = arg(a, 1) match { case JsUndef => 10; case v => toNumber(v).toInt match { case 0 => 10; case r => r } }
     var i = 0
     var sign = 1.0
     if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
       if (s.charAt(i) == '-') sign = -1.0
       i += 1
     }
-    if (radix == 16 && s.regionMatches(true, i, "0x", 0, 2)) i += 2
+    // spec: an undefined radix with a 0x prefix means hexadecimal
+    val hexPrefixed = s.regionMatches(true, i, "0x", 0, 2)
+    val radix = arg(a, 1) match {
+      case JsUndef => if (hexPrefixed) 16 else 10
+      case v => toNumber(v).toInt match { case 0 => if (hexPrefixed) 16 else 10; case r => r }
+    }
+    if (radix == 16 && hexPrefixed) i += 2
     // JS consumes the longest prefix of radix-valid digits, ignoring the rest
     var value = 0.0
     var any = false
@@ -528,7 +539,7 @@ object Builtins {
         var i = 0
         while (i < s.length) {
           val c = s.charAt(i)
-          if (c == '%' && i + 2 < s.length + 1 && i + 2 < s.length + 1) {
+          if (c == '%' && i + 3 <= s.length) {
             out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
           } else { out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)); i += 1 }
         }

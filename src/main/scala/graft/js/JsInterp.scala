@@ -350,6 +350,7 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
   }
 
   private def binary(op: String, l: JsVal, r: JsVal): JsVal = op match {
+    case "," => r // comma operator: both operands already evaluated, right wins
     case "+" =>
       (toPrimitive(l), toPrimitive(r)) match {
         case (JsStr(a), b) => JsStr(a + toStringVal(b))
@@ -386,7 +387,19 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
         case a: JsArr => val i = toNumber(l).toInt; JsBool(i >= 0 && i < a.items.length)
         case _ => JsBool(false)
       }
-    case "instanceof" => JsBool(false) // no prototype chains in the subset
+    case "instanceof" =>
+      // no prototype chains in the subset, but the built-in Error
+      // constructors must satisfy the idiomatic `e instanceof Error` /
+      // `e instanceof TypeError` catch-branch checks
+      (l, r) match {
+        case (o: JsObj, JsNative(ctor, _)) if Builtins.ErrorNames(ctor) =>
+          o.props.get("name") match {
+            case Some(JsStr(n)) =>
+              JsBool(if (ctor == "Error") Builtins.ErrorNames(n) else n == ctor)
+            case _ => JsBool(false)
+          }
+        case _ => JsBool(false)
+      }
     case other => throw JsThrown(JsStr(s"unsupported operator $other"))
   }
 }
@@ -463,7 +476,10 @@ object JsInterp {
     if (d.isNaN || d.isInfinite) 0 else d.toLong.toInt
   }
 
-  /** JS Number→String (the integral-no-decimal rule matters for oracles). */
+  /** JS Number→String. Matters twice: the integral-no-decimal rule, and the
+    * spec's exponent thresholds — JS prints plain decimals on [1e-6, 1e21)
+    * where Java's Double.toString switches to `E` notation outside
+    * [1e-3, 1e7), so 0.0001 must render "0.0001", not "1.0E-4". */
   def numToString(v: Double): String =
     if (v.isNaN) "NaN"
     else if (v.isPosInfinity) "Infinity"
@@ -472,7 +488,26 @@ object JsInterp {
     else if (v == Math.rint(v) && Math.abs(v) < 1e21) {
       val l = v.toLong
       if (l.toDouble == v) l.toString else new java.math.BigDecimal(v).toBigInteger.toString
-    } else v.toString
+    } else {
+      // Java's decimal repr re-rendered under the ECMA thresholds/format.
+      // Digit SELECTION follows Double.toString — on Java < 19 that can
+      // carry extra digits vs ECMA's shortest round-trip (1.25e22 prints
+      // 1.2499999999999999e+22); thresholds, plain-vs-exponent choice, and
+      // the e+k format are ECMA. BigDecimal(String) preserves the digits
+      val neg = v < 0
+      val bd = new java.math.BigDecimal(java.lang.Double.toString(Math.abs(v))).stripTrailingZeros
+      val digits = bd.unscaledValue.toString
+      val exp10 = digits.length - bd.scale // value = 0.digits × 10^exp10
+      val body =
+        if (exp10 > -6 && exp10 <= 21) bd.toPlainString // "0.0001", "123.456"
+        else {
+          // d.ddd e±k with k = exp10 - 1, lower-case e, explicit sign
+          val mant = if (digits.length == 1) digits else s"${digits.head}.${digits.tail}"
+          val k = exp10 - 1
+          s"$mant${if (k >= 0) "e+" else "e-"}${Math.abs(k)}"
+        }
+      if (neg) s"-$body" else body
+    }
 
   def toStringVal(v: JsVal): String = v match {
     case JsStr(s) => s

@@ -107,8 +107,11 @@ object JsJson {
             case 'b' => sb.append('\b'); pos += 2
             case 'f' => sb.append('\f'); pos += 2
             case 'u' =>
-              if (pos + 5 >= s.length + 1) fail("Bad \\u escape")
-              sb.append(Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar); pos += 6
+              if (pos + 6 > s.length) fail("Bad \\u escape")
+              val hex = s.substring(pos + 2, pos + 6)
+              if (!hex.forall(c => c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+                fail("Bad \\u escape")
+              sb.append(Integer.parseInt(hex, 16).toChar); pos += 6
             case _ => fail("Bad escape")
           }
         } else { sb.append(c); pos += 1 }

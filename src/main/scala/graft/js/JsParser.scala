@@ -184,7 +184,9 @@ object JsParser {
 
     def expression(): Expr = {
       var e = assignExpr()
-      while (isPunct(",")) { next(); e = assignExpr() } // comma operator: last wins
+      // comma operator: BOTH sides evaluate (left for side effects), the
+      // right value wins — `i++, j--` in a for-update must run both
+      while (isPunct(",")) { next(); e = Binary(",", e, assignExpr()) }
       e
     }
 

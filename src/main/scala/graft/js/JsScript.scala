@@ -20,8 +20,10 @@ object JsScript {
   def compile(source: String): Program =
     try JsParser.parse(source)
     catch {
-      case e: JsParser.ParseError => throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
-      case e: JsLexer.LexError => throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
+      // NonFatal, not just the two typed errors: any malformed input the
+      // lexer/parser trips on must surface as the documented compile error
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
     }
 
   private val IgluUri = java.util.regex.Pattern.compile("^iglu:[^/]+/[^/]+/[^/]+/\\d+-\\d+-\\d+$")
@@ -75,6 +77,12 @@ object JsScript {
         case e: StackOverflowError =>
           ProcessResult(fields, "[]", dropped = false, erase,
             Some("Error during execution of JavaScript function: [stack overflow]"))
+        case scala.util.control.NonFatal(e) =>
+          // builtin edge cases (string index overflow, contract-violating
+          // comparators, …) must land in js_error like any script failure —
+          // one bad event cannot be allowed to kill a 100 TB task
+          ProcessResult(fields, "[]", dropped = false, erase,
+            Some(s"Error during execution of JavaScript function: [${e.getClass.getSimpleName}: ${e.getMessage}]"))
       }
     }
 

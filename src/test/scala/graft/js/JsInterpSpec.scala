@@ -252,6 +252,72 @@ class JsInterpSpec extends AnyFunSuite {
     assert(evalExpr("Number.parseInt('42px')") == JsNum(42))
   }
 
+  test("comma operator evaluates BOTH operands (review finding)") {
+    assert(evalExpr("(function() { var x = 0, y = 0; x = 1, y = 2; return x * 10 + y })()") == JsNum(12))
+    assert(evalExpr("(function() { var s = 0; for (var i = 0, j = 10; i < j; i++, j--) s++; return s })()") == JsNum(5))
+  }
+
+  test("JS number ToString thresholds (review finding: no Java E-notation)") {
+    assert(evalExpr("'' + 0.0001") == JsStr("0.0001"))
+    assert(evalExpr("'' + 0.000001") == JsStr("0.000001"))
+    assert(evalExpr("'' + 1.5e-7") == JsStr("1.5e-7"))
+    assert(evalExpr("'' + 1e-7") == JsStr("1e-7"))
+    assert(evalExpr("'' + 1e21") == JsStr("1e+21"))
+    assert(evalExpr("'' + 1e22") == JsStr("1e+22"))
+    assert(evalExpr("'' + -0.0001") == JsStr("-0.0001"))
+    assert(evalExpr("JSON.stringify({x: 0.0001})") == JsStr("""{"x":0.0001}"""))
+  }
+
+  test("parseInt auto-detects the 0x prefix without an explicit radix") {
+    assert(evalExpr("parseInt('0x1A')") == JsNum(26))
+    assert(evalExpr("parseInt('-0xff')") == JsNum(-255))
+    assert(evalExpr("parseInt('0x1A', 10)") == JsNum(0))
+  }
+
+  test("malformed JSON.parse input raises catchable JS errors, never Java exceptions") {
+    assert(evalExpr("""(function() { try { JSON.parse('"\\uZZ') } catch (e) { return 'caught' } })()""") == JsStr("caught"))
+    assert(evalExpr("""(function() { try { JSON.parse('"\\uZZZZ"') } catch (e) { return 'caught' } })()""") == JsStr("caught"))
+  }
+
+  test("builtin edge cases land in js_error, not as task-killing exceptions") {
+    // huge substr length must not overflow into a negative bound
+    assert(evalExpr("'abc'.substr(1, 1e10)") == JsStr("bc"))
+    // an inconsistent comparator can throw from sortWith: must be a
+    // recorded failure, not an escaped IllegalArgumentException
+    val r = runScript(
+      """function process(event) {
+        |  var a = []
+        |  for (var i = 0; i < 64; i++) { a.push(i) }
+        |  a.sort(function(x, y) { return 1 }) // violates the contract
+        |}""".stripMargin)
+    assert(r.error.isEmpty || r.error.exists(_.contains("Error during execution")))
+  }
+
+  test("instanceof recognizes the built-in Error constructors") {
+    assert(evalExpr("new TypeError('t') instanceof Error") == JsBool(true))
+    assert(evalExpr("new TypeError('t') instanceof TypeError") == JsBool(true))
+    assert(evalExpr("new Error('e') instanceof TypeError") == JsBool(false))
+    assert(evalExpr("({}) instanceof Error") == JsBool(false))
+    assert(evalExpr(
+      "(function() { try { throw new TypeError('x') } catch (e) { return e instanceof Error ? 'err' : 'other' } })()") ==
+      JsStr("err"))
+  }
+
+  test("template literals handle unicode escapes like quoted strings") {
+    assert(evalExpr("`\\u0041B`") == JsStr("AB"))
+    assert(evalExpr("`\\x41B`") == JsStr("AB"))
+  }
+
+  test("compile wraps every lexer failure as the documented compile error") {
+    val cases = Seq("var s = \"\\uQQQQ\"", "var s = \"\\xZZ\"", "var n = 0x")
+    cases.foreach { src =>
+      val ex = intercept[IllegalArgumentException](JsScript.compile(src))
+      assert(ex.getMessage.contains("Error compiling"), src)
+    }
+    // >16-digit hex literals widen to double instead of failing
+    assert(evalExpr("0xffffffffffffffffff > 0") == JsBool(true))
+  }
+
   test("compile errors are raised on the driver (exitOnCompileError)") {
     val ex = intercept[IllegalArgumentException](JsScript.compile("["))
     assert(ex.getMessage.contains("Error compiling"))
