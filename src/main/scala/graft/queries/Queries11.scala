@@ -247,6 +247,52 @@ object Queries11 {
         .orderBy("qid", "rk")
     },
 
+    "ann_ivf_int8" -> { (sp, dir) =>
+      // The composition ann_int8's scaladoc promises: IVF cell pruning over
+      // the int8-quantized corpus. Cells assign against full-precision
+      // literal centroids (narrow projection); the probe then scans ONLY
+      // the 2 nearest cells per query, with exact integer dot products over
+      // the quantized vectors. At 100 TB the quantized + cell-partitioned
+      // corpus is the resident index: nprobe/k trade recall for bandwidth.
+      val cents: Seq[(Long, Seq[Double], Double)] = Tables.embeddings(sp, dir)
+        .filter(col("vec_id") < SemK).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding"))
+        .collect().toSeq
+        .map { r =>
+          val cv = r.getSeq[Float](1).map(_.toDouble).toSeq
+          (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+      val idot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val e = Tables.embeddings(sp, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", SimF.norm(col("v")))
+      val scale = lit(127.0) / array_max(transform(col("v"), x => abs(x)))
+      val qz = e
+        .withColumn("cell", SimF.argmaxCell(col("v"), col("nrm"), cents))
+        .withColumn("qv", transform(col("v"), x => round(x * scale).cast("long")))
+        .withColumn("qn", sqrt(idot(col("qv"), col("qv")).cast("double")))
+        .persist() // corpus side + probe side + cell lists share it
+      val corpus = qz.select(col("vec_id").as("nid"), col("cell"), col("qv").as("nv"), col("qn").as("nn"))
+      // per-query nprobe=2 cells: rank centroid sims on the full-precision
+      // vector (the assignment kernel), explode the top 2
+      val probes = qz.filter(col("vec_id") < 5)
+        .withColumn("sq", sort_array(SimF.cellSims(col("v"), col("nrm"), cents)))
+        .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qn").as("pn"),
+          explode(array(
+            element_at(col("sq"), SemK).getField("negc") * -1L,
+            element_at(col("sq"), SemK - 1).getField("negc") * -1L)).as("cell"))
+      val wTop = Window.partitionBy("qid").orderBy(col("qcos").desc, col("nid"))
+      corpus.join(broadcast(probes), Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("qcos", idot(col("nv"), col("pv")).cast("double") / (col("nn") * col("pn")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("qcos") * 1e6).cast("bigint").as("qcos_e6"))
+        .orderBy("qid", "rk")
+    },
+
     "para_dedup" -> { (sp, dir) =>
       val d = col("doc_id")
       val docs = Tables.documents(sp, dir)
@@ -450,6 +496,47 @@ object Queries11 {
          |  FROM n c, (SELECT * FROM n WHERE vec_id < 5) p
          |  WHERE c.vec_id <> p.vec_id
          |) t WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    },
+
+    "ann_ivf_int8" -> {
+      val dot = Queries3.dotSqlShared _
+      def idot(a: String, b: String): String =
+        s"list_reduce(list_transform(range(1, len($a) + 1), i -> list_extract($a, i) * list_extract($b, i)), (x, y) -> x + y)"
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), n0 AS (
+         |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e
+         |), cent AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n0 WHERE vec_id < $SemK
+         |), s AS (
+         |  SELECT vec_id, v, nrm, 127.0 / list_max(list_transform(v, x -> abs(x))) AS sc FROM n0
+         |), w AS (
+         |  SELECT vec_id, v, nrm, qv, sqrt(CAST(${idot("qv", "qv")} AS DOUBLE)) AS qn
+         |  FROM (SELECT vec_id, v, nrm, list_transform(v, x -> CAST(round(x * sc) AS BIGINT)) AS qv FROM s) z
+         |), assign AS (
+         |  SELECT vec_id, qv, qn, cid AS cell FROM (
+         |    SELECT w.*, cent.cid,
+         |      row_number() OVER (PARTITION BY w.vec_id
+         |        ORDER BY ${dot("w.v", "cent.cv")} / (w.nrm * cent.cn) DESC, cent.cid) AS rk
+         |    FROM w, cent
+         |  ) t WHERE rk = 1
+         |), probes AS (
+         |  SELECT vec_id AS qid, qv AS pv, qn AS pn, cid AS cell FROM (
+         |    SELECT w.*, cent.cid,
+         |      row_number() OVER (PARTITION BY w.vec_id
+         |        ORDER BY ${dot("w.v", "cent.cv")} / (w.nrm * cent.cn) DESC, cent.cid) AS prk
+         |    FROM w, cent WHERE w.vec_id < 5
+         |  ) t WHERE prk <= 2
+         |)
+         |SELECT qid, rk, nid, CAST(round(qcos * 1e6) AS BIGINT) AS qcos_e6
+         |FROM (
+         |  SELECT probes.qid, assign.vec_id AS nid,
+         |    CAST(${idot("assign.qv", "probes.pv")} AS DOUBLE) / (assign.qn * probes.pn) AS qcos,
+         |    row_number() OVER (PARTITION BY probes.qid
+         |      ORDER BY CAST(${idot("assign.qv", "probes.pv")} AS DOUBLE) / (assign.qn * probes.pn) DESC, assign.vec_id) AS rk
+         |  FROM assign JOIN probes ON assign.cell = probes.cell
+         |  WHERE assign.vec_id <> probes.qid
+         |) t WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
     },
 
     "para_dedup" -> {

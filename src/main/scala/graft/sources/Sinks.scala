@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Warehouse write layouts for enriched output — the storage half of the
+  * 100 TB contract. The reference streams single events at sinks
+  * (kinesis/pubsub/kafka apps under the reference's modules directory);
+  * a batch warehouse instead needs layouts that downstream reads can
+  * prune and co-locate on:
+  *
+  *  - date-partitioned parquet: `collector_date=YYYY-MM-DD` directories so
+  *    time-range queries touch only their days (partition pruning shows as
+  *    `PartitionFilters` in the scan);
+  *  - bucketed tables: pre-hashed on a join key so the nightly
+  *    sessionize/user-join reads shuffle-free (`SortMergeJoin` with zero
+  *    `Exchange` — proven in ScaleLayoutSpec).
+  */
+object Sinks {
+
+  /** Write date-partitioned parquet from an epoch-micros timestamp column.
+    * `maxRecordsPerFile` bounds file sizes without a repartition (small-file
+    * control is the #1 operational failure of naive partitioned writes). */
+  def writeDatePartitioned(
+    df: DataFrame,
+    path: String,
+    tsMicrosCol: String = "derived_tstamp",
+    maxRecordsPerFile: Long = 5000000L
+  ): Unit =
+    df.withColumn("collector_date", to_date(timestamp_micros(col(tsMicrosCol))))
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("collector_date")
+      .parquet(path)
+
+  /** Save as a bucketed+sorted table on a join key: downstream equi-joins
+    * and groupBys on `bucketCol` plan with no shuffle exchange. Bucketing
+    * requires the table catalog (Spark cannot express bucket metadata on a
+    * bare path). */
+  def writeBucketedTable(
+    df: DataFrame,
+    table: String,
+    bucketCol: String,
+    buckets: Int = 256,
+    partitionCols: Seq[String] = Nil
+  ): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, bucketCol).sortBy(bucketCol)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).saveAsTable(table)
+  }
+}

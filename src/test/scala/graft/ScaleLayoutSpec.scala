@@ -101,6 +101,42 @@ class ScaleLayoutSpec extends SparkSpec {
       s"scan should read only event_id:\n$scan")
   }
 
+  test("date-partitioned sink: reads prune to the requested days") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    try {
+      val day = 86400000000L // µs
+      val df = (0L until 300L).map(i => (i, 1704067200000000L + (i % 3) * day)).toDF("id", "derived_tstamp")
+      graft.sources.Sinks.writeDatePartitioned(df, dir, maxRecordsPerFile = 1000L)
+      val back = spark.read.parquet(dir).filter(col("collector_date") === "2024-01-02")
+      assert(back.count() == 100L)
+      val scan = back.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+      assert(scan.contains("PartitionFilters: [isnotnull(collector_date"),
+        s"date filter must prune partitions:\n$scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("bucketed sink: the downstream user join plans with no exchange") {
+    import spark.implicits._
+    val events = (0L until 1000L).map(i => (i % 97, i)).toDF("user_id", "v")
+    graft.sources.Sinks.writeBucketedTable(events, "g_sink_ev", "user_id", buckets = 8)
+    graft.sources.Sinks.writeBucketedTable(
+      (0L until 97L).map(i => (i, s"u$i")).toDF("user_id", "name"), "g_sink_users", "user_id", buckets = 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("g_sink_ev").join(spark.table("g_sink_users"), "user_id")
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+      assert(joined.count() == 1000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS g_sink_ev")
+      spark.sql("DROP TABLE IF EXISTS g_sink_users")
+    }
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val r = ev.agg(
