@@ -1,0 +1,449 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2.C completion — the ten TPC-H query shapes rounds 1–5 had not yet
+  * mapped (Q2, Q4, Q7, Q8, Q9, Q11, Q15, Q16, Q20, Q21), adapted to the
+  * trimmed synthetic schema the corpus ships:
+  *
+  *  - there is no `partsupp` table, so `lineitem` stands in as the supply
+  *    relation wherever the original correlates against available stock
+  *    (Q2 min-cost supplier, Q11 important stock, Q16 supplier counts,
+  *    Q20 excess suppliers);
+  *  - there are no commit/receipt dates, so "late" is `l_shipdate` more than
+  *    a fixed interval after `o_orderdate` (Q4's exists-late-line, Q21's
+  *    waiting-supplier predicate) — the plan shape (semi/anti joins,
+  *    order-level aggregates) is identical;
+  *  - phone country codes don't exist, so Q8/Q7 pick nations by key.
+  *
+  * Every query keeps the original's PLAN shape — correlated scalar aggregates
+  * become per-key aggregates joined back, EXISTS/NOT EXISTS become
+  * semi-/anti-joins, scalar subqueries become broadcast single-row crosses —
+  * and all money math is exact integer cents/e4 (SURVEY §6 portability
+  * rules), so every one of the ten is hash-exact against DuckDB.
+  *
+  * Scale notes (100 TB): dimensions (`part` at size-filter selectivity,
+  * `supplier`, `nation`, `region`, the scalar aggregates) broadcast; the only
+  * fact-side shuffles are the per-key aggregations the semantics require.
+  * Q21's order-level profile is one hash aggregation on `l_orderkey` —
+  * co-partitioned with the candidate join that follows it.
+  */
+object Queries12 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: Column) = round(c * 100).cast("bigint")
+  private def revE4(ep: Column, disc: Column) = cents(ep) * (lit(100L) - cents(disc))
+
+  val defs: Map[String, Q] = Map(
+    "q2_min_cost" -> { (sp, dir) =>
+      // Q2 shape: minimum-cost supplier per part within a region. The
+      // correlated MIN subquery is a per-part aggregate joined back; the
+      // region-restricted supplier dim broadcasts.
+      val nations = broadcast(
+        Tables.nation(sp, dir)
+          .join(Tables.region(sp, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      val supp = broadcast(
+        Tables.supplier(sp, dir)
+          .join(nations, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            cents(col("s_acctbal")).as("bal_cents")))
+      val pa = broadcast(Tables.part(sp, dir).filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name")))
+      val costs = Tables.lineitem(sp, dir)
+        .join(pa, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("bal_cents"))
+        .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+      val minPer = costs.groupBy(col("p_partkey").as("mp_partkey"))
+        .agg(min(col("cost_cents")).as("min_cost"))
+      costs.join(minPer, col("p_partkey") === col("mp_partkey") &&
+          col("cost_cents") === col("min_cost"))
+        .select(col("bal_cents"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), col("cost_cents"))
+        .orderBy(col("bal_cents").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    "q4_priority" -> { (sp, dir) =>
+      // Q4 shape: order-priority checking — EXISTS(late line) as a left-semi
+      // join (no commit/receipt dates in the corpus; "late" = shipped more
+      // than 45 days after the order date)
+      val ord = Tables.orders(sp, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = Tables.lineitem(sp, dir).select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAY"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q7_volume" -> { (sp, dir) =>
+      // Q7 shape: shipping volume between two nations, both directions,
+      // by year. Nation dim joined twice (both broadcast).
+      val n1 = broadcast(Tables.nation(sp, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(sp, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+      val supp = broadcast(Tables.supplier(sp, dir).select(col("s_suppkey"), col("s_nationkey")))
+      val cust = Tables.customer(sp, dir).select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(sp, dir).select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(sp, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
+          (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    "q8_market_share" -> { (sp, dir) =>
+      // Q8 shape: a nation's market share inside a region/part-type market,
+      // by year. The share ratio stays integral: basis points via `div`
+      // over BIGINT e4 sums (identical truncation in DuckDB's `//`).
+      val asiaNations = broadcast(Tables.nation(sp, dir)
+        .join(Tables.region(sp, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("rn_key")))
+      val pa = broadcast(Tables.part(sp, dir).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey")))
+      val supp = broadcast(Tables.supplier(sp, dir).select(col("s_suppkey"), col("s_nationkey")))
+      val ord = Tables.orders(sp, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val cust = Tables.customer(sp, dir).select(col("c_custkey"), col("c_nationkey"))
+      Tables.lineitem(sp, dir)
+        .join(pa, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(asiaNations, col("c_nationkey") === col("rn_key"), "left_semi")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("vol_e4", revE4(col("l_extendedprice"), col("l_discount")))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          sum(when(col("s_nationkey") === 7, col("vol_e4")).otherwise(lit(0L))).as("nation_e4"),
+          sum(col("vol_e4")).as("total_e4"))
+        .select(col("o_year"),
+          expr("nation_e4 * 10000 div total_e4").as("mkt_share_bp"),
+          col("nation_e4"), col("total_e4"))
+        .orderBy("o_year")
+    },
+
+    "q9_profit" -> { (sp, dir) =>
+      // Q9 shape: product-type profit by supplier nation and year. No
+      // partsupp supplycost in the corpus — p_retailprice is the cost
+      // basis; amount = disc revenue − cost·qty, all in exact e4.
+      val pa = broadcast(Tables.part(sp, dir)
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_cents")))
+      val supp = broadcast(Tables.supplier(sp, dir).select(col("s_suppkey"), col("s_nationkey")))
+      val nations = broadcast(Tables.nation(sp, dir).select(col("n_nationkey"), col("n_name")))
+      val ord = Tables.orders(sp, dir).select(col("o_orderkey"), col("o_orderdate"))
+      Tables.lineitem(sp, dir)
+        .join(pa, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .withColumn("amount_e4",
+          revE4(col("l_extendedprice"), col("l_discount")) -
+            col("retail_cents") * round(col("l_quantity")).cast("bigint") * lit(100L))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(sum(col("amount_e4")).as("sum_profit_e4"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    "q11_important_stock" -> { (sp, dir) =>
+      // Q11 shape: parts holding an outsized share of one nation's supply
+      // value. The HAVING-vs-scalar-subquery compare stays integral and
+      // scale-free: value · n_parts > 2 · total (i.e. >2× the mean share).
+      val supp = broadcast(Tables.supplier(sp, dir).filter(col("s_nationkey") === 0)
+        .select(col("s_suppkey")))
+      val vals = Tables.lineitem(sp, dir)
+        .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+      val totals = broadcast(vals.agg(
+        sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("n_parts")))
+      vals.crossJoin(totals)
+        .filter(col("value_cents") * col("n_parts") > col("total_cents") * 2)
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    },
+
+    "q15_top_supplier" -> { (sp, dir) =>
+      // Q15 shape: the top supplier(s) by quarter revenue — the view+MAX
+      // scalar becomes a broadcast single-row cross join, keeping ties
+      // exactly like the original.
+      val rev = Tables.lineitem(sp, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revE4(col("l_extendedprice"), col("l_discount"))).as("total_revenue_e4"))
+      val maxRev = broadcast(rev.agg(max(col("total_revenue_e4")).as("max_revenue_e4")))
+      rev.crossJoin(maxRev)
+        .filter(col("total_revenue_e4") === col("max_revenue_e4"))
+        .join(broadcast(Tables.supplier(sp, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+        .orderBy("s_suppkey")
+    },
+
+    "q16_supplier_cnt" -> { (sp, dir) =>
+      // Q16 shape: distinct suppliers per part profile, minus the
+      // "complaints" list (here: supplier names ending in 9) via anti-join.
+      val badSupp = broadcast(Tables.supplier(sp, dir)
+        .filter(col("s_name").like("%9")).select(col("s_suppkey").as("bad_key")))
+      val pa = broadcast(Tables.part(sp, dir)
+        .filter(col("p_brand") =!= "Brand#5" &&
+          col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      Tables.lineitem(sp, dir).select(col("l_partkey"), col("l_suppkey"))
+        .join(pa, col("l_partkey") === col("p_partkey"))
+        .join(badSupp, col("l_suppkey") === col("bad_key"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    "q20_excess_suppliers" -> { (sp, dir) =>
+      // Q20 shape: suppliers holding an excess share of a part's flow —
+      // the nested IN(aggregate-over-partsupp) becomes per-(part,supplier)
+      // vs per-part aggregates: a supplier qualifies when it shipped more
+      // than half of a red part's 1997 quantity.
+      val pa = broadcast(Tables.part(sp, dir).filter(col("p_name").like("red%"))
+        .select(col("p_partkey")))
+      val flows = Tables.lineitem(sp, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(pa, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"), round(col("l_quantity")).cast("bigint").as("qty"))
+      val perSupp = flows.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("sqty"))
+      val perPart = flows.groupBy(col("l_partkey").as("pp_key"))
+        .agg(sum(col("qty")).as("tqty"))
+      // candidates is bounded by the supplier population (a supplier either
+      // dominates a part or not) — broadcast it as the semi-join's build side
+      val candidates = broadcast(perSupp.join(perPart, col("l_partkey") === col("pp_key"))
+        .filter(col("sqty") * 2 > col("tqty"))
+        .select(col("l_suppkey")).distinct())
+      Tables.supplier(sp, dir).filter(col("s_nationkey") === 3)
+        .join(candidates, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    },
+
+    "q21_waiting" -> { (sp, dir) =>
+      // Q21 shape: suppliers who alone held up a multi-supplier order.
+      // EXISTS(other supplier) / NOT EXISTS(other late supplier) become one
+      // order-level profile — distinct suppliers and distinct late
+      // suppliers per order — joined to the late candidates.
+      val lateInterval = expr("INTERVAL 30 DAY")
+      val ord = Tables.orders(sp, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(sp, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late", col("l_shipdate") > col("o_orderdate") + lateInterval)
+      val profile = li.groupBy(col("l_orderkey").as("po_key"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      val candidates = li.filter(col("is_late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val supp = broadcast(Tables.supplier(sp, dir).filter(col("s_nationkey") === 4)
+        .select(col("s_suppkey"), col("s_name")))
+      candidates
+        .join(profile, col("l_orderkey") === col("po_key"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }
+  )
+
+  // ---- DuckDB twins ----
+
+  private val revE4Sql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "q2_min_cost" ->
+      """WITH eur AS (
+        |  SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), costs AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size = 15
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN eur ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2, 3, 4, 5, 6
+        |)
+        |SELECT bal_cents, s_name, n_name, p_partkey, p_name, cost_cents
+        |FROM costs c
+        |WHERE cost_cents = (SELECT min(cost_cents) FROM costs m WHERE m.p_partkey = c.p_partkey)
+        |ORDER BY bal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(sum($revE4Sql) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((s_nationkey = 1 AND c_nationkey = 2) OR (s_nationkey = 2 AND c_nationkey = 1))
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    $revE4Sql AS vol_e4, s_nationkey
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |    AND c_nationkey IN (SELECT n_nationkey FROM nation JOIN region
+         |                        ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+         |)
+         |SELECT o_year,
+         |  CAST(sum(CASE WHEN s_nationkey = 7 THEN vol_e4 ELSE 0 END) * 10000
+         |    // sum(vol_e4) AS BIGINT) AS mkt_share_bp,
+         |  CAST(sum(CASE WHEN s_nationkey = 7 THEN vol_e4 ELSE 0 END) AS BIGINT) AS nation_e4,
+         |  CAST(sum(vol_e4) AS BIGINT) AS total_e4
+         |FROM vol
+         |GROUP BY o_year
+         |ORDER BY o_year""".stripMargin,
+
+    "q9_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum($revE4Sql -
+         |    CAST(round(p_retailprice * 100) AS BIGINT)
+         |      * CAST(round(l_quantity) AS BIGINT) * 100) AS BIGINT) AS sum_profit_e4
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH vals AS (
+        |  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)
+        |  GROUP BY l_partkey
+        |), totals AS (
+        |  SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+        |    CAST(count(*) AS BIGINT) AS n_parts FROM vals
+        |)
+        |SELECT l_partkey, value_cents
+        |FROM vals, totals
+        |WHERE value_cents * n_parts > total_cents * 2
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(sum($revE4Sql) AS BIGINT) AS total_revenue_e4
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue_e4
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%9')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH flows AS (
+        |  SELECT l_partkey, l_suppkey, CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |), per_supp AS (
+        |  SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS sqty
+        |  FROM flows GROUP BY 1, 2
+        |), per_part AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS tqty FROM flows GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_nationkey = 3
+        |  AND s_suppkey IN (
+        |    SELECT per_supp.l_suppkey FROM per_supp
+        |    JOIN per_part ON per_supp.l_partkey = per_part.l_partkey
+        |    WHERE sqty * 2 > tqty)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 30 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), profile AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+        |  FROM li GROUP BY l_orderkey
+        |), candidates AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late
+        |)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM candidates
+        |JOIN profile USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1 AND s_nationkey = 4
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Queries12
+
+/** Batch 12: the ten TPC-H shapes that complete the 22-query suite. The
+  * oracle gate proves engine agreement; these pin the semantic invariants
+  * the shapes exist for (correlated-min, exists/not-exists, scalar-subquery
+  * share thresholds). Queries whose selective filters come up empty at
+  * sf0.001 assert at sf0.01 — the driver's own gate scale. */
+class Queries12Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val dir01 = "/root/testdata/sf0.01"
+
+  test("q2_min_cost: every surviving row carries its part's regional minimum") {
+    val out = Queries12.defs("q2_min_cost")(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      // one min per part: no row may undercut another row of the same part
+      val perPart = out.groupBy("p_partkey")
+        .agg(min("cost_cents").as("lo"), max("cost_cents").as("hi"))
+      assert(perPart.filter(col("lo") =!= col("hi")).count() == 0)
+      // region restriction: EUROPE = regionkey 3 = nationkey % 5 == 3
+      val eur = Set("NATION_3", "NATION_8", "NATION_13", "NATION_18", "NATION_23")
+      assert(out.select("n_name").distinct().collect().forall(r => eur(r.getString(0))))
+    } finally { out.unpersist(blocking = false); () }
+  }
+
+  test("q4_priority: semi-join keeps only orders with a late line") {
+    val out = Queries12.defs("q4_priority")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("order_count") > 0))
+    // every priority bucket of the window appears at most once
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("q7_volume: only the chosen nation pair, both directions") {
+    val rows = Queries12.defs("q7_volume")(spark, dir01).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val pair = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      pair == ("NATION_1", "NATION_2") || pair == ("NATION_2", "NATION_1")
+    })
+    assert(rows.forall { r => val y = r.getAs[Long]("l_year"); y == 1996 || y == 1997 })
+  }
+
+  test("q8_market_share: share is a true fraction in basis points") {
+    val rows = Queries12.defs("q8_market_share")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("mkt_share_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getAs[Long]("nation_e4") <= r.getAs[Long]("total_e4"))
+    }
+  }
+
+  test("q9_profit: exact e4 arithmetic over the widget subset") {
+    val out = Queries12.defs("q9_profit")(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      // the cost term must bite: total profit strictly below the pure
+      // discounted revenue over the same widget subset
+      val totalProfit = out.agg(sum("sum_profit_e4")).head().getLong(0)
+      val revOnly = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).filter(col("p_name").like("%widget%"))
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100).cast("bigint"))))
+        .head().getLong(0)
+      assert(totalProfit < revOnly)
+    } finally { out.unpersist(blocking = false); () }
+  }
+
+  test("q11_important_stock: every kept part clears 2x the mean share") {
+    val out = Queries12.defs("q11_important_stock")(spark, dir01).cache()
+    try {
+      assert(out.count() > 0)
+      // recompute the threshold independently: kept values all exceed
+      // 2 * total / n over the same nation-0 supply relation
+      val supp = Tables.supplier(spark, dir01).filter(col("s_nationkey") === 0)
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(spark, dir01)
+        .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("v"))
+      val t = vals.agg(sum("v"), count(lit(1))).head()
+      val (total, n) = (t.getLong(0), t.getLong(1))
+      val minKept = out.agg(min("value_cents")).head().getLong(0)
+      assert(minKept * n > 2 * total)
+    } finally { out.unpersist(blocking = false); () }
+  }
+
+  test("q15_top_supplier: all rows tie at the global max revenue") {
+    val rows = Queries12.defs("q15_top_supplier")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("total_revenue_e4")).distinct.length == 1)
+  }
+
+  test("q16_supplier_cnt: counts bounded by the un-excluded supplier pool") {
+    val out = Queries12.defs("q16_supplier_cnt")(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      val pool = Tables.supplier(spark, dir).filter(!col("s_name").like("%9")).count()
+      assert(out.filter(col("supplier_cnt") > pool).count() == 0)
+      assert(out.filter(col("p_brand") === "Brand#5").count() == 0)
+    } finally { out.unpersist(blocking = false); () }
+  }
+
+  test("q20_excess_suppliers: each survivor shipped >half of some red part") {
+    val rows = Queries12.defs("q20_excess_suppliers")(spark, dir01).collect()
+    assert(rows.nonEmpty)
+    // nation restriction
+    val nation3 = Tables.supplier(spark, dir01).filter(col("s_nationkey") === 3)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => nation3(r.getAs[Long]("s_suppkey"))))
+  }
+
+  test("q21_waiting: numwait counts distinct multi-supplier orders") {
+    val rows = Queries12.defs("q21_waiting")(spark, dir01).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("numwait") > 0))
+    // only nation-4 suppliers may appear
+    val nation4 = Tables.supplier(spark, dir01).filter(col("s_nationkey") === 4)
+      .select("s_name").collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => nation4(r.getAs[String]("s_name"))))
+  }
+}
