@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextF {
 
+  /** Unicode normalization (NFC by default) via the native codegen'd
+    * [[graft.plans.NormalizeExpression]] — run BEFORE hashing/dedup so
+    * decomposed and precomposed spellings share a bucket. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.NormalizeExpression(ColumnBridge.expression(text), form))
+  }
+
   /** Lowercase, strip non-alphanumerics to spaces, squeeze, trim. */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))

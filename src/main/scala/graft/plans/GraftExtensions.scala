@@ -36,6 +36,11 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   private def fn(
     name: String,
     usage: String,
@@ -73,7 +78,11 @@ object GraftFunctions {
     fn("graft_ipv6_lo64", "graft_ipv6_lo64(ip)",
       es => x(IpF.ipv6Lo64Dec(c(es.head)))),
     fn("graft_ipv6_prefix", "graft_ipv6_prefix(ip)",
-      es => x(IpF.ipv6PrefixCanonical(c(es.head))))
+      es => x(IpF.ipv6PrefixCanonical(c(es.head)))),
+    // round-5 continuation: Unicode normalization (form defaults to NFC)
+    fn("graft_normalize", "graft_normalize(text[, form])",
+      es => NormalizeExpression(es.head,
+        if (es.length > 1) strArg(es(1), "form") else "NFC"))
   )
 
   /** Register all graft SQL functions on a live session. */

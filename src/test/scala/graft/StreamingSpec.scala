@@ -98,18 +98,21 @@ class StreamingSpec extends SparkSpec {
       graft.functions.TextF.scrubPii(col("text")).as("clean"),
       graft.functions.TextF.emailCount(col("text")).as("n_emails"),
       graft.functions.TextF.tokenCount(col("text")).as("n_tokens"),
-      graft.functions.TextF.langGuess(col("text")).as("lang"))
+      graft.functions.TextF.langGuess(col("text")).as("lang"),
+      graft.functions.TextF.unicodeNormalize(col("text")).as("nfc"))
     val q = gated.writeStream.format("memory").queryName("docs").outputMode("append").start()
     try {
       mem.addData(
         (1L, "the cat is on the mat, email bob@example.com"),
-        (2L, "zzz qqq"))
+        (2L, "zzz qqq"),
+        (3L, "cafe\u0301")) // decomposed: e + U+0301
       q.processAllAvailable()
       val rows = spark.sql("SELECT * FROM docs ORDER BY doc_id").collect()
       assert(rows(0).getAs[String]("clean").contains("<EMAIL>"))
       assert(rows(0).getAs[Int]("n_emails") == 1)
       assert(rows(0).getAs[String]("lang") == "en")
       assert(rows(1).getAs[String]("lang") == "und")
+      assert(rows(2).getAs[String]("nfc") == "caf\u00e9") // composed U+00E9
     } finally q.stop()
   }
 
