@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextF
+
+/** SURVEY §2 additions (round 5 continuation #2):
+  *
+  *  - `vocab_count`: the counting job that TRAINS `text_logprob`'s unigram
+  *    table — global word counts + document frequencies, ranked. At scale
+  *    this is one map-side-combined hash aggregation on the word (the
+  *    shuffle carries (word, count) pairs, never text); the milli-nat log
+  *    step is a trivial post-pass on the tiny ranked table.
+  *  - `zorder_layout`: multi-dimensional clustering via bit-interleaved
+  *    Z-values (the Delta/Iceberg Z-ORDER layout). Interleaving is exact
+  *    integer bit math — identical in both engines — and the oracle checks
+  *    the property the layout exists for: with buckets = the top 2k bits of
+  *    the Z-value, EVERY bucket confines BOTH dimensions to a 2^(16−k)-wide
+  *    window, so min/max file statistics prune range predicates on either
+  *    dimension. (A single-column sort would confine one dimension and
+  *    leave the other spanning the full range.)
+  */
+object Queries14 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TopK = 32
+  // 8-bit dims: the synthetic events carry ~150 users over ~720 hours, so
+  // 8 modular bits per dimension exercise the full bucket space (16-bit
+  // dims would collapse every row into one z-prefix and prove nothing);
+  // the interleave itself is width-generic
+  private val ZBits = 8 // bits per dimension; z-value uses 2·ZBits
+  private val BucketTopBits = 3 // per-dimension prefix bits in the bucket id
+
+  /** Bit-interleave two ZBits-wide non-negative ints: x in even positions,
+    * y in odd. Pure shifts/masks — codegen'd builtins, no UDF. */
+  private def zInterleave(x: Column, y: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** The same interleave as SQL text (DuckDB `>>`/`&`/`<<`), generated from
+    * the identical loop so the two engines cannot drift. */
+  private def zInterleaveSql(x: String, y: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i})", s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+
+  val defs: Map[String, Q] = Map(
+    "vocab_count" -> { (sp, dir) =>
+      val w = Window.orderBy(col("cnt").desc, col("word"))
+      Tables.documents(sp, dir)
+        .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= TopK)
+        .select(col("rank"), col("word"), col("cnt"), col("df"))
+        .orderBy("rank")
+    },
+
+    "zorder_layout" -> { (sp, dir) =>
+      val x = pmod(col("user_id"), lit(1L << ZBits)).cast("bigint")
+      val y = pmod(expr("ts_us div 3600000000"), lit(1L << ZBits)).cast("bigint")
+      Tables.events(sp, dir)
+        .select(x.as("x"), y.as("y"))
+        .withColumn("z", zInterleave(col("x"), col("y")))
+        // bucket = top BucketTopBits bits of EACH dimension (the z-prefix)
+        .withColumn("bucket", shiftright(col("z"), 2 * (ZBits - BucketTopBits)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("bucket")
+    }
+  )
+
+  // ---- DuckDB twins ----
+
+  val oracles: Map[String, String] = Map(
+    "vocab_count" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
+         |  word, cnt, df
+         |FROM (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+         |    FROM documents) t
+         |  WHERE word <> ''
+         |  GROUP BY word) c
+         |ORDER BY cnt DESC, word
+         |LIMIT $TopK""".stripMargin,
+
+    "zorder_layout" -> {
+      val z = zInterleaveSql("x", "y")
+      s"""WITH pts AS (
+         |  SELECT user_id % ${1L << ZBits} AS x,
+         |    (epoch_us(ts) // 3600000000) % ${1L << ZBits} AS y
+         |  FROM events
+         |), zed AS (
+         |  SELECT x, y, ($z) AS z FROM pts
+         |)
+         |SELECT z >> ${2 * (ZBits - BucketTopBits)} AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+         |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+         |FROM zed
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+    }
+  )
+}

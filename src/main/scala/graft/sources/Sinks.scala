@@ -33,6 +33,36 @@ object Sinks {
       .partitionBy("collector_date")
       .parquet(path)
 
+  /** Z-ordered parquet: range-partition then sort by the bit-interleaved
+    * key of two dimension columns, so EVERY written file confines BOTH
+    * dimensions to a narrow window — parquet min/max footer stats then
+    * prune range predicates on either column (the Delta/Iceberg Z-ORDER
+    * layout, expressed with stock Spark writes: repartitionByRange gives
+    * file-level disjointness, sortWithinPartitions gives row-group-level
+    * locality). `bits` must cover each dimension's modular range. */
+  def writeZOrdered(
+    df: DataFrame,
+    path: String,
+    xCol: String,
+    yCol: String,
+    bits: Int = 16,
+    files: Int = 64
+  ): Unit = {
+    val x = pmod(col(xCol).cast("long"), lit(1L << bits))
+    val y = pmod(col(yCol).cast("long"), lit(1L << bits))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Save as a bucketed+sorted table on a join key: downstream equi-joins
     * and groupBys on `bucketCol` plan with no shuffle exchange. Bucketing
     * requires the table catalog (Spark cannot express bucket metadata on a

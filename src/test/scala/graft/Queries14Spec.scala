@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Queries13, Queries14}
+
+/** Batch 14: the LM-training counter and the Z-order clustering layout. */
+class Queries14Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("vocab_count: ranked, non-increasing, df bounded") {
+    val rows = Queries14.defs("vocab_count")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // ranks contiguous from 1
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    // counts non-increasing in rank order; df never exceeds cnt or corpus size
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sorted.reverse)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("cnt")))
+    assert(rows.forall(r => r.getAs[Long]("df") <= nDocs))
+    // the trained table covers the scoring table's vocabulary source: the
+    // corpus really contains the words text_logprob scores
+    val words = rows.map(_.getAs[String]("word")).toSet
+    assert(Queries13.UnigramLm.map(_._1).count(words) > 8)
+  }
+
+  test("zorder_layout: every bucket confines BOTH dimensions") {
+    val rows = Queries14.defs("zorder_layout")(spark, dir).collect()
+    // non-vacuous: several buckets (8 at sf0.001, 40 at sf0.01), all
+    // events accounted for
+    assert(rows.length > 4)
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, dir).count())
+    // the property Z-ORDER exists for: a bucket (top 3 bits per dim) pins
+    // each dimension into one 32-wide window — min/max file stats prune
+    // range predicates on EITHER dimension
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") <= 31,
+        s"bucket ${r.getAs[Long]("bucket")} x-window too wide")
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") <= 31,
+        s"bucket ${r.getAs[Long]("bucket")} y-window too wide")
+    }
+  }
+}

@@ -119,6 +119,37 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered sink: every file confines BOTH dims; single-sort doesn't") {
+    import spark.implicits._
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zo").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_ys").toString
+    try {
+      // a 64x64 grid visited in row-major order: y (time) is sorted, x
+      // (user) cycles — the classic telemetry shape
+      val df = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("x", "y")
+      graft.sources.Sinks.writeZOrdered(df, zDir, "x", "y", bits = 6, files = 16)
+      df.repartitionByRange(16, col("y")).sortWithinPartitions("y")
+        .write.mode("overwrite").parquet(sDir)
+      def fileWindows(path: String): Seq[(Long, Long)] =
+        spark.read.parquet(path)
+          .groupBy(input_file_name()).agg(
+            (max("x") - min("x")).as("wx"), (max("y") - min("y")).as("wy"))
+          .collect().map(r => (r.getAs[Long]("wx"), r.getAs[Long]("wy"))).toSeq
+      val zw = fileWindows(zDir)
+      val yw = fileWindows(sDir)
+      // the y-sorted layout confines y but leaves x spanning the full range
+      assert(yw.map(_._1).sum >= yw.size * 60L)
+      // the z-ordered layout confines BOTH: file x-windows shrink by ~4x
+      // in aggregate while y-windows stay bounded
+      assert(zw.map(_._1).sum * 2 < yw.map(_._1).sum,
+        s"z-order x-windows ${zw.map(_._1).sum} vs y-sort ${yw.map(_._1).sum}")
+      assert(zw.map(_._2).max <= 63L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sDir))
+    }
+  }
+
   test("bucketed sink: the downstream user join plans with no exchange") {
     import spark.implicits._
     val events = (0L until 1000L).map(i => (i % 97, i)).toDF("user_id", "v")
