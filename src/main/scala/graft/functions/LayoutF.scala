@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Storage-layout kernels: bit-interleaved Z-values for multi-dimensional
+  * clustering (the Delta/Iceberg Z-ORDER key). Pure shifts/masks over
+  * codegen'd builtins; the SQL twin is generated from the SAME loop so the
+  * Spark and DuckDB spellings cannot drift. */
+object LayoutF {
+
+  /** Interleave two `bits`-wide non-negative longs: x in even bit
+    * positions, y in odd. Injective on the 2^bits × 2^bits grid. */
+  def zInterleave(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** The identical interleave as SQL text (DuckDB `>>` / `&` / `<<`). */
+  def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i})", s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+
+  /** Plain-Scala model (tests + driver-side planning): same bit layout. */
+  def zInterleaveModel(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  /** Inverse of [[zInterleaveModel]]: recover (x, y) from a z-value. */
+  def zDeinterleaveModel(z: Long, bits: Int): (Long, Long) =
+    (0 until bits).foldLeft((0L, 0L)) { case ((x, y), i) =>
+      (x | (((z >> (2 * i)) & 1L) << i), y | (((z >> (2 * i + 1)) & 1L) << i))
+    }
+}

@@ -34,21 +34,11 @@ object Queries14 {
   private val ZBits = 8 // bits per dimension; z-value uses 2·ZBits
   private val BucketTopBits = 3 // per-dimension prefix bits in the bucket id
 
-  /** Bit-interleave two ZBits-wide non-negative ints: x in even positions,
-    * y in odd. Pure shifts/masks — codegen'd builtins, no UDF. */
   private def zInterleave(x: Column, y: Column): Column =
-    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+    graft.functions.LayoutF.zInterleave(x, y, ZBits)
 
-  /** The same interleave as SQL text (DuckDB `>>`/`&`/`<<`), generated from
-    * the identical loop so the two engines cannot drift. */
   private def zInterleaveSql(x: String, y: String): String =
-    (0 until ZBits).flatMap { i =>
-      Seq(s"((($x >> $i) & 1) << ${2 * i})", s"((($y >> $i) & 1) << ${2 * i + 1})")
-    }.mkString(" | ")
+    graft.functions.LayoutF.zInterleaveSql(x, y, ZBits)
 
   val defs: Map[String, Q] = Map(
     "vocab_count" -> { (sp, dir) =>

@@ -50,11 +50,7 @@ object Sinks {
   ): Unit = {
     val x = pmod(col(xCol).cast("long"), lit(1L << bits))
     val y = pmod(col(yCol).cast("long"), lit(1L << bits))
-    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+    val z = graft.functions.LayoutF.zInterleave(x, y, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")

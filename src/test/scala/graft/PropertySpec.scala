@@ -274,4 +274,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("unicodeNormalize property: codegen kernel == JDK model, idempotent") {
+    import spark.implicits._
+    // strings over an alphabet mixing ASCII, precomposed, decomposed pieces
+    // (combining acute/diaeresis/ring) and an NFKC-foldable ligature — the
+    // shapes where the ASCII fast path and the JDK slow path hand off
+    val piece = Gen.oneOf("a", "z", "9", " ", "\u00e9", "e", "\u0301",
+      "\u0308", "A", "\u030a", "\ufb03", "\u00c5")
+    val strGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+    val cases = sample(strGen, 300).distinct
+    val out = cases.toDF("s")
+      .select(col("s"),
+        TextF.unicodeNormalize(col("s")).as("nfc"),
+        TextF.unicodeNormalize(TextF.unicodeNormalize(col("s"))).as("nfc2"),
+        TextF.unicodeNormalize(col("s"), "NFKC").as("nfkc"))
+      .collect()
+    val NFC = java.text.Normalizer.Form.NFC
+    val NFKC = java.text.Normalizer.Form.NFKC
+    out.foreach { r =>
+      val (s, nfc, nfc2, nfkc) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      assert(nfc == java.text.Normalizer.normalize(s, NFC), s"NFC mismatch for ${s.map(_.toInt)}")
+      assert(nfkc == java.text.Normalizer.normalize(s, NFKC), s"NFKC mismatch for ${s.map(_.toInt)}")
+      assert(nfc2 == nfc, s"NFC not idempotent for ${s.map(_.toInt)}")
+    }
+  }
+
+  test("zInterleave property: injective, de-interleavable, Column == model") {
+    import spark.implicits._
+    import graft.functions.LayoutF
+    val bits = 8
+    val pairGen = for { x <- Gen.choose(0L, 255L); y <- Gen.choose(0L, 255L) } yield (x, y)
+    val cases = sample(pairGen, 300).distinct
+    val out = cases.toDF("x", "y")
+      .select(col("x"), col("y"), LayoutF.zInterleave(col("x"), col("y"), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (x, y, z) =>
+      assert(z == LayoutF.zInterleaveModel(x, y, bits), s"($x,$y)")
+      assert(LayoutF.zDeinterleaveModel(z, bits) == ((x, y)), s"z=$z")
+    }
+    // injectivity across the sampled grid
+    assert(out.map(_._3).distinct.length == cases.length)
+  }
 }
