@@ -26,6 +26,14 @@ object TextF {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** The DuckDB twin of [[normalizeText]] over a column named `text` — the
+    * ONE spelling every oracle must use (six query files tokenize documents;
+    * a drifted copy would break only its own oracle, silently). */
+  val NormalizeTextSql: String = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  /** The DuckDB twin of [[tokens]]. */
+  val TokensSql: String = s"string_split($NormalizeTextSql, ' ')"
+
   /** Normalized whitespace tokens. */
   def tokens(text: Column): Column =
     split(normalizeText(text), " ")

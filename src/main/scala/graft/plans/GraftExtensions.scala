@@ -82,7 +82,11 @@ object GraftFunctions {
     // round-5 continuation: Unicode normalization (form defaults to NFC)
     fn("graft_normalize", "graft_normalize(text[, form])",
       es => NormalizeExpression(es.head,
-        if (es.length > 1) strArg(es(1), "form") else "NFC"))
+        if (es.length > 1) strArg(es(1), "form") else "NFC")),
+    // z-order clustering key (bits defaults to 16 per dimension)
+    fn("graft_zorder_key", "graft_zorder_key(x, y[, bits])",
+      es => x(graft.functions.LayoutF.zInterleave(c(es(0)), c(es(1)),
+        if (es.length > 2) intArg(es(2), "bits") else 16)))
   )
 
   /** Register all graft SQL functions on a live session. */

@@ -21,7 +21,7 @@ object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** SQL twin of TextF.normalizeText. */
-  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val normSql = graft.functions.TextF.NormalizeTextSql
   /** SQL twin of TextF.tokens (over the squeezed normalized text). */
   private val toksSql = s"string_split($normSql, ' ')"
 

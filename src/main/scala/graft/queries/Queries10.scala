@@ -257,7 +257,7 @@ object Queries10 {
 
   // ---- DuckDB twins ----
 
-  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val normSql = graft.functions.TextF.NormalizeTextSql
   private val toksSql = s"string_split($normSql, ' ')"
   private def tokCntSql(norm: String, toks: String) =
     s"CASE WHEN $norm = '' THEN 0 ELSE len($toks) END"

@@ -324,7 +324,7 @@ object Queries11 {
 
   // ---- DuckDB twins ----
 
-  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val normSql = graft.functions.TextF.NormalizeTextSql
   private val toksSql = s"string_split($normSql, ' ')"
   private def parasSql(w: String): String =
     s"CASE WHEN len($w) = 0 OR $normSql = '' THEN [] ELSE " +

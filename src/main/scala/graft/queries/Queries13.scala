@@ -151,7 +151,7 @@ object Queries13 {
          |    CASE $cases ELSE $OovMilli END AS lp
          |  FROM (
          |    SELECT doc_id,
-         |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+         |      unnest(${TextF.TokensSql}) AS tok
          |    FROM documents) toks) scored
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin

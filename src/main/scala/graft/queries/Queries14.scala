@@ -42,14 +42,19 @@ object Queries14 {
 
   val defs: Map[String, Q] = Map(
     "vocab_count" -> { (sp, dir) =>
-      val w = Window.orderBy(col("cnt").desc, col("word"))
-      Tables.documents(sp, dir)
+      // TopK FIRST via orderBy+limit (a distributed TakeOrdered — partial
+      // top-k per partition, only K rows reach the driver-side sort), THEN
+      // rank the 32 survivors; a row_number over the unpartitioned full
+      // vocabulary would funnel every (word, cnt) row into one partition
+      val top = Tables.documents(sp, dir)
         .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word")
         .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
-        .withColumn("rank", row_number().over(w).cast("bigint"))
-        .filter(col("rank") <= TopK)
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(TopK)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("bigint"))
         .select(col("rank"), col("word"), col("cnt"), col("df"))
         .orderBy("rank")
     },
@@ -81,7 +86,7 @@ object Queries14 {
          |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
          |  FROM (
          |    SELECT doc_id,
-         |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+         |      unnest(${TextF.TokensSql}) AS word
          |    FROM documents) t
          |  WHERE word <> ''
          |  GROUP BY word) c

@@ -108,7 +108,7 @@ object Queries6 {
     }
   )
 
-  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val normSql = graft.functions.TextF.NormalizeTextSql
   private val toksSql = s"string_split($normSql, ' ')"
   private def shinglesSql(k: Int): String = {
     val parts = (0 until k).map(j => s"list_extract(w, i + $j)").mkString(", ' ', ")

@@ -48,6 +48,8 @@ object Sinks {
     bits: Int = 16,
     files: Int = 64
   ): Unit = {
+    require(!df.columns.contains("__z"),
+      "writeZOrdered reserves the column name __z; rename the input column")
     val x = pmod(col(xCol).cast("long"), lit(1L << bits))
     val y = pmod(col(yCol).cast("long"), lit(1L << bits))
     val z = graft.functions.LayoutF.zInterleave(x, y, bits)

@@ -26,6 +26,13 @@ class Queries14Spec extends SparkSpec {
     assert(Queries13.UnigramLm.map(_._1).count(words) > 8)
   }
 
+  test("graft_zorder_key is registered as a SQL function") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_zorder_key(3, 5) AS z, graft_zorder_key(3, 5, 8) AS z8").head()
+    // 3 = 0b011 (even positions), 5 = 0b101 (odd): z = 0b100111 = 39
+    assert(r.getLong(0) == 39L && r.getLong(1) == 39L)
+  }
+
   test("zorder_layout: every bucket confines BOTH dimensions") {
     val rows = Queries14.defs("zorder_layout")(spark, dir).collect()
     // non-vacuous: several buckets (8 at sf0.001, 40 at sf0.01), all
