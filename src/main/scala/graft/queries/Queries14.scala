@@ -72,6 +72,57 @@ object Queries14 {
           min("x").as("x_min"), max("x").as("x_max"),
           min("y").as("y_min"), max("y").as("y_max"))
         .orderBy("bucket")
+    },
+
+    "incremental_dedup" -> { (sp, dir) =>
+      // The recurring-ingest merge: a new batch ships only documents whose
+      // fingerprint is absent from the already-shipped corpus AND unique
+      // within the batch (first doc_id wins). Both halves are fingerprint-
+      // keyed — the anti-join and the window shuffle the 128-bit key, never
+      // text; at 100 TB the shipped side is a bloom-filtered scan of the
+      // corpus index, not the corpus. doc_id < 400 plays the shipped corpus,
+      // the rest the new batch; duplicates are PLANTED (batch %10==7 docs
+      // re-carry a shipped doc's text, %50==49 docs a batch sibling's) so
+      // both rejection paths provably fire — random text never collides.
+      val base = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
+      val donor = base.select(col("doc_id").as("d_id"), col("text").as("d_text"))
+      val eff = base
+        .join(donor,
+          (col("doc_id") % 10 === 7 && col("d_id") === col("doc_id") - 400) ||
+            (col("doc_id") % 50 === 49 && col("d_id") === col("doc_id") - 9), "left")
+        .withColumn("eff_text",
+          when(col("doc_id") >= 400 && col("d_id").isNotNull, col("d_text"))
+            .otherwise(col("text")))
+        .withColumn("fp", md5(TextF.normalizeText(col("eff_text"))))
+      val shipped = eff.filter(col("doc_id") < 400).select(col("fp"))
+      val batch = eff.filter(col("doc_id") >= 400)
+      val wFirst = Window.partitionBy("fp").orderBy("doc_id")
+      batch
+        .join(shipped, Seq("fp"), "left_anti")
+        .withColumn("rk", row_number().over(wFirst))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    },
+
+    "percentiles_exact" -> { (sp, dir) =>
+      // Exact discontinuous percentiles by rank arithmetic (row_number to
+      // 1 + (p·(n−1)) div 100): integer-deterministic in both engines —
+      // Spark's percentile()/approx interpolate in FP and DuckDB's
+      // quantile_disc rounds differently, so neither builtin is portable.
+      // One shuffle on the group key; the window and the aggregate share it.
+      val cents = round(col("value") * 100).cast("bigint")
+      val w = Window.partitionBy("event_type").orderBy(col("v"), col("event_id"))
+      val ranked = Tables.events(sp, dir)
+        .select(col("event_type"), col("event_id"), cents.as("v"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      def pick(p: Int) =
+        max(when(col("rk") === lit(1) + expr(s"($p * (n - 1)) div 100"), col("v")))
+      ranked.groupBy("event_type")
+        .agg(max("n").as("n"),
+          pick(50).as("p50_cents"), pick(95).as("p95_cents"), pick(99).as("p99_cents"))
+        .orderBy("event_type")
     }
   )
 
@@ -109,6 +160,50 @@ object Queries14 {
          |FROM zed
          |GROUP BY bucket
          |ORDER BY bucket""".stripMargin
-    }
+    },
+
+    "incremental_dedup" -> {
+      // the shared tokenizer twin applied to the effective (donor-planted)
+      // text; "text" occurs exactly once in the constant
+      val fp = s"md5(${graft.functions.TextF.NormalizeTextSql.replace("lower(text)", "lower(eff_text)")})"
+      s"""WITH eff AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN b.doc_id >= 400 AND d.doc_id IS NOT NULL THEN d.text
+         |         ELSE b.text END AS eff_text
+         |  FROM documents b
+         |  LEFT JOIN documents d
+         |    ON (b.doc_id % 10 = 7 AND d.doc_id = b.doc_id - 400)
+         |    OR (b.doc_id % 50 = 49 AND d.doc_id = b.doc_id - 9)
+         |), docs AS (
+         |  SELECT doc_id, $fp AS fp FROM eff
+         |), shipped AS (
+         |  SELECT fp FROM docs WHERE doc_id < 400
+         |), batch AS (
+         |  SELECT doc_id, fp FROM docs WHERE doc_id >= 400
+         |)
+         |SELECT doc_id, fp
+         |FROM (
+         |  SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+         |  FROM batch
+         |  WHERE fp NOT IN (SELECT fp FROM shipped)
+         |) t WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "percentiles_exact" ->
+      """WITH ranked AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rk = 1 + (50 * (n - 1)) // 100 THEN v END) AS BIGINT) AS p50_cents,
+        |  CAST(max(CASE WHEN rk = 1 + (95 * (n - 1)) // 100 THEN v END) AS BIGINT) AS p95_cents,
+        |  CAST(max(CASE WHEN rk = 1 + (99 * (n - 1)) // 100 THEN v END) AS BIGINT) AS p99_cents
+        |FROM ranked
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -33,6 +33,35 @@ class Queries14Spec extends SparkSpec {
     assert(r.getLong(0) == 39L && r.getLong(1) == 39L)
   }
 
+  test("incremental_dedup: both rejection paths fire on the planted dups") {
+    // needs the 400/100 shipped/batch split → sf0.01 (sf0.001 has no batch)
+    val out = Queries14.defs("incremental_dedup")(spark, "/root/testdata/sf0.01")
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    // cross-batch plants (%10==7 re-carry a shipped text) are rejected
+    assert((400L until 500L).filter(_ % 10 == 7).forall(!kept(_)))
+    // within-batch plants (449/499 copy 440/490) lose to their sibling
+    assert(!kept(449L) && !kept(499L) && kept(440L) && kept(490L))
+    // everything else ships
+    assert(kept.size == 88)
+  }
+
+  test("percentiles_exact matches a collect-and-index model") {
+    import org.apache.spark.sql.Row
+    val rows = Queries14.defs("percentiles_exact")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("v"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val vs = byType(r.getString(0)).map(_.getLong(1)).sorted
+      def model(p: Int) = vs((p * (vs.length - 1)) / 100)
+      assert(r.getAs[Long]("n") == vs.length)
+      assert(r.getAs[Long]("p50_cents") == model(50), r.getString(0))
+      assert(r.getAs[Long]("p95_cents") == model(95), r.getString(0))
+      assert(r.getAs[Long]("p99_cents") == model(99), r.getString(0))
+    }
+  }
+
   test("zorder_layout: every bucket confines BOTH dimensions") {
     val rows = Queries14.defs("zorder_layout")(spark, dir).collect()
     // non-vacuous: several buckets (8 at sf0.001, 40 at sf0.01), all
