@@ -105,6 +105,36 @@ object Queries14 {
         .orderBy("doc_id")
     },
 
+    "pii_luhn" -> { (sp, dir) =>
+      // Credit-card PII detection with Luhn checksum validation — a bare
+      // 16-digit regex false-positives on order ids and timestamps; the
+      // checksum (sum of digits, doubling odd positions left-to-right on
+      // even-length numbers, mod 10 == 0) filters them at zero join cost:
+      // one codegen'd projection per row. Cards are PLANTED with a computed
+      // check digit (valid on even doc_ids, off-by-one on odd) so both
+      // verdicts provably occur — the synth corpus carries no real digits.
+      def luhnSum(s: Column, len: Int): Column =
+        aggregate(
+          transform(sequence(lit(1), lit(len)), i => {
+            val d = element_at(split(s, ""), i).cast("long")
+            when(i % 2 === 1, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+          }),
+          lit(0L), (acc, x) => acc + x)
+      val payload = lpad(((col("doc_id") * 48271 + 11) % 1000000000L).cast("string"), 15, "0")
+      val check = (lit(10L) - luhnSum(payload, 15) % 10) % 10
+      val digit = when(col("doc_id") % 2 === 0, check).otherwise((check + 1) % 10)
+      val withCard = Tables.documents(sp, dir)
+        .withColumn("text2", concat(col("text"), lit(" card "), payload, digit.cast("string")))
+      withCard
+        .withColumn("cands", regexp_extract_all(col("text2"), lit("[0-9]{16}"), lit(0)))
+        .withColumn("n_cards", size(col("cands")).cast("bigint"))
+        .withColumn("n_valid",
+          size(filter(col("cands"), c => luhnSum(c, 16) % 10 === 0)).cast("bigint"))
+        .select(col("doc_id"), col("n_cards"), col("n_valid"),
+          (col("n_valid") > 0).as("has_pii"))
+        .orderBy("doc_id")
+    },
+
     "percentiles_exact" -> { (sp, dir) =>
       // Exact discontinuous percentiles by rank arithmetic (row_number to
       // 1 + (p·(n−1)) div 100): integer-deterministic in both engines —
@@ -188,6 +218,38 @@ object Queries14 {
          |  FROM batch
          |  WHERE fp NOT IN (SELECT fp FROM shipped)
          |) t WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "pii_luhn" -> {
+      // the same Luhn fold, generated for DuckDB list ops
+      def luhnSql(s: String, len: Int): String =
+        s"""list_reduce(list_transform(range(1, ${len + 1}), i ->
+           |  CASE WHEN i % 2 = 1
+           |    THEN CASE WHEN 2 * CAST(list_extract(string_split($s, ''), i) AS BIGINT) > 9
+           |              THEN 2 * CAST(list_extract(string_split($s, ''), i) AS BIGINT) - 9
+           |              ELSE 2 * CAST(list_extract(string_split($s, ''), i) AS BIGINT) END
+           |    ELSE CAST(list_extract(string_split($s, ''), i) AS BIGINT) END),
+           |  (a, b) -> a + b)""".stripMargin.linesIterator.map(_.trim).mkString(" ")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    concat(text, ' card ', payload,
+         |      CAST(CASE WHEN doc_id % 2 = 0 THEN chk ELSE (chk + 1) % 10 END AS VARCHAR)) AS text2
+         |  FROM (
+         |    SELECT doc_id, text, payload,
+         |      (10 - ${luhnSql("payload", 15)} % 10) % 10 AS chk
+         |    FROM (
+         |      SELECT doc_id, text,
+         |        lpad(CAST((doc_id * 48271 + 11) % 1000000000 AS VARCHAR), 15, '0') AS payload
+         |      FROM documents) p0) p1
+         |), scanned AS (
+         |  SELECT doc_id, regexp_extract_all(text2, '[0-9]{16}') AS cands FROM planted
+         |)
+         |SELECT doc_id,
+         |  CAST(len(cands) AS BIGINT) AS n_cards,
+         |  CAST(len(list_filter(cands, c -> ${luhnSql("c", 16)} % 10 = 0)) AS BIGINT) AS n_valid,
+         |  len(list_filter(cands, c -> ${luhnSql("c", 16)} % 10 = 0)) > 0 AS has_pii
+         |FROM scanned
          |ORDER BY doc_id""".stripMargin
     },
 

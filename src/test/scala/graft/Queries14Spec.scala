@@ -45,6 +45,29 @@ class Queries14Spec extends SparkSpec {
     assert(kept.size == 88)
   }
 
+  test("pii_luhn: checksum separates the planted valid/invalid cards") {
+    val rows = Queries14.defs("pii_luhn")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // exactly one planted card per doc; Luhn verdict follows the plant parity
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_cards") == 1, s"doc $id")
+      assert(r.getAs[Boolean]("has_pii") == (id % 2 == 0), s"doc $id")
+      assert(r.getAs[Long]("n_valid") == (if (id % 2 == 0) 1 else 0), s"doc $id")
+    }
+    // independent model: the plant formula with a plain-Scala Luhn agrees
+    def luhn(s: String): Int = s.zipWithIndex.map { case (c, i0) =>
+      val d = c - '0'
+      if ((i0 + 1) % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+    }.sum
+    (0L to 10L).foreach { id =>
+      val payload = f"${(id * 48271 + 11) % 1000000000L}%015d"
+      val chk = (10 - luhn(payload) % 10) % 10
+      val digit = if (id % 2 == 0) chk else (chk + 1) % 10
+      assert((luhn(payload + digit) % 10 == 0) == (id % 2 == 0), s"model doc $id")
+    }
+  }
+
   test("percentiles_exact matches a collect-and-index model") {
     import org.apache.spark.sql.Row
     val rows = Queries14.defs("percentiles_exact")(spark, dir).collect()
