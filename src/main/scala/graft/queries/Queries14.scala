@@ -86,14 +86,18 @@ object Queries14 {
       // both rejection paths provably fire — random text never collides.
       val base = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
       val donor = base.select(col("doc_id").as("d_id"), col("text").as("d_text"))
-      val eff = base
-        .join(donor,
-          (col("doc_id") % 10 === 7 && col("d_id") === col("doc_id") - 400) ||
-            (col("doc_id") % 50 === 49 && col("d_id") === col("doc_id") - 9), "left")
+      // the plant clauses are mutually exclusive, so the donor reference is
+      // a DERIVED KEY equi-join (hash join on an 8-byte id) — an OR-of-
+      // conditions join would plan as a nested-loop broadcast of the whole
+      // text column
+      val donorId = when(col("doc_id") % 10 === 7, col("doc_id") - 400)
+        .when(col("doc_id") % 50 === 49, col("doc_id") - 9)
+      val eff = base.withColumn("donor_id", donorId)
+        .join(donor, col("donor_id") === col("d_id"), "left")
         .withColumn("eff_text",
           when(col("doc_id") >= 400 && col("d_id").isNotNull, col("d_text"))
             .otherwise(col("text")))
-        .withColumn("fp", md5(TextF.normalizeText(col("eff_text"))))
+        .withColumn("fp", TextF.docFingerprint(col("eff_text")))
       val shipped = eff.filter(col("doc_id") < 400).select(col("fp"))
       val batch = eff.filter(col("doc_id") >= 400)
       val wFirst = Window.partitionBy("fp").orderBy("doc_id")
@@ -193,19 +197,21 @@ object Queries14 {
     },
 
     "incremental_dedup" -> {
-      // the shared tokenizer twin applied to the effective (donor-planted)
-      // text; "text" occurs exactly once in the constant
-      val fp = s"md5(${graft.functions.TextF.NormalizeTextSql.replace("lower(text)", "lower(eff_text)")})"
+      // the CASE output is aliased `text` so the shared normalize twin
+      // applies VERBATIM; NOT EXISTS (not NOT IN) is the exact semantic
+      // twin of Spark's left_anti under NULLs
       s"""WITH eff AS (
          |  SELECT b.doc_id,
          |    CASE WHEN b.doc_id >= 400 AND d.doc_id IS NOT NULL THEN d.text
-         |         ELSE b.text END AS eff_text
-         |  FROM documents b
-         |  LEFT JOIN documents d
-         |    ON (b.doc_id % 10 = 7 AND d.doc_id = b.doc_id - 400)
-         |    OR (b.doc_id % 50 = 49 AND d.doc_id = b.doc_id - 9)
+         |         ELSE b.text END AS text
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      CASE WHEN doc_id % 10 = 7 THEN doc_id - 400
+         |           WHEN doc_id % 50 = 49 THEN doc_id - 9 END AS donor_id
+         |    FROM documents) b
+         |  LEFT JOIN documents d ON d.doc_id = b.donor_id
          |), docs AS (
-         |  SELECT doc_id, $fp AS fp FROM eff
+         |  SELECT doc_id, md5(${graft.functions.TextF.NormalizeTextSql}) AS fp FROM eff
          |), shipped AS (
          |  SELECT fp FROM docs WHERE doc_id < 400
          |), batch AS (
@@ -216,7 +222,7 @@ object Queries14 {
          |  SELECT doc_id, fp,
          |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
          |  FROM batch
-         |  WHERE fp NOT IN (SELECT fp FROM shipped)
+         |  WHERE NOT EXISTS (SELECT 1 FROM shipped s WHERE s.fp = batch.fp)
          |) t WHERE rk = 1
          |ORDER BY doc_id""".stripMargin
     },

@@ -69,7 +69,6 @@ class Queries14Spec extends SparkSpec {
   }
 
   test("percentiles_exact matches a collect-and-index model") {
-    import org.apache.spark.sql.Row
     val rows = Queries14.defs("percentiles_exact")(spark, dir).collect()
     assert(rows.nonEmpty)
     val byType = Tables.events(spark, dir)
