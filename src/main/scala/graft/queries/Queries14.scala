@@ -109,6 +109,23 @@ object Queries14 {
         .orderBy("doc_id")
     },
 
+    "retention_cohorts" -> { (sp, dir) =>
+      // Weekly cohort retention — the product-analytics matrix sessionize/
+      // funnel don't cover: users grouped by first-seen week, counted in
+      // every later week they return. Two aggregations on the user key
+      // (first-seen, distinct activity) that AQE co-partitions, then one
+      // small matrix aggregate; all epoch-micros integer arithmetic.
+      val weekUs = 7L * 86400L * 1000000L
+      val ev = Tables.events(sp, dir)
+        .select(col("user_id"), expr(s"ts_us div $weekUs").as("wk"))
+      val activity = ev.distinct()
+      val cohorts = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      activity.join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    },
+
     "pii_luhn" -> { (sp, dir) =>
       // Credit-card PII detection with Luhn checksum validation — a bare
       // 16-digit regex false-positives on order ids and timestamps; the
@@ -225,6 +242,21 @@ object Queries14 {
          |  WHERE NOT EXISTS (SELECT 1 FROM shipped s WHERE s.fp = batch.fp)
          |) t WHERE rk = 1
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "retention_cohorts" -> {
+      val weekUs = 7L * 86400L * 1000000L
+      s"""WITH activity AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $weekUs AS wk FROM events
+         |), cohorts AS (
+         |  SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort_wk
+         |  FROM activity GROUP BY user_id
+         |)
+         |SELECT cohort_wk, CAST(wk - cohort_wk AS BIGINT) AS week_offset,
+         |  CAST(count(DISTINCT activity.user_id) AS BIGINT) AS n_users
+         |FROM activity JOIN cohorts ON activity.user_id = cohorts.user_id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
     },
 
     "pii_luhn" -> {

@@ -45,6 +45,23 @@ class Queries14Spec extends SparkSpec {
     assert(kept.size == 88)
   }
 
+  test("retention_cohorts: offset-0 row counts the whole cohort") {
+    val rows = Queries14.defs("retention_cohorts")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_wk"))
+    byCohort.foreach { case (_, rs) =>
+      val zero = rs.find(_.getAs[Long]("week_offset") == 0L).get.getAs[Long]("n_users")
+      // every cohort starts at offset 0 (its defining week) and no later
+      // week can retain more users than the cohort holds
+      assert(rs.forall(_.getAs[Long]("n_users") <= zero))
+      assert(rs.forall(_.getAs[Long]("week_offset") >= 0L))
+    }
+    // cohort sizes cover every user exactly once
+    val totalUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_.getAs[Long]("week_offset") == 0L).get
+      .getAs[Long]("n_users")).sum == totalUsers)
+  }
+
   test("pii_luhn: checksum separates the planted valid/invalid cards") {
     val rows = Queries14.defs("pii_luhn")(spark, dir).collect()
     assert(rows.nonEmpty)
