@@ -65,9 +65,13 @@ object Queries12 {
       costs.join(minPer, col("p_partkey") === col("mp_partkey") &&
           col("cost_cents") === col("min_cost"))
         .select(col("bal_cents"), col("s_name"), col("n_name"), col("p_partkey"),
-          col("p_name"), col("cost_cents"))
-        .orderBy(col("bal_cents").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          col("p_name"), col("cost_cents"), col("s_suppkey"))
+        // s_suppkey tail makes the LIMIT cut a total order even if two
+        // min-cost suppliers for a part ever tie on (bal, nation, name)
+        .orderBy(col("bal_cents").desc, col("n_name"), col("s_name"), col("p_partkey"),
+          col("s_suppkey"))
         .limit(100)
+        .drop("s_suppkey")
     },
 
     "q4_priority" -> { (sp, dir) =>
@@ -300,7 +304,7 @@ object Queries12 {
         |SELECT bal_cents, s_name, n_name, p_partkey, p_name, cost_cents
         |FROM costs c
         |WHERE cost_cents = (SELECT min(cost_cents) FROM costs m WHERE m.p_partkey = c.p_partkey)
-        |ORDER BY bal_cents DESC, n_name, s_name, p_partkey
+        |ORDER BY bal_cents DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
 
     "q4_priority" ->
@@ -398,7 +402,8 @@ object Queries12 {
         |JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#5'
         |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%9')
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |    WHERE s_suppkey = l_suppkey AND s_name LIKE '%9')
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 

@@ -93,7 +93,9 @@ object Queries13 {
     "corpus_mix" -> { (sp, dir) =>
       val docs = Tables.documents(sp, dir)
       // per-source counts + target weights (weights need no normalization:
-      // only ratios matter once the binding source anchors the scale)
+      // only ratios matter once the binding source anchors the scale).
+      // Weight formula depends on Synth's 'srcN' source naming — the DuckDB
+      // twin uses TRY_CAST to match Spark's NULL-on-malformed CAST.
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
         .withColumn("t", lit(200L) + lit(300L) * (expr("CAST(substring(source, 4) AS BIGINT)") % 4))
       // binding source: exact rational argmin of c/t (anti-join beats any
@@ -160,9 +162,12 @@ object Queries13 {
     "corpus_mix" -> {
       val md = "md5(concat('mix:', CAST(doc_id AS VARCHAR)))"
       def nib(i: Int) = s"(strpos('0123456789abcdef', substr($md, $i, 1)) - 1)"
+      // TRY_CAST: Spark's non-ANSI CAST yields NULL on a malformed source
+      // name; TRY_CAST is DuckDB's semantic twin (plain CAST would raise),
+      // so a schema drift away from 'srcN' fails identically on both engines
       s"""WITH counts AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS c,
-         |    200 + 300 * (CAST(substring(source, 4) AS BIGINT) % 4) AS t
+         |    200 + 300 * (TRY_CAST(substring(source, 4) AS BIGINT) % 4) AS t
          |  FROM documents GROUP BY source
          |), star AS (
          |  SELECT c AS c_star, t AS t_star FROM counts m

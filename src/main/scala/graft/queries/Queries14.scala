@@ -82,15 +82,17 @@ object Queries14 {
       // text; at 100 TB the shipped side is a bloom-filtered scan of the
       // corpus index, not the corpus. doc_id < 400 plays the shipped corpus,
       // the rest the new batch; duplicates are PLANTED (batch %10==7 docs
-      // re-carry a shipped doc's text, %50==49 docs a batch sibling's) so
-      // both rejection paths provably fire — random text never collides.
+      // re-carry a shipped doc's text — donor doc_id % 400 is shipped at ANY
+      // corpus scale — and %50==49 docs a batch sibling's) so both rejection
+      // paths provably fire — random text never collides. Shipped docs may
+      // self-match the donor join; harmless, eff_text only swaps for batch.
       val base = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
       val donor = base.select(col("doc_id").as("d_id"), col("text").as("d_text"))
       // the plant clauses are mutually exclusive, so the donor reference is
       // a DERIVED KEY equi-join (hash join on an 8-byte id) — an OR-of-
       // conditions join would plan as a nested-loop broadcast of the whole
       // text column
-      val donorId = when(col("doc_id") % 10 === 7, col("doc_id") - 400)
+      val donorId = when(col("doc_id") % 10 === 7, col("doc_id") % 400)
         .when(col("doc_id") % 50 === 49, col("doc_id") - 9)
       val eff = base.withColumn("donor_id", donorId)
         .join(donor, col("donor_id") === col("d_id"), "left")
@@ -223,7 +225,7 @@ object Queries14 {
          |         ELSE b.text END AS text
          |  FROM (
          |    SELECT doc_id, text,
-         |      CASE WHEN doc_id % 10 = 7 THEN doc_id - 400
+         |      CASE WHEN doc_id % 10 = 7 THEN doc_id % 400
          |           WHEN doc_id % 50 = 49 THEN doc_id - 9 END AS donor_id
          |    FROM documents) b
          |  LEFT JOIN documents d ON d.doc_id = b.donor_id
