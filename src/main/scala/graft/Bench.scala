@@ -38,6 +38,7 @@ object Bench {
         // release the block-manager entries persisted inside the query just
         // timed — 80+ queries in one session would otherwise accumulate
         // InMemoryRelations for the whole run
+        graft.util.CacheScope.release(spark)
         spark.catalog.clearCache()
         d
       }.min

@@ -23,7 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // no cross-query cache accumulation
+      finally {
+        graft.util.CacheScope.release(spark) // intermediates the query pinned
+        spark.catalog.clearCache() // no cross-query cache accumulation
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,7 +77,8 @@ object LlmQueries {
       // size joins — persist it once instead of re-evaluating the shingle
       // expression tree per reference (4× otherwise; on a cluster this is a
       // cached shuffle block, not recomputation)
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).persist()
+      val ex = graft.util.CacheScope.track(
+        docs.select(col("doc_id"), explode(col("sh")).as("s")))
       // stop-shingle cap: one boilerplate shingle shared by k docs makes the
       // self-join quadratic on that key (k² pairs). df-cap the shingle table
       // BEFORE pairing — the design control that bounds shuffle volume by

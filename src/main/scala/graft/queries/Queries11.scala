@@ -94,13 +94,12 @@ object Queries11 {
           val cv = r.getSeq[Float](1).map(_.toDouble).toSeq
           (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
         }
-      // persisted: feeds both self-join sides AND the final anti-join (the
-      // harness clearCache()s between queries — releasing here would fire at
-      // PLAN time, before the query ever runs)
-      val assign = Queries3.augmentedEmbeddings(sp, dir)
+      // persisted via CacheScope: feeds both self-join sides AND the final
+      // anti-join (unpersisting here would fire at PLAN time, before the
+      // query ever runs — the caller releases after materializing)
+      val assign = graft.util.CacheScope.track(Queries3.augmentedEmbeddings(sp, dir)
         .withColumn("nrm", SimF.norm(col("v")))
-        .withColumn("cell", SimF.argmaxCell(col("v"), col("nrm"), cents))
-        .persist()
+        .withColumn("cell", SimF.argmaxCell(col("v"), col("nrm"), cents)))
       val a = assign.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       val b = assign.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       val removed = a.join(b, Seq("cell"))
@@ -114,7 +113,7 @@ object Queries11 {
 
     "text_repetition" -> { (sp, dir) =>
       val d = col("doc_id")
-      val docs = Tables.documents(sp, dir)
+      val docs = graft.util.CacheScope.track(Tables.documents(sp, dir)
         .withColumn("toks", TextF.tokens(col("text")))
         .withColumn("paras", parasOf(col("toks")))
         // planted repetition: every third doc repeats its first paragraph
@@ -123,7 +122,7 @@ object Queries11 {
           when(d % 3 === 0 && size(col("paras")) > 0,
             concat(col("paras"), array(element_at(col("paras"), 1), element_at(col("paras"), 1))))
             .otherwise(col("paras")))
-        .persist() // feeds paraStats + topGram + tlen; harness clears caches
+      ) // feeds paraStats + topGram + tlen; caller releases via CacheScope
       val paraStats = docs.select(d, explode(col("paras")).as("para"))
           .groupBy("doc_id", "para").agg(count(lit(1)).as("cnt"))
           .groupBy("doc_id").agg(
@@ -268,11 +267,11 @@ object Queries11 {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", SimF.norm(col("v")))
       val scale = lit(127.0) / array_max(transform(col("v"), x => abs(x)))
-      val qz = e
+      val qz = graft.util.CacheScope.track(e
         .withColumn("cell", SimF.argmaxCell(col("v"), col("nrm"), cents))
         .withColumn("qv", transform(col("v"), x => round(x * scale).cast("long")))
         .withColumn("qn", sqrt(idot(col("qv"), col("qv")).cast("double")))
-        .persist() // corpus side + probe side + cell lists share it
+      ) // corpus side + probe side + cell lists share it; caller releases
       val corpus = qz.select(col("vec_id").as("nid"), col("cell"), col("qv").as("nv"), col("qn").as("nn"))
       // per-query nprobe=2 cells: rank centroid sims on the full-precision
       // vector (the assignment kernel), explode the top 2
@@ -303,21 +302,22 @@ object Queries11 {
           when(d % 4 === 0, concat(col("paras"), array(lit(Boiler)))).otherwise(col("paras")))
       val ex = docs.select(d, posexplode(col("paras")).as(Seq("pos", "para")))
       // first occurrence globally wins; the window key is the paragraph HASH
-      // so the shuffle never carries duplicate text proportional to dup count
+      // so the shuffle never carries duplicate text proportional to dup count.
+      // ONE scan: n_paras comes from the same exploded relation the keeper
+      // window ranks — counting all rows and conditionally aggregating the
+      // rk==1 keepers in a single per-doc agg (collect_list skips the NULL
+      // non-keepers), instead of a second scan that re-evaluates the
+      // paragraph-split lambda.
       val wFirst = Window.partitionBy("h").orderBy("doc_id", "pos")
-      val kept = ex.withColumn("h", md5(col("para")))
+      ex.withColumn("h", md5(col("para")))
         .withColumn("rk", row_number().over(wFirst))
-        .filter(col("rk") === 1)
         .groupBy("doc_id").agg(
-          count(lit(1)).as("n_kept"),
+          count(lit(1)).as("n_paras"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
           array_join(
-            transform(array_sort(collect_list(struct(col("pos").as("pos"), col("para").as("para")))),
+            transform(array_sort(collect_list(
+              when(col("rk") === 1, struct(col("pos").as("pos"), col("para").as("para"))))),
               s => s.getField("para")), " | ").as("rebuilt"))
-      val totals = ex.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
-      totals.join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_paras"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("rebuilt"), lit("")).as("rebuilt"))
         .orderBy("doc_id")
     }
   )

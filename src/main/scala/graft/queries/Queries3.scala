@@ -61,10 +61,10 @@ object Queries3 {
     * w.h.p. (cos≈0.996 → P[16 bits agree] ≈ 0.63/band).
     * Returns (signatures, cosine-verified pairs with `cos`). */
   private def nearDupPipeline(sp: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sigs = augmentedEmbeddings(sp, dir)
+    val sigs = graft.util.CacheScope.track(augmentedEmbeddings(sp, dir)
       .select(col("vec_id"), col("v"), SimF.norm(col("v")).as("nrm"),
         SimF.srpBands(col("v"), Bands, BandBits, Dim).as("bands"))
-      .persist() // feeds the band join + the verify step
+    ) // feeds the band join + the verify step; caller releases via CacheScope
     val ex = sigs.select(col("vec_id"), posexplode(col("bands")))
       .select(col("vec_id"), col("pos").as("b"), col("col").as("bk"))
     val ok = ex.groupBy("b", "bk").agg(count(lit(1)).as("n"))

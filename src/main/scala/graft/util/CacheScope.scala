@@ -1,0 +1,56 @@
+package graft.util
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Session-scoped registry for intermediates that query closures persist.
+  *
+  * Several queries cache a mid-plan relation that feeds multiple branches of
+  * the returned lazy plan (both sides of a self-join plus a verify step, an
+  * exploded shingle table reused by size joins, …). The closure cannot
+  * unpersist it — that would fire at plan-construction time, before the
+  * caller ever materializes the frame — so the cache would otherwise live in
+  * the session's CacheManager until `clearCache()`. `track` persists AND
+  * registers the frame; the caller (Verify, Bench, or a library user
+  * composing queries in one session) calls `release(spark)` after
+  * materializing a query to drop every intermediate that query pinned,
+  * without nuking caches the user created themselves.
+  *
+  * Mirrors the persist/unpersist hygiene ConnectedComponents applies
+  * internally (operators/ConnectedComponents.scala), lifted to the
+  * closure-returns-lazy-plan boundary.
+  */
+object CacheScope {
+  private val live =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[Dataset[_]]]()
+
+  /** Persist `ds` and register it for the session's next `release`. */
+  def track[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    live
+      .computeIfAbsent(ds.sparkSession, _ => new ConcurrentLinkedQueue[Dataset[_]]())
+      .add(ds)
+    ds
+  }
+
+  /** Unpersist every tracked intermediate for `sp` (non-blocking). Safe to
+    * call at any time: frames a still-live plan references are simply
+    * recomputed if used again. */
+  def release(sp: SparkSession): Unit = {
+    val q = live.remove(sp)
+    if (q != null) {
+      var d = q.poll()
+      while (d != null) {
+        d.unpersist(blocking = false)
+        d = q.poll()
+      }
+    }
+  }
+
+  /** Number of tracked-but-unreleased intermediates for `sp` (for specs). */
+  def pending(sp: SparkSession): Int = {
+    val q = live.get(sp)
+    if (q == null) 0 else q.size()
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.util.CacheScope
+
+/** The cache-hygiene contract for query closures that persist an
+  * intermediate: after the caller materializes a query and calls
+  * `CacheScope.release`, NO InMemoryRelation outlives the query — three
+  * consecutive persisting queries in one session leave the CacheManager
+  * empty. (Verify and Bench call release after every query; a library user
+  * composing queries does the same.)
+  */
+class CacheScopeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cacheEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
+
+  test("three consecutive persisting queries leave no InMemoryRelations behind") {
+    spark.catalog.clearCache()
+    val persisting = Seq("ngram_jaccard", "text_repetition", "ann_ivf_int8")
+    persisting.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      assert(CacheScope.pending(spark) > 0,
+        s"$name should track at least one intermediate")
+      df.count() // materialize like a real caller
+      CacheScope.release(spark)
+      assert(CacheScope.pending(spark) === 0, s"$name left tracked frames")
+      assert(cacheEmpty, s"cache not empty after releasing $name")
+    }
+  }
+
+  test("release is safe before materialization (plan recomputes, same rows)") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("ngram_jaccard")(spark, dir)
+    CacheScope.release(spark) // released too early: rows must still be right
+    val n = df.count()
+    assert(n > 0)
+    assert(cacheEmpty)
+  }
+
+  test("user-created caches survive a release") {
+    spark.catalog.clearCache()
+    val mine = Tables.documents(spark, dir).persist()
+    mine.count()
+    val df = SparkEntry.queries("text_repetition")(spark, dir)
+    df.count()
+    CacheScope.release(spark)
+    assert(!cacheEmpty, "release must not nuke user-owned caches")
+    mine.unpersist(blocking = true)
+    spark.catalog.clearCache()
+  }
+}
