@@ -49,7 +49,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver stores only a bounded tail of stdout, which has truncated
+    // the per-query map two rounds running — also self-report to a repo file
+    // so the full 130-entry map is always recoverable
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -43,8 +43,14 @@ object Queries11 {
   type Q = (SparkSession, String) => DataFrame
 
   private val ParaTokens = 5 // tokens per synthetic paragraph
-  private val SemK = 8 // semdedup cell count at test scale
+  private val SemK = 8 // ann_ivf_int8 cell count at test scale
   private val SemThreshold = 0.95 // cosine cut, matches dedup_embedding
+
+  /** semdedup cell count for an N-vector corpus: ~125 vectors per cell,
+    * floor 8 (test scales), literal-centroid cap 4096. Twin of the SQL
+    * `semk` CTE — keep the constants in lockstep. */
+  def semKFor(n: Long): Int =
+    math.max(8L, math.min(4096L, n / 125L)).toInt
   private val Boiler = "subscribe to the newsletter today" // planted boilerplate
 
   /** The reference-spec-shaped script behind `js_transform` — exercises
@@ -83,11 +89,19 @@ object Queries11 {
     },
 
     "semdedup" -> { (sp, dir) =>
-      // centroids: the first-8 demo "training" output, collected as plan-time
-      // literals (8×64 doubles — tiny by definition; operators.KMeans is the
-      // real trainer, oracle-checked via ann_ivf_kmeans rows)
+      // k GROWS with N (the SemDeDup paper's own scaling): ~125 vectors per
+      // cell keeps the within-cell pairwise pass linear in corpus size —
+      // fixed k would make it N²/k (the r6 scale probe measured 23x at 10x
+      // data before this). Both engines derive k from the same count, so the
+      // oracle stays exact at every SF. Literal centroids cap at 4096 cells
+      // (~2 MB of plan literals); past that the ann_ivf broadcast-join path
+      // is the design.
+      val k = semKFor(Tables.embeddings(sp, dir).count())
+      // centroids: the first-k demo "training" output, collected as plan-time
+      // literals (k×64 doubles; operators.KMeans is the real trainer,
+      // oracle-checked via ann_ivf_kmeans rows)
       val cents: Seq[(Long, Seq[Double], Double)] = Tables.embeddings(sp, dir)
-        .filter(col("vec_id") < SemK).orderBy("vec_id")
+        .filter(col("vec_id") < k).orderBy("vec_id")
         .select(col("vec_id"), col("embedding"))
         .collect().toSeq
         .map { r =>
@@ -349,11 +363,14 @@ object Queries11 {
     "semdedup" -> {
       val dot = Queries3.dotSqlShared _
       s"""WITH ${Queries3.AugSqlCte},
+         |semk AS (
+         |  SELECT greatest(8, least(4096, count(*) // 125)) AS k FROM embeddings
+         |),
          |e AS (
          |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM aug
          |), cent AS (
          |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM embeddings WHERE vec_id < $SemK
+         |  FROM embeddings WHERE vec_id < (SELECT k FROM semk)
          |), centn AS (
          |  SELECT cid, cv, sqrt(${dot("cv", "cv")}) AS cn FROM cent
          |), assign AS (
@@ -369,7 +386,7 @@ object Queries11 {
          |  WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= $SemThreshold
          |)
          |SELECT vec_id, cell FROM assign
-         |WHERE vec_id NOT IN (SELECT rem FROM removed)
+         |WHERE NOT EXISTS (SELECT 1 FROM removed WHERE rem = assign.vec_id)
          |ORDER BY vec_id""".stripMargin
     },
 

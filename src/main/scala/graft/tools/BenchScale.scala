@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe bench: times the heaviest queries at the configured SF and at
+  * a 10x-unioned copy of the same data, to separate fixed per-plan cost
+  * (session, codegen, stage scheduling — constant) from data-proportional
+  * cost (what actually extrapolates to a cluster). A query whose x10/x1
+  * ratio is near 1 is all fixed cost at this scale; near 10 (or below, from
+  * amortized startup) means the runtime is data-dominated and the per-row
+  * rate is the number to project.
+  *
+  * Key remapping, not bare duplication: fact ids (doc_id, vec_id, event_id,
+  * orderkey) shift by `i * stride` per copy so dedup/self-join workloads see
+  * 10x organic data rather than 10 exact clones of every key (bare
+  * duplication would inflate pair counts quadratically and measure a
+  * different workload). Dims (region..part, users) stay 1x, so join
+  * fan-outs grow the way a real corpus grows.
+  *
+  * Writes one JSON line to stdout AND scale_probe.json (repo cwd).
+  */
+object BenchScale {
+  // the heaviest queries by BENCH_r05 + PLANS.md audit, one per family
+  private val Probes = Seq(
+    "dedup_cluster", "dedup_minhash_keep", "para_dedup", "ngram_jaccard",
+    "semdedup", "dedup_embedding_keep", "ann_ivf_int8",
+    "q21_waiting", "q1_pricing", "ip_geo_lookup_v6", "enrich_pipeline",
+    "sessionize")
+
+  private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
+    (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
+      .reduce(_.unionAll(_))
+
+  /** Materialize a 10x key-remapped copy of the fact tables (dims copied
+    * verbatim) under `outDir`, readable by Tables.* like any SF dir. */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(spark.read.parquet(s"$baseDir/$dim.parquet"), dim)
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    write(scaleBy(docs, "doc_id", copies, stride(docs, "doc_id")), "documents")
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    write(scaleBy(emb, "vec_id", copies, stride(emb, "vec_id")), "embeddings")
+    // events.ts reads as BIGINT nanos under nanosAsLong; written back as
+    // BIGINT, which Tables.events handles identically (ts div 1000)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    write(scaleBy(ev, "event_id", copies, stride(ev, "event_id")), "events")
+    // orders/lineitem share the orderkey remap so the join stays consistent
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    val okStride = stride(ord, "o_orderkey")
+    write(scaleBy(ord, "o_orderkey", copies, okStride), "orders")
+    write(scaleBy(li, "l_orderkey", copies, okStride), "lineitem")
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val dt = (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(name)(spark, dir).count()
+      catch { case _: Throwable => -1L }
+      val d = (System.nanoTime() - t0) / 1e9
+      graft.util.CacheScope.release(spark)
+      spark.catalog.clearCache()
+      d
+    }.min
+    dt
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, baseDir, scaledDir, copies)
+
+    val rows = Probes.map { name =>
+      val x1 = time(spark, name, baseDir)
+      val x10 = time(spark, name, scaledDir)
+      val ratio = if (x1 > 0) x10 / x1 else -1.0
+      name -> (x1, x10, ratio)
+    }
+    val qs = rows.map { case (k, (a, b, r)) =>
+      "\"" + k + "\":{" + f""""x1":$a%.3f,"x$copies":$b%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_probe","unit":"sec","copies":$copies,"queries":$qs,"sf":"$baseDir"}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_probe.json"), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}
