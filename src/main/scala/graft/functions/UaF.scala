@@ -9,101 +9,256 @@ import org.apache.spark.sql.functions._
   * (browser family/version, OS, device type → the `EnrichedEvent` br_, os_
   * and dvce_ fields), `registry/UaParserEnrichment.scala` (uap-core) and
   * `registry/YauaaEnrichment.scala` (device class). The reference wraps
-  * third-party UA databases; graft ships a declarative RULE TABLE covering
-  * the real-world UA long tail (engine browsers, chromium shells, in-app
-  * webviews, legacy IE/Opera, consoles, TVs, bots and HTTP clients) that is
-  * compiled to BOTH a codegen'd Column cascade and a byte-identical DuckDB
-  * CASE cascade — one source of truth, zero lookups, scans at 100 TB.
-  * Rule order is first-match-wins and mirrors real UA token precedence
-  * (in-app webviews before chromium shells before Chrome before Safari).
+  * third-party UA databases; graft ships a declarative RULE TABLE at
+  * uap-core breadth — ~85 browser families (engine browsers, chromium
+  * shells, gecko forks, in-app webviews, CJK-market browsers, text-mode and
+  * legacy phone browsers, consoles, TVs) and ~40 OS families — compiled to
+  * BOTH a codegen'd Column cascade and a byte-identical DuckDB CASE cascade:
+  * one source of truth, zero lookups, scans at 100 TB. The family names and
+  * token precedence follow the public uap-core / YAUAA conventions
+  * (hand-curated from public knowledge; no upstream fixture files ship in
+  * this environment). Rule order is first-match-wins and mirrors real UA
+  * token precedence: in-app webviews before chromium shells, gecko forks
+  * before Firefox, chromium shells before Chrome, everything before Safari.
   */
 object UaF {
 
   /** Browser rule: matches when ANY token is contained in the UA; version is
     * regexp group 1 of `verRegex` (RE2-safe, shared verbatim by both
-    * engines); no match → null version. */
+    * engines); empty `verRegex` or no match → null version. */
   final case class BrowserRule(tokens: Seq[String], family: String, verRegex: String)
 
+  private def br(family: String, verRegex: String, tokens: String*) =
+    BrowserRule(tokens, family, verRegex)
+
   val BrowserRules: Seq[BrowserRule] = Seq(
-    BrowserRule(Seq("Edg/", "EdgA/", "EdgiOS/", "Edge/"), "Edge", "(?:Edg|EdgA|EdgiOS|Edge)/([0-9][0-9.]*)"),
-    BrowserRule(Seq("Opera Mini/"), "Opera Mini", "Opera Mini/([0-9][0-9.]*)"),
-    BrowserRule(Seq("OPR/", "Opera"), "Opera", "(?:OPR/|Opera[ /])([0-9][0-9.]*)"),
-    BrowserRule(Seq("FxiOS/", "Firefox/"), "Firefox", "(?:FxiOS|Firefox)/([0-9][0-9.]*)"),
-    // in-app webviews: their UAs embed Chrome/ or Safari/ tokens too
-    BrowserRule(Seq("FBAV/", "FBAN/"), "Facebook", "FBAV/([0-9][0-9.]*)"),
-    BrowserRule(Seq("Instagram"), "Instagram", "Instagram ([0-9][0-9.]*)"),
-    BrowserRule(Seq("MicroMessenger/"), "WeChat", "MicroMessenger/([0-9][0-9.]*)"),
-    BrowserRule(Seq("Line/"), "Line", "Line/([0-9][0-9.]*)"),
-    BrowserRule(Seq("GSA/"), "Google Search App", "GSA/([0-9][0-9.]*)"),
-    BrowserRule(Seq("DuckDuckGo/"), "DuckDuckGo", "DuckDuckGo/([0-9][0-9.]*)"),
-    // chromium shells: before the Chrome token their UAs all carry
-    BrowserRule(Seq("SamsungBrowser/"), "Samsung Internet", "SamsungBrowser/([0-9][0-9.]*)"),
-    BrowserRule(Seq("UCBrowser/"), "UC Browser", "UCBrowser/([0-9][0-9.]*)"),
-    BrowserRule(Seq("YaBrowser/"), "Yandex Browser", "YaBrowser/([0-9][0-9.]*)"),
-    BrowserRule(Seq("Vivaldi/"), "Vivaldi", "Vivaldi/([0-9][0-9.]*)"),
-    BrowserRule(Seq("Whale/"), "Whale", "Whale/([0-9][0-9.]*)"),
-    BrowserRule(Seq("QQBrowser/"), "QQ Browser", "QQBrowser/([0-9][0-9.]*)"),
-    BrowserRule(Seq("HuaweiBrowser/"), "Huawei Browser", "HuaweiBrowser/([0-9][0-9.]*)"),
-    BrowserRule(Seq("MiuiBrowser/"), "Miui Browser", "MiuiBrowser/([0-9][0-9.]*)"),
-    BrowserRule(Seq("Chromium/"), "Chromium", "Chromium/([0-9][0-9.]*)"),
-    BrowserRule(Seq("CriOS/", "Chrome/"), "Chrome", "(?:CriOS|Chrome)/([0-9][0-9.]*)"),
-    BrowserRule(Seq("Safari/"), "Safari", "Version/([0-9][0-9.]*)"),
-    BrowserRule(Seq("MSIE", "Trident/"), "Internet Explorer", "(?:MSIE |rv:)([0-9][0-9.]*)")
+    // ---- in-app webviews / app shells: their UAs embed Chrome/ or
+    // Safari/ tokens too, so they must match first
+    br("Facebook", "FBAV/([0-9][0-9.]*)", "FBAV/", "FBAN/"),
+    br("Instagram", "Instagram ([0-9][0-9.]*)", "Instagram"),
+    br("WeChat", "MicroMessenger/([0-9][0-9.]*)", "MicroMessenger/"),
+    br("Line", "Line/([0-9][0-9.]*)", "Line/"),
+    br("KakaoTalk", "KAKAOTALK[/ ]([0-9][0-9.]*)", "KAKAOTALK"),
+    br("Naver App", "", "NAVER("),
+    br("Snapchat", "Snapchat/([0-9][0-9.]*)", "Snapchat"),
+    br("TikTok", "", "musical_ly", "BytedanceWebview"),
+    br("Twitter", "", "TwitterAndroid", "Twitter for iPhone"),
+    br("LinkedIn", "", "LinkedInApp"),
+    br("DingTalk", "DingTalk/([0-9][0-9.]*)", "DingTalk"),
+    br("Alipay", "AlipayClient/([0-9][0-9.]*)", "AlipayClient"),
+    br("Baidu App", "baiduboxapp/([0-9][0-9.]*)", "baiduboxapp"),
+    br("Weibo", "", "Weibo", "__weibo__"),
+    br("Viber", "Viber/([0-9][0-9.]*)", "Viber"),
+    br("Telegram", "Telegram-Android/([0-9][0-9.]*)", "Telegram-Android/"),
+    br("Google Search App", "GSA/([0-9][0-9.]*)", "GSA/"),
+    br("DuckDuckGo", "DuckDuckGo/([0-9][0-9.]*)", "DuckDuckGo/"),
+    // ---- Edge, then the Opera family
+    br("Edge", "(?:Edg|EdgA|EdgiOS|Edge)/([0-9][0-9.]*)", "Edg/", "EdgA/", "EdgiOS/", "Edge/"),
+    br("Opera Mini", "Opera Mini/([0-9][0-9.]*)", "Opera Mini/"),
+    br("Opera Touch", "OPT/([0-9][0-9.]*)", "OPT/"),
+    br("Opera Coast", "Coast/([0-9][0-9.]*)", "Coast/"),
+    br("Opera", "(?:OPR/|Opera[ /])([0-9][0-9.]*)", "OPR/", "Opera"),
+    // ---- gecko forks and shells: their UAs carry Firefox/ too
+    br("Pale Moon", "PaleMoon/([0-9][0-9.]*)", "PaleMoon/"),
+    br("Waterfox", "Waterfox/([0-9][0-9.]*)", "Waterfox"),
+    br("Basilisk", "Basilisk/([0-9][0-9.]*)", "Basilisk/"),
+    br("SeaMonkey", "SeaMonkey/([0-9][0-9.]*)", "SeaMonkey/"),
+    br("IceCat", "IceCat/([0-9][0-9.]*)", "IceCat/"),
+    br("Iceweasel", "Iceweasel/([0-9][0-9.]*)", "Iceweasel"),
+    br("K-Meleon", "K-Meleon/([0-9][0-9.]*)", "K-Meleon/"),
+    br("Cyberfox", "Cyberfox/([0-9][0-9.]*)", "Cyberfox/"),
+    br("TenFourFox", "", "TenFourFox/"),
+    br("IceDragon", "IceDragon/([0-9][0-9.]*)", "IceDragon/"),
+    br("Camino", "Camino/([0-9][0-9.]*)", "Camino/"),
+    br("Flock", "Flock/([0-9][0-9.]*)", "Flock/"),
+    br("Thunderbird", "Thunderbird/([0-9][0-9.]*)", "Thunderbird/"),
+    br("Sailfish Browser", "SailfishBrowser/([0-9][0-9.]*)", "SailfishBrowser/"),
+    br("Firefox Focus", "Focus/([0-9][0-9.]*)", "Focus/"),
+    br("Firefox Klar", "Klar/([0-9][0-9.]*)", "Klar/"),
+    br("Firefox Mobile", "Fennec/([0-9][0-9.]*)", "Fennec/"),
+    br("Firefox", "(?:FxiOS|Firefox)/([0-9][0-9.]*)", "FxiOS/", "Firefox/"),
+    // ---- chromium shells: before the Chrome token their UAs all carry.
+    // OculusBrowser first: its UA also embeds SamsungBrowser/.
+    br("Oculus Browser", "OculusBrowser/([0-9][0-9.]*)", "OculusBrowser/"),
+    br("Samsung Internet", "SamsungBrowser/([0-9][0-9.]*)", "SamsungBrowser/"),
+    br("UC Browser", "UCBrowser/([0-9][0-9.]*)", "UCBrowser/"),
+    br("Yandex Browser", "YaBrowser/([0-9][0-9.]*)", "YaBrowser/"),
+    br("Vivaldi", "Vivaldi/([0-9][0-9.]*)", "Vivaldi/"),
+    br("Whale", "Whale/([0-9][0-9.]*)", "Whale/"),
+    br("QQ Browser", "QQBrowser/([0-9][0-9.]*)", "QQBrowser/"),
+    br("Huawei Browser", "HuaweiBrowser/([0-9][0-9.]*)", "HuaweiBrowser/"),
+    br("Miui Browser", "MiuiBrowser/([0-9][0-9.]*)", "MiuiBrowser/"),
+    br("Brave", "Brave/([0-9][0-9.]*)", "Brave/"),
+    br("Maxthon", "(?:MxBrowser|Maxthon)[/ ]([0-9][0-9.]*)", "Maxthon", "MxBrowser/"),
+    br("Sleipnir", "Sleipnir/([0-9][0-9.]*)", "Sleipnir/"),
+    br("Iron", "Iron/([0-9][0-9.]*)", "Iron/"),
+    br("Epic", "Epic/([0-9][0-9.]*)", "Epic/"),
+    br("Comodo Dragon", "Dragon/([0-9][0-9.]*)", "Dragon/"),
+    br("Avast Secure Browser", "(?:ASW|Avast)/([0-9][0-9.]*)", "ASW/", "Avast/"),
+    br("AVG Secure Browser", "AVG/([0-9][0-9.]*)", "AVG/"),
+    br("CCleaner Browser", "CCleaner/([0-9][0-9.]*)", "CCleaner/"),
+    br("Slimjet", "Slimjet/([0-9][0-9.]*)", "Slimjet/"),
+    br("Falkon", "Falkon/([0-9][0-9.]*)", "Falkon/"),
+    br("QupZilla", "QupZilla/([0-9][0-9.]*)", "QupZilla/"),
+    br("Otter", "Otter/([0-9][0-9.]*)", "Otter/"),
+    br("Coc Coc", "coc_coc_browser/([0-9][0-9.]*)", "coc_coc_browser/"),
+    br("Sogou Explorer", "MetaSr ([0-9][0-9.]*)", "MetaSr"),
+    br("360 Browser", "", "360SE", "360EE"),
+    br("2345 Explorer", "2345Explorer/([0-9][0-9.]*)", "2345Explorer"),
+    br("LieBao", "", "LBBROWSER"),
+    br("Quark", "Quark/([0-9][0-9.]*)", "Quark/"),
+    br("Vivo Browser", "VivoBrowser/([0-9][0-9.]*)", "VivoBrowser/"),
+    br("Oppo Browser", "(?:HeyTapBrowser|OppoBrowser)/([0-9][0-9.]*)", "HeyTapBrowser/", "OppoBrowser/"),
+    br("Amazon Silk", "Silk/([0-9][0-9.]*)", "Silk/"),
+    br("Puffin", "Puffin/([0-9][0-9.]*)", "Puffin/"),
+    br("Mercury", "Mercury/([0-9][0-9.]*)", "Mercury/"),
+    br("Aloha Browser", "AlohaBrowser/([0-9][0-9.]*)", "AlohaBrowser/"),
+    br("Ecosia", "Ecosia [a-z]+@([0-9][0-9.]*)", "Ecosia"),
+    br("Nintendo Browser", "NintendoBrowser/([0-9][0-9.]*)", "NintendoBrowser/"),
+    br("Lunascape", "i?Lunascape[/ ]([0-9][0-9.]*)", "Lunascape"),
+    br("Amigo", "Amigo/([0-9][0-9.]*)", "Amigo/"),
+    br("Atom", "Atom/([0-9][0-9.]*)", "Atom/"),
+    br("Torch", "Torch/([0-9][0-9.]*)", "Torch/"),
+    br("RockMelt", "RockMelt/([0-9][0-9.]*)", "RockMelt/"),
+    br("Arora", "Arora/([0-9][0-9.]*)", "Arora/"),
+    br("Chromium", "Chromium/([0-9][0-9.]*)", "Chromium/"),
+    br("Chrome", "(?:CriOS|Chrome)/([0-9][0-9.]*)", "CriOS/", "Chrome/"),
+    // ---- KHTML / small engines / legacy phones / text mode: before Safari
+    br("Konqueror", "[Kk]onqueror/([0-9][0-9.]*)", "Konqueror/", "konqueror/"),
+    br("Epiphany", "Epiphany/([0-9][0-9.]*)", "Epiphany/"),
+    br("Midori", "Midori/([0-9][0-9.]*)", "Midori/"),
+    br("NetSurf", "NetSurf/([0-9][0-9.]*)", "NetSurf/"),
+    br("OmniWeb", "OmniWeb/v?([0-9][0-9.]*)", "OmniWeb"),
+    br("iCab", "iCab[/ ]([0-9][0-9.]*)", "iCab"),
+    br("Dolfin", "Dolfin/([0-9][0-9.]*)", "Dolfin/"),
+    br("NetFront", "NetFront/([0-9][0-9.]*)", "NetFront/"),
+    br("Obigo", "", "Obigo"),
+    br("UP.Browser", "UP\\.Browser/([0-9][0-9.]*)", "UP.Browser/"),
+    br("Nokia Browser", "(?:NokiaBrowser|OviBrowser|S40OviBrowser)/([0-9][0-9.]*)",
+      "NokiaBrowser/", "OviBrowser/", "S40OviBrowser/"),
+    br("BlackBerry", "(?:Version|BlackBerry[0-9]+)/([0-9][0-9.]*)", "BlackBerry", "BB10"),
+    br("Netscape", "(?:Netscape6?|Navigator)/([0-9][0-9.]*)", "Netscape", "Navigator/"),
+    br("Lynx", "Lynx/([0-9][0-9.]*)", "Lynx/"),
+    br("ELinks", "ELinks/([0-9][0-9.]*)", "ELinks/"),
+    br("Links", "Links \\(([0-9][0-9.]*)", "Links ("),
+    br("w3m", "w3m/([0-9][0-9.]*)", "w3m/"),
+    br("Dillo", "Dillo/([0-9][0-9.]*)", "Dillo/"),
+    // ---- Safari and IE close the cascade
+    br("Safari", "Version/([0-9][0-9.]*)", "Safari/"),
+    br("IE Mobile", "IEMobile[/ ]([0-9][0-9.]*)", "IEMobile"),
+    br("Internet Explorer", "(?:MSIE |rv:)([0-9][0-9.]*)", "MSIE", "Trident/")
   )
 
   /** OS rule: same shape; "" verRegex = no version; `underscoreToDot`
-    * converts Apple's 10_15_7 forms. */
+    * converts Apple's 10_15_7 forms. First-match-wins order encodes the
+    * real containment chains: Windows Phone UAs may carry Android tokens,
+    * HarmonyOS carries Android, KaiOS carries Android, Android carries
+    * Linux, Ubuntu/Fedora/Sailfish/Maemo/BSDs carry Linux or X11. */
   final case class OsRule(
     tokens: Seq[String],
     family: String,
     verRegex: String,
     underscoreToDot: Boolean = false)
 
+  private def os(family: String, verRegex: String, tokens: String*) =
+    OsRule(tokens, family, verRegex)
+
   val OsRules: Seq[OsRule] = Seq(
-    OsRule(Seq("Windows Phone"), "Windows Phone", "Windows Phone (?:OS )?([0-9.]+)"),
-    OsRule(Seq("Windows NT"), "Windows", "Windows NT ([0-9.]+)"),
-    OsRule(Seq("Android"), "Android", "Android ([0-9.]+)"),
+    os("Windows Phone", "Windows Phone (?:OS )?([0-9.]+)", "Windows Phone"),
+    os("Windows CE", "", "Windows CE"),
+    os("Windows ME", "", "Win 9x 4.90"),
+    os("Windows 98", "", "Windows 98", "Win98"),
+    os("Windows 95", "", "Windows 95", "Win95"),
+    os("Windows", "Windows NT ([0-9.]+)", "Windows NT"),
+    os("HarmonyOS", "", "HarmonyOS"),
+    os("KaiOS", "KAIOS/([0-9.]+)", "KAIOS/"),
+    os("Android", "Android ([0-9.]+)", "Android"),
     OsRule(Seq("iPhone OS"), "iOS", "iPhone OS ([0-9_]+)", underscoreToDot = true),
     OsRule(Seq("iPad"), "iOS", "CPU OS ([0-9_]+)", underscoreToDot = true),
-    OsRule(Seq("iPhone", "iOS"), "iOS", ""),
-    OsRule(Seq("CrOS"), "ChromeOS", "CrOS [a-zA-Z0-9_]+ ([0-9.]+)"),
+    os("iOS", "", "iPhone", "iOS"),
+    os("ChromeOS", "CrOS [a-zA-Z0-9_]+ ([0-9.]+)", "CrOS"),
+    // tvOS before macOS: Apple TV UAs carry "like Mac OS X" too
+    os("tvOS", "", "AppleTV", "Apple TV", "tvOS"),
     OsRule(Seq("Mac OS X"), "macOS", "Mac OS X ([0-9_.]+)", underscoreToDot = true),
-    OsRule(Seq("Tizen"), "Tizen", "Tizen ([0-9.]+)"),
-    OsRule(Seq("Web0S", "webOS"), "webOS", ""),
-    OsRule(Seq("AppleTV", "Apple TV"), "tvOS", ""),
-    OsRule(Seq("KAIOS/"), "KaiOS", "KAIOS/([0-9.]+)"),
-    OsRule(Seq("Roku/"), "Roku OS", "Roku/DVP-([0-9.]+)"),
-    OsRule(Seq("PlayStation"), "PlayStation", "PlayStation [0-9] ([0-9.]+)"),
-    OsRule(Seq("Nintendo"), "Nintendo", ""),
-    OsRule(Seq("Linux", "X11;"), "Linux", "")
+    os("Tizen", "Tizen ([0-9.]+)", "Tizen"),
+    os("webOS", "(?:webOS|hpwOS)/([0-9.]+)", "Web0S", "webOS", "hpwOS"),
+    os("Roku OS", "Roku/DVP-([0-9.]+)", "Roku/"),
+    os("PlayStation", "PlayStation [0-9] ([0-9.]+)", "PlayStation", "PLAYSTATION"),
+    os("Nintendo", "", "Nintendo"),
+    os("BlackBerry Tablet OS", "RIM Tablet OS ([0-9.]+)", "RIM Tablet OS"),
+    os("BlackBerry OS", "Version/([0-9.]+)", "BB10", "BlackBerry"),
+    os("Nokia Series 40", "", "Series40"),
+    os("Symbian", "SymbianOS/([0-9.]+)", "SymbianOS", "Symbian", "Series60"),
+    os("Bada", "[Bb]ada/([0-9.]+)", "Bada/", "bada/"),
+    os("MeeGo", "", "MeeGo"),
+    os("Maemo", "", "Maemo"),
+    os("Sailfish", "Sailfish ([0-9.]+)", "Sailfish"),
+    os("Ubuntu", "Ubuntu[/ ]([0-9.]+)", "Ubuntu"),
+    os("Fedora", "", "Fedora"),
+    os("FreeBSD", "", "FreeBSD"),
+    os("OpenBSD", "", "OpenBSD"),
+    os("NetBSD", "", "NetBSD"),
+    os("DragonFly BSD", "", "DragonFly"),
+    os("Solaris", "", "SunOS"),
+    os("Fuchsia", "", "Fuchsia"),
+    os("QNX", "", "QNX"),
+    os("Linux", "", "Linux", "X11;")
   )
 
   /** NT version → marketing name (reference UserAgentUtils granularity). */
   val WindowsVersions: Seq[(String, String)] = Seq(
     "10.0" -> "Windows 10", "6.3" -> "Windows 8.1", "6.2" -> "Windows 8",
-    "6.1" -> "Windows 7", "6.0" -> "Windows Vista", "5.1" -> "Windows XP")
+    "6.1" -> "Windows 7", "6.0" -> "Windows Vista", "5.2" -> "Windows XP",
+    "5.1" -> "Windows XP", "5.0" -> "Windows 2000")
 
-  /** Lowercased bot / HTTP-client tokens (reference
-    * `registry/IabEnrichment.scala` spider detection + the obvious SDK
-    * clients a training-data pipeline must drop). Substring "bot" already
-    * catches Googlebot, bingbot, GPTBot, PetalBot, Discordbot, …. */
+  /** Lowercased bot / crawler / HTTP-client / monitoring / scanner tokens
+    * (reference `registry/IabEnrichment.scala` spider detection + the SDK
+    * clients, AI crawlers, uptime monitors and security scanners a
+    * training-data pipeline must drop). Substring "bot" already catches
+    * Googlebot, bingbot, GPTBot, ClaudeBot, PetalBot, Discordbot, …;
+    * "spider" catches Baiduspider and Bytespider; "crawler" the generic
+    * long tail. */
   val BotTokens: Seq[String] = Seq(
     "bot", "crawler", "spider", "slurp", "archiver", "wget", "curl",
     "python-requests", "okhttp", "go-http-client", "java/", "httpclient",
     "phantomjs", "headlesschrome", "facebookexternalhit", "bingpreview",
-    "scrapy", "axios/", "whatsapp/", "dalvik/")
+    "scrapy", "axios/", "whatsapp/", "dalvik/",
+    // search/ads fetchers without a "bot" substring
+    "mediapartners", "inspectiontool", "feedfetcher", "meta-external",
+    // AI crawlers without a "bot" substring
+    "chatgpt-user", "anthropic-ai", "cohere-ai",
+    // SDK / scripting HTTP clients
+    "python-urllib", "aiohttp", "httpx", "libwww-perl", "node-fetch",
+    "postmanruntime", "insomnia", "jsdom", "playwright", "cfnetwork",
+    // uptime / performance monitors
+    "statuscake", "datadog", "newrelic", "gtmetrix", "lighthouse", "feedly",
+    // network scanners
+    "zgrab", "masscan", "censys", "expanse", "internetmeasurement",
+    "w3c_validator")
 
   /** Regex bodies shared verbatim by the Column and SQL cascades (RE2-safe,
     * applied to the lowercased / raw UA respectively). */
-  val BotRegex: String = BotTokens.mkString("|")
-  val ConsoleRegex: String = "PlayStation|Nintendo|Xbox"
+  val BotRegex: String = BotTokens.mkString("|") // every token is a regex-safe literal
+  val ConsoleRegex: String = "PlayStation|PLAYSTATION|Nintendo|Xbox"
   val TvRegex: String =
-    "SMART-TV|SmartTV|Smart TV|AppleTV|Apple TV|CrKey|Roku|AFT[A-Z]|BRAVIA|Tizen|Web0S|webOS|HbbTV|GoogleTV"
+    "SMART-TV|SmartTV|Smart TV|AppleTV|Apple TV|CrKey|Roku|AFT[A-Z]|BRAVIA|Tizen|" +
+      "Web0S|webOS|HbbTV|GoogleTV|VIDAA|NetCast|Viera|SHIELD Android TV|MIBOX|MiBox"
 
-  /** Known tablet device models that carry the "Mobile" token anyway —
-    * the cases only a device db catches (YAUAA's DeviceClass vectors:
-    * Galaxy Tab GT-P…, Samsung SM-T…, Nexus 7/9/10, Kindle/Silk). */
-  val TabletModels: String = "GT-P[0-9]|SM-T[0-9]|Nexus (7|9|10)|Kindle|Silk/"
+  /** Tablet signals that carry the "Mobile" token anyway — device-db cases
+    * (YAUAA DeviceClass vectors: Galaxy Tab GT-P…/SM-T…/SM-X…, Nexus
+    * 7/9/10, Kindle/Silk, Huawei MediaPad, Xiaomi MI PAD, Lenovo TB,
+    * BlackBerry PlayBook) plus Firefox's explicit "Tablet;" token. */
+  val TabletModels: String =
+    "GT-P[0-9]|SM-T[0-9]|SM-X[0-9]|Nexus (7|9|10)|Kindle|Silk/|Lenovo TB|" +
+      "MediaPad|MI PAD|PlayBook|RIM Tablet|Tablet;"
+
+  /** Phone signals for UAs without the plain "Mobile" token: legacy
+    * BlackBerry, Windows Mobile IE, Symbian/Series60, J2ME feature phones,
+    * Opera Mobi, WAP-era browsers. Shared by the Column twin, the fused
+    * kernel and the SQL emitter. */
+  val PhoneTokens: Seq[String] = Seq(
+    "iPhone", "Mobile", "Windows Phone", "BlackBerry", "IEMobile", "Symbian",
+    "Series60", "Series40", "Opera Mobi", "MIDP", "UP.Browser")
 
   // ---- Column cascades ---------------------------------------------------
 
@@ -122,7 +277,8 @@ object UaF {
     * cascade shares the family cascade's rule order. */
   def browserVersion(ua: Column): Column =
     BrowserRules.foldLeft(when(lit(false), lit(""))) { case (acc, r) =>
-      acc.when(hasAny(ua, r.tokens), nullif(regexp_extract(ua, r.verRegex, 1), lit("")))
+      if (r.verRegex.isEmpty) acc.when(hasAny(ua, r.tokens), lit(null))
+      else acc.when(hasAny(ua, r.tokens), nullif(regexp_extract(ua, r.verRegex, 1), lit("")))
     }.otherwise(lit(null))
 
   def osFamily(ua: Column): Column =
@@ -173,18 +329,20 @@ object UaF {
       .when(ua.contains("Opera Mini/"), lit("Phone"))
       .when(ua.contains("iPad") || ua.rlike(TabletModels), lit("Tablet"))
       .when(ua.contains("Android") && !ua.contains("Mobile"), lit("Tablet"))
-      .when(ua.contains("iPhone") || ua.contains("Mobile") || ua.contains("Windows Phone"),
-        lit("Phone"))
+      .when(hasAny(ua, PhoneTokens), lit("Phone"))
       .otherwise(lit("Desktop"))
 
   // ---- fused imperative kernel (called from DeviceClassExpression) -------
 
   /** Literal TV tokens (everything in [[TvRegex]] except AFT[A-Z]). */
   private val TvTokens = Array("SMART-TV", "SmartTV", "Smart TV", "AppleTV", "Apple TV",
-    "CrKey", "Roku", "BRAVIA", "Tizen", "Web0S", "webOS", "HbbTV", "GoogleTV")
+    "CrKey", "Roku", "BRAVIA", "Tizen", "Web0S", "webOS", "HbbTV", "GoogleTV",
+    "VIDAA", "NetCast", "Viera", "SHIELD Android TV", "MIBOX", "MiBox")
   private val AftPattern = java.util.regex.Pattern.compile("AFT[A-Z]")
   private val TabletPattern = java.util.regex.Pattern.compile(TabletModels)
   private val BotTokArr = BotTokens.toArray
+  private val ConsoleTokens = Array("PlayStation", "PLAYSTATION", "Nintendo", "Xbox")
+  private val PhoneTokArr = PhoneTokens.toArray
 
   /** True iff lower(ua) contains any bot token — byte-identical to
     * `lower(ua) rlike BotRegex` (every token is a literal). */
@@ -208,19 +366,17 @@ object UaF {
   }
 
   /** Per-row twin of [[deviceClassColumns]]: identical cascade, indexOf
-    * token scans instead of four regex alternations (only AFT-models and
-    * the tablet-model table stay regexes — they have real patterns). */
+    * token scans instead of regex alternations (only AFT-models and the
+    * tablet-model table stay regexes — they have real patterns). */
   def deviceClassString(ua: String): String = {
     if (ua == null) return null
     if (isBotString(ua)) "Robot"
-    else if (ua.contains("PlayStation") || ua.contains("Nintendo") || ua.contains("Xbox"))
-      "Game Console"
+    else if (containsAny(ua, ConsoleTokens)) "Game Console"
     else if (containsAny(ua, TvTokens) || AftPattern.matcher(ua).find()) "TV"
     else if (ua.contains("Opera Mini/")) "Phone"
     else if (ua.contains("iPad") || TabletPattern.matcher(ua).find()) "Tablet"
     else if (ua.contains("Android") && !ua.contains("Mobile")) "Tablet"
-    else if (ua.contains("iPhone") || ua.contains("Mobile") || ua.contains("Windows Phone"))
-      "Phone"
+    else if (containsAny(ua, PhoneTokArr)) "Phone"
     else "Desktop"
   }
 
@@ -236,6 +392,8 @@ object UaF {
 
   def isBotSql(ua: String): String = s"regexp_matches(lower($ua), '$BotRegex')"
 
+  // the regex passes through VERBATIM: DuckDB single-quoted strings keep
+  // backslashes literal, so `Links \(` reads identically on both engines
   private def verSql(ua: String, re: String): String =
     s"nullif(regexp_extract($ua, '$re', 1), '')"
 
@@ -246,8 +404,10 @@ object UaF {
 
   def brVersionSql(ua: String): String =
     "CASE " +
-      BrowserRules.map(r => s"WHEN ${hasAnySql(ua, r.tokens)} THEN ${verSql(ua, r.verRegex)}")
-        .mkString(" ") + " END"
+      BrowserRules.map { r =>
+        val v = if (r.verRegex.isEmpty) "NULL" else verSql(ua, r.verRegex)
+        s"WHEN ${hasAnySql(ua, r.tokens)} THEN $v"
+      }.mkString(" ") + " END"
 
   def osFamilySql(ua: String): String =
     "CASE " +
@@ -280,6 +440,6 @@ object UaF {
        |  WHEN ${hasSql(ua, "Opera Mini/")} THEN 'Phone'
        |  WHEN ${hasSql(ua, "iPad")} OR regexp_matches($ua, '$TabletModels') THEN 'Tablet'
        |  WHEN ${hasSql(ua, "Android")} AND position('Mobile' IN $ua) = 0 THEN 'Tablet'
-       |  WHEN ${hasSql(ua, "iPhone")} OR position('Mobile' IN $ua) > 0 OR ${hasSql(ua, "Windows Phone")} THEN 'Phone'
+       |  WHEN ${hasAnySql(ua, PhoneTokens)} THEN 'Phone'
        |  ELSE 'Desktop' END""".stripMargin
 }

@@ -136,7 +136,7 @@ object Synth {
     "Dalvik/2.1.0 (Linux; U; Android 13; SM-A135F Build/TP1A.220624.014)",
     "Mozilla/5.0",
     ""
-  )
+  ) ++ graft.functions.UaUniverse.Extra // ≥500-string universe; append-only
 
   val PageHosts: Seq[String] =
     Seq("shop.example.com", "www.example.org", "blog.example.net:8080", "internal.example.com")

@@ -270,8 +270,9 @@ class ReferenceVectorsSpec extends SparkSpec {
         "Safari", "13.0", "PlayStation", "Game Console"),
       ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; Xbox; Xbox One) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/70.0.3538.102 Safari/537.36 Edge/18.19041",
         "Edge", "18.19041", "Windows", "Game Console"),
+      // uap-core granularity: IEMobile outranks the MSIE token on WP UAs
       ("Mozilla/5.0 (compatible; MSIE 10.0; Windows Phone 8.0; Trident/6.0; IEMobile/10.0; ARM; Touch; NOKIA; Lumia 920)",
-        "Internet Explorer", "10.0", "Windows Phone", "Phone"),
+        "IE Mobile", "10.0", "Windows Phone", "Phone"),
       ("Mozilla/5.0 (Mobile; Nokia_8110_4G; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5.1",
         "Firefox", "48.0", "KaiOS", "Phone"),
       ("Mozilla/5.0 (compatible; GPTBot/1.1; +https://openai.com/gptbot)",

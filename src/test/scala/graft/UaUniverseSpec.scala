@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{UaF, UaUniverse}
+import graft.queries.Synth
+
+/** The widened UA universe must exercise EVERY rule in the tables — a
+  * family that never appears in the classified output is dead (shadowed by
+  * an earlier rule or missing a sample), which is exactly the regression
+  * cascade reordering introduces silently. Plus precise vectors for the
+  * order-sensitive cases (gecko forks vs Firefox, shells vs Chrome,
+  * IEMobile vs MSIE, tvOS vs macOS, KaiOS vs Android).
+  */
+class UaUniverseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val classified = Synth.UAs.toDF("ua")
+    .select(
+      UaF.browserFamily(col("ua")).as("f"),
+      UaF.osFamily(col("ua")).as("o"),
+      UaF.deviceClass(col("ua")).as("d"))
+    .collect()
+
+  test("universe size and every browser family is exercised") {
+    assert(Synth.UAs.size >= 500, s"universe has ${Synth.UAs.size} strings")
+    assert(Synth.UAs.distinct.size == Synth.UAs.size, "duplicate UA strings")
+    val seen = classified.map(_.getString(0)).toSet
+    val expected = UaF.BrowserRules.map(_.family).toSet
+    val dead = expected -- seen
+    assert(dead.isEmpty, s"browser families never classified (dead rules): $dead")
+    assert(seen.contains("Robot") && seen.contains("Unknown"))
+  }
+
+  test("every OS family is exercised") {
+    val seen = classified.map(_.getString(1)).toSet
+    val expected = UaF.OsRules.map(_.family).toSet
+    val dead = expected -- seen
+    assert(dead.isEmpty, s"OS families never classified (dead rules): $dead")
+  }
+
+  test("every device class is exercised") {
+    val seen = classified.map(_.getString(2)).toSet
+    assert(Set("Desktop", "Phone", "Tablet", "TV", "Game Console", "Robot").subsetOf(seen),
+      s"device classes seen: $seen")
+  }
+
+  test("order-sensitive vectors: forks before Firefox, shells before Chrome") {
+    def one(ua: String): (String, String, String, String) = {
+      val r = Seq(ua).toDF("ua").select(
+        UaF.browserFamily(col("ua")), UaF.browserVersion(col("ua")),
+        UaF.osFamily(col("ua")), UaF.deviceClass(col("ua"))).collect()(0)
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    // SeaMonkey carries Firefox/ — the fork must win
+    assert(one("Mozilla/5.0 (X11; Linux x86_64; rv:52.0) Gecko/20100101 Firefox/52.0 SeaMonkey/2.49.5") ==
+      (("SeaMonkey", "2.49.5", "Linux", "Desktop")))
+    // IceDragon carries both Firefox/ and the Dragon/ substring
+    assert(one("Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 Firefox/38.0 IceDragon/38.0.5")._1 == "IceDragon")
+    // Oculus carries SamsungBrowser/ too
+    assert(one("Mozilla/5.0 (X11; Linux x86_64; Quest 2) AppleWebKit/537.36 (KHTML, like Gecko) OculusBrowser/25.0.0.32.551 SamsungBrowser/4.0 Chrome/104.0.5112.111 VR Safari/537.36")._1 == "Oculus Browser")
+    // Silk device: Fire tablet, not phone, despite Chrome token
+    assert(one("Mozilla/5.0 (Linux; Android 9; KFMAWI) AppleWebKit/537.36 (KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.5615.213 Safari/537.36") ==
+      (("Amazon Silk", "112.5.1", "Android", "Tablet")))
+    // IEMobile outranks MSIE; Windows CE is its own family
+    assert(one("Mozilla/4.0 (compatible; MSIE 6.0; Windows CE; IEMobile 7.11)") ==
+      (("IE Mobile", "7.11", "Windows CE", "Phone")))
+    // KaiOS UAs may carry Android
+    assert(one("Mozilla/5.0 (Mobile; LYF/F90M/LYF-F90M-000-02-28-130319; Android; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5")._3 == "KaiOS")
+    // HarmonyOS outranks the Android token it embeds
+    assert(one("Mozilla/5.0 (Linux; Android 12; HarmonyOS; NOH-AN00 Build/HUAWEINOH-AN00) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.88 HuaweiBrowser/14.0.2.311 Mobile Safari/537.36") ==
+      (("Huawei Browser", "14.0.2.311", "HarmonyOS", "Phone")))
+    // Apple TV carries "like Mac OS X" — tvOS must win
+    assert(one("Mozilla/5.0 (AppleTV; U; CPU OS 14_2 like Mac OS X; en-us) AppleWebKit/605.1.15 (KHTML, like Gecko)")._3 == "tvOS")
+    // Firefox tablet token
+    assert(one("Mozilla/5.0 (Android 13; Tablet; rv:120.0) Gecko/120.0 Firefox/120.0")._4 == "Tablet")
+    // legacy feature phone: MIDP implies Phone, browser from the WAP stack
+    assert(one("SonyEricssonK750i/R1L Browser/NetFront/3.3 Profile/MIDP-2.0 Configuration/CLDC-1.1") ==
+      (("NetFront", "3.3", "Unknown", "Phone")))
+    // BlackBerry old and BB10 forms
+    assert(one("BlackBerry9700/5.0.0.862 Profile/MIDP-2.1 Configuration/CLDC-1.1 VendorID/167") ==
+      (("BlackBerry", "5.0.0.862", "BlackBerry OS", "Phone")))
+    assert(one("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.10+ (KHTML, like Gecko) Version/10.3.3.2205 Mobile Safari/537.10+") ==
+      (("BlackBerry", "10.3.3.2205", "BlackBerry OS", "Phone")))
+    // PlayBook: Tablet via RIM Tablet OS, browser falls through to Safari
+    assert(one("Mozilla/5.0 (PlayBook; U; RIM Tablet OS 2.1.0; en-US) AppleWebKit/536.2+ (KHTML like Gecko) Version/7.2.1.0 Safari/536.2+") ==
+      (("Safari", "7.2.1.0", "BlackBerry Tablet OS", "Tablet")))
+    // AI crawlers without a "bot" substring
+    assert(one("Mozilla/5.0 (compatible; ChatGPT-User/1.0; +https://openai.com/bot)")._1 == "Robot")
+    assert(one("app/1.2.3 CFNetwork/1485 Darwin/23.1.0")._1 == "Robot")
+    // monitoring/scanner clients
+    assert(one("Expanse, a Palo Alto Networks company, searches across the global IPv4 space multiple times per day")._1 == "Robot")
+    assert(one("PostmanRuntime/7.36.0")._1 == "Robot")
+  }
+
+  test("os versions parse across new families") {
+    def ver(ua: String): String = Seq(ua).toDF("ua")
+      .select(UaF.osVersion(col("ua"))).collect()(0).getString(0)
+    assert(ver("Mozilla/5.0 (compatible; MSIE 9.0; Windows Phone OS 7.5; Trident/5.0; IEMobile/9.0; NOKIA; Lumia 800)") == "7.5")
+    assert(ver("Mozilla/5.0 (PlayBook; U; RIM Tablet OS 2.1.0; en-US) AppleWebKit/536.2+ (KHTML like Gecko) Version/7.2.1.0 Safari/536.2+") == "2.1.0")
+    assert(ver("Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 NokiaN97-1/20.0.019; Profile/MIDP-2.1 Configuration/CLDC-1.1) AppleWebKit/525 (KHTML, like Gecko) BrowserNG/7.1.18124") == "9.4")
+    assert(ver("Mozilla/5.0 (SAMSUNG; SAMSUNG-GT-S8500/S8500XXJL2; U; Bada/1.0; fr-fr) AppleWebKit/533.1 (KHTML, like Gecko) Dolfin/2.0 Mobile WVGA SMM-MMS/1.2.0 OPN-B") == "1.0")
+    assert(ver("Mozilla/5.0 (Linux; U; Sailfish 3.4; Mobile; rv:60.0) Gecko/60.0 Firefox/60.0 SailfishBrowser/1.0") == "3.4")
+    assert(ver("Mozilla/5.0 (X11; U; Linux i686; en-US) AppleWebKit/534.7 (KHTML, like Gecko) Ubuntu/10.10 Chromium/8.0.552.237 Chrome/8.0.552.237 Safari/534.7") == "10.10")
+  }
+}
