@@ -77,6 +77,159 @@ SUPPLEMENT = [
     ("chatbot", "Claude", [], ["claude.ai"]),
     ("chatbot", "Perplexity", [], ["perplexity.ai", "www.perplexity.ai"]),
     ("chatbot", "DeepSeek", [], ["chat.deepseek.com"]),
+    # ---- round-6 expansion toward the full public referers.yml (public
+    # knowledge of snowplow/referer-parser; same schema). Country Googles and
+    # Yahoos extend the existing sources; the rest are new sources with their
+    # real search-term params.
+    ("search", "Google", [], [
+        "google.de", "google.fr", "google.co.uk", "google.it", "google.es",
+        "google.nl", "google.pl", "google.com.br", "google.co.jp", "google.co.in",
+        "google.ru", "google.ca", "google.com.au", "google.com.mx", "google.com.tr",
+        "google.co.kr", "google.com.hk", "google.com.sg", "google.be", "google.se",
+        "google.ch", "google.at", "google.dk", "google.no", "google.fi",
+        "google.ie", "google.pt", "google.cz", "google.gr", "google.hu",
+        "google.ro", "google.co.za", "google.com.ar", "google.cl", "google.com.co",
+        "google.com.pe", "google.com.eg", "google.co.th", "google.com.vn",
+        "google.co.id", "google.com.my", "google.com.ph", "google.com.sa",
+        "google.ae", "google.co.il"]),
+    ("search", "Google Images", ["q"], ["images.google.com", "images.google.de", "images.google.fr"]),
+    ("search", "Google News", ["q"], ["news.google.com"]),
+    ("search", "Google Maps", ["q"], ["maps.google.com", "www.google.com/maps"]),
+    ("search", "Google Scholar", ["q"], ["scholar.google.com"]),
+    ("search", "Yahoo!", [], [
+        "de.search.yahoo.com", "fr.search.yahoo.com", "es.search.yahoo.com",
+        "it.search.yahoo.com", "uk.search.yahoo.com", "br.search.yahoo.com",
+        "au.search.yahoo.com", "ca.search.yahoo.com", "in.search.yahoo.com",
+        "mx.search.yahoo.com", "sg.search.yahoo.com", "tw.search.yahoo.com",
+        "hk.search.yahoo.com"]),
+    ("search", "Yahoo! Japan", ["p"], ["search.yahoo.co.jp", "m.search.yahoo.co.jp"]),
+    ("search", "Ask", ["q"], ["ask.com", "www.ask.com", "search.ask.com", "de.ask.com", "fr.ask.com"]),
+    ("search", "AOL", ["q", "query"], ["search.aol.com", "search.aol.de", "search.aol.fr", "aolsearch.com"]),
+    ("search", "AltaVista", ["q"], ["altavista.com", "search.altavista.com"]),
+    ("search", "Babylon", ["q"], ["search.babylon.com", "isearch.babylon.com"]),
+    ("search", "Conduit", ["q"], ["search.conduit.com"]),
+    ("search", "Centrum", ["q"], ["search.centrum.cz", "morfeo.centrum.cz"]),
+    ("search", "Comcast", ["q"], ["search.comcast.net", "xfinity.comcast.net"]),
+    ("search", "Daum", ["q"], ["search.daum.net", "m.search.daum.net"]),
+    ("search", "Dogpile", ["q"], ["dogpile.com", "www.dogpile.com"]),
+    ("search", "Excite", ["q", "search"], ["search.excite.com", "www.excite.com", "msxml.excite.com"]),
+    ("search", "Eniro", ["search_word"], ["www.eniro.se", "eniro.se"]),
+    ("search", "Exalead", ["q"], ["www.exalead.com/search"]),
+    ("search", "Fireball", ["q"], ["www.fireball.de", "fireball.de"]),
+    ("search", "GMX", ["su", "q"], ["suche.gmx.net", "search.gmx.com"]),
+    ("search", "Goo", ["MT"], ["search.goo.ne.jp", "ocnsearch.goo.ne.jp"]),
+    ("search", "Gigablast", ["q"], ["www.gigablast.com", "gigablast.com"]),
+    ("search", "HotBot", ["q"], ["www.hotbot.com", "hotbot.com"]),
+    ("search", "ICQ", ["q"], ["search.icq.com", "www.icq.com/search"]),
+    ("search", "InfoSpace", ["q"], ["infospace.com", "search.infospace.com"]),
+    ("search", "Ixquick", ["query"], ["ixquick.com", "www.ixquick.com"]),
+    ("search", "Kvasir", ["q"], ["www.kvasir.no", "kvasir.no"]),
+    ("search", "Lycos", ["q", "query"], ["search.lycos.com", "www.lycos.com", "lycos.com"]),
+    ("search", "Mamma", ["q"], ["mamma.com", "www.mamma.com"]),
+    ("search", "MetaGer", ["eingabe", "q"], ["metager.de", "www.metager.de", "metager.org"]),
+    ("search", "MetaCrawler", ["q"], ["www.metacrawler.com", "metacrawler.com"]),
+    ("search", "Mojeek", ["q"], ["www.mojeek.com", "mojeek.com"]),
+    ("search", "MyWebSearch", ["searchfor", "searchFor"], ["mywebsearch.com", "search.mywebsearch.com"]),
+    ("search", "Najdi", ["q"], ["www.najdi.si", "najdi.si"]),
+    ("search", "Nate", ["q"], ["search.nate.com", "m.search.nate.com"]),
+    ("search", "Onet", ["qt", "q"], ["szukaj.onet.pl", "onet.pl"]),
+    ("search", "Rakuten", ["qt"], ["websearch.rakuten.co.jp"]),
+    ("search", "Rambler", ["query", "words"], ["nova.rambler.ru", "rambler.ru", "www.rambler.ru"]),
+    ("search", "Softonic", ["q"], ["search.softonic.com"]),
+    ("search", "Terra", ["query", "q"], ["buscador.terra.com.br", "buscador.terra.es"]),
+    ("search", "Teoma", ["q"], ["www.teoma.com", "teoma.com"]),
+    ("search", "Tiscali", ["q", "key"], ["search.tiscali.it", "www.tiscali.it"]),
+    ("search", "Virgilio", ["qs", "q"], ["ricerca.virgilio.it", "search.virgilio.it"]),
+    ("search", "Voila", ["rdata", "q"], ["search.voila.fr", "www.voila.fr"]),
+    ("search", "Walla", ["q"], ["search.walla.co.il", "www.walla.co.il"]),
+    ("search", "Web.de", ["su", "q"], ["suche.web.de", "m.suche.web.de"]),
+    ("search", "WebCrawler", ["q"], ["www.webcrawler.com", "webcrawler.com"]),
+    ("search", "Wirtualna Polska", ["szukaj", "q"], ["szukaj.wp.pl", "www.wp.pl"]),
+    ("search", "Yam", ["k"], ["search.yam.com"]),
+    ("search", "Youdao", ["q"], ["www.youdao.com", "youdao.com"]),
+    ("search", "Zapmeta", ["q", "query"], ["www.zapmeta.com", "zapmeta.com"]),
+    ("search", "SearX", ["q"], ["searx.me", "searx.be", "searx.info"]),
+    ("search", "Presearch", ["q"], ["presearch.com", "www.presearch.com"]),
+    ("search", "You.com", ["q"], ["you.com", "www.you.com"]),
+    ("search", "Swisscows", ["query"], ["swisscows.com", "www.swisscows.com"]),
+    ("search", "WolframAlpha", ["i"], ["www.wolframalpha.com", "wolframalpha.com"]),
+    ("search", "Wikipedia", ["search"], ["wikipedia.org", "en.wikipedia.org", "de.wikipedia.org", "www.wikipedia.org"]),
+    ("email", "Zoho Mail", [], ["mail.zoho.com"]),
+    ("email", "GMX Mail", [], ["mail.gmx.net", "mail.gmx.com"]),
+    ("email", "Web.de Mail", [], ["mail.web.de"]),
+    ("email", "Fastmail", [], ["www.fastmail.com", "app.fastmail.com"]),
+    ("email", "Tutanota", [], ["mail.tutanota.com", "app.tuta.com"]),
+    ("email", "iCloud Mail", [], ["mail.icloud.com"]),
+    ("email", "Libero Mail", [], ["mail.libero.it", "mail1.libero.it"]),
+    ("email", "Seznam Email", [], ["email.seznam.cz"]),
+    ("email", "Mail.com", [], ["mail.mail.com"]),
+    ("email", "Rediffmail", [], ["mail.rediff.com", "f4mail.rediff.com"]),
+    ("email", "QQ Mail", [], ["mail.qq.com", "wx.mail.qq.com"]),
+    ("email", "163 Mail", [], ["mail.163.com"]),
+    ("email", "126 Mail", [], ["mail.126.com"]),
+    ("email", "Naver Mail", [], ["mail.naver.com"]),
+    ("email", "Daum Mail", [], ["mail.daum.net"]),
+    ("social", "Quora", [], ["quora.com", "www.quora.com", "qr.ae"]),
+    ("social", "Tumblr", [], ["tumblr.com", "www.tumblr.com", "t.umblr.com"]),
+    ("social", "Twitch", [], ["twitch.tv", "www.twitch.tv", "m.twitch.tv"]),
+    ("social", "Discord", [], ["discord.com", "discordapp.com", "discord.gg"]),
+    ("social", "Slack", [], ["slack.com", "app.slack.com"]),
+    ("social", "GitHub", [], ["github.com", "gist.github.com"]),
+    ("social", "GitLab", [], ["gitlab.com", "about.gitlab.com"]),
+    ("social", "Stack Overflow", [], ["stackoverflow.com", "stackoverflow.blog"]),
+    ("social", "Stack Exchange", [], ["stackexchange.com", "superuser.com", "serverfault.com", "askubuntu.com"]),
+    ("social", "Dev.to", [], ["dev.to"]),
+    ("social", "Hashnode", [], ["hashnode.com", "hashnode.dev"]),
+    ("social", "Substack", [], ["substack.com", "open.substack.com"]),
+    ("social", "Flipboard", [], ["flipboard.com", "flip.it"]),
+    ("social", "Pocket", [], ["getpocket.com", "pocket.co"]),
+    ("social", "Digg", [], ["digg.com", "www.digg.com"]),
+    ("social", "Slashdot", [], ["slashdot.org", "it.slashdot.org"]),
+    ("social", "Lobsters", [], ["lobste.rs"]),
+    ("social", "Product Hunt", [], ["producthunt.com", "www.producthunt.com"]),
+    ("social", "Douyin", [], ["douyin.com", "www.douyin.com", "v.douyin.com"]),
+    ("social", "Kuaishou", [], ["kuaishou.com", "www.kuaishou.com", "v.kuaishou.com"]),
+    ("social", "Bilibili", [], ["bilibili.com", "www.bilibili.com", "b23.tv"]),
+    ("social", "Zhihu", [], ["zhihu.com", "www.zhihu.com", "zhuanlan.zhihu.com"]),
+    ("social", "Douban", [], ["douban.com", "www.douban.com"]),
+    ("social", "Xiaohongshu", [], ["xiaohongshu.com", "www.xiaohongshu.com", "xhslink.com"]),
+    ("social", "WeChat", [], ["weixin.qq.com", "mp.weixin.qq.com"]),
+    ("social", "Qzone", [], ["qzone.qq.com"]),
+    ("social", "Line", [], ["line.me", "lin.ee"]),
+    ("social", "KakaoTalk", [], ["kakao.com", "story.kakao.com"]),
+    ("social", "Naver Blog", [], ["blog.naver.com", "m.blog.naver.com"]),
+    ("social", "Naver Cafe", [], ["cafe.naver.com", "m.cafe.naver.com"]),
+    ("social", "Ameba", [], ["ameblo.jp", "ameba.jp"]),
+    ("social", "Mixi", [], ["mixi.jp"]),
+    ("social", "Odnoklassniki", [], ["ok.ru", "odnoklassniki.ru"]),
+    ("social", "Viber", [], ["viber.com", "invite.viber.com"]),
+    ("social", "Nextdoor", [], ["nextdoor.com", "nextdoor.co.uk"]),
+    ("social", "Rumble", [], ["rumble.com"]),
+    ("social", "BitChute", [], ["bitchute.com", "www.bitchute.com"]),
+    ("social", "Vimeo", [], ["vimeo.com", "player.vimeo.com"]),
+    ("social", "Dailymotion", [], ["dailymotion.com", "www.dailymotion.com", "dai.ly"]),
+    ("social", "Imgur", [], ["imgur.com", "i.imgur.com"]),
+    ("social", "DeviantArt", [], ["deviantart.com", "www.deviantart.com"]),
+    ("social", "Behance", [], ["behance.net", "www.behance.net"]),
+    ("social", "Dribbble", [], ["dribbble.com"]),
+    ("social", "Goodreads", [], ["goodreads.com", "www.goodreads.com"]),
+    ("social", "Letterboxd", [], ["letterboxd.com", "boxd.it"]),
+    ("social", "Strava", [], ["strava.com", "www.strava.com"]),
+    ("social", "Meetup", [], ["meetup.com", "www.meetup.com"]),
+    ("social", "Eventbrite", [], ["eventbrite.com", "www.eventbrite.com"]),
+    ("social", "Patreon", [], ["patreon.com", "www.patreon.com"]),
+    ("social", "Ko-fi", [], ["ko-fi.com"]),
+    ("social", "Linktree", [], ["linktr.ee"]),
+    ("social", "XING", [], ["xing.com", "www.xing.com"]),
+    ("social", "Glassdoor", [], ["glassdoor.com", "www.glassdoor.com"]),
+    ("chatbot", "Gemini", [], ["gemini.google.com", "bard.google.com"]),
+    ("chatbot", "Poe", [], ["poe.com"]),
+    ("chatbot", "Mistral", [], ["chat.mistral.ai"]),
+    ("paid", "Google Ads", [], ["googleadservices.com", "www.googleadservices.com", "googlesyndication.com"]),
+    ("paid", "DoubleClick", [], ["doubleclick.net", "ad.doubleclick.net"]),
+    ("paid", "Outbrain", [], ["outbrain.com", "paid.outbrain.com"]),
+    ("paid", "Taboola", [], ["taboola.com", "trc.taboola.com"]),
+    ("paid", "Criteo", [], ["criteo.com", "cas.criteo.com"]),
 ]
 
 # search-term values for SynthUrls (restricted escape alphabet, see above)
