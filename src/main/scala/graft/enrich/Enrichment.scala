@@ -443,8 +443,16 @@ final case class EnrichmentPipeline(enrichments: Seq[Enrichment]) {
 
 /** One field predicate inside a registered schema: a dot path into the
   * self-describing `data` payload plus JSON-Schema-style constraints
-  * (required / type / enum / pattern / integer bounds). Patterns are
-  * full-match and must stay RE2-safe so the DuckDB oracle can share them. */
+  * (required / type / enum / pattern / integer bounds / array items).
+  * Patterns are full-match and must stay RE2-safe so the DuckDB oracle can
+  * share them.
+  *
+  * `itemsType` ("bigint" | "double" | "boolean") validates ARRAY elements
+  * (JSON-Schema `items.type`) via a bounded literal-index probe — the same
+  * no-explode design ContextsValidate uses, so the check stays a codegen'd
+  * projection; elements past `itemsProbe` flag `items_overflow` rather than
+  * silently passing. `maxItems` bounds the array length (`length_violation`).
+  */
 final case class FieldSpec(
   path: String,
   required: Boolean = false,
@@ -452,30 +460,38 @@ final case class FieldSpec(
   enumVals: Seq[String] = Nil,
   pattern: String = null,
   min: Option[Long] = None,
-  max: Option[Long] = None)
+  max: Option[Long] = None,
+  itemsType: String = null, // bigint | double | boolean — element type of a JSON array
+  itemsProbe: Int = 8,
+  maxItems: Option[Int] = None)
 
 /** Iglu-style schema validation of a self-describing JSON column (reference
   * `utils/IgluUtils.scala:42`): the event's schema URI must be registered
   * and every [[FieldSpec]] predicate must hold — failures flow to the
   * bad-row channel with the reference's typed taxonomy (schema_unknown /
   * missing_field / type_violation / enum_violation / pattern_violation /
-  * range_violation), they never kill the job. Nested fields use dot paths
-  * ("meta.src").
+  * range_violation / items_violation / length_violation / unknown_key),
+  * they never kill the job. Nested fields use dot paths ("meta.src").
   *
   * @param specs registered schemas: URI → field predicates (flag order =
-  *              spec order, then missing/type/enum/pattern/range per field)
+  *              spec order, then missing/type/enum/pattern/range/items per
+  *              field)
+  * @param closedSchemas schemas with `additionalProperties: false`: any
+  *              TOP-LEVEL key of `data` not declared as (the first segment
+  *              of) a spec path flags `unknown_key`
   */
 final case class SchemaValidate(
   jsonCol: String,
   schemaCol: String,
-  specs: Map[String, Seq[FieldSpec]]
+  specs: Map[String, Seq[FieldSpec]],
+  closedSchemas: Set[String] = Set.empty
 ) extends Enrichment {
   val name = "schema_validate"
   def apply(df: DataFrame): DataFrame = {
     val known = specs.keys.toSeq
     val d1 = flagBad(df,
       col(schemaCol).isNotNull && !col(schemaCol).isin(known: _*), "schema_unknown")
-    specs.foldLeft(d1) { case (acc, (uri, fields)) =>
+    val fieldsChecked = specs.foldLeft(d1) { case (acc, (uri, fields)) =>
       val inSchema = col(schemaCol) === uri
       fields.foldLeft(acc) { (a0, f) =>
         val raw = get_json_object(col(jsonCol), s"$$.${f.path}")
@@ -507,8 +523,34 @@ final case class SchemaValidate(
             f.max.map(m => c > m)).flatten.reduce(_ || _)
           a = flagBad(a, inSchema && c.isNotNull && oob, s"range_violation ${f.path}")
         }
+        if (f.itemsType != null) {
+          // bounded literal-index probe (no explode): element i is bad when
+          // present but not castable to the items type
+          val itemT = f.itemsType.toUpperCase
+          val anyBad = (0 until f.itemsProbe).map { i =>
+            val el = get_json_object(col(jsonCol), s"$$.${f.path}[$i]")
+            val elCast = expr(s"try_cast(get_json_object($jsonCol, '$$.${f.path}[$i]') AS $itemT)")
+            el.isNotNull && elCast.isNull
+          }.reduce(_ || _)
+          a = flagBad(a, inSchema && raw.isNotNull && anyBad, s"items_violation ${f.path}")
+          a = flagBad(a,
+            inSchema && get_json_object(col(jsonCol), s"$$.${f.path}[${f.itemsProbe}]").isNotNull,
+            s"items_overflow ${f.path}")
+        }
+        if (f.maxItems.isDefined) {
+          val n = expr(s"json_array_length(get_json_object($jsonCol, '$$.${f.path}'))")
+          a = flagBad(a, inSchema && raw.isNotNull && n > f.maxItems.get,
+            s"length_violation ${f.path}")
+        }
         a
       }
+    }
+    // additionalProperties: false — any undeclared TOP-LEVEL data key
+    closedSchemas.foldLeft(fieldsChecked) { (a, uri) =>
+      val declared = specs.getOrElse(uri, Nil).map(_.path.split('.').head).distinct
+      val unknown = expr(
+        s"exists(json_object_keys($jsonCol), k -> NOT k IN (${declared.map(d => s"'$d'").mkString(", ")}))")
+      flagBad(a, col(schemaCol) === uri && coalesce(unknown, lit(false)), "unknown_key")
     }
   }
 }

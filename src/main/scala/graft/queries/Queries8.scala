@@ -149,7 +149,9 @@ object Queries8 {
       // schema-unknown / schema-invalid, refined per JSON-Schema predicate):
       // e%11 == 0 missing required sku, 1 wrong-typed qty, 2 unknown schema,
       // 3 enum violation (status), 4 pattern violation (sku), 5 integer
-      // bound violation (qty), 6 nested required miss (meta.src)
+      // bound violation (qty), 6 nested required miss (meta.src), 7 array
+      // items violation (codes element not an integer — JSON-Schema
+      // items.type), 8 undeclared top-level key (additionalProperties:false)
       val schemaStr = when(e % 11 === 2, lit(UnknownSchema)).otherwise(lit(KnownSchema))
       val statusCycle = when(e % 3 === 0, lit("new")).when(e % 3 === 1, lit("paid")).otherwise(lit("refunded"))
       val dataJson =
@@ -159,16 +161,29 @@ object Queries8 {
           .when(e % 11 === 4, lit("{\"sku\":\"SKU-9\",\"qty\":2,\"status\":\"new\",\"meta\":{\"src\":\"web\"}}"))
           .when(e % 11 === 5, lit("{\"sku\":\"sku1\",\"qty\":9999,\"status\":\"new\",\"meta\":{\"src\":\"web\"}}"))
           .when(e % 11 === 6, lit("{\"sku\":\"sku1\",\"qty\":2,\"status\":\"new\",\"meta\":{}}"))
+          .when(e % 11 === 7, lit("{\"sku\":\"sku1\",\"qty\":2,\"status\":\"new\",\"meta\":{\"src\":\"web\"},\"codes\":[1,\"x\",3]}"))
+          .when(e % 11 === 8, lit("{\"sku\":\"sku1\",\"qty\":2,\"status\":\"new\",\"meta\":{\"src\":\"web\"},\"extra\":true}"))
           .otherwise(concat(
             lit("{\"sku\":\"sku"), s(e % 20), lit("\",\"qty\":"), s(e % 5),
-            lit(",\"status\":\""), statusCycle, lit("\",\"meta\":{\"src\":\"web\"}}")))
+            lit(",\"status\":\""), statusCycle, lit("\",\"meta\":{\"src\":\"web\"},\"codes\":["), s(e % 9), lit(",7]}")))
       val sku = get_json_object(col("data_json"), "$.sku")
       val qtyRaw = get_json_object(col("data_json"), "$.qty")
       val qty = expr("try_cast(get_json_object(data_json, '$.qty') AS BIGINT)")
       val status = get_json_object(col("data_json"), "$.status")
       val metaSrc = get_json_object(col("data_json"), "$.meta.src")
+      // array items: bounded literal-index probe, element present but not an
+      // integer (JSON-Schema items.type = integer on codes)
+      val codesPresent = get_json_object(col("data_json"), "$.codes").isNotNull
+      val codesBad = (0 until 4).map { i =>
+        get_json_object(col("data_json"), s"$$.codes[$i]").isNotNull &&
+          expr(s"try_cast(get_json_object(data_json, '$$.codes[$i]') AS BIGINT)").isNull
+      }.reduce(_ || _)
+      // additionalProperties: false on the cart schema
+      val unknownKey = expr(
+        "exists(json_object_keys(data_json), k -> NOT k IN ('sku','qty','status','meta','codes'))")
       // first-fail order = the SchemaValidate spec order: sku (missing,
-      // pattern), qty (type, range), status (enum), meta.src (missing)
+      // pattern), qty (type, range), status (enum), meta.src (missing),
+      // codes (items), then the closed-schema key sweep
       val badPairs: Seq[(Column, String, String)] = Seq(
         (col("schema_str") =!= KnownSchema, "schema_unknown", null),
         (sku.isNull, "missing_field", "sku"),
@@ -176,7 +191,9 @@ object Queries8 {
         (qty.isNull && qtyRaw.isNotNull, "type_violation", "qty"),
         (qty < 0 || qty > 100, "range_violation", "qty"),
         (status.isNotNull && !status.isin("new", "paid", "refunded"), "enum_violation", "status"),
-        (metaSrc.isNull, "missing_field", "meta.src"))
+        (metaSrc.isNull, "missing_field", "meta.src"),
+        (codesPresent && codesBad, "items_violation", "codes"),
+        (unknownKey, "unknown_key", null))
       val badKind = badPairs.foldLeft(when(lit(false), lit(""))) {
         case (acc, (c, k, _)) => acc.when(coalesce(c, lit(false)), lit(k))
       }
@@ -321,6 +338,8 @@ object Queries8 {
          |         WHEN qty < 0 OR qty > 100 THEN 'range_violation'
          |         WHEN status IS NOT NULL AND status NOT IN ('new','paid','refunded') THEN 'enum_violation'
          |         WHEN meta_src IS NULL THEN 'missing_field'
+         |         WHEN codes_present AND codes_bad THEN 'items_violation'
+         |         WHEN unknown_key THEN 'unknown_key'
          |    END AS bad_kind,
          |    CASE WHEN schema_str <> '$KnownSchema' THEN NULL
          |         WHEN sku IS NULL THEN 'sku'
@@ -329,6 +348,8 @@ object Queries8 {
          |         WHEN qty < 0 OR qty > 100 THEN 'qty'
          |         WHEN status IS NOT NULL AND status NOT IN ('new','paid','refunded') THEN 'status'
          |         WHEN meta_src IS NULL THEN 'meta.src'
+         |         WHEN codes_present AND codes_bad THEN 'codes'
+         |         WHEN unknown_key THEN NULL
          |    END AS bad_field
          |  FROM (
          |    SELECT event_id, schema_str,
@@ -336,7 +357,13 @@ object Queries8 {
          |      json_extract_string(data_json, '$$.qty') AS qty_raw,
          |      TRY_CAST(json_extract_string(data_json, '$$.qty') AS BIGINT) AS qty,
          |      json_extract_string(data_json, '$$.status') AS status,
-         |      json_extract_string(data_json, '$$.meta.src') AS meta_src
+         |      json_extract_string(data_json, '$$.meta.src') AS meta_src,
+         |      json_extract(data_json, '$$.codes') IS NOT NULL AS codes_present,
+         |      (json_extract(data_json, '$$.codes[0]') IS NOT NULL AND TRY_CAST(json_extract_string(data_json, '$$.codes[0]') AS BIGINT) IS NULL)
+         |        OR (json_extract(data_json, '$$.codes[1]') IS NOT NULL AND TRY_CAST(json_extract_string(data_json, '$$.codes[1]') AS BIGINT) IS NULL)
+         |        OR (json_extract(data_json, '$$.codes[2]') IS NOT NULL AND TRY_CAST(json_extract_string(data_json, '$$.codes[2]') AS BIGINT) IS NULL)
+         |        OR (json_extract(data_json, '$$.codes[3]') IS NOT NULL AND TRY_CAST(json_extract_string(data_json, '$$.codes[3]') AS BIGINT) IS NULL) AS codes_bad,
+         |      len(list_filter(json_keys(data_json), k -> k NOT IN ('sku','qty','status','meta','codes'))) > 0 AS unknown_key
          |    FROM (
          |      SELECT event_id,
          |        CASE WHEN event_id % 11 = 2 THEN '$UnknownSchema' ELSE '$KnownSchema' END AS schema_str,
@@ -346,11 +373,13 @@ object Queries8 {
          |             WHEN event_id % 11 = 4 THEN '{"sku":"SKU-9","qty":2,"status":"new","meta":{"src":"web"}}'
          |             WHEN event_id % 11 = 5 THEN '{"sku":"sku1","qty":9999,"status":"new","meta":{"src":"web"}}'
          |             WHEN event_id % 11 = 6 THEN '{"sku":"sku1","qty":2,"status":"new","meta":{}}'
+         |             WHEN event_id % 11 = 7 THEN '{"sku":"sku1","qty":2,"status":"new","meta":{"src":"web"},"codes":[1,"x",3]}'
+         |             WHEN event_id % 11 = 8 THEN '{"sku":"sku1","qty":2,"status":"new","meta":{"src":"web"},"extra":true}'
          |             ELSE concat('{"sku":"sku', event_id % 20, '","qty":', event_id % 5,
          |                         ',"status":"',
          |                         CASE WHEN event_id % 3 = 0 THEN 'new'
          |                              WHEN event_id % 3 = 1 THEN 'paid' ELSE 'refunded' END,
-         |                         '","meta":{"src":"web"}}')
+         |                         '","meta":{"src":"web"},"codes":[', event_id % 9, ',7]}')
          |        END AS data_json
          |      FROM raw) t0) t1) t2
          |ORDER BY event_id""".stripMargin),

@@ -87,13 +87,19 @@ class PipelineSpec extends SparkSpec {
       (5L, cart, """{"sku":"sku1","qty":2,"status":"bogus","meta":{"src":"web"}}"""), // enum
       (6L, cart, """{"sku":"SKU-9","qty":2,"status":"new","meta":{"src":"web"}}"""), // pattern
       (7L, cart, """{"sku":"sku1","qty":9999,"status":"new","meta":{"src":"web"}}"""), // range
-      (8L, cart, """{"sku":"sku1","qty":2,"status":"new","meta":{}}""") // nested required
+      (8L, cart, """{"sku":"sku1","qty":2,"status":"new","meta":{}}"""), // nested required
+      (9L, cart, """{"sku":"sku1","qty":2,"status":"new","meta":{"src":"web"},"codes":[1,"x",3]}"""), // bad array element
+      (10L, cart, """{"sku":"sku1","qty":2,"status":"new","meta":{"src":"web"},"codes":[1,2,3,4,5]}"""), // too many items
+      (11L, cart, """{"sku":"sku1","qty":2,"status":"new","meta":{"src":"web"},"surprise":1}"""), // undeclared key
+      (12L, cart, """{"sku":"sku1","qty":2,"status":"new","meta":{"src":"web"},"codes":[1,2]}""") // valid with array
     ).toDF("id", "schema_str", "ctx")
     val v = SchemaValidate("ctx", "schema_str", Map(cart -> Seq(
       FieldSpec("sku", required = true, pattern = "sku[0-9]+"),
       FieldSpec("qty", typ = "bigint", min = Some(0), max = Some(100)),
       FieldSpec("status", enumVals = Seq("new", "paid", "refunded")),
-      FieldSpec("meta.src", required = true))))
+      FieldSpec("meta.src", required = true),
+      FieldSpec("codes", itemsType = "bigint", maxItems = Some(4)))),
+      closedSchemas = Set(cart))
     val out = v(df.withColumn("bad_row_errors", array().cast("array<string>")))
       .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
     assert(out(1L).isEmpty)
@@ -105,6 +111,11 @@ class PipelineSpec extends SparkSpec {
     assert(out(7L).exists(_.contains("range_violation qty")))
     assert(out(8L).exists(_.contains("missing_field meta.src")))
     assert(out(8L).size == 1) // the nested miss is the ONLY flag on row 8
+    assert(out(9L).exists(_.contains("items_violation codes")))
+    assert(out(9L).size == 1)
+    assert(out(10L).exists(_.contains("length_violation codes")))
+    assert(out(11L).size == 1 && out(11L).head.endsWith("unknown_key"))
+    assert(out(12L).isEmpty) // well-typed array under the closed schema
   }
 
   test("ContextsValidate enrichment: per-element registry check, overflow flag") {
