@@ -50,6 +50,14 @@ object JsParser {
     def statement(): Stmt = peek match {
       case TPunct("{", _) => next(); blockRest()
       case TPunct(";", _) => next(); Block(Nil)
+      // reserved-unsupported constructs fail COMPILE with guidance, never
+      // silently partially evaluate (the graft.js subset boundary; see
+      // README "graft.js subset")
+      case TKeyword(k @ ("with" | "class" | "switch" | "import" | "export" | "debugger"), _) =>
+        throw ParseError(
+          s"unsupported construct '$k': graft.js is an ES5 subset " +
+            "(no with/class/switch/modules) — rewrite with if/else chains and plain objects",
+          peek.pos)
       case TKeyword("var", _) | TKeyword("let", _) | TKeyword("const", _) =>
         val d = varDecl(); tryPunct(";"); d
       case TKeyword("function", _) =>

@@ -17,14 +17,71 @@ import JsInterp._
 object JsScript {
 
   /** Compile on the driver — fail fast, like `exitOnCompileError = true`. */
-  def compile(source: String): Program =
-    try JsParser.parse(source)
-    catch {
-      // NonFatal, not just the two typed errors: any malformed input the
-      // lexer/parser trips on must surface as the documented compile error
-      case scala.util.control.NonFatal(e) =>
-        throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
+  def compile(source: String): Program = {
+    val program =
+      try JsParser.parse(source)
+      catch {
+        // NonFatal, not just the two typed errors: any malformed input the
+        // lexer/parser trips on must surface as the documented compile error
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
+      }
+    rejectPrototypeApi(program)
+    program
+  }
+
+  /** The interpreter has no prototype chain: assignments through
+    * `.prototype`/`.__proto__` and the `Object.*` meta-object API would
+    * evaluate without their ES5 semantics (methods never visible on
+    * instances). Reject them at COMPILE so the boundary is loud — part of
+    * the documented graft.js subset (README "graft.js subset"). */
+  private def rejectPrototypeApi(p: Program): Unit = {
+    import JsAst._
+    val objectApi = Set("defineProperty", "defineProperties", "create",
+      "setPrototypeOf", "getPrototypeOf", "getOwnPropertyDescriptor")
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"Error compiling JavaScript function: [unsupported construct $what: " +
+          "graft.js has no prototype chain — attach functions directly to objects]")
+    def walkE(e: Expr): Unit = e match {
+      case Member(_, "prototype") => fail("'.prototype'")
+      case Member(_, "__proto__") => fail("'.__proto__'")
+      case Member(Ident("Object"), m) if objectApi(m) => fail(s"'Object.$m'")
+      case Member(o, _) => walkE(o)
+      case Index(_, StrLit(s)) if s == "prototype" || s == "__proto__" =>
+        fail(s"'[$s]'")
+      case Index(o, i) => walkE(o); walkE(i)
+      case Call(f, as) => walkE(f); as.foreach(walkE)
+      case Unary(_, x) => walkE(x)
+      case Update(_, t, _) => walkE(t)
+      case Binary(_, l, r) => walkE(l); walkE(r)
+      case Logical(_, l, r) => walkE(l); walkE(r)
+      case Cond(c, t, f) => walkE(c); walkE(t); walkE(f)
+      case Assign(t, _, v) => walkE(t); walkE(v)
+      case ArrLit(items) => items.foreach(walkE)
+      case ObjLit(props) => props.foreach(p => walkE(p._2))
+      case FuncExpr(_, _, body) => body.foreach(walkS)
+      case _ => ()
     }
+    def walkS(s: Stmt): Unit = s match {
+      case VarDecl(_, ds) => ds.foreach(_._2.foreach(walkE))
+      case ExprStmt(e) => walkE(e)
+      case If(c, t, f) => walkE(c); walkS(t); f.foreach(walkS)
+      case While(c, b) => walkE(c); walkS(b)
+      case DoWhile(b, c) => walkS(b); walkE(c)
+      case For(i, t, u, b) => i.foreach(walkS); t.foreach(walkE); u.foreach(walkE); walkS(b)
+      case ForOf(_, it, b) => walkE(it); walkS(b)
+      case ForIn(_, o, b) => walkE(o); walkS(b)
+      case Return(e) => e.foreach(walkE)
+      case Throw(e) => walkE(e)
+      case Block(ss) => ss.foreach(walkS)
+      case FuncDecl(_, _, body) => body.foreach(walkS)
+      case TryStmt(b, _, cb, fb) =>
+        b.foreach(walkS); cb.foreach(_.foreach(walkS)); fb.foreach(_.foreach(walkS))
+      case _ => ()
+    }
+    p.stmts.foreach(walkS)
+  }
 
   private val IgluUri = java.util.regex.Pattern.compile("^iglu:[^/]+/[^/]+/[^/]+/\\d+-\\d+-\\d+$")
 

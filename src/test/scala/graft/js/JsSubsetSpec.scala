@@ -1,0 +1,84 @@
+package graft.js
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft.js subset BOUNDARY: unsupported ES constructs must fail at
+  * driver-side compile with an actionable message — never silently
+  * misparse or partially evaluate (reference
+  * enrichments/registry/JavascriptScriptEnrichment.scala:97 fails compile
+  * the same way via exitOnCompileError). See README "graft.js subset".
+  */
+class JsSubsetSpec extends AnyFunSuite {
+
+  private def compileError(src: String): String = {
+    val e = intercept[IllegalArgumentException](JsScript.compile(src))
+    assert(e.getMessage.startsWith("Error compiling JavaScript function:"), e.getMessage)
+    e.getMessage
+  }
+
+  test("with-statement fails compile, not silent call-plus-block") {
+    val msg = compileError("function process(e){ with (e) { return null } }")
+    assert(msg.contains("unsupported construct 'with'"))
+    assert(msg.contains("ES5 subset"))
+  }
+
+  test("class declaration fails compile") {
+    assert(compileError("class Foo { bar() { return 1 } }")
+      .contains("unsupported construct 'class'"))
+  }
+
+  test("switch fails compile with rewrite guidance") {
+    val msg = compileError("function process(e){ switch (e.x) { } }")
+    assert(msg.contains("unsupported construct 'switch'"))
+    assert(msg.contains("if/else"))
+  }
+
+  test("import / export fail compile") {
+    assert(compileError("import x from 'y';").contains("unsupported construct 'import'"))
+    assert(compileError("export function f(){}").contains("unsupported construct 'export'"))
+  }
+
+  test("prototype mutation fails compile, not silently-invisible methods") {
+    val msg = compileError(
+      "function Foo(){}\nFoo.prototype.bar = function(){ return 1 };")
+    assert(msg.contains(".prototype"))
+    assert(msg.contains("no prototype chain"))
+  }
+
+  test("__proto__ access fails compile, including the computed form") {
+    assert(compileError("var a = {}; a.__proto__ = null;").contains("__proto__"))
+    assert(compileError("var a = {}; var b = a['prototype'];").contains("prototype"))
+  }
+
+  test("Object meta-object API fails compile") {
+    assert(compileError("Object.defineProperty({}, 'x', {value: 1});")
+      .contains("Object.defineProperty"))
+    assert(compileError("var o = Object.create(null);").contains("Object.create"))
+  }
+
+  test("getter/setter object-literal syntax fails compile") {
+    val e = intercept[IllegalArgumentException](
+      JsScript.compile("var o = { get x() { return 1 } };"))
+    assert(e.getMessage.startsWith("Error compiling JavaScript function:"))
+  }
+
+  test("generator functions fail compile") {
+    val e = intercept[IllegalArgumentException](
+      JsScript.compile("function* gen() { yield 1; }"))
+    assert(e.getMessage.startsWith("Error compiling JavaScript function:"))
+  }
+
+  test("supported constructs still compile: functions, arrows, for-of, try") {
+    JsScript.compile(
+      """function process(event) {
+        |  var out = [];
+        |  var xs = [1, 2, 3].map(function(x) { return x * 2 });
+        |  var ys = xs.filter(x => x > 2);
+        |  for (var y of ys) { out.push({n: y}) }
+        |  try { JSON.parse("{}") } catch (e) { out.push({err: String(e)}) }
+        |  return null;
+        |}""".stripMargin)
+    // keywords remain legal as PROPERTY names (obj.with, obj.class)
+    JsScript.compile("function process(e){ return e.payload == null ? null : null }")
+  }
+}
