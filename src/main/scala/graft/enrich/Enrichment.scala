@@ -281,6 +281,74 @@ final case class DimJoin(
   }
 }
 
+/** Live-lookup escape hatch for [[DimJoin]] (reference
+  * `registry/apirequest/HttpApi.scala`, `registry/sqlquery/DbExecutor.scala`):
+  * the reference calls an HTTP/JDBC endpoint per event behind an LRU cache.
+  * Per-ROW RPC is the wrong shape at 100 TB — this keeps the joins-not-RPC
+  * architecture while still reaching a live service:
+  *
+  *  1. the DISTINCT key set is materialized (tiny after dedup — egress is
+  *     bounded by |keys|, never by |rows|; `maxKeys` fails fast on an
+  *     unbounded key explosion),
+  *  2. keys missing from the parquet `cachePath` dim are fetched ONCE
+  *     through the injected transport (one transport instance per
+  *     partition — production: a pooled HTTP client, exactly the
+  *     RemoteAdapter pattern; tests: a deterministic local function),
+  *  3. fetched rows are APPENDED to the cache dim (reruns and later
+  *     pipelines re-join without touching the service), and
+  *  4. the dim broadcasts back onto the fact — a BroadcastHashJoin, zero
+  *     fact-side shuffle.
+  *
+  * @param transport key → JSON response body (None = lookup miss; misses
+  *                  are cached as null responses so they are not re-fetched)
+  * @param outputSchemaDdl DDL schema the response JSON parses into
+  *                  (columns appear on the output, null on miss)
+  * @param cachePath optional parquet dim path; null = fetch-only this run
+  */
+final case class ApiLookup(
+  keyCol: String,
+  transport: String => Option[String],
+  outputSchemaDdl: String,
+  cachePath: String = null,
+  maxKeys: Long = 1000000L
+) extends Enrichment {
+  val name = "api_lookup"
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string")).na.drop().distinct()
+    val cached: DataFrame =
+      if (cachePath == null) spark.emptyDataset[(String, String)].toDF(keyCol, "api_response")
+      else
+        try spark.read.parquet(cachePath)
+        catch { case _: Exception => spark.emptyDataset[(String, String)].toDF(keyCol, "api_response") }
+    val missing = keys.join(cached.select(keyCol), Seq(keyCol), "left_anti")
+    val nMissing = missing.count()
+    require(nMissing <= maxKeys,
+      s"api_lookup: $nMissing distinct keys exceed maxKeys=$maxKeys — " +
+        "bound the key domain or raise the limit explicitly")
+    val t = transport // avoid serializing the enclosing enrichment
+    val fetched = missing.as[String]
+      .mapPartitions { it => it.map(k => (k, t(k).orNull)) }
+      .toDF(keyCol, "api_response")
+    // with a cache: the append IS the single transport evaluation — the dim
+    // re-reads the parquet, so the join never re-fires the fetch
+    val dimRaw =
+      if (cachePath == null) cached.unionByName(fetched)
+      else {
+        if (nMissing > 0) fetched.write.mode("append").parquet(cachePath)
+        try spark.read.parquet(cachePath)
+        catch { case _: Exception => cached } // nothing fetched, no prior cache
+      }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(outputSchemaDdl)
+    val dim = dimRaw
+      .select(col(keyCol), from_json(col("api_response"), schema).as("api"))
+      .select(col(keyCol) +: schema.fieldNames.toSeq.map(f => col(s"api.$f").as(f)): _*)
+    df.join(broadcast(dim), df(keyCol).cast("string") === dim(keyCol), "left")
+      .drop(dim(keyCol))
+  }
+}
+
 /** Cross-navigation `_sp` decoding (reference `registry/CrossNavigationEnrichment`). */
 final case class CrossNavigation(spCol: String = "sp_qs") extends Enrichment {
   val name = "cross_navigation"

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import graft.enrich.ApiLookup
+
+/** ApiLookup: the live-lookup escape hatch keeps the joins-not-RPC shape —
+  * egress bounded by |distinct keys|, results cached to a parquet dim,
+  * reruns re-join without re-fetching. Transport is a deterministic local
+  * function (the RemoteAdapter injected-transport pattern); the fetch
+  * counter is a JVM-local AtomicInteger, valid under local[*] only.
+  */
+class ApiLookupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    (1L, "u1"), (2L, "u2"), (3L, "u1"), (4L, "u3"), (5L, "u2"), (6L, null.asInstanceOf[String])
+  ).toDF("event_id", "user_key")
+
+  test("fetches each distinct key once, parses typed columns, misses stay null") {
+    ApiLookupSpec.calls.set(0)
+    val out = ApiLookup("user_key", ApiLookupSpec.transport, "plan STRING, score BIGINT")
+      .apply(events)
+      .collect().map(r => r.getLong(0) -> (r.getAs[String]("plan"), r.getAs[Any]("score"))).toMap
+    assert(ApiLookupSpec.calls.get() == 3, "one fetch per distinct non-null key")
+    assert(out(1L) == (("plan-u1", 1L)) && out(3L) == (("plan-u1", 1L)))
+    assert(out(2L) == (("plan-u2", 2L)))
+    assert(out(4L) == ((null, null))) // u3 is a transport miss
+    assert(out(6L) == ((null, null))) // null key joins to nothing
+  }
+
+  test("parquet cache dim: second run fetches nothing, new keys fetch incrementally") {
+    val cache = Files.createTempDirectory("api_lookup_cache").toString + "/dim"
+    ApiLookupSpec.calls.set(0)
+    val lookup = ApiLookup("user_key", ApiLookupSpec.transport, "plan STRING, score BIGINT", cachePath = cache)
+    lookup.apply(events).count()
+    assert(ApiLookupSpec.calls.get() == 3)
+    // rerun: every key is in the dim (including the cached miss u3)
+    lookup.apply(events).count()
+    assert(ApiLookupSpec.calls.get() == 3, "rerun must re-join the cache, not re-fetch")
+    // a new key fetches exactly once more
+    val more = events.withColumn("user_key", when(col("event_id") === 5L, lit("u9")).otherwise(col("user_key")))
+    val out = lookup.apply(more).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("plan")).toMap
+    assert(ApiLookupSpec.calls.get() == 4)
+    assert(out(5L) == "plan-u9")
+  }
+
+  test("maxKeys bounds the key explosion fail-fast") {
+    val e = intercept[IllegalArgumentException] {
+      ApiLookup("user_key", ApiLookupSpec.transport, "plan STRING", maxKeys = 1L).apply(events)
+    }
+    assert(e.getMessage.contains("maxKeys"))
+  }
+
+  test("the re-join broadcasts (no fact-side shuffle)") {
+    val plan = ApiLookup("user_key", ApiLookupSpec.transport, "plan STRING, score BIGINT")
+      .apply(events).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
+
+object ApiLookupSpec {
+  val calls = new AtomicInteger(0)
+  /** u3 is a miss; everything else returns a typed JSON payload. */
+  val transport: String => Option[String] = { key =>
+    calls.incrementAndGet()
+    if (key == "u3") None
+    else Some(s"""{"plan":"plan-$key","score":${key.drop(1).toLong}}""")
+  }
+}
