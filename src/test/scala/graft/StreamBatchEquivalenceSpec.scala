@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+
+/** The pipeline's core promise (the reference guarantees it across its
+  * kinesis/pubsub/fs apps): a stream processed to completion produces the
+  * SAME corpus as the batch program on the same input. This spec feeds the
+  * real sf0.001 documents table — with planted cross-chunk duplicates —
+  * through StreamDedup in three micro-batches and compares against the
+  * batch dedup twin:
+  *  - the surviving fingerprint SET is identical (same kept content),
+  *  - exactly one survivor per fingerprint (the per-key guarantee),
+  *  - non-duplicate documents survive on both sides bit-identically.
+  */
+class StreamBatchEquivalenceSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("StreamDedup over three micro-batches == batch dedup on the same corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the corpus, with planted duplicates: every doc_id % 7 == 3 document
+    // carries the same boilerplate text, so duplicates SPAN micro-batches
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, lit("PLANTED SHARED BOILERPLATE PAGE"))
+          .otherwise(col("text")).as("text"))
+      .withColumn("ts_us", lit(1704067200000000L) + col("doc_id") * 1000L)
+
+    val rows = base.select("doc_id", "text", "ts_us")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.length >= 300)
+
+    // batch twin: one survivor per normalized-text fingerprint
+    val batchFps = base
+      .select(TextF.docFingerprint(col("text")).as("fp"))
+      .distinct().as[String].collect().toSet
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val deduped = graft.streaming.StreamDedup.dedupDocsByFingerprint(
+      mem.toDF().toDF("doc_id", "text", "ts_us"), "text", "ts_us",
+      watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("sbe")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable() // commit each micro-batch before the next
+      }
+      val stream = spark.sql("SELECT doc_id, text FROM sbe")
+        .select(col("doc_id"), col("text"), TextF.docFingerprint(col("text")).as("fp"))
+        .as[(Long, String, String)].collect()
+
+      // same kept content, exactly once per key
+      assert(stream.map(_._3).toSet == batchFps, "surviving fingerprint sets differ")
+      assert(stream.length == batchFps.size, "a fingerprint survived more than once")
+
+      // non-duplicate documents must come through bit-identical to batch
+      val nonDup = rows.filter(_._1 % 7 != 3).map(r => r._1 -> r._2).toMap
+      val streamById = stream.map(r => r._1 -> r._2).toMap
+      nonDup.foreach { case (id, text) =>
+        assert(streamById.get(id).contains(text), s"doc $id mutated or lost in flight")
+      }
+    } finally q.stop()
+  }
+
+  test("StreamDedup on events == batch dropDuplicates on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // planted id collisions: user_id repeats across the stream; dedup on
+    // (user_id, event_type) must keep exactly the batch-distinct key set
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).take(2000)
+
+    val batchKeys = ev.map(r => (r._2, r._3)).toSet
+
+    // batch equivalence requires the watermark to cover the corpus time
+    // span — a shorter delay legitimately re-admits a key after eviction
+    // (the bounded-state contract, not a bug)
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val deduped = graft.streaming.StreamDedup.dedupEvents(
+      mem.toDF().toDF("event_id", "user_id", "event_type", "ts_us"),
+      "ts_us", Seq("user_id", "event_type"), watermarkDelay = "3650 days")
+    val q = deduped.writeStream.format("memory").queryName("sbe_ev")
+      .outputMode("append").start()
+    try {
+      ev.grouped(700).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val stream = spark.sql("SELECT user_id, event_type FROM sbe_ev")
+        .as[(Long, String)].collect()
+      assert(stream.toSet == batchKeys, "surviving key sets differ")
+      assert(stream.length == batchKeys.size, "a key survived more than once")
+    } finally q.stop()
+  }
+}
