@@ -41,6 +41,27 @@ object Queries14 {
     graft.functions.LayoutF.zInterleaveSql(x, y, ZBits)
 
   val defs: Map[String, Q] = Map(
+    "api_lookup_live" -> { (sp, dir) =>
+      // the ApiLookup escape hatch under the ORACLE gate, not just
+      // ScalaTest: a deterministic injected transport (the test stand-in
+      // for a pooled HTTP client) serves a 50-key account dim with planted
+      // misses; the enrichment fetches each distinct key once and
+      // broadcast-joins the parsed dim back. The oracle computes the same
+      // response formula inline — any drift in distinct-fetch / cache /
+      // join-back plumbing shows up as a row mismatch.
+      val ev = Tables.events(sp, dir)
+        .select(col("event_id"), (col("user_id") % 50).as("acct"))
+      val transport: String => Option[String] = { k =>
+        val n = k.toLong
+        if (n % 10 == 7) None // planted lookup miss
+        else Some(s"""{"plan":"${if (n % 3 == 0) "gold" else "basic"}","score":${n * 13 % 97}}""")
+      }
+      graft.enrich.ApiLookup("acct", transport, "plan STRING, score BIGINT")
+        .apply(ev)
+        .select(col("event_id"), col("acct"), col("plan"), col("score"))
+        .orderBy("event_id")
+    },
+
     "vocab_count" -> { (sp, dir) =>
       // TopK FIRST via orderBy+limit (a distributed TakeOrdered — partial
       // top-k per partition, only K rows reach the driver-side sort), THEN
@@ -182,6 +203,17 @@ object Queries14 {
   // ---- DuckDB twins ----
 
   val oracles: Map[String, String] = Map(
+    "api_lookup_live" ->
+      // the transport's response formula, inlined: plan/score derive from
+      // the key exactly as the injected transport computes them
+      """SELECT event_id, user_id % 50 AS acct,
+        |  CASE WHEN (user_id % 50) % 10 = 7 THEN NULL
+        |       WHEN (user_id % 50) % 3 = 0 THEN 'gold' ELSE 'basic' END AS plan,
+        |  CASE WHEN (user_id % 50) % 10 = 7 THEN NULL
+        |       ELSE ((user_id % 50) * 13) % 97 END AS score
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
     "vocab_count" ->
       s"""SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
          |  word, cnt, df
