@@ -1,0 +1,79 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.queries.Queries15
+
+/** Batch 15: span-level dedup and hashed-model data selection. The scoring
+  * tests recompute the operator's formula INDEPENDENTLY in plain Scala
+  * (JVM MessageDigest + integer arithmetic) — agreement with both the
+  * Spark plan and the DuckDB oracle means three implementations concur. */
+class Queries15Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private def normTokens(text: String): Seq[String] = {
+    val n = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    if (n.isEmpty) Seq.empty else n.split(" ").toSeq
+  }
+
+  private def bucket(salt: String, t: String): Int =
+    Integer.parseInt(md5hex(salt + t).substring(0, 2), 16) % 64
+
+  private lazy val docs: Map[Long, String] =
+    Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("substring_dedup: planted boilerplate windows fire for every %6==1 doc after the first") {
+    val rows = Queries15.defs("substring_dedup")(spark, dir).collect()
+    assert(rows.length == docs.size) // short docs survive via the left join
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val planted = docs.keys.filter(_ % 6 == 1).toSeq.sorted
+    // every planted doc after the first repeats the 5 interior windows of
+    // the 14-token boilerplate verbatim (it may ALSO have organic dups —
+    // the driver's corpus carries planted near-duplicate documents, which
+    // is exactly what this operator exists to catch)
+    planted.tail.foreach { id =>
+      assert(byId(id).getAs[Long]("n_dup") >= 5L, s"doc $id")
+      assert(byId(id).getAs[Boolean]("has_dup"), s"doc $id")
+    }
+    // the detector is selective, not a constant: most docs are clean
+    val clean = rows.count(!_.getAs[Boolean]("has_dup"))
+    assert(clean > rows.length / 2, s"only $clean/${rows.length} docs clean")
+    // window counts follow token counts exactly
+    docs.foreach { case (id, text) =>
+      val toks = normTokens(if (id % 6 == 1) text + " " + Queries15.SubBoiler else text)
+      val expect = math.max(toks.size - 10 + 1, 0)
+      assert(byId(id).getAs[Long]("n_win") == expect.toLong, s"doc $id")
+    }
+  }
+
+  test("quality_classifier matches an independent JVM recompute") {
+    val rows = Queries15.defs("quality_classifier")(spark, dir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val toks = normTokens(docs(id))
+      val expect = toks.map(t => Queries15.QcWeights(bucket("qc:", t))).sum + 50L
+      assert(r.getAs[Long]("n_toks") == toks.size.toLong, s"doc $id n_toks")
+      assert(r.getAs[Long]("score_milli") == expect, s"doc $id score")
+      assert(r.getAs[Boolean]("keep") == (expect > 0), s"doc $id keep")
+    }
+  }
+
+  test("dsir_score matches an independent JVM recompute") {
+    val diff = Queries15.DsirTarget.zip(Queries15.DsirRaw).map { case (t, r) => t - r }
+    val rows = Queries15.defs("dsir_score")(spark, dir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val toks = normTokens(docs(id))
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString("_")).toSeq
+      val expect = if (toks.size < 2) 0L else bigrams.map(g => diff(bucket("ds:", g))).sum
+      assert(r.getAs[Long]("n_bigrams") == math.max(toks.size - 1, 0).toLong, s"doc $id n_bigrams")
+      assert(r.getAs[Long]("logw_milli") == expect, s"doc $id logw")
+    }
+  }
+}
