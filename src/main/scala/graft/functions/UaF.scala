@@ -338,8 +338,35 @@ object UaF {
   private val TvTokens = Array("SMART-TV", "SmartTV", "Smart TV", "AppleTV", "Apple TV",
     "CrKey", "Roku", "BRAVIA", "Tizen", "Web0S", "webOS", "HbbTV", "GoogleTV",
     "VIDAA", "NetCast", "Viera", "SHIELD Android TV", "MIBOX", "MiBox")
-  private val AftPattern = java.util.regex.Pattern.compile("AFT[A-Z]")
-  private val TabletPattern = java.util.regex.Pattern.compile(TabletModels)
+  /** All occurrences of `lit` in `ua`, true iff one is followed by a char in
+    * [lo, hi] — the hand-rolled twin of the `lit[lo-hi]` regex form. The
+    * TabletModels java.util.regex alternation cost 7.6 µs/row (measured:
+    * 0.76 s of the 0.86 s/100k-row kernel at sf0.1); every alternation is a
+    * literal or literal-then-char-class, so indexOf scans replace it. */
+  private def litThenRange(ua: String, lit: String, lo: Char, hi: Char): Boolean = {
+    var from = ua.indexOf(lit)
+    while (from >= 0) {
+      val next = from + lit.length
+      if (next < ua.length) {
+        val c = ua.charAt(next)
+        if (c >= lo && c <= hi) return true
+      }
+      from = ua.indexOf(lit, from + 1)
+    }
+    false
+  }
+
+  /** Twin of `TabletModels` (regex kept as the SQL-oracle source of truth):
+    * GT-P[0-9]|SM-T[0-9]|SM-X[0-9]|Nexus (7|9|10)|Kindle|Silk/|Lenovo TB|
+    * MediaPad|MI PAD|PlayBook|RIM Tablet|Tablet; */
+  private val TabletLiterals = Array("Kindle", "Silk/", "Lenovo TB", "MediaPad",
+    "MI PAD", "PlayBook", "RIM Tablet", "Tablet;", "Nexus 7", "Nexus 9", "Nexus 10")
+
+  private def isTabletModel(ua: String): Boolean =
+    containsAny(ua, TabletLiterals) ||
+      litThenRange(ua, "GT-P", '0', '9') ||
+      litThenRange(ua, "SM-T", '0', '9') ||
+      litThenRange(ua, "SM-X", '0', '9')
   private val BotTokArr = BotTokens.toArray
   private val ConsoleTokens = Array("PlayStation", "PLAYSTATION", "Nintendo", "Xbox")
   private val PhoneTokArr = PhoneTokens.toArray
@@ -372,9 +399,9 @@ object UaF {
     if (ua == null) return null
     if (isBotString(ua)) "Robot"
     else if (containsAny(ua, ConsoleTokens)) "Game Console"
-    else if (containsAny(ua, TvTokens) || AftPattern.matcher(ua).find()) "TV"
+    else if (containsAny(ua, TvTokens) || litThenRange(ua, "AFT", 'A', 'Z')) "TV"
     else if (ua.contains("Opera Mini/")) "Phone"
-    else if (ua.contains("iPad") || TabletPattern.matcher(ua).find()) "Tablet"
+    else if (ua.contains("iPad") || isTabletModel(ua)) "Tablet"
     else if (ua.contains("Android") && !ua.contains("Mobile")) "Tablet"
     else if (containsAny(ua, PhoneTokArr)) "Phone"
     else "Desktop"

@@ -150,11 +150,16 @@ object Synth {
 
   // ---- Spark side -------------------------------------------------------
 
-  /** CASE-over-index pick used by both sides. */
+  /** vals(idx) with null past the end — value-identical to the DuckDB CTE's
+    * `CASE idx WHEN 0 THEN … END` twin ([[caseSql]]; every call site passes a
+    * non-negative `expr % vals.size`). Implemented as one array-literal
+    * lookup, NOT a CASE cascade: the 530-branch UA CASE made every fused
+    * codegen stage that grouped or shuffled on it exceed HotSpot's 8 KB JIT
+    * limit, so the hot loop ran in the bytecode interpreter (measured 2.3×
+    * on ua_device_class at sf0.1; r6's bench regression). element_at over a
+    * constant array is O(1) per row and a few bytes of generated code. */
   def pick(idx: Column, vals: Seq[String]): Column =
-    vals.zipWithIndex
-      .foldLeft(when(lit(false), lit(""))) { case (acc, (v, i)) => acc.when(idx === i, lit(v)) }
-      .otherwise(lit(null))
+    try_element_at(typedLit(vals), (idx + 1).cast("int"))
 
   /** events (with ts_us) → events + synthetic raw columns. Narrow projection,
     * fully codegen'd — adds no shuffle at any scale. */
