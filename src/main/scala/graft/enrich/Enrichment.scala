@@ -328,15 +328,31 @@ final case class ApiLookup(
       s"api_lookup: $nMissing distinct keys exceed maxKeys=$maxKeys — " +
         "bound the key domain or raise the limit explicitly")
     val t = transport // avoid serializing the enclosing enrichment
+    // a transport that THROWS (timeout, 500) must not kill the stage — the
+    // one-bad-row-never-kills-the-backfill rule. A thrown failure is NOT a
+    // miss: misses (None) are cached as null responses so they are never
+    // re-fetched; failures yield null columns this run but stay OUT of the
+    // cache dim, so the next run retries them (reference
+    // registry/apirequest/HttpApi.scala keeps the failure channel typed
+    // rather than collapsing it into the miss case).
     val fetched = missing.as[String]
-      .mapPartitions { it => it.map(k => (k, t(k).orNull)) }
-      .toDF(keyCol, "api_response")
+      .mapPartitions { it =>
+        it.map { k =>
+          scala.util.Try(t(k)) match {
+            case scala.util.Success(v) => (k, v.orNull, true)
+            case scala.util.Failure(_) => (k, null: String, false)
+          }
+        }
+      }
+      .toDF(keyCol, "api_response", "api_fetch_ok")
     // with a cache: the append IS the single transport evaluation — the dim
     // re-reads the parquet, so the join never re-fires the fetch
     val dimRaw =
-      if (cachePath == null) cached.unionByName(fetched)
+      if (cachePath == null) cached.unionByName(fetched.where(col("api_fetch_ok")).drop("api_fetch_ok"))
       else {
-        if (nMissing > 0) fetched.write.mode("append").parquet(cachePath)
+        if (nMissing > 0)
+          fetched.where(col("api_fetch_ok")).drop("api_fetch_ok")
+            .write.mode("append").parquet(cachePath)
         try spark.read.parquet(cachePath)
         catch { case _: Exception => cached } // nothing fetched, no prior cache
       }
@@ -533,8 +549,47 @@ final case class FieldSpec(
   itemsProbe: Int = 8,
   maxItems: Option[Int] = None)
 
+/** Iglu SchemaCriterion matching (reference `utils/IgluUtils.scala` /
+  * iglu-scala-core `SchemaCriterion.matches`): a registered key may carry
+  * `*` in the model / revision / addition slots of its SchemaVer —
+  * `iglu:com.acme/cart/jsonschema/1-0-*` matches any addition of model 1
+  * revision 0. Exact keys (no `*`) compare as plain strings, so existing
+  * registries are unchanged. Wildcard keys compile ONCE at plan build to a
+  * single anchored RE2-safe regex (no lookahead — the DuckDB oracle shares
+  * the same pattern), so the per-row cost is one regex match, not a
+  * parse-and-compare. */
+object SchemaCriterion {
+  private val CriterionRe =
+    "^iglu:([^/]+)/([^/]+)/([^/]+)/(\\*|[0-9]+)-(\\*|[0-9]+)-(\\*|[0-9]+)$".r
+
+  /** Escape a literal for embedding in an RE2-safe regex (no \\Q\\E —
+    * DuckDB's RE2 does not support quote blocks). */
+  private def escapeRe(s: String): String =
+    s.flatMap(c => if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) s"\\$c" else c.toString)
+
+  /** The anchored regex a wildcard criterion compiles to (also emitted into
+    * oracle SQL twins). Throws on a malformed criterion at plan build —
+    * loudly, not per row. */
+  def regexFor(key: String): String = key match {
+    case CriterionRe(vendor, name, format, m, r, a) =>
+      def slot(s: String) = if (s == "*") "[0-9]+" else s
+      s"^iglu:${escapeRe(vendor)}/${escapeRe(name)}/${escapeRe(format)}/" +
+        s"${slot(m)}-${slot(r)}-${slot(a)}$$"
+    case _ =>
+      throw new IllegalArgumentException(
+        s"schema_validate: '$key' is not a valid Iglu schema criterion " +
+          "(expected iglu:vendor/name/format/M-R-A with * allowed in M/R/A)")
+  }
+
+  /** Column predicate: does the event's `uri` match the registered `key`? */
+  def matches(uri: Column, key: String): Column =
+    if (!key.contains("*")) uri === key else uri.rlike(regexFor(key))
+}
+
 /** Iglu-style schema validation of a self-describing JSON column (reference
-  * `utils/IgluUtils.scala:42`): the event's schema URI must be registered
+  * `utils/IgluUtils.scala:42`): the event's schema URI must be registered —
+  * by exact URI or by [[SchemaCriterion]] wildcard (`1-0-*` accepts any
+  * addition, `1-*-*` any revision) —
   * and every [[FieldSpec]] predicate must hold — failures flow to the
   * bad-row channel with the reference's typed taxonomy (schema_unknown /
   * missing_field / type_violation / enum_violation / pattern_violation /
@@ -556,11 +611,12 @@ final case class SchemaValidate(
 ) extends Enrichment {
   val name = "schema_validate"
   def apply(df: DataFrame): DataFrame = {
-    val known = specs.keys.toSeq
-    val d1 = flagBad(df,
-      col(schemaCol).isNotNull && !col(schemaCol).isin(known: _*), "schema_unknown")
+    val knownPred = specs.keys
+      .map(k => SchemaCriterion.matches(col(schemaCol), k))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val d1 = flagBad(df, col(schemaCol).isNotNull && !knownPred, "schema_unknown")
     val fieldsChecked = specs.foldLeft(d1) { case (acc, (uri, fields)) =>
-      val inSchema = col(schemaCol) === uri
+      val inSchema = SchemaCriterion.matches(col(schemaCol), uri)
       fields.foldLeft(acc) { (a0, f) =>
         val raw = get_json_object(col(jsonCol), s"$$.${f.path}")
         val castType = f.typ match {
@@ -618,7 +674,7 @@ final case class SchemaValidate(
       val declared = specs.getOrElse(uri, Nil).map(_.path.split('.').head).distinct
       val unknown = expr(
         s"exists(json_object_keys($jsonCol), k -> NOT k IN (${declared.map(d => s"'$d'").mkString(", ")}))")
-      flagBad(a, col(schemaCol) === uri && coalesce(unknown, lit(false)), "unknown_key")
+      flagBad(a, SchemaCriterion.matches(col(schemaCol), uri) && coalesce(unknown, lit(false)), "unknown_key")
     }
   }
 }

@@ -55,6 +55,31 @@ class ApiLookupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxKeys"))
   }
 
+  test("a transport that throws on one key yields the other keys' rows (failure != stage kill)") {
+    val out = ApiLookup("user_key", ApiLookupSpec.flakyTransport, "plan STRING, score BIGINT")
+      .apply(events)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("plan")).toMap
+    assert(out.size == 6, "every input row survives a throwing transport")
+    assert(out(1L) == "plan-u1" && out(3L) == "plan-u1" && out(4L) == null)
+    assert(out(2L) == null && out(5L) == null, "the failed key's rows get null columns, not an exception")
+  }
+
+  test("failures are retried next run; misses are cached and never re-fetched") {
+    val cache = Files.createTempDirectory("api_lookup_flaky").toString + "/dim"
+    ApiLookupSpec.calls.set(0)
+    ApiLookupSpec.failU2.set(true)
+    val lookup = ApiLookup("user_key", ApiLookupSpec.flakyCountingTransport, "plan STRING, score BIGINT", cachePath = cache)
+    val first = lookup.apply(events).collect().map(r => r.getLong(0) -> r.getAs[String]("plan")).toMap
+    assert(ApiLookupSpec.calls.get() == 3) // u1, u2 (throws), u3 (miss)
+    assert(first(2L) == null && first(1L) == "plan-u1")
+    // service recovers: only the FAILED key is re-fetched — u1 (hit) and
+    // u3 (miss) are both in the cache dim
+    ApiLookupSpec.failU2.set(false)
+    val second = lookup.apply(events).collect().map(r => r.getLong(0) -> r.getAs[String]("plan")).toMap
+    assert(ApiLookupSpec.calls.get() == 4, "rerun re-fetches the failure only, not hits or misses")
+    assert(second(2L) == "plan-u2" && second(4L) == null)
+  }
+
   test("the re-join broadcasts (no fact-side shuffle)") {
     val plan = ApiLookup("user_key", ApiLookupSpec.transport, "plan STRING, score BIGINT")
       .apply(events).queryExecution.executedPlan.toString
@@ -64,6 +89,22 @@ class ApiLookupSpec extends SparkSpec {
 
 object ApiLookupSpec {
   val calls = new AtomicInteger(0)
+  val failU2 = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+  /** u2 always throws (simulated timeout); u3 is a miss. */
+  val flakyTransport: String => Option[String] = { key =>
+    if (key == "u2") throw new java.io.IOException(s"timeout fetching $key")
+    else if (key == "u3") None
+    else Some(s"""{"plan":"plan-$key","score":${key.drop(1).toLong}}""")
+  }
+
+  /** Counting transport whose u2 failure can be switched off (recovery). */
+  val flakyCountingTransport: String => Option[String] = { key =>
+    calls.incrementAndGet()
+    if (key == "u2" && failU2.get()) throw new java.io.IOException(s"timeout fetching $key")
+    else if (key == "u3") None
+    else Some(s"""{"plan":"plan-$key","score":${key.drop(1).toLong}}""")
+  }
   /** u3 is a miss; everything else returns a typed JSON payload. */
   val transport: String => Option[String] = { key =>
     calls.incrementAndGet()
