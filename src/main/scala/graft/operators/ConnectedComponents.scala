@@ -26,29 +26,30 @@ object ConnectedComponents {
   /** @param edges (src, dst) long pairs, undirected (one direction enough)
     * @return (id, component) — component = min node id reachable */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val sym = graft.util.CacheScope.track(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     // materialize the edge cache BEFORE the label init and the round-1 join
     // both fan out over it — lazily, each branch would re-run the whole
     // upstream candidate-pair pipeline (for dedup clustering that pipeline
     // is the expensive half: signatures, band self-join, verification)
     sym.count()
-    var cache = sym.select(col("src").as("id")).distinct()
+    // every persisted frame also registers with CacheScope: rounds unpersist
+    // their predecessor eagerly below, and the FINAL label frame (returned
+    // while cached) is reclaimed by the caller's next CacheScope.release
+    var cache = graft.util.CacheScope.track(sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .withColumn("changed", lit(false))
-      .persist()
+      .withColumn("changed", lit(false)))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val labels = cache.select("id", "comp")
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid")).agg(min("comp").as("nbr_comp"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
-        .persist()
+      val next = graft.util.CacheScope.track(
+        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+            (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed")))
       // the count is the materializing action for next's cache; only then
       // is the previous round's cache safe to drop
       converged = next.filter(col("changed")).count() == 0

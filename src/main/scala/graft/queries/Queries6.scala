@@ -33,9 +33,9 @@ object Queries6 {
     * the cache each side recomputes every md5 minhash signature. */
   private def minhashPairs(sp: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(sp, dir)
-    val ex = sigs.select(col("doc_id"),
+    val ex = graft.util.CacheScope.track(sigs.select(col("doc_id"),
       posexplode(array(col("band0"), col("band1")))).select(
-      col("doc_id"), col("pos").as("bi"), col("col").as("b")).persist()
+      col("doc_id"), col("pos").as("bi"), col("col").as("b")))
     ex.select(col("bi"), col("b"), col("doc_id").as("id_a"))
       .join(ex.select(col("bi"), col("b"), col("doc_id").as("id_b")), Seq("bi", "b"))
       .filter(col("id_a") < col("id_b"))

@@ -16,7 +16,7 @@ class CacheScopeSpec extends SparkSpec {
 
   test("three consecutive persisting queries leave no InMemoryRelations behind") {
     spark.catalog.clearCache()
-    val persisting = Seq("ngram_jaccard", "text_repetition", "ann_ivf_int8")
+    val persisting = Seq("ngram_jaccard", "text_repetition", "ann_ivf_int8", "dedup_minhash_pairs")
     persisting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       assert(CacheScope.pending(spark) > 0,
