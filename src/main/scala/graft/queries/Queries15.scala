@@ -123,13 +123,12 @@ object Queries15 {
         .otherwise(array().cast("array<string>"))
       val wins = base.select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
       // one shuffle on the window hash; rank picks the corpus-wide first
-      // occurrence, every later occurrence is a duplicated span
+      // occurrence, every later occurrence (rk > 1) is a duplicated span
       val ranked = wins
         .withColumn("rk", row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos")))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
       val perDoc = ranked.groupBy("doc_id").agg(
         count(lit(1)).as("n_win"),
-        sum(when(col("cnt") > 1 && col("rk") > 1, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup"))
       base.select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -191,12 +190,11 @@ object Queries15 {
          |  FROM wins
          |), ranked AS (
          |  SELECT doc_id,
-         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rk,
-         |    count(*) OVER (PARTITION BY h) AS cnt
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rk
          |  FROM hashed
          |), per AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win,
-         |    CAST(sum(CASE WHEN cnt > 1 AND rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |    CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
          |  FROM ranked GROUP BY doc_id
          |)
          |SELECT d.doc_id,
@@ -207,13 +205,15 @@ object Queries15 {
          |ORDER BY d.doc_id""".stripMargin,
 
     "quality_classifier" ->
-      s"""SELECT doc_id,
-         |  CAST(CASE WHEN $normSql = '' THEN 0 ELSE len($toksSql) END AS BIGINT) AS n_toks,
-         |  CAST(CASE WHEN $normSql = '' THEN $QcBias
-         |       ELSE ${scoreSql(toksSql, "qc:", QcWeights)} + $QcBias END AS BIGINT) AS score_milli,
-         |  (CASE WHEN $normSql = '' THEN $QcBias
-         |       ELSE ${scoreSql(toksSql, "qc:", QcWeights)} + $QcBias END) > 0 AS keep
-         |FROM documents
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN $normSql = '' THEN 0 ELSE len($toksSql) END AS BIGINT) AS n_toks,
+         |    CAST(CASE WHEN $normSql = '' THEN $QcBias
+         |         ELSE ${scoreSql(toksSql, "qc:", QcWeights)} + $QcBias END AS BIGINT) AS score_milli
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_toks, score_milli, score_milli > 0 AS keep
+         |FROM scored
          |ORDER BY doc_id""".stripMargin,
 
     "dsir_score" -> {
