@@ -20,8 +20,16 @@ object Queries8 {
   private val CollectorSchema =
     "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0"
 
-  /** add_to_cart spec the schema_validate query checks against. */
+  /** add_to_cart spec the schema_validate query checks against — registered
+    * as an Iglu SchemaCriterion with a wildcard addition, so the planted
+    * `1-0-1` minor-version events resolve to it instead of flagging
+    * schema_unknown (reference `utils/IgluUtils.scala` SchemaCriterion). */
   private val KnownSchema = "iglu:com.acme/add_to_cart/jsonschema/1-0-0"
+  private val KnownSchemaV101 = "iglu:com.acme/add_to_cart/jsonschema/1-0-1"
+  private val KnownCriterion = "iglu:com.acme/add_to_cart/jsonschema/1-0-*"
+  /** The anchored RE2 the criterion compiles to, shared verbatim with the
+    * DuckDB twin. */
+  private val KnownCriterionRe = graft.enrich.SchemaCriterion.regexFor(KnownCriterion)
   private val UnknownSchema = "iglu:com.unknown/mystery/jsonschema/1-0-0"
   private val GeoCtxSchema = "iglu:com.snowplowanalytics.snowplow/geolocation_context/jsonschema/1-1-0"
   private val CliCtxSchema = "iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-0-1"
@@ -152,7 +160,9 @@ object Queries8 {
       // bound violation (qty), 6 nested required miss (meta.src), 7 array
       // items violation (codes element not an integer — JSON-Schema
       // items.type), 8 undeclared top-level key (additionalProperties:false)
-      val schemaStr = when(e % 11 === 2, lit(UnknownSchema)).otherwise(lit(KnownSchema))
+      val schemaStr = when(e % 11 === 2, lit(UnknownSchema))
+        .when(e % 11 === 9, lit(KnownSchemaV101)) // minor version: criterion-resolved, valid
+        .otherwise(lit(KnownSchema))
       val statusCycle = when(e % 3 === 0, lit("new")).when(e % 3 === 1, lit("paid")).otherwise(lit("refunded"))
       val dataJson =
         when(e % 11 === 0, lit("{\"qty\":2,\"status\":\"new\",\"meta\":{\"src\":\"web\"}}"))
@@ -185,7 +195,7 @@ object Queries8 {
       // pattern), qty (type, range), status (enum), meta.src (missing),
       // codes (items), then the closed-schema key sweep
       val badPairs: Seq[(Column, String, String)] = Seq(
-        (col("schema_str") =!= KnownSchema, "schema_unknown", null),
+        (!col("schema_str").rlike(KnownCriterionRe), "schema_unknown", null),
         (sku.isNull, "missing_field", "sku"),
         (!sku.rlike("^sku[0-9]+$"), "pattern_violation", "sku"),
         (qty.isNull && qtyRaw.isNotNull, "type_violation", "qty"),
@@ -331,7 +341,7 @@ object Queries8 {
          |  CASE WHEN bad_kind IS NULL THEN qty END AS qty
          |FROM (
          |  SELECT event_id, schema_str, sku, qty,
-         |    CASE WHEN schema_str <> '$KnownSchema' THEN 'schema_unknown'
+         |    CASE WHEN NOT regexp_matches(schema_str, '$KnownCriterionRe') THEN 'schema_unknown'
          |         WHEN sku IS NULL THEN 'missing_field'
          |         WHEN NOT regexp_matches(sku, '^sku[0-9]+$$') THEN 'pattern_violation'
          |         WHEN qty IS NULL AND qty_raw IS NOT NULL THEN 'type_violation'
@@ -341,7 +351,7 @@ object Queries8 {
          |         WHEN codes_present AND codes_bad THEN 'items_violation'
          |         WHEN unknown_key THEN 'unknown_key'
          |    END AS bad_kind,
-         |    CASE WHEN schema_str <> '$KnownSchema' THEN NULL
+         |    CASE WHEN NOT regexp_matches(schema_str, '$KnownCriterionRe') THEN NULL
          |         WHEN sku IS NULL THEN 'sku'
          |         WHEN NOT regexp_matches(sku, '^sku[0-9]+$$') THEN 'sku'
          |         WHEN qty IS NULL AND qty_raw IS NOT NULL THEN 'qty'
@@ -366,7 +376,9 @@ object Queries8 {
          |      len(list_filter(json_keys(data_json), k -> k NOT IN ('sku','qty','status','meta','codes'))) > 0 AS unknown_key
          |    FROM (
          |      SELECT event_id,
-         |        CASE WHEN event_id % 11 = 2 THEN '$UnknownSchema' ELSE '$KnownSchema' END AS schema_str,
+         |        CASE WHEN event_id % 11 = 2 THEN '$UnknownSchema'
+         |             WHEN event_id % 11 = 9 THEN '$KnownSchemaV101'
+         |             ELSE '$KnownSchema' END AS schema_str,
          |        CASE WHEN event_id % 11 = 0 THEN '{"qty":2,"status":"new","meta":{"src":"web"}}'
          |             WHEN event_id % 11 = 1 THEN '{"sku":"sku1","qty":"oops","status":"new","meta":{"src":"web"}}'
          |             WHEN event_id % 11 = 3 THEN '{"sku":"sku1","qty":2,"status":"bogus","meta":{"src":"web"}}'

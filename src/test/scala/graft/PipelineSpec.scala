@@ -118,6 +118,44 @@ class PipelineSpec extends SparkSpec {
     assert(out(12L).isEmpty) // well-typed array under the closed schema
   }
 
+  test("SchemaValidate resolves SchemaCriterion wildcards: 1-0-1 validates against 1-0-*") {
+    import spark.implicits._
+    import graft.enrich.{FieldSpec, SchemaCriterion, SchemaValidate}
+    val crit = "iglu:com.acme/add_to_cart/jsonschema/1-0-*"
+    val df = Seq(
+      (1L, "iglu:com.acme/add_to_cart/jsonschema/1-0-0", """{"sku":"sku1"}"""), // exact
+      (2L, "iglu:com.acme/add_to_cart/jsonschema/1-0-1", """{"sku":"sku2"}"""), // addition bump
+      (3L, "iglu:com.acme/add_to_cart/jsonschema/1-0-17", """{"qty":1}"""), // resolved AND field-checked
+      (4L, "iglu:com.acme/add_to_cart/jsonschema/1-1-0", """{"sku":"sku1"}"""), // revision bump: NOT matched
+      (5L, "iglu:com.acme/add_to_cart/jsonschema/2-0-0", """{"sku":"sku1"}""") // model bump: NOT matched
+    ).toDF("id", "schema_str", "ctx")
+    val v = SchemaValidate("ctx", "schema_str",
+      Map(crit -> Seq(FieldSpec("sku", required = true))))
+    val out = v(df.withColumn("bad_row_errors", array().cast("array<string>")))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L).size == 1 && out(3L).head.endsWith("missing_field sku"),
+      "criterion-resolved events get the field predicates")
+    assert(out(4L).size == 1 && out(4L).head.endsWith("schema_unknown"))
+    assert(out(5L).size == 1 && out(5L).head.endsWith("schema_unknown"))
+
+    // 1-*-* widens the revision slot too
+    val wide = SchemaValidate("ctx", "schema_str",
+      Map("iglu:com.acme/add_to_cart/jsonschema/1-*-*" -> Seq(FieldSpec("sku", required = true))))
+    val out2 = wide(df.withColumn("bad_row_errors", array().cast("array<string>")))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
+    assert(out2(4L).isEmpty)
+    assert(out2(5L).size == 1 && out2(5L).head.endsWith("schema_unknown"))
+
+    // malformed criteria fail at plan build, not per row
+    intercept[IllegalArgumentException](SchemaCriterion.regexFor("iglu:acme/cart/1-0-*"))
+    // vendor dots are literals in the compiled regex: comXacme must not match
+    val spoofed = v(Seq((9L, "iglu:comXacme/add_to_cart/jsonschema/1-0-0", """{"sku":"sku1"}"""))
+      .toDF("id", "schema_str", "ctx").withColumn("bad_row_errors", array().cast("array<string>")))
+      .collect().head.getAs[scala.collection.Seq[String]]("bad_row_errors")
+    assert(spoofed.size == 1 && spoofed.head.endsWith("schema_unknown"))
+  }
+
   test("ContextsValidate enrichment: per-element registry check, overflow flag") {
     import spark.implicits._
     import graft.enrich.ContextsValidate
