@@ -410,6 +410,102 @@ object UaF {
   def isMobile(ua: Column): Column =
     deviceClass(ua).isin("Phone", "Tablet")
 
+  // ---- device brand / model ----------------------------------------------
+  // Reference `registry/YauaaEnrichment.scala` emits deviceBrand/deviceName
+  // beyond the coarse class. Same declarative-rule-table design as the
+  // browser/OS cascades: ordered extraction regexes (group 1 = model,
+  // RE2-safe, shared verbatim with the DuckDB twin) + a prefix→brand table
+  // hand-curated from public device-code conventions (Samsung SM-/GT-,
+  // Google Pixel/Nexus, Xiaomi M2*/2YMMxxx codes, Huawei two-to-four-letter
+  // codes, Amazon KF*/AFT*, …).
+
+  /** Ordered model-extraction regexes; first non-empty group-1 wins.
+    *  1. Android "; model Build/" (locale segments skipped by the [;(]
+    *     anchor),
+    *  2. Android "...; model)" tail without Build,
+    *  3. bare vendor codes "XXX-YYY;" (Huawei ELS-NX9 behind HMSCore etc.),
+    *  4. Apple literals, 5. Lumia, 6. BlackBerry/PlayBook, 7. Kindle Fire
+    *     KF* codes, 8. KaiOS-era Nokia_ underscore names.
+    */
+  val DeviceModelRegexes: Seq[String] = Seq(
+    "[;(] ?([A-Za-z0-9 ._+-]+) Build/",
+    "Android [0-9][0-9._]*; ([A-Za-z0-9 ._+-]+)\\)",
+    "; ([A-Z]{2,4}-[A-Z0-9]{2,6})[;)]",
+    "\\((iPad|iPhone|iPod)",
+    "(Lumia [0-9]+[A-Za-z]*)",
+    "(BlackBerry [0-9]+|PlayBook)",
+    "(KF[A-Z][A-Z0-9]*|Kindle)",
+    "(Nokia_[A-Za-z0-9_]+)")
+
+  /** model-prefix → brand (first match wins; case-sensitive — the codes
+    * are). A model with no matching prefix reports brand "Unknown"; no
+    * model, null brand. */
+  val DeviceBrandPrefixes: Seq[(String, String)] = Seq(
+    "SM-" -> "Samsung", "GT-" -> "Samsung", "SGH-" -> "Samsung",
+    "SCH-" -> "Samsung", "SPH-" -> "Samsung", "SHV-" -> "Samsung",
+    "Galaxy" -> "Samsung",
+    "Pixel" -> "Google", "Nexus" -> "Google",
+    "iPhone" -> "Apple", "iPad" -> "Apple", "iPod" -> "Apple",
+    "Lumia" -> "Nokia", "Nokia" -> "Nokia",
+    "RMX" -> "Realme",
+    "CPH" -> "Oppo", "OPPO" -> "Oppo", "PCLM" -> "Oppo", "PGBM" -> "Oppo",
+    "ONEPLUS" -> "OnePlus", "KB20" -> "OnePlus", "LE21" -> "OnePlus",
+    "HD19" -> "OnePlus",
+    "M1" -> "Xiaomi", "M2" -> "Xiaomi", "MI " -> "Xiaomi", "Mi " -> "Xiaomi",
+    "MIBOX" -> "Xiaomi", "Redmi" -> "Xiaomi", "POCO" -> "Xiaomi",
+    "ELS-" -> "Huawei", "VOG-" -> "Huawei", "ANA-" -> "Huawei",
+    "NOH-" -> "Huawei", "LYA-" -> "Huawei", "EML-" -> "Huawei",
+    "CLT-" -> "Huawei", "ANE-" -> "Huawei", "JNY-" -> "Huawei",
+    "MediaPad" -> "Huawei", "HUAWEI" -> "Huawei", "AGS" -> "Huawei",
+    "vivo" -> "Vivo", "V2" -> "Vivo",
+    "Infinix" -> "Infinix", "TECNO" -> "Tecno", "itel" -> "Itel",
+    "moto" -> "Motorola", "Moto" -> "Motorola", "XT1" -> "Motorola",
+    "XT2" -> "Motorola",
+    "LM-" -> "LG", "LG-" -> "LG",
+    "HTC" -> "HTC",
+    "ASUS" -> "Asus", "ZenFone" -> "Asus",
+    "Lenovo" -> "Lenovo", "TB-" -> "Lenovo",
+    "SHIELD" -> "Nvidia",
+    "KF" -> "Amazon", "Kindle" -> "Amazon", "AFT" -> "Amazon",
+    "Xperia" -> "Sony", "SO-" -> "Sony", "SOV" -> "Sony", "BRAVIA" -> "Sony",
+    "BlackBerry" -> "BlackBerry", "PlayBook" -> "BlackBerry",
+    "RM-" -> "Nokia", "Hisense" -> "Hisense")
+
+  /** Xiaomi's unnamed numeric model codes: 2 + YMM + digits + region
+    * letters (2201116SG, 21091116AC, 23021RAAEG, …). */
+  val XiaomiNumericRe: String = "^2[0-9]{4,10}[A-Z]{0,5}$"
+
+  /** Raw hardware model from the UA, null when the UA names no device
+    * (desktop browsers, bots, SDK clients). */
+  def deviceModel(ua: Column): Column =
+    coalesce(DeviceModelRegexes.map(re => nullif(regexp_extract(ua, re, 1), lit(""))): _*)
+
+  /** Brand of [[deviceModel]]: prefix-table match, "Unknown" for an
+    * unrecognized model, null when there is no model. */
+  def deviceBrand(ua: Column): Column = brandOfModel(deviceModel(ua))
+
+  def brandOfModel(model: Column): Column = {
+    val cascade = DeviceBrandPrefixes.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (p, b)) => acc.when(model.startsWith(p), lit(b))
+    }
+    when(model.isNull, lit(null).cast("string"))
+      .otherwise(cascade.when(model.rlike(XiaomiNumericRe), lit("Xiaomi")).otherwise(lit("Unknown")))
+  }
+
+  // SQL twins (generated from the same tables; see the SQL section below
+  // for the house pattern)
+  def deviceModelSql(ua: String): String =
+    "coalesce(" + DeviceModelRegexes.map(re =>
+      s"nullif(regexp_extract($ua, '${re.replace("'", "''")}', 1), '')").mkString(", ") + ")"
+
+  def brandOfModelSql(model: String): String =
+    s"CASE WHEN $model IS NULL THEN NULL " +
+      DeviceBrandPrefixes.map { case (p, b) =>
+        s"WHEN starts_with($model, '${p.replace("'", "''")}') THEN '$b'"
+      }.mkString(" ") +
+      s" WHEN regexp_matches($model, '$XiaomiNumericRe') THEN 'Xiaomi'" +
+      " ELSE 'Unknown' END"
+
   // ---- DuckDB SQL twins (generated from the SAME rule tables) ------------
 
   private def hasSql(ua: String, t: String): String = s"position('$t' IN $ua) > 0"

@@ -185,6 +185,16 @@ object EnrichQueries {
         .groupBy("device_class", "is_mobile").agg(count(lit(1)).as("cnt"))
         .orderBy("device_class")),
 
+    "ua_device_model" -> ((sp, dir) =>
+      // hardware model + brand (reference registry/YauaaEnrichment.scala
+      // deviceBrand/deviceName): model extracted once, brand derived from
+      // the materialized column
+      raw(sp, dir)
+        .select(col("event_id"), UaF.deviceModel(col("ua")).as("dvce_model"))
+        .select(col("event_id"), col("dvce_model"),
+          UaF.brandOfModel(col("dvce_model")).as("dvce_brand"))
+        .orderBy("event_id")),
+
     "cookie_extract" -> ((sp, dir) =>
       raw(sp, dir).select(
         col("event_id"),
@@ -365,6 +375,11 @@ object EnrichQueries {
         s"""SELECT device_class, device_class IN ('Phone','Tablet') AS is_mobile, count(*) AS cnt
            |FROM (SELECT ${deviceClassSql("ua")} AS device_class FROM raw)
            |GROUP BY 1, 2 ORDER BY device_class""".stripMargin),
+
+      "ua_device_model" -> Synth.withCte(
+        s"""SELECT event_id, dvce_model, ${UaF.brandOfModelSql("dvce_model")} AS dvce_brand
+           |FROM (SELECT event_id, ${UaF.deviceModelSql("ua")} AS dvce_model FROM raw)
+           |ORDER BY event_id""".stripMargin),
 
       "cookie_extract" -> Synth.withCte(
         """SELECT event_id,

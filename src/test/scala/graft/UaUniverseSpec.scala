@@ -92,6 +92,48 @@ class UaUniverseSpec extends SparkSpec {
     assert(one("PostmanRuntime/7.36.0")._1 == "Robot")
   }
 
+  test("device model/brand: universe breadth and pinned vectors") {
+    val mb = Synth.UAs.toDF("ua")
+      .select(UaF.deviceModel(col("ua")).as("m"))
+      .select(col("m"), UaF.brandOfModel(col("m")).as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val models = mb.map(_._1).filter(_ != null).toSet
+    assert(models.size >= 50, s"universe yields only ${models.size} distinct device models")
+    assert(mb.count { case (m, b) => m != null && b == "Unknown" } == 0,
+      "every extracted model maps to a brand: " +
+        mb.filter(p => p._1 != null && p._2 == "Unknown").map(_._1).distinct.mkString(", "))
+
+    def one(ua: String): (String, String) = {
+      val r = Seq(ua).toDF("ua")
+        .select(UaF.deviceModel(col("ua")).as("m"))
+        .select(col("m"), UaF.brandOfModel(col("m")).as("b")).collect()(0)
+      (r.getString(0), r.getString(1))
+    }
+    // Android Build/ form, with locale segment skipped
+    assert(one("Mozilla/5.0 (Linux; U; Android 2.2; fr-fr; GT-P1000 Build/FROYO) AppleWebKit/533.1") ==
+      (("GT-P1000", "Samsung")))
+    // Android tail form without Build
+    assert(one("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36") == (("Pixel 8", "Google")))
+    assert(one("Mozilla/5.0 (Linux; Android 13; 2201116SG) AppleWebKit/537.36") == (("2201116SG", "Xiaomi")))
+    // vendor code buried behind extra segments (no Android-tail match)
+    assert(one("Mozilla/5.0 (Linux; Android 10; HarmonyOS; ELS-NX9; HMSCore 6.11.0.302) AppleWebKit/537.36") ==
+      (("ELS-NX9", "Huawei")))
+    // Apple literals
+    assert(one("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15") ==
+      (("iPhone", "Apple")))
+    assert(one("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15") == (("iPad", "Apple")))
+    // Windows Phone Lumia
+    assert(one("Mozilla/5.0 (compatible; MSIE 10.0; Windows Phone 8.0; Trident/6.0; IEMobile/10.0; ARM; Touch; NOKIA; Lumia 920)") ==
+      (("Lumia 920", "Nokia")))
+    // Fire TV stick via the Build form + AFT prefix
+    assert(one("Mozilla/5.0 (Linux; Android 9; AFTMM Build/PS7285.2877N) AppleWebKit/537.36") ==
+      (("AFTMM", "Amazon")))
+    // no device named: desktops, bots, SDK clients
+    assert(one("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36") == ((null, null)))
+    assert(one("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15") == ((null, null)))
+    assert(one("curl/8.4.0") == ((null, null)))
+  }
+
   test("os versions parse across new families") {
     def ver(ua: String): String = Seq(ua).toDF("ua")
       .select(UaF.osVersion(col("ua"))).collect()(0).getString(0)
