@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions._
   * Writes one JSON line to stdout AND scale_probe.json (repo cwd).
   */
 object BenchScale {
-  // the heaviest queries by BENCH_r05 + PLANS.md audit, one per family
+  // the heaviest queries by BENCH_r05 + PLANS.md audit, one per family,
+  // plus the three r6 bench-regression outliers (ua_device_class /
+  // thrift_payload_parse / schema_validate) so fixed vs data-proportional
+  // cost stays separated for the queries that actually moved
   private val Probes = Seq(
     "dedup_cluster", "dedup_minhash_keep", "para_dedup", "ngram_jaccard",
     "semdedup", "dedup_embedding_keep", "ann_ivf_int8",
     "q21_waiting", "q1_pricing", "ip_geo_lookup_v6", "enrich_pipeline",
-    "sessionize")
+    "sessionize", "ua_device_class", "thrift_payload_parse", "schema_validate")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
