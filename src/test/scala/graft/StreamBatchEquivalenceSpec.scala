@@ -67,6 +67,51 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EnrichStream over three micro-batches == batch pipeline on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the real sf0.001 events, streamed in three chunks through the SAME
+    // EnrichmentPipeline instance the batch side runs — the reference's
+    // actual core promise (its kinesis/pubsub/fs apps wrap one enrichEvent)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("props"), col("ts_us"))
+      .as[(Long, Long, String, Double, String, Long)].collect().sortBy(_._1)
+    assert(ev.length >= 1000)
+
+    val pipeline = graft.queries.PipelineQuery.pipeline
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).toIndexedSeq.sorted
+    }
+
+    val batchOut = pipeline.run(
+      graft.queries.Synth.withRaw(ev.toSeq.toDF("event_id", "user_id", "event_type", "value", "props", "ts_us")))
+
+    val mem = MemoryStream[(Long, Long, String, Double, String, Long)]
+    val enriched = graft.streaming.EnrichStream.enrich(
+      graft.queries.Synth.withRaw(
+        mem.toDF().toDF("event_id", "user_id", "event_type", "value", "props", "ts_us")),
+      pipeline)
+    val q = enriched.writeStream.format("memory").queryName("sbe_enrich")
+      .outputMode("append").start()
+    try {
+      ev.grouped((ev.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamOut = spark.sql("SELECT * FROM sbe_enrich")
+      assert(streamOut.columns.sorted.toSeq == batchOut.columns.sorted.toSeq,
+        "stream and batch enriched schemas differ")
+      val (s, b) = (canon(streamOut), canon(batchOut))
+      assert(s.length == b.length, s"row counts differ: stream=${s.length} batch=${b.length}")
+      s.zip(b).zipWithIndex.foreach { case ((sr, br), i) =>
+        assert(sr == br, s"enriched row $i differs:\n stream=$sr\n batch =$br")
+      }
+    } finally q.stop()
+  }
+
   test("StreamDedup on events == batch dropDuplicates on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
