@@ -442,6 +442,63 @@ final case class IabBotDetection(
   }
 }
 
+object IabBotDetection {
+  /** Build the list-configured detector from the IAB membership files
+    * themselves: active exclude-file patterns become UA substrings, bare
+    * (/32) IP lines become the IP list. CIDR ranges wider than /32 and the
+    * include-allowlist semantics need [[IabSpidersRobots]] — this bridge
+    * keeps the simple substring detector constructible from the real files
+    * without changing its behavior or the iab_bot oracle. */
+  def fromIabFiles(
+    ipFile: String,
+    excludeFile: String,
+    uaCol: String = "ua",
+    ipCol: String = "user_ipaddress"
+  ): IabBotDetection = {
+    import java.nio.charset.StandardCharsets
+    import scala.jdk.CollectionConverters._
+    def read(p: String) =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p), StandardCharsets.UTF_8)
+        .asScala.iterator
+    val ips = read(ipFile).map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => !l.contains("/") || l.endsWith("/32"))
+      .map(_.stripSuffix("/32")).toSeq
+    val uas = IabFiles.parseExcludeFile(read(excludeFile)).map(_.pattern).toSeq
+    IabBotDetection(uaCol, ipCol, botIpList = ips, botUaSubstrings = uas)
+  }
+}
+
+/** Full-fidelity IAB spiders & robots classification from the membership
+  * files (reference `registry/IabEnrichment.scala`): IP-exclude CIDRs →
+  * UA include allowlist → UA exclude list with per-rule exceptions, in the
+  * reference client's check order, emitting its four output fields
+  * (`spiderOrRobot`, `category`, `reason`, `primaryImpact`). One codegen'd
+  * expression per row ([[graft.plans.IabCheckExpression]]); the files parse
+  * once on the driver ([[IabFiles]]). */
+final case class IabSpidersRobots(
+  cfg: IabFiles.Config,
+  uaCol: String = "ua",
+  ipCol: String = "user_ipaddress"
+) extends Enrichment {
+  val name = "iab_spiders_robots"
+  def apply(df: DataFrame): DataFrame = {
+    val checked = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.IabCheckExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(uaCol).cast("string")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(ipCol).cast("string")),
+        cfg))
+    df.withColumn("__iab_check", checked)
+      .withColumn("iab_reason", substring_index(col("__iab_check"), "|", 1))
+      .withColumn("iab_primary_impact", substring_index(col("__iab_check"), "|", -1))
+      .withColumn("iab_category",
+        when(col("iab_reason") === "PASSED_ALL", lit("BROWSER"))
+          .when(col("iab_reason").isNotNull, lit("SPIDER_OR_ROBOT")))
+      .withColumn("iab_spider_or_robot", col("iab_category") === "SPIDER_OR_ROBOT")
+      .drop("__iab_check")
+  }
+}
+
 /** Combined bot signal (reference `registry/BotDetectionEnrichment.scala`):
   * folds the per-source indicators other enrichments already derived — the
   * UA device-class robot signal (the reference's yauaa indicator), the IAB

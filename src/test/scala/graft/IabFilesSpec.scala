@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.{IabBotDetection, IabFiles, IabSpidersRobots}
+
+/** IAB/ABC spiders-and-robots file ingestion: the three membership files in
+  * the public layout (CIDR IP excludes; pipe-delimited, URL-encoded,
+  * comment-bearing UA include/exclude lists) parse into the config the
+  * codegen'd check consumes, and the check reproduces the reference
+  * `IabEnrichmentSpec` behavior table: IP exclude → UA include allowlist →
+  * UA exclude with exceptions.
+  */
+class IabFilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fixtures in the exact file layout (content is this repo's own)
+  private val ipLines = Seq(
+    "# ABC robot IP ranges",
+    "131.52.0.0/15",
+    "215.151.101.210",
+    "192.168.151.21",
+    "10.42.0.0/16")
+  private val excludeLines = Seq(
+    "# pattern|active|exceptions|startOnly|primaryImpact|flag",
+    "badfetcher|1||0|2|0",
+    "cache+content+service|1||0|0|0",
+    "xonitor|1||0|1|0",
+    "goodbrowser|1|goodbrowser+pro, GoodBrowserX|0|1|0",
+    "Robot At The Start|1||1|2|1",
+    "#commented+robot|1||1|2|0",
+    "inactive+robot|0||0|0|0|12/20/2011")
+  private val includeLines = Seq(
+    "# pattern|active|startOnly",
+    "Xdroid|1|1",
+    "mozilla/5.0%20(goodos)|1|1",
+    "goodbrowser|1|0",
+    "Inactive Browser|0|0|03/30/2017")
+
+  private val cfg = IabFiles.load(ipLines.iterator, excludeLines.iterator, includeLines.iterator)
+
+  test("file parsing: comments, URL-encoding, active flags, CIDR merge") {
+    assert(cfg.ipIntervals.length % 2 == 0 && cfg.ipIntervals.length / 2 == 4)
+    assert(cfg.include.map(_.pattern).toSeq ==
+      Seq("xdroid", "mozilla/5.0 (goodos)", "goodbrowser"), "decoded, lowercased, inactive dropped")
+    assert(cfg.exclude.map(_.pattern).toSeq ==
+      Seq("badfetcher", "cache content service", "xonitor", "goodbrowser", "robot at the start"))
+    assert(cfg.exclude.find(_.pattern == "goodbrowser").get.exceptions.toSeq ==
+      Seq("goodbrowser pro", "goodbrowserx"))
+    assert(cfg.exclude.find(_.pattern == "robot at the start").get.startOnly)
+  }
+
+  test("check order and semantics mirror the reference behavior table") {
+    def check(ua: String, ip: String): String = IabFiles.check(ua, ip, cfg)
+    // valid UA, clean IP → BROWSER
+    assert(check("Xdroid", "192.168.0.1") == "PASSED_ALL|NONE")
+    // valid UA, excluded IP → IP exclude wins (bare-IP /32 line)
+    assert(check("Xdroid", "192.168.151.21") == "FAILED_IP_EXCLUDE|UNKNOWN")
+    // CIDR membership, including range ends
+    assert(check("Xdroid", "131.52.7.9") == "FAILED_IP_EXCLUDE|UNKNOWN")
+    assert(check("Xdroid", "131.53.255.255") == "FAILED_IP_EXCLUDE|UNKNOWN")
+    assert(check("Xdroid", "131.54.0.0") == "PASSED_ALL|NONE")
+    // UA not on the include allowlist → FAILED_UA_INCLUDE (even though
+    // xonitor is ALSO an exclude pattern — include is checked first)
+    assert(check("xonitor", "192.168.0.1") == "FAILED_UA_INCLUDE|UNKNOWN")
+    // included but exclude-listed → FAILED_UA_EXCLUDE with the rule impact
+    assert(check("GoodBrowser/1.0", "192.168.0.1") == "FAILED_UA_EXCLUDE|PAGE_IMPRESSIONS")
+    // the rule's exception substring vetoes the exclusion
+    assert(check("GoodBrowser Pro/2.0", "192.168.0.1") == "PASSED_ALL|NONE")
+    // start-anchored include: pattern elsewhere in the UA does not count
+    assert(check("prefix Xdroid", "192.168.0.1") == "FAILED_UA_INCLUDE|UNKNOWN")
+    // case-insensitive matching on both lists
+    assert(check("XDROID", "192.168.0.1") == "PASSED_ALL|NONE")
+    // %20-decoded include pattern, start-anchored
+    assert(check("Mozilla/5.0 (GoodOS) Extra/1.0", "192.168.0.1") == "PASSED_ALL|NONE")
+  }
+
+  test("IabSpidersRobots enrichment emits the reference's four fields via one codegen'd kernel") {
+    val df = Seq(
+      (1L, "Xdroid", "192.168.0.1"),
+      (2L, "Xdroid", "192.168.151.21"),
+      (3L, "xonitor", "192.168.0.1"),
+      (4L, "GoodBrowser/1.0", "192.168.0.1"),
+      (5L, null.asInstanceOf[String], "192.168.0.1")
+    ).toDF("id", "ua", "user_ipaddress")
+    val out = IabSpidersRobots(cfg)(df).orderBy("id")
+      .select("iab_spider_or_robot", "iab_category", "iab_reason", "iab_primary_impact")
+      .collect().map(r => (r.getAs[Any](0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out(0) == ((false, "BROWSER", "PASSED_ALL", "NONE")))
+    assert(out(1) == ((true, "SPIDER_OR_ROBOT", "FAILED_IP_EXCLUDE", "UNKNOWN")))
+    assert(out(2) == ((true, "SPIDER_OR_ROBOT", "FAILED_UA_INCLUDE", "UNKNOWN")))
+    assert(out(3) == ((true, "SPIDER_OR_ROBOT", "FAILED_UA_EXCLUDE", "PAGE_IMPRESSIONS")))
+    assert(out(4) == ((null, null, null, null)), "null ua → null outputs")
+  }
+
+  test("IabBotDetection.fromIabFiles: the simple detector builds from real-format files") {
+    val dir = Files.createTempDirectory("iab_files")
+    val ipF = dir.resolve("ip_exclude_current_cidr.txt")
+    val exF = dir.resolve("exclude_current.txt")
+    Files.write(ipF, ipLines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(exF, excludeLines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val det = IabBotDetection.fromIabFiles(ipF.toString, exF.toString)
+    assert(det.botIpList == Seq("131.52.0.0/15", "215.151.101.210", "192.168.151.21", "10.42.0.0/16")
+      .filter(l => !l.contains("/")) ++ Seq(), "only bare (/32) lines feed the equality list")
+    assert(det.botUaSubstrings.contains("xonitor") && det.botUaSubstrings.contains("cache content service"))
+
+    val out = det(Seq(
+      (1L, "my xonitor agent", "1.2.3.4"),
+      (2L, "Mozilla/5.0", "215.151.101.210"),
+      (3L, "Mozilla/5.0", "1.2.3.4")
+    ).toDF("id", "ua", "user_ipaddress")).orderBy("id")
+      .select("iab_spider_or_robot", "iab_category").collect()
+      .map(r => (r.getBoolean(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (true, "SPIDER_OR_ROBOT"), (true, "BROWSER_IP_EXCLUDED"), (false, "BROWSER")))
+  }
+}
