@@ -68,6 +68,73 @@ object Queries11 {
       |             data: { n: n, tier: tier, even: n % 2 == 0 } } ]
       |}""".stripMargin
 
+  /** The semdedup plan (SemDeDup, Abbas et al. 2023). k GROWS with N (~125
+    * vectors per cell keeps the within-cell pairwise pass linear in corpus
+    * size — fixed k would make it N²/k; the r6 scale probe measured 23x at
+    * 10x data before semKFor). Both engines derive k from the same count,
+    * so the oracle stays exact at every SF.
+    *
+    * Two assignment paths, identical output (SemdedupPathsSpec pins it):
+    *  - literal (default, k ≤ 4096): centroids fold into the plan as
+    *    literals (~2 MB at the cap), assignment is a NARROW projection —
+    *    no join, no shuffle.
+    *  - broadcastCentroids (the >512k-vector path): centroids stay a
+    *    DataFrame, assignment is a broadcast nested-loop join + partial-agg
+    *    argmax (same max-cosine-then-lowest-cell tie order via the same
+    *    (s, negc) struct compare; map-side partial agg collapses the N·k
+    *    expansion to one row per vector before the shuffle, so the exchange
+    *    stays N rows). No driver collect at all on this path.
+    */
+  private[queries] def semdedupWith(
+    sp: SparkSession,
+    dir: String,
+    broadcastCentroids: Boolean,
+    kOverride: Option[Int] = None
+  ): DataFrame = {
+    val k = kOverride.getOrElse(semKFor(Tables.embeddings(sp, dir).count()))
+    val aug = Queries3.augmentedEmbeddings(sp, dir).withColumn("nrm", SimF.norm(col("v")))
+    // persisted via CacheScope: feeds both self-join sides AND the final
+    // anti-join (unpersisting here would fire at PLAN time, before the
+    // query ever runs — the caller releases after materializing)
+    val assign = graft.util.CacheScope.track(
+      if (!broadcastCentroids) {
+        // centroids: the first-k demo "training" output, collected as
+        // plan-time literals (k×64 doubles; operators.KMeans is the real
+        // trainer, oracle-checked via ann_ivf_kmeans rows)
+        val cents: Seq[(Long, Seq[Double], Double)] = Tables.embeddings(sp, dir)
+          .filter(col("vec_id") < k).orderBy("vec_id")
+          .select(col("vec_id"), col("embedding"))
+          .collect().toSeq
+          .map { r =>
+            val cv = r.getSeq[Float](1).map(_.toDouble).toSeq
+            (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+          }
+        aug.withColumn("cell", SimF.argmaxCell(col("v"), col("nrm"), cents))
+      } else {
+        val centsDf = Tables.embeddings(sp, dir).filter(col("vec_id") < k)
+          .select(col("vec_id").as("cell_c"),
+            transform(col("embedding"), x => x.cast("double")).as("cv"))
+          .withColumn("cnorm", SimF.norm(col("cv")))
+        aug.crossJoin(broadcast(centsDf))
+          .withColumn("cos", SimF.dot(col("v"), col("cv")) / (col("nrm") * col("cnorm")))
+          .groupBy(col("vec_id"))
+          .agg(
+            max(struct(col("cos").as("s"), (col("cell_c") * -1L).as("negc"))).as("m"),
+            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            (col("m").getField("negc") * -1L).as("cell"))
+      })
+    val a = assign.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = assign.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(SimF.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= SemThreshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assign.select(col("vec_id"), col("cell"))
+      .join(removed, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** 5-token paragraph chunks of the normalized token array. */
   private def parasOf(toks: Column): Column =
     when(size(toks) > 0,
@@ -88,42 +155,7 @@ object Queries11 {
         .orderBy("event_id")
     },
 
-    "semdedup" -> { (sp, dir) =>
-      // k GROWS with N (the SemDeDup paper's own scaling): ~125 vectors per
-      // cell keeps the within-cell pairwise pass linear in corpus size —
-      // fixed k would make it N²/k (the r6 scale probe measured 23x at 10x
-      // data before this). Both engines derive k from the same count, so the
-      // oracle stays exact at every SF. Literal centroids cap at 4096 cells
-      // (~2 MB of plan literals); past that the ann_ivf broadcast-join path
-      // is the design.
-      val k = semKFor(Tables.embeddings(sp, dir).count())
-      // centroids: the first-k demo "training" output, collected as plan-time
-      // literals (k×64 doubles; operators.KMeans is the real trainer,
-      // oracle-checked via ann_ivf_kmeans rows)
-      val cents: Seq[(Long, Seq[Double], Double)] = Tables.embeddings(sp, dir)
-        .filter(col("vec_id") < k).orderBy("vec_id")
-        .select(col("vec_id"), col("embedding"))
-        .collect().toSeq
-        .map { r =>
-          val cv = r.getSeq[Float](1).map(_.toDouble).toSeq
-          (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
-        }
-      // persisted via CacheScope: feeds both self-join sides AND the final
-      // anti-join (unpersisting here would fire at PLAN time, before the
-      // query ever runs — the caller releases after materializing)
-      val assign = graft.util.CacheScope.track(Queries3.augmentedEmbeddings(sp, dir)
-        .withColumn("nrm", SimF.norm(col("v")))
-        .withColumn("cell", SimF.argmaxCell(col("v"), col("nrm"), cents)))
-      val a = assign.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = assign.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      val removed = a.join(b, Seq("cell"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(SimF.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= SemThreshold)
-        .select(col("id_b").as("vec_id")).distinct()
-      assign.select(col("vec_id"), col("cell"))
-        .join(removed, Seq("vec_id"), "left_anti")
-        .orderBy("vec_id")
-    },
+    "semdedup" -> { (sp, dir) => semdedupWith(sp, dir, broadcastCentroids = false) },
 
     "text_repetition" -> { (sp, dir) =>
       val d = col("doc_id")

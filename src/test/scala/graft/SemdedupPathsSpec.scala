@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+
+/** The two semdedup centroid-assignment paths — plan-literal (k ≤ 4096) and
+  * broadcast-join (the >512k-vector scale path) — must produce IDENTICAL
+  * survivors and cell assignments: same centroid set, same left-fold cosine,
+  * same max-cosine-then-lowest-cell tie order. Pinned here at toy scale so
+  * the documented cap escape is real, not a comment.
+  */
+class SemdedupPathsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(broadcastPath: Boolean): Seq[(Long, Long)] = {
+    val out = Queries11.semdedupWith(spark, dir, broadcastCentroids = broadcastPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.util.CacheScope.release(spark)
+    spark.catalog.clearCache()
+    out
+  }
+
+  test("literal and broadcast centroid paths produce identical semdedup output") {
+    val literal = run(broadcastPath = false)
+    val bcast = run(broadcastPath = true)
+    assert(literal.nonEmpty, "toy corpus must produce survivors")
+    assert(literal.size < Queries3.augmentedEmbeddings(spark, dir).count(),
+      "the planted near-dups must actually be removed")
+    assert(literal == bcast,
+      s"paths diverge: literal=${literal.size} rows, broadcast=${bcast.size} rows; " +
+        s"first diff=${literal.zip(bcast).find(p => p._1 != p._2)}")
+  }
+
+  test("broadcast path honors an explicit k (the uncapped regime)") {
+    val literal = Queries11.semdedupWith(spark, dir, broadcastCentroids = false, kOverride = Some(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.util.CacheScope.release(spark); spark.catalog.clearCache()
+    val bcast = Queries11.semdedupWith(spark, dir, broadcastCentroids = true, kOverride = Some(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.util.CacheScope.release(spark); spark.catalog.clearCache()
+    assert(literal == bcast)
+    assert(literal.map(_._2).distinct.size > 8, "k=16 must actually spread cells")
+  }
+
+  test("the broadcast path's plan broadcasts the centroids and carries no centroid literals") {
+    val plan = Queries11.semdedupWith(spark, dir, broadcastCentroids = true)
+      .queryExecution.executedPlan.toString
+    graft.util.CacheScope.release(spark); spark.catalog.clearCache()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+}
