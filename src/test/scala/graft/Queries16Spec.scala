@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators: planted-path guarantees the oracle rows alone don't
+  * pin — Bloom has NO false negatives (its defining property), every
+  * dominant-script branch fires, and embedding decontamination catches
+  * both exact and near-duplicate benchmark leaks.
+  */
+class Queries16Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_bloom: no false negatives — every batch fp present in shipped is flagged") {
+    val out = SparkEntry.queries("dedup_bloom")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // planted cross-side duplicates (batch %3==1 ∧ %7==2 share the shipped
+    // boilerplate) MUST hit
+    val planted = out.keys.filter(id => id % 3 == 1 && id % 7 == 2)
+    assert(planted.nonEmpty)
+    planted.foreach(id => assert(out(id), s"planted duplicate $id missed — Bloom false negative"))
+    // and some batch docs must NOT be in the filter (it's not all-ones)
+    assert(out.values.count(_ == false) > 0, "filter saturated — m too small for the corpus")
+  }
+
+  test("dedup_bloom: flagged set ⊇ true membership (false positives allowed, bounded)") {
+    import graft.queries.Queries16
+    val docs = Queries16.bloomDocsForSpec(spark, dir)
+    val shippedFps = docs.filter(col("doc_id") % 3 =!= 1)
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+      .select("doc_id", "fp").collect().map(r => r.getLong(0) -> r.getString(1))
+    val out = SparkEntry.queries("dedup_bloom")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val trueMembers = batch.filter(p => shippedFps.contains(p._2)).map(_._1).toSet
+    trueMembers.foreach(id => assert(out(id), s"true member $id not flagged"))
+    val fp = out.count { case (id, in) => in && !trueMembers.contains(id) }
+    assert(fp.toDouble / out.size < 0.2, s"false-positive rate $fp/${out.size} — m/k mistuned")
+  }
+
+  test("text_script: every dominant-script branch fires and counts are consistent") {
+    val rows = SparkEntry.queries("text_script")(spark, dir).collect()
+    val scripts = rows.map(_.getAs[String]("script")).toSet
+    assert(Set("Latin", "Cyrillic", "Han", "Arabic", "Greek").subsetOf(scripts), scripts.toString)
+    rows.foreach { r =>
+      val counts = Map(
+        "Latin" -> r.getAs[Long]("n_latin"), "Cyrillic" -> r.getAs[Long]("n_cyrillic"),
+        "Han" -> r.getAs[Long]("n_han"), "Arabic" -> r.getAs[Long]("n_arabic"),
+        "Greek" -> r.getAs[Long]("n_greek"))
+      assert(counts(r.getAs[String]("script")) == counts.values.max,
+        s"dominant script is not the max count: $counts vs ${r.getAs[String]("script")}")
+    }
+  }
+
+  test("decontaminate_embedding: exact and near-dup benchmark leaks both flag") {
+    val out = SparkEntry.queries("decontaminate_embedding")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    // the benchmark vectors themselves are in the corpus: cos exactly 1
+    val self = out.filter(r => r._1 % 50 == 0 && r._1 < 1000000L)
+    assert(self.nonEmpty && self.forall(r => r._3 && r._2 == 1000000L),
+      "benchmark self-matches must flag at cos 1.0")
+    // planted near-dups of %100==0 bases (plant stride 25 ∧ bench stride 50)
+    val near = out.filter(r => r._1 >= 1000000L &&
+      (r._1 - 1000000L) % 100 == 0)
+    assert(near.nonEmpty && near.forall(_._3), "planted near-dup leaks must flag")
+    assert(near.forall(r => r._2 < 1000000L && r._2 > 950000L), "near-dup cos should be ~0.996")
+    assert(out.count(!_._3) > 0, "unrelated vectors must not flag")
+  }
+}
