@@ -36,15 +36,12 @@ object Queries16 {
   private[queries] val BloomBoiler =
     "shared boilerplate page please subscribe to our newsletter"
 
-  private def nibVal(c: Column): Column =
-    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
-
-  /** First 16 bits of md5(salt ++ fp) mod m — one Bloom position. */
-  private def bloomPos(salt: String, fp: Column): Column = {
-    val h = md5(concat(lit(salt), fp).cast("binary"))
-    (nibVal(substring(h, 1, 1)) * 4096 + nibVal(substring(h, 2, 1)) * 256 +
-      nibVal(substring(h, 3, 1)) * 16 + nibVal(substring(h, 4, 1))) % BloomBits
-  }
+  /** First 16 bits of md5(salt ++ fp) mod m — one Bloom position.
+    * `conv(hex, 16, 10)` is the nibble-CASE cascade the DuckDB twin spells
+    * out, folded to one call — same value, an 8x smaller plan. */
+  private def bloomPos(salt: String, fp: Column): Column =
+    conv(substring(md5(concat(lit(salt), fp).cast("binary")), 1, 4), 16, 10)
+      .cast("int") % BloomBits
 
   private def nibSql(x: String): String =
     s"(CASE WHEN ascii($x) <= 57 THEN ascii($x) - 48 ELSE ascii($x) - 87 END)"
@@ -102,15 +99,16 @@ object Queries16 {
         .groupBy("w").agg(expr("bit_or(bitv)").as("bits"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val bloom = (0 until BloomWords).map(i => wordRows.getOrElse(i, 0L))
-      // probe: NARROW — three word lookups + bit tests per row, no join
-      val hits = BloomSalts.map { s =>
-        val pos = bloomPos(s, col("fp"))
+      // probe: NARROW — three word lookups + bit tests per row, no join;
+      // forall over the position array binds the filter literal ONCE
+      val posArr = array(BloomSalts.map(s => bloomPos(s, col("fp"))): _*)
+      val hit = forall(posArr, { pos =>
         val word = element_at(typedLit(bloom), (pos / 32).cast("int") + 1)
         val bitv = pow(lit(2.0), (pos % 32).cast("double")).cast("long")
         ((word / bitv).cast("bigint") % 2) === 1
-      }
+      })
       batch
-        .select(col("doc_id"), hits.reduce(_ && _).as("in_bloom"))
+        .select(col("doc_id"), hit.as("in_bloom"))
         .orderBy("doc_id")
     },
 
