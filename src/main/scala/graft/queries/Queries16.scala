@@ -25,6 +25,13 @@ import graft.functions.{SimF, TextF}
   *    benchmark slice is BROADCAST (eval suites are fixed-size), the
   *    corpus side stays one narrow scan + partial-agg max — no shuffle
   *    proportional to corpus × benchmark.
+  *  - `perplexity_bucket`: CCNet-style (Wenzek et al. 2020) head/middle/
+  *    tail terciles by unigram-LM score per source. Deliberately NOT
+  *    `ntile` over a doc-level window (that is one reducer per source at
+  *    100 TB): tercile thresholds are exact via a VALUE-HISTOGRAM
+  *    cumulative window — the window runs over distinct integer-milli
+  *    scores per source (bounded domain), and docs get buckets back
+  *    through a broadcast join on (source, score). Ties share a bucket.
   */
 object Queries16 {
   type Q = (SparkSession, String) => DataFrame
@@ -145,6 +152,33 @@ object Queries16 {
         .orderBy("doc_id")
     },
 
+    "perplexity_bucket" -> { (sp, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lm = map(Queries13.UnigramLm.flatMap { case (w, lp) => Seq(lit(w), lit(lp)) }: _*)
+      val scored = Tables.documents(sp, dir)
+        .select(col("doc_id"), col("source"), explode(TextF.tokens(col("text"))).as("tok"))
+        .withColumn("lp", coalesce(element_at(lm, col("tok")), lit(Queries13.OovMilli)))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("CAST(sum(lp) AS BIGINT) div count(*)").as("lp_avg_milli"))
+      // histogram over distinct (source, score): the only windowed relation
+      val hist = scored.groupBy(col("source"), col("lp_avg_milli"))
+        .agg(count(lit(1)).as("cnt"))
+      val desc = Window.partitionBy("source").orderBy(col("lp_avg_milli").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val buckets = hist
+        .withColumn("cum", sum(col("cnt")).over(desc))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("source")))
+        .withColumn("bucket",
+          when(col("cum") <= expr("(n + 2) div 3"), lit("head"))
+            .when(col("cum") <= expr("(2 * n + 2) div 3"), lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col("source"), col("lp_avg_milli"), col("bucket"))
+      scored.join(broadcast(buckets), Seq("source", "lp_avg_milli"))
+        .select(col("doc_id"), col("source"), col("lp_avg_milli"), col("bucket"),
+          (col("bucket") =!= "tail").as("keep"))
+        .orderBy("doc_id")
+    },
+
     "decontaminate_embedding" -> { (sp, dir) =>
       // benchmark slice: every 50th base vector (fixed-size eval suite);
       // corpus: the augmented embeddings — planted near-dups of %100==0
@@ -227,6 +261,37 @@ object Queries16 {
          |       WHEN n_arabic >= n_greek THEN 'Arabic'
          |       ELSE 'Greek' END AS script
          |FROM counted ORDER BY doc_id""".stripMargin
+    },
+
+    "perplexity_bucket" -> {
+      val cases = Queries13.UnigramLm.map { case (w, lp) => s"WHEN tok = '$w' THEN $lp" }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, CAST(sum(lp) AS BIGINT) // count(*) AS lp_avg_milli
+         |  FROM (
+         |    SELECT doc_id, source, CASE $cases ELSE ${Queries13.OovMilli} END AS lp
+         |    FROM (
+         |      SELECT doc_id, source, unnest(${TextF.TokensSql}) AS tok
+         |      FROM documents) toks) lps
+         |  GROUP BY doc_id, source
+         |), hist AS (
+         |  SELECT source, lp_avg_milli, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM scored GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, lp_avg_milli,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY lp_avg_milli DESC
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM hist
+         |), buckets AS (
+         |  SELECT source, lp_avg_milli,
+         |    CASE WHEN c <= (n + 2) // 3 THEN 'head'
+         |         WHEN c <= (2 * n + 2) // 3 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM cum
+         |)
+         |SELECT s.doc_id, s.source, s.lp_avg_milli, b.bucket, b.bucket <> 'tail' AS keep
+         |FROM scored s JOIN buckets b USING (source, lp_avg_milli)
+         |ORDER BY s.doc_id""".stripMargin
     },
 
     "decontaminate_embedding" ->

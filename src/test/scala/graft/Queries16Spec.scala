@@ -51,6 +51,24 @@ class Queries16Spec extends SparkSpec {
     }
   }
 
+  test("perplexity_bucket: per-source terciles are ordered, exhaustive, and balanced") {
+    val rows = SparkEntry.queries("perplexity_bucket")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("lp_avg_milli"),
+        r.getAs[String]("bucket"), r.getAs[Boolean]("keep")))
+    rows.foreach { case (_, _, b, keep) => assert(keep == (b != "tail")) }
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val byBucket = docs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$src missing a bucket: ${byBucket.keySet}")
+      // value-ordered: every head score >= every middle score >= every tail score
+      assert(byBucket("head").min >= byBucket("middle").max, s"$src head/middle overlap")
+      assert(byBucket("middle").min >= byBucket("tail").max, s"$src middle/tail overlap")
+      // balanced up to tie-straddle slop: no bucket under 1/5 of the source
+      byBucket.foreach { case (b, xs) =>
+        assert(xs.size * 5 >= docs.size, s"$src bucket $b too small: ${xs.size}/${docs.size}")
+      }
+    }
+  }
+
   test("decontaminate_embedding: exact and near-dup benchmark leaks both flag") {
     val out = SparkEntry.queries("decontaminate_embedding")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
