@@ -59,6 +59,9 @@ object JsAst {
   case object Break extends Stmt
   case object Continue extends Stmt
   final case class Block(stmts: List[Stmt]) extends Stmt
+  /** `switch (disc) { case e: …; default: … }` — clause order preserved;
+    * `None` label = the default clause; fall-through until `break`. */
+  final case class Switch(disc: Expr, cases: List[(Option[Expr], List[Stmt])]) extends Stmt
   final case class FuncDecl(name: String, params: List[String], body: List[Stmt]) extends Stmt
   final case class TryStmt(block: List[Stmt], catchParam: Option[String], catchBlock: Option[List[Stmt]], finallyBlock: Option[List[Stmt]]) extends Stmt
 

@@ -168,6 +168,15 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
         }
       case Return(e) => throw new ReturnEx(e.map(eval(_, env)).getOrElse(JsUndef))
       case Throw(e) => throw JsThrown(eval(e, env))
+      case Switch(disc, cases) =>
+        val d = eval(disc, env)
+        // JS order: case expressions evaluate top-down until the first
+        // strict-equal match; then execution falls through until break
+        val matched = cases.indexWhere(_._1.exists(e => strictEq(d, eval(e, env))))
+        val start = if (matched >= 0) matched else cases.indexWhere(_._1.isEmpty)
+        if (start >= 0)
+          try cases.drop(start).foreach(_._2.foreach(exec(_, env)))
+          catch { case _: BreakEx => () }
       case Break => throw breakEx
       case Continue => throw continueEx
       case FuncDecl(name, params, body) =>

@@ -22,12 +22,12 @@ object JsLexer {
     "var", "let", "const", "function", "return", "if", "else", "for", "while",
     "do", "break", "continue", "throw", "try", "catch", "finally", "new",
     "typeof", "delete", "in", "of", "instanceof", "null", "undefined", "true",
-    "false", "this", "void",
+    "false", "this", "void", "switch", "case", "default",
     // reserved-unsupported: recognized so the parser can fail COMPILE with an
     // actionable message instead of silently misparsing them as identifiers
     // (`with (o) {}` would otherwise parse as a call + block)
     "with", "class", "extends", "super", "yield", "await", "import", "export",
-    "switch", "debugger", "enum")
+    "debugger", "enum")
 
   // longest-first so '===' wins over '==' wins over '='
   private val Puncts = Array(

@@ -53,11 +53,31 @@ object JsParser {
       // reserved-unsupported constructs fail COMPILE with guidance, never
       // silently partially evaluate (the graft.js subset boundary; see
       // README "graft.js subset")
-      case TKeyword(k @ ("with" | "class" | "switch" | "import" | "export" | "debugger"), _) =>
+      case TKeyword(k @ ("with" | "class" | "import" | "export" | "debugger"), _) =>
         throw ParseError(
           s"unsupported construct '$k': graft.js is an ES5 subset " +
-            "(no with/class/switch/modules) — rewrite with if/else chains and plain objects",
+            "(no with/class/modules) — rewrite with plain objects and functions",
           peek.pos)
+      case TKeyword("switch", _) =>
+        next(); eatPunct("(")
+        val disc = expression()
+        eatPunct(")"); eatPunct("{")
+        val cases = List.newBuilder[(Option[Expr], List[Stmt])]
+        var sawDefault = false
+        while (!isPunct("}")) {
+          val label: Option[Expr] =
+            if (isKw("case")) { next(); val e = expression(); eatPunct(":"); Some(e) }
+            else if (isKw("default")) {
+              if (sawDefault) throw ParseError("duplicate default clause in switch", peek.pos)
+              sawDefault = true
+              next(); eatPunct(":"); None
+            } else throw ParseError("expected case/default clause in switch body", peek.pos)
+          val body = List.newBuilder[Stmt]
+          while (!isPunct("}") && !isKw("case") && !isKw("default")) body += statement()
+          cases += ((label, body.result()))
+        }
+        eatPunct("}")
+        Switch(disc, cases.result())
       case TKeyword("var", _) | TKeyword("let", _) | TKeyword("const", _) =>
         val d = varDecl(); tryPunct(";"); d
       case TKeyword("function", _) =>

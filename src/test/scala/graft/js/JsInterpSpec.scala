@@ -322,4 +322,67 @@ class JsInterpSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](JsScript.compile("["))
     assert(ex.getMessage.contains("Error compiling"))
   }
+
+  // ---- switch ----
+
+  test("switch: dispatch, break, and default") {
+    assert(evalExpr(
+      """(function(x){
+        |  switch (x) {
+        |    case 1: return 'one';
+        |    case 2: return 'two';
+        |    default: return 'many';
+        |  }
+        |})(2)""".stripMargin) == JsStr("two"))
+    assert(evalExpr(
+      "(function(x){ switch (x) { case 1: return 'one'; default: return 'many' } })(9)")
+      == JsStr("many"))
+    // no match, no default: falls out of the switch entirely
+    assert(evalExpr(
+      "(function(x){ switch (x) { case 1: return 'one' } return 'none' })(9)")
+      == JsStr("none"))
+  }
+
+  test("switch: fall-through without break, strict-equality matching") {
+    assert(evalExpr(
+      """(function(x){
+        |  var acc = '';
+        |  switch (x) {
+        |    case 'a': acc += 'A';
+        |    case 'b': acc += 'B'; break;
+        |    case 'c': acc += 'C';
+        |  }
+        |  return acc;
+        |})('a')""".stripMargin) == JsStr("AB"))
+    // '1' must NOT match case 1 (=== semantics, not ==)
+    assert(evalExpr(
+      "(function(x){ switch (x) { case 1: return 'num' } return 'no' })('1')")
+      == JsStr("no"))
+  }
+
+  test("switch: default clause need not be last; later cases still win first") {
+    assert(evalExpr(
+      """(function(x){
+        |  switch (x) {
+        |    default: return 'other';
+        |    case 3: return 'three';
+        |  }
+        |})(3)""".stripMargin) == JsStr("three"))
+  }
+
+  test("switch: break binds to the switch; continue escapes to the loop") {
+    assert(evalExpr(
+      """(function(){
+        |  var out = '';
+        |  for (var i = 0; i < 4; i++) {
+        |    switch (i) {
+        |      case 1: continue;
+        |      case 2: out += 'two'; break;
+        |      default: out += i;
+        |    }
+        |    out += '.';
+        |  }
+        |  return out;
+        |})()""".stripMargin) == JsStr("0.two.3."))
+  }
 }

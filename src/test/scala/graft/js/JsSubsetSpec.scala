@@ -27,10 +27,14 @@ class JsSubsetSpec extends AnyFunSuite {
       .contains("unsupported construct 'class'"))
   }
 
-  test("switch fails compile with rewrite guidance") {
-    val msg = compileError("function process(e){ switch (e.x) { } }")
-    assert(msg.contains("unsupported construct 'switch'"))
-    assert(msg.contains("if/else"))
+  test("switch is IN the subset now; malformed clause bodies still fail compile") {
+    JsScript.compile(
+      "function process(e){ switch (e.x) { case 1: return null; default: return null } }")
+    assert(compileError("function process(e){ switch (e.x) { return null } }")
+      .contains("expected case/default"))
+    assert(compileError(
+      "function process(e){ switch (e.x) { default: break; default: break } }")
+      .contains("duplicate default"))
   }
 
   test("import / export fail compile") {
