@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 continuation: evaluation/materialization semantics the oracle
+  * rows alone don't pin — recall is a real fraction of a real truth set,
+  * the longest member (not the first) wins its cluster, and fertility
+  * moves only where subword-splitting text exists.
+  */
+class Queries17Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ann_recall: truth sets are full top-3 and the index finds most of them") {
+    val rows = SparkEntry.queries("ann_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, nTruth, nHit, recall) =>
+      assert(nTruth == 3L)
+      assert(nHit >= 0L && nHit <= 3L)
+      assert(recall == nHit * 1000 / 3)
+    }
+    // the IVF index must be USEFUL (macro recall over 50%) — a broken
+    // index returning arbitrary neighbors fails here even if shapes match
+    val total = rows.map(_._3).sum
+    assert(total * 2 > rows.length * 3, s"macro recall too low: $total/${rows.length * 3}")
+  }
+
+  test("dedup_keep_longest: keepers are cluster-consistent with keep-first") {
+    val longest = SparkEntry.queries("dedup_keep_longest")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val keepFirst = SparkEntry.queries("dedup_minhash_keep")(spark, dir).count()
+    val totalDocs = Tables.documents(spark, dir).count()
+    // same clustering ⇒ docs dropped by keep-first == sum of (n_docs - 1)
+    assert(longest.map(_._3 - 1).sum == totalDocs - keepFirst)
+    // components are min-labels: component <= keeper id; clusters have >= 2 docs
+    longest.foreach { case (comp, id, n, len) =>
+      assert(comp <= id && n >= 2 && len >= 0)
+    }
+    // the rule differs from keep-first somewhere: at least one keeper is
+    // NOT its cluster's min id (otherwise this operator is keep-first)
+    assert(longest.exists { case (comp, id, _, _) => id != comp })
+  }
+
+  test("tokenizer_fertility: subword splitting raises fertility only where planted") {
+    val rows = SparkEntry.queries("tokenizer_fertility")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (_, _, bpe, ws, fert) =>
+      assert(bpe >= ws, "BPE-ish regex never merges whitespace tokens")
+      assert(fert == bpe * 1000 / ws)
+    }
+    assert(rows.exists(_._5 > 1000), "planted punctuation must raise some source's fertility")
+  }
+}
