@@ -44,7 +44,49 @@ object StubDecoder extends MediaDecoder {
   }
 }
 
+/** Feature extraction over a binary column — the embed-the-image step of a
+  * multimodal pipeline. Like [[MediaDecoder]], the model inference is
+  * STUBBED ([[StubEmbedder]]: md5-derived integer-milli components, so the
+  * DuckDB oracle can reproduce it bit-exactly); the batch plumbing is the
+  * real shape — one `mapPartitions` pass, extractor instantiated per
+  * partition, fixed-width output schema. */
+trait FeatureExtractor extends Serializable {
+  /** Embedding of `bytes` in integer milli-units, length [[dim]]. */
+  def embed(bytes: Array[Byte]): Array[Int]
+  def dim: Int
+}
+
+/** Deterministic fake embedder: component j = first 16 bits of
+  * md5(payload ++ ":j"), mapped into [-1000, 1000) milli-units. A real
+  * implementation would run the vision/audio model over the same batch. */
+object StubEmbedder extends FeatureExtractor {
+  val dim = 8
+  def embed(bytes: Array[Byte]): Array[Int] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { j =>
+      md.reset()
+      md.update(bytes)
+      md.update(s":$j".getBytes("UTF-8"))
+      val d = md.digest()
+      (((d(0) & 0xff) << 8 | (d(1) & 0xff)) % 2000) - 1000
+    }
+  }
+}
+
 object Multimodal {
+
+  /** Embed a binary column via [[FeatureExtractor]]: one narrow
+    * `mapPartitions` pass (the `mapInPandas` batch shape), no shuffle. */
+  def embedBatch(df: DataFrame, idCol: String, binCol: String, ex: FeatureExtractor): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => (id, ex.embed(bytes).toSeq) }
+      }
+      .toDF(idCol, "embedding_milli")
+  }
 
   /** Decode metadata for a binary column: returns (id, format, width,
     * height, n_bytes, content_md5) — one narrow `mapPartitions` pass, the

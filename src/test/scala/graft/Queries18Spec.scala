@@ -1,0 +1,43 @@
+package graft
+
+import graft.multimodal.StubEmbedder
+
+/** Multimodal depth: the plumbing guarantees the oracle rows alone don't
+  * pin — batch embedding is deterministic and bounded, frame sampling
+  * covers every payload at the declared stride.
+  */
+class Queries18Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multimodal_embed: deterministic, bounded, content-sensitive") {
+    val a = SparkEntry.queries("multimodal_embed")(spark, dir).collect()
+    val b = SparkEntry.queries("multimodal_embed")(spark, dir).collect()
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList, "not deterministic")
+    a.foreach { r =>
+      (1 to StubEmbedder.dim).foreach { j =>
+        val v = r.getLong(j)
+        assert(v >= -1000 && v < 1000, s"component out of milli range: $v")
+      }
+    }
+    // different payloads embed differently (not a constant vector)
+    assert(a.map(_.getLong(1)).distinct.length > 1)
+  }
+
+  test("multimodal_frames: every non-empty payload sampled, stride exact") {
+    val frames = SparkEntry.queries("multimodal_frames")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS len").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = frames.groupBy(_._1)
+    docs.filter(_._2 > 0).keys.foreach(id => assert(byDoc.contains(id), s"doc $id unsampled"))
+    frames.foreach { case (id, idx, off) =>
+      assert(off == idx * 131, s"offset off-stride: $off at idx $idx")
+      assert(off < docs(id), "offset past payload end")
+    }
+    // frame count per doc = ceil(len / stride)
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == (docs(id) + 130) / 131, s"doc $id frame count")
+    }
+  }
+}
