@@ -24,6 +24,40 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** NATIVE left as-of join — plans through graft's custom Catalyst
+    * operator ([[graft.plans.AsOfJoinPlan]] → `AsOfJoinExec`): both sides
+    * hash-clustered on `keys` and sorted by (key, time) via
+    * EnsureRequirements, then one streaming merge pass per partition with
+    * O(1) carry state. Same semantics as [[leftAsOf]] (inclusive
+    * `right.time <= left.time`, nulls when nothing precedes), proven
+    * equivalent by AsOfJoinNativeSpec. Self-registers the planner strategy
+    * on first use; `GraftExtensions` also injects it at session build.
+    *
+    * Column names must be unambiguous on their side; `right`'s `keys`,
+    * `rightTime` and `valueCols` must not collide with `left.output`
+    * (alias first, as with any join). */
+  def leftAsOfNative(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Seq[String],
+    leftTime: String,
+    rightTime: String,
+    valueCols: Seq[String]
+  ): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.GraftFunctions.registerAsOfStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column '$n' not found in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+        attr(lPlan, leftTime), attr(rPlan, rightTime),
+        valueCols.map(attr(rPlan, _))))
+  }
+
   /** Left as-of join.
     *
     * @param left      probe side

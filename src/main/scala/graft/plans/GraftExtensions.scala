@@ -25,8 +25,10 @@ import graft.functions.{EventF, IpF, TextF, UaF}
   * users pay zero overhead vs the Scala API (and there are no UDFs anywhere).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {
@@ -95,5 +97,13 @@ object GraftFunctions {
     all.foreach { case (ident, info, builder) =>
       registry.registerFunction(ident, info, builder)
     }
+    registerAsOfStrategy(spark)
   }
+
+  /** Idempotently add [[AsOfJoinStrategy]] on a live session (the
+    * `.withExtensions` path injects it at session build instead). */
+  def registerAsOfStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
 }

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Round-7 native-operator demonstration: `weather_asof_native` is the
+  * weather as-of lookup planned through graft's custom Catalyst operator
+  * (`plans.AsOfJoinPlan` → `AsOfJoinExec`: hash-cluster + sort both sides,
+  * then a per-partition streaming merge with O(1) carry state) instead of
+  * the union+window composition. Same inputs, same oracle SQL, same rows
+  * as `weather_asof` — the operator earns its place by the PLAN (no union,
+  * no window buffer, no tag columns), not by different semantics.
+  */
+object Queries19 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared with weather_asof (Queries2) — identical observation dim. */
+  private[queries] def weatherObs(sp: SparkSession): DataFrame =
+    sp.range(0, 7440)
+      .select((col("id") % 10).as("station"), expr("id div 10").as("h"))
+      .filter((col("station") + col("h")) % 3 =!= 0)
+      .select(
+        col("station"),
+        ((lit(1704067200L) + col("h") * 3600L) * 1000000L).as("obs_us"),
+        ((col("station") * 37 + col("h") * 17) % 400 - 100).as("temp_dd"))
+
+  val defs: Map[String, Q] = Map(
+    "weather_asof_native" -> { (sp, dir) =>
+      val ev = Tables.events(sp, dir)
+        .select(col("event_id"), (col("user_id") % 10).as("station"), col("ts_us"))
+      AsOfJoin.leftAsOfNative(ev, weatherObs(sp),
+          keys = Seq("station"), leftTime = "ts_us", rightTime = "obs_us",
+          valueCols = Seq("temp_dd"))
+        .select(col("event_id"), col("station"), col("temp_dd"))
+        .orderBy("event_id")
+    }
+  )
+
+  // same rows as weather_asof, via DuckDB's own ASOF LEFT JOIN
+  val oracles: Map[String, String] = Map(
+    "weather_asof_native" ->
+      """WITH obs AS (
+        |  SELECT i % 10 AS station,
+        |         (1704067200 + (i // 10) * 3600) * 1000000 AS obs_us,
+        |         ((i % 10) * 37 + (i // 10) * 17) % 400 - 100 AS temp_dd
+        |  FROM range(0, 7440) t(i)
+        |  WHERE ((i % 10) + (i // 10)) % 3 <> 0
+        |), ev AS (
+        |  SELECT event_id, user_id % 10 AS station, epoch_us(ts) AS ts_us FROM events
+        |)
+        |SELECT ev.event_id, ev.station, obs.temp_dd
+        |FROM ev ASOF LEFT JOIN obs
+        |  ON ev.station = obs.station AND obs.obs_us <= ev.ts_us
+        |ORDER BY ev.event_id""".stripMargin
+  )
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Bridge to `classic.Dataset.ofRows` (`private[sql]`) — turns a custom
+  * [[LogicalPlan]] node into a public `DataFrame`, the same shim technique
+  * as [[ColumnBridge]]. */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
