@@ -29,7 +29,10 @@ object BenchScale {
     "dedup_cluster", "dedup_minhash_keep", "para_dedup", "ngram_jaccard",
     "semdedup", "dedup_embedding_keep", "ann_ivf_int8",
     "q21_waiting", "q1_pricing", "ip_geo_lookup_v6", "enrich_pipeline",
-    "sessionize", "ua_device_class", "thrift_payload_parse", "schema_validate")
+    "sessionize", "ua_device_class", "thrift_payload_parse", "schema_validate",
+    // round-7: the new CC-backed keeper (same fixed-cost class as
+    // dedup_minhash_keep) and the shingle-key novelty window
+    "dedup_keep_longest", "ngram_novelty")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

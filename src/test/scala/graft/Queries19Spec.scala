@@ -1,0 +1,31 @@
+package graft
+
+/** ngram_novelty invariants the oracle rows alone don't pin: the earliest
+  * doc is fully novel, ownership partitions the shingle universe, and
+  * duplication actually drives scores below 1.
+  */
+class Queries19Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ngram_novelty: first doc fully novel, ownership partitions the universe") {
+    val rows = SparkEntry.queries("ngram_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1000L, s"earliest doc must own all its shingles: $first")
+    rows.foreach { case (_, n, novel, milli) =>
+      assert(novel >= 0 && novel <= n)
+      assert(milli == novel * 1000 / n)
+    }
+    // every distinct shingle has exactly one owner: sum of novel counts ==
+    // corpus-wide distinct shingle count
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextF
+    val distinctShingles = Tables.documents(spark, dir)
+      .select(explode(array_distinct(
+        TextF.shinglesFromTokens(TextF.tokens(col("text")), 3))).as("sh"))
+      .agg(count_distinct(col("sh"))).head().getLong(0)
+    assert(rows.map(_._3).sum == distinctShingles)
+    // planted duplicate docs exist → some doc is NOT fully novel
+    assert(rows.exists(_._4 < 1000L))
+  }
+}
