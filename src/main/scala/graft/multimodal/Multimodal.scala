@@ -83,7 +83,10 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) => (id, ex.embed(bytes).toSeq) }
+        // null payloads embed as null, not as an executor-killing NPE
+        it.map { case (id, bytes) =>
+          (id, Option(bytes).map(ex.embed(_).toSeq).orNull)
+        }
       }
       .toDF(idCol, "embedding_milli")
   }
@@ -97,9 +100,16 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // null payloads decode as null format/md5 + zero-valued numerics,
+        // not an executor NPE
         it.map { case (id, bytes) =>
-          val m = decoder.decode(bytes)
-          (id, m.format, m.width, m.height, m.n_bytes, m.content_md5)
+          Option(bytes) match {
+            case Some(b) =>
+              val m = decoder.decode(b)
+              (id, m.format, m.width, m.height, m.n_bytes, m.content_md5)
+            case None =>
+              (id, null.asInstanceOf[String], 0, 0, 0L, null.asInstanceOf[String])
+          }
         }
       }
       .toDF(idCol, "media_format", "media_width", "media_height", "media_n_bytes", "media_md5")
@@ -112,8 +122,12 @@ object Multimodal {
       .withColumn("resized_height", lit(h))
       .withColumn("resized_bytes", col(binCol))
 
-  /** Frame-sample stub for video payloads: deterministic frame offsets. */
+  /** Frame-sample stub for video payloads: deterministic byte-stride frame
+    * offsets — empty (or null) payloads yield an empty offset list, never a
+    * phantom frame 0. */
   def frameSampleStub(df: DataFrame, binCol: String, everyN: Int): DataFrame =
     df.withColumn("frame_offsets",
-      sequence(lit(0), greatest(length(col(binCol)) - 1, lit(0)), lit(everyN)))
+      when(length(col(binCol)) > 0,
+        sequence(lit(0), length(col(binCol)) - 1, lit(everyN)))
+        .otherwise(array()))
 }

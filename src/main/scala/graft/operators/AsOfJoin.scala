@@ -33,9 +33,11 @@ object AsOfJoin {
     * equivalent by AsOfJoinNativeSpec. Self-registers the planner strategy
     * on first use; `GraftExtensions` also injects it at session build.
     *
-    * Column names must be unambiguous on their side; `right`'s `keys`,
-    * `rightTime` and `valueCols` must not collide with `left.output`
-    * (alias first, as with any join). */
+    * Column names must be unambiguous on their side. Key and time columns
+    * must have the SAME data type on both sides (cast first) — the merge
+    * hashes and compares each side with one layout, so a silent widening
+    * would mis-partition. Self-joins are safe: a right side sharing lineage
+    * with the left is re-aliased to fresh expression ids. */
   def leftAsOfNative(
     left: DataFrame,
     right: DataFrame,
@@ -44,17 +46,30 @@ object AsOfJoin {
     rightTime: String,
     valueCols: Seq[String]
   ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     val spark = left.sparkSession
     graft.plans.GraftFunctions.registerAsOfStrategy(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+    val rPlan0 = right.queryExecution.analyzed
+    // shared lineage would duplicate expression ids across sides and make
+    // the output projection bind right values to left ordinals
+    val rPlan: LogicalPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column '$n' not found in ${p.output.map(_.name)}"))
+    val (lk, rk) = (keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType} — cast first")
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: $leftTime:${lt.dataType} vs $rightTime:${rt.dataType} — cast first")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
-      graft.plans.AsOfJoinPlan(lPlan, rPlan,
-        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-        attr(lPlan, leftTime), attr(rPlan, rightTime),
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt,
         valueCols.map(attr(rPlan, _))))
   }
 

@@ -155,11 +155,13 @@ object Queries16 {
     "perplexity_bucket" -> { (sp, dir) =>
       import org.apache.spark.sql.expressions.Window
       val lm = map(Queries13.UnigramLm.flatMap { case (w, lp) => Seq(lit(w), lit(lp)) }: _*)
-      val scored = Tables.documents(sp, dir)
+      // both the histogram and the final join scan `scored` — cache it so
+      // the token explode + per-doc aggregate runs once (Queries6 pattern)
+      val scored = graft.util.CacheScope.track(Tables.documents(sp, dir)
         .select(col("doc_id"), col("source"), explode(TextF.tokens(col("text"))).as("tok"))
         .withColumn("lp", coalesce(element_at(lm, col("tok")), lit(Queries13.OovMilli)))
         .groupBy(col("doc_id"), col("source"))
-        .agg(expr("CAST(sum(lp) AS BIGINT) div count(*)").as("lp_avg_milli"))
+        .agg(expr("CAST(sum(lp) AS BIGINT) div count(*)").as("lp_avg_milli")))
       // histogram over distinct (source, score): the only windowed relation
       val hist = scored.groupBy(col("source"), col("lp_avg_milli"))
         .agg(count(lit(1)).as("cnt"))

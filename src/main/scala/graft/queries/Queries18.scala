@@ -40,12 +40,11 @@ object Queries18 {
     },
 
     "multimodal_frames" -> { (sp, dir) =>
-      Tables.documents(sp, dir)
+      Multimodal.frameSampleStub(
+          Tables.documents(sp, dir).select(col("doc_id"), col("text")),
+          "text", FrameStride)
         .select(col("doc_id"), col("text"),
-          when(length(col("text")) > 0,
-            sequence(lit(0), length(col("text")) - 1, lit(FrameStride)))
-            .otherwise(array()).as("offsets"))
-        .select(col("doc_id"), col("text"), posexplode(col("offsets")).as(Seq("frame_idx", "offset")))
+          posexplode(col("frame_offsets")).as(Seq("frame_idx", "offset")))
         .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
           col("offset").cast("bigint").as("offset"),
           md5(expr("substring(text, `offset` + 1, 16)")).as("frame_sig"))

@@ -25,7 +25,9 @@ import graft.operators.AsOfJoin
 object Queries19 {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Shared with weather_asof (Queries2) — identical observation dim. */
+  /** The weather observation dim — ONE definition for both weather_asof
+    * (Queries2, composed) and weather_asof_native (below): the two queries
+    * must stay row-identical, so the formula lives only here. */
   private[queries] def weatherObs(sp: SparkSession): DataFrame =
     sp.range(0, 7440)
       .select((col("id") % 10).as("station"), expr("id div 10").as("h"))
@@ -64,22 +66,26 @@ object Queries19 {
     }
   )
 
+  /** SQL twin of [[weatherObs]] — shared by both weather oracles. */
+  private[queries] val WeatherObsCteSql: String =
+    """obs AS (
+      |  SELECT i % 10 AS station,
+      |         (1704067200 + (i // 10) * 3600) * 1000000 AS obs_us,
+      |         ((i % 10) * 37 + (i // 10) * 17) % 400 - 100 AS temp_dd
+      |  FROM range(0, 7440) t(i)
+      |  WHERE ((i % 10) + (i // 10)) % 3 <> 0
+      |)""".stripMargin
+
   // same rows as weather_asof, via DuckDB's own ASOF LEFT JOIN
   val oracles: Map[String, String] = Map(
     "weather_asof_native" ->
-      """WITH obs AS (
-        |  SELECT i % 10 AS station,
-        |         (1704067200 + (i // 10) * 3600) * 1000000 AS obs_us,
-        |         ((i % 10) * 37 + (i // 10) * 17) % 400 - 100 AS temp_dd
-        |  FROM range(0, 7440) t(i)
-        |  WHERE ((i % 10) + (i // 10)) % 3 <> 0
-        |), ev AS (
-        |  SELECT event_id, user_id % 10 AS station, epoch_us(ts) AS ts_us FROM events
-        |)
-        |SELECT ev.event_id, ev.station, obs.temp_dd
-        |FROM ev ASOF LEFT JOIN obs
-        |  ON ev.station = obs.station AND obs.obs_us <= ev.ts_us
-        |ORDER BY ev.event_id""".stripMargin,
+      s"""WITH $WeatherObsCteSql, ev AS (
+         |  SELECT event_id, user_id % 10 AS station, epoch_us(ts) AS ts_us FROM events
+         |)
+         |SELECT ev.event_id, ev.station, obs.temp_dd
+         |FROM ev ASOF LEFT JOIN obs
+         |  ON ev.station = obs.station AND obs.obs_us <= ev.ts_us
+         |ORDER BY ev.event_id""".stripMargin,
 
     "ngram_novelty" -> {
       val shingles = {

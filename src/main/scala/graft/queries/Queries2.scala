@@ -85,13 +85,9 @@ object Queries2 {
     },
 
     "weather_asof" -> { (sp, dir) =>
-      val obs = sp.range(0, 7440)
-        .select((col("id") % 10).as("station"), expr("id div 10").as("h"))
-        .filter((col("station") + col("h")) % 3 =!= 0)
-        .select(
-          col("station"),
-          ((lit(1704067200L) + col("h") * 3600L) * 1000000L).as("obs_us"),
-          ((col("station") * 37 + col("h") * 17) % 400 - 100).as("temp_dd"))
+      // the observation dim lives in Queries19 (one definition; its native
+      // twin weather_asof_native must stay row-identical to this query)
+      val obs = Queries19.weatherObs(sp)
       val ev = Tables.events(sp, dir)
         .select(col("event_id"), (col("user_id") % 10).as("station"), col("ts_us"))
       AsOfJoin.leftAsOf(ev, obs, Seq("station"), "ts_us", "obs_us", Seq("temp_dd"))
@@ -257,19 +253,13 @@ object Queries2 {
            |  FROM raw) t ORDER BY event_id""".stripMargin),
 
       "weather_asof" ->
-        """WITH obs AS (
-          |  SELECT i % 10 AS station,
-          |         (1704067200 + (i // 10) * 3600) * 1000000 AS obs_us,
-          |         ((i % 10) * 37 + (i // 10) * 17) % 400 - 100 AS temp_dd
-          |  FROM range(0, 7440) t(i)
-          |  WHERE ((i % 10) + (i // 10)) % 3 <> 0
-          |), ev AS (
-          |  SELECT event_id, user_id % 10 AS station, epoch_us(ts) AS ts_us FROM events
-          |)
-          |SELECT ev.event_id, ev.station, obs.temp_dd
-          |FROM ev ASOF LEFT JOIN obs
-          |  ON ev.station = obs.station AND obs.obs_us <= ev.ts_us
-          |ORDER BY ev.event_id""".stripMargin,
+        s"""WITH ${Queries19.WeatherObsCteSql}, ev AS (
+           |  SELECT event_id, user_id % 10 AS station, epoch_us(ts) AS ts_us FROM events
+           |)
+           |SELECT ev.event_id, ev.station, obs.temp_dd
+           |FROM ev ASOF LEFT JOIN obs
+           |  ON ev.station = obs.station AND obs.obs_us <= ev.ts_us
+           |ORDER BY ev.event_id""".stripMargin,
 
       "api_lookup_join" ->
         """SELECT event_id, c_name, c_mktsegment, n_name

@@ -114,13 +114,7 @@ object Queries8 {
       // weather_asof, but partitioned (station, 6h-bucket) — parallelism
       // beyond key cardinality. The oracle is the SAME plain ASOF join:
       // bucketing must not change a single row.
-      val obs = sp.range(0, 7440)
-        .select((col("id") % 10).as("station"), expr("id div 10").as("h"))
-        .filter((col("station") + col("h")) % 3 =!= 0)
-        .select(
-          col("station"),
-          ((lit(1704067200L) + col("h") * 3600L) * 1000000L).as("obs_us"),
-          ((col("station") * 37 + col("h") * 17) % 400 - 100).as("temp_dd"))
+      val obs = Queries19.weatherObs(sp)
       val ev = Tables.events(sp, dir)
         .select(col("event_id"), (col("user_id") % 10).as("station"), col("ts_us"))
       graft.operators.AsOfJoin
@@ -312,13 +306,7 @@ object Queries8 {
         |  FROM raw) t ORDER BY event_id""".stripMargin),
 
     "weather_asof_bucketed" ->
-      """WITH obs AS (
-        |  SELECT i % 10 AS station,
-        |         (1704067200 + (i // 10) * 3600) * 1000000 AS obs_us,
-        |         ((i % 10) * 37 + (i // 10) * 17) % 400 - 100 AS temp_dd
-        |  FROM range(0, 7440) t(i)
-        |  WHERE ((i % 10) + (i // 10)) % 3 <> 0
-        |), ev AS (
+      s"""WITH ${Queries19.WeatherObsCteSql}, ev AS (
         |  SELECT event_id, user_id % 10 AS station, epoch_us(ts) AS ts_us FROM events
         |)
         |SELECT ev.event_id, ev.station, obs.temp_dd

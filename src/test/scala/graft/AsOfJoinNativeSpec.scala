@@ -49,6 +49,38 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(planStr.contains("Sort [k"), s"expected (key, time) sorts:\n$planStr")
   }
 
+  test("mismatched key/time types are rejected loudly, not silently mis-partitioned") {
+    val l = spark.range(1).select(lit(1).cast("int").as("k"), lit(10L).as("lt"))
+    val rWideKey = spark.range(1).select(lit(1L).as("k"), lit(5L).as("rt"), lit(9L).as("v"))
+    val e1 = intercept[IllegalArgumentException](
+      AsOfJoin.leftAsOfNative(l, rWideKey, Seq("k"), "lt", "rt", Seq("v")))
+    assert(e1.getMessage.contains("key type mismatch"))
+    val l2 = spark.range(1).select(lit(1L).as("k"), lit(10L).as("lt"))
+    val rNarrowTime = spark.range(1).select(lit(1L).as("k"), lit(5).cast("int").as("rt"), lit(9L).as("v"))
+    val e2 = intercept[IllegalArgumentException](
+      AsOfJoin.leftAsOfNative(l2, rNarrowTime, Seq("k"), "lt", "rt", Seq("v")))
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
+
+  test("self-join (shared lineage) carries the predecessor's value, not the probe's own") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L), (2L, 10L, 111L))
+      .toDF("k", "t", "v")
+    // left keeps df's own `v` attribute (shared expression ids with the
+    // right side) and probes 5 before each row's time: the correct carry is
+    // the PREVIOUS row's v — a projection bound to the left ordinal would
+    // echo the probe's own v instead
+    val out = AsOfJoin.leftAsOfNative(
+        df.selectExpr("k", "t - 5 AS tp", "v"), df,
+        Seq("k"), "tp", "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out((1L, 5L)).isEmpty, "no predecessor before the first row")
+    assert(out((1L, 15L)).contains(100L))
+    assert(out((1L, 25L)).contains(200L))
+    assert(out((2L, 5L)).isEmpty)
+  }
+
   test("weather_asof_native rows == weather_asof rows on real events") {
     val a = SparkEntry.queries("weather_asof_native")(spark, dir).collect().map(_.toSeq.toList)
     val b = SparkEntry.queries("weather_asof")(spark, dir).collect().map(_.toSeq.toList)

@@ -75,6 +75,25 @@ class PipelineSpec extends SparkSpec {
     assert(meta(2L) == "jpeg")
   }
 
+  test("multimodal plumbing: null payloads are data, not executor NPEs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Some("hello")), (2L, None))
+      .toDF("id", "s").select(col("id"), col("s").cast("binary").as("payload"))
+    val meta = graft.multimodal.Multimodal.extractMeta(df, "id", "payload", graft.multimodal.StubDecoder)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(meta(1L).contains("bin") && meta(2L).isEmpty)
+    val emb = graft.multimodal.Multimodal.embedBatch(df, "id", "payload", graft.multimodal.StubEmbedder)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(emb(1L).nonEmpty && emb(2L).isEmpty)
+    // frame sampling: empty and null payloads yield NO frames, never a
+    // phantom offset 0
+    val frames = graft.multimodal.Multimodal.frameSampleStub(
+        Seq((1L, "abcdef"), (2L, "")).toDF("id", "payload"), "payload", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(frames(1L) == Seq(0, 2, 4) && frames(2L).isEmpty)
+  }
+
   test("SchemaValidate enrichment: full bad-row taxonomy, good/bad split") {
     import spark.implicits._
     import graft.enrich.{FieldSpec, SchemaValidate}
