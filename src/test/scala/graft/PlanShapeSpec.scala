@@ -1,0 +1,81 @@
+package graft
+
+/** Scale-guard plan assertions: the properties SURVEY §5 and PLANS.md
+  * promise — broadcasts where dims are small, NO hash-shuffle on fact
+  * sides, no joins in pure-projection enrichments — enforced as specs so a
+  * plan regression fails CI instead of only drifting the next PLANS.md
+  * regeneration.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** hash-shuffle count — rangepartitioning (output orderBy) is allowed. */
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("geo lookups broadcast the range dim: no fact-side hash shuffle") {
+    for (q <- Seq("ip_geo_lookup", "ip_geo_lookup_v6")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(hashExchanges(p) == 0, s"$q shuffles the fact side:\n$p")
+    }
+  }
+
+  test("pure-projection enrichments plan with zero joins") {
+    for (q <- Seq("referer_parse", "ua_classify", "anon_ip", "dedup_bloom")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(hashExchanges(p) == 0, s"$q grew a hash shuffle:\n$p")
+    }
+    // ua_device_class ends in a tiny class rollup: one partial-agg
+    // exchange, still no join
+    val p = plan("ua_device_class")
+    assert(!p.contains("Join") && hashExchanges(p) == 1 && p.contains("partial_count"),
+      s"ua_device_class shape drifted:\n$p")
+  }
+
+  test("the default enrichment chain: broadcast joins only, no hash shuffle") {
+    val p = plan("enrich_pipeline")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"enrich_pipeline fell back to SMJ:\n$p")
+    assert(hashExchanges(p) == 0, s"enrich_pipeline shuffles the fact stream:\n$p")
+  }
+
+  test("currency conversion broadcasts the (currency, day) dim") {
+    val p = plan("currency_conversion")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(hashExchanges(p) == 0, s"currency_conversion shuffles facts:\n$p")
+  }
+
+  test("benchmark decontamination broadcasts the bench side") {
+    for (q <- Seq("decontaminate", "decontaminate_embedding")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q stopped broadcasting the benchmark:\n$p")
+    }
+  }
+
+  test("narrow reads: per-doc scores scan only the columns they use") {
+    for (q <- Seq("token_count", "quality_classifier", "dsir_score")) {
+      val p = plan(q)
+      val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toList
+      assert(schemas.nonEmpty, s"$q: no FileScan found:\n$p")
+      schemas.foreach { s =>
+        assert(!s.contains("embedding") && !s.contains("source"),
+          s"$q reads columns it never uses: $s")
+      }
+    }
+  }
+
+  test("aggregations are map-side partial before their one exchange") {
+    val p = plan("q1_pricing")
+    val firstPartial = p.indexOf("partial_")
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstPartial >= 0 && firstExchange >= 0)
+    // plans print top-down: the exchange appears above (before) the partial
+    // aggregate that feeds it
+    assert(hashExchanges(p) == 1, s"q1_pricing should shuffle exactly once:\n$p")
+  }
+}
