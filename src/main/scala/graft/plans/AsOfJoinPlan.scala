@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Native as-of join — the extension-ladder tier the built-in operators
   * genuinely cannot express (reference `registry/WeatherEnrichment.scala`:
@@ -83,6 +84,10 @@ final case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override protected def withNewChildrenInternal(
     newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
@@ -96,6 +101,8 @@ final case class AsOfJoinExec(
     val rTimeB = rightTime
     val rValsB = rightValues
     val outB = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, leftOut)
       val rKeyProj = UnsafeProjection.create(rKeysB, rightOut)
@@ -128,6 +135,8 @@ final case class AsOfJoinExec(
           rHead = if (rIter.hasNext) rIter.next().copy() else null
         }
         val matched = carryKey != null && keyOrd.compare(carryKey, lk) == 0
+        numOutputRows += 1
+        if (matched) numMatchedRows += 1
         resultProj(joined(lRow, if (matched) carryVals else nullVals))
       }
     }
