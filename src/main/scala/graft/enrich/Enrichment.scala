@@ -604,7 +604,34 @@ final case class FieldSpec(
   max: Option[Long] = None,
   itemsType: String = null, // bigint | double | boolean — element type of a JSON array
   itemsProbe: Int = 8,
-  maxItems: Option[Int] = None)
+  maxItems: Option[Int] = None,
+  // `$ref` (reference: networknt validator behind utils/IgluUtils.scala):
+  // the registered spec this field's OBJECT payload conforms to — its
+  // fields mount under `path` at driver compile (see FieldSpec.resolve)
+  ref: String = null)
+
+object FieldSpec {
+  /** Driver-side `$ref` expansion: a field carrying `ref` pulls the
+    * referenced registry entry's fields in under its own path, recursively.
+    * Unknown refs and reference cycles fail at PLAN BUILD with the chain
+    * spelled out — loudly on the driver, never per row (the same
+    * fail-at-compile posture as graft.js and SchemaCriterion). */
+  def resolve(specs: Map[String, Seq[FieldSpec]]): Map[String, Seq[FieldSpec]] = {
+    def expand(fields: Seq[FieldSpec], stack: List[String]): Seq[FieldSpec] =
+      fields.flatMap { f =>
+        if (f.ref == null) Seq(f)
+        else {
+          if (stack.contains(f.ref)) throw new IllegalArgumentException(
+            s"schema_validate: $$ref cycle: ${(f.ref :: stack).reverse.mkString(" -> ")}")
+          val target = specs.getOrElse(f.ref, throw new IllegalArgumentException(
+            s"schema_validate: $$ref '${f.ref}' is not a registered schema (from ${stack.head})"))
+          f.copy(ref = null) +:
+            expand(target, f.ref :: stack).map(t => t.copy(path = s"${f.path}.${t.path}"))
+        }
+      }
+    specs.map { case (uri, fs) => uri -> expand(fs, List(uri)) }
+  }
+}
 
 /** Iglu SchemaCriterion matching (reference `utils/IgluUtils.scala` /
   * iglu-scala-core `SchemaCriterion.matches`): a registered key may carry
@@ -668,11 +695,12 @@ final case class SchemaValidate(
 ) extends Enrichment {
   val name = "schema_validate"
   def apply(df: DataFrame): DataFrame = {
-    val knownPred = specs.keys
+    val resolved = FieldSpec.resolve(specs) // $ref mounts expand once, here
+    val knownPred = resolved.keys
       .map(k => SchemaCriterion.matches(col(schemaCol), k))
       .reduceOption(_ || _).getOrElse(lit(false))
     val d1 = flagBad(df, col(schemaCol).isNotNull && !knownPred, "schema_unknown")
-    val fieldsChecked = specs.foldLeft(d1) { case (acc, (uri, fields)) =>
+    val fieldsChecked = resolved.foldLeft(d1) { case (acc, (uri, fields)) =>
       val inSchema = SchemaCriterion.matches(col(schemaCol), uri)
       fields.foldLeft(acc) { (a0, f) =>
         val raw = get_json_object(col(jsonCol), s"$$.${f.path}")
@@ -728,7 +756,7 @@ final case class SchemaValidate(
     }
     // additionalProperties: false — any undeclared TOP-LEVEL data key
     closedSchemas.foldLeft(fieldsChecked) { (a, uri) =>
-      val declared = specs.getOrElse(uri, Nil).map(_.path.split('.').head).distinct
+      val declared = resolved.getOrElse(uri, Nil).map(_.path.split('.').head).distinct
       val unknown = expr(
         s"exists(json_object_keys($jsonCol), k -> NOT k IN (${declared.map(d => s"'$d'").mkString(", ")}))")
       flagBad(a, SchemaCriterion.matches(col(schemaCol), uri) && coalesce(unknown, lit(false)), "unknown_key")

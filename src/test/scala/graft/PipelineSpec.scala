@@ -137,6 +137,46 @@ class PipelineSpec extends SparkSpec {
     assert(out(12L).isEmpty) // well-typed array under the closed schema
   }
 
+  test("SchemaValidate $ref: a referenced schema's fields mount under the ref path") {
+    import spark.implicits._
+    import graft.enrich.{FieldSpec, SchemaValidate}
+    val order = "iglu:com.acme/order/jsonschema/1-0-0"
+    val address = "iglu:com.acme/address/jsonschema/1-0-0"
+    val specs = Map(
+      order -> Seq(
+        FieldSpec("order_id", required = true),
+        FieldSpec("shipping", required = true, ref = address)),
+      address -> Seq(
+        FieldSpec("city", required = true),
+        FieldSpec("zip", required = true, pattern = "[0-9]{5}")))
+    val df = Seq(
+      (1L, order, """{"order_id":"o1","shipping":{"city":"nyc","zip":"10001"}}"""), // valid
+      (2L, order, """{"order_id":"o2","shipping":{"city":"nyc"}}"""), // ref'd required miss
+      (3L, order, """{"order_id":"o3","shipping":{"city":"nyc","zip":"1"}}"""), // ref'd pattern
+      (4L, order, """{"order_id":"o4"}"""), // the mount itself is required
+      (5L, address, """{"city":"sf","zip":"94110"}""") // direct payloads still validate
+    ).toDF("id", "schema_str", "ctx")
+    val out = SchemaValidate("ctx", "schema_str", specs)(
+        df.withColumn("bad_row_errors", array().cast("array<string>")))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).exists(_.contains("missing_field shipping.zip")))
+    assert(out(3L).exists(_.contains("pattern_violation shipping.zip")))
+    assert(out(4L).exists(_.contains("missing_field shipping")))
+    assert(out(5L).isEmpty)
+    // unknown ref and ref cycles fail at PLAN BUILD, not per row
+    val unknownRef = Map(order -> Seq(FieldSpec("x", ref = "iglu:com.acme/nope/jsonschema/1-0-0")))
+    val e1 = intercept[IllegalArgumentException](
+      SchemaValidate("ctx", "schema_str", unknownRef)(df.withColumn("bad_row_errors", array().cast("array<string>"))))
+    assert(e1.getMessage.contains("not a registered schema"))
+    val cyc = Map(
+      order -> Seq(FieldSpec("a", ref = address)),
+      address -> Seq(FieldSpec("b", ref = order)))
+    val e2 = intercept[IllegalArgumentException](
+      SchemaValidate("ctx", "schema_str", cyc)(df.withColumn("bad_row_errors", array().cast("array<string>"))))
+    assert(e2.getMessage.contains("cycle"))
+  }
+
   test("SchemaValidate resolves SchemaCriterion wildcards: 1-0-1 validates against 1-0-*") {
     import spark.implicits._
     import graft.enrich.{FieldSpec, SchemaCriterion, SchemaValidate}
