@@ -455,16 +455,11 @@ object IabBotDetection {
     uaCol: String = "ua",
     ipCol: String = "user_ipaddress"
   ): IabBotDetection = {
-    import java.nio.charset.StandardCharsets
-    import scala.jdk.CollectionConverters._
-    def read(p: String) =
-      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p), StandardCharsets.UTF_8)
-        .asScala.iterator
-    val ips = read(ipFile).map(_.trim)
+    val ips = IabFiles.readLines(ipFile).map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .filter(l => !l.contains("/") || l.endsWith("/32"))
       .map(_.stripSuffix("/32")).toSeq
-    val uas = IabFiles.parseExcludeFile(read(excludeFile)).map(_.pattern).toSeq
+    val uas = IabFiles.parseExcludeFile(IabFiles.readLines(excludeFile)).map(_.pattern).toSeq
     IabBotDetection(uaCol, ipCol, botIpList = ips, botUaSubstrings = uas)
   }
 }
@@ -696,8 +691,11 @@ final case class SchemaValidate(
   val name = "schema_validate"
   def apply(df: DataFrame): DataFrame = {
     val resolved = FieldSpec.resolve(specs) // $ref mounts expand once, here
-    val knownPred = resolved.keys
-      .map(k => SchemaCriterion.matches(col(schemaCol), k))
+    // exact keys keep the In/InSet hash probe; only wildcard criteria pay
+    // for a regex — a registry of hundreds of exact URIs stays O(1) per row
+    val (wildKeys, exactKeys) = resolved.keys.toSeq.partition(_.contains("*"))
+    val knownPred = ((if (exactKeys.nonEmpty) Seq(col(schemaCol).isin(exactKeys: _*)) else Nil) ++
+        wildKeys.map(k => SchemaCriterion.matches(col(schemaCol), k)))
       .reduceOption(_ || _).getOrElse(lit(false))
     val d1 = flagBad(df, col(schemaCol).isNotNull && !knownPred, "schema_unknown")
     val fieldsChecked = resolved.foldLeft(d1) { case (acc, (uri, fields)) =>

@@ -43,7 +43,18 @@ object IabFiles {
   final case class Config(
     ipIntervals: Array[Long],
     include: Array[UaRule],
-    exclude: Array[UaRule]) extends Serializable
+    exclude: Array[UaRule]) extends Serializable {
+    /** Per-executor UA-verdict memo: real traffic repeats a few thousand
+      * distinct UAs across millions of rows, so the include/exclude rule
+      * scans run once per distinct UA, not once per row (the reference
+      * fronts its IAB client with the same kind of cache). Bounded by
+      * wholesale clear — a UA universe past the bound implies adversarial
+      * input, where recomputing is the safe behavior. */
+    @transient lazy val uaMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+  }
+
+  private val UaMemoBound = 65536
 
   private def decode(p: String): String =
     try java.net.URLDecoder.decode(p, StandardCharsets.UTF_8)
@@ -87,7 +98,9 @@ object IabFiles {
       .flatMap { l =>
         val (addr, bits) = l.indexOf('/') match {
           case -1 => (l, 32)
-          case i => (l.substring(0, i), l.substring(i + 1).trim.toInt)
+          // malformed masks skip the line like malformed addresses do — one
+          // bad row in a 40k-line membership file must not kill the load
+          case i => (l.substring(0, i), l.substring(i + 1).trim.toIntOption.getOrElse(-1))
         }
         val base = ipv4ToLong(addr)
         if (base < 0 || bits < 0 || bits > 32) None
@@ -132,11 +145,14 @@ object IabFiles {
   ): Config =
     Config(parseIpFile(ipLines), parseIncludeFile(includeLines), parseExcludeFile(excludeLines))
 
-  def fromPaths(ipFile: String, excludeFile: String, includeFile: String): Config = {
-    def read(p: String): Iterator[String] =
-      Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.iterator
-    load(read(ipFile), read(excludeFile), read(includeFile))
-  }
+  /** UTF-8 line reader shared by every IAB-file consumer (also
+    * [[IabBotDetection.fromIabFiles]] — one definition of how these files
+    * are read). */
+  def readLines(p: String): Iterator[String] =
+    Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.iterator
+
+  def fromPaths(ipFile: String, excludeFile: String, includeFile: String): Config =
+    load(readLines(ipFile), readLines(excludeFile), readLines(includeFile))
 
   // ---- per-row kernel (called from the codegen'd IabCheckExpression) -----
 
@@ -174,6 +190,18 @@ object IabFiles {
       }
     }
     val lua = if (ua == null) "" else ua.toLowerCase
+    val memo = cfg.uaMemo
+    val hit = memo.get(lua)
+    if (hit != null) return hit
+    val verdict = uaVerdict(lua, cfg)
+    if (memo.size >= UaMemoBound) memo.clear()
+    memo.put(lua, verdict)
+    verdict
+  }
+
+  /** The rule-list scan behind [[check]] — runs once per DISTINCT ua per
+    * executor (memoized above), so the per-row cost is one map probe. */
+  private def uaVerdict(lua: String, cfg: Config): String = {
     var included = false
     var i = 0
     while (!included && i < cfg.include.length) {

@@ -53,11 +53,13 @@ object ConnectedComponents {
       // the count is the materializing action for next's cache; only then
       // is the previous round's cache safe to drop
       converged = next.filter(col("changed")).count() == 0
-      cache.unpersist(blocking = false)
+      // drop (not just unpersist): retired rounds must also leave the
+      // CacheScope queue, or a long run accumulates dead entries
+      graft.util.CacheScope.drop(cache)
       cache = next
       iter += 1
     }
-    sym.unpersist(blocking = false)
+    graft.util.CacheScope.drop(sym)
     cache.select("id", "comp")
   }
 }

@@ -47,10 +47,17 @@ object Queries11 {
   private val SemThreshold = 0.95 // cosine cut, matches dedup_embedding
 
   /** semdedup cell count for an N-vector corpus: ~125 vectors per cell,
-    * floor 8 (test scales), literal-centroid cap 4096. Twin of the SQL
-    * `semk` CTE — keep the constants in lockstep. */
+    * floor 8 (test scales) — UNCAPPED: past [[SemLiteralCap]] cells the
+    * query auto-switches to the broadcast-centroid path instead of letting
+    * vectors-per-cell grow with N. Twin of the SQL `semk` CTE — keep the
+    * constants in lockstep. */
   def semKFor(n: Long): Int =
-    math.max(8L, math.min(4096L, n / 125L)).toInt
+    math.max(8L, n / 125L).toInt
+
+  /** Largest k the plan-literal centroid path accepts; above it the
+    * broadcast-centroid join is the design (and is selected automatically
+    * by the registered `semdedup` query). */
+  val SemLiteralCap = 4096
   private val Boiler = "subscribe to the newsletter today" // planted boilerplate
 
   /** The reference-spec-shaped script behind `js_transform` — exercises
@@ -92,12 +99,16 @@ object Queries11 {
     kOverride: Option[Int] = None
   ): DataFrame = {
     val k = kOverride.getOrElse(semKFor(Tables.embeddings(sp, dir).count()))
+    // past the literal cap the plan-literal path is not an option: the
+    // registered query lands here with broadcastCentroids = false only
+    // while k fits, but guard direct callers too
+    val useBroadcast = broadcastCentroids || k > SemLiteralCap
     val aug = Queries3.augmentedEmbeddings(sp, dir).withColumn("nrm", SimF.norm(col("v")))
     // persisted via CacheScope: feeds both self-join sides AND the final
     // anti-join (unpersisting here would fire at PLAN time, before the
     // query ever runs — the caller releases after materializing)
     val assign = graft.util.CacheScope.track(
-      if (!broadcastCentroids) {
+      if (!useBroadcast) {
         // centroids: the first-k demo "training" output, collected as
         // plan-time literals (k×64 doubles; operators.KMeans is the real
         // trainer, oracle-checked via ann_ivf_kmeans rows)
@@ -396,7 +407,7 @@ object Queries11 {
       val dot = Queries3.dotSqlShared _
       s"""WITH ${Queries3.AugSqlCte},
          |semk AS (
-         |  SELECT greatest(8, least(4096, count(*) // 125)) AS k FROM embeddings
+         |  SELECT greatest(8, count(*) // 125) AS k FROM embeddings
          |),
          |e AS (
          |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM aug

@@ -48,6 +48,16 @@ object CacheScope {
     }
   }
 
+  /** Unpersist `ds` NOW and forget it — for iterative operators that
+    * retire each round's cache themselves (tracking keeps abnormal exits
+    * covered; dropping keeps the queue from accumulating one dead entry
+    * per iteration). */
+  def drop(ds: Dataset[_]): Unit = {
+    ds.unpersist(blocking = false)
+    val q = live.get(ds.sparkSession)
+    if (q != null) q.remove(ds)
+  }
+
   /** Number of tracked-but-unreleased intermediates for `sp` (for specs). */
   def pending(sp: SparkSession): Int = {
     val q = live.get(sp)
