@@ -110,9 +110,36 @@ object Queries6 {
 
   private val normSql = graft.functions.TextF.NormalizeTextSql
   private val toksSql = s"string_split($normSql, ' ')"
-  private def shinglesSql(k: Int): String = {
+  private[queries] def shinglesSql(k: Int): String = {
     val parts = (0 until k).map(j => s"list_extract(w, i + $j)").mkString(", ' ', ")
     s"list_transform(range(1, len(w) - ${k - 2}), i -> concat($parts))"
+  }
+
+  /** The sigs→pairs CTE body (no WITH keyword) shared by every oracle that
+    * consumes MinHash band-collision candidates — dedup_minhash_pairs,
+    * dedup_minhash_keep and Queries20's dedup_edit_verify. ONE spelling so
+    * the three oracles cannot drift from [[minhashPairs]]. */
+  private[queries] val MinhashPairsCteSql: String = {
+    def comp(seed: Int) = s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |    md5(concat(coalesce(c0, ''), coalesce(c1, ''))) AS band0,
+       |    md5(concat(coalesce(c2, ''), coalesce(c3, ''))) AS band1
+       |  FROM (
+       |    SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
+       |    FROM (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh
+       |          FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
+       |  ) t3
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM sigs a JOIN sigs b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id
+       |    FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+       |  ) u
+       |)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -124,48 +151,12 @@ object Queries6 {
          |  FROM documents
          |) t WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
-    "dedup_minhash_pairs" -> {
-      def comp(seed: Int) = s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
-      s"""WITH sigs AS (
-         |  SELECT doc_id,
-         |    md5(concat(coalesce(c0, ''), coalesce(c1, ''))) AS band0,
-         |    md5(concat(coalesce(c2, ''), coalesce(c3, ''))) AS band1
-         |  FROM (
-         |    SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
-         |    FROM (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh
-         |          FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
-         |  ) t3
-         |)
-         |SELECT DISTINCT id_a, id_b FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sigs a JOIN sigs b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-         |  UNION ALL
-         |  SELECT a.doc_id, b.doc_id
-         |  FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-         |) u ORDER BY id_a, id_b""".stripMargin
-    },
+    "dedup_minhash_pairs" ->
+      s"""WITH $MinhashPairsCteSql
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_minhash_keep" -> {
-      def comp(seed: Int) = s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
-      s"""WITH RECURSIVE sigs AS (
-         |  SELECT doc_id,
-         |    md5(concat(coalesce(c0, ''), coalesce(c1, ''))) AS band0,
-         |    md5(concat(coalesce(c2, ''), coalesce(c3, ''))) AS band1
-         |  FROM (
-         |    SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
-         |    FROM (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh
-         |          FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
-         |  ) t3
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |    FROM sigs a JOIN sigs b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-         |    UNION ALL
-         |    SELECT a.doc_id, b.doc_id
-         |    FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-         |  ) u
-         |),
+    "dedup_minhash_keep" ->
+      s"""WITH RECURSIVE $MinhashPairsCteSql,
          |edges AS (
          |  SELECT id_a AS s, id_b AS d FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs
@@ -180,8 +171,7 @@ object Queries6 {
          |)
          |SELECT doc_id FROM documents LEFT JOIN cluster_min ON doc_id = id
          |WHERE id IS NULL OR doc_id = cmin
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
 
     "cross_navigation_ext" -> {
       // mirrors EventF.spField/spFieldDecoded exactly: >7 fields → all null,

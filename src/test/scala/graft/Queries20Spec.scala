@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries20 oracle rows alone don't pin: winnowing's
+  * signature-equality contract, the edit-verify threshold algebra, Markov
+  * row-stochasticity, and attribution conservation (every purchase credited
+  * exactly once).
+  */
+class Queries20Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("winnow_fingerprint: fp set is a compression; shared substrings overlap") {
+    val rows = SparkEntry.queries("winnow_fingerprint")(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, fp) = (r.getLong(1), r.getLong(2))
+      assert(fp <= n, s"fingerprints cannot outnumber shingles: $r")
+      assert((fp == 0) == (n == 0), s"non-empty docs select >=1 fingerprint: $r")
+    }
+    // the winnowing GUARANTEE (Schleimer et al. §2): two docs sharing a
+    // substring of >= k+w-1 tokens must share at least one fingerprint —
+    // checked on a constructed pair with an 8-token common core and
+    // disjoint padding; an exact dup must yield the identical set
+    import spark.implicits._
+    val core = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"one two three $core nine ten eleven twelve"),
+      (2L, s"red green blue $core purple orange yellow pink"),
+      (3L, s"one two three $core nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val sel = graft.queries.Queries20.winnowSel(docs)
+      .select(col("doc_id"), col("sel")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((sel(1L) intersect sel(2L)).nonEmpty,
+      "docs sharing a k+w-1-token substring must share a fingerprint")
+    assert(sel(1L) == sel(3L), "exact duplicates must select identical sets")
+  }
+
+  test("dedup_edit_verify: threshold algebra and at least one verified dup") {
+    val rows = SparkEntry.queries("dedup_edit_verify")(spark, dir).collect()
+    assert(rows.nonEmpty, "LSH must surface candidate pairs on the planted corpus")
+    rows.foreach { r =>
+      val (dist, sim, isDup) = (r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(sim >= 0 && sim <= 1000)
+      // is_dup <=> dist <= 5% of longer text <=> sim_milli >= 950, exactly
+      assert((isDup == 1) == (sim >= 950), s"threshold algebra broken: $r")
+      assert(dist >= 0)
+    }
+    assert(rows.exists(_.getInt(4) == 1), "planted near-dups must verify")
+  }
+
+  test("markov_transitions: rows are conditional-probability decompositions") {
+    val rows = SparkEntry.queries("markov_transitions")(spark, dir).collect()
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (_, g) =>
+      val total = g.map(_.getLong(2)).sum
+      g.foreach { r =>
+        assert(r.getLong(3) == r.getLong(2) * 1000 / total, s"p_milli mismatch: $r")
+      }
+    }
+    // transition count conservation: sum == total events - distinct users
+    val ev = Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+
+  test("attribution_last_touch: every purchase credited exactly once") {
+    val rows = SparkEntry.queries("attribution_last_touch")(spark, dir).collect()
+    val purchases = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    val nConv = purchases.count()
+    val cents = purchases.agg(sum(round(col("value") * 100).cast("bigint"))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == nConv, "conversion count must be conserved")
+    assert(rows.map(_.getLong(2)).sum == cents, "revenue must be conserved")
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(c >= -1 && c <= 9, s"campaign domain: $r")
+    }
+  }
+}
