@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries21 oracle rows alone don't pin: collocation count
+  * algebra, divergence non-negativity, and PQ's reconstruction contract
+  * (codebook members encode losslessly; ADC search finds true neighbors).
+  */
+class Queries21Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("collocation_lift: counts bound each other; ranking is total") {
+    val rows = SparkEntry.queries("collocation_lift")(spark, dir).collect()
+    assert(rows.length <= 50)
+    rows.foreach { r =>
+      val (cxy, cx, cy, lift) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cxy <= cx && cxy <= cy,
+        s"a bigram occurrence consumes one occurrence of each word: $r")
+      assert(lift >= 0)
+    }
+    val lifts = rows.map(_.getLong(4))
+    assert(lifts.sameElements(lifts.sorted.reverse), "must be ranked by lift desc")
+  }
+
+  test("source_divergence: non-negative; vocab bounded by corpus vocab") {
+    val rows = SparkEntry.queries("source_divergence")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val corpusVocab = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextF.tokens(col("text"))).as("t"))
+      .select(count_distinct(col("t"))).head().getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0, s"chi2 is a sum of squares: $r")
+      assert(r.getLong(1) <= corpusVocab, s"source vocab exceeds corpus vocab: $r")
+    }
+  }
+
+  test("ann_pq: codebook members reconstruct exactly; ADC finds true neighbors") {
+    val coded = graft.queries.Queries21.pqCoded(spark, dir)
+    // lossless contract: every codebook member's own subvectors are
+    // centroids at distance 0, so recon == qv for vec_id < 16
+    val broken = coded.filter(col("vec_id") < 16)
+      .filter(not(col("recon") === col("qv"))).count()
+    assert(broken == 0, "codebook members must PQ-encode losslessly")
+    // ADC search quality: macro recall@5 vs exact integer-milli L2 over
+    // the same corpus must beat random (5 of 49)
+    val results = SparkEntry.queries("ann_pq")(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val vecs = coded.select(col("vec_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val recalls = results.map { case (q, approx) =>
+      val qv = vecs(q)
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          var d = 0L; var i = 0
+          while (i < v.length) { val x = qv(i) - v(i); d += x * x; i += 1 }
+          (d, id)
+        }.sorted.take(5).map(_._2).toSet
+      (approx intersect exact).size.toDouble / 5.0
+    }
+    val macroRecall = recalls.sum / recalls.size
+    assert(macroRecall > 0.2, s"PQ recall@5 must beat random: $macroRecall")
+  }
+}
