@@ -35,6 +35,7 @@ object Queries21 {
   private val PqM = 8         // subspaces
   private val PqDim = 8       // dims per subspace
   private val PqK = 16        // centroids per subspace
+  private val IvfK = 8        // IVF cell count at test scale (= Queries11.SemK)
   private val MinPairCount = 5 // collocation support threshold
 
   /** Integer-milli quantization of the embedding — the ONE formula both
@@ -50,13 +51,18 @@ object Queries21 {
     * Codebook = the first PqK corpus vectors (k-means++-seeding style
     * sample), collected once (PqK·64 longs) and compiled into the plan as
     * literals — encode stays a NARROW projection, zero corpus-side joins. */
-  private[graft] def pqCoded(sp: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqCoded(sp: SparkSession, dir: String): DataFrame =
+    pqEncode(sp, dir,
+      Tables.embeddings(sp, dir).select(col("vec_id"), milliVec(col("embedding")).as("qv")))
+
+  /** Append `recon` (the vector reconstructed from the row's 8 subspace
+    * codes) to a frame carrying `qv` — ONE projection, so callers that also
+    * compute an IVF cell stay single-scan with zero corpus-side joins. */
+  private[graft] def pqEncode(sp: SparkSession, dir: String, base: DataFrame): DataFrame = {
     val cb: Seq[Seq[Long]] = Tables.embeddings(sp, dir)
       .filter(col("vec_id") < PqK).orderBy("vec_id")
       .select(milliVec(col("embedding")).as("qv"))
       .collect().toSeq.map(_.getSeq[Long](0).toSeq)
-    val e = Tables.embeddings(sp, dir)
-      .select(col("vec_id"), milliVec(col("embedding")).as("qv"))
     // encode: per subspace the argmin-distance centroid (tie → lowest c)
     def subDist(qv: Column, c: Int, m: Int): Column =
       (0 until PqDim).map { j =>
@@ -73,7 +79,7 @@ object Queries21 {
       flatten(array((0 until PqM).map { m =>
         slice(element_at(cbLit, codes(m) + 1), m * PqDim + 1, PqDim)
       }: _*))
-    e.withColumn("recon", recon((0 until PqM).map(m => code(col("qv"), m))))
+    base.withColumn("recon", recon((0 until PqM).map(m => code(col("qv"), m))))
   }
 
   val defs: Map[String, Q] = Map(
@@ -137,10 +143,75 @@ object Queries21 {
         .filter(col("rk") <= 5)
         .select(col("qid"), col("rk"), col("nid"), col("d2"))
         .orderBy("qid", "rk")
+    },
+
+    "ann_ivf_pq" -> { (sp, dir) =>
+      // IVF-PQ (the ann_pq scaladoc's promised composition): full-precision
+      // literal-centroid cell assignment + PQ codes in ONE narrow
+      // projection over one scan; the probe reads ONLY its nprobe=2 cells
+      // and pays 8 B/vector of reconstruction — the resident-index shape
+      // (FAISS IVFPQ) at 100 TB, where cells partition the corpus files.
+      import graft.functions.SimF
+      val cents: Seq[(Long, Seq[Double], Double)] = Tables.embeddings(sp, dir)
+        .filter(col("vec_id") < IvfK).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding"))
+        .collect().toSeq
+        .map { r =>
+          val cv = r.getSeq[Float](1).map(_.toDouble).toSeq
+          (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+      val e = Tables.embeddings(sp, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"),
+          milliVec(col("embedding")).as("qv"))
+        .withColumn("nrm", SimF.norm(col("v")))
+      val coded = graft.util.CacheScope.track(pqEncode(sp, dir,
+        e.withColumn("cell", SimF.argmaxCell(col("v"), col("nrm"), cents))))
+      val corpus = coded.select(col("vec_id").as("nid"), col("cell"), col("recon"))
+      val probes = coded.filter(col("vec_id") < 5)
+        .withColumn("sq", sort_array(SimF.cellSims(col("v"), col("nrm"), cents)))
+        .select(col("vec_id").as("qid"), col("qv").as("pq"),
+          explode(array(
+            element_at(col("sq"), IvfK).getField("negc") * -1L,
+            element_at(col("sq"), IvfK - 1).getField("negc") * -1L)).as("cell"))
+      val d2 = aggregate(
+        zip_with(col("pq"), col("recon"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("d2"), col("nid"))
+      corpus.join(broadcast(probes), Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("d2"))
+        .orderBy("qid", "rk")
     }
   )
 
   private val toksSql = TextF.TokensSql
+
+  // ---- PQ oracle fragments (shared by ann_pq and ann_ivf_pq) -------------
+  /** DuckDB twin of [[milliVec]]. */
+  private val PqMvSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  /** Per-subspace L2 of row vector `qv` to centroid `cc` (full 64-vectors,
+    * dims m·8+1 … m·8+8, 1-based). */
+  private def pqSubSql(m: Int) =
+    s"list_reduce(list_transform(range(1, ${PqDim + 1}), j -> " +
+      s"(qv[$m * $PqDim + j] - cc[$m * $PqDim + j]) * (qv[$m * $PqDim + j] - cc[$m * $PqDim + j])), (x, y) -> x + y)"
+  /** dl0..dl7: the 16-centroid distance list per subspace. */
+  private val PqDlColsSql = (0 until PqM).map(m =>
+    s"list_transform(cb_all, cc -> ${pqSubSql(m)}) AS dl$m").mkString(",\n    ")
+  /** code0..code7: first index of the minimum (tie → lowest c), 0-based. */
+  private val PqCodeColsSql = (0 until PqM).map(m =>
+    s"list_position(dl$m, list_min(dl$m)) - 1 AS code$m").mkString(", ")
+  /** The reconstructed vector from the 8 codes. */
+  private val PqReconSql = (0 until PqM).map(m =>
+    s"cb_all[code$m + 1][$m * $PqDim + 1 : $m * $PqDim + $PqDim]").mkString("flatten([", ", ", "])")
+  /** ADC distance between raw probe `pq` and reconstruction `recon`. */
+  private val PqD2Sql =
+    s"list_reduce(list_transform(range(1, ${PqM * PqDim + 1}), i -> (pq[i] - recon[i]) * (pq[i] - recon[i])), (x, y) -> x + y)"
 
   val oracles: Map[String, String] = Map(
     "collocation_lift" -> {
@@ -183,46 +254,76 @@ object Queries21 {
          |  FROM sw JOIN w USING (t) JOIN ts ON sw.source = ts.source, total
          |) q GROUP BY source ORDER BY source""".stripMargin,
 
-    "ann_pq" -> {
-      val mv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-      // per-subspace distance of corpus vector qv to centroid cc over dims
-      // m*8+1 .. m*8+8 (1-based); cc is the centroid's FULL 64-vector
-      def sub(m: Int) =
-        s"list_reduce(list_transform(range(1, ${PqDim + 1}), j -> " +
-          s"(qv[$m * $PqDim + j] - cc[$m * $PqDim + j]) * (qv[$m * $PqDim + j] - cc[$m * $PqDim + j])), (x, y) -> x + y)"
-      def codeExpr(m: Int) =
-        s"list_position(dl$m, list_min(dl$m)) - 1"
-      val dlCols = (0 until PqM).map(m =>
-        s"list_transform(cb_all, cc -> ${sub(m)}) AS dl$m").mkString(",\n         |    ")
-      val codeCols = (0 until PqM).map(m => s"${codeExpr(m)} AS code$m").mkString(", ")
-      val reconExpr = (0 until PqM).map(m =>
-        s"cb_all[code$m + 1][$m * $PqDim + 1 : $m * $PqDim + $PqDim]").mkString("flatten([", ", ", "])")
+    "ann_pq" ->
       s"""WITH cbv AS (
-         |  SELECT vec_id, $mv AS qv FROM embeddings WHERE vec_id < $PqK
+         |  SELECT vec_id, $PqMvSql AS qv FROM embeddings WHERE vec_id < $PqK
          |), cb AS (
          |  SELECT list(qv ORDER BY vec_id) AS cb_all FROM cbv
          |), e AS (
-         |  SELECT vec_id, $mv AS qv FROM embeddings
+         |  SELECT vec_id, $PqMvSql AS qv FROM embeddings
          |), dls AS (
          |  SELECT vec_id, qv,
-         |    $dlCols
+         |    $PqDlColsSql
          |  FROM e, cb
          |), coded AS (
-         |  SELECT vec_id, qv, $codeCols FROM dls
+         |  SELECT vec_id, qv, $PqCodeColsSql FROM dls
          |), corpus AS (
-         |  SELECT vec_id AS nid, $reconExpr AS recon FROM coded, cb
+         |  SELECT vec_id AS nid, $PqReconSql AS recon FROM coded, cb
          |), probes AS (
          |  SELECT vec_id AS qid, qv AS pq FROM e WHERE vec_id < 5
          |), scored AS (
-         |  SELECT qid, nid,
-         |    list_reduce(list_transform(range(1, ${PqM * PqDim + 1}), i -> (pq[i] - recon[i]) * (pq[i] - recon[i])), (x, y) -> x + y) AS d2
+         |  SELECT qid, nid, $PqD2Sql AS d2
          |  FROM corpus, probes WHERE nid <> qid
          |), ranked AS (
          |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
          |  FROM scored
          |)
          |SELECT qid, rk, nid, d2
-         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "ann_ivf_pq" -> {
+      val dot = Queries3.dotSqlShared _
+      s"""WITH e0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, $PqMvSql AS qv
+         |  FROM embeddings
+         |), n0 AS (
+         |  SELECT vec_id, v, qv, sqrt(${dot("v", "v")}) AS nrm FROM e0
+         |), cent AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n0 WHERE vec_id < $IvfK
+         |), cb AS (
+         |  SELECT list(qv ORDER BY vec_id) AS cb_all
+         |  FROM (SELECT vec_id, qv FROM e0 WHERE vec_id < $PqK) cbv
+         |), assign AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT n0.vec_id, n0.qv, cent.cid AS cell,
+         |      row_number() OVER (PARTITION BY n0.vec_id
+         |        ORDER BY ${dot("n0.v", "cent.cv")} / (n0.nrm * cent.cn) DESC, cent.cid) AS ark
+         |    FROM n0, cent
+         |  ) t WHERE ark = 1
+         |), dls AS (
+         |  SELECT vec_id, cell, qv,
+         |    $PqDlColsSql
+         |  FROM assign, cb
+         |), coded AS (
+         |  SELECT vec_id, cell, qv, $PqCodeColsSql FROM dls
+         |), corpus AS (
+         |  SELECT vec_id AS nid, cell, $PqReconSql AS recon FROM coded, cb
+         |), probes AS (
+         |  SELECT vec_id AS qid, qv AS pq, cell FROM (
+         |    SELECT n0.vec_id, n0.qv, cent.cid AS cell,
+         |      row_number() OVER (PARTITION BY n0.vec_id
+         |        ORDER BY ${dot("n0.v", "cent.cv")} / (n0.nrm * cent.cn) DESC, cent.cid) AS prk
+         |    FROM n0, cent WHERE n0.vec_id < 5
+         |  ) t WHERE prk <= 2
+         |), scored AS (
+         |  SELECT qid, nid, $PqD2Sql AS d2
+         |  FROM corpus JOIN probes USING (cell) WHERE nid <> qid
+         |), ranked AS (
+         |  SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+         |  FROM scored
+         |)
+         |SELECT qid, rk, nid, d2
+         |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
     }
   )
 }

@@ -60,4 +60,21 @@ class Queries21Spec extends SparkSpec {
     val macroRecall = recalls.sum / recalls.size
     assert(macroRecall > 0.2, s"PQ recall@5 must beat random: $macroRecall")
   }
+
+  test("ann_ivf_pq: cell pruning can only lose candidates, never invent them") {
+    val full = SparkEntry.queries("ann_pq")(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(r => r.getLong(3)).toSeq }
+    val ivf = SparkEntry.queries("ann_ivf_pq")(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(r => r.getLong(3)).toSeq }
+    assert(ivf.keySet == full.keySet)
+    // the pruned search scans a subset of the corpus, so its rank-i
+    // distance is >= the full PQ search's rank-i distance
+    ivf.foreach { case (q, ds) =>
+      ds.zip(full(q)).zipWithIndex.foreach { case ((dIvf, dFull), i) =>
+        assert(dIvf >= dFull, s"qid $q rank ${i + 1}: pruned $dIvf < full $dFull")
+      }
+    }
+  }
 }
