@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries22 oracle rows alone don't pin: CDC's
+  * shift-resistance (the property content-defined boundaries exist for)
+  * and the anomaly median recomputed independently.
+  */
+class Queries22Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cdc_chunk_dedup: fractions well-formed") {
+    val rows = SparkEntry.queries("cdc_chunk_dedup")(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, d, m) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1 && d >= 0 && d <= n)
+      assert(m == d * 1000 / n)
+    }
+  }
+
+  test("cdc chunking is shift-resistant: a prefix edit changes at most the first chunks") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, s"inserted prefix tokens $base") // 3-token front insertion
+    ).toDF("doc_id", "text")
+    val chunks = graft.queries.Queries22.cdcChunks(docs)
+      .select(col("doc_id"), col("chunk_hash")).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val shared = chunks(1L) intersect chunks(2L)
+    // every chunk of doc 1 strictly after its first boundary re-occurs in
+    // doc 2 — fixed-window spans would ALL shift and share nothing
+    assert(shared.size >= chunks(1L).size - 1,
+      s"CDC must preserve post-boundary chunks: ${chunks(1L).size} vs shared ${shared.size}")
+    assert(shared.nonEmpty)
+  }
+
+  test("volume_anomaly: med is the type's exact rank-median; flag algebra holds") {
+    val rows = SparkEntry.queries("volume_anomaly")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val cnts = g.map(_.getLong(2)).sorted
+      val med = cnts((cnts.length - 1) * 50 / 100)
+      g.foreach { r =>
+        assert(r.getLong(3) == med, s"median mismatch: $r vs $med")
+        assert((r.getInt(4) == 1) == (r.getLong(2) * 2 >= med * 3), s"flag algebra: $r")
+      }
+    }
+  }
+}
