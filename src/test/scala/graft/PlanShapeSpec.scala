@@ -69,6 +69,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r7 operators keep their promised shapes") {
+    // winnowing is a pure per-row projection: no join, no hash shuffle
+    val pw = plan("winnow_fingerprint")
+    assert(!pw.contains("Join") && hashExchanges(pw) == 0,
+      s"winnow_fingerprint must stay a narrow projection:\n$pw")
+    // token/chunk pipelines may shuffle on doc/gram keys but never join the
+    // corpus against itself
+    for (q <- Seq("cdc_chunk_dedup", "markov_transitions", "volume_anomaly")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+    // candidate verification and stats joins broadcast their small side —
+    // a sort-merge join would shuffle the corpus
+    for (q <- Seq("dedup_edit_verify", "collocation_lift", "source_divergence", "ann_ivf_pq")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+    }
+    // the attribution as-of goes through the custom Catalyst operator
+    val pa = plan("attribution_last_touch")
+    assert(pa.contains("AsOfJoin"), s"attribution lost the native as-of plan:\n$pa")
+  }
+
   test("aggregations are map-side partial before their one exchange") {
     val p = plan("q1_pricing")
     val firstPartial = p.indexOf("partial_")
