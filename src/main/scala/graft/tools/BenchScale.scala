@@ -32,7 +32,11 @@ object BenchScale {
     "sessionize", "ua_device_class", "thrift_payload_parse", "schema_validate",
     // round-7: the new CC-backed keeper (same fixed-cost class as
     // dedup_minhash_keep) and the shingle-key novelty window
-    "dedup_keep_longest", "ngram_novelty")
+    "dedup_keep_longest", "ngram_novelty",
+    // round-7 continuation: the exploded-token CDC pipeline and the
+    // Levenshtein verify (candidate-bounded — its cost must NOT scale with
+    // the corpus beyond the pair count)
+    "cdc_chunk_dedup", "dedup_edit_verify")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
