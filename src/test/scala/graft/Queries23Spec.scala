@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries23 oracle rows alone don't pin: the integral idf
+  * algebra and the degree histogram's handshake identity.
+  */
+class Queries23Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tfidf_topterms: integral idf algebra; ubiquitous terms score zero") {
+    val rows = SparkEntry.queries("tfidf_topterms")(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val idfBits = 63 - java.lang.Long.numberOfLeadingZeros(nDocs / df)
+      assert(score == tf * idfBits, s"score must be tf * floor(log2(N/df)): $r")
+      if (df == nDocs) assert(score == 0, s"a term in every doc carries no signal: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.length <= 5)
+      val scores = g.sortBy(_.getInt(1)).map(_.getLong(5))
+      assert(scores.sameElements(scores.sorted.reverse), "ranked by score desc")
+    }
+  }
+
+  test("dupgraph_degree: handshake identity and full mass") {
+    val rows = SparkEntry.queries("dupgraph_degree")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Tables.documents(spark, dir).count()
+    val nPairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir).count()
+    assert(rows.map(_._2).sum == nDocs, "histogram must cover every doc")
+    assert(rows.map { case (d, n) => d * n }.sum == 2 * nPairs,
+      "sum of degrees must be twice the edge count")
+  }
+}
