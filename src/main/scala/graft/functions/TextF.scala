@@ -139,6 +139,16 @@ object TextF {
     ColumnBridge.column(graft.plans.ShinglesExpression(ColumnBridge.expression(toks), k))
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003) over an array
+    * of shingle hashes: the sorted distinct minima of every w-wide window,
+    * via the native codegen'd [[graft.plans.WinnowExpression]] (O(n)
+    * monotonic deque; the composable slice/array_min form re-scans w
+    * elements per window, interpreted). */
+  def winnowMinima(hashes: Column, w: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.WinnowExpression(ColumnBridge.expression(hashes), w))
+  }
+
   /** One MinHash signature component: min over shingles of md5(seed:shingle),
     * as lowercase hex (null for docs with < k words). */
   def minhashComponent(text: Column, k: Int, seed: Int): Column =

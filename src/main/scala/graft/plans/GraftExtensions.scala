@@ -88,7 +88,10 @@ object GraftFunctions {
     // z-order clustering key (bits defaults to 16 per dimension)
     fn("graft_zorder_key", "graft_zorder_key(x, y[, bits])",
       es => x(graft.functions.LayoutF.zInterleave(c(es(0)), c(es(1)),
-        if (es.length > 2) intArg(es(2), "bits") else 16)))
+        if (es.length > 2) intArg(es(2), "bits") else 16))),
+    // round-7: winnowing fingerprint selection (sorted distinct window minima)
+    fn("graft_winnow", "graft_winnow(hashes, w)",
+      es => WinnowExpression(es.head, intArg(es(1), "w")))
   )
 
   /** Register all graft SQL functions on a live session. */

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing selection (Schleimer et al., SIGMOD 2003): given the
+  * array of shingle hashes, return the SORTED DISTINCT minima of every
+  * w-wide window — the document's winnowing fingerprint set.
+  *
+  * The composable form (`transform(sequence(...), i ->
+  * array_min(slice(...)))`) evaluates its lambda interpreted and re-scans w
+  * elements per window — O(n·w) with per-window array allocation. This
+  * kernel is the textbook O(n) monotonic deque inside whole-stage codegen:
+  * one pass, one int[] of indices, then one sort+dedup of the ≈n/w selected
+  * minima. Fewer than w hashes (but ≥ 1) form a single window; null
+  * elements are ignored by the window minimum (a window of only nulls
+  * selects nothing).
+  */
+case class WinnowExpression(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, "window must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val vals = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { vals(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i); i += 1 }
+    val nw = math.max(n - w + 1, 1)
+    val mins = new Array[UTF8String](nw)
+    var cnt = 0
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < n) {
+      if (vals(i) != null) {
+        while (tail > head && vals(dq(tail - 1)).compareTo(vals(i)) >= 0) tail -= 1
+        dq(tail) = i; tail += 1
+      }
+      while (tail > head && dq(head) <= i - w) head += 1
+      if (i >= w - 1 && tail > head) { mins(cnt) = vals(dq(head)); cnt += 1 }
+      i += 1
+    }
+    if (n < w && tail > head) { mins(cnt) = vals(dq(head)); cnt += 1 }
+    java.util.Arrays.sort(mins.asInstanceOf[Array[AnyRef]], 0, cnt)
+    var u = 0
+    i = 0
+    while (i < cnt) {
+      if (i == 0 || !mins(i).equals(mins(i - 1))) { mins(u) = mins(i); u += 1 }
+      i += 1
+    }
+    val out = new Array[Any](u)
+    System.arraycopy(mins, 0, out, 0, u)
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arrCls = classOf[GenericArrayData].getName
+      val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      val n = ctx.freshName("n")
+      val vals = ctx.freshName("vals")
+      val mins = ctx.freshName("mins")
+      val cnt = ctx.freshName("cnt")
+      val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val i = ctx.freshName("i")
+      val uq = ctx.freshName("uq")
+      val out = ctx.freshName("out")
+      val nw = ctx.freshName("nw")
+      s"""
+         |int $n = $c.numElements();
+         |$u8[] $vals = new $u8[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $vals[$i] = $c.isNullAt($i) ? null : $c.getUTF8String($i);
+         |}
+         |int $nw = $n - ${w - 1}; if ($nw < 1) $nw = ($n > 0 ? 1 : 0);
+         |$u8[] $mins = new $u8[$nw];
+         |int $cnt = 0;
+         |int[] $dq = new int[$n];
+         |int $head = 0, $tail = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($vals[$i] != null) {
+         |    while ($tail > $head && $vals[$dq[$tail - 1]].compareTo($vals[$i]) >= 0) $tail--;
+         |    $dq[$tail++] = $i;
+         |  }
+         |  while ($tail > $head && $dq[$head] <= $i - $w) $head++;
+         |  if ($i >= ${w - 1} && $tail > $head) $mins[$cnt++] = $vals[$dq[$head]];
+         |}
+         |if ($n > 0 && $n < $w && $tail > $head) $mins[$cnt++] = $vals[$dq[$head]];
+         |java.util.Arrays.sort($mins, 0, $cnt);
+         |int $uq = 0;
+         |for (int $i = 0; $i < $cnt; $i++) {
+         |  if ($i == 0 || !$mins[$i].equals($mins[$i - 1])) $mins[$uq++] = $mins[$i];
+         |}
+         |$u8[] $out = new $u8[$uq];
+         |System.arraycopy($mins, 0, $out, 0, $uq);
+         |${ev.value} = new $arrCls($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpression =
+    copy(child = newChild)
+}

@@ -42,17 +42,26 @@ object Queries20 {
 
   /** Winnowing selection over a (doc_id, text) frame: adds `n` (shingle
     * count) and `sel` (the sorted distinct window minima — the fingerprint
-    * set). Shared by the query and the guarantee spec (two docs sharing a
-    * ≥ k+w−1-token substring must overlap on `sel`). All per-row array
-    * kernels — zero shuffle. */
-  private[graft] def winnowSel(docs: DataFrame): DataFrame = {
+    * set) via the native codegen'd O(n) `WinnowExpression`. Shared by the
+    * query and the guarantee spec (two docs sharing a ≥ k+w−1-token
+    * substring must overlap on `sel`). All per-row kernels — zero shuffle. */
+  private[graft] def winnowSel(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", transform(
+        TextF.shinglesFromTokens(TextF.tokens(col("text")), WinnowK),
+        s => md5(s.cast("binary"))))
+      .withColumn("n", size(col("h")))
+      .withColumn("sel", TextF.winnowMinima(col("h"), WinnowW))
+
+  /** The composable O(n·w) twin of [[winnowSel]] (sequence → slice →
+    * array_min, interpreted lambdas) — kept ONLY as the equivalence
+    * reference the native kernel is spec'd against. */
+  private[graft] def winnowSelComposed(docs: DataFrame): DataFrame = {
     val d = docs
       .withColumn("h", transform(
         TextF.shinglesFromTokens(TextF.tokens(col("text")), WinnowK),
         s => md5(s.cast("binary"))))
       .withColumn("n", size(col("h")))
-    // one window minimum per start position, then the distinct mins are
-    // the fingerprint set
     val mins = transform(
       sequence(lit(1), greatest(col("n") - lit(WinnowW - 1), lit(1))),
       i => array_min(slice(col("h"), i, lit(WinnowW))))

@@ -25,6 +25,28 @@ class PlansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("WinnowExpression matches the composable form on the corpus (codegen + interpreted)") {
+    val dir = "/root/testdata/sf0.001"
+    def sels(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("sel")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val native = sels(graft.queries.Queries20.winnowSel)
+    val composed = sels(graft.queries.Queries20.winnowSelComposed)
+    assert(native == composed, "native deque kernel must equal the slice/array_min form")
+    // interpreted path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(sels(graft.queries.Queries20.winnowSel) == composed)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // edge shapes: fewer hashes than the window, single element, empty
+    import spark.implicits._
+    val edge = Seq((1L, "a b c d e"), (2L, "a b c d"), (3L, "")).toDF("doc_id", "text")
+    val en = sels(_ => graft.queries.Queries20.winnowSel(edge))
+    val ec = sels(_ => graft.queries.Queries20.winnowSelComposed(edge))
+    assert(en == ec, s"edge shapes diverge: $en vs $ec")
+    assert(en(3L).isEmpty)
+  }
+
   test("VecMatMulExpression matches the composable HOF fold (codegen + interpreted)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
