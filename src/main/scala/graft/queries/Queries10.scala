@@ -33,12 +33,12 @@ object Queries10 {
 
   /** Benchmark-membership predicate (shared Spark ↔ oracle constant): a
     * deterministic ~1% slice of `documents` stands in for the eval suite. */
-  private val BenchMod = 101
-  private val BenchRem = 7
+  private[queries] val BenchMod = 101
+  private[queries] val BenchRem = 7
 
   /** Decontamination shingle width (13-gram is the common LLM choice; 8
     * keeps the synthetic corpus's planted dups detectable at sf0.01). */
-  private val DecontamK = 8
+  private[queries] val DecontamK = 8
 
   // ---- synthetic PII injection (Spark and SQL twins in lockstep) ----
   private def piiText(d: Column, text: Column): Column = {
@@ -237,23 +237,43 @@ object Queries10 {
     },
 
     "corpus_filter" -> { (sp, dir) =>
-      // the shipped training corpus: exact-dedup keeper ∧ en ∧ shape gates.
-      // One window on the fingerprint (the dedup shuffle) + a narrow filter;
-      // ratio comparisons stay in double — a single IEEE division of two
-      // ints is bit-identical across engines — and outputs are ints.
-      val d = Tables.documents(sp, dir)
-        .withColumn("fp", TextF.docFingerprint(col("text")))
-        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
-        .withColumn("n_tokens", TextF.tokenCount(col("text")))
-      d.filter(col("doc_id") === col("keeper"))
-        .filter(TextF.langGuess(col("text")) === "en")
-        .filter(col("n_tokens") >= 30 && col("n_tokens") <= 5000)
-        .filter(TextF.uniqueTokenRatio(col("text")) >= 0.10)
-        .filter(TextF.punctRatio(col("text")) <= 0.20)
+      corpusGated(sp, dir)
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id")
     }
   )
+
+  /** The shipped-corpus gate: exact-dedup keeper ∧ en ∧ shape gates — one
+    * window on the fingerprint (the dedup shuffle) + a narrow filter; ratio
+    * comparisons stay in double (a single IEEE division of two ints is
+    * bit-identical across engines), outputs are ints. Shared by
+    * corpus_filter and Queries24's corpus_pipeline. */
+  private[queries] def corpusGated(sp: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(sp, dir)
+      .withColumn("fp", TextF.docFingerprint(col("text")))
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+      .withColumn("n_tokens", TextF.tokenCount(col("text")))
+    d.filter(col("doc_id") === col("keeper"))
+      .filter(TextF.langGuess(col("text")) === "en")
+      .filter(col("n_tokens") >= 30 && col("n_tokens") <= 5000)
+      .filter(TextF.uniqueTokenRatio(col("text")) >= 0.10)
+      .filter(TextF.punctRatio(col("text")) <= 0.20)
+  }
+
+  /** Docs (excluding the bench slice itself) sharing any DecontamK-gram
+    * with the benchmark slice — the decontaminate exclusion set, shared
+    * with corpus_pipeline. Bench shingles broadcast. */
+  private[queries] def contaminatedDocs(sp: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(sp, dir)
+      .withColumn("toks", TextF.tokens(col("text")))
+      .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), DecontamK)))
+    val bench = docs.filter(col("doc_id") % BenchMod === BenchRem)
+      .select(explode(col("sh")).as("s")).distinct()
+    docs.filter(col("doc_id") % BenchMod =!= BenchRem)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .select("doc_id").distinct()
+  }
 
   // ---- DuckDB twins ----
 
@@ -388,22 +408,47 @@ object Queries10 {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "corpus_filter" -> {
-      val norm = normSql
-      val nTok = tokCntSql(norm, toksSql)
-      val uniqRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(len(list_distinct($toksSql)) AS DOUBLE) / $nTok END"
-      val stopRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopListSql, t))) AS DOUBLE) / $nTok END"
-      val noSpace = raw"regexp_replace(text, '\s', '', 'g')"
-      val punctRatio = s"CASE WHEN length($noSpace) = 0 THEN 0.0 ELSE CAST(length(regexp_replace($noSpace, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / length($noSpace) END"
-      s"""SELECT doc_id, n_tokens FROM (
-         |  SELECT doc_id, $nTok AS n_tokens,
-         |    min(doc_id) OVER (PARTITION BY md5($norm)) AS keeper,
-         |    $stopRatio AS stop_r, $uniqRatio AS uniq_r, $punctRatio AS punct_r
-         |  FROM documents) t
-         |WHERE doc_id = keeper AND stop_r >= 0.08
-         |  AND n_tokens BETWEEN 30 AND 5000
-         |  AND uniq_r >= 0.10 AND punct_r <= 0.20
+    "corpus_filter" ->
+      s"""$CorpusGatedSql
          |ORDER BY doc_id""".stripMargin
-    }
   )
+
+  /** SQL twin of [[corpusGated]] projected to (doc_id, n_tokens) — no ORDER
+    * BY so corpus_pipeline can reuse it as a CTE body. */
+  private[queries] lazy val CorpusGatedSql: String = {
+    val norm = normSql
+    val nTok = tokCntSql(norm, toksSql)
+    val uniqRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(len(list_distinct($toksSql)) AS DOUBLE) / $nTok END"
+    val stopRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(len(list_filter($toksSql, t -> list_contains($stopListSql, t))) AS DOUBLE) / $nTok END"
+    val noSpace = raw"regexp_replace(text, '\s', '', 'g')"
+    val punctRatio = s"CASE WHEN length($noSpace) = 0 THEN 0.0 ELSE CAST(length(regexp_replace($noSpace, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / length($noSpace) END"
+    s"""SELECT doc_id, n_tokens FROM (
+       |  SELECT doc_id, $nTok AS n_tokens,
+       |    min(doc_id) OVER (PARTITION BY md5($norm)) AS keeper,
+       |    $stopRatio AS stop_r, $uniqRatio AS uniq_r, $punctRatio AS punct_r
+       |  FROM documents) t
+       |WHERE doc_id = keeper AND stop_r >= 0.08
+       |  AND n_tokens BETWEEN 30 AND 5000
+       |  AND uniq_r >= 0.10 AND punct_r <= 0.20""".stripMargin
+  }
+
+  /** SQL twin of [[contaminatedDocs]] as CTE bodies (no WITH): `consh`
+    * (distinct per-doc shingles), `bench`, `contaminated`. */
+  private[queries] lazy val ContaminatedCteSql: String = {
+    def shingles = {
+      val parts = (0 until DecontamK).map(j => s"list_extract(w, i + $j)").mkString(", ' ', ")
+      s"list_transform(range(1, len(w) - ${DecontamK - 2}), i -> concat($parts))"
+    }
+    s"""consh AS (
+       |  SELECT doc_id, unnest(list_distinct($shingles)) AS s
+       |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t
+       |),
+       |bench AS (
+       |  SELECT DISTINCT s FROM consh WHERE doc_id % $BenchMod = $BenchRem
+       |),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM consh JOIN bench USING (s)
+       |  WHERE doc_id % $BenchMod <> $BenchRem
+       |)""".stripMargin
+  }
 }

@@ -1,0 +1,25 @@
+package graft
+
+/** corpus_pipeline must equal the intersection of the standalone operators
+  * it composes — the composition identity the oracle rows alone don't pin.
+  */
+class Queries24Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("corpus_pipeline == gates ∩ minhash-keep ∩ not-bench ∩ not-contaminated") {
+    def ids(q: String): Set[Long] =
+      SparkEntry.queries(q)(spark, dir).collect().map(_.getLong(0)).toSet
+    val pipeline = ids("corpus_pipeline")
+    val gated = ids("corpus_filter")
+    val minhashKeep = ids("dedup_minhash_keep")
+    val contaminated = ids("decontaminate")
+    val expected = gated
+      .intersect(minhashKeep)
+      .filter(_ % 101 != 7)
+      .diff(contaminated)
+    assert(pipeline == expected,
+      s"missing=${expected.diff(pipeline)} extra=${pipeline.diff(expected)}")
+    assert(pipeline.nonEmpty && pipeline.size < gated.size,
+      "the pipeline must ship a strict, non-empty subset of the gated corpus")
+  }
+}
