@@ -33,10 +33,10 @@ object BenchScale {
     // round-7: the new CC-backed keeper (same fixed-cost class as
     // dedup_minhash_keep) and the shingle-key novelty window
     "dedup_keep_longest", "ngram_novelty",
-    // round-7 continuation: the exploded-token CDC pipeline and the
+    // round-7 continuation: the exploded-token CDC pipeline, the
     // Levenshtein verify (candidate-bounded — its cost must NOT scale with
-    // the corpus beyond the pair count)
-    "cdc_chunk_dedup", "dedup_edit_verify")
+    // the corpus beyond the pair count), and the end-to-end corpus pipeline
+    "cdc_chunk_dedup", "dedup_edit_verify", "corpus_pipeline")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
