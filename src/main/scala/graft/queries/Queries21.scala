@@ -86,8 +86,10 @@ object Queries21 {
     "collocation_lift" -> { (sp, dir) =>
       val toks = Tables.documents(sp, dir)
         .select(col("doc_id"), TextF.tokens(col("text")).as("w"))
-      val uni = toks.select(explode(col("w")).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("c"))
+      // the unigram table feeds both word joins AND the total — cached so
+      // the token aggregation runs once, not three times
+      val uni = graft.util.CacheScope.track(toks.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c")))
       val totals = uni.agg(sum(col("c")).as("n_total"))
       val bi = toks.select(explode(TextF.shinglesFromTokens(col("w"), 2)).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("c_xy"))
@@ -106,8 +108,12 @@ object Queries21 {
     "source_divergence" -> { (sp, dir) =>
       val tok = Tables.documents(sp, dir)
         .select(col("source"), explode(TextF.tokens(col("text"))).as("t"))
-      val sw = tok.groupBy("source", "t").agg(count(lit(1)).as("c_sw"))
-      val w = tok.groupBy("t").agg(count(lit(1)).as("c_w"))
+      // each count table feeds a join AND its own rollup — cache so the
+      // exploded-token aggregations run once each
+      val sw = graft.util.CacheScope.track(
+        tok.groupBy("source", "t").agg(count(lit(1)).as("c_sw")))
+      val w = graft.util.CacheScope.track(
+        tok.groupBy("t").agg(count(lit(1)).as("c_w")))
       val ts = sw.groupBy("source").agg(sum(col("c_sw")).as("t_s"))
       val total = w.agg(sum(col("c_w")).as("t_all"))
       // quantized χ²: milli-probability diffs squared over the corpus rate,

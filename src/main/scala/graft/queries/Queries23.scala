@@ -27,8 +27,11 @@ object Queries23 {
 
   val defs: Map[String, Q] = Map(
     "tfidf_topterms" -> { (sp, dir) =>
-      val toks = Tables.documents(sp, dir)
-        .select(col("doc_id"), col("source"), explode(TextF.tokens(col("text"))).as("t"))
+      // the exploded token table feeds both the tf and the df aggregation —
+      // cached (the Queries6 exploded-band precedent) so documents are
+      // tokenized once
+      val toks = graft.util.CacheScope.track(Tables.documents(sp, dir)
+        .select(col("doc_id"), col("source"), explode(TextF.tokens(col("text"))).as("t")))
       val tf = toks.groupBy("source", "t").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
       val n = Tables.documents(sp, dir).agg(count(lit(1)).as("n_docs"))
@@ -47,7 +50,9 @@ object Queries23 {
     },
 
     "dupgraph_degree" -> { (sp, dir) =>
-      val pairs = Queries6.minhashPairs(sp, dir)
+      // both endpoint projections scan the pair set — cache it or the LSH
+      // self-join runs twice
+      val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
       val deg = pairs.select(col("id_a").as("doc_id"))
         .unionAll(pairs.select(col("id_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("degree"))
