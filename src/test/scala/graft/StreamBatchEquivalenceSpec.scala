@@ -144,4 +144,63 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       assert(stream.length == batchKeys.size, "a key survived more than once")
     } finally q.stop()
   }
+
+  test("StreamAttribution over three micro-batches == the batch join on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val windowUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)].collect().sortBy(_._3) // event-time order
+    def side(t: String) = ev.filter(_._2 == t).map(r => (r._1, r._3))
+    val clicks = side("click")
+    val purchases = side("purchase")
+
+    // batch twin: attribute() is DataFrame => DataFrame, so the SAME code
+    // runs in batch (withWatermark is a no-op there)
+    val batch = graft.streaming.StreamAttribution.attribute(
+        clicks.toSeq.toDF("user_id", "ts_us"),
+        purchases.toSeq.toDF("user_id", "ts_us"),
+        "ts_us", windowUs)
+      .select(col("user_id"), col("ts_us"), col("imp_us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "the corpus must produce in-window matches")
+
+    val impMem = MemoryStream[(Long, Long)]
+    val convMem = MemoryStream[(Long, Long)]
+    val joined = graft.streaming.StreamAttribution.attribute(
+      impMem.toDF().toDF("user_id", "ts_us"),
+      convMem.toDF().toDF("user_id", "ts_us"),
+      "ts_us", windowUs, watermarkDelay = "2 hours")
+    val q = joined.select(col("user_id"), col("ts_us"), col("imp_us"))
+      .writeStream.format("memory").queryName("sbe_attr")
+      .outputMode("append").start()
+    try {
+      // cut the shared timeline THROUGH a known match (impression before
+      // the cut, conversion after) so at least one pair spans a micro-batch
+      // boundary; both sides advance their watermark together
+      val splittable = batch.filter { case (_, convUs, impUs) => impUs < convUs }
+      assert(splittable.nonEmpty, "need a non-simultaneous match to bisect")
+      val (_, cv, iu) = splittable.maxBy { case (_, c, i) => c - i }
+      val cuts = Seq(iu + (cv - iu) / 2, Long.MaxValue)
+      var lo = Long.MinValue
+      cuts.foreach { hi =>
+        impMem.addData(clicks.filter(c => c._2 > lo && c._2 <= hi).toIndexedSeq)
+        convMem.addData(purchases.filter(c => c._2 > lo && c._2 <= hi).toIndexedSeq)
+        q.processAllAvailable()
+        lo = hi
+      }
+      val stream = spark.sql("SELECT user_id, ts_us, imp_us FROM sbe_attr")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(stream == batch,
+        s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+      // the test must actually exercise the boundary: some match pairs a
+      // conversion with an impression from an EARLIER micro-batch
+      val crossChunk = batch.exists { case (_, convUs, impUs) =>
+        cuts.exists(c => impUs <= c && convUs > c)
+      }
+      assert(crossChunk, "no match spans a micro-batch boundary — weaken the cuts")
+    } finally q.stop()
+  }
 }
