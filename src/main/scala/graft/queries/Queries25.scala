@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextF
+
+/** Round-7 batch: retrieval and graph-centrality operators over the corpus.
+  *
+  *  - `bm25_topk`: BM25 (Robertson-Spärck Jones) top-5 retrieval for a fixed
+  *    query set — the search half of a retrieval-augmented pipeline. The
+  *    token explode is FILTERED to query terms before any shuffle (query
+  *    vocabulary is tiny and broadcast), so corpus text never shuffles; doc
+  *    lengths are a narrow per-row projection. All scoring is exact integer
+  *    milli-units: the idf factor is the tfidf_topterms bit-length idf and
+  *    the (k1=1.2, b=0.75) saturation fraction is evaluated from ONE shared
+  *    formula string instantiated with each engine's integer-division
+  *    operator, so the two sides cannot drift.
+  *  - `inverted_index`: posting-list materialization (term → df + the first
+  *    [[PostingsCap]] doc_ids) — the index-build step a retrieval system
+  *    ships; one (term) shuffle of (term, doc_id) pairs, postings capped
+  *    BEFORE the string join so no unbounded row ever materializes.
+  *  - `pagerank_dupgraph`: PageRank ([[PrIters]] unrolled power iterations,
+  *    damping 0.85, integer micro-units) over the MinHash near-dup graph —
+  *    node importance in the duplicate topology. Each iteration is ONE
+  *    shuffle of (dst, contribution) pairs over the cached symmetric edge
+  *    list; truncating integer division makes every iteration bit-identical
+  *    on both engines, so even the oracle is exact.
+  *  - `dedup_keep_central`: the centrality keeper rule — per near-dup
+  *    cluster ship the member with the HIGHEST PageRank (ties → lowest
+  *    doc_id). Complements dedup_minhash_keep (min-id) and
+  *    dedup_keep_longest (completeness): centrality picks the most
+  *    representative member of dense boilerplate cliques. Reuses the
+  *    ConnectedComponents operator and the pagerank ranks verbatim.
+  *
+  * Reference anchor: snowplow/enrich has no retrieval/graph tier; these
+  * extend the training-data surface (SURVEY §2.D) the way sim_lsh/semdedup
+  * do, with the reference's exactness discipline.
+  */
+object Queries25 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The fixed retrieval query set (vocabulary words from the synth corpus;
+    * q04 carries an out-of-vocabulary term to pin the miss path — an OOV
+    * term contributes nothing, it must not null the whole query). */
+  private[queries] val QuerySet: Seq[(String, String)] = Seq(
+    "q01" -> "spark window",
+    "q02" -> "join merge",
+    "q03" -> "stream batch",
+    "q04" -> "filter zebra"
+  )
+
+  /** The distinct query vocabulary (spec support). */
+  def queryVocab: Seq[String] = QuerySet.flatMap(_._2.split(" ")).distinct
+
+  private val TopK = 5
+
+  /** BM25 term-score in milli-units over columns (tf, dl, avgdl_milli,
+    * idf_bits), instantiated with the engine's integer-division operator
+    * (Spark ` div `, DuckDB `//`). k1=1.2 and b=0.75 appear as the 1200 /
+    * 750 (and 250 = 1000·(1−b)) milli literals:
+    * idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)). */
+  private def bm25ScoreSql(idiv: String): String =
+    s"idf_bits * ((tf * 2200 * 1000) $idiv " +
+      s"(tf * 1000 + (1200 * (250 + (750 * dl * 1000) $idiv avgdl_milli)) $idiv 1000))"
+
+  /** Postings per term the inverted index materializes. */
+  private val PostingsCap = 8
+
+  /** Power-iteration count; unrolled identically in the Spark plan and the
+    * oracle's chained CTEs. */
+  private[queries] val PrIters = 5
+
+  /** PageRank over the MinHash candidate graph: (doc_id, rank_micro) for
+    * every doc with at least one near-dup partner. r0 = 1e6; each round
+    * r'(v) = 150000 + 850·Σ(r(u) div deg(u)) div 1000 — all BIGINT, all
+    * truncating division, identical on both engines. */
+  private[queries] def pagerankRanks(sp: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
+    pairs.count() // materialize before the symmetric union scans it twice
+    pagerankFromPairs(pairs)
+  }
+
+  /** PageRank power iterations over an already-materialized (id_a, id_b)
+    * pair set (callers cache it — dedup_keep_central shares one pair set
+    * between the component labels and the ranks). */
+  private[queries] def pagerankFromPairs(pairs: DataFrame): DataFrame = {
+    // the symmetric edge list feeds the degree count and all PrIters
+    // iteration joins — cache it or the pair scan reruns per round
+    val edges = graft.util.CacheScope.track(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = graft.util.CacheScope.track(edges.join(deg, Seq("src")))
+    var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      rank = edgesDeg
+        .join(rank, edgesDeg("src") === rank("id"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("id"), expr("150000 + (850 * s) div 1000").as("r"))
+    }
+    rank.select(col("id").as("doc_id"), col("r").as("rank_micro"))
+  }
+
+  /** Oracle CTE chain shared by pagerank_dupgraph and dedup_keep_central:
+    * symmetric edges + degrees off the MinHash `pairs` CTE, then r0..rN
+    * unrolled. Exposes `prresult(id, r)`. */
+  private def pagerankCtesSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS id,
+         |    150000 + (850 * CAST(sum(p.r // e.deg) AS BIGINT)) // 1000 AS r
+         |  FROM edgesdeg e JOIN r${i - 1} p ON e.src = p.id GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""symedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |),
+       |prdeg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM symedges GROUP BY src
+       |),
+       |edgesdeg AS (
+       |  SELECT e.src, e.dst, d.deg FROM symedges e JOIN prdeg d USING (src)
+       |),
+       |r0 AS (
+       |  SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM prdeg
+       |),
+       |$iters,
+       |prresult AS (SELECT id, r FROM r$PrIters)""".stripMargin
+  }
+
+  val defs: Map[String, Q] = Map(
+    "bm25_topk" -> { (sp, dir) =>
+      import sp.implicits._
+      val qterms = broadcast(
+        QuerySet.flatMap { case (q, s) => s.split(" ").map(t => (q, t)) }.toDF("q_id", "t"))
+      val docs = Tables.documents(sp, dir)
+      // per-doc length: narrow projection, no shuffle
+      val dl = docs.select(col("doc_id"), TextF.tokenCount(col("text")).cast("bigint").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .select(col("n_docs"), expr("(sum_dl * 1000) div n_docs").as("avgdl_milli"))
+      // only query-vocabulary tokens survive the explode — the broadcast
+      // semi-join runs before the (doc, term) shuffle, so at 100 TB the
+      // shuffle carries |query vocab| × matching docs, never the corpus
+      val tf = docs
+        .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("t"))
+        .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"), "left_semi")
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      // df counts tf's rows (already one per matching doc); tiny: ≤ |vocab|
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val scored = qterms
+        .join(tf, Seq("t"))
+        .join(broadcast(df), Seq("t"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_bits", (length(bin(expr("n_docs div df"))) - 1).cast("bigint"))
+        .withColumn("tscore_milli", expr(bm25ScoreSql(" div ")))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("tscore_milli")).as("score_milli"))
+      val w = Window.partitionBy("q_id").orderBy(col("score_milli").desc, col("doc_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select(col("q_id"), col("rk"), col("doc_id"), col("score_milli"))
+        .orderBy("q_id", "rk")
+    },
+
+    "inverted_index" -> { (sp, dir) =>
+      val pairs = Tables.documents(sp, dir)
+        .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("t"))
+        .distinct()
+      val w = Window.partitionBy("t").orderBy("doc_id")
+      val wDf = Window.partitionBy("t")
+      pairs
+        .withColumn("rk", row_number().over(w))
+        .withColumn("df", count(lit(1)).over(wDf))
+        // cap BEFORE the string join: the materialized posting row is
+        // bounded regardless of how hot the term is
+        .filter(col("rk") <= PostingsCap)
+        .groupBy(col("t").as("term"))
+        .agg(
+          max(col("df")).as("df"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("postings"))
+        .orderBy("term")
+    },
+
+    "pagerank_dupgraph" -> { (sp, dir) =>
+      pagerankRanks(sp, dir).orderBy("doc_id")
+    },
+
+    "dedup_keep_central" -> { (sp, dir) =>
+      val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
+      pairs.count() // one pair materialization feeds BOTH labels and ranks
+      val comp = graft.operators.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val members = comp.select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .join(pagerankFromPairs(pairs), Seq("doc_id"))
+      val w = Window.partitionBy("cluster").orderBy(col("rank_micro").desc, col("doc_id"))
+      val wN = Window.partitionBy("cluster")
+      members
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(wN))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("doc_id").as("keeper_doc_id"),
+          col("n_members"), col("rank_micro").as("keeper_rank_micro"))
+        .orderBy("cluster")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bm25_topk" -> {
+      val qvals = QuerySet.flatMap { case (q, s) => s.split(" ").map(t => s"('$q', '$t')") }
+        .mkString(", ")
+      s"""WITH qterms(q_id, t) AS (VALUES $qvals),
+         |dl AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN ${TextF.NormalizeTextSql} = '' THEN 0
+         |              ELSE len(${TextF.TokensSql}) END AS BIGINT) AS dl
+         |  FROM documents
+         |),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    (CAST(sum(dl) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS avgdl_milli
+         |  FROM dl
+         |),
+         |tf AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${TextF.TokensSql}) AS t FROM documents) toks
+         |  WHERE t IN (SELECT DISTINCT t FROM qterms)
+         |  GROUP BY doc_id, t
+         |),
+         |df AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+         |),
+         |joined AS (
+         |  SELECT q.q_id, tf.doc_id, tf.tf, dl.dl, avgdl_milli,
+         |    CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_bits
+         |  FROM qterms q
+         |  JOIN tf ON tf.t = q.t
+         |  JOIN df ON df.t = q.t
+         |  JOIN dl ON dl.doc_id = tf.doc_id, stats
+         |),
+         |scored AS (
+         |  SELECT q_id, doc_id, CAST(sum(${bm25ScoreSql("//")}) AS BIGINT) AS score_milli
+         |  FROM joined GROUP BY q_id, doc_id
+         |),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score_milli,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score_milli DESC, doc_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT q_id, rk, doc_id, score_milli
+         |FROM ranked WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+    },
+
+    "inverted_index" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextF.TokensSql}) AS t FROM documents
+         |),
+         |ranked AS (
+         |  SELECT t, doc_id,
+         |    row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY t) AS BIGINT) AS df
+         |  FROM pairs
+         |)
+         |SELECT t AS term, max(df) AS df,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |FROM ranked WHERE rk <= $PostingsCap
+         |GROUP BY t ORDER BY term""".stripMargin,
+
+    "pagerank_dupgraph" ->
+      s"""WITH ${Queries6.MinhashPairsCteSql},
+         |$pagerankCtesSql
+         |SELECT id AS doc_id, r AS rank_micro FROM prresult ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_central" ->
+      s"""WITH RECURSIVE ${Queries6.MinhashPairsCteSql},
+         |$pagerankCtesSql,
+         |ccedges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach(id, rt) AS (
+         |  SELECT s, s FROM ccedges
+         |  UNION
+         |  SELECT e.s, reach.rt FROM ccedges e JOIN reach ON e.d = reach.id
+         |),
+         |cluster_min AS (
+         |  SELECT id, min(rt) AS cluster FROM reach GROUP BY id
+         |),
+         |sel AS (
+         |  SELECT cm.cluster, cm.id, pr.r,
+         |    CAST(count(*) OVER (PARTITION BY cm.cluster) AS BIGINT) AS n_members,
+         |    row_number() OVER (PARTITION BY cm.cluster ORDER BY pr.r DESC, cm.id) AS rk
+         |  FROM cluster_min cm JOIN prresult pr ON pr.id = cm.id
+         |)
+         |SELECT cluster, id AS keeper_doc_id, n_members, r AS keeper_rank_micro
+         |FROM sel WHERE rk = 1 ORDER BY cluster""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries25 oracle rows alone don't pin: BM25's score
+  * algebra and OOV behavior, the posting cap, PageRank's mass bounds, and
+  * the centrality keeper's cluster membership.
+  */
+class Queries25Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bm25_topk: ranked, bounded, and OOV terms degrade gracefully") {
+    val rows = SparkEntry.queries("bm25_topk")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every query in the set that has at least one in-vocabulary term
+    // returns rows — q04's OOV 'zebra' must not null out 'filter'
+    val qids = rows.map(_.getString(0)).toSet
+    assert(qids == Set("q01", "q02", "q03", "q04"))
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.length <= 5)
+      val scores = g.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(scores.sameElements(scores.sorted.reverse), "ranked by score desc")
+      assert(scores.forall(_ >= 0), "scores are non-negative")
+      // the saturation fraction is < 2200 milli and idf_bits is bounded by
+      // log2(N), so a 2-term query can never exceed 2 * 2200 * log2(N)
+      val nDocs = Tables.documents(spark, dir).count()
+      val bound = 2L * 2200L * (64 - java.lang.Long.numberOfLeadingZeros(nDocs))
+      assert(scores.forall(_ <= bound), s"score above the algebraic bound $bound")
+    }
+  }
+
+  test("bm25_topk: retrieved docs actually contain a query term") {
+    val hits = SparkEntry.queries("bm25_topk")(spark, dir)
+      .select(col("doc_id")).distinct()
+    val qvocab = graft.queries.Queries25.queryVocab
+    val containing = Tables.documents(spark, dir)
+      .filter(qvocab.map(t => col("text").contains(t)).reduce(_ || _))
+      .select(col("doc_id"))
+    assert(hits.join(containing, Seq("doc_id"), "left_anti").count() == 0,
+      "a retrieved doc must contain at least one query term")
+  }
+
+  test("inverted_index: postings respect the cap, the order, and the df") {
+    val rows = SparkEntry.queries("inverted_index")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var dfSum = 0L
+    rows.foreach { r =>
+      val (df, postings) = (r.getLong(1), r.getString(2).split(",").map(_.toLong))
+      assert(postings.length <= 8, "postings capped at 8")
+      assert(postings.length == math.min(df, 8L), "cap binds only above df=8")
+      assert(postings.sameElements(postings.sorted), "postings ascend")
+      dfSum += df
+    }
+    val distinctPairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.TextF.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(dfSum == distinctPairs, "sum of df equals the distinct (term, doc) mass")
+  }
+
+  test("pagerank_dupgraph: covers the graph, ranks stay in the damped band") {
+    val rows = SparkEntry.queries("pagerank_dupgraph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val inGraph = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .select(col("id_a").as("doc_id")).unionAll(
+        SparkEntry.queries("dedup_minhash_pairs")(spark, dir).select(col("id_b")))
+      .distinct().count()
+    assert(rows.length == inGraph, "every node with an edge gets a rank")
+    assert(rows.forall(_._2 >= 150000L), "damping floor: rank >= 0.15 micro")
+    // truncating division only loses mass: total rank can't exceed the
+    // uniform start mass, and the floor bounds it from below
+    val total = rows.map(_._2).sum
+    assert(total <= rows.length * 1000000L && total >= rows.length * 150000L)
+  }
+
+  test("dedup_keep_central: one keeper per cluster, keeper is a member") {
+    val keepers = SparkEntry.queries("dedup_keep_central")(spark, dir).collect()
+    val comp = graft.operators.ConnectedComponents.run(
+      SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(keepers.map(_.getLong(0)).distinct.length == keepers.length,
+      "exactly one keeper per cluster")
+    keepers.foreach { k =>
+      val (cluster, keeper, n) = (k.getLong(0), k.getLong(1), k.getLong(2))
+      assert(comp(keeper) == cluster, "keeper must belong to its cluster")
+      assert(comp.count(_._2 == cluster) == n, "n_members counts the cluster")
+    }
+    assert(keepers.map(_.getLong(2)).sum == comp.size,
+      "keepers' member counts partition the graph")
+  }
+}
