@@ -147,7 +147,7 @@ object Queries11 {
   }
 
   /** 5-token paragraph chunks of the normalized token array. */
-  private def parasOf(toks: Column): Column =
+  private[queries] def parasOf(toks: Column): Column =
     when(size(toks) > 0,
       transform(
         sequence(lit(0), (ceil(size(toks) / lit(ParaTokens.toDouble))).cast("int") - 1),
@@ -383,7 +383,7 @@ object Queries11 {
 
   private val normSql = graft.functions.TextF.NormalizeTextSql
   private val toksSql = s"string_split($normSql, ' ')"
-  private def parasSql(w: String): String =
+  private[queries] def parasSql(w: String): String =
     s"CASE WHEN len($w) = 0 OR $normSql = '' THEN [] ELSE " +
       s"list_transform(range(0, CAST(ceil(len($w) / ${ParaTokens.toDouble}) AS INT)), " +
       s"i -> array_to_string(list_slice($w, i * $ParaTokens + 1, i * $ParaTokens + $ParaTokens), ' ')) END"

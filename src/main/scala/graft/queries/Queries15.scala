@@ -79,7 +79,7 @@ object Queries15 {
 
   /** Hex-nibble value via ascii() — usable inside HOF lambdas (instr/locate
     * need a literal needle, ascii doesn't). '0'-'9' → 0-9, 'a'-'f' → 10-15. */
-  private def nibVal(c: Column): Column =
+  private[queries] def nibVal(c: Column): Column =
     when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
 
   /** md5 bucket of a token: first byte of md5(salt ++ token) mod B. */
@@ -88,7 +88,7 @@ object Queries15 {
     (nibVal(substring(h, 1, 1)) * 16 + nibVal(substring(h, 2, 1))) % B
   }
 
-  private def nibSql(x: String): String =
+  private[queries] def nibSql(x: String): String =
     s"(CASE WHEN ascii($x) <= 57 THEN ascii($x) - 48 ELSE ascii($x) - 87 END)"
 
   private def bucketSql(salt: String, t: String): String = {

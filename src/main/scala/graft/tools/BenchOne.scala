@@ -18,6 +18,10 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[benchone] $name rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same per-query hygiene as Bench: without it rep1+ times measure
+      // cache pile-up and eviction thrash, not the query
+      graft.util.CacheScope.release(spark)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

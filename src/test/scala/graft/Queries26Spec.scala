@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries26 oracle rows alone don't pin: the boilerplate
+  * plant's firing pattern, split mass conservation, and the hard-negative
+  * threshold algebra.
+  */
+class Queries26Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("boilerplate_strip: the plant fires exactly where source ≡ 0 (mod 4)") {
+    val rows = SparkEntry.queries("boilerplate_strip")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    // source = src{doc_id % 20}, plant on doc_id % 4 == 0 → sources whose
+    // index ≡ 0 (mod 4) carry the chunk in EVERY doc (≥ 25% ∧ ≥ 3 docs →
+    // boilerplate), all other sources never see it
+    val planted = rows.filter(_._1 % 4 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, _, nBoiler) =>
+      assert(nBoiler >= 1, s"doc $id carries the plant; it must be stripped")
+    }
+    rows.foreach { case (_, nParas, nBoiler) =>
+      assert(nBoiler >= 0 && nBoiler <= nParas)
+    }
+    // chunk-mass conservation: Σ n_paras == Σ ceil(tokens/5) + one planted
+    // chunk per doc_id % 4 == 0 doc
+    val naturalChunks = Tables.documents(spark, dir)
+      .select(graft.functions.TextF.tokenCount(col("text")).cast("long").as("t"))
+      .filter(col("t") > 0)
+      .agg(sum(ceil(col("t") / 5.0).cast("long"))).collect()(0).getLong(0)
+    val plantedDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 0).count()
+    assert(rows.map(_._2).sum == naturalChunks + plantedDocs,
+      "every chunk is counted once")
+  }
+
+  test("split_holdout: buckets partition the corpus, masses conserve") {
+    val full = SparkEntry.queries("split_holdout")(spark, dir).collect()
+    assert(full.map(_.getString(0)).toSet == Set("train", "valid", "test"))
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(full.map(_.getLong(1)).sum == nDocs, "splits partition the corpus")
+    val train = full.find(_.getString(0) == "train").get.getLong(1)
+    assert(train * 10 > nDocs * 7, "train holds the ~80% bulk")
+    val tokTotal = Tables.documents(spark, dir)
+      .select(graft.functions.TextF.tokenCount(col("text")).cast("bigint").as("t"))
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(full.map(_.getLong(2)).sum == tokTotal, "token mass conserves")
+  }
+
+  test("hard_negative_mine: negatives are below the near-dup cut, ranked") {
+    val rows = SparkEntry.queries("hard_negative_mine")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(2), "a vector is not its own negative")
+      assert(r.getLong(3) <= 950000L, "near-dups (cos >= 0.95) are excluded")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to g.length), "dense ranks")
+      val cs = g.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(cs.sameElements(cs.sorted.reverse), "hardest negative first")
+    }
+  }
+}
