@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 collector TSV source: equivalence with the declarative parser,
+  * byte-level column pruning visible in the physical plan, and the
+  * one-bad-row rule at the reader.
+  */
+class CollectorTsvV2Spec extends SparkSpec {
+
+  private def fmt = classOf[graft.sources.CollectorTsvTableProvider].getName
+
+  private def writeTsv(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("collector_tsv_v2").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "part-000.tsv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    lines.foreach(w.println)
+    w.close()
+    dir.getAbsolutePath
+  }
+
+  private val good = Seq(
+    "1700000000000000\t203.0.113.7\tMozilla/5.0\thttps://shop.example/cart\tpv\tq=a&b=2",
+    "1700000001000000\t198.51.100.9\tcurl/8.0\thttps://shop.example/\tpp\t")
+
+  test("reads the same rows as the declarative parser") {
+    val dir = writeTsv(good)
+    val v2 = spark.read.format(fmt).load(dir)
+    val v1 = graft.sources.Sources.collectorTsv(spark, dir)
+    assert(v2.schema == v1.schema)
+    val (a, b) = (v2.orderBy("collector_tstamp_us").collect().toSeq,
+      v1.orderBy("collector_tstamp_us").collect().toSeq)
+    assert(a == b)
+    assert(a.head.getLong(0) == 1700000000000000L)
+    assert(a.head.getString(4) == "pv")
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = writeTsv(good)
+    val pruned = spark.read.format(fmt).load(dir).select("event_code")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("pruned=[event_code]"),
+      s"scan must advertise the pruned column set, got:\n$plan")
+    assert(pruned.collect().map(_.getString(0)).sorted.sameElements(Array("pp", "pv")))
+  }
+
+  test("malformed lines become null-field rows, never a crash") {
+    val dir = writeTsv(good ++ Seq(
+      "not_a_timestamp\t1.2.3.4\tUA\turl\tev\tq", // bad ts → null ts, rest kept
+      "short_line")) // missing fields → nulls
+    val rows = spark.read.format(fmt).load(dir)
+    assert(rows.count() == 4)
+    val badTs = rows.filter(col("user_ipaddress") === "1.2.3.4").collect()
+    assert(badTs.length == 1 && badTs.head.isNullAt(0) && badTs.head.getString(4) == "ev")
+    val short = rows.filter(col("collector_tstamp_us").isNull &&
+      col("user_ipaddress").isNull).collect()
+    assert(short.length == 1)
+  }
+
+  test("empty requested schema (count-only scan) still counts rows") {
+    val dir = writeTsv(good)
+    assert(spark.read.format(fmt).load(dir).count() == 2)
+  }
+}
