@@ -9,7 +9,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,52 +83,93 @@ class CollectorTsvTable(path: String) extends Table with SupportsRead {
 }
 
 class CollectorTsvScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = CollectorTsvV2.Schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CollectorTsvScan(path, required)
+
+  /** Accept string-equality and IsNotNull — evaluated on the raw split
+    * BEFORE any row materializes, so a selective `event_code = 'pv'` over
+    * collector logs never allocates the 99% of rows it drops. The reader's
+    * check is a conservative PREFILTER (IsNotNull on the bigint field can't
+    * see an unparseable timestamp in the raw string), so ALL filters are
+    * returned for Spark to re-evaluate post-scan — correctness never
+    * depends on the reader's short-circuit. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(a, _: String) => CollectorTsvV2.FieldIndex.contains(a)
+      case IsNotNull(a) => CollectorTsvV2.FieldIndex.contains(a)
+      case _ => false
+    }
+    filters // everything re-evaluated above the scan; pushed is a fast skip
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new CollectorTsvScan(path, required, pushed)
 }
 
-class CollectorTsvScan(path: String, required: StructType) extends Scan with Batch {
+class CollectorTsvScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"CollectorTsvScan(path=$path, pruned=[${required.fieldNames.mkString(",")}])"
+    s"CollectorTsvScan(path=$path, pruned=[${required.fieldNames.mkString(",")}], " +
+      s"pushed=[${pushed.mkString(",")}])"
   override def planInputPartitions(): Array[InputPartition] =
     CollectorTsvV2.listFiles(path).map(CollectorTsvFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new CollectorTsvReaderFactory(required)
+    new CollectorTsvReaderFactory(required, pushed)
 }
 
 case class CollectorTsvFilePartition(file: String) extends InputPartition
 
-class CollectorTsvReaderFactory(required: StructType)
+class CollectorTsvReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CollectorTsvPartitionReader(
-      partition.asInstanceOf[CollectorTsvFilePartition].file, required)
+      partition.asInstanceOf[CollectorTsvFilePartition].file, required, pushed)
 }
 
-class CollectorTsvPartitionReader(file: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+class CollectorTsvPartitionReader(file: String, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
   // which TSV field feeds each output slot, resolved once per partition
   private val slots: Array[Int] =
     required.fieldNames.map(CollectorTsvV2.FieldIndex)
   private val isLong: Array[Boolean] =
     required.fields.map(_.dataType == LongType)
+  // pushed predicates against raw field positions — cheap string checks on
+  // the split parts, run before any UTF8String/long materializes
+  private val rawPredicates: Array[Array[String] => Boolean] = pushed.map {
+    case EqualTo(a, v: String) =>
+      val i = CollectorTsvV2.FieldIndex(a); parts => i < parts.length && parts(i) == v
+    case IsNotNull(a) =>
+      val i = CollectorTsvV2.FieldIndex(a); parts => i < parts.length
+    case _ => (_: Array[String]) => true // pushFilters only accepts the above
+  }
 
   private val p = new Path(file)
   private val in = p.getFileSystem(new Configuration()).open(p)
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var line: String = _
+  private var parts: Array[String] = _
 
-  override def next(): Boolean = { line = reader.readLine(); line != null }
+  override def next(): Boolean = {
+    line = reader.readLine()
+    while (line != null) {
+      parts = line.split("\t", -1)
+      if (rawPredicates.forall(_(parts))) return true
+      line = reader.readLine()
+    }
+    false
+  }
 
   override def get(): InternalRow = {
-    // -1 keeps trailing empty fields; only the requested slots materialize
-    val parts = line.split("\t", -1)
+    // parts was split (with -1, keeping trailing empties) by next(); only
+    // the requested slots materialize
     val row = new Array[Any](slots.length)
     var i = 0
     while (i < slots.length) {

@@ -64,4 +64,23 @@ class CollectorTsvV2Spec extends SparkSpec {
     val dir = writeTsv(good)
     assert(spark.read.format(fmt).load(dir).count() == 2)
   }
+
+  test("string equality is pushed into the scan and stays correct") {
+    val dir = writeTsv(good)
+    val q = spark.read.format(fmt).load(dir)
+      .filter(col("event_code") === "pv").select("user_ipaddress")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_code,pv)"),
+      s"pushed filter must appear in the scan description, got:\n$plan")
+    assert(q.collect().map(_.getString(0)).sameElements(Array("203.0.113.7")))
+  }
+
+  test("IsNotNull on the bigint field: reader prefilter can't see parse " +
+    "failures, Spark's re-evaluation must still drop them") {
+    val dir = writeTsv(good :+
+      "not_a_timestamp\t9.9.9.9\tUA\turl\tev\tq") // present but unparseable
+    val q = spark.read.format(fmt).load(dir)
+      .filter(col("collector_tstamp_us").isNotNull)
+    assert(q.count() == 2, "the unparseable-timestamp row must not survive")
+  }
 }
