@@ -36,7 +36,12 @@ object BenchScale {
     // round-7 continuation: the exploded-token CDC pipeline, the
     // Levenshtein verify (candidate-bounded — its cost must NOT scale with
     // the corpus beyond the pair count), and the end-to-end corpus pipeline
-    "cdc_chunk_dedup", "dedup_edit_verify", "corpus_pipeline")
+    "cdc_chunk_dedup", "dedup_edit_verify", "corpus_pipeline",
+    // round-7 retrieval/graph batch: PageRank's unrolled iterations and the
+    // centrality keeper (CC + ranks over one pair set) are the new
+    // iterative-shuffle workloads; bm25/boilerplate are the filtered-explode
+    // and per-source-df shapes
+    "pagerank_dupgraph", "dedup_keep_central", "bm25_topk", "boilerplate_strip")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
