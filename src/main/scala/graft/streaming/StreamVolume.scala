@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest-volume counter — the hot path of the volume_anomaly
+  * monitor run continuously instead of per-batch.
+  *
+  * Design split (the streamable/unstreamable boundary): the per-(event_type,
+  * day) COUNT is watermark-windowed streaming state — each day's row is
+  * emitted exactly once, when the watermark passes the day boundary — while
+  * the anomaly FLAG (each day vs the type's historical median) needs the
+  * full count history and therefore runs as a cheap batch view over the
+  * materialized counts table (its input is one row per (type, day) — tiny
+  * forever). That is the same lambda-free split the reference's monitoring
+  * sinks use: stream maintains the aggregate, queries read it.
+  *
+  * Day bucketing is `unix_micros div 86400000000` — identical to the batch
+  * `volume_anomaly` query, so the streamed counts are drop-in input for its
+  * median/flag arithmetic (StreamVolumeSpec pins stream == batch).
+  */
+object StreamVolume {
+
+  /** Watermarked daily counts per event type over a streaming frame with
+    * (`event_type`, `tsUsCol` epoch-micros) columns. Append mode: a
+    * (type, day) row is final once the watermark passes day end. */
+  def dailyCounts(events: DataFrame, tsUsCol: String = "ts_us",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col(tsUsCol)))
+      .withWatermark("ts", delay)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 86400000000").as("day"), col("cnt"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for the volume monitor: the real sf0.001 events fed
+  * through StreamVolume in three time-ordered micro-batches produce exactly
+  * the batch per-(type, day) counts, and feeding those streamed counts into
+  * the volume_anomaly median/flag arithmetic reproduces the oracle-checked
+  * query row for row.
+  */
+class StreamVolumeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed daily counts == batch counts; flags reproduce volume_anomaly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_us"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    assert(rows.length >= 500)
+
+    val mem = MemoryStream[(String, Long)]
+    val counts = graft.streaming.StreamVolume.dailyCounts(
+      mem.toDF().toDF("event_type", "ts_us"))
+    val q = counts.writeStream.format("memory").queryName("svol")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // sentinel far past the data advances the watermark so every real
+      // day's window closes and emits; its own day is excluded below
+      val sentinelTs = rows.last._2 + 30L * 86400000000L
+      mem.addData(("__sentinel__", sentinelTs))
+      q.processAllAvailable()
+
+      val streamed = spark.sql("SELECT event_type, day, cnt FROM svol")
+        .filter(col("event_type") =!= "__sentinel__")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch, "streamed (type, day) counts must equal batch")
+
+      // the anomaly view over the MATERIALIZED streamed counts == the
+      // oracle-checked batch query
+      val fromStream = spark.sql("SELECT event_type, day, cnt FROM svol")
+        .filter(col("event_type") =!= "__sentinel__")
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("event_type").orderBy("cnt", "day")
+      val wType = Window.partitionBy("event_type")
+      val flagged = fromStream
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wType))
+        .withColumn("med",
+          max(when(col("rn") === expr("1 + (n - 1) * 50 div 100"), col("cnt"))).over(wType))
+        .select(col("event_type"), col("day"), col("cnt"), col("med"),
+          when(col("cnt") * 2 >= col("med") * 3, 1).otherwise(0).as("anomaly"))
+        .orderBy("event_type", "day").collect()
+      val oracle = SparkEntry.queries("volume_anomaly")(spark, dir).collect()
+      assert(flagged.sameElements(oracle),
+        "flags from streamed counts must reproduce volume_anomaly")
+    } finally q.stop()
+  }
+}
