@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the cluster_keyterms oracle rows alone don't pin: the
+  * cell-idf algebra, cell coverage, and rank shape.
+  */
+class Queries27Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cluster_keyterms: cell-idf algebra; ubiquitous terms score zero") {
+    val rows = SparkEntry.queries("cluster_keyterms")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tf, celldf, score) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(celldf >= 1 && celldf <= 16)
+      val idfBits = 63 - java.lang.Long.numberOfLeadingZeros(16L / celldf)
+      assert(score == tf * idfBits, s"score must be tf * floor(log2(16/celldf)): $r")
+      if (celldf == 16) assert(score == 0, s"a term in every cell labels nothing: $r")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length <= 5)
+      val scores = g.sortBy(_.getInt(1)).map(_.getLong(5))
+      assert(scores.sameElements(scores.sorted.reverse), "ranked by score desc")
+    }
+    // every non-empty cell gets labels: the label cells == the assignment's
+    // distinct cells that contain at least one tokenized doc
+    val labeledCells = rows.map(_.getLong(0)).toSet
+    assert(labeledCells.size >= 2, "the synth corpus must spread across cells")
+  }
+}
