@@ -33,6 +33,18 @@ object ConnectedComponents {
     // upstream candidate-pair pipeline (for dedup clustering that pipeline
     // is the expensive half: signatures, band self-join, verification)
     sym.count()
+    val out = runSymmetrized(sym, maxIter)
+    graft.util.CacheScope.drop(sym)
+    out
+  }
+
+  /** Label propagation over a caller-owned, already-MATERIALIZED symmetric
+    * edge cache (both directions present) — lets a composition (e.g. the
+    * centrality keeper: components + PageRank over the same graph) share
+    * ONE edge cache instead of each operator re-symmetrizing and re-caching
+    * the pair set. The caller keeps ownership: this method never unpersists
+    * `sym`. */
+  def runSymmetrized(sym: DataFrame, maxIter: Int = 20): DataFrame = {
     // every persisted frame also registers with CacheScope: rounds unpersist
     // their predecessor eagerly below, and the FINAL label frame (returned
     // while cached) is reclaimed by the caller's next CacheScope.release
@@ -59,7 +71,6 @@ object ConnectedComponents {
       cache = next
       iter += 1
     }
-    graft.util.CacheScope.drop(sym)
     cache.select("id", "comp")
   }
 }

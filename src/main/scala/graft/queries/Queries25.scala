@@ -80,18 +80,19 @@ object Queries25 {
   private[queries] def pagerankRanks(sp: SparkSession, dir: String): DataFrame = {
     val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
     pairs.count() // materialize before the symmetric union scans it twice
-    pagerankFromPairs(pairs)
+    val edges = graft.util.CacheScope.track(symEdges(pairs))
+    pagerankFromSym(edges)
   }
 
-  /** PageRank power iterations over an already-materialized (id_a, id_b)
-    * pair set (callers cache it — dedup_keep_central shares one pair set
-    * between the component labels and the ranks). */
-  private[queries] def pagerankFromPairs(pairs: DataFrame): DataFrame = {
-    // the symmetric edge list feeds the degree count and all PrIters
-    // iteration joins — cache it or the pair scan reruns per round
-    val edges = graft.util.CacheScope.track(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+  /** Both directions of an (id_a, id_b) pair set as (src, dst). */
+  private[queries] def symEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+
+  /** PageRank power iterations over a caller-cached symmetric edge list —
+    * dedup_keep_central shares ONE edge cache between the component labels
+    * (ConnectedComponents.runSymmetrized) and these ranks. */
+  private[queries] def pagerankFromSym(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = graft.util.CacheScope.track(edges.join(deg, Seq("src")))
     var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
@@ -197,11 +198,14 @@ object Queries25 {
 
     "dedup_keep_central" -> { (sp, dir) =>
       val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
-      pairs.count() // one pair materialization feeds BOTH labels and ranks
-      val comp = graft.operators.ConnectedComponents.run(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      pairs.count() // one pair materialization feeds the shared edge cache
+      // ONE symmetric-edge cache serves both the component labels and the
+      // PageRank iterations (each would otherwise re-symmetrize + re-cache)
+      val edges = graft.util.CacheScope.track(symEdges(pairs))
+      edges.count()
+      val comp = graft.operators.ConnectedComponents.runSymmetrized(edges)
       val members = comp.select(col("id").as("doc_id"), col("comp").as("cluster"))
-        .join(pagerankFromPairs(pairs), Seq("doc_id"))
+        .join(pagerankFromSym(edges), Seq("doc_id"))
       val w = Window.partitionBy("cluster").orderBy(col("rank_micro").desc, col("doc_id"))
       val wN = Window.partitionBy("cluster")
       members
