@@ -93,6 +93,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(pa.contains("AsOfJoin"), s"attribution lost the native as-of plan:\n$pa")
   }
 
+  test("retrieval/graph operators keep their promised shapes") {
+    // BM25: the query vocabulary and per-term stats broadcast; the corpus
+    // side never sort-merge-joins
+    val pb = plan("bm25_topk")
+    assert(pb.contains("BroadcastHashJoin"), s"bm25_topk lost its broadcasts:\n$pb")
+    assert(!pb.contains("SortMergeJoin"), s"bm25_topk fell back to SMJ:\n$pb")
+    // the top-k window must push a PARTIAL group-limit below its exchange —
+    // without it every scored (q, doc) row shuffles
+    assert(pb.contains("WindowGroupLimit") && pb.contains("Partial"),
+      s"bm25_topk lost the partial top-k:\n$pb")
+    // boilerplate_strip: the flagged set re-joins broadcast (boilerplate is
+    // small by definition); the exploded chunk table never SMJs
+    val pbs = plan("boilerplate_strip")
+    assert(pbs.contains("BroadcastHashJoin") && !pbs.contains("SortMergeJoin"),
+      s"boilerplate_strip shape drifted:\n$pbs")
+    // split_holdout: pure narrow scan + tiny agg — no join at any size
+    val ps = plan("split_holdout")
+    assert(!ps.contains("Join"), s"split_holdout grew a join:\n$ps")
+    // hard_negative_mine: the query sample broadcasts (BNLJ on the
+    // inequality condition), corpus side one scan
+    val ph = plan("hard_negative_mine")
+    assert(ph.contains("BroadcastNestedLoopJoin"), s"hard_negative_mine shape:\n$ph")
+    // cluster_keyterms: cell assignment is a narrow kernel (no join for the
+    // embedding side) and the cell-df table broadcasts
+    val pc = plan("cluster_keyterms")
+    assert(pc.contains("BroadcastHashJoin") && !pc.contains("SortMergeJoin"),
+      s"cluster_keyterms shape drifted:\n$pc")
+  }
+
   test("aggregations are map-side partial before their one exchange") {
     val p = plan("q1_pricing")
     val firstPartial = p.indexOf("partial_")
