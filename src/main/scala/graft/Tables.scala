@@ -5,11 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Typed accessors for the graft test corpus (TPC-H-ish star schema plus
   * `events` / `documents` / `embeddings`).
   *
-  * `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which Spark
-  * refuses by default; we read it as a nanosecond BIGINT
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and expose it as `ts_ns`. This
-  * matches DuckDB's `epoch_ns(ts)` exactly, so oracle comparisons are
-  * integer-exact instead of depending on sub-second timestamp semantics.
+  * `events.ts` has shipped in two parquet encodings across driver versions:
+  * INT64 TIMESTAMP(NANOS) (readable only as a nanosecond BIGINT via
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS)
+  * (surfacing as TIMESTAMP_NTZ or TIMESTAMP). [[events]] normalizes all
+  * three to one engine-portable column, `ts_us: BIGINT` epoch micros,
+  * equal to DuckDB's `epoch_us(ts)` on the same file (DuckDB truncates
+  * ns→µs; sessions run UTC so NTZ wall-clock == epoch).
   */
 object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -25,13 +27,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events` with `ts` replaced by `ts_us: BIGINT` (epoch microseconds).
-    * Micros — not the file's nanos — because DuckDB also truncates parquet
-    * ns timestamps to µs, keeping the two engines integer-identical. */
+  /** `events` with `ts` replaced by `ts_us: BIGINT` (epoch microseconds),
+    * whichever parquet encoding the file uses (see object scaladoc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-      .drop("ts")
+    val raw = read(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // INT64 nanos → µs, truncating like DuckDB
+      case _        => unix_micros(col("ts").cast(TimestampType)) // µs file; NTZ→LTZ is exact under UTC
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
   }
 }

@@ -62,8 +62,9 @@ object BenchScale {
     write(scaleBy(docs, "doc_id", copies, stride(docs, "doc_id")), "documents")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     write(scaleBy(emb, "vec_id", copies, stride(emb, "vec_id")), "embeddings")
-    // events.ts reads as BIGINT nanos under nanosAsLong; written back as
-    // BIGINT, which Tables.events handles identically (ts div 1000)
+    // events.ts passes through in whatever encoding the source file uses
+    // (BIGINT nanos under nanosAsLong, or µs timestamp); Tables.events
+    // normalizes either to ts_us on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$baseDir/events.parquet")
     write(scaleBy(ev, "event_id", copies, stride(ev, "event_id")), "events")
