@@ -31,12 +31,19 @@ object Tables {
     * whichever parquet encoding the file uses (see object scaladoc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→LTZ cast below is exact only when the session zone is UTC; the
+    // graft builders all set it, but a caller-created session might not.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = read(spark, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
       case LongType => expr("ts div 1000") // INT64 nanos → µs, truncating like DuckDB
-      case _        => unix_micros(col("ts").cast(TimestampType)) // µs file; NTZ→LTZ is exact under UTC
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("ts").cast(TimestampType)) // µs file; NTZ→LTZ is exact under UTC
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet type $other (want INT64 nanos or a µs timestamp)")
     }
     raw.withColumn("ts_us", tsUs).drop("ts")
   }
