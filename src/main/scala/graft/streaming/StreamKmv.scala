@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.queries.Queries28
+
+/** Streaming K-minimum-values distinct sketch — the incremental twin of the
+  * batch `distinct_kmv` query, via `mapGroupsWithState`.
+  *
+  * KMV is MERGEABLE: the k smallest distinct hashes of a union are computable
+  * from the k smallest of each part, so per-key state is a bounded sorted
+  * array (k longs — ~256 bytes per event type, forever) and every micro-batch
+  * folds its hashes in with one merge. That mergeability is exactly why a
+  * 100 TB pipeline ships KMV instead of exact count-distinct: partial
+  * sketches combine associatively across executors, days and restarts, while
+  * an exact distinct would shuffle the key universe every window.
+  *
+  * The hash universe and the estimator are shared verbatim with the batch
+  * query ([[Queries28.kmvHashed]], k = [[Queries28.KmvK]], M =
+  * [[Queries28.HashMod]]): after any prefix of the stream, the emitted row
+  * equals the batch query run over the same prefix — StreamKmvSpec pins
+  * stream == oracle-checked batch on the full corpus.
+  */
+object StreamKmv extends Serializable {
+
+  /** One sketch emission: `n_seen` rows folded so far (monotone — the spec
+    * uses it to pick each key's final emission), `n_kept` distinct hashes
+    * retained (≤ k), `h_k` the kth minimum (−1 until the sketch fills) and
+    * the KMV estimate. */
+  case class KmvRow(event_type: String, n_seen: Long, n_kept: Long, h_k: Long, est_kmv: Long)
+
+  private[streaming] def estimate(kept: Array[Long]): (Long, Long) =
+    if (kept.length < Queries28.KmvK) (-1L, kept.length.toLong)
+    else (kept.last, (Queries28.KmvK - 1).toLong * Queries28.HashMod / kept.last)
+
+  /** Sketch a stream with (`event_type`, `user_id`, `ts_us`) columns.
+    * Update mode: each micro-batch emits every touched key's current
+    * estimate. */
+  def sketch(spark: SparkSession, events: DataFrame): Dataset[KmvRow] = {
+    import spark.implicits._
+
+    def update(key: String, rows: Iterator[(String, Long, Long)],
+        state: GroupState[(Array[Long], Long)]): KmvRow = {
+      val (kept0, seen0) = state.getOption.getOrElse((Array.empty[Long], 0L))
+      var seen = seen0
+      val incoming = rows.map { r => seen += 1; r._2 }
+      // merge = k-truncated sorted distinct union: the state never exceeds
+      // k longs no matter how large the batch
+      val merged = (kept0 ++ incoming).distinct.sorted.take(Queries28.KmvK)
+      state.update((merged, seen))
+      val (hk, est) = estimate(merged)
+      KmvRow(key, seen, merged.length.toLong, hk, est)
+    }
+
+    Queries28.kmvHashed(events)
+      .withColumn("one", org.apache.spark.sql.functions.lit(1L))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+}

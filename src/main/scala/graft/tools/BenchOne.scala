@@ -2,26 +2,32 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev profiler: time one query N times at a given SF dir. */
+/** Dev-only single-query timing loop: runs the named queries N times each
+  * and prints per-run wall seconds — separates JIT/codegen warmup from
+  * steady-state cost when one bench entry looks like an outlier. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.Tables.events(spark, sfDir).count()
-    (0 until reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[benchone] $name rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      // same per-query hygiene as Bench: without it rep1+ times measure
-      // cache pile-up and eviction thrash, not the query
-      graft.util.CacheScope.release(spark)
-      spark.catalog.clearCache()
+    args.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val d = (System.nanoTime() - t0) / 1e9
+        graft.util.CacheScope.release(spark)
+        spark.catalog.clearCache()
+        d
+      }
+      println(f"[benchone] $name: ${times.map(t => f"$t%.2f").mkString(", ")}")
     }
     spark.stop()
   }

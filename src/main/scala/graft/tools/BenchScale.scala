@@ -41,7 +41,11 @@ object BenchScale {
     // centrality keeper (CC + ranks over one pair set) are the new
     // iterative-shuffle workloads; bm25/boilerplate are the filtered-explode
     // and per-source-df shapes
-    "pagerank_dupgraph", "dedup_keep_central", "bm25_topk", "boilerplate_strip")
+    "pagerank_dupgraph", "dedup_keep_central", "bm25_topk", "boilerplate_strip",
+    // round-8: the two pair-set self-join graph ops (wedge fan-out must stay
+    // bounded by the orientation, not grow with corpus size) and the KMV
+    // sketch (whose shuffle is capped at k hashes per partition by design)
+    "triangle_count", "graph_jaccard", "distinct_kmv")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

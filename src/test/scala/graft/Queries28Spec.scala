@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries28 oracle rows alone don't pin: triangle algebra
+  * (3-divisibility, edge membership), Jaccard bounds and pair coverage, the
+  * KMV estimator's fallback and error envelope, chunk reassembly, and
+  * record-linkage recall over the planted dirty twins.
+  */
+class Queries28Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("triangle_count: per-node mass sums to 3x the triangle count, nodes are in the graph") {
+    val rows = SparkEntry.queries("triangle_count")(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total % 3 == 0, "every triangle contributes exactly 3 node participations")
+    val graphNodes = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => graphNodes.contains(r.getLong(0))),
+      "a node with a triangle must appear in the candidate-pair graph")
+  }
+
+  test("graph_jaccard: one row per candidate pair, milli in [0,1000], common bounded by degrees") {
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir).count()
+    val rows = SparkEntry.queries("graph_jaccard")(spark, dir).collect()
+    assert(rows.length == pairs, "jaccard covers exactly the candidate pairs")
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 1000))
+    // shared neighbors can't exceed either endpoint's non-partner degree
+    val deg = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b, common) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(common <= math.min(deg(a), deg(b)) - 1,
+        s"pair ($a,$b): common=$common exceeds a neighborhood")
+    }
+  }
+
+  test("distinct_kmv: below-k groups are exact, full sketches estimate within the envelope") {
+    val rows = SparkEntry.queries("distinct_kmv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, kept, est) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      if (kept < graft.queries.Queries28.KmvK)
+        assert(est == exact, "an unfilled sketch IS the exact distinct count")
+      else {
+        // k=32 gives ~18% standard error; 4x is a deterministic-universe
+        // safety envelope, not a probabilistic bound
+        assert(est >= exact / 4 && est <= exact * 4,
+          s"estimate $est implausible for exact $exact")
+      }
+    }
+  }
+
+  test("chunk_split: windows tile every doc with stride overlap and exact tail") {
+    import spark.implicits._
+    val chunks = SparkEntry.queries("chunk_split")(spark, dir)
+      .select("doc_id", "chunk_idx", "n_chunk_toks")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextF.tokenCount(col("text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val (c, s) = (64L, 48L)
+    docToks.foreach { case (id, n) =>
+      if (n == 0) assert(!chunks.contains(id), s"empty doc $id must emit no chunks")
+      else {
+        val g = chunks(id).sortBy(_._2)
+        assert(g.map(_._2).sameElements(g.indices.map(_.toLong)), "chunk indices are dense")
+        g.dropRight(1).foreach(ch => assert(ch._3 == c, "non-tail chunks are full width"))
+        val lastStart = (g.length - 1) * s
+        assert(g.last._3 == math.min(c, n - lastStart), "tail chunk is the exact remainder")
+        assert(lastStart + g.last._3 >= n, "the windows cover the final token")
+        if (g.length > 1)
+          assert(lastStart < n, "no window starts past the end")
+      }
+    }
+  }
+
+  test("record_linkage: every planted dirty twin links back to its master at distance 1") {
+    import spark.implicits._
+    val links = SparkEntry.queries("record_linkage")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val planted = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0).count()
+    // recall: the deterministic edit never touches the blocking prefix, so
+    // every dirty record must link; precision: to its own master, at the
+    // single deletion's distance
+    assert(links.count(l => l._2 - graft.queries.Queries28.DirtyIdOffset == l._1) == planted,
+      "every planted twin links to its own master")
+    links.filter(l => l._2 - graft.queries.Queries28.DirtyIdOffset == l._1)
+      .foreach(l => assert(l._3 == 1L, "a single deletion is edit distance 1"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries29 oracle rows alone don't pin: SCD2 interval
+  * algebra (coverage, no overlap, genuine changes), the k-anonymity mass
+  * balance, and the profiler's consistency with direct per-column queries.
+  */
+class Queries29Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("scd2_dim: intervals chain exactly, one open interval per user, all changes genuine") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("scd2_dim")(spark, dir)
+      .select(col("user_id"), col("tier"), col("valid_from_us"),
+        coalesce(col("valid_to_us"), lit(-1L)).as("valid_to_us"))
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (uid, ivs0) =>
+      val ivs = ivs0.sortBy(_._3)
+      // exactly one open (current) interval, and it's the last
+      assert(ivs.count(_._4 == -1L) == 1 && ivs.last._4 == -1L, s"user $uid open-interval rule")
+      // each interval closes exactly where the next opens — no gap, no overlap
+      ivs.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._4 == b._3, s"user $uid: interval chain broken at ${a._4}")
+        assert(a._2 != b._2, s"user $uid: consecutive intervals share tier ${a._2} — not a change")
+      }
+    }
+    // interval count == 1 (first) + number of attribute changes in the raw stream
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 50").as("tier"))
+      .withColumn("prev", lag(col("tier"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("tier")).count()
+    assert(rows.values.map(_.length).sum == changes)
+  }
+
+  test("k_anonymity: cell mass sums to the event count; flags match k") {
+    val rows = SparkEntry.queries("k_anonymity")(spark, dir).collect()
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(3)).sum == total, "QI cells partition the stream")
+    rows.foreach(r => assert(r.getBoolean(4) == (r.getLong(3) >= graft.queries.Queries29.AnonK)))
+  }
+
+  test("table_profile: one row per column, metrics match direct queries") {
+    val rows = SparkEntry.queries("table_profile")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("event_id", "user_id", "event_type", "props"))
+    val ev = Tables.events(spark, dir)
+    val n = ev.count()
+    rows.values.foreach(r => assert(r.getLong(1) == n, "n_rows is the table size"))
+    assert(rows("event_id").getLong(3) == n, "event ids are unique")
+    assert(rows("user_id").getLong(3) ==
+      ev.select(countDistinct(col("user_id"))).head().getLong(0))
+    assert(rows("event_type").getString(4) ==
+      ev.agg(min(col("event_type"))).head().getString(0), "min_val is the lexicographic min")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for the KMV sketch: the sf0.001 events fed through
+  * StreamKmv in three time-ordered micro-batches converge to exactly the
+  * oracle-checked `distinct_kmv` rows — same kth minimum, same estimate —
+  * and the per-key state stays bounded at k hashes throughout.
+  */
+class StreamKmvSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed KMV sketch converges to the batch distinct_kmv rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts_us"))
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(rows.length >= 500)
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val sketched = graft.streaming.StreamKmv.sketch(
+      spark, mem.toDF().toDF("event_type", "user_id", "ts_us"))
+    val q = sketched.writeStream.format("memory").queryName("skmv")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // final emission per key = the row with the largest n_seen (monotone)
+      val streamed = spark.sql("SELECT * FROM skmv")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1)
+        .select("event_type", "n_kept", "h_k", "est_kmv")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+      val batch = SparkEntry.queries("distinct_kmv")(spark, dir)
+        .select(col("event_type"), col("n_kept"),
+          coalesce(col("h_k"), lit(-1L)).as("h_k"), col("est_kmv"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+      assert(streamed.keySet == batch.keySet, "same event-type universe")
+      batch.foreach { case (k, b) =>
+        assert(streamed(k) == b, s"$k: streamed ${streamed(k)} != batch $b")
+      }
+
+      // the sketch is bounded: no emission ever kept more than k hashes
+      val maxKept = spark.sql("SELECT max(n_kept) FROM skmv").head().getLong(0)
+      assert(maxKept <= graft.queries.Queries28.KmvK)
+    } finally q.stop()
+  }
+}
