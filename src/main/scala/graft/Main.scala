@@ -48,6 +48,10 @@ object Main {
     val builder = SparkSession.builder()
       .appName("graft-enrich")
       .config("spark.sql.session.timeZone", "UTC")
+      // let AQE re-plan shuffles INSIDE cached plans (off by default): the
+      // iterative operators (connected components, PageRank) cache small
+      // per-round frames whose fixed-width partitioning otherwise dominates
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // spark-submit injects the master; default for bare local runs
     val spark = (if (new org.apache.spark.SparkConf().contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()

@@ -122,6 +122,26 @@ class PlanShapeSpec extends SparkSpec {
       s"cluster_keyterms shape drifted:\n$pc")
   }
 
+  test("r8 operators keep their promised shapes") {
+    // chunk_split is map-only: explode + re-slice, NO exchange before the
+    // output sort — at any corpus size the stage is embarrassingly parallel
+    val pc = plan("chunk_split")
+    assert(!pc.contains("Join") && hashExchanges(pc) == 0,
+      s"chunk_split must stay shuffle-free:\n$pc")
+    // record_linkage joins ONLY on the block key (equi-join); a cross or
+    // nested-loop plan would mean blocking stopped bounding the candidates
+    val pr = plan("record_linkage")
+    assert(!pr.contains("NestedLoop") && !pr.contains("CartesianProduct"),
+      s"record_linkage lost its blocked equi-join:\n$pr")
+    // distinct_kmv: the per-type rank runs over the DISTINCT hash set — the
+    // distinct's partial aggregate must appear below its exchange so the
+    // shuffle carries survivors, not the event stream
+    val pk = plan("distinct_kmv")
+    assert(pk.contains("partial_"), s"distinct_kmv lost map-side combining:\n$pk")
+    assert(!pk.contains("NestedLoop") && !pk.contains("CartesianProduct"),
+      s"distinct_kmv join shape drifted:\n$pk")
+  }
+
   test("aggregations are map-side partial before their one exchange") {
     val p = plan("q1_pricing")
     val firstPartial = p.indexOf("partial_")
