@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming Slowly-Changing-Dimension Type 2 maintenance — the incremental
+  * twin of the batch `scd2_dim` query, via `flatMapGroupsWithState`.
+  *
+  * State per user is O(1): the OPEN interval (current attribute value, its
+  * valid_from, and the last-seen event position for deterministic
+  * tie-breaks). When an event carries a CHANGED value, the open interval
+  * closes at the new event's timestamp and is emitted; the new value opens.
+  * Interior events (same value) only advance the cursor — nothing is
+  * buffered, so state size is |active users|, independent of stream length.
+  *
+  * This is exactly how a warehouse keeps dimension history current without
+  * re-running the batch build: closed rows append to the history table; the
+  * open row per key IS the state. Emitted closed intervals are byte-equal
+  * to the batch query's `valid_to IS NOT NULL` rows over the same prefix
+  * (StreamScd2Spec pins it), because both sides order by (ts_us, event_id)
+  * and bucket the attribute with the same expression.
+  *
+  * Caveat shared with every event-time state machine here: within one
+  * micro-batch rows arrive iterator-ordered, so the update sorts its batch
+  * slice; ACROSS batches correctness needs the feed ordered by event time
+  * (the spec feeds time-ordered chunks; production puts a watermark + sort
+  * upstream or accepts late-data rewrites downstream).
+  */
+object StreamScd2 extends Serializable {
+
+  case class Scd2Row(user_id: Long, tier: Long, valid_from_us: Long, valid_to_us: Long)
+
+  /** (current tier, valid_from, last ts, last event_id). */
+  private type OpenInterval = (Long, Long, Long, Long)
+
+  /** Maintain SCD2 history over a stream with (`user_id`, `ts_us`,
+    * `event_id`, `tier`) columns; emits CLOSED intervals. */
+  def maintain(spark: SparkSession, events: DataFrame): Dataset[Scd2Row] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[(Long, Long, Long, Long)],
+        state: GroupState[OpenInterval]): Iterator[Scd2Row] = {
+      val batch = rows.toSeq.sortBy(r => (r._2, r._3)) // (ts_us, event_id)
+      var open = state.getOption
+      val out = Seq.newBuilder[Scd2Row]
+      batch.foreach { case (_, ts, eid, tier) =>
+        open match {
+          case None => open = Some((tier, ts, ts, eid))
+          case Some((curTier, from, _, _)) if curTier != tier =>
+            out += Scd2Row(userId, curTier, from, ts)
+            open = Some((tier, ts, ts, eid))
+          case Some((curTier, from, _, _)) =>
+            open = Some((curTier, from, ts, eid))
+        }
+      }
+      open.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.selectExpr("user_id", "ts_us", "event_id", "tier")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

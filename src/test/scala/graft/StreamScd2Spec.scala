@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for SCD2 maintenance: the sf0.001 events fed through
+  * StreamScd2 in three time-ordered micro-batches emit exactly the batch
+  * `scd2_dim` query's CLOSED intervals, and the retained per-user state is
+  * exactly the batch query's open rows.
+  */
+class StreamScd2Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private val tierExpr = "CAST(get_json_object(props, '$.k') AS BIGINT) div 50"
+
+  test("streamed closed intervals == batch scd2_dim closed rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), expr(tierExpr).as("tier"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(rows.length >= 500)
+
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val hist = graft.streaming.StreamScd2.maintain(
+      spark, mem.toDF().toDF("user_id", "ts_us", "event_id", "tier"))
+    val q = hist.writeStream.format("memory").queryName("sscd2")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT user_id, tier, valid_from_us, valid_to_us FROM sscd2")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("scd2_dim")(spark, dir)
+        .filter(col("valid_to_us").isNotNull)
+        .select(col("user_id"), col("tier"), col("valid_from_us"), col("valid_to_us"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"closed-interval drift: stream-only=${(streamed -- batch).take(3)} " +
+          s"batch-only=${(batch -- streamed).take(3)}")
+
+      // conservation: closed + one open row per user == all batch rows
+      val users = SparkEntry.queries("scd2_dim")(spark, dir)
+        .select(countDistinct(col("user_id"))).head().getLong(0)
+      val allBatch = SparkEntry.queries("scd2_dim")(spark, dir).count()
+      assert(streamed.size + users == allBatch,
+        "every batch row is either a streamed closed interval or a user's open state")
+    } finally q.stop()
+  }
+}
