@@ -180,4 +180,20 @@ object TextF {
     }
     when(n === 0, lit(0)).otherwise(bitCols.reduce(_ + _))
   }
+
+  /** 32-bit SimHash (first 8 md5 hex chars per token, majority vote per
+    * bit) — wide enough to band for Hamming search, unlike [[simhash16]].
+    * Engine-portable: Spark `conv(hex,16,10)` == DuckDB `'0x…'::BIGINT`. */
+  def simhash32(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val tokVal = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+    val vals = transform(toks, tokVal)
+    val n = size(vals)
+    val bitCols = (0 until 32).map { b =>
+      val ones = size(filter(vals, v => shiftright(v, b).bitwiseAND(lit(1L)) === 1))
+      when(ones * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }
+    when(n === 0, lit(0L)).otherwise(bitCols.reduce(_ + _))
+  }
 }

@@ -69,6 +69,11 @@ object Queries28 {
   /** Dirty-twin spacing for record_linkage ids. */
   private[graft] val DirtyIdOffset = 1000000L
 
+  /** simhash_pairs banding: 4 × 8-bit bands over the 32-bit fingerprint;
+    * pigeonhole guarantees recall for Hamming ≤ bands − 1. */
+  private[graft] val SimhashBands = 4
+  private[graft] val SimhashMaxDist = 3
+
   // ---- record_linkage synthetic universe (Spark and SQL twins) ----------
   // master entity name: "cust <key> <segment-lower>"; every third customer
   // gets a dirty twin with ONE character deleted near the tail (the block
@@ -186,6 +191,32 @@ object Queries28 {
           size(col("chunk")).cast("bigint").as("n_chunk_toks"),
           md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    "simhash_pairs" -> { (sp, dir) =>
+      // pigeonhole-banded Hamming search: 4 bands of 8 bits over the 32-bit
+      // fingerprint — Hamming ≤ 3 implies at least one band is IDENTICAL,
+      // so candidates come from equi-joins on (band_idx, band_val) and the
+      // popcount verify runs only on collisions. Band width is the
+      // collision-rate knob: at corpus scale the fingerprint widens (64
+      // bit) and bands widen with log N — same plan, different literals.
+      val fp = graft.util.CacheScope.track(Tables.documents(sp, dir)
+        .select(col("doc_id"), TextF.simhash32(col("text")).as("f")))
+      fp.count() // both sides of the band self-join read the fingerprints
+      val bands = fp.select(col("doc_id"), col("f"),
+        explode(array((0 until SimhashBands).map(b => struct(
+          lit(b).as("bi"),
+          shiftright(col("f"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
+        .select(col("doc_id"), col("f"), col("e.bi").as("bi"), col("e.bv").as("bv"))
+      bands.select(col("bi"), col("bv"), col("doc_id").as("id_a"), col("f").as("fa"))
+        .join(bands.select(col("bi"), col("bv"), col("doc_id").as("id_b"), col("f").as("fb")),
+          Seq("bi", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("fa"), col("fb")).distinct()
+        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("bigint"))
+        .filter(col("hamming") <= SimhashMaxDist)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
     },
 
     "record_linkage" -> { (sp, dir) =>
@@ -326,6 +357,34 @@ object Queries28 {
          |  md5(array_to_string(w[chunk_idx * $ChunkS + 1 : chunk_idx * $ChunkS + $ChunkC], ' '))
          |    AS chunk_fp
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "simhash_pairs" -> {
+      val bitSum = (0 until 32).map(b =>
+        s"CASE WHEN 2 * len(list_filter(vs, v -> (v >> $b) & 1 = 1)) >= len(vs) " +
+          s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+      s"""WITH vals AS (
+         |  SELECT doc_id, list_transform(list_distinct($toksSql),
+         |    t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS vs
+         |  FROM documents
+         |),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(vs) = 0 THEN 0 ELSE $bitSum END AS f
+         |  FROM vals
+         |),
+         |bands AS (
+         |  SELECT doc_id, f, bi, (f >> (8 * bi)) & 255 AS bv
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, $SimhashBands)) AS bi) bix
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= $SimhashMaxDist
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "record_linkage" ->
       s"""WITH master AS (

@@ -78,6 +78,22 @@ class Queries28Spec extends SparkSpec {
     }
   }
 
+  test("simhash_pairs: banding loses nothing — equals brute-force Hamming search") {
+    import spark.implicits._
+    val banded = SparkEntry.queries("simhash_pairs")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextF.simhash32(col("text")).as("f"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= graft.queries.Queries28.SimhashMaxDist
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute,
+      s"pigeonhole recall broken: missed=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+  }
+
   test("record_linkage: every planted dirty twin links back to its master at distance 1") {
     import spark.implicits._
     val links = SparkEntry.queries("record_linkage")(spark, dir)
