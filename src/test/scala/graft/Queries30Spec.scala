@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries30 oracle rows alone don't pin: the two-level
+  * dedup's row-identity with the single-level query, snapshot_diff's mass
+  * conservation, and curriculum stage monotonicity.
+  */
+class Queries30Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_two_level == dedup_exact row for row (hierarchy is invisible)") {
+    import spark.implicits._
+    val two = SparkEntry.queries("dedup_two_level")(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    val one = SparkEntry.queries("dedup_exact")(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(two == one, "sharded keep-min must merge to exactly the global result")
+  }
+
+  test("snapshot_diff: statuses conserve the doc universes") {
+    import spark.implicits._
+    val byStatus = SparkEntry.queries("snapshot_diff")(spark, dir)
+      .groupBy("status").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val n = Tables.documents(spark, dir).count()
+    val added = Tables.documents(spark, dir).filter(col("doc_id") % 11 === 0).count()
+    val removed = Tables.documents(spark, dir).filter(col("doc_id") % 17 === 0).count()
+    // every current doc is added/changed/unchanged; every old-only doc is removed
+    assert(byStatus.getOrElse("added", 0L) == added)
+    assert(byStatus.getOrElse("removed", 0L) == removed)
+    assert(byStatus.values.sum == n + removed, "each doc classified exactly once")
+    // changed docs are the %13 set minus those swallowed by %11 (added wins)
+    val changed = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 13 === 0 && col("doc_id") % 11 =!= 0).count()
+    assert(byStatus.getOrElse("changed", 0L) == changed)
+  }
+
+  test("curriculum_stages: quartiles are contiguous, balanced, and ordered by difficulty") {
+    val rows = SparkEntry.queries("curriculum_stages")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile balances bucket sizes within 1")
+    // stage k's max difficulty never exceeds stage k+1's min
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2), "stages must be contiguous in the difficulty order")
+    }
+    assert(sizes.sum == Tables.documents(spark, dir).count())
+  }
+}
