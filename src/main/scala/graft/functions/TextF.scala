@@ -183,8 +183,19 @@ object TextF {
 
   /** 32-bit SimHash (first 8 md5 hex chars per token, majority vote per
     * bit) — wide enough to band for Hamming search, unlike [[simhash16]].
-    * Engine-portable: Spark `conv(hex,16,10)` == DuckDB `'0x…'::BIGINT`. */
+    * Engine-portable: per-token value == DuckDB `'0x'||substr(md5,1,8)`
+    * cast. Native fused kernel ([[graft.plans.SimHashExpression]]): the
+    * composable 32-×-filter spelling exceeds janino's 64 KB method limit,
+    * silently de-codegens the stage, and runs ~70× slower.
+    * [[simhash32Composable]] keeps that spelling for the parity spec. */
   def simhash32(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.SimHashExpression(ColumnBridge.expression(tokens(text)), 32))
+  }
+
+  /** The built-ins-only spelling of [[simhash32]] — spec reference only. */
+  private[graft] def simhash32Composable(text: Column): Column = {
     val toks = array_distinct(tokens(text))
     val tokVal = (t: Column) =>
       conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")

@@ -1,0 +1,85 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native `bits`-bit SimHash over a token array: per DISTINCT token, the
+  * first ⌈bits/8⌉ bytes of its md5 are the token's bit vector; fingerprint
+  * bit b is set when the majority of tokens have bit b set. One fused pass
+  * per row.
+  *
+  * Exists because the composable spelling (`bits` × `filter()` higher-order
+  * functions over the value array) exceeds janino's 64 KB method limit at
+  * 32 bits — whole-stage codegen silently falls back to the interpreted
+  * path and the fingerprint scan goes from 0.1 s to ~8 s at sf0.1. Byte
+  * parity with the composable form is pinned by FunctionsSpec: md5 of the
+  * token's UTF-8 bytes, first `bits` bits big-endian-hex order, ties
+  * (2·ones ≥ n) set the bit, empty array → 0.
+  */
+case class SimHashExpression(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits > 0 && bits <= 32, "bits must be in 1..32")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashExpression.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${SimHashExpression.getClass.getName.stripSuffix("$")}" +
+        s".compute($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpression =
+    copy(child = newChild)
+}
+
+object SimHashExpression {
+
+  /** Shared by eval and the generated code: distinct tokens, per-token
+    * value = first 4 md5 bytes big-endian (== `conv(substr(md5, 1, 8), 16,
+    * 10)`), majority vote per bit. */
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[UTF8String]()
+    val ones = new Array[Int](bits)
+    var n = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      if (t != null && seen.add(t)) {
+        n += 1
+        md.reset()
+        val d = md.digest(t.getBytes)
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var b = 0
+        while (b < bits) {
+          if (((v >> b) & 1L) == 1L) ones(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (n == 0) return 0L
+    var f = 0L
+    var b = 0
+    while (b < bits) {
+      if (2 * ones(b) >= n) f |= 1L << b
+      b += 1
+    }
+    f
+  }
+}

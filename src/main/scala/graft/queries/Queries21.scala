@@ -57,12 +57,28 @@ object Queries21 {
 
   /** Append `recon` (the vector reconstructed from the row's 8 subspace
     * codes) to a frame carrying `qv` — ONE projection, so callers that also
-    * compute an IVF cell stay single-scan with zero corpus-side joins. */
+    * compute an IVF cell stay single-scan with zero corpus-side joins.
+    * The encode→decode runs in the native fused
+    * [[graft.plans.PqReconExpression]] kernel: the composable spelling
+    * below ([[pqEncodeComposable]], kept as the spec's parity reference)
+    * is a 1024-node Catalyst tree that costs seconds of optimizer+codegen
+    * work per plan. */
   private[graft] def pqEncode(sp: SparkSession, dir: String, base: DataFrame): DataFrame = {
-    val cb: Seq[Seq[Long]] = Tables.embeddings(sp, dir)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val cb = pqCodebook(sp, dir)
+    base.withColumn("recon", ColumnBridge.column(
+      graft.plans.PqReconExpression(ColumnBridge.expression(col("qv")), cb, PqDim)))
+  }
+
+  private[graft] def pqCodebook(sp: SparkSession, dir: String): Seq[Seq[Long]] =
+    Tables.embeddings(sp, dir)
       .filter(col("vec_id") < PqK).orderBy("vec_id")
       .select(milliVec(col("embedding")).as("qv"))
       .collect().toSeq.map(_.getSeq[Long](0).toSeq)
+
+  /** The built-ins-only spelling of [[pqEncode]] — spec reference only. */
+  private[graft] def pqEncodeComposable(sp: SparkSession, dir: String, base: DataFrame): DataFrame = {
+    val cb: Seq[Seq[Long]] = pqCodebook(sp, dir)
     // encode: per subspace the argmin-distance centroid (tie → lowest c)
     def subDist(qv: Column, c: Int, m: Int): Column =
       (0 until PqDim).map { j =>

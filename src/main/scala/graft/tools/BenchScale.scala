@@ -45,7 +45,11 @@ object BenchScale {
     // round-8: the two pair-set self-join graph ops (wedge fan-out must stay
     // bounded by the orientation, not grow with corpus size) and the KMV
     // sketch (whose shuffle is capped at k hashes per partition by design)
-    "triangle_count", "graph_jaccard", "distinct_kmv")
+    "triangle_count", "graph_jaccard", "distinct_kmv",
+    // round-8 native-kernel rewrites: the fingerprint-collapsed banded
+    // Hamming search and the fused PQ encode — both must stay
+    // data-proportional, not plan-cost-dominated
+    "simhash_pairs", "ann_pq")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

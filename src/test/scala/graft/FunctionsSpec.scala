@@ -266,4 +266,21 @@ class FunctionsSpec extends SparkSpec {
     assert(proto.getAs[String]("page_url") == "https://fallback/p") // %ZZ → fallback
     assert(proto.getAs[Any]("refr_url") == null)     // %G1 → null
   }
+
+  test("simhash32: the native fused kernel byte-matches the composable spelling") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val drift = docs.select(
+      graft.functions.TextF.simhash32(col("text")).as("native"),
+      graft.functions.TextF.simhash32Composable(col("text")).as("composable"))
+      .filter(col("native") =!= col("composable")).count()
+    assert(drift == 0, "SimHashExpression drifted from the built-ins-only derivation")
+    // and the edge rows: empty text and single token
+    import spark.implicits._
+    val edge = Seq("", "word", "a a a", "Mixed CASE punct!!").toDF("text")
+    val rows = edge.select(
+      graft.functions.TextF.simhash32(col("text")).as("n"),
+      graft.functions.TextF.simhash32Composable(col("text")).as("c")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }

@@ -34,6 +34,19 @@ class Queries21Spec extends SparkSpec {
     }
   }
 
+  test("PqReconExpression byte-matches the composable encode+decode spelling") {
+    import org.apache.spark.sql.functions.{col, transform, round}
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+    val native = graft.queries.Queries21.pqEncode(spark, dir, base)
+      .select(col("vec_id"), col("recon"))
+    val composed = graft.queries.Queries21.pqEncodeComposable(spark, dir, base)
+      .select(col("vec_id"), col("recon").as("recon_c"))
+    val drift = native.join(composed, Seq("vec_id"))
+      .filter(not(col("recon") === col("recon_c"))).count()
+    assert(drift == 0, "native PQ recon drifted from the built-ins derivation")
+  }
+
   test("ann_pq: codebook members reconstruct exactly; ADC finds true neighbors") {
     val coded = graft.queries.Queries21.pqCoded(spark, dir)
     // lossless contract: every codebook member's own subvectors are
