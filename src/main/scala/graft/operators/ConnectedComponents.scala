@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * of pairwise near-dup candidates (A~B, B~C ⇒ {A,B,C} one cluster, even
   * though A and C never collided directly).
   *
-  * Each iteration is one shuffle on the node id (join + min-aggregate);
-  * labels converge in O(graph diameter) rounds, and near-dup graphs are
+  * Each hop is one shuffle on the node id (join + min-aggregate); labels
+  * converge in O(graph diameter) hops, and near-dup graphs are
   * short-diameter by construction (duplicates of one document form a near
-  * clique). Every round fully materializes its label cache (the
-  * convergence count doubles as the action) before releasing the previous
-  * one, so lineage stays flat at any scale. The driver only ever sees a
-  * per-round changed-count — no label data is collected.
+  * clique). Each materialized round runs TWO hops in one plan — the
+  * driver-synchronized action (cache + convergence count) is the fixed
+  * cost at any scale, so rounds = ⌈diameter/2⌉+…, not diameter. Every
+  * round fully materializes its label cache (the convergence count
+  * doubles as the action) before releasing the previous one, so lineage
+  * stays flat at any scale. The driver only ever sees a per-round
+  * changed-count — no label data is collected.
   *
   * At 1000-executor scale the same loop runs unchanged: each round is a
   * co-partitioned join on (id), and AQE handles the shrinking actives. For
@@ -51,17 +54,24 @@ object ConnectedComponents {
     var cache = graft.util.CacheScope.track(sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .withColumn("changed", lit(false)))
+    // one min-label propagation hop: (id, comp) -> (id, comp', changed)
+    def hop(labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid")).agg(min("comp").as("nbr_comp"))
+      labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), labels("comp")) < labels("comp")).as("changed"))
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val labels = cache.select("id", "comp")
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("nid")).agg(min("comp").as("nbr_comp"))
+      // TWO hops per materialized round: the driver-synchronized action
+      // (cache + count) is the fixed cost at any scale, so halve the round
+      // count — if the SECOND hop changed nothing, its input was already a
+      // fixed point, so checking only the last hop's flag is sound
       val next = graft.util.CacheScope.track(
-        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-            (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed")))
+        hop(hop(cache.select("id", "comp")).select("id", "comp")))
       // the count is the materializing action for next's cache; only then
       // is the previous round's cache safe to drop
       converged = next.filter(col("changed")).count() == 0
