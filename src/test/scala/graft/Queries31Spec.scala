@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries31 oracle rows alone don't pin: the funnel's
+  * monotone step algebra and the basket rules' probability bounds.
+  */
+class Queries31Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ordered_funnel: steps shrink monotonically and respect the unordered profile") {
+    val r = SparkEntry.queries("ordered_funnel")(spark, dir).head()
+    val (s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s1 >= s2 && s2 >= s3, "each ordered step can only lose users")
+    assert(s1 > 0, "the corpus has viewers")
+    assert(r.getLong(3) == 10000 * s2 / s1 && r.getLong(4) == 10000 * s3 / s1)
+    // the ordered funnel is a refinement of funnel_counts' membership
+    // profile: ordered step-2 users all have view AND click
+    val unorderedBoth = SparkEntry.queries("funnel_counts")(spark, dir).collect()
+      .filter(row => row.getBoolean(0) && row.getBoolean(1))
+      .map(_.getLong(3)).sum
+    assert(s2 <= unorderedBoth, "ordered conversion cannot exceed unordered membership")
+  }
+
+  test("basket_rules: probabilities bounded, lift symmetric in its inputs, keys canonical") {
+    val rows = SparkEntry.queries("basket_rules")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val lifts = rows.map(_.getLong(7))
+    assert(lifts.sameElements(lifts.sorted.reverse), "ranked by lift desc")
+    rows.foreach { r =>
+      val (ia, ib, cxy, cx, cy) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ia < ib, "pair keys are canonical")
+      assert(cxy <= math.min(cx, cy), "pair support bounded by item support")
+      assert(r.getLong(5) <= 1000 && r.getLong(6) <= 1000,
+        "support and confidence are probabilities")
+    }
+  }
+}
