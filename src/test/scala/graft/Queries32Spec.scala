@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries32 oracle rows alone don't pin: the identity
+  * graph's multi-hop closure, credit conservation, shard tiling, and the
+  * pair-count spelling's equivalence to an independent window spelling.
+  */
+class Queries32Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("user_stitching: 5-user chains stitch transitively to the block head") {
+    val rows = SparkEntry.queries("user_stitching")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, s) = (r.getLong(0), r.getLong(1))
+      // users {5k..5k+4} share devices pairwise-adjacent only: reaching the
+      // canonical id 5k from 5k+4 needs 4 propagation hops
+      assert(s == (u / 5) * 5, s"user $u stitched to $s, want ${(u / 5) * 5}")
+    }
+  }
+
+  test("rfm_segments: quintiles balanced within 1 and segment arithmetic consistent") {
+    val rows = SparkEntry.queries("rfm_segments")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (c <- Seq(4, 5, 6)) {
+      val sizes = rows.groupBy(_.getLong(c)).map(_._2.length)
+      assert(rows.map(_.getLong(c)).forall(s => s >= 1 && s <= 5))
+      assert(sizes.max - sizes.min <= 1, s"ntile buckets balanced (col $c)")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(7) == r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+    }
+  }
+
+  test("late_arrival_stats: percentiles ordered, masses partition the stream") {
+    val rows = SparkEntry.queries("late_arrival_stats")(spark, dir).collect()
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "platform masses partition the events")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        "p50 <= p95 <= max")
+    }
+    // Synth's 1-in-17 created_us five-second forward jump makes some delays
+    // negative (device clock ahead of collector) — the audit must see them
+    assert(rows.map(_.getLong(5)).sum > 0, "negative skew events exist and are counted")
+  }
+
+  test("attribution_multitouch: per-conversion credit bounded by 1000 milli") {
+    val rows = SparkEntry.queries("attribution_multitouch")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nConvTotal = rows.map(_.getLong(1)).sum // per-campaign counts; a conv can span campaigns
+    val linearTotal = rows.map(_.getLong(3)).sum
+    val ushapeTotal = rows.map(_.getLong(4)).sum
+    // div-truncation only loses credit: each conversion distributes <= 1000
+    val nConvDistinct = {
+      val ev = Tables.events(spark, dir)
+      val touches = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("touch_us"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+        .join(touches, Seq("user_id"))
+        .filter(col("touch_us") <= col("ts_us") &&
+          col("ts_us") - col("touch_us") <= 7L * 86400000000L)
+        .select(col("event_id")).distinct().count()
+    }
+    assert(linearTotal <= 1000L * nConvDistinct && ushapeTotal <= 1000L * nConvDistinct)
+    assert(ushapeTotal >= linearTotal - 1000L * nConvDistinct / 2,
+      "U-shape truncation comparable to linear")
+    assert(nConvTotal >= nConvDistinct, "campaign split can only widen the count")
+  }
+
+  test("bpe_pair_counts: transform spelling == independent lag-window spelling") {
+    import spark.implicits._
+    val got = SparkEntry.queries("bpe_pair_counts")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(graft.functions.TextF.tokens(col("text"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val expected = toks
+      .withColumn("nxt", lead("col", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(concat(col("col"), lit(" "), col("nxt")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(50)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expected, "in-row pair construction matches the window spelling")
+  }
+
+  test("shard_export: shards tile the corpus contiguously and conserve token mass") {
+    val rows = SparkEntry.queries("shard_export")(spark, dir).collect()
+    val ids = rows.map(_.getLong(0))
+    assert(ids.head == 0 && ids.sameElements(ids.head to ids.last),
+      "shard ids contiguous from 0")
+    val totalTok = Tables.documents(spark, dir)
+      .select(graft.functions.TextF.tokenCount(col("text")).cast("long").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTok, "token mass conserved")
+    // every shard but the last was closed because it crossed the budget
+    rows.dropRight(1).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) > 0)
+      // a shard's docs all START inside [id*B, (id+1)*B): its span can
+      // overshoot only by the last doc's length
+      assert(r.getLong(0) == i)
+    }
+  }
+}
