@@ -8,21 +8,40 @@ import org.apache.spark.sql.functions._
   * of pairwise near-dup candidates (A~B, B~C ⇒ {A,B,C} one cluster, even
   * though A and C never collided directly).
   *
-  * Each hop is one shuffle on the node id (join + min-aggregate); labels
-  * converge in O(graph diameter) hops, and near-dup graphs are
-  * short-diameter by construction (duplicates of one document form a near
-  * clique). Each materialized round runs TWO hops in one plan — the
-  * driver-synchronized action (cache + convergence count) is the fixed
-  * cost at any scale, so rounds = ⌈diameter/2⌉+…, not diameter. Every
-  * round fully materializes its label cache (the convergence count
-  * doubles as the action) before releasing the previous one, so lineage
-  * stays flat at any scale. The driver only ever sees a per-round
-  * changed-count — no label data is collected.
+  * Shape per materialized round (ONE driver-synchronized action each):
   *
-  * At 1000-executor scale the same loop runs unchanged: each round is a
-  * co-partitioned join on (id), and AQE handles the shrinking actives. For
-  * pathological long-chain graphs, swap in large-star/small-star rounds
-  * (Kiveris et al., "Connected Components in MapReduce") — same skeleton.
+  *   1. a neighbor-min hop (join edges × labels + min-aggregate — one
+  *      shuffle on the node id),
+  *   2. a POINTER-JUMP (labels ⨝ labels on comp = id: take my label's
+  *      label) — Shiloach–Vishkin-style doubling, so a path of diameter D
+  *      converges in O(log D) rounds instead of O(D); near-dup cliques
+  *      were already 2-3 rounds, but identity-stitching chains are not,
+  *   3. a final neighbor-min hop whose `changed` flag is the convergence
+  *      test — sound because a hop fixed point means no edge joins two
+  *      labels (any cross-label edge would lower one side), i.e. the
+  *      labeling is already component-consistent. The jump only ever
+  *      moves a label to another label REACHABLE inside the component
+  *      (my comp is in my component; its comp is in its component), so
+  *      interleaving it preserves that invariant.
+  *
+  * Each round's result is materialized with an EAGER localCheckpoint, not
+  * just a persist: an iterative DataFrame loop otherwise nests the
+  * previous round's LOGICAL plan into the next (×4 per round here — each
+  * hop references `labels` twice), and by round 5 the driver spends
+  * minutes re-analyzing a 4^5-leaf tree of a trivially small graph
+  * (measured: 105 s for round 5 at sf0.1 identity stitching; 1.5 s once
+  * cut). The checkpoint truncates the plan to a LogicalRDD over the
+  * computed blocks — the standard Spark idiom for iterative graph
+  * algorithms. Block cleanup: retired rounds' checkpoint blocks are freed
+  * by the ContextCleaner as soon as the loop drops the reference (label
+  * tables are |V| rows — small next to the edge cache the caller owns).
+  * On a real cluster a reliable `checkpoint(dir)` swaps in for
+  * fault-tolerance with the same plan-cutting effect.
+  *
+  * The driver only ever sees a per-round changed-count — no label data is
+  * collected. At 1000-executor scale the same loop runs unchanged: each
+  * round is a co-partitioned join on (id), and AQE handles the shrinking
+  * actives.
   */
 object ConnectedComponents {
 
@@ -48,14 +67,11 @@ object ConnectedComponents {
     * the pair set. The caller keeps ownership: this method never unpersists
     * `sym`. */
   def runSymmetrized(sym: DataFrame, maxIter: Int = 20): DataFrame = {
-    // every persisted frame also registers with CacheScope: rounds unpersist
-    // their predecessor eagerly below, and the FINAL label frame (returned
-    // while cached) is reclaimed by the caller's next CacheScope.release
-    var cache = graft.util.CacheScope.track(sym.select(col("src").as("id")).distinct()
+    var cache = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .withColumn("changed", lit(false)))
-    // one min-label propagation hop: (id, comp) -> (id, comp', changed)
-    def hop(labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      .localCheckpoint(true)
+    // one min-label propagation hop: (id, comp) -> (id, comp, changed)
+    def hop(labels: DataFrame): DataFrame = {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid")).agg(min("comp").as("nbr_comp"))
       labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
@@ -63,22 +79,21 @@ object ConnectedComponents {
           least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"),
           (coalesce(col("nbr_comp"), labels("comp")) < labels("comp")).as("changed"))
     }
+    // pointer jump: (id, comp) -> (id, comp') where comp' = comp's comp.
+    // comp is always a node id (init self, then mins of node ids), so the
+    // inner join finds every label's own row.
+    def jump(labels: DataFrame): DataFrame = {
+      val byId = labels.select(col("id").as("cid"), col("comp").as("ccomp"))
+      labels.join(byId, labels("comp") === byId("cid"))
+        .select(labels("id"), least(labels("comp"), col("ccomp")).as("comp"))
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // TWO hops per materialized round: the driver-synchronized action
-      // (cache + count) is the fixed cost at any scale, so halve the round
-      // count — if the SECOND hop changed nothing, its input was already a
-      // fixed point, so checking only the last hop's flag is sound
-      val next = graft.util.CacheScope.track(
-        hop(hop(cache.select("id", "comp")).select("id", "comp")))
-      // the count is the materializing action for next's cache; only then
-      // is the previous round's cache safe to drop
+      val next = hop(jump(hop(cache.select("id", "comp")).select("id", "comp")))
+        .localCheckpoint(true) // eager: the one action materializing the round
       converged = next.filter(col("changed")).count() == 0
-      // drop (not just unpersist): retired rounds must also leave the
-      // CacheScope queue, or a long run accumulates dead entries
-      graft.util.CacheScope.drop(cache)
-      cache = next
+      cache = next // previous round's checkpoint blocks GC via ContextCleaner
       iter += 1
     }
     cache.select("id", "comp")

@@ -52,11 +52,12 @@ object Queries32 {
       // device id: each user's own device, plus (for 1-in-10 events) the
       // previous user's device unless on a 5-block boundary — so users
       // {5k..5k+4} form one identity chain stitched only transitively.
-      val ev = Tables.events(sp, dir)
+      val ev = graft.util.CacheScope.track(Tables.events(sp, dir)
         .select(col("user_id").as("u"),
           (lit(DevBase) + when(col("event_id") % 10 === 0 && col("user_id") % 5 =!= 0,
             col("user_id") - 1).otherwise(col("user_id"))).as("d"))
-        .distinct()
+        .distinct())
+      ev.count() // CC's symmetric union scans the distinct-edge set twice
       val edges = ev.select(col("u").as("src"), col("d").as("dst"))
       graft.operators.ConnectedComponents.run(edges)
         .filter(col("id") < DevBase) // report user nodes only

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries33 oracle rows alone don't pin: window containment
+  * (dau ⊆ wau ⊆ mau), bottom-k mergeability, and the sketch's sample-rate
+  * sanity.
+  */
+class Queries33Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dau_rolling: dau <= wau <= mau, and mau reaches the day's trailing-30 exact count") {
+    val rows = SparkEntry.queries("dau_rolling")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3),
+        s"day ${r.getLong(0)}: dau<=wau<=mau")
+    }
+    // cross-check one day against a direct trailing-window count
+    val day = rows.last.getLong(0)
+    val direct = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("d"))
+      .filter(col("d") <= day && col("d") >= day - 29)
+      .select("user_id").distinct().count()
+    assert(rows.last.getLong(3) == direct, "mau == direct trailing-30 distinct")
+  }
+
+  test("sample_bottomk: mergeable — bottom-k of two halves' bottom-ks == global bottom-k") {
+    import spark.implicits._
+    val all = SparkEntry.queries("sample_bottomk")(spark, dir)
+      .select("h").as[String].collect().toSeq
+    assert(all.length == graft.queries.Queries33.BottomK)
+    assert(all == all.sorted, "ranked by hash")
+    val ev = Tables.events(spark, dir)
+      .select(md5(concat(lit("s"), col("event_id")).cast("binary")).as("h"), col("event_id"))
+    val half = (f: org.apache.spark.sql.Column) => ev.filter(f)
+      .orderBy("h").limit(graft.queries.Queries33.BottomK).select("h").as[String].collect().toSeq
+    val merged = (half(col("event_id") % 2 === 0) ++ half(col("event_id") % 2 === 1))
+      .sorted.take(graft.queries.Queries33.BottomK)
+    assert(merged == all, "bottom-k sketches merge exactly")
+  }
+
+  test("quantile_sketch: sample rate near 1/16 and estimates within the sample's reach") {
+    val rows = SparkEntry.queries("quantile_sketch")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ns) = (r.getLong(1), r.getLong(2))
+      assert(ns > 0 && ns < n, "a real subsample")
+      // 1/16 rate: generously within [1/48, 3/16] at sf0.001 group sizes
+      assert(ns * 48 >= n && ns * 16 <= 3 * n, s"rate ${ns}/${n} near 1/16")
+      assert(r.getLong(6) >= r.getLong(3), "p95_exact >= p50_exact")
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3), "p50_err is the signed difference")
+      assert(r.getLong(8) == r.getLong(7) - r.getLong(6), "p95_err is the signed difference")
+    }
+  }
+}
