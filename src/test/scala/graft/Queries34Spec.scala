@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries34 oracle rows alone don't pin: LTV curve algebra
+  * (monotone accumulation, cohort mass) and the A/B crosstab's partition
+  * of the user universe.
+  */
+class Queries34Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ltv_curve: cum_rev is monotone per cohort, age 0 always present, actives bounded") {
+    val rows = SparkEntry.queries("ltv_curve")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (cd, rs) =>
+      val ages = rs.map(_.getLong(1))
+      assert(ages.contains(0L), s"cohort $cd has its birth row")
+      val cums = rs.sortBy(_.getLong(1)).map(_.getLong(5)).toSeq
+      assert(cums == cums.sorted, s"cohort $cd cum_rev monotone")
+      rs.foreach(r => assert(r.getLong(3) <= r.getLong(2), "actives <= cohort size"))
+    }
+    // total revenue conserved against a direct sum
+    val direct = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("bigint"))).head().getLong(0)
+    assert(rows.map(_.getLong(4)).sum == direct, "revenue mass conserved")
+  }
+
+  test("ab_lift: arms partition the user universe and rates are consistent") {
+    val r = SparkEntry.queries("ab_lift")(spark, dir).head()
+    val (ua, ub, ca, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(ua + ub == nUsers, "arms partition the users")
+    assert(ca <= ua && cb <= ub, "conversions bounded by exposure")
+    assert(r.getLong(6) == 1000 * ca / ua && r.getLong(7) == 1000 * cb / ub)
+    assert(r.getLong(8) == r.getLong(7) - r.getLong(6), "abs lift is the rate difference")
+    // hash split is roughly even (md5 uniformity; generous 30/70 bound)
+    assert(ua * 10 >= nUsers * 3 && ub * 10 >= nUsers * 3, s"split $ua/$ub near even")
+  }
+}
