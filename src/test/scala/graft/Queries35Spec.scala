@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Full independent reimplementation of bpe_merge_apply in plain Scala —
+  * learns the same rules and folds the same merges over the collected
+  * corpus, then compares every row including the md5 signature. Also pins
+  * the reversibility invariant: un-merging (underscore → space) restores
+  * the original token stream.
+  */
+class Queries35Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fold(toks: Seq[String], l: String, r: String): Seq[String] = {
+    if (toks.size <= 1) toks
+    else toks.tail.foldLeft(Vector(toks.head)) { (acc, x) =>
+      if (acc.last == l && x == r) acc.init :+ s"${l}_$r" else acc :+ x
+    }
+  }
+
+  test("bpe_merge_apply == an independent Scala fold, and un-merging restores the stream") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextF.tokens(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val pairs = docs.flatMap { case (_, w) =>
+      if (w.size >= 2) w.sliding(2).map(p => s"${p(0)} ${p(1)}").toSeq else Seq.empty
+    }
+    val rules = pairs.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(graft.queries.Queries35.NMerges)
+      .map { case (p, _) => val Array(l, r) = p.split(" ", 2); (l, r) }
+    val expected = docs.map { case (id, w) =>
+      val merged = rules.foldLeft(w: Seq[String]) { case (t, (l, r)) => fold(t, l, r) }
+      val s = merged.mkString(" ")
+      // reversibility: merges only ever joined adjacent original tokens
+      assert(s.replace('_', ' ') == w.mkString(" "), s"doc $id un-merge restores stream")
+      (id, w.size.toLong, (if (s.isEmpty) 0 else merged.size).toLong,
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }.toSeq
+    val got = SparkEntry.queries("bpe_merge_apply")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == expected, "query matches the independent reimplementation row-for-row")
+    assert(expected.exists(r => r._3 < r._2), "the top merges actually fire somewhere")
+  }
+}
