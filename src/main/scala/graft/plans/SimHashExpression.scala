@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native `bits`-bit SimHash over a token array: per DISTINCT token, the
-  * first ⌈bits/8⌉ bytes of its md5 are the token's bit vector; fingerprint
+  * first bits/4 md5 hex digits are the token's bit vector; fingerprint
   * bit b is set when the majority of tokens have bit b set. One fused pass
-  * per row.
+  * per row. 60 bits is the widest width whose per-token value stays inside
+  * a SIGNED 64-bit integer (15 hex digits < 2^60) — which keeps the DuckDB
+  * oracle spelling a plain BIGINT cast.
   *
   * Exists because the composable spelling (`bits` × `filter()` higher-order
   * functions over the value array) exceeds janino's 64 KB method limit at
@@ -24,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SimHashExpression(child: Expression, bits: Int) extends UnaryExpression {
 
-  require(bits > 0 && bits <= 32, "bits must be in 1..32")
+  require(bits % 4 == 0 && bits >= 4 && bits <= 64,
+    "bits must be a multiple of 4 in 4..64 (a whole number of md5 hex digits)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -49,8 +52,9 @@ case class SimHashExpression(child: Expression, bits: Int) extends UnaryExpressi
 object SimHashExpression {
 
   /** Shared by eval and the generated code: distinct tokens, per-token
-    * value = first 4 md5 bytes big-endian (== `conv(substr(md5, 1, 8), 16,
-    * 10)`), majority vote per bit. */
+    * value = the first bits/4 md5 hex digits as an integer (== DuckDB
+    * `'0x' || substr(md5, 1, bits/4)` cast; for bits = 32 that is the first
+    * 4 bytes big-endian, the original spelling), majority vote per bit. */
   def compute(arr: ArrayData, bits: Int): Long = {
     val md = MessageDigest.getInstance("MD5")
     val seen = new java.util.HashSet[UTF8String]()
@@ -63,8 +67,12 @@ object SimHashExpression {
         n += 1
         md.reset()
         val d = md.digest(t.getBytes)
-        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        // first 8 bytes big-endian, logically shifted down to the first
+        // bits/4 hex digits
+        var v64 = 0L
+        var k = 0
+        while (k < 8) { v64 = (v64 << 8) | (d(k) & 0xffL); k += 1 }
+        val v = v64 >>> (64 - bits)
         var b = 0
         while (b < bits) {
           if (((v >> b) & 1L) == 1L) ones(b) += 1

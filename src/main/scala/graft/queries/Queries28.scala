@@ -69,9 +69,15 @@ object Queries28 {
   /** Dirty-twin spacing for record_linkage ids. */
   private[graft] val DirtyIdOffset = 1000000L
 
-  /** simhash_pairs banding: 4 × 8-bit bands over the 32-bit fingerprint;
-    * pigeonhole guarantees recall for Hamming ≤ bands − 1. */
+  /** simhash_pairs banding: 4 × 15-bit bands over the 60-bit fingerprint;
+    * pigeonhole guarantees recall for Hamming ≤ bands − 1. Band width is
+    * the collision knob — the ×10 probe measured the earlier 32-bit/8-bit
+    * layout going 9.2× superlinear (collisions ∝ N²/2^bandwidth); 15-bit
+    * bands defer the quadratic term by 2^7 and 60 bits is the widest
+    * fingerprint whose per-token oracle value fits a signed BIGINT. */
   private[graft] val SimhashBands = 4
+  private[graft] val SimhashBandBits = 15
+  private[graft] val SimhashBandMask = (1L << 15) - 1
   private[graft] val SimhashMaxDist = 3
 
   // ---- record_linkage synthetic universe (Spark and SQL twins) ----------
@@ -194,24 +200,22 @@ object Queries28 {
     },
 
     "simhash_pairs" -> { (sp, dir) =>
-      // pigeonhole-banded Hamming search: 4 bands of 8 bits over the 32-bit
-      // fingerprint — Hamming ≤ 3 implies at least one band is IDENTICAL,
-      // so candidates come from equi-joins on (band_idx, band_val) and the
-      // popcount verify runs only on collisions. Band width is the
-      // collision-rate knob: at corpus scale the fingerprint widens (64
-      // bit) and bands widen with log N — same plan, different literals.
+      // pigeonhole-banded Hamming search: 4 bands of 15 bits over the
+      // 60-bit fingerprint — Hamming ≤ 3 implies at least one band is
+      // IDENTICAL, so candidates come from equi-joins on (band_idx,
+      // band_val) and the popcount verify runs only on collisions.
       // collapse identical fingerprints FIRST: near-dup cliques share a
       // fingerprint, so the band self-join runs over DISTINCT fingerprints
       // (one node per clique — 5.3x fewer candidates on the sf0.1 corpus)
       // and doc pairs are regenerated only from VERIFIED fp pairs
       val groups = graft.util.CacheScope.track(Tables.documents(sp, dir)
-        .select(col("doc_id"), TextF.simhash32(col("text")).as("f"))
+        .select(col("doc_id"), TextF.simhash60(col("text")).as("f"))
         .groupBy("f").agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n")))
       groups.count()
       val bands = groups.select(col("f"),
         explode(array((0 until SimhashBands).map(b => struct(
           lit(b).as("bi"),
-          shiftright(col("f"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
+          shiftright(col("f"), SimhashBandBits * b).bitwiseAND(lit(SimhashBandMask)).as("bv"))): _*)).as("e"))
         .select(col("f"), col("e.bi").as("bi"), col("e.bv").as("bv"))
       val fpPairs = bands.select(col("bi"), col("bv"), col("f").as("fa"))
         .join(bands.select(col("bi"), col("bv"), col("f").as("fb")), Seq("bi", "bv"))
@@ -376,12 +380,12 @@ object Queries28 {
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "simhash_pairs" -> {
-      val bitSum = (0 until 32).map(b =>
+      val bitSum = (0 until 60).map(b =>
         s"CASE WHEN 2 * len(list_filter(vs, v -> (v >> $b) & 1 = 1)) >= len(vs) " +
           s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
       s"""WITH vals AS (
          |  SELECT doc_id, list_transform(list_distinct($toksSql),
-         |    t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS vs
+         |    t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS vs
          |  FROM documents
          |),
          |fp AS (
@@ -390,7 +394,7 @@ object Queries28 {
          |  FROM vals
          |),
          |bands AS (
-         |  SELECT doc_id, f, bi, (f >> (8 * bi)) & 255 AS bv
+         |  SELECT doc_id, f, bi, (f >> ($SimhashBandBits * bi)) & $SimhashBandMask AS bv
          |  FROM fp CROSS JOIN (SELECT unnest(range(0, $SimhashBands)) AS bi) bix
          |),
          |cand AS (

@@ -49,7 +49,12 @@ object BenchScale {
     // round-8 native-kernel rewrites: the fingerprint-collapsed banded
     // Hamming search and the fused PQ encode — both must stay
     // data-proportional, not plan-cost-dominated
-    "simhash_pairs", "ann_pq")
+    "simhash_pairs", "ann_pq",
+    // round-8 continuation: the checkpoint-cut iterative CC over the
+    // identity graph (rounds grow with log diameter, never data), the
+    // 30-day fan-out rolling actives (shuffle ∝ 31×user-days), the
+    // two-phase prefix-sum sharder, and the in-row BPE merge folds
+    "user_stitching", "dau_rolling", "shard_export", "bpe_merge_apply")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

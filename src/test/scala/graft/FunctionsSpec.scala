@@ -283,4 +283,23 @@ class FunctionsSpec extends SparkSpec {
       graft.functions.TextF.simhash32Composable(col("text")).as("c")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("simhash60: the native fused kernel byte-matches the composable spelling") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val drift = docs.select(
+      graft.functions.TextF.simhash60(col("text")).as("native"),
+      graft.functions.TextF.simhash60Composable(col("text")).as("composable"))
+      .filter(col("native") =!= col("composable")).count()
+    assert(drift == 0, "60-bit SimHashExpression drifted from the built-ins-only derivation")
+    import spark.implicits._
+    val edge = Seq("", "word", "a a a", "Mixed CASE punct!!").toDF("text")
+    val rows = edge.select(
+      graft.functions.TextF.simhash60(col("text")).as("n"),
+      graft.functions.TextF.simhash60Composable(col("text")).as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) >= 0L, "60-bit fingerprint stays inside the signed range")
+    }
+  }
 }

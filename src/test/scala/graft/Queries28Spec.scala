@@ -83,7 +83,7 @@ class Queries28Spec extends SparkSpec {
     val banded = SparkEntry.queries("simhash_pairs")(spark, dir)
       .as[(Long, Long, Long)].collect().toSet
     val fp = Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.TextF.simhash32(col("text")).as("f"))
+      .select(col("doc_id"), graft.functions.TextF.simhash60(col("text")).as("f"))
       .as[(Long, Long)].collect()
     val brute = (for {
       (a, fa) <- fp; (b, fb) <- fp if a < b

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries36 oracle rows alone don't pin: n-gram mass
+  * against the session-length profile, latency ordering, and session-mass
+  * conservation across the bounce report.
+  */
+class Queries36Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sessionSizes(): Seq[Long] =
+    SparkEntry.queries("sessionize")(spark, dir).collect().map(_.getLong(2)).toSeq
+
+  test("session_paths: 3-gram vocabulary and mass bounded by the session-length profile") {
+    val rows = SparkEntry.queries("session_paths")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val parts = r.getString(0).split(">")
+      assert(parts.length == 3 && parts.forall(types.contains), s"path ${r.getString(0)}")
+    }
+    val totalGrams = sessionSizes().map(n => math.max(0L, n - 2)).sum
+    assert(rows.map(_.getLong(1)).sum <= totalGrams,
+      "top-20 mass bounded by the corpus 3-gram mass")
+  }
+
+  test("conversion_latency: ordered percentiles over a real converter set") {
+    val r = SparkEntry.queries("conversion_latency")(spark, dir).head()
+    val signups = Tables.events(spark, dir).filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) > 0 && r.getLong(0) <= signups, "converters are signed-up users")
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3), "p50 <= p90 <= max")
+  }
+
+  test("bounce_rate: session mass conserved across landing hosts") {
+    val rows = SparkEntry.queries("bounce_rate")(spark, dir).collect()
+    val totalSessions = sessionSizes().size.toLong
+    assert(rows.map(_.getLong(1)).sum == totalSessions, "every session lands somewhere")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "bounces bounded by sessions")
+      assert(r.getLong(3) == 1000 * r.getLong(2) / r.getLong(1))
+    }
+  }
+}
