@@ -15,7 +15,7 @@ import graft.functions.{EventF, TextF}
 object Queries6 {
   type Q = (SparkSession, String) => DataFrame
 
-  private def minhashSigs(sp: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashSigs(sp: SparkSession, dir: String): DataFrame = {
     val sh = col("sh")
     def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
     Tables.documents(sp, dir)
@@ -119,17 +119,25 @@ object Queries6 {
     * consumes MinHash band-collision candidates — dedup_minhash_pairs,
     * dedup_minhash_keep and Queries20's dedup_edit_verify. ONE spelling so
     * the three oracles cannot drift from [[minhashPairs]]. */
-  private[queries] val MinhashPairsCteSql: String = {
+  /** The per-doc MinHash component CTE (`comps(doc_id, c0..c3)`) — split
+    * out of [[MinhashPairsCteSql]] so the estimator-quality oracle
+    * (minhash_recall) reads the SAME component spelling. */
+  private[queries] val MinhashComponentsCteSql: String = {
     def comp(seed: Int) = s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
-    s"""sigs AS (
+    s"""comps AS (
+       |  SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
+       |  FROM (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh
+       |        FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
+       |)""".stripMargin
+  }
+
+  private[queries] val MinhashPairsCteSql: String = {
+    s"""$MinhashComponentsCteSql,
+       |sigs AS (
        |  SELECT doc_id,
        |    md5(concat(coalesce(c0, ''), coalesce(c1, ''))) AS band0,
        |    md5(concat(coalesce(c2, ''), coalesce(c3, ''))) AS band1
-       |  FROM (
-       |    SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
-       |    FROM (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh
-       |          FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
-       |  ) t3
+       |  FROM comps
        |),
        |pairs AS (
        |  SELECT DISTINCT id_a, id_b FROM (

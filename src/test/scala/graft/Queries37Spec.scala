@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries37 oracle rows alone don't pin: the overlap
+  * matrix's metric algebra and the estimator report's agreement with the
+  * dedup pipeline it audits.
+  */
+class Queries37Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("source_overlap: symmetric-canonical pairs, jaccard <= containment <= 1000") {
+    val rows = SparkEntry.queries("source_overlap")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sa, sb, inter, na, nb) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sa < sb, "canonical pair keys")
+      assert(inter <= math.min(na, nb), "intersection bounded")
+      assert(r.getLong(5) <= r.getLong(6) && r.getLong(6) <= 1000L,
+        "jaccard <= containment <= 1")
+    }
+  }
+
+  test("minhash_recall: covers exactly the candidate pairs; exact-dup pairs read 1000/1000") {
+    val rows = SparkEntry.queries("minhash_recall")(spark, dir).collect()
+    val nPairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir).count()
+    assert(rows.length.toLong == nPairs, "one report row per candidate pair")
+    rows.foreach { r =>
+      assert(Set(0L, 250L, 500L, 750L, 1000L).contains(r.getLong(2)),
+        "4-component estimate is quartered")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+      if (r.getLong(3) == 1000L)
+        assert(r.getLong(2) == 1000L, "identical shingle sets must agree on all components")
+    }
+  }
+}
