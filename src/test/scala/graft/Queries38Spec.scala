@@ -1,0 +1,29 @@
+package graft
+
+/** Invariants the filter_funnel oracle rows alone don't pin: the funnel
+  * telescopes, conserves document mass, and its survivor set sits exactly
+  * between the standalone gate and the full pipeline.
+  */
+class Queries38Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filter_funnel: telescoping stages conserve mass and bound corpus_pipeline") {
+    val rows = SparkEntry.queries("filter_funnel")(spark, dir).collect()
+    assert(rows.length == graft.queries.Queries38.StageNames.length)
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.head.getLong(2) == total, "stage 1 sees the whole corpus")
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) == b.getLong(2), "n_out(i) == n_in(i+1)")
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
+    val survivors = rows.last.getLong(4)
+    assert(rows.map(_.getLong(3)).sum + survivors == total, "document mass conserved")
+    // the funnel's survivors are corpus_pipeline's input universe: the
+    // pipeline only removes more (near-dup representatives) on top
+    val shipped = SparkEntry.queries("corpus_pipeline")(spark, dir).count()
+    assert(shipped <= survivors, "pipeline ships a subset of the funnel's survivors")
+    val gated = SparkEntry.queries("corpus_filter")(spark, dir).count()
+    assert(survivors <= gated, "survivors additionally exclude bench + contaminated docs")
+  }
+}
