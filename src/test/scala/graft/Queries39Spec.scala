@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries39 oracle rows alone don't pin: streak algebra
+  * against the raw day sets, and the Gini identity's bounds.
+  */
+class Queries39Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("active_streaks: longest streak verified against raw day sets for every user") {
+    import spark.implicits._
+    val got = SparkEntry.queries("active_streaks")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("d"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    got.foreach { case (u, longest, nStreaks, firstDay) =>
+      val ds = days(u)
+      // independent streak computation: longest run of consecutive days
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+        case (Nil, d) => List((d, 1L))
+        case ((s, l) :: t, d) => if (d == s + l) (s, l + 1) :: t else (d, 1L) :: (s, l) :: t
+      }
+      assert(longest == runs.map(_._2).max, s"user $u longest")
+      assert(nStreaks == runs.size.toLong, s"user $u streak count")
+      assert(firstDay == ds.head, s"user $u first day")
+    }
+  }
+
+  test("activity_concentration: Gini bounded and decile share consistent") {
+    val r = SparkEntry.queries("activity_concentration")(spark, dir).head()
+    val (nUsers, nEvents, topDec) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(topDec <= nEvents)
+    // a decile must hold at least its uniform share (they are the TOP users)
+    assert(r.getLong(3) >= 1000L * (nUsers / 10) / nUsers - 1)
+    assert(r.getLong(4) >= -10 && r.getLong(4) <= 1000, "gini in [0, 1] up to rounding")
+    // direct recomputation of the decile share from raw counts
+    val per = Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(_.getLong(1)).sorted
+    val direct = per.takeRight((per.length / 10).toInt).sum
+    assert(topDec == direct, "top-decile mass matches a direct computation")
+  }
+}
