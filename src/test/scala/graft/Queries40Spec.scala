@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the multimodal_dedup oracle rows alone don't pin: exact-dup
+  * pairs must surface with full containment, and containment is a real
+  * ratio.
+  */
+class Queries40Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multimodal_dedup: exact payload dups read containment 1000 and every row is a ratio") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("multimodal_dedup")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "the corpus's planted exact dups must collide on frames")
+    rows.foreach { case (a, b, shared, cont, _) =>
+      assert(a < b && shared >= 2 && cont >= 0 && cont <= 1000)
+    }
+    // identical payloads ⇒ identical frame sets ⇒ full containment
+    val exactPairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+      .as[(Long, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1)))).toSet
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    exactPairs.foreach { p => // raw-identical payloads exist only at some SFs
+      val r = byPair.get(p)
+      assert(r.isDefined, s"exact pair $p missing from the dedup report")
+      assert(r.get._4 == 1000L && r.get._5 == 1L, s"exact pair $p fully contained")
+    }
+    // independently recount one reported pair's shared frames from raw text
+    val (ia, ib, shared, _, _) = rows.head
+    val texts = Tables.documents(spark, dir).filter(col("doc_id").isin(ia, ib))
+      .as[(Long, String, String, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    def sigs(t: String) =
+      (0 until t.length by 131).map(o => t.substring(o, math.min(o + 16, t.length))).toSet
+    val direct = (sigs(texts(ia)) intersect sigs(texts(ib))).size.toLong
+    assert(shared == direct, s"pair ($ia,$ib) shared-frame count matches a direct recount")
+  }
+}
