@@ -92,6 +92,15 @@ object GraftFunctions {
     // round-7: winnowing fingerprint selection (sorted distinct window minima)
     fn("graft_winnow", "graft_winnow(hashes, w)",
       es => WinnowExpression(es.head, intArg(es(1), "w")))
+    ,
+    // round-8: the fused SimHash kernel (bits defaults to the 60-bit
+    // banding-grade width; any multiple of 4 up to 64 accepted) and the
+    // Rabin-Karp rolling document hash
+    fn("graft_simhash", "graft_simhash(text[, bits])",
+      es => SimHashExpression(x(TextF.tokens(c(es.head))),
+        if (es.length > 1) intArg(es(1), "bits") else 60)),
+    fn("graft_rolling_hash", "graft_rolling_hash(text)",
+      es => x(TextF.rollingHash(c(es.head))))
   )
 
   /** Register all graft SQL functions on a live session. */

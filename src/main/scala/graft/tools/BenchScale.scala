@@ -54,7 +54,10 @@ object BenchScale {
     // identity graph (rounds grow with log diameter, never data), the
     // 30-day fan-out rolling actives (shuffle ∝ 31×user-days), the
     // two-phase prefix-sum sharder, and the in-row BPE merge folds
-    "user_stitching", "dau_rolling", "shard_export", "bpe_merge_apply")
+    "user_stitching", "dau_rolling", "shard_export", "bpe_merge_apply",
+    // round-8 continuation #2: the corpus-hygiene self-joins (source- and
+    // df-bounded fan-outs must hold at x10) and the one-scan funnel
+    "source_overlap", "multimodal_dedup", "filter_funnel")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

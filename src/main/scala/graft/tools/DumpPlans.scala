@@ -77,7 +77,11 @@ object DumpPlans {
     // window + tiny broadcast offsets, no global window), the bounded
     // 30-day fan-out rolling actives, the user-keyed multi-touch credit
     // windows, and the in-row BPE merge folds (no explode, no join)
-    "shard_export", "dau_rolling", "attribution_multitouch", "bpe_merge_apply")
+    "shard_export", "dau_rolling", "attribution_multitouch", "bpe_merge_apply",
+    // round-8 continuation #2: the one-scan gate-attrition funnel, the
+    // source-bounded shingle-overlap matrix, and frame-signature
+    // multimodal dedup (df-capped equi-join, no all-pairs product)
+    "filter_funnel", "source_overlap", "multimodal_dedup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

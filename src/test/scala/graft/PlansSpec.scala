@@ -149,5 +149,16 @@ class PlansSpec extends SparkSpec {
     assert(r5.getAs[String]("u") == "https://x.com/p?a=2") // utm_* stripped, :443 default, #f dropped
     assert(r5.getAs[String]("lo") == "5")
     assert(r5.getAs[String]("pfx") == "2001:db8:1:2")
+    val r8 = spark.sql(
+      """SELECT graft_simhash('the quick brown fox') AS s60,
+        |       graft_simhash('the quick brown fox', 32) AS s32,
+        |       graft_rolling_hash('abc') AS rh
+        |""".stripMargin).collect()(0)
+    import org.apache.spark.sql.functions.{col, lit}
+    val expect60 = spark.range(1)
+      .select(graft.functions.TextF.simhash60(lit("the quick brown fox"))).collect()(0).getLong(0)
+    assert(r8.getAs[Long]("s60") == expect60, "SQL surface matches the Column API")
+    assert(r8.getAs[Long]("s60") >= 0L)
+    assert(r8.getAs[Long]("rh") == (('a' * 257L + 'b') * 257L + 'c') % 1000000007L)
   }
 }
