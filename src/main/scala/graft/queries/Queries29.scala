@@ -33,8 +33,8 @@ object Queries29 {
 
   /** SCD2 tracked attribute: the event's props.k bucketed to a "tier" —
     * shared verbatim with the oracle. */
-  private val TierSql = "CAST(get_json_object(props, '$.k') AS BIGINT) div 50"
-  private val TierDuck = "CAST(json_extract(props, '$.k') AS BIGINT) // 50"
+  private[queries] val TierSql = "CAST(get_json_object(props, '$.k') AS BIGINT) div 50"
+  private[queries] val TierDuck = "CAST(json_extract(props, '$.k') AS BIGINT) // 50"
 
   private[graft] val AnonK = 5
 

@@ -15,10 +15,16 @@ import graft.functions.{EventF, TextF}
 object Queries6 {
   type Q = (SparkSession, String) => DataFrame
 
-  private[queries] def minhashSigs(sp: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashSigs(sp: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(Tables.documents(sp, dir))
+
+  /** Signatures over any (doc_id, text) frame — shared with the
+    * incremental ingest gate, which signs a PLANTED effective-text
+    * relation rather than the raw corpus. */
+  private[queries] def minhashSigsOf(docs: DataFrame): DataFrame = {
     val sh = col("sh")
     def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
-    Tables.documents(sp, dir)
+    docs
       .withColumn("toks", TextF.tokens(col("text")))
       .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), 3)))
       .select(col("doc_id"), comp(0).as("c0"), comp(1).as("c1"), comp(2).as("c2"), comp(3).as("c3"))
@@ -119,17 +125,21 @@ object Queries6 {
     * consumes MinHash band-collision candidates — dedup_minhash_pairs,
     * dedup_minhash_keep and Queries20's dedup_edit_verify. ONE spelling so
     * the three oracles cannot drift from [[minhashPairs]]. */
-  /** The per-doc MinHash component CTE (`comps(doc_id, c0..c3)`) — split
-    * out of [[MinhashPairsCteSql]] so the estimator-quality oracle
-    * (minhash_recall) reads the SAME component spelling. */
-  private[queries] val MinhashComponentsCteSql: String = {
+  /** The per-doc MinHash component CTE (`comps(doc_id, c0..c3)`) over any
+    * (doc_id, text) relation — split out of [[MinhashPairsCteSql]] so the
+    * estimator-quality oracle (minhash_recall) and the incremental ingest
+    * gate (incremental_minhash, over the planted `eff` relation) read the
+    * SAME component spelling. */
+  private[queries] def minhashCompsCteSqlFrom(rel: String): String = {
     def comp(seed: Int) = s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
     s"""comps AS (
        |  SELECT doc_id, ${comp(0)} AS c0, ${comp(1)} AS c1, ${comp(2)} AS c2, ${comp(3)} AS c3
        |  FROM (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh
-       |        FROM (SELECT doc_id, $toksSql AS w FROM documents) t1) t2
+       |        FROM (SELECT doc_id, $toksSql AS w FROM $rel) t1) t2
        |)""".stripMargin
   }
+
+  private[queries] val MinhashComponentsCteSql: String = minhashCompsCteSqlFrom("documents")
 
   private[queries] val MinhashPairsCteSql: String = {
     s"""$MinhashComponentsCteSql,

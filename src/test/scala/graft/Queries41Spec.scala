@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries41 oracle rows alone don't pin: point-in-time
+  * coverage of the SCD2 join, the ingest gate's planted recall, and
+  * cluster-size mass conservation.
+  */
+class Queries41Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("scd2_asof: every purchase matched exactly one interval (mass conserved)") {
+    val rows = SparkEntry.queries("scd2_asof")(spark, dir).collect()
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == purchases,
+      "each purchase falls in exactly one validity interval")
+    val rev = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("bigint"))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == rev, "revenue mass conserved across tiers")
+  }
+
+  test("incremental_minhash: every planted donor copy is rejected with jacc 1000") {
+    import spark.implicits._
+    val got = SparkEntry.queries("incremental_minhash")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = Tables.documents(spark, dir).count()
+    val planted = (400L until n).filter(_ % 10 == 7)
+    assert(planted.nonEmpty)
+    val byBatch = got.map(r => r._1 -> r).toMap
+    planted.foreach { b =>
+      val r = byBatch.get(b)
+      assert(r.isDefined, s"planted donor copy $b must be flagged")
+      assert(r.get._3 == 1000L, s"doc $b carries a shipped doc's exact text")
+      assert(r.get._2 == b % 400 || r.get._3 == 1000L, "match is the donor or an exact twin")
+    }
+    got.foreach(r => assert(r._1 >= 400 && r._2 < 400 && r._3 >= 500 && r._4 >= 1))
+  }
+
+  test("dedup_cluster_sizes: histogram mass equals the clustered-doc universe") {
+    val rows = SparkEntry.queries("dedup_cluster_sizes")(spark, dir).collect()
+    val clustered = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == clustered, "every paired doc lands in a cluster")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 2, "a cluster needs at least two members")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), "n_docs = size * count")
+    }
+  }
+}
