@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries42 oracle rows alone don't pin: the skew
+  * profile's ordering algebra and the OOV rate's vocabulary coverage.
+  */
+class Queries42Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("join_skew_audit: median <= p99 <= max, skew >= uniform, masses consistent") {
+    val rows = SparkEntry.queries("join_skew_audit")(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (nKeys, nRows, mx, p99, med) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(med <= p99 && p99 <= mx, s"${r.getString(0)} ordered profile")
+      assert(mx * nKeys >= nRows, "the max key holds at least the uniform share")
+      assert(r.getLong(6) >= 999, "skew factor >= ~1000 milli by construction")
+    }
+    // l_orderkey mass must equal lineitem row count
+    val li = rows.find(_.getString(0) == "lineitem.l_orderkey").get
+    assert(li.getLong(2) == Tables.lineitem(spark, dir).count())
+  }
+
+  test("vocab_oov_rate: rates bounded and total OOV mass matches a direct probe") {
+    val rows = SparkEntry.queries("vocab_oov_rate")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == 1000 * r.getLong(2) / r.getLong(1))
+    }
+    // the top-K vocabulary covers the majority of occurrences by construction
+    val tot = rows.map(_.getLong(1)).sum
+    val oov = rows.map(_.getLong(2)).sum
+    assert(oov * 2 < tot, "top-1000 vocab covers most token occurrences")
+  }
+}
