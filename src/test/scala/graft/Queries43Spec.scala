@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The incremental-clustering identity, pinned against the Spark
+  * from-scratch twin (the DuckDB oracle already pins it against the
+  * recursive closure).
+  */
+class Queries43Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_cluster_incremental == from-scratch connected components, full coverage") {
+    import spark.implicits._
+    val inc = SparkEntry.queries("dedup_cluster_incremental")(spark, dir)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+    val full = graft.operators.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(inc == full, "contract-and-propagate equals re-clustering the full graph")
+    val paired = pairs.select(explode(array(col("id_a"), col("id_b")))).distinct().count()
+    assert(inc.length.toLong == paired, "every paired doc carries a label")
+  }
+}
