@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries44 oracle rows alone don't pin: the MAD rule
+  * verified against independently computed discrete medians, and the
+  * audit's conservation identities.
+  */
+class Queries44Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mad_outliers: flags exactly the |x-med| > 2*MAD tail of the raw counts") {
+    import spark.implicits._
+    val got = SparkEntry.queries("mad_outliers")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val per = Tables.events(spark, dir).groupBy("user_id").count()
+      .as[(Long, Long)].collect().sortBy(identity)
+    def discreteMedian(xs: Seq[Long]): Long = xs.sorted.apply((50 * (xs.size - 1)) / 100)
+    val med = discreteMedian(per.map(_._2).toSeq)
+    val mad = discreteMedian(per.map(p => (p._2 - med).abs).toSeq)
+    val expected = per.filter(p => (p._2 - med).abs > 2 * mad).map(_._1).toSet
+    assert(got.nonEmpty, "the synthetic tail produces outliers at every SF")
+    assert(got.map(_._1).toSet == expected, "flagged set matches the independent rule")
+    got.foreach { r => assert(r._3 == med && r._4 == mad && r._5 == r._2 - med) }
+  }
+
+  test("referential_audit: synthetic TPC-H keys are referentially closed") {
+    val r = SparkEntry.queries("referential_audit")(spark, dir).head()
+    assert(r.getLong(0) == 0, "no orphan lineitems in the generated data")
+    val orders = Tables.orders(spark, dir).count()
+    assert(r.getLong(1) + r.getLong(2) == orders, "childless + matched == all orders")
+    assert(r.getLong(3) <= r.getLong(2), "mismatches bounded by matched orders")
+  }
+}
