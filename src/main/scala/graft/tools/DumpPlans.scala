@@ -81,7 +81,10 @@ object DumpPlans {
     // round-8 continuation #2: the one-scan gate-attrition funnel, the
     // source-bounded shingle-overlap matrix, and frame-signature
     // multimodal dedup (df-capped equi-join, no all-pairs product)
-    "filter_funnel", "source_overlap", "multimodal_dedup")
+    "filter_funnel", "source_overlap", "multimodal_dedup",
+    // round-8 continuation #3: the contracted incremental clustering, the
+    // SCD2 point-in-time interval join, and the full-outer referential audit
+    "dedup_cluster_incremental", "scd2_asof", "referential_audit")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
