@@ -57,7 +57,11 @@ object BenchScale {
     "user_stitching", "dau_rolling", "shard_export", "bpe_merge_apply",
     // round-8 continuation #2: the corpus-hygiene self-joins (source- and
     // df-bounded fan-outs must hold at x10) and the one-scan funnel
-    "source_overlap", "multimodal_dedup", "filter_funnel")
+    "source_overlap", "multimodal_dedup", "filter_funnel",
+    // round-8 continuation #3: the contracted incremental clustering (work
+    // must track batch edges, not corpus), the SCD2 interval join, and the
+    // two corpus-wide token audits
+    "dedup_cluster_incremental", "scd2_asof", "vocab_oov_rate", "minhash_recall")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

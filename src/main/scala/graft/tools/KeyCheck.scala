@@ -1,0 +1,10 @@
+package graft.tools
+object KeyCheck {
+  def main(args: Array[String]): Unit = {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    println(s"[keycheck] queries=${q.size} oracles=${o.size}")
+    println(s"[keycheck] queries-without-oracle: ${(q -- o).toSeq.sorted.mkString(",")}")
+    println(s"[keycheck] oracles-without-query: ${(o -- q).toSeq.sorted.mkString(",")}")
+  }
+}
