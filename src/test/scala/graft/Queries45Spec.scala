@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries45 oracle rows alone don't pin: the cube
+  * lattice's subtotal algebra, the time-frame's containment, and the
+  * fill's sourcing.
+  */
+class Queries45Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cube_report: every lattice level sums to the grand total") {
+    val rows = SparkEntry.queries("cube_report")(spark, dir).collect()
+    val grand = rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    for ((et, pc) <- Seq((false, true), (true, false), (false, false))) {
+      val level = rows.filter(r => r.isNullAt(0) == et && r.isNullAt(1) == pc &&
+        !(r.isNullAt(0) && r.isNullAt(1)))
+      assert(level.map(_.getLong(2)).sum == grand.getLong(2),
+        s"level (et-null=$et, pc-null=$pc) conserves count mass")
+    }
+  }
+
+  test("trailing_range_sum: frame contains the row and is bounded by the user total") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("trailing_range_sum")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    rows.foreach { case (_, u, _, cents, trail) =>
+      assert(trail >= cents, "the frame includes the current row")
+      assert(trail <= totals(u), "the frame never exceeds the user's total")
+    }
+    // spot-check one row against a direct recount
+    val (id, u, t, _, trail) = rows.maxBy(_._5)
+    val direct = rows.filter(r => r._2 == u && r._3 >= t - 7L * 86400000000L && r._3 <= t)
+      .map(_._4).sum
+    assert(trail == direct, s"row $id trailing sum matches a direct recount")
+  }
+
+  test("forward_fill: filled value equals the user's most recent preceding purchase") {
+    val rows = SparkEntry.queries("forward_fill")(spark, dir).collect()
+    // independent replay: one collect, folded per user in (ts, event_id)
+    // order (the window's own order — NOT event_id order)
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .collect()
+    val expected = scala.collection.mutable.Map[Long, Option[Long]]()
+    evs.groupBy(_.getLong(1)).values.foreach { g =>
+      var last: Option[Long] = None
+      g.sortBy(r => (r.getLong(2), r.getLong(0))).foreach { e =>
+        if (e.getString(3) == "purchase") last = Some(e.getLong(4))
+        expected(e.getLong(0)) = last
+      }
+    }
+    rows.foreach { r =>
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got == expected(r.getLong(0)), s"event ${r.getLong(0)} fill")
+    }
+  }
+}
