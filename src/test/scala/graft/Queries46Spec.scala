@@ -1,0 +1,32 @@
+package graft
+
+/** Invariants the Queries46 oracle rows alone don't pin: the sweep's
+  * monotone candidate ordering with the production layout anchored to the
+  * live pair count, and the PR curve's monotone trade-off.
+  */
+class Queries46Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash_band_sweep: 1x4 <= 2x2 <= 4x1, and 2x2 == the production pair count") {
+    val rows = SparkEntry.queries("minhash_band_sweep")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("1x4") <= rows("2x2") && rows("2x2") <= rows("4x1"),
+      "more, narrower bands can only add candidates")
+    val production = SparkEntry.queries("dedup_minhash_pairs")(spark, dir).count()
+    assert(rows("2x2") == production, "the 2x2 layout IS the production banding")
+  }
+
+  test("dedup_pr_curve: precision rises and recall falls as the threshold tightens") {
+    val rows = SparkEntry.queries("dedup_pr_curve")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getLong(1) <= lo.getLong(1), "kept set shrinks")
+        assert(hi.getLong(4) <= lo.getLong(4), "recall is monotone non-increasing")
+      case _ =>
+    }
+    assert(rows.head.getLong(4) == 1000L, "threshold 0 keeps every true dup (recall 1)")
+    rows.foreach(r => assert(r.getLong(3) <= 1000L && r.getLong(4) <= 1000L))
+  }
+}
