@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries47 oracle rows alone don't pin: latency-profile
+  * ordering and mass, and the seasonal baseline's anomaly algebra.
+  */
+class Queries47Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("order_latency: p50 <= p95 <= max per priority, order mass conserved") {
+    val rows = SparkEntry.queries("order_latency")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        s"${r.getString(0)} ordered profile")
+      assert(r.getLong(5) >= 0, "ship span is non-negative by construction")
+    }
+    val ordersWithLines = Tables.lineitem(spark, dir)
+      .select("l_orderkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == ordersWithLines,
+      "every order with lineitems is profiled exactly once")
+  }
+
+  test("seasonal_baseline: baseline is the cell's own seasonal median, flags consistent") {
+    val rows = SparkEntry.queries("seasonal_baseline")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bySeason = rows.groupBy(r => (r.getString(0), r.getLong(2)))
+    bySeason.foreach { case ((et, how), rs) =>
+      val cnts = rs.map(_.getLong(3)).sorted
+      val med = cnts((50 * (cnts.length - 1)) / 100)
+      rs.foreach { r =>
+        assert(r.getLong(4) == med, s"($et, $how) baseline is the seasonal median")
+        assert((r.getLong(5) == 1L) == (r.getLong(3) * 2 >= med * 3), "flag rule")
+      }
+    }
+  }
+}
