@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries49 oracle rows alone don't pin: the stitch join's
+  * mass conservation and the compression claim's direction.
+  */
+class Queries49Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("segment_revenue: every event lands in exactly one segment") {
+    val rows = SparkEntry.queries("segment_revenue")(spark, dir).collect()
+    val events = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == events, "event mass conserved across segments")
+    val rev = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("bigint"))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == rev, "revenue mass conserved")
+    assert(rows.length <= 5, "TPC-H has five market segments")
+  }
+
+  test("scd2_compression: both masses positive, ratio consistent, intervals match the dim") {
+    val r = SparkEntry.queries("scd2_compression")(spark, dir).head()
+    val (snap, scd) = (r.getLong(0), r.getLong(1))
+    assert(snap > 0 && scd > 0)
+    assert(r.getLong(2) == 1000 * snap / scd)
+    // on THIS corpus the tier churns faster than daily — snapshots win,
+    // which is exactly the measurement the report exists to make
+    assert(scd > snap && r.getLong(2) < 1000, "sub-daily churn detected")
+    val scd2Direct = SparkEntry.queries("scd2_dim")(spark, dir).count()
+    assert(scd == scd2Direct, "interval count matches the built dimension")
+  }
+}
