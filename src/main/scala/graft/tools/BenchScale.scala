@@ -61,7 +61,11 @@ object BenchScale {
     // round-8 continuation #3: the contracted incremental clustering (work
     // must track batch edges, not corpus), the SCD2 interval join, and the
     // two corpus-wide token audits
-    "dedup_cluster_incremental", "scd2_asof", "vocab_oov_rate", "minhash_recall")
+    "dedup_cluster_incremental", "scd2_asof", "vocab_oov_rate", "minhash_recall",
+    // round-8 continuation #4: the sweep's three shared-signature
+    // self-joins, the PR curve's judged pair set, and the window funnel's
+    // user-keyed chain joins
+    "minhash_band_sweep", "dedup_pr_curve", "funnel_window_levels")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -84,7 +84,11 @@ object DumpPlans {
     "filter_funnel", "source_overlap", "multimodal_dedup",
     // round-8 continuation #3: the contracted incremental clustering, the
     // SCD2 point-in-time interval join, and the full-outer referential audit
-    "dedup_cluster_incremental", "scd2_asof", "referential_audit")
+    "dedup_cluster_incremental", "scd2_asof", "referential_audit",
+    // round-8 continuation #4: the Expand-based cube, the running
+    // IGNORE-NULLS fill, the CBO histogram's single rank window, and the
+    // representative-collapsed cross-dataset stitch
+    "cube_report", "forward_fill", "equi_depth_hist", "segment_revenue")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries50 oracle rows alone don't pin: the
+  * growth-accounting identity (and its agreement with dau_rolling), and
+  * the feature extract's internal consistency.
+  */
+class Queries50Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("growth_accounting: statuses partition DAU; new-user mass == the user universe") {
+    val rows = SparkEntry.queries("growth_accounting")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4),
+        s"day ${r.getLong(0)}: new + retained + resurrected == dau")
+    }
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users, "every user is new exactly once")
+    // dau column must agree with dau_rolling's per-day dau
+    val dau = SparkEntry.queries("dau_rolling")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(4) == dau(r.getLong(0)), s"day ${r.getLong(0)} dau"))
+  }
+
+  test("feature_store_users: per-user features internally consistent") {
+    val rows = SparkEntry.queries("feature_store_users")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) + r.getLong(5) + r.getLong(6) <= r.getLong(1),
+        "typed counts bounded by total events")
+      assert(r.getLong(2) <= r.getLong(3), "active days fit inside the tenure span")
+      assert(r.getLong(8) <= r.getLong(9), "first <= last")
+    }
+    val rev = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("bigint"))).head().getLong(0)
+    assert(rows.map(_.getLong(7)).sum == rev, "revenue mass conserved")
+  }
+}
