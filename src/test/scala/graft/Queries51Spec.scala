@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries51 oracle rows alone don't pin: band and
+  * histogram mass conservation against the raw tables.
+  */
+class Queries51Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("discount_bands: line mass conserved, averages consistent") {
+    val rows = SparkEntry.queries("discount_bands")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.lineitem(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getLong(4) == 1000 * r.getLong(2) / r.getLong(1), "avg is the exact milli mean")
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 100, "a discount is a percentage")
+    }
+  }
+
+  test("basket_size_dist: histogram mass equals the basket universe") {
+    val rows = SparkEntry.queries("basket_size_dist")(spark, dir).collect()
+    val baskets = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum == baskets, "every (user, day) basket lands in one bin")
+    assert(rows.map(_.getLong(0)).forall(_ >= 1))
+  }
+}
