@@ -44,31 +44,40 @@ object Queries24 {
     }
   )
 
+  /** The full pipeline CTE chain (needs a `WITH RECURSIVE` prefix) and the
+    * shipped-corpus SELECT over it — factored so the reproducibility
+    * manifest (pipeline_manifest) reuses the EXACT shipped relation. */
+  private[queries] val PipelineCtesSql: String =
+    s"""${Queries6.MinhashPairsCteSql},
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+       |),
+       |cluster_min AS (
+       |  SELECT id, min(r) AS cmin FROM reach GROUP BY id
+       |),
+       |gated AS (
+       |${Queries10.CorpusGatedSql}
+       |),
+       |${Queries10.ContaminatedCteSql}""".stripMargin
+
+  private[queries] val ShippedSelectSql: String =
+    s"""SELECT g.doc_id, g.n_tokens
+       |FROM gated g
+       |LEFT JOIN cluster_min cm ON g.doc_id = cm.id
+       |WHERE (cm.id IS NULL OR g.doc_id = cm.cmin)
+       |  AND g.doc_id % ${Queries10.BenchMod} <> ${Queries10.BenchRem}
+       |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = g.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "corpus_pipeline" ->
-      s"""WITH RECURSIVE ${Queries6.MinhashPairsCteSql},
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs
-         |),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
-         |),
-         |cluster_min AS (
-         |  SELECT id, min(r) AS cmin FROM reach GROUP BY id
-         |),
-         |gated AS (
-         |${Queries10.CorpusGatedSql}
-         |),
-         |${Queries10.ContaminatedCteSql}
-         |SELECT g.doc_id, g.n_tokens
-         |FROM gated g
-         |LEFT JOIN cluster_min cm ON g.doc_id = cm.id
-         |WHERE (cm.id IS NULL OR g.doc_id = cm.cmin)
-         |  AND g.doc_id % ${Queries10.BenchMod} <> ${Queries10.BenchRem}
-         |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = g.doc_id)
+      s"""WITH RECURSIVE $PipelineCtesSql
+         |$ShippedSelectSql
          |ORDER BY g.doc_id""".stripMargin
   )
 }

@@ -84,18 +84,18 @@ object Queries28 {
   // master entity name: "cust <key> <segment-lower>"; every third customer
   // gets a dirty twin with ONE character deleted near the tail (the block
   // prefix below never sees the edit, so blocking stays deterministic).
-  private def masterName(key: Column, seg: Column): Column =
+  private[queries] def masterName(key: Column, seg: Column): Column =
     concat(lit("cust "), key.cast("string"), lit(" "), lower(seg))
-  private val masterNameSql = "concat('cust ', c_custkey, ' ', lower(c_mktsegment))"
-  private def dirtyName(name: Column, key: Column): Column = {
+  private[queries] val masterNameSql = "concat('cust ', c_custkey, ' ', lower(c_mktsegment))"
+  private[queries] def dirtyName(name: Column, key: Column): Column = {
     val p = length(name) - (key % 4).cast("int") - 1
     concat(substring(name, lit(1), p - 1), substring(name, p + 1, lit(1 << 30)))
   }
-  private val dirtyNameSql =
+  private[queries] val dirtyNameSql =
     s"""concat(substr(nm, 1, length(nm) - CAST(c_custkey % 4 AS INT) - 2),
        |       substr(nm, length(nm) - CAST(c_custkey % 4 AS INT)))""".stripMargin
   /** Blocking key: nation + the first 7 chars of the name. */
-  private val BlockPrefix = 7
+  private[queries] val BlockPrefix = 7
 
   val defs: Map[String, Q] = Map(
     "triangle_count" -> { (sp, dir) =>

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries52 oracle rows alone don't pin: survivorship
+  * authority and the manifest's funnel consistency.
+  */
+class Queries52Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("golden_record: every entity is a master with exactly its planted twin attached") {
+    val rows = SparkEntry.queries("golden_record")(spark, dir).collect()
+    val planted = Tables.customer(spark, dir).filter(col("c_custkey") % 3 === 0).count()
+    assert(rows.length.toLong == planted, "one entity per planted twin pair")
+    rows.foreach { r =>
+      assert(r.getLong(0) < graft.queries.Queries28.DirtyIdOffset, "the master survives")
+      assert(r.getLong(0) % 3 == 0, "entities anchor at planted masters")
+      assert(r.getLong(3) == 2 && r.getLong(4) == 1, "master + its one dirty twin")
+      assert(r.getString(1).startsWith(s"cust ${r.getLong(0)} "), "golden name is the master's")
+    }
+  }
+
+  test("pipeline_manifest: stage rows shrink monotonically and match the live stages") {
+    val rows = SparkEntry.queries("pipeline_manifest")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("1_raw")._1 >= rows("2_gated")._1 &&
+      rows("2_gated")._1 >= rows("3_shipped")._1, "each stage only drops rows")
+    assert(rows("1_raw")._1 == Tables.documents(spark, dir).count())
+    assert(rows("3_shipped")._1 == SparkEntry.queries("corpus_pipeline")(spark, dir).count())
+    // checksums differ across stages (different id sets) and sit in [0, p)
+    assert(rows.values.map(_._2).toSet.size == 3)
+    rows.values.foreach { case (_, c) => assert(c >= 0 && c < 1000000007L) }
+  }
+}
