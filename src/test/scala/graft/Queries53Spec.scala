@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries53 oracle rows alone don't pin: the sweep's
+  * conservation law and the hazard curve's KM structure.
+  */
+class Queries53Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("interval_concurrency: a direct interval recount reproduces a sampled month's peak") {
+    val rows = SparkEntry.queries("interval_concurrency")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 0))
+    // months arrive sorted and unique
+    val yms = rows.map(_.getLong(0))
+    assert(yms.sorted.sameElements(yms) && yms.distinct.length == yms.length)
+
+    // independent recount: for the busiest month, brute-force per-day open
+    // counts from the raw intervals must reproduce the sweep's peak
+    val (peakYm, peakVal) = rows.maxBy(_.getLong(1)) match { case r => (r.getLong(0), r.getLong(1)) }
+    val dayUs = 86400000000L
+    val per = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(max(unix_micros(col("l_shipdate").cast("timestamp"))).as("last_us"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr(s"ord_us div $dayUs").as("s"), expr(s"last_us div $dayUs").as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (yy, mm) = ((peakYm / 100).toInt, (peakYm % 100).toInt)
+    val monthDays = (0L to 40000L).filter { d =>
+      val dt = java.time.LocalDate.ofEpochDay(d)
+      dt.getYear == yy && dt.getMonthValue == mm
+    }
+    val brute = monthDays.map(d => per.count { case (s, e) => s <= d && d <= e }).max
+    assert(brute.toLong == peakVal, s"sweep peak $peakVal vs brute recount $brute for $peakYm")
+  }
+
+  test("churn_hazard: KM structure — at_risk telescopes and censoring is exactly the last day") {
+    val rows = SparkEntry.queries("churn_hazard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // at_risk(k) = n_users(k) + at_risk(next k); final at_risk == final n_users
+    rows.sliding(2).foreach {
+      case Array((_, n, _, ar, _), (_, _, _, arNext, _)) => assert(ar == n + arNext)
+      case _ =>
+    }
+    assert(rows.last._4 == rows.last._2)
+    // total users conserve; hazard in [0, 1000]; churned <= ended
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users)
+    rows.foreach { case (_, n, ch, ar, hz) =>
+      assert(ch <= n && hz >= 0 && hz <= 1000 && hz == ch * 1000 / ar)
+    }
+    // censored mass = users whose last week is the corpus max week
+    val dayUs = 86400000000L
+    val lastW = Tables.events(spark, dir)
+      .groupBy("user_id").agg(max(expr(s"ts_us div $dayUs")).as("lw"))
+    val maxW = lastW.agg(max("lw")).collect()(0).getLong(0)
+    val censored = lastW.filter(col("lw") === maxW).count()
+    assert(rows.map(r => r._2 - r._3).sum == censored)
+  }
+}
