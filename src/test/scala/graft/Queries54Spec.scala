@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries54 oracle rows alone don't pin: the CMS guarantee
+  * and mergeability, and the change-point's optimality.
+  */
+class Queries54Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("heavy_hitters_cms: estimate dominates exact, and half-corpus sketches merge by addition") {
+    val rows = SparkEntry.queries("heavy_hitters_cms")(spark, dir).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS overestimates, never under: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // mergeability: cells(full) == cells(doc_id even) + cells(doc_id odd)
+    def cells(pred: org.apache.spark.sql.Column) = {
+      val toks = Tables.documents(spark, dir).filter(pred)
+        .select(explode(graft.functions.TextF.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      (0 until 3).map { j =>
+        toks.groupBy((conv(substring(md5(concat(lit(s"cms$j:"), col("w"))), 1, 8), 16, 10)
+            .cast("long") % 512).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (j, r.getLong(0)) -> r.getLong(1)).toMap
+      }.reduce(_ ++ _)
+    }
+    val full = cells(lit(true))
+    val even = cells(col("doc_id") % 2 === 0)
+    val odd = cells(col("doc_id") % 2 === 1)
+    assert(full.keySet == (even.keySet ++ odd.keySet))
+    full.foreach { case (k, v) =>
+      assert(v == even.getOrElse(k, 0L) + odd.getOrElse(k, 0L), s"cell $k merges")
+    }
+  }
+
+  test("changepoint_detect: the reported split maximizes the score over an independent recount") {
+    val rows = SparkEntry.queries("changepoint_detect")(spark, dir).collect()
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val types = daily.map(_._1).distinct
+    assert(rows.map(_.getString(0)).toSet == types.toSet, "one split per event type")
+    rows.foreach { r =>
+      val (tpe, splitDay, score) = (r.getString(0), r.getLong(1), r.getLong(5))
+      val series = daily.filter(_._1 == tpe).sortBy(_._2)
+      val total = series.map(_._3).sum
+      val n = series.length
+      val best = (1 until n).map { i =>
+        val pre = series.take(i).map(_._3).sum
+        (math.abs(pre * (n - i) - (total - pre) * i.toLong), series(i - 1)._2)
+      }.max(Ordering.Tuple2(Ordering.Long, Ordering.Long.reverse))
+      assert(score == best._1, s"$tpe: reported score is the max")
+      assert(splitDay == best._2, s"$tpe: earliest argmax day wins ties")
+      assert(r.getLong(2) == n.toLong)
+    }
+  }
+}
