@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries55 oracle rows alone don't pin: both blocklist
+  * branches firing and the drift metric's algebra.
+  */
+class Queries55Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("blocklist_filter: flags recount from raw text; the absent term contributes zero") {
+    val rows = SparkEntry.queries("blocklist_filter")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val (src, nDocs, nFlagged, rate, occ) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val texts = bySource(src).map(_._2)
+      assert(nDocs == texts.length.toLong)
+      def toks(t: String) =
+        t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+      val blocked = Set("slow", "big", "crash")
+      val occs = texts.map(t => toks(t).count(blocked)).toSeq
+      assert(occ == occs.map(_.toLong).sum, s"$src occurrence recount")
+      assert(nFlagged == occs.count(_ > 0).toLong, s"$src flag recount")
+      assert(rate == nFlagged * 1000 / nDocs)
+      // "crash" never occurs in the synth vocabulary
+      assert(texts.forall(t => !toks(t).contains("crash")))
+      // the corpus-wide flag branch actually fires somewhere
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "blocklist flags a nonzero doc mass")
+  }
+
+  test("embedding_drift: algebra matches a driver-side exact recount per label") {
+    val rows = SparkEntry.queries("embedding_drift")(spark, dir).collect()
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+    val labels = vecs.map(_._1).distinct.sorted
+    // labels with both halves populated must all appear
+    assert(rows.map(_.getLong(0)).toList == labels.filter { l =>
+      vecs.exists(v => v._1 == l && v._2 % 2 == 0) &&
+        vecs.exists(v => v._1 == l && v._2 % 2 == 1)
+    }.toList)
+    rows.foreach { r =>
+      val (label, nA, nB, l1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val a = vecs.filter(v => v._1 == label && v._2 % 2 == 0).map(_._3)
+      val b = vecs.filter(v => v._1 == label && v._2 % 2 == 1).map(_._3)
+      assert(nA == a.length.toLong && nB == b.length.toLong)
+      def milli(x: Float): Long = math.round(x.toDouble * 1000)
+      val dims = a.head.indices
+      val num = dims.map { d =>
+        math.abs(a.map(v => milli(v(d))).sum * nB - b.map(v => milli(v(d))).sum * nA)
+      }.sum
+      assert(l1 == num / (nA * nB), s"label $label drift algebra")
+      assert(l1 >= 0)
+    }
+  }
+}
