@@ -16,6 +16,12 @@ import graft.functions.{SimF, TextF}
   *    NARROW projection against the (broadcastable) bit array. Hash
   *    positions are md5-derived on BOTH engines, so the filter — including
   *    its false positives — is bit-identical and the oracle stays exact.
+  *  - `bloom_fpr_audit` (r8): the filter's own certificate — measured
+  *    false-positive rate over exactly-non-member probes (ground truth by
+  *    anti-join) next to the fill-based theoretical rate, all exact
+  *    integer milli; build/probe spellings shared with `dedup_bloom`
+  *    (width-parameterized; the audited width is deliberately small so
+  *    the error branch measurably fires).
   *  - `text_script`: Unicode-script detection (Latin / Cyrillic / Han /
   *    Arabic / Greek codepoint ranges) — the multilingual-corpus routing
   *    step language-ID needs upstream; planted non-Latin suffixes prove
@@ -40,23 +46,24 @@ object Queries16 {
   private val BloomBits = 16384 // m
   private val BloomWords = BloomBits / 32 // 32-bit words stored in BIGINTs
   private val BloomSalts = Seq("b0:", "b1:", "b2:") // k = 3
+  private val AuditBits = 1024 // bloom_fpr_audit width: small enough to measurably false-positive
   private[queries] val BloomBoiler =
     "shared boilerplate page please subscribe to our newsletter"
 
   /** First 16 bits of md5(salt ++ fp) mod m — one Bloom position.
     * `conv(hex, 16, 10)` is the nibble-CASE cascade the DuckDB twin spells
     * out, folded to one call — same value, an 8x smaller plan. */
-  private def bloomPos(salt: String, fp: Column): Column =
+  private def bloomPos(salt: String, fp: Column, m: Int = BloomBits): Column =
     conv(substring(md5(concat(lit(salt), fp).cast("binary")), 1, 4), 16, 10)
-      .cast("int") % BloomBits
+      .cast("int") % m
 
   private def nibSql(x: String): String =
     s"(CASE WHEN ascii($x) <= 57 THEN ascii($x) - 48 ELSE ascii($x) - 87 END)"
 
-  private def bloomPosSql(salt: String, fp: String): String = {
+  private def bloomPosSql(salt: String, fp: String, m: Int = BloomBits): String = {
     val h = s"md5(concat('$salt', $fp))"
     s"((${nibSql(s"substr($h, 1, 1)")} * 4096 + ${nibSql(s"substr($h, 2, 1)")} * 256 + " +
-      s"${nibSql(s"substr($h, 3, 1)")} * 16 + ${nibSql(s"substr($h, 4, 1)")}) % $BloomBits)"
+      s"${nibSql(s"substr($h, 3, 1)")} * 16 + ${nibSql(s"substr($h, 4, 1)")}) % $m)"
   }
 
   /** Shipped docs / batch docs split + planted cross-side duplicates: the
@@ -117,6 +124,51 @@ object Queries16 {
       batch
         .select(col("doc_id"), hit.as("in_bloom"))
         .orderBy("doc_id")
+    },
+
+    "bloom_fpr_audit" -> { (sp, dir) =>
+      // the certificate for the Bloom gate (the quantile_sketch pattern:
+      // a sketch ships its own error measurement): probe a filter with the
+      // batch fps that are EXACTLY not members (ground truth by anti-join)
+      // and report the measured false-positive rate next to the fill-based
+      // theoretical one ((bits_set/m)^k, exact integral milli). Build and
+      // probe are the dedup_bloom spellings parameterized by width — the
+      // audited width is deliberately SMALL (1/16 of production) so the
+      // false-positive branch measurably fires: an audit of an all-zero
+      // error column certifies nothing. n/m sizing is exactly what this
+      // report exists to tune.
+      val am = AuditBits
+      val aw = am / 32
+      val docs = bloomDocs(sp, dir)
+      val shipped = graft.util.CacheScope.track(
+        docs.filter(col("doc_id") % 3 =!= 1).select("fp").distinct())
+      val wordRows = shipped
+        .select(explode(array(BloomSalts.map(s => bloomPos(s, col("fp"), am)): _*)).as("pos"))
+        .select((col("pos") / 32).cast("int").as("w"),
+          pow(lit(2.0), (col("pos") % 32).cast("double")).cast("long").as("bitv"))
+        .groupBy("w").agg(expr("bit_or(bitv)").as("bits"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bloom = (0 until aw).map(i => wordRows.getOrElse(i, 0L))
+      val bitsSet = bloom.map(w => java.lang.Long.bitCount(w).toLong).sum
+      val m = am.toLong
+      val fillFprMilli = bitsSet * bitsSet * bitsSet * 1000L / (m * m * m)
+      val posArr = array(BloomSalts.map(s => bloomPos(s, col("fp"), am)): _*)
+      val hit = forall(posArr, { pos =>
+        val word = element_at(typedLit(bloom), (pos / 32).cast("int") + 1)
+        val bitv = pow(lit(2.0), (pos % 32).cast("double")).cast("long")
+        ((word / bitv).cast("bigint") % 2) === 1
+      })
+      docs.filter(col("doc_id") % 3 === 1).select("fp").distinct()
+        .join(shipped, Seq("fp"), "left_anti")
+        .select(hit.as("hit"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("false_positives"))
+        .crossJoin(broadcast(shipped.agg(count(lit(1)).as("n_members"))))
+        .select(lit(m).as("m_bits"), lit(BloomSalts.size.toLong).as("k_hashes"),
+          col("n_members"), lit(bitsSet).as("bits_set"),
+          col("n_probes"), col("false_positives"),
+          expr("false_positives * 1000 div n_probes").as("fpr_milli"),
+          lit(fillFprMilli).as("fill_fpr_milli"))
     },
 
     "text_script" -> { (sp, dir) =>
@@ -234,6 +286,51 @@ object Queries16 {
          |)
          |SELECT doc_id, bool_and(hit) AS in_bloom
          |FROM probes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "bloom_fpr_audit" -> {
+      val fpSql = s"md5($normSql)"
+      val posList = BloomSalts.map(s => bloomPosSql(s, "fp", AuditBits)).mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 5 OR (doc_id % 3 = 1 AND doc_id % 7 = 2)
+         |         THEN '$BloomBoiler' ELSE text END AS text
+         |  FROM documents
+         |), fps AS (
+         |  SELECT doc_id, $fpSql AS fp FROM d
+         |), shipped AS (
+         |  SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 1
+         |), pos AS (
+         |  SELECT unnest($posList) AS pos FROM shipped
+         |), bloom AS (
+         |  SELECT pos // 32 AS w, bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS bits
+         |  FROM pos GROUP BY 1
+         |), bs AS (
+         |  SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set FROM bloom
+         |), nonmem AS (
+         |  SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 1
+         |    AND fp NOT IN (SELECT fp FROM shipped)
+         |), bpos AS (
+         |  SELECT fp, unnest($posList) AS pos FROM nonmem
+         |), probes AS (
+         |  SELECT fp,
+         |    coalesce((b.bits // CAST(pow(2, pos % 32) AS BIGINT)) % 2, 0) = 1 AS hit
+         |  FROM bpos LEFT JOIN bloom b ON b.w = pos // 32
+         |), perfp AS (
+         |  SELECT fp, bool_and(hit) AS all_hit FROM probes GROUP BY fp
+         |)
+         |SELECT CAST($AuditBits AS BIGINT) AS m_bits,
+         |  CAST(${BloomSalts.size} AS BIGINT) AS k_hashes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM shipped) AS n_members,
+         |  (SELECT bits_set FROM bs) AS bits_set,
+         |  CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN all_hit THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+         |  CAST(sum(CASE WHEN all_hit THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+         |    AS fpr_milli,
+         |  (SELECT CAST(bits_set * bits_set * bits_set * 1000
+         |     // (CAST($AuditBits AS BIGINT) * $AuditBits * $AuditBits) AS BIGINT)
+         |   FROM bs) AS fill_fpr_milli
+         |FROM perfp""".stripMargin
     },
 
     "text_script" -> {

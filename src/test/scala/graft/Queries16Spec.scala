@@ -84,4 +84,32 @@ class Queries16Spec extends SparkSpec {
     assert(near.forall(r => r._2 < 1000000L && r._2 > 950000L), "near-dup cos should be ~0.996")
     assert(out.count(!_._3) > 0, "unrelated vectors must not flag")
   }
+
+  test("bloom_fpr_audit: probes are exactly the non-members, both error branches fire, theory sane") {
+    val Array(r) = SparkEntry.queries("bloom_fpr_audit")(spark, dir).collect()
+    val (m, k, nMembers, bitsSet, nProbes, fps, fprMilli, fillMilli) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(m == 1024L && k == 3L)
+    // ground truth from the shared doc universe
+    val docs = graft.queries.Queries16.bloomDocsForSpec(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("fp")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val shipped = docs.filter(_._1 % 3 != 1).map(_._2).toSet
+    val batchNonMembers = docs.filter(_._1 % 3 == 1).map(_._2).toSet -- shipped
+    assert(nMembers == shipped.size.toLong)
+    assert(nProbes == batchNonMembers.size.toLong)
+    // the audited width is small enough that false positives actually occur,
+    // and the filter still never false-negatives (checked via dedup_bloom's
+    // own spec); measured rate must match its own columns
+    assert(fps > 0 && fps < nProbes, "both branches fire")
+    assert(fprMilli == fps * 1000 / nProbes)
+    // fill-based theory: (bits_set/m)^3 in milli, and the fill is consistent
+    assert(bitsSet > 0 && bitsSet <= m)
+    assert(fillMilli == bitsSet * bitsSet * bitsSet * 1000 / (m * m * m))
+    // measured within 3x of theory either way (same order of magnitude)
+    assert(fprMilli * 3 >= fillMilli && fillMilli * 3 >= fprMilli,
+      s"measured $fprMilli vs theory $fillMilli")
+  }
 }
