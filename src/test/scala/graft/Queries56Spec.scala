@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries56 oracle rows alone don't pin: the estimator
+  * algebra against materialized joins, and stickiness' identity with
+  * dau_rolling.
+  */
+class Queries56Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("join_size_estimate: exact_rows equals the materialized join count; skew case fires") {
+    val rows = SparkEntry.queries("join_size_estimate")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // materialize each audited join and count
+    val co = Tables.customer(spark, dir).join(Tables.orders(spark, dir),
+      col("c_custkey") === col("o_custkey")).count()
+    assert(rows("customer_orders").getLong(6) == co)
+    val ol = Tables.orders(spark, dir).join(Tables.lineitem(spark, dir),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(rows("orders_lineitem").getLong(6) == ol)
+    val pl = Tables.part(spark, dir).join(Tables.lineitem(spark, dir),
+      col("p_partkey") === col("l_partkey")).count()
+    assert(rows("part_lineitem").getLong(6) == pl)
+    val dd = Tables.documents(spark, dir).select(col("lang").as("l1"))
+      .join(Tables.documents(spark, dir).select(col("lang").as("l2")),
+        col("l1") === col("l2")).count()
+    assert(rows("documents_lang_self").getLong(6) == dd)
+    // estimator algebra + the skewed self-join visibly underestimates
+    rows.values.foreach { r =>
+      val (nl, nr, dl, dr, est, exact, err) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(est == nl * nr / math.max(dl, dr))
+      assert(err == exact * 1000 / est)
+    }
+    assert(rows("documents_lang_self").getLong(7) > 1050,
+      "the skewed low-NDV key must drift visibly above 1000 milli")
+  }
+
+  test("stickiness_ratio: rows are exactly dau_rolling's with the KPI column") {
+    val baseRows = SparkEntry.queries("dau_rolling")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val rows = SparkEntry.queries("stickiness_ratio")(spark, dir).collect()
+    assert(rows.length == baseRows.size)
+    rows.foreach { r =>
+      val (day, dau, mau, st) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(baseRows(day) == ((dau, mau)), s"day $day mirrors dau_rolling")
+      assert(st == dau * 1000 / mau && st >= 0 && st <= 1000)
+    }
+  }
+}
