@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries57 oracle rows alone don't pin: skipgram counts
+  * against an independent in-JVM fold and the card's cross-metric identities.
+  */
+class Queries57Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("skipgram_counts: an independent driver-side fold reproduces every reported pair") {
+    val rows = SparkEntry.queries("skipgram_counts")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty && rows.size <= 30)
+    val counts = scala.collection.mutable.Map[(String, Long), Long]()
+    Tables.documents(spark, dir).select("text").collect().foreach { r =>
+      val w = r.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      for (d <- 1 to 2; i <- 0 until w.length - d) {
+        val k = (s"${w(i)} ${w(i + d)}", d.toLong)
+        counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    rows.foreach { case (k, c) =>
+      assert(counts.getOrElse(k, -1L) == c, s"pair $k count")
+    }
+    // the report is the true top: every pair strictly above the reported
+    // minimum count must itself be reported
+    val minReported = rows.values.min
+    counts.filter(_._2 > minReported).keys.foreach { k =>
+      assert(rows.contains(k), s"unreported pair $k outcounts a reported one")
+    }
+    assert(counts.values.max == rows.values.max)
+  }
+
+  test("dataset_card: every metric matches a direct query; identities hold") {
+    val Array(r) = SparkEntry.queries("dataset_card")(spark, dir).collect()
+    val d = Tables.documents(spark, dir)
+    assert(r.getLong(0) == d.count())
+    assert(r.getLong(1) == d.select("source").distinct().count())
+    assert(r.getLong(2) == d.select("lang").distinct().count())
+    val toks = d.select(graft.functions.TextF.tokenCount(col("text")).cast("long").as("t"))
+      .collect().map(_.getLong(0))
+    assert(r.getLong(3) == toks.sum)
+    assert(r.getLong(4) == toks.sum * 1000 / toks.length)
+    assert(r.getLong(5) == toks.min && r.getLong(6) == toks.max)
+    val fps = d.select(graft.functions.TextF.docFingerprint(col("text"))).distinct().count()
+    assert(r.getLong(7) == fps)
+    assert(r.getLong(8) == (r.getLong(0) - fps) * 1000 / r.getLong(0))
+    // the card's dup rate agrees with dedup_exact's keeper universe
+    val keepers = SparkEntry.queries("dedup_keep_first")(spark, dir).count()
+    assert(fps == keepers, "distinct fingerprints == exact-dedup keepers")
+  }
+}
