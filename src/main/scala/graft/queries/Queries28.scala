@@ -269,7 +269,7 @@ object Queries28 {
 
   /** Rolling hash of an arbitrary SQL string expression — the DuckDB twin of
     * TextF.rollingHash (same base/mod as doc_rolling_hash's oracle). */
-  private def rollingHashSql(e: String): String =
+  private[queries] def rollingHashSql(e: String): String =
     s"""CASE WHEN length($e) = 0 THEN 0
        |     ELSE list_reduce(
        |       list_transform(range(1, length($e) + 1), i -> CAST(unicode(substr($e, i, 1)) AS BIGINT)),

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries58 oracle rows alone don't pin: the theta-sketch
+  * soundness argument (k smallest of sketch-union == k smallest of the true
+  * union; sketch membership == set membership below theta) verified against
+  * the full hash sets.
+  */
+class Queries58Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("audience_overlap_kmv: the sketch estimate equals the same estimator run on full sets") {
+    val rows = SparkEntry.queries("audience_overlap_kmv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // full hashed universe, grouped by type
+    val hashed = graft.queries.Queries28.kmvHashed(Tables.events(spark, dir))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = hashed.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val k = 32
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (byType(a), byType(b))
+      // exact columns against the full sets
+      assert(r.getLong(2) == (sa & sb).size.toLong, s"$a-$b exact_common")
+      assert(r.getLong(3) == (sa | sb).size.toLong, s"$a-$b exact_union")
+      assert(r.getLong(4) == (sa & sb).size.toLong * 1000 / (sa | sb).size)
+      // theta soundness: k smallest of (KMV(A) ∪ KMV(B)) == k smallest of A ∪ B
+      val kmvA = sa.toSeq.sorted.take(k).toSet
+      val kmvB = sb.toSeq.sorted.take(k).toSet
+      val unionKFromSketches = (kmvA | kmvB).toSeq.sorted.take(k)
+      val unionKTrue = (sa | sb).toSeq.sorted.take(k)
+      assert(unionKFromSketches == unionKTrue, s"$a-$b union sketch identity")
+      // matches: membership below theta is decidable from the sketches alone
+      val matches = unionKTrue.count(h => sa(h) && sb(h)).toLong
+      assert(r.getLong(5) == matches, s"$a-$b kmv_matches")
+      assert(r.getLong(5) == unionKTrue.count(h => kmvA(h) && kmvB(h)).toLong,
+        s"$a-$b sketch-only membership agrees")
+      assert(r.getLong(6) == unionKTrue.length.toLong)
+      assert(r.getLong(7) == matches * 1000 / unionKTrue.length)
+      assert(r.getLong(8) == r.getLong(7) - r.getLong(4))
+    }
+    // the audit certifies quality: mean |err| stays inside the k=32 noise band
+    val meanAbsErr = rows.map(r => math.abs(r.getLong(8))).sum / rows.length
+    assert(meanAbsErr <= 350, s"mean |err| $meanAbsErr out of the sketch's noise band")
+  }
+}
