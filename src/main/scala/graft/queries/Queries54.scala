@@ -35,11 +35,11 @@ object Queries54 {
   type Q = (SparkSession, String) => DataFrame
 
   private val DayUs = 86400000000L
-  private val CmsRows = 3
-  private val CmsWidth = 512
+  private[graft] val CmsRows = 3
+  private[graft] val CmsWidth = 512
   private val TopK = 20
 
-  private def bucket(j: Int, tok: Column): Column =
+  private[graft] def bucket(j: Int, tok: Column): Column =
     conv(substring(md5(concat(lit(s"cms$j:"), tok)), 1, 8), 16, 10)
       .cast("long") % CmsWidth
 

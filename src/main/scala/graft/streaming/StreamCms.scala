@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.functions.TextF
+import graft.queries.Queries54
+
+/** Streaming Count–Min sketch — the incremental twin of the batch
+  * `heavy_hitters_cms` build, via `mapGroupsWithState`.
+  *
+  * Counter sketches are the EASIEST mergeable state there is: cells combine
+  * by addition, so per-key state is ONE long and the whole sketch is bounded
+  * at d·w counters forever — no watermark, no eviction, no key-universe
+  * growth (the reason a token-frequency monitor over an unbounded stream
+  * keeps a CMS and not a token hash map: the token universe grows, d·w does
+  * not). Cell addressing is shared verbatim with the batch query
+  * ([[Queries54.bucket]], d = [[Queries54.CmsRows]], w =
+  * [[Queries54.CmsWidth]]); after any stream prefix the cell counts equal
+  * the batch build over the same prefix — StreamCmsSpec pins stream ==
+  * oracle-checked batch on the full corpus, probe estimates included.
+  */
+object StreamCms extends Serializable {
+
+  /** One cell emission: cumulative count for (row j, bucket). */
+  case class CmsCell(j: Int, bucket: Long, cnt: Long)
+
+  /** Sketch a stream with a `text` column. Update mode: each micro-batch
+    * emits every touched cell's current counter. */
+  def sketch(spark: SparkSession, docs: DataFrame): Dataset[CmsCell] = {
+    import spark.implicits._
+
+    def update(key: (Int, Long), rows: Iterator[(Int, Long, Long)],
+        state: GroupState[Long]): CmsCell = {
+      val total = state.getOption.getOrElse(0L) + rows.map(_._3).sum
+      state.update(total)
+      CmsCell(key._1, key._2, total)
+    }
+
+    docs
+      .select(explode(TextF.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(array((0 until Queries54.CmsRows).map(j =>
+        struct(lit(j).as("j"), Queries54.bucket(j, col("w")).as("bucket"))): _*)).as("cell"))
+      .select(col("cell.j").as("j"), col("cell.bucket").as("bucket"), lit(1L).as("one"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+}

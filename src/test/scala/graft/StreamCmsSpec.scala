@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for the Count–Min sketch: sf0.001 documents fed through
+  * StreamCms in three micro-batches converge cell-for-cell to the batch
+  * build, and probe estimates recomputed from the streamed cells reproduce
+  * the oracle-checked `heavy_hitters_cms` rows.
+  */
+class StreamCmsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed CMS cells converge to the batch sketch; probes reproduce the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val texts = Tables.documents(spark, dir)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(texts.length >= 100)
+
+    val mem = MemoryStream[String]
+    val sketched = graft.streaming.StreamCms.sketch(spark, mem.toDF().toDF("text"))
+    val q = sketched.writeStream.format("memory").queryName("scms")
+      .outputMode("update").start()
+    try {
+      texts.grouped((texts.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // final emission per cell = the max counter (counters are monotone)
+      val streamed = spark.sql("SELECT j, bucket, max(cnt) AS cnt FROM scms GROUP BY 1, 2")
+        .as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+
+      // batch cells via the same shared spelling
+      val batchCells = Tables.documents(spark, dir)
+        .select(explode(graft.functions.TextF.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .select(explode(array((0 until graft.queries.Queries54.CmsRows).map(j =>
+          struct(lit(j).as("j"),
+            graft.queries.Queries54.bucket(j, col("w")).as("bucket"))): _*)).as("cell"))
+        .groupBy(col("cell.j"), col("cell.bucket")).agg(count(lit(1)).as("c"))
+        .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+      assert(streamed == batchCells, "streamed cells == batch cells")
+      // state is bounded by d·w regardless of stream length
+      assert(streamed.size <= graft.queries.Queries54.CmsRows *
+        graft.queries.Queries54.CmsWidth)
+
+      // probing the STREAMED sketch reproduces the oracle-checked report
+      val report = SparkEntry.queries("heavy_hitters_cms")(spark, dir).collect()
+      report.foreach { r =>
+        val (tok, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val estFromStream = (0 until graft.queries.Queries54.CmsRows).map { j =>
+          val b = Tables.documents(spark, dir).sparkSession.range(1)
+            .select(graft.queries.Queries54.bucket(j, lit(tok)).as("b"))
+            .head().getLong(0)
+          streamed((j, b))
+        }.min
+        assert(estFromStream == est, s"token $tok: streamed estimate $estFromStream != $est")
+        assert(estFromStream >= exact)
+      }
+    } finally q.stop()
+  }
+}
