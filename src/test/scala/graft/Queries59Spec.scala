@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries59 oracle rows alone don't pin: the histogram
+  * percentile path against a direct sort, and burstiness' identity with
+  * vocab_count.
+  */
+class Queries59Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("repeat_purchase_intervals: histogram percentiles equal a direct driver-side sort") {
+    val Array(r) = SparkEntry.queries("repeat_purchase_intervals")(spark, dir).collect()
+    val gaps = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).values.flatMap { xs =>
+        val ts = xs.map(_._2).toSeq.sorted
+        ts.zip(ts.drop(1)).map { case (a, b) => (b - a) / 86400000000L }
+      }.toSeq.sorted
+    assert(gaps.nonEmpty)
+    assert(r.getLong(0) == gaps.length.toLong, "gap count")
+    def pick(p: Int) = gaps((p * (gaps.length - 1)) / 100)
+    assert(r.getLong(1) == pick(50), "p50")
+    assert(r.getLong(2) == pick(90), "p90")
+    assert(r.getLong(3) == gaps.max, "max")
+    assert(r.getLong(4) == gaps.sum * 1000 / gaps.length, "mean milli")
+  }
+
+  test("term_burstiness: rows mirror vocab_count exactly; bounds hold") {
+    val vocab = SparkEntry.queries("vocab_count")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = SparkEntry.queries("term_burstiness")(spark, dir).collect()
+    assert(rows.length == vocab.size)
+    rows.foreach { r =>
+      val (rank, word, cf, df, b) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(vocab(rank) == ((word, cf, df)), s"rank $rank mirrors vocab_count")
+      assert(b == cf * 1000 / df)
+      assert(b >= 1000, "cf >= df always: a term occurs at least once per containing doc")
+    }
+  }
+}
