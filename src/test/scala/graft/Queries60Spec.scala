@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries60 oracle rows alone don't pin: nearest-ness and
+  * tie direction against a brute-force recount, and step-latency algebra.
+  */
+class Queries60Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("asof_nearest: brute force over each user's clicks agrees on match, distance, direction") {
+    val rows = SparkEntry.queries("asof_nearest")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("user_id", "event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
+    var matched = 0
+    rows.foreach { r =>
+      val (eid, uid, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // brute force: clicks strictly ordered around this purchase by
+      // (ts, event_id) — the operator's frame boundaries
+      val clicks = clicksByUser.getOrElse(uid, Array.empty).map(c => (c._3, c._2))
+      val before = clicks.filter(c => c._1 < tp || (c._1 == tp && c._2 < eid)).map(_._1)
+      val after = clicks.filter(c => c._1 > tp || (c._1 == tp && c._2 > eid)).map(_._1)
+      val backD = before.sorted.lastOption.map(tp - _)
+      val fwdD = after.sorted.headOption.map(_ - tp)
+      val expect: Option[(Long, String)] = (backD, fwdD) match {
+        case (Some(b), Some(f)) if b <= hourUs && (f > hourUs || b <= f) => Some((-b, "back"))
+        case (_, Some(f)) if f <= hourUs => Some((f, "fwd"))
+        case (Some(b), _) if b <= hourUs => Some((-b, "back"))
+        case _ => None
+      }
+      if (r.isNullAt(5)) assert(expect.isEmpty, s"purchase $eid should have a match")
+      else {
+        assert(expect.isDefined, s"purchase $eid matched but brute force found none")
+        assert((r.getLong(4), r.getString(5)) == expect.get, s"purchase $eid match detail")
+        assert(math.abs(r.getLong(4)) <= hourUs)
+        matched += 1
+      }
+    }
+    assert(matched > 0 && matched < rows.length, "both matched and unmatched cases occur")
+    assert(rows.exists(r => !r.isNullAt(5) && r.getString(5) == "back") &&
+      rows.exists(r => !r.isNullAt(5) && r.getString(5) == "fwd"),
+      "both directions occur")
+  }
+
+  test("funnel_step_latency: per-user chain recomputed independently; percentiles from sort") {
+    val rows = SparkEntry.queries("funnel_step_latency")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("1_view_to_click", "2_click_to_purchase"))
+    val minUs = 60000000L
+    val byUser = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).groupBy(_._1)
+    val lats = byUser.values.flatMap { xs =>
+      val v = xs.filter(_._2 == "view").map(_._3)
+      if (v.isEmpty) None else {
+        val tv = v.min
+        val c = xs.filter(x => x._2 == "click" && x._3 > tv).map(_._3)
+        if (c.isEmpty) None else {
+          val tc = c.min
+          val b = xs.filter(x => x._2 == "purchase" && x._3 > tc).map(_._3)
+          if (b.isEmpty) None else Some(((tc - tv) / minUs, (b.min - tc) / minUs))
+        }
+      }
+    }.toSeq
+    assert(lats.nonEmpty)
+    def stats(xs: Seq[Long]) = {
+      val s = xs.sorted
+      (xs.length.toLong, s((50 * (s.length - 1)) / 100), s((90 * (s.length - 1)) / 100), s.max)
+    }
+    assert(rows("1_view_to_click") == stats(lats.map(_._1)))
+    assert(rows("2_click_to_purchase") == stats(lats.map(_._2)))
+  }
+}
