@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries61 oracle rows alone don't pin: provenance's
+  * consistency with the dedup operators it explains, and the coverage
+  * curve's monotonicity.
+  */
+class Queries61Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_provenance: dropped set complements the shipped corpora; keepers survive") {
+    val rows = SparkEntry.queries("dedup_provenance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val exactKeepers = SparkEntry.queries("dedup_keep_first")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minhashKeep = SparkEntry.queries("dedup_minhash_keep")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val all = Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // exact-dropped docs are exactly the complement of dedup_keep_first
+    val exactDropped = rows.filter(_._2 == "exact").map(_._1).toSet
+    assert(exactDropped == all -- exactKeepers, "exact tier == dedup_keep_first complement")
+    // every dropped doc is out of the near-dedup'd corpus too, except docs
+    // whose keeper itself fell to the other tier
+    rows.foreach { case (id, reason, keeper) =>
+      assert(keeper < id, s"keeper $keeper precedes dropped $id")
+      assert(reason == "exact" || reason == "near")
+      if (reason == "near") assert(!exactDropped.contains(id), "tiers are disjoint")
+    }
+    // near-dropped = cluster members minus their minimum, minus exact drops
+    val nearDropped = rows.filter(_._2 == "near").map(_._1).toSet
+    assert((nearDropped & minhashKeep).isEmpty || nearDropped.forall(id =>
+      !minhashKeep.contains(id) || exactDropped.contains(id)),
+      "near drops do not survive dedup_minhash_keep")
+    assert(nearDropped.nonEmpty, "the near tier fires on this corpus")
+  }
+
+  test("vocab_coverage_curve: monotone in k, bounded, and consistent with vocab_count") {
+    val rows = SparkEntry.queries("vocab_coverage_curve")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toList == List(8L, 16L, 32L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 <= b._3 && a._4 <= b._4, "coverage grows with k")
+        assert(a._2 == b._2, "vocab size constant")
+      case _ =>
+    }
+    rows.foreach { r => assert(r._4 >= 0 && r._4 <= 1000) }
+    // k=32 coverage equals the sum of vocab_count's top-32 counts
+    val vocabTop = SparkEntry.queries("vocab_count")(spark, dir)
+      .collect().map(_.getLong(2))
+    assert(rows.last._3 == vocabTop.sum, "k=32 mass == vocab_count top-32 mass")
+  }
+}
