@@ -65,7 +65,14 @@ object BenchScale {
     // round-8 continuation #4: the sweep's three shared-signature
     // self-joins, the PR curve's judged pair set, and the window funnel's
     // user-keyed chain joins
-    "minhash_band_sweep", "dedup_pr_curve", "funnel_window_levels")
+    "minhash_band_sweep", "dedup_pr_curve", "funnel_window_levels",
+    // round-8 continuation #5: the cell-keyed CMS build (shuffle capped at
+    // d·w per partition by design — must stay flat), the boundary sweep
+    // (window over calendar days, not orders), the provenance composition
+    // (fingerprint window + CC closure), and the nearest-event join's
+    // two-frame user window
+    "heavy_hitters_cms", "interval_concurrency", "dedup_provenance",
+    "asof_nearest")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries62 oracle rows alone don't pin: revenue-mass
+  * conservation across the new/returning split, and the interpolation
+  * replayed independently per user.
+  */
+class Queries62Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("new_vs_returning_revenue: classes partition the purchase mass; 'new' is one day per user") {
+    val rows = SparkEntry.queries("new_vs_returning_revenue")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.exists(_._2 == "new") && rows.exists(_._2 == "returning"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long")).collect().map(_.getLong(0))
+    assert(rows.map(_._3).sum == purchases.length.toLong, "purchase count conserves")
+    assert(rows.map(_._5).sum == purchases.sum, "revenue mass conserves")
+    // a user can be 'new' on at most one day: new-buyer rows count distinct
+    // users whose first day is that day — bounded by the user universe
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.filter(_._2 == "new").map(_._4).sum <= users)
+  }
+
+  test("interpolate_fill: a per-user driver replay reproduces every basis and value") {
+    val rows = SparkEntry.queries("interpolate_fill")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4))).toMap
+    val byUser = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .groupBy(_._2)
+    var interped = 0
+    byUser.values.foreach { xs =>
+      val ordered = xs.sortBy(x => (x._4, x._1))
+      ordered.zipWithIndex.foreach { case ((eid, _, tpe, t, v), i) =>
+        val prev = ordered.take(i).filter(_._3 == "purchase").lastOption
+          .map(p => (p._4, math.round(p._5 * 100)))
+        val next = ordered.drop(i + 1).filter(_._3 == "purchase").headOption
+          .map(p => (p._4, math.round(p._5 * 100)))
+        val own = if (tpe == "purchase") Some(math.round(v * 100)) else None
+        val expect: (Option[Long], String) = own match {
+          case Some(x) => (Some(x), "exact")
+          case None => (prev, next) match {
+            case (Some((t0, v0)), Some((t1, v1))) =>
+              val num = (v1 - v0) * (t - t0); val den = t1 - t0
+              val adj = if (num >= 0) num / den else -((-num) / den)
+              interped += 1
+              (Some(v0 + adj), "interp")
+            case (Some((_, v0)), None) => (Some(v0), "ffill")
+            case (None, Some((_, v1))) => (Some(v1), "bfill")
+            case _ => (None, "none")
+          }
+        }
+        assert(rows(eid) == ((tpe, expect._1, expect._2)), s"event $eid")
+      }
+    }
+    assert(interped > 0, "the interior-interpolation branch fires")
+    assert(Set("exact", "interp", "ffill", "bfill").subsetOf(
+      rows.values.map(_._3).toSet), "all fill bases occur")
+  }
+}
