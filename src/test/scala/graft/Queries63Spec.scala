@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries63 oracle rows alone don't pin: the planted
+  * repetition firing per source and the quantized-entropy algebra.
+  */
+class Queries63Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shingle_compression: planted repeats collapse their ratio; unplanted docs stay diverse") {
+    val rows = SparkEntry.queries("shingle_compression")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 >= r._4, "total >= distinct")
+      assert(r._5 >= 0 && r._5 <= 1000 && r._6 <= r._5, "ratio bounds; min <= mean")
+    }
+    // sources containing a planted doc (id % 17 == 4) must show a collapsed
+    // minimum; sources without one must not
+    val plantedSources = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 17 === 4).select("source")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(plantedSources.nonEmpty)
+    rows.foreach { r =>
+      if (plantedSources(r._1))
+        assert(r._6 < 500, s"${r._1}: planted repeat must collapse the min ratio (got ${r._6})")
+      else
+        assert(r._6 > 700, s"${r._1}: unplanted source should stay diverse (got ${r._6})")
+    }
+  }
+
+  test("behavior_diversity: quantized entropy recomputed independently; bounds hold") {
+    val rows = SparkEntry.queries("behavior_diversity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.events(spark, dir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.groupBy(_._2).map(_._2.length.toLong).toSeq
+      }
+    def l2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    rows.foreach { r =>
+      val (u, n, nt, eq, em) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val cs = counts(u)
+      assert(n == cs.sum && nt == cs.length.toLong)
+      val expect = cs.map(c => c * (l2(n) - l2(c))).sum
+      assert(eq == expect, s"user $u entropy")
+      assert(em == eq * 1000 / n && em >= 0)
+      // single-type users have zero quantized entropy
+      if (nt == 1) assert(eq == 0)
+    }
+    assert(rows.exists(_.getLong(3) > 0), "multi-type users carry positive entropy")
+  }
+}
