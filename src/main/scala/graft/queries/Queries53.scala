@@ -52,8 +52,12 @@ object Queries53 {
         // interval is meaningless for concurrency, so it's excluded rather
         // than swept as a −1 segment
         .filter(col("close_day") > col("start_day"))
-      val changes = perOrder.select(col("start_day").as("day"), lit(1L).as("d"))
-        .unionAll(perOrder.select(col("close_day").as("day"), lit(-1L).as("d")))
+      // both boundary rows from ONE per-order row (in-row explode — the
+      // union-of-two-selects spelling re-aggregates lineitem twice)
+      val changes = perOrder.select(explode(array(
+        struct(col("start_day").as("day"), lit(1L).as("d")),
+        struct(col("close_day").as("day"), lit(-1L).as("d")))).as("x"))
+        .select(col("x.day").as("day"), col("x.d").as("d"))
       // zero-delta sample point at every month's first day in the span
       val monthMarks = changes.agg(min("day").as("d0"), max("day").as("d1"))
         .select(explode(expr(

@@ -88,7 +88,12 @@ object DumpPlans {
     // round-8 continuation #4: the Expand-based cube, the running
     // IGNORE-NULLS fill, the CBO histogram's single rank window, and the
     // representative-collapsed cross-dataset stitch
-    "cube_report", "forward_fill", "equi_depth_hist", "segment_revenue")
+    "cube_report", "forward_fill", "equi_depth_hist", "segment_revenue",
+    // round-8 continuation batch
+    "heavy_hitters_cms", "interval_concurrency", "churn_hazard",
+    "audience_overlap_kmv", "join_size_estimate", "dedup_provenance",
+    "asof_nearest", "interpolate_fill", "bloom_fpr_audit", "skipgram_counts",
+    "shingle_compression")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
