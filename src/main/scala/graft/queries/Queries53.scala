@@ -52,14 +52,18 @@ object Queries53 {
         // interval is meaningless for concurrency, so it's excluded rather
         // than swept as a −1 segment
         .filter(col("close_day") > col("start_day"))
+      // the boundary explode AND the month-bounds aggregate both read the
+      // per-order table; pin it so the lineitem aggregation runs once
+      val perOrderC = graft.util.CacheScope.track(perOrder)
       // both boundary rows from ONE per-order row (in-row explode — the
       // union-of-two-selects spelling re-aggregates lineitem twice)
-      val changes = perOrder.select(explode(array(
+      val changes = perOrderC.select(explode(array(
         struct(col("start_day").as("day"), lit(1L).as("d")),
         struct(col("close_day").as("day"), lit(-1L).as("d")))).as("x"))
         .select(col("x.day").as("day"), col("x.d").as("d"))
       // zero-delta sample point at every month's first day in the span
-      val monthMarks = changes.agg(min("day").as("d0"), max("day").as("d1"))
+      val monthMarks = perOrderC
+        .agg(min("start_day").as("d0"), max("close_day").as("d1"))
         .select(explode(expr(
           """sequence(date_trunc('MONTH', date_add(DATE '1970-01-01', CAST(d0 AS INT))),
             |         date_trunc('MONTH', date_add(DATE '1970-01-01', CAST(d1 AS INT))),
