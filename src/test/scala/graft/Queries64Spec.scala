@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries64 oracle rows alone don't pin: SRM identity with
+  * ab_lift's arms, the seasonal index's mass identity, and the review
+  * sample's determinism + jaccard recount.
+  */
+class Queries64Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ab_srm_check: arm counts equal ab_lift's; chi2 algebra holds") {
+    val Array(r) = SparkEntry.queries("ab_srm_check")(spark, dir).collect()
+    val (na, nb, chi2, flag) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    val Array(ab) = SparkEntry.queries("ab_lift")(spark, dir).collect()
+    assert(na == ab.getLong(0) && nb == ab.getLong(1), "same arms as ab_lift")
+    assert(chi2 == (na - nb) * (na - nb) * 1000000L / (na + nb))
+    assert(flag == (chi2 > 3841459L))
+    // the deterministic hash split cannot be pathological on this universe
+    assert(na > 0 && nb > 0)
+  }
+
+  test("orders_seasonality: 12 months, revenue mass conserves, indices center on 1000") {
+    val rows = SparkEntry.queries("orders_seasonality")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toList == (1L to 12L).toList)
+    val totalRev = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long")).collect().map(_.getLong(0)).sum
+    assert(rows.map(_._3).sum == totalRev, "revenue mass conserves")
+    assert(rows.map(_._2).sum == Tables.orders(spark, dir).count())
+    // index is a normalized mean: its weighted average sits at ~1000
+    val idx = rows.map(_._4)
+    assert(idx.forall(i => i > 500 && i < 2000), s"indices sane: ${idx.toList}")
+  }
+
+  test("pair_review_sample: deterministic bottom-k of the candidate pairs; jaccard recounts") {
+    val rows = SparkEntry.queries("pair_review_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // re-running yields the identical sample (order-independent determinism)
+    val again = SparkEntry.queries("pair_review_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toList == again.toList)
+    // hashes arrive sorted and are the k smallest over the full pair set
+    assert(rows.map(_._1).toList == rows.map(_._1).sorted.toList)
+    val allPairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val allHashes = allPairs.map { case (a, b) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rev$a:$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.sorted
+    assert(rows.map(_._1).toList == allHashes.take(rows.length).toList,
+      "sample is exactly the bottom-k by hash")
+    // jaccard from raw text for one sampled pair
+    val (_, ia, ib, jm) = rows.head
+    def shingles(t: String) = {
+      val w = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val byId = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (sa, sb) = (shingles(byId(ia)), shingles(byId(ib)))
+    assert(jm == (sa & sb).size.toLong * 1000 / (sa | sb).size)
+  }
+}
