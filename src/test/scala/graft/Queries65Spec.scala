@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries65 oracle rows alone don't pin: the audit's
+  * pair-complete coverage and the movers' independent weekly recount.
+  */
+class Queries65Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cluster_purity_audit: every sub-cap cluster audited with exactly size-choose-2 pairs") {
+    val rows = SparkEntry.queries("cluster_purity_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // clusters from the production operator
+    val comp = graft.operators.ConnectedComponents.run(
+      SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySize = comp.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+    val expected = bySize.filter { case (_, n) => n >= 2 && n <= 16 }
+    assert(rows.map(_._1).toSet == expected.keySet, "audited set == sub-cap clusters")
+    rows.foreach { case (cid, size, nPairs, minJ, meanJ, chained) =>
+      assert(size == expected(cid).toLong)
+      assert(nPairs == size * (size - 1) / 2, s"cluster $cid pair-complete")
+      assert(minJ <= meanJ && meanJ <= 1000)
+      assert(chained == (minJ < 500))
+    }
+    // pure clusters exist on this corpus (near-dups are planted high-sim)
+    assert(rows.exists(!_._6), "some cluster is fully verified")
+  }
+
+  test("topk_movers: counts and ranks recomputed from the raw weekly table") {
+    val rows = SparkEntry.queries("topk_movers")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val weekUs = 7L * 86400000000L
+    val weekly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $weekUs").as("w"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wmax = weekly.map(_._2).max
+    def ranksAt(w: Long) = weekly.filter(_._2 == w)
+      .sortBy(x => (-x._3, x._1)).zipWithIndex
+      .map { case ((t, _, c), i) => t -> (c, i + 1L) }.toMap
+    val (curR, prevR) = (ranksAt(wmax), ranksAt(wmax - 1))
+    rows.foreach { case (t, cw, cc, pc, chg, rc, rp, rd) =>
+      assert(cw == wmax)
+      assert((cc, rc) == curR(t) && (pc, rp) == prevR(t))
+      val expectChg = if (cc >= pc) (cc - pc) * 1000 / pc else -((pc - cc) * 1000 / pc)
+      assert(chg == expectChg)
+      assert(rd == rp - rc)
+    }
+    assert(rows.map(_._1).toSet == (curR.keySet & prevR.keySet))
+  }
+}
