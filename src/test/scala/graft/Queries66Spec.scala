@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries66 oracle rows alone don't pin: the scorecard's
+  * identities with the operators it summarizes, and dwell-time mass.
+  */
+class Queries66Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("source_scorecard: column sums equal the production relations' counts") {
+    val rows = SparkEntry.queries("source_scorecard")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == Tables.documents(spark, dir).count())
+    assert(rows.map(_._3).sum == SparkEntry.queries("corpus_filter")(spark, dir).count(),
+      "gated mass == corpus_filter universe")
+    val keepers = SparkEntry.queries("dedup_keep_first")(spark, dir).count()
+    assert(rows.map(_._5).sum == rows.map(_._2).sum - keepers,
+      "dup mass == complement of dedup_keep_first")
+    rows.foreach { r =>
+      assert(r._4 == r._3 * 1000 / r._2 && r._6 == r._5 * 1000 / r._2)
+      assert(r._3 <= r._2 && r._5 < r._2)
+    }
+    assert(rows.map(_._7).sum > 0, "the contamination column fires")
+  }
+
+  test("scd2_dwell: closed+open interval mass equals the dimension; dwell recounts") {
+    val rows = SparkEntry.queries("scd2_dwell")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val dim = SparkEntry.queries("scd2_dim")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.map(r => r._2 + r._5).sum == dim.length.toLong, "interval mass conserves")
+    rows.foreach { case (tier, nClosed, tot, mean, nOpen) =>
+      val closed = dim.filter(d => d._1 == tier && d._3.isDefined)
+      assert(nClosed == closed.length.toLong)
+      val expTot = closed.map(d => (d._3.get - d._2) / 86400000000L).sum
+      assert(tot == expTot, s"tier $tier dwell mass")
+      assert(mean == (if (nClosed > 0) tot * 1000 / nClosed else 0L))
+      assert(nOpen == dim.count(d => d._1 == tier && d._3.isEmpty).toLong)
+    }
+  }
+}
