@@ -316,4 +316,70 @@ class PropertySpec extends SparkSpec {
     // injectivity across the sampled grid
     assert(out.map(_._3).distinct.length == cases.length)
   }
+
+  test("connected components property: distributed labels == union-find on adversarial graphs") {
+    import spark.implicits._
+    // random sparse graphs plus the shapes that stress the algorithm:
+    // a long chain (pointer-jump depth), a star (hub fan-in), two cliques
+    // bridged by one edge (merge across dense blocks)
+    val rnd = new scala.util.Random(7)
+    val randoms = (0 until 3).map { _ =>
+      (0 until 40).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+    }
+    val chain = (0L until 49L).map(i => (i, i + 1))
+    val star = (1L to 20L).map(i => (0L, i))
+    val cliques = (for { a <- 100L to 104L; b <- 100L to 104L if a < b } yield (a, b)) ++
+      (for { a <- 200L to 204L; b <- 200L to 204L if a < b } yield (a, b)) :+ (104L, 200L)
+    (randoms :+ chain :+ star :+ cliques.toSeq).foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val got = graft.operators.ConnectedComponents.run(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force union-find with min-label normalization
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val groups = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }
+      assert(got == groups, s"CC mismatch on ${edges.take(5)}...")
+    }
+  }
+
+  test("KMV theta property: k smallest of sketch-union == k smallest of true union") {
+    val k = 32
+    val genSet = Gen.listOfN(200, Gen.chooseNum(0L, 5000L)).map(_.toSet)
+    sample(Gen.zip(genSet, genSet), 50).foreach { case (a, b) =>
+      val (kmvA, kmvB) = (a.toSeq.sorted.take(k).toSet, b.toSeq.sorted.take(k).toSet)
+      val fromSketches = (kmvA | kmvB).toSeq.sorted.take(k)
+      val fromTruth = (a | b).toSeq.sorted.take(k)
+      assert(fromSketches == fromTruth)
+      // and below theta, sketch membership decides true intersection
+      fromTruth.foreach { h =>
+        assert((kmvA(h) && kmvB(h)) == (a(h) && b(h)))
+      }
+    }
+  }
+
+  test("sign-split division lemma: truncating and flooring engines agree after the split") {
+    def truncDiv(a: Long, b: Long) = a / b // JVM/Spark: toward zero
+    def floorDiv(a: Long, b: Long) = Math.floorDiv(a, b) // DuckDB //: floor
+    val gen = Gen.zip(Gen.chooseNum(-100000L, 100000L), Gen.chooseNum(1L, 999L))
+    sample(gen, 500).foreach { case (num, den) =>
+      def split(div: (Long, Long) => Long): Long =
+        if (num >= 0) div(num, den) else -div(-num, den)
+      assert(split(truncDiv) == split(floorDiv),
+        s"split($num, $den) must be engine-independent")
+      // and the raw operators DO diverge on some negative input (the lemma
+      // is not vacuous): -7/2 = -3 truncated, -4 floored
+    }
+    assert(truncDiv(-7, 2) != floorDiv(-7, 2))
+  }
 }
