@@ -43,9 +43,9 @@ object Queries16 {
   type Q = (SparkSession, String) => DataFrame
 
   // ---- dedup_bloom constants (shared verbatim with the SQL twin) --------
-  private val BloomBits = 16384 // m
-  private val BloomWords = BloomBits / 32 // 32-bit words stored in BIGINTs
-  private val BloomSalts = Seq("b0:", "b1:", "b2:") // k = 3
+  private[graft] val BloomBits = 16384 // m
+  private[graft] val BloomWords = BloomBits / 32 // 32-bit words stored in BIGINTs
+  private[graft] val BloomSalts = Seq("b0:", "b1:", "b2:") // k = 3
   private val AuditBits = 1024 // bloom_fpr_audit width: small enough to measurably false-positive
   private[queries] val BloomBoiler =
     "shared boilerplate page please subscribe to our newsletter"
@@ -53,7 +53,7 @@ object Queries16 {
   /** First 16 bits of md5(salt ++ fp) mod m — one Bloom position.
     * `conv(hex, 16, 10)` is the nibble-CASE cascade the DuckDB twin spells
     * out, folded to one call — same value, an 8x smaller plan. */
-  private def bloomPos(salt: String, fp: Column, m: Int = BloomBits): Column =
+  private[graft] def bloomPos(salt: String, fp: Column, m: Int = BloomBits): Column =
     conv(substring(md5(concat(lit(salt), fp).cast("binary")), 1, 4), 16, 10)
       .cast("int") % m
 

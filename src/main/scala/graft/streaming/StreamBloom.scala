@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.queries.Queries16
+
+/** Streaming Bloom-filter maintenance — the incremental twin of
+  * `dedup_bloom`'s batch build, SHARDED for parallel state.
+  *
+  * Bit arrays OR-merge, so the filter maintains incrementally with no
+  * rebuild: each micro-batch ORs its fingerprints' position bits into the
+  * shard's array. Sharding is by the fingerprint's first hex nibble — 16
+  * independent sub-filters that update in parallel (one monolithic filter
+  * would serialize every batch through one state key), each a fixed
+  * m/8-byte array forever. Because the batch filter's bits are just the OR
+  * over ALL fingerprints' positions, the OR of the 16 shard arrays is
+  * BIT-IDENTICAL to the batch build — the merge identity StreamBloomSpec
+  * pins, probe results included. Position hashing is
+  * [[Queries16.bloomPos]] verbatim; the reference's streaming enricher
+  * keeps exactly this kind of resident structure per worker.
+  */
+object StreamBloom extends Serializable {
+
+  /** One shard emission: the shard's current words (little-endian 32-bit
+    * words in BIGINTs, index = position div 32 within the FULL m-bit
+    * address space — shards own disjoint position subsets only by their
+    * input split, not by address range). */
+  case class BloomShard(shard: Int, n_positions: Long, words: Map[Int, Long])
+
+  def sketch(spark: SparkSession, fps: DataFrame): Dataset[BloomShard] = {
+    import spark.implicits._
+
+    def update(key: Int, rows: Iterator[(Int, Int, Long)],
+        state: GroupState[(Map[Int, Long], Long)]): BloomShard = {
+      val (words0, n0) = state.getOption.getOrElse((Map.empty[Int, Long], 0L))
+      var words = words0
+      var n = n0
+      rows.foreach { case (_, w, bitv) =>
+        words = words.updated(w, words.getOrElse(w, 0L) | bitv)
+        n += 1
+      }
+      state.update((words, n))
+      BloomShard(key, n, words)
+    }
+
+    fps
+      .select(col("fp"),
+        conv(substring(col("fp"), 1, 1), 16, 10).cast("int").as("shard"),
+        explode(array(Queries16.BloomSalts.map(s =>
+          Queries16.bloomPos(s, col("fp"))): _*)).as("pos"))
+      .select(col("shard"), (col("pos") / 32).cast("int").as("w"),
+        pow(lit(2.0), (col("pos") % 32).cast("double")).cast("long").as("bitv"))
+      .as[(Int, Int, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+}
