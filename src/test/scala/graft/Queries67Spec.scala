@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries67 oracle rows alone don't pin: the corruption
+  * pair rebuilt independently from raw text, and packing-fill identities.
+  */
+class Queries67Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("span_corruption: an independent driver-side rebuild reproduces both md5s") {
+    val rows = SparkEntry.queries("span_corruption")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(rows.nonEmpty)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var maskedSomewhere = false
+    Tables.documents(spark, dir).select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val w = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      if (w.length >= 10) {
+        val nblocks = (w.length + 2) / 3
+        def maskedB(b: Int): Boolean = {
+          val h = md5hex(s"sc$id:$b").take(4)
+          java.lang.Long.parseLong(h, 16) % 5 == 0
+        }
+        val masked = (0 until nblocks).filter(maskedB)
+        val input = (0 until nblocks).map { b =>
+          if (masked.contains(b)) s"<extra_id_$b>"
+          else w.slice(b * 3, b * 3 + 3).mkString(" ")
+        }.mkString(" ")
+        val target = masked.map(b =>
+          s"<extra_id_$b> " + w.slice(b * 3, b * 3 + 3).mkString(" ")).mkString(" ")
+        val got = rows(id)
+        assert(got == ((w.length.toLong, nblocks.toLong, masked.length.toLong,
+          md5hex(input), md5hex(target))), s"doc $id pair rebuild")
+        if (masked.nonEmpty) maskedSomewhere = true
+      } else assert(!rows.contains(id), s"short doc $id excluded")
+    }
+    assert(maskedSomewhere, "the masking branch fires")
+  }
+
+  test("packing_efficiency: fill identities against the packing relation") {
+    val rows = SparkEntry.queries("packing_efficiency")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val packed = SparkEntry.queries("token_packing")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2))) // (source, bin, n_tokens)
+    val bySource = packed.groupBy(_._1)
+    rows.foreach { case (src, nBins, nClosed, fillMilli, nUnder) =>
+      val bins = bySource(src).groupBy(_._2).map { case (b, xs) => b -> xs.map(_._3).sum }
+      val open = bins.keys.max
+      val closed = bins.filter(_._1 != open)
+      assert(nBins == bins.size.toLong && nClosed == closed.size.toLong)
+      if (closed.nonEmpty) {
+        assert(fillMilli == closed.values.sum * 1000 / (closed.size * 2048L))
+        // a closed bin always holds at least the budget minus one doc's
+        // tokens; with 30-60-token docs the fill rate must be high
+        assert(fillMilli > 900, s"$src fill rate $fillMilli")
+        assert(nUnder == closed.values.count(_ * 10 < 2048 * 9).toLong)
+      } else assert(fillMilli == 0L)
+    }
+  }
+}
