@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries68 oracle rows alone don't pin: erasure counts
+  * against direct per-table queries, and the two-phase prefix max against
+  * a driver-side naive sweep.
+  */
+class Queries68Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("erasure_impact: every column matches a direct cohort-filtered count") {
+    val Array(r) = SparkEntry.queries("erasure_impact")(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+    val cohort = col("user_id") % 37 === 0
+    assert(r.getLong(0) == ev.filter(cohort).select("user_id").distinct().count())
+    assert(r.getLong(1) == ev.filter(cohort).count())
+    assert(r.getLong(2) == ev.filter(cohort && col("event_type") === "purchase").count())
+    val rev = ev.filter(cohort && col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long")).collect().map(_.getLong(0)).sum
+    assert(r.getLong(3) == rev)
+    assert(r.getLong(4) == SparkEntry.queries("sessionize")(spark, dir)
+      .filter(cohort).count())
+    assert(r.getLong(5) == SparkEntry.queries("scd2_dim")(spark, dir)
+      .filter(cohort).count())
+    assert(r.getLong(0) > 0 && r.getLong(4) > 0, "the cohort is non-trivial")
+  }
+
+  test("watermark_planner: two-phase prefix max == a naive driver sweep") {
+    val Array(r) = SparkEntry.queries("watermark_planner")(spark, dir).collect()
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, dir).select("event_id", "ts_us").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy { case (id, _) => (md5hex(s"arr$id"), id) }
+    var runMax = Long.MinValue
+    val lates = scala.collection.mutable.ArrayBuffer[Long]()
+    ev.foreach { case (_, ts) =>
+      if (runMax != Long.MinValue)
+        lates += math.max(0L, (runMax - ts) / 60000000L)
+      runMax = math.max(runMax, ts)
+    }
+    val s = lates.sorted.toIndexedSeq
+    assert(r.getLong(0) == s.length.toLong)
+    def pick(p: Int) = s((p * (s.length - 1)) / 100)
+    assert(r.getLong(1) == pick(50) && r.getLong(2) == pick(95) && r.getLong(3) == pick(99))
+    assert(r.getLong(4) == s.max)
+    assert(r.getLong(5) == s.count(_ >= 60).toLong * 1000 / s.length)
+    assert(r.getLong(6) == r.getLong(3), "suggested watermark = p99")
+    // the profile is non-degenerate: real out-of-orderness exists
+    assert(s.max > 0, "the synth stream is genuinely out of order")
+  }
+}
