@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries69 oracle rows alone don't pin: the drift algebra
+  * against independently-sorted weeks, and the diff folds against a plain
+  * Scala LCP/LCS model.
+  */
+class Queries69Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quantile_drift: percentiles recomputed by direct sort; flags consistent") {
+    val rows = SparkEntry.queries("quantile_drift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    assert(rows.nonEmpty)
+    val weekUs = 7L * 86400000000L
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"ts_us div $weekUs").as("w"),
+        round(col("value") * 100).cast("long").as("c"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def pct(tpe: String, w: Long, p: Int): Long = {
+      val s = base.filter(x => x._1 == tpe && x._2 == w).sortBy(x => (x._3, x._4))
+      s((p * (s.length - 1)) / 100)._3
+    }
+    rows.foreach { case (t, w, n, p50, pp50, chg, p95, pp95, flag) =>
+      assert(n == base.count(x => x._1 == t && x._2 == w).toLong)
+      assert(p50 == pct(t, w, 50) && pp50 == pct(t, w - 1, 50))
+      assert(p95 == pct(t, w, 95) && pp95 == pct(t, w - 1, 95))
+      val expectChg = if (p50 >= pp50) (p50 - pp50) * 1000 / pp50
+        else -((pp50 - p50) * 1000 / pp50)
+      assert(chg == expectChg)
+      assert(flag == (p50 * 10 > pp50 * 11 || p50 * 10 < pp50 * 9))
+    }
+  }
+
+  test("pair_diff_summary: folds equal a plain-Scala LCP/LCS model over the sampled pairs") {
+    val rows = SparkEntry.queries("pair_diff_summary")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty).toSeq).toMap
+    // rows must be exactly the review sample's pairs
+    val sample = SparkEntry.queries("pair_review_sample")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == sample)
+    rows.foreach { case (a, b, la, lb, lcp, lcs, ca, cb) =>
+      val (wa, wb) = (toks(a), toks(b))
+      assert(la == wa.length.toLong && lb == wb.length.toLong)
+      val expLcp = wa.zip(wb).takeWhile { case (x, y) => x == y }.length.toLong
+      val expLcs = wa.reverse.zip(wb.reverse).takeWhile { case (x, y) => x == y }.length.toLong
+      assert(lcp == expLcp, s"pair ($a,$b) lcp")
+      assert(lcs == expLcs, s"pair ($a,$b) lcs")
+      assert(ca == math.max(0L, la - lcp - lcs) && cb == math.max(0L, lb - lcp - lcs))
+    }
+    // near-dups share real structure: some pair has a nonzero common affix
+    assert(rows.exists(r => r._5 > 0 || r._6 > 0))
+  }
+}
