@@ -110,7 +110,7 @@ object Queries25 {
   /** Oracle CTE chain shared by pagerank_dupgraph and dedup_keep_central:
     * symmetric edges + degrees off the MinHash `pairs` CTE, then r0..rN
     * unrolled. Exposes `prresult(id, r)`. */
-  private def pagerankCtesSql: String = {
+  private[queries] def pagerankCtesSql: String = {
     val iters = (1 to PrIters).map { i =>
       s"""r$i AS (
          |  SELECT e.dst AS id,

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-8 continuation #42 — dedup policy migration and freshness SLA:
+  *
+  *  - `keeper_policy_diff`: the shadow-mode report for changing a dedup
+  *    KEEPER RULE — per near-dup cluster the three production policies'
+  *    choices (min-id / longest / highest-PageRank, the exact orderings
+  *    dedup_minhash_keep / dedup_keep_longest / dedup_keep_central use,
+  *    identity spec'd against all three) and per policy pair the cluster
+  *    agreement rate: the number a migration review needs BEFORE swapping
+  *    rules, because every disagreement is a shipped-corpus delta. ONE
+  *    shared pair/closure/ranks computation feeds all three rules.
+  *  - `data_freshness`: the staleness SLA report — minutes since each
+  *    event type's latest event at the corpus watermark (max ts), flagged
+  *    beyond 24 h; one tiny aggregate, the ops check every ingest
+  *    dashboard renders first.
+  */
+object Queries70 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val FreshSlaMin = 1440L
+
+  val defs: Map[String, Q] = Map(
+    "keeper_policy_diff" -> { (sp, dir) =>
+      val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
+      pairs.count()
+      val comp = graft.operators.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val members = comp.select(col("id").as("doc_id"), col("comp"))
+        .join(Tables.documents(sp, dir)
+          .select(col("doc_id"), length(col("text")).cast("bigint").as("text_len")),
+          Seq("doc_id"))
+        .join(Queries25.pagerankRanks(sp, dir), Seq("doc_id"))
+      def keeperBy(name: String, order: Seq[org.apache.spark.sql.Column]) = {
+        val w = Window.partitionBy("comp").orderBy(order: _*)
+        members.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("comp"), col("doc_id").as(name))
+      }
+      val picks = keeperBy("k_min", Seq(col("doc_id")))
+        .join(keeperBy("k_long", Seq(col("text_len").desc, col("doc_id"))), Seq("comp"))
+        .join(keeperBy("k_central", Seq(col("rank_micro").desc, col("doc_id"))), Seq("comp"))
+      def pairRow(nm: String, a: String, b: String) =
+        picks.agg(count(lit(1)).as("n_clusters"),
+          sum(when(col(a) === col(b), 1L).otherwise(0L)).as("n_agree"))
+          .select(lit(nm).as("policy_pair"), col("n_clusters"), col("n_agree"),
+            expr("n_agree * 1000 div n_clusters").as("agree_milli"))
+      pairRow("min_vs_longest", "k_min", "k_long")
+        .unionAll(pairRow("min_vs_central", "k_min", "k_central"))
+        .unionAll(pairRow("longest_vs_central", "k_long", "k_central"))
+        .orderBy("policy_pair")
+    },
+
+    "data_freshness" -> { (sp, dir) =>
+      val ev = Tables.events(sp, dir)
+      val wm = ev.agg(max("ts_us").as("watermark_us"))
+      ev.groupBy("event_type").agg(max("ts_us").as("last_us"),
+        count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(wm))
+        .select(col("event_type"), col("n_events"),
+          expr("(watermark_us - last_us) div 60000000").as("staleness_min"),
+          (expr("(watermark_us - last_us) div 60000000") > FreshSlaMin).as("stale_flag"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "keeper_policy_diff" ->
+      s"""WITH RECURSIVE ${Queries6.MinhashPairsCteSql},
+         |${Queries25.pagerankCtesSql},
+         |ccedges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach(id, rt) AS (
+         |  SELECT s, s FROM ccedges
+         |  UNION
+         |  SELECT e.s, reach.rt FROM ccedges e JOIN reach ON e.d = reach.id
+         |),
+         |labels AS (SELECT id, min(rt) AS comp FROM reach GROUP BY id),
+         |members AS (
+         |  SELECT l.id AS doc_id, l.comp, length(d.text) AS text_len, pr.r
+         |  FROM labels l JOIN documents d ON d.doc_id = l.id
+         |  JOIN prresult pr ON pr.id = l.id
+         |),
+         |picks AS (
+         |  SELECT comp,
+         |    min(doc_id) AS k_min,
+         |    (SELECT m2.doc_id FROM members m2 WHERE m2.comp = m.comp
+         |     ORDER BY m2.text_len DESC, m2.doc_id LIMIT 1) AS k_long,
+         |    (SELECT m3.doc_id FROM members m3 WHERE m3.comp = m.comp
+         |     ORDER BY m3.r DESC, m3.doc_id LIMIT 1) AS k_central
+         |  FROM members m GROUP BY comp
+         |)
+         |SELECT 'longest_vs_central' AS policy_pair,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN k_long = k_central THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(sum(CASE WHEN k_long = k_central THEN 1 ELSE 0 END) * 1000
+         |    // count(*) AS BIGINT) AS agree_milli
+         |FROM picks
+         |UNION ALL
+         |SELECT 'min_vs_central', CAST(count(*) AS BIGINT),
+         |  CAST(sum(CASE WHEN k_min = k_central THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(sum(CASE WHEN k_min = k_central THEN 1 ELSE 0 END) * 1000
+         |    // count(*) AS BIGINT)
+         |FROM picks
+         |UNION ALL
+         |SELECT 'min_vs_longest', CAST(count(*) AS BIGINT),
+         |  CAST(sum(CASE WHEN k_min = k_long THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(sum(CASE WHEN k_min = k_long THEN 1 ELSE 0 END) * 1000
+         |    // count(*) AS BIGINT)
+         |FROM picks
+         |ORDER BY policy_pair""".stripMargin,
+
+    "data_freshness" ->
+      s"""WITH wm AS (SELECT max(epoch_us(ts)) AS watermark_us FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST((w.watermark_us - max(epoch_us(ts))) // 60000000 AS BIGINT)
+         |    AS staleness_min,
+         |  (w.watermark_us - max(epoch_us(ts))) // 60000000 > $FreshSlaMin AS stale_flag
+         |FROM events, wm w
+         |GROUP BY event_type, w.watermark_us ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries70 oracle rows alone don't pin: the diff's picks
+  * are exactly the three production keeper queries' choices, and freshness
+  * against a direct recount.
+  */
+class Queries70Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("keeper_policy_diff: agreement counts recomputed from the production keeper queries") {
+    val rows = SparkEntry.queries("keeper_policy_diff")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("min_vs_longest", "min_vs_central", "longest_vs_central"))
+    // production choices, keyed by cluster label
+    val comp = graft.operators.ConnectedComponents.run(
+      SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val minPick = comp.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).min }
+    val longPick = SparkEntry.queries("dedup_keep_longest")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centPick = SparkEntry.queries("dedup_keep_central")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = minPick.keySet
+    assert(clusters == longPick.keySet && clusters == centPick.keySet)
+    def agree(a: Map[Long, Long], b: Map[Long, Long]) =
+      clusters.count(c => a(c) == b(c)).toLong
+    val n = clusters.size.toLong
+    assert(rows("min_vs_longest") == ((n, agree(minPick.toMap, longPick),
+      agree(minPick.toMap, longPick) * 1000 / n)))
+    assert(rows("min_vs_central") == ((n, agree(minPick.toMap, centPick),
+      agree(minPick.toMap, centPick) * 1000 / n)))
+    assert(rows("longest_vs_central") == ((n, agree(longPick, centPick),
+      agree(longPick, centPick) * 1000 / n)))
+    // the report is non-degenerate: at least one pair disagrees somewhere
+    assert(rows.values.exists(v => v._2 < v._1), "some policy swap changes the corpus")
+  }
+
+  test("data_freshness: staleness recomputed; the freshest type is zero minutes behind") {
+    val rows = SparkEntry.queries("data_freshness")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val ev = Tables.events(spark, dir)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val wm = ev.map(_._2).max
+    assert(rows.map(_._1).toSet == ev.map(_._1).distinct.toSet)
+    rows.foreach { case (t, n, st, flag) =>
+      val ts = ev.filter(_._1 == t)
+      assert(n == ts.length.toLong)
+      assert(st == (wm - ts.map(_._2).max) / 60000000L)
+      assert(flag == (st > 1440L))
+    }
+    assert(rows.exists(_._3 == 0L), "the watermark-defining type is fresh")
+  }
+}
