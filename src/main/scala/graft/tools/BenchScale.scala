@@ -72,7 +72,11 @@ object BenchScale {
     // (fingerprint window + CC closure), and the nearest-event join's
     // two-frame user window
     "heavy_hitters_cms", "interval_concurrency", "dedup_provenance",
-    "asof_nearest")
+    "asof_nearest",
+    // round-8 continuation #6: the three-policy keeper diff (one shared
+    // pair/closure/ranks pass — fixed iterative cost must dominate) and
+    // the chunked two-phase prefix max (flat by construction)
+    "keeper_policy_diff", "watermark_planner")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -93,7 +93,8 @@ object DumpPlans {
     "heavy_hitters_cms", "interval_concurrency", "churn_hazard",
     "audience_overlap_kmv", "join_size_estimate", "dedup_provenance",
     "asof_nearest", "interpolate_fill", "bloom_fpr_audit", "skipgram_counts",
-    "shingle_compression")
+    "shingle_compression", "keeper_policy_diff", "watermark_planner",
+    "span_corruption", "source_scorecard")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
