@@ -28,15 +28,19 @@ object Queries70 {
 
   val defs: Map[String, Q] = Map(
     "keeper_policy_diff" -> { (sp, dir) =>
+      // dedup_keep_central's one-edge-cache discipline: a single pair
+      // materialization feeds the symmetric edges, and ONE edge cache feeds
+      // both the component labels and the PageRank iterations (the naive
+      // composition would band-join the corpus twice)
       val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
       pairs.count()
-      val comp = graft.operators.ConnectedComponents.run(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val edges = graft.util.CacheScope.track(Queries25.symEdges(pairs))
+      val comp = graft.operators.ConnectedComponents.runSymmetrized(edges)
       val members = comp.select(col("id").as("doc_id"), col("comp"))
         .join(Tables.documents(sp, dir)
           .select(col("doc_id"), length(col("text")).cast("bigint").as("text_len")),
           Seq("doc_id"))
-        .join(Queries25.pagerankRanks(sp, dir), Seq("doc_id"))
+        .join(Queries25.pagerankFromSym(edges), Seq("doc_id"))
       def keeperBy(name: String, order: Seq[org.apache.spark.sql.Column]) = {
         val w = Window.partitionBy("comp").orderBy(order: _*)
         members.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)

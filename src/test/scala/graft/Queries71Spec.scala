@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries71 oracle rows alone don't pin: drill-down share
+  * algebra against raw counts, and the planted shard structure.
+  */
+class Queries71Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("anomaly_drilldown: three loudest days per type; top actor recounted from raw events") {
+    val rows = SparkEntry.queries("anomaly_drilldown")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9)))
+    val types = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(rows.length == types.toInt * 3, "3 loudest days per type")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("d"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (t, day, cnt, ratio, alert, nActors, topA, topE, share, single) =>
+      val cell = ev.filter(x => x._1 == t && x._2 == day)
+      assert(cnt == cell.length.toLong)
+      val byUser = cell.groupBy(_._3).map { case (u, xs) => (u, xs.length.toLong) }
+      assert(nActors == byUser.size.toLong)
+      val best = byUser.toSeq.sortBy(x => (-x._2, x._1)).head
+      assert((topA, topE) == best, s"$t/$day top actor")
+      assert(share == topE * 1000 / cnt)
+      assert(single == (topE * 2 > cnt))
+      assert(ratio >= 1000, "loudest days sit at or above the median")
+      // sf0.001 genuinely crosses the alert threshold somewhere
+    }
+    assert(rows.exists(_._5 == 1L), "the alert flag fires at this scale")
+  }
+
+  test("cross_shard_dup_rate: planted global group crosses shards, local pairs do not") {
+    val Array(r) = SparkEntry.queries("cross_shard_dup_rate")(spark, dir).collect()
+    val (groups, dupRows, cross, milli, missed) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val n = Tables.documents(spark, dir).count()
+    val globalMembers = (0L until n).count(_ % 41 == 3).toLong
+    val localPairs = (1L until n).count(_ % 50 == 7).toLong // doc 7 has a left neighbor too
+    // the global boilerplate forms ONE group; each neighbor-copy forms a
+    // pair group — unless the copied neighbor is itself planted global
+    // (never: %41==3 and +1 %50==7 would need id%41==3 ∧ id+1≡7 (mod 50);
+    // possible in general, so recount structurally instead)
+    assert(groups >= 2 && cross >= 1, "both branches exist")
+    assert(missed >= globalMembers - 1, "the global group alone defeats local dedup")
+    assert(milli == cross * 1000 / groups)
+    assert(dupRows >= missed)
+    // local-only groups exist: a per-shard dedup catches SOMETHING
+    assert(cross < groups, "some groups stay local")
+  }
+}
