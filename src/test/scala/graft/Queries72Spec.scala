@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries72 oracle rows alone don't pin: the curve's
+  * identity with the production sketch at k=32, and aging-mass recounts.
+  */
+class Queries72Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kmv_size_tradeoff: the k=32 row IS distinct_kmv's estimate; algebra holds") {
+    val rows = SparkEntry.queries("kmv_size_tradeoff")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val prod = SparkEntry.queries("distinct_kmv")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(rows.keys.map(_._1).toSet == prod.keySet)
+    prod.foreach { case (t, (nExact, est32)) =>
+      val (curveExact, curveEst, err) = rows((t, 32L))
+      assert(curveExact == nExact, s"$t exact matches distinct_kmv")
+      assert(curveEst == est32, s"$t k=32 estimate IS the production sketch's")
+      val expErr = if (curveEst >= nExact) (curveEst - nExact) * 1000 / nExact
+        else -((nExact - curveEst) * 1000 / nExact)
+      assert(err == expErr)
+    }
+    // every type has all four k rows and unfilled sketches are exact
+    rows.foreach { case ((_, k), (nExact, est, err)) =>
+      assert(Seq(8L, 16L, 32L, 64L).contains(k))
+      if (nExact < k) assert(est == nExact && err == 0, "unfilled sketch is exact")
+    }
+  }
+
+  test("orders_open_aging: buckets partition the open set; masses recount") {
+    val rows = SparkEntry.queries("orders_open_aging")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val dayUs = 86400000000L
+    val per = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(max(unix_micros(col("l_shipdate").cast("timestamp"))).as("ship_us"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr(s"ord_us div $dayUs"), expr(s"ship_us div $dayUs"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wm = per.map(_._1).max
+    val open = per.filter(p => p._2 >= p._1 && p._2 > wm)
+    assert(rows.map(_._2).sum == open.length.toLong, "open-order mass partitions")
+    assert(rows.map(_._3).sum == open.map(_._3).sum, "value mass conserves")
+    def bucket(age: Long) = if (age <= 30) "0_30" else if (age <= 90) "31_90" else "91_plus"
+    rows.foreach { case (b, n, cents, maxAge) =>
+      val members = open.filter(p => bucket(wm - p._1) == b)
+      assert(n == members.length.toLong && cents == members.map(_._3).sum)
+      assert(maxAge == members.map(wm - _._1).max)
+    }
+  }
+}
