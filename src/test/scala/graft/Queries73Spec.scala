@@ -1,0 +1,26 @@
+package graft
+
+/** Invariant the Queries73 oracle rows alone don't pin: every dashboard
+  * panel equals its standalone operator's value.
+  */
+class Queries73Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ops_dashboard: each panel equals the detail page behind it") {
+    val board = SparkEntry.queries("ops_dashboard")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(board.size == 6)
+    assert(board("events_total") == Tables.events(spark, dir).count())
+    assert(board("max_staleness_min") ==
+      SparkEntry.queries("data_freshness")(spark, dir)
+        .collect().map(_.getLong(2)).max)
+    assert(board("ab_srm_chi2_micro") ==
+      SparkEntry.queries("ab_srm_check")(spark, dir).head().getLong(2))
+    assert(board("suggested_watermark_min") ==
+      SparkEntry.queries("watermark_planner")(spark, dir).head().getLong(6))
+    assert(board("corpus_dup_rate_milli") ==
+      SparkEntry.queries("dataset_card")(spark, dir).head().getLong(8))
+    assert(board("cross_shard_dup_milli") ==
+      SparkEntry.queries("cross_shard_dup_rate")(spark, dir).head().getLong(3))
+  }
+}
