@@ -46,9 +46,15 @@ object Queries70 {
         members.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
           .select(col("comp"), col("doc_id").as(name))
       }
-      val picks = keeperBy("k_min", Seq(col("doc_id")))
-        .join(keeperBy("k_long", Seq(col("text_len").desc, col("doc_id"))), Seq("comp"))
-        .join(keeperBy("k_central", Seq(col("rank_micro").desc, col("doc_id"))), Seq("comp"))
+      // three single-row aggregates below each re-evaluate their input plan;
+      // pin the tiny per-cluster picks table so the closure + ranks + windows
+      // run ONCE (unpinned, the 5-iteration PageRank chain re-executed per
+      // output row — 14.8 s instead of ~4 at sf0.1)
+      val picks = graft.util.CacheScope.track(
+        keeperBy("k_min", Seq(col("doc_id")))
+          .join(keeperBy("k_long", Seq(col("text_len").desc, col("doc_id"))), Seq("comp"))
+          .join(keeperBy("k_central", Seq(col("rank_micro").desc, col("doc_id"))), Seq("comp")))
+      picks.count()
       def pairRow(nm: String, a: String, b: String) =
         picks.agg(count(lit(1)).as("n_clusters"),
           sum(when(col(a) === col(b), 1L).otherwise(0L)).as("n_agree"))
