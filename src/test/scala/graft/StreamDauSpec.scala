@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for daily actives: sf0.001 events through StreamDau in
+  * three time-ordered micro-batches converge to exactly `dau_rolling`'s
+  * oracle-checked DAU column.
+  */
+class StreamDauSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed daily actives == dau_rolling's DAU column") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(rows.length >= 500)
+
+    val mem = MemoryStream[(Long, Long)]
+    val counted = graft.streaming.StreamDau.dailyActives(
+      spark, mem.toDF().toDF("user_id", "ts_us"))
+    val q = counted.writeStream.format("memory").queryName("sdau")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // update mode re-emits a day on every touch; its final (max) value is
+      // the day's converged count — dedup state never double-counts a user
+      val streamed = spark.sql("SELECT day, max(dau) AS dau FROM sdau GROUP BY day")
+        .as[(Long, Long)].collect().toMap
+      val batch = SparkEntry.queries("dau_rolling")(spark, dir)
+        .select("day", "dau").as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        s"streamed DAU (${streamed.size} days) != batch (${batch.size} days)")
+    } finally q.stop()
+  }
+}
