@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries74 oracle rows alone don't pin: inventory counts
+  * against a driver fold and the Pareto table's mass identities.
+  */
+class Queries74Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ngram_inventory: counts recomputed by a driver-side fold; Heaps trend holds") {
+    val rows = SparkEntry.queries("ngram_inventory")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    val toks = Tables.documents(spark, dir).select("text").collect()
+      .map(_.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+        .trim.split(" ").filter(_.nonEmpty).toSeq)
+    (1 to 4).foreach { n =>
+      val grams = toks.flatMap(w => w.sliding(n).filter(_.length == n).map(_.mkString(" ")))
+      val (occ, types, ttr) = rows(n.toLong)
+      assert(occ == grams.length.toLong, s"n=$n occurrences")
+      assert(types == grams.distinct.length.toLong, s"n=$n types")
+      assert(ttr == types * 1000 / occ)
+    }
+    // types rise with n (combinatorics) on this corpus
+    assert(rows(1L)._2 < rows(2L)._2 && rows(2L)._2 < rows(3L)._2)
+  }
+
+  test("revenue_pareto: deciles partition customers and revenue; cumulative telescopes") {
+    val rows = SparkEntry.queries("revenue_pareto")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toList == (1L to 10L).toList)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum == perCust.length.toLong, "customers partition")
+    assert(rows.map(_._3).sum == perCust.map(_._2).sum, "revenue partitions")
+    // decile sizes differ by at most one (ntile remainder rule)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // monotone: decile 1 (largest customers) carries the largest share,
+    // cumulative share telescopes to 1000
+    assert(rows.head._4 == rows.map(_._4).max)
+    assert(rows.last._5 == 1000L)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._5 && a._3 >= b._3)
+      case _ =>
+    }
+  }
+}
