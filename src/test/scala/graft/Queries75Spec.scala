@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries75 oracle rows alone don't pin: per-conversion
+  * credit conservation and agreement with the sibling models' universe.
+  */
+class Queries75Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("attribution_time_decay: credit conserves per conversion; universe matches multitouch") {
+    val rows = SparkEntry.queries("attribution_time_decay")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // same campaign universe and touch mass as the sibling models
+    val multi = SparkEntry.queries("attribution_multitouch")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.map(_._1).toSet == multi.map(_._1).toSet, "same campaigns")
+    assert(rows.map(_._3).sum == multi.map(_._2).sum, "same touch mass")
+    // total decayed credit: each conversion distributes <= 1000 milli
+    // (integer-division remainders only ever shave credit)
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicksBy = ev.filter(_._3 == "click").groupBy(_._2)
+    var convWithTouches = 0L
+    ev.filter(_._3 == "purchase").foreach { case (_, uid, _, tp) =>
+      val touches = clicksBy.getOrElse(uid, Array.empty)
+        .filter(c => c._4 <= tp && tp - c._4 <= 7L * 86400000000L)
+      if (touches.nonEmpty) {
+        convWithTouches += 1
+        val ws = touches.map(c => 1024L >> ((tp - c._4) / 86400000000L).toInt)
+        val total = ws.map(w => w * 1000 / ws.sum).sum
+        assert(total <= 1000 && total > 900, s"conversion credit $total out of band")
+      }
+    }
+    assert(rows.map(_._4).sum <= convWithTouches * 1000)
+    assert(rows.map(_._4).sum > convWithTouches * 900, "credit mass within remainder shave")
+    // recency actually matters: the decayed split differs from linear
+    val linByCampaign = multi.toMap
+    assert(rows.exists { case (c, _, _, d) =>
+      SparkEntry.queries("attribution_multitouch")(spark, dir).collect()
+        .find(_.getLong(0) == c).exists(_.getLong(3) != d)
+    }, "decay model diverges from linear somewhere")
+  }
+}
