@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries76 oracle rows alone don't pin: affinity count
+  * algebra and dispersion recounts from raw lines.
+  */
+class Queries76Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("order_part_affinity: pair counts bounded by item counts; algebra recounts") {
+    val rows = SparkEntry.queries("order_part_affinity")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nOrders = Tables.orders(spark, dir).count()
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val byOrder = li.groupBy(_._1)
+    rows.foreach { case (a, b, pc, ca, cb, sup, conf, lift) =>
+      assert(ca == byPart(a) && cb == byPart(b))
+      val truePc = byOrder.values.count(o =>
+        o.exists(_._2 == a) && o.exists(_._2 == b)).toLong
+      assert(pc == truePc, s"pair ($a,$b) count")
+      assert(pc <= math.min(ca, cb))
+      assert(sup == pc * 1000 / nOrders)
+      assert(conf == pc * 1000 / ca)
+      assert(lift == pc * nOrders * 1000 / (ca * cb))
+      assert(lift >= 1000, "top-20 by lift sits above independence on this corpus")
+    }
+    // descending lift with deterministic ties
+    assert(rows.map(_._8).toList == rows.map(_._8).toList.sorted.reverse)
+  }
+
+  test("price_dispersion: spreads recomputed from raw unit prices") {
+    val rows = SparkEntry.queries("price_dispersion")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val units = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(round(l_quantity) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { case (p, n, mn, mx, spread) =>
+      val xs = units(p).map(_._2)
+      assert(n == xs.length.toLong && n >= 3)
+      assert(mn == xs.min && mx == xs.max)
+      assert(spread == (mx - mn) * 1000 / mn && spread >= 0)
+    }
+    assert(rows.map(_._5).toList == rows.map(_._5).toList.sorted.reverse)
+    assert(rows.head._5 > 0, "real dispersion exists")
+  }
+}
