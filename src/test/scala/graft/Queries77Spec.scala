@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries77 oracle rows alone don't pin: both reports'
+  * conservation laws and direct recounts.
+  */
+class Queries77Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("user_recency_profile: buckets partition users, events and revenue") {
+    val rows = SparkEntry.queries("user_recency_profile")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.exists(_._1 == 0L), "the watermark-day bucket exists")
+    val ev = Tables.events(spark, dir)
+    assert(rows.map(_._2).sum == ev.select("user_id").distinct().count())
+    assert(rows.map(_._3).sum == ev.count())
+    val rev = ev.filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long")).collect().map(_.getLong(0)).sum
+    assert(rows.map(_._4).sum == rev, "revenue conserves")
+    // recount one bucket directly
+    val perUser = ev.groupBy("user_id").agg(max(expr("ts_us div 86400000000")).as("l"))
+      .collect().map(r => r.getLong(1))
+    val wm = perUser.max
+    rows.foreach { case (rec, n, _, _) =>
+      assert(n == perUser.count(_ == wm - rec).toLong, s"recency $rec user count")
+    }
+  }
+
+  test("returns_trend: share algebra; monthly masses sum to the corpus total") {
+    val rows = SparkEntry.queries("returns_trend")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, dir)
+    assert(rows.map(_._2).sum == li.count())
+    val cents = li.select(round(col("l_extendedprice") * 100).cast("long"),
+      col("l_returnflag")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._3).sum == cents.map(_._1).sum)
+    assert(rows.map(_._4).sum == cents.filter(_._2 == "R").map(_._1).sum)
+    rows.foreach { case (_, _, revC, retC, milli) =>
+      assert(retC <= revC && milli == retC * 1000 / revC)
+    }
+    assert(rows.exists(_._4 > 0) && rows.exists(r => r._4 < r._3),
+      "returned and kept revenue both occur")
+  }
+}
