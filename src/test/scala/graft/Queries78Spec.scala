@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries78 oracle rows alone don't pin: histogram mass
+  * conservation, the p99 marker, and the cap's measured saving.
+  */
+class Queries78Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("order_width_hist: masses conserve; the p99 marker sits at the rank-arithmetic bucket") {
+    val rows = SparkEntry.queries("order_width_hist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val widths = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("w"))
+      .collect().map(_.getLong(1)).sorted
+    assert(rows.map(_._2).sum == widths.length.toLong, "orders conserve")
+    assert(rows.map(r => r._1 * r._2).sum == widths.sum, "lineitem mass conserves")
+    val p99 = widths((99 * (widths.length - 1)) / 100)
+    assert(rows.filter(_._4).map(_._1) sameElements Array(p99), "p99 bucket marked")
+    rows.foreach { case (w, n, share, _) =>
+      assert(n == widths.count(_ == w).toLong)
+      assert(share == n * 1000 / widths.length)
+    }
+  }
+
+  test("shingle_df_hist: the planted footer lands above the cap and the saving is real") {
+    val rows = SparkEntry.queries("shingle_df_hist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val aboveCap = rows.map(_._4).sum
+    val plantedDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 5).count()
+    assert(plantedDocs > 64, "the plant is sized past the cap")
+    // the footer's interior shingles: "subscribe to the", "to the weekly",
+    // "the weekly digest", "weekly digest newsletter" — at least these
+    // exceed the cap (boundary-crossing shingles differ per doc)
+    assert(aboveCap >= 4, s"planted hot shingles above cap (got $aboveCap)")
+    val saves = rows.map(_._5).distinct
+    assert(saves.length == 1 && saves.head > 0 && saves.head < 1000,
+      "the cap saves a real, partial share of the pair mass")
+    // every bucket's log2 matches its df range by construction: recount one
+    val hot = rows.filter(_._4 > 0)
+    assert(hot.forall(_._1 >= 6), "above-cap shingles sit in log2 >= 6 buckets")
+  }
+}
