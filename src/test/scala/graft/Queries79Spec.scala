@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries79 oracle rows alone don't pin: HHI bounds and a
+  * recount, and gap-mass conservation per type.
+  */
+class Queries79Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("supplier_hhi: recomputed per nation; bounds hold") {
+    val rows = SparkEntry.queries("supplier_hhi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val bySupp = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").cast("long").as("n")), Seq("l_suppkey"))
+      .select("n", "c").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    assert(rows.map(_._1).toSet == bySupp.keySet)
+    rows.foreach { case (nation, nSupp, hhi, topShare) =>
+      val cs = bySupp(nation).map(_._2)
+      assert(nSupp == cs.length.toLong)
+      val tot = cs.sum
+      val shares = cs.map(c => c * 1000000L / tot)
+      assert(hhi == shares.map(s => s * s / 1000000L).sum, s"nation $nation hhi")
+      assert(topShare == shares.max)
+      // HHI bounds: 1e6/n (perfect split, minus quantization) .. 1e6
+      assert(hhi <= 1000000L && hhi >= 1000000L / nSupp - nSupp)
+      assert(topShare * topShare / 1000000L <= hhi)
+    }
+  }
+
+  test("interarrival_profile: gap mass = events - (types x days) cells; buckets recount") {
+    val rows = SparkEntry.queries("interarrival_profile")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("d"), col("ts_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cells = ev.groupBy(x => (x._1, x._2))
+    assert(rows.map(_._3).sum == ev.length.toLong - cells.size.toLong,
+      "every event except each cell's first contributes one gap")
+    // recount one type's histogram
+    val t0 = rows.head._1
+    val expect = cells.filter(_._1._1 == t0).values.flatMap { xs =>
+      val ts = xs.map(_._3).toSeq.sorted
+      ts.zip(ts.drop(1)).map { case (a, b) =>
+        val s = math.max(1L, (b - a) / 1000000L)
+        63 - java.lang.Long.numberOfLeadingZeros(s)
+      }
+    }.groupBy(identity).map { case (k, v) => k.toLong -> v.size.toLong }
+    rows.filter(_._1 == t0).foreach { case (_, b, n) =>
+      assert(expect.getOrElse(b, 0L) == n, s"$t0 bucket $b")
+    }
+    // burstiness exists: multiple buckets populated for some type
+    assert(rows.groupBy(_._1).values.exists(_.size > 2))
+  }
+}
