@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries80 oracle rows alone don't pin: entropy identity
+  * with the transition matrix, and value-by-width conservation.
+  */
+class Queries80Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("transition_entropy: recomputed from markov_transitions' own rows") {
+    val rows = SparkEntry.queries("transition_entropy")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val trans = SparkEntry.queries("markov_transitions")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    assert(rows.keySet == trans.keySet)
+    def l2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    trans.foreach { case (s, xs) =>
+      val cs = xs.map(_._2)
+      val n = cs.sum
+      val (nT, nNext, eq, em) = rows(s)
+      assert(nT == n && nNext == cs.length.toLong)
+      val expect = cs.map(c => c * (l2(n) - l2(c))).sum
+      assert(eq == expect, s"state $s entropy")
+      assert(em == eq * 1000 / n)
+    }
+    // the chain genuinely disperses: every state sees all successors here,
+    // so entropy sits well above zero
+    assert(rows.values.forall(_._4 > 0))
+  }
+
+  test("order_value_by_width: widths partition orders and revenue; width-1 mean is sane") {
+    val rows = SparkEntry.queries("order_value_by_width")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val joined = Tables.lineitem(spark, dir).groupBy("l_orderkey").count()
+      .join(Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c")), Seq("l_orderkey"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == joined.length.toLong)
+    assert(rows.map(_._3).sum == joined.map(_._2).sum)
+    rows.foreach { case (w, n, tot, mean) =>
+      val members = joined.filter(_._1 == w)
+      assert(n == members.length.toLong && tot == members.map(_._2).sum)
+      assert(mean == tot * 1000 / n)
+    }
+  }
+}
