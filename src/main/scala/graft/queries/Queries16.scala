@@ -57,6 +57,12 @@ object Queries16 {
     conv(substring(md5(concat(lit(salt), fp).cast("binary")), 1, 4), 16, 10)
       .cast("int") % m
 
+  /** The single set bit of a Bloom position inside its 32-bit word: an
+    * integer shift (exponents stay ≤ 31, but the shift never round-trips
+    * through double at all). */
+  private[graft] def bloomBit(pos: Column): Column =
+    call_function("shiftleft", lit(1L), (pos % 32).cast("int"))
+
   private def nibSql(x: String): String =
     s"(CASE WHEN ascii($x) <= 57 THEN ascii($x) - 48 ELSE ascii($x) - 87 END)"
 
@@ -107,9 +113,7 @@ object Queries16 {
       val wordRows = shipped.select(col("fp")).distinct()
         .select(explode(array(BloomSalts.map(s => bloomPos(s, col("fp"))): _*)).as("pos"))
         .select((col("pos") / 32).cast("int").as("w"),
-          // division by a power of two is exact in binary FP, so the
-          // pow-based bit value is integer-exact on both engines
-          pow(lit(2.0), (col("pos") % 32).cast("double")).cast("long").as("bitv"))
+          bloomBit(col("pos")).as("bitv"))
         .groupBy("w").agg(expr("bit_or(bitv)").as("bits"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val bloom = (0 until BloomWords).map(i => wordRows.getOrElse(i, 0L))
@@ -118,7 +122,7 @@ object Queries16 {
       val posArr = array(BloomSalts.map(s => bloomPos(s, col("fp"))): _*)
       val hit = forall(posArr, { pos =>
         val word = element_at(typedLit(bloom), (pos / 32).cast("int") + 1)
-        val bitv = pow(lit(2.0), (pos % 32).cast("double")).cast("long")
+        val bitv = bloomBit(pos)
         ((word / bitv).cast("bigint") % 2) === 1
       })
       batch
@@ -145,7 +149,7 @@ object Queries16 {
       val wordRows = shipped
         .select(explode(array(BloomSalts.map(s => bloomPos(s, col("fp"), am)): _*)).as("pos"))
         .select((col("pos") / 32).cast("int").as("w"),
-          pow(lit(2.0), (col("pos") % 32).cast("double")).cast("long").as("bitv"))
+          bloomBit(col("pos")).as("bitv"))
         .groupBy("w").agg(expr("bit_or(bitv)").as("bits"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val bloom = (0 until aw).map(i => wordRows.getOrElse(i, 0L))
@@ -155,7 +159,7 @@ object Queries16 {
       val posArr = array(BloomSalts.map(s => bloomPos(s, col("fp"), am)): _*)
       val hit = forall(posArr, { pos =>
         val word = element_at(typedLit(bloom), (pos / 32).cast("int") + 1)
-        val bitv = pow(lit(2.0), (pos % 32).cast("double")).cast("long")
+        val bitv = bloomBit(pos)
         ((word / bitv).cast("bigint") % 2) === 1
       })
       docs.filter(col("doc_id") % 3 === 1).select("fp").distinct()

@@ -126,15 +126,25 @@ object Queries3 {
 
     "ann_ivf_kmeans" -> { (sp, dir) =>
       // the TRAINED path: operators.KMeans Lloyd centroids instead of the
-      // first-16 demo seeds. No DuckDB oracle — Lloyd's elementwise means
-      // are floating-point-summation-order dependent (engine-specific), so
-      // the driver records a rows-only check; the IVF mechanics are
-      // oracle-checked by ann_ivf and the trainer by its spec. One row per
-      // cell with its population.
+      // first-16 demo seeds — the INTEGER-MICRO variant, so training is
+      // bit-identical across engines (every sum is an exact 64-bit integer
+      // sum; the only FP ops are sqrt/×/÷ over those exact integers) and
+      // the DuckDB twin unrolls the same three Lloyd iterations to the
+      // same centroids. One row per cell: population + exact centroid
+      // checksums (component sum and L1 mass in micro units).
       val embT = Tables.embeddings(sp, dir)
-      val cents = graft.operators.KMeans.fit(embT, "embedding", "vec_id", k = 8, maxIter = 3)
-      embT.select(graft.operators.KMeans.assignCell(col("embedding"), cents).as("cell"))
+      val cents = graft.operators.KMeans.fitMicro(embT, "embedding", "vec_id", k = 8, maxIter = 3)
+      val counts = embT
+        .select(graft.operators.KMeans.quantizeMicro(col("embedding")).as("v"))
+        .select(graft.operators.KMeans.assignCellMicro(col("v"), cents).as("cell"))
         .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      import sp.implicits._
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.sum, c.foldLeft(0L)((a, x) => a + math.abs(x)))
+      }.toDF("cell", "cent_sum", "cent_l1")
+      centRows.join(counts, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+          col("cent_sum"), col("cent_l1"))
         .orderBy("cell")
     },
 
@@ -201,6 +211,35 @@ object Queries3 {
     * engines (shared with Queries11). */
   private[queries] def dotSqlShared(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), (x, y) -> x + y)"
+
+  /** One unrolled integer-micro Lloyd iteration (assignment + sign-split
+    * integer-mean update + empty-cell carry) — the DuckDB twin of one
+    * `KMeans.fitMicro` round. All sums are exact BIGINTs; the cosine used
+    * for ranking is `dot / (sqrt(nv2) * sqrt(nc2))` over those exact
+    * integers, the same three correctly-rounded IEEE ops Spark evaluates. */
+  private def kmeansIterSql(t: Int, prev: String): String =
+    s"""a$t AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT j.vec_id, j.cell,
+       |      row_number() OVER (PARTITION BY j.vec_id ORDER BY
+       |        CAST(j.dot AS DOUBLE) / (sqrt(CAST(nv.nv2 AS DOUBLE)) * sqrt(CAST(nc.nc2 AS DOUBLE))) DESC, j.cell) AS rk
+       |    FROM (SELECT d.vec_id, c.cell, CAST(sum(d.x * c.c) AS BIGINT) AS dot
+       |          FROM qd d JOIN $prev c ON d.i = c.i GROUP BY d.vec_id, c.cell) j
+       |    JOIN nv ON nv.vec_id = j.vec_id
+       |    JOIN (SELECT cell, CAST(sum(c * c) AS BIGINT) AS nc2 FROM $prev GROUP BY cell) nc
+       |      ON nc.cell = j.cell
+       |  ) r WHERE rk = 1
+       |),
+       |m$t AS (
+       |  SELECT a$t.cell, d.i,
+       |    CASE WHEN sum(d.x) >= 0 THEN CAST(sum(d.x) AS BIGINT) // count(*)
+       |         ELSE -(CAST(-sum(d.x) AS BIGINT) // count(*)) END AS c
+       |  FROM a$t JOIN qd d ON d.vec_id = a$t.vec_id GROUP BY a$t.cell, d.i
+       |),
+       |c$t AS (
+       |  SELECT p.cell, p.i, coalesce(m$t.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN m$t ON m$t.cell = p.cell AND m$t.i = p.i
+       |)""".stripMargin
 
   val oracles: Map[String, String] = {
     def dotSql(a: String, b: String): String = dotSqlShared(a, b)
@@ -279,6 +318,46 @@ object Queries3 {
            |SELECT vec_id FROM aug
            |WHERE vec_id NOT IN (SELECT id_b FROM dropped)
            |ORDER BY vec_id""".stripMargin,
+
+      // dim is fixed at 64 by the embeddings table (TESTDATA.md); the Spark
+      // side reads len() dynamically, the unrolled SQL pins it
+      "ann_ivf_kmeans" ->
+        s"""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+           |  FROM embeddings
+           |),
+           |qd AS (
+           |  SELECT vec_id, CAST(i AS INTEGER) AS i, v[CAST(i AS INTEGER)] AS x
+           |  FROM q, range(1, 65) t(i)
+           |),
+           |nv AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nv2 FROM qd GROUP BY vec_id),
+           |c0 AS (
+           |  SELECT s.cell, qd.i, qd.x AS c
+           |  FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+           |        FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8) z) s
+           |  JOIN qd ON qd.vec_id = s.vec_id
+           |),
+           |${kmeansIterSql(1, "c0")},
+           |${kmeansIterSql(2, "c1")},
+           |${kmeansIterSql(3, "c2")},
+           |a4 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT j.vec_id, j.cell,
+           |      row_number() OVER (PARTITION BY j.vec_id ORDER BY
+           |        CAST(j.dot AS DOUBLE) / (sqrt(CAST(nv.nv2 AS DOUBLE)) * sqrt(CAST(nc.nc2 AS DOUBLE))) DESC, j.cell) AS rk
+           |    FROM (SELECT d.vec_id, c.cell, CAST(sum(d.x * c.c) AS BIGINT) AS dot
+           |          FROM qd d JOIN c3 c ON d.i = c.i GROUP BY d.vec_id, c.cell) j
+           |    JOIN nv ON nv.vec_id = j.vec_id
+           |    JOIN (SELECT cell, CAST(sum(c * c) AS BIGINT) AS nc2 FROM c3 GROUP BY cell) nc
+           |      ON nc.cell = j.cell
+           |  ) r WHERE rk = 1
+           |)
+           |SELECT cs.cell, coalesce(p.n_vectors, 0) AS n_vectors, cs.cent_sum, cs.cent_l1
+           |FROM (SELECT cell, CAST(sum(c) AS BIGINT) AS cent_sum, CAST(sum(abs(c)) AS BIGINT) AS cent_l1
+           |      FROM c3 GROUP BY cell) cs
+           |LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM a4 GROUP BY cell) p
+           |  ON p.cell = cs.cell
+           |ORDER BY cs.cell""".stripMargin,
 
       "ann_ivf" ->
         s"""WITH e AS (

@@ -9,9 +9,10 @@ import graft.functions.TextF
 /** Round-8 continuation #29 — embedding-training counts and the datasheet:
   *
   *  - `skipgram_counts`: the word2vec/GloVe counting job — co-occurrence
-  *    frequencies of (center, context) token pairs within a ±2 window,
-  *    kept by signed distance so the downstream weighting (1/d) stays
-  *    available. Pairs are built IN-ROW exactly like `bpe_pair_counts`
+  *    frequencies of ordered (center, context) token pairs at forward
+  *    distances 1 and 2 (a backward context is the mirrored pair), kept
+  *    by distance so the downstream weighting (1/d) stays available.
+  *    Pairs are built IN-ROW exactly like `bpe_pair_counts`
   *    (transform over an index sequence — no self-join, nothing wider
   *    than the token array), then ONE map-side-combined count shuffle
   *    carrying (pair, count); corpus text never shuffles.

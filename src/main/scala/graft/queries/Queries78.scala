@@ -102,7 +102,7 @@ object Queries78 {
       val sh3 = "list_transform(range(1, len(w) - 1), i -> concat(" +
         "list_extract(w, i), ' ', list_extract(w, i + 1), ' ', list_extract(w, i + 2)))"
       s"""WITH dfs AS (
-  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM (
+         |  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM (
          |    SELECT doc_id, unnest(list_distinct($sh3)) AS sh
          |    FROM (SELECT doc_id,
          |      string_split(trim(regexp_replace(lower(ptext), '[^a-z0-9]+', ' ', 'g')), ' ') AS w

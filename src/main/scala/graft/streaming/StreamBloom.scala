@@ -51,7 +51,7 @@ object StreamBloom extends Serializable {
         explode(array(Queries16.BloomSalts.map(s =>
           Queries16.bloomPos(s, col("fp"))): _*)).as("pos"))
       .select(col("shard"), (col("pos") / 32).cast("int").as("w"),
-        pow(lit(2.0), (col("pos") % 32).cast("double")).cast("long").as("bitv"))
+        call_function("shiftleft", lit(1L), (col("pos") % 32).cast("int")).as("bitv"))
       .as[(Int, Int, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)

@@ -115,6 +115,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("KMeans.fitMicro: partition-invariant (exact integer sums) and separates cones") {
+    import spark.implicits._
+    import graft.operators.KMeans
+    val pts = for {
+      c <- 0 until 3
+      j <- 0 until 10
+    } yield {
+      val base = Array.fill(4)(0.05 * ((c * 10 + j) % 7))
+      base(c) = 10.0 + j * 0.1
+      ((j * 3 + c).toLong, base.toSeq.map(_.toFloat))
+    }
+    val df = pts.toDF("id", "v")
+    val a = KMeans.fitMicro(df, "v", "id", k = 3, maxIter = 4)
+    val b = KMeans.fitMicro(df.repartition(7), "v", "id", k = 3, maxIter = 4)
+    val c1 = KMeans.fitMicro(df.coalesce(1), "v", "id", k = 3, maxIter = 4)
+    // bit-identical centroids regardless of partitioning — the property the
+    // hash-exact ann_ivf_kmeans oracle rests on
+    assert(a.map(_.toSeq) == b.map(_.toSeq) && a.map(_.toSeq) == c1.map(_.toSeq))
+    // and it still clusters: each cone lands in one distinct cell
+    val q = df.select(col("id"), KMeans.quantizeMicro(col("v")).as("qv"))
+    val assigned = q.select(col("id"), KMeans.assignCellMicro(col("qv"), a).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cones = (0 until 3).map(c => (0 until 10).map(j => assigned((j * 3 + c).toLong)).toSet)
+    assert(cones.forall(_.size == 1) && cones.flatten.toSet.size == 3, s"cones: $cones")
+  }
+
   test("KMeans.assignCell ties break to the lowest cell id") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")

@@ -50,7 +50,7 @@ class StreamBloomSpec extends SparkSpec {
         .select(explode(array(graft.queries.Queries16.BloomSalts.map(s =>
           graft.queries.Queries16.bloomPos(s, col("fp"))): _*)).as("pos"))
         .select((col("pos") / 32).cast("int").as("w"),
-          pow(lit(2.0), (col("pos") % 32).cast("double")).cast("long").as("bitv"))
+          call_function("shiftleft", lit(1L), (col("pos") % 32).cast("int")).as("bitv"))
         .groupBy("w").agg(expr("bit_or(bitv)").as("bits"))
         .as[(Int, Long)].collect().toMap
 
