@@ -17,21 +17,58 @@ import graft.operators.RangeJoin
   * currency) are joins against broadcast dimension tables instead of
   * per-record RPC + LRU cache.
   *
-  * Validation failures never kill the job: enrichments append reasons to the
-  * `bad_row_errors` array column (the Spark twin of the reference's bad-row
-  * channel); [[EnrichmentPipeline.split]] partitions good from bad.
+  * Validation failures never kill the job: enrichments append STRUCTURED
+  * failure entities to the `bad_row_errors` array column — the Spark twin
+  * of the reference's bad-row channel with the reference's failure-entity
+  * fidelity (`enrichments/Failure.scala:31` attaches schema'd
+  * FailureContext entities as derived contexts: failureType, errors,
+  * schema, componentName). Each graft entity is a struct
+  * `(enrichment, failure_type, schema_key, message)`: the failing
+  * component by name, the typed taxonomy token, the violated schema URI
+  * where one applies, and the human reason.
+  * [[EnrichmentPipeline.split]] partitions good from bad.
   */
 trait Enrichment extends Serializable {
   def name: String
   def apply(df: DataFrame): DataFrame
 
-  /** Append a failure `reason` for rows where `cond` holds. */
-  protected def flagBad(df: DataFrame, cond: Column, reason: String): DataFrame = {
+  /** Append a failure entity for rows where `cond` holds: this
+    * enrichment's name + the typed `failureType` + the violated
+    * `schemaKey` (null where no schema applies) + the `reason` text. */
+  protected def flagBad(
+    df: DataFrame,
+    cond: Column,
+    reason: String,
+    failureType: String = "enrichment_failure",
+    schemaKey: Column = lit(null).cast("string")
+  ): DataFrame = {
     val prev = if (df.columns.contains("bad_row_errors")) col("bad_row_errors")
-               else array().cast("array<string>")
+               else Enrichment.emptyFailures
+    val entity = struct(
+      lit(name).as("enrichment"),
+      lit(failureType).as("failure_type"),
+      schemaKey.cast("string").as("schema_key"),
+      lit(reason).as("message"))
     df.withColumn("bad_row_errors",
-      when(cond, array_union(prev, array(lit(s"$name: $reason")))).otherwise(prev))
+      when(cond, array_union(prev, array(entity))).otherwise(prev))
   }
+}
+
+object Enrichment {
+  /** The failure-entity element type (reference `enrichments/Failure
+    * .scala:31` FailureContext, minus the transport-only timestamp and
+    * version fields a columnar engine derives elsewhere). */
+  val FailureEntityType: String =
+    "array<struct<enrichment:string,failure_type:string,schema_key:string,message:string>>"
+
+  /** An empty, correctly-typed failure-entity array. */
+  def emptyFailures: Column = array().cast(FailureEntityType)
+
+  /** Render entities to `"enrichment: message"` strings (log lines, spec
+    * assertions, the pre-r9 string shape). */
+  def failureSummaries(entities: Column): Column =
+    transform(entities, e =>
+      concat(e.getField("enrichment"), lit(": "), e.getField("message")))
 }
 
 /** Tracker-protocol transform (reference `enrichments/Transform.scala`):
@@ -545,9 +582,12 @@ final case class FieldLengthValidator(limits: Map[String, Int], truncate: Boolea
   def apply(df: DataFrame): DataFrame = {
     val present = limits.filter { case (c, _) => df.columns.contains(c) }.toSeq.sortBy(_._1)
     if (present.isEmpty) return df
-    val empty = array().cast("array<string>")
+    val empty = Enrichment.emptyFailures
     val errArrays = present.map { case (c, max) =>
-      when(length(col(c)) > max, array(lit(s"$name: $c exceeds $max chars"))).otherwise(empty)
+      when(length(col(c)) > max, array(struct(
+        lit(name).as("enrichment"), lit("length_violation").as("failure_type"),
+        lit(null).cast("string").as("schema_key"),
+        lit(s"$c exceeds $max chars").as("message")))).otherwise(empty)
     }
     val prev = if (df.columns.contains("bad_row_errors")) col("bad_row_errors") else empty
     val errors = concat(prev +: errArrays: _*).as("bad_row_errors")
@@ -565,7 +605,7 @@ final case class FieldLengthValidator(limits: Map[String, Int], truncate: Boolea
   * order). One Catalyst plan; narrow unless a lookup join is present. */
 final case class EnrichmentPipeline(enrichments: Seq[Enrichment]) {
   def run(df: DataFrame): DataFrame = {
-    val withBad = df.withColumn("bad_row_errors", array().cast("array<string>"))
+    val withBad = df.withColumn("bad_row_errors", Enrichment.emptyFailures)
     enrichments.foldLeft(withBad)((d, e) => e.apply(d))
   }
 
@@ -697,7 +737,8 @@ final case class SchemaValidate(
     val knownPred = ((if (exactKeys.nonEmpty) Seq(col(schemaCol).isin(exactKeys: _*)) else Nil) ++
         wildKeys.map(k => SchemaCriterion.matches(col(schemaCol), k)))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val d1 = flagBad(df, col(schemaCol).isNotNull && !knownPred, "schema_unknown")
+    val d1 = flagBad(df, col(schemaCol).isNotNull && !knownPred, "schema_unknown",
+      failureType = "schema_unknown", schemaKey = col(schemaCol))
     val fieldsChecked = resolved.foldLeft(d1) { case (acc, (uri, fields)) =>
       val inSchema = SchemaCriterion.matches(col(schemaCol), uri)
       fields.foldLeft(acc) { (a0, f) =>
@@ -713,22 +754,25 @@ final case class SchemaValidate(
           else expr(s"try_cast(get_json_object($jsonCol, '$$.${f.path}') AS $castType)")
         var a = a0
         if (f.required)
-          a = flagBad(a, inSchema && raw.isNull, s"missing_field ${f.path}")
+          a = flagBad(a, inSchema && raw.isNull, s"missing_field ${f.path}",
+            failureType = "missing_field", schemaKey = lit(uri))
         if (cast != null)
-          a = flagBad(a, inSchema && raw.isNotNull && cast.isNull, s"type_violation ${f.path}")
+          a = flagBad(a, inSchema && raw.isNotNull && cast.isNull, s"type_violation ${f.path}",
+            failureType = "type_violation", schemaKey = lit(uri))
         if (f.enumVals.nonEmpty)
           a = flagBad(a, inSchema && raw.isNotNull && !raw.isin(f.enumVals: _*),
-            s"enum_violation ${f.path}")
+            s"enum_violation ${f.path}", failureType = "enum_violation", schemaKey = lit(uri))
         if (f.pattern != null)
           a = flagBad(a, inSchema && raw.isNotNull && !raw.rlike(s"^(?:${f.pattern})$$"),
-            s"pattern_violation ${f.path}")
+            s"pattern_violation ${f.path}", failureType = "pattern_violation", schemaKey = lit(uri))
         if (f.min.isDefined || f.max.isDefined) {
           val c = if (cast != null) cast
                   else expr(s"try_cast(get_json_object($jsonCol, '$$.${f.path}') AS BIGINT)")
           val oob = Seq(
             f.min.map(m => c < m),
             f.max.map(m => c > m)).flatten.reduce(_ || _)
-          a = flagBad(a, inSchema && c.isNotNull && oob, s"range_violation ${f.path}")
+          a = flagBad(a, inSchema && c.isNotNull && oob, s"range_violation ${f.path}",
+            failureType = "range_violation", schemaKey = lit(uri))
         }
         if (f.itemsType != null) {
           // bounded literal-index probe (no explode): element i is bad when
@@ -739,15 +783,16 @@ final case class SchemaValidate(
             val elCast = expr(s"try_cast(get_json_object($jsonCol, '$$.${f.path}[$i]') AS $itemT)")
             el.isNotNull && elCast.isNull
           }.reduce(_ || _)
-          a = flagBad(a, inSchema && raw.isNotNull && anyBad, s"items_violation ${f.path}")
+          a = flagBad(a, inSchema && raw.isNotNull && anyBad, s"items_violation ${f.path}",
+            failureType = "items_violation", schemaKey = lit(uri))
           a = flagBad(a,
             inSchema && get_json_object(col(jsonCol), s"$$.${f.path}[${f.itemsProbe}]").isNotNull,
-            s"items_overflow ${f.path}")
+            s"items_overflow ${f.path}", failureType = "items_overflow", schemaKey = lit(uri))
         }
         if (f.maxItems.isDefined) {
           val n = expr(s"json_array_length(get_json_object($jsonCol, '$$.${f.path}'))")
           a = flagBad(a, inSchema && raw.isNotNull && n > f.maxItems.get,
-            s"length_violation ${f.path}")
+            s"length_violation ${f.path}", failureType = "length_violation", schemaKey = lit(uri))
         }
         a
       }
@@ -757,7 +802,8 @@ final case class SchemaValidate(
       val declared = resolved.getOrElse(uri, Nil).map(_.path.split('.').head).distinct
       val unknown = expr(
         s"exists(json_object_keys($jsonCol), k -> NOT k IN (${declared.map(d => s"'$d'").mkString(", ")}))")
-      flagBad(a, SchemaCriterion.matches(col(schemaCol), uri) && coalesce(unknown, lit(false)), "unknown_key")
+      flagBad(a, SchemaCriterion.matches(col(schemaCol), uri) && coalesce(unknown, lit(false)),
+        "unknown_key", failureType = "unknown_key", schemaKey = lit(uri))
     }
   }
 }
@@ -803,9 +849,11 @@ final case class ContextsValidate(
       .withColumn("ctx_count", present.reduce(_ + _))
       .withColumn("ctx_invalid_count", size(filter(bads, _.isNotNull)))
       .withColumn("ctx_first_bad_schema", get(filter(bads, _.isNotNull), lit(0)))
-    val flagged = flagBad(out, col("ctx_invalid_count") > 0, "invalid_context")
+    val flagged = flagBad(out, col("ctx_invalid_count") > 0, "invalid_context",
+      failureType = "invalid_context", schemaKey = col("ctx_first_bad_schema"))
     flagBad(flagged,
-      get_json_object(col(contextsCol), s"$$[$maxContexts]").isNotNull, "contexts_overflow")
+      get_json_object(col(contextsCol), s"$$[$maxContexts]").isNotNull, "contexts_overflow",
+      failureType = "contexts_overflow")
   }
 }
 

@@ -1,0 +1,210 @@
+package graft.enrich
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Iglu resolver-file ingestion — the graft twin of the reference's
+  * `config/iglu_resolver.json` + iglu-scala-client resolution (reference
+  * `modules/common/.../utils/IgluUtils.scala` builds all schema lookups on
+  * a `Resolver` assembled from that file).
+  *
+  * A deployment's existing resolver file parses VERBATIM:
+  * {{{
+  * {"schema": "iglu:com.snowplowanalytics.iglu/resolver-config/jsonschema/1-0-1",
+  *  "data": {"cacheSize": 500, "repositories": [
+  *    {"name": "Iglu Central", "priority": 0,
+  *     "vendorPrefixes": ["com.snowplowanalytics"],
+  *     "connection": {"http": {"uri": "http://iglucentral.com"}}},
+  *    {"name": "Private Mirror", "priority": 1, "vendorPrefixes": ["com.acme"],
+  *     "connection": {"embedded": {"path": "/mnt/iglu-mirror"}}}]}}
+  * }}}
+  *
+  * Repositories resolve from STATIC-REGISTRY DIRECTORIES in the standard
+  * Iglu layout (`<root>/schemas/<vendor>/<name>/<format>/<M-R-A>`, one JSON
+  * Schema per file — the layout `igluctl static push` publishes and
+  * iglucentral.com serves). `embedded.path` connections read that path
+  * directly; `http.uri` connections are mapped to a LOCAL MIRROR directory
+  * via the `mirrors` argument (uri → dir) — graft is a zero-egress Spark
+  * library, so remote registries are reached through their rsync/S3-sync
+  * mirror on shared storage, not per-executor HTTP. An `http.uri` with no
+  * mirror entry fails at PLAN BUILD, loudly, with the uris it does know —
+  * never silently resolving nothing (the reference's RegistryError
+  * posture).
+  *
+  * Resolution order per schema key (iglu-scala-client `Resolver`
+  * semantics): repositories whose `vendorPrefixes` prefix-match the key's
+  * vendor are tried FIRST, each group ordered by ascending `priority`,
+  * then by name for determinism; the first repository that has the file
+  * wins. A schema colliding across registries therefore belongs to the
+  * best-priority matching repo — the property the two-registry spec pins.
+  *
+  * Schema files compile to [[FieldSpec]] rows via the same JSON-Schema
+  * draft-4 subset [[SchemaValidate]] enforces (required / type / enum /
+  * pattern / integer bounds / items.type / maxItems / nested objects as
+  * dot paths / additionalProperties:false), so a resolved registry drops
+  * straight into `SchemaValidate(json, schema, specs, closed)`.
+  */
+object IgluResolver {
+
+  private val mapper = new ObjectMapper()
+
+  /** One repository from the resolver file. `root` is the local directory
+    * holding the `schemas/` tree after connection → location mapping. */
+  final case class Repository(
+    name: String,
+    priority: Int,
+    vendorPrefixes: Seq[String],
+    root: String)
+
+  final case class ResolverConfig(cacheSize: Int, repositories: Seq[Repository])
+
+  /** Parse the reference's resolver-config JSON verbatim. `mirrors` maps
+    * each `http.uri` to its local mirror directory. */
+  def parseConfig(json: String, mirrors: Map[String, String] = Map.empty): ResolverConfig = {
+    val root = mapper.readTree(json)
+    val data = Option(root.get("data"))
+      .getOrElse(throw new IllegalArgumentException("resolver config needs a 'data' object"))
+    val repos = Option(data.get("repositories"))
+      .getOrElse(throw new IllegalArgumentException("resolver config needs data.repositories"))
+      .elements().asScala.map { r =>
+        val name = Option(r.get("name")).map(_.asText())
+          .getOrElse(throw new IllegalArgumentException("repository needs a 'name'"))
+        val conn = Option(r.get("connection")).getOrElse(
+          throw new IllegalArgumentException(s"repository '$name' needs a 'connection'"))
+        val loc = Option(conn.get("embedded")).flatMap(e => Option(e.get("path")).map(_.asText()))
+          .orElse(Option(conn.get("http")).flatMap(h => Option(h.get("uri")).map(_.asText()).map { uri =>
+            mirrors.getOrElse(uri, throw new IllegalArgumentException(
+              s"repository '$name': http uri '$uri' has no local mirror directory — " +
+                s"graft resolves zero-egress; supply mirrors = Map(\"$uri\" -> dir). " +
+                s"Known mirrors: ${mirrors.keys.toSeq.sorted.mkString(", ")}"))
+          }))
+          .getOrElse(throw new IllegalArgumentException(
+            s"repository '$name' needs connection.embedded.path or connection.http.uri"))
+        Repository(
+          name = name,
+          priority = Option(r.get("priority")).map(_.asInt()).getOrElse(0),
+          vendorPrefixes = Option(r.get("vendorPrefixes"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+          root = loc)
+      }.toSeq
+    ResolverConfig(
+      cacheSize = Option(data.get("cacheSize")).map(_.asInt()).getOrElse(500),
+      repositories = repos)
+  }
+
+  private val KeyRe = "^iglu:([^/]+)/([^/]+)/([^/]+)/([0-9]+-[0-9]+-[0-9]+)$".r
+
+  /** Repositories in trial order for one schema key: vendor-prefix matches
+    * first, then ascending priority, then name. */
+  private[enrich] def prioritized(cfg: ResolverConfig, vendor: String): Seq[Repository] =
+    cfg.repositories.sortBy { r =>
+      val vendorMatch = r.vendorPrefixes.exists(p => vendor == p || vendor.startsWith(p + "."))
+      (if (vendorMatch) 0 else 1, r.priority, r.name)
+    }
+
+  /** Resolve one `iglu:vendor/name/format/M-R-A` key: the winning repo's
+    * name and the schema file's JSON text, or None if no repository has
+    * it. A malformed key fails at plan build. */
+  def lookup(cfg: ResolverConfig, key: String): Option[(String, String)] = key match {
+    case KeyRe(vendor, name, format, version) =>
+      prioritized(cfg, vendor).iterator.flatMap { repo =>
+        val p = java.nio.file.Paths.get(repo.root, "schemas", vendor, name, format, version)
+        if (java.nio.file.Files.isRegularFile(p))
+          Some((repo.name, java.nio.file.Files.readString(p)))
+        else None
+      }.nextOption()
+    case _ => throw new IllegalArgumentException(
+      s"iglu resolver: '$key' is not a valid schema key (iglu:vendor/name/format/M-R-A)")
+  }
+
+  /** Every schema key any repository can serve (directory walk of each
+    * repo's `schemas/` tree) — the registry enumeration behind
+    * [[loadRegistry]]'s resolve-everything mode. */
+  def availableKeys(cfg: ResolverConfig): Seq[String] = {
+    cfg.repositories.flatMap { repo =>
+      val base = java.nio.file.Paths.get(repo.root, "schemas")
+      if (!java.nio.file.Files.isDirectory(base)) Nil
+      else {
+        val s = java.nio.file.Files.walk(base)
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).flatMap { f =>
+          val rel = base.relativize(f)
+          if (rel.getNameCount == 4) {
+            val v = rel.getName(3).toString
+            if (v.matches("[0-9]+-[0-9]+-[0-9]+"))
+              Some(s"iglu:${rel.getName(0)}/${rel.getName(1)}/${rel.getName(2)}/$v")
+            else None
+          } else None
+        }.toList
+        finally s.close()
+      }
+    }.distinct.sorted
+  }
+
+  /** Compile one JSON Schema (draft-4 subset) to SchemaValidate's field
+    * predicates: (fields, closed). Nested `object` properties flatten to
+    * dot paths; `$ref` of the self-describing form maps onto FieldSpec.ref
+    * (expanded later by FieldSpec.resolve against the loaded registry). */
+  def compileFieldSpecs(schemaJson: String): (Seq[FieldSpec], Boolean) = {
+    val root = mapper.readTree(schemaJson)
+    def walk(node: JsonNode, prefix: String): Seq[FieldSpec] = {
+      val required: Set[String] = Option(node.get("required"))
+        .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+      Option(node.get("properties")).map(_.fields().asScala.toSeq.flatMap { e =>
+        val (fname, p) = (e.getKey, e.getValue)
+        val path = if (prefix.isEmpty) fname else s"$prefix.$fname"
+        val typ = Option(p.get("type")).map(_.asText()).getOrElse("string")
+        val ref = Option(p.get("$ref")).map(_.asText()).orNull
+        if (ref != null)
+          Seq(FieldSpec(path, required = required(fname), ref = ref))
+        else typ match {
+          case "object" =>
+            // the object node itself: required-presence check if required,
+            // then its children mounted under the dot path
+            (if (required(fname)) Seq(FieldSpec(path, required = true)) else Nil) ++
+              walk(p, path)
+          case "array" =>
+            val items = Option(p.get("items")).flatMap(i => Option(i.get("type")).map(_.asText()))
+            Seq(FieldSpec(path,
+              required = required(fname),
+              itemsType = items.map(jsonTypeToSpec).filter(t => t != "string").orNull,
+              maxItems = Option(p.get("maxItems")).map(_.asInt())))
+          case t =>
+            Seq(FieldSpec(path,
+              required = required(fname),
+              typ = jsonTypeToSpec(t),
+              enumVals = Option(p.get("enum"))
+                .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+              pattern = Option(p.get("pattern")).map(_.asText()).orNull,
+              min = Option(p.get("minimum")).map(_.asLong()),
+              max = Option(p.get("maximum")).map(_.asLong())))
+        }
+      }).getOrElse(Nil)
+    }
+    val closed = Option(root.get("additionalProperties")).exists(n => !n.asBoolean(true))
+    (walk(root, ""), closed)
+  }
+
+  private def jsonTypeToSpec(t: String): String = t match {
+    case "integer" => "bigint"
+    case "number" => "double"
+    case "boolean" => "boolean"
+    case _ => "string" // string, or nullable unions degrade to presence-only
+  }
+
+  /** Resolve `keys` (default: everything any repository serves) and compile
+    * them into SchemaValidate inputs: (uri → fields, closed-schema set,
+    * uri → winning repository name). Plug the first two straight into
+    * `SchemaValidate(jsonCol, schemaCol, specs, closed)`. */
+  def loadRegistry(
+    cfg: ResolverConfig,
+    keys: Seq[String] = Nil
+  ): (Map[String, Seq[FieldSpec]], Set[String], Map[String, String]) = {
+    val want = if (keys.nonEmpty) keys else availableKeys(cfg)
+    val hits = want.flatMap(k => lookup(cfg, k).map { case (repo, json) => (k, repo, json) })
+    val specs = hits.map { case (k, _, json) => k -> compileFieldSpecs(json)._1 }.toMap
+    val closed = hits.collect { case (k, _, json) if compileFieldSpecs(json)._2 => k }.toSet
+    val provenance = hits.map { case (k, repo, _) => k -> repo }.toMap
+    (specs, closed, provenance)
+  }
+}

@@ -47,7 +47,14 @@ object PipelineQuery {
         col("base_amount_e8"),
         col("user_id").as("user_id_hash"),
         col("event_fingerprint"),
-        size(col("bad_row_errors")).as("n_errors")
+        size(col("bad_row_errors")).as("n_errors"),
+        // the structured failure entities (enrichment|failure_type|message
+        // per entity, ';'-joined in append order) — hash-checked against
+        // the oracle's reconstruction, so entity CONTENT is exact, not
+        // just the count
+        array_join(transform(col("bad_row_errors"), e =>
+          concat(e.getField("enrichment"), lit("|"), e.getField("failure_type"),
+            lit("|"), e.getField("message"))), ";").as("err_entities")
       ).orderBy("event_id")
     }
   )
@@ -94,6 +101,15 @@ object PipelineQuery {
       val nErrors =
         "(CASE WHEN event_code IS NOT NULL AND " + eventTypeCase + " IS NULL THEN 1 ELSE 0 END) + " +
           "(CASE WHEN platform_code IS NOT NULL AND " + platformCase + " IS NULL THEN 1 ELSE 0 END)"
+      val evtFail = s"(event_code IS NOT NULL AND $eventTypeCase IS NULL)"
+      val platFail = s"(platform_code IS NOT NULL AND $platformCase IS NULL)"
+      val evtEnt = "tracker_transform|enrichment_failure|unknown event code"
+      val platEnt = "tracker_transform|enrichment_failure|invalid platform"
+      val errEntities =
+        s"""CASE WHEN $evtFail AND $platFail THEN '$evtEnt;$platEnt'
+           |     WHEN $evtFail THEN '$evtEnt'
+           |     WHEN $platFail THEN '$platEnt'
+           |     ELSE '' END""".stripMargin
       val ratesValues = Queries2.Rates.map { case (c, r) => s"('$c', $r)" }.mkString(", ")
 
       s"""WITH rdb(key, sidx) AS (VALUES ${graft.functions.RefererDb.rdbValuesSql}),
@@ -125,7 +141,8 @@ object PipelineQuery {
            |  amount_cents * rate_micro AS base_amount_e8,
            |  sha256(concat('pepper', user_id)) AS user_id_hash,
            |  $fp AS event_fingerprint,
-           |  $nErrors AS n_errors
+           |  $nErrors AS n_errors,
+           |  $errEntities AS err_entities
            |FROM t
            |LEFT JOIN hit ON t.event_id = hit.eid
            |LEFT JOIN rsrc s ON hit.sidx = s.sidx

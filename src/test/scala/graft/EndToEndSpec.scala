@@ -54,7 +54,7 @@ class EndToEndSpec extends SparkSpec {
       Seq(line(qsOverride = qs.replace("e=pv", "e=zz"))).toDF("value")))
     val (good, bad) = PipelineQuery.pipeline.split(raw)
     assert(good.count() == 0 && bad.count() == 1)
-    val errs = bad.select(explode(col("bad_row_errors"))).collect().map(_.getString(0))
+    val errs = bad.select(explode(graft.enrich.Enrichment.failureSummaries(col("bad_row_errors")))).collect().map(_.getString(0))
     assert(errs.exists(_.contains("unknown event code")))
   }
 

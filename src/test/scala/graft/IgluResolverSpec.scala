@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.{FieldSpec, IgluResolver, SchemaValidate}
+
+/** Iglu resolver-file ingestion (reference config/iglu_resolver.json +
+  * iglu-scala-client Resolver semantics): two static-registry mirrors,
+  * priority decides which copy of a colliding schema wins, vendorPrefixes
+  * reroute, and the resolved registry drives SchemaValidate end-to-end. */
+class IgluResolverSpec extends SparkSpec {
+
+  private def writeSchema(root: java.nio.file.Path, vendor: String, name: String,
+                          version: String, json: String): Unit = {
+    val d = root.resolve(s"schemas/$vendor/$name/jsonschema")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve(version), json)
+  }
+
+  private def mkRegistries(): (java.nio.file.Path, java.nio.file.Path) = {
+    val central = java.nio.file.Files.createTempDirectory("iglu-central")
+    val mirror = java.nio.file.Files.createTempDirectory("iglu-acme")
+    // colliding schema: central's copy requires sku only; the acme mirror's
+    // copy ALSO bounds qty — whoever wins changes validation behavior
+    writeSchema(central, "com.acme", "cart", "1-0-0",
+      """{"type":"object","properties":{"sku":{"type":"string"}},"required":["sku"]}""")
+    writeSchema(mirror, "com.acme", "cart", "1-0-0",
+      """{"type":"object",
+         | "properties":{"sku":{"type":"string","pattern":"sku[0-9]+"},
+         |               "qty":{"type":"integer","minimum":0,"maximum":100},
+         |               "meta":{"type":"object","properties":{"src":{"type":"string"}},"required":["src"]}},
+         | "required":["sku","meta"],
+         | "additionalProperties":false}""".stripMargin)
+    // central-only schema (the non-colliding case still resolves)
+    writeSchema(central, "com.snowplowanalytics.snowplow", "link_click", "1-0-1",
+      """{"type":"object","properties":{"targetUrl":{"type":"string"}},"required":["targetUrl"]}""")
+    (central, mirror)
+  }
+
+  private def cfgJson: String =
+    """{"schema": "iglu:com.snowplowanalytics.iglu/resolver-config/jsonschema/1-0-1",
+      | "data": {"cacheSize": 500, "repositories": [
+      |   {"name": "Iglu Central", "priority": 0,
+      |    "vendorPrefixes": ["com.snowplowanalytics"],
+      |    "connection": {"http": {"uri": "http://iglucentral.com"}}},
+      |   {"name": "Acme Mirror", "priority": 1,
+      |    "vendorPrefixes": ["com.acme"],
+      |    "connection": {"http": {"uri": "http://iglu.acme.internal"}}}]}}""".stripMargin
+
+  test("priority + vendorPrefixes decide the colliding schema's winner") {
+    val (central, mirror) = mkRegistries()
+    val cfg = IgluResolver.parseConfig(cfgJson, mirrors = Map(
+      "http://iglucentral.com" -> central.toString,
+      "http://iglu.acme.internal" -> mirror.toString))
+    assert(cfg.cacheSize == 500 && cfg.repositories.size == 2)
+    // com.acme vendor: the Acme Mirror's vendorPrefix match OUTRANKS
+    // central's better priority number — its copy of the colliding 1-0-0 wins
+    val (winner, json) = IgluResolver.lookup(cfg, "iglu:com.acme/cart/jsonschema/1-0-0").get
+    assert(winner == "Acme Mirror")
+    assert(json.contains("additionalProperties"))
+    // com.snowplowanalytics vendor routes to central
+    val (w2, _) = IgluResolver.lookup(cfg,
+      "iglu:com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1").get
+    assert(w2 == "Iglu Central")
+    // with NO vendor match anywhere, plain priority decides: flip the
+    // prefixes so neither matches com.acme → central (priority 0) wins
+    val flat = cfg.copy(repositories = cfg.repositories.map(_.copy(vendorPrefixes = Nil)))
+    assert(IgluResolver.lookup(flat, "iglu:com.acme/cart/jsonschema/1-0-0").get._1 == "Iglu Central")
+    // unknown schema resolves to None; malformed key fails at plan build
+    assert(IgluResolver.lookup(cfg, "iglu:com.acme/nope/jsonschema/1-0-0").isEmpty)
+    intercept[IllegalArgumentException](IgluResolver.lookup(cfg, "not-a-key"))
+  }
+
+  test("http uri without a mirror fails at plan build; embedded.path reads directly") {
+    val (central, _) = mkRegistries()
+    val ex = intercept[IllegalArgumentException](IgluResolver.parseConfig(cfgJson))
+    assert(ex.getMessage.contains("no local mirror directory"))
+    val embedded =
+      s"""{"data": {"repositories": [
+         |  {"name": "Embedded", "priority": 0,
+         |   "connection": {"embedded": {"path": "${central.toString}"}}}]}}""".stripMargin
+    val cfg = IgluResolver.parseConfig(embedded)
+    assert(IgluResolver.lookup(cfg,
+      "iglu:com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1").isDefined)
+  }
+
+  test("resolved registry compiles to FieldSpecs and drives SchemaValidate") {
+    import spark.implicits._
+    val (central, mirror) = mkRegistries()
+    val cfg = IgluResolver.parseConfig(cfgJson, mirrors = Map(
+      "http://iglucentral.com" -> central.toString,
+      "http://iglu.acme.internal" -> mirror.toString))
+    val (specs, closed, provenance) = IgluResolver.loadRegistry(cfg)
+    val cart = "iglu:com.acme/cart/jsonschema/1-0-0"
+    assert(provenance(cart) == "Acme Mirror")
+    assert(closed == Set(cart)) // only the mirror's copy is closed
+    // the mirror's richer copy won: pattern + bounds + nested required all compiled
+    val byPath = specs(cart).map(f => f.path -> f).toMap
+    assert(byPath("sku").required && byPath("sku").pattern == "sku[0-9]+")
+    assert(byPath("qty").typ == "bigint" && byPath("qty").max.contains(100L))
+    assert(byPath("meta.src").pattern == null && byPath("meta").required)
+    val df = Seq(
+      (1L, cart, """{"sku":"sku1","qty":2,"meta":{"src":"web"}}"""), // valid
+      (2L, cart, """{"sku":"SKU-9","qty":2,"meta":{"src":"web"}}"""), // pattern (mirror-only rule)
+      (3L, cart, """{"sku":"sku1","qty":999,"meta":{"src":"web"}}"""), // range (mirror-only rule)
+      (4L, cart, """{"sku":"sku1","qty":2,"meta":{"src":"web"},"x":1}""") // closed-schema key
+    ).toDF("id", "schema_str", "ctx")
+    val out = SchemaValidate("ctx", "schema_str", specs, closedSchemas = closed)(
+      df.withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures))
+      .collect().map(r => r.getLong(0) -> failureStrings(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bad_row_errors"))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).exists(_.contains("pattern_violation sku")))
+    assert(out(3L).exists(_.contains("range_violation qty")))
+    assert(out(4L).exists(_.contains("unknown_key")))
+  }
+
+  test("compileFieldSpecs maps the draft-4 subset incl. arrays and $ref") {
+    val (fields, closed) = IgluResolver.compileFieldSpecs(
+      """{"type":"object",
+        | "properties":{
+        |   "tags":{"type":"array","items":{"type":"integer"},"maxItems":4},
+        |   "names":{"type":"array","items":{"type":"string"}},
+        |   "flag":{"type":"boolean"},
+        |   "score":{"type":"number"},
+        |   "child":{"$ref":"iglu:com.acme/sub/jsonschema/1-0-0"}},
+        | "required":["tags","child"]}""".stripMargin)
+    assert(!closed)
+    val byPath = fields.map(f => f.path -> f).toMap
+    assert(byPath("tags").itemsType == "bigint" && byPath("tags").maxItems.contains(4)
+      && byPath("tags").required)
+    assert(byPath("names").itemsType == null) // string elements: presence-only
+    assert(byPath("flag").typ == "boolean" && byPath("score").typ == "double")
+    assert(byPath("child").ref == "iglu:com.acme/sub/jsonschema/1-0-0" && byPath("child").required)
+  }
+}

@@ -54,8 +54,22 @@ class PipelineSpec extends SparkSpec {
     assert(bad.count() == expectedBad)
     assert(good.count() == 100 - expectedBad)
     // errors name the offending enrichment
-    val errs = bad.select(explode(col("bad_row_errors"))).collect().map(_.getString(0))
+    val errs = bad.select(explode(graft.enrich.Enrichment.failureSummaries(col("bad_row_errors")))).collect().map(_.getString(0))
     assert(errs.forall(_.startsWith("tracker_transform:")))
+    // structured failure-entity fidelity (reference enrichments/Failure
+    // .scala:31): ONE typed entity per failed enrichment check — a row
+    // failing both checks carries both entities, each naming its component
+    // and failure type
+    val entities = bad.select(col("event_id").cast("string"), col("bad_row_errors")).collect()
+      .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)).toMap
+    (0 until 100).filter(e => e % 9 == 8 || e % 10 == 9).foreach { e =>
+      val expected = (if (e % 9 == 8) Seq("unknown event code") else Nil) ++
+        (if (e % 10 == 9) Seq("invalid platform") else Nil)
+      val got = entities(e.toString)
+      assert(got.map(_.getString(3)) == expected, s"event $e entities")
+      assert(got.forall(en => en.getString(0) == "tracker_transform" &&
+        en.getString(1) == "enrichment_failure" && en.getString(2) == null))
+    }
   }
 
   test("enrichment chain is narrow: no shuffle except lookup joins") {
@@ -119,8 +133,8 @@ class PipelineSpec extends SparkSpec {
       FieldSpec("meta.src", required = true),
       FieldSpec("codes", itemsType = "bigint", maxItems = Some(4)))),
       closedSchemas = Set(cart))
-    val out = v(df.withColumn("bad_row_errors", array().cast("array<string>")))
-      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
+    val out = v(df.withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures))
+      .collect().map(r => r.getLong(0) -> failureStrings(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bad_row_errors"))).toMap
     assert(out(1L).isEmpty)
     assert(out(2L).exists(_.contains("missing_field sku")))
     assert(out(3L).exists(_.contains("type_violation qty")))
@@ -157,8 +171,8 @@ class PipelineSpec extends SparkSpec {
       (5L, address, """{"city":"sf","zip":"94110"}""") // direct payloads still validate
     ).toDF("id", "schema_str", "ctx")
     val out = SchemaValidate("ctx", "schema_str", specs)(
-        df.withColumn("bad_row_errors", array().cast("array<string>")))
-      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
+        df.withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures))
+      .collect().map(r => r.getLong(0) -> failureStrings(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bad_row_errors"))).toMap
     assert(out(1L).isEmpty)
     assert(out(2L).exists(_.contains("missing_field shipping.zip")))
     assert(out(3L).exists(_.contains("pattern_violation shipping.zip")))
@@ -167,13 +181,13 @@ class PipelineSpec extends SparkSpec {
     // unknown ref and ref cycles fail at PLAN BUILD, not per row
     val unknownRef = Map(order -> Seq(FieldSpec("x", ref = "iglu:com.acme/nope/jsonschema/1-0-0")))
     val e1 = intercept[IllegalArgumentException](
-      SchemaValidate("ctx", "schema_str", unknownRef)(df.withColumn("bad_row_errors", array().cast("array<string>"))))
+      SchemaValidate("ctx", "schema_str", unknownRef)(df.withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures)))
     assert(e1.getMessage.contains("not a registered schema"))
     val cyc = Map(
       order -> Seq(FieldSpec("a", ref = address)),
       address -> Seq(FieldSpec("b", ref = order)))
     val e2 = intercept[IllegalArgumentException](
-      SchemaValidate("ctx", "schema_str", cyc)(df.withColumn("bad_row_errors", array().cast("array<string>"))))
+      SchemaValidate("ctx", "schema_str", cyc)(df.withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures)))
     assert(e2.getMessage.contains("cycle"))
   }
 
@@ -190,8 +204,8 @@ class PipelineSpec extends SparkSpec {
     ).toDF("id", "schema_str", "ctx")
     val v = SchemaValidate("ctx", "schema_str",
       Map(crit -> Seq(FieldSpec("sku", required = true))))
-    val out = v(df.withColumn("bad_row_errors", array().cast("array<string>")))
-      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
+    val out = v(df.withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures))
+      .collect().map(r => r.getLong(0) -> failureStrings(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bad_row_errors"))).toMap
     assert(out(1L).isEmpty && out(2L).isEmpty)
     assert(out(3L).size == 1 && out(3L).head.endsWith("missing_field sku"),
       "criterion-resolved events get the field predicates")
@@ -201,8 +215,8 @@ class PipelineSpec extends SparkSpec {
     // 1-*-* widens the revision slot too
     val wide = SchemaValidate("ctx", "schema_str",
       Map("iglu:com.acme/add_to_cart/jsonschema/1-*-*" -> Seq(FieldSpec("sku", required = true))))
-    val out2 = wide(df.withColumn("bad_row_errors", array().cast("array<string>")))
-      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("bad_row_errors")).toMap
+    val out2 = wide(df.withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures))
+      .collect().map(r => r.getLong(0) -> failureStrings(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bad_row_errors"))).toMap
     assert(out2(4L).isEmpty)
     assert(out2(5L).size == 1 && out2(5L).head.endsWith("schema_unknown"))
 
@@ -210,9 +224,11 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](SchemaCriterion.regexFor("iglu:acme/cart/1-0-*"))
     // vendor dots are literals in the compiled regex: comXacme must not match
     val spoofed = v(Seq((9L, "iglu:comXacme/add_to_cart/jsonschema/1-0-0", """{"sku":"sku1"}"""))
-      .toDF("id", "schema_str", "ctx").withColumn("bad_row_errors", array().cast("array<string>")))
-      .collect().head.getAs[scala.collection.Seq[String]]("bad_row_errors")
-    assert(spoofed.size == 1 && spoofed.head.endsWith("schema_unknown"))
+      .toDF("id", "schema_str", "ctx").withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures))
+      .collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bad_row_errors")
+    assert(spoofed.size == 1 && failureStrings(spoofed).head.endsWith("schema_unknown"))
+    // the structured entity carries the offending uri as its schema_key
+    assert(spoofed.head.getString(2) == "iglu:comXacme/add_to_cart/jsonschema/1-0-0")
   }
 
   test("ContextsValidate enrichment: per-element registry check, overflow flag") {
@@ -231,11 +247,11 @@ class PipelineSpec extends SparkSpec {
     val v = ContextsValidate("contexts", Map(
       geo -> Seq("latitude", "longitude"),
       cli -> Seq("userId", "sessionId")))
-    val out = v(df.withColumn("bad_row_errors", array().cast("array<string>")))
+    val out = v(df.withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures))
       .collect().map(r => r.getLong(0) ->
         ((r.getAs[Int]("ctx_count"), r.getAs[Int]("ctx_invalid_count"),
           r.getAs[String]("ctx_first_bad_schema"),
-          r.getAs[scala.collection.Seq[String]]("bad_row_errors")))).toMap
+          failureStrings(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bad_row_errors"))))).toMap
     assert(out(1L) == ((1, 0, null, Seq())))
     assert(out(2L)._1 == 2 && out(2L)._2 == 1 && out(2L)._3 == "iglu:com.x/y/jsonschema/1-0-0")
     assert(out(2L)._4.exists(_.contains("invalid_context")))
@@ -253,10 +269,10 @@ class PipelineSpec extends SparkSpec {
       .mkString("[", ",", "]")
     val v = ContextsValidate("contexts", Map(geo -> Seq("latitude", "longitude")), maxContexts = 3)
     val out = v(Seq((1L, many)).toDF("id", "contexts")
-      .withColumn("bad_row_errors", array().cast("array<string>"))).collect()(0)
+      .withColumn("bad_row_errors", graft.enrich.Enrichment.emptyFailures)).collect()(0)
     assert(out.getAs[Int]("ctx_count") == 3) // counts only the probed prefix
     assert(out.getAs[Int]("ctx_invalid_count") == 0)
-    assert(out.getAs[scala.collection.Seq[String]]("bad_row_errors")
+    assert(failureStrings(out.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bad_row_errors"))
       .exists(_.contains("contexts_overflow")))
   }
 }

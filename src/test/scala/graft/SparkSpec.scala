@@ -7,6 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all specs. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Structured failure entities → "enrichment: message" strings (the
+    * pre-r9 shape most assertions were written against). */
+  protected def failureStrings(rs: scala.collection.Seq[org.apache.spark.sql.Row]): Seq[String] =
+    rs.toSeq.map(e => s"${e.getString(0)}: ${e.getString(3)}")
 }
 
 object SparkSpec {
