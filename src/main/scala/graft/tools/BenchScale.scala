@@ -76,7 +76,13 @@ object BenchScale {
     // round-8 continuation #6: the three-policy keeper diff (one shared
     // pair/closure/ranks pass — fixed iterative cost must dominate) and
     // the chunked two-phase prefix max (flat by construction)
-    "keeper_policy_diff", "watermark_planner")
+    "keeper_policy_diff", "watermark_planner",
+    // round-9: the six bench-top-20 queries the r8 probe did not cover —
+    // the manifest's double composition, the capped in-cluster purity
+    // pairs, the per-cluster size rollup, the order-bounded part pairs,
+    // the blocked survivorship merge, and the bucketed negative miner
+    "pipeline_manifest", "cluster_purity_audit", "dedup_cluster_sizes",
+    "order_part_affinity", "golden_record", "hard_negative_mine")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
