@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries81 oracle rows alone don't pin: exact-OLS
+  * identities, canary recall completeness, confusion-matrix conservation,
+  * shard-balance contract, cohort partition, and histogram/pair-set
+  * agreement. */
+class Queries81Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("price_elasticity: slope/intercept reproduce the driver-side exact OLS") {
+    val rows = SparkEntry.queries("price_elasticity")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_discount") * 1000).cast("long").as("x"),
+        round(col("l_quantity")).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.keySet == li.keySet)
+    def tdiv(a: Long, b: Long) = a / b // JVM division truncates toward zero
+    li.foreach { case (flag, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum; val sy = xs.map(_._3).sum
+      val sxy = xs.map(t => t._2 * t._3).sum; val sxx = xs.map(t => t._2 * t._2).sum
+      val slope = tdiv((n * sxy - sx * sy) * 1000, n * sxx - sx * sx)
+      val icept = tdiv(sy * 1000 - slope * sx, n)
+      val (gn, gs, gi) = rows(flag)
+      assert(gn == n && gs == slope && gi == icept, s"flag $flag")
+      // TPC-H synth draws discount and quantity independently — the fitted
+      // slope must be near zero (the calibration read this query exists for)
+      assert(math.abs(gs) < 200, s"flag $flag slope $gs")
+    }
+  }
+
+  test("canary_scan: finds exactly the planted canaries, none invented") {
+    import graft.queries.Queries81.{CanaryEvery, CanaryKinds, CanaryMod}
+    val rows = SparkEntry.queries("canary_scan")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.filter(_._1 % CanaryEvery == CanaryMod)
+      .groupBy(d => (d._2, s"CANARY-${d._1 % CanaryKinds}"))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet == want,
+      "per-(source, canary) counts must equal the plant pattern")
+  }
+
+  test("quality_agreement: cells partition the corpus; agreement matches cells") {
+    val rows = SparkEntry.queries("quality_agreement")(spark, dir).collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1)), (r.getLong(2), r.getLong(3))))
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_._2._1).sum == nDocs, "confusion cells partition the corpus")
+    val agree = rows.filter(c => c._1._1 == c._1._2).map(_._2._1).sum
+    val milli = rows.head._2._2
+    assert(rows.forall(_._2._2 == milli), "agreement_milli constant across cells")
+    assert(milli == agree * 1000 / nDocs)
+  }
+
+  test("shard_size_balance: full shards genuinely balanced; docs conserve") {
+    val r = SparkEntry.queries("shard_size_balance")(spark, dir).collect().head
+    val (nFull, minT, maxT, balance, fullDocs, tailT) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nFull >= 1 && tailT >= 0)
+    assert(balance == minT * 1000 / maxT)
+    // the prefix-sum sharder's contract: every full shard holds budget..
+    // budget+max_doc tokens, so min/max stay within 2x of each other even
+    // on this tiny corpus (on sf0.1 it is ~1.0)
+    assert(balance >= 500, s"full shards badly unbalanced: $balance")
+    val shards = SparkEntry.queries("shard_export")(spark, dir).collect()
+    assert(fullDocs == shards.dropRight(1).map(_.getLong(1)).sum)
+    assert(tailT == shards.last.getLong(2))
+  }
+
+  test("customer_repeat_cohorts: cohorts partition customers and orders") {
+    val rows = SparkEntry.queries("customer_repeat_cohorts")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nCust = Tables.orders(spark, dir).select("o_custkey").distinct().count()
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(rows.map(_._2).sum == nCust)
+    assert(rows.map(_._4).sum == nOrders)
+    rows.foreach { case (yq, nc, nr, no, rm, om) =>
+      assert(nr <= nc && rm == nr * 1000 / nc && om == no * 1000 / nc)
+      assert(yq % 10 >= 1 && yq % 10 <= 4, s"quarter slot of $yq")
+    }
+  }
+
+  test("simhash_hamming_hist: histogram sums to the pair count, cumulative ends at 1000") {
+    val hist = SparkEntry.queries("simhash_hamming_hist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nPairs = SparkEntry.queries("simhash_pairs")(spark, dir).count()
+    assert(hist.map(_._2).sum == nPairs)
+    assert(hist.last._3 == 1000L, "cumulative share must close at exactly 1000")
+    assert(hist.map(_._1).forall(h => h >= 0 && h <= 3))
+    // monotone cumulative
+    assert(hist.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+}
