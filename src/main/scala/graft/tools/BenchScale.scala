@@ -144,9 +144,13 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    buildScaled(spark, baseDir, scaledDir, copies)
+    // SPARK_GRAFT_SCALE_ONLY=a,b re-probes a subset (dev loop; the full
+    // run rewrites scale_probe.json, a filtered run prints only)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    if (only.isEmpty || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaledDir)))
+      buildScaled(spark, baseDir, scaledDir, copies)
 
-    val rows = Probes.map { name =>
+    val rows = Probes.filter(n => only.forall(_.contains(n))).map { name =>
       val x1 = time(spark, name, baseDir)
       val x10 = time(spark, name, scaledDir)
       val ratio = if (x1 > 0) x10 / x1 else -1.0
@@ -158,8 +162,9 @@ object BenchScale {
     val line =
       s"""{"metric":"scale_probe","unit":"sec","copies":$copies,"queries":$qs,"sf":"$baseDir"}"""
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_probe.json"), line + "\n")
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_probe.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }
