@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries82 oracle rows alone don't pin: sweep
+  * monotonicity and agreement with the single-parameter operators they
+  * generalize, grid completeness, and norm-histogram conservation. */
+class Queries82Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("session_gap_sweep: monotone in the gap; 1800s row == sessionize's count") {
+    val rows = SparkEntry.queries("session_gap_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == graft.queries.Queries82.GapsSeconds)
+    // a larger gap can only merge sessions, never split them
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    val at1800 = rows.find(_._1 == 1800L).get._2
+    val sessionize = SparkEntry.queries("sessionize")(spark, dir).count()
+    assert(at1800 == sessionize, s"sweep@1800s $at1800 != sessionize $sessionize")
+    val nEvents = Tables.events(spark, dir).count()
+    rows.foreach { case (_, ns, epsm) => assert(epsm == nEvents * 1000 / ns) }
+  }
+
+  test("embedding_threshold_sweep: monotone keep curve; .95 row == dedup_embedding_keep") {
+    val rows = SparkEntry.queries("embedding_threshold_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == graft.queries.Queries82.CosThresholdsE6)
+    // raising the cut can only drop fewer
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    val keptAt95 = rows.head._3
+    val keep = SparkEntry.queries("dedup_embedding_keep")(spark, dir).count()
+    assert(keptAt95 == keep, s"sweep@.95 kept $keptAt95 != dedup_embedding_keep $keep")
+  }
+
+  test("event_mix_drift: weeks contiguous; drift bounded by 2000 milli") {
+    val rows = SparkEntry.queries("event_mix_drift")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).forall(d => d >= 0 && d <= 2000),
+      "L1 over shares is at most 2·1000")
+    val nTypes = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(rows.map(_._3).forall(_ == nTypes), "grid covers every type every week")
+  }
+
+  test("embedding_norm_hist: vectors conserve; buckets bound their nv2 ranges") {
+    val rows = SparkEntry.queries("embedding_norm_hist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_._2).sum == n)
+    rows.foreach { case (b, _, _, lo, hi) =>
+      assert(lo <= hi)
+      assert(64 - java.lang.Long.numberOfLeadingZeros(lo) - 1 == b)
+      assert(64 - java.lang.Long.numberOfLeadingZeros(hi) - 1 == b)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** StreamOls == batch price_elasticity, bit-exact: integer moments are
+  * mergeable, so the stream's final fit per key must equal the
+  * oracle-checked batch query over the same rows — regardless of how the
+  * stream is chopped into micro-batches. */
+class StreamOlsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed exact OLS over three micro-batches == batch price_elasticity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_discount") * 1000).cast("long").as("x"),
+        round(col("l_quantity")).cast("long").as("y"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.length >= 500)
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val fits = graft.streaming.StreamOls.fitStream(spark,
+      mem.toDF().toDF("key", "x", "y"))
+    val q = fits.writeStream.format("memory").queryName("stream_ols")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // final emission per key (largest n wins — n is monotone)
+      val stream = spark.sql(
+        """SELECT key, slope_milli, intercept_milli, n FROM stream_ols a
+          |WHERE n = (SELECT max(n) FROM stream_ols b WHERE b.key = a.key)""".stripMargin)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = SparkEntry.queries("price_elasticity")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(1))).toMap
+      assert(stream.keySet == batch.keySet)
+      batch.foreach { case (k, (slope, icept, n)) =>
+        val (ss, si, sn) = stream(k)
+        assert(sn == n && ss == slope && si == icept,
+          s"key $k: stream ($ss,$si,$sn) != batch ($slope,$icept,$n)")
+      }
+    } finally q.stop()
+  }
+}
