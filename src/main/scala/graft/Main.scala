@@ -52,6 +52,14 @@ object Main {
       // iterative operators (connected components, PageRank) cache small
       // per-round frames whose fixed-width partitioning otherwise dominates
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // InferFiltersFromGenerate turns explode/inline over an expensive
+      // parsed column (webhook regexp + url_decode + from_json) into a
+      // pushed-down filter that RE-EVALUATES the whole decode chain per
+      // row below the exchange — measured +55% on the array adapters at
+      // sf0.1. The synth/webhook arrays are non-null by construction, so
+      // the inferred filter only costs.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // spark-submit injects the master; default for bare local runs
     val spark = (if (new org.apache.spark.SparkConf().contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()

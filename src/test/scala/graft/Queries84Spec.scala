@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries84 oracle rows alone don't pin: replay-absorption
+  * equivalence with the streaming transport, skew-profile mass, and the
+  * k-anonymity/l-diversity composition. */
+class Queries84Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("event_dedup_window: keep-first absorbs exactly the planted replays") {
+    import graft.queries.Queries84.ReplayEvery
+    val rows = SparkEntry.queries("event_dedup_window")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val ev = Tables.events(spark, dir).select("event_id", "ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == ev.size, "one survivor per event_id")
+    rows.foreach { case (id, copies, kept, replayed) =>
+      val expectReplay = id % ReplayEvery == 4
+      assert(replayed == expectReplay && copies == (if (expectReplay) 2L else 1L), s"event $id")
+      assert(kept == ev(id), s"event $id keeps the ORIGINAL arrival, not the replay")
+    }
+  }
+
+  test("collector_skew_profile: per-platform shares close; buckets bound skew") {
+    val rows = SparkEntry.queries("collector_skew_profile")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // synth skew = ((e*3) % 4000) ms < 4096 ms → bucket ≤ 11
+    assert(rows.map(_._2).forall(b => b >= 0 && b <= 11))
+    rows.groupBy(_._1).foreach { case (p, xs) =>
+      val tot = xs.map(_._3).sum
+      xs.foreach { case (_, _, n, share) => assert(share == n * 1000 / tot, s"platform $p") }
+    }
+  }
+
+  test("l_diversity: same groups as k_anonymity; l <= n; diversity is the stricter gate") {
+    val ld = SparkEntry.queries("l_diversity")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    val ka = SparkEntry.queries("k_anonymity")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(ld.keySet == ka.keySet, "same quasi-identifier grid")
+    ld.foreach { case (g, (n, l, anon, diverse)) =>
+      assert((n, anon) == ka(g), s"group $g k-anonymity column drift")
+      assert(l <= n)
+      assert(diverse == (l >= graft.queries.Queries84.LDiv))
+    }
+    // both gate outcomes occur across the grid (at sf0.001 users rarely
+    // repeat within a quarter-day, so every k-anon group happens to also
+    // be diverse — the k-anon∧¬diverse gap this gate exists for needs the
+    // bigger SFs; here we pin that the gate itself discriminates)
+    assert(ld.values.exists(_._4) && ld.values.exists(!_._4),
+      "is_diverse must discriminate on this corpus")
+  }
+}
