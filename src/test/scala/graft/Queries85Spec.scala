@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries85 oracle rows alone don't pin: the composed
+  * rollups must CONSERVE the flagship pipeline's own columns — same
+  * events, same revenue, same flags, just regrouped. */
+class Queries85Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val pipeline = graft.queries.PipelineQuery.run(spark, dir)
+    .select(col("geo_country"), col("mkt_campaign"), col("base_amount_e8")).collect()
+
+  test("revenue_by_geo: partitions the pipeline's events and revenue by geo") {
+    val rows = SparkEntry.queries("revenue_by_geo")(spark, dir).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .toMap
+    assert(rows.values.map(_._1).sum == pipeline.length)
+    val wantRevenue = pipeline.filter(!_.isNullAt(2)).map(_.getLong(2)).sum
+    assert(rows.values.map(_._2).sum == wantRevenue, "revenue conserves across geos")
+    // the v6 clients (geo NULL) form their own row
+    assert(rows.contains(None) && rows(None)._1 == pipeline.count(_.isNullAt(0)))
+  }
+
+  test("campaign_roi: unattributed traffic kept as its own row; totals conserve") {
+    val rows = SparkEntry.queries("campaign_roi")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum == pipeline.length)
+    assert(rows.contains("(none)") &&
+      rows("(none)") == pipeline.count(_.isNullAt(1)), "unattributed row")
+  }
+
+  test("bot_traffic_share: daily bot counts == the iab_bot query's flags") {
+    val share = SparkEntry.queries("bot_traffic_share")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val flags = SparkEntry.queries("iab_bot")(spark, dir)
+      .join(Tables.events(spark, dir).select(col("event_id"), expr("ts_us div 86400000000").as("day")),
+        Seq("event_id"))
+      .groupBy("day").agg(count(lit(1)).as("n"),
+        sum(when(col("iab_spider_or_robot"), 1L).otherwise(0L)).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(share.map(_._1).toSet == flags.keySet)
+    share.foreach { case (day, n, b, milli) =>
+      assert((n, b) == flags(day), s"day $day")
+      assert(milli == b * 1000 / n)
+    }
+  }
+}
