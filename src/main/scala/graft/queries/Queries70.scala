@@ -36,24 +36,28 @@ object Queries70 {
       pairs.count()
       val edges = graft.util.CacheScope.track(Queries25.symEdges(pairs))
       val comp = graft.operators.ConnectedComponents.runSymmetrized(edges)
-      val members = comp.select(col("id").as("doc_id"), col("comp"))
-        .join(Tables.documents(sp, dir)
-          .select(col("doc_id"), length(col("text")).cast("bigint").as("text_len")),
-          Seq("doc_id"))
-        .join(Queries25.pagerankFromSym(edges), Seq("doc_id"))
-      def keeperBy(name: String, order: Seq[org.apache.spark.sql.Column]) = {
-        val w = Window.partitionBy("comp").orderBy(order: _*)
-        members.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-          .select(col("comp"), col("doc_id").as(name))
-      }
-      // three single-row aggregates below each re-evaluate their input plan;
-      // pin the tiny per-cluster picks table so the closure + ranks + windows
-      // run ONCE (unpinned, the 5-iteration PageRank chain re-executed per
-      // output row — 14.8 s instead of ~4 at sf0.1)
+      // pin the member table: it embeds the 5-iteration PageRank chain and
+      // the CC labels — without the pin each downstream keeper re-executed
+      // the whole iterative tier (3x the ranks at sf0.1)
+      val members = graft.util.CacheScope.track(
+        comp.select(col("id").as("doc_id"), col("comp"))
+          .join(Tables.documents(sp, dir)
+            .select(col("doc_id"), length(col("text")).cast("bigint").as("text_len")),
+            Seq("doc_id"))
+          .join(Queries25.pagerankFromSym(edges), Seq("doc_id")))
+      members.count()
+      // all three keeper policies from ONE map-side-combined aggregation:
+      // each keeper is an argmax, and argmax folds as max(struct(key,
+      // -doc_id)) — no per-policy sort window, no three passes (r9: the
+      // window trio was 3 sorts over the member table; this is one
+      // hash-agg). Ties break to the lowest doc_id via the negated id.
       val picks = graft.util.CacheScope.track(
-        keeperBy("k_min", Seq(col("doc_id")))
-          .join(keeperBy("k_long", Seq(col("text_len").desc, col("doc_id"))), Seq("comp"))
-          .join(keeperBy("k_central", Seq(col("rank_micro").desc, col("doc_id"))), Seq("comp")))
+        members.groupBy("comp").agg(
+          min(col("doc_id")).as("k_min"),
+          max(struct(col("text_len"), (-col("doc_id")).as("neg"))).as("__l"),
+          max(struct(col("rank_micro"), (-col("doc_id")).as("neg"))).as("__c"))
+          .select(col("comp"), col("k_min"),
+            (col("__l.neg") * -1L).as("k_long"), (col("__c.neg") * -1L).as("k_central")))
       picks.count()
       def pairRow(nm: String, a: String, b: String) =
         picks.agg(count(lit(1)).as("n_clusters"),
