@@ -91,6 +91,32 @@ object Multimodal {
       .toDF(idCol, "embedding_milli")
   }
 
+  /** Audio-feature stub: fixed-width ENERGY WINDOWS over a payload — the
+    * silence-detection / VAD front end of an audio pipeline. The "decode"
+    * is stubbed (payload code units stand in for PCM samples — this
+    * container has no audio codec; a real implementation swaps the sample
+    * source, not the plumbing), the Spark shape is the real one: a narrow
+    * per-partition batch map emitting (id, window_idx, energy) rows, no
+    * shuffle, no driver collect. Energy = Σ sample² over each
+    * `window`-sample stride (exact integers, so the DuckDB twin matches
+    * bit-for-bit). */
+  def audioEnergyStub(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
+    require(window >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          if (payload == null) Iterator.empty
+          else payload.grouped(window).zipWithIndex.map { case (w, i) =>
+            (id, i.toLong, w.foldLeft(0L)((a, c) => a + c.toLong * c.toLong))
+          }
+        }
+      }
+      .toDF(idCol, "window_idx", "energy")
+  }
+
   /** Decode metadata for a binary column: returns (id, format, width,
     * height, n_bytes, content_md5) — one narrow `mapPartitions` pass, the
     * decoder instantiated once per partition batch. */

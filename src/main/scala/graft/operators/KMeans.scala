@@ -81,7 +81,13 @@ object KMeans {
     * only FP ops are sqrt / one multiply / one divide over those exact
     * integers — correctly-rounded IEEE, so bit-identical on any engine.
     * Ties break to the lowest cell id. */
-  def assignCellMicro(v: Column, cents: Seq[Array[Long]]): Column = {
+  def assignCellMicro(v: Column, cents: Seq[Array[Long]]): Column =
+    array_max(cellSimsMicro(v, cents)).getField("negc") * -1L
+
+  /** Per-cell cosine structs `(cos, -cell)` against micro-quantized
+    * centroid literals — `array_max` of this is the assignment; its
+    * sorted tail gives nprobe>1 probing (the trained-IVF search path). */
+  def cellSimsMicro(v: Column, cents: Seq[Array[Long]]): Column = {
     val nv2 = aggregate(transform(v, x => x * x), lit(0L), (a, x) => a + x)
     val sims = cents.zipWithIndex.map { case (c, i) =>
       val nc2 = c.foldLeft(0L)((a, x) => a + x * x)
@@ -93,7 +99,7 @@ object KMeans {
         (dot.cast("double") / (sqrt(nv2.cast("double")) * lit(math.sqrt(nc2.toDouble)))).as("cos"),
         lit(-i.toLong).as("negc"))
     }
-    array_max(array(sims: _*)).getField("negc") * -1L
+    array(sims: _*)
   }
 
   /** Train `k` micro-quantized centroids with `maxIter` Lloyd iterations —

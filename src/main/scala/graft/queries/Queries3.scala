@@ -217,7 +217,7 @@ object Queries3 {
     * `KMeans.fitMicro` round. All sums are exact BIGINTs; the cosine used
     * for ranking is `dot / (sqrt(nv2) * sqrt(nc2))` over those exact
     * integers, the same three correctly-rounded IEEE ops Spark evaluates. */
-  private def kmeansIterSql(t: Int, prev: String): String =
+  private[queries] def kmeansIterSql(t: Int, prev: String): String =
     s"""a$t AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT j.vec_id, j.cell,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries86 oracle rows alone don't pin: recall sanity
+  * against brute force, window coverage/conservation, and the readability
+  * identities. */
+class Queries86Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ann_trained_recall: one row per probe query; recall in [0, 1000]; not vacuous") {
+    import graft.queries.Queries86.RecallProbeQueries
+    val rows = SparkEntry.queries("ann_trained_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until RecallProbeQueries))
+    rows.foreach { case (q, hits, milli) =>
+      assert(hits >= 0 && hits <= 3 && milli == hits * 1000 / 3, s"query $q")
+    }
+    // nprobe=2 of 8 trained cells must find SOMETHING on a 500-vector
+    // corpus — an all-zero recall would mean the probe never reaches the
+    // true neighbors' cells
+    assert(rows.map(_._2).sum > 0, "trained-IVF recall is vacuously zero")
+  }
+
+  test("multimodal_audio_energy: windows tile each doc; energies recompute") {
+    import graft.queries.Queries86.{AudioWindow, SilenceBelow}
+    val rows = SparkEntry.queries("multimodal_audio_energy")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val ws = byDoc(id).sortBy(_._2)
+      assert(ws.map(_._2).toSeq == (0L until ws.length), s"doc $id window tiling")
+      assert(ws.length == (text.length + AudioWindow - 1) / AudioWindow)
+      val want = text.grouped(AudioWindow).map(w =>
+        w.foldLeft(0L)((a, c) => a + c.toLong * c.toLong)).toSeq
+      assert(ws.map(_._3).toSeq == want, s"doc $id energies")
+      ws.foreach { case (_, _, e, silent) => assert(silent == (e < SilenceBelow)) }
+    }
+  }
+
+  test("text_readability: identities hold; longer word soup reads harder than short") {
+    val rows = SparkEntry.queries("text_readability")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, s, vg, f) =>
+      assert(s == math.max(1, (w + 9) / 10), s"doc $id sentences")
+      if (w > 0)
+        assert(f.contains(206835L - 1015 * w / s - 84600 * vg / w), s"doc $id flesch")
+      assert(vg >= w || w == 0 || vg < w * 10, "vowel groups in a sane band")
+    }
+  }
+}
