@@ -44,7 +44,7 @@ object Queries10 {
   private[queries] val DecontamK = 8
 
   // ---- synthetic PII injection (Spark and SQL twins in lockstep) ----
-  private def piiText(d: Column, text: Column): Column = {
+  private[queries] def piiText(d: Column, text: Column): Column = {
     val s = (c: Column) => c.cast("string")
     concat(text,
       when(d % 4 === 0, concat(lit(" contact user"), s(d % 50), lit("@example.com for details")))
@@ -52,7 +52,7 @@ object Queries10 {
         .when(d % 4 === 2, concat(lit(" email admin"), s(d % 9), lit("@corp.example.org or dial 555-123-"), s(d % 1000 + 4000)))
         .otherwise(lit("")))
   }
-  private val piiTextSql: String =
+  private[queries] val piiTextSql: String =
     """concat(text, CASE
       |  WHEN doc_id % 4 = 0 THEN concat(' contact user', doc_id % 50, '@example.com for details')
       |  WHEN doc_id % 4 = 1 THEN concat(' call 555-', doc_id % 900 + 100, '-', doc_id % 9000 + 1000, ' now')

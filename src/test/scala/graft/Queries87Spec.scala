@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries87 oracle rows alone don't pin: plant-pattern
+  * exactness for the PII and code routers, and the entropy-gap direction. */
+class Queries87Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pii_density_report: densities recompute from the plant pattern") {
+    val rows = SparkEntry.queries("pii_density_report")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.keySet == docs.map(_._2).toSet)
+    docs.groupBy(_._2).foreach { case (src, xs) =>
+      val (nDocs, _, _, nPii, milli) = rows(src)
+      assert(nDocs == xs.length)
+      // plants: %4 ∈ {0,1,2} carry pii, %4 == 3 none
+      val wantPii = xs.count(_._1 % 4 != 3)
+      assert(nPii == wantPii, s"source $src pii docs")
+      assert(milli == nPii * 1000 / nDocs)
+    }
+    // sources whose ids all fall on %4==3 exist by construction (20 | ids):
+    // the report must show them CLEAN, not smear corpus-wide density
+    assert(rows.values.exists(_._4 == 0), "a provably-clean source reports zero")
+  }
+
+  test("code_detect: exactly the planted docs flag as code") {
+    import graft.queries.Queries87.{CodeEvery, CodeMod}
+    val rows = SparkEntry.queries("code_detect")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    rows.foreach { case (id, nChars, nCode, score, isCode) =>
+      assert(score == nCode * 1000 / nChars)
+      // the word-soup corpus has no organic code symbols: every flag must
+      // come from a plant (zero false positives). A LONG doc with one
+      // snippet correctly stays prose — density, not presence.
+      if (isCode) assert(id % CodeEvery == CodeMod, s"doc $id false positive")
+      if (id % CodeEvery != CodeMod) assert(nCode == 0, s"doc $id organic symbols?")
+    }
+    assert(rows.exists(_._5), "short planted docs must flag")
+    assert(rows.exists(r => r._1 % CodeEvery == CodeMod && !r._5),
+      "a long doc with one snippet stays prose — the density cut is live")
+  }
+
+  test("corpus_entropy_rate: bigram entropy exceeds unigram; both positive") {
+    val rows = SparkEntry.queries("corpus_entropy_rate")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (uniN, uniT, uniH) = rows("unigram")
+    val (biN, biT, biH) = rows("bigram")
+    assert(uniH > 0 && biH > 0)
+    // pair diversity ≥ token diversity on a non-degenerate corpus
+    assert(biT >= uniT && biH >= uniH, "bigram distribution is at least as spread")
+    assert(biN < uniN, "one fewer bigram than unigram per doc")
+  }
+}
