@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.Protocol
+import graft.queries.PipelineQuery
+import graft.sources.Sources
+import graft.streaming.Transport
+
+/** The full streaming application path over the transport seam: framed
+  * collector records (with at-least-once redelivery) → absorption →
+  * loader → tracker protocol → the default enrichment pipeline — and the
+  * result equals the batch program over the unique records. This is the
+  * end-to-end promise a Kinesis user migrates for: same enrichment chain,
+  * same outputs, redelivery absorbed, per-shard framing preserved through
+  * payloads that themselves contain tabs. */
+class StreamEnrichE2ESpec extends SparkSpec {
+
+  private val T0 = 1704067200000000L
+
+  private def qs(uid: String, code: String) =
+    s"e=$code&p=web&res=1920x1080&uid=$uid&tv=js-3.0.0" +
+      "&dtm=1704067100000&stm=1704067101000" +
+      "&url=https%3A%2F%2Fshop.example.com%2Fp%2F1%3Futm_source%3Dgoogle" +
+      "&tr_tt=10.00&tr_cu=EUR"
+
+  /** A collector TSV payload — note it CONTAINS tabs; the transport frame
+    * must only consume its own three leading fields. */
+  private def payload(i: Int, code: String) =
+    Seq(s"${T0 / 1000}", "94.15.223.151", "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
+      "https://shop.example.com/p/1", code, qs(s"user$i", code)).mkString("\t")
+
+  test("framed stream with redelivery -> absorb -> enrich == batch over unique payloads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("enrich-e2e")
+    // 8 records on 2 shards; record 5 carries an invalid event code (the
+    // bad-row path must survive the streaming plan too)
+    val payloads = (0 until 8).map(i => payload(i, if (i == 5) "zz" else "pv"))
+    def frame(i: Int) = s"${i % 2}\t${i / 2}\t${T0 + i * 1000000L}\t${payloads(i)}"
+    java.nio.file.Files.writeString(dir.resolve("b1.txt"),
+      (0 until 6).map(frame).mkString("", "\n", "\n"))
+
+    val clean = Transport.absorbRedelivery(
+      Transport.AtLeastOnce(Transport.FileShards(dir.toString), replayEvery = 2).read(spark),
+      watermarkDelay = "1 hour")
+    val enriched = PipelineQuery.pipeline.run(
+      Protocol.fromCollector(Sources.parseCollectorTsv(clean.select("value"))))
+      .select(col("user_id"), col("event"), col("platform"), col("page_urlhost"),
+        col("base_amount_e8"), size(col("bad_row_errors")).as("n_errors"))
+
+    val q = enriched.writeStream.format("memory").queryName("enrich_e2e")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second delivery: two verbatim replays of committed records + the tail
+      java.nio.file.Files.writeString(dir.resolve("b2.txt"),
+        (Seq(frame(0), frame(3)) ++ (6 until 8).map(frame)).mkString("", "\n", "\n"))
+      q.processAllAvailable()
+
+      val got = spark.sql("SELECT * FROM enrich_e2e")
+        .as[(String, String, String, String, Long, Int)].collect().sorted.toSeq
+      val want = PipelineQuery.pipeline.run(
+        Protocol.fromCollector(Sources.parseCollectorTsv(payloads.toDF("value"))))
+        .select(col("user_id"), col("event"), col("platform"), col("page_urlhost"),
+          col("base_amount_e8"), size(col("bad_row_errors")).as("n_errors"))
+        .as[(String, String, String, String, Long, Int)].collect().sorted.toSeq
+      assert(got == want, s"stream(${got.length}) != batch(${want.length})")
+      assert(got.count(_._6 > 0) == 1, "exactly the planted bad event flags")
+      assert(got.forall(_._5 == 1000L * 1080000L), "EUR 10.00 converts on both paths")
+    } finally q.stop()
+  }
+}
