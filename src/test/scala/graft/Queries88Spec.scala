@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries88 oracle rows alone don't pin: graded-vs-binary
+  * gate agreement and link-plant exactness. */
+class Queries88Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("toxicity_score: mass > 0 exactly where blocklist_filter would flag; identities") {
+    val rows = SparkEntry.queries("toxicity_score")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextF.tokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { case (id, nToks, mass, milli) =>
+      val toks = docs(id)
+      val want = toks.map {
+        case "slow" => 1L
+        case "big" => 2L
+        case "crash" => 5L
+        case _ => 0L
+      }.sum
+      assert(mass == want, s"doc $id mass")
+      assert(milli == (if (nToks == 0) 0L else mass * 1000 / nToks))
+    }
+    // graded and binary gates agree on WHO is flagged
+    assert(rows.count(_._3 > 0) > 0)
+    val binaryFlagged = docs.count(_._2.exists(Set("slow", "big", "crash")))
+    assert(rows.count(_._3 > 0) == binaryFlagged)
+  }
+
+  test("text_link_graph: domains and masses equal the plant pattern") {
+    import graft.queries.Queries88.{LinkEvery, LinkMod}
+    val rows = SparkEntry.queries("text_link_graph")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val planted = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % LinkEvery == LinkMod)
+    assert(planted.nonEmpty)
+    // every planted doc links ref.example.org once
+    assert(rows("ref.example.org") == (planted.length.toLong, planted.length.toLong))
+    // site<k> domains partition the planted docs by doc_id % 6
+    val byMod = planted.groupBy(_ % 6)
+    byMod.foreach { case (k, ids) =>
+      assert(rows(s"site$k.example.com") == (ids.length.toLong, ids.length.toLong), s"site$k")
+    }
+    assert(rows.keySet == byMod.keySet.map(k => s"site$k.example.com") + "ref.example.org")
+  }
+}
