@@ -51,13 +51,14 @@ object Queries86 {
         col("nv2").as("nn2"), KMeans.assignCellMicro(col("v"), cents).as("cell"))
       val qraw = base.filter(col("vec_id") < RecallProbeQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv2").as("qn2"))
-      // nprobe=2: the two best cells off ONE sorted sims array
+      // nprobe=2: the two best cells off ONE sorted sims array (ascending
+      // sort → the k=8 cells' best sit at positions k and k-1)
+      val k = cents.length
       val probes = broadcast(base.filter(col("vec_id") < RecallProbeQueries)
         .withColumn("sq", sort_array(KMeans.cellSimsMicro(col("v"), cents)))
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv2").as("qn2"),
-          explode(array(
-            element_at(col("sq"), 8).getField("negc") * -1L,
-            element_at(col("sq"), 7).getField("negc") * -1L)).as("cell")))
+          explode(array((0 until RecallNprobe).map(j =>
+            element_at(col("sq"), k - j).getField("negc") * -1L): _*)).as("cell")))
       def cos = {
         val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
           lit(0L), (a, x) => a + x)
