@@ -114,6 +114,25 @@ class IgluResolverSpec extends SparkSpec {
     assert(out(4L).exists(_.contains("unknown_key")))
   }
 
+  test("the reference's own iglu_resolver.json drops in verbatim") {
+    val refFile = java.nio.file.Paths.get("/root/reference/config/iglu_resolver.json")
+    assume(java.nio.file.Files.isRegularFile(refFile))
+    val json = java.nio.file.Files.readString(refFile)
+    val (central, _) = mkRegistries()
+    // the file names Iglu Central + its GCP mirror over http; both map to
+    // local mirror dirs at parse time (the zero-egress seam)
+    val cfg = IgluResolver.parseConfig(json, mirrors = Map(
+      "http://iglucentral.com" -> central.toString,
+      "http://mirror01.iglucentral.com" -> central.toString))
+    assert(cfg.repositories.map(_.name).toSet ==
+      Set("Iglu Central", "Iglu Central - GCP Mirror"))
+    assert(cfg.cacheSize == 500)
+    // priority 0 primary wins over the priority 1 mirror for snowplow vendors
+    val (winner, _) = IgluResolver.lookup(cfg,
+      "iglu:com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1").get
+    assert(winner == "Iglu Central")
+  }
+
   test("compileFieldSpecs maps the draft-4 subset incl. arrays and $ref") {
     val (fields, closed) = IgluResolver.compileFieldSpecs(
       """{"type":"object",
