@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries89 oracle rows alone don't pin: each grouping set
+  * independently conserves the fact table, and the melt is lossless. */
+class Queries89Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("grouping_sets_report: every set partitions orders and revenue; no grand total") {
+    val rows = SparkEntry.queries("grouping_sets_report")(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3)))
+    val nOrders = Tables.orders(spark, dir).count()
+    val revenue = Tables.orders(spark, dir)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
+    val byPriority = rows.filter(r => r._1.isDefined && r._2.isEmpty)
+    val byYear = rows.filter(r => r._1.isEmpty && r._2.isDefined)
+    val byBoth = rows.filter(r => r._1.isDefined && r._2.isDefined)
+    Seq(byPriority, byYear, byBoth).foreach { set =>
+      assert(set.map(_._3).sum == nOrders && set.map(_._4).sum == revenue,
+        "each grouping set is a full partition of the facts")
+    }
+    assert(!rows.exists(r => r._1.isEmpty && r._2.isEmpty), "no grand-total row (not a cube)")
+    assert(byPriority.size * byYear.size >= byBoth.size, "cross set no larger than the product")
+  }
+
+  test("metrics_unpivot: melt is lossless against the wide aggregate") {
+    val long = SparkEntry.queries("metrics_unpivot")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wide = Tables.events(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+      .collect()
+    assert(long.size == wide.length * 3)
+    wide.foreach { r =>
+      val d = r.getLong(0)
+      assert(long((d, "n_events")) == r.getLong(1))
+      assert(long((d, "n_users")) == r.getLong(2))
+      assert(long((d, "n_types")) == r.getLong(3))
+    }
+  }
+}
