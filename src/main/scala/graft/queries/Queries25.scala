@@ -212,14 +212,15 @@ object Queries25 {
       ranks.count()
       val members = comp.select(col("id").as("doc_id"), col("comp").as("cluster"))
         .join(ranks, Seq("doc_id"))
-      val w = Window.partitionBy("cluster").orderBy(col("rank_micro").desc, col("doc_id"))
-      val wN = Window.partitionBy("cluster")
-      members
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n_members", count(lit(1)).over(wN))
-        .filter(col("rk") === 1)
-        .select(col("cluster"), col("doc_id").as("keeper_doc_id"),
-          col("n_members"), col("rank_micro").as("keeper_rank_micro"))
+      // keeper = per-cluster argmax, folded as max(struct(rank, -id)) in
+      // ONE map-side-combined aggregation (r9: replaces a row_number sort
+      // window PLUS a count window — two sorts over the member table).
+      // Ties break to the lowest doc_id via the negated id.
+      members.groupBy("cluster")
+        .agg(max(struct(col("rank_micro"), (-col("doc_id")).as("neg"))).as("__k"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster"), (col("__k.neg") * -1L).as("keeper_doc_id"),
+          col("n_members"), col("__k.rank_micro").as("keeper_rank_micro"))
         .orderBy("cluster")
     }
   )
