@@ -94,7 +94,14 @@ object DumpPlans {
     "audience_overlap_kmv", "join_size_estimate", "dedup_provenance",
     "asof_nearest", "interpolate_fill", "bloom_fpr_audit", "skipgram_counts",
     "shingle_compression", "keeper_policy_diff", "watermark_planner",
-    "span_corruption", "source_scorecard")
+    "span_corruption", "source_scorecard",
+    // round-9: the hash-exact integer-micro trained IVF + its recall
+    // audit, the exact integer-moment OLS, the one-scan gap sweep, the
+    // fused enrich-then-aggregate rollup, the absorbed-replay batch twin,
+    // the explicit grouping sets, and the inline()-generated array adapter
+    "ann_ivf_kmeans", "ann_trained_recall", "price_elasticity",
+    "session_gap_sweep", "revenue_by_geo", "event_dedup_window",
+    "grouping_sets_report", "adapter_mandrill")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
