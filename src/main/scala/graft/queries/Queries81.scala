@@ -63,6 +63,9 @@ object Queries81 {
         col("l_returnflag"),
         round(col("l_discount") * 1000).cast("bigint").as("x"),
         round(col("l_quantity")).cast("bigint").as("y"))
+      // precondition: every group has x-variance (n·Σx² > (Σx)²) — true
+      // for any group spanning ≥2 distinct discounts; a constant-x group
+      // has no defined slope (StreamOls emits 0 for that degenerate case)
       li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
