@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries90 oracle rows alone don't pin: the revision
+  * report composes with the raw skew universe and actually fires. */
+class Queries90Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("late_data_reconciliation: conservation, identity, and a live late channel") {
+    import graft.queries.Queries90.LateThresholdMs
+    val rows = SparkEntry.queries("late_data_reconciliation")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = Tables.events(spark, dir).count()
+    assert(rows.map(_._3).sum == n, "every event lands in exactly one day")
+    rows.foreach { case (day, onTime, fin, late, milli) =>
+      assert(onTime + late == fin, s"day $day split")
+      assert(milli == late * 1000 / fin)
+    }
+    // the synth skew universe exceeds 3s on a deterministic slice, so the
+    // late channel is non-empty — an all-zero revision report certifies
+    // nothing about watermark sizing
+    assert(rows.map(_._4).sum > 0, "late events present")
+    // and cross-check one day against the raw skew definition
+    val raw = graft.queries.Synth.withRaw(Tables.events(spark, dir))
+      .select(expr("ts_us div 86400000000").as("day"),
+        (col("collector_us") - col("created_us")).as("skew_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = rows.head._1
+    val want = raw.filter(_._1 == d0).count(_._2 > LateThresholdMs * 1000)
+    assert(rows.head._4 == want, "late count recomputes from raw skew")
+  }
+}
