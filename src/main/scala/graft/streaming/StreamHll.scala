@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.queries.Queries91
+
+/** Streaming HyperLogLog — the incremental twin of the batch
+  * `distinct_hll` query, via `mapGroupsWithState`.
+  *
+  * HLL registers are MERGEABLE by elementwise max, so per-key state is a
+  * fixed m-byte register array FOREVER (m = 64 here — the reason HLL is
+  * the planet-scale cardinality sketch: state never grows with
+  * cardinality, and partial sketches combine associatively across
+  * executors, days and restarts). Bucket/rank derivation and the
+  * all-integer estimator are shared verbatim with the batch query
+  * ([[Queries91.hllBucketRank]] spelling, S = Σ 2^(cap − min(r, cap)),
+  * est = α-numerator / (1000·S)), so after any stream prefix the emitted
+  * row is BIT-IDENTICAL to the batch query over the same prefix —
+  * StreamHllSpec pins the three-micro-batch stream == the oracle-checked
+  * batch rows.
+  */
+object StreamHll extends Serializable {
+
+  /** One sketch emission per touched key per micro-batch. `n_seen` is
+    * monotone (the spec picks each key's final emission by it). */
+  case class HllRow(
+    event_type: String, n_seen: Long, n_set: Long, s: Long, est_hll: Long)
+
+  private[streaming] def estimate(regs: Array[Long]): (Long, Long) = {
+    val cap = Queries91.HllRankCap
+    var s = 0L
+    var set = 0L
+    regs.foreach { r =>
+      if (r > 0) { set += 1; s += 1L << (cap - math.min(r, cap)).toInt }
+      else s += 1L << cap.toInt
+    }
+    (set, s)
+  }
+
+  /** Sketch a stream of pre-derived (`event_type`, `bucket`, `rank`) rows
+    * (the [[Queries91.hllBucketRank]] projection applied upstream).
+    * Update mode: every micro-batch emits each touched key's current
+    * sketch + exact-integer estimate. */
+  def sketch(spark: SparkSession, bucketRank: DataFrame): Dataset[HllRow] = {
+    import spark.implicits._
+
+    def update(key: String, rows: Iterator[(String, Long, Long)],
+        state: GroupState[(Array[Long], Long)]): HllRow = {
+      val (regs0, seen0) = state.getOption.getOrElse((Array.fill(Queries91.HllM)(0L), 0L))
+      var seen = seen0
+      val regs = regs0.clone()
+      rows.foreach { case (_, bucket, rank) =>
+        seen += 1
+        val b = bucket.toInt
+        if (rank > regs(b)) regs(b) = rank
+      }
+      state.update((regs, seen))
+      val (set, s) = estimate(regs)
+      HllRow(key, seen, set, s,
+        Queries91.HllAlphaNumer / (Queries91.HllAlphaDenom * s))
+    }
+
+    bucketRank.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+}

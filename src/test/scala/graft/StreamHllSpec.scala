@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** StreamHll == batch distinct_hll, bit-exact: registers merge by max, so
+  * the stream's final sketch per key must equal the oracle-checked batch
+  * query over the same rows — regardless of micro-batch chopping. */
+class StreamHllSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed HLL over three micro-batches == batch distinct_hll") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = graft.queries.Queries91.hllBucketRank(Tables.events(spark, dir))
+      .as[(String, Long, Long)].collect()
+    assert(rows.length >= 1000)
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val sketches = graft.streaming.StreamHll.sketch(spark,
+      mem.toDF().toDF("event_type", "bucket", "rank"))
+    val q = sketches.writeStream.format("memory").queryName("stream_hll")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val stream = spark.sql(
+        """SELECT event_type, n_set, est_hll FROM stream_hll a
+          |WHERE n_seen = (SELECT max(n_seen) FROM stream_hll b
+          |                WHERE b.event_type = a.event_type)""".stripMargin)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = SparkEntry.queries("distinct_hll")(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (graft.queries.Queries91.HllM - r.getLong(3), r.getLong(2))).toMap
+      assert(stream.keySet == batch.keySet)
+      batch.foreach { case (k, (nSet, est)) =>
+        assert(stream(k) == ((nSet, est)), s"key $k: stream ${stream(k)} != batch ($nSet, $est)")
+      }
+      // per-key state is bounded at m registers no matter the stream length
+      assert(stream.values.forall(_._1 <= graft.queries.Queries91.HllM))
+    } finally q.stop()
+  }
+}
