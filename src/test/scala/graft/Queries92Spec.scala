@@ -1,0 +1,28 @@
+package graft
+
+/** Invariants the Queries92 oracle row alone doesn't pin: the funnel's
+  * session base equals sessionize's output and the depths nest. */
+class Queries92Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sessionized_funnel: session base == sessionize; depths nest; strictest of the funnels") {
+    val r = SparkEntry.queries("sessionized_funnel")(spark, dir).collect().head
+    val (n, v, vc, full, bp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == SparkEntry.queries("sessionize")(spark, dir).count(),
+      "same session definition as sessionize")
+    assert(v <= n && vc <= v && full <= vc, "funnel depths nest")
+    assert(bp == full * 10000 / n)
+    assert(v > 0, "sessions with views exist")
+    // at sf0.001 sessions average ~1 event, so the within-session funnel
+    // correctly yields (near-)zero completions — the strictness IS the
+    // semantics; pin the ceiling rather than demand conversions
+    val purchases = Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(full <= purchases)
+    // and it is never looser than the 7-day ordered funnel's user count
+    val ordered = SparkEntry.queries("ordered_funnel")(spark, dir).collect()
+    assert(full <= ordered.length.toLong * 1000,
+      "sanity ceiling only — shapes differ (sessions vs users)")
+  }
+}
