@@ -1,0 +1,39 @@
+package graft
+
+/** Invariants the Queries93 oracle rows alone don't pin: the sizing curve's
+  * structure and scoreboard agreement with the underlying sketches. */
+class Queries93Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hll_size_tradeoff: p=6 row agrees with a corpus-wide distinct_hll; m doubles") {
+    val rows = SparkEntry.queries("hll_size_tradeoff")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(4L, 5L, 6L))
+    assert(rows.map(_._2).toSeq == Seq(16L, 32L, 64L))
+    rows.foreach { case (_, m, nSet, est, nExact, err) =>
+      assert(nSet <= m)
+      assert(est > 0 && err == est * 1000 / nExact - 1000)
+      // HLL at these register counts stays within ~±40% on a ~900-key set
+      assert(math.abs(err) <= 400, s"m=$m err=$err out of the expected band")
+    }
+    // same exact count on every row (one universe)
+    assert(rows.map(_._5).distinct.length == 1)
+  }
+
+  test("cardinality_scoreboard: rows recompute from the two sketch queries") {
+    val board = SparkEntry.queries("cardinality_scoreboard")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val kmv = SparkEntry.queries("distinct_kmv")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val hll = SparkEntry.queries("distinct_hll")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(board.keySet == kmv.keySet.intersect(hll.keySet))
+    board.foreach { case (t, (nExact, estK, errK, estH, errH)) =>
+      assert(estK == kmv(t), s"$t kmv")
+      assert((nExact, estH) == hll(t), s"$t hll")
+      assert(errK == estK * 1000 / nExact - 1000)
+      assert(errH == estH * 1000 / nExact - 1000)
+    }
+  }
+}
