@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, EnrichQueries, LlmQueries, PipelineQuery, Queries2, Queries3, Queries4, Queries5, Queries6, Queries7, Queries8, Queries9, Queries10, Queries11, Queries12, Queries13, Queries14, Queries15, Queries16, Queries17, Queries18, Queries19, Queries20, Queries21, Queries22, Queries23, Queries24, Queries25, Queries26, Queries27, Queries28, Queries29, Queries30, Queries31, Queries32, Queries33, Queries34, Queries35, Queries36, Queries37, Queries38, Queries39, Queries40, Queries41, Queries42, Queries43, Queries44, Queries45, Queries46, Queries47, Queries48, Queries49, Queries50, Queries51, Queries52, Queries53, Queries54, Queries55, Queries56, Queries57, Queries58, Queries59, Queries60, Queries61, Queries62, Queries63, Queries64, Queries65, Queries66, Queries67, Queries68, Queries69, Queries70, Queries71, Queries72, Queries73, Queries74, Queries75, Queries76, Queries77, Queries78, Queries79, Queries80, Queries81, Queries82, Queries83, Queries84, Queries85, Queries86, Queries87, Queries88, Queries89, Queries90, Queries91, Queries92, Queries93}
+import graft.queries.{AnalyticsQueries, EnrichQueries, LlmQueries, PipelineQuery, Queries2, Queries3, Queries4, Queries5, Queries6, Queries7, Queries8, Queries9, Queries10, Queries11, Queries12, Queries13, Queries14, Queries15, Queries16, Queries17, Queries18, Queries19, Queries20, Queries21, Queries22, Queries23, Queries24, Queries25, Queries26, Queries27, Queries28, Queries29, Queries30, Queries31, Queries32, Queries33, Queries34, Queries35, Queries36, Queries37, Queries38, Queries39, Queries40, Queries41, Queries42, Queries43, Queries44, Queries45, Queries46, Queries47, Queries48, Queries49, Queries50, Queries51, Queries52, Queries53, Queries54, Queries55, Queries56, Queries57, Queries58, Queries59, Queries60, Queries61, Queries62, Queries63, Queries64, Queries65, Queries66, Queries67, Queries68, Queries69, Queries70, Queries71, Queries72, Queries73, Queries74, Queries75, Queries76, Queries77, Queries78, Queries79, Queries80, Queries81, Queries82, Queries83, Queries84, Queries85, Queries86, Queries87, Queries88, Queries89, Queries90, Queries91, Queries92, Queries93, Queries94}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
   *
@@ -22,9 +22,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EnrichQueries.defs ++ AnalyticsQueries.defs ++ LlmQueries.defs ++ Queries2.defs ++ Queries3.defs ++ Queries4.defs ++ Queries5.defs ++ Queries6.defs ++ Queries7.defs ++ Queries8.defs ++ Queries9.defs ++ Queries10.defs ++ Queries11.defs ++ Queries12.defs ++ Queries13.defs ++ Queries14.defs ++ Queries15.defs ++ Queries16.defs ++ Queries17.defs ++ Queries18.defs ++ Queries19.defs ++ Queries20.defs ++ Queries21.defs ++ Queries22.defs ++ Queries23.defs ++ Queries24.defs ++ Queries25.defs ++ Queries26.defs ++ Queries27.defs ++ Queries28.defs ++ Queries29.defs ++ Queries30.defs ++ Queries31.defs ++ Queries32.defs ++ Queries33.defs ++ Queries34.defs ++ Queries35.defs ++ Queries36.defs ++ Queries37.defs ++ Queries38.defs ++ Queries39.defs ++ Queries40.defs ++ Queries41.defs ++ Queries42.defs ++ Queries43.defs ++ Queries44.defs ++ Queries45.defs ++ Queries46.defs ++ Queries47.defs ++ Queries48.defs ++ Queries49.defs ++ Queries50.defs ++ Queries51.defs ++ Queries52.defs ++ Queries53.defs ++ Queries54.defs ++ Queries55.defs ++ Queries56.defs ++ Queries57.defs ++ Queries58.defs ++ Queries59.defs ++ Queries60.defs ++ Queries61.defs ++ Queries62.defs ++ Queries63.defs ++ Queries64.defs ++ Queries65.defs ++ Queries66.defs ++ Queries67.defs ++ Queries68.defs ++ Queries69.defs ++ Queries70.defs ++ Queries71.defs ++ Queries72.defs ++ Queries73.defs ++ Queries74.defs ++ Queries75.defs ++ Queries76.defs ++ Queries77.defs ++ Queries78.defs ++ Queries79.defs ++ Queries80.defs ++ Queries81.defs ++ Queries82.defs ++ Queries83.defs ++ Queries84.defs ++ Queries85.defs ++ Queries86.defs ++ Queries87.defs ++ Queries88.defs ++ Queries89.defs ++ Queries90.defs ++ Queries91.defs ++ Queries92.defs ++ Queries93.defs ++ PipelineQuery.defs
+    EnrichQueries.defs ++ AnalyticsQueries.defs ++ LlmQueries.defs ++ Queries2.defs ++ Queries3.defs ++ Queries4.defs ++ Queries5.defs ++ Queries6.defs ++ Queries7.defs ++ Queries8.defs ++ Queries9.defs ++ Queries10.defs ++ Queries11.defs ++ Queries12.defs ++ Queries13.defs ++ Queries14.defs ++ Queries15.defs ++ Queries16.defs ++ Queries17.defs ++ Queries18.defs ++ Queries19.defs ++ Queries20.defs ++ Queries21.defs ++ Queries22.defs ++ Queries23.defs ++ Queries24.defs ++ Queries25.defs ++ Queries26.defs ++ Queries27.defs ++ Queries28.defs ++ Queries29.defs ++ Queries30.defs ++ Queries31.defs ++ Queries32.defs ++ Queries33.defs ++ Queries34.defs ++ Queries35.defs ++ Queries36.defs ++ Queries37.defs ++ Queries38.defs ++ Queries39.defs ++ Queries40.defs ++ Queries41.defs ++ Queries42.defs ++ Queries43.defs ++ Queries44.defs ++ Queries45.defs ++ Queries46.defs ++ Queries47.defs ++ Queries48.defs ++ Queries49.defs ++ Queries50.defs ++ Queries51.defs ++ Queries52.defs ++ Queries53.defs ++ Queries54.defs ++ Queries55.defs ++ Queries56.defs ++ Queries57.defs ++ Queries58.defs ++ Queries59.defs ++ Queries60.defs ++ Queries61.defs ++ Queries62.defs ++ Queries63.defs ++ Queries64.defs ++ Queries65.defs ++ Queries66.defs ++ Queries67.defs ++ Queries68.defs ++ Queries69.defs ++ Queries70.defs ++ Queries71.defs ++ Queries72.defs ++ Queries73.defs ++ Queries74.defs ++ Queries75.defs ++ Queries76.defs ++ Queries77.defs ++ Queries78.defs ++ Queries79.defs ++ Queries80.defs ++ Queries81.defs ++ Queries82.defs ++ Queries83.defs ++ Queries84.defs ++ Queries85.defs ++ Queries86.defs ++ Queries87.defs ++ Queries88.defs ++ Queries89.defs ++ Queries90.defs ++ Queries91.defs ++ Queries92.defs ++ Queries93.defs ++ Queries94.defs ++ PipelineQuery.defs
 
   /** DuckDB twins, same column names/types (driver hash-compares). */
   def oracleSql: Map[String, String] =
-    EnrichQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles ++ Queries5.oracles ++ Queries6.oracles ++ Queries7.oracles ++ Queries8.oracles ++ Queries9.oracles ++ Queries10.oracles ++ Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles ++ Queries14.oracles ++ Queries15.oracles ++ Queries16.oracles ++ Queries17.oracles ++ Queries18.oracles ++ Queries19.oracles ++ Queries20.oracles ++ Queries21.oracles ++ Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles ++ Queries25.oracles ++ Queries26.oracles ++ Queries27.oracles ++ Queries28.oracles ++ Queries29.oracles ++ Queries30.oracles ++ Queries31.oracles ++ Queries32.oracles ++ Queries33.oracles ++ Queries34.oracles ++ Queries35.oracles ++ Queries36.oracles ++ Queries37.oracles ++ Queries38.oracles ++ Queries39.oracles ++ Queries40.oracles ++ Queries41.oracles ++ Queries42.oracles ++ Queries43.oracles ++ Queries44.oracles ++ Queries45.oracles ++ Queries46.oracles ++ Queries47.oracles ++ Queries48.oracles ++ Queries49.oracles ++ Queries50.oracles ++ Queries51.oracles ++ Queries52.oracles ++ Queries53.oracles ++ Queries54.oracles ++ Queries55.oracles ++ Queries56.oracles ++ Queries57.oracles ++ Queries58.oracles ++ Queries59.oracles ++ Queries60.oracles ++ Queries61.oracles ++ Queries62.oracles ++ Queries63.oracles ++ Queries64.oracles ++ Queries65.oracles ++ Queries66.oracles ++ Queries67.oracles ++ Queries68.oracles ++ Queries69.oracles ++ Queries70.oracles ++ Queries71.oracles ++ Queries72.oracles ++ Queries73.oracles ++ Queries74.oracles ++ Queries75.oracles ++ Queries76.oracles ++ Queries77.oracles ++ Queries78.oracles ++ Queries79.oracles ++ Queries80.oracles ++ Queries81.oracles ++ Queries82.oracles ++ Queries83.oracles ++ Queries84.oracles ++ Queries85.oracles ++ Queries86.oracles ++ Queries87.oracles ++ Queries88.oracles ++ Queries89.oracles ++ Queries90.oracles ++ Queries91.oracles ++ Queries92.oracles ++ Queries93.oracles ++ PipelineQuery.oracles
+    EnrichQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles ++ Queries5.oracles ++ Queries6.oracles ++ Queries7.oracles ++ Queries8.oracles ++ Queries9.oracles ++ Queries10.oracles ++ Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles ++ Queries14.oracles ++ Queries15.oracles ++ Queries16.oracles ++ Queries17.oracles ++ Queries18.oracles ++ Queries19.oracles ++ Queries20.oracles ++ Queries21.oracles ++ Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles ++ Queries25.oracles ++ Queries26.oracles ++ Queries27.oracles ++ Queries28.oracles ++ Queries29.oracles ++ Queries30.oracles ++ Queries31.oracles ++ Queries32.oracles ++ Queries33.oracles ++ Queries34.oracles ++ Queries35.oracles ++ Queries36.oracles ++ Queries37.oracles ++ Queries38.oracles ++ Queries39.oracles ++ Queries40.oracles ++ Queries41.oracles ++ Queries42.oracles ++ Queries43.oracles ++ Queries44.oracles ++ Queries45.oracles ++ Queries46.oracles ++ Queries47.oracles ++ Queries48.oracles ++ Queries49.oracles ++ Queries50.oracles ++ Queries51.oracles ++ Queries52.oracles ++ Queries53.oracles ++ Queries54.oracles ++ Queries55.oracles ++ Queries56.oracles ++ Queries57.oracles ++ Queries58.oracles ++ Queries59.oracles ++ Queries60.oracles ++ Queries61.oracles ++ Queries62.oracles ++ Queries63.oracles ++ Queries64.oracles ++ Queries65.oracles ++ Queries66.oracles ++ Queries67.oracles ++ Queries68.oracles ++ Queries69.oracles ++ Queries70.oracles ++ Queries71.oracles ++ Queries72.oracles ++ Queries73.oracles ++ Queries74.oracles ++ Queries75.oracles ++ Queries76.oracles ++ Queries77.oracles ++ Queries78.oracles ++ Queries79.oracles ++ Queries80.oracles ++ Queries81.oracles ++ Queries82.oracles ++ Queries83.oracles ++ Queries84.oracles ++ Queries85.oracles ++ Queries86.oracles ++ Queries87.oracles ++ Queries88.oracles ++ Queries89.oracles ++ Queries90.oracles ++ Queries91.oracles ++ Queries92.oracles ++ Queries93.oracles ++ Queries94.oracles ++ PipelineQuery.oracles
 }

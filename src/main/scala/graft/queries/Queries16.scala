@@ -63,10 +63,10 @@ object Queries16 {
   private[graft] def bloomBit(pos: Column): Column =
     call_function("shiftleft", lit(1L), (pos % 32).cast("int"))
 
-  private def nibSql(x: String): String =
+  private[queries] def nibSql(x: String): String =
     s"(CASE WHEN ascii($x) <= 57 THEN ascii($x) - 48 ELSE ascii($x) - 87 END)"
 
-  private def bloomPosSql(salt: String, fp: String, m: Int = BloomBits): String = {
+  private[queries] def bloomPosSql(salt: String, fp: String, m: Int = BloomBits): String = {
     val h = s"md5(concat('$salt', $fp))"
     s"((${nibSql(s"substr($h, 1, 1)")} * 4096 + ${nibSql(s"substr($h, 2, 1)")} * 256 + " +
       s"${nibSql(s"substr($h, 3, 1)")} * 16 + ${nibSql(s"substr($h, 4, 1)")}) % $m)"
@@ -78,7 +78,7 @@ object Queries16 {
   private[graft] def bloomDocsForSpec(sp: SparkSession, dir: String): DataFrame =
     bloomDocs(sp, dir)
 
-  private def bloomDocs(sp: SparkSession, dir: String): DataFrame =
+  private[queries] def bloomDocs(sp: SparkSession, dir: String): DataFrame =
     Tables.documents(sp, dir).select(col("doc_id"),
       when(col("doc_id") % 11 === 5 || (col("doc_id") % 3 === 1 && col("doc_id") % 7 === 2),
         lit(BloomBoiler))

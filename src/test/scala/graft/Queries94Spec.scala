@@ -1,0 +1,30 @@
+package graft
+
+/** Invariants the Queries94 oracle rows alone don't pin: the width sweep's
+  * monotone structure and agreement with the single-width audit. */
+class Queries94Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bloom_size_tradeoff: fpr monotone non-increasing in m; 1024 row == bloom_fpr_audit") {
+    val rows = SparkEntry.queries("bloom_size_tradeoff")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == graft.queries.Queries94.Widths.map(_.toLong))
+    // widening the filter can only reduce false positives and the fill rate
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "false positives monotone in m")
+    assert(rows.map(_._6).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "fill-based theoretical fpr monotone in m")
+    rows.foreach { case (m, bitsSet, nProbes, fps, fpr, _) =>
+      assert(bitsSet <= m && fps <= nProbes && fpr == fps * 1000 / nProbes)
+    }
+    // the narrowest width measurably false-positives (the sweep is live)
+    assert(rows.head._4 > 0, "m=512 must fire the error branch")
+    // same probe universe on every row
+    assert(rows.map(_._3).distinct.length == 1)
+    // the m=1024 row must equal the standalone audit's row
+    val audit = SparkEntry.queries("bloom_fpr_audit")(spark, dir).collect().head
+    val at1024 = rows.find(_._1 == 1024L).get
+    assert(at1024._2 == audit.getLong(3) && at1024._4 == audit.getLong(5),
+      "sweep@1024 != bloom_fpr_audit")
+  }
+}
