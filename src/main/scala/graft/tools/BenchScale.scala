@@ -82,7 +82,13 @@ object BenchScale {
     // pairs, the per-cluster size rollup, the order-bounded part pairs,
     // the blocked survivorship merge, and the bucketed negative miner
     "pipeline_manifest", "cluster_purity_audit", "dedup_cluster_sizes",
-    "order_part_affinity", "golden_record", "hard_negative_mine")
+    "order_part_affinity", "golden_record", "hard_negative_mine",
+    // round-9 continuation: the fused enrich-rollup (scan-bound by
+    // design), the register-bounded HLL, the three-width Bloom sweep
+    // (probe cost ∝ widths × non-members, never corpus²), the one-scan
+    // session sweep, and the session-scoped funnel's single exchange
+    "revenue_by_geo", "distinct_hll", "bloom_size_tradeoff",
+    "session_gap_sweep", "sessionized_funnel")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
