@@ -109,6 +109,26 @@ object Queries15 {
     s"CAST(coalesce(list_sum(list_transform($toksExpr, t -> " +
       s"list_extract(${listLit(table)}, ${bucketSql(salt, "t")} + 1))), 0) AS BIGINT)"
 
+  /** DSIR log importance weight (milli-nats) of a raw `text` column — the
+    * single spelling `dsir_score` and `importance_sample` both build on
+    * (Synth-lockstep rule: edit together with [[dsirLogwSql]]). */
+  private[queries] def dsirLogw(text: Column): Column = {
+    val toks = TextF.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit("_"), element_at(toks, (i + 1).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+    when(TextF.tokenCount(text).cast("bigint") < 2, lit(0L))
+      .otherwise(scoreCol(bigrams, "ds:", DsirDiff))
+  }
+
+  /** DuckDB twin of [[dsirLogw]] over a CTE exposing token list `t`. */
+  private[queries] def dsirLogwSqlOverT: String = {
+    val bigramsSql =
+      "list_transform(range(1, len(t)), i -> concat(t[i], '_', t[i + 1]))"
+    s"CASE WHEN len(t) < 2 THEN 0 ELSE ${scoreSql(bigramsSql, "ds:", DsirDiff)} END"
+  }
+
   val defs: Map[String, Q] = Map(
     "substring_dedup" -> { (sp, dir) =>
       val base = Tables.documents(sp, dir).select(col("doc_id"), col("text"))
@@ -151,18 +171,11 @@ object Queries15 {
     },
 
     "dsir_score" -> { (sp, dir) =>
-      val toks = TextF.tokens(col("text"))
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1), i =>
-          concat(element_at(toks, i), lit("_"), element_at(toks, (i + 1).cast("int")))))
-        .otherwise(array().cast("array<string>"))
       val nToks = TextF.tokenCount(col("text")).cast("bigint")
-      val logw = when(nToks < 2, lit(0L))
-        .otherwise(scoreCol(bigrams, "ds:", DsirDiff))
       Tables.documents(sp, dir)
         .select(col("doc_id"),
           greatest(nToks - 1, lit(0L)).as("n_bigrams"),
-          logw.as("logw_milli"))
+          dsirLogw(col("text")).as("logw_milli"))
         .withColumn("keep", col("logw_milli") > 0)
         .orderBy("doc_id")
     }
@@ -217,8 +230,6 @@ object Queries15 {
          |ORDER BY doc_id""".stripMargin,
 
     "dsir_score" -> {
-      val bigramsSql =
-        s"list_transform(range(1, len(t)), i -> concat(t[i], '_', t[i + 1]))"
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    CASE WHEN $normSql = '' THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS t
@@ -226,8 +237,7 @@ object Queries15 {
          |), scored AS (
          |  SELECT doc_id,
          |    CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
-         |    CASE WHEN len(t) < 2 THEN 0
-         |         ELSE ${scoreSql(bigramsSql, "ds:", DsirDiff)} END AS logw_milli
+         |    $dsirLogwSqlOverT AS logw_milli
          |  FROM toks
          |)
          |SELECT doc_id, n_bigrams, CAST(logw_milli AS BIGINT) AS logw_milli,

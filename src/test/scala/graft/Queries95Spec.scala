@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries95 oracle rows alone don't pin: flow-matrix mass
+  * conservation against the raw fact join, heatmap grid bounds and event
+  * conservation, and the dim-profile's agreement with the per-vector
+  * norm accounting. */
+class Queries95Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("trade_flow_matrix: conserves revenue and item mass; domestic flag consistent") {
+    val m = SparkEntry.queries("trade_flow_matrix")(spark, dir).collect()
+    val nLineitem = Tables.lineitem(spark, dir).count()
+    assert(m.map(_.getLong(3)).sum == nLineitem,
+      "every lineitem lands in exactly one flow cell (FK-complete star)")
+    val direct = Tables.lineitem(spark, dir)
+      .select((round(col("l_extendedprice") * 100).cast("bigint") *
+        (lit(100L) - round(col("l_discount") * 100).cast("bigint"))).as("rev"))
+      .agg(sum("rev")).collect().head.getLong(0)
+    assert(m.map(_.getLong(2)).sum == direct, "matrix revenue == direct fact total")
+    assert(m.map(_.getLong(4)).sum <= 1000, "floor-div shares sum to at most 1000")
+    m.foreach { r =>
+      assert((r.getLong(5) == 1L) == (r.getString(0) == r.getString(1)))
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
+
+  test("activity_heatmap: grid bounds and event conservation") {
+    val h = SparkEntry.queries("activity_heatmap")(spark, dir).collect()
+    assert(h.map(_.getLong(2)).sum == Tables.events(spark, dir).count())
+    h.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+      assert(r.getLong(3) == r.getLong(2) * 1000 / h.map(_.getLong(2)).sum)
+    }
+  }
+
+  test("embedding_dim_profile: one row per dim, uniform n, norm mass agrees") {
+    val p = SparkEntry.queries("embedding_dim_profile")(spark, dir).collect()
+    val nVec = Tables.embeddings(spark, dir).count()
+    assert(p.map(_.getLong(0)).toSeq == (0L until p.length).toSeq, "dense 0-based dims")
+    assert(p.forall(_.getLong(1) == nVec), "every vector contributes to every dim")
+    // Σ_dim Σ_vec x² == Σ_vec ‖v‖² — the same mass embedding_norm_hist buckets
+    val normMass = Tables.embeddings(spark, dir)
+      .select(aggregate(transform(
+        graft.operators.KMeans.quantizeMicro(col("embedding")), x => x * x),
+        lit(0L), (a, x) => a + x).as("nv2"))
+      .agg(sum("nv2")).collect().head.getLong(0)
+    assert(p.map(_.getLong(3)).sum == normMass, "dim-wise sumsq mass == vector norm mass")
+    p.foreach { r =>
+      val (n, sx, sxx, mean, v) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mean == (if (sx >= 0) sx / n else -((-sx) / n)))
+      // population variance is ≥ 0; the two floors can undershoot by at most 1
+      assert(v >= -1 && v == sxx / n - mean * mean)
+      assert(math.abs(mean) <= 1000000L, "unit-scale embedding values")
+    }
+  }
+}

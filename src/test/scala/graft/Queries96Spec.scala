@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries96 oracle rows alone don't pin: migration-matrix
+  * mass, scorecard conservation against the raw facts, triangle cohort
+  * structure, and the sampler's agreement with the production DSIR score. */
+class Queries96Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("segment_migration: valid RFM codes; mass == users purchasing in both halves") {
+    val m = SparkEntry.queries("segment_migration")(spark, dir).collect()
+    def validSeg(s: Long): Boolean =
+      Seq(s / 100, s / 10 % 10, s % 10).forall(d => d >= 1 && d <= 5)
+    m.foreach { r =>
+      assert(validSeg(r.getLong(0)) && validSeg(r.getLong(1)))
+      assert(r.getLong(2) > 0)
+    }
+    // mass check straight from the raw purchase stream
+    val p = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val Array(d0, d1) = p.agg(min("day"), max("day")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val mid = d0 + (d1 - d0 + 1) / 2
+    val both = p.withColumn("half", when(col("day") < mid, 0).otherwise(1))
+      .groupBy("user_id").agg(countDistinct("half").as("h"))
+      .filter(col("h") === 2).count()
+    assert(m.map(_.getLong(2)).sum == both, "matrix mass == both-halves purchasers")
+  }
+
+  test("supplier_scorecard: conserves revenue/item mass; rates bounded") {
+    val s = SparkEntry.queries("supplier_scorecard")(spark, dir).collect()
+    assert(s.map(_.getLong(4)).sum == Tables.lineitem(spark, dir).count())
+    val direct = Tables.lineitem(spark, dir)
+      .select((round(col("l_extendedprice") * 100).cast("bigint") *
+        (lit(100L) - round(col("l_discount") * 100).cast("bigint"))).as("rev"))
+      .agg(sum("rev")).collect().head.getLong(0)
+    assert(s.map(_.getLong(3)).sum == direct)
+    s.foreach { r =>
+      assert(r.getLong(7) >= 0 && r.getLong(7) <= 1000, "return_milli in [0,1000]")
+      assert(r.getLong(5) <= r.getLong(4), "orders <= items")
+      assert(r.getLong(6) <= r.getLong(4), "parts <= items")
+    }
+  }
+
+  test("cohort_revenue_triangle: week-0 row is the cohort maximum; revenue conserved") {
+    val t = SparkEntry.queries("cohort_revenue_triangle")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("bigint").as("c"))
+      .agg(sum("c")).collect().head.getLong(0)
+    assert(t.map(_._4).sum == total, "triangle revenue == all purchase cents")
+    t.groupBy(_._1).foreach { case (_, rows) =>
+      val w0 = rows.find(_._2 == 0L).get
+      assert(rows.forall(_._3 <= w0._3), "offset-0 active count bounds the cohort")
+    }
+  }
+
+  test("importance_sample: draws below probability; weights == dsir_score's") {
+    val kept = SparkEntry.queries("importance_sample")(spark, dir).collect()
+    kept.foreach { r =>
+      assert(r.getLong(3) < r.getLong(2), "kept iff draw < p")
+      assert(r.getLong(2) >= 10 && r.getLong(2) <= 1000)
+    }
+    val dsir = SparkEntry.queries("dsir_score")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    kept.foreach(r => assert(r.getLong(1) == dsir(r.getLong(0)),
+      "sampler weight == production dsir_score weight"))
+    assert(kept.nonEmpty && kept.length < dsir.size, "a proper subsample")
+  }
+}
