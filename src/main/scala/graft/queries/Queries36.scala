@@ -90,7 +90,7 @@ object Queries36 {
     }
   )
 
-  private val sessCteSql: String =
+  private[queries] val sessCteSql: String =
     s"""ev AS (
        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
        |),

@@ -1,0 +1,38 @@
+package graft
+
+/** Invariants the Queries97 oracle rows alone don't pin: removal-effect
+  * structure (monotone against base, conserved credit) and the pathing
+  * overlay's identity with the production session_paths table. */
+class Queries97Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("attribution_markov: removal only hurts; credits conserve; base shared") {
+    val rows = SparkEntry.queries("attribution_markov")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    val base = rows.head._2
+    assert(base > 0, "the chain must convert somewhere")
+    rows.foreach { case (_, b, removed, eff, credit) =>
+      assert(b == base, "one shared base absorption mass")
+      assert(removed <= base, "removing a channel cannot raise conversion")
+      assert(eff == base - removed && eff >= 0)
+      assert(credit >= 0 && credit <= 1000)
+    }
+    // floor-division credits under-shoot, never over-shoot
+    assert(rows.map(_._5).sum <= 1000)
+    // effects must differentiate channels (a flat chain means the walk is dead)
+    assert(rows.map(_._4).distinct.length > 1, "removal effects must vary")
+  }
+
+  test("path_conversion_rate: (path,cnt) table == session_paths; rates exact") {
+    val pcr = SparkEntry.queries("path_conversion_rate")(spark, dir).collect()
+    val sp0 = SparkEntry.queries("session_paths")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(pcr.map(r => (r.getString(0), r.getLong(1))).toSeq == sp0.toSeq,
+      "same grams, same counts, same top-20 order as session_paths")
+    pcr.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "conversions bounded by occurrences")
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1))
+    }
+  }
+}
