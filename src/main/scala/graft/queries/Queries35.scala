@@ -30,6 +30,30 @@ object Queries35 {
   /** Number of merge rules learned and applied. */
   val NMerges = 3
 
+  /** The tokenized corpus both BPE queries start from. */
+  private[queries] def bpeDocs(sp: SparkSession, dir: String): DataFrame =
+    Tables.documents(sp, dir)
+      .select(col("doc_id"), TextF.tokens(col("text")).as("w"))
+
+  /** Learn the top-[[NMerges]] merge rules — (count desc, pair) tiebreak,
+    * deterministic, an NMerges-row collect (centroid-literal license). */
+  private[queries] def learnRules(docs: DataFrame): Seq[(String, String)] =
+    docs.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(NMerges)
+      .collect().map { row =>
+        val Array(l, r) = row.getString(0).split(" ", 2); (l, r)
+      }.toSeq
+
+  /** One guarded merge pass of rule (l, r) over a space-joined string
+    * expression `prev` (re-split inside). */
+  private[queries] def mergePass(prev: String, l: String, r: String): String = {
+    val arr = s"split($prev, ' ')"
+    s"CASE WHEN size($arr) <= 1 THEN $prev ELSE ${foldSql(arr, l, r)} END"
+  }
+
   /** One left-to-right merge pass of rule (l, r) as a Spark SQL fold over
     * array expression `arr` (size >= 2), returning the space-joined string. */
   private def foldSql(arr: String, l: String, r: String): String =
@@ -41,22 +65,11 @@ object Queries35 {
 
   val defs: Map[String, Q] = Map(
     "bpe_merge_apply" -> { (sp, dir) =>
-      val docs = Tables.documents(sp, dir)
-        .select(col("doc_id"), TextF.tokens(col("text")).as("w"))
-      // learn the rules: top-NMerges pairs, (count desc, pair) tiebreak —
-      // deterministic, and a 3-row collect (centroid-literal license)
-      val rules = docs.filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(NMerges)
-        .collect().map { row =>
-          val Array(l, r) = row.getString(0).split(" ", 2); (l, r)
-        }.toSeq
+      val docs = bpeDocs(sp, dir)
+      val rules = learnRules(docs)
       // apply in rank order: fold, re-split, fold again
-      val merged = rules.foldLeft("array_join(w, ' ')") { case (prev, (l, r)) =>
-        val arr = s"split($prev, ' ')"
-        s"CASE WHEN size($arr) <= 1 THEN $prev ELSE ${foldSql(arr, l, r)} END"
+      val merged = rules.foldLeft("array_join(w, ' ')") {
+        case (prev, (l, r)) => mergePass(prev, l, r)
       }
       docs
         .withColumn("s", expr(merged))
@@ -71,8 +84,10 @@ object Queries35 {
 
   private val toksSql = TextF.TokensSql
 
-  val oracles: Map[String, String] = Map(
-    "bpe_merge_apply" -> {
+  /** The shared DuckDB CTE chain: tokens → learned rules → merge passes
+    * m1/m2/m3, each carrying every earlier stage string forward (the
+    * fertility curve reads all of s1..s3; `bpe_merge_apply` reads s3). */
+  private[queries] val bpeChainCtes: String = {
       // the same fold per rule; rules pivoted to one row so each merge
       // pass references its (l, r) as correlated scalars
       def duckFold(arr: String, l: String, r: String): String =
@@ -83,7 +98,7 @@ object Queries35 {
       val pass1 = duckFold("w", "l1", "r1")
       val pass2 = duckFold("string_split(s1, ' ')", "l2", "r2")
       val pass3 = duckFold("string_split(s2, ' ')", "l3", "r3")
-      s"""WITH t AS (
+      s"""t AS (
          |  SELECT doc_id, $toksSql AS w FROM documents
          |),
          |cnts AS (
@@ -110,19 +125,23 @@ object Queries35 {
          |  FROM t, rules
          |),
          |m2 AS (
-         |  SELECT doc_id, n_before,
+         |  SELECT doc_id, n_before, s1,
          |    CASE WHEN len(string_split(s1, ' ')) <= 1 THEN s1 ELSE $pass2 END AS s2
          |  FROM m1, rules
          |),
          |m3 AS (
-         |  SELECT doc_id, n_before,
+         |  SELECT doc_id, n_before, s1, s2,
          |    CASE WHEN len(string_split(s2, ' ')) <= 1 THEN s2 ELSE $pass3 END AS s3
          |  FROM m2, rules
-         |)
+         |)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "bpe_merge_apply" ->
+      s"""WITH $bpeChainCtes
          |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
          |  CAST(CASE WHEN s3 = '' THEN 0 ELSE len(string_split(s3, ' ')) END AS BIGINT) AS n_after,
          |  md5(s3) AS sig
          |FROM m3 ORDER BY doc_id""".stripMargin
-    }
   )
 }

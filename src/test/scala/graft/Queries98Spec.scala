@@ -1,0 +1,42 @@
+package graft
+
+/** Invariants the Queries98 oracle rows alone don't pin: the fertility
+  * curve's agreement with the production merge-apply table and the drift
+  * report's rank/status structure. */
+class Queries98Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bpe_fertility_curve: monotone curve; endpoints == bpe_merge_apply masses") {
+    val c = SparkEntry.queries("bpe_fertility_curve")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(c.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "each merge can only shrink the corpus")
+    val t0 = c.head._2
+    c.foreach { case (_, tk, ratio) => assert(ratio == tk * 1000 / t0) }
+    val apply = SparkEntry.queries("bpe_merge_apply")(spark, dir).collect()
+    assert(t0 == apply.map(_.getLong(1)).sum, "k=0 mass == sum n_before")
+    assert(c.last._2 == apply.map(_.getLong(2)).sum, "k=3 mass == sum n_after")
+    assert(c.last._2 < t0, "the learned merges must actually fire")
+  }
+
+  test("vocab_drift: rank/status structure; sides bounded and dense") {
+    val d = SparkEntry.queries("vocab_drift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    d.foreach { case (_, co, cn, ro, rn, st) =>
+      st match {
+        case "shared"  => assert(ro >= 1 && rn >= 1 && co > 0 && cn > 0)
+        case "retired" => assert(ro >= 1 && rn == -1)
+        case "new"     => assert(ro == -1 && rn >= 1)
+        case other     => fail(s"unknown status $other")
+      }
+      assert(ro <= 100 && rn <= 100)
+    }
+    def dense(rs: Seq[Long]): Unit =
+      assert(rs.sorted == (1L to rs.length).toSeq, "ranks dense from 1")
+    dense(d.filter(_._4 >= 1).map(_._4).toSeq)
+    dense(d.filter(_._5 >= 1).map(_._5).toSeq)
+    assert(d.map(_._1).distinct.length == d.length, "one row per term")
+  }
+}
