@@ -1,0 +1,29 @@
+package graft
+
+/** Invariants the Queries99 oracle rows alone don't pin: the pruning
+  * dominance structure the Z-layout exists for. */
+class Queries99Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("layout_effectiveness: z-order dominates worst-case single-dim probes") {
+    val rows = SparkEntry.queries("layout_effectiveness")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set("arrival", "xsort", "zorder"))
+    rows.foreach { case (_, (nb, xr, yr, pr)) =>
+      assert(nb >= 1 && nb <= 64)
+      // a probe can at worst read every block
+      assert(xr <= nb * 1000 && yr <= nb * 1000 && pr <= nb * 1000)
+      assert(xr >= 0 && yr >= 0 && pr >= 0)
+    }
+    val worst = rows.view.mapValues(v => math.max(v._2, v._3)).toMap
+    // the balanced layout must beat both skewed layouts on the worst dimension
+    assert(worst("zorder") < worst("xsort"),
+      "z-order must dominate the single-key sort's unpruned dimension")
+    assert(worst("zorder") < worst("arrival") ||
+      rows("arrival")._2 > rows("zorder")._2,
+      "z-order must beat arrival order somewhere")
+    // the x-sort must be the best possible on its own key
+    assert(rows("xsort")._2 <= rows("zorder")._2)
+  }
+}
