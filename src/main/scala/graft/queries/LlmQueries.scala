@@ -244,6 +244,23 @@ object LlmQueries {
     }
   )
 
+  /** CTE chain ending at `shared(id_a, id_b, shared)` plus `sizes` — the
+    * df-capped 5-gram overlap pairs; `ngram_jaccard` and the dedup-method
+    * Venn both apply the ≥200-permille Jaccard verify on top. */
+  private[queries] lazy val JaccardSharedCteSql: String =
+    s"""docs AS (
+       |  SELECT doc_id, list_distinct(${shinglesSql("w", 5)}) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t1
+       |), sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |exf AS (SELECT * FROM ex
+       |        WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= $StopShingleDf)),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keeper, count(*) AS n_dupes
@@ -278,18 +295,7 @@ object LlmQueries {
     },
 
     "ngram_jaccard" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, list_distinct(${shinglesSql("w", 5)}) AS sh
-         |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t1
-         |), sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
-         |exf AS (SELECT * FROM ex
-         |        WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= $StopShingleDf)),
-         |shared AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-         |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
+      s"""WITH $JaccardSharedCteSql
          |SELECT id_a, id_b, shared,
          |  CAST(round(1000.0 * shared / (sa.n + sb.n - shared)) AS BIGINT) AS jac_permille
          |FROM shared

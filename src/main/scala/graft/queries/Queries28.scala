@@ -269,6 +269,34 @@ object Queries28 {
 
   /** Rolling hash of an arbitrary SQL string expression — the DuckDB twin of
     * TextF.rollingHash (same base/mod as doc_rolling_hash's oracle). */
+  /** CTE chain ending at `cand(id_a, id_b, fa, fb)` — the banded simhash
+    * candidate pairs; `simhash_pairs` and the dedup-method Venn both
+    * filter it at Hamming ≤ [[SimhashMaxDist]]. */
+  private[queries] lazy val SimhashCandCteSql: String = {
+    val bitSum = (0 until 60).map(b =>
+      s"CASE WHEN 2 * len(list_filter(vs, v -> (v >> $b) & 1 = 1)) >= len(vs) " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""vals AS (
+       |  SELECT doc_id, list_transform(list_distinct($toksSql),
+       |    t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS vs
+       |  FROM documents
+       |),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(vs) = 0 THEN 0 ELSE $bitSum END AS f
+       |  FROM vals
+       |),
+       |bands AS (
+       |  SELECT doc_id, f, bi, (f >> ($SimhashBandBits * bi)) & $SimhashBandMask AS bv
+       |  FROM fp CROSS JOIN (SELECT unnest(range(0, $SimhashBands)) AS bi) bix
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
   private[queries] def rollingHashSql(e: String): String =
     s"""CASE WHEN length($e) = 0 THEN 0
        |     ELSE list_reduce(
@@ -379,33 +407,11 @@ object Queries28 {
          |    AS chunk_fp
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
-    "simhash_pairs" -> {
-      val bitSum = (0 until 60).map(b =>
-        s"CASE WHEN 2 * len(list_filter(vs, v -> (v >> $b) & 1 = 1)) >= len(vs) " +
-          s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
-      s"""WITH vals AS (
-         |  SELECT doc_id, list_transform(list_distinct($toksSql),
-         |    t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS vs
-         |  FROM documents
-         |),
-         |fp AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(vs) = 0 THEN 0 ELSE $bitSum END AS f
-         |  FROM vals
-         |),
-         |bands AS (
-         |  SELECT doc_id, f, bi, (f >> ($SimhashBandBits * bi)) & $SimhashBandMask AS bv
-         |  FROM fp CROSS JOIN (SELECT unnest(range(0, $SimhashBands)) AS bi) bix
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
-         |  FROM bands a JOIN bands b
-         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |)
+    "simhash_pairs" ->
+      s"""WITH $SimhashCandCteSql
          |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= $SimhashMaxDist
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "record_linkage" ->
       s"""WITH master AS (

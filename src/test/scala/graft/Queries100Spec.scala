@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries100 oracle rows alone don't pin: the Venn's
+  * per-method mass recovery against the three production pair queries,
+  * and the rule report's conservation + the known temporal anomaly. */
+class Queries100Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_method_venn: per-method masses == the production pair queries") {
+    val cells = SparkEntry.queries("dedup_method_venn")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def massWithBit(bit: Long): Long =
+      cells.collect { case (m, n) if (m & bit) != 0 => n }.sum
+    val nMinhash = SparkEntry.queries("dedup_minhash_pairs")(spark, dir).count()
+    val nSimhash = SparkEntry.queries("simhash_pairs")(spark, dir).count()
+    val nJaccard = SparkEntry.queries("ngram_jaccard")(spark, dir).count()
+    assert(massWithBit(1) == nMinhash, "minhash mass recovered from the Venn")
+    assert(massWithBit(2) == nSimhash, "simhash mass recovered from the Venn")
+    assert(massWithBit(4) == nJaccard, "jaccard mass recovered from the Venn")
+    cells.keys.foreach(m => assert(m >= 1 && m <= 7))
+    assert(cells.values.forall(_ > 0), "only occupied cells emitted")
+  }
+
+  test("dq_rule_report: one scan's conservation and the known anomaly") {
+    val rows = SparkEntry.queries("dq_rule_report")(spark, dir).collect()
+    assert(rows.length == 6)
+    val n = Tables.lineitem(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "every rule checked every row")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= n)
+      assert(r.getLong(3) == r.getLong(2) * 1000 / n)
+    }
+    val byRule = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the synthetic shipdate precedes the orderdate for a large slice —
+    // the rule engine must SEE it (supplier_scorecard sign-splits for it)
+    assert(byRule("5_ship_after_order") > 0, "temporal anomaly detected")
+    assert(byRule("6_order_exists") == 0, "FK-complete star")
+  }
+}
