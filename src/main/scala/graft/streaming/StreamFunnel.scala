@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ordered funnel — the incremental twin of the batch
+  * `ordered_funnel` query, via `flatMapGroupsWithState`.
+  *
+  * State per user is O(1): the earliest qualifying timestamp of each step
+  * reached so far (view → click → purchase, click strictly after the first
+  * view and inside its 7-day window, purchase strictly after that click
+  * and inside the SAME first-view window — exactly the batch query's
+  * min-chain). A time-ordered feed makes "first qualifying event in time
+  * order" identical to the batch "min ts satisfying the constraints", so
+  * the emitted step records reproduce the batch funnel exactly
+  * (StreamFunnelSpec pins counts AND per-user step times).
+  *
+  * Emission: one (user, step, ts) row the moment a step is first reached —
+  * the live funnel dashboards consume, n_step_k = count of step-k rows.
+  * Nothing is buffered: a non-qualifying event only reads state.
+  *
+  * Caveat shared with every event-time state machine here: within one
+  * micro-batch rows arrive iterator-ordered, so the update sorts its batch
+  * slice; ACROSS batches correctness needs the feed ordered by event time.
+  */
+object StreamFunnel extends Serializable {
+
+  /** Funnel window: 7 days in epoch micros (= the batch query's). */
+  val WindowUs = 7L * 86400000000L
+
+  case class StepHit(user_id: Long, step: Int, ts_us: Long)
+
+  /** (t1, t2, t3); -1 = step not yet reached. */
+  private type Progress = (Long, Long, Long)
+
+  /** Track funnel progress over a stream with (`user_id`, `ts_us`,
+    * `event_type`) columns; emits one row per newly reached step. */
+  def track(spark: SparkSession, events: DataFrame): Dataset[StepHit] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[(Long, Long, String)],
+        state: GroupState[Progress]): Iterator[StepHit] = {
+      val batch = rows.toSeq.sortBy(_._2)
+      var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+      val out = Seq.newBuilder[StepHit]
+      batch.foreach { case (_, ts, tpe) =>
+        tpe match {
+          case "view" if t1 < 0 =>
+            t1 = ts; out += StepHit(userId, 1, ts)
+          case "click" if t1 >= 0 && t2 < 0 && ts > t1 && ts <= t1 + WindowUs =>
+            t2 = ts; out += StepHit(userId, 2, ts)
+          case "purchase" if t2 >= 0 && t3 < 0 && ts > t2 && ts <= t1 + WindowUs =>
+            t3 = ts; out += StepHit(userId, 3, ts)
+          case _ => ()
+        }
+      }
+      state.update((t1, t2, t3))
+      out.result().iterator
+    }
+
+    events.selectExpr("user_id", "ts_us", "event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+}

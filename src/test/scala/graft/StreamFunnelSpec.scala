@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for the ordered funnel: the sf0.001 events fed through
+  * StreamFunnel in three time-ordered micro-batches reach exactly the
+  * users (with exactly the step times) of the batch `ordered_funnel`
+  * min-chain, and the step counts reproduce the query's headline row. */
+class StreamFunnelSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed step hits == batch ordered_funnel chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    assert(rows.length >= 500)
+
+    val mem = MemoryStream[(Long, Long, String)]
+    val hits = graft.streaming.StreamFunnel.track(
+      spark, mem.toDF().toDF("user_id", "ts_us", "event_type"))
+    val q = hits.writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT user_id, step, ts_us FROM sfunnel")
+        .as[(Long, Int, Long)].collect().toSet
+
+      // the batch min-chain, re-derived exactly as Queries31 builds it
+      val W = graft.streaming.StreamFunnel.WindowUs
+      val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+        .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + W)
+        .groupBy("user_id").agg(min("ts_us").as("t2"), min("t1").as("t1k"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+        .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t1k") + W)
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      val batch =
+        s1.select(col("user_id"), lit(1).as("step"), col("t1").as("ts_us"))
+          .unionAll(s2.select(col("user_id"), lit(2), col("t2")))
+          .unionAll(s3.select(col("user_id"), lit(3), col("t3")))
+          .as[(Long, Int, Long)].collect().toSet
+      assert(streamed == batch,
+        s"funnel drift: stream-only=${(streamed -- batch).take(3)} " +
+          s"batch-only=${(batch -- streamed).take(3)}")
+
+      // and the headline row of the oracle-checked query agrees
+      val head = SparkEntry.queries("ordered_funnel")(spark, dir).collect().head
+      assert(streamed.count(_._2 == 1) == head.getLong(0))
+      assert(streamed.count(_._2 == 2) == head.getLong(1))
+      assert(streamed.count(_._2 == 3) == head.getLong(2))
+      assert(streamed.count(_._2 == 3) > 0, "the funnel must complete somewhere")
+    } finally q.stop()
+  }
+}
