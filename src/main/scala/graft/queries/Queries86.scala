@@ -106,9 +106,13 @@ object Queries86 {
     }
   )
 
-  val oracles: Map[String, String] = Map(
-    "ann_trained_recall" ->
-      s"""WITH q AS (
+  /** Shared DuckDB CTE chain for the trained-IVF evaluation: quantized
+    * vectors `qd`, trained centroids `c3`, per-(query, cell) ranking
+    * `cellrank`, the corpus `assign`ment, all probe-query cosines `pcc`,
+    * and the brute-force `truth` top-3 — `ann_trained_recall` (nprobe=2)
+    * and the nprobe curve both read it. */
+  private[queries] lazy val TrainedIvfCteSql: String =
+      s"""q AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
          |  FROM embeddings
          |),
@@ -137,8 +141,6 @@ object Queries86 {
          |  JOIN nc3 nc ON nc.cell = j.cell
          |),
          |assign AS (SELECT vec_id AS nid, cell FROM cellrank WHERE rk = 1),
-         |probe AS (SELECT vec_id AS qid, cell FROM cellrank
-         |          WHERE vec_id < $RecallProbeQueries AND rk <= $RecallNprobe),
          |pcc AS (
          |  SELECT pc.qid, pc.nid,
          |    CAST(pc.dot AS DOUBLE) / (sqrt(CAST(qn.nv2 AS DOUBLE)) * sqrt(CAST(nn.nv2 AS DOUBLE))) AS cos
@@ -153,7 +155,13 @@ object Queries86 {
          |  SELECT qid, nid FROM (
          |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |    FROM pcc) r WHERE rk <= 3
-         |),
+         |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_trained_recall" ->
+      s"""WITH $TrainedIvfCteSql,
+         |probe AS (SELECT vec_id AS qid, cell FROM cellrank
+         |          WHERE vec_id < $RecallProbeQueries AND rk <= $RecallNprobe),
          |ivf AS (
          |  SELECT qid, nid FROM (
          |    SELECT p.qid, s.nid,

@@ -1,0 +1,36 @@
+package graft
+
+/** Invariants the Queries101 oracle rows alone don't pin: the nprobe
+  * curve's monotonicity and its agreement with the production nprobe=2
+  * audit, and the two-stage report's internal consistency. */
+class Queries101Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ann_nprobe_curve: recall monotone in nprobe; nprobe=2 == ann_trained_recall") {
+    val c = SparkEntry.queries("ann_nprobe_curve")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.map(_._1).toSeq == graft.queries.Queries101.NprobeTiers)
+    assert(c.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "probing more cells can only add candidates")
+    c.foreach { case (_, hits, milli) =>
+      assert(hits >= 0 && hits <= 15 && milli == hits * 1000 / 15)
+    }
+    val audit = SparkEntry.queries("ann_trained_recall")(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    assert(c.find(_._1 == 2L).get._2 == audit,
+      "the curve's nprobe=2 point == the production audit's total hits")
+    assert(c.head._2 > 0, "nprobe=1 must find something")
+  }
+
+  test("ann_two_stage: overlap bounded and exact; every probe reported") {
+    val rows = SparkEntry.queries("ann_two_stage")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 5L).toSeq)
+    rows.foreach { r =>
+      val (ov, milli) = (r.getLong(1), r.getLong(2))
+      assert(ov >= 0 && ov <= 5 && milli == ov * 1000 / 5)
+      // a perfect overlap with a disagreeing top-1 is impossible: both
+      // top-5 lists are ranked by the SAME exact cosine
+      if (ov == 5) assert(r.getBoolean(3), "full overlap implies top-1 agreement")
+    }
+  }
+}
