@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries102 oracle rows alone don't pin: the group rules'
+  * agreement with direct recounts and the backtest's windows recomputed
+  * by driver fold. */
+class Queries102Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dq_order_rules: recounts agree; conservation") {
+    val rows = SparkEntry.queries("dq_order_rules")(spark, dir).collect()
+    assert(rows.length == 4)
+    val nOrders = Tables.orders(spark, dir).count()
+    val byRule = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == nOrders)
+      assert(r.getLong(3) == r.getLong(2) * 1000 / nOrders)
+    }
+    val orphans = Tables.orders(spark, dir).join(
+      Tables.lineitem(spark, dir).select(col("l_orderkey")).distinct(),
+      col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+    assert(byRule("2_has_lines") == orphans, "no-lines rule == direct anti-join")
+    val overBound = Tables.lineitem(spark, dir).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 7).count()
+    assert(byRule("4_line_count_bound") == overBound)
+  }
+
+  test("forecast_backtest: every forecast is the prior-7-day mean, recomputed") {
+    val rows = SparkEntry.queries("forecast_backtest")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = daily.keys.min
+    rows.foreach { case (day, actual, fc, err, aerr) =>
+      assert(day >= d0 + 7)
+      assert(actual == daily(day))
+      val expect = (1L to 7L).map(k => daily.getOrElse(day - k, 0L)).sum / 7L
+      assert(fc == expect, s"day $day forecast")
+      assert(err == actual - fc && aerr == math.abs(err))
+    }
+    // every scorable day appears exactly once
+    assert(rows.map(_._1).toSet == daily.keys.filter(_ >= d0 + 7).toSet)
+  }
+}
