@@ -1,0 +1,38 @@
+package graft
+
+/** Invariants the Queries103 oracle rows alone don't pin: segment-funnel
+  * mass conservation against the production funnel, and session-depth
+  * conservation against the production sessionize table. */
+class Queries103Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("funnel_by_segment: marginals == ordered_funnel; nesting per segment") {
+    val seg = SparkEntry.queries("funnel_by_segment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val head = SparkEntry.queries("ordered_funnel")(spark, dir).collect().head
+    assert(seg.map(_._2).sum == head.getLong(0), "step-1 mass == funnel headline")
+    assert(seg.map(_._3).sum == head.getLong(1))
+    assert(seg.map(_._4).sum == head.getLong(2))
+    seg.foreach { case (s, n1, n2, n3, bp) =>
+      assert(s >= 0 && s <= 5)
+      assert(n2 <= n1 && n3 <= n2, "funnel nests inside every segment")
+      assert(bp == (if (n1 > 0) 10000 * n3 / n1 else 0L))
+    }
+    // a purchase-bearing step-3 user is by definition a purchaser → never segment 0
+    seg.find(_._1 == 0L).foreach { case (_, _, _, n3, _) => assert(n3 == 0) }
+  }
+
+  test("session_depth_hist: conserves the production sessionize table") {
+    val h = SparkEntry.queries("session_depth_hist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sess = SparkEntry.queries("sessionize")(spark, dir).collect()
+      .map(_.getLong(2))
+    assert(h.map(_._2).sum == sess.length, "histogram mass == session count")
+    assert(h.map(r => r._1 * r._2).sum == sess.sum, "event mass conserved")
+    val expect = sess.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    h.foreach { case (d, n, milli) =>
+      assert(expect(d) == n, s"depth $d recount")
+      assert(milli == n * 1000 / sess.length)
+    }
+  }
+}
