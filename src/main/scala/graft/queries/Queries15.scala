@@ -109,6 +109,19 @@ object Queries15 {
     s"CAST(coalesce(list_sum(list_transform($toksExpr, t -> " +
       s"list_extract(${listLit(table)}, ${bucketSql(salt, "t")} + 1))), 0) AS BIGINT)"
 
+  /** Linear quality score (milli) of a raw `text` column — the single
+    * spelling `quality_classifier` and the quality-keeper policy share
+    * (edit together with [[qualityScoreSql]]). split("") yields [""] —
+    * score only when the doc has real tokens. */
+  private[queries] def qualityScore(text: Column): Column =
+    when(TextF.tokenCount(text).cast("bigint") === 0, lit(QcBias))
+      .otherwise(scoreCol(TextF.tokens(text), "qc:", QcWeights) + QcBias)
+
+  /** DuckDB twin of [[qualityScore]] over documents' `text`. */
+  private[queries] def qualityScoreSql: String =
+    s"CAST(CASE WHEN ${TextF.NormalizeTextSql} = '' THEN $QcBias " +
+      s"ELSE ${scoreSql(TextF.TokensSql, "qc:", QcWeights)} + $QcBias END AS BIGINT)"
+
   /** DSIR log importance weight (milli-nats) of a raw `text` column — the
     * single spelling `dsir_score` and `importance_sample` both build on
     * (Synth-lockstep rule: edit together with [[dsirLogwSql]]). */
@@ -159,13 +172,10 @@ object Queries15 {
     },
 
     "quality_classifier" -> { (sp, dir) =>
-      val toks = TextF.tokens(col("text"))
       val nToks = TextF.tokenCount(col("text")).cast("bigint")
-      // split("") yields [""] — score only when the doc has real tokens
-      val score = when(nToks === 0, lit(QcBias))
-        .otherwise(scoreCol(toks, "qc:", QcWeights) + QcBias)
       Tables.documents(sp, dir)
-        .select(col("doc_id"), nToks.as("n_toks"), score.as("score_milli"))
+        .select(col("doc_id"), nToks.as("n_toks"),
+          qualityScore(col("text")).as("score_milli"))
         .withColumn("keep", col("score_milli") > 0)
         .orderBy("doc_id")
     },
@@ -221,8 +231,7 @@ object Queries15 {
       s"""WITH scored AS (
          |  SELECT doc_id,
          |    CAST(CASE WHEN $normSql = '' THEN 0 ELSE len($toksSql) END AS BIGINT) AS n_toks,
-         |    CAST(CASE WHEN $normSql = '' THEN $QcBias
-         |         ELSE ${scoreSql(toksSql, "qc:", QcWeights)} + $QcBias END AS BIGINT) AS score_milli
+         |    $qualityScoreSql AS score_milli
          |  FROM documents
          |)
          |SELECT doc_id, n_toks, score_milli, score_milli > 0 AS keep

@@ -1,0 +1,43 @@
+package graft
+
+/** Invariants the Queries104 oracle rows alone don't pin: the quality
+  * keeper's agreement with the other policies' cluster structure and the
+  * classifier's own scores, and the balance audit's conservation. */
+class Queries104Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_keep_quality: same clusters as keep_longest; keeper maximizes the shipped score") {
+    val q = SparkEntry.queries("dedup_keep_quality")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val l = SparkEntry.queries("dedup_keep_longest")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(q.map(r => (r._1, r._3)).toSeq == l.toSeq,
+      "identical cluster ids and sizes — only the keeper rule differs")
+    val scores = SparkEntry.queries("quality_classifier")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    q.foreach { case (_, keeper, _, s) =>
+      assert(scores(keeper) == s, "keeper score == production classifier score")
+    }
+    // the policies must disagree somewhere, or the new rule is vacuous
+    val longestKeepers = SparkEntry.queries("dedup_keep_longest")(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    assert(q.exists(r => !longestKeepers.contains(r._2)),
+      "quality and length must pick different keepers somewhere")
+  }
+
+  test("ivf_balance_audit: conservation and load arithmetic") {
+    val rows = SparkEntry.queries("ivf_balance_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    assert(total == Tables.embeddings(spark, dir).count(), "every vector lands in a cell")
+    val k = rows.length
+    rows.foreach { case (cell, n, share, load) =>
+      assert(cell >= 0 && cell < 8)
+      assert(share == n * 1000 / total)
+      assert(load == n * k * 1000 / total)
+    }
+    // load factors average to ~1000 by construction (floor under-shoot only)
+    assert(rows.map(_._4).sum <= 1000L * k)
+    assert(rows.map(_._4).sum >= 1000L * k - k)
+  }
+}
