@@ -59,8 +59,10 @@ object PipelineQuery {
     }
   )
 
-  val oracles: Map[String, String] = Map(
-    "enrich_pipeline" -> {
+  /** The flagship oracle's whole enrichment chain as a CTE list ending at
+    * `enriched` — `enrich_pipeline` selects it verbatim; the composition
+    * reports (revenue_by_geo family, traffic/device mix) reuse it. */
+  private[queries] lazy val EnrichedCteSql: String = {
       val eventTypeCase = "CASE event_code " +
         EventF.EventTypeMap.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ") + " END"
       val platformCase =
@@ -112,7 +114,7 @@ object PipelineQuery {
            |     ELSE '' END""".stripMargin
       val ratesValues = Queries2.Rates.map { case (c, r) => s"('$c', $r)" }.mkString(", ")
 
-      s"""WITH rdb(key, sidx) AS (VALUES ${graft.functions.RefererDb.rdbValuesSql}),
+      s"""rdb(key, sidx) AS (VALUES ${graft.functions.RefererDb.rdbValuesSql}),
          |rsrc(sidx, medium, source, params) AS (VALUES ${graft.functions.RefererDb.rsrcValuesSql}),
          |raw AS (
          |${Synth.cte}
@@ -124,9 +126,9 @@ object PipelineQuery {
          |        FROM t WHERE rh IS NOT NULL) c),
          |hit AS (
          |  SELECT c.event_id AS eid, arg_min(r.sidx, c.prio) AS sidx
-         |  FROM cand c JOIN rdb r ON c.key = r.key GROUP BY c.event_id)
+         |  FROM cand c JOIN rdb r ON c.key = r.key GROUP BY c.event_id),
          |""".stripMargin +
-        s"""SELECT event_id,
+        s"""enriched AS (SELECT event_id,
            |  $eventTypeCase AS event,
            |  $platformCase AS platform,
            |  $derived AS derived_tstamp_us,
@@ -146,8 +148,12 @@ object PipelineQuery {
            |FROM t
            |LEFT JOIN hit ON t.event_id = hit.eid
            |LEFT JOIN rsrc s ON hit.sidx = s.sidx
-           |LEFT JOIN (VALUES $ratesValues) r(cur, rate_micro) ON currency = cur
-           |ORDER BY event_id""".stripMargin
-    }
+           |LEFT JOIN (VALUES $ratesValues) r(cur, rate_micro) ON currency = cur)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "enrich_pipeline" ->
+      s"""WITH $EnrichedCteSql
+         |SELECT * FROM enriched ORDER BY event_id""".stripMargin
   )
 }

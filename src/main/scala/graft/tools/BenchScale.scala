@@ -88,7 +88,21 @@ object BenchScale {
     // (probe cost ∝ widths × non-members, never corpus²), the one-scan
     // session sweep, and the session-scoped funnel's single exchange
     "revenue_by_geo", "distinct_hll", "bloom_size_tradeoff",
-    "session_gap_sweep", "sessionized_funnel")
+    "session_gap_sweep", "sessionized_funnel",
+    // round-9 continuation #2: the full nation-pair grid (two fact
+    // shuffles), the half-partitioned ntile scoring + user pivot, the
+    // Markov chain build (windows + bounded matrix collect), the
+    // token-explode drift report, the three-stage BPE fold chain, the
+    // three-layout tagged aggregation, the three-pair-set Venn, the
+    // tiered IVF sweep, the broadcast-probe two-stage rerank, the
+    // funnel×quintile cross-tab, the per-order group rules (two
+    // countDistinct), the quality-scored CC keeper, the 64-way
+    // posexplode profile, and the per-supplier double-distinct panel
+    "trade_flow_matrix", "segment_migration", "attribution_markov",
+    "vocab_drift", "bpe_fertility_curve", "layout_effectiveness",
+    "dedup_method_venn", "ann_nprobe_curve", "ann_two_stage",
+    "funnel_by_segment", "dq_order_rules", "dedup_keep_quality",
+    "embedding_dim_profile", "supplier_scorecard")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

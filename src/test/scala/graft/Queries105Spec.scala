@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries105 oracle rows alone don't pin: both mix reports
+  * conserve the flagship pipeline's mass. */
+class Queries105Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("traffic_medium_share: conserves pipeline events and revenue") {
+    val rows = SparkEntry.queries("traffic_medium_share")(spark, dir).collect()
+    val p = graft.queries.PipelineQuery.run(spark, dir)
+      .agg(count(lit(1)), sum("base_amount_e8")).collect().head
+    assert(rows.map(_.getLong(1)).sum == p.getLong(0), "event mass conserved")
+    assert(rows.map(_.getLong(2)).sum == p.getLong(1), "revenue mass conserved")
+    val n = rows.map(_.getLong(1)).sum
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(1) * 1000 / n))
+    assert(rows.map(_.getString(0)).contains("(direct)"), "direct traffic reported")
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("device_mix_report: conserves pipeline events; grid keys distinct") {
+    val rows = SparkEntry.queries("device_mix_report")(spark, dir).collect()
+    val total = graft.queries.PipelineQuery.run(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000 / total))
+  }
+}
