@@ -150,9 +150,16 @@ object Queries96 {
     },
 
     "importance_sample" -> { (sp, dir) =>
-      val logw = Queries15.dsirLogw(col("text"))
-      Tables.documents(sp, dir)
-        .select(col("doc_id"), logw.as("logw_milli"))
+      // materialize (doc_id, logw) FIRST: every downstream reference —
+      // the sign-split CASE (3 copies) and the pushed-down acceptance
+      // filter — would otherwise inline the interpreted HOF scorer and
+      // re-run it per reference (measured 16 s at sf0.1; the barrier is a
+      // two-long-column table and the query drops to the scorer's cost)
+      val weights = graft.util.CacheScope.track(
+        Tables.documents(sp, dir)
+          .select(col("doc_id"), Queries15.dsirLogw(col("text")).as("logw_milli")))
+      weights.count()
+      weights
         .withColumn("p_milli",
           least(lit(1000L), greatest(lit(10L),
             lit(500L) + expr("""CASE WHEN logw_milli >= 0 THEN logw_milli div 2
