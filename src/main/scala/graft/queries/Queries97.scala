@@ -135,8 +135,10 @@ object Queries97 {
     }
   )
 
-  val oracles: Map[String, String] = Map(
-    "attribution_markov" -> {
+  /** The whole Markov machinery as a CTE chain ending at `eff` (per-channel
+    * removal effects) and `mk` (normalized credits) — `attribution_markov`
+    * and the model-comparison scoreboard both read it. */
+  private[queries] lazy val MarkovCtesSql: String = {
       val walkCtes = (1 to Steps).map { i =>
         s"""w$i AS (
            |  SELECT w.r, t.next AS state, CAST(sum(w.p * t.t_milli) // 1000 AS BIGINT) AS p
@@ -144,7 +146,7 @@ object Queries97 {
            |  GROUP BY 1, 2
            |)""".stripMargin
       }.mkString(",\n")
-      s"""WITH clicks AS (
+      s"""clicks AS (
          |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
          |    CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS campaign
          |  FROM events WHERE event_type = 'click'
@@ -193,15 +195,24 @@ object Queries97 {
          |  SELECT pc.r AS channel, base.b AS p_base_ppm, pc.mass AS p_removed_ppm,
          |    base.b - pc.mass AS effect_ppm
          |  FROM pc, base WHERE pc.r >= 0
-         |), tot AS (SELECT sum(greatest(effect_ppm, 0)) AS te FROM eff)
-         |SELECT CAST(channel AS BIGINT) AS channel,
-         |  CAST(p_base_ppm AS BIGINT) AS p_base_ppm,
-         |  CAST(p_removed_ppm AS BIGINT) AS p_removed_ppm,
-         |  CAST(effect_ppm AS BIGINT) AS effect_ppm,
-         |  CAST(CASE WHEN t.te > 0 THEN greatest(effect_ppm, 0) * 1000 // t.te
-         |       ELSE 0 END AS BIGINT) AS credit_milli
-         |FROM eff, tot t ORDER BY channel""".stripMargin
-    },
+         |), mtot AS (SELECT sum(greatest(effect_ppm, 0)) AS te FROM eff),
+         |mk AS (
+         |  SELECT channel,
+         |    CAST(CASE WHEN t.te > 0 THEN greatest(effect_ppm, 0) * 1000 // t.te
+         |         ELSE 0 END AS BIGINT) AS credit_milli
+         |  FROM eff, mtot t
+         |)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "attribution_markov" ->
+      s"""WITH $MarkovCtesSql
+         |SELECT CAST(e.channel AS BIGINT) AS channel,
+         |  CAST(e.p_base_ppm AS BIGINT) AS p_base_ppm,
+         |  CAST(e.p_removed_ppm AS BIGINT) AS p_removed_ppm,
+         |  CAST(e.effect_ppm AS BIGINT) AS effect_ppm,
+         |  m.credit_milli
+         |FROM eff e JOIN mk m ON m.channel = e.channel ORDER BY channel""".stripMargin,
 
     "path_conversion_rate" ->
       s"""WITH ${Queries36.sessCteSql},

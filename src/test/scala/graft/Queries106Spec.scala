@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries106 oracle rows alone don't pin: duration-profile
+  * conservation against sessionize/depth tables, and the SLA grid's
+  * conservation against the orders-with-lines universe. */
+class Queries106Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("session_duration_profile: conserves sessions; percentile ordering; bounces agree") {
+    val p = SparkEntry.queries("session_duration_profile")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(p.map(_._2).sum == SparkEntry.queries("sessionize")(spark, dir).count())
+    p.foreach { case (dow, n, p50, p95, mx, bounce) =>
+      assert(dow >= 0 && dow <= 6)
+      assert(p50 <= p95 && p95 <= mx)
+      assert(bounce <= n && bounce >= 0)
+    }
+    val bounces = SparkEntry.queries("session_depth_hist")(spark, dir).collect()
+      .find(_.getLong(0) == 1L).map(_.getLong(1)).getOrElse(0L)
+    assert(p.map(_._6).sum == bounces, "bounce mass == depth-1 histogram cell")
+  }
+
+  test("priority_latency_grid: conserves orders with lines; shares bounded") {
+    val g = SparkEntry.queries("priority_latency_grid")(spark, dir).collect()
+    val withLines = Tables.orders(spark, dir).join(
+      Tables.lineitem(spark, dir).select(col("l_orderkey")).distinct(),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(g.map(_.getLong(2)).sum == withLines)
+    g.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000 / tot))
+      assert(rows.map(_.getLong(3)).sum <= 1000)
+    }
+    assert(g.map(_.getString(1)).distinct.sorted.head == "0_early",
+      "the early-shipment anomaly bucket must be populated at sf0.001")
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+/** Invariants the Queries107 oracle rows alone don't pin: every scoreboard
+  * column renormalizes its production model's own output. */
+class Queries107Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("attribution_model_compare: columns == renormalized production models") {
+    val rows = SparkEntry.queries("attribution_model_compare")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // each normalized column: floors undershoot 1000 by < #rows
+    for ((label, colv) <- Seq("last" -> rows.map(_._2), "linear" -> rows.map(_._3),
+        "ushape" -> rows.map(_._4), "decay" -> rows.map(_._5), "markov" -> rows.map(_._6))) {
+      assert(colv.sum <= 1000, s"$label over-credits")
+      assert(colv.sum > 1000 - rows.length - 1, s"$label under-credits beyond floors")
+    }
+    // last-touch column recomputed from the production query
+    val last = SparkEntry.queries("attribution_last_touch")(spark, dir).collect()
+      .filter(_.getLong(0) >= 0).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastTot = last.values.sum
+    rows.foreach { case (c, lm, _, _, _, _) =>
+      assert(lm == last.getOrElse(c, 0L) * 1000 / lastTot, s"last share campaign $c")
+    }
+    // markov column is the production credit verbatim
+    val mk = SparkEntry.queries("attribution_markov")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    rows.foreach { case (c, _, _, _, _, m) => assert(m == mk(c)) }
+    // the models must actually disagree somewhere, or the scoreboard is vacuous
+    assert(rows.exists(r => Seq(r._2, r._3, r._4, r._5, r._6).distinct.length > 1))
+  }
+}
