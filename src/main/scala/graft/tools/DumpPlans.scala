@@ -101,7 +101,15 @@ object DumpPlans {
     // the explicit grouping sets, and the inline()-generated array adapter
     "ann_ivf_kmeans", "ann_trained_recall", "price_elasticity",
     "session_gap_sweep", "revenue_by_geo", "event_dedup_window",
-    "grouping_sets_report", "adapter_mandrill")
+    "grouping_sets_report", "adapter_mandrill",
+    // round-9 continuation: the full nation-pair flow grid (two fact
+    // shuffles, everything else broadcast), the Markov chain build
+    // (windows + bounded matrix collect + literal output), the
+    // three-pair-set agreement Venn, the three-layout closed-form
+    // pruning audit, the tiered trained-IVF sweep, and the five-model
+    // attribution scoreboard composition
+    "trade_flow_matrix", "attribution_markov", "dedup_method_venn",
+    "layout_effectiveness", "ann_nprobe_curve", "attribution_model_compare")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
