@@ -133,6 +133,7 @@ object Queries86 {
          |nc3 AS (SELECT cell, CAST(sum(c * c) AS BIGINT) AS nc2 FROM c3 GROUP BY cell),
          |cellrank AS (
          |  SELECT j.vec_id, j.cell,
+         |    CAST(j.dot AS DOUBLE) / (sqrt(CAST(nv.nv2 AS DOUBLE)) * sqrt(CAST(nc.nc2 AS DOUBLE))) AS cos,
          |    row_number() OVER (PARTITION BY j.vec_id ORDER BY
          |      CAST(j.dot AS DOUBLE) / (sqrt(CAST(nv.nv2 AS DOUBLE)) * sqrt(CAST(nc.nc2 AS DOUBLE))) DESC, j.cell) AS rk
          |  FROM (SELECT d.vec_id, c.cell, CAST(sum(d.x * c.c) AS BIGINT) AS dot

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries108 oracle rows alone don't pin: the outliers'
+  * place in the full assignment distribution and the gap profile's
+  * conservation against the session table. */
+class Queries108Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("embedding_outliers: genuinely the corpus minimum; cells valid") {
+    val out = SparkEntry.queries("embedding_outliers")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq, "ascending cosine")
+    out.foreach { case (_, cell, cos) =>
+      assert(cell >= 0 && cell < 8)
+      assert(cos <= 1000000L && cos >= -1000000L)
+    }
+    // the cutoff is real: every non-listed vector assigns at least as high
+    val worst = out.map(_._3).max
+    val listed = out.map(_._1).toSet
+    val all = SparkEntry.queries("ivf_balance_audit")(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    assert(all > 20, "a proper subset")
+    val below = {
+      import graft.operators.KMeans
+      val embT = Tables.embeddings(spark, dir)
+      val cents = KMeans.fitMicro(embT, "embedding", "vec_id", k = 8, maxIter = 3)
+      embT.select(col("vec_id"), array_max(KMeans.cellSimsMicro(
+          KMeans.quantizeMicro(col("embedding")), cents)).getField("cos").as("c"))
+        .filter(round(col("c") * 1e6).cast("bigint") < worst)
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(below.subsetOf(listed), "nothing below the cutoff is missing")
+  }
+
+  test("return_gap_profile: conserves inter-session gaps; every gap above the cut") {
+    val h = SparkEntry.queries("return_gap_profile")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val sessions = SparkEntry.queries("sessionize")(spark, dir).collect()
+    val users = sessions.map(_.getLong(0)).distinct.length
+    assert(h.map(_._2).sum == sessions.length - users,
+      "one gap per consecutive session pair per user")
+    h.foreach { case (b, n, milli, mn, mx) =>
+      assert(mn >= 1800, "every inter-session gap exceeds the 30-minute cut")
+      assert(mn <= mx && n > 0)
+      assert(java.lang.Long.toBinaryString(mn).length - 1 == b)
+      assert(java.lang.Long.toBinaryString(mx).length - 1 == b)
+      assert(milli == n * 1000 / h.map(_._2).sum)
+    }
+  }
+}
