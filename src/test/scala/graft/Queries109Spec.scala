@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries109 oracle rows alone don't pin: reorder-rate
+  * conservation against the raw facts and the overlap grid's symmetry
+  * bounds. */
+class Queries109Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("part_reorder_rate: conserves (cust, part, order) mass; rates bounded") {
+    val rows = SparkEntry.queries("part_reorder_rate")(spark, dir).collect()
+    val direct = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select("l_partkey", "o_custkey", "l_orderkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == direct,
+      "Σ n_cust_orders == distinct (part, cust, order) triples")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "repeat customers ⊆ customers")
+      assert(r.getLong(4) == r.getLong(3) * 1000 / r.getLong(1))
+      assert(r.getLong(2) >= r.getLong(1), "orders ≥ customers")
+    }
+    assert(rows.exists(_.getLong(3) > 0), "repeat demand exists in this corpus")
+  }
+
+  test("campaign_audience_overlap: full grid; intersection bounds; jaccard exact") {
+    val g = SparkEntry.queries("campaign_audience_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(g.length == 45, "all unordered campaign pairs (10 choose 2)")
+    g.foreach { case (a, b, na, nb, both, jac) =>
+      assert(a < b)
+      assert(both <= math.min(na, nb), "intersection bounded by both sizes")
+      assert(jac == both * 1000 / (na + nb - both))
+    }
+    // sizes are consistent across every row mentioning the same campaign
+    val sizeOf = scala.collection.mutable.Map.empty[Long, Long]
+    g.foreach { case (a, b, na, nb, _, _) =>
+      assert(sizeOf.getOrElseUpdate(a, na) == na)
+      assert(sizeOf.getOrElseUpdate(b, nb) == nb)
+    }
+  }
+}
