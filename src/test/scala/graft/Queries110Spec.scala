@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries110 oracle rows alone don't pin: the quantile
+  * table's agreement with the raw per-user spend distribution. */
+class Queries110Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ltv_quantiles_by_cohort: recomputed from the raw spend distribution") {
+    val rows = SparkEntry.queries("ltv_quantiles_by_cohort")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val perUser = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_us div 604800000000").as("wk"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy("user_id").agg(min("wk").as("c"), sum("cents").as("s"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val byCohort = perUser.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { case (c, n, p50, p90, mx, mean) =>
+      val spends = byCohort(c)
+      assert(n == spends.length)
+      assert(p50 == spends((50 * (n.toInt - 1)) / 100))
+      assert(p90 == spends((90 * (n.toInt - 1)) / 100))
+      assert(mx == spends.last)
+      assert(mean == spends.sum / n)
+      assert(p50 <= p90 && p90 <= mx)
+    }
+    assert(rows.map(_._2).sum == perUser.length, "every purchaser in exactly one cohort")
+  }
+}
