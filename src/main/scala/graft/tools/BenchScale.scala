@@ -102,7 +102,15 @@ object BenchScale {
     "vocab_drift", "bpe_fertility_curve", "layout_effectiveness",
     "dedup_method_venn", "ann_nprobe_curve", "ann_two_stage",
     "funnel_by_segment", "dq_order_rules", "dedup_keep_quality",
-    "embedding_dim_profile", "supplier_scorecard")
+    "embedding_dim_profile", "supplier_scorecard",
+    // round-9 continuation #3: the five-model scoreboard composition, the
+    // dow-partitioned session percentiles, the HOF-barrier DSIR sampler
+    // (the fixed 10x), the assignment-cosine outlier scan, the bounded
+    // campaign-pair audience grid, the (part, cust) repeat rollup, and
+    // the cohort-partitioned spend quantiles
+    "attribution_model_compare", "session_duration_profile",
+    "importance_sample", "embedding_outliers", "campaign_audience_overlap",
+    "part_reorder_rate", "ltv_quantiles_by_cohort")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
