@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries111 oracle rows alone don't pin: the peel
+  * recomputed edge-by-edge in Scala, the MI cells recomputed from raw
+  * events, and the Benford table's internal consistency. */
+class Queries111Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kcore_decomposition: matches a driver-side peel of the same pair set") {
+    val rows = SparkEntry.queries("kcore_decomposition")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1L to 6L))
+    // independent peel over the collected pair set
+    var edges = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (_, survivors, edgesRem) =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      assert(survivors == keep.size)
+      assert(edgesRem == edges.size)
+    }
+    // peeling never grows anything
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq)
+  }
+
+  test("field_mi: recomputed from raw (event_type, bucket) counts") {
+    val rows = SparkEntry.queries("field_mi")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"), expr("((ts_us div 3600000000) % 24) div 6").as("hb"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cells.values.sum
+    val cx = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cy = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def bits(v: Long) = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    rows.foreach { case (et, nX, miQ, milli) =>
+      assert(nX == cx(et))
+      val expected = cells.collect { case ((t, hb), c) if t == et =>
+        c * (bits(c * n) - bits(cx(et) * cy(hb)))
+      }.sum
+      assert(miQ == expected, s"mi_q for $et")
+      val expMilli = if (miQ < 0) -((-miQ) * 1000 / n) else miQ * 1000 / n
+      assert(milli == expMilli)
+    }
+    assert(rows.map(_._2).sum == n, "marginals cover every event")
+  }
+
+  test("benford_audit: digit coverage, mass conservation, pinned expectations") {
+    val rows = SparkEntry.queries("benford_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).forall(d => d >= 1 && d <= 9))
+    val nPos = Tables.orders(spark, dir)
+      .filter(round(col("o_totalprice") * 100).cast("bigint") > 0).count()
+    assert(rows.map(_._2).sum == nPos, "every positive-total order counted once")
+    // floor division loses < 1 milli per digit
+    val totalObs = rows.map(_._3).sum
+    assert(totalObs > 1000 - rows.length && totalObs <= 1000)
+    val exp = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+    rows.foreach { case (d, _, obs, e, dev) =>
+      assert(e == exp(d.toInt - 1))
+      assert(dev == math.abs(obs - e))
+    }
+  }
+}

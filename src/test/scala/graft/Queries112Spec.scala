@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries112 oracle rows alone don't pin: the autoreg
+  * moments recomputed from the daily series, the Zipf slope recomputed
+  * from vocab_count's points, and the quantization-error histogram's
+  * conservation + bound. */
+class Queries112Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("revenue_autoreg: moments recomputed from the collected daily series") {
+    val rows = SparkEntry.queries("revenue_autoreg")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 7L))
+    val d = Tables.orders(spark, dir)
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .groupBy("d").agg(expr("sum(cents) div 10000").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (lag, n, slope, intercept) =>
+      val pairs = d.toSeq.flatMap { case (day, x) => d.get(day + lag).map(y => (x, y)) }
+      assert(n == pairs.length)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      def tdiv(a: Long, b: Long) = if (a >= 0) a / b else -((-a) / b)
+      val expSlope = tdiv((n * sxy - sx * sy) * 1000, n * sxx - sx * sx)
+      assert(slope == expSlope)
+      assert(intercept == tdiv(sy * 1000 - expSlope * sx, n))
+      // an autoregression of a bounded series stays within sane milli range
+      assert(slope > -5000 && slope < 5000)
+    }
+  }
+
+  test("zipf_fit: slope recomputed from vocab_count's (rank, cnt) points") {
+    val row = SparkEntry.queries("zipf_fit")(spark, dir).collect().head
+    val pts = SparkEntry.queries("vocab_count")(spark, dir)
+      .select("rank", "cnt").collect()
+      .map { r =>
+        def bits(v: Long) = (63 - java.lang.Long.numberOfLeadingZeros(v)).toLong
+        (bits(r.getLong(0)), bits(r.getLong(1)))
+      }
+    val n = pts.length.toLong
+    assert(row.getLong(0) == n)
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) == ((sx, sy, sxy, sxx)))
+    def tdiv(a: Long, b: Long) = if (a >= 0) a / b else -((-a) / b)
+    val slope = tdiv((n * sxy - sx * sy) * 1000, n * sxx - sx * sx)
+    assert(row.getLong(5) == slope)
+    assert(slope < 0, "frequency falls with rank")
+  }
+
+  test("int8_quant_error: pair conservation and 8-bit error bound") {
+    val rows = SparkEntry.queries("int8_quant_error")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_._2).sum == nVecs - 1, "every adjacent pair audited once")
+    rows.foreach { case (bucket, _, maxErr) =>
+      assert(maxErr / 100 == bucket, "max err lives in its own bucket")
+      // int8 symmetric quantization keeps cosine within a few percent
+      assert(maxErr < 100000, s"err $maxErr e6 out of any plausible int8 band")
+    }
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+}
