@@ -100,8 +100,16 @@ object GraftFunctions {
       es => SimHashExpression(x(TextF.tokens(c(es.head))),
         if (es.length > 1) intArg(es(1), "bits") else 60)),
     fn("graft_rolling_hash", "graft_rolling_hash(text)",
-      es => x(TextF.rollingHash(c(es.head))))
+      es => x(TextF.rollingHash(c(es.head)))),
+    // round-9: exact bitmap distinct-count aggregate (single-shuffle
+    // mergeable partials vs count(DISTINCT)'s two-shuffle expansion)
+    fn("graft_bitmap_distinct", "graft_bitmap_distinct(x)",
+      es => BitmapDistinct(es.head))
   )
+
+  /** Column-API surface of [[BitmapDistinct]]. */
+  def bitmapDistinct(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c(BitmapDistinct(x(col)).toAggregateExpression())
 
   /** Register all graft SQL functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries113 oracle rows alone don't pin: skyline
+  * dominance checked pairwise against the full part table, and the DSAR
+  * export's cross-table consistency. */
+class Queries113Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pareto_frontier: exactly the non-dominated parts") {
+    val frontier = SparkEntry.queries("pareto_frontier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(frontier.nonEmpty)
+    val all = Tables.part(spark, dir)
+      .select(col("p_partkey"), round(col("p_retailprice") * 100).cast("bigint"),
+        col("p_size").cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      (a._2 <= b._2 && a._3 >= b._3) && (a._2 < b._2 || a._3 > b._3)
+    val fSet = frontier.map(_._1).toSet
+    all.foreach { p =>
+      val dominated = all.exists(q => dominates(q, p))
+      assert(fSet.contains(p._1) == !dominated,
+        s"part ${p._1}: dominated=$dominated frontier=${fSet.contains(p._1)}")
+    }
+  }
+
+  test("subject_access_export: per-table rollups agree with direct counts") {
+    val rows = SparkEntry.queries("subject_access_export")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.forall(id => id % 13 == 5))
+    val nEvents = Tables.events(spark, dir).filter(col("user_id") % 13 === 5).count()
+    val nOrders = Tables.orders(spark, dir).filter(col("o_custkey") % 13 === 5).count()
+    assert(rows.map(_.getLong(1)).sum == nEvents, "dossier covers every subject event")
+    assert(rows.map(_.getLong(6)).sum == nOrders, "dossier covers every subject order")
+    rows.foreach { r =>
+      val (nEv, nOrd, nLi) = (r.getLong(1), r.getLong(6), r.getLong(8))
+      if (nEv == 0) assert(r.isNullAt(2) && r.isNullAt(3), "no events -> no event timestamps")
+      else assert(r.getLong(2) <= r.getLong(3))
+      if (nOrd == 0) assert(nLi == 0, "lineitems only through orders")
+      else assert(nLi >= nOrd, "every order ships at least one line")
+    }
+  }
+}
