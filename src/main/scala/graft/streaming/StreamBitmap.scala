@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftFunctions
+
+/** Streaming distinct users per (event_type, day) through the SAME native
+  * [[graft.plans.BitmapDistinct]] aggregate the batch `bitmap_distinct`
+  * query uses — a `TypedImperativeAggregate` is mergeable state, so
+  * Structured Streaming serializes the container bitmaps into the state
+  * store and unions them across micro-batches exactly as the batch plan
+  * unions them across partitions. One aggregate implementation, two
+  * execution modes, bit-identical counts (StreamBitmapSpec).
+  *
+  * Update mode: each micro-batch re-emits touched (event_type, day)
+  * groups; a group's final value is its converged distinct count. State
+  * per group is the bitmap itself — bounded by distinct users, not
+  * events — and the watermark evicts a day's bitmap once it can no
+  * longer recur.
+  */
+object StreamBitmap {
+
+  /** Distinct-user counts per (event_type, day) from a stream with
+    * (`event_type`, `user_id`, `ts_us`). Watermark sizing follows
+    * StreamDau: the state key is day-grained, so the delay must outlive
+    * a day or late morning traffic re-counts. */
+  def distinctByTypeDay(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "26 hours"): DataFrame = {
+    events
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .withWatermark("__event_time", watermarkDelay)
+      .groupBy("event_type", "day")
+      .agg(GraftFunctions.bitmapDistinct(col("user_id")).as("n_users"))
+  }
+}

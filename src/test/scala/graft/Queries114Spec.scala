@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries114 oracle rows alone don't pin: CUPED's moment
+  * algebra recomputed driver-side, and the compaction bins' conservation
+  * and packing bounds. */
+class Queries114Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ab_cuped: theta and adjusted means recomputed from per-user spend") {
+    val rows = SparkEntry.queries("ab_cuped")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq("A", "B"))
+    val ev = Tables.events(spark, dir)
+    val Array(mn, mx) = ev.agg(min("ts_us"), max("ts_us")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val mid = (mn + mx) / 2
+    val spend = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), expr("cast(round(value * 100) as bigint) div 100").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perUser = spend.groupBy(_._1).view.mapValues { es =>
+      (es.filter(_._2 <= mid).map(_._3).sum, es.filter(_._2 > mid).map(_._3).sum)
+    }.toMap
+    val users = ev.select("user_id").distinct().collect().map(_.getLong(0))
+    val xy = users.map(u => (u, perUser.getOrElse(u, (0L, 0L))))
+    val n = xy.length.toLong
+    val sx = xy.map(_._2._1).sum; val sy = xy.map(_._2._2).sum
+    val sxy = xy.map(p => p._2._1 * p._2._2).sum
+    val sxx = xy.map(p => p._2._1 * p._2._1).sum
+    def tdiv(a: Long, b: Long) = if (a >= 0) a / b else -((-a) / b)
+    val theta = tdiv((n * sxy - sx * sy) * 1000, n * sxx - sx * sx)
+    assert(rows.map(_._2).sum == n, "arms partition the users")
+    rows.foreach { case (_, nA, preM, postM, th, adj) =>
+      assert(th == theta)
+      assert(adj == postM - tdiv(theta * (preM - tdiv(sx * 1000, n)), 1000))
+      assert(preM >= 0 && postM >= 0)
+      val _ = nA
+    }
+  }
+
+  test("compaction_plan: byte conservation, bin packing bounds") {
+    val rows = SparkEntry.queries("compaction_plan")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val nDays = Tables.orders(spark, dir)
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")).distinct().count()
+    val totalBytes = Tables.orders(spark, dir).count() * 200L
+    assert(rows.map(_._2).sum == nDays, "every day-file in exactly one bin")
+    assert(rows.map(_._3).sum == totalBytes, "bytes conserved")
+    // next-fit over day order: bins cover contiguous, non-overlapping day ranges
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._6 < b._5, "day ranges ordered and disjoint")
+      case _ =>
+    }
+    rows.foreach { case (_, _, bytes, fill, _, _) =>
+      assert(fill == bytes * 1000 / 64000)
+    }
+  }
+}

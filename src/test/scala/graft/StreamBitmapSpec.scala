@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for the native bitmap aggregate: sf0.001 events through
+  * StreamBitmap in three time-ordered micro-batches converge to exactly
+  * the oracle-checked `bitmap_distinct` table — the same
+  * TypedImperativeAggregate merging across state-store checkpoints
+  * instead of shuffle partitions. */
+class StreamBitmapSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed bitmap distinct == batch bitmap_distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts_us"))
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(rows.length >= 500)
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val counted = graft.streaming.StreamBitmap.distinctByTypeDay(
+      spark, mem.toDF().toDF("event_type", "user_id", "ts_us"))
+    val q = counted.writeStream.format("memory").queryName("sbmp")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        "SELECT event_type, day, max(n_users) AS n FROM sbmp GROUP BY 1, 2")
+        .as[(String, Long, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
+      val batch = SparkEntry.queries("bitmap_distinct")(spark, dir)
+        .as[(String, Long, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
+      assert(streamed == batch,
+        s"streamed (${streamed.size} groups) != batch (${batch.size} groups)")
+    } finally q.stop()
+  }
+}
