@@ -1,0 +1,91 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Elementwise sum of BIGINT arrays as a native `TypedImperativeAggregate`
+  * — the vector accumulator that makes one-pass Gram/covariance/histogram
+  * matrices a single map-side-combined shuffle of one fixed-size partial
+  * per partition, instead of a posexplode of N×dim² rows through the
+  * exchange. All input arrays must share one length (fail-fast otherwise);
+  * empty groups return NULL. SQL surface: `graft_array_sum(arr)`.
+  */
+case class ArraySum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_array_sum requires ARRAY<BIGINT> input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_array_sum"
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val acc = if (buffer.isEmpty) new Array[Long](n) else buffer
+      if (acc.length != n)
+        throw new IllegalStateException(
+          s"graft_array_sum: ragged input (${acc.length} vs $n elements)")
+      var i = 0
+      while (i < n) { acc(i) += arr.getLong(i); i += 1 }
+      acc
+    }
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other
+    else {
+      if (buffer.length != other.length)
+        throw new IllegalStateException(
+          s"graft_array_sum: ragged partials (${buffer.length} vs ${other.length})")
+      var i = 0
+      while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.length)
+    bb.putInt(buffer.length)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bb.getInt)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArraySum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArraySum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ArraySum =
+    copy(child = newChild)
+}

@@ -104,12 +104,18 @@ object GraftFunctions {
     // round-9: exact bitmap distinct-count aggregate (single-shuffle
     // mergeable partials vs count(DISTINCT)'s two-shuffle expansion)
     fn("graft_bitmap_distinct", "graft_bitmap_distinct(x)",
-      es => BitmapDistinct(es.head))
+      es => BitmapDistinct(es.head)),
+    fn("graft_array_sum", "graft_array_sum(arr)",
+      es => ArraySum(es.head))
   )
 
   /** Column-API surface of [[BitmapDistinct]]. */
   def bitmapDistinct(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c(BitmapDistinct(x(col)).toAggregateExpression())
+
+  /** Column-API surface of [[ArraySum]] (elementwise BIGINT-array sum). */
+  def arraySum(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c(ArraySum(x(col)).toAggregateExpression())
 
   /** Register all graft SQL functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries115 oracle rows alone don't pin: the power
+  * iteration replayed from raw embeddings, and the Holt recurrence
+  * replayed from the monthly series. */
+class Queries115Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def tdiv(a: Long, b: Long) = if (a >= 0) a / b else -((-a) / b)
+
+  test("pca_power_iter: replayed from raw embeddings driver-side") {
+    val got = SparkEntry.queries("pca_power_iter")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == (0L until 64L))
+    assert(got.map(_._2.abs).max == 1000L, "rescale pins max-abs component to e3")
+    val vecs = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val d = 64
+    val gram = Array.ofDim[Long](d * d)
+    vecs.foreach { q =>
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { gram(i * d + j) += q(i) * q(j); j += 1 }
+        i += 1
+      }
+    }
+    var v = Array.fill(d)(1000L)
+    (1 to 3).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => gram(i * d + j) * v(j)).sum)
+      val s = w.map(math.abs).max
+      v = w.map(x => tdiv(x * 1000, s))
+    }
+    assert(got.map(_._2).toSeq == v.toSeq)
+  }
+
+  test("holt_forecast: recurrence replayed from the monthly series") {
+    val rows = SparkEntry.queries("holt_forecast")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length > 12, "several years of months")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    var l = rows.head._2
+    var b = 0L
+    assert(rows.head._3 == l && rows.head._4 == 0L && rows.head._5 == rows.head._2)
+    rows.tail.foreach { case (_, y, lGot, bGot, fitted) =>
+      assert(fitted == l + b)
+      val lNew = tdiv(y + l + b, 2)
+      val bNew = tdiv(lNew - l + b, 2)
+      assert(lGot == lNew && bGot == bNew)
+      l = lNew; b = bNew
+    }
+    // smoothing tracks the series after warmup — excluding the partial
+    // boundary month whose revenue collapses while the level holds
+    rows.drop(6).dropRight(1).foreach { case (_, y, _, _, f) =>
+      assert(f > y / 4 && f < y * 4)
+    }
+  }
+}
