@@ -38,26 +38,37 @@ object Queries115 {
   private[queries] val Dim = 64
   private[queries] val PowerIters = 3
 
+  /** Milli-quantized embedding column (shared with Queries116). */
+  private[queries] def quantized(sp: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(sp, dir).select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+
+  /** Train the e3 top principal direction: one distributed Gram pass
+    * (ArraySum partials), then [[PowerIters]] exact integer iterations
+    * driver-side. Bounded collect: Dim² cells by definition. */
+  private[queries] def powerEigvec(sp: SparkSession, dir: String): Array[Long] = {
+    val gramRow = expr(
+      s"transform(sequence(0, ${Dim * Dim - 1}), k -> element_at(q, cast(k div $Dim as int) + 1) * element_at(q, cast(k % $Dim as int) + 1))")
+    val gram = quantized(sp, dir).select(gramRow.as("gr"))
+      .agg(GraftFunctions.arraySum(col("gr")).as("g"))
+      .collect()(0).getSeq[Long](0).toArray
+    var v = Array.fill(Dim)(1000L)
+    (1 to PowerIters).foreach { _ =>
+      val w = Array.tabulate(Dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < Dim) { acc += gram(i * Dim + j) * v(j); j += 1 }
+        acc
+      }
+      val s = w.map(math.abs).max
+      v = w.map(x => tdivL(x * 1000, s))
+    }
+    v
+  }
+
   val defs: Map[String, Q] = Map(
     "pca_power_iter" -> { (sp, dir) =>
-      val q = Tables.embeddings(sp, dir).select(
-        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
-      val gramRow = expr(
-        s"transform(sequence(0, ${Dim * Dim - 1}), k -> element_at(q, cast(k div $Dim as int) + 1) * element_at(q, cast(k % $Dim as int) + 1))")
-      val gram = q.select(gramRow.as("gr"))
-        .agg(GraftFunctions.arraySum(col("gr")).as("g"))
-        .collect()(0).getSeq[Long](0).toArray // bounded: Dim² cells by definition
-      var v = Array.fill(Dim)(1000L)
-      (1 to PowerIters).foreach { _ =>
-        val w = Array.tabulate(Dim) { i =>
-          var acc = 0L
-          var j = 0
-          while (j < Dim) { acc += gram(i * Dim + j) * v(j); j += 1 }
-          acc
-        }
-        val s = w.map(math.abs).max
-        v = w.map(x => tdivL(x * 1000, s))
-      }
+      val v = powerEigvec(sp, dir)
       import sp.implicits._
       v.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
         .toDF("dim", "comp_e3").orderBy("dim")
@@ -88,7 +99,9 @@ object Queries115 {
     }
   )
 
-  private val pcaOracle: String = {
+  /** CTE chain ending at `v{PowerIters}` = the trained e3 eigvec (plus the
+    * `q` quantized-vector relation) — shared with Queries116's projection. */
+  private[queries] val PcaCteSql: String = {
     val iters = (1 to PowerIters).map { t =>
       s"""w$t AS (
          |  SELECT gram.k // $Dim AS i, CAST(sum(gram.g * v${t - 1}.v) AS BIGINT) AS w
@@ -97,8 +110,8 @@ object Queries115 {
          |s$t AS (SELECT CAST(max(abs(w)) AS BIGINT) AS s FROM w$t),
          |v$t AS (SELECT i, ${tdivSql("w * 1000", "s")} AS v FROM w$t CROSS JOIN s$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
-       |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM embeddings
        |),
        |ks AS (SELECT unnest(range(0, ${Dim * Dim})) AS k),
@@ -107,10 +120,13 @@ object Queries115 {
        |  FROM q CROSS JOIN ks GROUP BY k
        |),
        |v0 AS (SELECT unnest(range(0, $Dim)) AS i, CAST(1000 AS BIGINT) AS v),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private val pcaOracle: String =
+    s"""WITH $PcaCteSql
        |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS comp_e3
        |FROM v$PowerIters ORDER BY dim""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "pca_power_iter" -> pcaOracle,

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries116 oracle rows alone don't pin: projections
+  * recomputed from raw vectors + the trained component, and BFS replayed
+  * edge-by-edge driver-side. */
+class Queries116Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pca_project_outliers: top projections recomputed driver-side") {
+    val got = SparkEntry.queries("pca_project_outliers")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 10)
+    val v = SparkEntry.queries("pca_power_iter")(spark, dir).collect()
+      .map(_.getLong(1))
+    val projs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")))
+      .collect().map { r =>
+        val q = r.getSeq[Long](1)
+        (r.getLong(0), q.indices.map(i => q(i) * v(i)).sum)
+      }
+    val expect = projs.sortBy { case (id, p) => (-math.abs(p), id) }.take(10)
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("bfs_hops: replayed BFS over the collected pair set") {
+    val rows = SparkEntry.queries("bfs_hops")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == Seq(-1L, 0L, 1L, 2L, 3L, 4L))
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seed = pairs.map(_._1).min
+    var visited = Set(seed)
+    var frontier = Set(seed)
+    val expect = Seq(1L) ++ (1 to 4).map { _ =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- visited
+      visited ++= frontier
+      frontier.size.toLong
+    }
+    val nodes = adj.keySet.size.toLong
+    assert(rows.find(_._1 == -1L).get._2 == nodes - visited.size)
+    assert(rows.filter(_._1 >= 0).map(_._2).toSeq == expect)
+    assert(rows.map(_._2).sum == nodes, "every node counted exactly once")
+  }
+}
