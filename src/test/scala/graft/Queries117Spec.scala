@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries117 oracle rows alone don't pin: NB scores
+  * replayed token-by-token driver-side, and triple-support consistency
+  * with the raw baskets. */
+class Queries117Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("nb_classifier: confusion matrix replayed from raw token counts") {
+    val got = SparkEntry.queries("nb_classifier")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+    def bits(v: Long) = (63 - java.lang.Long.numberOfLeadingZeros(v)).toLong
+    val byLang = docs.groupBy(_._2)
+    val nDocs = byLang.view.mapValues(_.size.toLong).toMap
+    val counts = docs.flatMap(d => toks(d._3).map(w => (d._2, w)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = counts.keySet.map(_._2).size.toLong
+    val langs = nDocs.keySet.toSeq.sorted
+    val confusion = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { case (_, lang, text) =>
+      val ts = toks(text)
+      val scores = langs.map { c =>
+        val s = bits(nDocs(c)) +
+          ts.map(w => bits(counts.getOrElse((c, w), 0L) + 1) - bits(totals(c) + v)).sum
+        (c, s)
+      }
+      val pred = scores.minBy { case (c, s) => (-s, c) }._1
+      confusion((lang, pred)) += 1
+    }
+    assert(got == confusion.toMap)
+    assert(got.values.sum == docs.length.toLong)
+    // the trained model separates at least the latin-script languages:
+    // diagonal mass dominates for en
+    assert(got.getOrElse(("en", "en"), 0L) * 2 >
+      got.filter(_._1._1 == "en").values.sum)
+  }
+
+  test("basket_triples: support recomputed from raw brand baskets") {
+    val rows = SparkEntry.queries("basket_triples")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Seq("l_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val denom = baskets.count(_._2.size >= 3).toLong
+    val allTriples = baskets.values.flatMap { bs =>
+      bs.toSeq.sorted.combinations(3).map(t => (t(0), t(1), t(2)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (t, n, s) =>
+      assert(allTriples(t) == n)
+      assert(s == n * 1000 / denom)
+    }
+    // top-20 really is the top: no unlisted triple beats the listed minimum
+    val minListed = rows.map(_._2).min
+    val listed = rows.map(_._1).toSet
+    allTriples.foreach { case (t, n) =>
+      if (!listed.contains(t)) assert(n <= minListed)
+    }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+  }
+}
