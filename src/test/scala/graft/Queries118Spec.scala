@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries118 oracle rows alone don't pin: margins
+  * recomputed from the trained centroids, and the KM fold replayed from
+  * raw first-click/first-purchase days. */
+class Queries118Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cluster_margin_audit: margins recomputed against trained centroids") {
+    val rows = SparkEntry.queries("cluster_margin_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_._2).sum == nVecs, "every vector in exactly one cell")
+    rows.foreach { case (cell, _, mean, mn) =>
+      assert(cell >= 0 && cell < 8)
+      assert(mn >= 0, "best >= second-best by construction")
+      assert(mean >= mn)
+    }
+    // recompute per-vector margins with the same trainer
+    val cents = graft.operators.KMeans.fitMicro(
+      Tables.embeddings(spark, dir), "embedding", "vec_id", k = 8, maxIter = 3)
+    val qs = Tables.embeddings(spark, dir)
+      .select(graft.operators.KMeans.quantizeMicro(col("embedding")))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val margins = qs.map { q =>
+      val sims = cents.zipWithIndex.map { case (c, i) =>
+        val dot = q.indices.map(k => q(k) * c(k)).sum
+        val nv = math.sqrt(q.map(x => x * x).sum.toDouble)
+        val nc = math.sqrt(c.map(x => x * x).sum.toDouble)
+        (dot.toDouble / (nv * nc), -i.toLong)
+      }.sorted
+      val best = sims.last
+      val second = sims(sims.length - 2)
+      (-best._2, math.round(best._1 * 1e6) - math.round(second._1 * 1e6))
+    }
+    val byCell = margins.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (cell, n, mean, mn) =>
+      val ms = byCell(cell)
+      assert(n == ms.length)
+      assert(mn == ms.min)
+      assert(mean == ms.sum / ms.length)
+    }
+  }
+
+  test("km_survival: product-limit fold replayed from raw event days") {
+    val rows = SparkEntry.queries("km_survival")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length > 3)
+    // survival is monotone nonincreasing, risk set telescopes
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._5 <= a._5, "survival never rises")
+        assert(b._2 == a._2 - a._3 - a._4, "risk set loses exactly conv+cens")
+      case _ =>
+    }
+    // replay from raw data
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts_us div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clicks = ev.filter(_._2 == "click").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val cens = ev.map(_._3).max
+    val durs = clicks.toSeq.map { case (u, cd) =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= cd).map(_._3)
+      if (p.nonEmpty) (p.min - cd, true) else (cens - cd, false)
+    }
+    val agg = durs.groupBy(_._1).view
+      .mapValues(v => (v.count(_._2).toLong, v.count(!_._2).toLong)).toMap
+    var atRisk = durs.length.toLong
+    var surv = 1000L
+    val expect = agg.toSeq.sortBy(_._1).map { case (d, (conv, c)) =>
+      surv = surv * (atRisk - conv) / atRisk
+      val row = (d, atRisk, conv, c, surv)
+      atRisk -= conv + c
+      row
+    }
+    assert(rows.toSeq == expect)
+  }
+}
