@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries119 oracle rows alone don't pin: RAKE replayed
+  * token-by-token driver-side, Heaps checkpoints recomputed from first
+  * occurrences. */
+class Queries119Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private val stops = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "this", "that", "be", "are")
+
+  test("rake_keyphrases: top phrase replayed driver-side") {
+    val got = SparkEntry.queries("rake_keyphrases")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+      // split into maximal stopword-free runs
+      val phrases = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      toks.foreach { t =>
+        if (stops(t)) { if (cur.nonEmpty) { phrases += cur.toSeq; cur.clear() } }
+        else cur += t
+      }
+      if (cur.nonEmpty) phrases += cur.toSeq
+      if (phrases.isEmpty) None
+      else {
+        val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val degree = phrases.flatMap(p => p.map(w => (w, p.length.toLong)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val wscore = freq.keys.map(w => w -> degree(w) * 1000 / freq(w)).toMap
+        // score per distinct candidate phrase: its word-score sum (every
+        // occurrence still contributed to freq/degree above)
+        val perPhrase = phrases.distinct.map(p => (p.mkString(" "), p.map(wscore).sum))
+        val top = perPhrase.minBy { case (ph, s) => (-s, ph) }
+        Some((id, top._1, top._2))
+      }
+    }
+    assert(got == expect.toSeq.sortBy(_._1))
+  }
+
+  test("heaps_law_fit: checkpoints recomputed from first occurrences") {
+    val rows = SparkEntry.queries("heaps_law_fit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length >= 5)
+    assert(rows.map(_._4).distinct.length == 1, "one global slope")
+    val toks = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split(" ").filter(_.nonEmpty).map(w => (r.getLong(0), w))
+      }
+    rows.foreach { case (cp, tc, vc, _) =>
+      assert(tc == toks.count(_._1 <= cp))
+      assert(vc == toks.groupBy(_._2).view.mapValues(_.map(_._1).min).count(_._2 <= cp))
+    }
+    // vocabulary grows sublinearly in tokens: beta in [0, 1000) — the
+    // synthetic corpus's small vocabulary saturates within the first few
+    // checkpoints, so a flat 0 is the truthful fit here
+    val beta = rows.head._4
+    assert(beta >= 0 && beta < 1000, s"beta $beta")
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+  }
+}
