@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Container-bitmap state for [[BitmapDistinct]]: values are sharded by
   * their high 48 bits into 2^16-bit containers (a roaring-style layout
@@ -52,6 +52,87 @@ final class BitmapState {
       while (i < 1024) { n += java.lang.Long.bitCount(words(i)); i += 1 }
     }
     n
+  }
+
+  /** |this ∩ other| — popcount of the container-wise AND. */
+  def andCardinality(other: BitmapState): Long = {
+    var n = 0L
+    val it = containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val theirs = other.containers.get(e.getKey)
+      if (theirs != null) {
+        val mine = e.getValue
+        var i = 0
+        while (i < 1024) { n += java.lang.Long.bitCount(mine(i) & theirs(i)); i += 1 }
+      }
+    }
+    n
+  }
+}
+
+object BitmapState {
+  /** Wire format (shared by both bitmap aggregates and the scalar AND):
+    * container count (4B), then per container key (8B) + mode (1B) +
+    * dense 1024 words | sparse count (2B) + (index 2B, word 8B) pairs. */
+  def serialize(buffer: BitmapState): Array[Byte] = {
+    var size = 4
+    val sizeIt = buffer.containers.values().iterator()
+    val sparseCounts = new java.util.ArrayList[Int]()
+    while (sizeIt.hasNext) {
+      val words = sizeIt.next()
+      var nz = 0
+      var i = 0
+      while (i < 1024) { if (words(i) != 0L) nz += 1; i += 1 }
+      sparseCounts.add(nz)
+      size += 8 + 1 + (if (nz < 455) 2 + 10 * nz else 8192)
+    }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buffer.containers.size())
+    val entries = buffer.containers.entrySet().iterator()
+    var c = 0
+    while (entries.hasNext) {
+      val e = entries.next()
+      val words = e.getValue
+      bb.putLong(e.getKey)
+      val nz = sparseCounts.get(c); c += 1
+      if (nz < 455) {
+        bb.put(0.toByte)
+        bb.putShort(nz.toShort)
+        var i = 0
+        while (i < 1024) {
+          if (words(i) != 0L) { bb.putShort(i.toShort); bb.putLong(words(i)) }
+          i += 1
+        }
+      } else {
+        bb.put(1.toByte)
+        var i = 0
+        while (i < 1024) { bb.putLong(words(i)); i += 1 }
+      }
+    }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): BitmapState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val state = new BitmapState
+    val nContainers = bb.getInt
+    var c = 0
+    while (c < nContainers) {
+      val key = bb.getLong
+      val words = new Array[Long](1024)
+      if (bb.get() == 0.toByte) {
+        val nz = bb.getShort.toInt
+        var i = 0
+        while (i < nz) { words(bb.getShort & 0xffff) = bb.getLong; i += 1 }
+      } else {
+        var i = 0
+        while (i < 1024) { words(i) = bb.getLong; i += 1 }
+      }
+      state.containers.put(key, words)
+      c += 1
+    }
+    state
   }
 }
 
@@ -102,66 +183,9 @@ case class BitmapDistinct(
 
   override def eval(buffer: BitmapState): Any = buffer.cardinality
 
-  override def serialize(buffer: BitmapState): Array[Byte] = {
-    // size: per container, the cheaper of dense (8+1+8192) and sparse
-    var size = 4
-    val sizeIt = buffer.containers.values().iterator()
-    val sparseCounts = new java.util.ArrayList[Int]()
-    val entries = buffer.containers.entrySet().iterator()
-    while (sizeIt.hasNext) {
-      val words = sizeIt.next()
-      var nz = 0
-      var i = 0
-      while (i < 1024) { if (words(i) != 0L) nz += 1; i += 1 }
-      sparseCounts.add(nz)
-      size += 8 + 1 + (if (nz < 455) 2 + 10 * nz else 8192)
-    }
-    val bb = ByteBuffer.allocate(size)
-    bb.putInt(buffer.containers.size())
-    var c = 0
-    while (entries.hasNext) {
-      val e = entries.next()
-      val words = e.getValue
-      bb.putLong(e.getKey)
-      val nz = sparseCounts.get(c); c += 1
-      if (nz < 455) {
-        bb.put(0.toByte)
-        bb.putShort(nz.toShort)
-        var i = 0
-        while (i < 1024) {
-          if (words(i) != 0L) { bb.putShort(i.toShort); bb.putLong(words(i)) }
-          i += 1
-        }
-      } else {
-        bb.put(1.toByte)
-        var i = 0
-        while (i < 1024) { bb.putLong(words(i)); i += 1 }
-      }
-    }
-    bb.array()
-  }
+  override def serialize(buffer: BitmapState): Array[Byte] = BitmapState.serialize(buffer)
 
-  override def deserialize(bytes: Array[Byte]): BitmapState = {
-    val bb = ByteBuffer.wrap(bytes)
-    val state = new BitmapState
-    val nContainers = bb.getInt
-    var c = 0
-    while (c < nContainers) {
-      val key = bb.getLong
-      val words = new Array[Long](1024)
-      if (bb.get() == 0.toByte) {
-        val nz = bb.getShort.toInt
-        var i = 0
-        while (i < nz) { words(bb.getShort & 0xffff) = bb.getLong; i += 1 }
-      } else {
-        var i = 0
-        while (i < 1024) { words(i) = bb.getLong; i += 1 }
-      }
-      state.containers.put(key, words)
-      c += 1
-    }
-    state
-  }
+  override def deserialize(bytes: Array[Byte]): BitmapState = BitmapState.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
     copy(mutableAggBufferOffset = newOffset)
@@ -169,4 +193,71 @@ case class BitmapDistinct(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BitmapDistinct =
     copy(child = newChild)
+}
+
+/** The same container-bitmap state, evaluated to its serialized BYTES —
+  * the buildable, joinable form of an audience: aggregate once per group,
+  * then set-intersect groups pairwise with [[BitmapAndCardinality]]
+  * without touching the raw rows again. The audience-overlap grid drops
+  * from a per-user pair fan-out to |groups|² scalar ANDs. */
+case class BitmapBytes(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapState]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_bytes requires BIGINT input, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bitmap_bytes"
+
+  override def createAggregationBuffer(): BitmapState = new BitmapState
+  override def update(buffer: BitmapState, input: InternalRow): BitmapState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+  override def merge(buffer: BitmapState, other: BitmapState): BitmapState = {
+    buffer.mergeIn(other)
+    buffer
+  }
+  override def eval(buffer: BitmapState): Any = BitmapState.serialize(buffer)
+  override def serialize(buffer: BitmapState): Array[Byte] = BitmapState.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): BitmapState = BitmapState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapBytes =
+    copy(child = newChild)
+}
+
+/** |a ∩ b| over two serialized bitmaps ([[BitmapBytes]] output).
+  * CodegenFallback by design: it runs on the post-aggregation grid
+  * (|groups|² rows), never the row-level hot path. */
+case class BitmapAndCardinality(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_and_count requires (BINARY, BINARY), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap_and_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitmapState.deserialize(a.asInstanceOf[Array[Byte]])
+      .andCardinality(BitmapState.deserialize(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCardinality =
+    copy(left = newLeft, right = newRight)
 }

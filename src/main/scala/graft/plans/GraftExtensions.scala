@@ -106,7 +106,11 @@ object GraftFunctions {
     fn("graft_bitmap_distinct", "graft_bitmap_distinct(x)",
       es => BitmapDistinct(es.head)),
     fn("graft_array_sum", "graft_array_sum(arr)",
-      es => ArraySum(es.head))
+      es => ArraySum(es.head)),
+    fn("graft_bitmap_bytes", "graft_bitmap_bytes(x)",
+      es => BitmapBytes(es.head)),
+    fn("graft_bitmap_and_count", "graft_bitmap_and_count(a, b)",
+      es => BitmapAndCardinality(es(0), es(1)))
   )
 
   /** Column-API surface of [[BitmapDistinct]]. */
@@ -116,6 +120,14 @@ object GraftFunctions {
   /** Column-API surface of [[ArraySum]] (elementwise BIGINT-array sum). */
   def arraySum(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c(ArraySum(x(col)).toAggregateExpression())
+
+  /** Column-API surface of [[BitmapBytes]] (serialized audience bitmap). */
+  def bitmapBytes(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c(BitmapBytes(x(col)).toAggregateExpression())
+
+  /** Column-API surface of [[BitmapAndCardinality]] (intersection size). */
+  def bitmapAndCount(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c(BitmapAndCardinality(x(a), x(b)))
 
   /** Register all graft SQL functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries120 oracle rows alone don't pin: bit-for-bit
+  * plan equivalence between the bitmap grid and the row-level pair
+  * fan-out, and retention replayed from raw day sets. */
+class Queries120Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bitmap_overlap_grid == campaign_audience_overlap (two plans, one table)") {
+    val bitmap = SparkEntry.queries("bitmap_overlap_grid")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val rowLevel = SparkEntry.queries("campaign_audience_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(bitmap.nonEmpty)
+    assert(bitmap == rowLevel)
+  }
+
+  test("bitmap_retention: intersections replayed from raw day sets") {
+    val rows = SparkEntry.queries("bitmap_retention")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("d"), col("user_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (day, nDay, nNext, nRet, milli) =>
+      assert(nDay == daily(day).size)
+      assert(nNext == daily(day + 1).size)
+      assert(nRet == (daily(day) & daily(day + 1)).size)
+      assert(milli == nRet * 1000 / nDay)
+    }
+    // every consecutive-day pair present
+    val days = daily.keySet
+    assert(rows.length == days.count(d => days.contains(d + 1)))
+  }
+}
