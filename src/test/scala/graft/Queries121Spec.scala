@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries121 oracle rows alone don't pin: the Hamilton
+  * allocation's exactness and the sample's reproducibility. */
+class Queries121Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("budget_apportion: quotas sum to the budget exactly, replayed driver-side") {
+    val rows = SparkEntry.queries("budget_apportion")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._5).sum == 100000L, "Hamilton rounding closes the budget")
+    rows.foreach { case (_, _, fq, extra, q) =>
+      assert(extra == 0L || extra == 1L)
+      assert(q == fq + extra)
+    }
+    // replay: floor quotas + largest remainders
+    val w = rows.map(r => (r._1, r._2)).toMap
+    val tw = w.values.sum
+    val floor = w.view.mapValues(x => 100000L * x / tw).toMap
+    val spare = 100000L - floor.values.sum
+    val order = w.toSeq.map { case (s, x) => (s, 100000L * x % tw) }
+      .sortBy { case (s, r) => (-r, s) }.map(_._1)
+    val extras = order.take(spare.toInt).toSet
+    rows.foreach { case (s, _, fq, extra, _) =>
+      assert(fq == floor(s))
+      assert(extra == (if (extras(s)) 1L else 0L))
+    }
+    // proportionality: quota within ±1 of the real share
+    rows.foreach { case (s, x, _, _, q) =>
+      val exact = 100000.0 * x / tw
+      assert(math.abs(q - exact) <= 1.0, s"$s quota $q vs $exact")
+    }
+  }
+
+  test("quota_sample: per-source counts hit the quotas, checksum reproducible") {
+    val rows = SparkEntry.queries("quota_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == 300L, "doc budget closes exactly")
+    // reproducibility: second run identical (hash order, not partition order)
+    val again = SparkEntry.queries("quota_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+    // per-source selection never exceeds availability
+    val avail = Tables.documents(spark, dir).groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach { case (s, n, _) => assert(n <= avail(s)) }
+  }
+}
