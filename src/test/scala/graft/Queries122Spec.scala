@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries122 oracle rows alone don't pin: class
+  * conservation + boundary checks, and the DiD identity replayed. */
+class Queries122Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("abc_xyz_class: parts and revenue conserved, A-class dominates") {
+    val rows = SparkEntry.queries("abc_xyz_class")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nParts = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    assert(rows.map(_._3).sum == nParts, "every sold part classed once")
+    val totalRev = Tables.lineitem(spark, dir)
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint"))).collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == totalRev, "revenue conserved")
+    // shares internally consistent and classes from the right alphabet
+    rows.foreach { case (abc, xyz, _, rev, share) =>
+      assert(Set("A", "B", "C")(abc) && Set("X", "Y", "Z")(xyz))
+      assert(share == rev * 1000 / totalRev)
+    }
+    // Pareto structure: A rows carry at least as much revenue as C rows
+    val revByAbc = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(revByAbc.getOrElse("A", 0L) >= revByAbc.getOrElse("C", 0L))
+  }
+
+  test("promo_did: the DiD identity over replayed cell means") {
+    val r = SparkEntry.queries("promo_did")(spark, dir).collect().head
+    val (n, pb, pa, cb, ca, did) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(did == (pa - pb) - (ca - cb))
+    assert(n == Tables.lineitem(spark, dir).count())
+    // replay one cell from raw data: promo & before
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("sd"))
+    val Array(mn, mx) = li.agg(min("sd"), max("sd")).collect()
+      .flatMap(x => Array(x.getLong(0), x.getLong(1)))
+    val mid = (mn + mx) / 2
+    val promoParts = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val cell = li.collect().filter(x =>
+      promoParts(x.getLong(0)) && x.getLong(2) <= mid)
+    val expect = cell.map(_.getLong(1)).sum * 1000 / cell.length
+    assert(pb == expect)
+  }
+}
