@@ -110,7 +110,23 @@ object BenchScale {
     // the cohort-partitioned spend quantiles
     "attribution_model_compare", "session_duration_profile",
     "importance_sample", "embedding_outliers", "campaign_audience_overlap",
-    "part_reorder_rate", "ltv_quantiles_by_cohort")
+    "part_reorder_rate", "ltv_quantiles_by_cohort",
+    // round-9 batches 31-42: the fixed-round graph iterations (peel/BFS —
+    // rounds never grow with data), the three bitmap-aggregate plans
+    // (ONE mergeable-partial shuffle each; the overlap grid's ANDs ride
+    // on 10 rows), the one-pass integer Gram + its projection, the NB
+    // classifier's token-keyed train/score joins, RAKE's two doc-local
+    // explodes, the bounded within-order triple fan-out, the KM duration
+    // rollup, the adjacent-pair quantization audit, the log-bounded
+    // Heaps checkpoints, the bucketed skyline, the ABC×XYZ part rollup,
+    // the trained-centroid margin scan, the MI cell table, the DSAR
+    // gather, the per-source quota rank, and CUPED's user moments
+    "kcore_decomposition", "bfs_hops", "bitmap_distinct",
+    "bitmap_overlap_grid", "bitmap_retention", "pca_power_iter",
+    "pca_project_outliers", "nb_classifier", "rake_keyphrases",
+    "basket_triples", "km_survival", "int8_quant_error", "heaps_law_fit",
+    "pareto_frontier", "abc_xyz_class", "cluster_margin_audit", "field_mi",
+    "subject_access_export", "quota_sample", "ab_cuped")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

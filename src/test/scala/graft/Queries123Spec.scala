@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries123 oracle rows alone don't pin: the bridge's
+  * exact closure against independent year totals, and an FD replayed
+  * key-by-key. */
+class Queries123Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("revenue_bridge: closes exactly against independent year totals") {
+    val rows = SparkEntry.queries("revenue_bridge")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(rows.nonEmpty)
+    def yearTotal(y: Int) = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === y)
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == yearTotal(1996))
+    assert(rows.map(_._3).sum == yearTotal(1997))
+    rows.foreach { case (t, r1, r2, pe, ve, ce, ne, de, res) =>
+      assert(r2 - r1 == pe + ve + ce + ne + de + res,
+        s"bridge identity broken for $t")
+    }
+  }
+
+  test("fd_audit: one rule replayed key-by-key; brand->type must not hold") {
+    val rows = SparkEntry.queries("fd_audit")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 4)
+    rows.foreach { case (_, nKeys, nViol, maxFan, holds) =>
+      assert(nViol <= nKeys)
+      assert(holds == (nViol == 0))
+      assert(maxFan >= 1)
+    }
+    val brand = rows.find(_._1 == "p_brand->p_type").get
+    val byBrand = Tables.part(spark, dir).select("p_brand", "p_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(brand._2 == byBrand.size)
+    assert(brand._3 == byBrand.values.count(_ > 1))
+    assert(brand._4 == byBrand.values.max)
+    assert(!brand._5, "25 brands over 6 types cannot be a determinant")
+  }
+}
