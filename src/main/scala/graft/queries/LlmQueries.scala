@@ -38,7 +38,7 @@ object LlmQueries {
 
   /** ngram_jaccard skew guard: shingles present in more docs than this are
     * excluded from pairing (shared Spark ↔ oracle constant). */
-  private val StopShingleDf = 64
+  private[queries] val StopShingleDf = 64
 
   /** SQL twin of SimF.dot: element products in double, strict left fold. */
   private def dotSql(a: String, b: String): String =

@@ -57,6 +57,19 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(back.cardinality == before + 1)
   }
 
+  test("plan shape: ONE exchange where count(DISTINCT) plans two") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"), col("user_id"))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val bitmap = ev.groupBy("event_type", "day")
+      .agg(GraftFunctions.bitmapDistinct(col("user_id")).as("n"))
+    val expand = ev.groupBy("event_type", "day")
+      .agg(countDistinct(col("user_id")).as("n"))
+    assert(exchanges(bitmap) == 1, "bitmap partials: one group-keyed shuffle")
+    assert(exchanges(expand) == 2, "count(DISTINCT): dedup shuffle + count shuffle")
+  }
+
   test("SQL surface: graft_bitmap_distinct via spark.sql") {
     GraftFunctions.register(spark)
     import spark.implicits._

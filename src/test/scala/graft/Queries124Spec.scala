@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the Queries124 oracle rows alone don't pin: containment
+  * recomputed from raw shingle sets, and its asymmetry vs Jaccard. */
+class Queries124Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("containment_dedup: recomputed from raw shingle sets") {
+    val rows = SparkEntry.queries("containment_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split(" ").filter(_.nonEmpty).toSeq
+        val sh = if (toks.length < 5) Set.empty[String]
+        else toks.sliding(5).map(_.mkString(" ")).toSet
+        (r.getLong(0), sh)
+      }.toMap
+    rows.foreach { case (a, b, shared, ca, cb) =>
+      val inter = (docs(a) & docs(b)).size.toLong
+      // the query df-caps stop shingles before pairing, so its `shared`
+      // may undercount the raw intersection — never overcount
+      assert(shared <= inter)
+      assert(ca == math.round(1000.0 * shared / docs(a).size))
+      assert(cb == math.round(1000.0 * shared / docs(b).size))
+      assert(ca >= 800 || cb >= 800)
+    }
+    // asymmetry is the point: where sizes differ, containments differ
+    rows.find(r => docs(r._1).size != docs(r._2).size).foreach { r =>
+      assert(r._4 != r._5 || r._3 == 0)
+    }
+  }
+}
