@@ -110,7 +110,15 @@ object GraftFunctions {
     fn("graft_bitmap_bytes", "graft_bitmap_bytes(x)",
       es => BitmapBytes(es.head)),
     fn("graft_bitmap_and_count", "graft_bitmap_and_count(a, b)",
-      es => BitmapAndCardinality(es(0), es(1)))
+      es => BitmapAndCardinality(es(0), es(1))),
+    // round-9: native HLL — single-shuffle register sketch over the repo's
+    // canonical 60-bit hash, mergeable upward (day → week) via max
+    fn("graft_hll_registers", "graft_hll_registers(v)",
+      es => HllRegisters(es.head)),
+    fn("graft_hll_merge", "graft_hll_merge(regs)",
+      es => HllMerge(es.head)),
+    fn("graft_hll_summary", "graft_hll_summary(regs)",
+      es => HllSummary(es.head))
   )
 
   /** Column-API surface of [[BitmapDistinct]]. */
@@ -128,6 +136,18 @@ object GraftFunctions {
   /** Column-API surface of [[BitmapAndCardinality]] (intersection size). */
   def bitmapAndCount(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c(BitmapAndCardinality(x(a), x(b)))
+
+  /** Column-API surface of [[HllRegisters]] (64-byte HLL sketch blob). */
+  def hllRegisters(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c(HllRegisters(x(col)).toAggregateExpression())
+
+  /** Column-API surface of [[HllMerge]] (register-blob reaggregation). */
+  def hllMerge(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c(HllMerge(x(col)).toAggregateExpression())
+
+  /** Column-API surface of [[HllSummary]] (struct(n_set, s, est_hll)). */
+  def hllSummary(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c(HllSummary(x(col)))
 
   /** Register all graft SQL functions on a live session. */
   def register(spark: SparkSession): Unit = {

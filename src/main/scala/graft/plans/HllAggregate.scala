@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, StructType}
+
+/** Native HyperLogLog register state (Flajolet et al. 2007) as a
+  * `TypedImperativeAggregate` — the single-shuffle form of the repo's
+  * integer-exact HLL (queries/Queries91.scala `distinct_hll`).
+  *
+  * The SQL spelling of the sketch needs TWO aggregations (max rank per
+  * (group, bucket), then the per-group harmonic sum) = two Exchanges;
+  * this aggregate keeps all m = 64 registers in a fixed 64-byte buffer,
+  * maxes them in place with map-side combine, and ships ONE 64-byte
+  * partial per (group, partition) — the `sum`-shaped plan. Registers are
+  * elementwise-max mergeable, so the same blob reaggregates upward
+  * ([[HllMerge]]: day sketches → week estimate without re-reading raw
+  * rows) and across streaming state-store checkpoints.
+  *
+  * Input contract: the repo's canonical 60-bit md5-derived hash value
+  * (queries/Queries91.scala `hllHash60`, 15 md5 nibbles as one BIGINT) —
+  * bucket = top p = 6 bits, rank = leading zeros of the 54-bit remainder
+  * + 1 (all-zero remainder → 55). Keeping the hash a Column expression
+  * leaves the md5 in whole-stage codegen; only the fixed-size register
+  * max lives here.
+  */
+object HllState {
+  val P = 6
+  val M = 1 << P // 64 registers
+  val RankBits = 60 - P // 54-bit remainder field
+  val RankMask = (1L << RankBits) - 1
+  val RankCap = 40L // keeps 2^(cap−rank) integral AND the sum < 2^63
+  // α₆₄ = 0.709 as the exact rational 709/1000 (matches Queries91)
+  val AlphaNumer = 709L * M * M * (1L << RankCap)
+  val AlphaDenom = 1000L
+
+  def update(regs: Array[Byte], v: Long): Unit = {
+    val bucket = (v >>> RankBits).toInt // v < 2^60 so this is 0..63
+    val rest = v & RankMask
+    val rank =
+      if (rest == 0L) (RankBits + 1).toByte
+      else (RankBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))).toByte
+    if (rank > regs(bucket)) regs(bucket) = rank
+  }
+
+  def mergeIn(into: Array[Byte], from: Array[Byte]): Unit = {
+    var i = 0
+    while (i < M) { if (from(i) > into(i)) into(i) = from(i); i += 1 }
+  }
+
+  /** (n_set, S, estimate) — the exact-integer readout shared with the
+    * SQL twin: S = Σ 2^(cap − min(rank, cap)) with empty registers
+    * contributing 2^cap, estimate = AlphaNumer / (AlphaDenom · S)
+    * (both operands positive, so Long truncation == floor == SQL div). */
+  def summary(regs: Array[Byte]): (Long, Long, Long) = {
+    var nSet = 0L
+    var s = 0L
+    var i = 0
+    while (i < M) {
+      val r = regs(i).toLong
+      if (r > 0L) {
+        nSet += 1
+        s += 1L << (RankCap - math.min(r, RankCap))
+      } else s += 1L << RankCap
+      i += 1
+    }
+    (nSet, s, AlphaNumer / (AlphaDenom * s))
+  }
+}
+
+/** HLL register sketch of a BIGINT 60-bit-hash column → 64-byte blob.
+  * SQL surface: `graft_hll_registers(v)` via [[GraftFunctions]]. */
+case class HllRegisters(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_registers requires BIGINT input, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_registers"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllState.M)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HllState.update(buffer, v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    HllState.mergeIn(buffer, other)
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegisters =
+    copy(child = newChild)
+}
+
+/** Elementwise-max merge of serialized [[HllRegisters]] blobs — the
+  * sketch REAGGREGATION aggregate: per-day sketches roll up to weeks /
+  * months / all-time without touching raw rows, and the result is
+  * bit-identical to computing the coarser sketch directly (max is
+  * associative + commutative). SQL: `graft_hll_merge(regs)`. */
+case class HllMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_merge requires BINARY input, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_merge"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllState.M)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HllState.mergeIn(buffer, v.asInstanceOf[Array[Byte]])
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    HllState.mergeIn(buffer, other)
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMerge =
+    copy(child = newChild)
+}
+
+/** Exact-integer readout of a register blob:
+  * struct(n_set, s, est_hll). CodegenFallback by design — it runs on
+  * post-aggregation rows (one per group), never the row hot path. */
+case class HllSummary(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_summary requires BINARY input, got ${child.dataType.sql}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_set", LongType, nullable = false),
+    StructField("s", LongType, nullable = false),
+    StructField("est_hll", LongType, nullable = false)))
+  override def prettyName: String = "graft_hll_summary"
+
+  override protected def nullSafeEval(regs: Any): Any = {
+    val (nSet, s, est) = HllState.summary(regs.asInstanceOf[Array[Byte]])
+    new GenericInternalRow(Array[Any](nSet, s, est))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllSummary =
+    copy(child = newChild)
+}

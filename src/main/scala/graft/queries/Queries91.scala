@@ -44,10 +44,17 @@ object Queries91 {
     * from 15 md5 nibbles of `'hll:' ++ user ++ ':' ++ day`; bucket = top
     * p bits, rank = leading zeros of the 54-bit remainder + 1 (all-zero
     * remainder → [[HllRankBits]] + 1). */
-  private[graft] def hllBucketRank(ev: DataFrame): DataFrame = {
+  /** The canonical 60-bit HLL hash value (15 md5 nibbles of
+    * `'hll:' ++ user ++ ':' ++ day` as one BIGINT) — the input contract
+    * of the native `plans.HllRegisters` aggregate too. */
+  private[graft] def hllHash60: Column = {
     val key = concat(lit("hll:"), col("user_id").cast("string"), lit(":"),
       expr("ts_us div 86400000000").cast("string"))
-    val v = conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+    conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+  }
+
+  private[graft] def hllBucketRank(ev: DataFrame): DataFrame = {
+    val v = hllHash60
     val rest = v.bitwiseAND(lit((1L << HllRankBits) - 1))
     // bit length via bin(): leading zeros = rankBits − bitlen(rest)
     val rank = when(rest === 0L, lit(HllRankBits + 1L))
@@ -90,15 +97,20 @@ object Queries91 {
     }
   )
 
-  val oracles: Map[String, String] = {
+  /** v = the 15-nibble md5 value folded as Horner over a column named `h`;
+    * the seed is CAST to BIGINT so the fold never overflows DuckDB's
+    * default INT32. Shared with the native-HLL twins (Queries125). */
+  private[graft] val HllHornerSql: String = {
     def nib(i: Int) = {
       val x = s"substr(h, $i, 1)"
       s"(CASE WHEN ascii($x) <= 57 THEN ascii($x) - 48 ELSE ascii($x) - 87 END)"
     }
-    // v = the 15-nibble value folded as Horner; the seed is CAST to
-    // BIGINT so the fold never overflows DuckDB's default INT32
-    val horner = (1 to 15).map(nib).reduceLeft((acc, n) =>
+    (1 to 15).map(nib).reduceLeft((acc, n) =>
       s"(CAST($acc AS BIGINT) * 16 + $n)")
+  }
+
+  val oracles: Map[String, String] = {
+    val horner = HllHornerSql
     Map(
       "distinct_hll" ->
         s"""WITH hashed AS (
