@@ -118,7 +118,11 @@ object GraftFunctions {
     fn("graft_hll_merge", "graft_hll_merge(regs)",
       es => HllMerge(es.head)),
     fn("graft_hll_summary", "graft_hll_summary(regs)",
-      es => HllSummary(es.head))
+      es => HllSummary(es.head)),
+    // round-9: native KMV — k smallest distinct values as a sorted array
+    // (distinctness in-state: one shuffle replaces distinct + rank window)
+    fn("graft_kmv_mink", "graft_kmv_mink(v, k)",
+      es => KmvMinK(es.head, intArg(es(1), "k")))
   )
 
   /** Column-API surface of [[BitmapDistinct]]. */
@@ -148,6 +152,10 @@ object GraftFunctions {
   /** Column-API surface of [[HllSummary]] (struct(n_set, s, est_hll)). */
   def hllSummary(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c(HllSummary(x(col)))
+
+  /** Column-API surface of [[KmvMinK]] (sorted k-min distinct values). */
+  def kmvMinK(col: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    c(KmvMinK(x(col), k).toAggregateExpression())
 
   /** Register all graft SQL functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,117 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** K-minimum-values sketch state (Bar-Yossef et al. 2002): the k smallest
+  * DISTINCT values seen, kept as a sorted array. Insert/merge are O(k)
+  * (k = 32 for the repo's audience sketches), the partial is at most
+  * 4 + 8k bytes, and distinctness lives IN the state — so the aggregate
+  * replaces the SQL spelling's `distinct` shuffle + per-group rank window
+  * with ONE map-side-combined shuffle. */
+final class KmvState(val k: Int) {
+  /** sorted ascending; n ≤ k entries are valid. */
+  val values = new Array[Long](k)
+  var n = 0
+
+  def add(v: Long): Unit = {
+    if (n == k && v >= values(n - 1)) return
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (values(mid) < v) lo = mid + 1 else hi = mid
+    }
+    if (lo < n && values(lo) == v) return // distinct: already present
+    val insertAt = lo
+    val last = if (n == k) k - 1 else n
+    var i = last
+    while (i > insertAt) { values(i) = values(i - 1); i -= 1 }
+    values(insertAt) = v
+    if (n < k) n += 1
+  }
+
+  def mergeIn(other: KmvState): Unit = {
+    var i = 0
+    while (i < other.n) { add(other.values(i)); i += 1 }
+  }
+
+  def toArray: Array[Long] = java.util.Arrays.copyOf(values, n)
+}
+
+object KmvState {
+  def serialize(s: KmvState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * s.n)
+    bb.putInt(s.k)
+    bb.putInt(s.n)
+    var i = 0
+    while (i < s.n) { bb.putLong(s.values(i)); i += 1 }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): KmvState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new KmvState(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { s.values(i) = bb.getLong; i += 1 }
+    s.n = n
+    s
+  }
+}
+
+/** The k smallest distinct BIGINTs of a column, as a sorted ARRAY<BIGINT>
+  * — the joinable form of a KMV/theta sketch. Downstream set algebra is
+  * plain codegen'd array functions over ≤ k-element arrays:
+  * union sketch = `slice(array_sort(array_union(a, b)), 1, k)`,
+  * intersection membership = `array_intersect`. SQL surface:
+  * `graft_kmv_mink(v, k)` via [[GraftFunctions]]. */
+case class KmvMinK(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvState]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType) TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_mink requires BIGINT input, got ${child.dataType.sql}")
+    else if (k < 1 || k > 65536) TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_mink k must be in [1, 65536], got $k")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_mink"
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(buffer: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvState, other: KmvState): KmvState = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: KmvState): Any = new GenericArrayData(buffer.toArray)
+  override def serialize(buffer: KmvState): Array[Byte] = KmvState.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): KmvState = KmvState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinK =
+    copy(child = newChild)
+}
