@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The signature-compression estimators' contract: driver-side replay of
+  * both estimators from raw shingle sets, packing bounds, densification
+  * accounting, and agreement with the pair engine's exact jaccard. */
+class MinhashCompressionSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private val P = 1000000007L
+
+  private def rollingHash(s: String): Long = {
+    var h = 0L
+    s.getBytes("UTF-8").foreach(b => h = (h * 257 + (b & 0xff)) % P)
+    h
+  }
+
+  private def shingleSets: Map[Long, Set[String]] = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", graft.functions.TextF.tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextF.shinglesFromTokens(col("toks"), 5)).as("sh"))
+    docs.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+  }
+
+  test("bbit_minhash: signature fits 32 bits; estimator replays from raw shingles") {
+    val sh = shingleSets
+    val rows = SparkEntry.queries("bbit_minhash")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val matches = (0 until 16).count { i =>
+        def comp(ids: Long): Long =
+          sh(ids).map(s => (rollingHash(s) * (2L * i + 3) + (7L * i + 1)) % P).min % 4
+        comp(a) == comp(b)
+      }
+      assert(r.getLong(3) == matches.toLong, s"matches_b2 pair ($a,$b)")
+      val est = math.max(0L, matches * 4L - 16L) * 1000L / 48L
+      assert(r.getLong(4) == est, s"est_bbit pair ($a,$b)")
+      assert(r.getLong(5) == est - r.getLong(2))
+    }
+  }
+
+  test("oph_minhash: bins + densification replay; empty-bin accounting") {
+    val sh = shingleSets
+    def ophFilled(id: Long): IndexedSeq[Long] = {
+      val hs = sh(id).map(rollingHash).toSeq
+      val mins = (0 until 16).map(i => hs.filter(_ % 16 == i) match {
+        case Nil => None
+        case xs => Some(xs.min)
+      })
+      (0 until 16).map(i =>
+        (0 until 16).iterator.map(j => mins((i + j) % 16)).collectFirst {
+          case Some(v) => v
+        }.get)
+    }
+    val rows = SparkEntry.queries("oph_minhash")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (fa, fb) = (ophFilled(a), ophFilled(b))
+      val matches = (0 until 16).count(i => fa(i) == fb(i))
+      assert(r.getLong(5) == matches.toLong, s"matches_oph pair ($a,$b)")
+      assert(r.getLong(6) == matches * 1000L / 16L)
+      // n_empty = bins with no shingle hash, straight from the raw sets
+      val emptyA = (0 until 16).count(i => !sh(a).exists(s => rollingHash(s) % 16 == i))
+      assert(r.getLong(3) == emptyA.toLong, s"n_empty_a pair ($a,$b)")
+    }
+  }
+
+  test("both scoreboards cover exactly ngram_jaccard's pairs with its exact values") {
+    val nj = SparkEntry.queries("ngram_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    Seq("bbit_minhash", "oph_minhash").foreach { q =>
+      val got = SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == nj, s"$q pair set / exact jaccard drifted from ngram_jaccard")
+    }
+  }
+}
