@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Little's-law closure and the double-payment screen: the identity must
+  * hold exactly, and the pair scan must be complete against a driver-side
+  * replay of the predicate. */
+class Queries128Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private val DayUs = 86400000000L
+
+  test("littles_law_audit: the Fubini identity holds and rates are consistent") {
+    val r = SparkEntry.queries("littles_law_audit")(spark, dir).collect().head
+    val (n, window, direct, sweep, ok) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(ok == 1L && direct == sweep, "sweep integral must equal direct sum")
+    assert(n > 0 && window > 0)
+    // L = λ·W at the rational level: l/1000 == (n/window)·(direct/n)
+    assert(r.getLong(5) == sweep * 1000 / window)
+    assert(r.getLong(6) == n * 1000 / window)
+    assert(r.getLong(7) == direct * 1000 / n)
+    // direct sum replayed from the raw interval table
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(max(unix_micros(col("l_shipdate").cast("timestamp"))).as("ship"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ord")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr(s"ord div $DayUs").as("s"), expr(s"ship div $DayUs + 1").as("c"))
+      .filter(col("c") > col("s"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(perOrder.length.toLong == n)
+    assert(perOrder.map(p => p._2 - p._1).sum == direct)
+  }
+
+  test("dup_invoice_scan: complete and exact vs a driver-side replay") {
+    // sf0.01: the sf0.001 slice is too small to produce any pair
+    val big = "/root/testdata/sf0.01"
+    val orders = Tables.orders(spark, big).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $DayUs").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = (for {
+      a <- orders.iterator
+      b <- orders
+      if a._2 == b._2 && a._3 / 1000000 == b._3 / 1000000 &&
+        a._1 < b._1 && math.abs(a._4 - b._4) <= 90
+    } yield (a._2, a._1, b._1, a._3, b._3, math.abs(a._4 - b._4),
+      if (a._3 == b._3) 1L else 0L)).toSet
+    val got = SparkEntry.queries("dup_invoice_scan")(spark, big).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+}
