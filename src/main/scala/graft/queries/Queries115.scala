@@ -43,15 +43,23 @@ object Queries115 {
     Tables.embeddings(sp, dir).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
 
-  /** Train the e3 top principal direction: one distributed Gram pass
-    * (ArraySum partials), then [[PowerIters]] exact integer iterations
-    * driver-side. Bounded collect: Dim² cells by definition. */
-  private[queries] def powerEigvec(sp: SparkSession, dir: String): Array[Long] = {
+  /** One distributed ArraySum pass → the exact integer Gram (Dim² cells,
+    * bounded collect). Shared with Queries129's isotropy audit. */
+  private[graft] def gramMatrix(sp: SparkSession, dir: String): Array[Long] = {
     val gramRow = expr(
       s"transform(sequence(0, ${Dim * Dim - 1}), k -> element_at(q, cast(k div $Dim as int) + 1) * element_at(q, cast(k % $Dim as int) + 1))")
-    val gram = quantized(sp, dir).select(gramRow.as("gr"))
+    quantized(sp, dir).select(gramRow.as("gr"))
       .agg(GraftFunctions.arraySum(col("gr")).as("g"))
       .collect()(0).getSeq[Long](0).toArray
+  }
+
+  /** Train the e3 top principal direction: the Gram pass, then
+    * [[PowerIters]] exact integer iterations driver-side (matvec +
+    * sign-split max-abs rescale). */
+  private[queries] def powerEigvec(sp: SparkSession, dir: String): Array[Long] =
+    powerEigvecFromGram(gramMatrix(sp, dir))
+
+  private[graft] def powerEigvecFromGram(gram: Array[Long]): Array[Long] = {
     var v = Array.fill(Dim)(1000L)
     (1 to PowerIters).foreach { _ =>
       val w = Array.tabulate(Dim) { i =>

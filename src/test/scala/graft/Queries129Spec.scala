@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Retention half-life and embedding isotropy: both one-number audits
+  * replayed driver-side from their raw inputs. */
+class Queries129Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  private def tdivL(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+
+  test("retention_halflife: OLS moments replay from the raw activity table") {
+    val r = SparkEntry.queries("retention_halflife")(spark, dir).collect().head
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div $WeekUs").as("wk")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val first = activity.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val curve = activity.map { case (u, w) => (w - first(u), u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val pts = curve.toSeq.map { case (off, n) =>
+      (off, (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong)
+    }
+    val nW = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val slope = tdivL((nW * sxy - sx * sy) * 1000, nW * sxx - sx * sx)
+    assert(r.getLong(0) == nW)
+    assert(r.getLong(1) == curve(0L), "w0 actives = all users")
+    assert(r.getLong(2) == slope)
+    assert(r.getLong(3) == tdivL(sy * 1000 - slope * sx, nW))
+    val hl = if (slope < 0) tdivL(-1000L * 1000L, slope) else 0L
+    assert(r.getLong(4) == hl)
+    assert(r.getLong(1) == activity.map(_._1).distinct.length.toLong)
+  }
+
+  test("embedding_isotropy: Rayleigh quotient brackets and replay") {
+    val r = SparkEntry.queries("embedding_isotropy")(spark, dir).collect().head
+    val (dim, n, trace, lambda1, share) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(dim == 64 && n > 0 && trace > 0)
+    // λ₁ is a Rayleigh quotient: bounded by the trace, at least trace/dim
+    // for the TOP direction (the quotient along the trained eigvec can sit
+    // slightly under the true max only by e3 quantization — allow 5%)
+    assert(lambda1 <= trace, "a single direction cannot exceed total mass")
+    assert(lambda1 * 64L * 100L >= trace * 95L,
+      s"top direction ($lambda1) below the isotropic floor (${trace / 64})")
+    assert(share == tdivL(lambda1 * 1000, trace))
+    // replay the quotient from the same Gram + eigvec
+    val gram = graft.queries.Queries115.gramMatrix(spark, dir)
+    val v = graft.queries.Queries115.powerEigvecFromGram(gram)
+    val w = Array.tabulate(64) { i =>
+      (0 until 64).map(j => gram(i * 64 + j) * v(j)).sum
+    }
+    val num = (0 until 64).map(i => v(i) * tdivL(w(i), 1000)).sum
+    val den = tdivL(v.map(x => x * x).sum, 1000)
+    assert(lambda1 == tdivL(num, den))
+  }
+}
