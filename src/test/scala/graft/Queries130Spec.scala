@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** STL closure + seasonal strength, and OHLC candle invariants. */
+class Queries130Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stl_decompose: exact closure on interior days; trend replays; weekly cycle measured") {
+    val rows = SparkEntry.queries("stl_decompose")(spark, dir).collect()
+    assert(rows.length > 100)
+    val byDay = rows.map(r => r.getLong(0) ->
+      (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    // closure: rev == trend + seasonal + resid wherever trend exists
+    byDay.foreach { case (d, (rev, trend, seas, resid)) =>
+      trend.foreach(t => assert(rev == t + seas + resid.get, s"day $d"))
+      assert(trend.isEmpty == resid.isEmpty)
+    }
+    // trend replays as the exact centered 7-day integer mean
+    val days = byDay.keys.toSeq.sorted
+    days.drop(3).dropRight(3).take(50).foreach { d =>
+      val idx = days.indexOf(d)
+      val win = days.slice(idx - 3, idx + 4)
+      if (win.length == 7 && win.last - win.head == 6) {
+        val expect = win.map(byDay(_)._1).sum / 7
+        assert(byDay(d)._2.contains(expect), s"trend day $d")
+      }
+    }
+    // seasonal is constant per dow
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(4)).distinct.length == 1)
+    }
+    // seasonal strength: residual sum-of-squares < detrended sum-of-squares
+    val interior = rows.filter(r => !r.isNullAt(3))
+    val ssResid = interior.map(r => { val v = r.getLong(5); v * v }).sum
+    val ssDetr = interior.map(r => {
+      val v = r.getLong(2) - r.getLong(3); v * v
+    }).sum
+    assert(ssResid < ssDetr, "removing the weekly cycle must reduce variance")
+  }
+
+  test("resample_ohlc: candle invariants + conservation vs the daily series") {
+    val candles = SparkEntry.queries("resample_ohlc")(spark, dir).collect()
+    assert(candles.nonEmpty)
+    candles.foreach { c =>
+      val (n, o, h, l, cl, v) = (c.getLong(1), c.getLong(2), c.getLong(3),
+        c.getLong(4), c.getLong(5), c.getLong(6))
+      assert(n >= 1 && n <= 7)
+      assert(l <= o && o <= h && l <= cl && cl <= h)
+      assert(v >= h && v >= l * n)
+    }
+    // volume conservation against the raw orders rollup
+    val total = Tables.orders(spark, dir)
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint"))).collect().head.getLong(0)
+    assert(candles.map(_.getLong(6)).sum == total)
+  }
+}
