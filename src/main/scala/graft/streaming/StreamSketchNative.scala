@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftFunctions
+
+/** Streaming twins of the native sketch aggregates — the point of a
+  * `TypedImperativeAggregate` is that its partial IS mergeable state, so
+  * the SAME implementation that merges across shuffle partitions in
+  * batch merges across state-store checkpoints in Structured Streaming:
+  *
+  *  - [[hllByType]]: per-event-type HLL registers (64-byte state per
+  *    group, forever — the O(1)-state distinct counter) read out as the
+  *    exact-integer estimate. Estimates are MONOTONE non-decreasing
+  *    (registers only grow), so update-mode re-emissions converge
+  *    upward to the batch `hll_native` readout.
+  *  - [[kmvByType]]: per-event-type k-min sketch (≤ 4+8k bytes of
+  *    state); `est_kmv` is likewise monotone (h_k only decreases), and
+  *    the final sketch is bit-identical to the batch `kmv_native` one.
+  *
+  * No watermark: the state key space is |event types|, bounded by the
+  * domain, so nothing needs eviction (contrast StreamBitmap's day keys).
+  */
+object StreamSketchNative {
+
+  /** (event_type, est_hll) from a stream with (`event_type`, `user_id`,
+    * `ts_us`) — the `hll_native` hash spelling. */
+  def hllByType(spark: SparkSession, events: DataFrame): DataFrame = {
+    val key = concat(lit("hll:"), col("user_id").cast("string"), lit(":"),
+      expr("ts_us div 86400000000").cast("string"))
+    val v = conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+    events.select(col("event_type"), v.as("v"))
+      .groupBy("event_type")
+      .agg(GraftFunctions.hllRegisters(col("v")).as("regs"))
+      .select(col("event_type"),
+        GraftFunctions.hllSummary(col("regs")).getField("est_hll").as("est_hll"))
+  }
+
+  /** (event_type, n_kept, est_kmv) from the same stream — the
+    * `kmv_native` hash spelling (rolling hash of user:day). */
+  def kmvByType(spark: SparkSession, events: DataFrame, k: Int = 32): DataFrame = {
+    val key = concat(col("user_id").cast("string"), lit(":"),
+      expr("ts_us div 86400000000").cast("string"))
+    events.select(col("event_type"),
+        graft.functions.TextF.rollingHash(key).as("h"))
+      .groupBy("event_type")
+      .agg(GraftFunctions.kmvMinK(col("h"), k).as("ks"))
+      .select(col("event_type"), size(col("ks")).cast("bigint").as("n_kept"),
+        when(size(col("ks")) < k, size(col("ks")).cast("bigint"))
+          .otherwise(expr(s"((${k} - 1) * 1000000007L) div element_at(ks, $k)"))
+          .as("est_kmv"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for the native HLL and KMV aggregates: the same
+  * TypedImperativeAggregate state merging across state-store checkpoints
+  * converges to exactly the oracle-checked batch readouts, and both
+  * estimates are monotone across micro-batches (so update-mode max IS
+  * the converged value). */
+class StreamSketchNativeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def chunks = {
+    import spark.implicits._
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts_us"))
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(rows.length >= 500)
+    rows.grouped((rows.length + 2) / 3).map(_.toIndexedSeq).toSeq
+  }
+
+  test("streamed native HLL estimate converges to batch hll_native") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamSketchNative.hllByType(
+        spark, mem.toDF().toDF("event_type", "user_id", "ts_us"))
+      .writeStream.format("memory").queryName("shll").outputMode("update").start()
+    try {
+      var last: Map[String, Long] = Map.empty
+      chunks.foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+        val now = spark.sql("SELECT event_type, max(est_hll) AS e FROM shll GROUP BY 1")
+          .as[(String, Long)].collect().toMap
+        // monotone: each micro-batch can only push estimates up
+        last.foreach { case (t, e) => assert(now(t) >= e, s"estimate regressed for $t") }
+        last = now
+      }
+      val batch = SparkEntry.queries("hll_native")(spark, dir)
+        .select("event_type", "est_hll")
+        .as[(String, Long)].collect().toMap
+      assert(last == batch)
+    } finally q.stop()
+  }
+
+  test("streamed native KMV estimate converges to batch kmv_native") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamSketchNative.kmvByType(
+        spark, mem.toDF().toDF("event_type", "user_id", "ts_us"))
+      .writeStream.format("memory").queryName("skmv").outputMode("update").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val streamed = spark.sql(
+        "SELECT event_type, max(n_kept) AS nk, max(est_kmv) AS e FROM skmv GROUP BY 1")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = SparkEntry.queries("kmv_native")(spark, dir)
+        .select("event_type", "n_kept", "est_kmv")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
