@@ -37,7 +37,7 @@ object Queries6 {
     * same shape as dedup_embedding's banded SRP search. The exploded band
     * table is persisted: both sides of the self-join scan it, and without
     * the cache each side recomputes every md5 minhash signature. */
-  private[queries] def minhashPairs(sp: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(sp: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(sp, dir)
     val ex = graft.util.CacheScope.track(sigs.select(col("doc_id"),
       posexplode(array(col("band0"), col("band1")))).select(

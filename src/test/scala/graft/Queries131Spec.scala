@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Modularity structure over the CC partition + boxplot replay. */
+class Queries131Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("graph_modularity: CC identities — intra edges cover m, Q = 1 − Σ(d_c/2m)²") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val m = graft.queries.Queries6.minhashPairs(spark, dir).count()
+    // every edge of a CC partition is intra-community
+    assert(rows.map(_.getLong(2)).sum == m, "Σ m_c must equal m")
+    // degree sums cover every edge end
+    assert(rows.map(_.getLong(3)).sum == 2 * m, "Σ d_c must equal 2m")
+    // contribution replay, exact integer spelling
+    rows.foreach { r =>
+      val (mc, dc) = (r.getLong(2), r.getLong(3))
+      val expect = mc * 1000000L / m - dc * dc * 1000000L / (4L * m * m)
+      assert(r.getLong(4) == expect)
+      assert(r.getLong(1) >= 2, "a component of the edge graph has >= 2 nodes")
+    }
+    // Q in (0, 1]: CC communities are denser than the random-graph null
+    val q = rows.map(_.getLong(4)).sum
+    assert(q > 0 && q <= 1000000L, s"modularity_micro $q out of range")
+  }
+
+  test("boxplot_report: quartiles and fences replay from raw per-brand values") {
+    val rows = SparkEntry.queries("boxplot_report")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val vals = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), round(col("l_extendedprice") * 100).cast("bigint").as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val b = r.getString(0)
+      val v = vals(b)
+      val n = v.length.toLong
+      def pick(p: Long) = v(((p * (n - 1)) / 100).toInt)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == v.head && r.getLong(6) == v.last)
+      assert(r.getLong(3) == pick(25) && r.getLong(4) == pick(50) && r.getLong(5) == pick(75))
+      val iqr = pick(75) - pick(25)
+      val (lo, hi) = (pick(25) - 3 * iqr / 2, pick(75) + 3 * iqr / 2)
+      assert(r.getLong(7) == lo && r.getLong(8) == hi)
+      assert(r.getLong(9) == v.count(x => x < lo || x > hi).toLong)
+    }
+  }
+}
