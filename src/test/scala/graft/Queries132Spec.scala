@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Multi-probe recall identity + token-mass funnel accounting. */
+class Queries132Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("simhash_multiprobe finds EXACTLY simhash_pairs' pairs (half the tables)") {
+    val mp = SparkEntry.queries("simhash_multiprobe")(spark, dir).collect().map(_.toSeq).toSet
+    val sp4 = SparkEntry.queries("simhash_pairs")(spark, dir).collect().map(_.toSeq).toSet
+    assert(mp == sp4 && mp.nonEmpty, "2-band+1-flip probing must equal 4-band recall")
+    assert(graft.queries.Queries132.oracles("simhash_multiprobe")
+      == graft.queries.Queries28.oracles("simhash_pairs"))
+  }
+
+  test("pigeonhole: any 60-bit pair at Hamming <= 3 shares a 30-bit band within 1 flip") {
+    // exhaustive over flip placements: 3 bits among 60 positions
+    val combos = (0 until 60).combinations(3) ++ (0 until 60).combinations(2) ++
+      (0 until 60).combinations(1) ++ Iterator(IndexedSeq.empty)
+    combos.foreach { flips =>
+      val diff = flips.map(1L << _).foldLeft(0L)(_ | _)
+      val perBand = (0 until 2).map(b =>
+        java.lang.Long.bitCount((diff >> (30 * b)) & ((1L << 30) - 1)))
+      assert(perBand.min <= 1, s"flips $flips escaped both probe sets")
+    }
+  }
+
+  test("token_mass_funnel: telescoping, conservation, and doc counts match filter_funnel") {
+    val tm = SparkEntry.queries("token_mass_funnel")(spark, dir).collect()
+    val ff = SparkEntry.queries("filter_funnel")(spark, dir).collect()
+    assert(tm.length == ff.length && tm.nonEmpty)
+    // per-stage doc drops agree with the doc-count funnel
+    tm.zip(ff).foreach { case (t, f) =>
+      assert(t.getLong(0) == f.getLong(0) && t.getString(1) == f.getString(1))
+      assert(t.getLong(4) == f.getLong(3), s"docs_dropped stage ${t.getLong(0)}")
+    }
+    // telescoping: tokens_in(next) == tokens_out(prev)
+    tm.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(5))
+    }
+    // conservation against the raw corpus token mass
+    val total = Tables.documents(spark, dir)
+      .agg(sum(graft.functions.TextF.tokenCount(col("text")).cast("bigint")))
+      .collect().head.getLong(0)
+    assert(tm.head.getLong(2) == total)
+    assert(tm.last.getLong(5) == total - tm.map(_.getLong(3)).sum)
+  }
+}
