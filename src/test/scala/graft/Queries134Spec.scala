@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Correlation-grid replay and Gonzalez coreset invariants. */
+class Queries134Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private val DayUs = 86400000000L
+
+  test("metric_corr_matrix: bounded, symmetric-by-construction, replays from the daily series") {
+    val rows = SparkEntry.queries("metric_corr_matrix")(spark, dir).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(math.abs(r.getLong(3)) <= 1000, r.toString))
+    // driver replay of one pair from the raw daily series
+    val daily = Tables.orders(spark, dir)
+      .select(expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $DayUs").as("day"),
+        col("o_custkey"), round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("no"), expr("sum(cents) div 10000").as("rh"),
+        countDistinct(col("o_custkey")).as("nc"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = daily.length.toLong
+    val (sx, sy) = (daily.map(_._1).sum, daily.map(_._2).sum)
+    val (sxx, syy, sxy) = (daily.map(d => d._1 * d._1).sum,
+      daily.map(d => d._2 * d._2).sum, daily.map(d => d._1 * d._2).sum)
+    val want = math.round(1000.0 * (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+    val got = rows.find(r => r.getString(0) == "n_orders" && r.getString(1) == "rev_h").get
+    assert(got.getLong(3) == want)
+    // orders and revenue must co-move strongly on a daily grain
+    assert(got.getLong(3) > 500, s"daily orders vs revenue corr ${got.getLong(3)}")
+  }
+
+  test("kcenter_coreset: radii non-increasing, centers distinct, greedy replay") {
+    val rows = SparkEntry.queries("kcenter_coreset")(spark, dir).collect()
+    assert(rows.length == 8)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == 8, "centers must be distinct")
+    val radii = rows.drop(1).map(_.getLong(2))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, "max-min distance can only shrink as centers are added")
+    }
+    // full greedy replay from raw quantized vectors
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var dist = vecs.map { case (id, q) => (id, q, d2(q, vecs.head._2)) }
+    var expect = Seq((1L, vecs.head._1, 0L))
+    (2 to 8).foreach { r =>
+      val far = dist.minBy(t => (-t._3, t._1))
+      expect :+= ((r.toLong, far._1, far._3))
+      dist = dist.map { case (id, q, d) => (id, q, math.min(d, d2(q, far._2))) }
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == expect)
+  }
+}
