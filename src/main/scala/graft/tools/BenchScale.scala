@@ -126,7 +126,22 @@ object BenchScale {
     "pca_project_outliers", "nb_classifier", "rake_keyphrases",
     "basket_triples", "km_survival", "int8_quant_error", "heaps_law_fit",
     "pareto_frontier", "abc_xyz_class", "cluster_margin_audit", "field_mi",
-    "subject_access_export", "quota_sample", "ab_cuped")
+    "subject_access_export", "quota_sample", "ab_cuped",
+    // round-9 batches 45-54: the single-shuffle native sketches (64-byte /
+    // k-min partials — must stay flat), the sketch reaggregation, the two
+    // signature-compression scoreboards riding the df-capped pair engine,
+    // the boundary-sweep Little's-law closure, the blocked invoice scan,
+    // the ArraySum-Gram isotropy quotient, the day-grain STL/OHLC series,
+    // the CC-label modularity rollup, the brand-partitioned boxplot, the
+    // 31x-probe multiprobe Hamming search, the token-weighted funnel, the
+    // built-in session_window operator, the daily-moments correlation
+    // grid, and the 8-round Gonzalez coreset
+    "hll_native", "hll_reaggregate", "kmv_native", "kmv_overlap_native",
+    "bbit_minhash", "oph_minhash", "littles_law_audit", "dup_invoice_scan",
+    "retention_halflife", "embedding_isotropy", "stl_decompose",
+    "resample_ohlc", "graph_modularity", "boxplot_report",
+    "simhash_multiprobe", "token_mass_funnel", "sessionize_native",
+    "session_abandonment", "metric_corr_matrix", "kcenter_coreset")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
