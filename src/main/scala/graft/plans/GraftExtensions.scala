@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => BitmapDistinctRewrite)
   }
 }
 
@@ -165,6 +166,11 @@ object GraftFunctions {
     }
     registerAsOfStrategy(spark)
   }
+
+  /** Idempotently add the count(DISTINCT bigint) → bitmap rewrite on a
+    * live session (see [[BitmapDistinctRewrite]]; conf-guarded). */
+  def registerBitmapRewrite(spark: SparkSession): Unit =
+    BitmapDistinctRewriteSupport.register(spark)
 
   /** Idempotently add [[AsOfJoinStrategy]] on a live session (the
     * `.withExtensions` path injects it at session build instead). */
