@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Supplier-assortment bitmap grid vs raw sets; return-abuse screen replay. */
+class Queries136Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("supplier_part_overlap: every cell replays from raw distinct part sets") {
+    val rows = SparkEntry.queries("supplier_part_overlap")(spark, dir).collect()
+    val nSup = math.min(20L,
+      Tables.lineitem(spark, dir).select("l_suppkey").distinct().count())
+    assert(rows.length.toLong == nSup * (nSup - 1) / 2, "C(top, 2) cells")
+    val sets = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (sets(a), sets(b))
+      assert(r.getLong(2) == sa.size.toLong && r.getLong(3) == sb.size.toLong)
+      val shared = (sa & sb).size.toLong
+      assert(r.getLong(4) == shared, s"pair ($a,$b)")
+      assert(r.getLong(5) == shared * 1000 / (sa.size + sb.size - shared))
+    }
+  }
+
+  test("return_abuse_scan: flagged set replays; every flag is >= 1.5x corpus rate") {
+    // sf0.01 — the sf0.001 slice flags nobody
+    val big = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("return_abuse_scan")(spark, big).collect()
+    assert(rows.nonEmpty)
+    val per = Tables.lineitem(spark, big)
+      .join(Tables.orders(spark, big).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val g = per.map(_._3).sum * 1000 / per.map(_._2).sum
+    val expect = per.filter { case (_, n, r) =>
+      n >= 20 && (r * 1000 / n) * 10 >= 15 * g
+    }.map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == expect)
+    rows.foreach { r =>
+      assert(r.getLong(4) == g)
+      assert(r.getLong(3) * 10 >= 15 * g)
+      assert(r.getLong(5) == r.getLong(3) * 1000 / g)
+    }
+  }
+}
