@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of `sessionize_native`: the SAME built-in
+  * `session_window` aggregate running over the state store — Spark's
+  * dedicated session-window state operator merges overlapping windows
+  * across micro-batches exactly as the batch plan merges them across
+  * partitions, and the watermark closes a session only once no event
+  * within the gap can still arrive.
+  *
+  * Append mode: a session row is emitted exactly once, when the
+  * watermark passes its end + gap — so the emitted table IS the batch
+  * session table (StreamSessionWindowSpec pins row-for-row equality
+  * against the oracle-checked `sessionize` output for all sessions the
+  * watermark has closed).
+  */
+object StreamSessionWindow {
+
+  /** (user_id, n_events, start_us, end_us) session rows from a stream
+    * with (`user_id`, `ts_us`); 30-minute gap, same boundary semantics
+    * as the batch `sessionize` (merge at diff ≤ gap). */
+  def sessions(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000 * 1000,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    events
+      .withColumn("__event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_time", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("__event_time"), s"$gapUs microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+  }
+}

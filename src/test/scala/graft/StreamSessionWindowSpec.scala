@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream == batch for the built-in session_window operator: sf0.001
+  * events through three time-ordered micro-batches + a final
+  * watermark-advancing flush emit exactly the batch `sessionize` session
+  * set (user, n_events, start, end). */
+class StreamSessionWindowSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed session_window sessions == batch sessionize sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(rows.length >= 500)
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamSessionWindow.sessions(
+        spark, mem.toDF().toDF("user_id", "ts_us"))
+      .writeStream.format("memory").queryName("ssw").outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { c =>
+        mem.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      // advance the watermark past every session's close so append mode
+      // flushes the tail sessions
+      val flushTs = rows.last._2 + 90L * 60 * 1000 * 1000
+      mem.addData(IndexedSeq((Long.MaxValue / 2, flushTs)))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, n_events, start_us, end_us FROM ssw WHERE user_id < 4611686018427387903")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("sessionize")(spark, dir)
+        .select("user_id", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} sessions != batch ${batch.size}")
+    } finally q.stop()
+  }
+}
