@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bridge-edge and assortativity audits replayed from the raw pair set. */
+class Queries137Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rawPairs =
+    graft.queries.Queries6.minhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("bridge_edge_audit: weak edges replay; edge totals conserve") {
+    val rows = SparkEntry.queries("bridge_edge_audit")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rawPairs
+    assert(rows.map(_.getLong(1)).sum == pairs.length.toLong, "every edge in one component")
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val weak = pairs.count { case (a, b) => (adj(a) & adj(b)).isEmpty }
+    assert(rows.map(_.getLong(2)).sum == weak.toLong, "unsupported-edge total")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1))
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // a 2-node component's single edge is weak by definition — check one
+    val twoNode = rows.filter(r => r.getLong(1) == 1)
+    twoNode.foreach(r => assert(r.getLong(2) == 1L))
+  }
+
+  test("graph_assortativity: exact-moment Pearson replays; r in [-1000, 1000]") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, dir).collect().head
+    val pairs = rawPairs
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(r.getLong(0) == deg.size.toLong)
+    assert(r.getLong(1) == pairs.length.toLong)
+    val xs = sym.map(e => (deg(e._1), deg(e._2)))
+    val mm = xs.length.toLong
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(e => e._1 * e._2).sum
+    val sxx = xs.map(e => e._1 * e._1).sum; val syy = xs.map(e => e._2 * e._2).sum
+    val want = math.round(1000.0 * (mm * sxy - sx * sy) /
+      math.sqrt((mm * sxx - sx * sx).toDouble * (mm * syy - sy * sy).toDouble))
+    assert(r.getLong(2) == want)
+    assert(math.abs(r.getLong(2)) <= 1000)
+  }
+}
