@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Resharding-movement theory brackets + replay; shipment split rollup. */
+class Queries138Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shard_rebalance_audit: mod ~ 8/9, range ~ 1/2, rendezvous ~ 1/9 — ordered") {
+    val rows = SparkEntry.queries("shard_rebalance_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows.size == 3)
+    // theory: 889 / 500 / 111 milli; synthetic corpus sampling noise allowed
+    assert(rows("mod") > 800 && rows("mod") < 960, s"mod ${rows("mod")}")
+    assert(rows("range") > 400 && rows("range") < 600, s"range ${rows("range")}")
+    assert(rows("rendezvous") > 40 && rows("rendezvous") < 200,
+      s"rendezvous ${rows("rendezvous")}")
+    assert(rows("rendezvous") < rows("range") && rows("range") < rows("mod"),
+      "the whole point: rendezvous < range < mod")
+  }
+
+  test("rendezvous movement replays: moved iff the NEW shard's hash wins") {
+    import spark.implicits._
+    def h(tag: String, id: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$id".getBytes("UTF-8"))
+      BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ids = Tables.documents(spark, dir).select("doc_id")
+      .as[Long].collect()
+    val expectMoved = ids.count { id =>
+      val vs = (0 to 8).map(i => h(s"shard:$i:", id))
+      vs(8) == vs.max && vs.take(8).max != vs(8) // new shard strictly wins
+    }
+    val got = SparkEntry.queries("shard_rebalance_audit")(spark, dir).collect()
+      .find(_.getString(0) == "rendezvous").get.getLong(2)
+    assert(got == expectMoved.toLong)
+  }
+
+  test("shipment_split_profile: conservation and span consistency") {
+    val rows = SparkEntry.queries("shipment_split_profile")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nOrders = Tables.lineitem(spark, dir).select("l_orderkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    rows.foreach { r =>
+      val (k, _, mean, mx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 1 && mean <= mx)
+      if (k == 1) assert(mx >= 0) // single-date orders can still span 0 days
+      assert(mx >= k - 1, "k distinct ship days need a span of at least k-1")
+    }
+  }
+}
