@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Percolation sweep monotonicity + Hill-estimator replay. */
+class Queries139Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("giant_component_sweep: monotone shrink as the gate tightens; giant replay at 200") {
+    val rows = SparkEntry.queries("giant_component_sweep")(spark, dir).collect()
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1), "edges shrink with the gate")
+      assert(b.getLong(2) <= a.getLong(2), "nodes shrink with the gate")
+      assert(b.getLong(3) <= a.getLong(3), "the giant can only shrink")
+    }
+    rows.foreach { r =>
+      val (e, n, g, gm) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n <= 2 * e, "nodes bounded by edge ends")
+      if (n > 0) { assert(g >= 2 && gm == g * 1000 / n) } else assert(g == 0 && gm == 0)
+    }
+    // giant at the loosest gate replays from ngram_jaccard's pair set (≥200)
+    val pairs = SparkEntry.queries("ngram_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    // driver-side CC
+    val seen = scala.collection.mutable.Set[Long]()
+    var giant = 0
+    adj.keys.foreach { start =>
+      if (!seen(start)) {
+        var frontier = Set(start); var comp = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj).diff(comp)
+          comp ++= frontier
+        }
+        seen ++= comp
+        giant = math.max(giant, comp.size)
+      }
+    }
+    val at200 = rows.find(_.getLong(0) == 200L).get
+    assert(at200.getLong(3) == giant.toLong)
+    assert(at200.getLong(2) == adj.keys.size.toLong)
+  }
+
+  test("tail_index_fit: Hill replay from the raw top-65 purchase values") {
+    val r = SparkEntry.queries("tail_index_fit")(spark, dir).collect().head
+    val vals = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("bigint"))
+      .collect().map(_.getLong(0)).filter(_ > 0).sorted.reverse.take(65)
+    def bits(v: Long) = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val xk = vals.last
+    assert(r.getLong(1) == xk)
+    // ties at the boundary drop out on both engines identically
+    val excess = vals.dropRight(1).filter(_ > xk).map(v => bits(v) - bits(xk)).sum
+    assert(r.getLong(2) == excess.toLong)
+    val alpha = if (excess == 0) 0L else 64000L / excess
+    assert(r.getLong(3) == alpha)
+    assert(r.getLong(3) > 0, "purchase values must have a finite measured tail")
+  }
+}
