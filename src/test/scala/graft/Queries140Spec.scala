@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Packing sizing-curve monotonicity + quality/dup decile accounting. */
+class Queries140Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("packing_length_sweep: bins shrink and oversize grows with max_len; token conservation") {
+    val rows = SparkEntry.queries("packing_length_sweep")(spark, dir).collect()
+    assert(rows.length == 4)
+    val total = Tables.documents(spark, dir)
+      .agg(sum(graft.functions.TextF.tokenCount(col("text")).cast("bigint")))
+      .collect().head.getLong(0)
+    rows.foreach(r => assert(r.getLong(2) == total, "token mass is budget-independent"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1), "longer windows need no more bins")
+      assert(b.getLong(4) <= a.getLong(4), "longer windows strand fewer oversize docs")
+    }
+    rows.foreach { r =>
+      val (b, bins, tot, fill) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(fill == tot * 1000 / (bins * b))
+      assert(bins >= 1)
+    }
+  }
+
+  test("quality_vs_dup_calibration: decile accounting + dup-mass conservation") {
+    val rows = SparkEntry.queries("quality_vs_dup_calibration")(spark, dir).collect()
+    assert(rows.length == 10)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val members = graft.queries.Queries6.minhashPairs(spark, dir)
+      .select(explode(array(col("id_a"), col("id_b"))).as("d")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == members, "every dup member lands in one decile")
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1)))
+    // deciles ordered by construction: mean score non-decreasing
+    rows.map(_.getLong(4)).sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+  }
+}
