@@ -49,7 +49,7 @@ object Queries112 {
   private val DayUs = 86400000000L
   private[queries] val AutoregLags = Seq(1L, 7L)
 
-  private def idot(a: Column, b: Column): Column =
+  private[queries] def idot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   val defs: Map[String, Q] = Map(
@@ -108,7 +108,7 @@ object Queries112 {
     }
   )
 
-  private def idotSql(a: String, b: String): String =
+  private[queries] def idotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> list_extract($a, i) * list_extract($b, i)), (x, y) -> x + y)"
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANOVA moment replay + quantization-error monotonicity. */
+class Queries141Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tdivL(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+
+  test("anova_platform_value: moments replay; SS_between <= SS_total; eta small on uniform values") {
+    val r = SparkEntry.queries("anova_platform_value")(spark, dir).collect().head
+    val xs = graft.queries.Synth.withRaw(Tables.events(spark, dir))
+      .filter(col("event_type") === "purchase")
+      .select(col("platform_code"), expr("CAST(round(value * 100) AS BIGINT) div 100").as("d"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = xs.length.toLong
+    val sx = xs.map(_._2).sum
+    val sxx = xs.map(x => x._2 * x._2).sum
+    val m = tdivL(sx * 1000, n)
+    val ssTotal = 1000000L * sxx - 2000L * m * sx + n * m * m
+    val ssBetween = xs.groupBy(_._1).map { case (_, g) =>
+      val ng = g.length.toLong
+      val mg = tdivL(g.map(_._2).sum * 1000, ng)
+      ng * (mg - m) * (mg - m)
+    }.sum
+    assert(r.getLong(1) == n && r.getLong(2) == m)
+    assert(r.getLong(3) == ssBetween && r.getLong(4) == ssTotal)
+    assert(ssBetween <= ssTotal, "between-group variance cannot exceed total")
+    assert(r.getLong(5) == tdivL(ssBetween, ssTotal / 1000))
+    assert(r.getLong(5) < 100, "uniform synthetic values: platform explains <10%")
+  }
+
+  test("quant_bits_sweep: error falls monotonically with bits; int8 row matches the audit's kernel") {
+    val rows = SparkEntry.queries("quant_bits_sweep")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 6L, 8L))
+    val n = rows.map(_.getLong(1)).distinct
+    assert(n.length == 1 && n.head > 0, "same adjacent-pair sample at every width")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2), "mean error falls with bits")
+      assert(b.getLong(3) <= a.getLong(3), "max error falls with bits")
+    }
+    // int8's total error mass agrees with the int8_quant_error histogram
+    val hist = SparkEntry.queries("int8_quant_error")(spark, dir).collect()
+    assert(hist.map(_.getLong(1)).sum == rows.last.getLong(1), "same pair count")
+    assert(hist.map(_.getLong(2)).max == rows.last.getLong(3), "same max error")
+  }
+}
