@@ -247,6 +247,24 @@ object LlmQueries {
   /** CTE chain ending at `shared(id_a, id_b, shared)` plus `sizes` — the
     * df-capped 5-gram overlap pairs; `ngram_jaccard` and the dedup-method
     * Venn both apply the ≥200-permille Jaccard verify on top. */
+  /** simhash16's per-token value list and bit-majority fold — ONE spelling
+    * shared by dedup_simhash's oracle and the SQL-surface demo (Queries142). */
+  private[queries] lazy val Simhash16ValsSql: String = {
+    val tokValSql =
+      "(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 + " +
+        "(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 + " +
+        "(strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)"
+    s"list_transform(list_distinct($toksSql), t -> $tokValSql)"
+  }
+
+  private[queries] lazy val Simhash16FromValsSql: String = {
+    val bits = (0 until 16).map { b =>
+      s"CASE WHEN 2 * len(list_filter(vals, v -> (v >> $b) & 1 = 1)) >= len(vals) THEN ${1 << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"CASE WHEN len(vals) = 0 THEN 0 ELSE $bits END"
+  }
+
   private[queries] lazy val JaccardSharedCteSql: String =
     s"""docs AS (
        |  SELECT doc_id, list_distinct(${shinglesSql("w", 5)}) AS sh
@@ -278,21 +296,12 @@ object LlmQueries {
          |) t3 ORDER BY doc_id""".stripMargin
     },
 
-    "dedup_simhash" -> {
-      val tokValSql =
-        "(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 + " +
-          "(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 + " +
-          "(strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 + " +
-          "(strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)"
-      val bits = (0 until 16).map { b =>
-        s"CASE WHEN 2 * len(list_filter(vals, v -> (v >> $b) & 1 = 1)) >= len(vals) THEN ${1 << b} ELSE 0 END"
-      }.mkString(" + ")
-      s"""SELECT doc_id, CASE WHEN len(vals) = 0 THEN 0 ELSE $bits END AS simhash
+    "dedup_simhash" ->
+      s"""SELECT doc_id, $Simhash16FromValsSql AS simhash
          |FROM (
-         |  SELECT doc_id, list_transform(list_distinct($toksSql), t -> $tokValSql) AS vals
+         |  SELECT doc_id, $Simhash16ValsSql AS vals
          |  FROM documents
-         |) t ORDER BY doc_id""".stripMargin
-    },
+         |) t ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH $JaccardSharedCteSql

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL-surface parity with the Column API + dataset-card grid accounting. */
+class Queries142Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sql_surface_pipeline == the Column-API kernels row-for-row, zero UDFs") {
+    val sqlRows = SparkEntry.queries("sql_surface_pipeline")(spark, dir)
+    assert(!sqlRows.queryExecution.executedPlan.toString.contains("BatchEvalPython"))
+    val viaSql = sqlRows.collect().map(_.toSeq).toSeq
+    val viaColumns = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextF.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        graft.functions.TextF.docFingerprint(col("text")).as("fp"),
+        graft.functions.TextF.simhash16(col("text")).cast("bigint").as("simhash"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaColumns && viaSql.nonEmpty)
+  }
+
+  test("source_lang_mix: conservation vs dataset totals; shares sum to ~1000 per source") {
+    val rows = SparkEntry.queries("source_lang_mix")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      val shares = cells.map(_.getLong(4)).sum
+      // truncating division: per-source shares sum within |langs| of 1000
+      assert(shares <= 1000 && shares > 1000 - cells.length)
+    }
+  }
+}
