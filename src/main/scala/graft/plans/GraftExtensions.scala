@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => BitmapDistinctRewrite)
   }
 }
@@ -178,4 +179,10 @@ object GraftFunctions {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Idempotently add [[IntervalJoinStrategy]] on a live session. */
+  def registerIntervalStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ IntervalJoinStrategy
 }

@@ -16,7 +16,7 @@ import graft.operators.{AsOfJoin, RangeJoin}
 object Queries2 {
   type Q = (SparkSession, String) => DataFrame
 
-  private def raw(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def raw(spark: SparkSession, dir: String): DataFrame =
     Synth.withRaw(Tables.events(spark, dir))
 
   /** Internal domains for referer classification (reference: the
@@ -38,7 +38,7 @@ object Queries2 {
     "US", "CN", "IN", "BR", "RU", "JP", "DE", "GB", "FR", "IT", "CA", "AU", "ES", "MX", "KR", "ID",
     "NL", "SA", "TR", "CH", "PL", "SE", "BE", "AR", "NO", "AT", "AE", "DK", "SG", "MY", "IL", "HK")
 
-  private val BlockWidth = 134217728L // 2^27
+  private[queries] val BlockWidth = 134217728L // 2^27
 
   val defs: Map[String, Q] = Map(
     "referer_parse" -> { (sp, dir) =>

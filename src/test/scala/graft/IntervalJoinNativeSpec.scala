@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IntervalJoin
+
+/** The native interval join's contract: row-identity with both existing
+  * spellings, left-outer nulls, boundary inclusivity, the physical plan
+  * node itself, and null-probe handling. */
+class IntervalJoinNativeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("interval_join_native == ip_geo_lookup row-for-row; IntervalJoinExec in the plan") {
+    val native = SparkEntry.queries("interval_join_native")(spark, dir)
+    assert(native.queryExecution.executedPlan.toString.contains("IntervalJoin"),
+      "the custom physical node must plan")
+    val a = native.collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("ip_geo_lookup")(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    assert(graft.queries.Queries143.oracles("interval_join_native")
+      == graft.queries.Queries2.oracles("ip_geo_lookup"))
+  }
+
+  test("boundaries inclusive, gaps null, nulls null, overlap out of contract (latest start only)") {
+    import spark.implicits._
+    val ranges = Seq((10L, 20L, "a"), (30L, 40L, "b")).toDF("lo", "hi", "tag")
+    val probes = Seq(Some(10L), Some(20L), Some(25L), Some(30L), Some(41L), None)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val got = IntervalJoin.leftJoinNative(probes, "v", ranges, "lo", "hi", Seq("tag"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getString(2)).toSeq
+    assert(got == Seq("a", "a", null, "b", null, null))
+    // the non-overlap contract, pinned: only the LATEST-STARTING interval
+    // is consulted, so a value covered solely by an earlier overlapping
+    // interval gets null — overlapping dims are out of contract
+    val over = Seq((0L, 100L, "outer"), (10L, 20L, "inner")).toDF("lo", "hi", "tag")
+    val p2 = Seq((1L, 15L), (2L, 50L), (3L, 5L)).toDF("id", "v")
+    val got2 = IntervalJoin.leftJoinNative(p2, "v", over, "lo", "hi", Seq("tag"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getString(2)).toSeq
+    assert(got2 == Seq("inner", null, "outer"))
+  }
+
+  test("matches the RangeJoin composition on a randomized non-overlapping table") {
+    import spark.implicits._
+    val ranges = (0 until 50).map(i => (i * 100L, i * 100L + 60L, s"r$i"))
+      .toDF("lo", "hi", "tag")
+    val probes = (0L until 2000L).map(i => (i, (i * 2654435761L) % 5000L))
+      .toDF("id", "v")
+    val native = IntervalJoin.leftJoinNative(probes, "v", ranges, "lo", "hi", Seq("tag"))
+      .select("id", "tag").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    val composed = graft.operators.RangeJoin
+      .leftJoinRanges(probes, col("v"), ranges, "lo", "hi", bucketBits = 6)
+      .select("id", "tag").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(native == composed && native.nonEmpty)
+  }
+}
