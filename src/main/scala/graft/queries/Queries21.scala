@@ -32,9 +32,9 @@ import graft.functions.TextF
 object Queries21 {
   type Q = (SparkSession, String) => DataFrame
 
-  private val PqM = 8         // subspaces
-  private val PqDim = 8       // dims per subspace
-  private val PqK = 16        // centroids per subspace
+  private[queries] val PqM = 8         // subspaces
+  private[queries] val PqDim = 8       // dims per subspace
+  private[queries] val PqK = 16        // centroids per subspace
   private val IvfK = 8        // IVF cell count at test scale (= Queries11.SemK)
   private val MinPairCount = 5 // collocation support threshold
 
@@ -215,7 +215,7 @@ object Queries21 {
 
   // ---- PQ oracle fragments (shared by ann_pq and ann_ivf_pq) -------------
   /** DuckDB twin of [[milliVec]]. */
-  private val PqMvSql =
+  private[queries] val PqMvSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
   /** Per-subspace L2 of row vector `qv` to centroid `cc` (full 64-vectors,
     * dims m·8+1 … m·8+8, 1-based). */
@@ -223,10 +223,10 @@ object Queries21 {
     s"list_reduce(list_transform(range(1, ${PqDim + 1}), j -> " +
       s"(qv[$m * $PqDim + j] - cc[$m * $PqDim + j]) * (qv[$m * $PqDim + j] - cc[$m * $PqDim + j])), (x, y) -> x + y)"
   /** dl0..dl7: the 16-centroid distance list per subspace. */
-  private val PqDlColsSql = (0 until PqM).map(m =>
+  private[queries] val PqDlColsSql = (0 until PqM).map(m =>
     s"list_transform(cb_all, cc -> ${pqSubSql(m)}) AS dl$m").mkString(",\n    ")
   /** code0..code7: first index of the minimum (tie → lowest c), 0-based. */
-  private val PqCodeColsSql = (0 until PqM).map(m =>
+  private[queries] val PqCodeColsSql = (0 until PqM).map(m =>
     s"list_position(dl$m, list_min(dl$m)) - 1 AS code$m").mkString(", ")
   /** The reconstructed vector from the 8 codes. */
   private val PqReconSql = (0 until PqM).map(m =>

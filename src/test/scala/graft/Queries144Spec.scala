@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** PQ code-utilization accounting + same-day order distribution. */
+class Queries144Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pq_balance_audit: per-subspace conservation; codes agree with a driver-side argmin replay") {
+    val rows = SparkEntry.queries("pq_balance_audit")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, dir).count()
+    rows.groupBy(_.getLong(0)).foreach { case (m, cells) =>
+      assert(cells.map(_.getLong(2)).sum == nVecs, s"subspace $m conservation")
+      assert(cells.forall(c => c.getLong(1) >= 0 && c.getLong(1) < 16))
+      cells.foreach(c => assert(c.getLong(3) == c.getLong(2) * 1000 / nVecs))
+    }
+    // the slice-equality route equals a driver-side argmin replay from raw vectors
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1).toArray)
+    val cb = vecs.take(16)
+    val replay = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    vecs.foreach { v =>
+      (0 until 8).foreach { m =>
+        val code = (0 until 16).minBy { c =>
+          ((m * 8) until (m * 8 + 8)).map(j => { val d = v(j) - cb(c)(j); d * d }).sum
+        }
+        replay((m.toLong, code.toLong)) += 1L
+      }
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == replay.toMap)
+  }
+
+  test("same_day_reorder: custday conservation and value-mass conservation") {
+    val rows = SparkEntry.queries("same_day_reorder")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, dir).count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == orders,
+      "k * custdays sums back to the order count")
+    val cents = Tables.orders(spark, dir)
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum == cents)
+  }
+}
