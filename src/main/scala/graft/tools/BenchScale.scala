@@ -141,7 +141,22 @@ object BenchScale {
     "retention_halflife", "embedding_isotropy", "stl_decompose",
     "resample_ohlc", "graph_modularity", "boxplot_report",
     "simhash_multiprobe", "token_mass_funnel", "sessionize_native",
-    "session_abandonment", "metric_corr_matrix", "kcenter_coreset")
+    "session_abandonment", "metric_corr_matrix", "kcenter_coreset",
+    // round-9 batches 55-64: the optimizer-rewritten count distinct
+    // (must stay the one-shuffle plan), the CC-labelled fold/graph
+    // audits, the four-threshold percolation sweep (4 CC runs over
+    // shrinking edges), the bitmap assortment grid, the blocked fraud
+    // scans, the md5 rebalance table, the quality×dup decile join, the
+    // one-scan four-budget packing sweep, the SQL-surface kernels, the
+    // PQ code recovery, and the native broadcast interval join (binary
+    // search must stay flat vs the bucketed composition)
+    "count_distinct_rewrite", "fold_leakage_audit", "bridge_edge_audit",
+    "graph_assortativity", "giant_component_sweep", "tail_index_fit",
+    "supplier_part_overlap", "return_abuse_scan", "shard_rebalance_audit",
+    "shipment_split_profile", "quality_vs_dup_calibration",
+    "packing_length_sweep", "anova_platform_value", "quant_bits_sweep",
+    "sql_surface_pipeline", "source_lang_mix", "pq_balance_audit",
+    "same_day_reorder", "interval_join_native")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
