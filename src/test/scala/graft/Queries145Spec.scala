@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Shapley axioms + coalition-table cross-checks. */
+class Queries145Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def masks = SparkEntry.queries("channel_set_conversion")(spark, dir)
+    .collect().map(r => r.getLong(0).toInt -> r.getLong(3)).toMap
+
+  test("efficiency axiom: numerators sum to 120 * (v(full) - v(empty)) EXACTLY") {
+    val rows = SparkEntry.queries("shapley_attribution")(spark, dir).collect()
+    assert(rows.length == 5)
+    val m = masks
+    val vFull = m.values.sum // every mask ⊆ the full set
+    val vEmpty = m.getOrElse(0, 0L) // converters with no click touches
+    assert(rows.map(_.getLong(1)).sum == 120L * (vFull - vEmpty))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0, "v is monotone, so marginal contributions are >= 0")
+      val numer = r.getLong(1)
+      assert(r.getLong(2) == numer * 1000 / 120)
+    }
+  }
+
+  test("shapley replay from the coalition table; symmetric channels score close") {
+    val rows = SparkEntry.queries("shapley_attribution")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = masks
+    val v = Array.tabulate(32)(s => m.collect { case (mm, c) if (mm & ~s) == 0 => c }.sum)
+    def fact(k: Int): Long = (1 to k).product.toLong
+    val chans = graft.queries.Queries145.Channels
+    (0 until 5).foreach { c =>
+      val numer = (0 until 32).collect {
+        case s if (s & (1 << c)) == 0 =>
+          fact(Integer.bitCount(s)) * fact(4 - Integer.bitCount(s)) * (v(s | (1 << c)) - v(s))
+      }.sum
+      assert(rows(chans(c)) == numer, s"channel ${chans(c)}")
+    }
+  }
+
+  test("channel_set_conversion: user conservation and label consistency") {
+    val rows = SparkEntry.queries("channel_set_conversion")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == users)
+    rows.foreach { r =>
+      val mask = r.getLong(0)
+      val nChans = java.lang.Long.bitCount(mask)
+      val label = r.getString(1)
+      assert((label.isEmpty && nChans == 0) ||
+        label.split("\\+").length == nChans, s"mask $mask label '$label'")
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) == r.getLong(3) * 1000 / r.getLong(2))
+    }
+  }
+}
