@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Uplift-decile accounting + log-rank statistic structure. */
+class Queries146Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("uplift_deciles: user conservation, arm split, uplift arithmetic, null-effect bracket") {
+    val rows = SparkEntry.queries("uplift_deciles")(spark, dir).collect()
+    assert(rows.length == 10)
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == users)
+    rows.foreach { r =>
+      val (nt, nc, ct, cc, u) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nt + nc > 0 && ct <= nt && cc <= nc)
+      if (nt == 0 || nc == 0) assert(u == 0L, "guarded decile reports 0")
+      else assert(u == ct * 1000 / nt - cc * 1000 / nc)
+    }
+    // arms are a pure md5 coin: aggregate uplift must be near zero
+    val (t, c) = (rows.map(_.getLong(3)).sum.toDouble / rows.map(_.getLong(1)).sum,
+      rows.map(_.getLong(4)).sum.toDouble / rows.map(_.getLong(2)).sum)
+    assert(math.abs(t - c) < 0.15, s"null experiment drifted: $t vs $c")
+  }
+
+  test("logrank_test: O totals match per-arm conversions; null effect => tiny chi2") {
+    val r = SparkEntry.queries("logrank_test")(spark, dir).collect().head
+    val (n1, n2, o1, o2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n1 > 0 && n2 > 0 && o1 <= n1 && o2 <= n2)
+    // O1 + O2 = all conversions among clickers (replayed)
+    val ev = Tables.events(spark, dir)
+    val clickers = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(expr("ts_us div 86400000000")).as("cday"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_us div 86400000000").as("pd"))
+      .join(clickers, Seq("user_id"))
+      .filter(col("pd") >= col("cday"))
+      .select("user_id").distinct().count()
+    assert(o1 + o2 == conv)
+    assert(r.getLong(5) > 0, "variance must accumulate")
+    // the arms are the same population: the statistic must be far below
+    // the 5% critical value (3.841 => 3841 milli)
+    assert(r.getLong(6) < 3841, s"null log-rank fired: ${r.getLong(6)}")
+  }
+}
