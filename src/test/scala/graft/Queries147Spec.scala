@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Jackknife replay + hapax accounting. */
+class Queries147Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tdivL(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+
+  test("jackknife_mean_ci: full replay from raw fold assignment; SE sane") {
+    val r = SparkEntry.queries("jackknife_mean_ci")(spark, dir).collect().head
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("bigint").as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def fold(k: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jk:$k".getBytes("UTF-8"))
+      val nib = (h(0) >> 4) & 0xf
+      nib % 10
+    }
+    val byFold = rows.groupBy(x => fold(x._1)).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(byFold.size == 10, "all 10 folds populated")
+    val n = rows.length.toLong
+    val s = rows.map(_._2).sum
+    val thetas = (0 until 10).map { i =>
+      val (ng, sg) = byFold(i)
+      tdivL((s - sg) * 1000, n - ng)
+    }
+    val tbar = tdivL(thetas.sum, 10)
+    val ss = thetas.map(t => (t - tbar) * (t - tbar)).sum
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(1) == tdivL(s * 1000, n))
+    assert(r.getLong(2) == tbar)
+    assert(r.getLong(3) == ss * 9 / 10)
+    assert(r.getLong(4) == math.round(math.sqrt((ss * 9 / 10).toDouble)))
+    // the jackknife mean barely moves from the plain mean, SE ≪ mean
+    assert(math.abs(r.getLong(2) - r.getLong(1)) < r.getLong(1) / 10)
+    assert(r.getLong(4) < r.getLong(1) / 5)
+  }
+
+  test("hapax_rate: per-source replay from raw token counts") {
+    val rows = SparkEntry.queries("hapax_rate")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(graft.functions.TextF.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val counts = words.filter(_._1 == src).groupBy(_._2).view.mapValues(_.length).toMap
+      assert(r.getLong(1) == counts.size.toLong)
+      assert(r.getLong(2) == counts.values.count(_ == 1).toLong)
+      assert(r.getLong(3) == counts.values.map(_.toLong).sum)
+      assert(r.getLong(4) == r.getLong(2) * 1000 / r.getLong(1))
+    }
+  }
+}
