@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Power-planner formula replay + percentile-band structure. */
+class Queries148Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ab_power_planner: n falls with delta^2; formula replay; detectability ordering") {
+    val rows = SparkEntry.queries("ab_power_planner")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 20L, 50L, 100L))
+    val p = rows.head.getLong(2)
+    assert(p > 0 && p < 1000)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(3) == 15680L * p * (1000 - p) / (d * d * 1000))
+      assert(r.getLong(4) == r.getLong(3) * 2 * 1000 / r.getLong(1))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) < a.getLong(3), "bigger effects need fewer users")
+    }
+    // quadratic shape: halving delta quadruples n (up to integer floors)
+    val n10 = rows(0).getLong(3); val n20 = rows(1).getLong(3)
+    assert(n10 >= 4 * n20 - 4 && n10 <= 4 * n20 + 4)
+  }
+
+  test("dow_percentile_bands: band ordering, replay per dow, breach flag arithmetic") {
+    val rows = SparkEntry.queries("dow_percentile_bands")(spark, dir).collect()
+    assert(rows.length == 7)
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100).cast("bigint").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { r =>
+      val dow = r.getLong(0)
+      val series = daily.filter(_._1 % 7 == dow)
+      val sorted = series.sortBy(x => (x._2, x._1)).map(_._2)
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong)
+      def pick(p: Int) = sorted((p * (n - 1) / 100).toInt)
+      assert(r.getLong(2) == pick(10) && r.getLong(3) == pick(50) && r.getLong(4) == pick(90))
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+      val last = series.maxBy(_._1)._2
+      assert(r.getLong(5) == last)
+      val breach = if (last < pick(10) || last > pick(90)) 1L else 0L
+      assert(r.getLong(6) == breach)
+    }
+  }
+}
