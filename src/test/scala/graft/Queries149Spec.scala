@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fano-factor and chi-square replays over the daily order series. */
+class Queries149Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tdivL(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+
+  private def daily = Tables.orders(spark, dir)
+    .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+    .groupBy("day").agg(count(lit(1)).as("x"))
+    .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("count_model_diagnostics: Fano replay per dow; flag arithmetic") {
+    val rows = SparkEntry.queries("count_model_diagnostics")(spark, dir).collect()
+    assert(rows.length == 7)
+    val d = daily
+    rows.foreach { r =>
+      val dow = r.getLong(0)
+      val xs = d.filter(_._1 % 7 == dow).map(_._2)
+      val (n, sx, sxx) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == sx * 1000 / n)
+      val fano = tdivL((n * sxx - sx * sx) * 1000, n * sx)
+      assert(r.getLong(3) == fano)
+      assert(r.getLong(4) == (if (fano > 1000) 1L else 0L))
+    }
+  }
+
+  test("dow_mix_stability: order conservation; chi2 non-negative; stable mix stays modest") {
+    val rows = SparkEntry.queries("dow_mix_stability")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == orders)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 7)
+      assert(r.getLong(3) >= 0)
+    }
+    // uniform synthetic order dates: per-year chi2 (df=6) should sit well
+    // below an extreme blow-up; allow generous room for sampling noise
+    assert(rows.map(_.getLong(3)).max < 100000L, "dow mix exploded vs expectation")
+  }
+}
