@@ -45,7 +45,7 @@ object Queries25 {
   /** The fixed retrieval query set (vocabulary words from the synth corpus;
     * q04 carries an out-of-vocabulary term to pin the miss path — an OOV
     * term contributes nothing, it must not null the whole query). */
-  private[queries] val QuerySet: Seq[(String, String)] = Seq(
+  private[graft] val QuerySet: Seq[(String, String)] = Seq(
     "q01" -> "spark window",
     "q02" -> "join merge",
     "q03" -> "stream batch",

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** nDCG structure: bounds, weight table, ideal-ranking replay. */
+class Queries150Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ndcg_eval: nDCG in [0, 1000]; DCG <= IDCG; IDCG replays from raw relevance") {
+    val rows = SparkEntry.queries("ndcg_eval")(spark, dir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "DCG cannot beat the ideal ranking")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+      if (r.getLong(2) > 0)
+        assert(r.getLong(3) == r.getLong(1) * 1000 / r.getLong(2))
+    }
+    // IDCG replay: best-5 relevance grades per query from raw term overlap
+    val w = Seq(1000L, 631L, 500L, 431L, 387L)
+    val qterms = graft.queries.Queries25.QuerySet
+      .flatMap { case (q, s) => s.split(" ").map(t => (q, t)) }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(graft.functions.TextF.tokens(col("text"))).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    rows.foreach { r =>
+      val q = r.getString(0)
+      val terms = qterms.filter(_._1 == q).map(_._2).toSet
+      val rels = docs.map { case (id, ts) => (id, (ts & terms).size.toLong) }
+        .filter(_._2 > 0).sortBy(x => (-x._2, x._1)).take(5).map(_._2)
+      val idcg = rels.zip(w).map { case (g, ww) => g * ww }.sum
+      assert(r.getLong(2) == idcg, s"IDCG for $q")
+    }
+  }
+}
