@@ -156,7 +156,16 @@ object BenchScale {
     "shipment_split_profile", "quality_vs_dup_calibration",
     "packing_length_sweep", "anova_platform_value", "quant_bits_sweep",
     "sql_surface_pipeline", "source_lang_mix", "pq_balance_audit",
-    "same_day_reorder", "interval_join_native")
+    "same_day_reorder", "interval_join_native",
+    // round-9 batches 65-70: the one-bitmask Shapley aggregation + its
+    // coalition table, the decile-ranked uplift join, the suffix-sum
+    // log-rank fold, the 10-fold jackknife, the (source, word) hapax
+    // rollup, the four-delta power table, the dow band windows, the
+    // Fano/chi-square moment rollups, and the bm25-composing nDCG eval
+    "shapley_attribution", "channel_set_conversion", "uplift_deciles",
+    "logrank_test", "jackknife_mean_ci", "hapax_rate", "ab_power_planner",
+    "dow_percentile_bands", "count_model_diagnostics", "dow_mix_stability",
+    "ndcg_eval")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
