@@ -109,7 +109,15 @@ object DumpPlans {
     // pruning audit, the tiered trained-IVF sweep, and the five-model
     // attribution scoreboard composition
     "trade_flow_matrix", "attribution_markov", "dedup_method_venn",
-    "layout_effectiveness", "ann_nprobe_curve", "attribution_model_compare")
+    "layout_effectiveness", "ann_nprobe_curve", "attribution_model_compare",
+    // round-9 continuation #2/#3: the native-aggregate single-shuffle
+    // plans (bitmap / HLL / KMV), the one-pass ArraySum Gram, the
+    // optimizer-rewritten count distinct, the native broadcast interval
+    // join, the built-in session_window operator, the multiprobe banded
+    // Hamming search, and the Shapley bitmask aggregation
+    "bitmap_distinct", "hll_native", "kmv_native", "pca_power_iter",
+    "count_distinct_rewrite", "interval_join_native", "sessionize_native",
+    "simhash_multiprobe", "shapley_attribution")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
