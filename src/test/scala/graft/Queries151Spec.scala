@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CR4 and decayed-popularity replays. */
+class Queries151Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cr4_by_nation: replay from per-customer rollup; CR4 bounds") {
+    val rows = SparkEntry.queries("cr4_by_nation")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("c"))
+      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue, r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val nat = r.get(0).asInstanceOf[Number].longValue
+      val cs = per.filter(_._1 == nat).map(x => (x._3, x._2)).sortBy(x => (-x._1, x._2))
+      assert(r.getLong(1) == cs.length.toLong)
+      assert(r.getLong(2) == cs.map(_._1).sum)
+      assert(r.getLong(3) == cs.take(4).map(_._1).sum)
+      assert(r.getLong(4) == r.getLong(3) * 1000 / r.getLong(2))
+      if (cs.length <= 4) assert(r.getLong(4) == 1000L, "<=4 customers => CR4 = 1000")
+    }
+  }
+
+  test("decayed_popularity: 20 rows, monotone decayed score, shift arithmetic, decay replay") {
+    val rows = SparkEntry.queries("decayed_popularity")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2), "decayed score ordered")
+    }
+    rows.foreach(r => assert(r.getLong(5) == r.getLong(4) - r.getLong(0)))
+    // replay one part's decayed score from raw lineitems
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("bigint").as("q"),
+        expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div ${86400000000L * 7}").as("wk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mx = li.map(_._3).max
+    val top = rows.head
+    val want = li.filter(_._1 == top.getLong(1)).map { case (_, q, wk) =>
+      val age = mx - wk
+      if (age <= 40) q * (1099511627776L >> age.toInt) else 0L
+    }.sum
+    assert(top.getLong(2) == want)
+  }
+}
