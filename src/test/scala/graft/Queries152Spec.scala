@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Funnel-deviation and stationary-distribution replays. */
+class Queries152Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("funnel_deviation_profile: session conservation; distances replay for sampled sessions") {
+    val rows = SparkEntry.queries("funnel_deviation_profile")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nSessions = SparkEntry.queries("sessionize")(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nSessions)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1) * 1000 / nSessions))
+    // JVM Levenshtein replay on a handful of reconstructed sequences
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    import spark.implicits._
+    val seqs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        // split on 30-min gaps
+        val gap = 30L * 60 * 1000 * 1000
+        val out = scala.collection.mutable.Buffer[StringBuilder]()
+        var prev = Long.MinValue
+        sorted.foreach { e =>
+          if (prev == Long.MinValue || e._2 - prev > gap) out += new StringBuilder
+          out.last ++= e._4
+          prev = e._2
+        }
+        out.map(_.toString)
+      }.toSeq
+    val expect = seqs.map(s => lev(s, "vcp").toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("markov_stationary: ppm conservation and near-stationarity of the empirical mix") {
+    val rows = SparkEntry.queries("markov_stationary")(spark, dir).collect()
+    assert(rows.length == 5)
+    val empSum = rows.map(_.getLong(1)).sum
+    assert(empSum > 999990 && empSum <= 1000000, s"empirical ppm sums to $empSum")
+    val statSum = rows.map(_.getLong(2)).sum
+    // truncating divisions leak at most a few ppm per iteration
+    assert(statSum > 999900 && statSum <= 1000000, s"stationary ppm sums to $statSum")
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(1) - r.getLong(2)))
+    // the chain is built FROM the data, so its stationary mix must sit
+    // close to the observed mix (uniform-ish synthetic types)
+    rows.foreach(r => assert(math.abs(r.getLong(3)) < 50000, r.toString))
+  }
+}
