@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Weighted-Jaccard replay + price-ending accounting. */
+class Queries153Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("weighted_jaccard_pairs: pair set == ngram_jaccard's; Ruzicka replays from raw bags") {
+    val rows = SparkEntry.queries("weighted_jaccard_pairs")(spark, dir).collect()
+    val nj = SparkEntry.queries("ngram_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == nj)
+    val bags = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.TextF.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ba, bb) = (bags(a), bags(b))
+      val sumMin = (ba.keySet & bb.keySet).toSeq.map(t => math.min(ba(t), bb(t))).sum
+      val (ta, tb) = (ba.values.sum, bb.values.sum)
+      assert(r.getLong(3) == sumMin, s"pair ($a,$b)")
+      assert(r.getLong(4) == sumMin * 1000 / (ta + tb - sumMin))
+      // weighted <= 1000 and a bag can never beat the union bound
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000)
+    }
+  }
+
+  test("price_point_analysis: top-20 endings, share arithmetic, charm flags") {
+    val rows = SparkEntry.queries("price_point_analysis")(spark, dir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val orders = Tables.orders(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 100)
+      assert(r.getLong(2) == r.getLong(1) * 1000 / orders)
+      val charm = if (Seq(99L, 95L, 90L).contains(r.getLong(0))) 1L else 0L
+      assert(r.getLong(3) == charm)
+    }
+    rows.sliding(2).foreach { case Array(x, y) => assert(y.getLong(1) <= x.getLong(1)) }
+  }
+}
