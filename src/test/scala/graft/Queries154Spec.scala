@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Catalog-coverage conservation + engagement dose-response accounting. */
+class Queries154Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("catalog_coverage: part and line-mass conservation; tier arithmetic") {
+    val rows = SparkEntry.queries("catalog_coverage")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nParts = Tables.part(spark, dir).count()
+    val nLines = Tables.lineitem(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nParts, "every part lands in one tier")
+    assert(rows.map(_.getLong(3)).sum == nLines, "every lineitem counted once")
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1) * 1000 / nParts))
+    val qty = Tables.lineitem(spark, dir)
+      .agg(sum(col("l_quantity").cast("bigint"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum == qty)
+  }
+
+  test("touches_vs_conversion: user conservation and replay") {
+    val rows = SparkEntry.queries("touches_vs_conversion")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val per = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.map(_.getLong(1)).sum == per.length.toLong)
+    def bucket(c: Long) = if (c == 0) "0" else if (c <= 2) "1-2" else if (c <= 5) "3-5" else "6+"
+    val expect = per.groupBy(x => bucket(x._1)).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    rows.foreach { r =>
+      val (n, v) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == v)
+      assert(r.getLong(3) == v * 1000 / n)
+    }
+  }
+}
