@@ -165,7 +165,15 @@ object BenchScale {
     "shapley_attribution", "channel_set_conversion", "uplift_deciles",
     "logrank_test", "jackknife_mean_ci", "hapax_rate", "ab_power_planner",
     "dow_percentile_bands", "count_model_diagnostics", "dow_mix_stability",
-    "ndcg_eval")
+    "ndcg_eval",
+    // round-9 batches 71-74: the nation-partitioned CR4 windows, the
+    // bit-shift decay ranking, the per-session Levenshtein histogram,
+    // the 5×5 stationary fold, the shared-token weighted-Jaccard join,
+    // the endings rollup, the dimension-side coverage join, and the
+    // click-bucket dose-response
+    "cr4_by_nation", "decayed_popularity", "funnel_deviation_profile",
+    "markov_stationary", "weighted_jaccard_pairs", "price_point_analysis",
+    "catalog_coverage", "touches_vs_conversion")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
