@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Trade-balance zero-sum identity + discount-lift arithmetic. */
+class Queries155Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("nation_trade_balance: balances sum to ZERO; export/import masses equal corpus revenue") {
+    val rows = SparkEntry.queries("nation_trade_balance")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum == 0L,
+      "every cent someone spends, someone earns")
+    val total = Tables.lineitem(spark, dir)
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(1) - r.getLong(2)))
+  }
+
+  test("discount_qty_lift: zero band lifts exactly 1000; replay per band") {
+    val rows = SparkEntry.queries("discount_qty_lift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val zero = rows.find(_.getLong(0) == 0L).get
+    assert(zero.getLong(3) == 1000L)
+    val li = Tables.lineitem(spark, dir)
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"),
+        col("l_quantity").cast("bigint").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val base = { val z = li.filter(_._1 == 0); z.map(_._2).sum * 1000 / z.length }
+    rows.foreach { r =>
+      val band = li.filter(_._1 == r.getLong(0))
+      assert(r.getLong(1) == band.length.toLong)
+      val mean = band.map(_._2).sum * 1000 / band.length
+      assert(r.getLong(2) == mean)
+      assert(r.getLong(3) == mean * 1000 / base)
+    }
+  }
+}
