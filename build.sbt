@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON; sbt's "[success] Total time" banner printed after the run broke
+// that parse three rounds running (BENCH_r07..r09 `parsed: null`).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// …and sbt's logger would still decorate the forked process's stdout with
+// an "[info] " prefix; StdoutOutput passes it through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,11 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query timed at the configured
   * scale factor, one JSON line on stdout. A small untimed warmup first so
-  * the first timed query doesn't absorb JVM/codegen/session startup. */
+  * the first timed query doesn't absorb JVM/codegen/session startup.
+  *
+  * Flags (also settable via env for fixed-cmdline callers):
+  *   --queries a,b,c   time only these keys            (SPARK_GRAFT_BENCH_QUERIES)
+  *   --materialize     noop-sink every column instead of count() — makes
+  *                     projection-only queries pay for their scorers,
+  *                     which `.count()` lets Catalyst prune (see CLAUDE.md)
+  *                                                     (SPARK_GRAFT_BENCH_MATERIALIZE=1)
+  * Defaults unchanged: all queries, count()-based.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only: Set[String] = {
+      val fromArgs = args.sliding(2).collectFirst { case Array("--queries", qs) => qs }
+      fromArgs.orElse(sys.env.get("SPARK_GRAFT_BENCH_QUERIES"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    }
+    val materialize = args.contains("--materialize") ||
+      sys.env.get("SPARK_GRAFT_BENCH_MATERIALIZE").exists(v => v == "1" || v == "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,10 +55,16 @@ object Bench {
     // PREVIOUS query left behind to this one (r4 recorded dedup_exact — a
     // 0.6 MB hash agg — at 15 s because it was timed right after the two
     // heaviest cached pipelines); min-of-two filters those pauses out
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val results = selected.map { case (name, fn) =>
       val dt = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          val df = fn(spark, sfDir)
+          if (materialize) df.write.format("noop").mode("overwrite").save()
+          else df.count()
+        } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
         // release the block-manager entries persisted inside the query just
         // timed — 80+ queries in one session would otherwise accumulate
@@ -58,22 +80,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver stores only a bounded tail of stdout, which has truncated
-    // the per-query map two rounds running — also self-report to a repo file
-    // so the full 280+-entry map is always recoverable
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    // self-report the full map to a repo file first: always recoverable even
+    // if a log collector truncates stdout
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    // BENCH_r07/r08 both came back `parsed: null` because the full line
-    // (≈7 KB at 282 queries) no longer fits the driver's bounded stdout
-    // tail. The VERY LAST line is therefore a compact variant guaranteed to
-    // survive any plausible tail: total + the top-40 most expensive
-    // queries; the full map lives one line up and in bench_out.json.
-    val top = results.sortBy(-_._2).take(40)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_full":"bench_out.json","sf":"$sfDir"}""")
+    // r7-r9 all came back `parsed: null`: the JSON line was followed by
+    // sbt's own "[success] Total time" line, so a parser reading the LAST
+    // stdout line got sbt noise. build.sbt now sets `Global / showSuccess
+    // := false`, making THIS println the final line of the run — the
+    // complete per-query map, nothing after it.
+    println(line)
   }
 }

@@ -51,7 +51,12 @@ final case class JsonAdapter(
         // collides with a kept input column, fall back to the prefixed
         // explode shape rather than resolving ambiguously.
         val elementFields = arrayElementFields
-        if (elementFields.exists(keep.contains)) {
+        // the collision set includes the injected tag columns, not just the
+        // kept inputs; and when the element fields CANNOT be determined
+        // (nested explodeField → Nil) the check is no check at all, so take
+        // the always-safe prefixed explode path
+        val collisionSet = keep.toSet + "event_vendor" + "event_format"
+        if (elementFields.isEmpty || elementFields.exists(collisionSet.contains)) {
           val exploded = parsed.withColumn("__e", explode(a))
           val mapped = mappings.map { case (path, out) => col(s"__e.$path").as(out) }
           exploded.select((keepCols ++ tagCols) ++ mapped: _*)

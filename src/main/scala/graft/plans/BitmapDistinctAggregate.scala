@@ -72,6 +72,12 @@ final class BitmapState {
 }
 
 object BitmapState {
+  /** Sparse/dense break-even: sparse costs 2 + 10·nz bytes, dense a flat
+    * 8192, so sparse is never larger through nz = 818. Mode is encoded per
+    * container, so the threshold is a pure size choice — deserialize stays
+    * symmetric for free. */
+  val SparseMaxWords = 818
+
   /** Wire format (shared by both bitmap aggregates and the scalar AND):
     * container count (4B), then per container key (8B) + mode (1B) +
     * dense 1024 words | sparse count (2B) + (index 2B, word 8B) pairs. */
@@ -85,7 +91,7 @@ object BitmapState {
       var i = 0
       while (i < 1024) { if (words(i) != 0L) nz += 1; i += 1 }
       sparseCounts.add(nz)
-      size += 8 + 1 + (if (nz < 455) 2 + 10 * nz else 8192)
+      size += 8 + 1 + (if (nz <= SparseMaxWords) 2 + 10 * nz else 8192)
     }
     val bb = ByteBuffer.allocate(size)
     bb.putInt(buffer.containers.size())
@@ -96,7 +102,7 @@ object BitmapState {
       val words = e.getValue
       bb.putLong(e.getKey)
       val nz = sparseCounts.get(c); c += 1
-      if (nz < 455) {
+      if (nz <= SparseMaxWords) {
         bb.put(0.toByte)
         bb.putShort(nz.toShort)
         var i = 0
@@ -148,7 +154,7 @@ object BitmapState {
   *
   * Serialization format per container: key (8B) + mode (1B dense / 0B
   * sparse) + dense: 1024 words | sparse: count (2B) then (index 2B,
-  * word 8B) pairs. Sparse wins below ~455 set words; chosen per
+  * word 8B) pairs. Sparse wins up to the 818-word break-even; chosen per
   * container at write time.
   */
 case class BitmapDistinct(

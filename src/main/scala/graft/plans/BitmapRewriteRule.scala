@@ -18,12 +18,15 @@ import org.apache.spark.sql.types.LongType
   * stays available for comparison; only filter-free single-column Counts
   * rewrite (a FILTER clause or multi-arg count keeps Spark's path).
   *
-  * Registered via [[GraftExtensions]] (`injectOptimizerRule`) or
-  * idempotently on a live session through
-  * [[GraftFunctions.registerBitmapRewrite]] — the rule lands in the
-  * "User Provided Optimizers" batch, which runs before physical
-  * planning's single-distinct handling, so the distinct plan path is
-  * never taken.
+  * Registered via [[GraftExtensions]] (`injectOptimizerRule` — lands in
+  * the operator-optimization FIXED-POINT batch, so it must be and is
+  * idempotent: a rewritten Aggregate no longer matches the Count-distinct
+  * pattern) or on a live session through
+  * [[GraftFunctions.registerBitmapRewrite]]
+  * (`experimental.extraOptimizations` — the once-per-plan "User Provided
+  * Optimizers" batch). Both run during logical optimization, before
+  * physical planning's single-distinct expansion, so the two-Exchange
+  * distinct plan path is never taken.
   */
 object BitmapDistinctRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =

@@ -138,7 +138,16 @@ case class HllMerge(
 
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) HllState.mergeIn(buffer, v.asInstanceOf[Array[Byte]])
+    if (v != null) {
+      val b = v.asInstanceOf[Array[Byte]]
+      // a wrong-column/corrupt blob must fail NAMED, not as an index error
+      // deep in mergeIn (short input) or silent truncation (long input)
+      if (b.length != HllState.M)
+        throw new IllegalArgumentException(
+          s"graft_hll_merge: input blob is ${b.length} bytes, expected " +
+            s"${HllState.M} (a graft_hll_sketch register array) — wrong column?")
+      HllState.mergeIn(buffer, b)
+    }
     buffer
   }
 

@@ -63,14 +63,16 @@ object Transport {
 
   /** Parse shard framing from raw `value` lines — shared by the streaming
     * and batch (spec twin) paths. Malformed lines come through with null
-    * framing rather than killing the stream. */
+    * framing rather than killing the stream; their `value` keeps the WHOLE
+    * raw line (there is no payload field to extract), so downstream
+    * dead-letter handling sees what actually arrived. */
   def frame(lines: DataFrame): DataFrame = {
     val p = split(col("value"), "\t", 4)
     lines.select(
       try_element_at(p, lit(1)).try_cast("int").as("shard_id"),
       try_element_at(p, lit(2)).try_cast("long").as("seq_no"),
       try_element_at(p, lit(3)).try_cast("long").as("arrival_us"),
-      try_element_at(p, lit(4)).as("value"))
+      coalesce(try_element_at(p, lit(4)), col("value")).as("value"))
   }
 
   /** At-least-once failure-mode simulation: every record whose `seq_no` is
@@ -89,11 +91,24 @@ object Transport {
   /** The idempotence layer that turns at-least-once delivery into
     * effectively-once processing: drop duplicate (shard_id, seq_no) pairs,
     * holding each key's dedup state only within `watermarkDelay` of the
-    * arrival-time watermark — bounded state on an unbounded stream. */
-  def absorbRedelivery(framed: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
-    framed
+    * arrival-time watermark — bounded state on an unbounded stream.
+    *
+    * Null-framed rows (malformed lines: no shard/seq identity, and no
+    * arrival time to watermark on) are routed AROUND the dedup — keying
+    * them through it would collapse every distinct malformed payload in a
+    * window onto the single (null, null) key and silently drop all but
+    * one. A broker cannot redeliver a record it never framed, so the
+    * dedup has nothing to absorb there; they pass through for dead-letter
+    * handling downstream. */
+  def absorbRedelivery(framed: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val isFramed =
+      col("shard_id").isNotNull && col("seq_no").isNotNull && col("arrival_us").isNotNull
+    val deduped = framed
+      .filter(isFramed)
       .withColumn("__arrival_time", timestamp_micros(col("arrival_us")))
       .withWatermark("__arrival_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("shard_id", "seq_no")
       .drop("__arrival_time")
+    deduped.unionByName(framed.filter(!isFramed))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.adapters.Adapters
+import graft.adapters.{Adapters, JsonAdapter}
 import graft.sources.Sources
 
 class AdaptersSpec extends SparkSpec {
@@ -68,6 +68,25 @@ class AdaptersSpec extends SparkSpec {
     assert(out.count() == 2)
     val names = out.select("event_name").collect().map(_.getString(0)).sorted.toSeq
     assert(names == Seq("click", "open"))
+  }
+
+  test("inline-collision check covers the injected tag columns too") {
+    import spark.implicits._
+    // an element field named `event_vendor` collides with the TAG column,
+    // not with any kept input — the r9 check missed this and produced an
+    // ambiguous duplicate column; now it takes the prefixed explode path
+    val adapter = JsonAdapter(
+      vendor = "com.example", version = "v1",
+      schemaDdl = "evs ARRAY<STRUCT<event_vendor: STRING, n: BIGINT>>",
+      mappings = Seq(("event_vendor", "src_vendor"), ("n", "n_out")),
+      explodeField = Some("evs"))
+    val df = Seq((1L, """{"evs":[{"event_vendor":"inner-a","n":7},{"event_vendor":"inner-b","n":8}]}"""))
+      .toDF("id", "payload")
+    val out = adapter(df, "payload")
+    assert(out.columns.count(_ == "event_vendor") == 1, "tag column must be unambiguous")
+    assert(out.select("event_vendor").distinct().collect().map(_.getString(0)).toSeq == Seq("com.example"))
+    assert(out.select("src_vendor").collect().map(_.getString(0)).sorted.toSeq == Seq("inner-a", "inner-b"))
+    assert(out.select("n_out").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
   }
 
   test("registry covers 11 JSON vendors; mailgun and vero parse") {

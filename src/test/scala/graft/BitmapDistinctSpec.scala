@@ -57,6 +57,25 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(back.cardinality == before + 1)
   }
 
+  test("sparse/dense break-even: 455..818 set words serialize sparse (and round-trip)") {
+    val agg = BitmapDistinct(org.apache.spark.sql.catalyst.expressions.Literal(1L))
+    // one bit in each of 600 distinct words of a single container: sparse
+    // costs 2 + 10*600 = 6002 B vs dense 8192 B — the r9 code shipped this
+    // dense; the break-even constant keeps it sparse through nz = 818
+    val s = new BitmapState
+    (0 until 600).foreach(w => s.add((3L << 16) + w * 64L))
+    val blob = agg.serialize(s)
+    // 4B count + 8B key + 1B mode + sparse body; dense would be ≥ 8201 B
+    assert(blob.length == 4 + 8 + 1 + 2 + 10 * 600, s"expected sparse wire size, got ${blob.length}")
+    assert(agg.deserialize(blob).cardinality == 600L)
+    // just past break-even: 819 words must go dense
+    val d = new BitmapState
+    (0 until 819).foreach(w => d.add((4L << 16) + w * 64L))
+    val dblob = agg.serialize(d)
+    assert(dblob.length == 4 + 8 + 1 + 8192, s"expected dense wire size, got ${dblob.length}")
+    assert(agg.deserialize(dblob).cardinality == 819L)
+  }
+
   test("plan shape: ONE exchange where count(DISTINCT) plans two") {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), expr("ts_us div 86400000000").as("day"), col("user_id"))

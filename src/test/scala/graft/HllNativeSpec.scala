@@ -41,6 +41,18 @@ class HllNativeSpec extends SparkSpec {
     assert(run(1) == run(17))
   }
 
+  test("merge rejects a wrong-size blob with a NAMED error, not an index crash") {
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill[Byte](8)(3))).toDF("g", "regs")
+    val ex = intercept[Exception] {
+      bad.groupBy("g").agg(GraftFunctions.hllMerge(col("regs")).as("m")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("graft_hll_merge")),
+      s"expected the named blob-size error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("day->week merge is lossless: merged registers == direct week registers") {
     val ev = Tables.events(spark, dir)
     val base = ev.select(col("event_type"),

@@ -33,9 +33,34 @@ class TransportSpec extends SparkSpec {
         .select("seq_no").as[Long].collect().toSeq
       assert(seqs == (0L until 5L), s"shard $s sequence ramp")
     }
-    // malformed line → null framing, never an exception
+    // malformed line → null framing, never an exception; the raw line is
+    // preserved as the payload (there is no 4th field to extract)
     val bad = Transport.frame(Seq("not-a-framed-line").toDF("value")).collect().head
     assert(bad.isNullAt(1) && bad.isNullAt(2))
+    assert(bad.getString(3) == "not-a-framed-line")
+  }
+
+  test("distinct malformed lines all survive absorption (no null-key collapse)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("transport-malformed")
+    // two good records + three DISTINCT malformed lines in one window: the
+    // dedup keys good rows on (shard, seq); malformed rows have no framing
+    // identity and must pass through one-for-one, not collapse onto the
+    // single (null, null) key
+    java.nio.file.Files.writeString(dir.resolve("b1.txt"),
+      (lines(1, 2) ++ Seq("garbled-a", "garbled-b", "garbled-c")).mkString("", "\n", "\n"))
+    val clean = Transport.absorbRedelivery(
+      Transport.FileShards(dir.toString).read(spark), watermarkDelay = "1 hour")
+    val q = clean.writeStream.format("memory").queryName("transport_malformed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val vals = spark.sql("SELECT value FROM transport_malformed WHERE shard_id IS NULL")
+        .as[String].collect().toSeq.sorted
+      assert(vals == Seq("garbled-a", "garbled-b", "garbled-c"),
+        s"malformed payloads must each survive absorption, got $vals")
+      assert(spark.sql("SELECT * FROM transport_malformed").count() == 5)
+    } finally q.stop()
   }
 
   test("at-least-once redelivery over files; absorption restores batch equality") {
