@@ -50,18 +50,28 @@ object IgluResolver {
   private val mapper = new ObjectMapper()
 
   /** One repository from the resolver file. `root` is the local directory
-    * holding the `schemas/` tree after connection → location mapping. */
+    * holding the `schemas/` tree after connection → location mapping;
+    * remote repositories carry `httpUri` instead (root == null) and are
+    * reached through the transport injected into [[RemoteResolver]]. */
   final case class Repository(
     name: String,
     priority: Int,
     vendorPrefixes: Seq[String],
-    root: String)
+    root: String,
+    httpUri: String = null)
 
   final case class ResolverConfig(cacheSize: Int, repositories: Seq[Repository])
 
   /** Parse the reference's resolver-config JSON verbatim. `mirrors` maps
-    * each `http.uri` to its local mirror directory. */
-  def parseConfig(json: String, mirrors: Map[String, String] = Map.empty): ResolverConfig = {
+    * each `http.uri` to its local mirror directory; with `remote = true`,
+    * an http uri WITHOUT a mirror entry is kept as a remote repository
+    * (resolved later through [[RemoteResolver]]'s injected transport)
+    * instead of failing at plan build. */
+  def parseConfig(
+    json: String,
+    mirrors: Map[String, String] = Map.empty,
+    remote: Boolean = false
+  ): ResolverConfig = {
     val root = mapper.readTree(json)
     val data = Option(root.get("data"))
       .getOrElse(throw new IllegalArgumentException("resolver config needs a 'data' object"))
@@ -72,21 +82,27 @@ object IgluResolver {
           .getOrElse(throw new IllegalArgumentException("repository needs a 'name'"))
         val conn = Option(r.get("connection")).getOrElse(
           throw new IllegalArgumentException(s"repository '$name' needs a 'connection'"))
-        val loc = Option(conn.get("embedded")).flatMap(e => Option(e.get("path")).map(_.asText()))
-          .orElse(Option(conn.get("http")).flatMap(h => Option(h.get("uri")).map(_.asText()).map { uri =>
-            mirrors.getOrElse(uri, throw new IllegalArgumentException(
-              s"repository '$name': http uri '$uri' has no local mirror directory — " +
-                s"graft resolves zero-egress; supply mirrors = Map(\"$uri\" -> dir). " +
-                s"Known mirrors: ${mirrors.keys.toSeq.sorted.mkString(", ")}"))
-          }))
-          .getOrElse(throw new IllegalArgumentException(
-            s"repository '$name' needs connection.embedded.path or connection.http.uri"))
+        val embedded = Option(conn.get("embedded")).flatMap(e => Option(e.get("path")).map(_.asText()))
+        val http = Option(conn.get("http")).flatMap(h => Option(h.get("uri")).map(_.asText()))
+        val (root, httpUri) = (embedded, http) match {
+          case (Some(p), _) => (p, null)
+          case (None, Some(uri)) if mirrors.contains(uri) => (mirrors(uri), null)
+          case (None, Some(uri)) if remote => (null, uri.stripSuffix("/"))
+          case (None, Some(uri)) => throw new IllegalArgumentException(
+            s"repository '$name': http uri '$uri' has no local mirror directory — " +
+              s"supply mirrors = Map(\"$uri\" -> dir) for zero-egress resolution, or " +
+              s"parse with remote = true and resolve through RemoteResolver's transport. " +
+              s"Known mirrors: ${mirrors.keys.toSeq.sorted.mkString(", ")}")
+          case (None, None) => throw new IllegalArgumentException(
+            s"repository '$name' needs connection.embedded.path or connection.http.uri")
+        }
         Repository(
           name = name,
           priority = Option(r.get("priority")).map(_.asInt()).getOrElse(0),
           vendorPrefixes = Option(r.get("vendorPrefixes"))
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
-          root = loc)
+          root = root,
+          httpUri = httpUri)
       }.toSeq
     ResolverConfig(
       cacheSize = Option(data.get("cacheSize")).map(_.asInt()).getOrElse(500),
@@ -108,7 +124,7 @@ object IgluResolver {
     * it. A malformed key fails at plan build. */
   def lookup(cfg: ResolverConfig, key: String): Option[(String, String)] = key match {
     case KeyRe(vendor, name, format, version) =>
-      prioritized(cfg, vendor).iterator.flatMap { repo =>
+      prioritized(cfg, vendor).iterator.filter(_.root != null).flatMap { repo =>
         val p = java.nio.file.Paths.get(repo.root, "schemas", vendor, name, format, version)
         if (java.nio.file.Files.isRegularFile(p))
           Some((repo.name, java.nio.file.Files.readString(p)))
@@ -122,7 +138,7 @@ object IgluResolver {
     * repo's `schemas/` tree) — the registry enumeration behind
     * [[loadRegistry]]'s resolve-everything mode. */
   def availableKeys(cfg: ResolverConfig): Seq[String] = {
-    cfg.repositories.flatMap { repo =>
+    cfg.repositories.filter(_.root != null).flatMap { repo =>
       val base = java.nio.file.Paths.get(repo.root, "schemas")
       if (!java.nio.file.Files.isDirectory(base)) Nil
       else {
@@ -206,5 +222,121 @@ object IgluResolver {
     val closed = hits.collect { case (k, _, json) if compileFieldSpecs(json)._2 => k }.toSet
     val provenance = hits.map { case (k, repo, _) => k -> repo }.toMap
     (specs, closed, provenance)
+  }
+
+  /** One repository's verdict inside a failed resolution. */
+  final case class RepoError(repository: String, message: String)
+
+  /** A schema key no matching repository could serve. `registryDown`
+    * distinguishes "at least one registry was UNREACHABLE, the schema may
+    * exist" (retryable; kept out of the negative cache) from a clean
+    * not-found everywhere. Maps onto the pipeline's failure-entity struct
+    * via [[entity]] — resolution failures become `bad_row_errors` rows,
+    * never a crashed job (the reference's RegistryError posture:
+    * iglu-scala-client's RepoFailure vs NotFound). */
+  final case class ResolveFailure(key: String, errors: Seq[RepoError]) {
+    def registryDown: Boolean = errors.exists(_.message.startsWith("registry unreachable"))
+    /** (enrichment, failure_type, schema_key, message) — the
+      * `Enrichment.FailureEntityType` element. */
+    def entity: (String, String, String, String) = (
+      "iglu_resolver",
+      if (registryDown) "registry_failure" else "schema_not_found",
+      key,
+      errors.map(e => s"${e.repository}: ${e.message}").mkString("; "))
+  }
+
+  /** Remote-registry resolution — the HTTP half of the reference's
+    * iglu-scala-client (`modules/common/.../utils/IgluUtils.scala:42`
+    * builds lookups on a Resolver whose registries fetch
+    * `{uri}/schemas/vendor/name/format/M-R-A` over HTTP with an LRU +
+    * failure cache).
+    *
+    * graft keeps resolution on the DRIVER at plan build (schemas compile
+    * into broadcast FieldSpecs; executors never do registry I/O), so the
+    * transport is one injected `url => Option[body]` — production: a
+    * pooled HTTP client; tests: a deterministic local function (the
+    * ApiLookup / RemoteAdapter seam). Transport contract:
+    *   - `Some(body)` — 200, the schema JSON
+    *   - `None`       — 404, THIS registry does not have the key
+    *                    (negative-cached per (repository, key))
+    *   - throws       — registry unreachable (timeout, 5xx): the repo is
+    *                    skipped for this lookup but NOT negative-cached,
+    *                    so the next resolution retries it
+    *
+    * Trial order is exactly [[IgluResolver.prioritized]]: vendor-prefix
+    * matches first, then ascending priority, then name; local (embedded /
+    * mirrored) repositories participate in the same order via direct file
+    * reads. Positive results LRU-cache to `cfg.cacheSize` entries.
+    */
+  final class RemoteResolver(
+    cfg: ResolverConfig,
+    transport: String => Option[String]) {
+
+    private def lruMap[K, V](max: Int) =
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > max
+      }
+
+    private val hitCache = lruMap[String, (String, String)](cfg.cacheSize)
+    private val missCache = lruMap[String, Boolean](cfg.cacheSize) // (repo|key) → 404 seen
+
+    /** Resolve one key: (winning repository name, schema JSON text), or
+      * the per-repository error list. Never throws on registry failure. */
+    def resolve(key: String): Either[ResolveFailure, (String, String)] = synchronized {
+      val cached = hitCache.get(key)
+      if (cached != null) return Right(cached)
+      key match {
+        case KeyRe(vendor, name, format, version) =>
+          val errors = Seq.newBuilder[RepoError]
+          val it = prioritized(cfg, vendor).iterator
+          while (it.hasNext) {
+            val repo = it.next()
+            if (repo.root != null) {
+              val p = java.nio.file.Paths.get(repo.root, "schemas", vendor, name, format, version)
+              if (java.nio.file.Files.isRegularFile(p)) {
+                val hit = (repo.name, java.nio.file.Files.readString(p))
+                hitCache.put(key, hit)
+                return Right(hit)
+              } else errors += RepoError(repo.name, "schema not found")
+            } else {
+              val missKey = s"${repo.name}|$key"
+              if (missCache.containsKey(missKey))
+                errors += RepoError(repo.name, "schema not found (cached)")
+              else {
+                val url = s"${repo.httpUri}/schemas/$vendor/$name/$format/$version"
+                scala.util.Try(transport(url)) match {
+                  case scala.util.Success(Some(body)) =>
+                    val hit = (repo.name, body)
+                    hitCache.put(key, hit)
+                    return Right(hit)
+                  case scala.util.Success(None) =>
+                    missCache.put(missKey, true)
+                    errors += RepoError(repo.name, "schema not found")
+                  case scala.util.Failure(t) =>
+                    errors += RepoError(repo.name,
+                      s"registry unreachable: ${Option(t.getMessage).getOrElse(t.getClass.getSimpleName)}")
+                }
+              }
+            }
+          }
+          Left(ResolveFailure(key, errors.result()))
+        case _ => throw new IllegalArgumentException(
+          s"iglu resolver: '$key' is not a valid schema key (iglu:vendor/name/format/M-R-A)")
+      }
+    }
+
+    /** Resolve + compile `keys` like [[loadRegistry]] (remote registries
+      * cannot be enumerated, so keys are explicit), returning the compiled
+      * SchemaValidate inputs plus the structured failures for everything
+      * that did not resolve — feed those to failure-entity handling, the
+      * job keeps running. */
+    def loadRegistry(keys: Seq[String])
+      : (Map[String, Seq[FieldSpec]], Set[String], Map[String, String], Seq[ResolveFailure]) = {
+      val (fails, hits) = keys.distinct.partitionMap(k => resolve(k).map { case (r, j) => (k, r, j) })
+      val specs = hits.map { case (k, _, json) => k -> compileFieldSpecs(json)._1 }.toMap
+      val closed = hits.collect { case (k, _, json) if compileFieldSpecs(json)._2 => k }.toSet
+      val provenance = hits.map { case (k, repo, _) => k -> repo }.toMap
+      (specs, closed, provenance, fails)
+    }
   }
 }

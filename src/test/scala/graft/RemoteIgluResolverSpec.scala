@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.enrich.IgluResolver
+import graft.enrich.IgluResolver.RemoteResolver
+
+/** Remote HTTP Iglu registry resolution (reference iglu-scala-client over
+  * `connection.http.uri`): two registries behind counting fake transports —
+  * priority + vendorPrefixes pick the winner, the LRU + negative caches
+  * stop repeat fetches, and a registry being DOWN degrades to the next
+  * registry or a structured failure, never a crash. */
+class RemoteIgluResolverSpec extends AnyFunSuite {
+
+  private val cfgJson =
+    """{"schema": "iglu:com.snowplowanalytics.iglu/resolver-config/jsonschema/1-0-1",
+      | "data": {"cacheSize": 500, "repositories": [
+      |   {"name": "Iglu Central", "priority": 0,
+      |    "vendorPrefixes": ["com.snowplowanalytics"],
+      |    "connection": {"http": {"uri": "http://iglucentral.com"}}},
+      |   {"name": "Acme Registry", "priority": 1,
+      |    "vendorPrefixes": ["com.acme"],
+      |    "connection": {"http": {"uri": "https://iglu.acme.internal/api"}}}]}}""".stripMargin
+
+  private val cartKey = "iglu:com.acme/cart/jsonschema/1-0-0"
+  private val clickKey = "iglu:com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1"
+  private val cartSchema = """{"type":"object","properties":{"sku":{"type":"string"}},"required":["sku"]}"""
+  private val clickSchema = """{"type":"object","properties":{"targetUrl":{"type":"string"}},"required":["targetUrl"]}"""
+
+  /** A fake registry fleet: url-prefix → (path → body), counting every
+    * fetch; `down` registries throw like a timed-out connection. */
+  private class Fleet(
+    central: Map[String, String],
+    acme: Map[String, String],
+    down: Set[String] = Set.empty) {
+    var fetches: List[String] = Nil
+    val transport: String => Option[String] = { url =>
+      fetches = url :: fetches
+      val (base, table) =
+        if (url.startsWith("http://iglucentral.com/")) ("central", central)
+        else if (url.startsWith("https://iglu.acme.internal/api/")) ("acme", acme)
+        else fail(s"unexpected url $url")
+      if (down(base)) throw new java.io.IOException(s"connect timed out: $url")
+      table.get(url.split("/schemas/", 2)(1))
+    }
+    def fetchCount(base: String): Int = {
+      val host = if (base.contains("central")) "http://iglucentral.com/"
+                 else "https://iglu.acme.internal/api/"
+      fetches.count(_.startsWith(host))
+    }
+  }
+
+  private def resolver(fleet: Fleet) =
+    new RemoteResolver(IgluResolver.parseConfig(cfgJson, remote = true), fleet.transport)
+
+  test("remote parse keeps http repos; url layout is {uri}/schemas/v/n/f/ver") {
+    val cfg = IgluResolver.parseConfig(cfgJson, remote = true)
+    assert(cfg.repositories.forall(r => r.root == null && r.httpUri != null))
+    assert(cfg.repositories.map(_.httpUri).toSet ==
+      Set("http://iglucentral.com", "https://iglu.acme.internal/api"))
+    val fleet = new Fleet(Map.empty, Map("com.acme/cart/jsonschema/1-0-0" -> cartSchema))
+    val r = resolver(fleet)
+    assert(r.resolve(cartKey) == Right(("Acme Registry", cartSchema)))
+    assert(fleet.fetches.contains("https://iglu.acme.internal/api/schemas/com.acme/cart/jsonschema/1-0-0"))
+  }
+
+  test("priority + vendorPrefixes decide which registry is asked first") {
+    // both registries HAVE the cart schema; com.acme vendor-prefix-matches
+    // the lower-priority Acme registry, so Acme must win AND Central must
+    // never even be asked
+    val fleet = new Fleet(
+      central = Map("com.acme/cart/jsonschema/1-0-0" -> "central-copy"),
+      acme = Map("com.acme/cart/jsonschema/1-0-0" -> cartSchema))
+    val r = resolver(fleet)
+    assert(r.resolve(cartKey) == Right(("Acme Registry", cartSchema)))
+    assert(fleet.fetchCount("iglucentral") == 0, "prefix match must pre-empt priority 0")
+    // no prefix match → plain priority order: Central first
+    val fleet2 = new Fleet(
+      central = Map("com.other/thing/jsonschema/1-0-0" -> clickSchema),
+      acme = Map("com.other/thing/jsonschema/1-0-0" -> "acme-copy"))
+    val r2 = resolver(fleet2)
+    assert(r2.resolve("iglu:com.other/thing/jsonschema/1-0-0") == Right(("Iglu Central", clickSchema)))
+    assert(fleet2.fetchCount("acme") == 0)
+  }
+
+  test("LRU cache: a second resolution fetches nothing; negative cache skips known 404s") {
+    val fleet = new Fleet(
+      central = Map("com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1" -> clickSchema),
+      acme = Map("com.acme/cart/jsonschema/1-0-0" -> cartSchema))
+    val r = resolver(fleet)
+    // cart: acme serves it on the first try — exactly one fetch, ever
+    assert(r.resolve(cartKey).isRight)
+    assert(r.resolve(cartKey).isRight)
+    assert(fleet.fetchCount("acme") == 1)
+    // click: acme has no prefix claim, central serves; resolve a MISSING
+    // acme-vendored key twice — acme 404s once, the second pass hits the
+    // negative cache (1 acme fetch for it, not 2); central is tried fresh
+    // each time (it was never 404-cached for this key... it is after try 1)
+    val missing = "iglu:com.acme/nope/jsonschema/1-0-0"
+    val before = fleet.fetchCount("acme")
+    val f1 = r.resolve(missing)
+    val f2 = r.resolve(missing)
+    assert(f1.isLeft && f2.isLeft)
+    assert(fleet.fetchCount("acme") == before + 1, "404 must be negative-cached per (repo, key)")
+    val Left(fail2) = f2
+    assert(!fail2.registryDown && fail2.entity._2 == "schema_not_found")
+  }
+
+  test("registry down: fall through to the next registry; failure is structured, retry works") {
+    // central down, acme up, acme has the snowplow schema too (mirror case)
+    val fleet = new Fleet(
+      central = Map("com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1" -> clickSchema),
+      acme = Map("com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1" -> clickSchema),
+      down = Set("central"))
+    val r = resolver(fleet)
+    assert(r.resolve(clickKey) == Right(("Acme Registry", clickSchema)),
+      "a down registry must not stop the next registry from serving")
+
+    // BOTH down → structured failure entity, not a crash…
+    val allDown = new Fleet(Map.empty, Map.empty, down = Set("central", "acme"))
+    val rd = resolver(allDown)
+    val Left(f) = rd.resolve(clickKey)
+    assert(f.registryDown && f.key == clickKey)
+    val (enr, ftype, skey, msg) = f.entity
+    assert(enr == "iglu_resolver" && ftype == "registry_failure" && skey == clickKey)
+    assert(msg.contains("Iglu Central") && msg.contains("registry unreachable"))
+
+    // …and unreachability is NOT negative-cached: same resolver, registry
+    // recovers (swap the transport's failure off), next resolve succeeds
+    val flaky = new Fleet(
+      central = Map("com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1" -> clickSchema),
+      acme = Map.empty)
+    var downNow = true
+    val rFlaky = new RemoteResolver(IgluResolver.parseConfig(cfgJson, remote = true), { url =>
+      if (downNow) throw new java.io.IOException("boom") else flaky.transport(url)
+    })
+    assert(rFlaky.resolve(clickKey).isLeft)
+    downNow = false
+    assert(rFlaky.resolve(clickKey) == Right(("Iglu Central", clickSchema)))
+  }
+
+  test("loadRegistry compiles hits and returns structured failures for the rest") {
+    val fleet = new Fleet(
+      central = Map("com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1" -> clickSchema),
+      acme = Map("com.acme/cart/jsonschema/1-0-0" -> cartSchema))
+    val r = resolver(fleet)
+    val (specs, closed, prov, fails) =
+      r.loadRegistry(Seq(cartKey, clickKey, "iglu:com.acme/nope/jsonschema/1-0-0"))
+    assert(specs.keySet == Set(cartKey, clickKey))
+    assert(specs(cartKey).exists(f => f.path == "sku" && f.required))
+    assert(closed.isEmpty)
+    assert(prov == Map(cartKey -> "Acme Registry", clickKey -> "Iglu Central"))
+    assert(fails.map(_.key) == Seq("iglu:com.acme/nope/jsonschema/1-0-0"))
+    assert(fails.head.entity._2 == "schema_not_found")
+  }
+
+  test("a mixed config resolves local mirrors by file and the rest over http") {
+    val mirror = java.nio.file.Files.createTempDirectory("iglu-mirror")
+    val d = mirror.resolve("schemas/com.acme/cart/jsonschema")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("1-0-0"), cartSchema)
+    val fleet = new Fleet(
+      central = Map("com.snowplowanalytics.snowplow/link_click/jsonschema/1-0-1" -> clickSchema),
+      acme = Map.empty)
+    val cfg = IgluResolver.parseConfig(cfgJson,
+      mirrors = Map("https://iglu.acme.internal/api" -> mirror.toString), remote = true)
+    val r = new RemoteResolver(cfg, fleet.transport)
+    assert(r.resolve(cartKey) == Right(("Acme Registry", cartSchema)))
+    assert(fleet.fetchCount("acme") == 0, "mirrored repo must be read from disk")
+    assert(r.resolve(clickKey) == Right(("Iglu Central", clickSchema)))
+  }
+}
