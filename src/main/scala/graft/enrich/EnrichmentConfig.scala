@@ -55,7 +55,15 @@ object EnrichmentConfig {
     * external databases (MaxMind, OER rates, IAB files) cannot ship inside
     * a config — those need the native shape with inline/parquet dims.
     */
-  def fromReferenceConfigs(jsons: Seq[String]): (EnrichmentPipeline, Seq[(String, String)]) = {
+  def fromReferenceConfigs(
+    jsons: Seq[String],
+    /** Live JDBC injection for `sql_query_enrichment_config`, keyed by the
+      * config's `database.postgresql.database` name — a JSON file cannot
+      * carry a connection, so deployments supply the factory + output DDL
+      * here (the ApiLookup transport pattern). No entry → skipped, as
+      * before. */
+    sqlLive: Map[String, SqlQueryLookup.Live] = Map.empty
+  ): (EnrichmentPipeline, Seq[(String, String)]) = {
     val mapped = scala.collection.mutable.Buffer[Enrichment]()
     val skipped = scala.collection.mutable.Buffer[(String, String)]()
     jsons.foreach { j =>
@@ -127,8 +135,43 @@ object EnrichmentConfig {
           skipped += ((name, "needs the OER rates feed; construct graft.enrich.CurrencyConversion with inline or parquet rates"))
         case "weather_enrichment_config" =>
           skipped += ((name, "needs the weather provider; use graft.operators.AsOfJoin with an observations table"))
-        case "api_request_enrichment_config" | "sql_query_enrichment_config" =>
-          skipped += ((name, "needs a live endpoint; construct graft.enrich.DimJoin over a materialized dimension"))
+        case "api_request_enrichment_config" =>
+          skipped += ((name, "needs a live endpoint; construct graft.enrich.ApiLookup with an injected transport, or DimJoin over a materialized dimension"))
+        case "sql_query_enrichment_config" =>
+          // reference registry/sqlquery: ?-placeholders bound from pojo
+          // inputs in placeholder order; json-path inputs have no event
+          // column to bind and keep the config on the skip list
+          val dbName = Option(p.get("database"))
+            .flatMap(d => Option(d.get("postgresql")).orElse(Option(d.get("mysql"))))
+            .flatMap(pg => Option(pg.get("database")).map(_.asText()))
+          val inputs = Option(p.get("inputs"))
+            .map(_.elements().asScala.toSeq).getOrElse(Nil)
+          val pojoByPlaceholder = inputs.flatMap { in =>
+            for {
+              ph <- Option(in.get("placeholder")).map(_.asInt())
+              pojo <- Option(in.get("pojo"))
+              field <- Option(pojo.get("field")).map(_.asText())
+            } yield ph -> field
+          }.toMap
+          val placeholders = inputs.flatMap(in => Option(in.get("placeholder")).map(_.asInt())).distinct.sorted
+          val sqlText = Option(p.get("query")).flatMap(qn => Option(qn.get("sql")).map(_.asText()))
+          (dbName.flatMap(sqlLive.get), sqlText) match {
+            case _ if placeholders.exists(ph => !pojoByPlaceholder.contains(ph)) =>
+              skipped += ((name, s"placeholders ${placeholders.filterNot(pojoByPlaceholder.contains).mkString(",")} have only json-path inputs; bind event columns (pojo) or construct graft.enrich.SqlQueryLookup directly"))
+            case (Some(live), Some(sqlStr)) =>
+              mapped += SqlQueryLookup(
+                keyCols = placeholders.map(pojoByPlaceholder),
+                sql = sqlStr,
+                connectionFactory = live.connectionFactory,
+                outputSchemaDdl = live.outputSchemaDdl,
+                cachePath = live.cachePath,
+                propertyNames = Option(p.get("output")).flatMap(o => Option(o.get("json")))
+                  .flatMap(j => Option(j.get("propertyNames")).map(_.asText())).getOrElse("AS_IS"))
+            case (None, _) =>
+              skipped += ((name, s"no live JDBC injection for database '${dbName.getOrElse("?")}' — pass sqlLive = Map(${dbName.getOrElse("db")} -> SqlQueryLookup.Live(factory, ddl))"))
+            case (_, None) =>
+              skipped += ((name, "config has no query.sql"))
+          }
         case other =>
           skipped += ((other, "no graft mapping"))
       }

@@ -1,0 +1,194 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+
+/** The SQL-query enrichment's live JDBC path — the database twin of
+  * [[ApiLookup]] (reference `registry/sqlquery/SqlQueryEnrichment.scala` +
+  * `DbExecutor.scala:34`: per-event `?`-placeholder PreparedStatement
+  * against Postgres/MySQL behind an LRU cache).
+  *
+  * Per-ROW JDBC is the wrong shape at 100 TB; this keeps the reference's
+  * semantics on the joins-not-RPC architecture:
+  *
+  *  1. the DISTINCT key TUPLES are materialized — query volume is bounded
+  *     by |distinct keys|, never |rows| (`maxKeys` fails fast on an
+  *     unbounded key domain);
+  *  2. tuples missing from the parquet `cachePath` dim run ONCE through a
+  *     pooled per-partition JDBC connection (the injected
+  *     `connectionFactory` — production: a DataSource's getConnection;
+  *     tests: an embedded Derby URL), one PreparedStatement per
+  *     partition, placeholders 1..N bound from the key columns in order
+  *     with their native types (the reference's `Input.Pojo(placeholder,
+  *     field)` binding, `Input.scala:85`);
+  *  3. the FIRST result row becomes a JSON object keyed by the
+  *     ResultSet's column labels as-is (the reference's
+  *     `JsonOutput.PropertyNameMode.AsIs` + `expectedRows: AT_MOST_ONE`
+  *     posture) and is appended to the cache dim, so reruns and later
+  *     pipelines re-join without touching the database;
+  *  4. the dim broadcasts back onto the fact — a BroadcastHashJoin, zero
+  *     fact-side shuffle.
+  *
+  * Failure contract (identical to ApiLookup's, spec-pinned there and
+  * here): an empty result set is a MISS — cached as a null response so it
+  * is never re-queried; a thrown SQLException (connection refused, bad
+  * grant, dropped table) yields null output columns THIS RUN but stays
+  * OUT of the cache dim, so the next run retries. A key tuple containing
+  * any NULL never queries at all (the reference skips the statement
+  * unless every placeholder is filled — `DbExecutor
+  * .allPlaceholdersAreFilled`) and surfaces null output columns.
+  *
+  * @param keyCols event columns bound to `?` placeholders 1..N, in order
+  * @param sql the query, `?` placeholders only (`SELECT a, b FROM d WHERE k = ?`)
+  * @param connectionFactory () => a LIVE java.sql.Connection; invoked at
+  *        most once per partition of the distinct-missing-keys frame
+  * @param outputSchemaDdl DDL of the selected columns (appear on the
+  *        output, null on miss/failure/unfilled placeholders)
+  * @param cachePath optional parquet dim path; null = query-only this run
+  * @param propertyNames result-column label → JSON key mode. AS_IS keys
+  *        are the labels exactly as the JDBC driver reports them — note
+  *        engines uppercase/lowercase unquoted identifiers differently
+  *        (Derby: USER_NAME, Postgres: user_name); alias with quotes
+  *        (`SELECT a AS "user_name"`) or pick a case-folding mode when the
+  *        DDL must be portable. This is the reference's
+  *        `output.json.propertyNames` (`JsonOutput.scala`
+  *        reference's `output.json.propertyNames` (`JsonOutput.scala`
+  *        PropertyNameMode): AS_IS | CAMEL_CASE | PASCAL_CASE |
+  *        SNAKE_CASE | LOWER_CASE | UPPER_CASE. `outputSchemaDdl` field
+  *        names must match the TRANSFORMED keys.
+  */
+final case class SqlQueryLookup(
+  keyCols: Seq[String],
+  sql: String,
+  connectionFactory: () => java.sql.Connection,
+  outputSchemaDdl: String,
+  cachePath: String = null,
+  maxKeys: Long = 1000000L,
+  propertyNames: String = "AS_IS"
+) extends Enrichment {
+  val name = "sql_query"
+  require(keyCols.nonEmpty, "sql_query needs at least one key column")
+  require(SqlQueryLookup.NameModes.contains(propertyNames),
+    s"sql_query: unknown propertyNames '$propertyNames' (one of ${SqlQueryLookup.NameModes.mkString(", ")})")
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val keyFields = keyCols.map(k => df.schema(k))
+    val keys = df.select(keyCols.map(col): _*).na.drop("any").distinct()
+    val emptyDim = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(keyFields :+ StructField("sql_response", StringType)))
+    val cached: DataFrame =
+      if (cachePath == null) emptyDim
+      else
+        try spark.read.parquet(cachePath)
+        catch { case _: Exception => emptyDim }
+    val missing = keys.join(cached.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val nMissing = missing.count()
+    require(nMissing <= maxKeys,
+      s"sql_query: $nMissing distinct key tuples exceed maxKeys=$maxKeys — " +
+        "bound the key domain or raise the limit explicitly")
+
+    val factory = connectionFactory // avoid serializing the enclosing enrichment
+    val q = sql
+    val n = keyCols.size
+    val pnames = propertyNames
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField("sql_response", StringType), StructField("sql_fetch_ok", BooleanType)))
+    val fetched = missing.mapPartitions { it =>
+      // connection + statement are per-PARTITION, lazily opened so empty
+      // partitions never touch the pool; a factory failure marks every
+      // tuple in the partition failed (retryable) instead of killing the
+      // stage — the one-bad-row-never-kills-the-backfill rule
+      var conn: java.sql.Connection = null
+      var ps: java.sql.PreparedStatement = null
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        if (ps != null) scala.util.Try(ps.close())
+        if (conn != null) scala.util.Try(conn.close())
+      })
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val mode = pnames
+      it.map { row =>
+        val res = scala.util.Try {
+          if (conn == null) { conn = factory(); ps = conn.prepareStatement(q) }
+          var i = 0
+          while (i < n) { ps.setObject(i + 1, row.get(i)); i += 1 }
+          val rs = ps.executeQuery()
+          try {
+            if (!rs.next()) null // empty result = MISS (cached as null)
+            else {
+              val md = rs.getMetaData
+              val obj = mapper.createObjectNode()
+              var c = 1
+              while (c <= md.getColumnCount) {
+                val label = SqlQueryLookup.transformName(md.getColumnLabel(c), mode)
+                rs.getObject(c) match {
+                  case null => obj.putNull(label)
+                  case v: java.lang.Number => obj.put(label, new java.math.BigDecimal(v.toString))
+                  case v: java.lang.Boolean => obj.put(label, v.booleanValue())
+                  case v => obj.put(label, v.toString)
+                }
+                c += 1
+              }
+              obj.toString
+            }
+          } finally rs.close()
+        }
+        res match {
+          case scala.util.Success(json) => Row.fromSeq(row.toSeq ++ Seq(json, true))
+          case scala.util.Failure(_) => Row.fromSeq(row.toSeq ++ Seq(null, false))
+        }
+      }
+    }(Encoders.row(outSchema))
+
+    // with a cache: the append IS the single query evaluation — the dim
+    // re-reads the parquet, so the join never re-fires the statement
+    val dimRaw =
+      if (cachePath == null) cached.unionByName(fetched.where(col("sql_fetch_ok")).drop("sql_fetch_ok"))
+      else {
+        if (nMissing > 0)
+          fetched.where(col("sql_fetch_ok")).drop("sql_fetch_ok")
+            .write.mode("append").parquet(cachePath)
+        try spark.read.parquet(cachePath)
+        catch { case _: Exception => cached }
+      }
+    val schema = StructType.fromDDL(outputSchemaDdl)
+    val dim = dimRaw
+      .select(keyCols.map(col) :+ from_json(col("sql_response"), schema).as("sqlq"): _*)
+      .select(keyCols.map(col) ++ schema.fieldNames.toSeq.map(f => col(s"sqlq.$f").as(f)): _*)
+    df.join(broadcast(dim), keyCols, "left")
+  }
+}
+
+object SqlQueryLookup {
+  val NameModes: Set[String] =
+    Set("AS_IS", "CAMEL_CASE", "PASCAL_CASE", "SNAKE_CASE", "LOWER_CASE", "UPPER_CASE")
+
+  /** Column-label → JSON-key transform, the reference's
+    * `JsonOutput.PropertyNameMode.transform`. */
+  def transformName(label: String, mode: String): String = mode match {
+    case "AS_IS" => label
+    case "LOWER_CASE" => label.toLowerCase
+    case "UPPER_CASE" => label.toUpperCase
+    case "SNAKE_CASE" =>
+      label.replaceAll("([a-z0-9])([A-Z])", "$1_$2").replaceAll("[-\\s]+", "_").toLowerCase
+    case camelish => // CAMEL_CASE | PASCAL_CASE
+      val parts = label.split("[_\\-\\s]+").filter(_.nonEmpty)
+      val camel = parts.zipWithIndex.map {
+        case (p, 0) => p.toLowerCase
+        case (p, _) => p.substring(0, 1).toUpperCase + p.substring(1).toLowerCase
+      }.mkString
+      if (camelish == "PASCAL_CASE" && camel.nonEmpty)
+        camel.substring(0, 1).toUpperCase + camel.substring(1)
+      else camel
+  }
+
+  /** What the live JDBC path needs injected per database (a config file
+    * cannot carry a connection): the pooled connection factory and the
+    * Spark DDL the `output.json.schema` rows map onto. */
+  final case class Live(
+    connectionFactory: () => java.sql.Connection,
+    outputSchemaDdl: String,
+    cachePath: String = null)
+}

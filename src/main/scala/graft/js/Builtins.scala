@@ -503,6 +503,33 @@ object Builtins {
             dst
           case other => other
         }
+      },
+      "create" -> native("create") { (_, a) =>
+        val o = JsVal.obj()
+        arg(a, 0) match {
+          case p: JsObj => o.proto = p
+          case JsNull => ()
+          case other => throw JsThrown(JsStr(s"Object.create: prototype must be an object or null, got ${typeOf(other)}"))
+        }
+        o
+      },
+      "getPrototypeOf" -> native("getPrototypeOf") { (_, a) =>
+        arg(a, 0) match {
+          case o: JsObj => if (o.proto == null) JsNull else o.proto
+          case _ => JsNull
+        }
+      },
+      "setPrototypeOf" -> native("setPrototypeOf") { (_, a) =>
+        (arg(a, 0), arg(a, 1)) match {
+          case (o: JsObj, p: JsObj) =>
+            var q: JsObj = p
+            while (q != null && (q ne o)) q = q.proto
+            if (q eq o) throw JsThrown(JsStr("cyclic __proto__ value"))
+            o.proto = p
+            o
+          case (o: JsObj, JsNull) => o.proto = null; o
+          case (other, _) => other
+        }
       }))
 
     env.declare("Array", JsVal.obj(

@@ -29,6 +29,10 @@ object JsAst {
   final case class Index(obj: Expr, idx: Expr) extends Expr
   /** Call; when `fn` is a Member/Index the receiver becomes `this`. */
   final case class Call(fn: Expr, args: List[Expr]) extends Expr
+  /** `new Ctor(args)`: construct with a fresh object wired to
+    * `Ctor.prototype` as `this` (ES5 [[Construct]] semantics — the
+    * constructor's return value wins only when it is an object). */
+  final case class NewExpr(callee: Expr, args: List[Expr]) extends Expr
   final case class Unary(op: String, e: Expr) extends Expr
   /** `++x` / `x--` etc. `prefix` decides the returned value. */
   final case class Update(op: String, target: Expr, prefix: Boolean) extends Expr

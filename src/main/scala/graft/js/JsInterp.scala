@@ -18,8 +18,25 @@ case object JsUndef extends JsVal
 final class JsArr(val items: mutable.ArrayBuffer[JsVal]) extends JsVal
 /** `magic` resolves host-provided properties (the event object's
   * getter/setter/drop surface) when the plain map misses. */
-final class JsObj(val props: mutable.LinkedHashMap[String, JsVal], val magic: String => Option[JsVal] = _ => None) extends JsVal
-final case class JsFunc(name: Option[String], params: List[String], body: List[Stmt], closure: JsInterp.Env) extends JsVal
+final class JsObj(val props: mutable.LinkedHashMap[String, JsVal], val magic: String => Option[JsVal] = _ => None) extends JsVal {
+  /** ES5 [[Prototype]] link — set by `new` (to the constructor's
+    * `.prototype`) or by a `__proto__` write; property reads fall back
+    * down this chain. */
+  var proto: JsObj = null
+}
+final case class JsFunc(name: Option[String], params: List[String], body: List[Stmt], closure: JsInterp.Env) extends JsVal {
+  /** The function's `.prototype` object, created lazily on first access
+    * (ES5: every function gets one, with a `constructor` back-link). */
+  private var protoObj: JsObj = null
+  def prototype: JsObj = {
+    if (protoObj == null) {
+      protoObj = JsVal.obj()
+      protoObj.props("constructor") = this
+    }
+    protoObj
+  }
+  def replacePrototype(o: JsObj): Unit = protoObj = o
+}
 final case class JsNative(name: String, fn: (JsVal, List[JsVal]) => JsVal) extends JsVal
 final case class JsRegex(pattern: String, flags: String) extends JsVal {
   lazy val compiled: java.util.regex.Pattern = {
@@ -244,6 +261,21 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
             val where = fnE match { case Member(_, n) => s".$n"; case Ident(n) => n; case _ => "" }
             throw JsThrown(JsStr(s"$where is not a function (got ${typeOf(other)})"))
         }
+      case NewExpr(calleeE, argEs) =>
+        val callee = eval(calleeE, env)
+        val args = argEs.map(eval(_, env))
+        callee match {
+          case f: JsFunc =>
+            val obj = JsVal.obj()
+            obj.proto = f.prototype
+            callFunction(f, obj, args) match {
+              case o: JsObj => o // explicit object return wins (ES5 [[Construct]])
+              case a: JsArr => a
+              case _ => obj
+            }
+          case JsNative(_, fn) => fn(JsUndef, args) // built-in constructor-likes (Error etc.)
+          case other => throw JsThrown(JsStr(s"${typeOf(other)} is not a constructor"))
+        }
       case Unary(op, inner) =>
         op match {
           case "!" => JsBool(!truthy(eval(inner, env)))
@@ -308,6 +340,11 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
     case Member(oE, name) =>
       eval(oE, env) match {
         case o: JsObj => setProp(o, name, v)
+        case f: JsFunc if name == "prototype" =>
+          v match {
+            case o: JsObj => f.replacePrototype(o)
+            case other => throw JsThrown(JsStr(s"prototype must be an object, got ${typeOf(other)}"))
+          }
         case a: JsArr if name == "length" =>
           val n = toNumber(v).toInt
           if (n < a.items.length) a.items.remove(n, a.items.length - n)
@@ -330,14 +367,36 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
   }
 
   private def setProp(o: JsObj, name: String, v: JsVal): Unit =
-    o.magic(s"set:$name") match {
+    if (name == "__proto__") v match {
+      case p: JsObj =>
+        // reject cycles: walking a cyclic chain would never terminate
+        var q: JsObj = p
+        while (q != null && (q ne o)) q = q.proto
+        if (q eq o) throw JsThrown(JsStr("cyclic __proto__ value"))
+        o.proto = p
+      case JsNull => o.proto = null
+      case _ => () // ES5: non-object __proto__ writes are ignored
+    }
+    else o.magic(s"set:$name") match {
       case Some(JsNative(_, fn)) => fn(o, List(v)); ()
       case _ => o.props(name) = v
     }
 
   private def getProp(recv: JsVal, name: String): JsVal = recv match {
     case o: JsObj =>
-      o.props.get(name).orElse(o.magic(name)).getOrElse(JsUndef)
+      if (name == "__proto__") { if (o.proto == null) JsNull else o.proto }
+      else o.props.get(name).orElse(o.magic(name)).getOrElse {
+        // prototype-chain fallback (cycle-safe: __proto__ writes reject cycles)
+        var p = o.proto
+        var res: JsVal = JsUndef
+        while (p != null && (res eq JsUndef)) {
+          res = p.props.getOrElse(name, JsUndef)
+          p = p.proto
+        }
+        res
+      }
+    case f: JsFunc =>
+      if (name == "prototype") f.prototype else JsUndef
     case a: JsArr =>
       if (name == "length") JsNum(a.items.length.toDouble)
       else Builtins.arrayMethod(name).getOrElse(JsUndef)
@@ -392,15 +451,26 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
     case ">>>" => JsNum(((toInt32(l).toLong & 0xffffffffL) >>> (toInt32(r) & 31)).toDouble)
     case "in" =>
       r match {
-        case o: JsObj => JsBool(o.props.contains(toStringVal(l)))
+        case o: JsObj =>
+          val key = toStringVal(l)
+          var found = o.props.contains(key)
+          var p = o.proto
+          while (p != null && !found) { found = p.props.contains(key); p = p.proto }
+          JsBool(found)
         case a: JsArr => val i = toNumber(l).toInt; JsBool(i >= 0 && i < a.items.length)
         case _ => JsBool(false)
       }
     case "instanceof" =>
-      // no prototype chains in the subset, but the built-in Error
-      // constructors must satisfy the idiomatic `e instanceof Error` /
-      // `e instanceof TypeError` catch-branch checks
       (l, r) match {
+        // user constructor: walk the instance's prototype chain for the
+        // constructor's .prototype (ES5 [[HasInstance]])
+        case (o: JsObj, f: JsFunc) =>
+          val fp = f.prototype
+          var p = o.proto
+          while (p != null && (p ne fp)) p = p.proto
+          JsBool(p ne null)
+        // built-in Error constructors satisfy the idiomatic
+        // `e instanceof Error` / `e instanceof TypeError` catch checks
         case (o: JsObj, JsNative(ctor, _)) if Builtins.ErrorNames(ctor) =>
           o.props.get("name") match {
             case Some(JsStr(n)) =>

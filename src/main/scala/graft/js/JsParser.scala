@@ -327,8 +327,31 @@ object JsParser {
       case TPunct(op @ ("++" | "--"), _) => next(); Update(op, unary(), prefix = true)
       case TKeyword("new", _) =>
         next()
-        // `new X(args)` → treated as a plain call of constructor-like natives
-        postfix(callTail(primary()))
+        // callee = primary + member tails only; the FIRST '(' closes the
+        // constructor's argument list (`new a.b.C(x).m()` parses as
+        // (new a.b.C(x)).m()), per the ES5 MemberExpression grammar
+        var callee = primary()
+        var go = true
+        while (go) {
+          peek match {
+            case TPunct(".", _) => next(); callee = Member(callee, identName())
+            case TPunct("[", _) =>
+              next()
+              val idx = expression()
+              eatPunct("]")
+              callee = Index(callee, idx)
+            case _ => go = false
+          }
+        }
+        val args = List.newBuilder[Expr]
+        if (tryPunct("(")) {
+          if (!isPunct(")")) {
+            args += assignExpr()
+            while (tryPunct(",")) args += assignExpr()
+          }
+          eatPunct(")")
+        }
+        postfix(callTail(NewExpr(callee, args.result())))
       case _ => postfix(callTail(primary()))
     }
 

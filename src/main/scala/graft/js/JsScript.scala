@@ -30,26 +30,25 @@ object JsScript {
     program
   }
 
-  /** The interpreter has no prototype chain: assignments through
-    * `.prototype`/`.__proto__` and the `Object.*` meta-object API would
-    * evaluate without their ES5 semantics (methods never visible on
-    * instances). Reject them at COMPILE so the boundary is loud — part of
-    * the documented graft.js subset (README "graft.js subset"). */
+  /** Constructor functions, `.prototype`, `__proto__`, and
+    * `Object.create/getPrototypeOf/setPrototypeOf` run with real ES5
+    * prototype-chain semantics (r10). What stays rejected at COMPILE is
+    * the property-DESCRIPTOR API — accessor properties
+    * (get/set/enumerable/configurable) have no dispatch path here, so a
+    * script relying on `Object.defineProperty` would run with silently
+    * missing getters. Loud boundary, documented in README "graft.js
+    * subset". */
   private def rejectPrototypeApi(p: Program): Unit = {
     import JsAst._
-    val objectApi = Set("defineProperty", "defineProperties", "create",
-      "setPrototypeOf", "getPrototypeOf", "getOwnPropertyDescriptor")
+    val objectApi = Set("defineProperty", "defineProperties", "getOwnPropertyDescriptor")
     def fail(what: String): Nothing =
       throw new IllegalArgumentException(
         s"Error compiling JavaScript function: [unsupported construct $what: " +
-          "graft.js has no prototype chain — attach functions directly to objects]")
+          "graft.js has no property descriptors (accessor get/set) — " +
+          "use plain data properties or prototype methods]")
     def walkE(e: Expr): Unit = e match {
-      case Member(_, "prototype") => fail("'.prototype'")
-      case Member(_, "__proto__") => fail("'.__proto__'")
       case Member(Ident("Object"), m) if objectApi(m) => fail(s"'Object.$m'")
       case Member(o, _) => walkE(o)
-      case Index(_, StrLit(s)) if s == "prototype" || s == "__proto__" =>
-        fail(s"'[$s]'")
       case Index(o, i) => walkE(o); walkE(i)
       case Call(f, as) => walkE(f); as.foreach(walkE)
       case Unary(_, x) => walkE(x)
@@ -61,6 +60,7 @@ object JsScript {
       case ArrLit(items) => items.foreach(walkE)
       case ObjLit(props) => props.foreach(p => walkE(p._2))
       case FuncExpr(_, _, body) => body.foreach(walkS)
+      case NewExpr(c, as) => walkE(c); as.foreach(walkE)
       case _ => ()
     }
     def walkS(s: Stmt): Unit = s match {

@@ -1,0 +1,157 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.{EnrichmentConfig, SqlQueryLookup}
+
+/** Counting connection factories must be visible from executor closures
+  * (same JVM in local mode) without serializing the spec class. */
+object SqlQuerySpecState {
+  val conns = new AtomicInteger(0)
+}
+
+/** The live JDBC path of the SQL-query enrichment (reference
+  * registry/sqlquery/DbExecutor.scala) against an EMBEDDED Derby database:
+  * distinct-keys-once querying, placeholder-order binding, miss-vs-failure
+  * cache semantics (the ApiLookup contract), propertyNames transform, and
+  * reference-config constructibility. */
+class SqlQueryLookupSpec extends SparkSpec {
+
+  private val dbUrl = "jdbc:derby:memory:graftsql;create=true"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("derby-home").toString)
+    val c = java.sql.DriverManager.getConnection(dbUrl)
+    val st = c.createStatement()
+    scala.util.Try(st.execute("DROP TABLE users"))
+    scala.util.Try(st.execute("DROP TABLE grants"))
+    st.execute("CREATE TABLE users (user_id VARCHAR(20) PRIMARY KEY, " +
+      "user_name VARCHAR(40), date_of_birth VARCHAR(10), score INT)")
+    st.execute("INSERT INTO users VALUES ('u1', 'Ada', '1815-12-10', 91)")
+    st.execute("INSERT INTO users VALUES ('u2', 'Mary', '1818-04-01', 84)")
+    st.execute("CREATE TABLE grants (user_id VARCHAR(20), app_id VARCHAR(20), " +
+      "role_name VARCHAR(20))")
+    st.execute("INSERT INTO grants VALUES ('u1', 'web', 'admin')")
+    st.execute("INSERT INTO grants VALUES ('u1', 'ios', 'viewer')")
+    st.close(); c.close()
+  }
+
+  private val countingFactory: () => java.sql.Connection = () => {
+    SqlQuerySpecState.conns.incrementAndGet()
+    java.sql.DriverManager.getConnection("jdbc:derby:memory:graftsql")
+  }
+  private val downFactory: () => java.sql.Connection =
+    () => throw new java.sql.SQLException("connection refused")
+
+  test("hit, miss, and null-key rows resolve per the reference contract") {
+    import spark.implicits._
+    val df = Seq(Some("u1"), Some("u2"), Some("nobody"), None).toDF("user_id")
+    val out = SqlQueryLookup(Seq("user_id"),
+      "SELECT user_name AS \"user_name\", score AS \"score\" FROM users WHERE user_id = ?",
+      countingFactory, "user_name STRING, score INT")(df)
+    val rows = out.select("user_id", "user_name", "score").collect()
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(rows == Set(("u1", "Ada", 91), ("u2", "Mary", 84),
+      ("nobody", null, -1), (null, null, -1)))
+  }
+
+  test("multi-placeholder binding follows placeholder order; duplicate rows query once") {
+    import spark.implicits._
+    val df = Seq(("u1", "web"), ("u1", "web"), ("u1", "ios"), ("u1", "android"))
+      .toDF("user_id", "app_id")
+    val before = SqlQuerySpecState.conns.get()
+    val out = SqlQueryLookup(Seq("user_id", "app_id"),
+      "SELECT role_name AS \"role_name\" FROM grants WHERE user_id = ? AND app_id = ?",
+      countingFactory, "role_name STRING")(df)
+    val roles = out.select("app_id", "role_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(roles == Seq(("android", null), ("ios", "viewer"), ("web", "admin"), ("web", "admin")))
+    // 3 DISTINCT tuples, ≤ spark partitions connections, never 4 queries'
+    // worth of rows hitting the pool one-per-input-row
+    assert(SqlQuerySpecState.conns.get() - before <= 3)
+  }
+
+  test("cache dim: reruns never touch the database; failures retry, misses don't") {
+    import spark.implicits._
+    val cache = java.nio.file.Files.createTempDirectory("sqlq-cache").resolve("dim").toString
+    val df = Seq("u1", "nobody").toDF("user_id")
+    def lookup(factory: () => java.sql.Connection) = SqlQueryLookup(Seq("user_id"),
+      "SELECT user_name AS \"user_name\", score AS \"score\" FROM users WHERE user_id = ?",
+      factory, "user_name STRING, score INT", cachePath = cache)
+
+    assert(lookup(countingFactory)(df).where($"user_name" === "Ada").count() == 1)
+    // rerun with a DOWN database: the hit AND the miss both came from the
+    // cache dim (miss cached as null response), so nothing needs the pool
+    val out2 = lookup(downFactory)(df)
+    assert(out2.where($"user_name" === "Ada").count() == 1)
+    assert(out2.where($"user_id" === "nobody" && $"user_name".isNull).count() == 1)
+
+    // a NEW key while the db is down: null columns this run, NOT cached…
+    val df3 = Seq("u2").toDF("user_id")
+    assert(lookup(downFactory)(df3).where($"user_name".isNull).count() == 1)
+    // …so the next run with a healthy pool retries and succeeds
+    assert(lookup(countingFactory)(df3).where($"user_name" === "Mary").count() == 1)
+  }
+
+  test("propertyNames CAMEL_CASE transforms result labels (reference JsonOutput)") {
+    import spark.implicits._
+    assert(SqlQueryLookup.transformName("date_of_birth", "CAMEL_CASE") == "dateOfBirth")
+    assert(SqlQueryLookup.transformName("date_of_birth", "PASCAL_CASE") == "DateOfBirth")
+    assert(SqlQueryLookup.transformName("dateOfBirth", "SNAKE_CASE") == "date_of_birth")
+    val out = SqlQueryLookup(Seq("user_id"),
+      "SELECT date_of_birth FROM users WHERE user_id = ?",
+      countingFactory, "dateOfBirth STRING", propertyNames = "CAMEL_CASE")(
+      Seq("u1").toDF("user_id"))
+    assert(out.select("dateOfBirth").head().getString(0) == "1815-12-10")
+  }
+
+  test("a broken QUERY fails soft: null columns, job survives") {
+    import spark.implicits._
+    val out = SqlQueryLookup(Seq("user_id"),
+      "SELECT user_name AS \"user_name\" FROM no_such_table WHERE user_id = ?",
+      countingFactory, "user_name STRING")(Seq("u1").toDF("user_id"))
+    assert(out.select("user_name").head().isNullAt(0))
+  }
+
+  test("reference sql_query_enrichment_config constructs when live JDBC is injected") {
+    import spark.implicits._
+    def cfg(inputs: String) =
+      s"""{"schema": "iglu:com.snowplowanalytics.snowplow.enrichments/sql_query_enrichment_config/jsonschema/1-0-1",
+         | "data": {"vendor": "com.snowplowanalytics.snowplow.enrichments",
+         |   "name": "sql_query_enrichment_config", "enabled": true,
+         |   "parameters": {
+         |     "inputs": [$inputs],
+         |     "database": {"postgresql": {"host": "db.acme.internal", "port": 5432,
+         |        "sslMode": true, "username": "ro", "password": "x", "database": "crm"}},
+         |     "query": {"sql": "SELECT user_name, score FROM users WHERE user_id = ?"},
+         |     "output": {"expectedRows": "AT_MOST_ONE",
+         |        "json": {"schema": "iglu:com.acme/user/jsonschema/1-0-0",
+         |                 "describes": "ALL_ROWS", "propertyNames": "CAMEL_CASE"}},
+         |     "cache": {"size": 3000, "ttl": 60}}}}""".stripMargin
+    val pojo = """{"placeholder": 1, "pojo": {"field": "user_id"}}"""
+
+    // no injection → explicit skip naming the database
+    val (_, skipped) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg(pojo)))
+    assert(skipped.exists { case (n, why) =>
+      n == "sql_query_enrichment_config" && why.contains("'crm'") })
+
+    // injected → live pipeline (CAMEL_CASE keys: userName)
+    val live = Map("crm" -> SqlQueryLookup.Live(countingFactory, "userName STRING, score INT"))
+    val (pipe, skipped2) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg(pojo)), sqlLive = live)
+    assert(!skipped2.exists(_._1 == "sql_query_enrichment_config"))
+    val out = pipe.run(Seq("u1").toDF("user_id"))
+    assert(out.select("userName").head().getString(0) == "Ada")
+
+    // a placeholder served ONLY by a json-path input cannot bind an event
+    // column → skip with guidance, never a half-bound statement
+    val jsonOnly = pojo +
+      """, {"placeholder": 2, "json": {"field": "contexts", "jsonPath": "$.appId"}}"""
+    val (_, skipped3) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg(jsonOnly)), sqlLive = live)
+    assert(skipped3.exists { case (n, why) =>
+      n == "sql_query_enrichment_config" && why.contains("json-path") })
+  }
+}
