@@ -15,6 +15,53 @@ object Builtins {
   private def native(name: String)(fn: (JsVal, List[JsVal]) => JsVal): JsNative = JsNative(name, fn)
   private def arg(args: List[JsVal], i: Int): JsVal = if (i < args.length) args(i) else JsUndef
 
+  /** Own enumerable property names: data props then accessor names, each in
+    * insertion order (mirrors the interpreter's for...in enumeration). */
+  private def ownKeys(o: JsObj): List[String] =
+    o.props.keys.toList ++
+      (if (o.accessors == null) Nil
+       else o.accessors.keys.filterNot(o.props.contains).toList)
+
+  /** Read an own property, invoking the getter for accessor properties. */
+  private def readOwn(o: JsObj, k: String): JsVal =
+    o.props.getOrElse(k,
+      if (o.accessors != null)
+        o.accessors.get(k).map { case (g, _) => callFn(g, o, Nil) }.getOrElse(JsUndef)
+      else JsUndef)
+
+  /** ES5 [[DefineOwnProperty]] over the subset's object model: a
+    * value-descriptor lands in `props`, a get/set descriptor lands in the
+    * accessor table (merging with an existing accessor pair, per spec
+    * redefinition semantics). Functions carry data statics only. */
+  private def applyDescriptor(target: JsVal, key: String, desc: JsObj): Unit = {
+    val hasGet = desc.props.contains("get")
+    val hasSet = desc.props.contains("set")
+    val hasValue = desc.props.contains("value")
+    if ((hasGet || hasSet) && hasValue)
+      throw JsThrown(JsStr(
+        s"property '$key': descriptor cannot have both 'value' and 'get'/'set'"))
+    target match {
+      case o: JsObj =>
+        if (hasGet || hasSet) {
+          o.props.remove(key)
+          val acc = o.accessorTable
+          val (g0, s0) = acc.getOrElse(key, (JsUndef: JsVal, JsUndef: JsVal))
+          acc(key) = (if (hasGet) desc.props("get") else g0,
+            if (hasSet) desc.props("set") else s0)
+        } else {
+          if (o.accessors != null) o.accessors.remove(key)
+          o.props(key) = desc.props.getOrElse("value", JsUndef)
+        }
+      case f: JsFunc =>
+        if (hasGet || hasSet)
+          throw JsThrown(JsStr(
+            s"property '$key': accessor properties on functions (static get/set) are not supported in graft.js"))
+        f.statics(key) = desc.props.getOrElse("value", JsUndef)
+      case other =>
+        throw JsThrown(JsStr(s"cannot define property '$key' on ${typeOf(other)}"))
+    }
+  }
+
   private def callFn(fn: JsVal, thisVal: JsVal, args: List[JsVal]): JsVal = fn match {
     case f: JsFunc =>
       val interp = JsInterp.active.get() match { case null => new JsInterp(); case i => i }
@@ -477,14 +524,14 @@ object Builtins {
     env.declare("Object", JsVal.obj(
       "keys" -> native("keys") { (_, a) =>
         arg(a, 0) match {
-          case o: JsObj => new JsArr(mutable.ArrayBuffer(o.props.keys.map(JsStr(_)).toIndexedSeq: _*))
+          case o: JsObj => new JsArr(mutable.ArrayBuffer(ownKeys(o).map(JsStr(_)): _*))
           case arr: JsArr => new JsArr(mutable.ArrayBuffer(arr.items.indices.map(i => JsStr(i.toString)): _*))
           case _ => JsVal.arr()
         }
       },
       "values" -> native("values") { (_, a) =>
         arg(a, 0) match {
-          case o: JsObj => new JsArr(mutable.ArrayBuffer(o.props.values.toIndexedSeq: _*))
+          case o: JsObj => new JsArr(mutable.ArrayBuffer(ownKeys(o).map(readOwn(o, _)): _*))
           case arr: JsArr => new JsArr(arr.items.clone())
           case _ => JsVal.arr()
         }
@@ -492,14 +539,22 @@ object Builtins {
       "entries" -> native("entries") { (_, a) =>
         arg(a, 0) match {
           case o: JsObj =>
-            new JsArr(mutable.ArrayBuffer(o.props.map { case (k, v) => JsVal.arr(JsStr(k), v) }.toIndexedSeq: _*))
+            new JsArr(mutable.ArrayBuffer(ownKeys(o).map(k => JsVal.arr(JsStr(k), readOwn(o, k))): _*))
           case _ => JsVal.arr()
         }
       },
       "assign" -> native("assign") { (_, a) =>
         arg(a, 0) match {
           case dst: JsObj =>
-            a.drop(1).foreach { case src: JsObj => src.props.foreach { case (k, v) => dst.props(k) = v }; case _ => () }
+            // ES spec: Object.assign reads accessor sources THROUGH their
+            // getters and writes plain data props on the destination
+            a.drop(1).foreach {
+              case src: JsObj => ownKeys(src).foreach { k =>
+                if (dst.accessors != null) dst.accessors.remove(k)
+                dst.props(k) = readOwn(src, k)
+              }
+              case _ => ()
+            }
             dst
           case other => other
         }
@@ -511,7 +566,62 @@ object Builtins {
           case JsNull => ()
           case other => throw JsThrown(JsStr(s"Object.create: prototype must be an object or null, got ${typeOf(other)}"))
         }
+        a.lift(1) match {
+          case None | Some(JsUndef) => ()
+          case Some(descs: JsObj) =>
+            descs.props.foreach {
+              case (k, d: JsObj) => applyDescriptor(o, k, d)
+              case (k, other) =>
+                throw JsThrown(JsStr(s"Object.create: descriptor for '$k' must be an object, got ${typeOf(other)}"))
+            }
+          case Some(other) =>
+            throw JsThrown(JsStr(s"Object.create: property descriptors must be an object, got ${typeOf(other)}"))
+        }
         o
+      },
+      "defineProperty" -> native("defineProperty") { (_, a) =>
+        (arg(a, 0), arg(a, 2)) match {
+          case (t @ (_: JsObj | _: JsFunc), d: JsObj) =>
+            applyDescriptor(t, toStringVal(arg(a, 1)), d); t
+          case (t, d) =>
+            throw JsThrown(JsStr(
+              s"Object.defineProperty: expected (object, name, descriptor-object), got (${typeOf(t)}, _, ${typeOf(d)})"))
+        }
+      },
+      "defineProperties" -> native("defineProperties") { (_, a) =>
+        (arg(a, 0), arg(a, 1)) match {
+          case (t @ (_: JsObj | _: JsFunc), descs: JsObj) =>
+            descs.props.foreach {
+              case (k, d: JsObj) => applyDescriptor(t, k, d)
+              case (k, other) =>
+                throw JsThrown(JsStr(s"Object.defineProperties: descriptor for '$k' must be an object, got ${typeOf(other)}"))
+            }
+            t
+          case (t, d) =>
+            throw JsThrown(JsStr(
+              s"Object.defineProperties: expected (object, descriptors-object), got (${typeOf(t)}, ${typeOf(d)})"))
+        }
+      },
+      "getOwnPropertyDescriptor" -> native("getOwnPropertyDescriptor") { (_, a) =>
+        (arg(a, 0), toStringVal(arg(a, 1))) match {
+          case (o: JsObj, k) =>
+            if (o.props.contains(k))
+              JsVal.obj("value" -> o.props(k), "writable" -> JsBool(true),
+                "enumerable" -> JsBool(true), "configurable" -> JsBool(true))
+            else if (o.accessors != null && o.accessors.contains(k)) {
+              val (g, s) = o.accessors(k)
+              JsVal.obj("get" -> g, "set" -> s,
+                "enumerable" -> JsBool(true), "configurable" -> JsBool(true))
+            } else JsUndef
+          case (f: JsFunc, k) =>
+            f.statics.get(k) match {
+              case Some(v) =>
+                JsVal.obj("value" -> v, "writable" -> JsBool(true),
+                  "enumerable" -> JsBool(true), "configurable" -> JsBool(true))
+              case None => JsUndef
+            }
+          case _ => JsUndef
+        }
       },
       "getPrototypeOf" -> native("getPrototypeOf") { (_, a) =>
         arg(a, 0) match {

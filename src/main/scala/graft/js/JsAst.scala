@@ -23,6 +23,11 @@ object JsAst {
   final case class Ident(name: String) extends Expr
   final case class ArrLit(items: List[Expr]) extends Expr
   final case class ObjLit(props: List[(String, Expr)]) extends Expr
+  /** Accessor property in an object literal: `{ get x() {..}, set x(v) {..} }`.
+    * Appears ONLY as a value inside [[ObjLit]] props; the evaluator registers
+    * it on the object's accessor table instead of the data-property map.
+    * kind ∈ get | set. */
+  final case class Accessor(kind: String, fn: FuncExpr) extends Expr
   /** `obj.name` */
   final case class Member(obj: Expr, name: String) extends Expr
   /** `obj[idx]` */

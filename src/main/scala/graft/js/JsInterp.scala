@@ -23,6 +23,14 @@ final class JsObj(val props: mutable.LinkedHashMap[String, JsVal], val magic: St
     * `.prototype`) or by a `__proto__` write; property reads fall back
     * down this chain. */
   var proto: JsObj = null
+  /** ES5 accessor properties: name → (getter, setter), each JsFunc/JsNative
+    * or JsUndef. Lazily allocated (most objects have none); exclusive with
+    * `props` entries for the same name — defining one removes the other. */
+  var accessors: mutable.LinkedHashMap[String, (JsVal, JsVal)] = null
+  def accessorTable: mutable.LinkedHashMap[String, (JsVal, JsVal)] = {
+    if (accessors == null) accessors = mutable.LinkedHashMap.empty
+    accessors
+  }
 }
 final case class JsFunc(name: Option[String], params: List[String], body: List[Stmt], closure: JsInterp.Env) extends JsVal {
   /** The function's `.prototype` object, created lazily on first access
@@ -36,6 +44,9 @@ final case class JsFunc(name: Option[String], params: List[String], body: List[S
     protoObj
   }
   def replacePrototype(o: JsObj): Unit = protoObj = o
+  /** Own data properties on the function object itself (class `static`
+    * members, memo tables the reference's scripts hang off functions). */
+  val statics: mutable.LinkedHashMap[String, JsVal] = mutable.LinkedHashMap.empty
 }
 final case class JsNative(name: String, fn: (JsVal, List[JsVal]) => JsVal) extends JsVal
 final case class JsRegex(pattern: String, flags: String) extends JsVal {
@@ -174,7 +185,12 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
         }
       case ForIn(name, objE, body) =>
         val keys: Seq[String] = eval(objE, env) match {
-          case o: JsObj => o.props.keys.toSeq
+          // own enumerable props: data props then accessor names (ES5
+          // accessors are enumerable; insertion order within each table)
+          case o: JsObj =>
+            o.props.keys.toSeq ++
+              (if (o.accessors == null) Seq.empty
+               else o.accessors.keys.filterNot(o.props.contains).toSeq)
           case a: JsArr => a.items.indices.map(_.toString)
           case _ => Seq.empty
         }
@@ -227,8 +243,24 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
       case ArrLit(items) => new JsArr(mutable.ArrayBuffer(items.map(eval(_, env)): _*))
       case ObjLit(props) =>
         val m = mutable.LinkedHashMap.empty[String, JsVal]
-        props.foreach { case (k, v) => m(k) = eval(v, env) }
-        new JsObj(m)
+        var acc: mutable.LinkedHashMap[String, (JsVal, JsVal)] = null
+        // definitions evaluate in source order; a later get/set for the same
+        // key merges into one accessor pair, a later data prop replaces it
+        props.foreach {
+          case (k, Accessor(kind, fnE)) =>
+            val f = eval(fnE, env)
+            if (acc == null) acc = mutable.LinkedHashMap.empty
+            val (g0, s0) = acc.getOrElse(k, (JsUndef: JsVal, JsUndef: JsVal))
+            acc(k) = if (kind == "get") (f, s0) else (g0, f)
+            m.remove(k)
+          case (k, vE) =>
+            m(k) = eval(vE, env)
+            if (acc != null) acc.remove(k)
+        }
+        val o = new JsObj(m)
+        o.accessors = acc
+        o
+      case Accessor(_, fn) => eval(fn, env) // unreachable outside ObjLit; safe fallback
       case FuncExpr(name, params, body) => JsFunc(name, params, body, env)
       case Member(o, name) => getProp(eval(o, env), name)
       case Index(o, idx) =>
@@ -291,13 +323,21 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
           case "delete" =>
             inner match {
               case Member(oE, name) =>
-                eval(oE, env) match { case o: JsObj => o.props.remove(name); case _ => () }
+                eval(oE, env) match {
+                  case o: JsObj =>
+                    o.props.remove(name)
+                    if (o.accessors != null) o.accessors.remove(name)
+                  case _ => ()
+                }
                 JsBool(true)
               case Index(oE, idxE) =>
                 val o = eval(oE, env)
                 val k = eval(idxE, env)
                 o match {
-                  case obj: JsObj => obj.props.remove(toStringVal(k))
+                  case obj: JsObj =>
+                    val kn = toStringVal(k)
+                    obj.props.remove(kn)
+                    if (obj.accessors != null) obj.accessors.remove(kn)
                   case a: JsArr =>
                     val i = toNumber(k).toInt
                     if (i >= 0 && i < a.items.length) a.items(i) = JsUndef
@@ -345,6 +385,7 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
             case o: JsObj => f.replacePrototype(o)
             case other => throw JsThrown(JsStr(s"prototype must be an object, got ${typeOf(other)}"))
           }
+        case f: JsFunc => f.statics(name) = v
         case a: JsArr if name == "length" =>
           val n = toNumber(v).toInt
           if (n < a.items.length) a.items.remove(n, a.items.length - n)
@@ -366,6 +407,26 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
     case _ => throw JsThrown(JsStr("invalid assignment target"))
   }
 
+  /** Nearest accessor pair for `name` on `o` or its prototype chain
+    * (ES5: an inherited accessor intercepts both reads and writes). */
+  private def findAccessor(o: JsObj, name: String): Option[(JsVal, JsVal)] = {
+    var p = o
+    while (p != null) {
+      if (p.accessors != null) {
+        val hit = p.accessors.get(name)
+        if (hit.isDefined) return hit
+      }
+      p = p.proto
+    }
+    None
+  }
+
+  private def callAccessor(fn: JsVal, recv: JsVal, args: List[JsVal]): JsVal = fn match {
+    case f: JsFunc => callFunction(f, recv, args)
+    case JsNative(_, nf) => nf(recv, args)
+    case _ => JsUndef // getter/setter slot left undefined
+  }
+
   private def setProp(o: JsObj, name: String, v: JsVal): Unit =
     if (name == "__proto__") v match {
       case p: JsObj =>
@@ -377,6 +438,11 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
       case JsNull => o.proto = null
       case _ => () // ES5: non-object __proto__ writes are ignored
     }
+    // an own DATA property shadows any inherited accessor; otherwise the
+    // nearest accessor on the chain intercepts the write (setter-less
+    // accessor = silent no-op, ES5 non-strict)
+    else if (!o.props.contains(name) && findAccessor(o, name).isDefined)
+      callAccessor(findAccessor(o, name).get._2, o, List(v))
     else o.magic(s"set:$name") match {
       case Some(JsNative(_, fn)) => fn(o, List(v)); ()
       case _ => o.props(name) = v
@@ -385,18 +451,47 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
   private def getProp(recv: JsVal, name: String): JsVal = recv match {
     case o: JsObj =>
       if (name == "__proto__") { if (o.proto == null) JsNull else o.proto }
-      else o.props.get(name).orElse(o.magic(name)).getOrElse {
-        // prototype-chain fallback (cycle-safe: __proto__ writes reject cycles)
-        var p = o.proto
-        var res: JsVal = JsUndef
-        while (p != null && (res eq JsUndef)) {
-          res = p.props.getOrElse(name, JsUndef)
-          p = p.proto
+      else o.props.get(name).getOrElse {
+        val ownAcc = if (o.accessors != null) o.accessors.get(name) else None
+        ownAcc match {
+          case Some((g, _)) => callAccessor(g, o, Nil)
+          case None =>
+            o.magic(name).getOrElse {
+              // prototype-chain fallback (cycle-safe: __proto__ writes reject
+              // cycles); data props and accessors checked per level, getter
+              // invoked with the ORIGINAL receiver as `this`
+              var p = o.proto
+              var res: JsVal = JsUndef
+              var done = false
+              while (p != null && !done) {
+                if (p.props.contains(name)) { res = p.props(name); done = true }
+                else if (p.accessors != null && p.accessors.contains(name)) {
+                  res = callAccessor(p.accessors(name)._1, o, Nil); done = true
+                }
+                else p = p.proto
+              }
+              res
+            }
         }
-        res
       }
     case f: JsFunc =>
-      if (name == "prototype") f.prototype else JsUndef
+      name match {
+        case "prototype" => f.prototype
+        case "name" => f.name.map(JsStr(_): JsVal).getOrElse(JsStr(""))
+        case "length" => JsNum(f.params.length.toDouble)
+        case "call" =>
+          JsNative("call", (_, args) =>
+            callFunction(f, args.headOption.getOrElse(JsUndef), args.drop(1)))
+        case "apply" =>
+          JsNative("apply", (_, args) => {
+            val spread = args.lift(1) match {
+              case Some(a: JsArr) => a.items.toList
+              case _ => Nil
+            }
+            callFunction(f, args.headOption.getOrElse(JsUndef), spread)
+          })
+        case other => f.statics.getOrElse(other, JsUndef)
+      }
     case a: JsArr =>
       if (name == "length") JsNum(a.items.length.toDouble)
       else Builtins.arrayMethod(name).getOrElse(JsUndef)
@@ -453,9 +548,11 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
       r match {
         case o: JsObj =>
           val key = toStringVal(l)
-          var found = o.props.contains(key)
+          def has(x: JsObj) =
+            x.props.contains(key) || (x.accessors != null && x.accessors.contains(key))
+          var found = has(o)
           var p = o.proto
-          while (p != null && !found) { found = p.props.contains(key); p = p.proto }
+          while (p != null && !found) { found = has(p); p = p.proto }
           JsBool(found)
         case a: JsArr => val i = toNumber(l).toInt; JsBool(i >= 0 && i < a.items.length)
         case _ => JsBool(false)

@@ -151,7 +151,23 @@ object JsJson {
         nl(depth)
         sb.append(']')
       case o: JsObj =>
-        val kept = o.props.iterator.filter { case (_, pv) => pv != JsUndef && !pv.isInstanceOf[JsFunc] && !pv.isInstanceOf[JsNative] }.toSeq
+        // accessor props serialize THROUGH their getter (spec JSON.stringify
+        // behavior); setter-only accessors read as undefined and are dropped
+        val accRead: Seq[(String, JsVal)] =
+          if (o.accessors == null) Seq.empty
+          else o.accessors.iterator.collect {
+            case (k, (g, _)) if !o.props.contains(k) =>
+              val v = g match {
+                case f: JsFunc =>
+                  val interp = JsInterp.active.get() match { case null => new JsInterp(); case i => i }
+                  interp.callFunction(f, o, Nil)
+                case JsNative(_, nf) => nf(o, Nil)
+                case _ => JsUndef
+              }
+              (k, v)
+          }.toSeq
+        val kept = (o.props.iterator ++ accRead.iterator)
+          .filter { case (_, pv) => pv != JsUndef && !pv.isInstanceOf[JsFunc] && !pv.isInstanceOf[JsNative] }.toSeq
         if (kept.isEmpty) { sb.append("{}"); return }
         sb.append('{')
         var first = true

@@ -53,11 +53,12 @@ object JsParser {
       // reserved-unsupported constructs fail COMPILE with guidance, never
       // silently partially evaluate (the graft.js subset boundary; see
       // README "graft.js subset")
-      case TKeyword(k @ ("with" | "class" | "import" | "export" | "debugger"), _) =>
+      case TKeyword(k @ ("with" | "import" | "export" | "debugger"), _) =>
         throw ParseError(
           s"unsupported construct '$k': graft.js is an ES5 subset " +
-            "(no with/class/modules) — rewrite with plain objects and functions",
+            "(no with/modules) — rewrite with plain objects and functions",
           peek.pos)
+      case TKeyword("class", _) => classDeclaration()
       case TKeyword("switch", _) =>
         next(); eatPunct("(")
         val disc = expression()
@@ -194,6 +195,64 @@ object JsParser {
           eatPunct(")")
           For(init, test, update, statement())
       }
+    }
+
+    /** ES2015 `class` as pure desugar over the r10 prototype machinery
+      * (reference scripts are full JS — JavascriptScriptEnrichment.scala:97):
+      * constructor → FuncDecl, methods → `C.prototype.m = function`,
+      * accessors → `Object.defineProperty(C.prototype, name, {get/set})`,
+      * statics → `C.m = function`. `extends`/`super` stay OUT of the subset
+      * (no [[HomeObject]] here) and fail compile with guidance. Emitted as a
+      * Block — exec'd in the enclosing scope (Block does not open an Env). */
+    private def classDeclaration(): Stmt = {
+      eatKw("class")
+      val name = identName()
+      if (isKw("extends"))
+        throw ParseError(
+          "unsupported construct 'extends': graft.js classes are prototype sugar " +
+            "without super — wire inheritance explicitly via Object.create/" +
+            "Object.setPrototypeOf on the prototype objects",
+          peek.pos)
+      eatPunct("{")
+      var ctor: Option[Stmt] = None
+      val members = List.newBuilder[Stmt]
+      def protoTarget = Member(Ident(name), "prototype")
+      while (!isPunct("}")) {
+        if (tryPunct(";")) () // stray separators between members are legal
+        else {
+          var first = identName()
+          // `static` is a modifier only when NOT immediately called as a
+          // method name (`static() {}` is a method named "static")
+          val isStatic = first == "static" && !isPunct("(")
+          if (isStatic) first = identName()
+          val target = if (isStatic) Ident(name) else protoTarget
+          if ((first == "get" || first == "set") && !isPunct("(")) {
+            if (isStatic)
+              throw ParseError(
+                s"unsupported construct 'static $first': graft.js functions carry " +
+                  "data statics only — use a static method instead",
+                peek.pos)
+            // accessor member → Object.defineProperty(target, name, {get/set: fn})
+            val prop = identName()
+            val (params, body) = funcRest()
+            members += ExprStmt(Call(
+              Member(Ident("Object"), "defineProperty"),
+              List(target, StrLit(prop),
+                ObjLit(List((first, FuncExpr(Some(prop), params, body)))))))
+          } else {
+            val (params, body) = funcRest()
+            if (first == "constructor" && !isStatic) {
+              if (ctor.isDefined) throw ParseError(s"duplicate constructor in class $name", peek.pos)
+              ctor = Some(FuncDecl(name, params, body))
+            } else {
+              members += ExprStmt(Assign(
+                Member(target, first), "", FuncExpr(Some(first), params, body)))
+            }
+          }
+        }
+      }
+      eatPunct("}")
+      Block(ctor.getOrElse(FuncDecl(name, Nil, Nil)) :: members.result())
     }
 
     private def funcRest(): (List[String], List[Stmt]) = {
@@ -426,15 +485,42 @@ object JsParser {
               case TNum(v, _) => JsInterp.numToString(v)
               case t => throw ParseError(s"bad object key $t", t.pos)
             }
-            val v =
-              if (tryPunct(":")) assignExpr()
-              else Ident(key) // shorthand {a}
-            props += ((key, v))
+            if ((key == "get" || key == "set") && !isPunct(":") && !isPunct(",") &&
+                !isPunct("}") && !isPunct("(")) {
+              // ES5 accessor property: { get x() {..} } / { set x(v) {..} }
+              val prop = next() match {
+                case TIdent(n, _) => n
+                case TKeyword(n, _) => n
+                case TStr(s, _) => s
+                case t => throw ParseError(s"bad accessor property name $t", t.pos)
+              }
+              val (params, body) = funcRest()
+              if (key == "set" && params.length != 1)
+                throw ParseError(s"setter '$prop' must take exactly one parameter", peek.pos)
+              if (key == "get" && params.nonEmpty)
+                throw ParseError(s"getter '$prop' must take no parameters", peek.pos)
+              props += ((prop, Accessor(key, FuncExpr(Some(prop), params, body))))
+            } else if (isPunct("(")) {
+              // ES2015 shorthand method: { m() {..} }
+              val (params, body) = funcRest()
+              props += ((key, FuncExpr(Some(key), params, body)))
+            } else {
+              val v =
+                if (tryPunct(":")) assignExpr()
+                else Ident(key) // shorthand {a}
+              props += ((key, v))
+            }
             more = tryPunct(",") && !isPunct("}")
           }
         }
         eatPunct("}")
         ObjLit(props.result())
+      case TKeyword("super", p) =>
+        throw ParseError(
+          "unsupported construct 'super': graft.js classes do not support " +
+            "inheritance — call the parent constructor function explicitly " +
+            "(Parent.call(this, ...) is not available either; restructure " +
+            "with composition)", p)
       case t => throw ParseError(s"unexpected token $t", t.pos)
     }
   }

@@ -16,72 +16,22 @@ import JsInterp._
   */
 object JsScript {
 
-  /** Compile on the driver — fail fast, like `exitOnCompileError = true`. */
-  def compile(source: String): Program = {
-    val program =
-      try JsParser.parse(source)
-      catch {
-        // NonFatal, not just the two typed errors: any malformed input the
-        // lexer/parser trips on must surface as the documented compile error
-        case scala.util.control.NonFatal(e) =>
-          throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
-      }
-    rejectPrototypeApi(program)
-    program
-  }
-
-  /** Constructor functions, `.prototype`, `__proto__`, and
-    * `Object.create/getPrototypeOf/setPrototypeOf` run with real ES5
-    * prototype-chain semantics (r10). What stays rejected at COMPILE is
-    * the property-DESCRIPTOR API — accessor properties
-    * (get/set/enumerable/configurable) have no dispatch path here, so a
-    * script relying on `Object.defineProperty` would run with silently
-    * missing getters. Loud boundary, documented in README "graft.js
-    * subset". */
-  private def rejectPrototypeApi(p: Program): Unit = {
-    import JsAst._
-    val objectApi = Set("defineProperty", "defineProperties", "getOwnPropertyDescriptor")
-    def fail(what: String): Nothing =
-      throw new IllegalArgumentException(
-        s"Error compiling JavaScript function: [unsupported construct $what: " +
-          "graft.js has no property descriptors (accessor get/set) — " +
-          "use plain data properties or prototype methods]")
-    def walkE(e: Expr): Unit = e match {
-      case Member(Ident("Object"), m) if objectApi(m) => fail(s"'Object.$m'")
-      case Member(o, _) => walkE(o)
-      case Index(o, i) => walkE(o); walkE(i)
-      case Call(f, as) => walkE(f); as.foreach(walkE)
-      case Unary(_, x) => walkE(x)
-      case Update(_, t, _) => walkE(t)
-      case Binary(_, l, r) => walkE(l); walkE(r)
-      case Logical(_, l, r) => walkE(l); walkE(r)
-      case Cond(c, t, f) => walkE(c); walkE(t); walkE(f)
-      case Assign(t, _, v) => walkE(t); walkE(v)
-      case ArrLit(items) => items.foreach(walkE)
-      case ObjLit(props) => props.foreach(p => walkE(p._2))
-      case FuncExpr(_, _, body) => body.foreach(walkS)
-      case NewExpr(c, as) => walkE(c); as.foreach(walkE)
-      case _ => ()
+  /** Compile on the driver — fail fast, like `exitOnCompileError = true`.
+    *
+    * The full object model is in the subset as of r11: constructor
+    * functions, `.prototype`, `__proto__`, accessor properties (literal
+    * `get`/`set`, `Object.defineProperty`/`defineProperties`/`create`
+    * descriptors, `getOwnPropertyDescriptor`), and ES2015 `class` sugar.
+    * What stays OUT (each failing compile with guidance in the parser):
+    * `extends`/`super`, `static get`/`set`, modules, `with`, generators. */
+  def compile(source: String): Program =
+    try JsParser.parse(source)
+    catch {
+      // NonFatal, not just the two typed errors: any malformed input the
+      // lexer/parser trips on must surface as the documented compile error
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(s"Error compiling JavaScript function: [${e.getMessage}]")
     }
-    def walkS(s: Stmt): Unit = s match {
-      case VarDecl(_, ds) => ds.foreach(_._2.foreach(walkE))
-      case ExprStmt(e) => walkE(e)
-      case If(c, t, f) => walkE(c); walkS(t); f.foreach(walkS)
-      case While(c, b) => walkE(c); walkS(b)
-      case DoWhile(b, c) => walkS(b); walkE(c)
-      case For(i, t, u, b) => i.foreach(walkS); t.foreach(walkE); u.foreach(walkE); walkS(b)
-      case ForOf(_, it, b) => walkE(it); walkS(b)
-      case ForIn(_, o, b) => walkE(o); walkS(b)
-      case Return(e) => e.foreach(walkE)
-      case Throw(e) => walkE(e)
-      case Block(ss) => ss.foreach(walkS)
-      case FuncDecl(_, _, body) => body.foreach(walkS)
-      case TryStmt(b, _, cb, fb) =>
-        b.foreach(walkS); cb.foreach(_.foreach(walkS)); fb.foreach(_.foreach(walkS))
-      case _ => ()
-    }
-    p.stmts.foreach(walkS)
-  }
 
   private val IgluUri = java.util.regex.Pattern.compile("^iglu:[^/]+/[^/]+/[^/]+/\\d+-\\d+-\\d+$")
 

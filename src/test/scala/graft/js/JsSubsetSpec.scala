@@ -16,15 +16,61 @@ class JsSubsetSpec extends AnyFunSuite {
     e.getMessage
   }
 
+  private def run(src: String): JsScript.ProcessResult =
+    new JsScript.Runner(JsScript.compile(src), "{}")
+      .process(scala.collection.mutable.LinkedHashMap.empty, Seq.empty)
+
   test("with-statement fails compile, not silent call-plus-block") {
     val msg = compileError("function process(e){ with (e) { return null } }")
     assert(msg.contains("unsupported construct 'with'"))
     assert(msg.contains("ES5 subset"))
   }
 
-  test("class declaration fails compile") {
-    assert(compileError("class Foo { bar() { return 1 } }")
-      .contains("unsupported construct 'class'"))
+  test("class sugar: constructor + methods + accessors desugar onto the prototype") {
+    val r = run(
+      """class Point {
+        |  constructor(x, y) { this.x = x; this.y = y }
+        |  norm1() { return Math.abs(this.x) + Math.abs(this.y) }
+        |  get swapped() { return new Point(this.y, this.x) }
+        |  set both(v) { this.x = v; this.y = v }
+        |  static origin() { return new Point(0, 0) }
+        |}
+        |function process(e) {
+        |  var p = new Point(3, -4);
+        |  var s = p.swapped;
+        |  p.both = 7;
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0', data: {
+        |    n: p.norm1(), sx: s.x, sy: s.y,
+        |    isP: p instanceof Point, o: Point.origin().norm1(),
+        |    ctor: Point.prototype.constructor === Point
+        |  }}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"n\":14"))    // both=7 setter ran on x and y
+    assert(r.contextsJson.contains("\"sx\":-4") && r.contextsJson.contains("\"sy\":3"))
+    assert(r.contextsJson.contains("\"isP\":true"))
+    assert(r.contextsJson.contains("\"o\":0"))
+    assert(r.contextsJson.contains("\"ctor\":true"))
+  }
+
+  test("classes are NOT hoisted (ES2015): use-before-declaration throws at runtime") {
+    val r = run(
+      """var peeked = null;
+        |try { peeked = new Early(); } catch (e) { peeked = 'not-hoisted'; }
+        |class Early {}
+        |function process(e) {
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0', data: {p: peeked}}];
+        |}""".stripMargin)
+    assert(r.contextsJson.contains("not-hoisted"), r.error)
+  }
+
+  test("class boundary: extends/super/static-accessors fail compile with guidance") {
+    assert(compileError("class A {}\nclass B extends A {}")
+      .contains("unsupported construct 'extends'"))
+    assert(compileError("function process(e){ return super.x }")
+      .contains("unsupported construct 'super'"))
+    assert(compileError("class A { static get x() { return 1 } }")
+      .contains("static get"))
   }
 
   test("switch is IN the subset now; malformed clause bodies still fail compile") {
@@ -42,28 +88,103 @@ class JsSubsetSpec extends AnyFunSuite {
     assert(compileError("export function f(){}").contains("unsupported construct 'export'"))
   }
 
-  test("prototype mutation fails compile, not silently-invisible methods") {
-    val msg = compileError(
-      "function Foo(){}\nFoo.prototype.bar = function(){ return 1 };")
-    assert(msg.contains(".prototype"))
-    assert(msg.contains("no prototype chain"))
+  test("prototype mutation: instances see methods added to Ctor.prototype (r10+)") {
+    val r = run(
+      """function Foo(v){ this.v = v }
+        |Foo.prototype.bar = function(){ return this.v * 2 };
+        |function process(e) {
+        |  var f = new Foo(21);
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0',
+        |           data: {x: f.bar(), own: f.v}}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"x\":42"))
   }
 
-  test("__proto__ access fails compile, including the computed form") {
-    assert(compileError("var a = {}; a.__proto__ = null;").contains("__proto__"))
-    assert(compileError("var a = {}; var b = a['prototype'];").contains("prototype"))
+  test("__proto__: reads/writes follow the live chain; cyclic assignment throws") {
+    val r = run(
+      """function process(e) {
+        |  var base = {greet: 'hi'};
+        |  var a = {};
+        |  a.__proto__ = base;
+        |  var viaChain = a.greet;
+        |  a.__proto__ = null;
+        |  var afterNull = a.greet === undefined;
+        |  var cyc = 'no-throw';
+        |  var p = {}; var q = {}; q.__proto__ = p;
+        |  try { p.__proto__ = q } catch (err) { cyc = '' + err }
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0',
+        |           data: {v: viaChain, n: afterNull, c: cyc}}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"v\":\"hi\""))
+    assert(r.contextsJson.contains("\"n\":true"))
+    assert(r.contextsJson.contains("cyclic"))
   }
 
-  test("Object meta-object API fails compile") {
-    assert(compileError("Object.defineProperty({}, 'x', {value: 1});")
-      .contains("Object.defineProperty"))
-    assert(compileError("var o = Object.create(null);").contains("Object.create"))
+  test("Object meta-object API: defineProperty/create descriptors run for real (r11)") {
+    val r = run(
+      """function process(e) {
+        |  var o = {};
+        |  Object.defineProperty(o, 'x', {value: 1});
+        |  var hits = 0;
+        |  Object.defineProperty(o, 'lazy', {get: function(){ hits++; return this.x + 41 }});
+        |  var a = o.lazy; var b = o.lazy;
+        |  var made = Object.create({inherited: 'yes'}, {own: {value: 7}, g: {get: function(){ return 8 }}});
+        |  var d = Object.getOwnPropertyDescriptor(o, 'x');
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0', data: {
+        |    x: o.x, lazy: a, again: b, hits: hits,
+        |    inh: made.inherited, own: made.own, g: made.g,
+        |    dv: d.value, dw: d.writable,
+        |    keys: Object.keys(o)
+        |  }}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"lazy\":42"))
+    assert(r.contextsJson.contains("\"hits\":2")) // getter re-runs per read, not cached
+    assert(r.contextsJson.contains("\"inh\":\"yes\""))
+    assert(r.contextsJson.contains("\"own\":7"))
+    assert(r.contextsJson.contains("\"g\":8"))
+    assert(r.contextsJson.contains("\"dv\":1"))
+    // Object.keys lists data then accessor names
+    assert(r.contextsJson.contains("\"keys\":[\"x\",\"lazy\"]"))
   }
 
-  test("getter/setter object-literal syntax fails compile") {
-    val e = intercept[IllegalArgumentException](
-      JsScript.compile("var o = { get x() { return 1 } };"))
-    assert(e.getMessage.startsWith("Error compiling JavaScript function:"))
+  test("Object.create rejects a non-object descriptor map instead of ignoring it") {
+    val r = run(
+      """function process(e) {
+        |  var msg = 'no-throw';
+        |  try { Object.create({}, 42) } catch (err) { msg = '' + err }
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0', data: {m: msg}}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("descriptors must be an object"))
+  }
+
+  test("getter/setter object-literal syntax evaluates in source order (r11)") {
+    val r = run(
+      """function process(e) {
+        |  var log = [];
+        |  var o = {
+        |    plain: 1,
+        |    get x() { log.push('get'); return this.plain * 10 },
+        |    set x(v) { log.push('set'); this.plain = v }
+        |  };
+        |  var first = o.x;   // 10
+        |  o.x = 5;           // plain = 5
+        |  var second = o.x;  // 50
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0',
+        |           data: {a: first, b: second, log: log.join(','), keys: Object.keys(o)}}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"a\":10") && r.contextsJson.contains("\"b\":50"))
+    assert(r.contextsJson.contains("\"log\":\"get,set,get\""))
+    assert(r.contextsJson.contains("\"keys\":[\"plain\",\"x\"]"))
+  }
+
+  test("accessor malformed arity still fails compile") {
+    assert(compileError("var o = { get x(a) { return a } };").contains("no parameters"))
+    assert(compileError("var o = { set x() { } };").contains("exactly one parameter"))
   }
 
   test("generator functions fail compile") {
