@@ -155,18 +155,30 @@ object EnrichmentConfig {
           }.toMap
           val placeholders = inputs.flatMap(in => Option(in.get("placeholder")).map(_.asInt())).distinct.sorted
           val sqlText = Option(p.get("query")).flatMap(qn => Option(qn.get("sql")).map(_.asText()))
+          val cacheTtl = Option(p.get("cache")).flatMap(c => Option(c.get("ttl")))
+            .map(_.asLong()).getOrElse(0L)
           (dbName.flatMap(sqlLive.get), sqlText) match {
             case _ if placeholders.exists(ph => !pojoByPlaceholder.contains(ph)) =>
               skipped += ((name, s"placeholders ${placeholders.filterNot(pojoByPlaceholder.contains).mkString(",")} have only json-path inputs; bind event columns (pojo) or construct graft.enrich.SqlQueryLookup directly"))
+            case _ if placeholders != (1 to placeholders.size).toList =>
+              // a JDBC PreparedStatement binds positions 1..N; silently
+              // re-basing non-contiguous indices would bind the wrong `?`s
+              skipped += ((name, s"placeholders must be exactly 1..N, got ${placeholders.mkString(",")} — renumber the inputs to match the query's ? positions"))
             case (Some(live), Some(sqlStr)) =>
+              // one event field may serve several placeholders: the
+              // distinct fields key the dim, bindCols keeps the per-?
+              // binding order (incl. repeats)
+              val bindFields = placeholders.map(pojoByPlaceholder)
               mapped += SqlQueryLookup(
-                keyCols = placeholders.map(pojoByPlaceholder),
+                keyCols = bindFields.distinct,
                 sql = sqlStr,
                 connectionFactory = live.connectionFactory,
                 outputSchemaDdl = live.outputSchemaDdl,
                 cachePath = live.cachePath,
                 propertyNames = Option(p.get("output")).flatMap(o => Option(o.get("json")))
-                  .flatMap(j => Option(j.get("propertyNames")).map(_.asText())).getOrElse("AS_IS"))
+                  .flatMap(j => Option(j.get("propertyNames")).map(_.asText())).getOrElse("AS_IS"),
+                bindCols = bindFields,
+                ttlSeconds = cacheTtl)
             case (None, _) =>
               skipped += ((name, s"no live JDBC injection for database '${dbName.getOrElse("?")}' — pass sqlLive = Map(${dbName.getOrElse("db")} -> SqlQueryLookup.Live(factory, ddl))"))
             case (_, None) =>

@@ -333,10 +333,64 @@ object IgluResolver {
     def loadRegistry(keys: Seq[String])
       : (Map[String, Seq[FieldSpec]], Set[String], Map[String, String], Seq[ResolveFailure]) = {
       val (fails, hits) = keys.distinct.partitionMap(k => resolve(k).map { case (r, j) => (k, r, j) })
-      val specs = hits.map { case (k, _, json) => k -> compileFieldSpecs(json)._1 }.toMap
-      val closed = hits.collect { case (k, _, json) if compileFieldSpecs(json)._2 => k }.toSet
+      // compile once per hit; specs and the closed set both derive from it
+      val compiled = hits.map { case (k, _, json) => k -> compileFieldSpecs(json) }
+      val specs = compiled.map { case (k, (fs, _)) => k -> fs }.toMap
+      val closed = compiled.collect { case (k, (_, isClosed)) if isClosed => k }.toSet
       val provenance = hits.map { case (k, repo, _) => k -> repo }.toMap
       (specs, closed, provenance, fails)
+    }
+  }
+
+  object RemoteResolver {
+
+    /** Default production transport over `java.net.http`: one shared
+      * pooled client (HTTP/2-capable, keep-alive), connect + request
+      * timeouts, and a single retry on transient failure (I/O error or a
+      * non-404 error status). Maps onto the resolver contract exactly —
+      * 200 → `Some(body)`, 404 → `None` (negative-cached by the caller),
+      * anything else after the retry → throw (repo skipped this lookup,
+      * retried next resolution). Reference: the resolver's registry HTTP
+      * lookup (iglu-scala-client RegistryLookup / the enrich assets'
+      * pooled http client).
+      *
+      * Driver-side only by design: resolution happens at plan build, so
+      * this client never ships inside a task closure (it is not
+      * serializable, deliberately). Also fits [[graft.enrich.ApiLookup]]'s
+      * `String => Option[String]` transport seam unchanged. */
+    def httpTransport(
+        connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(5),
+        requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(10),
+        headers: Map[String, String] = Map.empty): String => Option[String] = {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(connectTimeout)
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+      url => {
+        def once(): Either[String, Option[String]] =
+          try {
+            val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+              .timeout(requestTimeout).GET()
+            headers.foreach { case (k, v) => b.header(k, v) }
+            val resp = client.send(b.build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            resp.statusCode() match {
+              case 200 => Right(Some(resp.body()))
+              case 404 => Right(None)
+              case code => Left(s"HTTP $code from $url")
+            }
+          } catch {
+            case e: java.io.IOException =>
+              Left(s"${e.getClass.getSimpleName}: ${e.getMessage} from $url")
+          }
+        once() match {
+          case Right(r) => r
+          case Left(_) => once() match { // retry-once on transient failure
+            case Right(r) => r
+            case Left(msg) => throw new java.io.IOException(msg)
+          }
+        }
+      }
     }
   }
 }

@@ -1,8 +1,9 @@
 package graft.enrich
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 /** The SQL-query enrichment's live JDBC path — the database twin of
   * [[ApiLookup]] (reference `registry/sqlquery/SqlQueryEnrichment.scala` +
@@ -32,7 +33,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructT
   *
   * Failure contract (identical to ApiLookup's, spec-pinned there and
   * here): an empty result set is a MISS — cached as a null response so it
-  * is never re-queried; a thrown SQLException (connection refused, bad
+  * is never re-queried until `ttlSeconds` expires it (ttl 0 = forever;
+  * the reference config's `cache.ttl`, plumbed by EnrichmentConfig; every
+  * cache row carries its fetch epoch-second, and re-fetches shadow older
+  * rows via newest-fetch-wins); a thrown SQLException (connection refused, bad
   * grant, dropped table) yields null output columns THIS RUN but stays
   * OUT of the cache dim, so the next run retries. A key tuple containing
   * any NULL never queries at all (the reference skips the statement
@@ -65,25 +69,45 @@ final case class SqlQueryLookup(
   outputSchemaDdl: String,
   cachePath: String = null,
   maxKeys: Long = 1000000L,
-  propertyNames: String = "AS_IS"
+  propertyNames: String = "AS_IS",
+  bindCols: Seq[String] = null,
+  ttlSeconds: Long = 0L
 ) extends Enrichment {
   val name = "sql_query"
+  /** Per-placeholder event fields, in placeholder order — may repeat a
+    * field when one event column serves several `?`s (reference-legal,
+    * e.g. `WHERE lo <= ? AND hi >= ?`). Defaults to `keyCols`. The
+    * distinct fields (= `keyCols`) remain the dim/join key. */
+  private val binds: Seq[String] = Option(bindCols).getOrElse(keyCols)
   require(keyCols.nonEmpty, "sql_query needs at least one key column")
+  require(keyCols.distinct == keyCols,
+    s"sql_query: keyCols must be distinct (got ${keyCols.mkString(", ")}); " +
+      "repeat fields via bindCols, not keyCols")
+  require(binds.forall(keyCols.contains),
+    s"sql_query: bindCols ${binds.filterNot(keyCols.contains).mkString(", ")} missing from keyCols")
+  require(ttlSeconds >= 0L, "sql_query: ttlSeconds must be >= 0 (0 = cache forever)")
   require(SqlQueryLookup.NameModes.contains(propertyNames),
     s"sql_query: unknown propertyNames '$propertyNames' (one of ${SqlQueryLookup.NameModes.mkString(", ")})")
 
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    val nowSec = System.currentTimeMillis() / 1000L
     val keyFields = keyCols.map(k => df.schema(k))
     val keys = df.select(keyCols.map(col): _*).na.drop("any").distinct()
     val emptyDim = spark.createDataFrame(
       new java.util.ArrayList[Row](),
-      StructType(keyFields :+ StructField("sql_response", StringType)))
-    val cached: DataFrame =
+      StructType(keyFields ++ Seq(
+        StructField("sql_response", StringType), StructField("sql_fetched_at", LongType))))
+    val cachedRaw: DataFrame =
       if (cachePath == null) emptyDim
       else
-        try spark.read.parquet(cachePath)
+        try SqlQueryLookup.readCache(spark, cachePath)
         catch { case _: Exception => emptyDim }
+    // ttl contract (reference config cache.ttl): entries older than the ttl
+    // — including cached MISSes — are treated as absent and re-queried
+    val cached =
+      if (ttlSeconds == 0L) cachedRaw
+      else cachedRaw.where(col("sql_fetched_at") > lit(nowSec - ttlSeconds))
     val missing = keys.join(cached.select(keyCols.map(col): _*), keyCols, "left_anti")
     val nMissing = missing.count()
     require(nMissing <= maxKeys,
@@ -92,10 +116,13 @@ final case class SqlQueryLookup(
 
     val factory = connectionFactory // avoid serializing the enclosing enrichment
     val q = sql
-    val n = keyCols.size
+    // placeholder i binds the key-row position of binds(i) — repeats legal
+    val bindIdx: Array[Int] = binds.map(keyCols.indexOf).toArray
     val pnames = propertyNames
+    val fetchedAt = nowSec
     val outSchema = StructType(keyFields ++ Seq(
-      StructField("sql_response", StringType), StructField("sql_fetch_ok", BooleanType)))
+      StructField("sql_response", StringType), StructField("sql_fetched_at", LongType),
+      StructField("sql_fetch_ok", BooleanType)))
     val fetched = missing.mapPartitions { it =>
       // connection + statement are per-PARTITION, lazily opened so empty
       // partitions never touch the pool; a factory failure marks every
@@ -113,7 +140,7 @@ final case class SqlQueryLookup(
         val res = scala.util.Try {
           if (conn == null) { conn = factory(); ps = conn.prepareStatement(q) }
           var i = 0
-          while (i < n) { ps.setObject(i + 1, row.get(i)); i += 1 }
+          while (i < bindIdx.length) { ps.setObject(i + 1, row.get(bindIdx(i))); i += 1 }
           val rs = ps.executeQuery()
           try {
             if (!rs.next()) null // empty result = MISS (cached as null)
@@ -136,8 +163,8 @@ final case class SqlQueryLookup(
           } finally rs.close()
         }
         res match {
-          case scala.util.Success(json) => Row.fromSeq(row.toSeq ++ Seq(json, true))
-          case scala.util.Failure(_) => Row.fromSeq(row.toSeq ++ Seq(null, false))
+          case scala.util.Success(json) => Row.fromSeq(row.toSeq ++ Seq(json, fetchedAt, true))
+          case scala.util.Failure(_) => Row.fromSeq(row.toSeq ++ Seq(null, fetchedAt, false))
         }
       }
     }(Encoders.row(outSchema))
@@ -150,11 +177,24 @@ final case class SqlQueryLookup(
         if (nMissing > 0)
           fetched.where(col("sql_fetch_ok")).drop("sql_fetch_ok")
             .write.mode("append").parquet(cachePath)
-        try spark.read.parquet(cachePath)
+        try SqlQueryLookup.readCache(spark, cachePath)
         catch { case _: Exception => cached }
       }
+    // the post-append re-read needs the SAME ttl filter as the lookup side:
+    // an expired entry must not serve the join just because its key's
+    // re-fetch failed this run (fail-soft = null output, not stale output)
+    val dimLive =
+      if (ttlSeconds == 0L) dimRaw
+      else dimRaw.where(col("sql_fetched_at") > lit(nowSec - ttlSeconds))
+    // ttl re-fetches append a SECOND row per key: keep only the newest
+    // fetch per key tuple (the dim is bounded by maxKeys, so the window
+    // runs over a broadcast-sized frame, not the fact)
+    val dimNewest = dimLive
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col("sql_fetched_at").desc)))
+      .where(col("_rn") === 1).drop("_rn", "sql_fetched_at")
     val schema = StructType.fromDDL(outputSchemaDdl)
-    val dim = dimRaw
+    val dim = dimNewest
       .select(keyCols.map(col) :+ from_json(col("sql_response"), schema).as("sqlq"): _*)
       .select(keyCols.map(col) ++ schema.fieldNames.toSeq.map(f => col(s"sqlq.$f").as(f)): _*)
     df.join(broadcast(dim), keyCols, "left")
@@ -164,6 +204,17 @@ final case class SqlQueryLookup(
 object SqlQueryLookup {
   val NameModes: Set[String] =
     Set("AS_IS", "CAMEL_CASE", "PASCAL_CASE", "SNAKE_CASE", "LOWER_CASE", "UPPER_CASE")
+
+  /** Read the cache dim, tolerating files from before the ttl column
+    * existed: mergeSchema unions footers across appends, and rows missing
+    * `sql_fetched_at` read as epoch-0 fetches — fresh forever under ttl=0,
+    * expired (re-queried once) under any real ttl. */
+  private[enrich] def readCache(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val c = spark.read.option("mergeSchema", "true").parquet(path)
+    if (c.columns.contains("sql_fetched_at"))
+      c.withColumn("sql_fetched_at", coalesce(col("sql_fetched_at").cast(LongType), lit(0L)))
+    else c.withColumn("sql_fetched_at", lit(0L))
+  }
 
   /** Column-label → JSON-key transform, the reference's
     * `JsonOutput.PropertyNameMode.transform`. */

@@ -68,11 +68,18 @@ object Transport {
     * dead-letter handling sees what actually arrived. */
   def frame(lines: DataFrame): DataFrame = {
     val p = split(col("value"), "\t", 4)
+    val shard = try_element_at(p, lit(1)).try_cast("int")
+    val seqNo = try_element_at(p, lit(2)).try_cast("long")
+    val arrival = try_element_at(p, lit(3)).try_cast("long")
+    // the raw-line fallback fires ONLY for malformed lines (any framing
+    // field failed to parse); a fully-framed line with no 4th field keeps a
+    // null payload instead of echoing the framing prefix as its value
     lines.select(
-      try_element_at(p, lit(1)).try_cast("int").as("shard_id"),
-      try_element_at(p, lit(2)).try_cast("long").as("seq_no"),
-      try_element_at(p, lit(3)).try_cast("long").as("arrival_us"),
-      coalesce(try_element_at(p, lit(4)), col("value")).as("value"))
+      shard.as("shard_id"),
+      seqNo.as("seq_no"),
+      arrival.as("arrival_us"),
+      when(shard.isNull || seqNo.isNull || arrival.isNull, col("value"))
+        .otherwise(try_element_at(p, lit(4))).as("value"))
   }
 
   /** At-least-once failure-mode simulation: every record whose `seq_no` is

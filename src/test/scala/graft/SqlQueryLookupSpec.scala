@@ -97,6 +97,71 @@ class SqlQueryLookupSpec extends SparkSpec {
     assert(lookup(countingFactory)(df3).where($"user_name" === "Mary").count() == 1)
   }
 
+  test("bindCols: one event field can serve several placeholders (repeats legal)") {
+    import spark.implicits._
+    val out = SqlQueryLookup(
+      keyCols = Seq("user_id"),
+      sql = "SELECT user_name AS \"user_name\" FROM users WHERE user_id = ? AND user_id = ?",
+      connectionFactory = countingFactory,
+      outputSchemaDdl = "user_name STRING",
+      bindCols = Seq("user_id", "user_id"))(Seq("u1", "u2").toDF("user_id"))
+    assert(out.select("user_id", "user_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("u1", "Ada"), ("u2", "Mary")))
+    // misconfigurations fail LOUD at construction, not at runtime ambiguity
+    intercept[IllegalArgumentException](SqlQueryLookup(
+      Seq("user_id", "user_id"), "SELECT 1 FROM users WHERE user_id = ? OR user_id = ?",
+      countingFactory, "x INT"))
+    intercept[IllegalArgumentException](SqlQueryLookup(
+      Seq("user_id"), "SELECT 1 FROM users WHERE other = ?",
+      countingFactory, "x INT", bindCols = Seq("other")))
+  }
+
+  test("cache ttl: expired entries (hits AND misses) are re-queried; newest fetch wins") {
+    import spark.implicits._
+    val cache = java.nio.file.Files.createTempDirectory("sqlq-ttl").resolve("dim").toString
+    val df = Seq("u1", "nobody").toDF("user_id")
+    def lookup(factory: () => java.sql.Connection, ttl: Long) = SqlQueryLookup(Seq("user_id"),
+      "SELECT user_name AS \"user_name\" FROM users WHERE user_id = ?",
+      factory, "user_name STRING", cachePath = cache, ttlSeconds = ttl)
+
+    assert(lookup(countingFactory, 3600)(df).where($"user_name" === "Ada").count() == 1)
+    // age every cache entry past the ttl (a rerun "two hours later")
+    val aged = spark.read.parquet(cache)
+      .withColumn("sql_fetched_at", lit(System.currentTimeMillis() / 1000L - 7200L))
+    val tmp = cache + "_aged"
+    aged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(cache)
+
+    // expired + db down: the hit AND the cached miss both re-query and fail
+    // soft (null this run); nothing served from the stale dim
+    val down = lookup(downFactory, 3600)(df)
+    assert(down.where($"user_name".isNotNull).count() == 0)
+    // expired + healthy pool: re-fetches; the dim now has an aged AND a
+    // fresh row per key — newest-fetch-wins dedup returns exactly one
+    val fresh = lookup(countingFactory, 3600)(df)
+    assert(fresh.where($"user_name" === "Ada").count() == 1)
+    assert(fresh.count() == 2)
+    // ttl=0 keeps the everything-cached-forever behavior on the same dim
+    assert(lookup(downFactory, 0)(df).where($"user_name" === "Ada").count() == 1)
+  }
+
+  test("pre-ttl caches (no sql_fetched_at column) read as epoch-0 fetches") {
+    import spark.implicits._
+    val cache = java.nio.file.Files.createTempDirectory("sqlq-legacy").resolve("dim").toString
+    // a legacy dim written before the ttl column existed
+    Seq(("u1", """{"user_name":"CachedAda"}"""))
+      .toDF("user_id", "sql_response").write.parquet(cache)
+    val df = Seq("u1").toDF("user_id")
+    def lookup(factory: () => java.sql.Connection, ttl: Long) = SqlQueryLookup(Seq("user_id"),
+      "SELECT user_name AS \"user_name\" FROM users WHERE user_id = ?",
+      factory, "user_name STRING", cachePath = cache, ttlSeconds = ttl)
+    // ttl 0: legacy rows are fresh forever — even with the db down
+    assert(lookup(downFactory, 0)(df).select("user_name").head().getString(0) == "CachedAda")
+    // any real ttl: epoch-0 rows are expired → live re-fetch replaces them
+    assert(lookup(countingFactory, 3600)(df).select("user_name").head().getString(0) == "Ada")
+  }
+
   test("propertyNames CAMEL_CASE transforms result labels (reference JsonOutput)") {
     import spark.implicits._
     assert(SqlQueryLookup.transformName("date_of_birth", "CAMEL_CASE") == "dateOfBirth")
@@ -153,5 +218,26 @@ class SqlQueryLookupSpec extends SparkSpec {
     val (_, skipped3) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg(jsonOnly)), sqlLive = live)
     assert(skipped3.exists { case (n, why) =>
       n == "sql_query_enrichment_config" && why.contains("json-path") })
+
+    // non-contiguous placeholder indices (2,3): a PreparedStatement binds
+    // 1..N — silently re-basing would bind the wrong ?s → named skip
+    val gapped = """{"placeholder": 2, "pojo": {"field": "user_id"}},
+                   |{"placeholder": 3, "pojo": {"field": "app_id"}}""".stripMargin
+    val (_, skipped4) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg(gapped)), sqlLive = live)
+    assert(skipped4.exists { case (n, why) =>
+      n == "sql_query_enrichment_config" && why.contains("1..N") && why.contains("2,3") })
+
+    // two placeholders bound to the SAME pojo field (reference-legal:
+    // WHERE a = ? OR b = ?) construct with repeat-free keyCols + bindCols
+    val repeated = """{"placeholder": 1, "pojo": {"field": "user_id"}},
+                     |{"placeholder": 2, "pojo": {"field": "user_id"}}""".stripMargin
+    val liveRep = Map("crm" -> SqlQueryLookup.Live(countingFactory, "userName STRING"))
+    def cfgRep = cfg(repeated).replace(
+      "SELECT user_name, score FROM users WHERE user_id = ?",
+      "SELECT user_name FROM users WHERE user_id = ? AND user_id = ?")
+    val (pipeRep, skippedRep) = EnrichmentConfig.fromReferenceConfigs(Seq(cfgRep), sqlLive = liveRep)
+    assert(!skippedRep.exists(_._1 == "sql_query_enrichment_config"))
+    val outRep = pipeRep.run(Seq("u1").toDF("user_id"))
+    assert(outRep.select("userName").head().getString(0) == "Ada")
   }
 }
