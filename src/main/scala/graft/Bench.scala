@@ -82,16 +82,18 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
-    // self-report the full map to a repo file first: always recoverable even
-    // if a log collector truncates stdout
+    // self-report the FULL per-query map to a repo file first: always
+    // recoverable even if a log collector truncates stdout
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    // r7-r9 all came back `parsed: null`: the JSON line was followed by
-    // sbt's own "[success] Total time" line, so a parser reading the LAST
-    // stdout line got sbt noise. build.sbt now sets `Global / showSuccess
-    // := false`, making THIS println the final line of the run — the
-    // complete per-query map, nothing after it.
+    // r7-r10 all came back `parsed: null`. r10 ruled out trailing sbt noise
+    // (`Global / showSuccess := false`); the remaining cause is the ~10 KB
+    // per-query map overflowing the driver's bounded stdout TAIL. So stdout
+    // gets the full line for humans, then a SHORT summary (<200 bytes, no
+    // per-query map — that lives in bench_out.json) as the very last line,
+    // which fits any tail buffer.
     println(line)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"sf":$sfNum,"queries_detail":"bench_out.json"}""")
   }
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2 additions (round 11):
+  *
+  *  - `sql_query_live`: the SQL-query enrichment's LIVE JDBC path under the
+  *    ORACLE gate, twinning `api_lookup_live`'s pattern (reference
+  *    registry/sqlquery/DbExecutor.scala:34 — per-event `?`-placeholder
+  *    PreparedStatement against a relational store). An embedded Derby
+  *    database plays the production Postgres: the query seeds a
+  *    deterministic account dim (with planted misses), the enrichment
+  *    fetches each DISTINCT key once through a real JDBC
+  *    PreparedStatement, and broadcast-joins the parsed JSON responses
+  *    back onto the fact. The oracle recomputes the seeded formula inline
+  *    — any drift in distinct-fetch / placeholder binding / JSON parse /
+  *    join-back shows up as a row mismatch.
+  */
+object Queries156 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Key domain: user_id % Mod; keys with acct % 10 == 7 are NOT seeded
+    * (the planted database miss — null output columns, reference
+    * AT_MOST_ONE posture). */
+  private val Mod = 50L
+
+  private val DbName = "graftq156"
+  private val DbUrl = s"jdbc:derby:memory:$DbName;create=true"
+
+  /** Idempotent driver-side seeding of the embedded database (the test
+    * stand-in for a live warehouse): DROP + CREATE + deterministic rows.
+    * Synchronized so Verify's parallel query runners never race the DDL. */
+  private def seed(): Unit = Queries156.synchronized {
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        java.nio.file.Files.createTempDirectory("derby-home-q156").toString)
+    val c = java.sql.DriverManager.getConnection(DbUrl)
+    try {
+      val st = c.createStatement()
+      scala.util.Try(st.execute("DROP TABLE accounts"))
+      st.execute("CREATE TABLE accounts (acct BIGINT PRIMARY KEY, " +
+        "tier VARCHAR(10), credit BIGINT)")
+      val ins = c.prepareStatement("INSERT INTO accounts VALUES (?, ?, ?)")
+      var a = 0L
+      while (a < Mod) {
+        if (a % 10 != 7) { // planted misses stay out of the table
+          ins.setLong(1, a)
+          ins.setString(2, if (a % 4 == 0) "pro" else "std")
+          ins.setLong(3, (a * 29) % 83)
+          ins.executeUpdate()
+        }
+        a += 1
+      }
+      ins.close(); st.close()
+    } finally c.close()
+  }
+
+  val defs: Map[String, Q] = Map(
+    "sql_query_live" -> { (sp, dir) =>
+      seed()
+      val ev = Tables.events(sp, dir)
+        .select(col("event_id"), (col("user_id") % Mod).as("acct"))
+      graft.enrich.SqlQueryLookup(
+        keyCols = Seq("acct"),
+        sql = "SELECT tier AS \"tier\", credit AS \"credit\" FROM accounts WHERE acct = ?",
+        // executor threads share the driver JVM on local[n]; production
+        // injects a DataSource::getConnection here
+        connectionFactory = () => java.sql.DriverManager.getConnection(DbUrl),
+        outputSchemaDdl = "tier STRING, credit BIGINT")
+        .apply(ev)
+        .select(col("event_id"), col("acct"), col("tier"), col("credit"))
+        .orderBy("event_id")
+    }
+  )
+
+  // ---- DuckDB twins ----
+
+  val oracles: Map[String, String] = Map(
+    "sql_query_live" ->
+      // the seeded table's formula, inlined: tier/credit derive from the
+      // key exactly as seed() inserts them; %10==7 keys were never seeded
+      """SELECT event_id, user_id % 50 AS acct,
+        |  CASE WHEN (user_id % 50) % 10 = 7 THEN NULL
+        |       WHEN (user_id % 50) % 4 = 0 THEN 'pro' ELSE 'std' END AS tier,
+        |  CASE WHEN (user_id % 50) % 10 = 7 THEN NULL
+        |       ELSE ((user_id % 50) * 29) % 83 END AS credit
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -173,7 +173,11 @@ object BenchScale {
     // click-bucket dose-response
     "cr4_by_nation", "decayed_popularity", "funnel_deviation_profile",
     "markov_stationary", "weighted_jaccard_pairs", "price_point_analysis",
-    "catalog_coverage", "touches_vs_conversion")
+    "catalog_coverage", "touches_vs_conversion",
+    // round-11: the last bench-top-20 query missing from the probe set —
+    // the full enrichment chain + bounded rollup (expected ≈scan-linear:
+    // one codegen'd projection, broadcast dims, crossJoin on totals rows)
+    "device_mix_report")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
@@ -261,9 +265,28 @@ object BenchScale {
     val line =
       s"""{"metric":"scale_probe","unit":"sec","copies":$copies,"queries":$qs,"sf":"$baseDir"}"""
     println(line)
+    val path = java.nio.file.Paths.get("scale_probe.json")
     if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("scale_probe.json"), line + "\n")
+      try java.nio.file.Files.writeString(path, line + "\n")
       catch { case _: Throwable => () }
+    else
+      // a filtered run MERGES its rows into the existing probe file (so a
+      // new probe doesn't force re-running all of them), preserving the
+      // rest verbatim
+      try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = m.readTree(java.nio.file.Files.readString(path))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val qsNode = root.get("queries").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        rows.foreach { case (k, (a, b, r)) =>
+          val row = m.createObjectNode()
+          row.put("x1", math.rint(a * 1000) / 1000)
+          row.put(s"x$copies", math.rint(b * 1000) / 1000)
+          row.put("ratio", math.rint(r * 100) / 100)
+          qsNode.set(k, row)
+        }
+        java.nio.file.Files.writeString(path, m.writeValueAsString(root) + "\n")
+      } catch { case _: Throwable => () }
     spark.stop()
   }
 }
