@@ -283,10 +283,13 @@ object BenchScale {
           row.put("x1", math.rint(a * 1000) / 1000)
           row.put(s"x$copies", math.rint(b * 1000) / 1000)
           row.put("ratio", math.rint(r * 100) / 100)
-          qsNode.set(k, row)
+          // Jackson's set[T <: JsonNode] infers T = Nothing in Scala → CCE
+          qsNode.set[com.fasterxml.jackson.databind.JsonNode](k, row)
         }
         java.nio.file.Files.writeString(path, m.writeValueAsString(root) + "\n")
-      } catch { case _: Throwable => () }
+      } catch { case t: Throwable =>
+        System.err.println(s"[benchscale] probe merge failed: ${t.getClass.getName}: ${t.getMessage}")
+      }
     spark.stop()
   }
 }
