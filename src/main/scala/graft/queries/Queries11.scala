@@ -62,17 +62,27 @@ object Queries11 {
 
   /** The reference-spec-shaped script behind `js_transform` — exercises
     * getters/setters, property writes, regex capture, parseInt, ternaries,
-    * drop(), and a contexts array. */
+    * drop(), and a contexts array. r11: rewritten as an ES2015 class
+    * (constructor + accessor + method + static, all desugared onto the
+    * prototype machinery) with IDENTICAL output — the class path runs
+    * under the same DuckDB oracle as the original imperative script. */
   private[queries] val JsScriptSrc: String =
-    """function process(event) {
-      |  var m = event.getApp_id().match(/^app-(\d+)$/)
-      |  var n = m ? parseInt(m[1]) : -1
-      |  if (n % 10 == 3) { event.drop() }
+    """class AppInfo {
+      |  constructor(raw) {
+      |    var m = raw.match(/^app-(\d+)$/)
+      |    this.n = m ? parseInt(m[1]) : -1
+      |  }
+      |  get tier() { return this.n % 3 == 0 ? 'gold' : (this.n % 3 == 1 ? 'silver' : 'bronze') }
+      |  doubled() { return this.n * 2 }
+      |  static isDrop(n) { return n % 10 == 3 }
+      |}
+      |function process(event) {
+      |  var info = new AppInfo(event.getApp_id())
+      |  if (AppInfo.isDrop(info.n)) { event.drop() }
       |  event.setApp_id(event.getApp_id().toUpperCase())
-      |  event.note = 'n=' + (n * 2)
-      |  var tier = n % 3 == 0 ? 'gold' : (n % 3 == 1 ? 'silver' : 'bronze')
+      |  event.note = 'n=' + info.doubled()
       |  return [ { schema: 'iglu:com.acme/app/jsonschema/1-0-0',
-      |             data: { n: n, tier: tier, even: n % 2 == 0 } } ]
+      |             data: { n: info.n, tier: info.tier, even: info.n % 2 == 0 } } ]
       |}""".stripMargin
 
   /** The semdedup plan (SemDeDup, Abbas et al. 2023). k GROWS with N (~125
