@@ -470,13 +470,29 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
                 }
                 else p = p.proto
               }
-              res
+              // Object.prototype surface, shadowable by anything above
+              if (done) res
+              else name match {
+                case "hasOwnProperty" =>
+                  JsNative("hasOwnProperty", (t, args) => t match {
+                    case obj: JsObj =>
+                      val k = toStringVal(if (args.isEmpty) JsUndef else args.head)
+                      JsBool(obj.props.contains(k) ||
+                        (obj.accessors != null && obj.accessors.contains(k)))
+                    case _ => JsBool(false)
+                  })
+                case "toString" =>
+                  JsNative("toString", (_, _) => JsStr("[object Object]"))
+                case _ => JsUndef
+              }
             }
         }
       }
     case f: JsFunc =>
-      name match {
-        case "prototype" => f.prototype
+      // own statics shadow the Function.prototype surface (except the
+      // [[Prototype]]-backed `prototype` slot itself)
+      if (name == "prototype") f.prototype
+      else f.statics.getOrElse(name, name match {
         case "name" => f.name.map(JsStr(_): JsVal).getOrElse(JsStr(""))
         case "length" => JsNum(f.params.length.toDouble)
         case "call" =>
@@ -490,8 +506,15 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
             }
             callFunction(f, args.headOption.getOrElse(JsUndef), spread)
           })
-        case other => f.statics.getOrElse(other, JsUndef)
-      }
+        case "bind" =>
+          JsNative("bind", (_, args) => {
+            val boundThis = args.headOption.getOrElse(JsUndef)
+            val pre = args.drop(1)
+            JsNative(f.name.getOrElse("bound"),
+              (_, callArgs) => callFunction(f, boundThis, pre ++ callArgs))
+          })
+        case _ => JsUndef
+      })
     case a: JsArr =>
       if (name == "length") JsNum(a.items.length.toDouble)
       else Builtins.arrayMethod(name).getOrElse(JsUndef)

@@ -385,4 +385,41 @@ class JsInterpSpec extends AnyFunSuite {
         |  return out;
         |})()""".stripMargin) == JsStr("0.two.3."))
   }
+
+  // ---- Object.prototype / Function.prototype surface (r11) ----
+
+  test("hasOwnProperty: own data + accessor props yes, inherited/missing no") {
+    assert(evalExpr("({a: 1}).hasOwnProperty('a')") == JsBool(true))
+    assert(evalExpr("({a: 1}).hasOwnProperty('b')") == JsBool(false))
+    assert(evalExpr("({ get g() { return 1 } }).hasOwnProperty('g')") == JsBool(true))
+    assert(evalExpr(
+      "(function(){ var o = Object.create({inh: 1}); return o.hasOwnProperty('inh') })()"
+    ) == JsBool(false))
+  }
+
+  test("toString: default object tag, shadowable by an own or prototype method") {
+    assert(evalExpr("({}).toString()") == JsStr("[object Object]"))
+    assert(evalExpr("({toString: function(){ return 'custom' }}).toString()") == JsStr("custom"))
+    assert(evalExpr(
+      """(function(){
+        |  function T(){}
+        |  T.prototype.toString = function(){ return 'proto' };
+        |  return new T().toString();
+        |})()""".stripMargin) == JsStr("proto"))
+  }
+
+  test("Function.prototype.bind: bound this + partial args; statics shadow builtins") {
+    assert(evalExpr(
+      """(function(){
+        |  function add(a, b) { return this.base + a + b }
+        |  var f = add.bind({base: 100}, 10);
+        |  return f(3);
+        |})()""".stripMargin) == JsNum(113))
+    assert(evalExpr(
+      """(function(){
+        |  function g(){}
+        |  g.name = 'shadowed';   // own static wins over the builtin name
+        |  return g.name;
+        |})()""".stripMargin) == JsStr("shadowed"))
+  }
 }
