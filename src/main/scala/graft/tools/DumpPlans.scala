@@ -117,7 +117,11 @@ object DumpPlans {
     // Hamming search, and the Shapley bitmask aggregation
     "bitmap_distinct", "hll_native", "kmv_native", "pca_power_iter",
     "count_distinct_rewrite", "interval_join_native", "sessionize_native",
-    "simhash_multiprobe", "shapley_attribution")
+    "simhash_multiprobe", "shapley_attribution",
+    // round-11: the live JDBC lookup — the plan must show ONE bounded
+    // distinct-keys exchange feeding the fetch and a BroadcastHashJoin
+    // back onto the fact (joins-not-RPC)
+    "sql_query_live")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
