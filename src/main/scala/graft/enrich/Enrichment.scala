@@ -337,7 +337,11 @@ final case class DimJoin(
   *     fact-side shuffle.
   *
   * @param transport key → JSON response body (None = lookup miss; misses
-  *                  are cached as null responses so they are not re-fetched)
+  *                  are cached as null responses so they are not re-fetched).
+  *                  For a real HTTP endpoint compose the URL into
+  *                  `IgluResolver.RemoteResolver.httpTransport()` — the
+  *                  default pooled java.net.http client with timeouts and
+  *                  retry-once (r11)
   * @param outputSchemaDdl DDL schema the response JSON parses into
   *                  (columns appear on the output, null on miss)
   * @param cachePath optional parquet dim path; null = fetch-only this run

@@ -125,6 +125,10 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
     for (p <- f.params) { env.declare(p, if (i < args.length) args(i) else JsUndef); i += 1 }
     f.name.foreach(n => if (env.lookup(n).isEmpty) env.declare(n, f))
     env.declare("this", thisVal)
+    // ES5 arguments object (as a plain array — enough for the length/index
+    // uses real scripts make of it); an explicit param of that name wins
+    if (!f.params.contains("arguments"))
+      env.declare("arguments", new JsArr(mutable.ArrayBuffer(args: _*)))
     hoist(f.body, env)
     try { f.body.foreach(exec(_, env)); JsUndef }
     catch { case r: ReturnEx => r.v }

@@ -422,4 +422,19 @@ class JsInterpSpec extends AnyFunSuite {
         |  return g.name;
         |})()""".stripMargin) == JsStr("shadowed"))
   }
+
+  test("arguments object: length + index + explicit-param shadowing (ES5)") {
+    assert(evalExpr(
+      """(function(){
+        |  function sum() {
+        |    var t = 0;
+        |    for (var i = 0; i < arguments.length; i++) t += arguments[i];
+        |    return t;
+        |  }
+        |  return sum(1, 2, 3, 4);
+        |})()""".stripMargin) == JsNum(10))
+    assert(evalExpr(
+      "(function(){ function f(arguments) { return arguments } return f('param') })()"
+    ) == JsStr("param"))
+  }
 }
