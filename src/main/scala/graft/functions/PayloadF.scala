@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Collector-payload codec Columns (reference core/Decompressor.scala —
+  * gzip-batched payload blobs inflated with a bomb guard before adapter
+  * parsing). See [[graft.plans.GzipCodec]] for the kernels. */
+object PayloadF {
+
+  /** Compress a binary column with gzip. */
+  def gzip(c: Column): Column =
+    ColumnBridge.column(graft.plans.GzipExpression(ColumnBridge.expression(c)))
+
+  /** Inflate a gzip binary column, failing any row whose inflated size
+    * exceeds `maxBytes` (the reference's decompression-bomb guard). */
+  def gunzip(c: Column, maxBytes: Int = 1 << 20): Column =
+    ColumnBridge.column(graft.plans.GunzipExpression(ColumnBridge.expression(c), maxBytes))
+
+  /** Compress a binary column with zstd (zstd-jni, already on Spark's
+    * classpath for shuffle compression — the reference's codec library). */
+  def zstd(c: Column): Column =
+    ColumnBridge.column(graft.plans.ZstdExpression(ColumnBridge.expression(c)))
+
+  /** Inflate a zstd binary column with the same bomb guard as [[gunzip]]. */
+  def unzstd(c: Column, maxBytes: Int = 1 << 20): Column =
+    ColumnBridge.column(graft.plans.UnzstdExpression(ColumnBridge.expression(c), maxBytes))
+}

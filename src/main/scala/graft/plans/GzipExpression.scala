@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Gzip + zstd codec kernels for collector-payload batches (reference
+  * core/Decompressor.scala: incoming payload blobs arrive gzip or zstd
+  * compressed — `ZstdInputStreamNoFinalizer` there — and are inflated with
+  * an output-size guard before adapter parsing). Gzip rides the JDK; zstd
+  * rides zstd-jni, which Spark already ships for shuffle compression.
+  *
+  * The expressions stay inside whole-stage codegen as a single static
+  * call per row (the stream codec itself is library code; inlining it
+  * would only bloat the generated method past the JIT limit).
+  * Decompression enforces `maxBytes` while inflating — a decompression
+  * bomb fails the ROW with a clear error before allocating its payload,
+  * never the executor.
+  */
+object GzipCodec {
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(bytes)
+    g.close()
+    bos.toByteArray
+  }
+
+  def gunzip(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
+    guardedInflate(
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes)),
+      maxBytes, "gunzip")
+
+  def zstd(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bos)
+    z.write(bytes)
+    z.close()
+    bos.toByteArray
+  }
+
+  def unzstd(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
+    guardedInflate(
+      new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+        new java.io.ByteArrayInputStream(bytes)),
+      maxBytes, "unzstd")
+
+  private def guardedInflate(in: java.io.InputStream, maxBytes: Int, what: String): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.min(maxBytes, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size() + n > maxBytes)
+          throw new IllegalArgumentException(
+            s"$what: output exceeds maxBytes=$maxBytes — refusing to inflate (decompression-bomb guard)")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+}
+
+case class GzipExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gzip requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gzip"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GzipCodec.gzip(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GzipCodec.gzip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipExpression =
+    copy(child = newChild)
+}
+
+case class GunzipExpression(child: Expression, maxBytes: Int) extends UnaryExpression {
+  require(maxBytes > 0, "maxBytes must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gunzip requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gunzip"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GzipCodec.gunzip(input.asInstanceOf[Array[Byte]], maxBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GzipCodec.gunzip($c, $maxBytes)")
+
+  override protected def withNewChildInternal(newChild: Expression): GunzipExpression =
+    copy(child = newChild)
+}
+
+case class ZstdExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_zstd requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_zstd"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GzipCodec.zstd(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GzipCodec.zstd($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ZstdExpression =
+    copy(child = newChild)
+}
+
+case class UnzstdExpression(child: Expression, maxBytes: Int) extends UnaryExpression {
+  require(maxBytes > 0, "maxBytes must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_unzstd requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_unzstd"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GzipCodec.unzstd(input.asInstanceOf[Array[Byte]], maxBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GzipCodec.unzstd($c, $maxBytes)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnzstdExpression =
+    copy(child = newChild)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PayloadF
+
+/** Round-11 queries: the live JDBC lookup, the metadata-collector rollup,
+  * and the gzip payload round trip (+ the codec kernels directly). */
+class Queries156Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sql_query_live: planted misses are null, hits match the seeded formula") {
+    val rows = SparkEntry.queries("sql_query_live")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val acct = r.getLong(1)
+      if (acct % 10 == 7) {
+        assert(r.isNullAt(2) && r.isNullAt(3), s"acct $acct must be a database miss")
+      } else {
+        assert(r.getString(2) == (if (acct % 4 == 0) "pro" else "std"))
+        assert(r.getLong(3) == (acct * 29) % 83)
+      }
+    }
+  }
+
+  test("metadata_report: counts re-add to the corpus; entity sets follow the arithmetic") {
+    val rows = SparkEntry.queries("metadata_report")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(5)).sum == total, "every event lands in exactly one group")
+    // web_page rides on every event, so every group's entity list has it
+    rows.foreach(r => assert(r.getString(6).contains("web_page"), r.toString))
+    // entity lists are sorted ascending (deterministic serialization)
+    rows.foreach { r =>
+      val es = r.getString(6).split(",").toSeq
+      assert(es == es.sorted, r.toString)
+    }
+  }
+
+  test("zstd codec kernels: real zstd frames, round trip, bomb guard") {
+    import spark.implicits._
+    val df = Seq("zstd payload body").toDF("s")
+      .withColumn("z", PayloadF.zstd(col("s").cast("binary")))
+    val z = df.select("z").head().getAs[Array[Byte]](0)
+    // RFC 8878 magic number 0xFD2FB528 (little-endian on the wire)
+    assert((z(0) & 0xff) == 0x28 && (z(1) & 0xff) == 0xb5 &&
+      (z(2) & 0xff) == 0x2f && (z(3) & 0xff) == 0xfd)
+    assert(df.select(PayloadF.unzstd(col("z")).cast("string")).head().getString(0)
+      == "zstd payload body")
+    val bomb = Seq("x" * (10 << 20)).toDF("s")
+      .withColumn("z", PayloadF.zstd(col("s").cast("binary")))
+    val e = intercept[Exception](
+      bomb.select(PayloadF.unzstd(col("z"), maxBytes = 1 << 16)).collect())
+    assert(e.getMessage.contains("maxBytes") || Option(e.getCause).exists(_.getMessage.contains("maxBytes")))
+  }
+
+  test("payload_decompress: the gzip/zstd round trip reconstructs every line exactly once") {
+    val rows = SparkEntry.queries("payload_decompress")(spark, dir).collect()
+    val n = Tables.events(spark, dir).count()
+    assert(rows.length.toLong == n)
+    assert(rows.map(_.getLong(0)).distinct.length.toLong == n)
+    rows.foreach(r =>
+      assert(r.getString(1) == s"ev=${r.getLong(0)}&aid=app-${r.getLong(0) % 5}"))
+  }
+
+  test("gzip codec kernels: real gzip bytes, null passthrough, bomb guard fails the ROW") {
+    import spark.implicits._
+    val df = Seq(Some("hello gzip world"), None).toDF("s")
+      .withColumn("gz", PayloadF.gzip(col("s").cast("binary")))
+    val gz = df.where($"s".isNotNull).select("gz").head().getAs[Array[Byte]](0)
+    // RFC 1952 magic bytes — this is real gzip, interoperable with any reader
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val back = df.select(PayloadF.gunzip(col("gz")).cast("string").as("s2"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(back.toSet == Set(Some("hello gzip world"), None))
+
+    // a 10 MB repetitive payload compresses tiny but must refuse to
+    // inflate past maxBytes — clear error, not an OOM
+    val bomb = Seq("x" * (10 << 20)).toDF("s")
+      .withColumn("gz", PayloadF.gzip(col("s").cast("binary")))
+    val e = intercept[Exception](
+      bomb.select(PayloadF.gunzip(col("gz"), maxBytes = 1 << 16)).collect())
+    assert(e.getMessage.contains("maxBytes") || Option(e.getCause).exists(_.getMessage.contains("maxBytes")))
+  }
+}
