@@ -406,6 +406,85 @@ final case class ApiLookup(
   }
 }
 
+/** Identity resolution (reference core/Identity.scala:32 — the batched
+  * identity API that attaches a stable `snowplowId` per unique identifier
+  * combination). Same joins-not-RPC shape as [[ApiLookup]], tuple-keyed:
+  *
+  *  1. the DISTINCT identifier TUPLES materialize (API traffic is bounded
+  *     by |identities|, never |events| — the reference batches per chunk,
+  *     this batches per corpus);
+  *  2. tuples missing from the cache dim resolve ONCE through the
+  *     injected transport (production: the identity API behind
+  *     `RemoteResolver.httpTransport`; tests: a deterministic function);
+  *  3. resolved ids append to the dim and broadcast back onto the fact.
+  *
+  * A tuple containing any NULL identifier never queries (nothing to
+  * stitch on) and yields a null id. Transport misses (None) cache as null
+  * ids; transport FAILURES yield null this run and retry next run —
+  * the ApiLookup failure contract, which plays the reference's
+  * CircuitBreaker role (a down API degrades to null identity contexts,
+  * never a dead job).
+  */
+final case class IdentityLookup(
+  keyCols: Seq[String],
+  transport: Seq[String] => Option[String],
+  outCol: String = "snowplow_id",
+  cachePath: String = null,
+  maxKeys: Long = 1000000L
+) extends Enrichment {
+  val name = "identity"
+  require(keyCols.nonEmpty, "identity needs at least one identifier column")
+  require(keyCols.distinct == keyCols, "identifier columns must be distinct")
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val keys = df.select(keyCols.map(c => col(c).cast("string")): _*)
+      .na.drop("any").distinct()
+    val emptyDim = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        keyCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) :+
+          org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.StringType)))
+    val cached: DataFrame =
+      if (cachePath == null) emptyDim
+      else
+        try spark.read.parquet(cachePath)
+        catch { case _: Exception => emptyDim }
+    val missing = keys.join(cached.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val nMissing = missing.count()
+    require(nMissing <= maxKeys,
+      s"identity: $nMissing distinct identifier tuples exceed maxKeys=$maxKeys — " +
+        "bound the identifier domain or raise the limit explicitly")
+    val t = transport
+    val n = keyCols.size
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) ++ Seq(
+        org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_ok", org.apache.spark.sql.types.BooleanType)))
+    val fetchedDf = missing.mapPartitions { it =>
+      it.map { row =>
+        val ks = (0 until n).map(row.getString)
+        scala.util.Try(t(ks)) match {
+          case scala.util.Success(v) => org.apache.spark.sql.Row.fromSeq(ks ++ Seq(v.orNull, true))
+          case scala.util.Failure(_) => org.apache.spark.sql.Row.fromSeq(ks ++ Seq(null, false))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val dimRaw =
+      if (cachePath == null) cached.unionByName(fetchedDf.where(col("_ok")).drop("_ok"))
+      else {
+        if (nMissing > 0)
+          fetchedDf.where(col("_ok")).drop("_ok").write.mode("append").parquet(cachePath)
+        try spark.read.parquet(cachePath)
+        catch { case _: Exception => cached }
+      }
+    val joinKeys = keyCols.map(c => df(c).cast("string") === dimRaw(c)).reduce(_ && _)
+    var out = df.join(broadcast(dimRaw), joinKeys, "left")
+    keyCols.foreach(c => out = out.drop(dimRaw(c)))
+    out
+  }
+}
+
 /** Cross-navigation `_sp` decoding (reference `registry/CrossNavigationEnrichment`). */
 final case class CrossNavigation(spCol: String = "sp_qs") extends Enrichment {
   val name = "cross_navigation"

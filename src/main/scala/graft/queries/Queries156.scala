@@ -129,6 +129,31 @@ object Queries156 {
         .orderBy("event_schema", "source", "tracker", "platform", "scenario_id")
     },
 
+    "identity_stitch_live" -> { (sp, dir) =>
+      // reference core/Identity.scala:32 — the batched identity API that
+      // assigns a stable snowplowId per unique identifier combination.
+      // Deterministic transport: the id IS md5 of the joined identifiers
+      // (what a create-or-get API guarantees: same identifiers, same id),
+      // so the DuckDB oracle recomputes it with its own md5. Events
+      // missing an identifier (e % 5 == 0 drops network_userid) never
+      // query and stitch to null.
+      val e = col("event_id")
+      val ev = Tables.events(sp, dir).select(
+        e,
+        concat(lit("du-"), (col("user_id") % 40).cast("string")).as("domain_userid"),
+        when(e % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("nu-"), (col("user_id") % 25).cast("string"))).as("network_userid"))
+      val transport: Seq[String] => Option[String] = { ks =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Some(md.digest(ks.mkString("|").getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString)
+      }
+      graft.enrich.IdentityLookup(Seq("domain_userid", "network_userid"), transport)
+        .apply(ev)
+        .select(e, col("domain_userid"), col("network_userid"), col("snowplow_id"))
+        .orderBy("event_id")
+    },
+
     "payload_decompress" -> { (sp, dir) =>
       val e = col("event_id")
       val lines = Tables.events(sp, dir).select(
@@ -184,8 +209,20 @@ object Queries156 {
            |GROUP BY 1, 2, 3, 4, 5
            |ORDER BY 1, 2, 3, 4, 5""".stripMargin),
 
+    "identity_stitch_live" ->
+      // the transport's create-or-get formula inlined: md5 over the
+      // joined identifiers; a missing identifier stitches to null
+      """SELECT event_id,
+        |  concat('du-', user_id % 40) AS domain_userid,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL
+        |       ELSE concat('nu-', user_id % 25) END AS network_userid,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL
+        |       ELSE md5(concat('du-', user_id % 40, '|', 'nu-', user_id % 25)) END AS snowplow_id
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
     "payload_decompress" ->
-      // the blobs round-trip through real gzip on the Spark side; the
+      // the blobs round-trip through real gzip/zstd on the Spark side; the
       // oracle recomputes the pre-compression lines directly
       """SELECT event_id,
         |  concat('ev=', event_id, '&aid=app-', event_id % 5) AS line

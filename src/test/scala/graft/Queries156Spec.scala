@@ -4,6 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.PayloadF
 
+/** Counting transports must be visible from executor closures (same JVM in
+  * local mode) without serializing the spec class. */
+object IdentitySpecState {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Round-11 queries: the live JDBC lookup, the metadata-collector rollup,
   * and the gzip payload round trip (+ the codec kernels directly). */
 class Queries156Spec extends SparkSpec {
@@ -35,6 +41,43 @@ class Queries156Spec extends SparkSpec {
       val es = r.getString(6).split(",").toSeq
       assert(es == es.sorted, r.toString)
     }
+  }
+
+  test("identity_stitch_live: same identifiers => same id; missing identifier => null") {
+    val rows = SparkEntry.queries("identity_stitch_live")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // stable create-or-get: every (du, nu) pair maps to exactly one id
+    val byPair = rows.filterNot(_.isNullAt(3))
+      .groupBy(r => (r.getString(1), r.getString(2)))
+    byPair.foreach { case (_, rs) => assert(rs.map(_.getString(3)).distinct.length == 1) }
+    rows.filter(_.isNullAt(2)).foreach(r => assert(r.isNullAt(3), "null identifier never queries"))
+  }
+
+  test("IdentityLookup: failures retry next run, misses do not; egress bounded by tuples") {
+    import spark.implicits._
+    val cache = java.nio.file.Files.createTempDirectory("id-cache").resolve("dim").toString
+    val counting: Seq[String] => Option[String] = { ks =>
+      IdentitySpecState.calls.incrementAndGet()
+      if (ks.head == "du-miss") None else Some("id-" + ks.mkString("+"))
+    }
+    val down: Seq[String] => Option[String] = _ => throw new RuntimeException("identity API down")
+    val df = Seq(("du-1", "nu-1"), ("du-1", "nu-1"), ("du-miss", "nu-2"))
+      .toDF("domain_userid", "network_userid")
+    def lookup(t: Seq[String] => Option[String]) =
+      graft.enrich.IdentityLookup(Seq("domain_userid", "network_userid"), t, cachePath = cache)
+
+    val before = IdentitySpecState.calls.get()
+    val out = lookup(counting)(df)
+    assert(out.where($"snowplow_id" === "id-du-1+nu-1").count() == 2)
+    assert(IdentitySpecState.calls.get() - before == 2, "2 distinct tuples, 2 calls — never 3")
+    // rerun with the API down: hit AND miss both come from the cache dim
+    val out2 = lookup(down)(df)
+    assert(out2.where($"snowplow_id".isNotNull).count() == 2)
+    assert(out2.where($"domain_userid" === "du-miss" && $"snowplow_id".isNull).count() == 1)
+    // a NEW tuple while down: null this run, retried (and cached) next run
+    val df3 = Seq(("du-9", "nu-9")).toDF("domain_userid", "network_userid")
+    assert(lookup(down)(df3).where($"snowplow_id".isNull).count() == 1)
+    assert(lookup(counting)(df3).where($"snowplow_id" === "id-du-9+nu-9").count() == 1)
   }
 
   test("zstd codec kernels: real zstd frames, round trip, bomb guard") {
