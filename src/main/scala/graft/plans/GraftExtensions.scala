@@ -124,7 +124,19 @@ object GraftFunctions {
     // round-9: native KMV — k smallest distinct values as a sorted array
     // (distinctness in-state: one shuffle replaces distinct + rank window)
     fn("graft_kmv_mink", "graft_kmv_mink(v, k)",
-      es => KmvMinK(es.head, intArg(es(1), "k")))
+      es => KmvMinK(es.head, intArg(es(1), "k"))),
+    // round-11: collector-payload codecs (gzip JDK, zstd via zstd-jni)
+    // with the decompression-bomb guard on the inflate side
+    fn("graft_gzip", "graft_gzip(bin)",
+      es => GzipExpression(es.head)),
+    fn("graft_gunzip", "graft_gunzip(bin[, max_bytes])",
+      es => GunzipExpression(es.head,
+        if (es.length > 1) intArg(es(1), "max_bytes") else 1 << 20)),
+    fn("graft_zstd", "graft_zstd(bin)",
+      es => ZstdExpression(es.head)),
+    fn("graft_unzstd", "graft_unzstd(bin[, max_bytes])",
+      es => UnzstdExpression(es.head,
+        if (es.length > 1) intArg(es(1), "max_bytes") else 1 << 20))
   )
 
   /** Column-API surface of [[BitmapDistinct]]. */

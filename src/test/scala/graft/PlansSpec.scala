@@ -160,5 +160,16 @@ class PlansSpec extends SparkSpec {
     assert(r8.getAs[Long]("s60") == expect60, "SQL surface matches the Column API")
     assert(r8.getAs[Long]("s60") >= 0L)
     assert(r8.getAs[Long]("rh") == (('a' * 257L + 'b') * 257L + 'c') % 1000000007L)
+    // round-11 payload codecs on the SQL surface: round trips + bomb guard
+    val r11 = spark.sql(
+      """SELECT CAST(graft_gunzip(graft_gzip(CAST('payload body' AS BINARY))) AS STRING) AS g,
+        |       CAST(graft_unzstd(graft_zstd(CAST('payload body' AS BINARY))) AS STRING) AS z
+        |""".stripMargin).collect()(0)
+    assert(r11.getAs[String]("g") == "payload body")
+    assert(r11.getAs[String]("z") == "payload body")
+    val bomb = intercept[Exception](spark.sql(
+      "SELECT graft_gunzip(graft_gzip(CAST(repeat('x', 200000) AS BINARY)), 1024)").collect())
+    assert(bomb.getMessage.contains("maxBytes") ||
+      Option(bomb.getCause).exists(_.getMessage.contains("maxBytes")))
   }
 }
