@@ -177,7 +177,13 @@ object BenchScale {
     // round-11: the last bench-top-20 query missing from the probe set —
     // the full enrichment chain + bounded rollup (expected ≈scan-linear:
     // one codegen'd projection, broadcast dims, crossJoin on totals rows)
-    "device_mix_report")
+    "device_mix_report",
+    // round-11 new queries: the two live-lookup joins (egress bounded by
+    // distinct keys — must stay FLAT at x10, the key domains don't grow),
+    // the bounded-key metadata rollup, and the codec round trip (scan-
+    // linear: one compress + one inflate per 20-row blob)
+    "sql_query_live", "identity_stitch_live", "metadata_report",
+    "payload_decompress")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
