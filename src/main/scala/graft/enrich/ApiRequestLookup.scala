@@ -1,0 +1,120 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+
+/** The API-request enrichment's full config surface (reference
+  * `registry/apirequest/ApiRequestEnrichment.scala` + `HttpApi.scala:67`:
+  * a `{{key}}`-templated URI resolved per event from named inputs, called
+  * behind an LRU + ttl cache). [[ApiLookup]]'s single-key shape covers
+  * the common case; this adds what the reference config needs:
+  *
+  *  - TUPLE keys: each `{{name}}` in the template binds one event column
+  *    (`keyNames(i)` ↔ `keyCols(i)`), values URL-encoded like the
+  *    reference's `buildUrl`;
+  *  - the ttl'd cache dim ([[CacheDim]] — misses cached, expiry
+  *    re-fetches, newest fetch wins);
+  *  - an optional `jsonRoot` (the reference's `output.json.jsonPath`,
+  *    `$.field` form): the response parses as `{root: {…schema…}}` and
+  *    the root's fields surface as output columns.
+  *
+  * Same failure contract as ApiLookup: transport misses (None) cache as
+  * null responses; transport THROWS yield null columns this run and stay
+  * out of the dim so the next run retries; a tuple with any NULL
+  * identifier never builds a URL at all (the reference skips on
+  * unmatched placeholders — `HttpApi.everythingMatched`).
+  */
+final case class ApiRequestLookup(
+  keyCols: Seq[String],
+  keyNames: Seq[String],
+  uriTemplate: String,
+  transport: String => Option[String],
+  outputSchemaDdl: String,
+  jsonRoot: String = null,
+  cachePath: String = null,
+  maxKeys: Long = 1000000L,
+  ttlSeconds: Long = 0L
+) extends Enrichment {
+  val name = "api_request"
+  require(keyCols.nonEmpty, "api_request needs at least one input column")
+  require(keyCols.size == keyNames.size, "keyCols and keyNames must align")
+  require(keyCols.distinct == keyCols, "input columns must be distinct")
+  require(keyNames.distinct == keyNames, "template key names must be distinct")
+  require(keyNames.forall(n => uriTemplate.contains(s"{{$n}}")),
+    s"uri template '$uriTemplate' is missing placeholders for " +
+      keyNames.filterNot(n => uriTemplate.contains(s"{{$n}}")).mkString(", "))
+  require(ttlSeconds >= 0L, "api_request: ttlSeconds must be >= 0 (0 = cache forever)")
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val nowSec = System.currentTimeMillis() / 1000L
+    val keys = df.select(keyCols.map(c => col(c).cast("string")): _*)
+      .na.drop("any").distinct()
+    val dimFields = keyCols.map(c => StructField(c, StringType))
+    val emptyDim = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(dimFields ++ Seq(
+        StructField("api_response", StringType), StructField("api_fetched_at", LongType))))
+    val cachedRaw: DataFrame =
+      if (cachePath == null) emptyDim
+      else
+        try CacheDim.read(spark, cachePath, "api_fetched_at")
+        catch { case _: Exception => emptyDim }
+    val cached = CacheDim.freshOnly(cachedRaw, "api_fetched_at", ttlSeconds, nowSec)
+    val missing = keys.join(cached.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val nMissing = missing.count()
+    require(nMissing <= maxKeys,
+      s"api_request: $nMissing distinct key tuples exceed maxKeys=$maxKeys — " +
+        "bound the key domain or raise the limit explicitly")
+    val t = transport
+    val template = uriTemplate
+    val names = keyNames
+    val n = keyCols.size
+    val fetchedAt = nowSec
+    val outSchema = StructType(dimFields ++ Seq(
+      StructField("api_response", StringType), StructField("api_fetched_at", LongType),
+      StructField("api_fetch_ok", BooleanType)))
+    val fetched = missing.mapPartitions { it =>
+      it.map { row =>
+        val url = (0 until n).foldLeft(template) { (u, i) =>
+          u.replace(s"{{${names(i)}}}",
+            java.net.URLEncoder.encode(row.getString(i), "UTF-8"))
+        }
+        scala.util.Try(t(url)) match {
+          case scala.util.Success(v) =>
+            Row.fromSeq((0 until n).map(row.getString) ++ Seq(v.orNull, fetchedAt, true))
+          case scala.util.Failure(_) =>
+            Row.fromSeq((0 until n).map(row.getString) ++ Seq(null, fetchedAt, false))
+        }
+      }
+    }(Encoders.row(outSchema))
+    val dimRaw =
+      if (cachePath == null) cached.unionByName(fetched.where(col("api_fetch_ok")).drop("api_fetch_ok"))
+      else {
+        if (nMissing > 0)
+          fetched.where(col("api_fetch_ok")).drop("api_fetch_ok")
+            .write.mode("append").parquet(cachePath)
+        try CacheDim.read(spark, cachePath, "api_fetched_at")
+        catch { case _: Exception => cached }
+      }
+    val dimNewest = CacheDim.newestPerKey(
+      CacheDim.freshOnly(dimRaw, "api_fetched_at", ttlSeconds, nowSec),
+      keyCols, "api_fetched_at")
+    val schema = StructType.fromDDL(outputSchemaDdl)
+    val parsed =
+      if (jsonRoot == null)
+        dimNewest.select(keyCols.map(col) :+
+          from_json(col("api_response"), schema).as("api"): _*)
+      else
+        dimNewest.select(keyCols.map(col) :+
+          from_json(col("api_response"),
+            StructType(Seq(StructField(jsonRoot, schema)))).getField(jsonRoot).as("api"): _*)
+    val dim = parsed.select(
+      keyCols.map(col) ++ schema.fieldNames.toSeq.map(f => col(s"api.$f").as(f)): _*)
+    val joinKeys = keyCols.map(c => df(c).cast("string") === dim(c)).reduce(_ && _)
+    var out = df.join(broadcast(dim), joinKeys, "left")
+    keyCols.foreach(c => out = out.drop(dim(c)))
+    out
+  }
+}

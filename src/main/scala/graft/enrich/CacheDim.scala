@@ -1,0 +1,39 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared plumbing for the live-lookup cache dims (ApiLookup /
+  * SqlQueryLookup / ApiRequestLookup): a parquet dim of
+  * `(key…, response, <tsCol>)` rows appended across runs, with the
+  * reference's `cache.ttl` semantics — entries (including cached MISSES)
+  * older than the ttl read as absent and re-fetch; a re-fetch appends a
+  * second row for the key and the NEWEST fetch wins at join time. */
+private[enrich] object CacheDim {
+
+  /** Read the dim, tolerating files from before the ttl column existed:
+    * mergeSchema unions footers across appends, and rows missing `tsCol`
+    * read as epoch-0 fetches — fresh forever under ttl=0, expired
+    * (re-queried once) under any real ttl. */
+  def read(spark: SparkSession, path: String, tsCol: String): DataFrame = {
+    val c = spark.read.option("mergeSchema", "true").parquet(path)
+    if (c.columns.contains(tsCol))
+      c.withColumn(tsCol, coalesce(col(tsCol).cast(LongType), lit(0L)))
+    else c.withColumn(tsCol, lit(0L))
+  }
+
+  /** Drop entries older than the ttl (ttl 0 = keep everything forever). */
+  def freshOnly(df: DataFrame, tsCol: String, ttlSeconds: Long, nowSec: Long): DataFrame =
+    if (ttlSeconds == 0L) df
+    else df.where(col(tsCol) > lit(nowSec - ttlSeconds))
+
+  /** Keep only the newest fetch per key tuple (the dim is bounded by
+    * maxKeys, so the window runs over a broadcast-sized frame, never the
+    * fact) and drop the bookkeeping column. */
+  def newestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).desc)))
+      .where(col("_rn") === 1).drop("_rn", tsCol)
+}

@@ -351,24 +351,33 @@ final case class ApiLookup(
   transport: String => Option[String],
   outputSchemaDdl: String,
   cachePath: String = null,
-  maxKeys: Long = 1000000L
+  maxKeys: Long = 1000000L,
+  ttlSeconds: Long = 0L
 ) extends Enrichment {
   val name = "api_lookup"
+  require(ttlSeconds >= 0L, "api_lookup: ttlSeconds must be >= 0 (0 = cache forever)")
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val nowSec = System.currentTimeMillis() / 1000L
     val keys = df.select(col(keyCol).cast("string")).na.drop().distinct()
-    val cached: DataFrame =
-      if (cachePath == null) spark.emptyDataset[(String, String)].toDF(keyCol, "api_response")
+    def emptyDim = spark.emptyDataset[(String, String, Long)]
+      .toDF(keyCol, "api_response", "api_fetched_at")
+    val cachedRaw: DataFrame =
+      if (cachePath == null) emptyDim
       else
-        try spark.read.parquet(cachePath)
-        catch { case _: Exception => spark.emptyDataset[(String, String)].toDF(keyCol, "api_response") }
+        try CacheDim.read(spark, cachePath, "api_fetched_at")
+        catch { case _: Exception => emptyDim }
+    // reference config cache.ttl: entries older than the ttl — including
+    // cached misses — read as absent and re-fetch (ttl 0 = cache forever)
+    val cached = CacheDim.freshOnly(cachedRaw, "api_fetched_at", ttlSeconds, nowSec)
     val missing = keys.join(cached.select(keyCol), Seq(keyCol), "left_anti")
     val nMissing = missing.count()
     require(nMissing <= maxKeys,
       s"api_lookup: $nMissing distinct keys exceed maxKeys=$maxKeys — " +
         "bound the key domain or raise the limit explicitly")
     val t = transport // avoid serializing the enclosing enrichment
+    val fetchedAt = nowSec
     // a transport that THROWS (timeout, 500) must not kill the stage — the
     // one-bad-row-never-kills-the-backfill rule. A thrown failure is NOT a
     // miss: misses (None) are cached as null responses so they are never
@@ -380,12 +389,12 @@ final case class ApiLookup(
       .mapPartitions { it =>
         it.map { k =>
           scala.util.Try(t(k)) match {
-            case scala.util.Success(v) => (k, v.orNull, true)
-            case scala.util.Failure(_) => (k, null: String, false)
+            case scala.util.Success(v) => (k, v.orNull, fetchedAt, true)
+            case scala.util.Failure(_) => (k, null: String, fetchedAt, false)
           }
         }
       }
-      .toDF(keyCol, "api_response", "api_fetch_ok")
+      .toDF(keyCol, "api_response", "api_fetched_at", "api_fetch_ok")
     // with a cache: the append IS the single transport evaluation — the dim
     // re-reads the parquet, so the join never re-fires the fetch
     val dimRaw =
@@ -394,11 +403,16 @@ final case class ApiLookup(
         if (nMissing > 0)
           fetched.where(col("api_fetch_ok")).drop("api_fetch_ok")
             .write.mode("append").parquet(cachePath)
-        try spark.read.parquet(cachePath)
+        try CacheDim.read(spark, cachePath, "api_fetched_at")
         catch { case _: Exception => cached } // nothing fetched, no prior cache
       }
+    // same ttl filter post-append (an expired entry must not serve the join
+    // just because its re-fetch failed this run), newest fetch wins
+    val dimNewest = CacheDim.newestPerKey(
+      CacheDim.freshOnly(dimRaw, "api_fetched_at", ttlSeconds, nowSec),
+      Seq(keyCol), "api_fetched_at")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(outputSchemaDdl)
-    val dim = dimRaw
+    val dim = dimNewest
       .select(col(keyCol), from_json(col("api_response"), schema).as("api"))
       .select(col(keyCol) +: schema.fieldNames.toSeq.map(f => col(s"api.$f").as(f)): _*)
     df.join(broadcast(dim), df(keyCol).cast("string") === dim(keyCol), "left")

@@ -26,6 +26,14 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object EnrichmentConfig {
 
+  /** What the api_request live path needs injected per URI template (a
+    * config file cannot carry a client): the resolved-URL transport and
+    * the Spark DDL of the `output.json` root's fields. */
+  final case class ApiLive(
+    transport: String => Option[String],
+    outputSchemaDdl: String,
+    cachePath: String = null)
+
   private val mapper = new ObjectMapper()
 
   def fromJson(json: String): EnrichmentPipeline = {
@@ -62,7 +70,14 @@ object EnrichmentConfig {
       * carry a connection, so deployments supply the factory + output DDL
       * here (the ApiLookup transport pattern). No entry → skipped, as
       * before. */
-    sqlLive: Map[String, SqlQueryLookup.Live] = Map.empty
+    sqlLive: Map[String, SqlQueryLookup.Live] = Map.empty,
+    /** Live HTTP injection for `api_request_enrichment_config`, keyed by
+      * the config's `api.http.uri` TEMPLATE verbatim. The transport takes
+      * the fully resolved URL (production: wrap
+      * `IgluResolver.RemoteResolver.httpTransport()` — add the config's
+      * auth as headers there); the DDL describes the response fields the
+      * `output.json.jsonPath` root carries. No entry → skipped. */
+    apiLive: Map[String, EnrichmentConfig.ApiLive] = Map.empty
   ): (EnrichmentPipeline, Seq[(String, String)]) = {
     val mapped = scala.collection.mutable.Buffer[Enrichment]()
     val skipped = scala.collection.mutable.Buffer[(String, String)]()
@@ -136,7 +151,46 @@ object EnrichmentConfig {
         case "weather_enrichment_config" =>
           skipped += ((name, "needs the weather provider; use graft.operators.AsOfJoin with an observations table"))
         case "api_request_enrichment_config" =>
-          skipped += ((name, "needs a live endpoint; construct graft.enrich.ApiLookup with an injected transport, or DimJoin over a materialized dimension"))
+          // reference registry/apirequest: named {{key}} template params
+          // bound from pojo inputs; json-path inputs have no event column
+          val inputs = Option(p.get("inputs"))
+            .map(_.elements().asScala.toSeq).getOrElse(Nil)
+          val pojoByKey = inputs.flatMap { in =>
+            for {
+              k <- Option(in.get("key")).map(_.asText())
+              pojo <- Option(in.get("pojo"))
+              field <- Option(pojo.get("field")).map(_.asText())
+            } yield k -> field
+          }.toMap
+          val keyOrder = inputs.flatMap(in => Option(in.get("key")).map(_.asText())).distinct
+          val uri = Option(p.get("api")).flatMap(a => Option(a.get("http")))
+            .flatMap(h => Option(h.get("uri")).map(_.asText()))
+          val apiTtl = Option(p.get("cache")).flatMap(c => Option(c.get("ttl")))
+            .map(_.asLong()).getOrElse(0L)
+          val outJson = Option(p.get("outputs")).flatMap(_.elements().asScala.toSeq.headOption)
+            .flatMap(o => Option(o.get("json")))
+          val jsonPath = outJson.flatMap(j => Option(j.get("jsonPath")).map(_.asText()))
+          (uri, uri.flatMap(apiLive.get)) match {
+            case _ if keyOrder.exists(k => !pojoByKey.contains(k)) =>
+              skipped += ((name, s"template keys ${keyOrder.filterNot(pojoByKey.contains).mkString(",")} have only json-path inputs; bind event columns (pojo) or construct graft.enrich.ApiRequestLookup directly"))
+            case _ if jsonPath.exists(jp => jp != "$" && !jp.matches("\\$\\.[A-Za-z_][A-Za-z0-9_]*")) =>
+              skipped += ((name, s"output jsonPath '${jsonPath.get}' is deeper than the supported '$$' / '$$.field' forms — construct graft.enrich.ApiRequestLookup with a custom schema"))
+            case (Some(u), Some(live)) =>
+              val root = jsonPath.filter(_ != "$").map(_.stripPrefix("$."))
+              mapped += ApiRequestLookup(
+                keyCols = keyOrder.map(pojoByKey),
+                keyNames = keyOrder,
+                uriTemplate = u,
+                transport = live.transport,
+                outputSchemaDdl = live.outputSchemaDdl,
+                jsonRoot = root.orNull,
+                cachePath = live.cachePath,
+                ttlSeconds = apiTtl)
+            case (Some(u), None) =>
+              skipped += ((name, s"no live HTTP injection for uri '$u' — pass apiLive = Map(uri -> EnrichmentConfig.ApiLive(transport, ddl))"))
+            case (None, _) =>
+              skipped += ((name, "config has no api.http.uri"))
+          }
         case "sql_query_enrichment_config" =>
           // reference registry/sqlquery: ?-placeholders bound from pojo
           // inputs in placeholder order; json-path inputs have no event

@@ -1,7 +1,6 @@
 package graft.enrich
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
@@ -57,7 +56,6 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructFiel
   *        (`SELECT a AS "user_name"`) or pick a case-folding mode when the
   *        DDL must be portable. This is the reference's
   *        `output.json.propertyNames` (`JsonOutput.scala`
-  *        reference's `output.json.propertyNames` (`JsonOutput.scala`
   *        PropertyNameMode): AS_IS | CAMEL_CASE | PASCAL_CASE |
   *        SNAKE_CASE | LOWER_CASE | UPPER_CASE. `outputSchemaDdl` field
   *        names must match the TRANSFORMED keys.
@@ -101,13 +99,11 @@ final case class SqlQueryLookup(
     val cachedRaw: DataFrame =
       if (cachePath == null) emptyDim
       else
-        try SqlQueryLookup.readCache(spark, cachePath)
+        try CacheDim.read(spark, cachePath, "sql_fetched_at")
         catch { case _: Exception => emptyDim }
     // ttl contract (reference config cache.ttl): entries older than the ttl
     // — including cached MISSes — are treated as absent and re-queried
-    val cached =
-      if (ttlSeconds == 0L) cachedRaw
-      else cachedRaw.where(col("sql_fetched_at") > lit(nowSec - ttlSeconds))
+    val cached = CacheDim.freshOnly(cachedRaw, "sql_fetched_at", ttlSeconds, nowSec)
     val missing = keys.join(cached.select(keyCols.map(col): _*), keyCols, "left_anti")
     val nMissing = missing.count()
     require(nMissing <= maxKeys,
@@ -177,22 +173,15 @@ final case class SqlQueryLookup(
         if (nMissing > 0)
           fetched.where(col("sql_fetch_ok")).drop("sql_fetch_ok")
             .write.mode("append").parquet(cachePath)
-        try SqlQueryLookup.readCache(spark, cachePath)
+        try CacheDim.read(spark, cachePath, "sql_fetched_at")
         catch { case _: Exception => cached }
       }
     // the post-append re-read needs the SAME ttl filter as the lookup side:
     // an expired entry must not serve the join just because its key's
     // re-fetch failed this run (fail-soft = null output, not stale output)
-    val dimLive =
-      if (ttlSeconds == 0L) dimRaw
-      else dimRaw.where(col("sql_fetched_at") > lit(nowSec - ttlSeconds))
-    // ttl re-fetches append a SECOND row per key: keep only the newest
-    // fetch per key tuple (the dim is bounded by maxKeys, so the window
-    // runs over a broadcast-sized frame, not the fact)
-    val dimNewest = dimLive
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(keyCols.map(col): _*).orderBy(col("sql_fetched_at").desc)))
-      .where(col("_rn") === 1).drop("_rn", "sql_fetched_at")
+    val dimNewest = CacheDim.newestPerKey(
+      CacheDim.freshOnly(dimRaw, "sql_fetched_at", ttlSeconds, nowSec),
+      keyCols, "sql_fetched_at")
     val schema = StructType.fromDDL(outputSchemaDdl)
     val dim = dimNewest
       .select(keyCols.map(col) :+ from_json(col("sql_response"), schema).as("sqlq"): _*)
@@ -204,17 +193,6 @@ final case class SqlQueryLookup(
 object SqlQueryLookup {
   val NameModes: Set[String] =
     Set("AS_IS", "CAMEL_CASE", "PASCAL_CASE", "SNAKE_CASE", "LOWER_CASE", "UPPER_CASE")
-
-  /** Read the cache dim, tolerating files from before the ttl column
-    * existed: mergeSchema unions footers across appends, and rows missing
-    * `sql_fetched_at` read as epoch-0 fetches — fresh forever under ttl=0,
-    * expired (re-queried once) under any real ttl. */
-  private[enrich] def readCache(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val c = spark.read.option("mergeSchema", "true").parquet(path)
-    if (c.columns.contains("sql_fetched_at"))
-      c.withColumn("sql_fetched_at", coalesce(col("sql_fetched_at").cast(LongType), lit(0L)))
-    else c.withColumn("sql_fetched_at", lit(0L))
-  }
 
   /** Column-label → JSON-key transform, the reference's
     * `JsonOutput.PropertyNameMode.transform`. */

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.{ApiRequestLookup, EnrichmentConfig}
+
+/** Transports must be visible from executor closures (same JVM in local
+  * mode) without serializing the spec class. */
+object ApiRequestSpecState {
+  val urls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** The API-request enrichment's full config surface (reference
+  * registry/apirequest/ApiRequestEnrichment.scala + HttpApi.scala:67):
+  * {{key}} URI templating with URL-encoding, tuple keys, jsonPath root
+  * extraction, ttl'd caching, and reference-config constructibility. */
+class ApiRequestLookupSpec extends SparkSpec {
+
+  private val recording: String => Option[String] = { url =>
+    ApiRequestSpecState.urls.add(url)
+    // .../users/{client}/{user}?format=json — answer derives from the url
+    val m = "users/([^/]+)/([^?]+)".r.findFirstMatchIn(url).get
+    if (m.group(2) == "u-miss") None
+    else Some(s"""{"record": {"name": "${m.group(2)}@${m.group(1)}", "level": ${m.group(2).length}}}""")
+  }
+
+  test("URI templating: {{key}} params resolve in input order, values URL-encoded") {
+    import spark.implicits._
+    ApiRequestSpecState.urls.clear()
+    val df = Seq(("web app", "u1"), ("ios", "u-miss"), (null, "u9"))
+      .toDF("app_id", "user_id")
+    val out = ApiRequestLookup(
+      keyCols = Seq("app_id", "user_id"),
+      keyNames = Seq("client", "user"),
+      uriTemplate = "http://api.acme.com/users/{{client}}/{{user}}?format=json",
+      transport = recording,
+      outputSchemaDdl = "name STRING, level INT",
+      jsonRoot = "record")(df)
+    val rows = out.select("user_id", "name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("u1", "u1@web+app"), ("u-miss", null), ("u9", null)))
+    // the space URL-encoded exactly like the reference's buildUrl; the
+    // null-key tuple never built a URL at all
+    val urls = ApiRequestSpecState.urls.toArray.map(_.toString).toSet
+    assert(urls.contains("http://api.acme.com/users/web+app/u1?format=json"))
+    assert(urls.size == 2)
+  }
+
+  test("reference api_request_enrichment_config constructs when live HTTP is injected") {
+    import spark.implicits._
+    def cfg(inputs: String, jsonPath: String) =
+      s"""{"schema": "iglu:com.snowplowanalytics.snowplow.enrichments/api_request_enrichment_config/jsonschema/1-0-0",
+         | "data": {"vendor": "com.snowplowanalytics.snowplow.enrichments",
+         |   "name": "api_request_enrichment_config", "enabled": true,
+         |   "parameters": {
+         |     "inputs": [$inputs],
+         |     "api": {"http": {"method": "GET",
+         |        "uri": "http://api.acme.com/users/{{client}}/{{user}}?format=json",
+         |        "timeout": 1000,
+         |        "authentication": {"httpBasic": {"username": "xxx", "password": null}}}},
+         |     "outputs": [{"schema": "iglu:com.acme/user/jsonschema/1-0-0",
+         |        "json": {"jsonPath": "$jsonPath"}}],
+         |     "cache": {"size": 3000, "ttl": 60}}}}""".stripMargin
+    val pojos =
+      """{"key": "client", "pojo": {"field": "app_id"}},
+        |{"key": "user", "pojo": {"field": "user_id"}}""".stripMargin
+
+    // no injection → explicit skip naming the uri
+    val (_, s1) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg(pojos, "$.record")))
+    assert(s1.exists { case (n, why) =>
+      n == "api_request_enrichment_config" && why.contains("api.acme.com") })
+
+    // injected → live pipeline, jsonPath root unwrapped
+    val live = Map(
+      "http://api.acme.com/users/{{client}}/{{user}}?format=json" ->
+        EnrichmentConfig.ApiLive(recording, "name STRING, level INT"))
+    val (pipe, s2) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg(pojos, "$.record")), apiLive = live)
+    assert(!s2.exists(_._1 == "api_request_enrichment_config"))
+    val out = pipe.run(Seq(("web", "u7")).toDF("app_id", "user_id"))
+    assert(out.select("name").head().getString(0) == "u7@web")
+    assert(out.select("level").head().getInt(0) == 2)
+
+    // a template key served only by a json-path input → named skip
+    val jsonOnly =
+      """{"key": "client", "pojo": {"field": "app_id"}},
+        |{"key": "user", "json": {"field": "contexts",
+        |   "schemaCriterion": "iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-*-*",
+        |   "jsonPath": "$.userId"}}""".stripMargin
+    val (_, s3) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg(jsonOnly, "$.record")), apiLive = live)
+    assert(s3.exists { case (n, why) =>
+      n == "api_request_enrichment_config" && why.contains("json-path") })
+
+    // a deeper jsonPath than $ / $.field → named skip, never silent truncation
+    val (_, s4) = EnrichmentConfig.fromReferenceConfigs(
+      Seq(cfg(pojos, "$.record.nested")), apiLive = live)
+    assert(s4.exists { case (n, why) =>
+      n == "api_request_enrichment_config" && why.contains("deeper") })
+  }
+
+  test("ttl'd cache: expiry re-fetches (hits AND misses); ttl=0 keeps entries forever") {
+    import spark.implicits._
+    val cache = java.nio.file.Files.createTempDirectory("apireq-ttl").resolve("dim").toString
+    val df = Seq(("web", "u1"), ("web", "u-miss")).toDF("app_id", "user_id")
+    val down: String => Option[String] = _ => throw new RuntimeException("api down")
+    def lookup(t: String => Option[String], ttl: Long) = ApiRequestLookup(
+      Seq("app_id", "user_id"), Seq("client", "user"),
+      "http://api.acme.com/users/{{client}}/{{user}}?format=json",
+      t, "name STRING, level INT", jsonRoot = "record",
+      cachePath = cache, ttlSeconds = ttl)
+
+    assert(lookup(recording, 3600)(df).where($"name" === "u1@web").count() == 1)
+    // rerun with the api down inside the ttl: both served from the dim
+    val out2 = lookup(down, 3600)(df)
+    assert(out2.where($"name" === "u1@web").count() == 1)
+    assert(out2.where($"user_id" === "u-miss" && $"name".isNull).count() == 1)
+    // age the entries past the ttl: down api → nothing stale served
+    val aged = spark.read.parquet(cache)
+      .withColumn("api_fetched_at", lit(System.currentTimeMillis() / 1000L - 7200L))
+    val tmp = cache + "_aged"
+    aged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(cache)
+    assert(lookup(down, 3600)(df).where($"name".isNotNull).count() == 0)
+    // healthy api re-fetches; newest fetch wins over the aged row
+    assert(lookup(recording, 3600)(df).where($"name" === "u1@web").count() == 1)
+    // ttl=0: everything cached forever, even the aged rows
+    assert(lookup(down, 0)(df).where($"name" === "u1@web").count() == 1)
+  }
+}
