@@ -512,15 +512,48 @@ final case class CrossNavigation(spCol: String = "sp_qs") extends Enrichment {
 final case class IpAsnLookup(
   ranges: Seq[(Long, Long, Long, String)], // lo, hi, asn, org
   ipCol: String = "user_ipaddress",
-  bucketBits: Int = 27
+  bucketBits: Int = 27,
+  rangesPath: String = null, // parquet dim table instead of inline ranges
+  loField: String = "lo",
+  hiField: String = "hi",
+  asnField: String = "ip_asn",
+  orgField: String = "ip_organization"
 ) extends Enrichment {
   val name = "ip_asn_lookup"
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rangesDf = ranges.toDF("__lo", "__hi", "ip_asn", "ip_organization")
+    val rangesDf =
+      if (rangesPath != null)
+        spark.read.parquet(rangesPath).select(
+          col(loField).cast("bigint").as("__lo"), col(hiField).cast("bigint").as("__hi"),
+          col(asnField).cast("bigint").as("ip_asn"), col(orgField).cast("string").as("ip_organization"))
+      else ranges.toDF("__lo", "__hi", "ip_asn", "ip_organization")
     RangeJoin.leftJoinRanges(df, IpF.ipv4ToLong(col(ipCol)), rangesDf, "__lo", "__hi", bucketBits)
       .drop("__lo", "__hi")
+  }
+}
+
+/** Bot-ASN classification (reference `registry/AsnLookupsEnrichment.scala`:
+  * flag events whose IP's ASN is on a bot list; platforms on the bypass
+  * list are not classified). Expects `asnCol` upstream — chain after
+  * [[IpAsnLookup]]. A null ASN (no range matched) classifies as false,
+  * the reference's no-evidence default. */
+final case class AsnBotFlag(
+  botAsns: Set[Long],
+  bypassPlatforms: Set[String] = Set.empty,
+  asnCol: String = "ip_asn",
+  platformCol: String = "platform",
+  outCol: String = "asn_likely_bot"
+) extends Enrichment {
+  val name = "asn_bot_flag"
+  require(botAsns.nonEmpty, "asn_lookups needs a non-empty bot-ASN list")
+  def apply(df: DataFrame): DataFrame = {
+    val flagged = coalesce(col(asnCol).isin(botAsns.toSeq: _*), lit(false))
+    df.withColumn(outCol,
+      if (bypassPlatforms.isEmpty) flagged
+      else when(col(platformCol).isin(bypassPlatforms.toSeq: _*), lit(null).cast("boolean"))
+        .otherwise(flagged))
   }
 }
 

@@ -77,7 +77,15 @@ object EnrichmentConfig {
       * `IgluResolver.RemoteResolver.httpTransport()` — add the config's
       * auth as headers there); the DDL describes the response fields the
       * `output.json.jsonPath` root carries. No entry → skipped. */
-    apiLive: Map[String, EnrichmentConfig.ApiLive] = Map.empty
+    apiLive: Map[String, EnrichmentConfig.ApiLive] = Map.empty,
+    /** Parquet ranges dims for `ip_lookups`, keyed by the config's MaxMind
+      * database FILENAME (geo: lo/hi/geo_country columns; asn:
+      * lo/hi/ip_asn/ip_organization). Export the mmdb once, inject the
+      * path. No entry → that segment skips with guidance. */
+    geoDims: Map[String, String] = Map.empty,
+    /** Parquet per-day rates dims for `currency_conversion_config`, keyed
+      * by the config's baseCurrency (cur STRING, rate_micro BIGINT). */
+    ratesDims: Map[String, String] = Map.empty
   ): (EnrichmentPipeline, Seq[(String, String)]) = {
     val mapped = scala.collection.mutable.Buffer[Enrichment]()
     val skipped = scala.collection.mutable.Buffer[(String, String)]()
@@ -144,10 +152,63 @@ object EnrichmentConfig {
           else skipped += ((name, "only json-field PII entries; use the native schema_validate/pii shape"))
         case "cross_navigation_config" =>
           mapped += CrossNavigation()
-        case "ip_lookups" | "asn_lookups" =>
-          skipped += ((name, "needs the MaxMind database; construct graft.enrich.IpGeoLookup / IpAsnLookup with inline or parquet ranges"))
+        case "ip_lookups" =>
+          // reference registry/IpLookupsEnrichment: per-segment MaxMind
+          // databases (geo/isp/domain/connection/asn, each {database,
+          // uri}). A .mmdb cannot ride a Spark broadcast range join
+          // directly — deployments export it to a parquet ranges dim
+          // (lo/hi int keys) and inject the path per database FILENAME.
+          def segment(seg: String): Option[String] =
+            Option(p.get(seg)).flatMap(s => Option(s.get("database")).map(_.asText()))
+          var handledAny = false
+          segment("geo").foreach { db =>
+            geoDims.get(db) match {
+              case Some(path) =>
+                mapped += IpGeoLookup(Nil, rangesPath = path); handledAny = true
+              case None =>
+                skipped += ((name, s"geo database '$db' has no injected ranges dim — pass geoDims = Map($db -> parquetRangesPath) (export the mmdb to lo/hi int ranges; graft.enrich.IpGeoLookup)"))
+            }
+          }
+          segment("asn").foreach { db =>
+            geoDims.get(db) match {
+              case Some(path) =>
+                mapped += IpAsnLookup(Nil, rangesPath = path); handledAny = true
+              case None =>
+                skipped += ((name, s"asn database '$db' has no injected ranges dim — pass geoDims = Map($db -> parquetRangesPath) (graft.enrich.IpAsnLookup)"))
+            }
+          }
+          val unsupported = Seq("isp", "domain", "connection").filter(s => p.get(s) != null)
+          if (unsupported.nonEmpty)
+            skipped += ((name, s"segments ${unsupported.mkString(",")} have no graft lookup — geo/asn map onto range joins, the rest need their own dims"))
+          if (!handledAny && segment("geo").isEmpty && segment("asn").isEmpty && unsupported.isEmpty)
+            skipped += ((name, "config has no geo/asn segment"))
+        case "asn_lookups" =>
+          // reference registry/AsnLookupsEnrichment: flag events whose
+          // IP's ASN is on a bot list. The INLINE botAsns set is
+          // self-contained (given ip_asn from IpAsnLookup upstream); the
+          // file-backed list needs its CSV materialized.
+          val inline = Option(p.get("botAsns")).map(_.elements().asScala.flatMap { b =>
+            Option(b.get("asn")).map(_.asLong())
+          }.toSet).getOrElse(Set.empty[Long])
+          val bypass = Option(p.get("bypassPlatforms")).map(_.elements().asScala.map(_.asText()).toSet)
+            .getOrElse(Set.empty[String])
+          if (p.get("botAsnsFile") != null)
+            skipped += ((name, "botAsnsFile CSV is not materialized here — fold its ASNs into AsnBotFlag(botAsns) or extend the inline list"))
+          if (inline.nonEmpty)
+            mapped += AsnBotFlag(inline, bypass)
+          else if (p.get("botAsnsFile") == null)
+            skipped += ((name, "config has neither botAsns nor botAsnsFile"))
         case "currency_conversion_config" =>
-          skipped += ((name, "needs the OER rates feed; construct graft.enrich.CurrencyConversion with inline or parquet rates"))
+          // reference registry/CurrencyConversionEnrichment: OER-fed per-day
+          // rates. The feed cannot ride a config file — deployments
+          // materialize a (cur, rate_micro) parquet dim per base currency
+          // and inject its path.
+          val base = Option(p.get("baseCurrency")).map(_.asText()).getOrElse("USD")
+          ratesDims.get(base) match {
+            case Some(path) => mapped += CurrencyConversion(Nil, ratesPath = path)
+            case None =>
+              skipped += ((name, s"no injected rates dim for base currency '$base' — pass ratesDims = Map($base -> parquetRatesPath) (cur STRING, rate_micro BIGINT)"))
+          }
         case "weather_enrichment_config" =>
           skipped += ((name, "needs the weather provider; use graft.operators.AsOfJoin with an observations table"))
         case "api_request_enrichment_config" =>

@@ -36,12 +36,65 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(names.contains("ua_parser"))
     // disabled entries are reported, not silently dropped
     assert(skipped.exists { case (n, r) => n == "javascript_script_config" && r == "disabled" })
-    // data-backed entries name their graft replacement
-    assert(skipped.exists { case (n, r) => n == "ip_lookups" && r.contains("IpGeoLookup") })
-    assert(skipped.exists { case (n, r) => n == "asn_lookups" && r.contains("IpAsnLookup") })
+    // data-backed entries name their graft replacement + injection point
+    assert(skipped.exists { case (n, r) =>
+      n == "ip_lookups" && r.contains("geoDims") && r.contains("IpGeoLookup") })
+    // asn_lookups: the inline botAsns list maps; the CSV half is reported
+    assert(names.contains("asn_bot_flag"))
+    assert(skipped.exists { case (n, r) => n == "asn_lookups" && r.contains("botAsnsFile") })
     assert(skipped.exists { case (n, r) => n == "currency_conversion_config" && r == "disabled" })
     // nothing fell through unmapped
     assert(!skipped.exists(_._2 == "no graft mapping"), skipped.mkString(", "))
+  }
+
+  test("ip_lookups/currency constructs LIVE when ranges/rates dims are injected") {
+    assume(Files.isDirectory(dir))
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cfg-dims")
+    val geoPath = tmp.resolve("geo").toString
+    Seq((16777216L, 16777471L, "AU"), (3221225472L, 3221225727L, "DE"))
+      .toDF("lo", "hi", "geo_country").write.parquet(geoPath)
+    val ratesPath = tmp.resolve("rates").toString
+    Seq(("EUR", 1100000L), ("USD", 1000000L))
+      .toDF("cur", "rate_micro").write.parquet(ratesPath)
+
+    val ipCfg = new String(Files.readAllBytes(dir.resolve("ip_lookups.json")), "UTF-8")
+    val curCfg = new String(Files.readAllBytes(dir.resolve("currency_conversion_config.json")), "UTF-8")
+      .replace("\"enabled\": false", "\"enabled\": true")
+    val (pipe, skipped) = EnrichmentConfig.fromReferenceConfigs(
+      Seq(ipCfg, curCfg),
+      geoDims = Map("GeoLite2-City.mmdb" -> geoPath),
+      ratesDims = Map("USD" -> ratesPath))
+    assert(pipe.enrichments.map(_.name).toSet == Set("ip_geo_lookup", "currency_conversion"))
+    assert(skipped.isEmpty, skipped.mkString(", "))
+
+    val df = Seq(("1.0.0.5", "EUR", 200L), ("9.9.9.9", "USD", 100L))
+      .toDF("user_ipaddress", "currency", "amount_cents")
+    val out = pipe.run(df).orderBy("amount_cents").collect()
+    assert(out(0).getAs[String]("geo_country") == null) // 9.9.9.9 outside ranges
+    assert(out(0).getAs[Long]("base_amount_e8") == 100L * 1000000L)
+    assert(out(1).getAs[String]("geo_country") == "AU")
+    assert(out(1).getAs[Long]("base_amount_e8") == 200L * 1100000L)
+  }
+
+  test("asn_lookups: inline bot list flags ASNs, bypass platforms unclassified") {
+    import spark.implicits._
+    val cfg = new String(Files.readAllBytes(dir.resolve("asn_lookups.json")), "UTF-8")
+    val (pipe, _) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg))
+    val bot = pipe.enrichments.collectFirst { case b: graft.enrich.AsnBotFlag => b }.get
+    assert(bot.botAsns == Set(123L, 456L))
+    assert(bot.bypassPlatforms == Set("srv"))
+    val df = Seq(
+      (java.lang.Long.valueOf(123L), "web", 1L),
+      (java.lang.Long.valueOf(999L), "web", 2L),
+      (null.asInstanceOf[java.lang.Long], "web", 3L), // no ASN matched → false
+      (java.lang.Long.valueOf(123L), "srv", 4L) // bypassed → null
+    ).toDF("ip_asn", "platform", "id")
+    val rows = bot(df).orderBy("id").collect()
+    assert(rows(0).getAs[Boolean]("asn_likely_bot"))
+    assert(!rows(1).getAs[Boolean]("asn_likely_bot"))
+    assert(!rows(2).getAs[Boolean]("asn_likely_bot"))
+    assert(rows(3).isNullAt(rows(3).fieldIndex("asn_likely_bot")))
   }
 
   test("the reference's embedded sample JS script runs with reference semantics") {
