@@ -534,6 +534,52 @@ final case class IpAsnLookup(
   }
 }
 
+/** Weather-at-event enrichment (reference `registry/WeatherEnrichment.scala`:
+  * per-event (geo_latitude, geo_longitude, time) → the OpenWeatherMap
+  * observation at that place and time, cached per `geoPrecision` grid
+  * cell). Per-event HTTP history lookups are the wrong shape at 100 TB —
+  * the Spark-native form is an AS-OF JOIN against a materialized
+  * observations dim:
+  *
+  *  - event coordinates round to the dim's grid (the reference's
+  *    roundCoordinate: nearest 1/geoPrecision degree);
+  *  - per grid cell, each event picks the LATEST observation at or before
+  *    its timestamp ([[graft.operators.AsOfJoin.leftAsOf]] — one shuffle
+  *    on (cell, time), no RPC);
+  *  - events with null coordinates keep null weather columns.
+  *
+  * The observations dim is whatever history export the deployment owns:
+  * `(lat_r, lon_r, obs_ts_us, …payload columns…)` parquet. */
+final case class WeatherLookup(
+  obsPath: String,
+  geoPrecision: Int = 1,
+  latCol: String = "geo_latitude",
+  lonCol: String = "geo_longitude",
+  tsCol: String = "derived_tstamp_us",
+  obsLatField: String = "lat_r",
+  obsLonField: String = "lon_r",
+  obsTsField: String = "obs_ts_us",
+  valueCols: Seq[String] = Seq("temp_c", "conditions")
+) extends Enrichment {
+  val name = "weather"
+  require(geoPrecision >= 1, "weather: geoPrecision must be >= 1")
+  require(valueCols.nonEmpty, "weather: need at least one observation column")
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = lit(geoPrecision.toDouble)
+    val withGrid = df
+      .withColumn("__lat_r", round(col(latCol) * p) / p)
+      .withColumn("__lon_r", round(col(lonCol) * p) / p)
+    val obs = spark.read.parquet(obsPath).select(
+      (Seq(col(obsLatField).cast("double").as("__lat_r"),
+        col(obsLonField).cast("double").as("__lon_r"),
+        col(obsTsField).cast("bigint").as("__obs_ts_us")) ++ valueCols.map(col)): _*)
+    graft.operators.AsOfJoin
+      .leftAsOf(withGrid, obs, Seq("__lat_r", "__lon_r"), tsCol, "__obs_ts_us", valueCols)
+      .drop("__lat_r", "__lon_r")
+  }
+}
+
 /** Bot-ASN classification (reference `registry/AsnLookupsEnrichment.scala`:
   * flag events whose IP's ASN is on a bot list; platforms on the bypass
   * list are not classified). Expects `asnCol` upstream — chain after

@@ -85,7 +85,10 @@ object EnrichmentConfig {
     geoDims: Map[String, String] = Map.empty,
     /** Parquet per-day rates dims for `currency_conversion_config`, keyed
       * by the config's baseCurrency (cur STRING, rate_micro BIGINT). */
-    ratesDims: Map[String, String] = Map.empty
+    ratesDims: Map[String, String] = Map.empty,
+    /** Parquet observation dims for `weather_enrichment_config`, keyed by
+      * the config's apiHost (lat_r/lon_r/obs_ts_us + value columns). */
+    weatherDims: Map[String, String] = Map.empty
   ): (EnrichmentPipeline, Seq[(String, String)]) = {
     val mapped = scala.collection.mutable.Buffer[Enrichment]()
     val skipped = scala.collection.mutable.Buffer[(String, String)]()
@@ -210,7 +213,17 @@ object EnrichmentConfig {
               skipped += ((name, s"no injected rates dim for base currency '$base' — pass ratesDims = Map($base -> parquetRatesPath) (cur STRING, rate_micro BIGINT)"))
           }
         case "weather_enrichment_config" =>
-          skipped += ((name, "needs the weather provider; use graft.operators.AsOfJoin with an observations table"))
+          // reference registry/WeatherEnrichment: per-event OWM history
+          // lookup, cached per geoPrecision grid cell. The Spark shape is
+          // an as-of join against a materialized observations dim —
+          // injected per apiHost (the provider identity in the config).
+          val host = Option(p.get("apiHost")).map(_.asText()).getOrElse("history.openweathermap.org")
+          val precision = Option(p.get("geoPrecision")).map(_.asInt()).getOrElse(1)
+          weatherDims.get(host) match {
+            case Some(path) => mapped += WeatherLookup(path, geoPrecision = precision)
+            case None =>
+              skipped += ((name, s"no injected observations dim for '$host' — pass weatherDims = Map($host -> parquetObsPath) (lat_r/lon_r/obs_ts_us + value columns; graft.enrich.WeatherLookup)"))
+          }
         case "api_request_enrichment_config" =>
           // reference registry/apirequest: named {{key}} template params
           // bound from pojo inputs; json-path inputs have no event column

@@ -77,6 +77,35 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(out(1).getAs[Long]("base_amount_e8") == 200L * 1100000L)
   }
 
+  test("weather config constructs an as-of join over an injected observations dim") {
+    assume(Files.isDirectory(dir))
+    import spark.implicits._
+    val obsPath = java.nio.file.Files.createTempDirectory("cfg-weather").resolve("obs").toString
+    // one grid cell (52.0, 13.0) at geoPrecision 1, two observations
+    Seq((52.0, 13.0, 1000L, 18.5, "clear"), (52.0, 13.0, 5000L, 21.0, "clouds"))
+      .toDF("lat_r", "lon_r", "obs_ts_us", "temp_c", "conditions").write.parquet(obsPath)
+    val cfg = new String(Files.readAllBytes(dir.resolve("weather_enrichment_config.json")), "UTF-8")
+      .replace("\"enabled\": false", "\"enabled\": true")
+    // no injection → named skip; injected → live pipeline
+    val (_, s0) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg))
+    assert(s0.exists { case (n, r) => n == "weather_enrichment_config" && r.contains("weatherDims") })
+    val (pipe, s1) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg),
+      weatherDims = Map("history.openweathermap.org" -> obsPath))
+    assert(s1.isEmpty && pipe.enrichments.map(_.name) == Seq("weather"))
+    def d(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+    val events = Seq(
+      (d(52.04), d(12.96), 3000L, 1L), // rounds into the cell; as-of picks the 1000 obs
+      (d(52.04), d(12.96), 6000L, 2L), // picks the 5000 obs
+      (d(52.04), d(12.96), 500L, 3L),  // before any obs → null
+      (null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double], 6000L, 4L)
+    ).toDF("geo_latitude", "geo_longitude", "derived_tstamp_us", "id")
+    val rows = pipe.run(events).orderBy("id").collect()
+    assert(rows(0).getAs[Double]("temp_c") == 18.5 && rows(0).getAs[String]("conditions") == "clear")
+    assert(rows(1).getAs[Double]("temp_c") == 21.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("temp_c")))
+    assert(rows(3).isNullAt(rows(3).fieldIndex("temp_c")), "null coordinates → null weather")
+  }
+
   test("asn_lookups: inline bot list flags ASNs, bypass platforms unclassified") {
     import spark.implicits._
     val cfg = new String(Files.readAllBytes(dir.resolve("asn_lookups.json")), "UTF-8")
