@@ -198,10 +198,34 @@ final case class EventFingerprint(algo: String, params: Seq[String]) extends Enr
 }
 
 /** PII pseudonymization (reference `registry/pii/PiiPseudonymizerEnrichment`). */
-final case class PiiPseudonymize(cols: Seq[String], salt: String) extends Enrichment {
+final case class PiiPseudonymize(
+  cols: Seq[String],
+  salt: String,
+  hashFunction: String = "SHA-256"
+) extends Enrichment {
   val name = "pii_pseudonymize"
   def apply(df: DataFrame): DataFrame =
-    cols.foldLeft(df)((d, c) => d.withColumn(c, EventF.pseudonymize(col(c), salt)))
+    cols.foldLeft(df)((d, c) => d.withColumn(c, EventF.pseudonymize(col(c), salt, hashFunction)))
+}
+
+/** JSON-path PII pseudonymization (reference
+  * `registry/pii/PiiPseudonymizerEnrichment.scala`'s json mode: rewrite
+  * named fields INSIDE a JSON document column — contexts/unstruct_event —
+  * splicing the hash back in place). Each path is `$.field` /
+  * `$.a.b.field` form; the kernel fails CLOSED (nulls the document) on
+  * ambiguous rewrites rather than emit a wrong pseudonym. */
+final case class PiiJsonFields(
+  jsonCol: String,
+  paths: Seq[String],
+  salt: String,
+  hashFunction: String = "SHA-256"
+) extends Enrichment {
+  val name = "pii_json_fields"
+  require(paths.nonEmpty, "pii_json_fields needs at least one JsonPath")
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(jsonCol, paths.foldLeft(col(jsonCol)) { (c, p) =>
+      EventF.pseudonymizeJsonField(c, p, salt, hashFunction)
+    })
 }
 
 /** Currency conversion via a broadcast rates dimension (reference

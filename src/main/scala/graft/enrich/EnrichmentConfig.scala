@@ -148,11 +148,46 @@ object EnrichmentConfig {
             useIab = Option(p.get("useIab")).forall(_.asBoolean()),
             useAsn = Option(p.get("useAsnLookups")).exists(_.asBoolean()))
         case "pii_enrichment_config" =>
-          val pojoFields = Option(p.get("pii")).map(_.elements().asScala.flatMap { e =>
+          // reference registry/pii: pojo entries hash whole columns; json
+          // entries rewrite fields inside contexts/unstruct_event. The
+          // configured strategy (hashFunction + salt) applies to both —
+          // r11: it is plumbed instead of silently dropped.
+          val strategy = Option(p.get("strategy")).flatMap(s => Option(s.get("pseudonymize")))
+          val piiSalt = strategy.flatMap(s => Option(s.get("salt")).map(_.asText())).getOrElse("")
+          val hashFn = strategy.flatMap(s => Option(s.get("hashFunction")).map(_.asText())).getOrElse("SHA-256")
+          val entries = Option(p.get("pii")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+          val pojoFields = entries.flatMap { e =>
             Option(e.get("pojo")).flatMap(pj => Option(pj.get("field")).map(_.asText()))
-          }.toSeq).getOrElse(Nil)
-          if (pojoFields.nonEmpty) mapped += PiiPseudonymize(pojoFields, salt = "")
-          else skipped += ((name, "only json-field PII entries; use the native schema_validate/pii shape"))
+          }
+          if (pojoFields.nonEmpty) mapped += PiiPseudonymize(pojoFields, piiSalt, hashFn)
+          // json entries: `$.a.b` paths map; a trailing `['x', 'y']`
+          // bracket list expands to one path per name; anything deeper
+          // (wildcards, mid-path brackets) skips with guidance
+          val BracketList = """(.*)\.\[(.+)\]$""".r
+          entries.flatMap(e => Option(e.get("json"))).foreach { jn =>
+            val fieldOpt = Option(jn.get("field")).map(_.asText())
+            val pathOpt = Option(jn.get("jsonPath")).map(_.asText())
+            (fieldOpt, pathOpt) match {
+              case (Some(f), Some(path)) =>
+                val expanded: Option[Seq[String]] = path match {
+                  case BracketList(prefix, names) =>
+                    Some(names.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+                      .map(n => s"$prefix.$n").toSeq)
+                  case simple if !simple.contains("[") && !simple.contains("*") &&
+                      simple.startsWith("$.") => Some(Seq(simple))
+                  case _ => None
+                }
+                expanded match {
+                  case Some(ps) => mapped += PiiJsonFields(f, ps, piiSalt, hashFn)
+                  case None =>
+                    skipped += ((name, s"json pii path '$path' is deeper than the supported $$.a.b / trailing-['x','y'] forms — construct graft.enrich.PiiJsonFields directly"))
+                }
+              case _ =>
+                skipped += ((name, "json pii entry needs field + jsonPath"))
+            }
+          }
+          if (entries.isEmpty)
+            skipped += ((name, "config has no pii entries"))
         case "cross_navigation_config" =>
           mapped += CrossNavigation()
         case "ip_lookups" =>

@@ -109,7 +109,24 @@ object EventF {
   /** SHA-256 pseudonymization with a static salt
     * (reference `registry/pii/PiiPseudonymizerEnrichment.scala`). */
   def pseudonymize(c: Column, salt: String): Column =
-    when(c.isNull, lit(null)).otherwise(sha2(concat(lit(salt), c.cast("string")).cast("binary"), 256))
+    pseudonymize(c, salt, "SHA-256")
+
+  /** Pseudonymization with the reference's configurable hash strategy
+    * (`strategy.pseudonymize.hashFunction`: MD5 | SHA-1 | SHA-256 |
+    * SHA-384 | SHA-512). */
+  def pseudonymize(c: Column, salt: String, hashFunction: String): Column = {
+    val salted = concat(lit(salt), c.cast("string")).cast("binary")
+    val hashed = hashFunction.toUpperCase match {
+      case "MD5" => md5(salted)
+      case "SHA-1" | "SHA1" => sha1(salted)
+      case "SHA-256" | "SHA256" => sha2(salted, 256)
+      case "SHA-384" | "SHA384" => sha2(salted, 384)
+      case "SHA-512" | "SHA512" => sha2(salted, 512)
+      case other => throw new IllegalArgumentException(
+        s"pii: unknown hashFunction '$other' (MD5, SHA-1, SHA-256, SHA-384, SHA-512)")
+    }
+    when(c.isNull, lit(null)).otherwise(hashed)
+  }
 
   /** Pseudonymize a STRING field INSIDE a JSON document column, splicing the
     * hash back in place — the reference's JSON-path PII mode
@@ -117,7 +134,11 @@ object EventF {
     * contexts/unstruct_event rather than whole columns). `path` is a
     * JsonPath like `$.data.email`; the named field's occurrence is
     * rewritten, documents without it pass unchanged. */
-  def pseudonymizeJsonField(json: Column, path: String, salt: String): Column = {
+  def pseudonymizeJsonField(json: Column, path: String, salt: String): Column =
+    pseudonymizeJsonField(json, path, salt, "SHA-256")
+
+  /** [[pseudonymizeJsonField]] with the configurable hash strategy. */
+  def pseudonymizeJsonField(json: Column, path: String, salt: String, hashFunction: String): Column = {
     val field = path.substring(path.lastIndexOf('.') + 1)
     val v = get_json_object(json, path)
     val quoted = "\"" + field + "\"\\s*:\\s*\"[^\"]*\""
@@ -136,7 +157,7 @@ object EventF {
     when(v.isNull, json)
       .when(occurrences === 1 && !unsafeValue && valueInPlace,
         regexp_replace(json, lit(quoted),
-          concat(lit("\"" + field + "\":\""), pseudonymize(v, salt), lit("\""))))
+          concat(lit("\"" + field + "\":\""), pseudonymize(v, salt, hashFunction), lit("\""))))
       .otherwise(lit(null).cast("string"))
   }
 

@@ -32,6 +32,14 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(names.contains("bot_detection"))
     assert(names.contains("event_fingerprint"))
     assert(names.contains("pii_pseudonymize"))
+    // r11: the strategy (SHA-1 + salt) is plumbed, and the json entry's
+    // trailing bracket list expands onto the named document column
+    val pii = pipeline.enrichments.collectFirst { case x: graft.enrich.PiiPseudonymize => x }.get
+    assert(pii.salt == "pepper123" && pii.hashFunction == "SHA-1")
+    val piiJson = pipeline.enrichments.collectFirst { case x: graft.enrich.PiiJsonFields => x }.get
+    assert(piiJson.jsonCol == "unstruct_event")
+    assert(piiJson.paths == Seq("$.clientId", "$.userId"))
+    assert(piiJson.hashFunction == "SHA-1")
     assert(names.contains("referer_parser"))
     assert(names.contains("ua_parser"))
     // disabled entries are reported, not silently dropped
