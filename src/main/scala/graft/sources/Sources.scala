@@ -69,6 +69,37 @@ object Sources {
         nullif(try_element_at(p, lit(12)), lit("-")).as("querystring"))
   }
 
+  /** Compressed collector-payload blobs → TSV lines (reference
+    * core/Decompressor.scala + PayloadProvider: the collector delivers
+    * gzip- or zstd-batched payload blobs; the provider inflates each with
+    * a bomb guard and splits it back into per-event records before the
+    * loader parses them).
+    *
+    * Reads every file under `path` as one blob (`binaryFile` — a blob is
+    * one collector batch, so file == unit of decompression), sniffs the
+    * codec per blob from its magic bytes (RFC 1952 `1f 8b` = gzip,
+    * RFC 8878 `28 b5 2f fd` = zstd, anything else = plain), inflates
+    * inside the scan projection, and explodes to lines. A blob whose
+    * inflated size exceeds `maxBytes` fails ITS row with a clear error —
+    * never the executor. Compose with [[parseCollectorTsv]] for typed
+    * columns. */
+  def collectorBlobLines(spark: SparkSession, path: String, maxBytes: Int = 1 << 26): DataFrame = {
+    import graft.functions.PayloadF
+    val blobs = spark.read.format("binaryFile").load(path)
+      .select(col("path").as("blob_path"), col("content"))
+    val gzMagic = substring(col("content"), 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte))
+    val zstdMagic = substring(col("content"), 1, 4) ===
+      lit(Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte))
+    val inflated =
+      when(gzMagic, PayloadF.gunzip(col("content"), maxBytes))
+        .when(zstdMagic, PayloadF.unzstd(col("content"), maxBytes))
+        .otherwise(col("content"))
+    blobs
+      .select(col("blob_path"), inflated.cast("string").as("payload"))
+      .select(col("blob_path"), explode(split(col("payload"), "\n")).as("value"))
+      .where(col("value") =!= "")
+  }
+
   /** Kafka raw-event stream (value = collector TSV line). The transport
     * options mirror the reference's stream-enrich source config. */
   def collectorTsvKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =

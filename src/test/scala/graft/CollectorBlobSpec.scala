@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GzipCodec
+import graft.sources.Sources
+
+/** Compressed collector-payload blob ingestion (reference
+  * core/Decompressor.scala + PayloadProvider): per-blob codec sniffing
+  * from magic bytes (gzip / zstd / plain in one directory), inflation
+  * inside the scan, line explosion, and the end-to-end compose into
+  * parseCollectorTsv. */
+class CollectorBlobSpec extends SparkSpec {
+
+  private def tsv(i: Int): String =
+    s"${1700000000000000L + i}\t10.0.0.$i\tMozilla/5.0\thttps://x.example/p/$i\tpv\tq=$i"
+
+  test("gzip, zstd, and plain blobs in one directory all inflate to their lines") {
+    val dir = Files.createTempDirectory("blobs")
+    Files.write(dir.resolve("a.gz"),
+      GzipCodec.gzip((0 until 3).map(tsv).mkString("\n").getBytes("UTF-8")))
+    Files.write(dir.resolve("b.zst"),
+      GzipCodec.zstd((3 until 5).map(tsv).mkString("\n").getBytes("UTF-8")))
+    Files.write(dir.resolve("c.txt"), tsv(5).getBytes("UTF-8"))
+
+    val lines = Sources.collectorBlobLines(spark, dir.toString)
+    assert(lines.count() == 6)
+    val parsed = Sources.parseCollectorTsv(lines)
+    val rows = parsed.orderBy("collector_tstamp_us").collect()
+    assert(rows.length == 6)
+    assert(rows(0).getAs[String]("user_ipaddress") == "10.0.0.0")
+    assert(rows(5).getAs[String]("page_url") == "https://x.example/p/5")
+    assert(rows.forall(_.getAs[String]("event_code") == "pv"))
+  }
+
+  test("a decompression bomb fails its blob with a clear error, never the executor") {
+    val dir = Files.createTempDirectory("bombs")
+    Files.write(dir.resolve("bomb.gz"), GzipCodec.gzip(("x" * (1 << 20)).getBytes("UTF-8")))
+    val e = intercept[Exception](
+      Sources.collectorBlobLines(spark, dir.toString, maxBytes = 1 << 10).count())
+    assert(e.getMessage.contains("maxBytes") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBytes")))
+  }
+}
