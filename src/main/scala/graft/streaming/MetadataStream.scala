@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the `metadata_report` rollup (reference
+  * core/MetadataReporter.scala: per-PERIOD aggregates of (event schema,
+  * source app, tracker, platform, scenario) with the entity-schema set,
+  * POSTed to a metadata collector as each period closes).
+  *
+  * Structured-Streaming shape: event-time tumbling windows + watermark →
+  * append mode emits each window's rollup exactly once, when the
+  * watermark passes its end — the "report the closed period" semantics.
+  * The entity set rides as per-group array state (bounded: the schema
+  * universe, not the event count); delivery is any sink — the reference's
+  * HTTP POST is one `RemoteResolver.httpTransport` call per emitted row
+  * inside `foreachBatch`. */
+object MetadataStream {
+
+  /** `events` needs the metadata columns prepared upstream:
+    * event_schema/source/tracker/platform/scenario_id plus an
+    * `entities` array column and an epoch-micros event-time column. */
+  def rollup(
+    events: DataFrame,
+    tsCol: String,
+    windowLength: String = "1 hour",
+    watermarkDelay: String = "10 minutes"
+  ): DataFrame = {
+    val keys: Seq[Column] = Seq(
+      col("event_schema"), col("source"), col("tracker"),
+      col("platform"), col("scenario_id"))
+    events
+      .withColumn("__ts", timestamp_micros(col(tsCol)))
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(window(col("__ts"), windowLength) +: keys: _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_sort(array_distinct(flatten(collect_list(col("entities"))))).as("entities"))
+      .select(
+        col("window.start").as("period_start"),
+        col("event_schema"), col("source"), col("tracker"),
+        col("platform"), col("scenario_id"),
+        col("n_events"), col("entities"))
+  }
+}

@@ -203,4 +203,65 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       assert(crossChunk, "no match spans a micro-batch boundary — weaken the cuts")
     } finally q.stop()
   }
+
+  test("MetadataStream rollup over micro-batches == the batch metadata_report shape") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // deterministic metadata columns over the events table, hour windows
+    val e = col("event_id")
+    val base = Tables.events(spark, dir).select(
+      e,
+      col("ts_us"),
+      concat(lit("iglu:com.acme/ev"), (e % 3).cast("string"), lit("/jsonschema/1-0-0")).as("event_schema"),
+      concat(lit("app-"), (e % 2).cast("string")).as("source"),
+      lit("js-3.1").as("tracker"),
+      (when(e % 2 === 0, "web").otherwise("mob")).as("platform"),
+      lit("none").as("scenario_id"),
+      array_compact(array(lit("wp"), when(e % 2 === 0, lit("geo")))).as("entities"))
+
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour"),
+        col("event_schema"), col("source"), col("tracker"), col("platform"), col("scenario_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(array_distinct(flatten(collect_list(col("entities"))))).as("entities"))
+      .select(col("window.start").cast("long").as("period_start"),
+        col("event_schema"), col("source"), col("platform"),
+        col("n_events"), array_join(col("entities"), ",").as("ent"))
+    val batch = agg(base).as[(Long, String, String, String, Long, String)].collect().toSet
+
+    val rows = base
+      .select("event_id", "ts_us", "event_schema", "source", "tracker", "platform", "scenario_id", "entities")
+      .as[(Long, Long, String, String, String, String, String, Seq[String])]
+      .collect().sortBy(_._2) // event-time order, so the watermark only advances
+    val mem = MemoryStream[(Long, Long, String, String, String, String, String, Seq[String])]
+    val rolled = graft.streaming.MetadataStream.rollup(
+      mem.toDF().toDF("event_id", "ts_us", "event_schema", "source", "tracker", "platform", "scenario_id", "entities"),
+      "ts_us", windowLength = "1 hour", watermarkDelay = "0 seconds")
+    val q = rolled.writeStream.format("memory").queryName("meta_rollup")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // close the final windows: one far-future heartbeat advances the
+      // watermark past every real event's window end
+      val last = rows.last
+      mem.addData(Seq(last.copy(_2 = last._2 + 365L * 86400L * 1000000L)))
+      q.processAllAvailable()
+      val stream = spark.sql(
+        """SELECT CAST(period_start AS LONG), event_schema, source, platform,
+          |       n_events, array_join(entities, ',') FROM meta_rollup""".stripMargin)
+        .as[(Long, String, String, String, Long, String)].collect().toSet
+      // every REAL window matches batch exactly; the heartbeat's own window
+      // may not have flushed (nothing advances the watermark past it)
+      val heartbeatStart = (last._2 + 365L * 86400L * 1000000L) / 3600000000L * 3600L
+      val realStream = stream.filterNot(_._1 == heartbeatStart)
+      val realBatch = batch // batch never saw the heartbeat
+      assert(realStream == realBatch,
+        s"missing=${(realBatch -- realStream).take(3)} extra=${(realStream -- realBatch).take(3)}")
+    } finally q.stop()
+  }
 }
