@@ -568,8 +568,11 @@ final case class IpAsnLookup(
   *  - event coordinates round to the dim's grid (the reference's
   *    roundCoordinate: nearest 1/geoPrecision degree);
   *  - per grid cell, each event picks the LATEST observation at or before
-  *    its timestamp ([[graft.operators.AsOfJoin.leftAsOf]] — one shuffle
-  *    on (cell, time), no RPC);
+  *    its timestamp — the time-BUCKETED as-of join
+  *    ([[graft.operators.AsOfJoin.leftAsOfBucketed]]): plain per-key
+  *    windows would bound parallelism by |grid cells| (a country-sized
+  *    deployment has a few hundred), so the shuffle partitions on
+  *    (cell, time-bucket) instead and stays wide at 100 TB;
   *  - events with null coordinates keep null weather columns.
   *
   * The observations dim is whatever history export the deployment owns:
@@ -583,7 +586,8 @@ final case class WeatherLookup(
   obsLatField: String = "lat_r",
   obsLonField: String = "lon_r",
   obsTsField: String = "obs_ts_us",
-  valueCols: Seq[String] = Seq("temp_c", "conditions")
+  valueCols: Seq[String] = Seq("temp_c", "conditions"),
+  bucketWidthUs: Long = 86400000000L // 1 day of epoch-micros per task bucket
 ) extends Enrichment {
   val name = "weather"
   require(geoPrecision >= 1, "weather: geoPrecision must be >= 1")
@@ -599,7 +603,8 @@ final case class WeatherLookup(
         col(obsLonField).cast("double").as("__lon_r"),
         col(obsTsField).cast("bigint").as("__obs_ts_us")) ++ valueCols.map(col)): _*)
     graft.operators.AsOfJoin
-      .leftAsOf(withGrid, obs, Seq("__lat_r", "__lon_r"), tsCol, "__obs_ts_us", valueCols)
+      .leftAsOfBucketed(withGrid, obs, Seq("__lat_r", "__lon_r"), tsCol, "__obs_ts_us",
+        valueCols, bucketWidthUs)
       .drop("__lat_r", "__lon_r")
   }
 }

@@ -445,11 +445,12 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
     // an own DATA property shadows any inherited accessor; otherwise the
     // nearest accessor on the chain intercepts the write (setter-less
     // accessor = silent no-op, ES5 non-strict)
-    else if (!o.props.contains(name) && findAccessor(o, name).isDefined)
-      callAccessor(findAccessor(o, name).get._2, o, List(v))
-    else o.magic(s"set:$name") match {
-      case Some(JsNative(_, fn)) => fn(o, List(v)); ()
-      case _ => o.props(name) = v
+    else (if (o.props.contains(name)) None else findAccessor(o, name)) match {
+      case Some((_, setter)) => callAccessor(setter, o, List(v)); ()
+      case None => o.magic(s"set:$name") match {
+        case Some(JsNative(_, fn)) => fn(o, List(v)); ()
+        case _ => o.props(name) = v
+      }
     }
 
   private def getProp(recv: JsVal, name: String): JsVal = recv match {
