@@ -25,4 +25,14 @@ object PayloadF {
   /** Inflate a zstd binary column with the same bomb guard as [[gunzip]]. */
   def unzstd(c: Column, maxBytes: Int = 1 << 20): Column =
     ColumnBridge.column(graft.plans.UnzstdExpression(ColumnBridge.expression(c), maxBytes))
+
+  /** Lenient inflates for ingest: a CORRUPT stream (truncated upload, bit
+    * rot) yields null — one bad blob becomes a bad ROW, never a dead job —
+    * while the bomb guard still throws (an attack should be loud). */
+  def gunzipLenient(c: Column, maxBytes: Int = 1 << 20): Column =
+    ColumnBridge.column(graft.plans.GunzipExpression(ColumnBridge.expression(c), maxBytes, lenient = true))
+
+  /** [[gunzipLenient]] for zstd. */
+  def unzstdLenient(c: Column, maxBytes: Int = 1 << 20): Column =
+    ColumnBridge.column(graft.plans.UnzstdExpression(ColumnBridge.expression(c), maxBytes, lenient = true))
 }

@@ -32,6 +32,19 @@ object GzipCodec {
       new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes)),
       maxBytes, "gunzip")
 
+  /** Lenient inflate for ingest paths: a CORRUPT stream (truncated upload,
+    * bit rot — IOException) returns null so one bad blob becomes a bad
+    * ROW instead of a dead job; the deliberate bomb guard still throws
+    * (an attack should be loud, not a silent null). */
+  def gunzipLenient(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
+    try gunzip(bytes, maxBytes)
+    catch { case _: java.io.IOException => null }
+
+  /** [[gunzipLenient]] for zstd. */
+  def unzstdLenient(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
+    try unzstd(bytes, maxBytes)
+    catch { case _: java.io.IOException => null }
+
   def zstd(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
     val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bos)
@@ -81,7 +94,8 @@ case class GzipExpression(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class GunzipExpression(child: Expression, maxBytes: Int) extends UnaryExpression {
+case class GunzipExpression(child: Expression, maxBytes: Int, lenient: Boolean = false)
+  extends UnaryExpression {
   require(maxBytes > 0, "maxBytes must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -90,13 +104,21 @@ case class GunzipExpression(child: Expression, maxBytes: Int) extends UnaryExpre
       s"graft_gunzip requires binary, got ${other.catalogString}")
   }
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = lenient || super.nullable
   override def prettyName: String = "graft_gunzip"
+  private def fnName = if (lenient) "gunzipLenient" else "gunzip"
 
   override protected def nullSafeEval(input: Any): Any =
-    GzipCodec.gunzip(input.asInstanceOf[Array[Byte]], maxBytes)
+    if (lenient) GzipCodec.gunzipLenient(input.asInstanceOf[Array[Byte]], maxBytes)
+    else GzipCodec.gunzip(input.asInstanceOf[Array[Byte]], maxBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.GzipCodec.gunzip($c, $maxBytes)")
+    if (!lenient) defineCodeGen(ctx, ev, c => s"graft.plans.GzipCodec.$fnName($c, $maxBytes)")
+    else nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.plans.GzipCodec.$fnName($c, $maxBytes);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): GunzipExpression =
     copy(child = newChild)
@@ -121,7 +143,8 @@ case class ZstdExpression(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class UnzstdExpression(child: Expression, maxBytes: Int) extends UnaryExpression {
+case class UnzstdExpression(child: Expression, maxBytes: Int, lenient: Boolean = false)
+  extends UnaryExpression {
   require(maxBytes > 0, "maxBytes must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -130,13 +153,21 @@ case class UnzstdExpression(child: Expression, maxBytes: Int) extends UnaryExpre
       s"graft_unzstd requires binary, got ${other.catalogString}")
   }
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = lenient || super.nullable
   override def prettyName: String = "graft_unzstd"
+  private def fnName = if (lenient) "unzstdLenient" else "unzstd"
 
   override protected def nullSafeEval(input: Any): Any =
-    GzipCodec.unzstd(input.asInstanceOf[Array[Byte]], maxBytes)
+    if (lenient) GzipCodec.unzstdLenient(input.asInstanceOf[Array[Byte]], maxBytes)
+    else GzipCodec.unzstd(input.asInstanceOf[Array[Byte]], maxBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.GzipCodec.unzstd($c, $maxBytes)")
+    if (!lenient) defineCodeGen(ctx, ev, c => s"graft.plans.GzipCodec.$fnName($c, $maxBytes)")
+    else nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.plans.GzipCodec.$fnName($c, $maxBytes);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): UnzstdExpression =
     copy(child = newChild)

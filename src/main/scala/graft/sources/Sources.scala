@@ -79,10 +79,14 @@ object Sources {
     * one collector batch, so file == unit of decompression), sniffs the
     * codec per blob from its magic bytes (RFC 1952 `1f 8b` = gzip,
     * RFC 8878 `28 b5 2f fd` = zstd, anything else = plain), inflates
-    * inside the scan projection, and explodes to lines. A blob whose
-    * inflated size exceeds `maxBytes` fails ITS row with a clear error —
-    * never the executor. Compose with [[parseCollectorTsv]] for typed
-    * columns. */
+    * inside the scan projection, and explodes to lines.
+    *
+    * Failure contract, reference-faithful: a CORRUPT blob (truncated
+    * upload, bit rot) becomes one bad ROW — `value` null, `blob_path`
+    * naming the culprit — never a dead job; a blob whose inflated size
+    * exceeds `maxBytes` fails LOUD (the deliberate decompression-bomb
+    * guard). Filter `value.isNotNull` for the good lines, `isNull` for
+    * the dead-letter channel. Compose with [[parseCollectorTsv]]. */
   def collectorBlobLines(spark: SparkSession, path: String, maxBytes: Int = 1 << 26): DataFrame = {
     import graft.functions.PayloadF
     val blobs = spark.read.format("binaryFile").load(path)
@@ -91,13 +95,14 @@ object Sources {
     val zstdMagic = substring(col("content"), 1, 4) ===
       lit(Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte))
     val inflated =
-      when(gzMagic, PayloadF.gunzip(col("content"), maxBytes))
-        .when(zstdMagic, PayloadF.unzstd(col("content"), maxBytes))
+      when(gzMagic, PayloadF.gunzipLenient(col("content"), maxBytes))
+        .when(zstdMagic, PayloadF.unzstdLenient(col("content"), maxBytes))
         .otherwise(col("content"))
     blobs
       .select(col("blob_path"), inflated.cast("string").as("payload"))
-      .select(col("blob_path"), explode(split(col("payload"), "\n")).as("value"))
-      .where(col("value") =!= "")
+      // explode_outer keeps a corrupt blob's null payload as its bad row
+      .select(col("blob_path"), explode_outer(split(col("payload"), "\n")).as("value"))
+      .where(col("value").isNull || col("value") =!= "")
   }
 
   /** Kafka raw-event stream (value = collector TSV line). The transport

@@ -35,6 +35,19 @@ class CollectorBlobSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("event_code") == "pv"))
   }
 
+  test("a CORRUPT blob becomes one bad row naming its file; good blobs unaffected") {
+    val dir = Files.createTempDirectory("corrupt")
+    Files.write(dir.resolve("good.gz"),
+      GzipCodec.gzip((tsv(1) + "\n" + tsv(2)).getBytes("UTF-8")))
+    // a truncated gzip stream: valid magic, dead body
+    val full = GzipCodec.gzip(("x" * 10000).getBytes("UTF-8"))
+    Files.write(dir.resolve("truncated.gz"), full.take(20).toArray)
+    val lines = Sources.collectorBlobLines(spark, dir.toString)
+    val bad = lines.where(col("value").isNull).collect()
+    assert(bad.length == 1 && bad.head.getString(0).contains("truncated.gz"))
+    assert(lines.where(col("value").isNotNull).count() == 2)
+  }
+
   test("a decompression bomb fails its blob with a clear error, never the executor") {
     val dir = Files.createTempDirectory("bombs")
     Files.write(dir.resolve("bomb.gz"), GzipCodec.gzip(("x" * (1 << 20)).getBytes("UTF-8")))
