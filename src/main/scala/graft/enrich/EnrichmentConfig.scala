@@ -351,7 +351,19 @@ object EnrichmentConfig {
           skipped += ((other, "no graft mapping"))
       }
     }
-    (EnrichmentPipeline(mapped.toSeq), skipped.toSeq)
+    // cross-file dependency: AsnBotFlag classifies the ip_asn column that
+    // IpAsnLookup produces — config FILE order must not decide whether the
+    // chain resolves, so the flag stably moves after the lookup
+    val ordered = {
+      val (flags, rest) = mapped.toSeq.partition(_.isInstanceOf[AsnBotFlag])
+      if (flags.isEmpty || !rest.exists(_.isInstanceOf[IpAsnLookup])) mapped.toSeq
+      else {
+        val at = rest.lastIndexWhere(_.isInstanceOf[IpAsnLookup])
+        val (before, after) = rest.splitAt(at + 1)
+        before ++ flags ++ after
+      }
+    }
+    (EnrichmentPipeline(ordered), skipped.toSeq)
   }
 
   private def parseOne(n: JsonNode): Enrichment = {

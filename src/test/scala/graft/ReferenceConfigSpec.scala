@@ -134,6 +134,28 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(rows(3).isNullAt(rows(3).fieldIndex("asn_likely_bot")))
   }
 
+  test("asn_bot_flag orders after ip_asn_lookup regardless of config-file order") {
+    assume(Files.isDirectory(dir))
+    import spark.implicits._
+    val geoPath = java.nio.file.Files.createTempDirectory("cfg-order").resolve("asn").toString
+    Seq((16777216L, 16777471L, 123L, "Bot AS"), (3221225472L, 3221225727L, 777L, "Clean AS"))
+      .toDF("lo", "hi", "ip_asn", "ip_organization").write.parquet(geoPath)
+    val asnCfg = new String(Files.readAllBytes(dir.resolve("asn_lookups.json")), "UTF-8")
+    val ipCfg =
+      """{"schema": "iglu:com.snowplowanalytics.snowplow/ip_lookups/jsonschema/2-0-1",
+        | "data": {"name": "ip_lookups", "vendor": "com.snowplowanalytics.snowplow",
+        |   "enabled": true, "parameters": {
+        |     "asn": {"database": "GeoLite2-ASN.mmdb", "uri": "http://assets.example.com/maxmind"}}}}""".stripMargin
+    // asn_lookups FIRST in the file order — the flag must still see ip_asn
+    val (pipe, _) = EnrichmentConfig.fromReferenceConfigs(Seq(asnCfg, ipCfg),
+      geoDims = Map("GeoLite2-ASN.mmdb" -> geoPath))
+    assert(pipe.enrichments.map(_.name) == Seq("ip_asn_lookup", "asn_bot_flag"))
+    val out = pipe.run(Seq(("1.0.0.5", "web", 1L), ("192.0.0.10", "web", 2L))
+      .toDF("user_ipaddress", "platform", "id")).orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("asn_likely_bot"), "ASN 123 is on the config's bot list")
+    assert(!out(1).getAs[Boolean]("asn_likely_bot"))
+  }
+
   test("the reference's embedded sample JS script runs with reference semantics") {
     assume(Files.isDirectory(dir))
     import spark.implicits._
