@@ -623,6 +623,16 @@ object Builtins {
           case _ => JsUndef
         }
       },
+      "getOwnPropertyNames" -> native("getOwnPropertyNames") { (_, a) =>
+        // same set as keys in this model (no non-enumerable own props)
+        arg(a, 0) match {
+          case o: JsObj => new JsArr(mutable.ArrayBuffer(ownKeys(o).map(JsStr(_)): _*))
+          case arr: JsArr =>
+            new JsArr(mutable.ArrayBuffer(
+              arr.items.indices.map(i => JsStr(i.toString)) :+ JsStr("length"): _*))
+          case _ => JsVal.arr()
+        }
+      },
       "getPrototypeOf" -> native("getPrototypeOf") { (_, a) =>
         arg(a, 0) match {
           case o: JsObj => if (o.proto == null) JsNull else o.proto

@@ -518,9 +518,12 @@ object JsParser {
       case TKeyword("super", p) =>
         throw ParseError(
           "unsupported construct 'super': graft.js classes do not support " +
-            "inheritance — call the parent constructor function explicitly " +
-            "(Parent.call(this, ...) is not available either; restructure " +
-            "with composition)", p)
+            "inheritance — wire prototypes via Object.create/setPrototypeOf " +
+            "and chain constructors with Parent.call(this, ...)", p)
+      case TKeyword("class", p) =>
+        throw ParseError(
+          "unsupported construct 'class expression': declare the class as a " +
+            "statement (class Name { ... }) and reference it by name", p)
       case t => throw ParseError(s"unexpected token $t", t.pos)
     }
   }

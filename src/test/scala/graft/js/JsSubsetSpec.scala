@@ -206,4 +206,19 @@ class JsSubsetSpec extends AnyFunSuite {
     // keywords remain legal as PROPERTY names (obj.with, obj.class)
     JsScript.compile("function process(e){ return e.payload == null ? null : null }")
   }
+
+  test("class expressions fail compile with guidance; getOwnPropertyNames lists own keys") {
+    assert(compileError("var X = class { m() { return 1 } };")
+      .contains("class expression"))
+    val r = run(
+      """function process(e) {
+        |  var o = Object.create({inh: 1}, {own: {value: 2}, g: {get: function(){ return 3 }}});
+        |  o.plain = 4;
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0',
+        |           data: {names: Object.getOwnPropertyNames(o)}}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    // own data + accessor names only — the inherited key stays out
+    assert(r.contextsJson.contains("\"names\":[\"own\",\"plain\",\"g\"]"), r.contextsJson)
+  }
 }
