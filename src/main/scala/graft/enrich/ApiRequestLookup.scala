@@ -44,6 +44,14 @@ final case class ApiRequestLookup(
   require(keyNames.forall(n => uriTemplate.contains(s"{{$n}}")),
     s"uri template '$uriTemplate' is missing placeholders for " +
       keyNames.filterNot(n => uriTemplate.contains(s"{{$n}}")).mkString(", "))
+  // the reverse must hold too: a template placeholder with no input would
+  // fire real HTTP requests with the literal '{{name}}' in the URL and
+  // cache the garbage responses (the reference SKIPS on any unmatched
+  // placeholder — HttpApi.everythingMatched)
+  private val templateKeys: Set[String] =
+    "\\{\\{([^}]+)\\}\\}".r.findAllMatchIn(uriTemplate).map(_.group(1)).toSet
+  require(templateKeys.subsetOf(keyNames.toSet),
+    s"uri template placeholders ${(templateKeys -- keyNames).mkString(", ")} have no bound input")
   require(ttlSeconds >= 0L, "api_request: ttlSeconds must be >= 0 (0 = cache forever)")
 
   def apply(df: DataFrame): DataFrame = {

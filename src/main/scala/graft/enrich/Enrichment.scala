@@ -476,17 +476,19 @@ final case class IdentityLookup(
 
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    val nowSec = System.currentTimeMillis() / 1000L
     val keys = df.select(keyCols.map(c => col(c).cast("string")): _*)
       .na.drop("any").distinct()
     val emptyDim = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(
-        keyCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) :+
-          org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.StringType)))
+        keyCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) ++ Seq(
+          org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("id_fetched_at", org.apache.spark.sql.types.LongType))))
     val cached: DataFrame =
       if (cachePath == null) emptyDim
       else
-        try spark.read.parquet(cachePath)
+        try CacheDim.read(spark, cachePath, "id_fetched_at")
         catch { case _: Exception => emptyDim }
     val missing = keys.join(cached.select(keyCols.map(col): _*), keyCols, "left_anti")
     val nMissing = missing.count()
@@ -495,16 +497,20 @@ final case class IdentityLookup(
         "bound the identifier domain or raise the limit explicitly")
     val t = transport
     val n = keyCols.size
+    val fetchedAt = nowSec
     val outSchema = org.apache.spark.sql.types.StructType(
       keyCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) ++ Seq(
         org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("id_fetched_at", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("_ok", org.apache.spark.sql.types.BooleanType)))
     val fetchedDf = missing.mapPartitions { it =>
       it.map { row =>
         val ks = (0 until n).map(row.getString)
         scala.util.Try(t(ks)) match {
-          case scala.util.Success(v) => org.apache.spark.sql.Row.fromSeq(ks ++ Seq(v.orNull, true))
-          case scala.util.Failure(_) => org.apache.spark.sql.Row.fromSeq(ks ++ Seq(null, false))
+          case scala.util.Success(v) =>
+            org.apache.spark.sql.Row.fromSeq(ks ++ Seq(v.orNull, fetchedAt, true))
+          case scala.util.Failure(_) =>
+            org.apache.spark.sql.Row.fromSeq(ks ++ Seq(null, fetchedAt, false))
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -513,12 +519,16 @@ final case class IdentityLookup(
       else {
         if (nMissing > 0)
           fetchedDf.where(col("_ok")).drop("_ok").write.mode("append").parquet(cachePath)
-        try spark.read.parquet(cachePath)
+        try CacheDim.read(spark, cachePath, "id_fetched_at")
         catch { case _: Exception => cached }
       }
-    val joinKeys = keyCols.map(c => df(c).cast("string") === dimRaw(c)).reduce(_ && _)
-    var out = df.join(broadcast(dimRaw), joinKeys, "left")
-    keyCols.foreach(c => out = out.drop(dimRaw(c)))
+    // racing backfills can double-append a tuple: newest-fetch-wins keeps
+    // the broadcast join row-preserving (identities are stable, so which
+    // duplicate wins is immaterial — that there is ONE winner is not)
+    val dim = CacheDim.newestPerKey(dimRaw, keyCols, "id_fetched_at")
+    val joinKeys = keyCols.map(c => df(c).cast("string") === dim(c)).reduce(_ && _)
+    var out = df.join(broadcast(dim), joinKeys, "left")
+    keyCols.foreach(c => out = out.drop(dim(c)))
     out
   }
 }
@@ -595,17 +605,22 @@ final case class WeatherLookup(
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val p = lit(geoPrecision.toDouble)
+    // INTEGER grid keys on BOTH sides: equi-joining on round(x*p)/p doubles
+    // would silently never match a dim whose lat_r came from different
+    // float arithmetic (every weather column null, no diagnostic); the
+    // grid-cell INDEX round(x*p) is exact for any real coordinate range
+    def cell(c: Column) = round(c * p).cast("bigint")
     val withGrid = df
-      .withColumn("__lat_r", round(col(latCol) * p) / p)
-      .withColumn("__lon_r", round(col(lonCol) * p) / p)
+      .withColumn("__lat_k", cell(col(latCol)))
+      .withColumn("__lon_k", cell(col(lonCol)))
     val obs = spark.read.parquet(obsPath).select(
-      (Seq(col(obsLatField).cast("double").as("__lat_r"),
-        col(obsLonField).cast("double").as("__lon_r"),
+      (Seq(cell(col(obsLatField).cast("double")).as("__lat_k"),
+        cell(col(obsLonField).cast("double")).as("__lon_k"),
         col(obsTsField).cast("bigint").as("__obs_ts_us")) ++ valueCols.map(col)): _*)
     graft.operators.AsOfJoin
-      .leftAsOfBucketed(withGrid, obs, Seq("__lat_r", "__lon_r"), tsCol, "__obs_ts_us",
+      .leftAsOfBucketed(withGrid, obs, Seq("__lat_k", "__lon_k"), tsCol, "__obs_ts_us",
         valueCols, bucketWidthUs)
-      .drop("__lat_r", "__lon_r")
+      .drop("__lat_k", "__lon_k")
   }
 }
 

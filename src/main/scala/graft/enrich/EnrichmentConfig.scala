@@ -169,10 +169,24 @@ object EnrichmentConfig {
             val pathOpt = Option(jn.get("jsonPath")).map(_.asText())
             (fieldOpt, pathOpt) match {
               case (Some(f), Some(path)) =>
+                // PII must fail CLOSED: a name this expansion cannot
+                // normalize to a plain $.field segment (leftover quotes,
+                // brackets, wildcards) refuses the whole entry with a skip
+                // — a malformed path silently matching nothing would let
+                // the PII through unmasked
+                def cleanName(raw: String): Option[String] = {
+                  val n = raw.trim
+                    .stripPrefix("'").stripSuffix("'")
+                    .stripPrefix("\"").stripSuffix("\"")
+                  if (n.matches("[A-Za-z_][A-Za-z0-9_-]*")) Some(n) else None
+                }
                 val expanded: Option[Seq[String]] = path match {
                   case BracketList(prefix, names) =>
-                    Some(names.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
-                      .map(n => s"$prefix.$n").toSeq)
+                    val cleaned = names.split(",").toSeq.map(cleanName)
+                    if (cleaned.forall(_.isDefined) && prefix.startsWith("$") &&
+                        !prefix.contains("[") && !prefix.contains("*"))
+                      Some(cleaned.flatten.map(n => s"$prefix.$n"))
+                    else None
                   case simple if !simple.contains("[") && !simple.contains("*") &&
                       simple.startsWith("$.") => Some(Seq(simple))
                   case _ => None
@@ -279,22 +293,37 @@ object EnrichmentConfig {
           val outJson = Option(p.get("outputs")).flatMap(_.elements().asScala.toSeq.headOption)
             .flatMap(o => Option(o.get("json")))
           val jsonPath = outJson.flatMap(j => Option(j.get("jsonPath")).map(_.asText()))
+          // the TEMPLATE decides which inputs matter: extra inputs are
+          // reference-legal and unused; a placeholder without an input
+          // (or one only json-path-bound) cannot build a URL
+          val templateKeys: Seq[String] = uri.toSeq.flatMap(u =>
+            "\\{\\{([^}]+)\\}\\}".r.findAllMatchIn(u).map(_.group(1)).toSeq.distinct)
+          val activeKeys = keyOrder.filter(templateKeys.contains)
           (uri, uri.flatMap(apiLive.get)) match {
-            case _ if keyOrder.exists(k => !pojoByKey.contains(k)) =>
-              skipped += ((name, s"template keys ${keyOrder.filterNot(pojoByKey.contains).mkString(",")} have only json-path inputs; bind event columns (pojo) or construct graft.enrich.ApiRequestLookup directly"))
+            case _ if templateKeys.exists(k => !pojoByKey.contains(k)) =>
+              skipped += ((name, s"template placeholders ${templateKeys.filterNot(pojoByKey.contains).mkString(",")} have no pojo input (json-path inputs have no event column); bind event columns or construct graft.enrich.ApiRequestLookup directly"))
+            case _ if activeKeys.map(pojoByKey).distinct.size != activeKeys.size =>
+              skipped += ((name, s"two template placeholders bind the same event field (${activeKeys.map(pojoByKey).mkString(",")}) — alias the column or construct graft.enrich.ApiRequestLookup directly"))
             case _ if jsonPath.exists(jp => jp != "$" && !jp.matches("\\$\\.[A-Za-z_][A-Za-z0-9_]*")) =>
               skipped += ((name, s"output jsonPath '${jsonPath.get}' is deeper than the supported '$$' / '$$.field' forms — construct graft.enrich.ApiRequestLookup with a custom schema"))
             case (Some(u), Some(live)) =>
               val root = jsonPath.filter(_ != "$").map(_.stripPrefix("$."))
-              mapped += ApiRequestLookup(
-                keyCols = keyOrder.map(pojoByKey),
-                keyNames = keyOrder,
+              // any leftover construction-time require (malformed shapes
+              // this mapping didn't anticipate) lands in skipped — one bad
+              // config entry must never abort parsing of ALL configs
+              try mapped += ApiRequestLookup(
+                keyCols = activeKeys.map(pojoByKey),
+                keyNames = activeKeys,
                 uriTemplate = u,
                 transport = live.transport,
                 outputSchemaDdl = live.outputSchemaDdl,
                 jsonRoot = root.orNull,
                 cachePath = live.cachePath,
                 ttlSeconds = apiTtl)
+              catch {
+                case e: IllegalArgumentException =>
+                  skipped += ((name, s"construction rejected: ${e.getMessage}"))
+              }
             case (Some(u), None) =>
               skipped += ((name, s"no live HTTP injection for uri '$u' — pass apiLive = Map(uri -> EnrichmentConfig.ApiLive(transport, ddl))"))
             case (None, _) =>

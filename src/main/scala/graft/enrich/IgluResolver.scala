@@ -344,29 +344,41 @@ object IgluResolver {
 
   object RemoteResolver {
 
-    /** Default production transport over `java.net.http`: one shared
-      * pooled client (HTTP/2-capable, keep-alive), connect + request
-      * timeouts, and a single retry on transient failure (I/O error or a
-      * non-404 error status). Maps onto the resolver contract exactly —
-      * 200 → `Some(body)`, 404 → `None` (negative-cached by the caller),
+    /** Default production transport over `java.net.http`: a pooled client
+      * (HTTP/2-capable, keep-alive), connect + request timeouts, and a
+      * single retry on transient failure (I/O error or a non-404 error
+      * status). Maps onto the resolver contract exactly — 200 →
+      * `Some(body)`, 404 → `None` (negative-cached by the caller),
       * anything else after the retry → throw (repo skipped this lookup,
       * retried next resolution). Reference: the resolver's registry HTTP
       * lookup (iglu-scala-client RegistryLookup / the enrich assets'
       * pooled http client).
       *
-      * Driver-side only by design: resolution happens at plan build, so
-      * this client never ships inside a task closure (it is not
-      * serializable, deliberately). Also fits [[graft.enrich.ApiLookup]]'s
-      * `String => Option[String]` transport seam unchanged. */
+      * The returned function IS Serializable (the non-serializable
+      * HttpClient lives in a transient-lazy slot, built once per JVM on
+      * first use), so it rides task closures unchanged — the
+      * [[graft.enrich.ApiLookup]] / ApiRequestLookup / IdentityLookup
+      * transport seams ship it to executors via mapPartitions. */
     def httpTransport(
         connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(5),
         requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(10),
-        headers: Map[String, String] = Map.empty): String => Option[String] = {
-      val client = java.net.http.HttpClient.newBuilder()
+        headers: Map[String, String] = Map.empty): String => Option[String] =
+      new HttpTransportFn(connectTimeout, requestTimeout, headers)
+
+    private final class HttpTransportFn(
+      connectTimeout: java.time.Duration,
+      requestTimeout: java.time.Duration,
+      headers: Map[String, String]
+    ) extends (String => Option[String]) with Serializable {
+      // one pooled client per JVM-side instance, built lazily AFTER
+      // deserialization — java.net.http.HttpClient itself cannot ride a
+      // task closure
+      @transient private lazy val client = java.net.http.HttpClient.newBuilder()
         .connectTimeout(connectTimeout)
         .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
         .build()
-      url => {
+
+      def apply(url: String): Option[String] = {
         def once(): Either[String, Option[String]] =
           try {
             val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))

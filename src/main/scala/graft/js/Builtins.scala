@@ -15,19 +15,9 @@ object Builtins {
   private def native(name: String)(fn: (JsVal, List[JsVal]) => JsVal): JsNative = JsNative(name, fn)
   private def arg(args: List[JsVal], i: Int): JsVal = if (i < args.length) args(i) else JsUndef
 
-  /** Own enumerable property names: data props then accessor names, each in
-    * insertion order (mirrors the interpreter's for...in enumeration). */
-  private def ownKeys(o: JsObj): List[String] =
-    o.props.keys.toList ++
-      (if (o.accessors == null) Nil
-       else o.accessors.keys.filterNot(o.props.contains).toList)
-
-  /** Read an own property, invoking the getter for accessor properties. */
-  private def readOwn(o: JsObj, k: String): JsVal =
-    o.props.getOrElse(k,
-      if (o.accessors != null)
-        o.accessors.get(k).map { case (g, _) => callFn(g, o, Nil) }.getOrElse(JsUndef)
-      else JsUndef)
+  // for-in / keys / stringify share ONE enumeration definition (JsInterp)
+  private def ownKeys(o: JsObj): List[String] = JsInterp.ownEnumerableKeys(o)
+  private def readOwn(o: JsObj, k: String): JsVal = JsInterp.readOwnProp(o, k)
 
   /** ES5 [[DefineOwnProperty]] over the subset's object model: a
     * value-descriptor lands in `props`, a get/set descriptor lands in the
@@ -526,6 +516,7 @@ object Builtins {
         arg(a, 0) match {
           case o: JsObj => new JsArr(mutable.ArrayBuffer(ownKeys(o).map(JsStr(_)): _*))
           case arr: JsArr => new JsArr(mutable.ArrayBuffer(arr.items.indices.map(i => JsStr(i.toString)): _*))
+          case f: JsFunc => new JsArr(mutable.ArrayBuffer(f.statics.keys.map(JsStr(_)).toIndexedSeq: _*))
           case _ => JsVal.arr()
         }
       },
@@ -533,6 +524,7 @@ object Builtins {
         arg(a, 0) match {
           case o: JsObj => new JsArr(mutable.ArrayBuffer(ownKeys(o).map(readOwn(o, _)): _*))
           case arr: JsArr => new JsArr(arr.items.clone())
+          case f: JsFunc => new JsArr(mutable.ArrayBuffer(f.statics.values.toIndexedSeq: _*))
           case _ => JsVal.arr()
         }
       },
@@ -540,6 +532,9 @@ object Builtins {
         arg(a, 0) match {
           case o: JsObj =>
             new JsArr(mutable.ArrayBuffer(ownKeys(o).map(k => JsVal.arr(JsStr(k), readOwn(o, k))): _*))
+          case f: JsFunc =>
+            new JsArr(mutable.ArrayBuffer(
+              f.statics.map { case (k, v) => JsVal.arr(JsStr(k), v) }.toIndexedSeq: _*))
           case _ => JsVal.arr()
         }
       },
@@ -547,11 +542,12 @@ object Builtins {
         arg(a, 0) match {
           case dst: JsObj =>
             // ES spec: Object.assign reads accessor sources THROUGH their
-            // getters and writes plain data props on the destination
+            // getters and writes the destination via [[Set]] — destination
+            // setters (own or inherited) fire instead of being clobbered
+            val interp = JsInterp.active.get() match { case null => new JsInterp(); case i => i }
             a.drop(1).foreach {
               case src: JsObj => ownKeys(src).foreach { k =>
-                if (dst.accessors != null) dst.accessors.remove(k)
-                dst.props(k) = readOwn(src, k)
+                interp.setProp(dst, k, readOwn(src, k))
               }
               case _ => ()
             }
@@ -630,6 +626,7 @@ object Builtins {
           case arr: JsArr =>
             new JsArr(mutable.ArrayBuffer(
               arr.items.indices.map(i => JsStr(i.toString)) :+ JsStr("length"): _*))
+          case f: JsFunc => new JsArr(mutable.ArrayBuffer(f.statics.keys.map(JsStr(_)).toIndexedSeq: _*))
           case _ => JsVal.arr()
         }
       },

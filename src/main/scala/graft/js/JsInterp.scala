@@ -189,12 +189,7 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
         }
       case ForIn(name, objE, body) =>
         val keys: Seq[String] = eval(objE, env) match {
-          // own enumerable props: data props then accessor names (ES5
-          // accessors are enumerable; insertion order within each table)
-          case o: JsObj =>
-            o.props.keys.toSeq ++
-              (if (o.accessors == null) Seq.empty
-               else o.accessors.keys.filterNot(o.props.contains).toSeq)
+          case o: JsObj => JsInterp.ownEnumerableKeys(o)
           case a: JsArr => a.items.indices.map(_.toString)
           case _ => Seq.empty
         }
@@ -431,7 +426,10 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
     case _ => JsUndef // getter/setter slot left undefined
   }
 
-  private def setProp(o: JsObj, name: String, v: JsVal): Unit =
+  /** ES [[Set]] on an object: __proto__ special, own-data shadow, accessor
+    * setters down the chain, magic setters, else own data write. Exposed to
+    * [[Builtins]] so Object.assign gets real [[Set]] semantics. */
+  private[js] def setProp(o: JsObj, name: String, v: JsVal): Unit =
     if (name == "__proto__") v match {
       case p: JsObj =>
         // reject cycles: walking a cyclic chain would never terminate
@@ -614,6 +612,29 @@ object JsInterp {
     * (Array.map etc.) call user closures through the SAME step budget instead
     * of allocating a fresh engine per callback. */
   private[js] val active: ThreadLocal[JsInterp] = new ThreadLocal[JsInterp]
+
+  /** Own enumerable property names: data props then non-shadowed accessor
+    * names, each in insertion order. THE single definition of this
+    * enumeration — for-in, Object.keys/values/entries/assign, and
+    * JSON.stringify all go through here so they cannot desync. */
+  private[js] def ownEnumerableKeys(o: JsObj): List[String] =
+    o.props.keys.toList ++
+      (if (o.accessors == null) Nil
+       else o.accessors.keys.filterNot(o.props.contains).toList)
+
+  /** Read an own property, invoking the getter (through the thread's
+    * active interpreter) for accessor properties. */
+  private[js] def readOwnProp(o: JsObj, k: String): JsVal =
+    o.props.getOrElse(k,
+      if (o.accessors != null)
+        o.accessors.get(k).map {
+          case (f: JsFunc, _) =>
+            val interp = active.get() match { case null => new JsInterp(); case i => i }
+            interp.callFunction(f, o, Nil)
+          case (JsNative(_, nf), _) => nf(o, Nil)
+          case _ => JsUndef
+        }.getOrElse(JsUndef)
+      else JsUndef)
 
   /** Lexical environment (function-scoped, like `var`). */
   final class Env(val parent: Env) {

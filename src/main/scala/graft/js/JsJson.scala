@@ -153,20 +153,9 @@ object JsJson {
       case o: JsObj =>
         // accessor props serialize THROUGH their getter (spec JSON.stringify
         // behavior); setter-only accessors read as undefined and are dropped
-        val accRead: Seq[(String, JsVal)] =
-          if (o.accessors == null) Seq.empty
-          else o.accessors.iterator.collect {
-            case (k, (g, _)) if !o.props.contains(k) =>
-              val v = g match {
-                case f: JsFunc =>
-                  val interp = JsInterp.active.get() match { case null => new JsInterp(); case i => i }
-                  interp.callFunction(f, o, Nil)
-                case JsNative(_, nf) => nf(o, Nil)
-                case _ => JsUndef
-              }
-              (k, v)
-          }.toSeq
-        val kept = (o.props.iterator ++ accRead.iterator)
+        // — one shared enumeration with for-in / Object.keys (JsInterp)
+        val kept = JsInterp.ownEnumerableKeys(o).iterator
+          .map(k => (k, JsInterp.readOwnProp(o, k)))
           .filter { case (_, pv) => pv != JsUndef && !pv.isInstanceOf[JsFunc] && !pv.isInstanceOf[JsNative] }.toSeq
         if (kept.isEmpty) { sb.append("{}"); return }
         sb.append('{')

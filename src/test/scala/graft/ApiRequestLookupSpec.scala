@@ -97,6 +97,40 @@ class ApiRequestLookupSpec extends SparkSpec {
       n == "api_request_enrichment_config" && why.contains("deeper") })
   }
 
+  test("template/input alignment: unbound placeholders reject; unused inputs tolerated") {
+    import spark.implicits._
+    // a template placeholder with no input would fire literal {{...}} URLs
+    // and cache garbage — constructor rejects it loudly
+    intercept[IllegalArgumentException](ApiRequestLookup(
+      Seq("user_id"), Seq("user"),
+      "http://api.acme.com/users/{{client}}/{{user}}", recording, "name STRING"))
+    // config side: an EXTRA input not used by the template is
+    // reference-legal — the template decides the active keys
+    val cfgExtra =
+      s"""{"schema": "iglu:x/api_request_enrichment_config/jsonschema/1-0-0",
+         | "data": {"name": "api_request_enrichment_config", "vendor": "x", "enabled": true,
+         |   "parameters": {
+         |     "inputs": [{"key": "user", "pojo": {"field": "user_id"}},
+         |                {"key": "unused", "pojo": {"field": "app_id"}}],
+         |     "api": {"http": {"method": "GET", "uri": "http://one.example/u/{{user}}", "timeout": 1000}},
+         |     "outputs": [{"schema": "iglu:x/u/jsonschema/1-0-0", "json": {"jsonPath": "$$"}}],
+         |     "cache": {"size": 10, "ttl": 0}}}}""".stripMargin
+    val live = Map("http://one.example/u/{{user}}" ->
+      EnrichmentConfig.ApiLive(u => Some(s"""{"tail": "${u.split('/').last}"}"""), "tail STRING"))
+    val (pipe, skipped) = EnrichmentConfig.fromReferenceConfigs(Seq(cfgExtra), apiLive = live)
+    assert(skipped.isEmpty, skipped.mkString(", "))
+    val out = pipe.run(Seq(("web", "u1")).toDF("app_id", "user_id"))
+    assert(out.select("tail").head().getString(0) == "u1")
+    // and a config whose TEMPLATE names a key with no input skips, never throws
+    val cfgUnbound = cfgExtra.replace("http://one.example/u/{{user}}",
+      "http://one.example/{{ghost}}/u/{{user}}")
+    val (_, s2) = EnrichmentConfig.fromReferenceConfigs(Seq(cfgUnbound),
+      apiLive = Map("http://one.example/{{ghost}}/u/{{user}}" ->
+        EnrichmentConfig.ApiLive(recording, "tail STRING")))
+    assert(s2.exists { case (n, why) =>
+      n == "api_request_enrichment_config" && why.contains("ghost") })
+  }
+
   test("ttl'd cache: expiry re-fetches (hits AND misses); ttl=0 keeps entries forever") {
     import spark.implicits._
     val cache = java.nio.file.Files.createTempDirectory("apireq-ttl").resolve("dim").toString

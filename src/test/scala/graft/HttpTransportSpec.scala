@@ -78,6 +78,18 @@ class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[java.io.IOException](t("http://127.0.0.1:1/schemas/x"))
   }
 
+  test("the transport survives java serialization (it rides ApiLookup task closures)") {
+    val t = RemoteResolver.httpTransport(headers = Map("apikey" -> "s2"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(t); oos.close()
+    val t2 = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[String => Option[String]]
+    // the deserialized copy builds its own client lazily and works
+    assert(t2(s"$base/schemas/com.acme/cart/jsonschema/1-0-0").contains(schemaBody))
+    assert(lastApiKey == "s2")
+  }
+
   test("end-to-end: RemoteResolver resolves a schema over real local HTTP") {
     val cfgJson =
       s"""{"schema": "iglu:com.snowplowanalytics.iglu/resolver-config/jsonschema/1-0-1",

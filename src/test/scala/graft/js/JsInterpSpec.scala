@@ -437,4 +437,24 @@ class JsInterpSpec extends AnyFunSuite {
       "(function(){ function f(arguments) { return arguments } return f('param') })()"
     ) == JsStr("param"))
   }
+
+  test("Object.assign invokes destination setters ([[Set]] semantics, r11 review)") {
+    assert(evalExpr(
+      """(function(){
+        |  var t = { set x(v) { this.twice = v * 2 } };
+        |  Object.assign(t, {x: 5});
+        |  // the accessor survives and fired; no data prop clobbered it
+        |  return t.twice + ',' + Object.keys(t).join('|') + ',' + (t.x === undefined);
+        |})()""".stripMargin) == JsStr("10,twice|x,true"))
+  }
+
+  test("Object.keys/values/entries/getOwnPropertyNames enumerate function statics") {
+    assert(evalExpr(
+      """(function(){
+        |  function f(){}
+        |  f.a = 1; f.b = 2;
+        |  return Object.keys(f).join(',') + '|' + Object.values(f).join(',') +
+        |    '|' + Object.getOwnPropertyNames(f).join(',');
+        |})()""".stripMargin) == JsStr("a,b|1,2|a,b"))
+  }
 }
