@@ -103,7 +103,7 @@ final case class ApiRequestLookup(
         if (nMissing > 0)
           fetched.where(col("api_fetch_ok")).drop("api_fetch_ok")
             .write.mode("append").parquet(cachePath)
-        try CacheDim.read(spark, cachePath, "api_fetched_at")
+        try CacheDim.readCompacting(spark, cachePath, keyCols, "api_fetched_at", ttlSeconds, nowSec)
         catch { case _: Exception => cached }
       }
     val dimNewest = CacheDim.newestPerKey(

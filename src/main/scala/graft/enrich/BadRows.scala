@@ -1,0 +1,136 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's failed-events OUTPUT formats, over graft's structured
+  * failure channel (`bad_row_errors`).
+  *
+  * Two serializations, both self-describing JSON:
+  *
+  *  1. '''Failure entities as SDJs''' (reference
+  *     common/enrichments/Failure.scala:34 `toSDJ`): each failure renders as
+  *     `{"schema": failure/1-0-0, "data": FailureContext}` where
+  *     FailureContext carries `failureType, errors, schema, data, timestamp,
+  *     componentName, componentVersion` in exactly that key order — the
+  *     derived-context form the reference attaches to failed events when
+  *     `emitFailed` is on (EtlPipeline.scala:63).
+  *  2. '''The bad-row envelope''' (the classic bad stream every downstream
+  *     failed-events loader and recovery job parses): one
+  *     `{"schema": badrows envelope URI, "data": {processor, failure:
+  *     {timestamp, messages}, payload}}` document per failed event, with the
+  *     ORIGINAL payload preserved for reprocessing.
+  *
+  * Rendering is one codegen'd `to_json` projection per row
+  * (`ignoreNullFields=false` keeps the reference's explicit `"schema":null`
+  * / `"data":null` fields) — the serialization adds no shuffle and scales
+  * with the scan. [[triage]] is the read path back.
+  */
+object BadRows {
+
+  /** reference Failure.failureSchemaKey (Failure.scala:41). */
+  val FailureSchemaUri = "iglu:com.snowplowanalytics.snowplow/failure/jsonschema/1-0-0"
+
+  /** The bad-row stream envelope schema (the reference emits
+    * snowplow.badrows envelopes per BadRow subtype; enrichment failures ride
+    * enrichment_failures — EtlPipeline.scala:24). */
+  val EnvelopeSchemaUri =
+    "iglu:com.snowplowanalytics.snowplow.badrows/enrichment_failures/jsonschema/2-0-0"
+
+  /** processor.artifact / processor.version (reference badrows Processor). */
+  val Artifact = "graft-enrich"
+  val Version = "1.0.0"
+
+  /** graft taxonomy tokens that are JSON-Schema predicate violations —
+    * the reference renders these as failureType "ValidationError"
+    * (Failure.fromSchemaViolation). */
+  private val ValidationTypes = Seq(
+    "missing_field", "type_violation", "enum_violation", "pattern_violation",
+    "range_violation", "items_violation", "items_overflow", "length_violation",
+    "unknown_key", "invalid_context", "contexts_overflow")
+
+  /** Map a graft failure entity onto the reference's failureType string:
+    * resolution failures → "ResolutionError", schema-predicate violations →
+    * "ValidationError", everything else → "EnrichmentError: <identifier>"
+    * (Failure.scala fromEnrichmentFailure / fromSchemaViolation). */
+  def failureTypeString(entity: Column): Column = {
+    val ft = entity.getField("failure_type")
+    when(ft.isin("schema_unknown", "schema_not_found", "registry_failure"),
+        lit("ResolutionError"))
+      .when(ft.isin(ValidationTypes: _*), lit("ValidationError"))
+      .otherwise(concat(lit("EnrichmentError: "), entity.getField("enrichment")))
+  }
+
+  /** Circe-style ISO-8601 instant (sessions run UTC; micros granularity is
+    * graft's timestamp unit everywhere). */
+  def isoTimestamp(etlTstampUs: Column): Column =
+    date_format(timestamp_micros(etlTstampUs), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  /** One failure entity → the reference FailureContext struct, keys in the
+    * reference's declaration (= circe deriveEncoder) order. `data` stays
+    * null: graft entities don't carry the offending payload fragment — the
+    * envelope-level `payload` preserves the full original instead. */
+  private def failureContext(entity: Column, isoTs: Column): Column =
+    struct(
+      failureTypeString(entity).as("failureType"),
+      array(struct(entity.getField("message").as("message"))).as("errors"),
+      entity.getField("schema_key").as("schema"),
+      lit(null).cast("string").as("data"),
+      isoTs.as("timestamp"),
+      lit(Artifact).as("componentName"),
+      lit(Version).as("componentVersion"))
+
+  private val KeepNulls = Map("ignoreNullFields" -> "false")
+
+  /** The emitFailed derived-context form: the entity array rendered as a
+    * JSON array of failure/1-0-0 SDJs. */
+  def failureSdjsJson(errorsCol: Column, etlTstampUs: Column): Column = {
+    val iso = isoTimestamp(etlTstampUs)
+    to_json(
+      transform(errorsCol, e =>
+        struct(lit(FailureSchemaUri).as("schema"), failureContext(e, iso).as("data"))),
+      KeepNulls)
+  }
+
+  /** The bad-row envelope for one failed event: processor + the failure
+    * array + the original payload, as downstream consumers parse it. */
+  def badRowJson(errorsCol: Column, payload: Column, etlTstampUs: Column): Column = {
+    val iso = isoTimestamp(etlTstampUs)
+    to_json(
+      struct(
+        lit(EnvelopeSchemaUri).as("schema"),
+        struct(
+          struct(lit(Artifact).as("artifact"), lit(Version).as("version")).as("processor"),
+          struct(
+            iso.as("timestamp"),
+            transform(errorsCol, e => failureContext(e, iso)).as("messages")).as("failure"),
+          payload.as("payload")).as("data")),
+      KeepNulls)
+  }
+
+  /** Parse schema for [[triage]] — payload deliberately absent so Catalyst
+    * prunes it out of the JSON parse. */
+  val TriageDdl: String =
+    "schema STRING, data STRUCT<" +
+      "processor: STRUCT<artifact: STRING, version: STRING>, " +
+      "failure: STRUCT<timestamp: STRING, messages: ARRAY<STRUCT<" +
+      "failureType: STRING, errors: ARRAY<STRUCT<message: STRING>>, " +
+      "schema: STRING, timestamp: STRING, " +
+      "componentName: STRING, componentVersion: STRING>>>>"
+
+  /** The recovery-job READ path: parse emitted envelopes back into one row
+    * per failure message — (failure_type, schema, reason, component,
+    * component_version) — for the reprocess decision. */
+  def triage(df: DataFrame, jsonCol: String): DataFrame = {
+    val parsed = df.withColumn("_br",
+      from_json(col(jsonCol), org.apache.spark.sql.types.StructType.fromDDL(TriageDdl)))
+    parsed
+      .select(col("*"), explode(col("_br.data.failure.messages")).as("_msg"))
+      .select(
+        col("_msg.failureType").as("failure_type"),
+        col("_msg.schema").as("schema"),
+        element_at(col("_msg.errors"), 1).getField("message").as("reason"),
+        col("_msg.componentName").as("component"),
+        col("_msg.componentVersion").as("component_version"))
+  }
+}

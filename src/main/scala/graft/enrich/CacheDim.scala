@@ -36,4 +36,39 @@ private[enrich] object CacheDim {
     df.withColumn("_rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).desc)))
       .where(col("_rn") === 1).drop("_rn", tsCol)
+
+  /** Post-append read with self-compaction. The dims are APPEND-only across
+    * runs: under a nonzero ttl every expiry appends a fresh row and the
+    * shadowed/expired rows are never reclaimed, so the parquet grows without
+    * bound (maxKeys bounds per-run misses, not accumulated cache rows) and
+    * inflates the read + newest-per-key window + broadcast of every later
+    * run. When dead rows outnumber live ones (and the dim is big enough for
+    * churn to matter), rewrite it to newest-fresh-rows-only through a
+    * sibling temp dir + rename swap, so a crash mid-compaction never loses
+    * the live rows. Local/HDFS rename is atomic; on object stores run the
+    * compaction from a single maintenance job. Returns the (possibly
+    * compacted) raw dim — callers apply freshOnly/newestPerKey as usual. */
+  def readCompacting(
+    spark: SparkSession, path: String, keyCols: Seq[String], tsCol: String,
+    ttlSeconds: Long, nowSec: Long, minRows: Long = 64L
+  ): DataFrame = {
+    val raw = read(spark, path, tsCol)
+    val total = raw.count()
+    // live = newest row per key among the fresh ones, ts kept for future ttl
+    val live = freshOnly(raw, tsCol, ttlSeconds, nowSec)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).desc)))
+      .where(col("_rn") === 1).drop("_rn")
+    if (total < minRows) return raw
+    val liveN = live.count()
+    if (total - liveN <= liveN) return raw
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dimPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dimPath.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path._compact_$nowSec")
+    val old = new org.apache.hadoop.fs.Path(s"$path._old_$nowSec")
+    live.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.rename(dimPath, old) && fs.rename(tmp, dimPath)) fs.delete(old, true)
+    read(spark, path, tsCol)
+  }
 }

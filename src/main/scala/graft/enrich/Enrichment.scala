@@ -427,7 +427,7 @@ final case class ApiLookup(
         if (nMissing > 0)
           fetched.where(col("api_fetch_ok")).drop("api_fetch_ok")
             .write.mode("append").parquet(cachePath)
-        try CacheDim.read(spark, cachePath, "api_fetched_at")
+        try CacheDim.readCompacting(spark, cachePath, Seq(keyCol), "api_fetched_at", ttlSeconds, nowSec)
         catch { case _: Exception => cached } // nothing fetched, no prior cache
       }
     // same ttl filter post-append (an expired entry must not serve the join
@@ -519,7 +519,7 @@ final case class IdentityLookup(
       else {
         if (nMissing > 0)
           fetchedDf.where(col("_ok")).drop("_ok").write.mode("append").parquet(cachePath)
-        try CacheDim.read(spark, cachePath, "id_fetched_at")
+        try CacheDim.readCompacting(spark, cachePath, keyCols, "id_fetched_at", 0L, nowSec)
         catch { case _: Exception => cached }
       }
     // racing backfills can double-append a tuple: newest-fetch-wins keeps
@@ -834,6 +834,19 @@ final case class EnrichmentPipeline(enrichments: Seq[Enrichment]) {
     val enriched = run(df)
     (enriched.filter(size(col("bad_row_errors")) === 0),
      enriched.filter(size(col("bad_row_errors")) > 0))
+  }
+
+  /** The bad side serialized to the reference's self-describing bad-row
+    * envelope (see [[BadRows]]): one `bad_row` JSON column per failed event
+    * carrying processor + the failure contexts + the replay payload.
+    * `payloadCols` should name the RAW collector columns (graft enrichments
+    * add derived columns; the in-place mutators — AnonIp, PiiPseudonymize —
+    * rewrite their own column, so a payload that must stay pristine for
+    * replay should be copied aside before such an enrichment runs). */
+  def badRowsJson(df: DataFrame, payloadCols: Seq[String], etlTstampUs: Column): DataFrame = {
+    val (_, bad) = split(df)
+    bad.withColumn("bad_row",
+      BadRows.badRowJson(col("bad_row_errors"), struct(payloadCols.map(col): _*), etlTstampUs))
   }
 }
 

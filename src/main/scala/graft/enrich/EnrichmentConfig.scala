@@ -88,7 +88,14 @@ object EnrichmentConfig {
     ratesDims: Map[String, String] = Map.empty,
     /** Parquet observation dims for `weather_enrichment_config`, keyed by
       * the config's apiHost (lat_r/lon_r/obs_ts_us + value columns). */
-    weatherDims: Map[String, String] = Map.empty
+    weatherDims: Map[String, String] = Map.empty,
+    /** Materialized bot-ASN lists for `asn_lookups`, keyed by the config's
+      * `botAsnsFile` URI. The reference MERGES the file's CSV ASNs with the
+      * inline `botAsns` list (AsnLookupsEnrichment.create: csvAsns ++
+      * botAsns); with a file configured but no injected set the WHOLE entry
+      * skips — a partial (inline-only) flag would silently classify
+      * file-only ASNs as not-bot. */
+    asnBotLists: Map[String, Set[Long]] = Map.empty
   ): (EnrichmentPipeline, Seq[(String, String)]) = {
     val mapped = scala.collection.mutable.Buffer[Enrichment]()
     val skipped = scala.collection.mutable.Buffer[(String, String)]()
@@ -244,12 +251,25 @@ object EnrichmentConfig {
           }.toSet).getOrElse(Set.empty[Long])
           val bypass = Option(p.get("bypassPlatforms")).map(_.elements().asScala.map(_.asText()).toSet)
             .getOrElse(Set.empty[String])
-          if (p.get("botAsnsFile") != null)
-            skipped += ((name, "botAsnsFile CSV is not materialized here — fold its ASNs into AsnBotFlag(botAsns) or extend the inline list"))
-          if (inline.nonEmpty)
-            mapped += AsnBotFlag(inline, bypass)
-          else if (p.get("botAsnsFile") == null)
-            skipped += ((name, "config has neither botAsns nor botAsnsFile"))
+          // botAsnsFile is {uri, database} — key the injected set by the
+          // database FILENAME, same convention as geoDims
+          Option(p.get("botAsnsFile")).map(f =>
+            Option(f.get("database")).map(_.asText()).getOrElse(f.asText())) match {
+            case Some(file) =>
+              asnBotLists.get(file) match {
+                case Some(csvAsns) =>
+                  // reference AsnLookupsEnrichment.create: csvAsns ++ botAsns
+                  mapped += AsnBotFlag(csvAsns ++ inline, bypass)
+                case None =>
+                  // do NOT map the inline subset alone: events whose ASN is
+                  // only in the CSV would read asn_likely_bot=false instead
+                  // of unenriched — skip the whole entry with guidance
+                  skipped += ((name, s"botAsnsFile '$file' has no injected ASN set — pass asnBotLists = Map($file -> Set(asns...)) (parse the CSV once at plan time; the reference merges csvAsns ++ botAsns, so the inline subset alone would misclassify file-only ASNs)"))
+              }
+            case None =>
+              if (inline.nonEmpty) mapped += AsnBotFlag(inline, bypass)
+              else skipped += ((name, "config has neither botAsns nor botAsnsFile"))
+          }
         case "currency_conversion_config" =>
           // reference registry/CurrencyConversionEnrichment: OER-fed per-day
           // rates. The feed cannot ride a config file — deployments

@@ -218,8 +218,10 @@ object IgluResolver {
   ): (Map[String, Seq[FieldSpec]], Set[String], Map[String, String]) = {
     val want = if (keys.nonEmpty) keys else availableKeys(cfg)
     val hits = want.flatMap(k => lookup(cfg, k).map { case (repo, json) => (k, repo, json) })
-    val specs = hits.map { case (k, _, json) => k -> compileFieldSpecs(json)._1 }.toMap
-    val closed = hits.collect { case (k, _, json) if compileFieldSpecs(json)._2 => k }.toSet
+    // compile once per hit; specs and the closed set both derive from it
+    val compiled = hits.map { case (k, _, json) => k -> compileFieldSpecs(json) }
+    val specs = compiled.map { case (k, (fs, _)) => k -> fs }.toMap
+    val closed = compiled.collect { case (k, (_, isClosed)) if isClosed => k }.toSet
     val provenance = hits.map { case (k, repo, _) => k -> repo }.toMap
     (specs, closed, provenance)
   }

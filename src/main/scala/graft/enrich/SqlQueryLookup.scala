@@ -173,7 +173,7 @@ final case class SqlQueryLookup(
         if (nMissing > 0)
           fetched.where(col("sql_fetch_ok")).drop("sql_fetch_ok")
             .write.mode("append").parquet(cachePath)
-        try CacheDim.read(spark, cachePath, "sql_fetched_at")
+        try CacheDim.readCompacting(spark, cachePath, keyCols, "sql_fetched_at", ttlSeconds, nowSec)
         catch { case _: Exception => cached }
       }
     // the post-append re-read needs the SAME ttl filter as the lookup side:

@@ -115,7 +115,9 @@ object EventF {
     * (`strategy.pseudonymize.hashFunction`: MD5 | SHA-1 | SHA-256 |
     * SHA-384 | SHA-512). */
   def pseudonymize(c: Column, salt: String, hashFunction: String): Column = {
-    val salted = concat(lit(salt), c.cast("string")).cast("binary")
+    // reference pii/package.scala:78 scramble: hash(clearText + salt) —
+    // the salt is APPENDED, so cross-pipeline joins on pseudonyms line up
+    val salted = concat(c.cast("string"), lit(salt)).cast("binary")
     val hashed = hashFunction.toUpperCase match {
       case "MD5" => md5(salted)
       case "SHA-1" | "SHA1" => sha1(salted)

@@ -38,15 +38,23 @@ object Builtins {
           val (g0, s0) = acc.getOrElse(key, (JsUndef: JsVal, JsUndef: JsVal))
           acc(key) = (if (hasGet) desc.props("get") else g0,
             if (hasSet) desc.props("set") else s0)
-        } else {
+        } else if (hasValue) {
           if (o.accessors != null) o.accessors.remove(key)
-          o.props(key) = desc.props.getOrElse("value", JsUndef)
+          o.props(key) = desc.props("value")
+        } else {
+          // descriptor with none of value/get/set (e.g. {enumerable: true})
+          // leaves an existing property — data or accessor — unchanged per
+          // spec; only a NEW property defaults to value: undefined
+          val exists = o.props.contains(key) ||
+            (o.accessors != null && o.accessors.contains(key))
+          if (!exists) o.props(key) = JsUndef
         }
       case f: JsFunc =>
         if (hasGet || hasSet)
           throw JsThrown(JsStr(
             s"property '$key': accessor properties on functions (static get/set) are not supported in graft.js"))
-        f.statics(key) = desc.props.getOrElse("value", JsUndef)
+        if (hasValue) f.statics(key) = desc.props("value")
+        else if (!f.statics.contains(key)) f.statics(key) = JsUndef
       case other =>
         throw JsThrown(JsStr(s"cannot define property '$key' on ${typeOf(other)}"))
     }

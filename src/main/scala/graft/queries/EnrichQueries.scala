@@ -413,8 +413,8 @@ object EnrichQueries {
 
       "pii_pseudonymize" -> Synth.withCte(
         """SELECT event_id,
-          |  sha256(concat('pepper', user_id)) AS user_id_hash,
-          |  sha256(concat('pepper', ip)) AS ip_hash
+          |  sha256(concat(user_id, 'pepper')) AS user_id_hash,
+          |  sha256(concat(ip, 'pepper')) AS ip_hash
           |FROM raw ORDER BY event_id""".stripMargin),
 
       "cross_navigation" -> Synth.withCte(

@@ -141,7 +141,7 @@ object PipelineQuery {
            |  $dvceType AS dvce_type,
            |  $geo AS geo_country,
            |  amount_cents * rate_micro AS base_amount_e8,
-           |  sha256(concat('pepper', user_id)) AS user_id_hash,
+           |  sha256(concat(user_id, 'pepper')) AS user_id_hash,
            |  $fp AS event_fingerprint,
            |  $nErrors AS n_errors,
            |  $errEntities AS err_entities

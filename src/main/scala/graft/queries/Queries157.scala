@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.enrich.{BadRows, EnrichmentPipeline, FieldSpec, SchemaValidate, TrackerTransform}
+
+/** SURVEY §2 additions (round 12): the reference's failed-events OUTPUT
+  * format and its read path.
+  *
+  *  - `bad_rows_out`: a planted-failure corpus runs the REAL enrichment
+  *    chain (TrackerTransform + SchemaValidate), and every failed event
+  *    serializes to the self-describing bad-row envelope downstream
+  *    consumers parse (reference common/enrichments/Failure.scala:34
+  *    `toSDJ` FailureContext; envelope assembly in EtlPipeline.scala:24) —
+  *    schema URI, processor, ordered failure-context array, original
+  *    payload. The DuckDB twin reconstructs the envelope JSON byte-for-byte
+  *    from the planted arithmetic, so any drift in field order, null
+  *    rendering, escaping, or the taxonomy→failureType mapping
+  *    hash-mismatches.
+  *  - `bad_rows_triage`: the recovery-job READ path — parse the emitted
+  *    envelopes back into (failure_type, schema, reason, component) and roll
+  *    up for the reprocess decision.
+  */
+object Queries157 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed ETL timestamp so both engines agree: 2023-11-14T22:13:20Z. */
+  private val EtlUs = 1700000000000000L
+  private val Iso = "2023-11-14T22:13:20Z"
+
+  private val OrderUri = "iglu:com.acme/order/jsonschema/1-0-*"
+  private val UnknownUri = "iglu:com.acme/unknown/jsonschema/1-0-0"
+
+  /** Planted failures, one class per event_id % 7 residue:
+    *  1 → unknown tracker event code ("zz");
+    *  3 → self-describing payload under an UNKNOWN schema;
+    *  5 → required `sku` missing AND `qty` mistyped (two entities, in
+    *      enrichment order);
+    *  6 → `qty` mistyped only;
+    *  everything else enriches clean and stays out of the bad stream. */
+  private def planted(sp: SparkSession, dir: String): DataFrame = {
+    val e = col("event_id")
+    val s = (c: Column) => c.cast("string")
+    Tables.events(sp, dir).select(
+      e,
+      when(e % 7 === 1, lit("zz")).otherwise(lit("pv")).as("event_code"),
+      lit("web").as("platform_code"),
+      concat(s(e % 1200 + 320), lit("x"), s(e % 800 + 240)).as("res"),
+      lit(null).cast("string").as("xff"),
+      when(e % 7 === 3, lit(UnknownUri)).otherwise(lit("iglu:com.acme/order/jsonschema/1-0-0"))
+        .as("schema_str"),
+      when(e % 7 === 5, lit("{\"qty\":\"oops\"}"))
+        .when(e % 7 === 6, concat(lit("{\"sku\":\"sku"), s(e % 40), lit("\",\"qty\":\"oops\"}")))
+        .otherwise(concat(lit("{\"sku\":\"sku"), s(e % 40), lit("\",\"qty\":"), s(e % 9), lit("}")))
+        .as("up"))
+  }
+
+  private val pipe = EnrichmentPipeline(Seq(
+    TrackerTransform(),
+    SchemaValidate("up", "schema_str", Map(OrderUri -> Seq(
+      FieldSpec("sku", required = true),
+      FieldSpec("qty", typ = "bigint"))))))
+
+  private def envelopes(sp: SparkSession, dir: String): DataFrame =
+    pipe.badRowsJson(planted(sp, dir),
+      Seq("event_id", "event_code", "schema_str", "up"), lit(EtlUs))
+
+  val defs: Map[String, Q] = Map(
+    "bad_rows_out" -> { (sp, dir) =>
+      envelopes(sp, dir).select(col("event_id"), col("bad_row")).orderBy("event_id")
+    },
+
+    "bad_rows_triage" -> { (sp, dir) =>
+      BadRows.triage(envelopes(sp, dir), "bad_row")
+        .groupBy("failure_type", "schema", "reason", "component")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("failure_type", "reason")
+    }
+  )
+
+  // ---- DuckDB twins ----
+
+  /** FailureContext tail shared by every message (data null, fixed etl
+    * timestamp, processor identity). */
+  private val Tail =
+    s""","data":null,"timestamp":"$Iso","componentName":"${BadRows.Artifact}","componentVersion":"${BadRows.Version}"}"""
+
+  private def ctx(failureType: String, message: String, schemaSql: String): String =
+    s"""concat('{"failureType":"$failureType","errors":[{"message":"$message"}],"schema":', $schemaSql, '$Tail')"""
+
+  val oracles: Map[String, String] = Map(
+    "bad_rows_out" ->
+      s"""WITH base AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 7 = 1 THEN 'zz' ELSE 'pv' END AS event_code,
+         |    CASE WHEN event_id % 7 = 3 THEN '$UnknownUri'
+         |         ELSE 'iglu:com.acme/order/jsonschema/1-0-0' END AS schema_str,
+         |    CASE WHEN event_id % 7 = 5 THEN '{"qty":"oops"}'
+         |         WHEN event_id % 7 = 6 THEN concat('{"sku":"sku', event_id % 40, '","qty":"oops"}')
+         |         ELSE concat('{"sku":"sku', event_id % 40, '","qty":', event_id % 9, '}') END AS up
+         |  FROM events
+         |  WHERE event_id % 7 IN (1, 3, 5, 6)),
+         |msgs AS (
+         |  SELECT *,
+         |    CASE event_id % 7
+         |      WHEN 1 THEN ${ctx("EnrichmentError: tracker_transform", "unknown event code", "'null'")}
+         |      WHEN 3 THEN ${ctx("ResolutionError", "schema_unknown", s"concat('\"', schema_str, '\"')")}
+         |      WHEN 5 THEN concat(${ctx("ValidationError", "missing_field sku", s"'\"$OrderUri\"'")}, ',',
+         |                         ${ctx("ValidationError", "type_violation qty", s"'\"$OrderUri\"'")})
+         |      WHEN 6 THEN ${ctx("ValidationError", "type_violation qty", s"'\"$OrderUri\"'")}
+         |    END AS messages
+         |  FROM base)
+         |SELECT event_id,
+         |  concat('{"schema":"${BadRows.EnvelopeSchemaUri}",',
+         |    '"data":{"processor":{"artifact":"${BadRows.Artifact}","version":"${BadRows.Version}"},',
+         |    '"failure":{"timestamp":"$Iso","messages":[', messages, ']},',
+         |    '"payload":{"event_id":', event_id, ',"event_code":"', event_code,
+         |    '","schema_str":"', schema_str, '","up":"', replace(up, '"', '\\"'), '"}}}') AS bad_row
+         |FROM msgs ORDER BY event_id""".stripMargin,
+
+    "bad_rows_triage" ->
+      s"""SELECT failure_type, schema, reason, component, CAST(count(*) AS BIGINT) AS n
+         |FROM (
+         |  SELECT 'EnrichmentError: tracker_transform' AS failure_type, NULL AS schema,
+         |         'unknown event code' AS reason, '${BadRows.Artifact}' AS component
+         |  FROM events WHERE event_id % 7 = 1
+         |  UNION ALL SELECT 'ResolutionError', '$UnknownUri', 'schema_unknown', '${BadRows.Artifact}'
+         |  FROM events WHERE event_id % 7 = 3
+         |  UNION ALL SELECT 'ValidationError', '$OrderUri', 'missing_field sku', '${BadRows.Artifact}'
+         |  FROM events WHERE event_id % 7 = 5
+         |  UNION ALL SELECT 'ValidationError', '$OrderUri', 'type_violation qty', '${BadRows.Artifact}'
+         |  FROM events WHERE event_id % 7 IN (5, 6)
+         |) GROUP BY 1, 2, 3, 4
+         |ORDER BY failure_type, reason""".stripMargin
+  )
+}

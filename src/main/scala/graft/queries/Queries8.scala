@@ -317,9 +317,9 @@ object Queries8 {
     "pii_json_field" -> Synth.withCte(
       """SELECT event_id,
         |  concat('{"schema":"iglu:com.acme/user/jsonschema/1-0-0","data":{"email":"',
-        |         sha256(concat('pepper', 'u', event_id % 50, '@example.com')),
+        |         sha256(concat('u', event_id % 50, '@example.com', 'pepper')),
         |         '","name":"user ', event_id % 20, '","plan":"pro"}}') AS ctx_out,
-        |  sha256(concat('pepper', 'u', event_id % 50, '@example.com')) AS email_hash
+        |  sha256(concat('u', event_id % 50, '@example.com', 'pepper')) AS email_hash
         |FROM raw ORDER BY event_id""".stripMargin),
 
     "schema_validate" -> Synth.withCte(

@@ -241,6 +241,17 @@ class FunctionsSpec extends SparkSpec {
     assert(run("""{"data":{"plan":"pro"}}""") == """{"data":{"plan":"pro"}}""")
   }
 
+  test("pseudonymize appends the salt (reference scramble: hash(value + salt))") {
+    import spark.implicits._
+    import graft.functions.EventF
+    // known vector: sha256("bob@acme.com" + "pepper123") — pins the salt
+    // ORDER; the salt-first variant would be 3b3b3fdd... instead
+    val got = Seq("bob@acme.com").toDF("v")
+      .select(EventF.pseudonymize(col("v"), "pepper123").as("h"))
+      .collect()(0).getString(0)
+    assert(got == "1c6660411341411d5431669699149283d10e070224be4339d52bbc4b007e78c5")
+  }
+
   test("ANSI hardening: crafted garbage nulls out instead of aborting the job") {
     import spark.implicits._
     // every value here would throw under ANSI with plain cast/url_decode

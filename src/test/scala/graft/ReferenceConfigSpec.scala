@@ -47,9 +47,11 @@ class ReferenceConfigSpec extends SparkSpec {
     // data-backed entries name their graft replacement + injection point
     assert(skipped.exists { case (n, r) =>
       n == "ip_lookups" && r.contains("geoDims") && r.contains("IpGeoLookup") })
-    // asn_lookups: the inline botAsns list maps; the CSV half is reported
-    assert(names.contains("asn_bot_flag"))
-    assert(skipped.exists { case (n, r) => n == "asn_lookups" && r.contains("botAsnsFile") })
+    // asn_lookups configures a botAsnsFile: without the injected CSV set the
+    // WHOLE entry skips (a partial inline-only flag would misclassify
+    // file-only ASNs as not-bot), with guidance naming the injection point
+    assert(!names.contains("asn_bot_flag"))
+    assert(skipped.exists { case (n, r) => n == "asn_lookups" && r.contains("asnBotLists") })
     assert(skipped.exists { case (n, r) => n == "currency_conversion_config" && r == "disabled" })
     // nothing fell through unmapped
     assert(!skipped.exists(_._2 == "no graft mapping"), skipped.mkString(", "))
@@ -114,12 +116,14 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(rows(3).isNullAt(rows(3).fieldIndex("temp_c")), "null coordinates → null weather")
   }
 
-  test("asn_lookups: inline bot list flags ASNs, bypass platforms unclassified") {
+  test("asn_lookups: injected CSV set merges with inline list (csvAsns ++ botAsns)") {
     import spark.implicits._
     val cfg = new String(Files.readAllBytes(dir.resolve("asn_lookups.json")), "UTF-8")
-    val (pipe, _) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg))
+    val (pipe, skipped) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg),
+      asnBotLists = Map("bad-asn-list.csv" -> Set(789L)))
+    assert(skipped.isEmpty, skipped.mkString(", "))
     val bot = pipe.enrichments.collectFirst { case b: graft.enrich.AsnBotFlag => b }.get
-    assert(bot.botAsns == Set(123L, 456L))
+    assert(bot.botAsns == Set(123L, 456L, 789L))
     assert(bot.bypassPlatforms == Set("srv"))
     val df = Seq(
       (java.lang.Long.valueOf(123L), "web", 1L),
@@ -148,7 +152,8 @@ class ReferenceConfigSpec extends SparkSpec {
         |     "asn": {"database": "GeoLite2-ASN.mmdb", "uri": "http://assets.example.com/maxmind"}}}}""".stripMargin
     // asn_lookups FIRST in the file order — the flag must still see ip_asn
     val (pipe, _) = EnrichmentConfig.fromReferenceConfigs(Seq(asnCfg, ipCfg),
-      geoDims = Map("GeoLite2-ASN.mmdb" -> geoPath))
+      geoDims = Map("GeoLite2-ASN.mmdb" -> geoPath),
+      asnBotLists = Map("bad-asn-list.csv" -> Set.empty[Long]))
     assert(pipe.enrichments.map(_.name) == Seq("ip_asn_lookup", "asn_bot_flag"))
     val out = pipe.run(Seq(("1.0.0.5", "web", 1L), ("192.0.0.10", "web", 2L))
       .toDF("user_ipaddress", "platform", "id")).orderBy("id").collect()

@@ -1,0 +1,55 @@
+package graft.enrich
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** CacheDim.readCompacting: the live-lookup dims are append-only across
+  * runs, so expired/shadowed rows accumulate without bound under a nonzero
+  * ttl. When dead rows outnumber live ones the read rewrites the dim to
+  * newest-fresh-rows-only via temp-dir + rename; small or mostly-live dims
+  * are left untouched (no churn). */
+class CacheDimSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val Now = 10000L
+
+  test("mostly-dead dim compacts on disk to newest-fresh-rows-only") {
+    val path = Files.createTempDirectory("cachedim").toString + "/dim"
+    // 96 shadowed/expired rows + 32 live: two appends, like two runs
+    val stale = (1 to 96).map(i => (s"k${i % 32}", s"old-$i", 1L))
+      .toDF("k", "resp", "ts")
+    val fresh = (0 until 32).map(i => (s"k$i", s"new-$i", Now - 5L))
+      .toDF("k", "resp", "ts")
+    stale.write.parquet(path)
+    fresh.write.mode("append").parquet(path)
+
+    val out = CacheDim.readCompacting(spark, path, Seq("k"), "ts",
+      ttlSeconds = 100L, nowSec = Now)
+    assert(out.count() == 32)
+    // the parquet itself was rewritten, not just filtered at read time
+    val onDisk = spark.read.parquet(path)
+    assert(onDisk.count() == 32)
+    assert(onDisk.where(col("resp").startsWith("old-")).count() == 0)
+    // ts survives the rewrite so future runs still apply the ttl
+    assert(onDisk.columns.contains("ts"))
+    // and the compacted dim round-trips through the normal read path
+    assert(CacheDim.read(spark, path, "ts").count() == 32)
+  }
+
+  test("small or mostly-live dims are not rewritten") {
+    val small = Files.createTempDirectory("cachedim").toString + "/dim"
+    (1 to 10).map(i => (s"k$i", s"v$i", 1L)).toDF("k", "resp", "ts")
+      .write.parquet(small)
+    CacheDim.readCompacting(spark, small, Seq("k"), "ts", 100L, Now)
+    assert(spark.read.parquet(small).count() == 10, "below minRows: untouched")
+
+    val live = Files.createTempDirectory("cachedim").toString + "/dim"
+    ((1 to 70).map(i => (s"k$i", s"v$i", Now - 5L)) ++
+      (1 to 30).map(i => (s"s$i", s"v$i", 1L)))
+      .toDF("k", "resp", "ts").write.parquet(live)
+    CacheDim.readCompacting(spark, live, Seq("k"), "ts", 100L, Now)
+    assert(spark.read.parquet(live).count() == 100,
+      "dead rows a minority: untouched (compaction is for unbounded growth, not tidiness)")
+  }
+}

@@ -150,6 +150,24 @@ class JsSubsetSpec extends AnyFunSuite {
     assert(r.contextsJson.contains("\"keys\":[\"x\",\"lazy\"]"))
   }
 
+  test("defineProperty with no value/get/set leaves an existing property intact (r12)") {
+    val r = run(
+      """function process(e) {
+        |  var o = {x: 7};
+        |  Object.defineProperty(o, 'x', {enumerable: true}); // ES5: value unchanged
+        |  Object.defineProperty(o, 'fresh', {enumerable: true}); // new prop -> undefined
+        |  Object.defineProperty(o, 'g', {get: function(){ return 5 }});
+        |  Object.defineProperty(o, 'g', {enumerable: true}); // accessor survives
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0', data: {
+        |    x: o.x, freshU: o.fresh === undefined, g: o.g
+        |  }}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"x\":7"))
+    assert(r.contextsJson.contains("\"freshU\":true"))
+    assert(r.contextsJson.contains("\"g\":5"))
+  }
+
   test("Object.create rejects a non-object descriptor map instead of ignoring it") {
     val r = run(
       """function process(e) {
