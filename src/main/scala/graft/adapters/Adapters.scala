@@ -325,20 +325,86 @@ object IgluQsAdapter {
   }
 }
 
-/** Remote adapter (reference `adapters/registry/RemoteAdapter.scala:34`):
-  * the reference POSTs each payload to an external HTTP service that
-  * returns the adapted events. Network egress is not a Spark-shaped
-  * per-row concern — the transport is injected as a function and invoked
-  * per partition (production: one pooled HTTP client per partition,
-  * batched calls). Tests inject a deterministic local transport. */
-final case class RemoteAdapter(transport: String => Seq[String]) extends Serializable {
-  def apply(df: DataFrame, payloadCol: String): DataFrame = {
-    import df.sparkSession.implicits._
-    val idx = df.columns.indexOf(payloadCol)
-    require(idx >= 0, s"missing column $payloadCol")
-    df.select(col(payloadCol)).as[String]
-      .mapPartitions { it => it.flatMap(transport) }
-      .toDF("adapted_event")
+/** Remote adapter (reference `adapters/registry/RemoteAdapter.scala:48`
+  * `toRawEvents`): the reference POSTs each payload to a user webservice as
+  * `{"contentType", "queryString", "headers", "body"}` and parses the
+  * response's `{"events": [{param: value}, ...]}` back into RawEvents.
+  *
+  * Joins-not-RPC: egress is bounded by |DISTINCT payload bodies|, never
+  * |events| —
+  *
+  *  1. the distinct bodies materialize (maxPayloads fail-fast);
+  *  2. each builds the reference's request envelope and resolves ONCE
+  *     through the injected transport (production:
+  *     `IgluResolver.RemoteResolver.httpTransport()` wrapped to POST;
+  *     tests: a deterministic function or a local HTTP fixture);
+  *  3. responses parse to the events list and broadcast-join back onto the
+  *     fact, exploding one output row per returned event.
+  *
+  * Failure contract (the ApiLookup posture): a transport that throws or a
+  * response that is not a non-empty events list NEVER kills the stage — the
+  * payload's rows keep `event_params` null and carry the reference's
+  * `[REMOTE_ADAPTER]`-prefixed reason in `adapter_failure` (the bad-row
+  * channel input; FailureDetails.AdapterFailure in the reference). Nothing
+  * is cached, so failures retry on the next run by construction.
+  */
+final case class RemoteAdapter(
+  transport: String => Option[String],
+  contentType: String = "application/json",
+  maxPayloads: Long = 1000000L
+) extends Serializable {
+
+  /** One output row per adapted event: every input column plus
+    * `event_index` (position in the returned events list), `event_params`
+    * (the returned parameter map), and `adapter_failure` (null on
+    * success). */
+  def apply(df: DataFrame, payloadCol: String, queryString: Map[String, String] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(df.columns.contains(payloadCol), s"missing column $payloadCol")
+    val bodies = df.select(col(payloadCol).cast("string").as("_body")).na.drop().distinct()
+    val nBodies = bodies.count()
+    require(nBodies <= maxPayloads,
+      s"remote_adapter: $nBodies distinct payload bodies exceed maxPayloads=$maxPayloads — " +
+        "bound the payload domain or raise the limit explicitly")
+    // the reference's request envelope, built per DISTINCT body
+    val qsEntries = queryString.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val requests = bodies.withColumn("_req", to_json(struct(
+      lit(contentType).as("contentType"),
+      map(qsEntries: _*).cast("map<string,string>").as("queryString"),
+      array().cast("array<string>").as("headers"),
+      col("_body").as("body"))))
+    val t = transport
+    val fetched = requests.select("_body", "_req").as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (body, req) =>
+          scala.util.Try(t(req)) match {
+            case scala.util.Success(Some(res)) => (body, res, null: String)
+            case scala.util.Success(None) =>
+              (body, null: String, "[REMOTE_ADAPTER] empty response from remote adapter")
+            case scala.util.Failure(ex) =>
+              (body, null: String,
+                s"[REMOTE_ADAPTER] could not get response from remote adapter: ${ex.getMessage}")
+          }
+        }
+      }.toDF("_body", "_res", "_err")
+    val parsed = fetched
+      .withColumn("_events",
+        from_json(col("_res"), org.apache.spark.sql.types.StructType
+          .fromDDL("events ARRAY<MAP<STRING, STRING>>")).getField("events"))
+      .withColumn("_err",
+        when(col("_err").isNotNull, col("_err"))
+          .when(col("_res").isNotNull && col("_events").isNull,
+            lit("[REMOTE_ADAPTER] response could not be decoded as a list of json objects"))
+          .when(col("_res").isNotNull && size(col("_events")) === 0,
+            lit("[REMOTE_ADAPTER] empty list of events")))
+      .withColumn("_events", when(col("_err").isNull, col("_events")))
+      .select("_body", "_events", "_err")
+    df.join(broadcast(parsed), df(payloadCol).cast("string") === parsed("_body"), "left")
+      .select(col("*"), posexplode_outer(col("_events")).as(Seq("event_index", "event_params")))
+      .withColumnRenamed("_err", "adapter_failure")
+      .drop("_body", "_events")
   }
 }
 

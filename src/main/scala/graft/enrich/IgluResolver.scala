@@ -367,10 +367,25 @@ object IgluResolver {
         headers: Map[String, String] = Map.empty): String => Option[String] =
       new HttpTransportFn(connectTimeout, requestTimeout, headers)
 
+    /** POST variant for body-shipping seams ([[graft.adapters.RemoteAdapter]]):
+      * the returned function POSTs its ARGUMENT as the request body to the
+      * fixed `url`, under the same contract as [[httpTransport]] —
+      * 200 → `Some(body)`, 404 → `None`, anything else after one retry →
+      * throw. Same pooled-client-per-JVM serialization story. */
+    def httpPostTransport(
+        url: String,
+        contentType: String = "application/json",
+        connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(5),
+        requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(10),
+        headers: Map[String, String] = Map.empty): String => Option[String] =
+      new HttpTransportFn(connectTimeout, requestTimeout,
+        headers + ("Content-Type" -> contentType), postTo = url)
+
     private final class HttpTransportFn(
       connectTimeout: java.time.Duration,
       requestTimeout: java.time.Duration,
-      headers: Map[String, String]
+      headers: Map[String, String],
+      postTo: String = null
     ) extends (String => Option[String]) with Serializable {
       // one pooled client per JVM-side instance, built lazily AFTER
       // deserialization — java.net.http.HttpClient itself cannot ride a
@@ -380,11 +395,16 @@ object IgluResolver {
         .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
         .build()
 
-      def apply(url: String): Option[String] = {
+      /** GET mode: `arg` is the URL. POST mode (postTo != null): `arg` is
+        * the request BODY, shipped to the fixed endpoint. */
+      def apply(arg: String): Option[String] = {
+        val url = if (postTo == null) arg else postTo
         def once(): Either[String, Option[String]] =
           try {
             val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-              .timeout(requestTimeout).GET()
+              .timeout(requestTimeout)
+            if (postTo == null) b.GET()
+            else b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(arg))
             headers.foreach { case (k, v) => b.header(k, v) }
             val resp = client.send(b.build(),
               java.net.http.HttpResponse.BodyHandlers.ofString())

@@ -77,6 +77,35 @@ object Queries157 {
         .groupBy("failure_type", "schema", "reason", "component")
         .agg(count(lit(1)).as("n"))
         .orderBy("failure_type", "reason")
+    },
+
+    "adapter_remote" -> { (sp, dir) =>
+      // reference adapters/registry/RemoteAdapter.scala:48 — POST the
+      // payload envelope to a user webservice, parse {"events":[{k:v}...]}
+      // back, one raw event per element. Deterministic transport: the
+      // response derives from the request body (ev → n events), with
+      // planted transport failures (%13) and malformed responses (%11) —
+      // the DuckDB twin recomputes all three outcomes from the arithmetic.
+      val e = col("event_id")
+      val ev = Tables.events(sp, dir).select(
+        e,
+        concat(lit("ev="), e.cast("string"), lit("&n="), ((e % 3) + 1).cast("string")).as("body"))
+      val transport: String => Option[String] = { req =>
+        val body = "\"body\":\"([^\"]*)\"".r.findFirstMatchIn(req).map(_.group(1)).getOrElse("")
+        val id = "ev=(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
+        val n = "n=(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+        if (id % 13 == 0) throw new java.io.IOException("timeout")
+        else if (id % 11 == 0) Some("not json")
+        else Some((0 until n)
+          .map(i => s"""{"aid":"app-${id % 5}","idx":"$i"}""")
+          .mkString("""{"events":[""", ",", "]}"))
+      }
+      graft.adapters.RemoteAdapter(transport).apply(ev, "body")
+        .select(e, col("event_index"),
+          element_at(col("event_params"), "aid").as("aid"),
+          element_at(col("event_params"), "idx").as("idx"),
+          col("adapter_failure"))
+        .orderBy("event_id", "event_index")
     }
   )
 
@@ -133,6 +162,29 @@ object Queries157 {
          |  UNION ALL SELECT 'ValidationError', '$OrderUri', 'type_violation qty', '${BadRows.Artifact}'
          |  FROM events WHERE event_id % 7 IN (5, 6)
          |) GROUP BY 1, 2, 3, 4
-         |ORDER BY failure_type, reason""".stripMargin
+         |ORDER BY failure_type, reason""".stripMargin,
+
+    "adapter_remote" ->
+      """WITH base AS (
+        |  SELECT event_id, event_id % 3 + 1 AS n FROM events),
+        |ok AS (
+        |  SELECT event_id, i AS event_index,
+        |    concat('app-', event_id % 5) AS aid, CAST(i AS VARCHAR) AS idx,
+        |    CAST(NULL AS VARCHAR) AS adapter_failure
+        |  FROM (
+        |    SELECT event_id, n, CAST(0 AS INTEGER) AS i FROM base
+        |    UNION ALL SELECT event_id, n, CAST(1 AS INTEGER) FROM base WHERE n > 1
+        |    UNION ALL SELECT event_id, n, CAST(2 AS INTEGER) FROM base WHERE n > 2)
+        |  WHERE event_id % 13 != 0 AND event_id % 11 != 0),
+        |bad AS (
+        |  SELECT event_id, CAST(NULL AS INTEGER) AS event_index,
+        |    CAST(NULL AS VARCHAR) AS aid, CAST(NULL AS VARCHAR) AS idx,
+        |    CASE WHEN event_id % 13 = 0
+        |         THEN '[REMOTE_ADAPTER] could not get response from remote adapter: timeout'
+        |         ELSE '[REMOTE_ADAPTER] response could not be decoded as a list of json objects'
+        |    END AS adapter_failure
+        |  FROM base WHERE event_id % 13 = 0 OR event_id % 11 = 0)
+        |SELECT * FROM (SELECT * FROM ok UNION ALL SELECT * FROM bad)
+        |ORDER BY event_id, event_index""".stripMargin
   )
 }

@@ -206,16 +206,43 @@ class AdaptersSpec extends SparkSpec {
     assert(ig.getAs[Map[String, String]]("data_params") == Map("sku" -> "s1"))
   }
 
-  test("remote adapter: injected transport maps payloads to adapted events") {
+  test("remote adapter: envelope POST, events explode, failures stay typed rows") {
     import graft.adapters.RemoteAdapter
     import spark.implicits._
-    // deterministic local transport standing in for the reference's HTTP
-    // round trip (RemoteAdapter.scala:34)
-    val adapter = RemoteAdapter(p => Seq(s"""{"adapted":"$p-1"}""", s"""{"adapted":"$p-2"}"""))
-    val out = adapter(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), "payload")
-      .as[String].collect().sorted
-    assert(out.length == 4)
-    assert(out.contains("""{"adapted":"a-1"}""") && out.contains("""{"adapted":"b-2"}"""))
+    // deterministic transport standing in for the reference's HTTP round
+    // trip (RemoteAdapter.scala:48): it sees the full request envelope.
+    // JVM-static holder — the task-deserialized closure copy must write
+    // somewhere the test thread can read (local[*] only; ApiLookupSpec
+    // pattern)
+    AdaptersSpec.lastRemoteReq.set(null)
+    val adapter = RemoteAdapter({ req =>
+      AdaptersSpec.lastRemoteReq.set(req)
+      val body = """"body":"([^"]*)"""".r.findFirstMatchIn(req).map(_.group(1)).get
+      body match {
+        case "boom" => throw new java.io.IOException("timeout")
+        case "junk" => Some("not json")
+        case "none" => Some("""{"events":[]}""")
+        case b => Some(s"""{"events":[{"e":"ue","src":"$b"},{"e":"pv","src":"$b"}]}""")
+      }
+    })
+    val out = adapter(
+      Seq((1L, "a"), (2L, "boom"), (3L, "junk"), (4L, "none"), (5L, "a")).toDF("id", "payload"),
+      "payload", queryString = Map("k" -> "v")).orderBy("id", "event_index").collect()
+    // the reference's envelope fields ride the request
+    val seenReq = AdaptersSpec.lastRemoteReq.get()
+    assert(seenReq.contains(""""contentType":"application/json""""))
+    assert(seenReq.contains(""""queryString":{"k":"v"}""") && seenReq.contains(""""body":"""))
+    // 2 events per good payload (ids 1 and 5 SHARE the distinct fetch), 1
+    // typed-failure row per bad payload
+    assert(out.length == 2 + 1 + 1 + 1 + 2)
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId(1L).map(_.getAs[Map[String, String]]("event_params")("e")).toSeq == Seq("ue", "pv"))
+    assert(byId(5L).length == 2, "duplicate payloads reuse the one fetch")
+    assert(byId(2L)(0).getAs[String]("adapter_failure")
+      .startsWith("[REMOTE_ADAPTER] could not get response"))
+    assert(byId(3L)(0).getAs[String]("adapter_failure")
+      .contains("could not be decoded as a list of json objects"))
+    assert(byId(4L)(0).getAs[String]("adapter_failure").contains("empty list of events"))
   }
 
   test("redirect adapter: u param becomes uri_redirect unstruct event or context") {
@@ -239,4 +266,9 @@ class AdaptersSpec extends SparkSpec {
     assert(out(2).getAs[String]("e") == null)
     assert(out(2).getAs[String]("tv") == null)
   }
+}
+
+object AdaptersSpec {
+  /** JVM-shared slot for the remote adapter's last seen request envelope. */
+  val lastRemoteReq = new java.util.concurrent.atomic.AtomicReference[String](null)
 }

@@ -33,8 +33,18 @@ class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val schemaBody =
     """{"type":"object","properties":{"sku":{"type":"string"}},"required":["sku"]}"""
 
+  @volatile private var lastPostBody: String = null
+  @volatile private var lastPostContentType: String = null
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/remote", (ex: HttpExchange) => {
+      // RemoteAdapter fixture: echo the envelope's body back as one event
+      lastPostBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      lastPostContentType = ex.getRequestHeaders.getFirst("Content-Type")
+      val body = """"body":"([^"]*)"""".r.findFirstMatchIn(lastPostBody).map(_.group(1)).getOrElse("")
+      respond(ex, 200, s"""{"events":[{"echo":"$body"}]}""")
+    })
     s.createContext("/schemas/com.acme/cart/jsonschema/1-0-0", (ex: HttpExchange) => {
       hits.incrementAndGet()
       lastApiKey = ex.getRequestHeaders.getFirst("apikey")
@@ -88,6 +98,30 @@ class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the deserialized copy builds its own client lazily and works
     assert(t2(s"$base/schemas/com.acme/cart/jsonschema/1-0-0").contains(schemaBody))
     assert(lastApiKey == "s2")
+  }
+
+  test("httpPostTransport: POSTs its argument as the body with the content type") {
+    val t = RemoteResolver.httpPostTransport(s"$base/remote")
+    val res = t("""{"contentType":"application/json","body":"ev=7"}""")
+    assert(res.contains("""{"events":[{"echo":"ev=7"}]}"""))
+    assert(lastPostBody == """{"contentType":"application/json","body":"ev=7"}""")
+    assert(lastPostContentType == "application/json")
+    // 404 → None under the shared transport contract
+    assert(RemoteResolver.httpPostTransport(s"$base/schemas/com.acme/missing")("x").isEmpty)
+  }
+
+  test("RemoteAdapter end-to-end over the real local HTTP fixture") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val out = graft.adapters.RemoteAdapter(RemoteResolver.httpPostTransport(s"$base/remote"))
+      .apply(Seq((1L, "ev=1"), (2L, "ev=2")).toDF("id", "payload"), "payload")
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Map[String, String]]("event_params") == Map("echo" -> "ev=1"))
+    assert(out(1).getAs[String]("adapter_failure") == null)
   }
 
   test("end-to-end: RemoteResolver resolves a schema over real local HTTP") {

@@ -1,0 +1,68 @@
+package graft.enrich
+
+import org.apache.spark.sql.functions._
+
+/** BadRows: the reference's failed-events OUTPUT formats
+  * (common/enrichments/Failure.scala toSDJ; bad-row envelope). Pins the
+  * exact serialized bytes — key order, explicit nulls, escaping — because
+  * downstream failed-events consumers parse these documents. */
+class BadRowsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val EtlUs = 1700000000000000L // 2023-11-14T22:13:20Z
+
+  private def planted = {
+    val df = Seq(("e1", "zz"), ("e2", "pv")).toDF("id", "event_code")
+      .withColumn("platform_code", lit("web"))
+      .withColumn("res", lit("800x600"))
+      .withColumn("xff", lit(null).cast("string"))
+    EnrichmentPipeline(Seq(TrackerTransform()))
+      .badRowsJson(df, Seq("id", "event_code"), lit(EtlUs))
+  }
+
+  test("bad-row envelope: exact bytes — key order, explicit nulls, payload") {
+    val rows = planted.select("id", "bad_row").collect()
+    assert(rows.length == 1, "only the failed event reaches the bad stream")
+    val expected =
+      """{"schema":"iglu:com.snowplowanalytics.snowplow.badrows/enrichment_failures/jsonschema/2-0-0",""" +
+        """"data":{"processor":{"artifact":"graft-enrich","version":"1.0.0"},""" +
+        """"failure":{"timestamp":"2023-11-14T22:13:20Z","messages":[""" +
+        """{"failureType":"EnrichmentError: tracker_transform","errors":[{"message":"unknown event code"}],""" +
+        """"schema":null,"data":null,"timestamp":"2023-11-14T22:13:20Z",""" +
+        """"componentName":"graft-enrich","componentVersion":"1.0.0"}]},""" +
+        """"payload":{"id":"e1","event_code":"zz"}}}"""
+    assert(rows(0).getString(1) == expected)
+  }
+
+  test("failure SDJs: the emitFailed derived-context form, one SDJ per entity") {
+    val df = Seq(("doc", "iglu:com.acme/x/jsonschema/9-0-0")).toDF("up", "schema_str")
+    val out = EnrichmentPipeline(Seq(
+      SchemaValidate("up", "schema_str", Map("iglu:com.acme/x/jsonschema/1-0-*" -> Nil))))
+      .run(df)
+      .select(BadRows.failureSdjsJson(col("bad_row_errors"), lit(EtlUs)).as("sdjs"))
+      .collect()(0).getString(0)
+    assert(out.startsWith("""[{"schema":"iglu:com.snowplowanalytics.snowplow/failure/jsonschema/1-0-0","data":{"failureType":"ResolutionError""""))
+    assert(out.contains(""""schema":"iglu:com.acme/x/jsonschema/9-0-0""""),
+      "the violated schema key rides in the context")
+  }
+
+  test("triage parses envelopes back into (failure_type, schema, reason, component)") {
+    val t = BadRows.triage(planted, "bad_row").collect()(0)
+    assert(t.getAs[String]("failure_type") == "EnrichmentError: tracker_transform")
+    assert(t.getAs[String]("schema") == null)
+    assert(t.getAs[String]("reason") == "unknown event code")
+    assert(t.getAs[String]("component") == "graft-enrich")
+    assert(t.getAs[String]("component_version") == "1.0.0")
+  }
+
+  test("multi-failure events keep enrichment order in the messages array") {
+    val df = Seq(("{}", "iglu:com.acme/x/jsonschema/1-0-0")).toDF("up", "schema_str")
+    val pipe = EnrichmentPipeline(Seq(
+      SchemaValidate("up", "schema_str", Map("iglu:com.acme/x/jsonschema/1-0-*" -> Seq(
+        FieldSpec("a", required = true), FieldSpec("b", required = true))))))
+    val msgs = BadRows.triage(
+      pipe.badRowsJson(df, Seq("up"), lit(EtlUs)), "bad_row")
+      .select("reason").collect().map(_.getString(0)).toSeq
+    assert(msgs == Seq("missing_field a", "missing_field b"))
+  }
+}
