@@ -121,16 +121,17 @@ object BadRows {
   /** The recovery-job READ path: parse emitted envelopes back into one row
     * per failure message — (failure_type, schema, reason, component,
     * component_version) — for the reprocess decision. */
-  def triage(df: DataFrame, jsonCol: String): DataFrame = {
-    val parsed = df.withColumn("_br",
-      from_json(col(jsonCol), org.apache.spark.sql.types.StructType.fromDDL(TriageDdl)))
-    parsed
-      .select(col("*"), explode(col("_br.data.failure.messages")).as("_msg"))
+  def triage(df: DataFrame, jsonCol: String): DataFrame =
+    df
+      // project to the one JSON column FIRST: everything else prunes out of
+      // the scan before the parse/generate pipeline
+      .select(from_json(col(jsonCol),
+        org.apache.spark.sql.types.StructType.fromDDL(TriageDdl)).as("_br"))
+      .select(explode(col("_br.data.failure.messages")).as("_msg"))
       .select(
         col("_msg.failureType").as("failure_type"),
         col("_msg.schema").as("schema"),
         element_at(col("_msg.errors"), 1).getField("message").as("reason"),
         col("_msg.componentName").as("component"),
         col("_msg.componentVersion").as("component_version"))
-  }
 }

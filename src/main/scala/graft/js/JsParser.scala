@@ -18,6 +18,10 @@ object JsParser {
 
   private final class P(toks: Vector[Tok]) {
     private var i = 0
+    /** Superclass NAME of the enclosing `class ... extends` body, if any —
+      * `super` desugars lexically against it (saved/restored around nested
+      * class declarations). */
+    private var superClass: Option[String] = None
 
     private def peek: Tok = toks(i)
     private def next(): Tok = { val t = toks(i); i += 1; t }
@@ -201,18 +205,32 @@ object JsParser {
       * (reference scripts are full JS — JavascriptScriptEnrichment.scala:97):
       * constructor → FuncDecl, methods → `C.prototype.m = function`,
       * accessors → `Object.defineProperty(C.prototype, name, {get/set})`,
-      * statics → `C.m = function`. `extends`/`super` stay OUT of the subset
-      * (no [[HomeObject]] here) and fail compile with guidance. Emitted as a
-      * Block — exec'd in the enclosing scope (Block does not open an Env). */
+      * statics → `C.m = function`.
+      *
+      * `class B extends A` (r12) is more desugar over the same machinery:
+      * `B.prototype.__proto__ = A.prototype` wires the chain, a missing
+      * constructor defaults to `function B() { A.apply(this, arguments) }`,
+      * `super(...)` → `A.call(this, ...)` and `super.m(...)` →
+      * `A.prototype.m.call(this, ...)` (resolved LEXICALLY against the
+      * named superclass — there is no [[HomeObject]] here, so only those
+      * two call forms are in the subset; bare `super.x` reads and static
+      * inheritance fail compile with guidance). */
     private def classDeclaration(): Stmt = {
       eatKw("class")
       val name = identName()
-      if (isKw("extends"))
-        throw ParseError(
-          "unsupported construct 'extends': graft.js classes are prototype sugar " +
-            "without super — wire inheritance explicitly via Object.create/" +
-            "Object.setPrototypeOf on the prototype objects",
-          peek.pos)
+      val parent: Option[String] =
+        if (isKw("extends")) {
+          next()
+          peek match {
+            case TIdent(p, _) => next(); Some(p)
+            case t => throw ParseError(
+              "unsupported construct: 'extends' takes the superclass NAME in " +
+                "graft.js (class B extends A) — assign an expression-valued " +
+                "base to a variable first", t.pos)
+          }
+        } else None
+      val savedSuper = superClass
+      superClass = parent
       eatPunct("{")
       var ctor: Option[Stmt] = None
       val members = List.newBuilder[Stmt]
@@ -252,7 +270,19 @@ object JsParser {
         }
       }
       eatPunct("}")
-      Block(ctor.getOrElse(FuncDecl(name, Nil, Nil)) :: members.result())
+      superClass = savedSuper
+      val defaultCtor = parent match {
+        // derived default constructor: pass everything through to the base
+        // (ES: constructor(...args) { super(...args) })
+        case Some(p) => FuncDecl(name, Nil, List(ExprStmt(Call(
+          Member(Ident(p), "apply"), List(Ident("this"), Ident("arguments"))))))
+        case None => FuncDecl(name, Nil, Nil)
+      }
+      val wiring = parent.toList.map { p =>
+        ExprStmt(Assign(Member(protoTarget, "__proto__"), "",
+          Member(Ident(p), "prototype")))
+      }
+      Block(ctor.getOrElse(defaultCtor) :: (wiring ++ members.result()))
     }
 
     private def funcRest(): (List[String], List[Stmt]) = {
@@ -516,10 +546,41 @@ object JsParser {
         eatPunct("}")
         ObjLit(props.result())
       case TKeyword("super", p) =>
-        throw ParseError(
-          "unsupported construct 'super': graft.js classes do not support " +
-            "inheritance — wire prototypes via Object.create/setPrototypeOf " +
-            "and chain constructors with Parent.call(this, ...)", p)
+        superClass match {
+          case None =>
+            throw ParseError(
+              "unsupported construct 'super' outside a derived class body — " +
+                "declare the class with 'extends', or chain constructors " +
+                "explicitly with Parent.call(this, ...)", p)
+          case Some(parent) =>
+            def argList(): List[Expr] = {
+              eatPunct("(")
+              val args = List.newBuilder[Expr]
+              if (!isPunct(")")) {
+                args += assignExpr()
+                while (tryPunct(",")) args += assignExpr()
+              }
+              eatPunct(")")
+              args.result()
+            }
+            if (isPunct("("))
+              // super(args) → Parent.call(this, args)
+              Call(Member(Ident(parent), "call"), Ident("this") :: argList())
+            else if (isPunct(".")) {
+              next()
+              val m = identName()
+              if (!isPunct("(")) throw ParseError(
+                s"unsupported construct: bare 'super.$m' read — graft.js super " +
+                  "resolves lexically (no [[HomeObject]]), so only super(...) " +
+                  s"and super.m(...) calls are in the subset; read $parent" +
+                  s".prototype.$m explicitly if you mean the data slot", p)
+              // super.m(args) → Parent.prototype.m.call(this, args)
+              Call(Member(Member(Member(Ident(parent), "prototype"), m), "call"),
+                Ident("this") :: argList())
+            } else throw ParseError(
+              "unsupported construct: 'super' is supported as super(...) and " +
+                "super.m(...) calls only", p)
+        }
       case TKeyword("class", p) =>
         throw ParseError(
           "unsupported construct 'class expression': declare the class as a " +

@@ -21,7 +21,12 @@ import graft.enrich.{BadRows, EnrichmentPipeline, FieldSpec, SchemaValidate, Tra
   *    hash-mismatches.
   *  - `bad_rows_triage`: the recovery-job READ path — parse the emitted
   *    envelopes back into (failure_type, schema, reason, component) and roll
-  *    up for the reprocess decision.
+  *    up for the reprocess decision. The bench number includes REBUILDING
+  *    the envelopes inline (there is no intermediate storage in the gate);
+  *    a production recovery job reads stored envelopes, so its cost is the
+  *    from_json + rollup half only. Both halves are one narrow scan — no
+  *    shuffle until the four-row rollup.
+  *  - `adapter_remote`: the RemoteAdapter under the oracle gate (below).
   */
 object Queries157 {
   type Q = (SparkSession, String) => DataFrame

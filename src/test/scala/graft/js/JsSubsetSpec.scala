@@ -64,11 +64,44 @@ class JsSubsetSpec extends AnyFunSuite {
     assert(r.contextsJson.contains("not-hoisted"), r.error)
   }
 
-  test("class boundary: extends/super/static-accessors fail compile with guidance") {
-    assert(compileError("class A {}\nclass B extends A {}")
-      .contains("unsupported construct 'extends'"))
+  test("extends/super: derived classes run — chain, super(), super.m(), default ctor (r12)") {
+    val r = run(
+      """class Animal {
+        |  constructor(name) { this.name = name; this.tagged = true }
+        |  speak() { return this.name + ' makes a sound' }
+        |  kind() { return 'animal' }
+        |}
+        |class Dog extends Animal {
+        |  constructor(name, breed) { super(name); this.breed = breed }
+        |  speak() { return super.speak() + ' (woof from ' + this.breed + ')' }
+        |}
+        |class Puppy extends Dog {} // default derived ctor: passes through
+        |function process(e) {
+        |  var d = new Dog('Rex', 'lab');
+        |  var p = new Puppy('Bo', 'pug');
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0', data: {
+        |    s: d.speak(),           // overridden method calls up via super
+        |    k: d.kind(),            // inherited through the wired chain
+        |    base: d.tagged,         // super(...) ran the base constructor
+        |    ps: p.speak(),          // two-level chain + default ctor
+        |    inst: d instanceof Animal
+        |  }}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"s\":\"Rex makes a sound (woof from lab)\""))
+    assert(r.contextsJson.contains("\"k\":\"animal\""))
+    assert(r.contextsJson.contains("\"base\":true"))
+    assert(r.contextsJson.contains("\"ps\":\"Bo makes a sound (woof from pug)\""))
+    assert(r.contextsJson.contains("\"inst\":true"))
+  }
+
+  test("class boundary: super misuse and static-accessors fail compile with guidance") {
     assert(compileError("function process(e){ return super.x }")
       .contains("unsupported construct 'super'"))
+    assert(compileError("class A {}\nclass B extends A { m() { return super.x } }")
+      .contains("bare 'super.x' read"))
+    assert(compileError("class A {}\nclass B extends (A) {}")
+      .contains("superclass NAME"))
     assert(compileError("class A { static get x() { return 1 } }")
       .contains("static get"))
   }
