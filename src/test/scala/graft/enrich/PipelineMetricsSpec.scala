@@ -1,0 +1,36 @@
+package graft.enrich
+
+import org.apache.spark.sql.functions._
+
+/** PipelineMetrics: observe-based counters must equal split()'s
+  * cardinalities exactly, with zero extra passes, and the stage listener
+  * must record wall-time for the run. */
+class PipelineMetricsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("raw/good/bad counts == split cardinalities on a batch run") {
+    val df = (1L to 100L).toDF("id")
+      .withColumn("event_code", when(col("id") % 10 === 0, lit("zz")).otherwise(lit("pv")))
+      .withColumn("platform_code", when(col("id") % 25 === 0, lit("nope")).otherwise(lit("web")))
+      .withColumn("res", lit("800x600"))
+      .withColumn("xff", lit(null).cast("string"))
+    val pipe = EnrichmentPipeline(Seq(TrackerTransform()))
+
+    val m = PipelineMetrics("spec-run", spark)
+    val enriched = m.instrument(pipe.run(df))
+    enriched.write.format("noop").mode("overwrite").save() // the caller's own action
+    val r = m.report().collect()(0)
+
+    val (good, bad) = pipe.split(df)
+    assert(r.getAs[Long]("raw") == 100L)
+    assert(r.getAs[Long]("good") == good.count())
+    assert(r.getAs[Long]("bad") == bad.count())
+    assert(r.getAs[Long]("good") + r.getAs[Long]("bad") == 100L)
+    // id%10==0 → bad code (10 rows); id%25==0 → bad platform (4 rows);
+    // id==50,100 hit both → 2 rows with TWO entities
+    assert(r.getAs[Long]("bad") == 12L)
+    assert(r.getAs[Long]("failure_entities") == 14L)
+    assert(r.getAs[String]("pipeline") == "spec-run")
+    assert(r.getAs[Long]("stage_wall_ms") >= 0L && r.getAs[Long]("n_stages") >= 1L)
+  }
+}
