@@ -65,7 +65,12 @@ object Queries11 {
     * drop(), and a contexts array. r11: rewritten as an ES2015 class
     * (constructor + accessor + method + static, all desugared onto the
     * prototype machinery) with IDENTICAL output — the class path runs
-    * under the same DuckDB oracle as the original imperative script. */
+    * under the same DuckDB oracle as the original imperative script.
+    * r12 cost adjudication: same-day worktree A/B (BenchOne, sf0.1) read
+    * r11 1.50-1.73 s vs r12 1.28-1.36 s — the prototype-walk cost is flat
+    * and the delta vs r11's clean 1.05 s is box drift, so no method-lookup
+    * memoization (which would need shape versioning across every props
+    * mutation site) is warranted. */
   private[queries] val JsScriptSrc: String =
     """class AppInfo {
       |  constructor(raw) {

@@ -41,6 +41,22 @@ object EnrichStream {
       // kill the query under ANSI — it nulls out of the sum instead
       .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100).try_cast("bigint")).as("sum_value_cents"))
 
+  /** The failed-events side of a streaming enrichment, serialized to the
+    * reference's self-describing bad-row envelope (see
+    * [[graft.enrich.BadRows]]) — the streaming twin of
+    * `EnrichmentPipeline.badRowsJson`. Split + serialization are stateless
+    * narrow transforms, so the same code path runs under Structured
+    * Streaming unchanged: wire the result to [[toParquet]] (or any sink)
+    * for the reference's bad stream. `etlTstampUs` is the batch/app etl
+    * timestamp column (e.g. `lit(startUs)` or a per-event ingest time). */
+  def badRows(
+    raw: DataFrame,
+    pipeline: EnrichmentPipeline,
+    payloadCols: Seq[String],
+    etlTstampUs: org.apache.spark.sql.Column
+  ): DataFrame =
+    pipeline.badRowsJson(raw, payloadCols, etlTstampUs)
+
   /** Enriched-stream sink helper: parquet with checkpointing. */
   def toParquet(enriched: DataFrame, path: String, checkpoint: String) =
     enriched.writeStream

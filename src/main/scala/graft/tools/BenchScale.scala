@@ -183,7 +183,13 @@ object BenchScale {
     // the bounded-key metadata rollup, and the codec round trip (scan-
     // linear: one compress + one inflate per 20-row blob)
     "sql_query_live", "identity_stitch_live", "metadata_report",
-    "payload_decompress")
+    "payload_decompress",
+    // round-12 new queries: the envelope writer + its parse-back (both
+    // scan-linear: one to_json / from_json projection, rollup bounded at 4
+    // rows) and the remote adapter (egress ∝ distinct bodies — grows with
+    // the corpus here because the synthetic bodies are per-event unique,
+    // but the per-body work is flat, so expect ≈linear)
+    "bad_rows_out", "bad_rows_triage", "adapter_remote")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

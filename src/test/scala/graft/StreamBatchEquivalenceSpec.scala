@@ -112,6 +112,40 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EnrichStream.badRows over micro-batches == batch badRowsJson envelopes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // planted unknown event codes; the bad stream must serialize the SAME
+    // envelopes (exact bytes) whether the corpus arrives in one batch or
+    // three micro-batches
+    val rows = (1L to 300L).map(i => (i, if (i % 7 == 1) "zz" else "pv"))
+    val pipeline = graft.enrich.EnrichmentPipeline(Seq(graft.enrich.TrackerTransform()))
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("platform_code", lit("web"))
+      .withColumn("res", lit("800x600"))
+      .withColumn("xff", lit(null).cast("string"))
+    val etl = lit(1700000000000000L)
+
+    val batchOut = pipeline
+      .badRowsJson(prep(rows.toDF("id", "event_code")), Seq("id", "event_code"), etl)
+      .select("id", "bad_row").collect().map(_.toString).sorted.toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val bad = graft.streaming.EnrichStream.badRows(
+      prep(mem.toDF().toDF("id", "event_code")), pipeline, Seq("id", "event_code"), etl)
+      .select("id", "bad_row")
+    val q = bad.writeStream.format("memory").queryName("sbe_badrows")
+      .outputMode("append").start()
+    try {
+      rows.grouped(100).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val streamOut = spark.sql("SELECT * FROM sbe_badrows")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamOut == batchOut, "streaming bad-row envelopes must match batch byte-for-byte")
+      assert(batchOut.nonEmpty && batchOut.head.contains("enrichment_failures"))
+    } finally q.stop()
+  }
+
   test("StreamDedup on events == batch dropDuplicates on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
