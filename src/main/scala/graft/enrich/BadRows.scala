@@ -108,6 +108,30 @@ object BadRows {
       KeepNulls)
   }
 
+  /** Collector-payload-level failures (reference loaders →
+    * `BadRow.CPFormatViolation`, ThriftLoader.scala:71): input that never
+    * parsed far enough to HAVE failure entities. */
+  val CpFormatSchemaUri =
+    "iglu:com.snowplowanalytics.snowplow.badrows/collector_payload_format_violation/jsonschema/1-0-0"
+
+  /** One CPFormatViolation envelope per unparseable input: processor +
+    * failure{timestamp, loader, message{error}} (the reference's Fallback
+    * message form) + payload = base64 of the raw input (the reference's
+    * Payload.RawPayload, ThriftLoader `toBase64String`). */
+  def cpFormatViolationJson(
+    raw: Column, loader: String, error: Column, etlTstampUs: Column): Column =
+    to_json(
+      struct(
+        lit(CpFormatSchemaUri).as("schema"),
+        struct(
+          struct(lit(Artifact).as("artifact"), lit(Version).as("version")).as("processor"),
+          struct(
+            isoTimestamp(etlTstampUs).as("timestamp"),
+            lit(loader).as("loader"),
+            struct(error.as("error")).as("message")).as("failure"),
+          base64(raw.cast("binary")).as("payload")).as("data")),
+      KeepNulls)
+
   /** Parse schema for [[triage]] — payload deliberately absent so Catalyst
     * prunes it out of the JSON parse. */
   val TriageDdl: String =

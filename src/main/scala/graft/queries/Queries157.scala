@@ -27,6 +27,9 @@ import graft.enrich.{BadRows, EnrichmentPipeline, FieldSpec, SchemaValidate, Tra
   *    from_json + rollup half only. Both halves are one narrow scan — no
   *    shuffle until the four-row rollup.
   *  - `adapter_remote`: the RemoteAdapter under the oracle gate (below).
+  *  - `bad_rows_cp_format`: the LOADER failure channel — malformed
+  *    collector lines become collector_payload_format_violation envelopes
+  *    via `Sources.collectorTsvSplit` (raw line base64'd for replay).
   */
 object Queries157 {
   type Q = (SparkSession, String) => DataFrame
@@ -111,6 +114,26 @@ object Queries157 {
           element_at(col("event_params"), "idx").as("idx"),
           col("adapter_failure"))
         .orderBy("event_id", "event_index")
+    },
+
+    "bad_rows_cp_format" -> { (sp, dir) =>
+      // the LOADER failure channel (reference loaders → BadRow
+      // .CPFormatViolation, ThriftLoader.scala:71): planted malformed
+      // collector TSV lines (garbage timestamp on %9==2, no tabs at all on
+      // %9==4) become collector_payload_format_violation envelopes with the
+      // raw line base64'd as the replay payload; good lines parse through.
+      // Lines stay under 57 bytes so base64 has a single, chunking-free
+      // encoding on both engines.
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      val line =
+        when(e % 9 === 2, concat(lit("x\t1.2.3.4\tua\thttps://s/p\tpv\tq="), s(e)))
+          .when(e % 9 === 4, concat(lit("junk line "), s(e)))
+          .otherwise(concat(col("ts_us").cast("string"),
+            lit("\t1.2.3.4\tua\thttps://s/p\tpv\tq="), s(e)))
+      val lines = Tables.events(sp, dir).select(line.as("value"))
+      val (_, bad) = graft.sources.Sources.collectorTsvSplit(lines, lit(EtlUs))
+      bad.orderBy("line")
     }
   )
 
@@ -190,6 +213,20 @@ object Queries157 {
         |    END AS adapter_failure
         |  FROM base WHERE event_id % 13 = 0 OR event_id % 11 = 0)
         |SELECT * FROM (SELECT * FROM ok UNION ALL SELECT * FROM bad)
-        |ORDER BY event_id, event_index""".stripMargin
+        |ORDER BY event_id, event_index""".stripMargin,
+
+    "bad_rows_cp_format" ->
+      s"""WITH base AS (
+         |  SELECT CASE WHEN event_id % 9 = 2
+         |    THEN concat('x', chr(9), '1.2.3.4', chr(9), 'ua', chr(9), 'https://s/p', chr(9), 'pv', chr(9), 'q=', event_id)
+         |    ELSE concat('junk line ', event_id) END AS line
+         |  FROM events WHERE event_id % 9 IN (2, 4))
+         |SELECT line,
+         |  concat('{"schema":"${BadRows.CpFormatSchemaUri}",',
+         |    '"data":{"processor":{"artifact":"${BadRows.Artifact}","version":"${BadRows.Version}"},',
+         |    '"failure":{"timestamp":"$Iso","loader":"tsv",',
+         |    '"message":{"error":"error deserializing raw event: line does not parse as collector TSV"}},',
+         |    '"payload":"', to_base64(encode(line)), '"}}') AS bad_row
+         |FROM base ORDER BY line""".stripMargin
   )
 }

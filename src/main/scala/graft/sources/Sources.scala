@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Raw-event sources — the Spark twin of snowplow/enrich's loader layer
@@ -37,6 +37,32 @@ object Sources {
       try_element_at(parts, lit(i + 1)).try_cast(typ).as(name)
     }
     lines.select(cols: _*)
+  }
+
+  /** [[parseCollectorTsv]] plus the reference's LOADER failure channel
+    * (loaders → `BadRow.CPFormatViolation`): a line whose collector
+    * timestamp does not parse becomes a self-describing
+    * collector_payload_format_violation envelope (raw line base64'd as the
+    * replay payload) instead of a silently-null row. Returns
+    * (good parsed rows, bad (line, bad_row) envelopes) — the loader-level
+    * twin of `EnrichmentPipeline.split`. */
+  def collectorTsvSplit(
+    lines: DataFrame,
+    etlTstampUs: Column,
+    lineCol: String = "value"
+  ): (DataFrame, DataFrame) = {
+    val parts = split(col(lineCol), "\t")
+    val cols = CollectorTsvFields.zipWithIndex.map { case ((name, typ), i) =>
+      try_element_at(parts, lit(i + 1)).try_cast(typ).as(name)
+    }
+    val withParsed = lines.select(col(lineCol).as("_line") +: cols: _*)
+    val bad = withParsed.filter(col(CollectorTsvFields.head._1).isNull)
+      .select(
+        col("_line").as("line"),
+        graft.enrich.BadRows.cpFormatViolationJson(col("_line"), "tsv",
+          lit("error deserializing raw event: line does not parse as collector TSV"),
+          etlTstampUs).as("bad_row"))
+    (withParsed.filter(col(CollectorTsvFields.head._1).isNotNull).drop("_line"), bad)
   }
 
   /** Batch read of collector TSV files. */

@@ -29,6 +29,26 @@ class AdaptersSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("collectorTsvSplit: malformed lines become CPFormatViolation envelopes (r12)") {
+    import spark.implicits._
+    val lines = Seq(
+      "1704067200000000\t1.2.3.4\tua\thttps://x/p\tpv\tq=1", // parses
+      "not-a-ts\t1.2.3.4\tua\thttps://x/p\tpv\tq=2",         // garbage ts
+      "no tabs at all"                                        // not TSV
+    ).toDF("value")
+    val (good, bad) = Sources.collectorTsvSplit(lines, org.apache.spark.sql.functions.lit(1700000000000000L))
+    assert(good.count() == 1 && good.columns.sameElements(Sources.CollectorTsvFields.map(_._1)))
+    val envs = bad.orderBy("line").collect()
+    assert(envs.length == 2)
+    val env = envs(1).getAs[String]("bad_row") // the not-a-ts line
+    assert(env.startsWith("""{"schema":"iglu:com.snowplowanalytics.snowplow.badrows/collector_payload_format_violation/jsonschema/1-0-0""""))
+    assert(env.contains(""""loader":"tsv""""))
+    // the replay payload round-trips: base64(raw line)
+    val b64 = """"payload":"([^"]*)"""".r.findFirstMatchIn(env).get.group(1)
+    assert(new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+      == "not-a-ts\t1.2.3.4\tua\thttps://x/p\tpv\tq=2")
+  }
+
   test("cloudfront access-log loader: header skip, URL decode, '-' as null") {
     import spark.implicits._
     val lines = Seq(
