@@ -31,11 +31,14 @@ object BadRows {
   /** reference Failure.failureSchemaKey (Failure.scala:41). */
   val FailureSchemaUri = "iglu:com.snowplowanalytics.snowplow/failure/jsonschema/1-0-0"
 
-  /** The bad-row stream envelope schema (the reference emits
-    * snowplow.badrows envelopes per BadRow subtype; enrichment failures ride
-    * enrichment_failures — EtlPipeline.scala:24). */
+  /** The bad-row stream envelope schemas (the reference emits
+    * snowplow.badrows envelopes per BadRow subtype —
+    * EnrichmentManager.createBadRow:127: ANY schema violation →
+    * SchemaViolations, else EnrichmentFailures). */
   val EnvelopeSchemaUri =
     "iglu:com.snowplowanalytics.snowplow.badrows/enrichment_failures/jsonschema/2-0-0"
+  val SchemaViolationsUri =
+    "iglu:com.snowplowanalytics.snowplow.badrows/schema_violations/jsonschema/2-0-0"
 
   /** processor.artifact / processor.version (reference badrows Processor). */
   val Artifact = "graft-enrich"
@@ -93,12 +96,25 @@ object BadRows {
   }
 
   /** The bad-row envelope for one failed event: processor + the failure
-    * array + the original payload, as downstream consumers parse it. */
+    * array + the original payload, as downstream consumers parse it.
+    * Deliberate divergence: when both kinds of failure occurred, the
+    * reference's SchemaViolations envelope DROPS the enrichment failures
+    * (createBadRow keeps only phase-1 errors); graft keeps every failure
+    * context in the array — the envelope subtype still follows the
+    * reference's precedence, and no failure information is lost. */
   def badRowJson(errorsCol: Column, payload: Column, etlTstampUs: Column): Column = {
     val iso = isoTimestamp(etlTstampUs)
+    // the reference's subtype precedence (EnrichmentManager.createBadRow):
+    // any schema-violation entity → schema_violations envelope (validation
+    // failures win), else enrichment_failures
+    val violationTypes = ValidationTypes ++
+      Seq("schema_unknown", "schema_not_found", "registry_failure")
+    val envelopeUri = when(
+      exists(errorsCol, e => e.getField("failure_type").isin(violationTypes: _*)),
+      lit(SchemaViolationsUri)).otherwise(lit(EnvelopeSchemaUri))
     to_json(
       struct(
-        lit(EnvelopeSchemaUri).as("schema"),
+        envelopeUri.as("schema"),
         struct(
           struct(lit(Artifact).as("artifact"), lit(Version).as("version")).as("processor"),
           struct(

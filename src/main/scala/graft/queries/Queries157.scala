@@ -170,7 +170,9 @@ object Queries157 {
          |    END AS messages
          |  FROM base)
          |SELECT event_id,
-         |  concat('{"schema":"${BadRows.EnvelopeSchemaUri}",',
+         |  concat('{"schema":"',
+         |    CASE WHEN event_id % 7 = 1 THEN '${BadRows.EnvelopeSchemaUri}'
+         |         ELSE '${BadRows.SchemaViolationsUri}' END, '",',
          |    '"data":{"processor":{"artifact":"${BadRows.Artifact}","version":"${BadRows.Version}"},',
          |    '"failure":{"timestamp":"$Iso","messages":[', messages, ']},',
          |    '"payload":{"event_id":', event_id, ',"event_code":"', event_code,

@@ -46,6 +46,23 @@ class BadRowsSpec extends graft.SparkSpec {
       "the violated schema key rides in the context")
   }
 
+  test("envelope subtype: any schema violation → schema_violations, else enrichment_failures") {
+    import org.apache.spark.sql.functions.lit
+    // reference EnrichmentManager.createBadRow:127 — validation wins
+    val df = Seq(("{}", "iglu:com.acme/x/jsonschema/9-0-0", "zz")).toDF("up", "schema_str", "event_code")
+      .withColumn("platform_code", lit("web"))
+      .withColumn("res", lit("800x600"))
+      .withColumn("xff", lit(null).cast("string"))
+    val mixed = EnrichmentPipeline(Seq(
+      TrackerTransform(), // unknown event code → EnrichmentError entity
+      SchemaValidate("up", "schema_str", Map("iglu:com.acme/x/jsonschema/1-0-*" -> Nil))))
+      .badRowsJson(df, Seq("event_code"), lit(EtlUs)).collect()(0).getAs[String]("bad_row")
+    assert(mixed.startsWith("""{"schema":"iglu:com.snowplowanalytics.snowplow.badrows/schema_violations/jsonschema/2-0-0""""),
+      "a mixed failure set rides the schema_violations envelope (validation precedence)")
+    assert(mixed.contains("EnrichmentError: tracker_transform"),
+      "...but every failure context still rides inside it")
+  }
+
   test("triage parses envelopes back into (failure_type, schema, reason, component)") {
     val t = BadRows.triage(planted, "bad_row").collect()(0)
     assert(t.getAs[String]("failure_type") == "EnrichmentError: tracker_transform")
