@@ -848,6 +848,29 @@ final case class EnrichmentPipeline(enrichments: Seq[Enrichment]) {
     bad.withColumn("bad_row",
       BadRows.badRowJson(col("bad_row_errors"), struct(payloadCols.map(col): _*), etlTstampUs))
   }
+
+  /** ONE-PASS good/bad split to storage. `split` + two writes evaluates the
+    * enrichment chain twice per side — Catalyst pushes each side's
+    * `size(bad_row_errors)` predicate through the projection into the scan,
+    * inlining the whole chain into the filter (see PLANS.md bad_rows_out).
+    * Here the chain computes once and the writer partitions by `is_bad`:
+    * good rows land under `is_bad=false`, failed rows under `is_bad=true`
+    * with their bad-row envelope attached. At 100 TB this halves enrichment
+    * CPU and still gives consumers partition-pruned reads of either side. */
+  def splitWrite(
+    df: DataFrame,
+    path: String,
+    payloadCols: Seq[String],
+    etlTstampUs: Column
+  ): Unit = {
+    val enriched = run(df)
+    enriched
+      .withColumn("is_bad", size(col("bad_row_errors")) > 0)
+      .withColumn("bad_row",
+        when(col("is_bad"), BadRows.badRowJson(
+          col("bad_row_errors"), struct(payloadCols.map(col): _*), etlTstampUs)))
+      .write.partitionBy("is_bad").mode("overwrite").parquet(path)
+  }
 }
 
 /** One field predicate inside a registered schema: a dot path into the

@@ -121,7 +121,11 @@ object DumpPlans {
     // round-11: the live JDBC lookup — the plan must show ONE bounded
     // distinct-keys exchange feeding the fetch and a BroadcastHashJoin
     // back onto the fact (joins-not-RPC)
-    "sql_query_live")
+    "sql_query_live",
+    // round-12: the envelope writer (one interpreted to_json projection over
+    // the bad split — no shuffle), its parse-back rollup, and the remote
+    // adapter's distinct-bodies → broadcast join-back shape
+    "bad_rows_out", "bad_rows_triage", "adapter_remote")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -72,6 +72,28 @@ class BadRowsSpec extends graft.SparkSpec {
     assert(t.getAs[String]("component_version") == "1.0.0")
   }
 
+  test("splitWrite: one pass, partition-pruned sides == split() cardinalities") {
+    val df = (1L to 60L).toDF("id")
+      .withColumn("event_code", when(col("id") % 6 === 0, lit("zz")).otherwise(lit("pv")))
+      .withColumn("platform_code", lit("web"))
+      .withColumn("res", lit("800x600"))
+      .withColumn("xff", lit(null).cast("string"))
+    val pipe = EnrichmentPipeline(Seq(TrackerTransform()))
+    val out = java.nio.file.Files.createTempDirectory("splitwrite").toString + "/events"
+    pipe.splitWrite(df, out, Seq("id", "event_code"), lit(EtlUs))
+    val back = spark.read.parquet(out)
+    val (good, bad) = pipe.split(df)
+    // partition columns read back as strings under default inference
+    val isBad = col("is_bad") === "true"
+    assert(back.where(!isBad).count() == good.count())
+    assert(back.where(isBad).count() == bad.count())
+    assert(back.where(isBad).where(col("bad_row").isNull).count() == 0,
+      "every failed row carries its envelope")
+    assert(back.where(!isBad).where(col("bad_row").isNotNull).count() == 0)
+    // the write really partitioned: each side readable by directory
+    assert(spark.read.parquet(out + "/is_bad=true").count() == bad.count())
+  }
+
   test("multi-failure events keep enrichment order in the messages array") {
     val df = Seq(("{}", "iglu:com.acme/x/jsonschema/1-0-0")).toDF("up", "schema_str")
     val pipe = EnrichmentPipeline(Seq(
