@@ -148,6 +148,47 @@ object BadRows {
           base64(raw.cast("binary")).as("payload")).as("data")),
       KeepNulls)
 
+  /** Adapter-stage failures (reference AdapterRegistry.scala:132 →
+    * `BadRow.AdapterFailures`): the failure carries the webhook vendor +
+    * version alongside the messages. */
+  val AdapterFailuresUri =
+    "iglu:com.snowplowanalytics.snowplow.badrows/adapter_failures/jsonschema/1-0-0"
+
+  /** Tracker-protocol violations (AdapterRegistry.scala:128 →
+    * `BadRow.TrackerProtocolViolations`): same shape, the Snowplow-native
+    * payload's own validation failures. */
+  val TrackerProtocolViolationsUri =
+    "iglu:com.snowplowanalytics.snowplow.badrows/tracker_protocol_violations/jsonschema/1-0-0"
+
+  /** One adapter-stage envelope per failed payload: processor +
+    * failure{timestamp, vendor, version, messages:[{error}]} + the raw
+    * payload for replay. `trackerProtocol = true` selects the
+    * TrackerProtocolViolations subtype (Snowplow-native payloads), false
+    * the AdapterFailures one (third-party webhooks) — the reference's
+    * vendor-based split (AdapterRegistry.scala:126). Pairs with
+    * [[graft.adapters.RemoteAdapter]]'s `adapter_failure` column and any
+    * JsonAdapter null-parse check. */
+  def adapterFailureJson(
+    payload: Column,
+    vendor: String,
+    vendorVersion: String,
+    error: Column,
+    etlTstampUs: Column,
+    trackerProtocol: Boolean = false
+  ): Column =
+    to_json(
+      struct(
+        lit(if (trackerProtocol) TrackerProtocolViolationsUri else AdapterFailuresUri).as("schema"),
+        struct(
+          struct(lit(Artifact).as("artifact"), lit(Version).as("version")).as("processor"),
+          struct(
+            isoTimestamp(etlTstampUs).as("timestamp"),
+            lit(vendor).as("vendor"),
+            lit(vendorVersion).as("version"),
+            array(struct(error.as("error"))).as("messages")).as("failure"),
+          payload.cast("string").as("payload")).as("data")),
+      KeepNulls)
+
   /** Parse schema for [[triage]] — payload deliberately absent so Catalyst
     * prunes it out of the JSON parse. */
   val TriageDdl: String =

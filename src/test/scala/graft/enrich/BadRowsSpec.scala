@@ -94,6 +94,20 @@ class BadRowsSpec extends graft.SparkSpec {
     assert(spark.read.parquet(out + "/is_bad=true").count() == bad.count())
   }
 
+  test("adapter-stage envelopes: AdapterFailures vs TrackerProtocolViolations subtype") {
+    // the RemoteAdapter failure column feeds straight in
+    val bad = Seq(("ev=7", "[REMOTE_ADAPTER] empty list of events")).toDF("body", "adapter_failure")
+    def env(tp: Boolean) = bad.select(BadRows.adapterFailureJson(
+      col("body"), "com.acme.hooks", "v1", col("adapter_failure"), lit(EtlUs),
+      trackerProtocol = tp).as("j")).collect()(0).getString(0)
+    val af = env(false)
+    assert(af.startsWith("""{"schema":"iglu:com.snowplowanalytics.snowplow.badrows/adapter_failures/jsonschema/1-0-0""""))
+    assert(af.contains(""""vendor":"com.acme.hooks","version":"v1""""))
+    assert(af.contains(""""messages":[{"error":"[REMOTE_ADAPTER] empty list of events"}]"""))
+    assert(af.endsWith(""""payload":"ev=7"}}"""))
+    assert(env(true).contains("tracker_protocol_violations/jsonschema/1-0-0"))
+  }
+
   test("multi-failure events keep enrichment order in the messages array") {
     val df = Seq(("{}", "iglu:com.acme/x/jsonschema/1-0-0")).toDF("up", "schema_str")
     val pipe = EnrichmentPipeline(Seq(
