@@ -568,6 +568,45 @@ final case class IpAsnLookup(
   }
 }
 
+/** The remaining IpLookups segments (reference
+  * `registry/IpLookupsEnrichment` via the MaxMind ISP / Domain /
+  * Connection-Type databases → atomic `ip_isp` / `ip_domain` /
+  * `ip_netspeed`, EnrichmentManager.scala:491): each configured segment is
+  * one broadcast range join against its exported lo/hi ranges dim — the
+  * same shape as geo/asn. */
+final case class IpSegmentLookup(
+  segment: String, // isp | domain | connection
+  ranges: Seq[(Long, Long, String)] = Nil, // lo, hi, value
+  ipCol: String = "user_ipaddress",
+  bucketBits: Int = 27,
+  rangesPath: String = null, // parquet dim instead of inline ranges
+  loField: String = "lo",
+  hiField: String = "hi",
+  valueField: String = null // defaults to the output column
+) extends Enrichment {
+  val outCol: String = segment match {
+    case "isp" => "ip_isp"
+    case "domain" => "ip_domain"
+    case "connection" => "ip_netspeed"
+    case other => throw new IllegalArgumentException(
+      s"ip_segment_lookup: unknown segment '$other' (isp, domain, connection; geo/asn have their own enrichments)")
+  }
+  val name = s"ip_${segment}_lookup"
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vf = if (valueField == null) outCol else valueField
+    val rangesDf =
+      if (rangesPath != null)
+        spark.read.parquet(rangesPath).select(
+          col(loField).cast("bigint").as("__lo"), col(hiField).cast("bigint").as("__hi"),
+          col(vf).cast("string").as(outCol))
+      else ranges.toDF("__lo", "__hi", outCol)
+    RangeJoin.leftJoinRanges(df, IpF.ipv4ToLong(col(ipCol)), rangesDf, "__lo", "__hi", bucketBits)
+      .drop("__lo", "__hi")
+  }
+}
+
 /** Weather-at-event enrichment (reference `registry/WeatherEnrichment.scala`:
   * per-event (geo_latitude, geo_longitude, time) → the OpenWeatherMap
   * observation at that place and time, cached per `geoPrecision` grid

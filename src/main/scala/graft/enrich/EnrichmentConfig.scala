@@ -236,11 +236,19 @@ object EnrichmentConfig {
                 skipped += ((name, s"asn database '$db' has no injected ranges dim — pass geoDims = Map($db -> parquetRangesPath) (graft.enrich.IpAsnLookup)"))
             }
           }
-          val unsupported = Seq("isp", "domain", "connection").filter(s => p.get(s) != null)
-          if (unsupported.nonEmpty)
-            skipped += ((name, s"segments ${unsupported.mkString(",")} have no graft lookup — geo/asn map onto range joins, the rest need their own dims"))
-          if (!handledAny && segment("geo").isEmpty && segment("asn").isEmpty && unsupported.isEmpty)
-            skipped += ((name, "config has no geo/asn segment"))
+          Seq("isp", "domain", "connection").foreach { seg =>
+            segment(seg).foreach { db =>
+              geoDims.get(db) match {
+                case Some(path) =>
+                  mapped += IpSegmentLookup(seg, rangesPath = path); handledAny = true
+                case None =>
+                  skipped += ((name, s"$seg database '$db' has no injected ranges dim — pass geoDims = Map($db -> parquetRangesPath) (lo/hi + the segment's value column; graft.enrich.IpSegmentLookup)"))
+              }
+            }
+          }
+          val anySegment = Seq("geo", "asn", "isp", "domain", "connection").exists(s => segment(s).isDefined)
+          if (!handledAny && !anySegment)
+            skipped += ((name, "config has no geo/asn/isp/domain/connection segment"))
         case "asn_lookups" =>
           // reference registry/AsnLookupsEnrichment: flag events whose
           // IP's ASN is on a bot list. The INLINE botAsns set is

@@ -134,8 +134,26 @@ object Queries157 {
       val lines = Tables.events(sp, dir).select(line.as("value"))
       val (_, bad) = graft.sources.Sources.collectorTsvSplit(lines, lit(EtlUs))
       bad.orderBy("line")
+    },
+
+    "ip_isp_lookup" -> { (sp, dir) =>
+      // the ISP segment of ip_lookups (reference IpLookupsEnrichment →
+      // atomic ip_isp): broadcast range join like geo/asn. 64 MiB blocks
+      // over the synthetic IPv4 space; every 5th block is deliberately
+      // unmapped so the left join's null path is exercised.
+      val b = IspBlock
+      val ranges = (0 to 55).filter(_ % 5 != 2)
+        .map(i => (i * b, i * b + b - 1, s"ISP-$i"))
+      val facts = Synth.withRaw(Tables.events(sp, dir))
+        .select(col("event_id"), col("ip").as("user_ipaddress"))
+      graft.enrich.IpSegmentLookup("isp", ranges, bucketBits = 26)(facts)
+        .select(col("event_id"), col("ip_isp"))
+        .orderBy("event_id")
     }
   )
+
+  /** 64 MiB IPv4 blocks shared by the ip_isp_lookup query and its twin. */
+  private val IspBlock = 1L << 26
 
   // ---- DuckDB twins ----
 
@@ -229,6 +247,16 @@ object Queries157 {
          |    '"failure":{"timestamp":"$Iso","loader":"tsv",',
          |    '"message":{"error":"error deserializing raw event: line does not parse as collector TSV"}},',
          |    '"payload":"', to_base64(encode(line)), '"}}') AS bad_row
-         |FROM base ORDER BY line""".stripMargin
+         |FROM base ORDER BY line""".stripMargin,
+
+    "ip_isp_lookup" -> Synth.withCte(
+      s"""SELECT event_id,
+         |  CASE WHEN (ipnum // $IspBlock) % 5 = 2 THEN NULL
+         |       ELSE concat('ISP-', ipnum // $IspBlock) END AS ip_isp
+         |FROM (
+         |  SELECT event_id,
+         |    (event_id % 223 + 1) * 16777216 + ((event_id*7) % 256) * 65536
+         |      + ((event_id*13) % 256) * 256 + (event_id*29) % 256 AS ipnum
+         |  FROM raw) t ORDER BY event_id""".stripMargin)
   )
 }

@@ -87,6 +87,29 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(out(1).getAs[Long]("base_amount_e8") == 200L * 1100000L)
   }
 
+  test("ip_lookups isp/domain/connection segments construct via injected dims (r12)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cfg-isp")
+    val ispPath = tmp.resolve("isp").toString
+    Seq((16777216L, 16777471L, "Acme Fiber")).toDF("lo", "hi", "ip_isp").write.parquet(ispPath)
+    val cfg =
+      """{"schema": "iglu:com.snowplowanalytics.snowplow/ip_lookups/jsonschema/2-0-1",
+        | "data": {"name": "ip_lookups", "vendor": "com.snowplowanalytics.snowplow",
+        |   "enabled": true, "parameters": {
+        |     "isp": {"database": "GeoIP2-ISP.mmdb", "uri": "http://assets.example.com/maxmind"},
+        |     "connection": {"database": "GeoIP2-Connection-Type.mmdb", "uri": "http://assets.example.com/maxmind"}}}}""".stripMargin
+    // connection has no injected dim → named skip; isp constructs live
+    val (pipe, skipped) = EnrichmentConfig.fromReferenceConfigs(Seq(cfg),
+      geoDims = Map("GeoIP2-ISP.mmdb" -> ispPath))
+    assert(pipe.enrichments.map(_.name) == Seq("ip_isp_lookup"))
+    assert(skipped.exists { case (n, r) =>
+      n == "ip_lookups" && r.contains("connection database 'GeoIP2-Connection-Type.mmdb'") })
+    val out = pipe.run(Seq(("1.0.0.5", 1L), ("9.9.9.9", 2L)).toDF("user_ipaddress", "id"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("ip_isp") == "Acme Fiber")
+    assert(out(1).getAs[String]("ip_isp") == null)
+  }
+
   test("weather config constructs an as-of join over an injected observations dim") {
     assume(Files.isDirectory(dir))
     import spark.implicits._
