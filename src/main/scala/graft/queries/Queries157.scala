@@ -136,6 +136,21 @@ object Queries157 {
       bad.orderBy("line")
     },
 
+    "failed_events_out" -> { (sp, dir) =>
+      // the reference's emitFailed INCOMPLETE-EVENTS stream
+      // (EtlPipeline.scala:63, Failure.scala:34 "failure entities will be
+      // attached to failed events as derived contexts"): failed events keep
+      // their partially-enriched payload and carry one failure/1-0-0 SDJ
+      // per failure in derived_contexts. The `event` column proves the
+      // partial enrichment survives (null only where the failure WAS the
+      // event-type mapping).
+      val enriched = pipe.run(planted(sp, dir))
+      enriched.filter(size(col("bad_row_errors")) > 0)
+        .select(col("event_id"), col("event"),
+          BadRows.failureSdjsJson(col("bad_row_errors"), lit(EtlUs)).as("derived_contexts"))
+        .orderBy("event_id")
+    },
+
     "ip_isp_lookup" -> { (sp, dir) =>
       // the ISP segment of ip_lookups (reference IpLookupsEnrichment →
       // atomic ip_isp): broadcast range join like geo/asn. 64 MiB blocks
@@ -164,6 +179,10 @@ object Queries157 {
 
   private def ctx(failureType: String, message: String, schemaSql: String): String =
     s"""concat('{"failureType":"$failureType","errors":[{"message":"$message"}],"schema":', $schemaSql, '$Tail')"""
+
+  /** The same context wrapped as a failure/1-0-0 SDJ (failed-events form). */
+  private def sdj(failureType: String, message: String, schemaSql: String): String =
+    s"""concat('{"schema":"${BadRows.FailureSchemaUri}","data":', ${ctx(failureType, message, schemaSql)}, '}')"""
 
   val oracles: Map[String, String] = Map(
     "bad_rows_out" ->
@@ -248,6 +267,25 @@ object Queries157 {
          |    '"message":{"error":"error deserializing raw event: line does not parse as collector TSV"}},',
          |    '"payload":"', to_base64(encode(line)), '"}}') AS bad_row
          |FROM base ORDER BY line""".stripMargin,
+
+    "failed_events_out" ->
+      s"""WITH base AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 7 = 1 THEN NULL ELSE 'page_view' END AS event,
+         |    CASE WHEN event_id % 7 = 3 THEN '$UnknownUri'
+         |         ELSE 'iglu:com.acme/order/jsonschema/1-0-0' END AS schema_str
+         |  FROM events
+         |  WHERE event_id % 7 IN (1, 3, 5, 6))
+         |SELECT event_id, event,
+         |  concat('[',
+         |    CASE event_id % 7
+         |      WHEN 1 THEN ${sdj("EnrichmentError: tracker_transform", "unknown event code", "'null'")}
+         |      WHEN 3 THEN ${sdj("ResolutionError", "schema_unknown", s"concat('\"', schema_str, '\"')")}
+         |      WHEN 5 THEN concat(${sdj("ValidationError", "missing_field sku", s"'\"$OrderUri\"'")}, ',',
+         |                         ${sdj("ValidationError", "type_violation qty", s"'\"$OrderUri\"'")})
+         |      WHEN 6 THEN ${sdj("ValidationError", "type_violation qty", s"'\"$OrderUri\"'")}
+         |    END, ']') AS derived_contexts
+         |FROM base ORDER BY event_id""".stripMargin,
 
     "ip_isp_lookup" -> Synth.withCte(
       s"""SELECT event_id,
