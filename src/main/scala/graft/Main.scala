@@ -60,7 +60,10 @@ object Main {
       // the inferred filter only costs.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    // spark-submit injects the master; default for bare local runs
+    // spark-submit injects the master; default for bare local runs. Track
+    // whether we REUSED an existing session (tests drive main() in-process)
+    // so we never stop a session we did not create.
+    val reused = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
     val spark = (if (new org.apache.spark.SparkConf().contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
 
@@ -69,6 +72,16 @@ object Main {
         EnrichmentConfig.fromJson(new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args.config)), "UTF-8"))
       else graft.queries.PipelineQuery.pipeline
+
+    // the etl timestamp every bad-row envelope carries (reference
+    // etlTstamp: job start)
+    val etlUs = org.apache.spark.sql.functions.lit(System.currentTimeMillis() * 1000L)
+    // replay payload inside envelopes = the raw collector columns
+    def payloadCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Sources.CollectorTsvFields.map(_._1).filter(df.columns.contains) match {
+        case Nil => df.columns.toSeq.take(6)
+        case cols => cols
+      }
 
     args.mode match {
       case "batch" =>
@@ -80,28 +93,55 @@ object Main {
           case "parquet" => spark.read.parquet(args.input)
           case other => throw new IllegalArgumentException(s"unknown format: $other")
         }
-        val (good, bad) = pipeline.split(raw)
+        // two sinks with different formats (parquet rows vs envelope text)
+        // cost one chain evaluation each; when a single parquet root works,
+        // EnrichmentPipeline.splitWrite does both sides in ONE pass
+        val (good, _) = pipeline.split(raw)
         good.write.mode("append").parquet(args.good)
-        if (args.bad.nonEmpty) bad.write.mode("append").parquet(args.bad)
+        if (args.bad.nonEmpty)
+          // the reference-compatible bad stream: one self-describing
+          // bad-row envelope JSON document per failed event
+          pipeline.badRowsJson(raw, payloadCols(raw), etlUs)
+            .select("bad_row").write.mode("append").text(args.bad)
 
       case "stream" =>
         require(args.checkpoint.nonEmpty, "--checkpoint is required in stream mode")
         val raw = args.format match {
           case "collector-tsv" =>
             graft.enrich.Protocol.fromCollector(Sources.collectorTsvStream(spark, args.input))
+          case "kafka" =>
+            // --input broker1:9092,broker2:9092/topic
+            val (bootstrap, topic) = args.input.split("/", 2) match {
+              case Array(b, t) => (b, t)
+              case _ => throw new IllegalArgumentException(
+                "kafka format needs --input bootstrap-servers/topic")
+            }
+            graft.enrich.Protocol.fromCollector(
+              Sources.collectorTsvKafka(spark, bootstrap, topic))
           case other => throw new IllegalArgumentException(s"unknown streaming format: $other")
         }
         val enriched = pipeline.run(raw)
-        enriched.writeStream
+        val goodQ = enriched
+          .filter(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("bad_row_errors")) === 0)
+          .writeStream
           .format("parquet")
           .option("path", args.good)
-          .option("checkpointLocation", args.checkpoint)
+          .option("checkpointLocation", args.checkpoint + "/good")
           .outputMode("append")
           .start()
-          .awaitTermination()
+        if (args.bad.nonEmpty)
+          graft.streaming.EnrichStream.badRows(raw, pipeline, payloadCols(raw), etlUs)
+            .select("bad_row").writeStream
+            .format("text")
+            .option("path", args.bad)
+            .option("checkpointLocation", args.checkpoint + "/bad")
+            .outputMode("append")
+            .start()
+        goodQ.awaitTermination()
 
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
     }
-    if (args.mode == "batch") spark.stop()
+    if (args.mode == "batch" && !reused) spark.stop()
   }
 }

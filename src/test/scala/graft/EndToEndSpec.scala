@@ -58,6 +58,28 @@ class EndToEndSpec extends SparkSpec {
     assert(errs.exists(_.contains("unknown event code")))
   }
 
+  test("graft.Main batch: good parquet + reference bad-row envelopes on the bad sink (r12)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("main-e2e")
+    val in = dir.resolve("in").toString
+    Seq(line(), line(qsOverride = qs.replace("e=pv", "e=zz")))
+      .toDF("value").coalesce(1).write.text(in)
+    graft.Main.main(Array(
+      "--mode", "batch", "--format", "collector-tsv",
+      "--input", in,
+      "--good", dir.resolve("good").toString,
+      "--bad", dir.resolve("bad").toString))
+    assert(spark.sparkContext.isStopped == false, "main must not stop a reused session")
+    val good = spark.read.parquet(dir.resolve("good").toString)
+    assert(good.count() == 1 && good.collect()(0).getAs[String]("event") == "page_view")
+    val bad = spark.read.text(dir.resolve("bad").toString).collect().map(_.getString(0))
+    assert(bad.length == 1)
+    assert(bad(0).startsWith("""{"schema":"iglu:com.snowplowanalytics.snowplow.badrows/"""))
+    assert(bad(0).contains("unknown event code"))
+    assert(bad(0).contains(""""payload":{"collector_tstamp_us":1704067200000000"""),
+      "the replay payload carries the raw collector columns")
+  }
+
   test("config-driven pipeline from JSON") {
     import spark.implicits._
     val pipeline = EnrichmentConfig.fromJson(
