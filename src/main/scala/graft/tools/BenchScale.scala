@@ -189,7 +189,10 @@ object BenchScale {
     // rows) and the remote adapter (egress ∝ distinct bodies — grows with
     // the corpus here because the synthetic bodies are per-event unique,
     // but the per-body work is flat, so expect ≈linear)
-    "bad_rows_out", "bad_rows_triage", "adapter_remote")
+    "bad_rows_out", "bad_rows_triage", "adapter_remote",
+    // r12 continued: the emitFailed SDJ writer (scan-linear like
+    // bad_rows_out) and the ISP range join (broadcast dim, ≈scan-linear)
+    "failed_events_out", "ip_isp_lookup")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
