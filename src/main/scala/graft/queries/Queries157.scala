@@ -136,6 +136,32 @@ object Queries157 {
       bad.orderBy("line")
     },
 
+    "bad_rows_resubmit" -> { (sp, dir) =>
+      // the recovery job's REPLAY half (triage decides, this recovers):
+      // read the emitted CPFormatViolation envelopes, base64-decode the
+      // replay payload, apply the recovery transform (here: repair the
+      // garbage timestamp class), and push the lines BACK through the
+      // loader — repaired lines parse good, the no-tabs class stays bad.
+      val e = col("event_id")
+      val s = (c: Column) => c.cast("string")
+      val line =
+        when(e % 9 === 2, concat(lit("x\t1.2.3.4\tua\thttps://s/p\tpv\tq="), s(e)))
+          .when(e % 9 === 4, concat(lit("junk line "), s(e)))
+          .otherwise(concat(col("ts_us").cast("string"),
+            lit("\t1.2.3.4\tua\thttps://s/p\tpv\tq="), s(e)))
+      val lines = Tables.events(sp, dir).select(line.as("value"))
+      val (_, bad) = graft.sources.Sources.collectorTsvSplit(lines, lit(EtlUs))
+      val replayed = bad.select(
+        unbase64(get_json_object(col("bad_row"), "$.data.payload")).cast("string").as("value"))
+      val repaired = replayed.select(
+        regexp_replace(col("value"), "^x\t", "1704067200000000\t").as("value"))
+      val (good2, bad2) = graft.sources.Sources.collectorTsvSplit(repaired, lit(EtlUs))
+      good2.select(lit(true).as("recovered"))
+        .unionByName(bad2.select(lit(false).as("recovered")))
+        .groupBy("recovered").agg(count(lit(1)).as("n"))
+        .orderBy("recovered")
+    },
+
     "failed_events_out" -> { (sp, dir) =>
       // the reference's emitFailed INCOMPLETE-EVENTS stream
       // (EtlPipeline.scala:63, Failure.scala:34 "failure entities will be
@@ -267,6 +293,14 @@ object Queries157 {
          |    '"message":{"error":"error deserializing raw event: line does not parse as collector TSV"}},',
          |    '"payload":"', to_base64(encode(line)), '"}}') AS bad_row
          |FROM base ORDER BY line""".stripMargin,
+
+    "bad_rows_resubmit" ->
+      // repaired garbage-ts lines (%9==2) parse good on replay; the
+      // no-tabs class (%9==4) stays bad
+      """SELECT recovered, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT event_id % 9 = 2 AS recovered FROM events
+        |  WHERE event_id % 9 IN (2, 4))
+        |GROUP BY 1 ORDER BY recovered""".stripMargin,
 
     "failed_events_out" ->
       s"""WITH base AS (

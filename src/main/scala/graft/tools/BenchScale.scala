@@ -192,7 +192,9 @@ object BenchScale {
     "bad_rows_out", "bad_rows_triage", "adapter_remote",
     // r12 continued: the emitFailed SDJ writer (scan-linear like
     // bad_rows_out) and the ISP range join (broadcast dim, ≈scan-linear)
-    "failed_events_out", "ip_isp_lookup")
+    "failed_events_out", "ip_isp_lookup",
+    // the recovery replay: two loader passes + envelope decode, scan-linear
+    "bad_rows_resubmit")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
