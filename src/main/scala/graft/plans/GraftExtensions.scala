@@ -136,7 +136,12 @@ object GraftFunctions {
       es => ZstdExpression(es.head)),
     fn("graft_unzstd", "graft_unzstd(bin[, max_bytes])",
       es => UnzstdExpression(es.head,
-        if (es.length > 1) intArg(es(1), "max_bytes") else 1 << 20))
+        if (es.length > 1) intArg(es(1), "max_bytes") else 1 << 20)),
+    // round-12: native bounded top-k — rank-ordered (key DESC, tie ASC)
+    // pairs in one map-side-combined shuffle vs the rank window's
+    // full-group exchange + sort
+    fn("graft_top_k", "graft_top_k(key, tie, k)",
+      es => TopKRows(es(0), es(1), intArg(es(2), "k")))
   )
 
   /** Column-API surface of [[BitmapDistinct]]. */
@@ -170,6 +175,10 @@ object GraftFunctions {
   /** Column-API surface of [[KmvMinK]] (sorted k-min distinct values). */
   def kmvMinK(col: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     c(KmvMinK(x(col), k).toAggregateExpression())
+
+  /** Column-API surface of [[TopKRows]] (rank-ordered top-k pairs). */
+  def topK(key: org.apache.spark.sql.Column, tie: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    c(TopKRows(x(key), x(tie), k).toAggregateExpression())
 
   /** Register all graft SQL functions on a live session. */
   def register(spark: SparkSession): Unit = {

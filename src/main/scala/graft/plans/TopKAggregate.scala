@@ -1,0 +1,140 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+
+/** Bounded top-k state: the k largest (key, tie) pairs seen, ordered by
+  * (key DESC, tie ASC) — exactly `row_number() OVER (ORDER BY key DESC,
+  * tie ASC) <= k`. Insert/merge are O(k) over two parallel arrays; the
+  * partial is at most 8 + 16k bytes.
+  *
+  * This is the single-shuffle replacement for the rank-window top-k: the
+  * window plan exchanges EVERY row of the group and sorts it; this
+  * aggregate ships at most k pairs per (partition, group) through a
+  * map-side-combined ObjectHashAggregate — the same 1-vs-N-exchange
+  * argument as [[BitmapDistinct]] and [[KmvMinK]], but for ORDER rather
+  * than distinctness. At 100 TB a per-group top-5 over a billion-row
+  * group moves 5 rows per upstream partition instead of the group.
+  */
+final class TopKState(val k: Int) {
+  /** parallel arrays ordered (key desc, tie asc); n <= k entries valid. */
+  val keys = new Array[Long](k)
+  val ties = new Array[Long](k)
+  var n = 0
+
+  /** true if (k1, t1) ranks strictly ahead of (k2, t2). */
+  @inline private def ahead(k1: Long, t1: Long, k2: Long, t2: Long): Boolean =
+    k1 > k2 || (k1 == k2 && t1 < t2)
+
+  def add(key: Long, tie: Long): Unit = {
+    if (n == k && !ahead(key, tie, keys(n - 1), ties(n - 1))) return
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ahead(keys(mid), ties(mid), key, tie)) lo = mid + 1 else hi = mid
+    }
+    var i = if (n == k) k - 1 else n
+    while (i > lo) { keys(i) = keys(i - 1); ties(i) = ties(i - 1); i -= 1 }
+    keys(lo) = key
+    ties(lo) = tie
+    if (n < k) n += 1
+  }
+
+  def mergeIn(other: TopKState): Unit = {
+    var i = 0
+    while (i < other.n) { add(other.keys(i), other.ties(i)); i += 1 }
+  }
+}
+
+object TopKState {
+  def serialize(s: TopKState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 16 * s.n)
+    bb.putInt(s.k)
+    bb.putInt(s.n)
+    var i = 0
+    while (i < s.n) { bb.putLong(s.keys(i)); bb.putLong(s.ties(i)); i += 1 }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): TopKState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new TopKState(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { s.keys(i) = bb.getLong; s.ties(i) = bb.getLong; i += 1 }
+    s.n = n
+    s
+  }
+}
+
+/** The k largest (key, tie) pairs of a group as a rank-ordered
+  * ARRAY<STRUCT<key, tie>> (key DESC, tie ASC — ties break LOW). Rows with
+  * a NULL key or tie are skipped, matching the rank window's NULLS-LAST
+  * DESC ordering for k smaller than the non-null group. SQL surface:
+  * `graft_top_k(key, tie, k)` via [[GraftFunctions]]. */
+case class TopKRows(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKState]
+  with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType || right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_top_k requires BIGINT inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
+    else if (k < 1 || k > 65536)
+      TypeCheckResult.TypeCheckFailure(s"graft_top_k k must be in [1, 65536], got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("key", LongType, nullable = false),
+      StructField("tie", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k"
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k)
+
+  override def update(buffer: TopKState, input: InternalRow): TopKState = {
+    val kv = left.eval(input)
+    val tv = right.eval(input)
+    if (kv != null && tv != null) buffer.add(kv.asInstanceOf[Long], tv.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKState, other: TopKState): TopKState = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: TopKState): Any = {
+    val rows = new Array[Any](buffer.n)
+    var i = 0
+    while (i < buffer.n) {
+      rows(i) = InternalRow(buffer.keys(i), buffer.ties(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buffer: TopKState): Array[Byte] = TopKState.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): TopKState = TopKState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopKRows =
+    copy(left = newLeft, right = newRight)
+}
