@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Seasonal Holt-Winters, MMR selection, unicode anomaly screen, ROUGE. */
+class Queries159Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("holt_winters_forecast: full exact replay of the seasonal state machine") {
+    val rows = SparkEntry.queries("holt_winters_forecast")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def tdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    var l = rows.head.getLong(1)
+    var b = 0L
+    val s = Array.fill(7)(0L)
+    assert(rows.head.getLong(2) == l && rows.head.getLong(3) == 0L
+      && rows.head.getLong(4) == 0L && rows.head.getLong(5) == rows.head.getLong(1))
+    rows.tail.foreach { r =>
+      val (d, y) = (r.getLong(0), r.getLong(1))
+      val si = (d % 7).toInt
+      assert(r.getLong(5) == l + b + s(si), s"fitted at day $d")
+      val lNew = tdiv(y - s(si) + l + b, 2)
+      val bNew = tdiv(lNew - l + b, 2)
+      val sNew = tdiv(y - lNew + s(si), 2)
+      assert(r.getLong(2) == lNew && r.getLong(3) == bNew && r.getLong(4) == sNew)
+      l = lNew; b = bNew; s(si) = sNew
+    }
+  }
+
+  test("mmr_diversify: round 1 is pure relevance; scores never exceed relevance; selected ids distinct") {
+    val rows = SparkEntry.queries("mmr_diversify")(spark, dir).collect()
+    assert(rows.length == 8)
+    assert(rows.head.getLong(3) == 0L && rows.head.getLong(4) == rows.head.getLong(2))
+    rows.tail.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+    assert(rows.map(_.getLong(1)).distinct.length == 8)
+    // greedy invariant: each round's mmr_score is the max over remaining
+    // candidates, so the round-1 score (global max relevance) bounds all
+    assert(rows.tail.forall(_.getLong(4) <= rows.head.getLong(4)))
+  }
+
+  test("unicode_anomaly_scan: planted residue classes are found, clean docs stay clean") {
+    val rows = SparkEntry.queries("unicode_anomaly_scan")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ids = bySource(src).map(_._1)
+      assert(r.getLong(1) == ids.length.toLong)
+      assert(r.getLong(2) == ids.count(_ % 17 == 3).toLong, s"zw_docs for $src")
+      assert(r.getLong(3) == ids.count(_ % 17 == 7).toLong, s"bidi_docs for $src")
+      // mixed-script needs at least one 'a' in the doc; synthetic word soup
+      // always has one, so the residue count is exact
+      assert(r.getLong(4) == ids.count(_ % 17 == 5).toLong, s"mixed_docs for $src")
+      assert(r.getLong(5) == ids.count(i => i % 17 == 3 || i % 17 == 5 || i % 17 == 7).toLong)
+      assert(r.getLong(6) == 2L * ids.count(_ % 17 == 3))
+    }
+  }
+
+  test("rouge_pairs: bounds hold and a planted near-dup pair scores high") {
+    val rows = SparkEntry.queries("rouge_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rec, f1, f2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rec >= 0 && rec <= 1000)
+      assert(f1 >= 0 && f1 <= 1000)
+      assert(f2 >= 0 && f2 <= 1000)
+      assert(f2 <= f1 + 1, "bigram agreement cannot exceed unigram agreement (rounding slack 1)")
+    }
+    assert(rows.exists(_.getLong(3) >= 500), "the planted near-dups share most unigram mass")
+  }
+}
