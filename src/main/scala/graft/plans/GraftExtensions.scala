@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => BitmapDistinctRewrite)
+    ext.injectOptimizerRule(_ => TopKRewrite)
   }
 }
 

@@ -37,6 +37,19 @@ object StreamSketchNative {
         GraftFunctions.hllSummary(col("regs")).getField("est_hll").as("est_hll"))
   }
 
+  /** (event_type, rk, event_id, value_cents) from a stream with
+    * (`event_type`, `event_id`, `value_cents`) — the `topk_native`
+    * spelling. The [[graft.plans.TopKRows]] state is a bounded (key desc,
+    * tie asc) pair set that only IMPROVES as rows arrive (an insert
+    * either lands in rank order or is discarded), so the final update-mode
+    * emission per group is exactly the batch top-k readout. */
+  def topkByType(spark: SparkSession, events: DataFrame, k: Int = 5): DataFrame =
+    events.groupBy("event_type")
+      .agg(GraftFunctions.topK(col("value_cents"), col("event_id"), k).as("top"))
+      // the rank-ordered array stays packed here: a Generate after a
+      // streaming aggregation is unsupported, so readers posexplode the
+      // final update-mode emission sink-side (see StreamSketchNativeSpec)
+
   /** (event_type, n_kept, est_kmv) from the same stream — the
     * `kmv_native` hash spelling (rolling hash of user:day). */
   def kmvByType(spark: SparkSession, events: DataFrame, k: Int = 32): DataFrame = {

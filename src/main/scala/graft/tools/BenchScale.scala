@@ -194,7 +194,16 @@ object BenchScale {
     // bad_rows_out) and the ISP range join (broadcast dim, ≈scan-linear)
     "failed_events_out", "ip_isp_lookup",
     // the recovery replay: two loader passes + envelope decode, scan-linear
-    "bad_rows_resubmit")
+    "bad_rows_resubmit",
+    // r12 session-2: the pair-engine ROUGE read (sublinear by the df cap),
+    // the fingerprint-df template read, the native top-k + its rewrite
+    // (one map-side-combined shuffle, ≈scan-linear), the bounded-series
+    // stats (theil_sen / polish / holt-winters — calendar-bounded, expect
+    // flat), the candidate-bounded MMR, and the two scan-linear screens
+    "rouge_pairs", "template_mass", "topk_native", "topk_rewrite",
+    "theil_sen_trend", "median_polish", "holt_winters_forecast",
+    "mmr_diversify", "unicode_anomaly_scan", "winsorized_revenue",
+    "newsvendor_quantile", "max_drawdown")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

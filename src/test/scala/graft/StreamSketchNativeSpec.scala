@@ -62,4 +62,36 @@ class StreamSketchNativeSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streamed native top-k converges to batch topk_native") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val input = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    val q = graft.streaming.StreamSketchNative.topkByType(
+        spark, mem.toDF().toDF("event_type", "event_id", "value_cents"))
+      .writeStream.format("memory").queryName("stopk").outputMode("update").start()
+    try {
+      input.grouped((input.length + 2) / 3).foreach { c =>
+        mem.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      // last update-mode emission per group = converged state
+      val streamed = spark.sql(
+        """SELECT event_type, posexplode(top) FROM (
+          |  SELECT event_type, top, row_number() OVER (
+          |    PARTITION BY event_type ORDER BY emitted DESC) AS rn
+          |  FROM (SELECT event_type, top,
+          |          monotonically_increasing_id() AS emitted FROM stopk) z
+          |) w WHERE rn = 1""".stripMargin)
+        .select(col("event_type"), (col("pos") + 1).as("rk"),
+          col("col.tie").as("event_id"), col("col.key").as("value_cents"))
+        .as[(String, Int, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("topk_native")(spark, dir)
+        .as[(String, Int, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
