@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-12 batch #4 — nonparametric two-sample tests and the geo-velocity
+  * screen, all in exact integer arithmetic (SURVEY §6 portability rules):
+  *
+  *  - `ks_two_sample`: Kolmogorov–Smirnov D between the returned ('R') and
+  *    acknowledged ('A') line-price distributions. The ECDF difference is
+  *    kept as the INTEGER cross-product `|c1·n2 − c2·n1|` (max over the
+  *    pooled value domain), so D = d_num/(n1·n2) is exact; d_micro is the
+  *    integer-division rendering. One groupBy shrinks 600k rows to the
+  *    distinct-price domain BEFORE the (single-partition) cumulative
+  *    window — the window input is |distinct values|, not |rows|; at
+  *    100 TB the same shape holds (value domains are bounded; if not,
+  *    pre-quantize the value, which only coarsens the ECDF grid).
+  *  - `mann_whitney`: the Mann–Whitney U statistic for the same pair, with
+  *    midrank tie handling kept integer by DOUBLING ranks (the midrank of a
+  *    tied block is (lo+hi)/2, so 2·midrank = 2·cum_before + cnt + 1 is
+  *    always integral). Reports 2·U₁ and the common-language effect size
+  *    U₁/(n1·n2) in exact micro-units. Same distinct-domain shape as KS.
+  *  - `spearman_rho`: Spearman rank correlation between order value and
+  *    basket width per order, ties broken deterministically by orderkey
+  *    (row_number on both engines), so Σd² is exact; ρ = 1 − 6Σd²/(n³−n)
+  *    is rendered in micro-units via STAGED integer division (quotient,
+  *    then ×1000 remainder twice) — no intermediate exceeds n³·1000,
+  *    overflow-safe to n ≈ 2×10⁹ orders without HUGEINT/DECIMAL.
+  *  - `geo_velocity_screen`: the impossible-travel screen (the fraud-side
+  *    read of the reference's IP enrichment — ip_lookups geo applied to a
+  *    user's CONSECUTIVE events): per-user lag over (ts_us, event_id),
+  *    country centroid from the synthetic geo blocks (Queries2.GeoCountries
+  *    ip ranges), L1 micro-degree distance, and a cross-multiplied speed
+  *    test `dist_micro·3600·10⁶ > thr·gap_us` (no division, exact; the
+  *    gap is capped at 24 h so both sides stay ≪ 2⁶³). Scales as one
+  *    hash-partitioned window by user — no global sort, no join.
+  */
+object Queries161 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The shared Synth collector-IP formula (PipelineQuery / ip_geo_lookup
+    * spell the same arithmetic; valid in both Spark SQL and DuckDB). */
+  private val IpNumExpr =
+    "(event_id % 223 + 1) * 16777216 + ((event_id*7) % 256) * 65536 + " +
+      "((event_id*13) % 256) * 256 + (event_id*29) % 256"
+
+  /** Deterministic per-country centroid in micro-degrees, from the geo-block
+    * index (same formula on both engines; spread over ±70 lat, ±180 lon). */
+  private def latMicro(idx: String) = s"(($idx) * 37 % 140 - 70) * 1000000"
+  private def lonMicro(idx: String) = s"(($idx) * 73 % 360 - 180) * 1000000"
+
+  /** Impossible-travel threshold: 50 L1-degrees/hour (a jet does ~8). */
+  private val ThrMicroDegPerHour = 50000000L
+  private val DayUs = 86400000000L
+
+  /** (cents, c1, c2) per distinct pooled price value, A vs R lines. */
+  private def pooledCounts(sp: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(sp, dir)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        when(col("l_returnflag") === "A", 1L).otherwise(0L).as("ga"))
+      .groupBy("cents")
+      .agg(sum("ga").as("c1"), sum(expr("1 - ga")).as("c2"))
+
+  private val PooledSql =
+    """SELECT cents, CAST(sum(ga) AS BIGINT) AS c1,
+      |    CAST(sum(1 - ga) AS BIGINT) AS c2
+      |  FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |               CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ga
+      |        FROM lineitem WHERE l_returnflag IN ('A', 'R')) t
+      |  GROUP BY cents""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "ks_two_sample" -> { (sp, dir) =>
+      val cum = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      pooledCounts(sp, dir)
+        .select(sum("c1").over(cum).as("cum1"), sum("c2").over(cum).as("cum2"),
+          sum("c1").over(tot).as("n1"), sum("c2").over(tot).as("n2"))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          expr("d_num * 1000000 div (n1 * n2)").as("d_micro"))
+    },
+
+    "mann_whitney" -> { (sp, dir) =>
+      val before = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      pooledCounts(sp, dir)
+        .select(col("c1"),
+          (coalesce(sum(col("c1") + col("c2")).over(before), lit(0L)) * 2 +
+            (col("c1") + col("c2")) + 1).as("r2"),
+          sum("c1").over(tot).as("n1"), sum("c2").over(tot).as("n2"))
+        .groupBy("n1", "n2")
+        .agg(sum(col("c1") * col("r2")).as("r1_doubled"))
+        .select(col("n1"), col("n2"),
+          (col("r1_doubled") - col("n1") * (col("n1") + 1)).as("u1_doubled"))
+        .withColumn("cles_micro", expr("u1_doubled * 500000 div (n1 * n2)"))
+    },
+
+    "spearman_rho" -> { (sp, dir) =>
+      val width = Tables.lineitem(sp, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("y"))
+      val xy = Tables.orders(sp, dir)
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("x"))
+        .join(width, "o_orderkey")
+      xy.select(
+          row_number().over(Window.orderBy("x", "o_orderkey")).as("rx"),
+          row_number().over(Window.orderBy("y", "o_orderkey")).as("ry"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("(rx - ry) * (rx - ry)")).as("sum_d2"))
+        // staged division: rho_micro = 1e6 - 6e6*sum_d2/denom without
+        // ever forming a product beyond denom*1000
+        .withColumn("denom", expr("n * (n * n - 1)"))
+        .select(col("n"), col("sum_d2"),
+          expr("""1000000 - ((6 * sum_d2 div denom) * 1000000
+                 |  + ((6 * sum_d2 % denom) * 1000 div denom) * 1000
+                 |  + (((6 * sum_d2 % denom) * 1000 % denom) * 1000 div denom))
+                 |""".stripMargin.replace("\n", " ")).as("rho_micro"))
+    },
+
+    "geo_velocity_screen" -> { (sp, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val hops = Tables.events(sp, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("idx", expr(s"($IpNumExpr) div ${Queries2.BlockWidth}"))
+        .withColumn("lat", expr(latMicro("idx")))
+        .withColumn("lon", expr(lonMicro("idx")))
+        .select(col("user_id"),
+          (col("ts_us") - lag("ts_us", 1).over(byUser)).as("gap_us"),
+          (abs(col("lat") - lag("lat", 1).over(byUser)) +
+            abs(col("lon") - lag("lon", 1).over(byUser))).as("dist_micro"))
+        .filter(col("gap_us").isNotNull)
+      hops.groupBy("user_id")
+        .agg(count(lit(1)).as("n_hops"),
+          sum(when(col("gap_us") > 0 && col("gap_us") <= DayUs &&
+              col("dist_micro") * 3600000000L > lit(ThrMicroDegPerHour) * col("gap_us"),
+            1L).otherwise(0L)).as("n_flagged"),
+          max("dist_micro").as("max_dist_micro"))
+        .orderBy("user_id")
+    }
+  )
+
+  // ---- DuckDB twins ----
+
+  val oracles: Map[String, String] = Map(
+    "ks_two_sample" ->
+      s"""WITH pooled AS ($PooledSql),
+         |cum AS (
+         |  SELECT
+         |    sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+         |    sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2,
+         |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+         |  FROM pooled)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+         |  CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000 // (n1 * n2) AS BIGINT)
+         |    AS d_micro
+         |FROM cum GROUP BY n1, n2""".stripMargin,
+
+    "mann_whitney" ->
+      s"""WITH pooled AS ($PooledSql),
+         |ranked AS (
+         |  SELECT c1,
+         |    coalesce(sum(c1 + c2) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+         |      + (c1 + c2) + 1 AS r2,
+         |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+         |  FROM pooled)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(sum(c1 * r2) - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+         |  CAST((sum(c1 * r2) - n1 * (n1 + 1)) * 500000 // (n1 * n2) AS BIGINT)
+         |    AS cles_micro
+         |FROM ranked GROUP BY n1, n2""".stripMargin,
+
+    "spearman_rho" ->
+      """WITH xy AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+        |    CAST(w.y AS BIGINT) AS y
+        |  FROM orders o
+        |  JOIN (SELECT l_orderkey AS o_orderkey, count(*) AS y
+        |        FROM lineitem GROUP BY 1) w USING (o_orderkey)),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY x, o_orderkey) AS rx,
+        |         row_number() OVER (ORDER BY y, o_orderkey) AS ry
+        |  FROM xy),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+        |  FROM r)
+        |SELECT n, sum_d2,
+        |  CAST(1000000 - ((6 * sum_d2 // (n * (n * n - 1))) * 1000000
+        |    + ((6 * sum_d2 % (n * (n * n - 1))) * 1000 // (n * (n * n - 1))) * 1000
+        |    + (((6 * sum_d2 % (n * (n * n - 1))) * 1000 % (n * (n * n - 1))) * 1000
+        |        // (n * (n * n - 1)))) AS BIGINT) AS rho_micro
+        |FROM s""".stripMargin,
+
+    "geo_velocity_screen" ->
+      s"""WITH pos AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    (($IpNumExpr) // ${Queries2.BlockWidth}) AS idx
+         |  FROM events),
+         |hops AS (
+         |  SELECT user_id,
+         |    ts_us - lag(ts_us) OVER w AS gap_us,
+         |    abs(${latMicro("idx")} - lag(${latMicro("idx")}) OVER w)
+         |      + abs(${lonMicro("idx")} - lag(${lonMicro("idx")}) OVER w) AS dist_micro
+         |  FROM pos
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_hops,
+         |  CAST(sum(CASE WHEN gap_us > 0 AND gap_us <= $DayUs
+         |    AND dist_micro * 3600000000 > $ThrMicroDegPerHour * gap_us
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(max(dist_micro) AS BIGINT) AS max_dist_micro
+         |FROM hops WHERE gap_us IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

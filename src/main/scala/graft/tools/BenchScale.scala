@@ -203,7 +203,30 @@ object BenchScale {
     "rouge_pairs", "template_mass", "topk_native", "topk_rewrite",
     "theil_sen_trend", "median_polish", "holt_winters_forecast",
     "mmr_diversify", "unicode_anomaly_scan", "winsorized_revenue",
-    "newsvendor_quantile", "max_drawdown")
+    "newsvendor_quantile", "max_drawdown",
+    // r12 session-3: the two-sample tests (distinct-value-domain windows —
+    // expect sublinear in rows, the domain grows slower than the data), the
+    // per-user window screens (scan-linear), the adaptive-cell embedding
+    // census pair (cell size is held ~constant by construction — the probe
+    // must NOT read quadratic), the calendar-bounded sequential stats
+    // (expect flat), and the shingle sweep (scan-linear explode + rollup)
+    "ks_two_sample", "mann_whitney", "spearman_rho", "geo_velocity_screen",
+    "dbscan_core", "knn_graph_stats", "runs_test", "page_hinkley_drift",
+    "hits_scores", "quantile_interp", "rapid_fire_screen", "shingle_k_sweep",
+    // r12 session-3 cont.: budget/shard/calibration reads (scan-linear or
+    // bounded), the LSH capacity plan (key-shrinking rollup), and the
+    // runtime bloom-filter join (fact-scan-linear; the filter makes the
+    // SHUFFLE sublinear, not the scan)
+    "frontier_budget", "multimodal_shard_plan", "dow_rank_stability",
+    "embedding_clip_calibration", "odds_ratio_screen", "device_handoff_matrix",
+    "lsh_bucket_histogram", "runtime_filter_join",
+    // r12 session-3 cont. #2: the partition-pruned scan (must read ~flat —
+    // only Q1 partitions regardless of corpus months growing... months DO
+    // grow with the calendar, so expect sublinear-in-rows), the two corpus
+    // entropy rollups (token-mass linear), and the cap sweep (bucket-rollup
+    // bound, sublinear)
+    "dynamic_partition_pruning", "bigram_cond_entropy", "ttr_by_length",
+    "lsh_cap_sweep")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

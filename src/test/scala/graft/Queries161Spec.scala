@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Nonparametric two-sample tests + geo-velocity screen: each statistic is
+  * recomputed independently in plain Scala over the same sf0.001 rows. */
+class Queries161Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** (cents, isA) pooled sample, collected once. */
+  private lazy val pooled: Array[(Long, Boolean)] =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(round(col("l_extendedprice") * 100).cast("long"),
+        col("l_returnflag") === "A")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+
+  test("ks_two_sample matches a plain-Scala ECDF recompute") {
+    val row = SparkEntry.queries("ks_two_sample")(spark, dir).collect().head
+    val n1 = pooled.count(_._2).toLong
+    val n2 = pooled.length - n1
+    val values = pooled.map(_._1).distinct.sorted
+    var (c1, c2, best) = (0L, 0L, 0L)
+    values.foreach { v =>
+      c1 += pooled.count(p => p._1 == v && p._2)
+      c2 += pooled.count(p => p._1 == v && !p._2)
+      best = math.max(best, math.abs(c1 * n2 - c2 * n1))
+    }
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(row.getAs[Long]("d_num") == best)
+    assert(row.getAs[Long]("d_micro") == best * 1000000L / (n1 * n2))
+  }
+
+  test("mann_whitney matches a midrank recompute and the U1+U2 identity") {
+    val row = SparkEntry.queries("mann_whitney")(spark, dir).collect().head
+    val n1 = pooled.count(_._2).toLong
+    val n2 = pooled.length - n1
+    // doubled midranks per distinct value block
+    val byVal = pooled.groupBy(_._1).toSeq.sortBy(_._1)
+    var cumBefore = 0L
+    var r1d = 0L
+    byVal.foreach { case (_, block) =>
+      val cnt = block.length.toLong
+      val r2 = 2 * cumBefore + cnt + 1
+      r1d += block.count(_._2) * r2
+      cumBefore += cnt
+    }
+    val u1d = r1d - n1 * (n1 + 1)
+    assert(row.getAs[Long]("u1_doubled") == u1d)
+    // U1 + U2 = n1*n2  (doubled: u1d + u2d = 2*n1*n2); recompute U2 by
+    // swapping group roles over the same ranks
+    var r2d = 0L
+    cumBefore = 0L
+    byVal.foreach { case (_, block) =>
+      val cnt = block.length.toLong
+      r2d += block.count(!_._2) * (2 * cumBefore + cnt + 1)
+      cumBefore += cnt
+    }
+    assert(u1d + (r2d - n2 * (n2 + 1)) == 2 * n1 * n2)
+    assert(row.getAs[Long]("cles_micro") == u1d * 500000L / (n1 * n2))
+  }
+
+  test("spearman_rho matches a plain-Scala rank recompute") {
+    val row = SparkEntry.queries("spearman_rho")(spark, dir).collect().head
+    val xy = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("x")), "l_orderkey")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val rx = xy.sortBy(t => (t._2, t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val ry = xy.sortBy(t => (t._3, t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val n = xy.length.toLong
+    val sumD2 = xy.map(t => { val d = rx(t._1) - ry(t._1); d * d }).sum
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("sum_d2") == sumD2)
+    // staged integer division == BigInt reference rendering
+    val denom = BigInt(n) * (BigInt(n) * n - 1)
+    val expect = (BigInt(1000000) - BigInt(6) * sumD2 * 1000000 / denom).toLong
+    assert(row.getAs[Long]("rho_micro") == expect)
+  }
+
+  test("geo_velocity_screen: hop count identity and flag recompute for one user") {
+    val out = SparkEntry.queries("geo_velocity_screen")(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = ev.map(_._1).distinct.length
+    assert(out.map(_.getAs[Long]("n_hops")).sum == ev.length - users)
+    // replay the screen for the user with the most flags
+    val target = out.maxBy(_.getAs[Long]("n_flagged"))
+    val uid = target.getAs[Long]("user_id")
+    def pos(eid: Long): (Long, Long) = {
+      val ipnum = (eid % 223 + 1) * 16777216 + (eid * 7 % 256) * 65536 +
+        (eid * 13 % 256) * 256 + eid * 29 % 256
+      val idx = ipnum / 134217728L
+      ((idx * 37 % 140 - 70) * 1000000L, (idx * 73 % 360 - 180) * 1000000L)
+    }
+    val mine = ev.filter(_._1 == uid).sortBy(t => (t._2, t._3))
+    val flags = mine.sliding(2).count {
+      case Array(a, b) =>
+        val gap = b._2 - a._2
+        val (la, lo) = pos(a._3); val (lb, lob) = pos(b._3)
+        val dist = math.abs(lb - la) + math.abs(lob - lo)
+        gap > 0 && gap <= 86400000000L && dist * 3600000000L > 50000000L * gap
+      case _ => false
+    }
+    assert(target.getAs[Long]("n_flagged") == flags)
+  }
+}

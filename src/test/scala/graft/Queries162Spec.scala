@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DBSCAN census / kNN-graph stats / runs test / Page–Hinkley: each output
+  * is replayed independently in plain Scala over the same sf0.001 rows. */
+class Queries162Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** (vec_id, embedding-as-double) collected once. */
+  private lazy val vecs: Array[(Long, Array[Double])] =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+
+  /** The ann_ivf assignment: argmax cosine to the first-16 centroids. */
+  private lazy val cellOf: Map[Long, Long] = {
+    val cents = vecs.filter(_._1 < 16).sortBy(_._1)
+    vecs.map { case (id, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      val best = cents.map { case (cid, cv) =>
+        (dot(v, cv) / (nrm * math.sqrt(dot(cv, cv))), cid)
+      }.maxBy { case (cos, cid) => (cos, -cid) }
+      id -> best._2
+    }.toMap
+  }
+
+  private lazy val pairsByCos: Seq[(Long, Long, Double)] = {
+    val byCell = vecs.groupBy(v => cellOf(v._1))
+    byCell.values.flatMap { members =>
+      for {
+        (ia, va) <- members.toSeq; (ib, vb) <- members.toSeq if ia < ib
+      } yield (ia, ib, dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+    }.toSeq
+  }
+
+  test("dbscan_core matches a plain-Scala census replay") {
+    val out = SparkEntry.queries("dbscan_core")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val nbrs = pairsByCos.filter(_._3 >= 0.2)
+      .flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+    val nNb = nbrs.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val core = nNb.filter(_._2 >= 2).keySet
+    val border = nbrs.filter(e => core(e._2)).map(_._1).toSet -- core
+    val expect = vecs.groupBy(v => cellOf(v._1)).map { case (cell, members) =>
+      val ids = members.map(_._1)
+      cell -> (ids.length.toLong, ids.count(core).toLong, ids.count(border).toLong,
+        ids.count(id => !core(id) && !border(id)).toLong)
+    }
+    assert(out == expect)
+    out.values.foreach { case (n, c, b, z) => assert(c + b + z == n) }
+  }
+
+  test("knn_graph_stats matches a plain-Scala kNN replay") {
+    val out = SparkEntry.queries("knn_graph_stats")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val directed = pairsByCos.flatMap(p =>
+      Seq((p._1, p._2, p._3), (p._2, p._1, p._3)))
+    val edges = directed.groupBy(_._1).toSeq.flatMap { case (qid, cand) =>
+      cand.sortBy(c => (-c._3, c._2)).take(3).map(c => (qid, c._2))
+    }
+    val edgeSet = edges.toSet
+    val mutual = edges.filter { case (q, n) => q < n && edgeSet((n, q)) }
+    val expect = vecs.groupBy(v => cellOf(v._1)).map { case (cell, members) =>
+      val ids = members.map(_._1).toSet
+      cell -> (ids.size.toLong,
+        edges.count(e => ids(e._1)).toLong,
+        mutual.count(e => ids(e._1)).toLong,
+        ids.count(id => !edges.exists(_._1 == id)).toLong)
+    }
+    assert(out == expect)
+  }
+
+  private lazy val daily: Array[Long] =
+    Tables.orders(spark, dir)
+      .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+
+  test("runs_test matches a fold over the ordered daily series") {
+    val row = SparkEntry.queries("runs_test")(spark, dir).collect().head
+    val ups = daily.sliding(2).map { case Array(a, b) => b >= a }.toArray
+    val runs = 1 + ups.sliding(2).count { case Array(a, b) => a != b; case _ => false }
+    val (n1, n2) = (ups.count(identity).toLong, ups.count(!_).toLong)
+    assert(row.getAs[Long]("n_up") == n1 && row.getAs[Long]("n_down") == n2)
+    assert(row.getAs[Long]("runs") == runs)
+    assert(row.getAs[Long]("e_runs_milli") == 1000 + 2000 * n1 * n2 / (n1 + n2))
+  }
+
+  test("page_hinkley_drift matches a sequential fold replay") {
+    val row = SparkEntry.queries("page_hinkley_drift")(spark, dir).collect().head
+    var (cum, i, mT, minM, maxGap, alarms) = (0L, 0L, 0L, Long.MaxValue, 0L, 0L)
+    val lambda = 40L * (daily.sum / daily.length)
+    daily.foreach { x =>
+      cum += x; i += 1
+      mT += x - cum / i
+      minM = math.min(minM, mT)
+      val gap = mT - minM
+      maxGap = math.max(maxGap, gap)
+      if (gap > lambda) alarms += 1
+    }
+    assert(row.getAs[Long]("n_days") == daily.length.toLong)
+    assert(row.getAs[Long]("max_gap") == maxGap)
+    assert(row.getAs[Long]("lambda") == lambda)
+    assert(row.getAs[Long]("n_alarm_days") == alarms)
+  }
+}

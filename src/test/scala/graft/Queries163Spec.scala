@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HITS / interpolated quantiles / burst runs / shingle sweep replays. */
+class Queries163Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hits_scores matches a plain-Scala two-iteration replay") {
+    val out = SparkEntry.queries("hits_scores")(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val edges = Tables.documents(spark, dir).select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val txt = if (id % 19 == 2)
+          r.getString(1) + s" see https://site${id % 6}.example.com/page${id % 4} and http://ref.example.org/x"
+        else r.getString(1)
+        "https?://[a-z0-9.-]+/[a-z0-9/]*".r.findAllIn(txt).toSeq
+          .map(u => id -> "https?://([a-z0-9.-]+)/".r.findFirstMatchIn(u).get.group(1))
+      }
+    val a1 = edges.groupBy(_._2).map { case (d, es) => d -> es.length.toLong }
+    val h1 = edges.groupBy(_._1).map { case (doc, es) => doc -> es.map(e => a1(e._2)).sum }
+    val a2 = edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => h1(e._1)).sum }
+    assert(out == a1.map { case (d, v) => d -> (v, a2(d)) })
+    assert(out.nonEmpty)
+  }
+
+  test("quantile_interp matches sorted-array interpolation (and the q=50 median)") {
+    val out = SparkEntry.queries("quantile_interp")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val byFlag = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).sorted }
+    for ((flag, vals) <- byFlag; q <- Seq(25L, 50L, 75L, 90L)) {
+      val n = vals.length.toLong
+      val lo = ((n - 1) * q / 100).toInt
+      val frac = (n - 1) * q % 100
+      val expect = vals(lo) * 1000 +
+        (if (frac > 0) (vals(lo + 1) - vals(lo)) * frac * 10 else 0L)
+      assert(out((flag, q)) == ((n, expect)), s"$flag q$q")
+    }
+  }
+
+  test("rapid_fire_screen matches a gaps-and-islands replay") {
+    val out = SparkEntry.queries("rapid_fire_screen")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val replay = ev.groupBy(_._1).map { case (uid, es) =>
+      val ts = es.sortBy(t => (t._2, t._3)).map(_._2)
+      var runLens = List.empty[Long]
+      var cur = 0L
+      var prev = Long.MinValue
+      ts.foreach { t =>
+        if (prev == Long.MinValue || t - prev > 3600000000L) {
+          if (cur > 0) runLens ::= cur
+          cur = 1L
+        } else cur += 1
+        prev = t
+      }
+      if (cur > 0) runLens ::= cur
+      uid -> ((ts.length.toLong, runLens.max,
+        runLens.filter(_ >= 3).sum, runLens.count(_ >= 3).toLong))
+    }
+    assert(out == replay)
+  }
+
+  test("shingle_k_sweep: monotone specificity and exact k=2 recompute") {
+    val rows = SparkEntry.queries("shingle_k_sweep")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // higher k ⇒ rarer shingles ⇒ duplicated mass share cannot grow
+    assert(rows(2L)._3 >= rows(3L)._3 && rows(3L)._3 >= rows(5L)._3)
+    val toks = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").toSeq)
+    val sh2 = toks.flatMap(w => if (w.length < 2) Nil else w.sliding(2).map(_.mkString(" ")).toSeq)
+    val cnts = sh2.groupBy(identity).map(_._2.size)
+    assert(rows(2L)._1 == sh2.length.toLong)
+    assert(rows(2L)._2 == cnts.size.toLong)
+    assert(rows(2L)._3 == cnts.filter(_ >= 2).map(_.toLong).sum * 1000 / sh2.length)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Frontier budget / shard plan / dow Kendall / clip calibration replays. */
+class Queries164Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("frontier_budget: admitted ≤ 3 per domain, admitted + deferred = candidates") {
+    val rows = SparkEntry.queries("frontier_budget")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_admitted") <= 3)
+      assert(r.getAs[Long]("n_admitted") + r.getAs[Long]("n_deferred") ==
+        r.getAs[Long]("n_candidates"))
+    }
+    // every domain with >3 candidates defers the rest
+    rows.filter(_.getAs[Long]("n_candidates") > 3)
+      .foreach(r => assert(r.getAs[Long]("n_admitted") == 3))
+  }
+
+  test("multimodal_shard_plan matches a byte-offset fold replay") {
+    val out = SparkEntry.queries("multimodal_shard_plan")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val blobs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text").cast("binary")).cast("long"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var offset = 0L
+    val byShard = blobs.map { case (id, b) =>
+      val s = offset / 32768L; offset += b; (s, id, b)
+    }.groupBy(_._1)
+    val expect = byShard.map { case (s, xs) =>
+      val bytes = xs.map(_._3).sum
+      s -> ((xs.length.toLong, bytes, xs.map(_._2).min, xs.map(_._2).max,
+        bytes * 1000 / 32768L))
+    }
+    assert(out == expect)
+    // byte conservation: every blob lands in exactly one shard
+    assert(out.values.map(_._2).sum == blobs.map(_._2).sum)
+  }
+
+  test("dow_rank_stability: τ bounds and pair-count identity") {
+    val row = SparkEntry.queries("dow_rank_stability")(spark, dir).collect().head
+    assert(row.getAs[Long]("n_pairs") == 21)
+    val (c, d) = (row.getAs[Long]("concordant"), row.getAs[Long]("discordant"))
+    assert(c + d == 21)
+    val tau = row.getAs[Long]("tau_milli")
+    assert(tau == (c - d) * 1000 / 21 || tau == -((d - c) * 1000 / 21))
+    assert(tau >= -1000 && tau <= 1000)
+  }
+
+  test("embedding_clip_calibration matches a sorted-array replay for dim 0") {
+    val out = SparkEntry.queries("embedding_clip_calibration")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.size == 64)
+    val v0 = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).head.toDouble))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = v0.length
+    val p1 = v0(math.max(1, (n * 1 + 99) / 100) - 1)
+    val p99 = v0(math.max(1, (n * 99 + 99) / 100) - 1)
+    val clipped = v0.count(v => v < p1 || v > p99).toLong
+    assert(out(0L) == ((n.toLong, math.round(p1 * 1e6), math.round(p99 * 1e6),
+      clipped, clipped * 1000 / n)))
+  }
+}

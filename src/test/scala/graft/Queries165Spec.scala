@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Odds-ratio screen / device handoff / LSH histogram / runtime filter. */
+class Queries165Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("odds_ratio_screen matches a plain-Scala 2x2 replay") {
+    val out = SparkEntry.queries("odds_ratio_screen")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (0L until 5L).foreach { seg =>
+      val segUsers = users.filter(_._1 % 5 == seg)
+      val a = segUsers.count(u => (u._1 / 5) % 2 == 0 && u._2 == 1).toLong
+      val b = segUsers.count(u => (u._1 / 5) % 2 == 0 && u._2 == 0).toLong
+      val c = segUsers.count(u => (u._1 / 5) % 2 == 1 && u._2 == 1).toLong
+      val d = segUsers.count(u => (u._1 / 5) % 2 == 1 && u._2 == 0).toLong
+      val r = out(seg)
+      assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"), r.getAs[Long]("d"))
+        == ((a, b, c, d)))
+      if (b * c > 0) assert(r.getAs[Long]("or_milli") == a * d * 1000 / (b * c))
+    }
+  }
+
+  test("device_handoff_matrix: row shares sum to ~1000 and transitions conserve") {
+    val rows = SparkEntry.queries("device_handoff_matrix")(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    val ev = Tables.events(spark, dir).select("user_id").collect()
+    val users = ev.map(_.getLong(0)).distinct.length
+    assert(total == ev.length - users) // one transition per consecutive pair
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      val shareSum = grp.map(_.getAs[Long]("share_permille")).sum
+      // integer division loses < 1 permille per cell
+      assert(shareSum <= 1000 && shareSum > 1000 - grp.length)
+    }
+  }
+
+  test("lsh_bucket_histogram: doc-mass identity and pair mass matches bucket sizes") {
+    val rows = SparkEntry.queries("lsh_bucket_histogram")(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    // every doc lands in exactly one bucket per band
+    Seq(0L, 1L).foreach { band =>
+      assert(rows.filter(_.getLong(0) == band).map(_.getAs[Long]("n_docs")).sum == nDocs)
+    }
+    // tier invariant: a tier-t bucket has size in [2^t, 2^(t+1))
+    rows.foreach { r =>
+      val (tier, nb, nd) = (r.getLong(1), r.getAs[Long]("n_buckets"), r.getAs[Long]("n_docs"))
+      assert(nd >= nb * (1L << tier) && nd < nb * (1L << (tier + 1)))
+    }
+  }
+
+  test("runtime_filter_join: bloom might_contain in the plan, bits match the plain join") {
+    // rebuild the plan with the same confs the query sets, WITHOUT the
+    // eager checkpoint, to pin the runtime-filter shape
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val urgent = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val joined = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), sum("cents").as("revenue_cents"))
+        .orderBy("l_returnflag")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), s"runtime bloom filter planned:\n$plan")
+      val withFilter = joined.collect()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), sum("cents").as("revenue_cents"))
+        .orderBy("l_returnflag").collect()
+      assert(withFilter.toSeq == without.toSeq)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DPP layout / bigram entropy / TTR tiers / LSH cap sweep. */
+class Queries166Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dynamic_partition_pruning: plan prunes partitions and bits match the direct rollup") {
+    val path = graft.queries.Queries166.partitionedLineitem(spark, dir)
+    val fact = spark.read.parquet(path)
+    val q1 = Tables.lineitem(spark, dir)
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("m_id"))
+      .distinct().filter(expr("m_id % 100 <= 3"))
+    val joined = fact.join(broadcast(q1), "m_id")
+      .groupBy(col("m_id").cast("long").as("m_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"DPP subquery expected in the fact scan:\n$plan")
+    // bits: the partitioned read must lose nothing vs the direct rollup
+    val direct = Tables.lineitem(spark, dir)
+      .filter(month(col("l_shipdate")) <= 3)
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("m_id"))
+      .agg(count(lit(1)).as("n_lines"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == direct)
+  }
+
+  test("bigram_cond_entropy: conditional entropy below unigram entropy, counts conserve") {
+    val rows = SparkEntry.queries("bigram_cond_entropy")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir).select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val toks = docs.filter(_._1 == src).map(_._2)
+      assert(r.getAs[Long]("n_tokens") == toks.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("n_bigrams") ==
+        toks.filter(_.length >= 2).map(_.length.toLong - 1).sum)
+      // conditioning can only reduce (quantized) entropy, up to quantization
+      // slack of 1 bit = 1000 mbits
+      assert(r.getAs[Long]("cond_entropy_mbits") <=
+        r.getAs[Long]("uni_entropy_mbits") + 1000)
+    }
+  }
+
+  test("ttr_by_length matches a per-tier recompute") {
+    val out = SparkEntry.queries("ttr_by_length")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, dir).select("text").collect()
+      .map(_.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    val expect = docs.groupBy(t => 63 - java.lang.Long.numberOfLeadingZeros(t.length.toLong))
+      .map { case (tier, ds) =>
+        val toks = ds.map(_.length.toLong).sum
+        val types = ds.map(_.distinct.length.toLong).sum
+        tier.toLong -> ((ds.length.toLong, toks, types * 1000 / toks,
+          ds.map(d => d.distinct.length.toLong * 1000 / d.length).sum / ds.length))
+      }
+    assert(out == expect)
+  }
+
+  test("lsh_cap_sweep: monotone in cap and consistent with the bucket histogram") {
+    val rows = SparkEntry.queries("lsh_cap_sweep")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val total1 = rows(1L)._1 + rows(1L)._2
+    Seq(2L, 4L).foreach { cap =>
+      assert(rows(cap)._1 + rows(cap)._2 == total1) // pair mass invariant
+      assert(rows(cap)._1 >= rows(cap / 2)._1) // kept grows with cap
+    }
+    assert(rows(1L)._1 == 0) // cap 1 keeps nothing
+    // histogram cross-check: total candidate pairs equals the histogram sum
+    val hist = SparkEntry.queries("lsh_bucket_histogram")(spark, dir).collect()
+      .map(_.getAs[Long]("cand_pairs")).sum
+    assert(total1 == hist)
+  }
+}
