@@ -125,7 +125,13 @@ object DumpPlans {
     // round-12: the envelope writer (one interpreted to_json projection over
     // the bad split — no shuffle), its parse-back rollup, and the remote
     // adapter's distinct-bodies → broadcast join-back shape
-    "bad_rows_out", "bad_rows_triage", "adapter_remote")
+    "bad_rows_out", "bad_rows_triage", "adapter_remote",
+    // r12 session-3: the DPP showcase (dynamicpruning subquery on the
+    // partitioned scan), the distinct-domain KS window, and the
+    // adaptive-cell DBSCAN census. runtime_filter_join is NOT dumped: its
+    // query body checkpoints eagerly (the confs are scoped), so the
+    // returned plan is the checkpoint scan — the spec pins might_contain
+    "dynamic_partition_pruning", "ks_two_sample", "dbscan_core")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
