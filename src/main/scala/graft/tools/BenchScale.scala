@@ -226,7 +226,13 @@ object BenchScale {
     // entropy rollups (token-mass linear), and the cap sweep (bucket-rollup
     // bound, sublinear)
     "dynamic_partition_pruning", "bigram_cond_entropy", "ttr_by_length",
-    "lsh_cap_sweep")
+    "lsh_cap_sweep",
+    // r12 session-3 cont. #3: the bucketed co-located join (scan-linear,
+    // zero join shuffle by layout), the global-rank Lorenz curve (same
+    // distinct-domain window class as quantile_interp), and two
+    // fingerprint/projection rollups (scan-linear)
+    "bucketed_join", "lorenz_deciles", "norm_sensitivity_audit",
+    "context_overflow_audit")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed join / Lorenz deciles / normalization audit / overflow audit. */
+class Queries167Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed_join: zero exchange above the bucketed scans, bits match the plain join") {
+    val (lt, ot) = graft.queries.Queries167.bucketedTables(spark, dir)
+    val keep = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(lt).join(spark.table(ot), "l_orderkey")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_lines"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the join itself must not shuffle: the only allowed exchange is the
+      // one FEEDING the final groupBy, which sits above the join
+      val joinSection = plan.split("SortMergeJoin").last
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed sides must not re-shuffle:\n$plan")
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expect = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")), "l_orderkey")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == expect)
+    } finally keep match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("lorenz_deciles matches a sorted-array replay and is convex") {
+    val out = SparkEntry.queries("lorenz_deciles")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val revs = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = revs.length
+    val step = math.max(n / 10, 1)
+    val tot = revs.sum
+    (1 to 10).filter(d => d * step <= n).foreach { d =>
+      val cum = revs.take(d * step).sum
+      assert(out(d.toLong) == ((d.toLong * step, cum * 1000 / tot)), s"decile $d")
+    }
+    // convexity: ascending-sorted cumulative shares grow by non-decreasing steps
+    val shares = out.toSeq.sortBy(_._1).map(_._2._2)
+    shares.sliding(2).foreach { case Seq(a, b) => assert(b >= a); case _ => }
+  }
+
+  test("norm_sensitivity_audit: normalized dedup finds at least the raw groups") {
+    val rows = SparkEntry.queries("norm_sensitivity_audit")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("norm_redundant") >= r.getAs[Long]("raw_redundant"))
+      assert(r.getAs[Long]("rescued_docs") ==
+        r.getAs[Long]("norm_redundant") - r.getAs[Long]("raw_redundant"))
+    }
+  }
+
+  test("context_overflow_audit matches a per-doc recompute") {
+    val out = SparkEntry.queries("context_overflow_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), graft.functions.TextF.bpeTokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0)
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val chunks = ds.map(d => (d._2 + 511) / 512).sum
+      val toks = ds.map(_._2).sum
+      src -> ((ds.length.toLong, ds.count(_._2 > 512).toLong, chunks, toks,
+        (chunks * 512 - toks) * 1000 / (chunks * 512)))
+    }
+    assert(out == expect)
+  }
+}
