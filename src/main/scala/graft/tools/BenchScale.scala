@@ -232,7 +232,11 @@ object BenchScale {
     // distinct-domain window class as quantile_interp), and two
     // fingerprint/projection rollups (scan-linear)
     "bucketed_join", "lorenz_deciles", "norm_sensitivity_audit",
-    "context_overflow_audit")
+    "context_overflow_audit",
+    // r12 session-3 cont. #4: the JSON map explode census (scan-linear),
+    // the 16-way in-row bit rollup (scan-linear), and the strict-gate MRR
+    // (bounded by the bm25 candidate tier)
+    "props_key_census", "simhash_bit_bias", "mrr_eval")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

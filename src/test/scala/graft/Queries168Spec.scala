@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Props census / simhash bit bias / MRR eval replays. */
+class Queries168Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("props_key_census matches a driver-side JSON replay") {
+    val out = SparkEntry.queries("props_key_census")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.get(3), r.get(4), r.getLong(5))).toMap
+    val props = Tables.events(spark, dir).select("props").collect().map(_.getString(0))
+    val kvs = props.flatMap { p =>
+      // the synth props are flat single-level objects: {"k": 69}
+      "\"([a-z_]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(p)
+        .map(m => (m.group(1), m.group(2))).toSeq
+    }
+    val expect = kvs.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.length.toLong, vs.map(_._2).distinct.length.toLong,
+        vs.map(_._2.toLong).min, vs.map(_._2.toLong).max,
+        vs.length.toLong * 1000 / props.length))
+    }
+    assert(out.keySet == expect.keySet && out.nonEmpty)
+    expect.foreach { case (k, e) =>
+      val o = out(k)
+      assert((o._1, o._2, o._5) == ((e._1, e._2, e._5)), s"key $k counts")
+      assert(o._3 == e._3 && o._4 == e._4, s"key $k min/max")
+    }
+  }
+
+  test("simhash_bit_bias: doc-count identity and ones bounded") {
+    val rows = SparkEntry.queries("simhash_bit_bias")(spark, dir).collect()
+    assert(rows.length == 16)
+    val nDocs = Tables.documents(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      val ones = r.getAs[Long]("ones")
+      assert(ones >= 0 && ones <= nDocs)
+      assert(r.getAs[Long]("ones_permille") == ones * 1000 / nDocs)
+    }
+    // bias sanity: a healthy 16-bit simhash should not have a constant bit
+    assert(rows.count(r => r.getAs[Long]("ones") == 0 ||
+      r.getAs[Long]("ones") == nDocs) <= 2)
+  }
+
+  test("mrr_eval: rr consistent with bm25 ranks and strict relevance") {
+    val out = SparkEntry.queries("mrr_eval")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 4)
+    val bm25 = SparkEntry.queries("bm25_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Number]("rk").longValue(), r.getLong(2)))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").trim.split(" ").toSet)).toMap
+    val queries = Map("q01" -> Set("spark", "window"), "q02" -> Set("join", "merge"),
+      "q03" -> Set("stream", "batch"), "q04" -> Set("filter", "zebra"))
+    out.foreach { case (q, rank, rr) =>
+      val relRanks = bm25.filter(_._1 == q)
+        .filter { case (_, _, d) => queries(q).subsetOf(docs(d)) }.map(_._2)
+      if (relRanks.isEmpty) assert(rank == 0 && rr == 0, s"$q expected no hit")
+      else {
+        assert(rank == relRanks.min, s"$q first relevant rank")
+        assert(rr == 1000 / rank)
+      }
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Sessionizer
+import graft.streaming.Sessionizer.SessionEvent
+
+/** Stream == batch for the burst screen: a burst run IS a session under a
+  * 1 h gap, so feeding the real sf0.001 events through the production
+  * Sessionizer (flatMapGroupsWithState, O(1) state per user) and rolling
+  * the emitted run lengths up per user reproduces the oracle-checked
+  * `rapid_fire_screen` rows exactly.
+  */
+class StreamBurstSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private val GapUs = 3600000000L
+
+  test("streamed burst runs reproduce rapid_fire_screen row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+
+    val mem = MemoryStream[SessionEvent]
+    val sessions = Sessionizer.sessionize(spark, mem.toDS(), GapUs)
+    val q = sessions.writeStream.format("memory").queryName("sburst")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.map(t => SessionEvent(t._1, t._2)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // flush every open run: a far-future sentinel per user closes it by
+      // gap, then one more event advances the watermark past the sentinels
+      val far = rows.last._2 + 365L * 86400000000L
+      mem.addData(rows.map(_._1).distinct.map(u => SessionEvent(u, far)).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(Seq(SessionEvent(-1L, far + 365L * 86400000000L)))
+      q.processAllAvailable()
+
+      val streamed = spark.sql("SELECT user_id, start_us, n_events FROM sburst")
+        .filter(col("user_id") >= 0 && col("start_us") < far)
+        .groupBy("user_id")
+        .agg(sum("n_events").as("n_events"),
+          max("n_events").as("max_run_len"),
+          sum(when(col("n_events") >= 3, col("n_events")).otherwise(0L)).as("n_burst_events"),
+          sum(when(col("n_events") >= 3, 1L).otherwise(0L)).as("n_burst_runs"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+      // batch columns: user_id, n_events, max_run_len, n_burst_events, n_burst_runs
+      val batch = SparkEntry.queries("rapid_fire_screen")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+      assert(streamed.nonEmpty && streamed.length == batch.length)
+      assert(streamed.sameElements(batch),
+        "streamed burst rollup must equal rapid_fire_screen")
+    } finally q.stop()
+  }
+}
