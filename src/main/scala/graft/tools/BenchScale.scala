@@ -236,7 +236,13 @@ object BenchScale {
     // r12 session-3 cont. #4: the JSON map explode census (scan-linear),
     // the 16-way in-row bit rollup (scan-linear), and the strict-gate MRR
     // (bounded by the bm25 candidate tier)
-    "props_key_census", "simhash_bit_bias", "mrr_eval")
+    "props_key_census", "simhash_bit_bias", "mrr_eval",
+    // r12 session-3 cont. #5: the trigram window (scan-linear), two
+    // fingerprint rollups (scan-linear), the monthly join rollup
+    // (scan-linear), and the cross-source fingerprint pair join (bounded
+    // by the distinct-fingerprint table)
+    "journey_trigrams", "dedup_source_bias", "lead_time_trend",
+    "template_syndication")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Journey trigrams / dedup source bias / lead time / syndication replays. */
+class Queries169Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("journey_trigrams matches a plain-Scala sliding replay") {
+    val out = SparkEntry.queries("journey_trigrams")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getString(3)),
+        r.getAs[Long]("cnt"), r.getAs[Long]("n_users")))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      es.sortBy(t => (t._2, t._3)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(w => (uid, (w(0), w(1), w(2)))).toSeq
+    }
+    val byTri = tris.groupBy(_._2).map { case (t, xs) =>
+      t -> (xs.length.toLong, xs.map(_._1).distinct.length.toLong)
+    }
+    val expect = byTri.toSeq
+      .sortBy { case (t, (c, _)) => (-c, t._1, t._2, t._3) }.take(25).zipWithIndex
+      .map { case ((t, (c, u)), i) => (i + 1L, t, c, u) }
+    assert(out.toSeq == expect)
+  }
+
+  test("dedup_source_bias: kept ≤ before, shares sum ≈ 1000, bias consistent") {
+    val rows = SparkEntry.queries("dedup_source_bias")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("bias_pm") ==
+        r.getAs[Long]("share_after_pm") - r.getAs[Long]("share_before_pm"))
+    }
+    Seq("share_before_pm", "share_after_pm").foreach { c =>
+      val s = rows.map(_.getAs[Long](c)).sum
+      assert(s <= 1000 && s > 1000 - rows.length)
+    }
+  }
+
+  test("lead_time_trend: deltas telescope over the monthly series") {
+    val rows = SparkEntry.queries("lead_time_trend")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    // synthetic shipdates may precede orderdates, so lead can be negative;
+    // the invariant is the telescoping of month-over-month deltas
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("mom_delta_milli") ==
+          b.getAs[Long]("lead_milli_days") - a.getAs[Long]("lead_milli_days"))
+      case _ =>
+    }
+    assert(rows.head.getAs[Long]("mom_delta_milli") == 0)
+  }
+
+  test("template_syndication: symmetric bounds and containment ≤ 1000") {
+    val rows = SparkEntry.queries("template_syndication")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shared_fp") > 0)
+      val pm = r.getAs[Long]("containment_pm")
+      assert(pm >= 0 && pm <= 1000)
+      assert(r.getString(0) < r.getString(1)) // canonical pair order
+    }
+  }
+}
