@@ -31,8 +31,48 @@ object Queries8 {
     * DuckDB twin. */
   private val KnownCriterionRe = graft.enrich.SchemaCriterion.regexFor(KnownCriterion)
   private val UnknownSchema = "iglu:com.unknown/mystery/jsonschema/1-0-0"
-  private val GeoCtxSchema = "iglu:com.snowplowanalytics.snowplow/geolocation_context/jsonschema/1-1-0"
-  private val CliCtxSchema = "iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-0-1"
+  private[queries] val GeoCtxSchema = "iglu:com.snowplowanalytics.snowplow/geolocation_context/jsonschema/1-1-0"
+  private[queries] val CliCtxSchema = "iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-0-1"
+
+  /** The planted contexts array (shared by contexts_validate and
+    * context_schema_census): e%9==0 an unknown-schema context, e%9==1 a
+    * known context missing a required field, e%9==2 three contexts (the
+    * third valid) — reference utils/IgluUtils.scala:71
+    * extractAndValidateInputContexts. */
+  private[queries] def plantedContexts(e: Column): Column = {
+    val s = (c: Column) => c.cast("string")
+    val geoCtx = concat(
+      lit("{\"schema\":\"" + GeoCtxSchema + "\",\"data\":{\"latitude\":"), s(e % 90),
+      lit(".5,\"longitude\":"), s(e % 180), lit(".25}}"))
+    val cliGood = concat(
+      lit("{\"schema\":\"" + CliCtxSchema + "\",\"data\":{\"userId\":\"u"), s(e % 50),
+      lit("\",\"sessionId\":\"s"), s(e % 500), lit("\"}}"))
+    val cliBad = concat(
+      lit("{\"schema\":\"" + CliCtxSchema + "\",\"data\":{\"userId\":\"u"), s(e % 50), lit("\"}}"))
+    val unknownCtx = lit("{\"schema\":\"iglu:com.x/y/jsonschema/1-0-0\",\"data\":{\"k\":1}}")
+    when(e % 9 === 0, concat(lit("["), geoCtx, lit(","), unknownCtx, lit("]")))
+      .when(e % 9 === 1, concat(lit("["), cliBad, lit("]")))
+      .when(e % 9 === 2, concat(lit("["), geoCtx, lit(","), cliGood, lit(","), geoCtx, lit("]")))
+      .otherwise(concat(lit("["), geoCtx, lit(","), cliGood, lit("]")))
+  }
+
+  /** (event_id, contexts) relation over `raw` — the DuckDB twin of
+    * [[plantedContexts]]; ONE spelling shared by both oracles. */
+  private[queries] val ContextsRelSql: String =
+    s"""SELECT event_id,
+       |        CASE WHEN event_id % 9 = 0 THEN concat('[', geo, ',', unk, ']')
+       |             WHEN event_id % 9 = 1 THEN concat('[', clibad, ']')
+       |             WHEN event_id % 9 = 2 THEN concat('[', geo, ',', cligood, ',', geo, ']')
+       |             ELSE concat('[', geo, ',', cligood, ']') END AS contexts
+       |      FROM (
+       |        SELECT event_id,
+       |          concat('{"schema":"$GeoCtxSchema","data":{"latitude":', event_id % 90,
+       |                 '.5,"longitude":', event_id % 180, '.25}}') AS geo,
+       |          concat('{"schema":"$CliCtxSchema","data":{"userId":"u', event_id % 50,
+       |                 '","sessionId":"s', event_id % 500, '"}}') AS cligood,
+       |          concat('{"schema":"$CliCtxSchema","data":{"userId":"u', event_id % 50, '"}}') AS clibad,
+       |          '{"schema":"iglu:com.x/y/jsonschema/1-0-0","data":{"k":1}}' AS unk
+       |        FROM raw) t0""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "thrift_payload_parse" -> { (sp, dir) =>
@@ -218,26 +258,7 @@ object Queries8 {
     },
 
     "contexts_validate" -> { (sp, dir) =>
-      val e = col("event_id")
-      val s = (c: Column) => c.cast("string")
-      // a 2-3 element contexts array with planted bad elements: e%9==0 an
-      // unknown-schema context, e%9==1 a known context missing a required
-      // field, e%9==2 three contexts (the third valid) — reference
-      // utils/IgluUtils.scala:71 extractAndValidateInputContexts
-      val geoCtx = concat(
-        lit("{\"schema\":\"" + GeoCtxSchema + "\",\"data\":{\"latitude\":"), s(e % 90),
-        lit(".5,\"longitude\":"), s(e % 180), lit(".25}}"))
-      val cliGood = concat(
-        lit("{\"schema\":\"" + CliCtxSchema + "\",\"data\":{\"userId\":\"u"), s(e % 50),
-        lit("\",\"sessionId\":\"s"), s(e % 500), lit("\"}}"))
-      val cliBad = concat(
-        lit("{\"schema\":\"" + CliCtxSchema + "\",\"data\":{\"userId\":\"u"), s(e % 50), lit("\"}}"))
-      val unknownCtx = lit("{\"schema\":\"iglu:com.x/y/jsonschema/1-0-0\",\"data\":{\"k\":1}}")
-      val contexts =
-        when(e % 9 === 0, concat(lit("["), geoCtx, lit(","), unknownCtx, lit("]")))
-          .when(e % 9 === 1, concat(lit("["), cliBad, lit("]")))
-          .when(e % 9 === 2, concat(lit("["), geoCtx, lit(","), cliGood, lit(","), geoCtx, lit("]")))
-          .otherwise(concat(lit("["), geoCtx, lit(","), cliGood, lit("]")))
+      val contexts = plantedContexts(col("event_id"))
       val enriched = graft.enrich.ContextsValidate("contexts", Map(
         GeoCtxSchema -> Seq("latitude", "longitude"),
         CliCtxSchema -> Seq("userId", "sessionId")))(
@@ -407,21 +428,7 @@ object Queries8 {
          |      json_extract_string(contexts, '$$[0].schema') AS sch0,
          |      json_extract_string(contexts, '$$[1].schema') AS sch1,
          |      json_extract_string(contexts, '$$[2].schema') AS sch2
-         |    FROM (
-         |      SELECT event_id,
-         |        CASE WHEN event_id % 9 = 0 THEN concat('[', geo, ',', unk, ']')
-         |             WHEN event_id % 9 = 1 THEN concat('[', clibad, ']')
-         |             WHEN event_id % 9 = 2 THEN concat('[', geo, ',', cligood, ',', geo, ']')
-         |             ELSE concat('[', geo, ',', cligood, ']') END AS contexts
-         |      FROM (
-         |        SELECT event_id,
-         |          concat('{"schema":"$GeoCtxSchema","data":{"latitude":', event_id % 90,
-         |                 '.5,"longitude":', event_id % 180, '.25}}') AS geo,
-         |          concat('{"schema":"$CliCtxSchema","data":{"userId":"u', event_id % 50,
-         |                 '","sessionId":"s', event_id % 500, '"}}') AS cligood,
-         |          concat('{"schema":"$CliCtxSchema","data":{"userId":"u', event_id % 50, '"}}') AS clibad,
-         |          '{"schema":"iglu:com.x/y/jsonschema/1-0-0","data":{"k":1}}' AS unk
-         |        FROM raw) t0) t1) t2) t3
+         |    FROM ($ContextsRelSql) t1) t2) t3
          |ORDER BY event_id""".stripMargin
     }
   )

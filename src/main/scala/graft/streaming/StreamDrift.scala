@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming Page–Hinkley drift detection over a keyed, ordered series —
+  * the incremental twin of the batch `page_hinkley_drift` query.
+  *
+  * State per key is O(1): the observation count, running sum, PH walk and
+  * its running minimum — the same exact integer fold the batch query
+  * expresses with windows (dev = x − cum/i via integer division, so stream
+  * and batch are bit-identical on the same series).
+  *
+  * Contract: observations arrive in non-decreasing `seq` order per key
+  * (feed the PRE-AGGREGATED series — e.g. the closed windows of a daily
+  * rollup — not raw events; closed-window emission guarantees order).
+  * Within a micro-batch rows are sorted by seq before folding.
+  */
+object StreamDrift {
+
+  case class Obs(key: String, seq: Long, value: Long)
+  case class PhState(i: Long, cum: Long, mT: Long, minM: Long)
+  case class PhOut(key: String, seq: Long, m_t: Long, gap: Long)
+
+  def pageHinkley(spark: SparkSession, obs: Dataset[Obs]): Dataset[PhOut] = {
+    import spark.implicits._
+
+    def update(key: String, rows: Iterator[Obs],
+        state: GroupState[PhState]): Iterator[PhOut] = {
+      var s = state.getOption.getOrElse(PhState(0L, 0L, 0L, Long.MaxValue))
+      val out = rows.toSeq.sortBy(_.seq).map { o =>
+        val cum = s.cum + o.value
+        val i = s.i + 1
+        val mT = s.mT + (o.value - cum / i)
+        val minM = math.min(s.minM, mT)
+        s = PhState(i, cum, mT, minM)
+        PhOut(key, o.seq, mT, mT - minM)
+      }
+      state.update(s)
+      out.iterator
+    }
+
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+}

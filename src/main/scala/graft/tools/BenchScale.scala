@@ -242,7 +242,10 @@ object BenchScale {
     // (scan-linear), and the cross-source fingerprint pair join (bounded
     // by the distinct-fingerprint table)
     "journey_trigrams", "dedup_source_bias", "lead_time_trend",
-    "template_syndication")
+    "template_syndication",
+    // r12 session-3 cont. #6: the contexts regexp census and the dedup
+    // byte-economics rollup (both scan-linear)
+    "context_schema_census", "dedup_bytes_saved")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

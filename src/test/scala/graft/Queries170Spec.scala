@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamDrift
+import graft.streaming.StreamDrift.Obs
+
+/** Context census / dedup economics / streaming Page–Hinkley twin. */
+class Queries170Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("context_schema_census matches the planted universe arithmetic") {
+    val out = SparkEntry.queries("context_schema_census")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = Tables.events(spark, dir).count()
+    // planted layout by event_id % 9: 0 → geo+unknown, 1 → cli only,
+    // 2 → geo+cli+geo, else → geo+cli
+    val ids = Tables.events(spark, dir).select("event_id").collect().map(_.getLong(0))
+    val geoCount = ids.map(e => e % 9 match {
+      case 0 => 1L; case 1 => 0L; case 2 => 2L; case _ => 1L
+    }).sum
+    val geoEvents = ids.count(_ % 9 != 1).toLong
+    val cliEvents = ids.count(_ % 9 != 0).toLong
+    val unkEvents = ids.count(_ % 9 == 0).toLong
+    val geo = "iglu:com.snowplowanalytics.snowplow/geolocation_context/jsonschema/1-1-0"
+    val cli = "iglu:com.snowplowanalytics.snowplow/client_session/jsonschema/1-0-1"
+    val unk = "iglu:com.x/y/jsonschema/1-0-0"
+    assert(out.keySet == Set(geo, cli, unk))
+    assert(out(geo) == ((geoCount, geoEvents, geoEvents * 1000 / n)))
+    assert(out(cli)._2 == cliEvents && out(unk)._2 == unkEvents)
+  }
+
+  test("dedup_bytes_saved: byte conservation against keep-first") {
+    val rows = SparkEntry.queries("dedup_bytes_saved")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bytes_after") <= r.getAs[Long]("bytes_before"))
+      assert(r.getAs[Long]("docs_after") <= r.getAs[Long]("docs_before"))
+      val saved = (r.getAs[Long]("bytes_before") - r.getAs[Long]("bytes_after")) * 1000 /
+        r.getAs[Long]("bytes_before")
+      assert(r.getAs[Long]("saved_pm") == saved)
+    }
+    // cross-check total kept docs against dedup_keep_first
+    val kept = SparkEntry.queries("dedup_keep_first")(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("docs_after")).sum == kept)
+  }
+
+  test("StreamDrift.pageHinkley reproduces the batch fold and the alarm count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev"))
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Obs]
+    val outDs = StreamDrift.pageHinkley(spark, mem.toDS())
+    val q = outDs.writeStream.format("memory").queryName("sdrift")
+      .outputMode("append").start()
+    try {
+      daily.grouped((daily.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.map { case (d, v) => Obs("rev", d, v) }.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT seq, gap FROM sdrift ORDER BY seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // exact batch fold replay
+      var (cum, i, mT, minM) = (0L, 0L, 0L, Long.MaxValue)
+      val expect = daily.map { case (d, x) =>
+        cum += x; i += 1
+        mT += x - cum / i
+        minM = math.min(minM, mT)
+        (d, mT - minM)
+      }
+      assert(streamed.sameElements(expect))
+      // alarm count under the batch query's lambda matches the oracle row
+      val row = SparkEntry.queries("page_hinkley_drift")(spark, dir).collect().head
+      val lambda = row.getAs[Long]("lambda")
+      assert(streamed.count(_._2 > lambda) == row.getAs[Long]("n_alarm_days"))
+      assert(streamed.map(_._2).max == row.getAs[Long]("max_gap"))
+    } finally q.stop()
+  }
+}
