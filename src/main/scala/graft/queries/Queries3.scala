@@ -241,6 +241,30 @@ object Queries3 {
        |  FROM $prev p LEFT JOIN m$t ON m$t.cell = p.cell AND m$t.i = p.i
        |)""".stripMargin
 
+  /** The q→qd→nv→c0→(3 Lloyd iterations)→c3 CTE chain (k=8, maxIter=3) —
+    * the DuckDB twin of `KMeans.fitMicro(_, k = 8, maxIter = 3)`. ONE
+    * spelling shared by ann_ivf_kmeans and the centroid-overlap audit.
+    * NOTE: no WITH keyword and no trailing comma. */
+  private[queries] lazy val KmeansC3CteSql: String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |),
+       |qd AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS i, v[CAST(i AS INTEGER)] AS x
+       |  FROM q, range(1, 65) t(i)
+       |),
+       |nv AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nv2 FROM qd GROUP BY vec_id),
+       |c0 AS (
+       |  SELECT s.cell, qd.i, qd.x AS c
+       |  FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+       |        FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8) z) s
+       |  JOIN qd ON qd.vec_id = s.vec_id
+       |),
+       |${kmeansIterSql(1, "c0")},
+       |${kmeansIterSql(2, "c1")},
+       |${kmeansIterSql(3, "c2")}""".stripMargin
+
   val oracles: Map[String, String] = {
     def dotSql(a: String, b: String): String = dotSqlShared(a, b)
     // one SRP sign bit with plane seed `seed` over column `v`
@@ -322,24 +346,7 @@ object Queries3 {
       // dim is fixed at 64 by the embeddings table (TESTDATA.md); the Spark
       // side reads len() dynamically, the unrolled SQL pins it
       "ann_ivf_kmeans" ->
-        s"""WITH q AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-           |  FROM embeddings
-           |),
-           |qd AS (
-           |  SELECT vec_id, CAST(i AS INTEGER) AS i, v[CAST(i AS INTEGER)] AS x
-           |  FROM q, range(1, 65) t(i)
-           |),
-           |nv AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nv2 FROM qd GROUP BY vec_id),
-           |c0 AS (
-           |  SELECT s.cell, qd.i, qd.x AS c
-           |  FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-           |        FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8) z) s
-           |  JOIN qd ON qd.vec_id = s.vec_id
-           |),
-           |${kmeansIterSql(1, "c0")},
-           |${kmeansIterSql(2, "c1")},
-           |${kmeansIterSql(3, "c2")},
+        s"""WITH $KmeansC3CteSql,
            |a4 AS (
            |  SELECT vec_id, cell FROM (
            |    SELECT j.vec_id, j.cell,

@@ -245,7 +245,13 @@ object BenchScale {
     "template_syndication",
     // r12 session-3 cont. #6: the contexts regexp census and the dedup
     // byte-economics rollup (both scan-linear)
-    "context_schema_census", "dedup_bytes_saved")
+    "context_schema_census", "dedup_bytes_saved",
+    // r12 session-3 cont. #7: the trained-centroid grid (bounded 28 rows,
+    // training cost is the probe target), the 4-gram window (scan-linear),
+    // the SLA join rollup (scan-linear), and the triple winnow pass
+    // (scan-linear per w)
+    "ivf_centroid_overlap", "trigram_conversion", "sla_attainment",
+    "winnow_w_sweep")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Centroid overlap / trigram conversion / SLA / winnow sweep. */
+class Queries171Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ivf_centroid_overlap: 28 pairs, cosines bounded, symmetric definition") {
+    val rows = SparkEntry.queries("ivf_centroid_overlap")(spark, dir).collect()
+    assert(rows.length == 28) // C(8,2)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val c = r.getAs[Long]("cos_e6")
+      assert(c >= -1000000 && c <= 1000000)
+    }
+    // recompute one pair from the trained centroids
+    val cents = graft.operators.KMeans.fitMicro(
+      Tables.embeddings(spark, dir), "embedding", "vec_id", k = 8, maxIter = 3)
+    val dot01 = cents(0).indices.foldLeft(0L)((s, i) => s + cents(0)(i) * cents(1)(i))
+    assert(rows.find(r => r.getLong(0) == 0 && r.getLong(1) == 1)
+      .get.getAs[Long]("dot_micro2") == dot01)
+  }
+
+  test("trigram_conversion: purchase counts bounded and consistent with journey support") {
+    val rows = SparkEntry.queries("trigram_conversion")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p, pm) = (r.getAs[Long]("n_next"), r.getAs[Long]("n_purchase"),
+        r.getAs[Long]("purchase_pm"))
+      assert(p <= n && pm == p * 1000 / n)
+    }
+    // total 4-gram windows = sum over users of max(len-3, 0)
+    val ev = Tables.events(spark, dir).select("user_id").collect().map(_.getLong(0))
+    val total4 = ev.groupBy(identity).map { case (_, xs) => math.max(xs.length - 3, 0) }.sum
+    val allRows = SparkEntry.queries("trigram_conversion")(spark, dir)
+      .collect().map(_.getAs[Long]("n_next")).sum
+    assert(allRows <= total4) // top-25 is a subset of all 4-gram windows
+  }
+
+  test("sla_attainment matches a per-line recompute") {
+    val out = SparkEntry.queries("sla_attainment")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val joined = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("ord_us"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("o_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us")), "o_orderkey")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = joined.groupBy(_._1).map { case (p, xs) =>
+      val n = xs.length.toLong
+      val d7 = xs.count(x => x._3 - x._2 <= 7L * 86400000000L).toLong
+      val d30 = xs.count(x => x._3 - x._2 <= 30L * 86400000000L).toLong
+      p -> ((n, d7 * 1000 / n, d30 * 1000 / n))
+    }
+    assert(out == expect)
+  }
+
+  test("winnow_w_sweep: density falls with w and tracks ~2/(w+1)") {
+    val rows = SparkEntry.queries("winnow_w_sweep")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set(3L, 5L, 9L))
+    // monotone: a wider window selects fewer fingerprints
+    assert(rows(3L)._1 >= rows(5L)._1 && rows(5L)._1 >= rows(9L)._1)
+    // density within 2x of the theoretical 2/(w+1) rate (dedup within doc
+    // and short docs push it around, but the order of magnitude is pinned)
+    Seq(3L, 5L, 9L).foreach { w =>
+      val theory = 2000 / (w + 1)
+      val density = rows(w)._4
+      assert(density <= 2 * theory && density * 3 >= theory, s"w=$w density=$density")
+    }
+  }
+}
