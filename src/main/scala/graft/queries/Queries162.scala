@@ -47,15 +47,15 @@ object Queries162 {
     * quadratic term CONSTANT per cell as the corpus grows (semdedup's
     * `greatest(k0, N/target)` convention) — the probe-visible difference
     * between blocked-quadratic and linear scaling. */
-  private def nCells(sp: SparkSession, dir: String): Long =
+  private[queries] def nCells(sp: SparkSession, dir: String): Long =
     math.max(16L, Tables.embeddings(sp, dir).count() / 32L)
 
-  private def nCellsSql = "(SELECT greatest(16, count(*) // 32) FROM embeddings)"
+  private[queries] def nCellsSql = "(SELECT greatest(16, count(*) // 32) FROM embeddings)"
 
   /** vec_id → (embedding, nrm, cell) under the ann_ivf first-k centroid
     * assignment (collected centroid literals: a narrow projection, no join;
     * k is corpus-adaptive, see [[nCells]]). */
-  private def cellAssign(sp: SparkSession, dir: String): DataFrame = {
+  private[queries] def cellAssign(sp: SparkSession, dir: String): DataFrame = {
     val embT = Tables.embeddings(sp, dir)
     val cents: Seq[(Long, Seq[Double], Double)] = embT
       .filter(col("vec_id") < nCells(sp, dir)).orderBy("vec_id")
@@ -70,7 +70,7 @@ object Queries162 {
   }
 
   /** Within-cell candidate pairs (id_a < id_b) with exact left-fold cosine. */
-  private def cellPairs(assign: DataFrame): DataFrame = {
+  private[queries] def cellPairs(assign: DataFrame): DataFrame = {
     val a = assign.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("nrm").as("na"))
     val b = assign.select(col("cell"), col("vec_id").as("id_b"),
@@ -83,7 +83,7 @@ object Queries162 {
   // shared DuckDB prefix: e (embeddings + norm), cent, assign — the ann_ivf
   // assignment CTEs verbatim; pairs = within-cell candidates with cosine
   private def dotSql(a: String, b: String): String = Queries3.dotSqlShared(a, b)
-  private def AssignCte =
+  private[queries] def AssignCte =
     s"""e AS (
        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings

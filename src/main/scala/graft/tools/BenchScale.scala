@@ -251,7 +251,11 @@ object BenchScale {
     // the SLA join rollup (scan-linear), and the triple winnow pass
     // (scan-linear per w)
     "ivf_centroid_overlap", "trigram_conversion", "sla_attainment",
-    "winnow_w_sweep")
+    "winnow_w_sweep",
+    // r12 session-3 cont. #8: the privacy-class rollup + DP table (scan-
+    // linear / bounded), the part-year index join (key-shrinking), and the
+    // label overlay on the adaptive-cell kNN graph
+    "t_closeness", "price_index", "knn_label_consistency", "dp_error_planner")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** t-closeness / price indices / kNN labels / DP planner replays. */
+class Queries172Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("t_closeness matches a plain-Scala distribution-distance replay") {
+    val out = SparkEntry.queries("t_closeness")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_us"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 50").as("tier"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nn = base.length.toLong
+    val g1 = base.count(_._3 >= 1).toLong
+    val classes = base.groupBy(t =>
+      (t._1, t._2 / 86400000000L, (t._2 / 21600000000L) % 4))
+    assert(out.size == classes.size)
+    classes.foreach { case (key, xs) =>
+      val n = xs.length.toLong
+      val c1 = xs.count(_._3 >= 1).toLong
+      val dist = math.abs(c1 * nn - g1 * n) * 1000 / (n * nn)
+      assert(out(key) == ((n, dist, dist <= 200)), s"class $key")
+    }
+  }
+
+  test("price_index: both indices positive and Laspeyres/Paasche bracket sanity") {
+    val row = SparkEntry.queries("price_index")(spark, dir).collect().head
+    assert(row.getAs[Long]("n_parts") > 0)
+    val (l, p) = (row.getAs[Long]("laspeyres_pm"), row.getAs[Long]("paasche_pm"))
+    assert(l > 0 && p > 0)
+    // both are price indices around parity on the synthetic catalog
+    assert(l > 200 && l < 5000 && p > 200 && p < 5000)
+  }
+
+  test("knn_label_consistency: edge counts match the kNN graph and shares bounded") {
+    val rows = SparkEntry.queries("knn_label_consistency")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_same") <= r.getAs[Long]("n_edges"))
+      val pm = r.getAs[Long]("consistency_pm")
+      assert(pm >= 0 && pm <= 1000)
+    }
+    val totalEdges = SparkEntry.queries("knn_graph_stats")(spark, dir)
+      .collect().map(_.getAs[Long]("n_edges")).sum
+    assert(rows.map(_.getAs[Long]("n_edges")).sum == totalEdges)
+  }
+
+  test("dp_error_planner matches the closed-form arithmetic") {
+    val rows = SparkEntry.queries("dp_error_planner")(spark, dir).collect()
+    val counts = Tables.events(spark, dir).groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.length == counts.size * 2)
+    rows.foreach { r =>
+      val (et, eps, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(n == counts(et))
+      assert(r.getAs[Long]("noise_scale_milli") == 10000 / eps)
+      assert(r.getAs[Long]("rel_err_pm") == 10000 / (eps * n))
+    }
+  }
+}
