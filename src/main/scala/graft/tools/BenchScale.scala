@@ -255,7 +255,11 @@ object BenchScale {
     // r12 session-3 cont. #8: the privacy-class rollup + DP table (scan-
     // linear / bounded), the part-year index join (key-shrinking), and the
     // label overlay on the adaptive-cell kNN graph
-    "t_closeness", "price_index", "knn_label_consistency", "dp_error_planner")
+    "t_closeness", "price_index", "knn_label_consistency", "dp_error_planner",
+    // r12 session-3 cont. #9: the bench-side containment join (train
+    // shingles key-shrink first), the distinct hour census (scan-linear),
+    // and the part-level repricing rollup (key-shrinking)
+    "benchmark_coverage", "multi_device_hours", "price_stickiness")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

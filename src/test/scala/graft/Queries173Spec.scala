@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Benchmark coverage / multi-device hours / price stickiness replays. */
+class Queries173Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("benchmark_coverage matches a plain-Scala shingle containment replay") {
+    val out = SparkEntry.queries("benchmark_coverage")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+          .trim.split(" ").filter(_.nonEmpty)
+        val sh = if (toks.length < 8) Set.empty[String]
+          else toks.sliding(8).map(_.mkString(" ")).toSet
+        (r.getLong(0), sh)
+      }
+    val train = docs.filter(_._1 % 101 != 7).flatMap(_._2).toSet
+    val bench = docs.filter(t => t._1 % 101 == 7 && t._2.nonEmpty)
+    assert(out.keySet == bench.map(_._1).toSet && out.nonEmpty)
+    bench.foreach { case (id, sh) =>
+      val covered = sh.count(train).toLong
+      assert(out(id) == ((sh.size.toLong, covered, covered * 1000 / sh.size)), s"doc $id")
+    }
+  }
+
+  test("multi_device_hours: multi ≤ active, max platforms bounded by the code universe") {
+    val rows = SparkEntry.queries("multi_device_hours")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, m) = (r.getAs[Long]("active_hours"), r.getAs[Long]("multi_hours"))
+      assert(m <= a)
+      assert(r.getAs[Long]("max_platforms") >= 1 && r.getAs[Long]("max_platforms") <= 10)
+      assert(r.getAs[Long]("multi_pm") == m * 1000 / a)
+    }
+  }
+
+  test("price_stickiness: months-per-level consistent with the part rollup") {
+    val row = SparkEntry.queries("price_stickiness")(spark, dir).collect().head
+    val nParts = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    assert(row.getAs[Long]("n_parts") == nParts)
+    assert(row.getAs[Long]("mean_levels_milli") >= 1000) // ≥ 1 level per part
+    assert(row.getAs[Long]("months_per_level_milli") > 0)
+  }
+}
