@@ -259,7 +259,11 @@ object BenchScale {
     // r12 session-3 cont. #9: the bench-side containment join (train
     // shingles key-shrink first), the distinct hour census (scan-linear),
     // and the part-level repricing rollup (key-shrinking)
-    "benchmark_coverage", "multi_device_hours", "price_stickiness")
+    "benchmark_coverage", "multi_device_hours", "price_stickiness",
+    // r12 session-3 cont. #10: the daily-metric rank matrix and the
+    // distinct-day gap scan (calendar-bounded) + the supplier census
+    // (key-shrinking)
+    "spearman_matrix", "single_source_risk", "calendar_gaps")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spearman matrix / single-source risk / calendar gaps replays. */
+class Queries174Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("spearman_matrix: three pairs, rho bounded, revenue-qty replayed") {
+    val rows = SparkEntry.queries("spearman_matrix")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("orders_vs_revenue", "orders_vs_qty", "revenue_vs_qty"))
+    rows.values.foreach { case (_, _, rho) => assert(rho >= -1000000 && rho <= 1000000) }
+    // replay revenue_vs_qty in plain Scala
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey").as("o_orderkey"),
+        round(col("l_quantity")).cast("bigint").as("qty")), "o_orderkey")
+      .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+      .agg(sum("qty").as("q"))
+      .join(Tables.orders(spark, dir)
+        .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("r")), "day")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val rRev = daily.sortBy(t => (t._3, t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rQty = daily.sortBy(t => (t._2, t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val n = daily.length.toLong
+    val sumD2 = daily.map { t => val d = rRev(t._1) - rQty(t._1); d * d }.sum
+    assert(rows("revenue_vs_qty")._1 == n && rows("revenue_vs_qty")._2 == sumD2)
+  }
+
+  test("single_source_risk: shares bounded and totals match the part catalog") {
+    val rows = SparkEntry.queries("single_source_risk")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("single_source") <= r.getAs[Long]("n_parts"))
+      assert(r.getAs[Long]("single_pm") ==
+        r.getAs[Long]("single_source") * 1000 / r.getAs[Long]("n_parts"))
+    }
+    val sold = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == sold)
+  }
+
+  test("calendar_gaps matches a sorted distinct-day replay") {
+    val out = SparkEntry.queries("calendar_gaps")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val days = Tables.orders(spark, dir)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("d"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val expect = days.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => (a, b, b - a - 1)
+    }.toSeq
+    assert(out.toSeq == expect)
+    // conservation: observed days + missing days == calendar span
+    assert(days.length + expect.map(_._3).sum == days.max - days.min + 1)
+  }
+}
