@@ -263,7 +263,10 @@ object BenchScale {
     // r12 session-3 cont. #10: the daily-metric rank matrix and the
     // distinct-day gap scan (calendar-bounded) + the supplier census
     // (key-shrinking)
-    "spearman_matrix", "single_source_risk", "calendar_gaps")
+    "spearman_matrix", "single_source_risk", "calendar_gaps",
+    // r12 session-3 cont. #11: the entry-session pass (one user-keyed
+    // window), the 11-band scan rollup, and the customer-supplier census
+    "entry_type_conversion", "discount_return_interaction", "supplier_loyalty")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Entry conversion / discount-return / supplier loyalty replays. */
+class Queries175Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry_type_conversion matches a gaps-and-islands replay") {
+    val out = SparkEntry.queries("entry_type_conversion")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(t => (t._2, t._3))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800000000L)
+          buf += scala.collection.mutable.ArrayBuffer(e._4)
+        else buf.last += e._4
+        prev = e._2
+      }
+      buf.map(s => (s.head, s.contains("purchase")))
+    }
+    val expect = sessions.groupBy(_._1).map { case (t, xs) =>
+      val n = xs.length.toLong
+      val c = xs.count(_._2).toLong
+      t -> ((n, c, c * 1000 / n))
+    }
+    assert(out == expect)
+  }
+
+  test("discount_return_interaction: 11 bands, line conservation") {
+    val rows = SparkEntry.queries("discount_return_interaction")(spark, dir).collect()
+    assert(rows.length == 11)
+    assert(rows.map(_.getAs[Long]("n_lines")).sum == Tables.lineitem(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("return_pm") ==
+        r.getAs[Long]("n_returned") * 1000 / r.getAs[Long]("n_lines"))
+    }
+  }
+
+  test("supplier_loyalty: customer conservation across deciles") {
+    val rows = SparkEntry.queries("supplier_loyalty")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nCust = Tables.orders(spark, dir).select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 10))
+  }
+}
