@@ -266,7 +266,11 @@ object BenchScale {
     "spearman_matrix", "single_source_risk", "calendar_gaps",
     // r12 session-3 cont. #11: the entry-session pass (one user-keyed
     // window), the 11-band scan rollup, and the customer-supplier census
-    "entry_type_conversion", "discount_return_interaction", "supplier_loyalty")
+    "entry_type_conversion", "discount_return_interaction", "supplier_loyalty",
+    // r12 session-3 cont. #12: the in-row numeric fold, the trigram loop
+    // filter, and the first-order quintile pass (one global rank window
+    // over the customer domain)
+    "numeric_density", "pingpong_rate", "first_value_ltv")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Numeric density / ping-pong loops / first-value LTV replays. */
+class Queries176Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("numeric_density matches a plain-Scala token replay") {
+    val out = SparkEntry.queries("numeric_density")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val docs = Tables.documents(spark, dir).select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty)
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.map(_._2.length.toLong).sum
+      val nums = ds.map(_._2.count(_.forall(_.isDigit)).toLong).sum
+      val dom = ds.count(d => d._2.count(_.forall(_.isDigit)) * 2 > d._2.length).toLong
+      src -> ((ds.length.toLong, toks, nums, dom, nums * 1000 / toks))
+    }
+    assert(out == expect)
+  }
+
+  test("pingpong_rate: loops are a subset of trigrams with a != b") {
+    val rows = SparkEntry.queries("pingpong_rate")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) != r.getString(1))
+      assert(r.getAs[Long]("n_loops") > 0)
+    }
+    // loop mass bounded by total trigram count
+    val ev = Tables.events(spark, dir).select("user_id").collect().map(_.getLong(0))
+    val totalTri = ev.groupBy(identity).map { case (_, xs) => math.max(xs.length - 2, 0) }.sum
+    assert(rows.map(_.getAs[Long]("n_loops")).sum <= totalTri)
+  }
+
+  test("first_value_ltv: quintile conservation and monotone first-value means") {
+    val rows = SparkEntry.queries("first_value_ltv")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val nCust = Tables.orders(spark, dir).select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // first-order means must increase across first-value quintiles
+    val firstMeans = rows.map(_.getAs[Long]("mean_first_cents"))
+    firstMeans.sliding(2).foreach { case Array(a, b) => assert(b >= a); case _ => }
+  }
+}
