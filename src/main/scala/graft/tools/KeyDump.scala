@@ -1,0 +1,5 @@
+package graft.tools
+object KeyDump {
+  def main(args: Array[String]): Unit =
+    graft.SparkEntry.queries.keySet.toSeq.sorted.foreach(k => println(s"[key] $k"))
+}
