@@ -270,7 +270,10 @@ object BenchScale {
     // r12 session-3 cont. #12: the in-row numeric fold, the trigram loop
     // filter, and the first-order quintile pass (one global rank window
     // over the customer domain)
-    "numeric_density", "pingpong_rate", "first_value_ltv")
+    "numeric_density", "pingpong_rate", "first_value_ltv",
+    // r12 session-3 cont. #13: three scan-linear rollups (P&L identity,
+    // per-source rank cut, per-lang rank percentiles)
+    "effective_margin_profile", "length_concentration", "length_by_lang")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

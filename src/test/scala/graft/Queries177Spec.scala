@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Margin profile / length concentration / length-by-lang replays. */
+class Queries177Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("effective_margin_profile: identity checks and line conservation") {
+    val rows = SparkEntry.queries("effective_margin_profile")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_lines")).sum == Tables.lineitem(spark, dir).count())
+    rows.foreach { r =>
+      val (g, d) = (r.getAs[Long]("gross_cents"), r.getAs[Long]("discount_cents"))
+      assert(d >= 0 && d < g) // discounts are 0-10%
+      assert(r.getAs[Long]("net_margin_pm") == (g - d) * 1000 / g)
+      assert(r.getAs[Long]("net_margin_pm") >= 900) // max 10% discount
+    }
+  }
+
+  test("length_concentration: top decile holds at least its proportional mass") {
+    val rows = SparkEntry.queries("length_concentration")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("top_decile_pm")
+      assert(pm >= 0 && pm <= 1000)
+      // the LONGEST decile must hold at least ~a tenth of the mass
+      if (r.getAs[Long]("n_docs") >= 10) assert(pm >= 100 - 1)
+      assert(r.getAs[Long]("top_decile_tokens") <= r.getAs[Long]("tokens"))
+    }
+  }
+
+  test("length_by_lang matches a sorted-array percentile replay") {
+    val out = SparkEntry.queries("length_by_lang")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("doc_id"), col("text"))
+      .collect().map { r =>
+        val toks = r.getString(2).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+          .trim.split(" ").count(_.nonEmpty).toLong
+        (r.getString(0), r.getLong(1), toks)
+      }
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val sorted = ds.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length
+      lang -> ((n.toLong, sorted(((n - 1) * 50 / 100).toInt), sorted(((n - 1) * 90 / 100).toInt)))
+    }
+    assert(out == expect)
+  }
+}
