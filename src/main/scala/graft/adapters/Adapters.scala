@@ -351,7 +351,8 @@ object IgluQsAdapter {
 final case class RemoteAdapter(
   transport: String => Option[String],
   contentType: String = "application/json",
-  maxPayloads: Long = 1000000L
+  maxPayloads: Long = 1000000L,
+  breakerFailures: Int = 0
 ) extends Serializable {
 
   /** One output row per adapted event: every input column plus
@@ -375,7 +376,8 @@ final case class RemoteAdapter(
       map(qsEntries: _*).cast("map<string,string>").as("queryString"),
       array().cast("array<string>").as("headers"),
       col("_body").as("body"))))
-    val t = transport
+    val t = graft.enrich.CircuitBreaker.guard(
+      graft.enrich.CircuitBreaker.freshId("remote_adapter"), breakerFailures)(transport)
     val fetched = requests.select("_body", "_req").as[(String, String)]
       .mapPartitions { it =>
         it.map { case (body, req) =>

@@ -34,7 +34,8 @@ final case class ApiRequestLookup(
   jsonRoot: String = null,
   cachePath: String = null,
   maxKeys: Long = 1000000L,
-  ttlSeconds: Long = 0L
+  ttlSeconds: Long = 0L,
+  breakerFailures: Int = 0
 ) extends Enrichment {
   val name = "api_request"
   require(keyCols.nonEmpty, "api_request needs at least one input column")
@@ -75,7 +76,8 @@ final case class ApiRequestLookup(
     require(nMissing <= maxKeys,
       s"api_request: $nMissing distinct key tuples exceed maxKeys=$maxKeys — " +
         "bound the key domain or raise the limit explicitly")
-    val t = transport
+    val t = CircuitBreaker.guard(
+      CircuitBreaker.freshId(name), breakerFailures)(transport)
     val template = uriTemplate
     val names = keyNames
     val n = keyCols.size

@@ -1,0 +1,75 @@
+package graft.enrich
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.concurrent.TrieMap
+
+/** Consecutive-failure circuit breaker for injected transports (reference
+  * `common/src/main/scala/.../CircuitBreaker.scala` semantics: after K
+  * consecutive failures the breaker OPENS and callers fail fast without
+  * touching the endpoint, so a dead service degrades to the null-columns /
+  * retry-next-run path at a bounded probe cost instead of paying up to
+  * `maxKeys` doomed calls).
+  *
+  * Scope: state lives per (breaker-id, JVM). Every enrichment RUN mints a
+  * fresh id at plan time, so a new run always starts closed (the
+  * retry-next-run contract); on a cluster each executor carries its own
+  * counter — a dead endpoint costs at most K probes PER EXECUTOR per run,
+  * which is the same per-process posture as the reference's breaker.
+  *
+  * Failure accounting is the reference's: any transport throw increments
+  * the consecutive count, any success resets it to zero. Once open, calls
+  * throw [[CircuitBreaker.CircuitOpenException]] WITHOUT invoking the
+  * wrapped transport; the call sites' per-element `Try` already routes
+  * that to null columns kept out of the cache dim. The check-then-call is
+  * lock-free (healthy-path calls never serialize), so under task
+  * concurrency a handful of in-flight calls may slip through as the
+  * breaker trips — bounded by the executor's task slots, never by the key
+  * count.
+  */
+object CircuitBreaker {
+
+  final class CircuitOpenException(val breakerId: String, val failures: Int)
+    extends RuntimeException(
+      s"circuit open: $failures consecutive transport failures ($breakerId)")
+
+  // one tiny counter per (run, enrichment); runs mint fresh ids so stale
+  // entries are unreachable — evict beyond a cap to keep the map bounded
+  // in long-lived executors
+  private val states = TrieMap.empty[String, AtomicInteger]
+  private val MaxStates = 4096
+
+  private def state(id: String): AtomicInteger = {
+    if (states.size > MaxStates) states.clear()
+    states.getOrElseUpdate(id, new AtomicInteger(0))
+  }
+
+  /** Visible for specs: consecutive-failure count for a breaker id. */
+  def failureCount(id: String): Int =
+    states.get(id).map(_.get()).getOrElse(0)
+
+  /** Fresh per-run breaker id (driver-side, at enrichment plan time). */
+  def freshId(name: String): String =
+    s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Wrap `f` with breaker `id`; `maxFailures <= 0` disables (identity). */
+  def guard[A, B](id: String, maxFailures: Int)(f: A => B): A => B =
+    if (maxFailures <= 0) f else new Guarded(id, maxFailures, f)
+
+  private final class Guarded[A, B](id: String, maxFailures: Int, f: A => B)
+    extends (A => B) with Serializable {
+    def apply(a: A): B = {
+      val st = state(id)
+      val n = st.get()
+      if (n >= maxFailures) throw new CircuitOpenException(id, n)
+      try {
+        val r = f(a)
+        st.set(0)
+        r
+      } catch {
+        case e: Throwable =>
+          st.incrementAndGet()
+          throw e
+      }
+    }
+  }
+}

@@ -376,7 +376,8 @@ final case class ApiLookup(
   outputSchemaDdl: String,
   cachePath: String = null,
   maxKeys: Long = 1000000L,
-  ttlSeconds: Long = 0L
+  ttlSeconds: Long = 0L,
+  breakerFailures: Int = 0
 ) extends Enrichment {
   val name = "api_lookup"
   require(ttlSeconds >= 0L, "api_lookup: ttlSeconds must be >= 0 (0 = cache forever)")
@@ -400,7 +401,12 @@ final case class ApiLookup(
     require(nMissing <= maxKeys,
       s"api_lookup: $nMissing distinct keys exceed maxKeys=$maxKeys — " +
         "bound the key domain or raise the limit explicitly")
-    val t = transport // avoid serializing the enclosing enrichment
+    // avoid serializing the enclosing enrichment; breakerFailures > 0 adds
+    // the reference CircuitBreaker posture: K consecutive throws open the
+    // breaker and the remaining keys THIS RUN fail fast (null columns,
+    // retry next run) without further endpoint calls
+    val t = CircuitBreaker.guard(
+      CircuitBreaker.freshId(name), breakerFailures)(transport)
     val fetchedAt = nowSec
     // a transport that THROWS (timeout, 500) must not kill the stage — the
     // one-bad-row-never-kills-the-backfill rule. A thrown failure is NOT a
@@ -468,7 +474,8 @@ final case class IdentityLookup(
   transport: Seq[String] => Option[String],
   outCol: String = "snowplow_id",
   cachePath: String = null,
-  maxKeys: Long = 1000000L
+  maxKeys: Long = 1000000L,
+  breakerFailures: Int = 0
 ) extends Enrichment {
   val name = "identity"
   require(keyCols.nonEmpty, "identity needs at least one identifier column")
@@ -495,7 +502,8 @@ final case class IdentityLookup(
     require(nMissing <= maxKeys,
       s"identity: $nMissing distinct identifier tuples exceed maxKeys=$maxKeys — " +
         "bound the identifier domain or raise the limit explicitly")
-    val t = transport
+    val t = CircuitBreaker.guard(
+      CircuitBreaker.freshId(name), breakerFailures)(transport)
     val n = keyCols.size
     val fetchedAt = nowSec
     val outSchema = org.apache.spark.sql.types.StructType(

@@ -69,7 +69,8 @@ final case class SqlQueryLookup(
   maxKeys: Long = 1000000L,
   propertyNames: String = "AS_IS",
   bindCols: Seq[String] = null,
-  ttlSeconds: Long = 0L
+  ttlSeconds: Long = 0L,
+  breakerFailures: Int = 0
 ) extends Enrichment {
   val name = "sql_query"
   /** Per-placeholder event fields, in placeholder order — may repeat a
@@ -115,6 +116,8 @@ final case class SqlQueryLookup(
     // placeholder i binds the key-row position of binds(i) — repeats legal
     val bindIdx: Array[Int] = binds.map(keyCols.indexOf).toArray
     val pnames = propertyNames
+    val bid = CircuitBreaker.freshId(name)
+    val bf = breakerFailures
     val fetchedAt = nowSec
     val outSchema = StructType(keyFields ++ Seq(
       StructField("sql_response", StringType), StructField("sql_fetched_at", LongType),
@@ -132,8 +135,10 @@ final case class SqlQueryLookup(
       })
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val mode = pnames
-      it.map { row =>
-        val res = scala.util.Try {
+      // the statement execution routes through the run's circuit breaker:
+      // once open, remaining tuples fail fast (Failure path below) without
+      // touching the pool — reference CircuitBreaker semantics
+      val exec: Row => String = CircuitBreaker.guard(bid, bf) { row =>
           if (conn == null) { conn = factory(); ps = conn.prepareStatement(q) }
           var i = 0
           while (i < bindIdx.length) { ps.setObject(i + 1, row.get(bindIdx(i))); i += 1 }
@@ -157,8 +162,9 @@ final case class SqlQueryLookup(
               obj.toString
             }
           } finally rs.close()
-        }
-        res match {
+      }
+      it.map { row =>
+        scala.util.Try(exec(row)) match {
           case scala.util.Success(json) => Row.fromSeq(row.toSeq ++ Seq(json, fetchedAt, true))
           case scala.util.Failure(_) => Row.fromSeq(row.toSeq ++ Seq(null, fetchedAt, false))
         }

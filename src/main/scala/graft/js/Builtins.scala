@@ -50,11 +50,19 @@ object Builtins {
           if (!exists) o.props(key) = JsUndef
         }
       case f: JsFunc =>
-        if (hasGet || hasSet)
-          throw JsThrown(JsStr(
-            s"property '$key': accessor properties on functions (static get/set) are not supported in graft.js"))
-        if (hasValue) f.statics(key) = desc.props("value")
-        else if (!f.statics.contains(key)) f.statics(key) = JsUndef
+        if (hasGet || hasSet) {
+          // static accessors (r13): same exclusive-with-data contract as
+          // the JsObj branch above
+          f.statics.remove(key)
+          val acc = f.accessorTable
+          val (g0, s0) = acc.getOrElse(key, (JsUndef: JsVal, JsUndef: JsVal))
+          acc(key) = (if (hasGet) desc.props("get") else g0,
+            if (hasSet) desc.props("set") else s0)
+        } else if (hasValue) {
+          if (f.accessors != null) f.accessors.remove(key)
+          f.statics(key) = desc.props("value")
+        } else if (!f.statics.contains(key) &&
+          (f.accessors == null || !f.accessors.contains(key))) f.statics(key) = JsUndef
       case other =>
         throw JsThrown(JsStr(s"cannot define property '$key' on ${typeOf(other)}"))
     }
@@ -621,6 +629,10 @@ object Builtins {
             f.statics.get(k) match {
               case Some(v) =>
                 JsVal.obj("value" -> v, "writable" -> JsBool(true),
+                  "enumerable" -> JsBool(true), "configurable" -> JsBool(true))
+              case None if f.accessors != null && f.accessors.contains(k) =>
+                val (g, s) = f.accessors(k)
+                JsVal.obj("get" -> g, "set" -> s,
                   "enumerable" -> JsBool(true), "configurable" -> JsBool(true))
               case None => JsUndef
             }

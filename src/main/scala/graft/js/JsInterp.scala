@@ -47,6 +47,14 @@ final case class JsFunc(name: Option[String], params: List[String], body: List[S
   /** Own data properties on the function object itself (class `static`
     * members, memo tables the reference's scripts hang off functions). */
   val statics: mutable.LinkedHashMap[String, JsVal] = mutable.LinkedHashMap.empty
+  /** Static accessor properties (`static get`/`static set` class members,
+    * r13) — same lazily-allocated shape as [[JsObj.accessors]], exclusive
+    * with `statics` entries for the same name. */
+  var accessors: mutable.LinkedHashMap[String, (JsVal, JsVal)] = null
+  def accessorTable: mutable.LinkedHashMap[String, (JsVal, JsVal)] = {
+    if (accessors == null) accessors = mutable.LinkedHashMap.empty
+    accessors
+  }
 }
 final case class JsNative(name: String, fn: (JsVal, List[JsVal]) => JsVal) extends JsVal
 final case class JsRegex(pattern: String, flags: String) extends JsVal {
@@ -384,7 +392,15 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
             case o: JsObj => f.replacePrototype(o)
             case other => throw JsThrown(JsStr(s"prototype must be an object, got ${typeOf(other)}"))
           }
-        case f: JsFunc => f.statics(name) = v
+        case f: JsFunc =>
+          // a static accessor intercepts the write (own data statics shadow
+          // it, matching the JsObj [[Set]] posture; setter-less = no-op)
+          (if (f.statics.contains(name)) None
+           else if (f.accessors != null) f.accessors.get(name)
+           else None) match {
+            case Some((_, setter)) => callAccessor(setter, f, List(v)); ()
+            case None => f.statics(name) = v
+          }
         case a: JsArr if name == "length" =>
           val n = toNumber(v).toInt
           if (n < a.items.length) a.items.remove(n, a.items.length - n)
@@ -495,6 +511,8 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
       // own statics shadow the Function.prototype surface (except the
       // [[Prototype]]-backed `prototype` slot itself)
       if (name == "prototype") f.prototype
+      else if (!f.statics.contains(name) && f.accessors != null && f.accessors.contains(name))
+        callAccessor(f.accessors(name)._1, f, Nil) // static get (r13)
       else f.statics.getOrElse(name, name match {
         case "name" => f.name.map(JsStr(_): JsVal).getOrElse(JsStr(""))
         case "length" => JsNum(f.params.length.toDouble)

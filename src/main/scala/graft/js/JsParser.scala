@@ -217,7 +217,29 @@ object JsParser {
       * inheritance fail compile with guidance). */
     private def classDeclaration(): Stmt = {
       eatKw("class")
-      val name = identName()
+      classTail(identName())
+    }
+
+    /** `class` expression (r13): same desugar as the declaration form,
+      * wrapped in an IIFE that returns the constructor — so
+      * `var C = class {...}` and `registry[k] = class extends Base {...}`
+      * evaluate to the class value with the body scoped privately (which
+      * is also ES semantics for a NAMED class expression's binding). An
+      * anonymous class gets a synthetic internal name. The `class` keyword
+      * is already consumed by primary()'s next(). */
+    private def classExpression(): Expr = {
+      val name = peek match {
+        case TIdent(n, _) => next(); n
+        case _ => "__cls"
+      }
+      val body = classTail(name) match {
+        case Block(stmts) => stmts
+        case s => List(s)
+      }
+      Call(FuncExpr(None, Nil, body :+ Return(Some(Ident(name)))), Nil)
+    }
+
+    private def classTail(name: String): Stmt = {
       val parent: Option[String] =
         if (isKw("extends")) {
           next()
@@ -245,12 +267,9 @@ object JsParser {
           if (isStatic) first = identName()
           val target = if (isStatic) Ident(name) else protoTarget
           if ((first == "get" || first == "set") && !isPunct("(")) {
-            if (isStatic)
-              throw ParseError(
-                s"unsupported construct 'static $first': graft.js functions carry " +
-                  "data statics only — use a static method instead",
-                peek.pos)
-            // accessor member → Object.defineProperty(target, name, {get/set: fn})
+            // accessor member → Object.defineProperty(target, name, {get/set: fn});
+            // static accessors (r13) target the constructor function itself
+            // (JsFunc carries an accessor table alongside its data statics)
             val prop = identName()
             val (params, body) = funcRest()
             members += ExprStmt(Call(
@@ -581,10 +600,8 @@ object JsParser {
               "unsupported construct: 'super' is supported as super(...) and " +
                 "super.m(...) calls only", p)
         }
-      case TKeyword("class", p) =>
-        throw ParseError(
-          "unsupported construct 'class expression': declare the class as a " +
-            "statement (class Name { ... }) and reference it by name", p)
+      case TKeyword("class", _) =>
+        classExpression()
       case t => throw ParseError(s"unexpected token $t", t.pos)
     }
   }

@@ -25,10 +25,14 @@ import graft.Tables
   *    U₁/(n1·n2) in exact micro-units. Same distinct-domain shape as KS.
   *  - `spearman_rho`: Spearman rank correlation between order value and
   *    basket width per order, ties broken deterministically by orderkey
-  *    (row_number on both engines), so Σd² is exact; ρ = 1 − 6Σd²/(n³−n)
-  *    is rendered in micro-units via STAGED integer division (quotient,
-  *    then ×1000 remainder twice) — no intermediate exceeds n³·1000,
-  *    overflow-safe to n ≈ 2×10⁹ orders without HUGEINT/DECIMAL.
+  *    (row_number semantics on both engines), so Σd² is exact; ρ = 1 −
+  *    6Σd²/(n³−n) is rendered in micro-units via STAGED integer division
+  *    (quotient, then ×1000 remainder twice) — no intermediate exceeds
+  *    n³·1000, overflow-safe to n ≈ 2×10⁹ orders without HUGEINT/DECIMAL.
+  *    Ranks are computed DISTRIBUTED by the two-phase chunked shape
+  *    (`chunkedRank` below, watermark_planner's pattern) — value-histogram
+  *    offset + per-(value, okey-chunk) windows — never a global
+  *    single-partition row_number over the row domain.
   *  - `geo_velocity_screen`: the impossible-travel screen (the fraud-side
   *    read of the reference's IP enrichment — ip_lookups geo applied to a
   *    user's CONSECUTIVE events): per-user lag over (ts_us, event_id),
@@ -64,6 +68,42 @@ object Queries161 {
         when(col("l_returnflag") === "A", 1L).otherwise(0L).as("ga"))
       .groupBy("cents")
       .agg(sum("ga").as("c1"), sum(expr("1 - ga")).as("c2"))
+
+  /** Orderkey-chunk width for the two-phase rank (watermark_planner's
+    * chunked-prefix shape): within-cell windows see ≤ one chunk of one
+    * value, the offset tables are |distinct value| and |value × chunk|
+    * sized — no row-domain global window. */
+  private val RankChunk = 8192L
+
+  /** Two-phase distributed dense row-number by (`value`, o_orderkey):
+    * global_rank = (# rows with smaller value)                [voff]
+    *             + (# same-value rows in earlier okey chunks)  [coff]
+    *             + row_number within the (value, chunk) cell.
+    * o_orderkey is unique and `ck = o_orderkey div C` is monotone in it,
+    * so the three-level sum reproduces row_number() OVER (ORDER BY value,
+    * o_orderkey) exactly. The only single-partition window is the
+    * value-offset cumsum over the DISTINCT-value histogram (bounded value
+    * domain — ks_two_sample's adjudicated class); the chunk-offset window
+    * is hash-partitioned by value. */
+  private def chunkedRank(df: DataFrame, value: String, rkName: String): DataFrame = {
+    val t = df.withColumn("ck", expr(s"o_orderkey div $RankChunk"))
+    val perCell = t.groupBy(col(value), col("ck")).agg(count(lit(1)).as("cnt"))
+    val cellOff = perCell
+      .withColumn("coff", coalesce(sum("cnt").over(
+        Window.partitionBy(value).orderBy("ck")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(value), col("ck"), col("coff"))
+    val valOff = perCell.groupBy(col(value)).agg(sum("cnt").as("vcnt"))
+      .withColumn("voff", coalesce(sum("vcnt").over(
+        Window.orderBy(value).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(value), col("voff"))
+    t.join(cellOff, Seq(value, "ck"))
+      .join(valOff, Seq(value))
+      .withColumn(rkName,
+        col("voff") + col("coff") + row_number().over(
+          Window.partitionBy(value, "ck").orderBy("o_orderkey")))
+      .drop("ck", "coff", "voff")
+  }
 
   private val PooledSql =
     """SELECT cents, CAST(sum(ga) AS BIGINT) AS c1,
@@ -110,9 +150,7 @@ object Queries161 {
       val xy = Tables.orders(sp, dir)
         .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("x"))
         .join(width, "o_orderkey")
-      xy.select(
-          row_number().over(Window.orderBy("x", "o_orderkey")).as("rx"),
-          row_number().over(Window.orderBy("y", "o_orderkey")).as("ry"))
+      chunkedRank(chunkedRank(xy, "x", "rx"), "y", "ry")
         .agg(count(lit(1)).as("n"),
           sum(expr("(rx - ry) * (rx - ry)")).as("sum_d2"))
         // staged division: rho_micro = 1e6 - 6e6*sum_d2/denom without

@@ -22,7 +22,12 @@ import graft.functions.TextF
   *    milli-cents: pos = (n−1)·q/100 splits into an integer rank and a
   *    /100 fraction, v = v_lo·1000 + (v_hi − v_lo)·frac·10 — pure integer
   *    arithmetic (the interpolated companion of rank-based
-  *    percentiles_exact). One rank window per flag + two rank joins.
+  *    percentiles_exact). Scales via the value-histogram shape
+  *    (ks_two_sample's class): groupBy integer cents per flag shrinks the
+  *    fact table to the bounded distinct-price domain BEFORE the
+  *    cumulative-count window, then each target rank finds its bucket by
+  *    prev_cum < rank ≤ cum against the tiny broadcast position table —
+  *    no row-domain rank window anywhere in the plan.
   *  - `rapid_fire_screen`: per-user burst runs — maximal stretches of
   *    consecutive events with inter-event gap ≤ 1 h (run-length via
   *    cumulative break flags, the standard gaps-and-islands shape, ONE
@@ -91,25 +96,35 @@ object Queries163 {
 
     "quantile_interp" -> { (sp, dir) =>
       import sp.implicits._
-      val ranked = Tables.lineitem(sp, dir)
+      // Value-histogram shape (ks_two_sample's class, Queries161): groupBy
+      // integer cents per flag FIRST, so the cumulative window runs over
+      // the bounded |flag × distinct-price| domain, never the row domain.
+      // rank lo_rk lives in the bucket where prev_cum < lo_rk <= cum; the
+      // (lo_rk+1)-th value is the same bucket unless lo_rk sits exactly on
+      // the bucket's upper edge, where it is the next distinct value.
+      val wFlag = Window.partitionBy("flag").orderBy("cents")
+      val hist = Tables.lineitem(sp, dir)
         .select(col("l_returnflag").as("flag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("flag").orderBy("cents")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+        .groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          wFlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nxt", lead("cents", 1).over(wFlag))
+        .withColumn("prev", col("cum") - col("cnt"))
       val qs = Quantiles.map(_.toLong).toDF("q")
-      val pos = ranked.select(col("flag"), col("n")).distinct()
+      val pos = hist.groupBy("flag").agg(sum("cnt").as("n"))
         .crossJoin(broadcast(qs))
         .withColumn("lo_rk", expr("1 + (n - 1) * q div 100"))
         .withColumn("frac_c", expr("(n - 1) * q % 100"))
-      pos
-        .join(ranked.select(col("flag"), col("rk").as("lo_rk"), col("cents").as("v_lo")),
-          Seq("flag", "lo_rk"))
-        .join(ranked.select(col("flag"), (col("rk") - 1).as("lo_rk"), col("cents").as("v_hi")),
-          Seq("flag", "lo_rk"), "left")
+        .select(col("flag").as("pflag"), col("q"), col("n"),
+          col("lo_rk"), col("frac_c"))
+      hist
+        .join(broadcast(pos), col("flag") === col("pflag") &&
+          col("prev") < col("lo_rk") && col("lo_rk") <= col("cum"))
         .select(col("flag"), col("q"), col("n"),
-          (col("v_lo") * 1000 +
-            when(col("frac_c") > 0, (col("v_hi") - col("v_lo")) * col("frac_c") * 10)
+          (col("cents") * 1000 +
+            when(col("frac_c") > 0 && col("cum") === col("lo_rk"),
+              (col("nxt") - col("cents")) * col("frac_c") * 10)
               .otherwise(lit(0L))).as("v_milli"))
         .orderBy("flag", "q")
     },

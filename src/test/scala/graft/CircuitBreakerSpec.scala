@@ -1,0 +1,148 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.adapters.RemoteAdapter
+import graft.enrich.{ApiLookup, CircuitBreaker, SqlQueryLookup}
+
+/** CircuitBreaker (reference core CircuitBreaker.scala semantics): after K
+  * CONSECUTIVE transport failures the breaker opens and the remaining keys
+  * of THIS run fail fast onto the null-columns/retry-next-run path without
+  * further endpoint calls — a dead service costs K probes, not maxKeys
+  * doomed calls. Next run mints a fresh breaker id, so recovery needs no
+  * operator action. Call-count exactness needs a single fetch task: the
+  * breaker state is JVM-shared but check-then-call is lock-free, so these
+  * specs pin shuffle partitions to 1 around the fetch.
+  */
+class CircuitBreakerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withOnePartition[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def events = Seq(
+    (1L, "u1"), (2L, "u2"), (3L, "u3"), (4L, "u4"), (5L, "u5"), (6L, "u6")
+  ).toDF("event_id", "user_key")
+
+  test("guard: K consecutive failures open the circuit; success resets the count") {
+    val calls = new AtomicInteger(0)
+    val id = CircuitBreaker.freshId("unit")
+    val f = CircuitBreaker.guard(id, 2) { s: String =>
+      calls.incrementAndGet()
+      if (s.startsWith("bad")) throw new java.io.IOException(s) else s
+    }
+    assert(f("ok1") == "ok1")
+    intercept[java.io.IOException](f("bad1"))
+    assert(f("ok2") == "ok2") // success resets the consecutive count
+    intercept[java.io.IOException](f("bad2"))
+    intercept[java.io.IOException](f("bad3")) // second consecutive -> opens
+    assert(CircuitBreaker.failureCount(id) == 2)
+    intercept[CircuitBreaker.CircuitOpenException](f("ok3"))
+    intercept[CircuitBreaker.CircuitOpenException](f("bad4"))
+    assert(calls.get() == 5, "open circuit never invokes the transport")
+  }
+
+  test("guard disabled (maxFailures = 0) is the identity wrapper") {
+    val f = CircuitBreaker.guard("unused", 0)((s: String) => s + "!")
+    assert(f("a") == "a!")
+  }
+
+  test("ApiLookup: dead transport costs exactly K calls, every row survives with null columns") {
+    withOnePartition {
+      CircuitBreakerSpec.calls.set(0)
+      val out = ApiLookup("user_key", CircuitBreakerSpec.deadTransport,
+        "plan STRING", breakerFailures = 2).apply(events)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("plan")).toMap
+      assert(CircuitBreakerSpec.calls.get() == 2,
+        s"6 distinct keys, breaker at 2 -> exactly 2 attempted calls (got ${CircuitBreakerSpec.calls.get()})")
+      assert(out.size == 6 && out.values.forall(_ == null),
+        "fail-fast keys take the null-columns path, never a stage kill")
+    }
+  }
+
+  test("ApiLookup: without a breaker a dead transport pays one call per key (the r12 posture)") {
+    withOnePartition {
+      CircuitBreakerSpec.calls.set(0)
+      ApiLookup("user_key", CircuitBreakerSpec.deadTransport, "plan STRING").apply(events).count()
+      assert(CircuitBreakerSpec.calls.get() == 6)
+    }
+  }
+
+  test("ApiLookup: breaker failures stay out of the cache dim — next run retries and recovers") {
+    val cache = java.nio.file.Files.createTempDirectory("breaker_cache").toString + "/dim"
+    withOnePartition {
+      CircuitBreakerSpec.calls.set(0)
+      CircuitBreakerSpec.dead.set(true)
+      val mk = () => ApiLookup("user_key", CircuitBreakerSpec.switchableTransport,
+        "plan STRING", cachePath = cache, breakerFailures = 2)
+      mk().apply(events).count()
+      assert(CircuitBreakerSpec.calls.get() == 2)
+      // service recovers: the NEXT run's fresh breaker starts closed and
+      // every key (none was cached) fetches
+      CircuitBreakerSpec.dead.set(false)
+      val out = mk().apply(events)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("plan")).toMap
+      assert(CircuitBreakerSpec.calls.get() == 2 + 6)
+      assert(out(1L) == "plan-u1" && out(6L) == "plan-u6")
+    }
+  }
+
+  test("RemoteAdapter: breaker bounds calls; skipped payloads carry the adapter failure reason") {
+    withOnePartition {
+      CircuitBreakerSpec.calls.set(0)
+      val df = Seq("b1", "b2", "b3", "b4", "b5").toDF("body")
+      val out = RemoteAdapter(CircuitBreakerSpec.deadTransport, breakerFailures = 2)
+        .apply(df, "body")
+        .select("body", "adapter_failure").collect()
+      assert(CircuitBreakerSpec.calls.get() == 2)
+      assert(out.length == 5)
+      assert(out.forall(r => Option(r.getString(1)).exists(_.startsWith("[REMOTE_ADAPTER]"))),
+        "every payload fails soft with the reference's prefixed reason")
+      assert(out.exists(r => r.getString(1).contains("circuit open")),
+        "fail-fast payloads carry the circuit-open reason")
+    }
+  }
+
+  test("SqlQueryLookup: a dead database costs exactly K connection attempts") {
+    withOnePartition {
+      CircuitBreakerSpec.calls.set(0)
+      val out = SqlQueryLookup(
+        Seq("user_key"), "SELECT 1 AS X FROM t WHERE k = ?",
+        CircuitBreakerSpec.deadFactory, "X BIGINT", breakerFailures = 2)
+        .apply(events)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Any]("X")).toMap
+      assert(CircuitBreakerSpec.calls.get() == 2,
+        s"6 tuples, breaker at 2 -> 2 connection attempts (got ${CircuitBreakerSpec.calls.get()})")
+      assert(out.size == 6 && out.values.forall(_ == null))
+    }
+  }
+}
+
+object CircuitBreakerSpec {
+  val calls = new AtomicInteger(0)
+  val dead = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+  /** Always-down endpoint (connection refused on every call). */
+  val deadTransport: String => Option[String] = { _ =>
+    calls.incrementAndGet()
+    throw new java.io.IOException("connection refused")
+  }
+
+  /** Down until `dead` flips false, then healthy. */
+  val switchableTransport: String => Option[String] = { key =>
+    calls.incrementAndGet()
+    if (dead.get()) throw new java.io.IOException("connection refused")
+    else Some(s"""{"plan":"plan-$key"}""")
+  }
+
+  /** JDBC factory for a database that is down. */
+  val deadFactory: () => java.sql.Connection = { () =>
+    calls.incrementAndGet()
+    throw new java.sql.SQLException("connection refused")
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TransportFactories
+import graft.sources.TransportFactories._
+
+/** TransportFactories: the option-mapping layer a Kinesis/PubSub/NSQ/Kafka
+  * migration has to get right — reference `input`-section field names in,
+  * Spark connector (format, options) + Transport framing out. The
+  * connector jars for kinesis/pubsublite aren't on this classpath, so the
+  * specs pin the PURE parts: option maps, validation, framing projections
+  * (run against batch frames with the connector's column shape), and
+  * reference-minimal-config JSON ingestion.
+  */
+class TransportFactoriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kinesis: reference input fields map onto the connector options") {
+    val b = KinesisSourceConfig(streamName = "snowplow-collector-payloads",
+      appName = "snowplow-enrich", region = "eu-central-1").binding
+    assert(b.format == "aws-kinesis")
+    assert(b.options("streamName") == "snowplow-collector-payloads")
+    assert(b.options("consumerName") == "snowplow-enrich")
+    assert(b.options("region") == "eu-central-1")
+    assert(b.options("initialPosition") == "trim_horizon")
+    assert(b.options("consumerType") == "GetRecords")
+    assert(b.options("maxFetchRecordsPerShard") == "750")
+    val fanout = KinesisSourceConfig("s", retrievalModeType = "FanOut").binding
+    assert(fanout.options("consumerType") == "SubscribeToShard")
+    val atTs = KinesisSourceConfig("s", initialPositionType = "AT_TIMESTAMP",
+      initialPositionTimestamp = "2023-01-01T00:00:00Z").binding
+    assert(atTs.options("initialPosition") == "at_timestamp 2023-01-01T00:00:00Z")
+  }
+
+  test("kinesis: AT_TIMESTAMP without a timestamp and bad enums fail fast") {
+    assert(intercept[IllegalArgumentException](
+      KinesisSourceConfig("s", initialPositionType = "AT_TIMESTAMP"))
+      .getMessage.contains("timestamp"))
+    assert(intercept[IllegalArgumentException](
+      KinesisSourceConfig("s", initialPositionType = "MIDDLE"))
+      .getMessage.contains("TRIM_HORIZON"))
+    assert(intercept[IllegalArgumentException](
+      KinesisSourceConfig("s", retrievalModeType = "Push"))
+      .getMessage.contains("Polling"))
+  }
+
+  test("kinesis: framing projects the connector's record shape onto the Transport contract") {
+    val rec = Seq(
+      ("shardId-000000000042", "49590338271490256608559692538361571095921575989136588898",
+        Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L)), "line-1".getBytes("UTF-8"))
+    ).toDF("shardId", "sequenceNumber", "approximateArrivalTimestamp", "data")
+    val out = KinesisSourceConfig("s").binding.frame(rec).collect().head
+    assert(out.schema.fieldNames.toSeq == Seq("shard_id", "seq_no", "arrival_us", "value"))
+    assert(out.getAs[Long]("arrival_us") == 1704067200000000L)
+    assert(out.getAs[String]("value") == "line-1")
+    assert(out.getAs[Long]("seq_no") == "921575989136588898".toLong,
+      "per-shard order folds through the sequence number's tail digits")
+  }
+
+  test("pubsub: the full resource name parses; anything else fails fast") {
+    val c = PubsubSourceConfig("projects/myproject/subscriptions/snowplow-collector-payloads")
+    assert(c.project == "myproject" && c.name == "snowplow-collector-payloads")
+    assert(c.binding.format == "pubsublite")
+    assert(c.binding.options("pubsublite.subscription") ==
+      "projects/myproject/subscriptions/snowplow-collector-payloads")
+    assert(intercept[IllegalArgumentException](PubsubSourceConfig("my-subscription"))
+      .getMessage.contains("projects/"))
+  }
+
+  test("nsq: binding needs the file-dump bridge and carries the dumper's config") {
+    val cfg = NsqSourceConfig("collector-payloads", "collector-payloads-channel",
+      lookupHost = "10.0.0.5", lookupPort = 4161)
+    assert(intercept[IllegalArgumentException](cfg.binding).getMessage.contains("dumpDir"))
+    val b = cfg.copy(dumpDir = "/tmp/nsq-dump").binding
+    assert(b.format == "text" && b.options("path") == "/tmp/nsq-dump")
+    assert(b.options("nsq.topic") == "collector-payloads")
+    assert(b.options("nsq.channel") == "collector-payloads-channel")
+    assert(b.options("nsq.lookupHost") == "10.0.0.5")
+    // the framing is the shared Transport tab contract
+    val framed = b.frame(Seq("3\t17\t1704067200000000\tpayload-x").toDF("value")).collect().head
+    assert(framed.getInt(0) == 3 && framed.getLong(1) == 17L &&
+      framed.getLong(2) == 1704067200000000L && framed.getString(3) == "payload-x")
+  }
+
+  test("kafka: consumerConf passes through kafka.-prefixed, Spark-owned keys stay out") {
+    val b = KafkaSourceConfig("snowplow-collector-payloads", "localhost:9092",
+      consumerConf = Map(
+        "group.id" -> "enrich-kafka",
+        "enable.auto.commit" -> "false",
+        "auto.offset.reset" -> "earliest",
+        "max.poll.records" -> "1000")).binding
+    assert(b.format == "kafka")
+    assert(b.options("kafka.bootstrap.servers") == "localhost:9092")
+    assert(b.options("subscribe") == "snowplow-collector-payloads")
+    assert(b.options("startingOffsets") == "earliest")
+    assert(b.options("kafka.max.poll.records") == "1000")
+    assert(!b.options.contains("kafka.group.id"), "offset management belongs to the checkpoint")
+    assert(!b.options.contains("kafka.enable.auto.commit"))
+    val latest = KafkaSourceConfig("t", "b:9092",
+      consumerConf = Map("auto.offset.reset" -> "latest")).binding
+    assert(latest.options("startingOffsets") == "latest")
+  }
+
+  test("kafka: framing projects partition/offset/timestamp/value") {
+    val rec = Seq((7, 123456L, Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L)),
+      "v".getBytes("UTF-8"))).toDF("partition", "offset", "timestamp", "value")
+    val out = KafkaSourceConfig("t", "b:9092").binding.frame(rec).collect().head
+    assert(out.getInt(0) == 7 && out.getLong(1) == 123456L &&
+      out.getLong(2) == 1704067200000000L && out.getString(3) == "v")
+  }
+
+  test("the reference's minimal JSON configs parse as-is") {
+    val kin = TransportFactories.fromJson("kinesis",
+      """{"license": {"accept": true},
+        | "input": {"streamName": "snowplow-collector-payloads"},
+        | "output": {"good": {"streamName": "snowplow-enriched"},
+        |            "bad": {"streamName": "snowplow-bad"}}}""".stripMargin)
+      .asInstanceOf[KinesisSourceConfig]
+    assert(kin.streamName == "snowplow-collector-payloads")
+    assert(kin.initialPositionType == "TRIM_HORIZON" && kin.maxRecords == 750)
+
+    val ps = TransportFactories.fromJson("pubsub",
+      """{"input": {"subscription": "projects/p1/subscriptions/s1"}}""")
+      .asInstanceOf[PubsubSourceConfig]
+    assert(ps.project == "p1" && ps.name == "s1")
+
+    val nsq = TransportFactories.fromJson("nsq",
+      """{"input": {"topic": "collector-payloads", "channel": "cp-channel",
+        |           "lookupHost": "127.0.0.1", "lookupPort": 4161}}""".stripMargin)
+      .asInstanceOf[NsqSourceConfig]
+    assert(nsq.topic == "collector-payloads" && nsq.channel == "cp-channel")
+
+    val kafka = TransportFactories.fromJson("kafka",
+      """{"input": {"topicName": "t", "bootstrapServers": "localhost:9092",
+        |           "consumerConf": {"group.id": "enrich-kafka", "max.poll.records": "500"}}}""".stripMargin)
+      .asInstanceOf[KafkaSourceConfig]
+    assert(kafka.consumerConf("max.poll.records") == "500")
+
+    assert(intercept[IllegalArgumentException](
+      TransportFactories.fromJson("sqs", """{"input": {}}"""))
+      .getMessage.contains("unknown transport"))
+  }
+}

@@ -95,15 +95,33 @@ class JsSubsetSpec extends AnyFunSuite {
     assert(r.contextsJson.contains("\"inst\":true"))
   }
 
-  test("class boundary: super misuse and static-accessors fail compile with guidance") {
+  test("class boundary: super misuse fails compile with guidance") {
     assert(compileError("function process(e){ return super.x }")
       .contains("unsupported construct 'super'"))
     assert(compileError("class A {}\nclass B extends A { m() { return super.x } }")
       .contains("bare 'super.x' read"))
     assert(compileError("class A {}\nclass B extends (A) {}")
       .contains("superclass NAME"))
-    assert(compileError("class A { static get x() { return 1 } }")
-      .contains("static get"))
+  }
+
+  test("static accessors (r13): get/set on the constructor, data statics still shadow") {
+    val r = run(
+      """class Config {
+        |  static get version() { return Config.major + '.2' }
+        |  static set version(v) { Config.major = v.split('.')[0] }
+        |}
+        |Config.major = '1';
+        |function process(e) {
+        |  var before = Config.version;
+        |  Config.version = '7.9';
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0',
+        |           data: {before: before, after: Config.version,
+        |                  desc: typeof Object.getOwnPropertyDescriptor(Config, 'version').get}}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"before\":\"1.2\""), r.contextsJson)
+    assert(r.contextsJson.contains("\"after\":\"7.2\""), r.contextsJson)
+    assert(r.contextsJson.contains("\"desc\":\"function\""), r.contextsJson)
   }
 
   test("switch is IN the subset now; malformed clause bodies still fail compile") {
@@ -258,9 +276,22 @@ class JsSubsetSpec extends AnyFunSuite {
     JsScript.compile("function process(e){ return e.payload == null ? null : null }")
   }
 
-  test("class expressions fail compile with guidance; getOwnPropertyNames lists own keys") {
-    assert(compileError("var X = class { m() { return 1 } };")
-      .contains("class expression"))
+  test("class expressions (r13): anonymous, named-private, and extends forms evaluate") {
+    val r0 = run(
+      """var X = class { m() { return 40 } };
+        |var registry = { y: class X2 extends X { m() { return super.m() + 2 } } };
+        |function process(e) {
+        |  var inst = new (registry.y)();
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0',
+        |           data: {v: inst.m(), named: typeof X2}}];
+        |}""".stripMargin)
+    assert(r0.error.isEmpty, r0.error)
+    assert(r0.contextsJson.contains("\"v\":42"), r0.contextsJson)
+    // a named class expression's binding is private to the class body (ES)
+    assert(r0.contextsJson.contains("\"named\":\"undefined\""), r0.contextsJson)
+  }
+
+  test("getOwnPropertyNames lists own keys") {
     val r = run(
       """function process(e) {
         |  var o = Object.create({inh: 1}, {own: {value: 2}, g: {get: function(){ return 3 }}});
