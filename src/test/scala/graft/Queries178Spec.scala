@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch #1: classical statistics over the order calendar. */
+class Queries178Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("chi_square_independence: one row, nonnegative chi2, dof matches the grid") {
+    val r = SparkEntry.queries("chi_square_independence")(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == Tables.events(spark, dir).count())
+    assert(r.getAs[Long]("dof") == 9L * 8L, "10 platforms x 9 event codes")
+    assert(r.getAs[Long]("chi2_milli") >= 0L)
+  }
+
+  test("kendall_tau_daily: pair accounting closes and tau is bounded") {
+    val r = SparkEntry.queries("kendall_tau_daily")(spark, dir).collect().head
+    val nDays = r.getAs[Long]("n_days")
+    assert(r.getAs[Long]("n_pairs") == nDays * (nDays - 1) / 2)
+    // every pair is concordant, discordant, or tied (ties can overlap neither C nor D)
+    assert(r.getAs[Long]("concordant") + r.getAs[Long]("discordant") +
+      r.getAs[Long]("ties") >= r.getAs[Long]("n_pairs"))
+    assert(math.abs(r.getAs[Long]("tau_a_micro")) <= 1000000L)
+  }
+
+  test("rolling_corr: r2 bounded, components match a window replay on one day") {
+    val out = SparkEntry.queries("rolling_corr")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("r2_pm") >= 0L && r.getAs[Long]("r2_pm") <= 1000L)
+      assert(math.abs(r.getAs[Long]("corr_sign")) <= 1L)
+      // Cauchy-Schwarz: cov^2 <= varx * vary
+      val c = r.getAs[Long]("cov_num")
+      assert(c * c <= r.getAs[Long]("varx_num") * r.getAs[Long]("vary_num"))
+    }
+  }
+
+  test("acf_daily and lead_lag_xcorr: one row per lag, r2 bounded") {
+    val acf = SparkEntry.queries("acf_daily")(spark, dir).collect()
+    assert(acf.map(_.getAs[Long]("lag")).toSeq == (1L to 7L))
+    acf.foreach(r => assert(r.getAs[Long]("r2_pm") <= 1000L))
+    val ccf = SparkEntry.queries("lead_lag_xcorr")(spark, dir).collect()
+    assert(ccf.map(_.getAs[Long]("lag")).toSeq == (-3L to 3L))
+    ccf.foreach(r => assert(r.getAs[Long]("r2_pm") <= 1000L))
+  }
+
+  test("updown_streaks: day accounting closes against the daily frame") {
+    val r = SparkEntry.queries("updown_streaks")(spark, dir).collect().head
+    val nDays = Tables.orders(spark, dir)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+      .distinct().count()
+    assert(r.getAs[Long]("n_up_days") + r.getAs[Long]("n_down_days") +
+      r.getAs[Long]("n_flat_days") == nDays - 1, "every day after the first is classified")
+    assert(r.getAs[Long]("longest_up") <= r.getAs[Long]("n_up_days"))
+    assert(r.getAs[Long]("n_up_runs") <= r.getAs[Long]("n_up_days"))
+  }
+
+  test("price_endings: shares near 1000pm, line counts close") {
+    val out = SparkEntry.queries("price_endings")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_lines")).sum == Tables.lineitem(spark, dir).count())
+    val pm = out.map(_.getAs[Long]("share_pm")).sum
+    assert(pm >= 900L && pm <= 1000L, s"rounded shares sum to ~1000pm (got $pm)")
+  }
+
+  test("part_intro_rate: every sold part introduces exactly once") {
+    val out = SparkEntry.queries("part_intro_rate")(spark, dir).collect()
+    val soldParts = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_new_parts")).sum == soldParts)
+    assert(out.map(_.getAs[Long]("quarter")).toSeq == out.map(_.getAs[Long]("quarter")).sorted.toSeq)
+  }
+}

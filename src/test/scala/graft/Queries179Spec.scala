@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch #2: corpus-engineering planners and audits. */
+class Queries179Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mixture_temperature_plan: T=2 flattens the mix toward uniform") {
+    val out = SparkEntry.queries("mixture_temperature_plan")(spark, dir).collect()
+    assert(out.length > 1)
+    val t1 = out.map(_.getAs[Long]("ppm_t1"))
+    val t2 = out.map(_.getAs[Long]("ppm_t2"))
+    val uni = out.head.getAs[Long]("ppm_uniform")
+    // each temperature's ppm column sums to ~1e6 (rounding down only)
+    assert(t1.sum <= 1000000L && t1.sum > 1000000L - out.length)
+    assert(t2.sum <= 1000000L && t2.sum > 1000000L - out.length)
+    // sqrt scaling compresses the range: max weight shrinks, min grows
+    assert(t2.max <= t1.max && t2.min >= t1.min)
+    assert(uni == 1000000L / out.length)
+    // exact isqrt replay: recompute ppm_t2 from the n_toks column
+    def isqrt(v: Long): Long = {
+      val s0 = math.floor(math.sqrt(v.toDouble)).toLong
+      s0 + (if ((s0 + 1) * (s0 + 1) <= v) 1 else 0) - (if (s0 * s0 > v) 1 else 0)
+    }
+    val n = out.map(_.getAs[Long]("n_toks"))
+    val totSq = n.map(isqrt).sum
+    assert(out.map(r => r.getAs[Long]("ppm_t2")).toSeq ==
+      n.map(v => isqrt(v) * 1000000L / totSq).toSeq)
+  }
+
+  test("minhash_seed_stability: both families find pairs, overlap is non-trivial") {
+    val r = SparkEntry.queries("minhash_seed_stability")(spark, dir).collect().head
+    val (na, nb, common) = (r.getAs[Long]("n_pairs_a"), r.getAs[Long]("n_pairs_b"),
+      r.getAs[Long]("n_common"))
+    assert(common <= math.min(na, nb))
+    assert(r.getAs[Long]("jaccard_ppm") ==
+      common * 1000000 / math.max(na + nb - common, 1))
+  }
+
+  test("filter_threshold_sweep: pass counts are monotone in the threshold") {
+    val out = SparkEntry.queries("filter_threshold_sweep")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("threshold")).toSeq == Seq(10L, 20L, 40L))
+    val pass = out.map(_.getAs[Long]("n_pass"))
+    assert(pass.zip(pass.tail).forall { case (a, b) => a >= b })
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(pass.forall(_ <= nDocs))
+  }
+
+  test("cdc_shift_robustness: CDC re-synchronizes after a prefix insert, fixed windows do not") {
+    val rows = SparkEntry.queries("cdc_shift_robustness")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_orig_chunks"), r.getAs[Long]("shared_pm"))).toMap
+    assert(rows.keySet == Set("cdc", "fixed"))
+    assert(rows("cdc")._2 > 500L, s"CDC must retain most chunks (got ${rows("cdc")._2} pm)")
+    assert(rows("fixed")._2 < rows("cdc")._2,
+      "every fixed window shifts by one token; CDC must beat it")
+  }
+
+  test("deleted_interpolation: lambda masses partition the bigram mass") {
+    val r = SparkEntry.queries("deleted_interpolation")(spark, dir).collect().head
+    assert(r.getAs[Long]("lambda2_mass") + r.getAs[Long]("lambda1_mass") ==
+      r.getAs[Long]("bigram_mass"))
+    val ppm = r.getAs[Long]("lambda2_ppm")
+    assert(ppm >= 0L && ppm <= 1000000L)
+    // bigram token mass = sum over docs of (len - 1)
+    val expect = Tables.documents(spark, dir)
+      .select(graft.functions.TextF.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .agg(sum(expr("size(t) - 1"))).collect().head.getLong(0)
+    assert(r.getAs[Long]("bigram_mass") == expect)
+  }
+}
