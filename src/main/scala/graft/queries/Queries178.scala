@@ -71,7 +71,7 @@ object Queries178 {
   /** Exact correlation components from (n, sx, sy, sxy, sxx, syy) sums:
     * cov_num = n·sxy − sx·sy (and the two variance numerators), r² in
     * per-mille, and the covariance sign. */
-  private def corrCols(df: DataFrame): DataFrame =
+  private[queries] def corrCols(df: DataFrame): DataFrame =
     df.withColumn("cov_num", expr("np * sxy - sx * sy"))
       .withColumn("varx_num", expr("np * sxx - sx * sx"))
       .withColumn("vary_num", expr("np * syy - sy * sy"))
@@ -80,7 +80,7 @@ object Queries178 {
       .withColumn("corr_sign",
         expr("CAST(CASE WHEN cov_num > 0 THEN 1 WHEN cov_num < 0 THEN -1 ELSE 0 END AS BIGINT)"))
 
-  private val CorrColsSql =
+  private[queries] val CorrColsSql =
     """np * sxy - sx * sy AS cov_num,
       |  np * sxx - sx * sx AS varx_num,
       |  np * syy - sy * sy AS vary_num,

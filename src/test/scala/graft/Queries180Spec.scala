@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch #3: pricing, demand, and audit statistics. */
+class Queries180Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("brand_vwap: vwap sits inside the brand's price range") {
+    val out = SparkEntry.queries("brand_vwap")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val bounds = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(min(round(col("l_extendedprice") * 100)).as("lo"),
+        max(round(col("l_extendedprice") * 100)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val vwap = r.getAs[Long]("vwap_milli") / 1000.0
+      assert(vwap >= lo && vwap <= hi, s"${r.getString(0)}: $vwap not in [$lo,$hi]")
+    }
+  }
+
+  test("demand_peaking: peak >= mean and the peak day carries the peak qty") {
+    val out = SparkEntry.queries("demand_peaking")(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("peak_mean_milli") >= 1000L, "peak is at least the mean")
+      assert(r.getAs[Long]("peak_qty") * r.getAs[Long]("n_days") >= r.getAs[Long]("total_qty"))
+    }
+  }
+
+  test("mood_median_test: median splits the pooled sample, chi2 nonnegative") {
+    val r = SparkEntry.queries("mood_median_test")(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == Tables.lineitem(spark, dir).count())
+    assert(r.getAs[Long]("chi2_milli") >= 0L)
+    val med = r.getAs[Long]("med_cents")
+    val below = Tables.lineitem(spark, dir)
+      .filter(round(col("l_extendedprice") * 100) <= med).count()
+    assert(below * 2 >= r.getAs[Long]("n"), "at least half the lines sit at or below the median")
+  }
+
+  test("return_by_price_band: line counts close, shares bounded") {
+    val out = SparkEntry.queries("return_by_price_band")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_lines")).sum == Tables.lineitem(spark, dir).count())
+    out.foreach(r => assert(r.getAs[Long]("ret_pm") <= 1000L))
+  }
+
+  test("benford_second_digit: all ten digits, expectation sums to ~1e6") {
+    val out = SparkEntry.queries("benford_second_digit")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("digit")).toSeq == (0L to 9L))
+    val expSum = out.map(_.getAs[Long]("exp_ppm")).sum
+    assert(math.abs(expSum - 1000000L) <= 10L, s"Benford ppm sums to ~1e6 (got $expSum)")
+    val obsSum = out.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum <= 1000000L && obsSum > 1000000L - 10)
+  }
+
+  test("quantity_discount_curve: every qty bucket within the discount domain") {
+    val out = SparkEntry.queries("quantity_discount_curve")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_lines")).sum == Tables.lineitem(spark, dir).count())
+    out.foreach(r => assert(r.getAs[Long]("disc_milli_pct") >= 0L &&
+      r.getAs[Long]("disc_milli_pct") <= 10000L))
+  }
+
+  test("cadence_drift: customer accounting closes") {
+    val r = SparkEntry.queries("cadence_drift")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_speeding") + r.getAs[Long]("n_slowing") +
+      r.getAs[Long]("n_flat") == r.getAs[Long]("n_customers"))
+    assert(r.getAs[Long]("speeding_pm") <= 1000L)
+  }
+}

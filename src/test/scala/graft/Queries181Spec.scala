@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextF
+
+/** Round-13 batch #4: dedup-quality audits and corpus correlations. */
+class Queries181Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("prefix_dup_rate: shared counts bounded by eligible docs") {
+    val out = SparkEntry.queries("prefix_dup_rate")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_shared_prefix") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("shared_pm") <= 1000L)
+    }
+  }
+
+  test("dedup_sampling_bias: half-sample is half the corpus and under-counts dups") {
+    val r = SparkEntry.queries("dedup_sampling_bias")(spark, dir).collect().head
+    val n = Tables.documents(spark, dir).count()
+    assert(r.getAs[Long]("n_full") == n)
+    assert(math.abs(r.getAs[Long]("n_half") * 2 - n) <= 1)
+    assert(r.getAs[Long]("delta_pm") ==
+      r.getAs[Long]("dup_pm_half") - r.getAs[Long]("dup_pm_full"))
+  }
+
+  test("length_quality_corr: length and lexical breadth correlate positively") {
+    val out = SparkEntry.queries("length_quality_corr")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("r2_pm") <= 1000L)
+      assert(r.getAs[Long]("corr_sign") == 1L,
+        s"${r.getString(0)}: longer docs must have more distinct tokens on this corpus")
+    }
+  }
+
+  test("dedup_idempotence: keeper accounting closes, residual bounded") {
+    val r = SparkEntry.queries("dedup_idempotence")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_keepers") <= r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("r2_pairs") <= r.getAs[Long]("r1_pairs"),
+      "pairs among keepers are a subset of round-1 pairs")
+    // keepers removed = docs in clusters minus one representative each;
+    // replay: every dropped doc was the non-min end of some verified pair
+    val n = Tables.documents(spark, dir)
+      .withColumn("sh", array_distinct(
+        TextF.shinglesFromTokens(TextF.tokens(col("text")), 3)))
+      .filter(size(col("sh")) > 0).count()
+    assert(r.getAs[Long]("n_docs") == n)
+  }
+
+  test("dup_length_bias: doc counts close against the corpus") {
+    val out = SparkEntry.queries("dup_length_bias")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(out.values.sum == Tables.documents(spark, dir).count())
+    assert(out.contains("unique"))
+  }
+}
