@@ -26,7 +26,11 @@ object Main {
     good: String = "",
     bad: String = "",
     config: String = "",
-    checkpoint: String = ""
+    checkpoint: String = "",
+    transport: String = "",
+    transportConfig: String = "",
+    once: Boolean = false,
+    refreshDims: Boolean = false
   )
 
   private def parse(argv: List[String], acc: Args): Args = argv match {
@@ -38,12 +42,26 @@ object Main {
     case "--bad" :: v :: rest => parse(rest, acc.copy(bad = v))
     case "--config" :: v :: rest => parse(rest, acc.copy(config = v))
     case "--checkpoint" :: v :: rest => parse(rest, acc.copy(checkpoint = v))
+    // per-transport source factory (reference kinesis/pubsub/nsq/kafka app
+    // config, minimal-JSON form) — overrides --format/--input for streams
+    case "--transport" :: v :: rest => parse(rest, acc.copy(transport = v))
+    case "--transport-config" :: v :: rest => parse(rest, acc.copy(transportConfig = v))
+    // drain mode: process everything available, then exit (Trigger.AvailableNow)
+    case "--once" :: rest => parse(rest, acc.copy(once = true))
+    // AssetRefresher semantics: rebuild the pipeline (and re-resolve its
+    // parquet dims + the --config file itself) every micro-batch
+    case "--refresh-dims" :: rest => parse(rest, acc.copy(refreshDims = true))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
+  private def readFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
   def main(argv: Array[String]): Unit = {
     val args = parse(argv.toList, Args())
-    require(args.input.nonEmpty && args.good.nonEmpty, "--input and --good are required")
+    require(args.input.nonEmpty || args.transport.nonEmpty,
+      "--input (or --transport + --transport-config) is required")
+    require(args.good.nonEmpty, "--good is required")
 
     val builder = SparkSession.builder()
       .appName("graft-enrich")
@@ -67,11 +85,10 @@ object Main {
     val spark = (if (new org.apache.spark.SparkConf().contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
 
-    val pipeline =
-      if (args.config.nonEmpty)
-        EnrichmentConfig.fromJson(new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args.config)), "UTF-8"))
+    def mkPipeline() =
+      if (args.config.nonEmpty) EnrichmentConfig.fromJson(readFile(args.config))
       else graft.queries.PipelineQuery.pipeline
+    val pipeline = mkPipeline()
 
     // the etl timestamp every bad-row envelope carries (reference
     // etlTstamp: job start)
@@ -106,39 +123,67 @@ object Main {
 
       case "stream" =>
         require(args.checkpoint.nonEmpty, "--checkpoint is required in stream mode")
-        val raw = args.format match {
-          case "collector-tsv" =>
-            graft.enrich.Protocol.fromCollector(Sources.collectorTsvStream(spark, args.input))
-          case "kafka" =>
-            // --input broker1:9092,broker2:9092/topic
-            val (bootstrap, topic) = args.input.split("/", 2) match {
-              case Array(b, t) => (b, t)
-              case _ => throw new IllegalArgumentException(
-                "kafka format needs --input bootstrap-servers/topic")
-            }
-            graft.enrich.Protocol.fromCollector(
-              Sources.collectorTsvKafka(spark, bootstrap, topic))
-          case other => throw new IllegalArgumentException(s"unknown streaming format: $other")
-        }
-        val enriched = pipeline.run(raw)
-        val goodQ = enriched
-          .filter(org.apache.spark.sql.functions.size(
-            org.apache.spark.sql.functions.col("bad_row_errors")) === 0)
-          .writeStream
-          .format("parquet")
-          .option("path", args.good)
-          .option("checkpointLocation", args.checkpoint + "/good")
-          .outputMode("append")
-          .start()
-        if (args.bad.nonEmpty)
-          graft.streaming.EnrichStream.badRows(raw, pipeline, payloadCols(raw), etlUs)
-            .select("bad_row").writeStream
-            .format("text")
-            .option("path", args.bad)
-            .option("checkpointLocation", args.checkpoint + "/bad")
-            .outputMode("append")
-            .start()
+        import org.apache.spark.sql.functions.{col, size}
+        val raw =
+          if (args.transport.nonEmpty) {
+            // reference-app transport config → connector binding → framing →
+            // watermark-bounded (shard, seq) redelivery absorption →
+            // collector TSV parse — the full migration path in one flag
+            require(args.transportConfig.nonEmpty,
+              "--transport needs --transport-config <reference input-section JSON>")
+            val framed = graft.sources.TransportFactories
+              .bindingFromJson(args.transport, readFile(args.transportConfig))
+              .open(spark)
+            graft.enrich.Protocol.fromCollector(Sources.parseCollectorTsv(
+              graft.streaming.Transport.absorbRedelivery(framed)))
+          } else args.format match {
+            case "collector-tsv" =>
+              graft.enrich.Protocol.fromCollector(Sources.collectorTsvStream(spark, args.input))
+            case "kafka" =>
+              // --input broker1:9092,broker2:9092/topic
+              val (bootstrap, topic) = args.input.split("/", 2) match {
+                case Array(b, t) => (b, t)
+                case _ => throw new IllegalArgumentException(
+                  "kafka format needs --input bootstrap-servers/topic")
+              }
+              graft.enrich.Protocol.fromCollector(
+                Sources.collectorTsvKafka(spark, bootstrap, topic))
+            case other => throw new IllegalArgumentException(s"unknown streaming format: $other")
+          }
+        def trigger[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T]) =
+          if (args.once) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w
+        val goodQ =
+          if (args.refreshDims)
+            // AssetRefresher semantics: the pipeline (and its parquet dims,
+            // and the --config file itself) re-resolves per micro-batch
+            trigger(graft.streaming.RefreshableDim.transformEachBatch(raw)(
+              df => mkPipeline().run(df).filter(size(col("bad_row_errors")) === 0)) {
+                (batch, _) => batch.write.mode("append").parquet(args.good)
+              }
+              .option("checkpointLocation", args.checkpoint + "/good"))
+              .start()
+          else
+            trigger(pipeline.run(raw)
+              .filter(size(col("bad_row_errors")) === 0)
+              .writeStream
+              .format("parquet")
+              .option("path", args.good)
+              .option("checkpointLocation", args.checkpoint + "/good")
+              .outputMode("append"))
+              .start()
+        val badQ =
+          if (args.bad.nonEmpty)
+            Some(trigger(
+              graft.streaming.EnrichStream.badRows(raw, pipeline, payloadCols(raw), etlUs)
+                .select("bad_row").writeStream
+                .format("text")
+                .option("path", args.bad)
+                .option("checkpointLocation", args.checkpoint + "/bad")
+                .outputMode("append"))
+              .start())
+          else None
         goodQ.awaitTermination()
+        badQ.foreach(_.awaitTermination())
 
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
     }

@@ -198,6 +198,17 @@ object TransportFactories {
   private def str(n: JsonNode, field: String, dflt: String = null): String =
     Option(n.get(field)).map(_.asText()).getOrElse(dflt)
 
+  /** `fromJson` + `.binding` without the per-transport cast — the one-call
+    * seam `graft.Main --transport` uses. */
+  def bindingFromJson(transport: String, json: String): SourceBinding =
+    fromJson(transport, json) match {
+      case c: KinesisSourceConfig => c.binding
+      case c: PubsubSourceConfig => c.binding
+      case c: NsqSourceConfig => c.binding
+      case c: KafkaSourceConfig => c.binding
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
   /** Parse the `input` section of a reference minimal config (the minimal
     * HOCON files are plain JSON) for the given transport
     * (`kinesis | pubsub | nsq | kafka`). Unknown keys are accepted and

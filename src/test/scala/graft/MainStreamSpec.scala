@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+/** `graft.Main --mode stream --transport …` end-to-end: a reference-style
+  * transport config resolves through TransportFactories, the framed lines
+  * absorb redelivery, the collector TSV parses, the pipeline enriches, and
+  * `--once` (Trigger.AvailableNow) drains and exits — the full migration
+  * path a kinesis/nsq user runs, driven here over the NSQ file-dump bridge
+  * (the one transport whose "connector" needs no external broker).
+  */
+class MainStreamSpec extends SparkSpec {
+
+  private val qs = "e=pv&p=web&res=1920x1080&uid=alice&tv=js-3.0.0" +
+    "&dtm=1704067100000&stm=1704067101000&ttm=" +
+    "&url=https%3A%2F%2Fshop.example.com%2Fp%2F1" +
+    "&refr=https%3A%2F%2Fwww.google.com%2Fsearch%3Fq%3Dwidget"
+
+  // event code rides in the querystring (e=...), which wins over the TSV
+  // field in Protocol.fromCollector
+  private def collectorLine(eventCode: String) =
+    Seq("1704067200000000", "94.15.223.151", "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
+      "https://shop.example.com/p/1", eventCode,
+      qs.replace("e=pv", s"e=$eventCode")).mkString("\t")
+
+  test("stream mode over the nsq transport: framed dump -> enriched parquet, --once drains") {
+    val root = Files.createTempDirectory("main_stream")
+    val dump = root.resolve("dump").toString
+    new java.io.File(dump).mkdirs()
+    // framed lines: shard <TAB> seq <TAB> arrival_us <TAB> collector line.
+    // seq 2 is delivered twice — absorbRedelivery must drop the replay.
+    val framed = Seq(
+      s"0\t1\t1704067200000000\t${collectorLine("pv")}",
+      s"0\t2\t1704067201000000\t${collectorLine("pv")}",
+      s"0\t2\t1704067201000000\t${collectorLine("pv")}",
+      s"1\t1\t1704067202000000\t${collectorLine("zz")}") // bad event code
+    Files.write(root.resolve("dump").resolve("part-000.txt"),
+      framed.mkString("\n").getBytes("UTF-8"))
+    val cfg = root.resolve("nsq.json")
+    Files.write(cfg,
+      s"""{"input": {"topic": "collector-payloads", "channel": "cp",
+         |           "lookupHost": "127.0.0.1", "lookupPort": 4161,
+         |           "dumpDir": "$dump"}}""".stripMargin.getBytes("UTF-8"))
+
+    graft.Main.main(Array(
+      "--mode", "stream",
+      "--transport", "nsq", "--transport-config", cfg.toString,
+      "--good", root.resolve("good").toString,
+      "--bad", root.resolve("bad").toString,
+      "--checkpoint", root.resolve("ck").toString,
+      "--once"))
+
+    val good = spark.read.parquet(root.resolve("good").toString)
+    assert(good.count() == 2, "2 distinct good events (replayed seq 2 absorbed, zz is bad)")
+    assert(good.collect().forall(_.getAs[String]("event") == "page_view"))
+    val bad = spark.read.text(root.resolve("bad").toString).collect().map(_.getString(0))
+    assert(bad.length == 1 && bad(0).contains("unknown event code"))
+  }
+
+  test("stream mode with --refresh-dims re-reads the enrichment config per batch") {
+    val root = Files.createTempDirectory("main_refresh")
+    val dump = root.resolve("dump").toString
+    new java.io.File(dump).mkdirs()
+    Files.write(root.resolve("dump").resolve("b1.txt"),
+      s"0\t1\t1704067200000000\t${collectorLine("pv")}".getBytes("UTF-8"))
+    val cfg = root.resolve("nsq.json")
+    Files.write(cfg,
+      s"""{"input": {"topic": "t", "channel": "c", "dumpDir": "$dump"}}""".getBytes("UTF-8"))
+    // enrichment config v1: anonymize 2 octets
+    val enr = root.resolve("enrich.json")
+    Files.write(enr,
+      """{"enrichments": [{"name": "tracker_transform"}, {"name": "anon_ip", "octets": 2}]}"""
+        .getBytes("UTF-8"))
+    def run() = graft.Main.main(Array(
+      "--mode", "stream",
+      "--transport", "nsq", "--transport-config", cfg.toString,
+      "--config", enr.toString,
+      "--good", root.resolve("good").toString,
+      "--checkpoint", root.resolve("ck").toString,
+      "--once", "--refresh-dims"))
+    run()
+    // config hot-swap: v2 anonymizes 3 octets; new data arrives, rerun
+    // (same checkpoint — only the NEW file is processed, by the NEW config)
+    Files.write(enr,
+      """{"enrichments": [{"name": "tracker_transform"}, {"name": "anon_ip", "octets": 3}]}"""
+        .getBytes("UTF-8"))
+    Files.write(root.resolve("dump").resolve("b2.txt"),
+      s"0\t2\t1704067203000000\t${collectorLine("pv")}".getBytes("UTF-8"))
+    run()
+    val ips = spark.read.parquet(root.resolve("good").toString)
+      .select("user_ipaddress").collect().map(_.getString(0)).sorted
+    assert(ips.toSeq == Seq("94.15.x.x", "94.x.x.x"),
+      s"batch 1 under config v1, batch 2 under config v2 (got ${ips.mkString(", ")})")
+  }
+}
