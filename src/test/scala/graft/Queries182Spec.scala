@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch #5: SLA/basket/affinity reads + corpus planners. */
+class Queries182Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("priority_inversion_weeks: inversion share bounded by week count") {
+    val r = SparkEntry.queries("priority_inversion_weeks")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_inversions") <= r.getAs[Long]("n_weeks"))
+    assert(r.getAs[Long]("inversion_pm") <= 1000L)
+    assert(r.getAs[Long]("n_weeks") > 0L)
+  }
+
+  test("cross_category_baskets: order accounting closes, classes bounded by 6") {
+    val out = SparkEntry.queries("cross_category_baskets")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.lineitem(spark, dir).select("l_orderkey").distinct().count())
+    assert(out.map(_.getAs[Long]("n_classes")).max <= 6L, "six part type-classes exist")
+  }
+
+  test("event_affinity_matrix: ten pairs, marginals bounded by the user count") {
+    val out = SparkEntry.queries("event_affinity_matrix")(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (n, na, nb, both) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))
+      assert(both <= math.min(na, nb) && na <= n && nb <= n)
+      assert(r.getAs[Long]("lift_ppm") == both * n * 1000000L / math.max(na * nb, 1))
+    }
+  }
+
+  test("candidate_cost_compare: exact blocking is never costlier than prefix blocking") {
+    val rows = SparkEntry.queries("candidate_cost_compare")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_buckets"), r.getAs[Long]("max_bucket"),
+        r.getAs[Long]("est_pairs"))).toMap
+    assert(rows.keySet == Set("exact_fp", "minhash_band", "prefix5"))
+    // exact fingerprints are the finest blocking: most buckets, fewest pairs
+    assert(rows("exact_fp")._3 <= rows("prefix5")._3)
+    assert(rows("exact_fp")._3 <= rows("minhash_band")._3)
+    rows.values.foreach { case (nb, mx, _) => assert(mx >= 1 && nb >= 1) }
+  }
+
+  test("positional_entropy: ten positions, entropy nonnegative and <= log2(types)") {
+    val out = SparkEntry.queries("positional_entropy")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("pos")).toSeq == (1L to 10L))
+    out.foreach { r =>
+      val h = r.getAs[Long]("entropy_mbits")
+      assert(h >= 0L)
+      // H <= log2(n_types) (+1 from the floor-log quantization)
+      val cap = (math.log(r.getAs[Long]("n_types").toDouble) / math.log(2) + 1) * 1000
+      assert(h <= cap, s"pos ${r.getAs[Long]("pos")}: H=$h > cap=$cap")
+    }
+  }
+}
