@@ -273,7 +273,21 @@ object BenchScale {
     "numeric_density", "pingpong_rate", "first_value_ltv",
     // r12 session-3 cont. #13: three scan-linear rollups (P&L identity,
     // per-source rank cut, per-lang rank percentiles)
-    "effective_margin_profile", "length_concentration", "length_by_lang")
+    "effective_margin_profile", "length_concentration", "length_by_lang",
+    // r13: the calendar-bounded pair/lag stats (expect ~flat — day-pair and
+    // lag tables are calendar-sized), the contingency/median tests
+    // (value-domain histograms, sublinear), the per-customer gap window
+    // (scan-linear), the banded-dedup audits (bucket-bounded joins; the
+    // idempotence probe carries a CC whose rounds grow with log diameter),
+    // the blocking-cost pre-flight (three key-shrinking rollups), and the
+    // position-sliced entropy (10× bounded-token scan)
+    "kendall_tau_daily", "rolling_corr", "acf_daily", "lead_lag_xcorr",
+    "chi_square_independence", "mood_median_test", "cadence_drift",
+    "updown_streaks", "part_intro_rate", "minhash_seed_stability",
+    "dedup_idempotence", "cdc_shift_robustness", "candidate_cost_compare",
+    "deleted_interpolation", "positional_entropy", "prefix_dup_rate",
+    "event_affinity_matrix", "priority_inversion_weeks",
+    "mixture_temperature_plan", "dedup_sampling_bias")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
