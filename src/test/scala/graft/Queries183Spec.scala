@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch #6: temporal concentration + corpus calibration. */
+class Queries183Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("month_end_effect: tail-3-day share bounded, revenue closes") {
+    val out = SparkEntry.queries("month_end_effect")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tail3_cents") <= r.getAs[Long]("rev_cents"))
+      assert(r.getAs[Long]("tail3_pm") <= 1000L)
+    }
+    val total = Tables.orders(spark, dir)
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint"))).collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("rev_cents")).sum == total)
+  }
+
+  test("concentration_trend: top decile holds at least a decile of revenue") {
+    val out = SparkEntry.queries("concentration_trend")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.filter(_.getAs[Long]("n_customers") >= 10).foreach { r =>
+      assert(r.getAs[Long]("top_decile_pm") >= 100L,
+        s"q${r.getAs[Long]("quarter")}: the TOP decile cannot hold less than 10% of revenue")
+      assert(r.getAs[Long]("top_decile_pm") <= 1000L)
+    }
+  }
+
+  test("negative_sampling_plan: 3/4-power flattens, isqrt nest replays exactly") {
+    val out = SparkEntry.queries("negative_sampling_plan")(spark, dir).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    def isqrt(v: Long): Long = {
+      val s0 = math.floor(math.sqrt(v.toDouble)).toLong
+      s0 + (if ((s0 + 1) * (s0 + 1) <= v) 1 else 0) - (if (s0 * s0 > v) 1 else 0)
+    }
+    // the head (most frequent) token's sampling share must not exceed its raw share
+    val head = out.head
+    assert(head.getAs[Long]("sample_ppm") <= head.getAs[Long]("raw_ppm"),
+      "temperature flattening shrinks the head")
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(isqrt(n * isqrt(n)) > 0)
+    }
+  }
+
+  test("langid_threshold_sweep: en-guess count is monotone decreasing in the threshold") {
+    val out = SparkEntry.queries("langid_threshold_sweep")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("t_milli")).toSeq == Seq(40L, 80L, 160L))
+    val gu = out.map(_.getAs[Long]("n_guess_en"))
+    assert(gu.zip(gu.tail).forall { case (a, b) => a >= b })
+    out.foreach(r => assert(r.getAs[Long]("accuracy_pm") <= 1000L))
+  }
+
+  test("rare_token_exposure: exposure bounded and docs close per source") {
+    val out = SparkEntry.queries("rare_token_exposure")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, dir).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("docs_with_rare") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("exposure_pm") <= 1000L)
+    }
+  }
+}
