@@ -287,7 +287,12 @@ object BenchScale {
     "dedup_idempotence", "cdc_shift_robustness", "candidate_cost_compare",
     "deleted_interpolation", "positional_entropy", "prefix_dup_rate",
     "event_affinity_matrix", "priority_inversion_weeks",
-    "mixture_temperature_plan", "dedup_sampling_bias")
+    "mixture_temperature_plan", "dedup_sampling_bias",
+    // r13 cont.: calendar/quarter rollups (scan-linear), the vocab-domain
+    // sampling plan, the threshold sweep (3× scan), and the rare-token
+    // semi-join (df rollup bounds the rare set)
+    "month_end_effect", "concentration_trend", "negative_sampling_plan",
+    "langid_threshold_sweep", "rare_token_exposure")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

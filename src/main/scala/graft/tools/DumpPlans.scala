@@ -131,7 +131,20 @@ object DumpPlans {
     // adaptive-cell DBSCAN census. runtime_filter_join is NOT dumped: its
     // query body checkpoints eagerly (the confs are scoped), so the
     // returned plan is the checkpoint scan — the spec pins might_contain
-    "dynamic_partition_pruning", "ks_two_sample", "dbscan_core")
+    "dynamic_partition_pruning", "ks_two_sample", "dbscan_core",
+    // r12 close-out (the verdict's stale-PLANS list): the optimizer-rule
+    // showcase (Limit-over-Sort must read as ONE TopKRows aggregate, no
+    // global sort), the native bounded top-k, the calendar-bounded slope
+    // table, the zero-exchange bucketed join, and the distinct-domain
+    // Lorenz window
+    "topk_rewrite", "topk_native", "theil_sen_trend", "bucketed_join",
+    "lorenz_deciles", "holt_winters_forecast",
+    // r13: the two de-single-partitioned rewrites (quantile_interp must
+    // show per-flag histogram windows + a broadcast position join;
+    // spearman_rho the chunkedRank shape), the calendar-bounded pair join,
+    // and the blocking-cost pre-flight (three rollups, no pair join)
+    "quantile_interp", "spearman_rho", "kendall_tau_daily",
+    "candidate_cost_compare", "dedup_idempotence")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
