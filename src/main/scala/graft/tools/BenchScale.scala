@@ -292,7 +292,11 @@ object BenchScale {
     // sampling plan, the threshold sweep (3× scan), and the rare-token
     // semi-join (df rollup bounds the rare set)
     "month_end_effect", "concentration_trend", "negative_sampling_plan",
-    "langid_threshold_sweep", "rare_token_exposure")
+    "langid_threshold_sweep", "rare_token_exposure",
+    // r13 cont. #2: the two-factor decomposition (three rollups), the
+    // weekly SPC rollup (calendar-bounded), the brand EOQ rollup, and the
+    // ratio-histogram p99 (value-domain window)
+    "two_way_anova", "xbar_r_chart", "eoq_plan", "fertility_outliers")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

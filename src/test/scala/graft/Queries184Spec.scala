@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch #7: two-factor ANOVA, SPC charts, EOQ, fertility audit. */
+class Queries184Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("two_way_anova: variance components decompose and eta shares bounded") {
+    val r = SparkEntry.queries("two_way_anova")(spark, dir).collect().head
+    assert(r.getAs[Long]("ss_a") >= 0L && r.getAs[Long]("ss_b") >= 0L)
+    assert(r.getAs[Long]("ss_total") >=
+      r.getAs[Long]("ss_a") + r.getAs[Long]("ss_b") + r.getAs[Long]("ss_ab"),
+      "between-cells SS cannot exceed total SS")
+    assert(r.getAs[Long]("eta_a_milli") <= 1000L && r.getAs[Long]("eta_b_milli") <= 1000L)
+  }
+
+  test("xbar_r_chart: full weeks only, ranges nonnegative, flags consistent") {
+    val out = SparkEntry.queries("xbar_r_chart")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val xbb = out.head.getAs[Long]("xbarbar_milli")
+    val rbar = out.head.getAs[Long]("rbar_milli")
+    out.foreach { r =>
+      assert(r.getAs[Long]("range_milli") >= 0L)
+      val outX = r.getAs[Long]("out_x") == 1L
+      val expected = r.getAs[Long]("mean_milli") > xbb + 419 * rbar / 1000 ||
+        r.getAs[Long]("mean_milli") < xbb - 419 * rbar / 1000
+      assert(outX == expected)
+    }
+    // the grand mean sits inside the week-mean envelope
+    assert(out.map(_.getAs[Long]("mean_milli")).min <= xbb &&
+      xbb <= out.map(_.getAs[Long]("mean_milli")).max)
+  }
+
+  test("eoq_plan: EOQ replays from the isqrt formula") {
+    val out = SparkEntry.queries("eoq_plan")(spark, dir).collect()
+    assert(out.nonEmpty)
+    def isqrt(v: Long): Long = {
+      val s0 = math.floor(math.sqrt(v.toDouble)).toLong
+      s0 + (if ((s0 + 1) * (s0 + 1) <= v) 1 else 0) - (if (s0 * s0 > v) 1 else 0)
+    }
+    out.foreach { r =>
+      val h = math.max(r.getAs[Long]("unit_cents") / 10, 1)
+      assert(r.getAs[Long]("eoq_units") ==
+        isqrt(2 * r.getAs[Long]("units") * 5000 / h))
+    }
+  }
+
+  test("fertility_outliers: at most 1% of docs exceed the p99 cut") {
+    val r = SparkEntry.queries("fertility_outliers")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_outliers") * 100 <= r.getAs[Long]("n_docs"),
+      "strictly-above-p99 mass is at most 1%")
+    assert(r.getAs[Long]("p99_milli") >= 1000L, "BPE count is at least the whitespace count")
+  }
+}
