@@ -296,7 +296,10 @@ object BenchScale {
     // r13 cont. #2: the two-factor decomposition (three rollups), the
     // weekly SPC rollup (calendar-bounded), the brand EOQ rollup, and the
     // ratio-histogram p99 (value-domain window)
-    "two_way_anova", "xbar_r_chart", "eoq_plan", "fertility_outliers")
+    "two_way_anova", "xbar_r_chart", "eoq_plan", "fertility_outliers",
+    // r13 cont. #3: two fingerprint/cohort rollups and the bounded 10x7
+    // paradox grid
+    "capture_recapture", "survivorship_bias", "simpson_paradox_scan")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

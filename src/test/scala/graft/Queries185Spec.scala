@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch #8: honest-measurement audits. */
+class Queries185Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("capture_recapture: samples bounded by the population, estimate replays") {
+    val r = SparkEntry.queries("capture_recapture")(spark, dir).collect().head
+    val (na, nb, m) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("overlap"))
+    assert(m <= math.min(na, nb))
+    assert(na <= r.getAs[Long]("true_distinct") && nb <= r.getAs[Long]("true_distinct"))
+    assert(r.getAs[Long]("estimate") == na * nb / math.max(m, 1))
+  }
+
+  test("survivorship_bias: two cohorts, customer accounting closes") {
+    val out = SparkEntry.queries("survivorship_bias")(spark, dir).collect()
+      .map(r => r.getAs[Long]("survived") -> r.getAs[Long]("n_customers")).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out.values.sum == Tables.orders(spark, dir).select("o_custkey").distinct().count())
+  }
+
+  test("simpson_paradox_scan: 45 pairs, win accounting bounded by strata") {
+    val out = SparkEntry.queries("simpson_paradox_scan")(spark, dir).collect()
+    assert(out.length == 45, "10 platforms -> 45 unordered pairs")
+    out.foreach { r =>
+      assert(r.getAs[Long]("a_wins") + r.getAs[Long]("b_wins") <= r.getAs[Long]("n_strata"))
+      assert(r.getAs[Long]("n_strata") <= 7L)
+      assert(Set(0L, 1L).contains(r.getAs[Long]("paradox")))
+    }
+  }
+}
