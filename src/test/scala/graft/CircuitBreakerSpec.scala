@@ -108,6 +108,33 @@ class CircuitBreakerSpec extends SparkSpec {
     }
   }
 
+  test("IdentityLookup: dead identity API costs exactly K calls, ids stay null") {
+    withOnePartition {
+      CircuitBreakerSpec.calls.set(0)
+      val out = graft.enrich.IdentityLookup(Seq("user_key"),
+        CircuitBreakerSpec.deadTupleTransport, breakerFailures = 2)
+        .apply(events)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("snowplow_id")).toMap
+      assert(CircuitBreakerSpec.calls.get() == 2)
+      assert(out.size == 6 && out.values.forall(_ == null))
+    }
+  }
+
+  test("ApiRequestLookup: dead templated endpoint costs exactly K calls") {
+    withOnePartition {
+      CircuitBreakerSpec.calls.set(0)
+      val out = graft.enrich.ApiRequestLookup(
+        keyCols = Seq("user_key"), keyNames = Seq("u"),
+        uriTemplate = "http://api.example.internal/v1/{{u}}",
+        transport = CircuitBreakerSpec.deadTransport,
+        outputSchemaDdl = "plan STRING", breakerFailures = 2)
+        .apply(events)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("plan")).toMap
+      assert(CircuitBreakerSpec.calls.get() == 2)
+      assert(out.size == 6 && out.values.forall(_ == null))
+    }
+  }
+
   test("SqlQueryLookup: a dead database costs exactly K connection attempts") {
     withOnePartition {
       CircuitBreakerSpec.calls.set(0)
@@ -129,6 +156,12 @@ object CircuitBreakerSpec {
 
   /** Always-down endpoint (connection refused on every call). */
   val deadTransport: String => Option[String] = { _ =>
+    calls.incrementAndGet()
+    throw new java.io.IOException("connection refused")
+  }
+
+  /** Always-down tuple-keyed endpoint (IdentityLookup's transport shape). */
+  val deadTupleTransport: Seq[String] => Option[String] = { _ =>
     calls.incrementAndGet()
     throw new java.io.IOException("connection refused")
   }
