@@ -49,7 +49,11 @@ object Main {
     // drain mode: process everything available, then exit (Trigger.AvailableNow)
     case "--once" :: rest => parse(rest, acc.copy(once = true))
     // AssetRefresher semantics: rebuild the pipeline (and re-resolve its
-    // parquet dims + the --config file itself) every micro-batch
+    // parquet dims + the --config file itself) every micro-batch — BOTH the
+    // good and bad streams, so one batch never splits across two configs.
+    // Note: this routes the sinks through foreachBatch append, which is
+    // at-least-once on a batch retry (the default file sink's exactly-once
+    // commit log does not apply in this mode).
     case "--refresh-dims" :: rest => parse(rest, acc.copy(refreshDims = true))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
@@ -172,16 +176,26 @@ object Main {
               .outputMode("append"))
               .start()
         val badQ =
-          if (args.bad.nonEmpty)
-            Some(trigger(
-              graft.streaming.EnrichStream.badRows(raw, pipeline, payloadCols(raw), etlUs)
-                .select("bad_row").writeStream
-                .format("text")
-                .option("path", args.bad)
-                .option("checkpointLocation", args.checkpoint + "/bad")
-                .outputMode("append"))
-              .start())
-          else None
+          if (args.bad.nonEmpty) {
+            val writer =
+              if (args.refreshDims)
+                // same per-batch rebuild as the good stream: after a
+                // mid-stream config/dim swap, the good and bad outputs of a
+                // batch are computed under ONE config, never two
+                graft.streaming.RefreshableDim.transformEachBatch(raw)(df =>
+                  graft.streaming.EnrichStream
+                    .badRows(df, mkPipeline(), payloadCols(df), etlUs)
+                    .select("bad_row")) { (batch, _) =>
+                  batch.write.mode("append").text(args.bad)
+                }
+              else
+                graft.streaming.EnrichStream.badRows(raw, pipeline, payloadCols(raw), etlUs)
+                  .select("bad_row").writeStream
+                  .format("text")
+                  .option("path", args.bad)
+                  .outputMode("append")
+            Some(trigger(writer.option("checkpointLocation", args.checkpoint + "/bad")).start())
+          } else None
         goodQ.awaitTermination()
         badQ.foreach(_.awaitTermination())
 

@@ -38,10 +38,28 @@ object CircuitBreaker {
   private val states = TrieMap.empty[String, AtomicInteger]
   private val MaxStates = 4096
 
-  private def state(id: String): AtomicInteger = {
-    if (states.size > MaxStates) states.clear()
-    states.getOrElseUpdate(id, new AtomicInteger(0))
-  }
+  private def state(id: String): AtomicInteger =
+    states.get(id) match {
+      case Some(st) => st
+      case None =>
+        // size check + eviction only on the new-id insertion path: the hot
+        // path (existing breaker) never pays TrieMap.size, and a live OPEN
+        // breaker is never wiped by other ids merely being guarded. Evict
+        // idle (zero-count) entries first; counting/open breakers go only
+        // if idles run out — an evicted breaker restarts closed, the same
+        // posture as a fresh run.
+        val over = states.size - MaxStates
+        if (over > 0) {
+          val idle = states.iterator
+            .collect { case (k, st) if k != id && st.get() == 0 => k }
+            .take(over).toList
+          idle.foreach(states.remove)
+          val more = over - idle.size
+          if (more > 0)
+            states.keysIterator.filter(_ != id).take(more).foreach(states.remove)
+        }
+        states.getOrElseUpdate(id, new AtomicInteger(0))
+    }
 
   /** Visible for specs: consecutive-failure count for a breaker id. */
   def failureCount(id: String): Int =

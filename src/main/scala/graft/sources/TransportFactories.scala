@@ -82,16 +82,21 @@ object TransportFactories {
         "maxFetchRecordsPerShard" -> maxRecords.toString),
       frame = df => df.select(
         // Kinesis shard ids are strings ("shardId-000000000042"); the stable
-        // int framing keys redelivery-dedup, not shard identity — hash it
+        // int framing keys partition affinity, not shard identity — hash it
         hash(col("shardId")).as("shard_id"),
         // sequenceNumber is a decimal string monotone per shard, too wide
-        // for a long: keep per-shard order by its length-prefixed sort key
-        // folded to a long via the tail digits (collision-free within the
-        // dedup watermark in practice; the full string rides along in value
-        // ordering upstreams that need it re-read it from the connector)
+        // for a long: the numeric contract folds to the tail digits. This
+        // fold is LOSSY (collides at a high-order rollover), so it is NOT
+        // the dedup key — `seq_str` below carries the full identity and
+        // absorbRedelivery keys on it when present
         substring(col("sequenceNumber"), -18, 18).cast("long").as("seq_no"),
         unix_micros(col("approximateArrivalTimestamp")).as("arrival_us"),
-        col("data").cast("string").as("value")))
+        col("data").cast("string").as("value"),
+        // full-fidelity (shardId, sequenceNumber) identity: redelivery dedup
+        // keys on this, so a seq_no fold collision can never drop a distinct
+        // event; order-sensitive consumers re-sort within a shard by
+        // (length(seq), seq) — equal-length decimal strings compare correctly
+        concat_ws(":", col("shardId"), col("sequenceNumber")).as("seq_str")))
   }
 
   // ---- PubSub (reference config/config.pubsub.reference.hocon `input`) ----
@@ -103,6 +108,8 @@ object TransportFactories {
   final case class PubsubSourceConfig(
     subscription: String
   ) {
+    require(subscription != null,
+      "pubsub: input.subscription is required (projects/P/subscriptions/S)")
     private val Re = "^projects/([^/]+)/subscriptions/(.+)$".r
     val (project: String, name: String) = subscription match {
       case Re(p, s) => (p, s)

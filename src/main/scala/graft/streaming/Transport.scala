@@ -106,15 +106,28 @@ object Transport {
     * window onto the single (null, null) key and silently drop all but
     * one. A broker cannot redeliver a record it never framed, so the
     * dedup has nothing to absorb there; they pass through for dead-letter
-    * handling downstream. */
+    * handling downstream.
+    *
+    * Transports whose native record identity does not fit the numeric
+    * (shard_id, seq_no) pair losslessly (Kinesis: a ~56-digit decimal
+    * sequenceNumber) attach the full-fidelity identity string as a
+    * `seq_str` column; the dedup keys on IT when present, so a numeric
+    * fold collision can never silently drop a distinct event. */
+  /** Dedup identity choice: the full-fidelity `seq_str` when the transport
+    * attaches one, the numeric pair otherwise. */
+  private[graft] def dedupIdCols(columns: Seq[String]): Seq[String] =
+    if (columns.contains("seq_str")) Seq("shard_id", "seq_str")
+    else Seq("shard_id", "seq_no")
+
   def absorbRedelivery(framed: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val idCols = dedupIdCols(framed.columns.toSeq)
     val isFramed =
       col("shard_id").isNotNull && col("seq_no").isNotNull && col("arrival_us").isNotNull
     val deduped = framed
       .filter(isFramed)
       .withColumn("__arrival_time", timestamp_micros(col("arrival_us")))
       .withWatermark("__arrival_time", watermarkDelay)
-      .dropDuplicatesWithinWatermark("shard_id", "seq_no")
+      .dropDuplicatesWithinWatermark(idCols)
       .drop("__arrival_time")
     deduped.unionByName(framed.filter(!isFramed))
   }

@@ -52,6 +52,21 @@ class CircuitBreakerSpec extends SparkSpec {
     assert(f("a") == "a!")
   }
 
+  test("eviction never wipes a live OPEN breaker: idle entries go first, hot path pays no size") {
+    val open = CircuitBreaker.freshId("evict-open")
+    val f = CircuitBreaker.guard(open, 1)((_: String) => throw new java.io.IOException("dead"))
+    intercept[java.io.IOException](f("x"))
+    assert(CircuitBreaker.failureCount(open) == 1)
+    // flood the map far past the 4096 cap with idle (zero-count) breakers —
+    // before the fix this clear()ed ALL states, silently closing `open`
+    (1 to 5000).foreach { i =>
+      CircuitBreaker.guard(s"evict-idle-$i", 3)((s: String) => s)("ok")
+    }
+    assert(CircuitBreaker.failureCount(open) == 1,
+      "the open breaker survived 5000 idle insertions")
+    intercept[CircuitBreaker.CircuitOpenException](f("y"))
+  }
+
   test("ApiLookup: dead transport costs exactly K calls, every row survives with null columns") {
     withOnePartition {
       CircuitBreakerSpec.calls.set(0)

@@ -76,6 +76,7 @@ class MainStreamSpec extends SparkSpec {
       "--transport", "nsq", "--transport-config", cfg.toString,
       "--config", enr.toString,
       "--good", root.resolve("good").toString,
+      "--bad", root.resolve("bad").toString,
       "--checkpoint", root.resolve("ck").toString,
       "--once", "--refresh-dims"))
     run()
@@ -85,11 +86,17 @@ class MainStreamSpec extends SparkSpec {
       """{"enrichments": [{"name": "tracker_transform"}, {"name": "anon_ip", "octets": 3}]}"""
         .getBytes("UTF-8"))
     Files.write(root.resolve("dump").resolve("b2.txt"),
-      s"0\t2\t1704067203000000\t${collectorLine("pv")}".getBytes("UTF-8"))
+      (s"0\t2\t1704067203000000\t${collectorLine("pv")}\n" +
+       s"0\t3\t1704067204000000\t${collectorLine("zz")}").getBytes("UTF-8"))
     run()
     val ips = spark.read.parquet(root.resolve("good").toString)
       .select("user_ipaddress").collect().map(_.getString(0)).sorted
     assert(ips.toSeq == Seq("94.15.x.x", "94.x.x.x"),
       s"batch 1 under config v1, batch 2 under config v2 (got ${ips.mkString(", ")})")
+    // the bad stream rebuilds per batch too (same mkPipeline as the good
+    // side, so one batch never splits across two configs)
+    val bad = spark.read.text(root.resolve("bad").toString).collect().map(_.getString(0))
+    assert(bad.length == 1 && bad(0).contains("unknown event code"),
+      s"bad envelope written through the refresh-dims foreachBatch path (got ${bad.length})")
   }
 }

@@ -53,12 +53,37 @@ class TransportFactoriesSpec extends SparkSpec {
         Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L)), "line-1".getBytes("UTF-8"))
     ).toDF("shardId", "sequenceNumber", "approximateArrivalTimestamp", "data")
     val out = KinesisSourceConfig("s").binding.frame(rec).collect().head
-    assert(out.schema.fieldNames.toSeq == Seq("shard_id", "seq_no", "arrival_us", "value"))
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("shard_id", "seq_no", "arrival_us", "value", "seq_str"))
     assert(out.getAs[Long]("arrival_us") == 1704067200000000L)
     assert(out.getAs[String]("value") == "line-1")
     assert(out.getAs[Long]("seq_no") == "921575989136588898".toLong,
       "per-shard order folds through the sequence number's tail digits")
+    assert(out.getAs[String]("seq_str") ==
+      "shardId-000000000042:49590338271490256608559692538361571095921575989136588898",
+      "the LOSSLESS identity rides along — redelivery dedup keys on it, not the fold")
   }
+
+  test("kinesis: a seq_no tail-fold collision cannot drop a distinct event through dedup") {
+    // two DISTINCT records whose last-18-digit folds collide on one shard —
+    // the silent-loss scenario if dedup keyed on the numeric (shard, seq) pair
+    val collide = Seq(
+      ("shardId-000000000001", "1000000000000000000000", ts(1704067200L), "a".getBytes("UTF-8")),
+      ("shardId-000000000001", "2000000000000000000000", ts(1704067201L), "b".getBytes("UTF-8")),
+      ("shardId-000000000001", "2000000000000000000000", ts(1704067201L), "b".getBytes("UTF-8")))
+      .toDF("shardId", "sequenceNumber", "approximateArrivalTimestamp", "data")
+    val framed = KinesisSourceConfig("s").binding.frame(collide)
+    // batch twin of absorbRedelivery's key choice: same idCols contract
+    val idCols = graft.streaming.Transport.dedupIdCols(framed.columns.toSeq)
+    assert(idCols == Seq("shard_id", "seq_str"))
+    val deduped = framed.dropDuplicates(idCols)
+    assert(deduped.count() == 2,
+      "true redelivery absorbed, fold-colliding distinct events BOTH kept")
+    assert(graft.streaming.Transport.dedupIdCols(Seq("shard_id", "seq_no", "arrival_us", "value"))
+      == Seq("shard_id", "seq_no"), "numeric-identity transports keep the numeric key")
+  }
+
+  private def ts(epochSec: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(epochSec))
 
   test("pubsub: the full resource name parses; anything else fails fast") {
     val c = PubsubSourceConfig("projects/myproject/subscriptions/snowplow-collector-payloads")
@@ -68,6 +93,9 @@ class TransportFactoriesSpec extends SparkSpec {
       "projects/myproject/subscriptions/snowplow-collector-payloads")
     assert(intercept[IllegalArgumentException](PubsubSourceConfig("my-subscription"))
       .getMessage.contains("projects/"))
+    assert(intercept[IllegalArgumentException](PubsubSourceConfig(null))
+      .getMessage.contains("projects/"),
+      "a config missing the subscription field fails fast with guidance, not an NPE")
   }
 
   test("nsq: binding needs the file-dump bridge and carries the dumper's config") {
