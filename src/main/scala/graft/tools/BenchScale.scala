@@ -299,7 +299,11 @@ object BenchScale {
     "two_way_anova", "xbar_r_chart", "eoq_plan", "fertility_outliers",
     // r13 cont. #3: two fingerprint/cohort rollups and the bounded 10x7
     // paradox grid
-    "capture_recapture", "survivorship_bias", "simpson_paradox_scan")
+    "capture_recapture", "survivorship_bias", "simpson_paradox_scan",
+    // r14 #1/#2: rank-test and doc-filter rollups (scan-linear), the
+    // per-part/per-supplier key rollups, and the two-join wallet share
+    "friedman_test", "mcnemar_test", "cramers_v", "cochran_q",
+    "dead_stock_scan", "price_ladder", "supplier_lead_variance", "share_of_wallet")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,42 @@
+package graft
+
+/** Round-14 batch #1: nonparametric tests and effect sizes. */
+class Queries186Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("friedman_test: complete blocks only, rank accounting closes") {
+    val out = SparkEntry.queries("friedman_test")(spark, dir).collect()
+    if (out.nonEmpty) {
+      assert(out.length == 10, "a complete block has all 10 platforms")
+      val n = out.head.getAs[Long]("n_days")
+      assert(out.forall(_.getAs[Long]("n_days") == n), "every platform spans the same blocks")
+      // per-block ranks are a permutation of 1..10, so rank sums total n*55
+      assert(out.map(_.getAs[Long]("rank_sum")).sum == n * 55)
+      val q = out.head.getAs[Long]("q_milli")
+      assert(out.forall(_.getAs[Long]("q_milli") == q) && q >= 0)
+    }
+  }
+
+  test("mcnemar_test: discordant counts bounded, statistic replays") {
+    val r = SparkEntry.queries("mcnemar_test")(spark, dir).collect().head
+    val (b, c) = (r.getAs[Long]("ab_disc"), r.getAs[Long]("ba_disc"))
+    assert(b <= r.getAs[Long]("a_pos") && c <= r.getAs[Long]("b_pos"))
+    assert(b + c <= r.getAs[Long]("n_docs"))
+    val expected = if (b + c == 0) 0L else (b - c) * (b - c) * 1000 / (b + c)
+    assert(r.getAs[Long]("chi2_milli") == expected)
+  }
+
+  test("cramers_v: effect size normalized into [0, ~1000] milli") {
+    val r = SparkEntry.queries("cramers_v")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_langs") >= 2 && r.getAs[Long]("n_sources") >= 2)
+    val v2 = r.getAs[Long]("v_sq_milli")
+    assert(v2 >= 0 && v2 <= r.getAs[Long]("phi2_milli"))
+  }
+
+  test("cochran_q: column totals bounded by blocks, Q non-negative") {
+    val r = SparkEntry.queries("cochran_q")(spark, dir).collect().head
+    val n = r.getAs[Long]("n_docs")
+    Seq("c1", "c2", "c3").foreach(c => assert(r.getAs[Long](c) <= n))
+    assert(r.getAs[Long]("q_milli") >= 0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+/** Round-14 batch #2: merchandising / supply-chain screens. */
+class Queries187Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dead_stock_scan: dead subset bounded, per-mille consistent") {
+    val out = SparkEntry.queries("dead_stock_scan")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_parts"), r.getAs[Long]("n_dead"))
+      assert(d <= n)
+      assert(r.getAs[Long]("dead_pm") == d * 1000 / n)
+      if (d == 0) assert(r.getAs[Long]("dead_value_cents") == 0)
+    }
+  }
+
+  test("price_ladder: occupancy bounded by points and coverage positive") {
+    val out = SparkEntry.queries("price_ladder")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("occupied_bands") <= r.getAs[Long]("n_points"))
+      assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents"))
+      assert(r.getAs[Long]("coverage_pm") > 0)
+      assert(r.getAs[Long]("max_gap_bands") >= 0)
+    }
+  }
+
+  test("supplier_lead_variance: bands ordered, supplier accounting closes") {
+    val out = SparkEntry.queries("supplier_lead_variance")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("var_band")).toSeq.sorted == out.map(_.getAs[Long]("var_band")).toSeq)
+    val total = out.map(_.getAs[Long]("n_suppliers")).sum
+    val distinct = Tables.lineitem(spark, dir).select("l_suppkey").distinct().count()
+    assert(total == distinct, "every shipping supplier lands in exactly one band")
+  }
+
+  test("share_of_wallet: buckets within [0,10], shares within (0,1000]") {
+    val out = SparkEntry.queries("share_of_wallet")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 10)
+      val s = r.getAs[Long]("avg_share_pm")
+      assert(s > 0 && s <= 1000)
+      assert(s / 100 == b || b == 10 && s == 1000 || s >= b * 100 && s < (b + 1) * 100)
+    }
+  }
+}
