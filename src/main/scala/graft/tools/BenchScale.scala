@@ -303,7 +303,11 @@ object BenchScale {
     // r14 #1/#2: rank-test and doc-filter rollups (scan-linear), the
     // per-part/per-supplier key rollups, and the two-join wallet share
     "friedman_test", "mcnemar_test", "cramers_v", "cochran_q",
-    "dead_stock_scan", "price_ladder", "supplier_lead_variance", "share_of_wallet")
+    "dead_stock_scan", "price_ladder", "supplier_lead_variance", "share_of_wallet",
+    // r14 #3/#4: calendar-bounded CUSUM windows, nation×month rollups, and
+    // the user-partitioned session windows
+    "cusum_control", "share_volatility", "promo_halo",
+    "entry_exit_pages", "dwell_time_buckets", "page_revisit_rate")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,33 @@
+package graft
+
+/** Round-14 batch #3: monitoring and market-structure screens. */
+class Queries188Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cusum_control: charts non-negative, breach flags consistent") {
+    val out = SparkEntry.queries("cusum_control")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("day")).toSeq == out.map(_.getAs[Long]("day")).toSeq.sorted)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cusum_high") >= 0 && r.getAs[Long]("cusum_low") >= 0)
+      assert(Set(0L, 1L).contains(r.getAs[Long]("breach_high")))
+      assert(Set(0L, 1L).contains(r.getAs[Long]("breach_low")))
+    }
+  }
+
+  test("share_volatility: 25 nations, shares average near their mean") {
+    val out = SparkEntry.queries("share_volatility")(spark, dir).collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      assert(r.getAs[Long]("var_milli") >= 0)
+      assert(r.getAs[Long]("mean_share_pm") >= 0 && r.getAs[Long]("mean_share_pm") <= 1000)
+    }
+  }
+
+  test("promo_halo: both cohorts present, order accounting closes") {
+    val out = SparkEntry.queries("promo_halo")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("has_promo")).toSet == Set(0L, 1L))
+    val total = out.map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables.lineitem(spark, dir).select("l_orderkey").distinct().count())
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+/** Round-14 batch #4: session-behavior profiles. */
+class Queries189Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry_exit_pages: bounded matrix, session accounting closes") {
+    val out = SparkEntry.queries("entry_exit_pages")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 25, "5 event types -> at most 5x5 cells")
+    assert(out.map(_.getAs[Long]("n_sessions")).forall(_ > 0))
+  }
+
+  test("dwell_time_buckets: ladder labels only, averages inside their bucket") {
+    val out = SparkEntry.queries("dwell_time_buckets")(spark, dir).collect()
+    val labels = Set("a_lt_1s", "b_lt_10s", "c_lt_1m", "d_lt_5m", "e_ge_5m")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labels.contains(r.getAs[String]("bucket")))
+      val avg = r.getAs[Long]("avg_gap_ms")
+      r.getAs[String]("bucket") match {
+        case "a_lt_1s" => assert(avg < 1000)
+        case "b_lt_10s" => assert(avg >= 0 && avg < 10000)
+        case "c_lt_1m" => assert(avg < 60000)
+        case "d_lt_5m" => assert(avg < 300000)
+        case _ => assert(avg >= 300000)
+      }
+    }
+  }
+
+  test("page_revisit_rate: depth-1 sessions never revisit, pm consistent") {
+    val out = SparkEntry.queries("page_revisit_rate")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, v) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_revisit"))
+      assert(v <= n)
+      assert(r.getAs[Long]("revisit_pm") == v * 1000 / n)
+      if (r.getAs[Long]("depth_band") == 1) assert(v == 0)
+    }
+  }
+}
