@@ -307,7 +307,11 @@ object BenchScale {
     // r14 #3/#4: calendar-bounded CUSUM windows, nation×month rollups, and
     // the user-partitioned session windows
     "cusum_control", "share_volatility", "promo_halo",
-    "entry_exit_pages", "dwell_time_buckets", "page_revisit_rate")
+    "entry_exit_pages", "dwell_time_buckets", "page_revisit_rate",
+    // r14 #5/#6: the wedge-closure coefficient, the kNN in-degree audit,
+    // the 3-chain Lloyd sweep, and the bounded-query recall curve
+    "clustering_coefficient", "hubness_audit", "sentence_length_dist",
+    "kmeans_elbow", "recall_at_k_curve", "mase_eval")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

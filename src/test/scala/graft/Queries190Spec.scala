@@ -1,0 +1,38 @@
+package graft
+
+/** Round-14 batch #5: graph/text structure metrics. */
+class Queries190Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("clustering_coefficient: triangle/wedge accounting is coherent") {
+    val r = SparkEntry.queries("clustering_coefficient")(spark, dir).collect().head
+    val (w, t) = (r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+    assert(3 * t <= w, "every triangle contributes 3 closed wedges")
+    assert(r.getAs[Long]("transitivity_milli") <= 1000)
+    assert(r.getAs[Long]("avg_local_milli") >= 0 && r.getAs[Long]("avg_local_milli") <= 1000)
+    assert(r.getAs[Long]("n_nodes") > 0 && r.getAs[Long]("n_edges") > 0)
+  }
+
+  test("hubness_audit: histogram accounts for every vector, K bounds out-edges") {
+    val out = SparkEntry.queries("hubness_audit")(spark, dir).collect()
+    val totalVecs = Tables.embeddings(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_vectors")).sum == totalVecs)
+    val edgeMass = out.map(r => r.getAs[Long]("indeg") * r.getAs[Long]("n_vectors")).sum
+    assert(edgeMass <= 3 * totalVecs, "in-edge mass equals out-edge mass, <= K per node")
+  }
+
+  test("sentence_length_dist: buckets labeled, averages inside their bucket") {
+    val out = SparkEntry.queries("sentence_length_dist")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val avg = r.getAs[Long]("avg_words_milli")
+      r.getAs[String]("bucket") match {
+        case "a_lt5" => assert(avg >= 1000 && avg < 5000)
+        case "b_lt10" => assert(avg >= 5000 && avg < 10000)
+        case "c_lt20" => assert(avg >= 10000 && avg < 20000)
+        case "d_ge20" => assert(avg >= 20000)
+        case other => fail(s"unexpected bucket $other")
+      }
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+/** Round-14 batch #6: model-selection / eval harnesses. */
+class Queries191Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kmeans_elbow: occupancy bounded by k, dot mass grows with k") {
+    val out = SparkEntry.queries("kmeans_elbow")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("k")).toSeq == Seq(2L, 4L, 8L))
+    val n = Tables.embeddings(spark, dir).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cells_used") <= r.getAs[Long]("k"))
+      assert(r.getAs[Long]("largest_cell") <= n)
+    }
+    // tighter clustering at larger k: assigned-dot mass must not decrease
+    // much — in practice it increases monotonically on this corpus
+    val masses = out.map(_.getAs[Long]("dot_mass"))
+    assert(masses.last >= masses.head, "k=8 fits at least as tightly as k=2")
+  }
+
+  test("recall_at_k_curve: 5 queries x 3 cutoffs, recall within [0,1000]") {
+    val out = SparkEntry.queries("recall_at_k_curve")(spark, dir).collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      val (k, h) = (r.getAs[Long]("k"), r.getAs[Long]("n_hit"))
+      assert(h <= k)
+      assert(r.getAs[Long]("recall_milli") == h * 1000 / k)
+    }
+  }
+
+  test("mase_eval: error accounting consistent") {
+    val r = SparkEntry.queries("mase_eval")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") > 0)
+    assert(r.getAs[Long]("mae_naive1_cents") >= 0)
+    assert(r.getAs[Long]("mase_milli") >= 0)
+  }
+}
