@@ -311,7 +311,11 @@ object BenchScale {
     // r14 #5/#6: the wedge-closure coefficient, the kNN in-degree audit,
     // the 3-chain Lloyd sweep, and the bounded-query recall curve
     "clustering_coefficient", "hubness_audit", "sentence_length_dist",
-    "kmeans_elbow", "recall_at_k_curve", "mase_eval")
+    "kmeans_elbow", "recall_at_k_curve", "mase_eval",
+    // r14 #7/#8: the horizon sweep (3 groupBys), the per-source packing
+    // rollup, the LIKE-only license scan, and the enrichment-side audits
+    "dedup_horizon_sweep", "packing_contamination", "license_scan",
+    "clock_skew_profile", "fingerprint_collision_audit", "anon_ip_risk")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,39 @@
+package graft
+
+/** Round-14 batch #7: training-corpus hygiene. */
+class Queries192Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_horizon_sweep: dup mass is monotone in the horizon") {
+    val out = SparkEntry.queries("dedup_horizon_sweep")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("horizon_s")).toSeq == Seq(60L, 600L, 3600L))
+    val dups = out.map(_.getAs[Long]("n_dups"))
+    assert(dups.sorted.toSeq == dups.toSeq, "a wider window can only absorb more")
+    out.foreach(r => assert(r.getAs[Long]("dup_pm") >= 0 && r.getAs[Long]("dup_pm") <= 1000))
+  }
+
+  test("packing_contamination: bins and doc accounting close per source") {
+    val out = SparkEntry.queries("packing_contamination")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val docsTotal = Tables.documents(spark, dir).count()
+    val binsDocs = out.map(r =>
+      r.getAs[Long]("docs_per_bin_milli") * r.getAs[Long]("n_bins") / 1000.0).sum
+    assert(math.abs(binsDocs - docsTotal) < docsTotal * 0.01 + out.length,
+      "docs-per-bin times bins replays the corpus size (up to integer truncation)")
+    out.foreach { r =>
+      assert(r.getAs[Long]("multi_doc_bins") <= r.getAs[Long]("n_bins"))
+      assert(r.getAs[Long]("contaminated_pm") <= 1000)
+    }
+  }
+
+  test("license_scan: any_docs bounds each marker class") {
+    val out = SparkEntry.queries("license_scan")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val any = r.getAs[Long]("any_docs")
+      assert(any <= r.getAs[Long]("n_docs"))
+      Seq("copyright_docs", "rights_docs", "cc_docs", "license_docs")
+        .foreach(c => assert(r.getAs[Long](c) <= any))
+    }
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+/** Round-14 batch #8: enrichment-side operational audits. */
+class Queries193Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("clock_skew_profile: send skew bounded by the synth's 1s modulus") {
+    val out = SparkEntry.queries("clock_skew_profile")(spark, dir).collect()
+    assert(out.length == 10, "one row per platform")
+    out.foreach { r =>
+      assert(r.getAs[Long]("avg_send_ms") >= 0 && r.getAs[Long]("max_send_ms") <= 999)
+      assert(r.getAs[Long]("min_create_ms") >= -5000, "the +5s outlier class caps the negative skew")
+    }
+  }
+
+  test("fingerprint_collision_audit: weak config discriminates strictly less") {
+    val out = SparkEntry.queries("fingerprint_collision_audit")(spark, dir).collect()
+      .map(r => r.getAs[String]("config") -> r).toMap
+    assert(out.keySet == Set("strong", "weak"))
+    val (s, w) = (out("strong"), out("weak"))
+    assert(s.getAs[Long]("n_events") == w.getAs[Long]("n_events"))
+    assert(w.getAs[Long]("n_fps") <= s.getAs[Long]("n_fps"))
+    assert(w.getAs[Long]("collided_events") >= s.getAs[Long]("collided_events"))
+    assert(w.getAs[Long]("discrimination_pm") <= s.getAs[Long]("discrimination_pm"))
+  }
+
+  test("anon_ip_risk: prefix and user accounting is coherent") {
+    val out = SparkEntry.queries("anon_ip_risk")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_users") >= r.getAs[Long]("n_prefixes"),
+        "every prefix has at least one user")
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_users"))
+    }
+  }
+}
