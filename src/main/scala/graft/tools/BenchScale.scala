@@ -315,7 +315,11 @@ object BenchScale {
     // r14 #7/#8: the horizon sweep (3 groupBys), the per-source packing
     // rollup, the LIKE-only license scan, and the enrichment-side audits
     "dedup_horizon_sweep", "packing_contamination", "license_scan",
-    "clock_skew_profile", "fingerprint_collision_audit", "anon_ip_risk")
+    "clock_skew_profile", "fingerprint_collision_audit", "anon_ip_risk",
+    // r14 #9/#10: balance/return rollups, the dow variance decomposition,
+    // the lang-pair dup matrix and the per-user error screen
+    "balance_activity_profile", "seasonal_strength", "supplier_return_screen",
+    "cross_lang_dups", "quality_filter_venn", "error_impact_screen")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,31 @@
+package graft
+
+/** Round-14 batch #9: order-book economics. */
+class Queries194Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("balance_activity_profile: customer accounting closes across bands") {
+    val out = SparkEntry.queries("balance_activity_profile")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_customers")).sum ==
+      Tables.customer(spark, dir).count())
+    assert(out.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, dir).count())
+  }
+
+  test("seasonal_strength: variance shares in [0, 1000]") {
+    val r = SparkEntry.queries("seasonal_strength")(spark, dir).collect().head
+    assert(r.getAs[Long]("ssb_milli") >= 0)
+    assert(r.getAs[Long]("ssb_milli") <= r.getAs[Long]("sst_milli"))
+    val s = r.getAs[Long]("strength_milli")
+    assert(s >= 0 && s <= 1000)
+  }
+
+  test("supplier_return_screen: every flagged supplier really exceeds 1.1x global") {
+    val out = SparkEntry.queries("supplier_return_screen")(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_lines") >= 20)
+      assert(r.getAs[Long]("return_pm") > r.getAs[Long]("global_pm") * 11 / 10 - 1,
+        "per-mille view consistent with the exact cross-multiplied filter")
+    }
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+/** Round-14 batch #10: cross-cutting leak/impact audits. */
+class Queries195Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cross_lang_dups: pair mass matches the candidate generator") {
+    val out = SparkEntry.queries("cross_lang_dups")(spark, dir).collect()
+    val totalPairs = out.map(_.getAs[Long]("n_pairs")).sum
+    assert(totalPairs > 0)
+    out.foreach { r =>
+      assert(r.getAs[String]("lang_lo") <= r.getAs[String]("lang_hi"))
+      val cross = r.getAs[Long]("cross_lang")
+      assert(cross == (if (r.getAs[String]("lang_lo") == r.getAs[String]("lang_hi")) 0L else 1L))
+    }
+  }
+
+  test("quality_filter_venn: 8 cells at most, doc accounting closes") {
+    val out = SparkEntry.queries("quality_filter_venn")(spark, dir).collect()
+    assert(out.length <= 8)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, dir).count())
+    out.foreach(r => assert(r.getAs[Long]("token_mass") >= 0))
+  }
+
+  test("error_impact_screen: user accounting closes, conv bounded") {
+    val out = SparkEntry.queries("error_impact_screen")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_users")).sum ==
+      Tables.events(spark, dir).select("user_id").distinct().count())
+    out.foreach(r => assert(r.getAs[Long]("conv_pm") <= 1000))
+  }
+}
