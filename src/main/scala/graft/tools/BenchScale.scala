@@ -319,7 +319,9 @@ object BenchScale {
     // r14 #9/#10: balance/return rollups, the dow variance decomposition,
     // the lang-pair dup matrix and the per-user error screen
     "balance_activity_profile", "seasonal_strength", "supplier_return_screen",
-    "cross_lang_dups", "quality_filter_venn", "error_impact_screen")
+    "cross_lang_dups", "quality_filter_venn", "error_impact_screen",
+    // r14 #11: the per-brand top-2 weekly join and two bounded clocks
+    "brand_cannibalization", "purchase_hour_profile", "weekend_ship_mix")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

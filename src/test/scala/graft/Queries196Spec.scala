@@ -1,0 +1,33 @@
+package graft
+
+/** Round-14 batch #11: demand-shape screens. */
+class Queries196Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("brand_cannibalization: one pair per brand, sign flag replays the numerator") {
+    val out = SparkEntry.queries("brand_cannibalization")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 25)
+    assert(out.map(_.getAs[String]("p_brand")).distinct.length == out.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("pk_a") != r.getAs[Long]("pk_b"))
+      assert(r.getAs[Long]("cannibal") == (if (r.getAs[Long]("corr_num") < 0) 1L else 0L))
+    }
+  }
+
+  test("purchase_hour_profile: 24-row clock, exactly one peak flagged unless ties") {
+    val out = SparkEntry.queries("purchase_hour_profile")(spark, dir).collect()
+    assert(out.length <= 24 && out.nonEmpty)
+    assert(out.map(_.getAs[Long]("is_peak")).sum >= 1)
+    out.foreach(r => assert(r.getAs[Long]("cents_per_purchase") > 0))
+  }
+
+  test("weekend_ship_mix: quantity accounting closes, lift centers near 1000") {
+    val out = SparkEntry.queries("weekend_ship_mix")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("we_qty") <= r.getAs[Long]("tot_qty"))
+      assert(r.getAs[Long]("weekend_pm") <= 1000)
+      assert(r.getAs[Long]("lift_milli") > 0)
+    }
+  }
+}
