@@ -144,7 +144,14 @@ object DumpPlans {
     // spearman_rho the chunkedRank shape), the calendar-bounded pair join,
     // and the blocking-cost pre-flight (three rollups, no pair join)
     "quantile_interp", "spearman_rho", "kendall_tau_daily",
-    "candidate_cost_compare", "dedup_idempotence")
+    "candidate_cost_compare", "dedup_idempotence",
+    // r14: the exact-CUSUM prefix windows over the bounded day series, the
+    // 3-chain integer-micro Lloyd sweep (assignment must stay a narrow
+    // literal projection), the wedge-closure coefficient (each edge probed
+    // once), the fixed-band price ladder (bounded window partitions), and
+    // the session entry/exit double row_number pass
+    "cusum_control", "kmeans_elbow", "clustering_coefficient",
+    "price_ladder", "entry_exit_pages")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

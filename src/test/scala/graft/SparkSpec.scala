@@ -8,6 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Drop every CacheScope intermediate the suite's queries pinned: a
+    * full-width cached frame leaking across suites lets the CacheManager
+    * substitute its InMemoryRelation into a LATER suite's plan, breaking
+    * plan-shape assertions (narrow-scan checks) on otherwise-correct code. */
+  override protected def afterAll(): Unit = {
+    graft.util.CacheScope.release(spark)
+    super.afterAll()
+  }
+
   /** Structured failure entities → "enrichment: message" strings (the
     * pre-r9 shape most assertions were written against). */
   protected def failureStrings(rs: scala.collection.Seq[org.apache.spark.sql.Row]): Seq[String] =
