@@ -321,7 +321,10 @@ object BenchScale {
     "balance_activity_profile", "seasonal_strength", "supplier_return_screen",
     "cross_lang_dups", "quality_filter_venn", "error_impact_screen",
     // r14 #11: the per-brand top-2 weekly join and two bounded clocks
-    "brand_cannibalization", "purchase_hour_profile", "weekend_ship_mix")
+    "brand_cannibalization", "purchase_hour_profile", "weekend_ship_mix",
+    // r14 #12/#13: the drift/stump/AUC screens and the two session effects
+    "psi_drift", "decision_stump_scan", "auc_quality_vs_dup",
+    "first_session_depth_effect", "entry_referer_depth")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,34 @@
+package graft
+
+/** Round-14 batch #12: ML-ops screens. */
+class Queries197Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("psi_drift: band shares close to 1000 pm on each side") {
+    val out = SparkEntry.queries("psi_drift")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 11)
+    val p = out.map(_.getAs[Long]("p_pm")).sum
+    val q = out.map(_.getAs[Long]("q_pm")).sum
+    assert(math.abs(p - 1000) <= out.length && math.abs(q - 1000) <= out.length,
+      "per-mille masses sum to ~1000 up to truncation")
+  }
+
+  test("decision_stump_scan: three features, best split beats or ties baseline") {
+    val out = SparkEntry.queries("decision_stump_scan")(spark, dir).collect()
+    assert(out.map(_.getAs[String]("feature")).sorted.toSeq == Seq("dow", "hour", "platform"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("best_gini_milli") <= r.getAs[Long]("baseline_gini_milli") + 1,
+        "a one-vs-rest split never increases weighted impurity (up to integer truncation)")
+      assert(r.getAs[Long]("gain_milli") >= -1)
+    }
+  }
+
+  test("auc_quality_vs_dup: U bounded by n_pos*n_neg, AUC in [0,1000]") {
+    val r = SparkEntry.queries("auc_quality_vs_dup")(spark, dir).collect().head
+    val (p, n, u2) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"), r.getAs[Long]("u2"))
+    assert(p > 0 && n > 0)
+    assert(u2 >= 0 && u2 <= 2 * p * n)
+    val auc = r.getAs[Long]("auc_milli")
+    assert(auc >= 0 && auc <= 1000)
+  }
+}

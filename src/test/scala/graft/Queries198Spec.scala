@@ -1,0 +1,26 @@
+package graft
+
+/** Round-14 batch #13: acquisition-quality screens. */
+class Queries198Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("first_session_depth_effect: user accounting closes, rates bounded") {
+    val out = SparkEntry.queries("first_session_depth_effect")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_users")).sum ==
+      Tables.events(spark, dir).select("user_id").distinct().count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("later_conv_pm") <= 1000)
+    }
+  }
+
+  test("entry_referer_depth: depth at least 1000 milli, purchase rate bounded") {
+    val out = SparkEntry.queries("entry_referer_depth")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("avg_depth_milli") >= 1000, "every session has >= 1 event")
+      assert(r.getAs[Long]("purchase_pm") <= 1000)
+      assert(r.getAs[String]("entry_medium") != null)
+    }
+  }
+}
