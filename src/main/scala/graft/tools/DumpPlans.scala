@@ -151,7 +151,10 @@ object DumpPlans {
     // once), the fixed-band price ladder (bounded window partitions), and
     // the session entry/exit double row_number pass
     "cusum_control", "kmeans_elbow", "clustering_coefficient",
-    "price_ladder", "entry_exit_pages")
+    "price_ladder", "entry_exit_pages",
+    // r14 close: the value-domain AUC histogram window and the full-chain
+    // + sessionizer composition
+    "auc_quality_vs_dup", "entry_referer_depth")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
