@@ -324,7 +324,10 @@ object BenchScale {
     "brand_cannibalization", "purchase_hour_profile", "weekend_ship_mix",
     // r14 #12/#13: the drift/stump/AUC screens and the two session effects
     "psi_drift", "decision_stump_scan", "auc_quality_vs_dup",
-    "first_session_depth_effect", "entry_referer_depth")
+    "first_session_depth_effect", "entry_referer_depth",
+    // r14 #14: the bot clock, the attribution rollup, and the full-chain
+    // geo PSI composition
+    "bot_diurnal_pattern", "clickid_network_share", "geo_mix_drift")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

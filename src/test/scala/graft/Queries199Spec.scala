@@ -1,0 +1,34 @@
+package graft
+
+/** Round-14 batch #14: enrichment-composition monitors. */
+class Queries199Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bot_diurnal_pattern: 24-row clock, bot share bounded") {
+    val out = SparkEntry.queries("bot_diurnal_pattern")(spark, dir).collect()
+    assert(out.length <= 24 && out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bot") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("bot_pm") <= 1000)
+    }
+  }
+
+  test("clickid_network_share: shares close to 1000 pm, clickids only on paid networks") {
+    val out = SparkEntry.queries("clickid_network_share")(spark, dir).collect()
+    val share = out.map(_.getAs[Long]("share_pm")).sum
+    assert(math.abs(share - 1000) <= out.length)
+    out.foreach { r =>
+      if (r.getAs[String]("network") == "(none)")
+        assert(r.getAs[Long]("n_with_clickid") == 0, "no network -> no click id")
+      assert(r.getAs[Long]("n_with_clickid") <= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("geo_mix_drift: per-mille masses close on both halves") {
+    val out = SparkEntry.queries("geo_mix_drift")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val p = out.map(_.getAs[Long]("p_pm")).sum
+    val q = out.map(_.getAs[Long]("q_pm")).sum
+    assert(math.abs(p - 1000) <= out.length && math.abs(q - 1000) <= out.length)
+  }
+}
