@@ -179,9 +179,13 @@ object Main {
           if (args.bad.nonEmpty) {
             val writer =
               if (args.refreshDims)
-                // same per-batch rebuild as the good stream: after a
-                // mid-stream config/dim swap, the good and bad outputs of a
-                // batch are computed under ONE config, never two
+                // same per-batch rebuild as the good stream: within THIS
+                // sink, every row of a micro-batch is computed under one
+                // config snapshot. The good sink is an independent query
+                // with its own batch cadence, so a mid-stream config/dim
+                // swap can still land between the two sinks' executions of
+                // the same input offsets — unify under a single
+                // foreachBatch if cross-sink snapshot consistency matters.
                 graft.streaming.RefreshableDim.transformEachBatch(raw)(df =>
                   graft.streaming.EnrichStream
                     .badRows(df, mkPipeline(), payloadCols(df), etlUs)

@@ -47,16 +47,20 @@ object CircuitBreaker {
         // breaker is never wiped by other ids merely being guarded. Evict
         // idle (zero-count) entries first; counting/open breakers go only
         // if idles run out — an evicted breaker restarts closed, the same
-        // posture as a fresh run.
-        val over = states.size - MaxStates
-        if (over > 0) {
-          val idle = states.iterator
-            .collect { case (k, st) if k != id && st.get() == 0 => k }
-            .take(over).toList
-          idle.foreach(states.remove)
-          val more = over - idle.size
-          if (more > 0)
-            states.keysIterator.filter(_ != id).take(more).foreach(states.remove)
+        // posture as a fresh run. The whole check-and-evict runs under one
+        // lock so concurrent first-time inserts can't each act on a stale
+        // size and over-evict; only new-id inserts ever contend for it.
+        states.synchronized {
+          val over = states.size - MaxStates
+          if (over > 0) {
+            val idle = states.iterator
+              .collect { case (k, st) if k != id && st.get() == 0 => k }
+              .take(over).toList
+            idle.foreach(states.remove)
+            val more = over - idle.size
+            if (more > 0)
+              states.keysIterator.filter(_ != id).take(more).foreach(states.remove)
+          }
         }
         states.getOrElseUpdate(id, new AtomicInteger(0))
     }

@@ -201,10 +201,15 @@ object TextF {
     * collisions per bucket than the 32-bit/8-bit layout — the ×10 scale
     * probe measured the 32-bit spelling going 9.2× superlinear (candidate
     * pairs ∝ N²/2^bandwidth) and this one sublinear. */
-  def simhash60(text: Column): Column = {
+  def simhash60(text: Column): Column = simhash60FromTokens(tokens(text))
+
+  /** [[simhash60]] over an already-tokenized column — lets callers that
+    * tokenize once for several detectors (dedup_method_venn's shared scan)
+    * skip the redundant regex pass. Identical result by construction. */
+  def simhash60FromTokens(toks: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(
-      graft.plans.SimHashExpression(ColumnBridge.expression(tokens(text)), 60))
+      graft.plans.SimHashExpression(ColumnBridge.expression(toks), 60))
   }
 
   /** The built-ins-only spelling of [[simhash60]] — spec reference only

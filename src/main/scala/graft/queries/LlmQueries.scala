@@ -44,6 +44,40 @@ object LlmQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)), (x, y) -> x + y)"
 
+  /** df-capped 5-gram Jaccard pairs over an already-tokenized (doc_id,
+    * toks) frame — factored out of `ngram_jaccard` so dedup_method_venn's
+    * three detectors share ONE tokenization pass. Identical plan from the
+    * shingle step down. */
+  private[graft] def jaccardPairsFromToks(toksDf: DataFrame): DataFrame = {
+    val docs = toksDf
+      .select(col("doc_id"), array_distinct(TextF.shinglesFromTokens(col("toks"), 5)).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    // the exploded shingle table feeds BOTH sides of the self-join plus the
+    // size joins — persist it once instead of re-evaluating the shingle
+    // expression tree per reference (4× otherwise; on a cluster this is a
+    // cached shuffle block, not recomputation)
+    val ex = graft.util.CacheScope.track(
+      docs.select(col("doc_id"), explode(col("sh")).as("s")))
+    // stop-shingle cap: one boilerplate shingle shared by k docs makes the
+    // self-join quadratic on that key (k² pairs). df-cap the shingle table
+    // BEFORE pairing — the design control that bounds shuffle volume by
+    // cap·|ex| at any corpus size (replaces the old test-time doc_id guard)
+    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= StopShingleDf).select("s")
+    val exF = ex.join(rare, "s")
+    val shared = exF.as("a").join(exF.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jac_permille",
+        round(lit(1000.0) * col("shared") / (col("n_a") + col("n_b") - col("shared"))).cast("bigint"))
+      .filter(col("jac_permille") >= 200)
+      .select("id_a", "id_b", "shared", "jac_permille")
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> ((sp, dir) =>
       Tables.documents(sp, dir)
@@ -69,34 +103,9 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     "ngram_jaccard" -> { (sp, dir) =>
-      val docs = Tables.documents(sp, dir)
+      jaccardPairsFromToks(Tables.documents(sp, dir)
         .withColumn("toks", TextF.tokens(col("text"))) // materialize: one regex pass per doc
-        .select(col("doc_id"), array_distinct(TextF.shinglesFromTokens(col("toks"), 5)).as("sh"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      // the exploded shingle table feeds BOTH sides of the self-join plus the
-      // size joins — persist it once instead of re-evaluating the shingle
-      // expression tree per reference (4× otherwise; on a cluster this is a
-      // cached shuffle block, not recomputation)
-      val ex = graft.util.CacheScope.track(
-        docs.select(col("doc_id"), explode(col("sh")).as("s")))
-      // stop-shingle cap: one boilerplate shingle shared by k docs makes the
-      // self-join quadratic on that key (k² pairs). df-cap the shingle table
-      // BEFORE pairing — the design control that bounds shuffle volume by
-      // cap·|ex| at any corpus size (replaces the old test-time doc_id guard)
-      val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= StopShingleDf).select("s")
-      val exF = ex.join(rare, "s")
-      val shared = exF.as("a").join(exF.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
-        .withColumn("jac_permille",
-          round(lit(1000.0) * col("shared") / (col("n_a") + col("n_b") - col("shared"))).cast("bigint"))
-        .filter(col("jac_permille") >= 200)
-        .select("id_a", "id_b", "shared", "jac_permille")
-        .orderBy("id_a", "id_b")
+        .select(col("doc_id"), col("toks")))
     },
 
     "sim_bruteforce" -> { (sp, dir) =>

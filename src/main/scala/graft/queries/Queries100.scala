@@ -36,11 +36,19 @@ object Queries100 {
 
   val defs: Map[String, Q] = Map(
     "dedup_method_venn" -> { (sp, dir) =>
-      val m = Queries6.minhashPairs(sp, dir)
+      // r15: one documents scan + ONE tokenization pass feeds all three
+      // detectors (the ×10 probe read 4.05× when each method re-tokenized
+      // the corpus independently); each pair fragment below is still the
+      // production query's own factored builder, so the cell counts remain
+      // the real methods' real disagreement.
+      val toks = graft.util.CacheScope.track(Tables.documents(sp, dir)
+        .select(col("doc_id"), graft.functions.TextF.tokens(col("text")).as("toks")))
+      val m = Queries6.minhashPairsOfSigs(Queries6.minhashSigsFromToks(toks))
         .select(col("id_a"), col("id_b"), lit(1L).as("bit"))
-      val s = Queries28.defs("simhash_pairs")(sp, dir)
+      val s = Queries28.simhashPairsOf(toks.select(col("doc_id"),
+          graft.functions.TextF.simhash60FromTokens(col("toks")).as("f")))
         .select(col("id_a"), col("id_b"), lit(2L).as("bit"))
-      val j = LlmQueries.defs("ngram_jaccard")(sp, dir)
+      val j = LlmQueries.jaccardPairsFromToks(toks)
         .select(col("id_a"), col("id_b"), lit(4L).as("bit"))
       val label = MaskLabels.toSeq.sortBy(_._1).foldRight(lit("?")) {
         case ((k, v), acc) => when(col("mask") === k, v).otherwise(acc)

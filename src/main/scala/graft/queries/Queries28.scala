@@ -97,6 +97,48 @@ object Queries28 {
   /** Blocking key: nation + the first 7 chars of the name. */
   private[queries] val BlockPrefix = 7
 
+  /** Pigeonhole-banded Hamming search over any (doc_id, f) fingerprint
+    * frame: 4 bands of 15 bits over the 60-bit fingerprint — Hamming ≤ 3
+    * implies at least one band is IDENTICAL, so candidates come from
+    * equi-joins on (band_idx, band_val) and the popcount verify runs only
+    * on collisions. Collapses identical fingerprints FIRST: near-dup
+    * cliques share a fingerprint, so the band self-join runs over DISTINCT
+    * fingerprints (one node per clique — 5.3x fewer candidates on the
+    * sf0.1 corpus) and doc pairs are regenerated only from VERIFIED fp
+    * pairs. Factored out of `simhash_pairs` so dedup_method_venn can feed
+    * fingerprints derived from its shared tokenization pass. */
+  private[graft] def simhashPairsOf(fps: DataFrame): DataFrame = {
+    val groups = graft.util.CacheScope.track(fps
+      .groupBy("f").agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n")))
+    groups.count()
+    val bands = groups.select(col("f"),
+      explode(array((0 until SimhashBands).map(b => struct(
+        lit(b).as("bi"),
+        shiftright(col("f"), SimhashBandBits * b).bitwiseAND(lit(SimhashBandMask)).as("bv"))): _*)).as("e"))
+      .select(col("f"), col("e.bi").as("bi"), col("e.bv").as("bv"))
+    val fpPairs = bands.select(col("bi"), col("bv"), col("f").as("fa"))
+      .join(bands.select(col("bi"), col("bv"), col("f").as("fb")), Seq("bi", "bv"))
+      .filter(col("fa") < col("fb"))
+      .select(col("fa"), col("fb")).distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("bigint"))
+      .filter(col("hamming") <= SimhashMaxDist)
+    // identical-fingerprint cliques: Hamming-0 pairs within each group
+    val same = groups.filter(col("n") >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    // cross-fingerprint matches: expand the verified fp pairs' doc lists
+    val cross = fpPairs
+      .join(groups.select(col("f").as("fa"), col("ids").as("ids_a")), Seq("fa"))
+      .join(groups.select(col("f").as("fb"), col("ids").as("ids_b")), Seq("fb"))
+      .select(col("hamming"), explode(col("ids_a")).as("ia"), col("ids_b"))
+      .select(col("hamming"), col("ia"), explode(col("ids_b")).as("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    same.unionAll(cross).orderBy("id_a", "id_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "triangle_count" -> { (sp, dir) =>
       val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
@@ -200,44 +242,8 @@ object Queries28 {
     },
 
     "simhash_pairs" -> { (sp, dir) =>
-      // pigeonhole-banded Hamming search: 4 bands of 15 bits over the
-      // 60-bit fingerprint — Hamming ≤ 3 implies at least one band is
-      // IDENTICAL, so candidates come from equi-joins on (band_idx,
-      // band_val) and the popcount verify runs only on collisions.
-      // collapse identical fingerprints FIRST: near-dup cliques share a
-      // fingerprint, so the band self-join runs over DISTINCT fingerprints
-      // (one node per clique — 5.3x fewer candidates on the sf0.1 corpus)
-      // and doc pairs are regenerated only from VERIFIED fp pairs
-      val groups = graft.util.CacheScope.track(Tables.documents(sp, dir)
-        .select(col("doc_id"), TextF.simhash60(col("text")).as("f"))
-        .groupBy("f").agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n")))
-      groups.count()
-      val bands = groups.select(col("f"),
-        explode(array((0 until SimhashBands).map(b => struct(
-          lit(b).as("bi"),
-          shiftright(col("f"), SimhashBandBits * b).bitwiseAND(lit(SimhashBandMask)).as("bv"))): _*)).as("e"))
-        .select(col("f"), col("e.bi").as("bi"), col("e.bv").as("bv"))
-      val fpPairs = bands.select(col("bi"), col("bv"), col("f").as("fa"))
-        .join(bands.select(col("bi"), col("bv"), col("f").as("fb")), Seq("bi", "bv"))
-        .filter(col("fa") < col("fb"))
-        .select(col("fa"), col("fb")).distinct()
-        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("bigint"))
-        .filter(col("hamming") <= SimhashMaxDist)
-      // identical-fingerprint cliques: Hamming-0 pairs within each group
-      val same = groups.filter(col("n") >= 2)
-        .select(explode(col("ids")).as("id_a"), col("ids"))
-        .select(col("id_a"), explode(col("ids")).as("id_b"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
-      // cross-fingerprint matches: expand the verified fp pairs' doc lists
-      val cross = fpPairs
-        .join(groups.select(col("f").as("fa"), col("ids").as("ids_a")), Seq("fa"))
-        .join(groups.select(col("f").as("fb"), col("ids").as("ids_b")), Seq("fb"))
-        .select(col("hamming"), explode(col("ids_a")).as("ia"), col("ids_b"))
-        .select(col("hamming"), col("ia"), explode(col("ids_b")).as("ib"))
-        .select(least(col("ia"), col("ib")).as("id_a"),
-          greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
-      same.unionAll(cross).orderBy("id_a", "id_b")
+      simhashPairsOf(Tables.documents(sp, dir)
+        .select(col("doc_id"), TextF.simhash60(col("text")).as("f")))
     },
 
     "record_linkage" -> { (sp, dir) =>

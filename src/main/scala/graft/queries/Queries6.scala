@@ -21,11 +21,16 @@ object Queries6 {
   /** Signatures over any (doc_id, text) frame — shared with the
     * incremental ingest gate, which signs a PLANTED effective-text
     * relation rather than the raw corpus. */
-  private[queries] def minhashSigsOf(docs: DataFrame): DataFrame = {
+  private[queries] def minhashSigsOf(docs: DataFrame): DataFrame =
+    minhashSigsFromToks(docs.withColumn("toks", TextF.tokens(col("text"))))
+
+  /** Signatures over an already-tokenized (doc_id, toks) frame — the entry
+    * point dedup_method_venn uses so its three detectors share ONE
+    * tokenization pass. Same expression tree from `toks` down. */
+  private[graft] def minhashSigsFromToks(toksDf: DataFrame): DataFrame = {
     val sh = col("sh")
     def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
-    docs
-      .withColumn("toks", TextF.tokens(col("text")))
+    toksDf
       .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), 3)))
       .select(col("doc_id"), comp(0).as("c0"), comp(1).as("c1"), comp(2).as("c2"), comp(3).as("c3"))
       .withColumn("band0", md5(concat(coalesce(col("c0"), lit("")), coalesce(col("c1"), lit(""))).cast("binary")))
@@ -37,8 +42,11 @@ object Queries6 {
     * same shape as dedup_embedding's banded SRP search. The exploded band
     * table is persisted: both sides of the self-join scan it, and without
     * the cache each side recomputes every md5 minhash signature. */
-  private[graft] def minhashPairs(sp: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(sp, dir)
+  private[graft] def minhashPairs(sp: SparkSession, dir: String): DataFrame =
+    minhashPairsOfSigs(minhashSigs(sp, dir))
+
+  /** Band-collision pairs from any signature frame (minhashSigs* output). */
+  private[graft] def minhashPairsOfSigs(sigs: DataFrame): DataFrame = {
     val ex = graft.util.CacheScope.track(sigs.select(col("doc_id"),
       posexplode(array(col("band0"), col("band1")))).select(
       col("doc_id"), col("pos").as("bi"), col("col").as("b")))

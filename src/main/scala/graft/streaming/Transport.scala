@@ -121,8 +121,14 @@ object Transport {
 
   def absorbRedelivery(framed: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame = {
     val idCols = dedupIdCols(framed.columns.toSeq)
+    // Framedness is judged on the columns the dedup actually KEYS on: for a
+    // seq_str-bearing transport (Kinesis) that is shard_id/seq_str — a
+    // record whose lossy last-18-digit numeric fold failed to cast must
+    // still enter the dedup, because its full-fidelity identity is intact
+    // and a redelivered copy would otherwise pass straight through.
+    val seqIdCol = if (idCols.contains("seq_str")) col("seq_str") else col("seq_no")
     val isFramed =
-      col("shard_id").isNotNull && col("seq_no").isNotNull && col("arrival_us").isNotNull
+      col("shard_id").isNotNull && seqIdCol.isNotNull && col("arrival_us").isNotNull
     val deduped = framed
       .filter(isFramed)
       .withColumn("__arrival_time", timestamp_micros(col("arrival_us")))

@@ -1,0 +1,51 @@
+package graft
+
+/** Round-15 batch #1: runtime JSON-Schema compilation. */
+class Queries200Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("schema_validate_dynamic: every planted violation class fires, valid rows clean") {
+    val out = SparkEntry.queries("schema_validate_dynamic")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byMod = out.groupBy(r => r.getAs[Long]("event_id") % 13)
+    // each planted case resolves to exactly its one taxonomy entry
+    val expect = Map(
+      0L -> ("missing_field", "missing_field pid"),
+      1L -> ("type_violation", "type_violation price"),
+      2L -> ("schema_unknown", "schema_unknown"),
+      3L -> ("enum_violation", "enum_violation cat"),
+      4L -> ("pattern_violation", "pattern_violation pid"),
+      5L -> ("range_violation", "range_violation price"),
+      6L -> ("missing_field", "missing_field meta.src"),
+      7L -> ("items_violation", "items_violation tags"),
+      8L -> ("unknown_key", "unknown_key"),
+      9L -> ("length_violation", "length_violation tags"),
+      11L -> ("missing_field", "missing_field oid"))
+    expect.foreach { case (m, (typ, msg)) =>
+      val rows = byMod(m)
+      assert(rows.forall(r => !r.getAs[Boolean]("valid")), s"case $m should be invalid")
+      assert(rows.forall(_.getAs[Long]("n_errors") == 1L), s"case $m exactly one error")
+      assert(rows.forall(_.getAs[String]("first_type") == typ), s"case $m type")
+      assert(rows.forall(_.getAs[String]("first_msg") == msg), s"case $m msg")
+    }
+    // 10 (checkout) and 12 (product_view) are the planted-valid lanes
+    Seq(10L, 12L).foreach { m =>
+      assert(byMod(m).forall(r =>
+        r.getAs[Boolean]("valid") && r.getAs[Long]("n_errors") == 0L), s"case $m valid")
+    }
+  }
+
+  test("schema_validate_dynamic: compiler round-trips the closed/open distinction") {
+    import graft.enrich.IgluResolver
+    val (pvFields, pvClosed) = IgluResolver.compileFieldSpecs(graft.queries.Queries200.PvDoc)
+    assert(pvClosed, "product_view carries additionalProperties:false")
+    assert(pvFields.map(_.path).toSet == Set("pid", "price", "cat", "meta.src", "tags"))
+    assert(pvFields.find(_.path == "price").exists(f =>
+      f.typ == "bigint" && f.min.contains(0L) && f.max.contains(100000L)))
+    assert(pvFields.find(_.path == "tags").exists(f =>
+      f.itemsType == "bigint" && f.maxItems.contains(3)))
+    val (coFields, coClosed) = IgluResolver.compileFieldSpecs(graft.queries.Queries200.CoDoc)
+    assert(!coClosed, "checkout stays open")
+    assert(coFields.find(_.path == "oid").exists(_.required))
+  }
+}

@@ -6,10 +6,15 @@ exact)."""
 import json, sys, glob, os
 import duckdb
 
+# Optional: --json PATH writes a per-key machine-readable artifact
+# {key: {rows_match, schema_match, hash_match, err}} so the round's
+# correctness signal is self-reported and committed (the driver's
+# CORRECTNESS_r14.json came back empty; this makes the signal redundant).
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -54,7 +59,35 @@ def main(sf_dir, out_dir):
     for k, v in sorted(results.items()):
         print(f"{'PASS' if v.startswith('OK') else 'FAIL' if not v.startswith('ROWS_ONLY') else 'ROWS'}  {k}: {v}")
     print(f"\n{npass}/{len(results)} exact-match", file=sys.stderr)
+    if json_path:
+        js = {}
+        for k, v in sorted(results.items()):
+            ok = v.startswith("OK")
+            js[k] = {
+                "rows_match": ok or v.startswith("VALUE_MISMATCH") or v.startswith("ROWS_ONLY"),
+                "schema_match": ok or v.startswith("VALUE_MISMATCH") or v.startswith("ROWCOUNT_MISMATCH"),
+                "hash_match": ok,
+                "err": None if ok else v,
+            }
+        if not js:
+            print("check.py --json: REFUSING to write an empty artifact "
+                  f"(no verify output dirs under {out_dir}?)", file=sys.stderr)
+            sys.exit(2)
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_keys": len(js),
+                       "n_pass": npass, "results": js}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(js)} keys, {npass} exact-match)", file=sys.stderr)
+    nfail = sum(1 for v in results.values()
+                if not (v.startswith("OK") or v.startswith("ROWS_ONLY")))
+    sys.exit(1 if nfail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-         sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    args = sys.argv[1:]
+    jp = None
+    if "--json" in args:
+        i = args.index("--json")
+        jp = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    main(args[0] if len(args) > 0 else "/root/testdata/sf0.01",
+         args[1] if len(args) > 1 else "/tmp/verify_out",
+         jp)
