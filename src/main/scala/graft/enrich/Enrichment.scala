@@ -322,21 +322,37 @@ final case class IpGeoLookup(
   * reference's per-record `registry/ApiRequestEnrichment` /
   * `registry/SqlQueryEnrichment` lookups (an RPC per event cannot survive
   * 100 TB; a broadcast hash join of the same dimension can). The dimension
-  * comes from a parquet path or inline JSON rows (schema inferred). */
+  * comes from a parquet path (anything Hadoop FS speaks — file/S3/GCS), a
+  * plain `http(s)://` URL (reference cloudutils
+  * `core/HttpBlobClient.scala` asset fetch: the JSON-lines document is
+  * fetched ONCE on the driver at plan build — under `--refresh-dims`
+  * that means once per micro-batch, the reference's assets-refresh
+  * cadence — then broadcast like any other dim), or inline JSON rows
+  * (schema inferred). `transport` is the injectable fetch seam (tests: a
+  * local fixture; default: the pooled `RemoteResolver.httpTransport`). */
 final case class DimJoin(
   keyCol: String,
   dimKeyCol: String,
   select: Seq[String] = Nil, // empty = every dim column
   path: String = null,
-  inlineJsonRows: Seq[String] = Nil
+  inlineJsonRows: Seq[String] = Nil,
+  transport: String => Option[String] = null
 ) extends Enrichment {
   val name = "dim_join"
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(path != null || inlineJsonRows.nonEmpty, "dim_join needs 'path' or 'rows'")
-    val dim0 = if (path != null) spark.read.parquet(path)
-               else spark.read.json(inlineJsonRows.toDS())
+    val dim0 =
+      if (path != null && (path.startsWith("http://") || path.startsWith("https://"))) {
+        val t = if (transport != null) transport
+                else IgluResolver.RemoteResolver.httpTransport()
+        val body = t(path).getOrElse(throw new IllegalArgumentException(
+          s"dim_join: http dim '$path' returned 404 — the dimension document must exist"))
+        spark.read.json(body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.toDS())
+      }
+      else if (path != null) spark.read.parquet(path)
+      else spark.read.json(inlineJsonRows.toDS())
     val dim = if (select.nonEmpty) dim0.select((dimKeyCol +: select).map(col): _*) else dim0
     df.join(broadcast(dim), df(keyCol) === dim(dimKeyCol), "left").drop(dim(dimKeyCol))
   }
@@ -918,6 +934,28 @@ final case class EnrichmentPipeline(enrichments: Seq[Enrichment]) {
           col("bad_row_errors"), struct(payloadCols.map(col): _*), etlTstampUs)))
       .write.partitionBy("is_bad").mode("overwrite").parquet(path)
   }
+
+  /** Streaming twin of [[splitWrite]]: the same ONE-PASS enrich +
+    * `is_bad`-partitioned layout, appended per micro-batch through
+    * foreachBatch — so the good and bad halves of every batch are computed
+    * from one enrichment pass under one config snapshot (the cross-sink
+    * consistency a two-independent-queries layout cannot promise). The
+    * caller sets the checkpoint location / trigger and calls `.start()`. */
+  def splitWriteStream(
+    df: DataFrame,
+    path: String,
+    payloadCols: Seq[String],
+    etlTstampUs: Column
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    run(df)
+      .withColumn("is_bad", size(col("bad_row_errors")) > 0)
+      .withColumn("bad_row",
+        when(col("is_bad"), BadRows.badRowJson(
+          col("bad_row_errors"), struct(payloadCols.map(col): _*), etlTstampUs)))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.partitionBy("is_bad").mode("append").parquet(path)
+      }
 }
 
 /** One field predicate inside a registered schema: a dot path into the

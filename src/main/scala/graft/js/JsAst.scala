@@ -30,6 +30,13 @@ object JsAst {
   final case class Accessor(kind: String, fn: FuncExpr) extends Expr
   /** `obj.name` */
   final case class Member(obj: Expr, name: String) extends Expr
+  /** Bare `super.name` READ in a derived class body — `parent` is the
+    * lexically-resolved superclass NAME (graft.js has no [[HomeObject]]).
+    * Evaluation starts the property lookup at Parent.prototype but keeps
+    * the CURRENT `this` as the getter receiver, matching ES super-read
+    * semantics for both data slots and accessors. Never an assignment
+    * target (writes reject as invalid). */
+  final case class SuperMember(parent: String, name: String) extends Expr
   /** `obj[idx]` */
   final case class Index(obj: Expr, idx: Expr) extends Expr
   /** Call; when `fn` is a Member/Index the receiver becomes `this`. */

@@ -270,6 +270,17 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
       case Accessor(_, fn) => eval(fn, env) // unreachable outside ObjLit; safe fallback
       case FuncExpr(name, params, body) => JsFunc(name, params, body, env)
       case Member(o, name) => getProp(eval(o, env), name)
+      case SuperMember(parentName, name) =>
+        // bare `super.x`: lookup starts AT Parent.prototype, but a getter
+        // fires with the CURRENT `this` as receiver (ES super-read shape
+        // under graft.js's lexical-parent resolution)
+        val parentVal = env.lookup(parentName)
+          .getOrElse(throw JsThrown(JsStr(s"$parentName is not defined")))
+        val thisVal = env.lookup("this").getOrElse(JsUndef)
+        getProp(parentVal, "prototype") match {
+          case p: JsObj => lookupWithReceiver(p, name, thisVal)
+          case _ => JsUndef
+        }
       case Index(o, idx) =>
         val ov = eval(o, env)
         val iv = eval(idx, env)
@@ -420,6 +431,20 @@ final class JsInterp(maxSteps: Long = 10_000_000L) {
         case other => throw JsThrown(JsStr(s"cannot index-assign on ${typeOf(other)}"))
       }
     case _ => throw JsThrown(JsStr("invalid assignment target"))
+  }
+
+  /** Property lookup starting AT `start` (not at the receiver) with `recv`
+    * as the getter receiver — the [[SuperMember]] read path: data slots
+    * and accessors checked per level along start's own chain. */
+  private def lookupWithReceiver(start: JsObj, name: String, recv: JsVal): JsVal = {
+    var p: JsObj = start
+    while (p != null) {
+      if (p.props.contains(name)) return p.props(name)
+      if (p.accessors != null && p.accessors.contains(name))
+        return callAccessor(p.accessors(name)._1, recv, Nil)
+      p = p.proto
+    }
+    JsUndef
   }
 
   /** Nearest accessor pair for `name` on `o` or its prototype chain

@@ -210,11 +210,12 @@ object JsParser {
       * `class B extends A` (r12) is more desugar over the same machinery:
       * `B.prototype.__proto__ = A.prototype` wires the chain, a missing
       * constructor defaults to `function B() { A.apply(this, arguments) }`,
-      * `super(...)` → `A.call(this, ...)` and `super.m(...)` →
-      * `A.prototype.m.call(this, ...)` (resolved LEXICALLY against the
-      * named superclass — there is no [[HomeObject]] here, so only those
-      * two call forms are in the subset; bare `super.x` reads and static
-      * inheritance fail compile with guidance). */
+      * `super(...)` → `A.call(this, ...)`, `super.m(...)` →
+      * `A.prototype.m.call(this, ...)`, and bare `super.x` reads →
+      * [[SuperMember]] (r15: lookup starts at A.prototype, current `this`
+      * stays the getter receiver). All resolved LEXICALLY against the
+      * named superclass — there is no [[HomeObject]] here; `super.x = v`
+      * writes and static inheritance fail compile with guidance. */
     private def classDeclaration(): Stmt = {
       eatKw("class")
       classTail(identName())
@@ -588,14 +589,14 @@ object JsParser {
             else if (isPunct(".")) {
               next()
               val m = identName()
-              if (!isPunct("(")) throw ParseError(
-                s"unsupported construct: bare 'super.$m' read — graft.js super " +
-                  "resolves lexically (no [[HomeObject]]), so only super(...) " +
-                  s"and super.m(...) calls are in the subset; read $parent" +
-                  s".prototype.$m explicitly if you mean the data slot", p)
-              // super.m(args) → Parent.prototype.m.call(this, args)
-              Call(Member(Member(Member(Ident(parent), "prototype"), m), "call"),
-                Ident("this") :: argList())
+              if (!isPunct("("))
+                // bare super.m READ: lookup starts at Parent.prototype,
+                // current `this` stays the getter receiver (SuperMember)
+                SuperMember(parent, m)
+              else
+                // super.m(args) → Parent.prototype.m.call(this, args)
+                Call(Member(Member(Member(Ident(parent), "prototype"), m), "call"),
+                  Ident("this") :: argList())
             } else throw ParseError(
               "unsupported construct: 'super' is supported as super(...) and " +
                 "super.m(...) calls only", p)

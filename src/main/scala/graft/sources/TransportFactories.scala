@@ -34,13 +34,18 @@ object TransportFactories {
   final case class SourceBinding(
     format: String,
     options: Map[String, String],
-    frame: DataFrame => DataFrame
+    frame: DataFrame => DataFrame,
+    schema: org.apache.spark.sql.types.StructType = null
   ) {
     /** `spark.readStream.format(format).options(options).load()` framed to
       * (shard_id, seq_no, arrival_us, value). Needs the connector on the
-      * classpath for kinesis/pubsublite. */
-    def open(spark: SparkSession): DataFrame =
-      frame(spark.readStream.format(format).options(options).load())
+      * classpath for kinesis/pubsublite — unless the config routes through
+      * an `archiveDir` replay (file stream over a connector-native dump),
+      * which carries its own `schema`. */
+    def open(spark: SparkSession): DataFrame = {
+      val r = spark.readStream.format(format).options(options)
+      frame((if (schema != null) r.schema(schema) else r).load())
+    }
   }
 
   // ---- Kinesis (reference config/config.kinesis.reference.hocon `input`) ----
@@ -57,7 +62,14 @@ object TransportFactories {
     initialPositionType: String = "TRIM_HORIZON",
     initialPositionTimestamp: String = null,
     retrievalModeType: String = "Polling",
-    maxRecords: Int = 750
+    maxRecords: Int = 750,
+    /** Replay a connector-native archive instead of the live stream: a
+      * directory of parquet files with the connector's own columns
+      * (shardId, sequenceNumber, approximateArrivalTimestamp, data) — the
+      * layout a Kinesis→S3 archival job writes. The framing projection
+      * (incl. the lossless seq_str dedup identity) is IDENTICAL to the
+      * live path, so backfill and live runs dedup the same way. */
+    archiveDir: String = null
   ) {
     require(streamName != null && streamName.nonEmpty, "kinesis: input.streamName is required")
     require(Set("TRIM_HORIZON", "LATEST", "AT_TIMESTAMP").contains(initialPositionType),
@@ -69,17 +81,24 @@ object TransportFactories {
     require(maxRecords > 0, "kinesis: retrievalMode.maxRecords must be positive")
 
     def binding: SourceBinding = SourceBinding(
-      format = "aws-kinesis",
-      options = Map(
-        "streamName" -> streamName,
-        "consumerName" -> appName,
-        "region" -> region,
-        "initialPosition" -> (initialPositionType match {
-          case "AT_TIMESTAMP" => s"at_timestamp $initialPositionTimestamp"
-          case p => p.toLowerCase
-        }),
-        "consumerType" -> (if (retrievalModeType == "FanOut") "SubscribeToShard" else "GetRecords"),
-        "maxFetchRecordsPerShard" -> maxRecords.toString),
+      format = if (archiveDir != null) "parquet" else "aws-kinesis",
+      options =
+        if (archiveDir != null) Map("path" -> archiveDir)
+        else Map(
+          "streamName" -> streamName,
+          "consumerName" -> appName,
+          "region" -> region,
+          "initialPosition" -> (initialPositionType match {
+            case "AT_TIMESTAMP" => s"at_timestamp $initialPositionTimestamp"
+            case p => p.toLowerCase
+          }),
+          "consumerType" -> (if (retrievalModeType == "FanOut") "SubscribeToShard" else "GetRecords"),
+          "maxFetchRecordsPerShard" -> maxRecords.toString),
+      schema =
+        if (archiveDir == null) null
+        else org.apache.spark.sql.types.StructType.fromDDL(
+          "shardId STRING, sequenceNumber STRING, " +
+            "approximateArrivalTimestamp TIMESTAMP, data BINARY"),
       frame = df => df.select(
         // Kinesis shard ids are strings ("shardId-000000000042"); the stable
         // int framing keys partition affinity, not shard identity — hash it
@@ -106,7 +125,11 @@ object TransportFactories {
     * `projects/P/subscriptions/S`; ack-deadline tuning has no Spark twin
     * (Pub/Sub Lite ack semantics live in the connector). */
   final case class PubsubSourceConfig(
-    subscription: String
+    subscription: String,
+    /** Replay a connector-native archive (parquet with partition, offset,
+      * publish_timestamp, data) instead of the live subscription — same
+      * framing as the live path, see KinesisSourceConfig.archiveDir. */
+    archiveDir: String = null
   ) {
     require(subscription != null,
       "pubsub: input.subscription is required (projects/P/subscriptions/S)")
@@ -118,8 +141,14 @@ object TransportFactories {
     }
 
     def binding: SourceBinding = SourceBinding(
-      format = "pubsublite",
-      options = Map("pubsublite.subscription" -> subscription),
+      format = if (archiveDir != null) "parquet" else "pubsublite",
+      options =
+        if (archiveDir != null) Map("path" -> archiveDir)
+        else Map("pubsublite.subscription" -> subscription),
+      schema =
+        if (archiveDir == null) null
+        else org.apache.spark.sql.types.StructType.fromDDL(
+          "partition BIGINT, offset BIGINT, publish_timestamp TIMESTAMP, data BINARY"),
       frame = df => df.select(
         col("partition").cast("int").as("shard_id"),
         col("offset").cast("long").as("seq_no"),
@@ -235,9 +264,12 @@ object TransportFactories {
           initialPositionType = pos.map(p => str(p, "type", "TRIM_HORIZON")).getOrElse("TRIM_HORIZON"),
           initialPositionTimestamp = pos.map(p => str(p, "timestamp")).orNull,
           retrievalModeType = ret.map(r => str(r, "type", "Polling")).getOrElse("Polling"),
-          maxRecords = ret.flatMap(r => Option(r.get("maxRecords")).map(_.asInt())).getOrElse(750))
+          maxRecords = ret.flatMap(r => Option(r.get("maxRecords")).map(_.asInt())).getOrElse(750),
+          archiveDir = str(in, "archiveDir"))
       case "pubsub" =>
-        PubsubSourceConfig(subscription = str(in, "subscription"))
+        PubsubSourceConfig(
+          subscription = str(in, "subscription"),
+          archiveDir = str(in, "archiveDir"))
       case "nsq" =>
         NsqSourceConfig(
           topic = str(in, "topic"),

@@ -99,4 +99,72 @@ class MainStreamSpec extends SparkSpec {
     assert(bad.length == 1 && bad(0).contains("unknown event code"),
       s"bad envelope written through the refresh-dims foreachBatch path (got ${bad.length})")
   }
+
+  test("kinesis transport over an archive replay: lossless seq_str dedup absorbs a planted redelivery") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val root = Files.createTempDirectory("main_kinesis")
+    val archive = root.resolve("archive").toString
+    val schema = StructType.fromDDL(
+      "shardId STRING, sequenceNumber STRING, approximateArrivalTimestamp TIMESTAMP, data BINARY")
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val line = collectorLine("pv").getBytes("UTF-8")
+    // seq 2 carries a KPL-style sub-sequence suffix: its last-18-digit
+    // numeric fold does NOT cast to long (seq_no is null), so only the
+    // full-fidelity (shardId, sequenceNumber) identity can absorb the
+    // planted duplicate delivery — the exact case the framedness gate on
+    // seq_str protects
+    val base = "4959033827149025660855969253836157109592157598913658889"
+    val rows = Seq(
+      Row("shardId-000000000001", base + "1", ts(1704067200000000L), line),
+      Row("shardId-000000000001", base + "2-000000001", ts(1704067201000000L), line),
+      Row("shardId-000000000001", base + "2-000000001", ts(1704067201000000L), line), // redelivery
+      Row("shardId-000000000002", base + "3", ts(1704067202000000L), line))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(archive)
+    val cfg = root.resolve("kinesis.json")
+    Files.write(cfg,
+      s"""{"input": {"streamName": "collector-payloads", "region": "eu-central-1",
+         |           "archiveDir": "$archive"}}""".stripMargin.getBytes("UTF-8"))
+    graft.Main.main(Array(
+      "--mode", "stream",
+      "--transport", "kinesis", "--transport-config", cfg.toString,
+      "--good", root.resolve("good").toString,
+      "--checkpoint", root.resolve("ck").toString,
+      "--once"))
+    val good = spark.read.parquet(root.resolve("good").toString)
+    assert(good.count() == 3,
+      "3 distinct records: the null-seq_no redelivery must be absorbed via seq_str")
+    assert(good.collect().forall(_.getAs[String]("event") == "page_view"))
+  }
+
+  test("pubsub transport over an archive replay: (partition, offset) dedup absorbs a redelivery") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val root = Files.createTempDirectory("main_pubsub")
+    val archive = root.resolve("archive").toString
+    val schema = StructType.fromDDL(
+      "partition BIGINT, offset BIGINT, publish_timestamp TIMESTAMP, data BINARY")
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val line = collectorLine("pv").getBytes("UTF-8")
+    val rows = Seq(
+      Row(0L, 1L, ts(1704067200000000L), line),
+      Row(0L, 2L, ts(1704067201000000L), line),
+      Row(0L, 2L, ts(1704067201000000L), line), // redelivery
+      Row(1L, 1L, ts(1704067202000000L), line))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(archive)
+    val cfg = root.resolve("pubsub.json")
+    Files.write(cfg,
+      s"""{"input": {"subscription": "projects/p1/subscriptions/collector",
+         |           "archiveDir": "$archive"}}""".stripMargin.getBytes("UTF-8"))
+    graft.Main.main(Array(
+      "--mode", "stream",
+      "--transport", "pubsub", "--transport-config", cfg.toString,
+      "--good", root.resolve("good").toString,
+      "--checkpoint", root.resolve("ck").toString,
+      "--once"))
+    val good = spark.read.parquet(root.resolve("good").toString)
+    assert(good.count() == 3, "3 distinct records after (partition, offset) dedup")
+  }
 }

@@ -298,4 +298,58 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         s"missing=${(realBatch -- realStream).take(3)} extra=${(realStream -- realBatch).take(3)}")
     } finally q.stop()
   }
+
+  test("flagship splitWrite under streaming == batch splitWrite: good AND bad, 3 micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the FULL flagship chain (PipelineQuery.pipeline) at sf0.001, split
+    // one-pass into the is_bad-partitioned layout on BOTH sides: batch
+    // splitWrite vs its streaming twin fed the same rows in three
+    // micro-batches — the reference's core promise extended to the split
+    // (good and bad halves of a batch computed under one config snapshot)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("props"), col("ts_us"))
+      .as[(Long, Long, String, Double, String, Long)].collect().sortBy(_._1)
+    val pipeline = graft.queries.PipelineQuery.pipeline
+    val etl = lit(1700000000000000L)
+    val payload = Seq("event_id", "event_type")
+    val root = java.nio.file.Files.createTempDirectory("split_equiv")
+
+    pipeline.splitWrite(
+      graft.queries.Synth.withRaw(ev.toSeq.toDF("event_id", "user_id", "event_type", "value", "props", "ts_us")),
+      root.resolve("batch").toString, payload, etl)
+
+    val mem = MemoryStream[(Long, Long, String, Double, String, Long)]
+    val q = pipeline.splitWriteStream(
+      graft.queries.Synth.withRaw(
+        mem.toDF().toDF("event_id", "user_id", "event_type", "value", "props", "ts_us")),
+      root.resolve("stream").toString, payload, etl)
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .start()
+    try {
+      ev.grouped((ev.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def canon(path: String): (Seq[String], Long, Long) = {
+      val df = spark.read.parquet(path)
+      val cols = df.columns.sorted.toIndexedSeq
+      val rows = df.select(cols.map(col): _*).collect().map(_.toString).toIndexedSeq.sorted
+      (rows,
+        df.filter(col("is_bad") === false).count(),
+        df.filter(col("is_bad") === true).count())
+    }
+    val (b, bGood, bBad) = canon(root.resolve("batch").toString)
+    val (s, sGood, sBad) = canon(root.resolve("stream").toString)
+    assert(bGood > 0 && bBad > 0, s"flagship synth must exercise both sides (good=$bGood bad=$bBad)")
+    assert(sGood == bGood && sBad == bBad, s"split sizes differ: stream=($sGood,$sBad) batch=($bGood,$bBad)")
+    assert(s.length == b.length, s"row counts differ: stream=${s.length} batch=${b.length}")
+    s.zip(b).zipWithIndex.foreach { case ((sr, br), i) =>
+      assert(sr == br, s"split row $i differs:\n stream=$sr\n batch =$br")
+    }
+  }
 }

@@ -1,0 +1,85 @@
+package graft.enrich
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `DimJoin` over a plain `http(s)://` dim URL (reference cloudutils
+  * `core/HttpBlobClient.scala` asset fetch): the JSON-lines document is
+  * fetched once on the driver through the production
+  * `RemoteResolver.httpTransport` against a LOCAL fixture — zero egress —
+  * then broadcast-joined like any parquet dim. Also pins: 404 fails
+  * loudly at plan build, and a refetch per pipeline rebuild (the
+  * --refresh-dims cadence). */
+class HttpDimJoinSpec extends SparkSpec {
+
+  private val hits = new AtomicInteger(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private lazy val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/dims/plans.jsonl", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      respond(ex, 200,
+        """{"plan_id": 1, "plan": "free", "quota": 10}
+          |{"plan_id": 2, "plan": "pro", "quota": 1000}
+          |
+          |{"plan_id": 3, "plan": "enterprise", "quota": 100000}""".stripMargin)
+    })
+    s.createContext("/dims/missing.jsonl", (ex: HttpExchange) => respond(ex, 404, ""))
+    s.start()
+    s
+  }
+  private def base = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  test("http dim: fetched once, broadcast-joined, blank lines tolerated") {
+    import spark.implicits._
+    val events = Seq((100L, 1L), (101L, 2L), (102L, 3L), (103L, 9L))
+      .toDF("event_id", "plan_id")
+    val joined = DimJoin(
+      keyCol = "plan_id", dimKeyCol = "plan_id", select = Seq("plan", "quota"),
+      path = s"$base/dims/plans.jsonl")(events)
+    val out = joined.orderBy("event_id").collect()
+    assert(out.map(r => Option(r.getAs[String]("plan")).orNull).toSeq ==
+      Seq("free", "pro", "enterprise", null), "left join over the fetched dim")
+    assert(out(2).getAs[Long]("quota") == 100000L)
+    assert(hits.get() == 1, "one driver-side fetch per plan build")
+  }
+
+  test("http dim: rebuilding the plan refetches (the --refresh-dims cadence)") {
+    import spark.implicits._
+    val before = hits.get()
+    val events = Seq((1L, 1L)).toDF("event_id", "plan_id")
+    val d = DimJoin(keyCol = "plan_id", dimKeyCol = "plan_id",
+      path = s"$base/dims/plans.jsonl")
+    d(events).collect()
+    d(events).collect()
+    assert(hits.get() == before + 2, "each apply() refetches the document")
+  }
+
+  test("http dim: 404 fails loudly at plan build, not silently empty") {
+    import spark.implicits._
+    val events = Seq((1L, 1L)).toDF("event_id", "plan_id")
+    val e = intercept[IllegalArgumentException] {
+      DimJoin(keyCol = "plan_id", dimKeyCol = "plan_id",
+        path = s"$base/dims/missing.jsonl")(events)
+    }
+    assert(e.getMessage.contains("404"))
+  }
+}

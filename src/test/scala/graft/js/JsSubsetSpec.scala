@@ -98,10 +98,49 @@ class JsSubsetSpec extends AnyFunSuite {
   test("class boundary: super misuse fails compile with guidance") {
     assert(compileError("function process(e){ return super.x }")
       .contains("unsupported construct 'super'"))
-    assert(compileError("class A {}\nclass B extends A { m() { return super.x } }")
-      .contains("bare 'super.x' read"))
+    // super WRITES stay out of the subset (SuperMember is not a target)
+    assert(compileError("class A {}\nclass B extends A { m() { super.x = 1 } }")
+      .contains("invalid assignment target"))
     assert(compileError("class A {}\nclass B extends (A) {}")
       .contains("superclass NAME"))
+  }
+
+  test("bare super.x reads (r15): data slots, getter receiver, shadowing") {
+    val r = run(
+      """class Base {
+        |  get label() { return 'L:' + this.tag }   // getter sees DERIVED this
+        |  kind() { return 'base' }
+        |}
+        |Base.prototype.color = 'red';              // data slot on the proto
+        |class Mid extends Base {
+        |  kind() { return 'mid' }
+        |}
+        |class Kid extends Mid {
+        |  constructor() { super(); this.tag = 'kid'; this.color = 'blue' }
+        |  kind() { return 'kid' }
+        |  probe() {
+        |    return {
+        |      viaSuper: super.kind,                // Mid.prototype.kind (fn)
+        |      superKind: super.kind.call(this),    // 'mid', not 'kid'
+        |      dataSlot: super.color,               // proto data, not own 'blue'
+        |      viaGetter: super.label,              // getter runs with this=Kid
+        |      missing: super.nope                  // undefined, no throw
+        |    };
+        |  }
+        |}
+        |function process(e) {
+        |  var p = new Kid().probe();
+        |  return [{schema: 'iglu:g/t/jsonschema/1-0-0', data: {
+        |    sk: p.superKind, ds: p.dataSlot, vg: p.viaGetter,
+        |    miss: typeof p.missing, fn: typeof p.viaSuper
+        |  }}];
+        |}""".stripMargin)
+    assert(r.error.isEmpty, r.error)
+    assert(r.contextsJson.contains("\"sk\":\"mid\""))
+    assert(r.contextsJson.contains("\"ds\":\"red\""))
+    assert(r.contextsJson.contains("\"vg\":\"L:kid\""))
+    assert(r.contextsJson.contains("\"miss\":\"undefined\""))
+    assert(r.contextsJson.contains("\"fn\":\"function\""))
   }
 
   test("static accessors (r13): get/set on the constructor, data statics still shadow") {
