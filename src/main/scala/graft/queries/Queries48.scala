@@ -29,17 +29,43 @@ object Queries48 {
 
   val defs: Map[String, Q] = Map(
     "equi_depth_hist" -> { (sp, dir) =>
+      // r15: the old global row_number() over every lineitem row was one
+      // single-partition task over the row domain (×10 probe read 8.33×).
+      // Bucket depth and per-bucket min/max depend ONLY on how many rows of
+      // each distinct value land in each rank stripe, so rank arithmetic
+      // runs on the (value, count) HISTOGRAM: a two-level cumulative offset
+      // over the bounded cents domain (spearman_rho's chunk trick) gives
+      // each value its global rank run [voff+1, voff+cnt], and each run
+      // overlaps ≤ K+1 rank stripes — exploded and counted exactly. Output
+      // is bit-identical to the ranked spelling (intra-value order never
+      // mattered), with no row-proportional single task anywhere.
       val vals = Tables.lineitem(sp, dir)
         .select(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-          .cast("bigint").as("v"), col("l_orderkey"), col("l_linenumber"))
-      val w = Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
-      val ranked = vals
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over())
-        // bucket b covers ranks (b*n/k, (b+1)*n/k]
-        .withColumn("bucket", expr(s"(($HistK * (rk - 1)) div n)"))
-      ranked.groupBy("bucket")
-        .agg(count(lit(1)).as("depth"), min("v").as("lo_cents"), max("v").as("hi_cents"))
+          .cast("bigint").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val withVb = vals.withColumn("vb", expr("v div 8192"))
+      val bOff = withVb.groupBy("vb").agg(sum("cnt").as("bc"))
+        .withColumn("boff", coalesce(sum("bc").over(
+          Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("vb", "boff")
+      val voff = withVb
+        .withColumn("woff", coalesce(sum("cnt").over(
+          Window.partitionBy("vb").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(bOff, Seq("vb"))
+        .withColumn("voff", col("boff") + col("woff"))
+      val tot = vals.agg(sum("cnt").as("n"))
+      voff.crossJoin(broadcast(tot))
+        .withColumn("b_lo", expr(s"$HistK * voff div n"))
+        .withColumn("b_hi", expr(s"$HistK * (voff + cnt - 1) div n"))
+        .withColumn("bucket", explode(expr("sequence(b_lo, b_hi)")))
+        // rank stripe b covers zero-based ranks [ceil(bn/K), ceil((b+1)n/K))
+        .withColumn("r_lo", expr(s"greatest(voff, (bucket * n + ${HistK - 1}) div $HistK)"))
+        .withColumn("r_hi", expr(
+          s"least(voff + cnt - 1, ((bucket + 1) * n + ${HistK - 1}) div $HistK - 1)"))
+        .groupBy("bucket")
+        .agg(sum(col("r_hi") - col("r_lo") + 1).as("depth"),
+          min("v").as("lo_cents"), max("v").as("hi_cents"))
         .orderBy("bucket")
     },
 

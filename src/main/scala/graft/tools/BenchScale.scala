@@ -327,7 +327,40 @@ object BenchScale {
     "first_session_depth_effect", "entry_referer_depth",
     // r14 #14: the bot clock, the attribution rollup, and the full-chain
     // geo PSI composition
-    "bot_diurnal_pattern", "clickid_network_share", "geo_mix_drift")
+    "bot_diurnal_pattern", "clickid_network_share", "geo_mix_drift",
+    // r15 completeness sweep: every remaining key whose driver-bench time
+    // read >=0.5 s (the driver run is contention-inflated, so this is a
+    // SUPERSET of the clean->=0.5 s tail) now carries a x10 probe — the
+    // roster covers the whole non-trivial surface, not just one-per-family
+    "decontaminate", "join_size_estimate", "containment_dedup",
+    "funnel_step_latency", "dedup_bloom", "dedup_minhash_pairs",
+    "js_transform", "ivf_balance_audit", "campaign_roi", "ann_trained_recall",
+    "traffic_medium_share", "adapter_hubspot", "pair_diff_summary",
+    "adapter_mandrill", "decontaminate_embedding", "cross_category_baskets",
+    "table_profile", "funnel_counts", "ann_ivf_kmeans", "quality_agreement",
+    "incremental_minhash", "dupgraph_degree", "dup_locality", "basket_rules",
+    "cluster_keyterms", "pair_review_sample", "equi_depth_hist",
+    "ops_dashboard", "adapter_sendgrid", "anomaly_drilldown",
+    "embedding_threshold_sweep", "text_repetition", "adapter_pagerduty",
+    "audience_overlap_kmv", "corpus_entropy_rate", "ann_ivf_pq",
+    "kmv_size_tradeoff", "json_props_extract", "simhash_hamming_hist",
+    "ann_int8", "ann_ivf", "adapter_tp2", "collocation_lift",
+    "tfidf_topterms", "join_skew_audit", "basket_size_dist", "ann_recall",
+    "corpus_filter", "q7_volume", "cardinality_scoreboard",
+    "orders_open_aging", "attribution_last_touch", "q9_profit",
+    "bloom_fpr_audit", "q8_market_share", "q2_min_cost", "bounce_rate",
+    "priority_latency_grid", "path_conversion_rate", "dedup_embedding",
+    "enriched_json_out", "shard_size_balance", "bpe_pair_counts",
+    "nation_trade_balance", "api_lookup_live", "q4_priority",
+    "scd2_compression", "q5_local_supplier", "ordered_funnel",
+    "cross_shard_dup_rate", "inverted_index", "skipgram_counts",
+    // r15 new keys: the runtime-schema chain (scan-linear), the k-group
+    // rank/spread histograms (bounded value domains), the forecast-skill
+    // and R/S calendar rollups (flat), the candidate-bounded sketch audit,
+    // and the two-detector ensemble keeper (CC-backed, hash-only shuffles)
+    "schema_validate_dynamic", "kruskal_wallis", "brown_forsythe_spread",
+    "theil_u_forecast", "gini_by_segment", "minhash_estimate_error",
+    "dedup_ensemble_keep", "rescaled_range")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

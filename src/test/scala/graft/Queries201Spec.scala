@@ -1,0 +1,49 @@
+package graft
+
+/** Round-15 batch #2: k-group nonparametric / robust-spread screens. */
+class Queries201Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kruskal_wallis: five priority groups, rank mass conserved") {
+    val out = SparkEntry.queries("kruskal_wallis")(spark, dir).collect()
+    assert(out.length == 5)
+    val n = out.map(_.getAs[Long]("n")).sum
+    // doubled ranks over the pool sum to 2·(1+…+N) = N(N+1)
+    assert(out.map(_.getAs[Long]("r2")).sum == n * (n + 1),
+      "doubled midranks must conserve total rank mass")
+    out.foreach { r =>
+      val mr = r.getAs[Long]("meanrank_micro")
+      assert(mr > 0 && mr < n * 1000000L, "mean rank inside (0, N)")
+    }
+  }
+
+  test("brown_forsythe_spread: median inside the value range, deviations consistent") {
+    val out = SparkEntry.queries("brown_forsythe_spread")(spark, dir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val milli = r.getAs[Long]("meandev_milli")
+      assert(milli == r.getAs[Long]("sum_absdev") * 1000 / n)
+      assert(r.getAs[Long]("median_dollars") > 0)
+    }
+  }
+
+  test("theil_u_forecast: errors accumulate over the calendar, ratio rendered") {
+    val out = SparkEntry.queries("theil_u_forecast")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") > 100)
+    assert(r.getAs[Long]("sse_naive") > 0)
+    assert(r.getAs[Long]("u2_micro") ==
+      r.getAs[Long]("sse_drift") * 1000000L / r.getAs[Long]("sse_naive"))
+  }
+
+  test("gini_by_segment: per-segment concentration in [0, 1e6)") {
+    val out = SparkEntry.queries("gini_by_segment")(spark, dir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val g = r.getAs[Long]("gini_micro")
+      assert(g >= 0 && g < 1000000L, s"gini micro out of range: $g")
+    }
+  }
+}

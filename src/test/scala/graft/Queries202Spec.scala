@@ -1,0 +1,45 @@
+package graft
+
+/** Round-15 batch #3: ensemble dedup, sketch-accuracy audit, R/S screen. */
+class Queries202Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash_estimate_error: estimates quantized to quarters, error consistent") {
+    val out = SparkEntry.queries("minhash_estimate_error")(spark, dir).collect()
+    assert(out.nonEmpty, "banded candidates exist at sf0.001")
+    out.foreach { r =>
+      val est = r.getAs[Long]("est_permille")
+      assert(Set(0L, 250L, 500L, 750L, 1000L)(est), s"k=4 estimate grid: $est")
+      assert(r.getAs[Long]("err_permille") ==
+        math.abs(est - r.getAs[Long]("jac_permille")))
+      // a band collision hashes c0||c1 (or c2||c3) equal, so at least two
+      // equal components per collided band
+      assert(est >= 500L, s"banded candidates share a full band: est=$est")
+      assert(r.getAs[Long]("jac_permille") >= 0)
+    }
+  }
+
+  test("dedup_ensemble_keep: keeps a subset of docs, never more than minhash-only keep") {
+    val ensemble = SparkEntry.queries("dedup_ensemble_keep")(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val minhashOnly = SparkEntry.queries("dedup_minhash_keep")(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ensemble.nonEmpty)
+    // union of pair sets can only merge MORE docs into clusters
+    assert(ensemble.subsetOf(minhashOnly),
+      "ensemble keep must be at most the minhash-only keep set")
+    assert(ensemble.size < Tables.documents(spark, dir).count(),
+      "some documents deduped away")
+  }
+
+  test("rescaled_range: three block sizes, ratios positive and growing with b") {
+    val out = SparkEntry.queries("rescaled_range")(spark, dir).collect()
+    assert(out.length == 3)
+    val byBs = out.map(r => r.getAs[Long]("bs") -> r.getAs[Long]("avg_ratio_milli")).toMap
+    assert(byBs.keySet == Set(16L, 64L, 256L))
+    byBs.values.foreach(v => assert(v > 0))
+    out.foreach(r => assert(r.getAs[Long]("n_blocks") > 0))
+    // R/S grows with block size for any H > 0
+    assert(byBs(256L) > byBs(16L), s"rescaled range must grow with block size: $byBs")
+  }
+}
