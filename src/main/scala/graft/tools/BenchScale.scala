@@ -360,7 +360,11 @@ object BenchScale {
     // and the two-detector ensemble keeper (CC-backed, hash-only shuffles)
     "schema_validate_dynamic", "kruskal_wallis", "brown_forsythe_spread",
     "theil_u_forecast", "gini_by_segment", "minhash_estimate_error",
-    "dedup_ensemble_keep", "rescaled_range")
+    "dedup_ensemble_keep", "rescaled_range",
+    // r15 #4: bounded-histogram EMD / valley screens, the user-keyed
+    // eventually-follows pair join, and the raw-moment rollup (scan-linear)
+    "emd_price_regions", "bimodality_screen", "eventually_follows_matrix",
+    "moment_profile")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,48 @@
+package graft
+
+/** Round-15 batch #4: distribution distance / shape / process mining. */
+class Queries203Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("emd_price_regions: all region pairs, symmetric-free, EMD bounded by mass") {
+    val out = SparkEntry.queries("emd_price_regions")(spark, dir).collect()
+    assert(out.length == 10, "C(5,2) region pairs")
+    out.foreach { r =>
+      assert(r.getAs[String]("ra") < r.getAs[String]("rb"), "canonical pair order")
+      val emd = r.getAs[Long]("emd_pm_buckets")
+      // EMD between two <=1000pm masses over B buckets is < 1000*B
+      assert(emd >= 0 && emd < 1000L * 200, s"emd out of range: $emd")
+    }
+  }
+
+  test("bimodality_screen: one valley per segment, depth consistent") {
+    val out = SparkEntry.queries("bimodality_screen")(spark, dir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("depth_pm") >= 0, "flanked valley cannot be negative depth")
+      assert(r.getAs[Long]("n_orders") > 0)
+    }
+  }
+
+  test("eventually_follows_matrix: superset of directly-follows, view->purchase present") {
+    val out = SparkEntry.queries("eventually_follows_matrix")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val m = out.map(r => (r.getAs[String]("a"), r.getAs[String]("b")) -> r.getAs[Long]("n_users")).toMap
+    assert(m.keys.exists(_._1 == "view"), "views precede something")
+    m.values.foreach(v => assert(v > 0))
+    // eventually-follows counts distinct users; both directions can coexist
+    assert(m.contains(("view", "purchase")) || m.contains(("purchase", "view")))
+  }
+
+  test("moment_profile: five priorities, Cauchy-Schwarz holds on raw moments") {
+    val out = SparkEntry.queries("moment_profile")(spark, dir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (n, s1, s2) = (r.getAs[Long]("n"), r.getAs[Long]("s1"), r.getAs[Long]("s2"))
+      assert(n > 0 && s1 > 0)
+      // (sum k)^2 <= n * sum k^2
+      assert(BigInt(s1) * BigInt(s1) <= BigInt(n) * BigInt(s2), "Cauchy-Schwarz")
+      assert(r.getAs[Long]("s4") >= 0)
+    }
+  }
+}
