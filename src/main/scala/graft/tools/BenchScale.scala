@@ -364,7 +364,11 @@ object BenchScale {
     // r15 #4: bounded-histogram EMD / valley screens, the user-keyed
     // eventually-follows pair join, and the raw-moment rollup (scan-linear)
     "emd_price_regions", "bimodality_screen", "eventually_follows_matrix",
-    "moment_profile")
+    "moment_profile",
+    // r15 #5: candidate-bounded pair audits, the cached s-curve aggs, and
+    // the UA-cascade drift rollup (scan-linear)
+    "lsh_s_curve", "dedup_transitivity_audit", "license_dup_conflicts",
+    "ua_version_drift")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,56 @@
+package graft
+
+/** Round-15 batch #5: LSH planning, dup-graph structure, license/UA drift. */
+class Queries204Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("lsh_s_curve: three layouts, more bands capture more at fixed k") {
+    val out = SparkEntry.queries("lsh_s_curve")(spark, dir).collect()
+    assert(out.length == 3)
+    val byLayout = out.map(r => (r.getAs[Long]("rows_per_band"), r.getAs[Long]("bands")) ->
+      r.getAs[Long]("expected_captured_milli")).toMap
+    assert(byLayout.keySet == Set((1L, 4L), (2L, 2L), (4L, 1L)))
+    val n = out.head.getAs[Long]("n_pairs")
+    assert(out.forall(_.getAs[Long]("n_pairs") == n))
+    // for s in (0,1): 1-(1-s)^4 >= 1-(1-s^2)^2 >= s^4 pointwise
+    assert(byLayout((1L, 4L)) >= byLayout((2L, 2L)),
+      "more, shorter bands capture at least as much")
+    assert(byLayout((2L, 2L)) >= byLayout((4L, 1L)))
+    assert(byLayout((1L, 4L)) <= n * 1000, "capture probability is bounded by 1")
+  }
+
+  test("dedup_transitivity_audit: closure rate well-defined and bounded") {
+    val out = SparkEntry.queries("dedup_transitivity_audit")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_wedges") > 0, "the verified pair graph has wedges")
+    assert(r.getAs[Long]("n_closed") <= r.getAs[Long]("n_wedges"))
+    val pm = r.getAs[Long]("closure_pm")
+    assert(pm >= 0 && pm <= 1000)
+  }
+
+  test("license_dup_conflicts: canonical pair labels, counts positive") {
+    val out = SparkEntry.queries("license_dup_conflicts")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("lic_lo") <= r.getAs[String]("lic_hi"))
+      assert(r.getAs[Boolean]("conflict") ==
+        (r.getAs[String]("lic_lo") != r.getAs[String]("lic_hi")))
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
+  test("ua_version_drift: shares near 1000pm per half, majors sane") {
+    val out = SparkEntry.queries("ua_version_drift")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val p = out.map(_.getAs[Long]("p_pm")).sum
+    val q = out.map(_.getAs[Long]("q_pm")).sum
+    assert(math.abs(p - 1000) <= out.length, s"first-half mass $p")
+    assert(math.abs(q - 1000) <= out.length, s"second-half mass $q")
+    out.foreach { r =>
+      assert(r.getAs[Long]("delta_pm") ==
+        math.abs(r.getAs[Long]("p_pm") - r.getAs[Long]("q_pm")))
+      assert(r.getAs[Long]("major") >= -1)
+    }
+  }
+}
