@@ -142,7 +142,7 @@ object Queries204 {
   /** Verified-pair relation (id_a, id_b, s = jac permille ≥ 200) — the
     * DuckDB spelling of ngram_jaccard's output, shared by the three
     * pair-reading oracles here. */
-  private val JacPairsCte =
+  private[queries] val JacPairsCte =
     s"""${LlmQueries.JaccardSharedCteSql},
        |jp AS (
        |  SELECT sh.id_a, sh.id_b,

@@ -368,7 +368,11 @@ object BenchScale {
     // r15 #5: candidate-bounded pair audits, the cached s-curve aggs, and
     // the UA-cascade drift rollup (scan-linear)
     "lsh_s_curve", "dedup_transitivity_audit", "license_dup_conflicts",
-    "ua_version_drift")
+    "ua_version_drift",
+    // r15 #6: monthly moment rollup, customer-keyed first/last windows,
+    // the NFC audit (scan-linear), and the CC-backed cluster calibration
+    "dispersion_trend", "priority_switching", "normalization_impact",
+    "cluster_candidate_precision")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))
