@@ -372,7 +372,11 @@ object BenchScale {
     // r15 #6: monthly moment rollup, customer-keyed first/last windows,
     // the NFC audit (scan-linear), and the CC-backed cluster calibration
     "dispersion_trend", "priority_switching", "normalization_impact",
-    "cluster_candidate_precision")
+    "cluster_candidate_precision",
+    // r15 #7: query-bounded fusion, the session-method audit (one window
+    // pass + distinct), semi/anti joins, supplier lag-day histograms
+    "rrf_fusion", "sessionization_method_compare", "semi_anti_composition",
+    "lead_time_quantiles")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,50 @@
+package graft
+
+/** Round-15 batch #7: RRF fusion, methodology audits, supplier quantiles. */
+class Queries206Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("rrf_fusion: top-3 per query, scores bounded by the double-hit maximum") {
+    val out = SparkEntry.queries("rrf_fusion")(spark, dir).collect()
+    assert(out.length == 15, "5 queries x fused top-3")
+    out.groupBy(_.getAs[Number]("qid").longValue).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Number]("rk_fused").longValue).sorted.toSeq == Seq(1L, 2L, 3L))
+      val scores = rows.sortBy(_.getAs[Number]("rk_fused").longValue).map(_.getAs[Long]("rrf_micro"))
+      assert(scores.sliding(2).forall(p => p.head >= p.last), "fused order by score")
+    }
+    // max possible: rank 1 in BOTH rankers = 2 * 1e6/61
+    assert(out.forall(_.getAs[Long]("rrf_micro") <= 2 * (1000000 / 61)))
+  }
+
+  test("sessionization_method_compare: both methods, gap sessions no fewer events") {
+    val out = SparkEntry.queries("sessionization_method_compare")(spark, dir).collect()
+    assert(out.length == 2)
+    val byM = out.map(r => r.getAs[String]("method") ->
+      (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(byM.keySet == Set("gap_30m", "fixed_30m"))
+    assert(byM("gap_30m")._2 == byM("fixed_30m")._2, "same event universe")
+    assert(byM.values.forall(_._1 > 0))
+  }
+
+  test("semi_anti_composition: counts bounded by urgent-order customers") {
+    val out = SparkEntry.queries("semi_anti_composition")(spark, dir).collect()
+    val urgentCust = Tables.orders(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum <= urgentCust)
+    out.foreach(r => assert(r.getAs[Long]("n_customers") > 0))
+  }
+
+  // the synthetic l_shipdate is not anchored to o_orderdate, so "lead
+  // times" span the whole calendar - the quantile machinery is what's
+  // under test, not logistics realism
+  test("lead_time_quantiles: one row per active supplier, p50 <= p90") {
+    val out = SparkEntry.queries("lead_time_quantiles")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"))
+      assert(r.getAs[Long]("n_lines") > 0)
+      assert(r.getAs[Long]("p90_days") >= 0 && r.getAs[Long]("p90_days") < 3000)
+    }
+  }
+}
