@@ -376,7 +376,11 @@ object BenchScale {
     // r15 #7: query-bounded fusion, the session-method audit (one window
     // pass + distinct), semi/anti joins, supplier lag-day histograms
     "rrf_fusion", "sessionization_method_compare", "semi_anti_composition",
-    "lead_time_quantiles")
+    "lead_time_quantiles",
+    // r15 #8: calendar/degree/decile histograms (bounded domains) and the
+    // sketch first-occurrence rollup (scan-linear)
+    "intramonth_uniformity", "tail_dependence_screen", "corpus_novelty_curve",
+    "dupgraph_degree_gini")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,45 @@
+package graft
+
+/** Round-15 batch #8: uniformity, tail dependence, novelty curve, gini. */
+class Queries207Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("intramonth_uniformity: one row per month, KS distance in [0, 1000]") {
+    val out = SparkEntry.queries("intramonth_uniformity")(spark, dir).collect()
+    assert(out.length > 50)
+    out.foreach { r =>
+      val d = r.getAs[Long]("d_permille")
+      assert(d >= 0 && d <= 1000, s"KS to uniform bounded: $d")
+      assert(r.getAs[Long]("n_orders") > 0)
+    }
+  }
+
+  test("tail_dependence_screen: decile cuts hold ~10% tails, lift positive") {
+    val out = SparkEntry.queries("tail_dependence_screen")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val n = r.getAs[Long]("n")
+    assert(r.getAs[Long]("n_top_v") * 10 >= n, "value tail holds at least a decile")
+    assert(r.getAs[Long]("n_both") <= math.min(r.getAs[Long]("n_top_v"), r.getAs[Long]("n_top_w")))
+    assert(r.getAs[Long]("lift_milli") >= 0)
+  }
+
+  test("corpus_novelty_curve: five prefixes, novelty non-negative and first prefix highest") {
+    val out = SparkEntry.queries("corpus_novelty_curve")(spark, dir).collect()
+    assert(out.length == 5)
+    val byP = out.map(r => r.getAs[Long]("prefix") -> r.getAs[Long]("novelty_pm")).toMap
+    assert(byP.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // the first slice introduces every sketch it contains; later slices can
+    // only repeat or add — novelty is maximal at prefix 0
+    assert(byP(0L) >= byP(4L), s"novelty decays toward the tail: $byP")
+    assert(out.map(_.getAs[Long]("new_fps")).sum <= 65536, "16-bit sketch space")
+  }
+
+  test("dupgraph_degree_gini: concentration within [0, 1e6)") {
+    val out = SparkEntry.queries("dupgraph_degree_gini")(spark, dir).collect()
+    assert(out.length == 1)
+    val g = out.head.getAs[Long]("gini_micro")
+    assert(g >= 0 && g < 1000000L, s"gini micro: $g")
+    assert(out.head.getAs[Long]("n") > 0, "the candidate graph has nodes")
+  }
+}
