@@ -88,14 +88,14 @@ object Queries16 {
   // ---- text_script constants --------------------------------------------
   // planted suffixes: the ASCII synth corpus otherwise never exercises the
   // non-Latin branches (same pattern as text_normalize's planted ligatures)
-  private val ScriptSuffixes: Seq[(Int, String)] = Seq(
+  private[queries] val ScriptSuffixes: Seq[(Int, String)] = Seq(
     1 -> " привет мир земля", // Cyrillic
     2 -> " 你好世界欢迎光临", // Han
     3 -> " مرحبا بالعالم اهلا", // Arabic
     4 -> " γειά σου κόσμε καλημέρα") // Greek
 
   /** (name, lo, hi) codepoint ranges checked per char; Latin = A-Z a-z. */
-  private val ScriptRanges: Seq[(String, Int, Int)] = Seq(
+  private[queries] val ScriptRanges: Seq[(String, Int, Int)] = Seq(
     ("n_cyrillic", 0x0400, 0x04FF),
     ("n_han", 0x4E00, 0x9FFF),
     ("n_arabic", 0x0600, 0x06FF),

@@ -380,7 +380,11 @@ object BenchScale {
     // r15 #8: calendar/degree/decile histograms (bounded domains) and the
     // sketch first-occurrence rollup (scan-linear)
     "intramonth_uniformity", "tail_dependence_screen", "corpus_novelty_curve",
-    "dupgraph_degree_gini")
+    "dupgraph_degree_gini",
+    // r15 #9: the three-pair-set recall eval, bounded-spread/CLV rollups,
+    // and the per-char script presence scan
+    "detector_recall_on_labels", "discount_spread_hist", "pareto_nbd_inputs",
+    "script_mixing_audit")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

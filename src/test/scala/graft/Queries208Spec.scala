@@ -1,0 +1,50 @@
+package graft
+
+/** Round-15 batch #9: detector eval, pricing dispersion, CLV inputs, scripts. */
+class Queries208Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("detector_recall_on_labels: both methods, hits bounded by labels and candidates") {
+    val out = SparkEntry.queries("detector_recall_on_labels")(spark, dir).collect()
+    assert(out.map(_.getAs[String]("method")).sorted.toSeq == Seq("minhash", "simhash"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_labels"))
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("recall_pm") <= 1000)
+      assert(r.getAs[Long]("n_labels") > 0)
+    }
+  }
+
+  test("discount_spread_hist: bounded spread domain, parts conserved") {
+    val out = SparkEntry.queries("discount_spread_hist")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val totalParts = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_parts")).sum == totalParts)
+    out.foreach(r => assert(r.getAs[Long]("spread_permille") >= 0 &&
+      r.getAs[Long]("spread_permille") <= 1000))
+  }
+
+  test("pareto_nbd_inputs: recency never exceeds age, customers conserved") {
+    val out = SparkEntry.queries("pareto_nbd_inputs")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nCust = Tables.orders(spark, dir).select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == nCust)
+    out.foreach { r =>
+      assert(r.getAs[Long]("sum_tx_days") <= r.getAs[Long]("sum_t_days"),
+        "t_x <= T per customer, so also in sum")
+      if (r.getAs[Long]("x") == 0)
+        assert(r.getAs[Long]("sum_tx_days") == 0, "single-order customers have zero recency span")
+    }
+  }
+
+  test("script_mixing_audit: planted suffixes produce mixing, bounded by doc count") {
+    val out = SparkEntry.queries("script_mixing_audit")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("mixed_docs")).sum > 0,
+      "odd planted ids keep Latin base + non-Latin suffix")
+    out.foreach { r =>
+      assert(r.getAs[Long]("mixed_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_scripts") <= 5)
+    }
+  }
+}
