@@ -384,7 +384,10 @@ object BenchScale {
     // r15 #9: the three-pair-set recall eval, bounded-spread/CLV rollups,
     // and the per-char script presence scan
     "detector_recall_on_labels", "discount_spread_hist", "pareto_nbd_inputs",
-    "script_mixing_audit")
+    "script_mixing_audit",
+    // r15 #10: the 64-way component rollup, the quarterly HHI, and the
+    // CC-cluster char-span rollup
+    "label_centroid_alignment", "hhi_trend", "cluster_size_span")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

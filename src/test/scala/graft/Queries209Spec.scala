@@ -1,0 +1,39 @@
+package graft
+
+/** Round-15 batch #10: label alignment, HHI trend, cluster size span. */
+class Queries209Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("label_centroid_alignment: one row per label, cosine within [-1e6, 1e6]") {
+    val out = SparkEntry.queries("label_centroid_alignment")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nVecs = out.map(_.getAs[Long]("n_vecs")).sum
+    assert(nVecs == Tables.embeddings(spark, dir).count(), "every vector counted once")
+    out.foreach { r =>
+      val c = r.getAs[Long]("cos_e6")
+      assert(c >= -1000000L && c <= 1000000L, s"cosine bounded: $c")
+    }
+  }
+
+  test("hhi_trend: quarterly rows, HHI within (0, 1e6]") {
+    val out = SparkEntry.queries("hhi_trend")(spark, dir).collect()
+    assert(out.length > 20, "the calendar spans years of quarters")
+    out.foreach { r =>
+      val h = r.getAs[Long]("hhi_ppm")
+      assert(h > 0 && h <= 1000000L, s"HHI in ppm: $h")
+      assert(r.getAs[Long]("n_brands") > 0)
+      // HHI >= 1e6 / n_brands for per-mille shares summing to ~1000
+      assert(h * r.getAs[Long]("n_brands") >= 900000L, "HHI floored by 1/n")
+    }
+  }
+
+  test("cluster_size_span: spans well-formed, two-node clusters minimum") {
+    val out = SparkEntry.queries("cluster_size_span")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") >= 2)
+      assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+      assert(r.getAs[Long]("span_milli") >= 1000, "max/min ratio is at least 1")
+    }
+  }
+}
