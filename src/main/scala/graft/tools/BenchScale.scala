@@ -387,7 +387,9 @@ object BenchScale {
     "script_mixing_audit",
     // r15 #10: the 64-way component rollup, the quarterly HHI, and the
     // CC-cluster char-span rollup
-    "label_centroid_alignment", "hhi_trend", "cluster_size_span")
+    "label_centroid_alignment", "hhi_trend", "cluster_size_span",
+    // r15 #11: the vocab-bounded source-pair overlap
+    "vocab_overlap_matrix")
 
   private def scaleBy(df: DataFrame, key: String, copies: Int, stride: Long): DataFrame =
     (0 until copies).map(i => df.withColumn(key, col(key) + lit(i * stride)))

@@ -1,0 +1,18 @@
+package graft
+
+/** Round-15 batch #11: corpus-composition structure. */
+class Queries210Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("vocab_overlap_matrix: all source pairs, Jaccard well-formed") {
+    val out = SparkEntry.queries("vocab_overlap_matrix")(spark, dir).collect()
+    val nSources = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(out.length == nSources * (nSources - 1) / 2, "C(sources, 2) pairs")
+    out.foreach { r =>
+      assert(r.getAs[String]("sa") < r.getAs[String]("sb"))
+      assert(r.getAs[Long]("shared") <= math.min(r.getAs[Long]("na"), r.getAs[Long]("nb")))
+      val j = r.getAs[Long]("jac_pm")
+      assert(j >= 0 && j <= 1000)
+    }
+  }
+}
