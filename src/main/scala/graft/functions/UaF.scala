@@ -262,20 +262,52 @@ object UaF {
 
   // ---- Column cascades ---------------------------------------------------
 
-  def isBot(ua: Column): Column = lower(ua).rlike(BotRegex)
+  /** Fused bot check ([[graft.plans.BotMatchExpression]] →
+    * [[isBotString]]); `isBotColumns` is the specification twin the
+    * differential spec pins it against. Null semantics match rlike:
+    * null in, null out. */
+  def isBot(ua: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.BotMatchExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ua)))
+
+  /** The Column cascade the kernel replaced — kept as the readable
+    * specification twin of [[isBotString]]. */
+  def isBotColumns(ua: Column): Column = lower(ua).rlike(BotRegex)
 
   private def hasAny(ua: Column, tokens: Seq[String]): Column =
     tokens.map(t => ua.contains(t)).reduce(_ || _)
 
+  /** Fused first-match family kernel ([[graft.plans.BrowserFamilyExpression]]
+    * → [[browserFamilyString]]); the coalesce reproduces the cascade's
+    * null-UA → "Unknown" fall-through. */
   def browserFamily(ua: Column): Column =
-    BrowserRules.foldLeft(when(isBot(ua), lit("Robot"))) { case (acc, r) =>
+    coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.BrowserFamilyExpression(
+          org.apache.spark.sql.graft.ColumnBridge.expression(ua))),
+      lit("Unknown"))
+
+  /** The Column cascade the kernel replaced — kept as the readable
+    * specification twin; the SQL oracle emitter mirrors THIS shape and the
+    * differential property spec pins kernel == twin. */
+  def browserFamilyColumns(ua: Column): Column =
+    BrowserRules.foldLeft(when(isBotColumns(ua), lit("Robot"))) { case (acc, r) =>
       acc.when(hasAny(ua, r.tokens), lit(r.family))
     }.otherwise(lit("Unknown"))
 
   /** Version string of the detected browser family (incl. legacy
-    * `Opera 7.02`, `MSIE 9.0` and Trident `rv:11.0` forms); the version
-    * cascade shares the family cascade's rule order. */
+    * `Opera 7.02`, `MSIE 9.0` and Trident `rv:11.0` forms); fused kernel
+    * ([[graft.plans.BrowserVersionExpression]] → [[browserVersionString]]),
+    * sharing the family cascade's rule order. */
   def browserVersion(ua: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.BrowserVersionExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ua)))
+
+  /** The Column cascade the kernel replaced — specification twin of
+    * [[browserVersionString]]. */
+  def browserVersionColumns(ua: Column): Column =
     BrowserRules.foldLeft(when(lit(false), lit(""))) { case (acc, r) =>
       if (r.verRegex.isEmpty) acc.when(hasAny(ua, r.tokens), lit(null))
       else acc.when(hasAny(ua, r.tokens), nullif(regexp_extract(ua, r.verRegex, 1), lit("")))
@@ -390,6 +422,52 @@ object UaF {
       i += 1
     }
     false
+  }
+
+  // ---- fused browser family / version kernels (r15) -----------------------
+  // Called from graft.plans.BrowserFamilyExpression /
+  // BrowserVersionExpression; per-row twins of browserFamilyColumns /
+  // browserVersionColumns. Token tables and version patterns are built once
+  // per JVM from the same BrowserRules the Column cascade and the DuckDB
+  // SQL emitter compile from.
+  private val BrowserTokenArrs: Array[Array[String]] =
+    BrowserRules.map(_.tokens.toArray).toArray
+  private val BrowserFamilies: Array[String] = BrowserRules.map(_.family).toArray
+  private val BrowserVerPatterns: Array[java.util.regex.Pattern] =
+    BrowserRules.map(r =>
+      if (r.verRegex.isEmpty) null else java.util.regex.Pattern.compile(r.verRegex)).toArray
+
+  /** Per-row twin of [[browserFamilyColumns]] for non-null UAs: "Robot" for
+    * bot UAs, first matching rule's family, else "Unknown". (The Column
+    * wrapper maps null UA → "Unknown" via coalesce.) */
+  def browserFamilyString(ua: String): String = {
+    if (isBotString(ua)) return "Robot"
+    var i = 0
+    while (i < BrowserTokenArrs.length) {
+      if (containsAny(ua, BrowserTokenArrs(i))) return BrowserFamilies(i)
+      i += 1
+    }
+    "Unknown"
+  }
+
+  /** Per-row twin of [[browserVersionColumns]]: group 1 of the FIRST
+    * matching rule's version regex; null when that rule has no version
+    * pattern, the pattern finds no match (regexp_extract's '' → nullif),
+    * or no rule matches. */
+  def browserVersionString(ua: String): String = {
+    var i = 0
+    while (i < BrowserTokenArrs.length) {
+      if (containsAny(ua, BrowserTokenArrs(i))) {
+        val p = BrowserVerPatterns(i)
+        if (p == null) return null
+        val m = p.matcher(ua)
+        if (!m.find()) return null
+        val g = m.group(1)
+        return if (g == null || g.isEmpty) null else g
+      }
+      i += 1
+    }
+    null
   }
 
   /** Per-row twin of [[deviceClassColumns]]: identical cascade, indexOf

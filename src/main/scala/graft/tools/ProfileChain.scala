@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.UaF
+import graft.queries.Synth
+
+/** Dev-only attribution of the enrichment chain's per-stage cost: times a
+  * noop-sink materialization of the synth-raw event table with one derived
+  * column at a time (plus the full chain), min-of-reps. */
+object ProfileChain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name%-28s ${ts.min}%6.2f s (min of $reps)")
+    }
+
+    val raw = Synth.withRaw(Tables.events(spark, sfDir))
+    if (args.isEmpty || args.contains("ua")) {
+      time("synth_raw_only")(raw.select(col("event_id"), col("ua")))
+      time("ua_isbot")(raw.select(col("event_id"), UaF.isBot(col("ua")).as("x")))
+      time("ua_browser_family")(raw.select(col("event_id"), UaF.browserFamily(col("ua")).as("x")))
+      time("ua_browser_version")(raw.select(col("event_id"), UaF.browserVersion(col("ua")).as("x")))
+      time("ua_device_class")(raw.select(col("event_id"), UaF.deviceClass(col("ua")).as("x")))
+      time("ua_os_name")(raw.select(col("event_id"), UaF.osName(col("ua")).as("x")))
+    }
+    if (args.isEmpty || args.exists(_.startsWith("stages"))) {
+      val from = args.collectFirst { case a if a.startsWith("stages=") => a.drop(7).toInt }.getOrElse(0)
+      time("raw_full_width")(raw)
+      val stages = graft.queries.PipelineQuery.pipeline.enrichments
+      // cumulative prefixes: stage k's net cost = prefix_k - prefix_(k-1)
+      // (later stages read columns earlier ones derive, so they cannot be
+      // applied to the raw table directly)
+      (from until stages.length).foreach { k =>
+        val df = stages.take(k + 1).foldLeft(raw) { (d, st) => st(d) }
+        time(f"prefix_$k%02d_${stages(k).getClass.getSimpleName}")(df)
+      }
+      time("full_chain")(graft.queries.PipelineQuery.run(spark, sfDir))
+    }
+    spark.stop()
+  }
+}

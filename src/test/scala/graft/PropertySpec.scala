@@ -125,6 +125,46 @@ class PropertySpec extends SparkSpec {
     out.foreach(r => assert(r.getString(1) == r.getString(2), s"deviceClass(${r.getString(0)})"))
   }
 
+  test("browser family/version/isBot property: fused kernels == Column twins") {
+    import spark.implicits._
+    import graft.functions.UaF
+    import graft.queries.Synth
+    // every synth + universe UA, plus token soups that exercise rule order
+    // (webview tokens riding on Chrome/Safari UAs, gecko forks with
+    // Firefox/, bot tokens, version-bearing and version-less rules)
+    val token = Gen.oneOf("FBAV/412.0", "Instagram 300.1", "Edg/120.0.1",
+      "OPR/105.0", "Opera Mini/7.6", "Opera 7.02", "PaleMoon/33.0",
+      "Firefox/121.0", "FxiOS/121.0", "SamsungBrowser/23.0", "UCBrowser/13.4",
+      "YaBrowser/23.11", "Chrome/120.0.0.0", "CriOS/120.0", "Chromium/120.0",
+      "Version/17.1", "Safari/605.1.15", "MSIE 9.0", "Trident/7.0", "rv:11.0",
+      "musical_ly", "TenFourFox/", "NAVER(inapp", "360SE", "LBBROWSER",
+      "Googlebot/2.1", "curl/8.4.0", "python-requests/2.31", "bot", "gecko",
+      "Silk/94.2", "Ecosia android@110.0", "Links (2.28", "w3m/0.5.3",
+      "BlackBerry9900", "BB10; Touch", "Mobile", "Android 14")
+    val soup = Gen.listOf(token).map(_.mkString("Mozilla/5.0 (", "; ", ") test"))
+    val cases = (Synth.UAs ++ sample(soup, 300)).distinct // Synth.UAs embeds UaUniverse.Extra
+    val out = cases.toDF("ua")
+      .select(col("ua"),
+        UaF.browserFamily(col("ua")).as("fam_fused"),
+        UaF.browserFamilyColumns(col("ua")).as("fam_spec"),
+        UaF.browserVersion(col("ua")).as("ver_fused"),
+        UaF.browserVersionColumns(col("ua")).as("ver_spec"),
+        UaF.isBot(col("ua")).as("bot_fused"),
+        UaF.isBotColumns(col("ua")).as("bot_spec"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"browserFamily(${r.getString(0)})")
+      assert(r.getString(3) == r.getString(4) || (r.isNullAt(3) && r.isNullAt(4)),
+        s"browserVersion(${r.getString(0)}): ${r.get(3)} != ${r.get(4)}")
+      assert(r.getBoolean(5) == r.getBoolean(6), s"isBot(${r.getString(0)})")
+    }
+    // null-UA fall-throughs the Column cascade defines
+    val nullRow = Seq[Option[String]](None).toDF("ua")
+      .select(UaF.browserFamily(col("ua")), UaF.browserVersion(col("ua")), UaF.isBot(col("ua")))
+      .collect().head
+    assert(nullRow.getString(0) == "Unknown" && nullRow.isNullAt(1) && nullRow.isNullAt(2))
+  }
+
   test("canonicalizeUrl property: idempotent, tracking-free, port-normalized") {
     import spark.implicits._
     import graft.functions.UrlF
