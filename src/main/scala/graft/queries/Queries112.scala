@@ -86,11 +86,23 @@ object Queries112 {
     "int8_quant_error" -> { (sp, dir) =>
       val e = Tables.embeddings(sp, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      val scale = lit(127.0) / array_max(transform(col("v"), x => abs(x)))
-      val qz = e.withColumn("qv", transform(col("v"), x => round(x * scale).cast("long")))
-        .withColumn("qn", sqrt(idot(col("qv"), col("qv")).cast("double")))
-        .withColumn("fn", SimF.norm(col("v")))
-        .filter(col("qn") > 0.0 && col("fn") > 0.0)
+      // r15: `scale` as an inline expression re-evaluated array_max per
+      // ELEMENT inside the transform lambda (the interpreted-HOF trap —
+      // O(d²) per row), and the a/b self-join recomputed the whole
+      // quantization twice. Fix: a named mx column kept in the cached
+      // schema — referenced twice (qv's lambda + the projection output),
+      // so CollapseProject cannot inline the array_max back into the
+      // lambda — plus a CacheScope pin shared by both join sides. The
+      // arithmetic shape x * (127.0 / mx) is kept bit-identical.
+      val qz = graft.util.CacheScope.track(
+        e.withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+          .withColumn("qv",
+            transform(col("v"), x => round(x * (lit(127.0) / col("mx"))).cast("long")))
+          .withColumn("qn", sqrt(idot(col("qv"), col("qv")).cast("double")))
+          .withColumn("fn", SimF.norm(col("v")))
+          .filter(col("qn") > 0.0 && col("fn") > 0.0)
+          .select(col("vec_id"), col("mx"), col("v"), col("qv"), col("qn"), col("fn")))
+      qz.count()
       val a = qz.select(col("vec_id"), col("v").as("va"), col("qv").as("qva"),
         col("qn").as("qna"), col("fn").as("fna"))
       val b = qz.select((col("vec_id") - 1).as("vec_id"), col("v").as("vb"),
