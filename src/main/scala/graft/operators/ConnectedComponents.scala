@@ -60,6 +60,21 @@ object ConnectedComponents {
     out
   }
 
+  /** Edge count at or below which the component labeling runs as a driver
+    * union-find instead of the distributed round loop — the same size-gated
+    * strategy switch Spark itself applies to joins (broadcast below
+    * `autoBroadcastJoinThreshold`). A near-dup graph after banded candidate
+    * generation is routinely TINY relative to the corpus (sf0.1: 256 edges
+    * survive the Jaccard gate), yet every distributed round costs a full
+    * checkpoint + convergence-count job pair; below the threshold the
+    * whole labeling is one bounded collect (≤ threshold rows of two longs),
+    * a linear union-find, and a local relation back — bit-identical labels
+    * (min reachable id) by construction. Above it, the loop is unchanged.
+    * Tunable per session via `spark.graft.cc.localEdgeThreshold`
+    * (set 0 to force the distributed path). */
+  val LocalEdgeThresholdConf = "spark.graft.cc.localEdgeThreshold"
+  val LocalEdgeThresholdDefault = 100000L
+
   /** Label propagation over a caller-owned, already-MATERIALIZED symmetric
     * edge cache (both directions present) — lets a composition (e.g. the
     * centrality keeper: components + PageRank over the same graph) share
@@ -67,6 +82,64 @@ object ConnectedComponents {
     * the pair set. The caller keeps ownership: this method never unpersists
     * `sym`. */
   def runSymmetrized(sym: DataFrame, maxIter: Int = 20): DataFrame = {
+    val threshold = sym.sparkSession.conf
+      .getOption(LocalEdgeThresholdConf).map(_.toLong)
+      .getOrElse(LocalEdgeThresholdDefault)
+    // sym is caller-materialized, so this count reads cached blocks; the
+    // gate itself costs one cheap action (exactly like a size estimate)
+    if (threshold > 0 && sym.count() <= 2 * threshold) return runLocal(sym)
+    runDistributed(sym, maxIter)
+  }
+
+  /** Bounded-size fast path: collect the (already ≤ 2·threshold-row)
+    * symmetric edge list, union-find with min-id representatives, return a
+    * LocalRelation of (id, comp). Identical output to the fixpoint loop:
+    * both assign every node the minimum node id reachable from it. */
+  private def runLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    val rows = sym.select(col("src"), col("dst")).collect()
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def nodeOf(v: Long): Int = {
+      val got = idx.get(java.lang.Long.valueOf(v))
+      if (got != null) got.intValue()
+      else {
+        val i = ids.length
+        idx.put(java.lang.Long.valueOf(v), java.lang.Integer.valueOf(i))
+        ids += v
+        i
+      }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x))
+        x = parent(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val a = nodeOf(r.getLong(0)); val b = nodeOf(r.getLong(1))
+      while (parent.length < ids.length) parent += parent.length
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    while (parent.length < ids.length) parent += parent.length
+    // min node id per root, then node -> that min
+    val minOfRoot = new java.util.HashMap[java.lang.Integer, java.lang.Long]()
+    ids.indices.foreach { i =>
+      val r = java.lang.Integer.valueOf(find(i))
+      val cur = minOfRoot.get(r)
+      if (cur == null || ids(i) < cur.longValue()) minOfRoot.put(r, java.lang.Long.valueOf(ids(i)))
+    }
+    val out = ids.indices.map(i =>
+      (ids(i), minOfRoot.get(java.lang.Integer.valueOf(find(i))).longValue()))
+    import spark.implicits._
+    out.toDF("id", "comp")
+  }
+
+  private def runDistributed(sym: DataFrame, maxIter: Int): DataFrame = {
     var cache = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)

@@ -51,7 +51,11 @@ object Queries139 {
             round(lit(1000.0) * col("shared") / (col("n_a") + col("n_b") - col("shared"))).cast("bigint"))
           .select(col("id_a"), col("id_b"), col("jac_permille")))
       pairs.count()
-      val rows = Gates.map { t =>
+      // the four gate-filtered CC runs are independent given the shared
+      // pair cache — overlap them (guide §2.6) so one run's iterative
+      // stage tails back-fill the cores another frees; results are
+      // per-gate and order-preserved, so output is unchanged
+      val rows = graft.util.Par.run(Gates.map { t => () =>
         val edges = pairs.filter(col("jac_permille") >= t)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val labels = graft.operators.ConnectedComponents.run(edges)
@@ -63,7 +67,7 @@ object Queries139 {
           col("n_nodes"), col("giant"),
           expr("CASE WHEN n_nodes = 0 THEN 0 ELSE giant * 1000 div n_nodes END")
             .as("giant_milli"))
-      }
+      })
       rows.reduce(_ unionAll _).orderBy("gate_permille")
     },
 

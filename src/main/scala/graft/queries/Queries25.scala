@@ -91,8 +91,22 @@ object Queries25 {
 
   /** PageRank power iterations over a caller-cached symmetric edge list —
     * dedup_keep_central shares ONE edge cache between the component labels
-    * (ConnectedComponents.runSymmetrized) and these ranks. */
-  private[queries] def pagerankFromSym(edges: DataFrame): DataFrame = {
+    * (ConnectedComponents.runSymmetrized) and these ranks.
+    *
+    * r15: below the same size gate ConnectedComponents uses
+    * (`spark.graft.cc.localEdgeThreshold`), the five iterations run as a
+    * driver loop over the collected edge list instead of five chained
+    * join+aggregate rounds (10 exchanges) — the rank arithmetic is ALL
+    * integer (`r div deg`, `150000 + (850·s) div 1000`) and integer sums
+    * are order-independent, so the labels are bit-identical; a
+    * differential spec pins local == distributed. Above the gate the
+    * distributed loop is unchanged. */
+  private[graft] def pagerankFromSym(edges: DataFrame): DataFrame = {
+    import graft.operators.ConnectedComponents.{LocalEdgeThresholdConf, LocalEdgeThresholdDefault}
+    val threshold = edges.sparkSession.conf
+      .getOption(LocalEdgeThresholdConf).map(_.toLong)
+      .getOrElse(LocalEdgeThresholdDefault)
+    if (threshold > 0 && edges.count() <= 2 * threshold) return pagerankLocal(edges)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = graft.util.CacheScope.track(edges.join(deg, Seq("src")))
     var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
@@ -105,6 +119,43 @@ object Queries25 {
         .select(col("dst").as("id"), expr("150000 + (850 * s) div 1000").as("r"))
     }
     rank.select(col("id").as("doc_id"), col("r").as("rank_micro"))
+  }
+
+  /** Bounded-size twin of the distributed loop above: collect the
+    * symmetric edges, run the same five integer-arithmetic iterations in
+    * the driver, return a LocalRelation of (doc_id, rank_micro). */
+  private def pagerankLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    rows.foreach { case (s, _) =>
+      val cur = deg.get(java.lang.Long.valueOf(s))
+      deg.put(java.lang.Long.valueOf(s),
+        java.lang.Long.valueOf(if (cur == null) 1L else cur.longValue() + 1L))
+    }
+    var rank = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    deg.keySet().forEach(k => rank.put(k, java.lang.Long.valueOf(1000000L)))
+    for (_ <- 1 to PrIters) {
+      val s = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      rows.foreach { case (src, dst) =>
+        val r = rank.get(java.lang.Long.valueOf(src))
+        if (r != null) { // mirrors the inner join on rank
+          val contrib = r.longValue() / deg.get(java.lang.Long.valueOf(src)).longValue()
+          val cur = s.get(java.lang.Long.valueOf(dst))
+          s.put(java.lang.Long.valueOf(dst),
+            java.lang.Long.valueOf(if (cur == null) contrib else cur.longValue() + contrib))
+        }
+      }
+      val next = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      s.forEach((dst, sv) =>
+        next.put(dst, java.lang.Long.valueOf(150000L + (850L * sv.longValue()) / 1000L)))
+      rank = next
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    rank.forEach((id, r) => out += ((id.longValue(), r.longValue())))
+    import spark.implicits._
+    out.toSeq.toDF("doc_id", "rank_micro")
   }
 
   /** Oracle CTE chain shared by pagerank_dupgraph and dedup_keep_central:
@@ -203,13 +254,18 @@ object Queries25 {
       // PageRank iterations (each would otherwise re-symmetrize + re-cache)
       val edges = graft.util.CacheScope.track(symEdges(pairs))
       edges.count()
-      val comp = graft.operators.ConnectedComponents.runSymmetrized(edges)
-      // materialize the ranks before the window join: comp is a cached
-      // label table but the rank lineage is 5 chained join+agg stages;
-      // bounding the final windows' plan at two cached inputs keeps its
-      // runtime stable (sf0.1 spread tightens from 7.2–10.8 s to 7.6–8.8 s)
-      val ranks = graft.util.CacheScope.track(pagerankFromSym(edges))
-      ranks.count()
+      // CC labeling and the PageRank iterations are independent given the
+      // edge cache — overlap them (guide §2.6). The ranks stay
+      // materialized before the final join: the rank lineage is 5 chained
+      // join+agg stages and bounding the final plan at two cached inputs
+      // keeps its runtime stable (sf0.1 spread tightened from 7.2–10.8 s
+      // to 7.6–8.8 s when this was serial)
+      val (comp, ranks) = graft.util.Par.run2(
+        () => graft.operators.ConnectedComponents.runSymmetrized(edges),
+        () => {
+          val r = graft.util.CacheScope.track(pagerankFromSym(edges))
+          r.count(); r
+        })
       val members = comp.select(col("id").as("doc_id"), col("comp").as("cluster"))
         .join(ranks, Seq("doc_id"))
       // keeper = per-cluster argmax, folded as max(struct(rank, -id)) in

@@ -35,16 +35,25 @@ object Queries70 {
       val pairs = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
       pairs.count()
       val edges = graft.util.CacheScope.track(Queries25.symEdges(pairs))
-      val comp = graft.operators.ConnectedComponents.runSymmetrized(edges)
-      // pin the member table: it embeds the 5-iteration PageRank chain and
-      // the CC labels — without the pin each downstream keeper re-executed
-      // the whole iterative tier (3x the ranks at sf0.1)
+      edges.count() // materialize once, before two threads fan out over it
+      // CC labeling and the 5-iteration PageRank are independent given the
+      // edge cache — overlap them (guide §2.6) instead of paying the two
+      // iterative tiers back-to-back
+      val (comp, ranks) = graft.util.Par.run2(
+        () => graft.operators.ConnectedComponents.runSymmetrized(edges),
+        () => {
+          val r = graft.util.CacheScope.track(Queries25.pagerankFromSym(edges))
+          r.count(); r
+        })
+      // pin the member table: it embeds the PageRank chain and the CC
+      // labels — without the pin each downstream keeper re-executed the
+      // whole iterative tier (3x the ranks at sf0.1)
       val members = graft.util.CacheScope.track(
         comp.select(col("id").as("doc_id"), col("comp"))
           .join(Tables.documents(sp, dir)
             .select(col("doc_id"), length(col("text")).cast("bigint").as("text_len")),
             Seq("doc_id"))
-          .join(Queries25.pagerankFromSym(edges), Seq("doc_id")))
+          .join(ranks, Seq("doc_id")))
       members.count()
       // all three keeper policies from ONE map-side-combined aggregation:
       // each keeper is an argmax, and argmax folds as max(struct(key,

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only attribution of the dedup/graph family's phase costs at sf0.1. */
+object ProfileGraph {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pg] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    (1 to 2).foreach { rep =>
+      println(s"== rep $rep ==")
+      val pairs = graft.util.CacheScope.track(graft.queries.Queries6.minhashPairs(spark, sfDir))
+      t("pairs.count")(pairs.count())
+      val edges = graft.util.CacheScope.track(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      t("edges.count")(edges.count())
+      val comp = t("cc.runSymmetrized")(
+        graft.operators.ConnectedComponents.runSymmetrized(edges))
+      t("comp.count")(comp.count())
+      val pr = t("pagerank build+count") {
+        val r = graft.queries.Queries25.pagerankFromSym(edges)
+        r.count(); r
+      }
+      graft.util.CacheScope.release(spark)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

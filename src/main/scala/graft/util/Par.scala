@@ -1,0 +1,43 @@
+package graft.util
+
+/** Overlap independent Spark jobs from driver threads (optimization guide
+  * §2.6): Spark's scheduler happily runs several jobs at once inside one
+  * application — actions are only sequential because driver code calls
+  * them sequentially. Compositions that materialize INDEPENDENT iterative
+  * blocks (the four gate-filtered connected-components runs of
+  * giant_component_sweep; a CC labeling and a PageRank over the same edge
+  * cache) submit them concurrently so one block's stage tails back-fill
+  * executors the other frees. FIFO scheduling keeps the back-fill
+  * behaviour; no result ordering is lost (each thunk returns its own
+  * value, exceptions propagate to the caller).
+  */
+object Par {
+
+  /** Run `thunks` concurrently (one driver thread each — these are
+    * job-submitting closures, a handful at a time, not data work) and
+    * return their results in input order. The first failure is rethrown
+    * after every thread finishes. */
+  def run[A](thunks: Seq[() => A]): Seq[A] = {
+    if (thunks.sizeIs <= 1) return thunks.map(_())
+    val results = Array.fill[Option[A]](thunks.size)(None)
+    val errors = Array.fill[Option[Throwable]](thunks.size)(None)
+    val threads = thunks.zipWithIndex.map { case (th, i) =>
+      val t = new Thread(() => {
+        try results(i) = Some(th())
+        catch { case e: Throwable => errors(i) = Some(e) }
+      }, s"graft-par-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    errors.flatten.headOption.foreach(e => throw e)
+    results.toSeq.map(_.get)
+  }
+
+  /** Two-way overlap with precise types. */
+  def run2[A, B](a: () => A, b: () => B): (A, B) = {
+    val out = run(Seq(() => a().asInstanceOf[AnyRef], () => b().asInstanceOf[AnyRef]))
+    (out(0).asInstanceOf[A], out(1).asInstanceOf[B])
+  }
+}

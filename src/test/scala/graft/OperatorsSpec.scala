@@ -85,6 +85,48 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("ConnectedComponents: local union-find path == distributed round loop") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // randomized sparse graph (fixed seed): both the r15 size-gated
+    // union-find fast path and the distributed fixpoint loop must emit the
+    // identical min-reachable-id labeling
+    val rng = new scala.util.Random(1234)
+    val edges = Seq.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("src", "dst")
+    val local = ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(ConnectedComponents.LocalEdgeThresholdConf, "0")
+    try {
+      val dist = ConnectedComponents.run(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist)
+    } finally spark.conf.unset(ConnectedComponents.LocalEdgeThresholdConf)
+  }
+
+  test("pagerankFromSym: local driver loop == distributed iterations") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    val rng = new scala.util.Random(99)
+    val pairs = Seq.fill(200)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst").persist()
+    sym.count()
+    val local = graft.queries.Queries25.pagerankFromSym(sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(ConnectedComponents.LocalEdgeThresholdConf, "0")
+    try {
+      val dist = graft.queries.Queries25.pagerankFromSym(sym)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist)
+    } finally {
+      spark.conf.unset(ConnectedComponents.LocalEdgeThresholdConf)
+      sym.unpersist()
+    }
+  }
+
   test("KMeans: separates three well-separated direction clusters") {
     import spark.implicits._
     import graft.operators.KMeans
