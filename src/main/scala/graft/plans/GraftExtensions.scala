@@ -153,6 +153,10 @@ object GraftFunctions {
   def arraySum(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c(ArraySum(x(col)).toAggregateExpression())
 
+  /** Column-API surface of [[OuterProductExpression]] (q ⊗ q, flattened). */
+  def outerProduct(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c(OuterProductExpression(x(col)))
+
   /** Column-API surface of [[BitmapBytes]] (serialized audience bitmap). */
   def bitmapBytes(col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c(BitmapBytes(x(col)).toAggregateExpression())

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Flattened integer outer product q ⊗ q (row-major, d² BIGINTs) — the
+  * per-row Gram contribution feeding [[ArraySum]].
+  *
+  * Replaces the interpreted-HOF spelling
+  * `transform(sequence(0, d²−1), k -> element_at(q, k div d + 1) *
+  * element_at(q, k % d + 1))` — a CodegenFallback lambda evaluated d²
+  * times per row with two element_at probes and a div/mod each (the
+  * interpreted-HOF trap CLAUDE.md documents). One codegen'd call into a
+  * tight double loop instead; values are identical (same multiplies, same
+  * order). */
+case class OuterProductExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_outer_product"
+
+  override protected def nullSafeEval(q: Any): Any =
+    OuterProductExpression.compute(q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.OuterProductExpression$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): OuterProductExpression =
+    copy(child = newChild)
+}
+
+object OuterProductExpression {
+  def compute(q: ArrayData): ArrayData = {
+    val n = q.numElements()
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) { v(i) = q.getLong(i); i += 1 }
+    val out = new Array[Long](n * n)
+    i = 0
+    while (i < n) {
+      val vi = v(i)
+      var j = 0
+      while (j < n) { out(i * n + j) = vi * v(j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

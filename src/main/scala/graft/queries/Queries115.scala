@@ -46,9 +46,11 @@ object Queries115 {
   /** One distributed ArraySum pass → the exact integer Gram (Dim² cells,
     * bounded collect). Shared with Queries129's isotropy audit. */
   private[graft] def gramMatrix(sp: SparkSession, dir: String): Array[Long] = {
-    val gramRow = expr(
-      s"transform(sequence(0, ${Dim * Dim - 1}), k -> element_at(q, cast(k div $Dim as int) + 1) * element_at(q, cast(k % $Dim as int) + 1))")
-    quantized(sp, dir).select(gramRow.as("gr"))
+    // r15: the per-row Gram contribution moved off the interpreted
+    // transform-over-sequence lambda (d² CodegenFallback evals with two
+    // element_at probes each, per row) onto the codegen'd
+    // OuterProductExpression — identical multiplies, identical order
+    quantized(sp, dir).select(GraftFunctions.outerProduct(col("q")).as("gr"))
       .agg(GraftFunctions.arraySum(col("gr")).as("g"))
       .collect()(0).getSeq[Long](0).toArray
   }
