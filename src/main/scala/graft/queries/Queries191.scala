@@ -35,7 +35,9 @@ object Queries191 {
   val defs: Map[String, Q] = Map(
     "kmeans_elbow" -> { (sp, dir) =>
       val embT = Tables.embeddings(sp, dir)
-      val perK = ElbowKs.map { k =>
+      // the three K trainers are independent (each is 3 Lloyd iterations
+      // with a bounded centroid collect) — overlap them, guide §2.6
+      val perK = graft.util.Par.run(ElbowKs.map { k => () =>
         val cents = KMeans.fitMicro(embT, "embedding", "vec_id", k, maxIter = 3)
         val withCell = embT
           .select(KMeans.quantizeMicro(col("embedding")).as("v"))
@@ -53,7 +55,7 @@ object Queries191 {
             sum("dm").as("dot_mass"))
           .select(lit(k.toLong).as("k"), col("n_cells_used"), col("largest_cell"),
             col("dot_mass"))
-      }
+      })
       perK.reduce(_ unionAll _).orderBy("k")
     },
 

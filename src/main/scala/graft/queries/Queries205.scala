@@ -80,13 +80,21 @@ object Queries205 {
     },
 
     "cluster_candidate_precision" -> { (sp, dir) =>
-      val p = graft.util.CacheScope.track(
-        LlmQueries.defs("ngram_jaccard")(sp, dir).select("id_a", "id_b"))
-      p.count()
+      // the verified-pair engine and the minhash candidate engine are
+      // independent — overlap them (guide §2.6)
+      val (p, cand) = graft.util.Par.run2(
+        () => {
+          val v = graft.util.CacheScope.track(
+            LlmQueries.defs("ngram_jaccard")(sp, dir).select("id_a", "id_b"))
+          v.count(); v
+        },
+        () => {
+          val c = graft.util.CacheScope.track(Queries6.minhashPairs(sp, dir))
+          c.count(); c
+        })
       val comp = graft.operators.ConnectedComponents.run(
         p.select(col("id_a").as("src"), col("id_b").as("dst")))
         .select(col("id").as("doc_id"), col("comp"))
-      val cand = Queries6.minhashPairs(sp, dir)
       val nodes = comp.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
       val verified = p
         .join(comp.toDF("id_a", "comp"), "id_a")

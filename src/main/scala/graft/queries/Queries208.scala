@@ -33,12 +33,28 @@ object Queries208 {
 
   val defs: Map[String, Q] = Map(
     "detector_recall_on_labels" -> { (sp, dir) =>
-      val labels = graft.util.CacheScope.track(
-        LlmQueries.defs("ngram_jaccard")(sp, dir).select("id_a", "id_b"))
-      labels.count()
-      def row(name: String, cand: DataFrame): DataFrame = {
-        val c = graft.util.CacheScope.track(cand.select("id_a", "id_b"))
-        c.count()
+      // the three engines (verified labels, minhash candidates, simhash
+      // fingerprints) are independent — materialize them concurrently
+      // (guide §2.6) instead of back-to-back
+      val prep = graft.util.Par.run(Seq(
+        () => {
+          val l = graft.util.CacheScope.track(
+            LlmQueries.defs("ngram_jaccard")(sp, dir).select("id_a", "id_b"))
+          l.count(); l
+        },
+        () => {
+          val c = graft.util.CacheScope.track(
+            Queries6.minhashPairs(sp, dir).select("id_a", "id_b"))
+          c.count(); c
+        },
+        () => {
+          val f = graft.util.CacheScope.track(Tables.documents(sp, dir)
+            .select(col("doc_id"), graft.functions.TextF.simhash60(col("text")).as("f")))
+          f.count(); f
+        }))
+      val labels = prep(0)
+      val mhPairs = prep(1)
+      def row(name: String, c: DataFrame): DataFrame = {
         labels.agg(count(lit(1)).as("n_labels"))
           .crossJoin(c.agg(count(lit(1)).as("n_candidates")))
           .crossJoin(labels.join(c, Seq("id_a", "id_b"), "left_semi")
@@ -52,9 +68,7 @@ object Queries208 {
       // sum C(n,2) over same-fp groups + sum na*nb over verified fp pairs;
       // label HITS evaluate band-share + Hamming directly on the label
       // pairs. Identical output, fp-bounded work.
-      val fp = graft.util.CacheScope.track(Tables.documents(sp, dir)
-        .select(col("doc_id"), graft.functions.TextF.simhash60(col("text")).as("f")))
-      fp.count()
+      val fp = prep(2)
       val gs = fp.groupBy("f").agg(count(lit(1)).as("n"))
       val fbands = gs.select(col("f"), col("n"),
         explode(array((0 until Queries28.SimhashBands).map(b => struct(
@@ -88,7 +102,7 @@ object Queries208 {
         .crossJoin(shHits)
         .select(lit("simhash").as("method"), col("n_labels"), col("n_candidates"),
           col("n_hit"), expr("n_hit * 1000 div n_labels").as("recall_pm"))
-      row("minhash", Queries6.minhashPairs(sp, dir))
+      row("minhash", mhPairs)
         .unionAll(shRow)
         .orderBy("method")
     },
