@@ -51,13 +51,18 @@ object LlmQueries {
   private[graft] def jaccardPairsFromToks(toksDf: DataFrame): DataFrame = {
     val docs = toksDf
       .select(col("doc_id"), array_distinct(TextF.shinglesFromTokens(col("toks"), 5)).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     // the exploded shingle table feeds BOTH sides of the self-join plus the
     // size joins — persist it once instead of re-evaluating the shingle
     // expression tree per reference (4× otherwise; on a cluster this is a
     // cached shuffle block, not recomputation)
     val ex = graft.util.CacheScope.track(
       docs.select(col("doc_id"), explode(col("sh")).as("s")))
+    // r15: set sizes come off the CACHED exploded table (sh is
+    // array_distinct'ed, so rows-per-doc == size(sh)), not a fresh
+    // tokenize+shingle pass per size join; shingle-less docs drop out of
+    // `sizes` but can never appear in `shared`, so the join output is
+    // unchanged
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // stop-shingle cap: one boilerplate shingle shared by k docs makes the
     // self-join quadratic on that key (k² pairs). df-cap the shingle table
     // BEFORE pairing — the design control that bounds shuffle volume by

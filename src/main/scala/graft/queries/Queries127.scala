@@ -46,9 +46,10 @@ object Queries127 {
 
   /** Candidate pairs with exact jac_permille — ngram_jaccard's engine. */
   private def pairsExact(docs: DataFrame): DataFrame = {
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = graft.util.CacheScope.track(
       docs.select(col("doc_id"), explode(col("sh")).as("s")))
+    // set sizes off the cached exploded table (see jaccardPairsFromToks)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= LlmQueries.StopShingleDf).select("s")
     val exF = ex.join(rare, "s")

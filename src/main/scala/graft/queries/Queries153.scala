@@ -35,13 +35,16 @@ object Queries153 {
       // the pair engine's candidates (set-jaccard >= 200 permille)
       val sh = docs.select(col("doc_id"),
         array_distinct(TextF.shinglesFromTokens(col("toks"), 5)).as("sh"))
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
       val ex = graft.util.CacheScope.track(
         sh.select(col("doc_id"), explode(col("sh")).as("s")))
+      // set sizes off the cached exploded table (see jaccardPairsFromToks)
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= LlmQueries.StopShingleDf).select("s")
       val exF = ex.join(rare, "s")
-      val pairs = exF.as("a").join(exF.as("b"),
+      // pin: the verified pairs feed both the weighted overlap and the
+      // final join spine
+      val pairs = graft.util.CacheScope.track(exF.as("a").join(exF.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared"))
@@ -50,7 +53,7 @@ object Queries153 {
         .withColumn("jac_permille",
           round(lit(1000.0) * col("shared") / (col("n_a") + col("n_b") - col("shared"))).cast("bigint"))
         .filter(col("jac_permille") >= 200)
-        .select("id_a", "id_b", "jac_permille")
+        .select("id_a", "id_b", "jac_permille"))
       val sharedMin = pairs
         .join(tf.select(col("doc_id").as("id_a"), col("t"), col("tf").as("tfa")), Seq("id_a"))
         .join(tf.select(col("doc_id").as("id_b"), col("t"), col("tf").as("tfb")), Seq("id_b", "t"))
