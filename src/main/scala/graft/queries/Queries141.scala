@@ -58,16 +58,28 @@ object Queries141 {
     },
 
     "quant_bits_sweep" -> { (sp, dir) =>
-      val e = Tables.embeddings(sp, dir)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      // r15: int8_quant_error's fix applied across the sweep — the inline
+      // scale expression re-evaluated array_max per transform-lambda
+      // ELEMENT (O(d²) per row, once per bit width); `mx` and the float
+      // norm are computed ONCE into a pinned base — the lambda then
+      // references a plain cache attribute, which CollapseProject cannot
+      // re-inline. Arithmetic shape x * (qmax / mx) is unchanged. The
+      // per-bit branches stay lazy: one count over the union lets the
+      // DAG scheduler run their independent stages concurrently.
+      val base = graft.util.CacheScope.track(
+        Tables.embeddings(sp, dir)
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+          .withColumn("fn", SimF.norm(col("v")))
+          .select(col("vec_id"), col("mx"), col("v"), col("fn")))
+      base.count()
       def idot(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
       val rows = Bits.map { b =>
         val qmax = (1 << (b - 1)) - 1
-        val scale = lit(qmax.toDouble) / array_max(transform(col("v"), x => abs(x)))
-        val qz = e.withColumn("qv", transform(col("v"), x => round(x * scale).cast("long")))
+        val scale = lit(qmax.toDouble) / col("mx")
+        val qz = base.withColumn("qv", transform(col("v"), x => round(x * scale).cast("long")))
           .withColumn("qn", sqrt(idot(col("qv"), col("qv")).cast("double")))
-          .withColumn("fn", SimF.norm(col("v")))
           .filter(col("qn") > 0.0 && col("fn") > 0.0)
         val a = qz.select(col("vec_id"), col("v").as("va"), col("qv").as("qva"),
           col("qn").as("qna"), col("fn").as("fna"))
