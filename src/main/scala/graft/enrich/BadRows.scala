@@ -199,6 +199,26 @@ object BadRows {
       "schema: STRING, timestamp: STRING, " +
       "componentName: STRING, componentVersion: STRING>>>>"
 
+  /** Struct channel for an IN-PIPELINE triage consumer (r16): the same
+    * per-message rows [[triage]] reads back from stored envelopes, derived
+    * DIRECTLY from the structured `bad_row_errors` entities — no
+    * JSON-envelope build + `from_json` re-parse round-trip. Equivalent by
+    * construction: the envelope's `failure.messages` array is
+    * `transform(bad_row_errors, failureContext)` (same order, one message
+    * per entity), `failureType`/`schema`/`reason` are
+    * [[failureTypeString]]/`schema_key`/`message` verbatim, and
+    * to_json→from_json is the identity on them. Production recovery jobs
+    * reading STORED envelopes still use [[triage]]. */
+  def triageFromEntities(df: DataFrame, errorsCol: String): DataFrame =
+    df
+      .select(explode(col(errorsCol)).as("_e"))
+      .select(
+        failureTypeString(col("_e")).as("failure_type"),
+        col("_e.schema_key").as("schema"),
+        col("_e.message").as("reason"),
+        lit(Artifact).as("component"),
+        lit(Version).as("component_version"))
+
   /** The recovery-job READ path: parse emitted envelopes back into one row
     * per failure message — (failure_type, schema, reason, component,
     * component_version) — for the reprocess decision. */

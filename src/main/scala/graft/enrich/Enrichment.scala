@@ -114,16 +114,21 @@ final case class AnonIp(ipCol: String = "user_ipaddress", octets: Int = 2, segme
     df.withColumn(ipCol, IpF.anonIp(col(ipCol), octets, segments))
 }
 
-/** Page URL decomposition (reference `web/PageEnrichments` + ConversionUtils). */
+/** Page URL decomposition (reference `web/PageEnrichments` + ConversionUtils).
+  * One fused parse per row (r16): the six getFields below share a single
+  * [[graft.plans.UrlParseExpression]] evaluation via codegen subexpression
+  * elimination. */
 final case class PageUrlParse(urlCol: String = "page_url") extends Enrichment {
   val name = "page_url_parse"
-  def apply(df: DataFrame): DataFrame =
-    df.withColumn("page_urlscheme", UrlF.urlScheme(col(urlCol)))
-      .withColumn("page_urlhost", UrlF.urlHost(col(urlCol)))
-      .withColumn("page_urlport", UrlF.urlPort(col(urlCol)))
-      .withColumn("page_urlpath", UrlF.urlPath(col(urlCol)))
-      .withColumn("page_urlquery", UrlF.urlQuery(col(urlCol)))
-      .withColumn("page_urlfragment", UrlF.urlFragment(col(urlCol)))
+  def apply(df: DataFrame): DataFrame = {
+    val p = UrlF.urlParsed(col(urlCol))
+    df.withColumn("page_urlscheme", p.getField("scheme"))
+      .withColumn("page_urlhost", p.getField("host"))
+      .withColumn("page_urlport", p.getField("port"))
+      .withColumn("page_urlpath", p.getField("path"))
+      .withColumn("page_urlquery", p.getField("query"))
+      .withColumn("page_urlfragment", p.getField("fragment"))
+  }
 }
 
 /** Campaign attribution (reference `registry/CampaignAttributionEnrichment`). */
@@ -139,25 +144,22 @@ final case class CampaignAttribution(
 ) extends Enrichment {
   val name = "campaign_attribution"
   def apply(df: DataFrame): DataFrame = {
-    val qs = UrlF.urlQuery(col(urlCol))
     // values are form-decoded like the reference's extractQuerystring does
     // before extractMarketingFields sees them (spec vector: utm_term
-    // "native american tarot deck" arrives '+'-encoded)
-    val clickId =
-      if (clickIdNetworks.isEmpty) lit(null).cast("string")
-      else UrlF.qsValueDecoded(
-        coalesce(clickIdNetworks.map { case (k, _) => UrlF.qsParam(qs, k) }: _*))
-    val network = clickIdNetworks
-      .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
-        acc.when(UrlF.qsParam(qs, k).isNotNull, lit(v))
-      }.otherwise(lit(null))
-    df.withColumn("mkt_medium", UrlF.firstParamDecoded(qs, mediumParams))
-      .withColumn("mkt_source", UrlF.firstParamDecoded(qs, sourceParams))
-      .withColumn("mkt_term", UrlF.firstParamDecoded(qs, termParams))
-      .withColumn("mkt_content", UrlF.firstParamDecoded(qs, contentParams))
-      .withColumn("mkt_campaign", UrlF.firstParamDecoded(qs, campaignParams))
-      .withColumn("mkt_clickid", clickId)
-      .withColumn("mkt_network", network)
+    // "native american tarot deck" arrives '+'-encoded). One fused
+    // querystring pass per row (r16, graft.plans
+    // .CampaignAttributionExpression); the qs itself comes off the shared
+    // UrlParseExpression parse of the page URL.
+    val fused = UrlF.campaignParsed(UrlF.urlQuery(col(urlCol)),
+      UrlF.CampaignCfg(mediumParams, sourceParams, termParams,
+        contentParams, campaignParams, clickIdNetworks))
+    df.withColumn("mkt_medium", fused.getField("medium"))
+      .withColumn("mkt_source", fused.getField("source"))
+      .withColumn("mkt_term", fused.getField("term"))
+      .withColumn("mkt_content", fused.getField("content"))
+      .withColumn("mkt_campaign", fused.getField("campaign"))
+      .withColumn("mkt_clickid", fused.getField("clickid"))
+      .withColumn("mkt_network", fused.getField("network"))
   }
 }
 
@@ -168,11 +170,17 @@ final case class RefererParser(
   internalDomains: Seq[String] = Nil
 ) extends Enrichment {
   val name = "referer_parser"
-  def apply(df: DataFrame): DataFrame =
-    df.withColumn("refr_urlhost", UrlF.urlHost(col(refrCol)))
-      .withColumn("refr_medium", RefF.refererMedium(col(refrCol), col(pageCol), internalDomains))
-      .withColumn("refr_source", RefF.refererSource(col(refrCol), col(pageCol), internalDomains))
-      .withColumn("refr_term", RefF.refererTerm(col(refrCol), col(pageCol), internalDomains))
+  def apply(df: DataFrame): DataFrame = {
+    // one fused classification per row (r16, graft.plans
+    // .RefererParseExpression): the four getFields share a single kernel
+    // evaluation, and the pageHost child shares PageUrlParse's parse
+    val fused = RefF.refererParsed(
+      col(refrCol), UrlF.urlHost(col(pageCol)), internalDomains)
+    df.withColumn("refr_urlhost", fused.getField("host"))
+      .withColumn("refr_medium", fused.getField("medium"))
+      .withColumn("refr_source", fused.getField("source"))
+      .withColumn("refr_term", fused.getField("term"))
+  }
 }
 
 /** UA classification (reference `registry/UserAgentUtilsEnrichment` /

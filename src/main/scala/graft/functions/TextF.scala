@@ -149,15 +149,37 @@ object TextF {
     ColumnBridge.column(graft.plans.WinnowExpression(ColumnBridge.expression(hashes), w))
   }
 
+  /** All MinHash signature components over an already-shingled column in
+    * ONE codegen'd pass ([[graft.plans.MinHashExpression]]): element i is
+    * the min over shingles of md5(seeds(i):shingle) as lowercase hex (null
+    * for empty shingle arrays) — exactly the
+    * `array_min(transform(sh, s -> md5(concat('seed:', s))))` composable
+    * spelling per seed ([[minhashComponentsSpec]] keeps it as the pinned
+    * specification twin), without its per-seed interpreted array walks. */
+  def minhashComponents(sh: Column, seeds: Seq[Int]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.MinHashExpression(ColumnBridge.expression(sh), seeds))
+  }
+
+  /** The composable per-seed spelling [[minhashComponents]] fuses —
+    * specification twin (pinned == kernel by PropertySpec). */
+  private[graft] def minhashComponentsSpec(sh: Column, seeds: Seq[Int]): Column =
+    array(seeds.map(seed =>
+      array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))): _*)
+
   /** One MinHash signature component: min over shingles of md5(seed:shingle),
     * as lowercase hex (null for docs with < k words). */
   def minhashComponent(text: Column, k: Int, seed: Int): Column =
-    array_min(transform(shingles(text, k), s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
+    minhashComponents(shingles(text, k), Seq(seed)).getItem(0)
 
-  /** LSH band key: md5 over `perBand` consecutive signature components. */
+  /** LSH band key: md5 over `perBand` consecutive signature components
+    * (one fused kernel pass for the whole band since r16). */
   def minhashBand(text: Column, k: Int, band: Int, perBand: Int): Column = {
-    val comps = (0 until perBand).map(j => coalesce(minhashComponent(text, k, band * perBand + j), lit("")))
-    md5(concat(comps: _*).cast("binary"))
+    val comps = minhashComponents(
+      shingles(text, k), (0 until perBand).map(band * perBand + _))
+    md5(concat((0 until perBand).map(j =>
+      coalesce(comps.getItem(j), lit(""))): _*).cast("binary"))
   }
 
   /** SimHash-style `bits`-bit fingerprint (bits ≤ 16): bit b is set when the

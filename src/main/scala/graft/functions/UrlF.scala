@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
 
 /** URL / querystring kernels.
   *
@@ -10,36 +14,183 @@ import org.apache.spark.sql.functions._
   * reference `outputs/EnrichedEvent.scala:98-111`) and the querystring
   * extraction used by `CampaignAttributionEnrichment.scala:105`.
   *
-  * Implemented with regexes (not `parse_url`) so the DuckDB oracle can run
-  * the byte-identical pattern; all are RE2-safe and codegen'd.
+  * Specified by regexes (not `parse_url`) so the DuckDB oracle can run the
+  * byte-identical pattern; since r16 the Spark side EXECUTES them as ONE
+  * fused codegen'd parse per row ([[graft.plans.UrlParseExpression]] →
+  * [[parseUrlParts]]) instead of six java.util.regex finds — the `*Spec`
+  * Column twins keep the regex spellings and a differential property spec
+  * pins kernel == twin over a URL universe.
   */
 object UrlF {
 
-  def urlScheme(url: Column): Column =
+  /** One fused parse: struct(scheme, host, port, eport, path, query,
+    * fragment) — each field null exactly where the regex+nullif twin is.
+    * Multiple getFields of the same URL column collapse to ONE per-row
+    * parse under whole-stage-codegen subexpression elimination. */
+  def urlParsed(url: Column): Column =
+    ColumnBridge.column(graft.plans.UrlParseExpression(ColumnBridge.expression(url)))
+
+  def urlScheme(url: Column): Column = urlParsed(url).getField("scheme")
+
+  def urlHost(url: Column): Column = urlParsed(url).getField("host")
+
+  /** Explicit port if present (unparseable digit runs → null, never the
+    * scheme default), else the scheme default (80/443), else null. */
+  def urlPort(url: Column): Column = urlParsed(url).getField("port")
+
+  def urlPath(url: Column): Column = urlParsed(url).getField("path")
+
+  def urlQuery(url: Column): Column = urlParsed(url).getField("query")
+
+  def urlFragment(url: Column): Column = urlParsed(url).getField("fragment")
+
+  // ---- regex specification twins (pinned == kernel by PropertySpec) ----
+
+  def urlSchemeSpec(url: Column): Column =
     nullif(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1), lit(""))
 
-  def urlHost(url: Column): Column =
+  def urlHostSpec(url: Column): Column =
     nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1), lit(""))
 
   /** Explicit port if present, else the scheme default (80/443), else null.
     * try_cast: the digit run is unbounded, and under ANSI a 20-digit "port"
     * in one crafted URL would otherwise abort the job. */
-  def urlPort(url: Column): Column = {
+  def urlPortSpec(url: Column): Column = {
     val explicit = nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)", 1), lit(""))
     when(explicit.isNotNull, explicit.try_cast("int"))
-      .when(urlScheme(url) === "https", lit(443))
-      .when(urlScheme(url) === "http", lit(80))
+      .when(urlSchemeSpec(url) === "https", lit(443))
+      .when(urlSchemeSpec(url) === "http", lit(80))
       .otherwise(lit(null).cast("int"))
   }
 
-  def urlPath(url: Column): Column =
+  def urlPathSpec(url: Column): Column =
     nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1), lit(""))
 
-  def urlQuery(url: Column): Column =
+  def urlQuerySpec(url: Column): Column =
     nullif(regexp_extract(url, "\\?([^#]*)", 1), lit(""))
 
-  def urlFragment(url: Column): Column =
+  def urlFragmentSpec(url: Column): Column =
     nullif(regexp_extract(url, "#(.*)$", 1), lit(""))
+
+  // ---- imperative parse core (the fused kernel's twin of the regexes) ----
+
+  /** Parsed URL parts; a field is null exactly where the corresponding
+    * `nullif(regexp_extract(...), '')` spec twin yields null. `eport` is
+    * the raw explicit-port digit run (leading zeros preserved); `port` is
+    * the try_cast + scheme-default logic of [[urlPortSpec]]. */
+  final case class UrlParts(
+    scheme: String, host: String, port: Integer, eport: String,
+    path: String, query: String, fragment: String)
+
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isSchemeChar(c: Char): Boolean =
+    isAlpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+  private def isLineTerm(c: Char): Boolean =
+    c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+
+  /** `#(.*)$` under java.util.regex: first '#' whose remainder (up to a
+    * line terminator) sits at end-of-input or before a FINAL terminator --
+    * '.' does not cross line terminators and '$' (no MULTILINE) only
+    * matches at the end. Empty capture -> null (the nullif). */
+  private def fragmentOf(u: String): String = {
+    var from = 0
+    while (from <= u.length) {
+      val h = u.indexOf('#', from)
+      if (h < 0) return null
+      val rest = u.substring(h + 1)
+      var stop = 0
+      while (stop < rest.length && !isLineTerm(rest.charAt(stop))) stop += 1
+      if (stop == rest.length) return if (rest.isEmpty) null else rest
+      val tail = rest.substring(stop)
+      // a single terminator char, or "\r\n", at the very end is a valid
+      // final-line-terminator position for '$'
+      if (tail.length == 1 || tail == "\r\n") {
+        val cap = rest.substring(0, stop)
+        return if (cap.isEmpty) null else cap
+      }
+      from = h + 1
+    }
+    null
+  }
+
+  /** try_cast('int') of a digit-only run: null on int overflow. */
+  private def tryParsePort(s: String): Integer =
+    if (s.length > 10) null
+    else {
+      val v = s.toLong
+      if (v > Int.MaxValue) null else Integer.valueOf(v.toInt)
+    }
+
+  /** One-pass imperative twin of the six URL regexes (see the `*Spec`
+    * Columns above for the exact patterns being mirrored). */
+  def parseUrlParts(u: String): UrlParts = {
+    val n = u.length
+    // scheme: ^([a-zA-Z][a-zA-Z0-9+.-]*):// — maximal run then literal "://"
+    var schemeEnd = -1
+    if (n > 0 && isAlpha(u.charAt(0))) {
+      var j = 1
+      while (j < n && isSchemeChar(u.charAt(j))) j += 1
+      if (u.regionMatches(j, "://", 0, 3)) schemeEnd = j
+    }
+    var scheme: String = null
+    var host: String = null
+    var port: Integer = null
+    var eport: String = null
+    var path: String = null
+    if (schemeEnd > 0) {
+      scheme = u.substring(0, schemeEnd)
+      val hostStart = schemeEnd + 3
+      // host: ([^/:?#]*) after "://"
+      var k = hostStart
+      while (k < n && {
+        val c = u.charAt(k); c != '/' && c != ':' && c != '?' && c != '#'
+      }) k += 1
+      if (k > hostStart) host = u.substring(hostStart, k)
+      // explicit port: ':' + [0-9]+ right after the host run
+      if (k < n && u.charAt(k) == ':') {
+        var d = k + 1
+        while (d < n && u.charAt(d) >= '0' && u.charAt(d) <= '9') d += 1
+        if (d > k + 1) eport = u.substring(k + 1, d)
+      }
+      port =
+        if (eport != null) tryParsePort(eport)
+        else if (scheme == "https") Integer.valueOf(443)
+        else if (scheme == "http") Integer.valueOf(80)
+        else null
+      // path: skip [^/?#]* (':' + port included in the skip) then (/[^?#]*)
+      var m = hostStart
+      while (m < n && {
+        val c = u.charAt(m); c != '/' && c != '?' && c != '#'
+      }) m += 1
+      if (m < n && u.charAt(m) == '/') {
+        var pEnd = m
+        while (pEnd < n && u.charAt(pEnd) != '?' && u.charAt(pEnd) != '#') pEnd += 1
+        path = u.substring(m, pEnd) // starts with '/', never empty
+      }
+    }
+    // query: \?([^#]*) — first '?' ANYWHERE, capture to the next '#' or end
+    var query: String = null
+    val q = u.indexOf('?')
+    if (q >= 0) {
+      val h2 = u.indexOf('#', q + 1)
+      val qe = if (h2 < 0) n else h2
+      if (qe > q + 1) query = u.substring(q + 1, qe)
+    }
+    UrlParts(scheme, host, port, eport, path, query, fragmentOf(u))
+  }
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** Per-row entry for [[graft.plans.UrlParseExpression]]. */
+  def parseUrlRow(u: UTF8String): InternalRow = {
+    val p = parseUrlParts(u.toString)
+    new GenericInternalRow(Array[Any](
+      utf8(p.scheme), utf8(p.host), p.port, utf8(p.eport),
+      utf8(p.path), utf8(p.query), utf8(p.fragment)))
+  }
 
   /** Value of querystring parameter `key` inside a raw querystring
     * ("a=1&b=2"); null when absent. `key` must be regex-safe. */
@@ -72,6 +223,88 @@ object UrlF {
   def firstParamDecoded(qs: Column, keys: Seq[String]): Column =
     qsValueDecoded(firstParam(qs, keys))
 
+  // ---- imperative querystring core (campaign-attribution kernel twin) ----
+
+  /** Imperative twin of [[qsParam]]'s `(?:^|&)key=([^&]*)` + nullif:
+    * first occurrence of `key` at a pair boundary; null when absent OR the
+    * value is empty (so [[firstParam]]'s present-but-empty fall-through is
+    * preserved). */
+  def qsParamRaw(qs: String, key: String): String = {
+    val klen = key.length
+    var from = 0
+    while (from <= qs.length - klen) {
+      val i = qs.indexOf(key, from)
+      if (i < 0) return null
+      if ((i == 0 || qs.charAt(i - 1) == '&') &&
+          i + klen < qs.length && qs.charAt(i + klen) == '=') {
+        var e = i + klen + 1
+        while (e < qs.length && qs.charAt(e) != '&') e += 1
+        return if (e == i + klen + 1) null else qs.substring(i + klen + 1, e)
+      }
+      from = i + 1
+    }
+    null
+  }
+
+  /** Imperative twin of Spark's `try_url_decode` (form decoding, UTF-8;
+    * malformed %-escapes null the value instead of aborting). */
+  def tryUrlDecodeString(v: String): String =
+    if (v == null) null
+    else
+      try java.net.URLDecoder.decode(v, java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: IllegalArgumentException => null }
+
+  /** One fused campaign extraction: struct(medium, source, term, content,
+    * campaign, clickid, network) per row — the Column entry point for
+    * [[graft.plans.CampaignAttributionExpression]]. */
+  def campaignParsed(qs: Column, cfg: CampaignCfg): Column =
+    ColumnBridge.column(graft.plans.CampaignAttributionExpression(
+      ColumnBridge.expression(qs), cfg))
+
+  /** Campaign-attribution config carried by the fused kernel
+    * ([[graft.plans.CampaignAttributionExpression]]); field order matches
+    * the output struct. */
+  final case class CampaignCfg(
+    mediumParams: Seq[String], sourceParams: Seq[String],
+    termParams: Seq[String], contentParams: Seq[String],
+    campaignParams: Seq[String], clickIdNetworks: Seq[(String, String)])
+
+  /** Per-row campaign extraction: for each field, the FIRST key (in config
+    * order) with a non-empty raw value wins, then the winner form-decodes
+    * (decode failure → null, no fall-through) — exactly
+    * [[firstParamDecoded]]'s coalesce + try_url_decode shape. clickid picks
+    * the first non-empty click-id value; network the first click-id KEY
+    * present with a non-empty value. */
+  def campaignRow(qsU: UTF8String, cfg: CampaignCfg): InternalRow = {
+    val qs = qsU.toString
+    def first(keys: Seq[String]): UTF8String = {
+      val it = keys.iterator
+      while (it.hasNext) {
+        val raw = qsParamRaw(qs, it.next())
+        if (raw != null) return utf8(tryUrlDecodeString(raw))
+      }
+      null
+    }
+    var clickid: UTF8String = null
+    var network: UTF8String = null
+    var hit = false
+    val it = cfg.clickIdNetworks.iterator
+    while (it.hasNext && !hit) {
+      val (k, v) = it.next()
+      val raw = qsParamRaw(qs, k)
+      if (raw != null) {
+        // the first present key decides BOTH fields: a failed decode nulls
+        // clickid without falling through (coalesce picked the raw already)
+        hit = true
+        clickid = utf8(tryUrlDecodeString(raw))
+        network = utf8(v)
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      first(cfg.mediumParams), first(cfg.sourceParams), first(cfg.termParams),
+      first(cfg.contentParams), first(cfg.campaignParams), clickid, network))
+  }
+
   /** Tracking-parameter names stripped by [[canonicalizeUrl]] (shared with
     * the SQL twin; utm_ prefix handled separately). */
   val TrackingParams: Seq[String] = Seq("gclid", "fbclid", "msclkid", "dclid")
@@ -84,8 +317,7 @@ object UrlF {
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(urlScheme(url))
     val host = lower(urlHost(url))
-    val explicitPort =
-      nullif(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)", 1), lit(""))
+    val explicitPort = urlParsed(url).getField("eport")
     val keepPort = when(
       explicitPort.isNotNull &&
         !((scheme === "http" && explicitPort === "80") ||

@@ -48,15 +48,28 @@ object ConnectedComponents {
   /** @param edges (src, dst) long pairs, undirected (one direction enough)
     * @return (id, component) — component = min node id reachable */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = graft.util.CacheScope.track(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    // materialize the edge cache BEFORE the label init and the round-1 join
-    // both fan out over it — lazily, each branch would re-run the whole
-    // upstream candidate-pair pipeline (for dedup clustering that pipeline
-    // is the expensive half: signatures, band self-join, verification)
-    sym.count()
-    val out = runSymmetrized(sym, maxIter)
-    graft.util.CacheScope.drop(sym)
+    // cache the HALF edge list first (one materialization of the upstream
+    // candidate-pair pipeline — for dedup clustering that pipeline is the
+    // expensive half: signatures, band self-join, verification); the size
+    // gate reads one count off it. Below the gate, union-find needs no
+    // symmetrization at all (union(a,b) is direction-blind), so the local
+    // path skips building and caching the 2× sym table outright (r16 —
+    // saves a cache-build + count job per call vs the r15 shape).
+    val half = graft.util.CacheScope.track(edges.select(col("src"), col("dst")))
+    val n = half.count()
+    val threshold = edges.sparkSession.conf
+      .getOption(LocalEdgeThresholdConf).map(_.toLong)
+      .getOrElse(LocalEdgeThresholdDefault)
+    val out = if (threshold > 0 && n <= threshold) runLocal(half)
+    else {
+      val sym = graft.util.CacheScope.track(half
+        .union(half.select(col("dst").as("src"), col("src").as("dst"))))
+      sym.count()
+      val res = runDistributed(sym, maxIter)
+      graft.util.CacheScope.drop(sym)
+      res
+    }
+    graft.util.CacheScope.drop(half)
     out
   }
 
@@ -91,10 +104,11 @@ object ConnectedComponents {
     runDistributed(sym, maxIter)
   }
 
-  /** Bounded-size fast path: collect the (already ≤ 2·threshold-row)
-    * symmetric edge list, union-find with min-id representatives, return a
-    * LocalRelation of (id, comp). Identical output to the fixpoint loop:
-    * both assign every node the minimum node id reachable from it. */
+  /** Bounded-size fast path: collect the (already gate-bounded) edge list
+    * — symmetrized or not; union-find is direction-blind — with min-id
+    * representatives, return a LocalRelation of (id, comp). Identical
+    * output to the fixpoint loop: both assign every node the minimum node
+    * id reachable from it. */
   private def runLocal(sym: DataFrame): DataFrame = {
     val spark = sym.sparkSession
     val rows = sym.select(col("src"), col("dst")).collect()

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Size-gated iterative graph count reports (r16 optimization round):
+  * k-core peel rounds and BFS frontier sizes over a candidate-pair edge
+  * list.
+  *
+  * Both algorithms are driver-synchronized round loops; at candidate-pair
+  * scale (a banded near-dup graph is routinely TINY next to the corpus —
+  * sf0.1: ~256 surviving edges) every distributed round still costs
+  * several full jobs (degree aggregation + two semi-joins + eager
+  * localCheckpoints for k-core; join+distinct+anti-join for BFS). Below
+  * [[ConnectedComponents.LocalEdgeThresholdConf]] (same gate, same
+  * rationale as the r15 CC/PageRank fast paths — a size-gated strategy
+  * switch exactly like Spark's broadcast threshold) the edge list is ONE
+  * bounded collect and the rounds run in driver memory; the emitted
+  * per-round counts are bit-identical by construction (deterministic
+  * integer computations over the same edge multiset — differential specs
+  * in OperatorsSpec pin local == distributed). Above the gate the
+  * distributed loops are unchanged — the 100 TB path.
+  *
+  * Both entry points OWN a cache of the pair set (the gate needs one
+  * count, and every round re-reads the edges), released before returning;
+  * the distributed rounds are eagerly localCheckpoint'd exactly as before
+  * (the ConnectedComponents plan-nesting idiom).
+  */
+object GraphCounts {
+
+  private def threshold(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(ConnectedComponents.LocalEdgeThresholdConf)
+      .map(_.toLong).getOrElse(ConnectedComponents.LocalEdgeThresholdDefault)
+
+  /** k-core peel: `rounds` rows of (peel_round, survivors, edges_rem) —
+    * survivors = nodes with degree ≥ k this round, edges_rem = edges with
+    * both endpoints surviving. `pairsIn`: unique undirected (id_a, id_b). */
+  def kcorePeel(pairsIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sp = pairsIn.sparkSession
+    val pairs = graft.util.CacheScope.track(pairsIn.select(col("id_a"), col("id_b")))
+    val n = pairs.count()
+    val gate = threshold(pairs)
+    val out = if (gate > 0 && n <= gate) {
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var edges = es
+      val rows = (1 to rounds).map { r =>
+        val deg = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        edges.foreach { case (a, b) =>
+          deg.merge(a, 1L, (x, y) => x + y); deg.merge(b, 1L, (x, y) => x + y)
+        }
+        val keep = new java.util.HashSet[java.lang.Long]()
+        deg.forEach((node, d) => if (d >= k) { keep.add(node); () })
+        val next = edges.filter { case (a, b) => keep.contains(a) && keep.contains(b) }
+        val row = (r.toLong, keep.size.toLong, next.length.toLong)
+        edges = next
+        row
+      }
+      import sp.implicits._
+      rows.toDF("peel_round", "survivors", "edges_rem")
+    } else {
+      var edges = pairs.localCheckpoint(true)
+      (1 to rounds).map { r =>
+        val sym = edges.select(col("id_a").as("node"))
+          .unionAll(edges.select(col("id_b").as("node")))
+        val keep = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("node").localCheckpoint(true)
+        val next = edges
+          .join(keep.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "id_b"), Seq("id_b"), "left_semi")
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        val row = keep.agg(count(lit(1)).cast("bigint").as("survivors"))
+          .crossJoin(next.agg(count(lit(1)).cast("bigint").as("edges_rem")))
+          .select(lit(r.toLong).as("peel_round"), col("survivors"), col("edges_rem"))
+        edges = next
+        row
+      }.reduce(_ unionAll _)
+    }
+    graft.util.CacheScope.drop(pairs)
+    out.orderBy("peel_round")
+  }
+
+  /** BFS hop profile from the minimum id_a seed: rows (dist, n_nodes) for
+    * dist 0..rounds plus (-1, unreached). `pairsIn`: unique undirected
+    * (id_a, id_b), assumed non-empty (a seed must exist). */
+  def bfsHops(pairsIn: DataFrame, rounds: Int): DataFrame = {
+    val sp = pairsIn.sparkSession
+    val pairs = graft.util.CacheScope.track(pairsIn.select(col("id_a"), col("id_b")))
+    val n = pairs.count()
+    val gate = threshold(pairs)
+    val out = if (gate > 0 && n <= gate) {
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = new java.util.HashMap[java.lang.Long, java.util.ArrayList[java.lang.Long]]()
+      def add(a: Long, b: Long): Unit = {
+        var l = adj.get(a)
+        if (l == null) { l = new java.util.ArrayList[java.lang.Long](); adj.put(a, l) }
+        l.add(b); ()
+      }
+      es.foreach { case (a, b) => add(a, b); add(b, a) }
+      val seed = es.iterator.map(_._1).min
+      val visited = new java.util.HashSet[java.lang.Long]()
+      visited.add(seed)
+      var frontier: Seq[java.lang.Long] = Seq(seed)
+      val rows = Seq((0L, 1L)) ++ (1 to rounds).map { r =>
+        val next = new java.util.HashSet[java.lang.Long]()
+        frontier.foreach { node =>
+          val l = adj.get(node)
+          if (l != null) l.forEach(nb => if (!visited.contains(nb)) { next.add(nb); () })
+        }
+        next.forEach(nb => { visited.add(nb); () })
+        frontier = {
+          import scala.jdk.CollectionConverters._
+          next.asScala.toSeq
+        }
+        (r.toLong, next.size.toLong)
+      }
+      val all = rows :+ (-1L, (adj.size - visited.size).toLong)
+      import sp.implicits._
+      all.toDF("dist", "n_nodes")
+    } else {
+      val base = pairs.localCheckpoint(true)
+      val sym = base.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(base.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(true)
+      val seed = base.agg(min("id_a")).collect()(0).getLong(0)
+      var visited = sp.range(1).select(lit(seed).as("node")).localCheckpoint(true)
+      var frontier = visited
+      val roundRows = Seq(
+        sp.range(1).select(lit(0L).as("dist"), lit(1L).as("n_nodes"))) ++
+        (1 to rounds).map { r =>
+          frontier = sym.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          visited = visited.unionAll(frontier).localCheckpoint(true)
+          frontier.agg(count(lit(1)).as("n_nodes"))
+            .select(lit(r.toLong).as("dist"), col("n_nodes"))
+        }
+      val unreached = sym.select(col("src").as("node")).distinct()
+        .agg(count(lit(1)).as("total"))
+        .crossJoin(visited.agg(count(lit(1)).as("vis")))
+        .select(lit(-1L).as("dist"), (col("total") - col("vis")).as("n_nodes"))
+      (roundRows :+ unreached).reduce(_ unionAll _)
+    }
+    graft.util.CacheScope.drop(pairs)
+    out.orderBy("dist")
+  }
+}

@@ -119,25 +119,24 @@ object EnrichQueries {
     },
 
     "campaign_attribution" -> { (sp, dir) =>
-      val qs = UrlF.urlQuery(col("page_url"))
       // values form-decoded, as the reference's extractQuerystring does
-      // before extractMarketingFields (q=red+shoes → "red shoes")
-      val clickId = UrlF.qsValueDecoded(
-        coalesce(ClickIdNetworks.map { case (k, _) => UrlF.qsParam(qs, k) }: _*))
-      val network = ClickIdNetworks
-        .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
-          acc.when(UrlF.qsParam(qs, k).isNotNull, lit(v))
-        }
-        .otherwise(lit(null))
+      // before extractMarketingFields (q=red+shoes → "red shoes").
+      // r16: one fused querystring pass (CampaignAttributionExpression)
+      // replaces the ~18 per-param regexes; the differential PropertySpec
+      // pins kernel == the firstParamDecoded/qsParam cascade for exactly
+      // this config.
+      val fused = UrlF.campaignParsed(UrlF.urlQuery(col("page_url")),
+        UrlF.CampaignCfg(MediumParams, SourceParams, TermParams,
+          ContentParams, CampaignParams, ClickIdNetworks))
       raw(sp, dir).select(
         col("event_id"),
-        UrlF.firstParamDecoded(qs, MediumParams).as("mkt_medium"),
-        UrlF.firstParamDecoded(qs, SourceParams).as("mkt_source"),
-        UrlF.firstParamDecoded(qs, TermParams).as("mkt_term"),
-        UrlF.firstParamDecoded(qs, ContentParams).as("mkt_content"),
-        UrlF.firstParamDecoded(qs, CampaignParams).as("mkt_campaign"),
-        clickId.as("mkt_clickid"),
-        network.as("mkt_network")
+        fused.getField("medium").as("mkt_medium"),
+        fused.getField("source").as("mkt_source"),
+        fused.getField("term").as("mkt_term"),
+        fused.getField("content").as("mkt_content"),
+        fused.getField("campaign").as("mkt_campaign"),
+        fused.getField("clickid").as("mkt_clickid"),
+        fused.getField("network").as("mkt_network")
       ).orderBy("event_id")
     },
 

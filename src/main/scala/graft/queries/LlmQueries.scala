@@ -91,12 +91,13 @@ object LlmQueries {
         .orderBy("fp")),
 
     "dedup_minhash" -> { (sp, dir) =>
-      val sh = col("sh")
-      def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
+      // r16: one fused minhash kernel pass (see Queries6.minhashSigsFromToks)
       Tables.documents(sp, dir)
         .withColumn("toks", TextF.tokens(col("text")))
-        .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), 3)))
-        .select(col("doc_id"), comp(0).as("c0"), comp(1).as("c1"), comp(2).as("c2"), comp(3).as("c3"))
+        .withColumn("cs", TextF.minhashComponents(
+          TextF.shinglesFromTokens(col("toks"), 3), Seq(0, 1, 2, 3)))
+        .select(col("doc_id"), col("cs").getItem(0).as("c0"), col("cs").getItem(1).as("c1"),
+          col("cs").getItem(2).as("c2"), col("cs").getItem(3).as("c3"))
         .withColumn("band0", md5(concat(coalesce(col("c0"), lit("")), coalesce(col("c1"), lit(""))).cast("binary")))
         .withColumn("band1", md5(concat(coalesce(col("c2"), lit("")), coalesce(col("c3"), lit(""))).cast("binary")))
         .orderBy("doc_id")

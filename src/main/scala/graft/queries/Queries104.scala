@@ -31,9 +31,15 @@ object Queries104 {
       val pairs = Queries6.minhashPairs(sp, dir)
       val comp = graft.operators.ConnectedComponents.run(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      // r16: join FIRST, score after — the inner join keeps only cluster
+      // members (a tiny fraction of the corpus), so computing the hashed
+      // quality score before the join paid a full-corpus scoring pass for
+      // rows that were immediately dropped (guide §1.2: don't compute
+      // things you throw away). Same rows, same scores.
       val members = Tables.documents(sp, dir)
-        .select(col("doc_id"), Queries15.qualityScore(col("text")).as("score_milli"))
         .join(comp.select(col("id").as("doc_id"), col("comp").as("component")), Seq("doc_id"))
+        .select(col("doc_id"), Queries15.qualityScore(col("text")).as("score_milli"),
+          col("component"))
       val wKeep = Window.partitionBy("component")
         .orderBy(col("score_milli").desc, col("doc_id"))
       members

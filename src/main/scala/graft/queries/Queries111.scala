@@ -46,28 +46,11 @@ object Queries111 {
 
   val defs: Map[String, Q] = Map(
     "kcore_decomposition" -> { (sp, dir) =>
-      // eager localCheckpoint per round, the ConnectedComponents idiom: an
-      // iterative loop otherwise nests each round's plan inside the next
-      // (6 rounds of a banded-minhash subtree — the driver, not the
-      // executors, is what blows up)
-      var edges = Queries6.minhashPairs(sp, dir)
-        .select(col("id_a"), col("id_b")).localCheckpoint(true)
-      val rounds = (1 to KcoreRounds).map { r =>
-        val sym = edges.select(col("id_a").as("node"))
-          .unionAll(edges.select(col("id_b").as("node")))
-        val keep = sym.groupBy("node").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KcoreK).select("node").localCheckpoint(true)
-        val next = edges
-          .join(keep.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_semi")
-          .join(keep.withColumnRenamed("node", "id_b"), Seq("id_b"), "left_semi")
-          .select(col("id_a"), col("id_b")).localCheckpoint(true)
-        val row = keep.agg(count(lit(1)).cast("bigint").as("survivors"))
-          .crossJoin(next.agg(count(lit(1)).cast("bigint").as("edges_rem")))
-          .select(lit(r.toLong).as("peel_round"), col("survivors"), col("edges_rem"))
-        edges = next
-        row
-      }
-      rounds.reduce(_ unionAll _).orderBy("peel_round")
+      // r16: size-gated — below the CC gate the 6 peel rounds (~5 jobs
+      // each) run as one bounded collect + driver loop; above it the
+      // eager-localCheckpoint distributed loop is unchanged (GraphCounts)
+      graft.operators.GraphCounts.kcorePeel(
+        Queries6.minhashPairs(sp, dir), KcoreK, KcoreRounds)
     },
 
     "field_mi" -> { (sp, dir) =>

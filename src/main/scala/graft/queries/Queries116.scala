@@ -42,32 +42,12 @@ object Queries116 {
     },
 
     "bfs_hops" -> { (sp, dir) =>
-      val pairs = Queries6.minhashPairs(sp, dir)
-        .select(col("id_a"), col("id_b")).localCheckpoint(true)
-      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .localCheckpoint(true)
-      val seed = pairs.agg(min("id_a")).collect()(0).getLong(0) // one scalar
-      var visited = sp.range(1).select(lit(seed).as("node")).localCheckpoint(true)
-      var frontier = visited
-      // per-round single-row counts (the kcore idiom): an emptied frontier
-      // must still emit its 0-count row to match the oracle's unroll
-      val roundRows = Seq(
-        sp.range(1).select(lit(0L).as("dist"), lit(1L).as("n_nodes"))) ++
-        (1 to BfsRounds).map { r =>
-          frontier = sym.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-            .select(col("dst").as("node")).distinct()
-            .join(visited, Seq("node"), "left_anti")
-            .localCheckpoint(true)
-          visited = visited.unionAll(frontier).localCheckpoint(true)
-          frontier.agg(count(lit(1)).as("n_nodes"))
-            .select(lit(r.toLong).as("dist"), col("n_nodes"))
-        }
-      val unreached = sym.select(col("src").as("node")).distinct()
-        .agg(count(lit(1)).as("total"))
-        .crossJoin(visited.agg(count(lit(1)).as("vis")))
-        .select(lit(-1L).as("dist"), (col("total") - col("vis")).as("n_nodes"))
-      (roundRows :+ unreached).reduce(_ unionAll _).orderBy("dist")
+      // r16: size-gated — below the CC gate the 4 BFS rounds (join +
+      // distinct + anti-join + 2 checkpoints each) run as one bounded
+      // collect + driver loop; above it the distributed loop is unchanged
+      // (GraphCounts; per-round 0-count rows still emitted to match the
+      // oracle's unroll)
+      graft.operators.GraphCounts.bfsHops(Queries6.minhashPairs(sp, dir), BfsRounds)
     }
   )
 

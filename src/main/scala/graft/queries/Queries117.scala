@@ -70,6 +70,11 @@ object Queries117 {
     },
 
     "basket_triples" -> { (sp, dir) =>
+      // r16 NOTE: a CacheScope pin of `ob` was tried (4 consumers) and
+      // REVERTED — measured ×2 slower (1.49 → 3.20 s A/B): the three
+      // identical self-join legs already share ONE exchange via
+      // ReusedExchange, so the pin only added a cache materialization and
+      // replaced reused shuffle reads with InMemoryRelation scans.
       val ob = Tables.lineitem(sp, dir)
         .join(Tables.part(sp, dir).select(col("p_partkey").as("l_partkey"), col("p_brand")),
           Seq("l_partkey"))

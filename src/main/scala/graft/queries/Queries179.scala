@@ -51,9 +51,6 @@ object Queries179 {
       s" - (CASE WHEN ($s0) * ($s0) > $n THEN 1 ELSE 0 END))"
   }
 
-  private def minhashComp(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
-
   private def minhashCompSql(seed: Int): String =
     s"list_min(list_transform(sh, s -> md5(concat('$seed:', s))))"
 
@@ -111,13 +108,18 @@ object Queries179 {
     "minhash_seed_stability" -> { (sp, dir) =>
       val seedsA = Seq(0, 1, 2, 3)
       val seedsB = Seq(100, 101, 102, 103)
+      // r16: ONE fused kernel pass computes all 8 seed components (the
+      // per-seed array_min(transform(...)) spelling walked the shingle
+      // array 8× interpreted); array_distinct dropped — min over a multiset
+      // equals min over its distinct set, and emptiness is unchanged
+      val allSeeds = seedsA ++ seedsB
       val sigs = graft.util.CacheScope.track(
         Tables.documents(sp, dir)
-          .withColumn("sh", array_distinct(
-            TextF.shinglesFromTokens(TextF.tokens(col("text")), 3)))
+          .withColumn("sh", TextF.shinglesFromTokens(TextF.tokens(col("text")), 3))
           .filter(size(col("sh")) > 0)
+          .withColumn("cs", TextF.minhashComponents(col("sh"), allSeeds))
           .select(Seq(col("doc_id")) ++
-            (seedsA ++ seedsB).map(s => minhashComp(col("sh"), s).as(s"c$s")): _*))
+            allSeeds.zipWithIndex.map { case (s, i) => col("cs").getItem(i).as(s"c$s") }: _*))
       val pa = bandPairs(sigs, seedsA).withColumn("in_a", lit(1L))
       val pb = bandPairs(sigs, seedsB).withColumn("in_b", lit(1L))
       pa.join(pb, Seq("a", "b"), "full_outer")

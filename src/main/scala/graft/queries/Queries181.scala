@@ -37,17 +37,16 @@ object Queries181 {
   private val PrefixK = 5
   private val Seeds = Seq(0, 1, 2, 3)
 
-  private def minhashComp(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
-
-  /** doc_id + 4 minhash components over distinct 3-shingles. */
+  /** doc_id + 4 minhash components over 3-shingles — one fused kernel pass
+    * (r16, [[TextF.minhashComponents]]); array_distinct dropped (min over a
+    * multiset == min over its distinct set, and emptiness is unchanged). */
   private def sigs(sp: SparkSession, dir: String): DataFrame =
     Tables.documents(sp, dir)
-      .withColumn("sh", array_distinct(
-        TextF.shinglesFromTokens(TextF.tokens(col("text")), 3)))
+      .withColumn("sh", TextF.shinglesFromTokens(TextF.tokens(col("text")), 3))
       .filter(size(col("sh")) > 0)
+      .withColumn("cs", TextF.minhashComponents(col("sh"), Seeds))
       .select(Seq(col("doc_id")) ++
-        Seeds.map(s => minhashComp(col("sh"), s).as(s"c$s")): _*)
+        Seeds.zipWithIndex.map { case (s, i) => col("cs").getItem(i).as(s"c$s") }: _*)
 
   /** Distinct banded candidate pairs (a < b) within a doc-id subset. */
   private def candPairs(sig: DataFrame): DataFrame = {

@@ -118,10 +118,11 @@ object Queries182 {
       val exactB = docs.select(TextF.docFingerprint(col("text")).as("bucket"))
       val prefixB = docs.filter(size(col("toks")) >= 5)
         .select(md5(array_join(slice(col("toks"), 1, 5), " ").cast("binary")).as("bucket"))
-      def comp(seed: Int) =
-        array_min(transform(col("sh"), s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
+      // r16: one fused kernel pass for both seed components
+      val cs = TextF.minhashComponents(col("sh"), Seq(0, 1))
       val bandB = docs.filter(size(col("sh")) > 0)
-        .select(md5(concat_ws("|", lit("b0"), comp(0), comp(1)).cast("binary")).as("bucket"))
+        .select(md5(concat_ws("|", lit("b0"), cs.getItem(0), cs.getItem(1))
+          .cast("binary")).as("bucket"))
       stats("exact_fp", exactB)
         .union(stats("minhash_band", bandB))
         .union(stats("prefix5", prefixB))

@@ -28,19 +28,26 @@ import graft.Tables
 object Queries24 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Stages 3-4 (near-dup representative keep + decontamination) over an
+    * already-gated corpus — factored so pipeline_manifest can feed ONE
+    * cached `gated` table to both its stage-2 manifest row and this
+    * shipped relation instead of re-running the gate lineage (r16). */
+  private[queries] def shippedFrom(gated: DataFrame, sp: SparkSession, dir: String): DataFrame = {
+    val pairs = Queries6.minhashPairs(sp, dir)
+    val comp = graft.operators.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    gated
+      .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .filter(col("doc_id") % Queries10.BenchMod =!= Queries10.BenchRem)
+      .join(Queries10.contaminatedDocs(sp, dir), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "corpus_pipeline" -> { (sp, dir) =>
-      val gated = Queries10.corpusGated(sp, dir)
-      val pairs = Queries6.minhashPairs(sp, dir)
-      val comp = graft.operators.ConnectedComponents.run(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      gated
-        .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
-        .filter(col("comp").isNull || col("comp") === col("doc_id"))
-        .filter(col("doc_id") % Queries10.BenchMod =!= Queries10.BenchRem)
-        .join(Queries10.contaminatedDocs(sp, dir), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("n_tokens"))
-        .orderBy("doc_id")
+      shippedFrom(Queries10.corpusGated(sp, dir), sp, dir)
     }
   )
 

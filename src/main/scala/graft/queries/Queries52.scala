@@ -52,10 +52,16 @@ object Queries52 {
               ) % ChecksumMod).as("id_checksum"))
           .select(lit(name).as("stage"), col("n_rows"), col("id_checksum"))
       val raw = Tables.documents(sp, dir).select("doc_id")
-      val gated = Queries10.defs("corpus_filter")(sp, dir).select("doc_id")
-      val shipped = Queries24.defs("corpus_pipeline")(sp, dir).select("doc_id")
+      // r16: the gate lineage (fingerprint window + quality/lang filters
+      // over the whole corpus) feeds BOTH the stage-2 row and the shipped
+      // pipeline — cache it once instead of running it twice (§2.4); the
+      // shipped stage reuses the cached table via Queries24.shippedFrom
+      val gated = graft.util.CacheScope.track(
+        Queries10.corpusGated(sp, dir).select(col("doc_id"), col("n_tokens")))
+      gated.count()
+      val shipped = Queries24.shippedFrom(gated, sp, dir).select("doc_id")
       manifest("1_raw", raw)
-        .unionAll(manifest("2_gated", gated))
+        .unionAll(manifest("2_gated", gated.select("doc_id")))
         .unionAll(manifest("3_shipped", shipped))
         .orderBy("stage")
     }

@@ -26,13 +26,19 @@ object Queries6 {
 
   /** Signatures over an already-tokenized (doc_id, toks) frame — the entry
     * point dedup_method_venn uses so its three detectors share ONE
-    * tokenization pass. Same expression tree from `toks` down. */
+    * tokenization pass. Since r16 the four seed components come from ONE
+    * [[graft.functions.TextF.minhashComponents]] kernel pass over the
+    * shingles (the per-seed `array_min(transform(...))` spelling walked the
+    * array 4× interpreted); output columns are bit-identical — the
+    * differential PropertySpec pins kernel == composable twin.
+    * array_distinct dropped: min over a multiset equals min over its
+    * distinct set, so the distinct pass only cost. */
   private[graft] def minhashSigsFromToks(toksDf: DataFrame): DataFrame = {
-    val sh = col("sh")
-    def comp(seed: Int): Column = array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
     toksDf
-      .withColumn("sh", array_distinct(TextF.shinglesFromTokens(col("toks"), 3)))
-      .select(col("doc_id"), comp(0).as("c0"), comp(1).as("c1"), comp(2).as("c2"), comp(3).as("c3"))
+      .withColumn("cs", TextF.minhashComponents(
+        TextF.shinglesFromTokens(col("toks"), 3), Seq(0, 1, 2, 3)))
+      .select(col("doc_id"), col("cs").getItem(0).as("c0"), col("cs").getItem(1).as("c1"),
+        col("cs").getItem(2).as("c2"), col("cs").getItem(3).as("c3"))
       .withColumn("band0", md5(concat(coalesce(col("c0"), lit("")), coalesce(col("c1"), lit(""))).cast("binary")))
       .withColumn("band1", md5(concat(coalesce(col("c2"), lit("")), coalesce(col("c3"), lit(""))).cast("binary")))
   }

@@ -1,0 +1,38 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-16 optimization evidence: writes `plans/r16/<query>_<suffix>.txt`
+  * with the formatted physical plan for each named query.
+  *
+  * Run: `sbt "runMain graft.tools.PlanDumpR16 <suffix> <query> [query ...]"`
+  * (suffix = `before` / `after`).
+  */
+object PlanDumpR16 {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanDumpR16 <suffix> <query> [query ...]")
+    val suffix = args.head
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get("plans/r16"))
+    args.tail.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"plans/r16/${name}_$suffix.txt"), txt)
+      graft.util.CacheScope.release(spark)
+      spark.catalog.clearCache()
+      println(s"[plandump] wrote plans/r16/${name}_$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only phase attribution for dedup_cluster_incremental (r16 item 4). */
+object ProfileIncr {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pi] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    (1 to 2).foreach { rep =>
+      println(s"== rep $rep ==")
+      val pairs = graft.util.CacheScope.track(graft.queries.Queries6.minhashPairs(spark, sfDir))
+      t("pairs.count")(pairs.count())
+      val oldEdges = pairs.filter(col("id_a") < 400 && col("id_b") < 400)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val newEdges = pairs.filter(col("id_a") >= 400 || col("id_b") >= 400)
+      val oldLabels = graft.util.CacheScope.track(
+        t("cc.run(oldEdges)")(graft.operators.ConnectedComponents.run(oldEdges)))
+      t("oldLabels.count")(oldLabels.count())
+      def rep2(side: String) =
+        oldLabels.select(col("id").as(side), col("comp").as(s"rep_$side"))
+      val contracted = newEdges
+        .join(rep2("id_a"), Seq("id_a"), "left")
+        .join(rep2("id_b"), Seq("id_b"), "left")
+        .select(coalesce(col("rep_id_a"), col("id_a")).as("src"),
+          coalesce(col("rep_id_b"), col("id_b")).as("dst"))
+      val newLabels = t("cc.run(contracted)")(
+        graft.operators.ConnectedComponents.run(contracted))
+        .select(col("id").as("rep"), col("comp").as("new_comp"))
+      val oldFinal = oldLabels
+        .join(newLabels, oldLabels("comp") === newLabels("rep"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("new_comp"), col("comp")).as("component"))
+      val batchFinal = newEdges
+        .select(col("id_a").as("doc_id")).unionAll(newEdges.select(col("id_b")))
+        .distinct()
+        .join(oldLabels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .join(newLabels.withColumnRenamed("rep", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("new_comp").as("component"))
+      val out = oldFinal.unionAll(batchFinal).orderBy("doc_id")
+      t("final.count")(out.count())
+      graft.util.CacheScope.release(spark)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -127,6 +127,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("GraphCounts.kcorePeel: local driver loop == distributed rounds") {
+    import spark.implicits._
+    import graft.operators.{ConnectedComponents, GraphCounts}
+    val rng = new scala.util.Random(4321)
+    val pairs = Seq.fill(260)((rng.nextInt(90).toLong, rng.nextInt(90).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val local = rows(GraphCounts.kcorePeel(pairs, 2, 6))
+    spark.conf.set(ConnectedComponents.LocalEdgeThresholdConf, "0")
+    try {
+      val dist = rows(GraphCounts.kcorePeel(pairs, 2, 6))
+      assert(local == dist)
+    } finally spark.conf.unset(ConnectedComponents.LocalEdgeThresholdConf)
+  }
+
+  test("GraphCounts.bfsHops: local driver loop == distributed rounds") {
+    import spark.implicits._
+    import graft.operators.{ConnectedComponents, GraphCounts}
+    val rng = new scala.util.Random(777)
+    // sparse graph with several components so the -1 (unreached) row is
+    // non-zero and some rounds empty their frontier
+    val pairs = Seq.fill(60)((rng.nextInt(200).toLong, rng.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = rows(GraphCounts.bfsHops(pairs, 4))
+    spark.conf.set(ConnectedComponents.LocalEdgeThresholdConf, "0")
+    try {
+      val dist = rows(GraphCounts.bfsHops(pairs, 4))
+      assert(local == dist)
+    } finally spark.conf.unset(ConnectedComponents.LocalEdgeThresholdConf)
+  }
+
   test("KMeans: separates three well-separated direction clusters") {
     import spark.implicits._
     import graft.operators.KMeans

@@ -408,6 +408,217 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** URL universe shared by the three r16 fused-kernel differential tests:
+    * synth page/referer shapes, the whole generated referer-db sweep, plus
+    * adversarial shapes (schemeless, empty host, bare/huge/zero-padded
+    * ports, query-before-scheme, multiple ?/#, empty values, '+' forms,
+    * malformed %-escapes, %09/%00 control escapes, internal hosts). */
+  private lazy val urlUniverse: Seq[String] = {
+    import graft.functions.RefererDbData
+    val crafted = Seq(
+      "", "no-scheme", "http//missing.colon/p", "://bare", "1http://digit.first/",
+      "http://", "http://:8080/p", "http://host", "http://host/", "http://host:80/p",
+      "https://host:443/p?q=1", "http://host:0080/p", "http://host:99999999999/p",
+      "http://host:12ab/p", "http://host:/p", "HTTPS://UP.example.COM:8443/Deep/Path?A=b#Frag",
+      "scheme+x.y-z://odd.scheme/p", "http://h/p?", "http://h/p?#f", "http://h/p#",
+      "http://h/p##double#frag", "http://h?q=1#f?fake=2", "what?is=this#anyway",
+      "http://h/p?a=1&b=2&a=3", "http://h/p?empty=&c=2", "http://h/p?&=&&x",
+      "http://h/p?utm_medium=&mkt_medium=cpc", "http://h/p?xutm_source=no&utm_source=yes",
+      "http://h/p?a=utm_campaign=sneaky&utm_campaign=real",
+      "http://h/p?q=red+shoes&utm_term=native+american+tarot+deck",
+      "http://h/p?utm_content=c%20d&next=%2Fcheckout%3Fstep%3D2",
+      "http://h/p?utm_source=%zz&utm_campaign=%2", "http://h/p?gclid=&msclkid=ms1",
+      "http://h/p?dclid=d%201&fbclid=f1", "http://h/p?fbclid=%E2%82%AC",
+      "https://www.google.com/search?q=%09tabbed%09&utm_source=g",
+      "https://www.google.com/search?q=%00ctrl%7F&oq=x",
+      "https://search.yahoo.com/search?hl=en&p=thing+1&q=shadowed",
+      "https://shop.example.com/home", "https://www.internal.example.org/x?q=self",
+      "https://yandex.ru/search/?text=item+7", "http://shop.example.com/p/1?q=a#s",
+      "ftp://files.example.com:2121/pub", "mailto:someone@example.com?subject=hi")
+    val synthPages = (0 until 40).map { e =>
+      val qs = (e % 5) match {
+        case 0 => s"?utm_source=google&utm_medium=cpc&utm_campaign=spring_sale&gclid=g$e"
+        case 1 => "?utm_source=newsletter&utm_medium=email&utm_campaign=weekly"
+        case 2 => s"?q=red+shoes&page=$e"
+        case 3 => s"?fbclid=fb$e&utm_campaign=retarget"
+        case _ => if (e % 10 == 4) "?q=c%20d&empty=&next=%2Fcheckout%3Fstep%3D2" else ""
+      }
+      s"https://shop.example.com/p/$e$qs" + (if (e % 7 == 0) "#section2" else "")
+    }
+    (crafted ++ synthPages ++ RefererDbData.SynthUrls).distinct
+  }
+
+  test("urlParsed property: fused kernel == regex specification twins") {
+    import spark.implicits._
+    import graft.functions.UrlF
+    val out = urlUniverse.toDF("u")
+      .select(col("u"), UrlF.urlParsed(col("u")).as("k"),
+        UrlF.urlSchemeSpec(col("u")).as("scheme"), UrlF.urlHostSpec(col("u")).as("host"),
+        UrlF.urlPortSpec(col("u")).as("port"), UrlF.urlPathSpec(col("u")).as("path"),
+        UrlF.urlQuerySpec(col("u")).as("query"), UrlF.urlFragmentSpec(col("u")).as("frag"),
+        nullif(regexp_extract(col("u"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)", 1), lit("")).as("eport"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getStruct(1)
+      def s(i: Int): String = if (k.isNullAt(i)) null else k.getString(i)
+      assert(s(0) == r.getAs[String]("scheme"), s"scheme(${r.getString(0)})")
+      assert(s(1) == r.getAs[String]("host"), s"host(${r.getString(0)})")
+      assert((if (k.isNullAt(2)) null else Integer.valueOf(k.getInt(2)))
+        == r.getAs[Integer]("port"), s"port(${r.getString(0)})")
+      assert(s(3) == r.getAs[String]("eport"), s"eport(${r.getString(0)})")
+      assert(s(4) == r.getAs[String]("path"), s"path(${r.getString(0)})")
+      assert(s(5) == r.getAs[String]("query"), s"query(${r.getString(0)})")
+      assert(s(6) == r.getAs[String]("frag"), s"fragment(${r.getString(0)})")
+    }
+    // null URL → null struct → null fields
+    val nr = Seq[Option[String]](None).toDF("u")
+      .select(graft.functions.UrlF.urlHost(col("u")), graft.functions.UrlF.urlPort(col("u")))
+      .collect().head
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
+  test("campaignAttribution property: fused kernel == Column twin") {
+    import spark.implicits._
+    import graft.functions.UrlF
+    val mediumP = Seq("utm_medium", "mkt_medium")
+    val sourceP = Seq("utm_source", "mkt_source")
+    val termP = Seq("utm_term", "q")
+    val contentP = Seq("utm_content")
+    val campaignP = Seq("utm_campaign", "mkt_campaign")
+    val networks = Seq("gclid" -> "Google", "msclkid" -> "Microsoft",
+      "dclid" -> "DoubleClick", "fbclid" -> "Facebook")
+    val qs = UrlF.urlQuerySpec(col("u"))
+    // the pre-r16 CampaignAttribution Column spelling, verbatim
+    val clickIdSpec = UrlF.qsValueDecoded(
+      coalesce(networks.map { case (k, _) => UrlF.qsParam(qs, k) }: _*))
+    val networkSpec = networks
+      .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
+        acc.when(UrlF.qsParam(qs, k).isNotNull, lit(v))
+      }.otherwise(lit(null))
+    val fused = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CampaignAttributionExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(qs),
+        UrlF.CampaignCfg(mediumP, sourceP, termP, contentP, campaignP, networks)))
+    val out = urlUniverse.toDF("u")
+      .select(col("u"), fused.as("k"),
+        UrlF.firstParamDecoded(qs, mediumP).as("medium"),
+        UrlF.firstParamDecoded(qs, sourceP).as("source"),
+        UrlF.firstParamDecoded(qs, termP).as("term"),
+        UrlF.firstParamDecoded(qs, contentP).as("content"),
+        UrlF.firstParamDecoded(qs, campaignP).as("campaign"),
+        clickIdSpec.as("clickid"), networkSpec.as("network"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getStruct(1)
+      Seq("medium", "source", "term", "content", "campaign", "clickid", "network")
+        .zipWithIndex.foreach { case (f, i) =>
+          val kv = if (k == null || k.isNullAt(i)) null else k.getString(i)
+          assert(kv == r.getAs[String](f), s"$f(${r.getString(0)}): $kv != ${r.getAs[String](f)}")
+        }
+    }
+  }
+
+  test("refererParsed property: fused kernel == Column specification twins") {
+    import spark.implicits._
+    import graft.functions.{RefF, UrlF}
+    val internal = Seq("www.internal.example.org", "intra.example.com")
+    // pair every universe referer with page URLs that do / don't make it
+    // internal (including a null-host page URL)
+    val pages = Seq("https://shop.example.com/p/1", "https://www.internal.example.org/x",
+      "not-a-url", null)
+    val cases = for (u <- urlUniverse; p <- pages) yield (u, p)
+    val fused = RefF.refererParsed(col("r"), UrlF.urlHost(col("p")), internal)
+    val out = cases.toDF("r", "p")
+      .select(col("r"), col("p"), fused.as("k"),
+        UrlF.urlHostSpec(col("r")).as("host"),
+        RefF.refererMediumSpec(col("r"), col("p"), internal).as("medium"),
+        RefF.refererSourceSpec(col("r"), col("p"), internal).as("source"),
+        RefF.refererTermSpec(col("r"), col("p"), internal).as("term"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getStruct(2)
+      Seq("host", "medium", "source", "term").zipWithIndex.foreach { case (f, i) =>
+        val kv = if (k == null || k.isNullAt(i)) null else k.getString(i)
+        assert(kv == r.getAs[String](f),
+          s"$f(${r.getString(0)}, ${r.getString(1)}): $kv != ${r.getAs[String](f)}")
+      }
+    }
+    // null referer → all-null struct
+    val nr = Seq((null: String, "https://shop.example.com/")).toDF("r", "p")
+      .select(RefF.refererMedium(col("r"), col("p"), internal),
+        RefF.refererSource(col("r"), col("p"), internal))
+      .collect().head
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
+  test("minhashComponents property: fused kernel == composable array_min(transform) twin") {
+    import spark.implicits._
+    import graft.functions.TextF
+    // text universe: synth-like prose, short docs (< k tokens → empty
+    // shingles → null components), empty/whitespace/punct-only text,
+    // repeated shingles (multiset == set minimum), unicode
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "a", "", "   ", "!!!", "a b c", "a b c a b c a b c",
+      "same same same same same",
+      "Unicode snowman ☃ and accents café naïve",
+      "numbers 123 456 789 mixed a1b2") ++
+      (0 until 30).map(i => s"doc $i body token${i % 7} token${i % 3} tail ${i * 37}")
+    val seeds = Seq(0, 1, 2, 3, 100, 101)
+    val sh = TextF.shinglesFromTokens(TextF.tokens(col("t")), 3)
+    val out = texts.toDF("t")
+      .select(col("t"),
+        TextF.minhashComponents(sh, seeds).as("k"),
+        TextF.minhashComponentsSpec(sh, seeds).as("s"))
+      .collect()
+    out.foreach { r =>
+      val k = r.getSeq[String](1); val s = r.getSeq[String](2)
+      assert(k == s, s"minhash(${r.getString(0)}): $k != $s")
+    }
+    // null input array → null output
+    val nr = Seq(Tuple1[Option[String]](None)).toDF("t")
+      .select(TextF.minhashComponents(TextF.tokens(col("t")), Seq(0)))
+      .collect().head
+    assert(nr.isNullAt(0))
+  }
+
+  test("scoreCol property: fused feature-score kernel == composable aggregate twin") {
+    import spark.implicits._
+    import graft.queries.Queries15
+    val texts = Seq(
+      "the quick brown fox", "a", "", "repeat repeat repeat",
+      "mixed 123 tokens 456 with numbers",
+      "longer document body with many distinct tokens to spread buckets widely") ++
+      (0 until 25).map(i => s"doc $i tok${i % 9} tok${i % 5} end")
+    val toks = graft.functions.TextF.tokens(col("t"))
+    // bigram shape (nullable-element array type) exercised via the dsir
+    // spelling's zip_with; plain tokens exercise the qc spelling
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit("_"), b))).otherwise(array().cast("array<string>"))
+    val out = texts.toDF("t").select(
+      Queries15.scoreCol(toks, "qc:", Queries15.QcWeights).as("k1"),
+      Queries15.scoreColSpec(toks, "qc:", Queries15.QcWeights).as("s1"),
+      Queries15.scoreCol(bigrams, "ds:", Queries15.DsirTarget).as("k2"),
+      Queries15.scoreColSpec(bigrams, "ds:", Queries15.DsirTarget).as("s2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.get(0) == r.get(1), s"qc: ${r.get(0)} != ${r.get(1)}")
+      assert(r.get(2) == r.get(3), s"ds: ${r.get(2)} != ${r.get(3)}")
+    }
+    // null array → null; null ELEMENT → null (the twin's acc + null)
+    val nulls = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("arr")
+      .select(Queries15.scoreCol(col("arr"), "qc:", Queries15.QcWeights),
+        Queries15.scoreColSpec(col("arr"), "qc:", Queries15.QcWeights))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    val nullArr = Seq(Tuple1[Option[Seq[String]]](None)).toDF("arr")
+      .select(Queries15.scoreCol(col("arr"), "qc:", Queries15.QcWeights))
+      .collect().head
+    assert(nullArr.isNullAt(0))
+  }
+
   test("sign-split division lemma: truncating and flooring engines agree after the split") {
     def truncDiv(a: Long, b: Long) = a / b // JVM/Spark: toward zero
     def floorDiv(a: Long, b: Long) = Math.floorDiv(a, b) // DuckDB //: floor
