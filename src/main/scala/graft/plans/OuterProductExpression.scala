@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class OuterProductExpression(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // the actual producer (round(..).cast(long) quantization) carries
+    // containsNull=true in its TYPE though it never emits null elements;
+    // compute() guards each slot and fails LOUDLY on a null instead of
+    // silently reading it as 0 under UnsafeArrayData (r16, advisor note)
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<BIGINT> input, got ${other.sql}")
@@ -43,7 +47,15 @@ object OuterProductExpression {
     val n = q.numElements()
     val v = new Array[Long](n)
     var i = 0
-    while (i < n) { v(i) = q.getLong(i); i += 1 }
+    while (i < n) {
+      // loud guard: a null slot would otherwise read as 0 under
+      // UnsafeArrayData, silently diverging from the HOF twin's
+      // null-propagation (no producer emits nulls today)
+      if (q.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_outer_product: null element at index $i")
+      v(i) = q.getLong(i); i += 1
+    }
     val out = new Array[Long](n * n)
     i = 0
     while (i < n) {

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only phase attribution for detector_recall_on_labels (r16). */
+object ProfileRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pr] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    (1 to 3).foreach { rep =>
+      println(s"== rep $rep ==")
+      val labels = t("labels (ngram_jaccard)") {
+        val l = graft.util.CacheScope.track(
+          graft.queries.LlmQueries.defs("ngram_jaccard")(spark, sfDir).select("id_a", "id_b"))
+        l.count(); l
+      }
+      val mh = t("minhash pairs") {
+        val c = graft.util.CacheScope.track(
+          graft.queries.Queries6.minhashPairs(spark, sfDir).select("id_a", "id_b"))
+        c.count(); c
+      }
+      val fp = t("simhash fingerprints") {
+        val f = graft.util.CacheScope.track(graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), graft.functions.TextF.simhash60(col("text")).as("f")))
+        f.count(); f
+      }
+      val full = t("full query build+count") {
+        graft.SparkEntry.queries("detector_recall_on_labels")(spark, sfDir).count()
+      }
+      graft.util.CacheScope.release(spark)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -14,11 +14,15 @@ package graft.util
 object Par {
 
   /** Run `thunks` concurrently (one driver thread each — these are
-    * job-submitting closures, a handful at a time, not data work) and
-    * return their results in input order. The first failure is rethrown
-    * after every thread finishes. */
+    * job-submitting closures, a handful at a time by design, not data
+    * work) and return their results in input order. The first failure is
+    * rethrown after every thread finishes, with any OTHER thunks'
+    * failures attached via `addSuppressed` so a multi-engine failure
+    * keeps all diagnostics (r16, advisor note). */
   def run[A](thunks: Seq[() => A]): Seq[A] = {
     if (thunks.sizeIs <= 1) return thunks.map(_())
+    require(thunks.sizeIs <= 16, s"Par.run fan-out ${thunks.size} > 16 — " +
+      "this helper spawns one raw driver thread per thunk")
     val results = Array.fill[Option[A]](thunks.size)(None)
     val errors = Array.fill[Option[Throwable]](thunks.size)(None)
     val threads = thunks.zipWithIndex.map { case (th, i) =>
@@ -31,7 +35,11 @@ object Par {
       t
     }
     threads.foreach(_.join())
-    errors.flatten.headOption.foreach(e => throw e)
+    val failures = errors.flatten
+    failures.headOption.foreach { e =>
+      failures.drop(1).foreach(e.addSuppressed)
+      throw e
+    }
     results.toSeq.map(_.get)
   }
 

@@ -434,7 +434,12 @@ class PropertySpec extends SparkSpec {
       "https://search.yahoo.com/search?hl=en&p=thing+1&q=shadowed",
       "https://shop.example.com/home", "https://www.internal.example.org/x?q=self",
       "https://yandex.ru/search/?text=item+7", "http://shop.example.com/p/1?q=a#s",
-      "ftp://files.example.com:2121/pub", "mailto:someone@example.com?subject=hi")
+      "ftp://files.example.com:2121/pub", "mailto:someone@example.com?subject=hi",
+      // embedded line terminators: java.util.regex '.' stops at them and
+      // '$' (no MULTILINE) matches only at end or before a FINAL one —
+      // the imperative fragment twin must reproduce all four shapes
+      "http://h/p#frag\n", "a#b\ncd", "http://h/p#x\r\n", "http://h/p#\n",
+      "http://h/p#a\rb", "http://h/p?q=1\n#f")
     val synthPages = (0 until 40).map { e =>
       val qs = (e % 5) match {
         case 0 => s"?utm_source=google&utm_medium=cpc&utm_campaign=spring_sale&gclid=g$e"
